@@ -1,0 +1,147 @@
+"""Text-analysis column combinators (Column -> Column, Catalyst-native).
+
+Follows the reference's expression-macro style (SURVEY.md §2.10 D2:
+plain functions composing Column expressions, never ``F.udf``) so
+whole-stage codegen and nested pruning survive. These power the
+training-data extension surface: tokenization, shingling, token
+counts, quality scoring, language ID, fingerprinting, and the
+MinHash/SimHash building blocks in ``operators/dedup.py``.
+
+Normalization semantics modeled on the reference's ES analyzer
+(index-settings-and-mappings-necropolis.json:4-33 — lowercase +
+asciifolding + shingles), re-expressed as Spark SQL expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the vote-based language-ID
+# heuristic. Deliberately small + fixed: the heuristic must be exactly
+# reproducible in ANSI SQL for the DuckDB oracle.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "den"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "des", "que", "pour"),
+    "es": ("el", "la", "los", "las", "y", "es", "un", "una", "que", "por"),
+}
+#: Deterministic tie-break order for language votes.
+LANG_ORDER: tuple[str, ...] = ("en", "de", "fr", "es")
+
+
+def normalize(col: Column) -> Column:
+    """Lowercase, trim, collapse internal whitespace."""
+    return F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens of the normalized text (array<string>, no empties)."""
+    normed = normalize(col)
+    return F.when(normed == "", F.array().cast("array<string>")).otherwise(
+        F.split(normed, " ")
+    )
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count (BPE-ish refinement lives in quality metrics)."""
+    return F.size(tokens(col)).cast("bigint")
+
+
+def word_shingles(tok: Column, n: int) -> Column:
+    """n-gram word shingles over a token array.
+
+    Texts shorter than ``n`` tokens yield a single shingle of the whole
+    text (standard MinHash convention so short docs still have a set).
+    """
+    joined = F.concat_ws(" ", tok)
+    gen = F.transform(
+        F.sequence(F.lit(0), F.size(tok) - n),
+        lambda i: F.concat_ws(" ", F.slice(tok, i + 1, n)),
+    )
+    return F.when(F.size(tok) <= n, F.array(joined)).otherwise(gen)
+
+
+def stopword_hits(tok: Column, lang: str) -> Column:
+    """Number of tokens that are stopwords of ``lang`` (with multiplicity)."""
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(tok, lambda t: F.array_contains(sw, t))).cast("bigint")
+
+
+def language_id(col: Column) -> Column:
+    """Vote-based language guess: argmax of stopword hits, ties broken by
+    LANG_ORDER; 'und' (undetermined) when no stopword matched at all."""
+    tok = tokens(col)
+    votes = {lang: stopword_hits(tok, lang) for lang in LANG_ORDER}
+    best = F.greatest(*votes.values())
+    out = F.lit("und")
+    # Build the CASE from last to first so earlier langs win ties.
+    for lang in reversed(LANG_ORDER):
+        out = F.when((best > 0) & (votes[lang] == best), F.lit(lang)).otherwise(out)
+    return out
+
+
+def punct_ratio(col: Column) -> Column:
+    """Fraction of characters that are not [a-z0-9 ] after normalization."""
+    normed = normalize(col)
+    stripped = F.regexp_replace(normed, r"[a-z0-9 ]", "")
+    return F.when(F.length(normed) == 0, F.lit(0.0)).otherwise(
+        F.length(stripped).cast("double") / F.length(normed).cast("double")
+    )
+
+
+def stopword_ratio(col: Column) -> Column:
+    """Fraction of tokens that are English stopwords (quality signal)."""
+    tok = tokens(col)
+    return F.when(F.size(tok) == 0, F.lit(0.0)).otherwise(
+        stopword_hits(tok, "en").cast("double") / F.size(tok).cast("double")
+    )
+
+
+def mean_token_len(col: Column) -> Column:
+    tok = tokens(col)
+    total = F.aggregate(tok, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t))
+    return F.when(F.size(tok) == 0, F.lit(0.0)).otherwise(
+        total.cast("double") / F.size(tok).cast("double")
+    )
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] document-quality score (Gopher-rule-flavored):
+    length in a sane band, sane mean token length, low punctuation noise,
+    nonzero stopword signal. Pure arithmetic -> reproducible in ANSI SQL.
+    """
+    n_tok = token_count(col)
+    len_ok = F.when((n_tok >= 10) & (n_tok <= 100000), 1.0).otherwise(0.0)
+    mtl = mean_token_len(col)
+    mtl_ok = F.when((mtl >= 2.0) & (mtl <= 12.0), 1.0).otherwise(0.0)
+    punct_ok = F.when(punct_ratio(col) <= 0.2, 1.0).otherwise(0.0)
+    sw_ok = F.when(stopword_ratio(col) > 0.0, 1.0).otherwise(0.0)
+    return (len_ok + mtl_ok + punct_ok + sw_ok) / F.lit(4.0)
+
+
+def fingerprint(col: Column) -> Column:
+    """Canonical key-collision fingerprint: md5 over the sorted distinct
+    token set. Two docs that differ only in token order/multiplicity and
+    whitespace collide — the classic clustering key for fuzzy dedup."""
+    tok = tokens(col)
+    return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tok))))
+
+
+def h60(col: Column) -> Column:
+    """Deterministic 60-bit positive hash shared with the SQL oracle:
+    first 15 hex chars of md5, parsed base-16. Engine-portable (DuckDB
+    reproduces it with list_reduce over hex digits), unlike xxhash64."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def rolling_hash(tok: Column, base: int = 31, mod: int = 1_000_000_007) -> Column:
+    """Polynomial (Rabin-Karp-style) rolling hash over the token stream:
+    h = fold(h * base + h60(token) % mod) % mod. Order-sensitive, unlike
+    :func:`fingerprint`. All intermediates < 2^61 so ANSI mode never
+    overflows."""
+    return F.aggregate(
+        tok,
+        F.lit(0).cast("bigint"),
+        lambda acc, t: (acc * base + F.pmod(h60(t), F.lit(mod))) % mod,
+    )

@@ -1,0 +1,279 @@
+"""Deduplication operators for training-data pipelines.
+
+All variants are pure DataFrame compositions (scan → narrow transforms
+→ one shuffle per logical step), designed so the same plan shape holds
+from 500 docs to 100 TB:
+
+- exact_dedup:       hash-groupBy on a content digest (1 shuffle).
+- keep_first:        window row_number over the dup key (1 shuffle,
+                     AQE-skew-safe) — the reference-style "keep the
+                     earliest" semantics.
+- jaccard_pairs:     exact n-gram Jaccard via shingle-explode + equi-join
+                     on shingle (the inverted-index join), then pair-level
+                     intersection counting. Quadratic only within a
+                     shingle's posting list, never globally.
+- minhash_lsh_pairs: MinHash signatures + banded LSH self-join; candidate
+                     pairs verified with exact Jaccard. The 100 TB path:
+                     shuffle is bounded by (bands × docs), buckets are
+                     capped to defuse degenerate skew.
+- simhash:           64-bit SimHash per document; near-dup pairs via
+                     Hamming distance over band-equality prefilter.
+
+MinHash/SimHash hashing uses the engine-portable ``h60`` digest
+(functions/text.h60) so every step is reproducible in the ANSI-SQL
+oracle; at production scale swap H for xxhash64 via the ``hash_fn``
+parameter (same plan, cheaper hash).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from batch_process_dpla_index_spark.functions.text import h60, tokens, word_shingles
+
+# 2^31-1, Mersenne prime: keeps a*h+b < 2^61 (ANSI-safe, no overflow).
+_MERSENNE = 2_147_483_647
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the min-id row per exact content digest. Returns survivors' ids.
+
+    One hash-aggregate shuffle on the digest; map-side partial agg makes
+    this linear and skew-tolerant at any scale.
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("digest"), F.col(id_col))
+        .groupBy("digest")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+
+
+def keep_first(df: DataFrame, key_cols: list[str], order_col: str, tiebreak: str) -> DataFrame:
+    """Window-based keep-first dedup: earliest ``order_col`` per key.
+
+    row_number over (key, order, tiebreak); deterministic because the
+    tiebreak column is unique.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).asc(), F.col(tiebreak).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def shingle_sets(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """(id, shingles: array<string> distinct) per document."""
+    return df.select(
+        F.col(id_col),
+        F.array_distinct(word_shingles(tokens(F.col(text_col)), n)).alias("shingles"),
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity join: pairs (a < b) with J >= t.
+
+    Plan: explode shingles → equi-join on shingle (inverted index) →
+    count shared shingles per pair → Jaccard from |A|,|B|,|A∩B|.
+    Returns columns (id_a, id_b, jaccard). The explode-join shuffles on
+    the shingle value; a hot shingle's posting list is the only
+    quadratic zone (the LSH variant removes even that).
+    """
+    sets = shingle_sets(df, text_col, id_col, n).withColumn("set_size", F.size("shingles"))
+    sets = sets.persist()
+    posts = sets.select(F.col(id_col).alias("id"), "set_size", F.explode("shingles").alias("shingle"))
+    a = posts.select(F.col("id").alias("id_a"), F.col("set_size").alias("size_a"), "shingle")
+    b = posts.select(F.col("id").alias("id_b"), F.col("set_size").alias("size_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "size_a", "size_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("size_a") + F.col("size_b") - F.col("n_common")
+    ).cast("double")
+    return (
+        inter.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def _perm_params(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for universal hashing h_i = (a*h + b) % p.
+
+    Generated from a tiny LCG on the seed (no RNG import → reproducible
+    everywhere, including inside the SQL oracle generator).
+    """
+    params = []
+    state = seed
+    for _ in range(num_perm):
+        state = (state * 1_103_515_245 + 12_345) % (1 << 31)
+        a = (state % (_MERSENNE - 2)) + 1
+        state = (state * 1_103_515_245 + 12_345) % (1 << 31)
+        b = state % _MERSENNE
+        params.append((a, b))
+    return params
+
+
+def minhash_signature(
+    shingles: Column, num_perm: int = 64, hash_fn: Callable[[Column], Column] = h60
+) -> Column:
+    """array<bigint> MinHash signature of a distinct-shingle array.
+
+    One base hash per shingle, then ``num_perm`` affine rehashes with
+    array_min — all inside codegen, no UDF.
+    """
+    base = F.transform(shingles, lambda s: F.pmod(hash_fn(s), F.lit(_MERSENNE)))
+    mins = [
+        F.array_min(F.transform(base, lambda h: (F.lit(a) * h + F.lit(b)) % _MERSENNE))
+        for a, b in _perm_params(num_perm)
+    ]
+    return F.array(*mins)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    num_perm: int = 64,
+    bands: int = 16,
+    max_bucket: int = 1000,
+    hash_fn: Callable[[Column], Column] = h60,
+) -> DataFrame:
+    """MinHash + banded-LSH near-dup pairs, verified with exact Jaccard.
+
+    Returns (id_a, id_b, jaccard) for candidate pairs whose TRUE Jaccard
+    >= threshold. With 64 perms / 16 bands / rows=4 the S-curve puts
+    ~0.99 recall at J >= 0.6 and filters the vast majority of pairs below.
+
+    Scale design: shuffle volume is bands × docs rows; ``max_bucket``
+    discards degenerate buckets (e.g. empty-text clusters) that would
+    otherwise go quadratic — logged in real pipelines, dropped here.
+    Candidates are verified against the exact shingle sets, so the output
+    has zero false positives (recall remains probabilistic).
+    """
+    rows = num_perm // bands
+    sets = shingle_sets(df, text_col, id_col, n)
+    sig = sets.select(
+        F.col(id_col).alias("id"),
+        "shingles",
+        minhash_signature(F.col("shingles"), num_perm, hash_fn).alias("sig"),
+    ).persist()
+
+    band_cols = []
+    for i in range(bands):
+        band_key = F.md5(F.concat_ws(",", F.slice("sig", i * rows + 1, rows)))
+        band_cols.append(F.struct(F.lit(i).alias("band"), band_key.alias("key")))
+    buckets = sig.select("id", F.explode(F.array(*band_cols)).alias("bk")).select(
+        "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    # Defuse pathological buckets before the self-join.
+    sizes = buckets.groupBy("band", "key").agg(F.count("*").alias("sz"))
+    buckets = buckets.join(
+        F.broadcast(sizes.filter(F.col("sz") > max_bucket).select("band", "key").withColumn("__skip", F.lit(1))),
+        ["band", "key"],
+        "left_anti",
+    )
+    cand = (
+        buckets.alias("x")
+        .join(buckets.alias("y"), ["band", "key"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    sb = sig.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    verified = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return verified
+
+
+def simhash(
+    tok: Column, bits: int = 60, hash_fn: Callable[[Column], Column] = h60
+) -> Column:
+    """SimHash over a token array: bit j is 1 when the sum over tokens of
+    ±1 (sign of token-hash bit j) is >= 0. Returned as a positive bigint.
+
+    Pure expression tree (``bits`` aggregate folds over the hashed token
+    array) — heavy to compile but fully codegen'd and oracle-replicable.
+    """
+    hashed = F.transform(tok, hash_fn)
+    acc = F.lit(0).cast("bigint")
+    for j in range(bits):
+        vote = F.aggregate(
+            hashed,
+            F.lit(0).cast("bigint"),
+            lambda h_acc, h, j=j: h_acc
+            + F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        acc = acc + F.when(vote >= 0, F.lit(1 << j).cast("bigint")).otherwise(F.lit(0))
+    return acc
+
+
+def simhash_table(df: DataFrame, text_col: str, id_col: str, bits: int = 60) -> DataFrame:
+    return df.select(F.col(id_col), simhash(tokens(F.col(text_col)), bits).alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame, text_col: str, id_col: str, bits: int = 60, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, with a banded prefilter.
+
+    Split the fingerprint into (max_hamming + 1) bands; by pigeonhole, any
+    pair within the distance budget agrees exactly on >= 1 band → equi-join
+    per band, then exact popcount verification. Same plan scales to 100 TB
+    (shuffle on band value, no cross join).
+    """
+    nbands = max_hamming + 1
+    width = bits // nbands
+    sh = simhash_table(df, text_col, id_col, bits).persist()
+    bands = []
+    for i in range(nbands):
+        band_val = F.shiftright(F.col("simhash"), i * width).bitwiseAND(
+            F.lit((1 << width) - 1)
+        )
+        bands.append(F.struct(F.lit(i).alias("band"), band_val.alias("val")))
+    exploded = sh.select(
+        F.col(id_col).alias("id"), F.col("simhash"), F.explode(F.array(*bands)).alias("bk")
+    ).select("id", "simhash", F.col("bk.band").alias("band"), F.col("bk.val").alias("val"))
+    cand = (
+        exploded.alias("x")
+        .join(exploded.alias("y"), ["band", "val"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("x.simhash").alias("sh_a"),
+            F.col("y.id").alias("id_b"),
+            F.col("y.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.withColumn("hamming", ham).filter(F.col("hamming") <= max_hamming).select(
+        "id_a", "id_b", "hamming"
+    )

@@ -1,0 +1,146 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, same API:
+
+- cosine_topk:      exact brute-force top-k — the correctness baseline.
+                    Plan: broadcast the (small) query side, crossJoin-free
+                    equi-free join, per-query top-k via window. At scale
+                    the query side is the broadcastable one by contract.
+- lsh_ann_topk:     random-hyperplane LSH (sign sketch) bucketing; only
+                    pairs sharing a bucket are scored. Approximate,
+                    recall tunable via (n_planes, n_tables). The 100 TB
+                    path: shuffle on bucket key only, never all-pairs.
+
+Hyperplanes are generated from the deterministic h60 digest of
+(table, plane, dim) so results are reproducible without any RNG state.
+A pandas_udf/BLAS batch scorer is a possible future fast path; the
+expression form keeps everything inside codegen and is plenty at
+64-dim.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from batch_process_dpla_index_spark.functions.vectors import cosine, dot
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Output: (query_id, neighbor_id, score, rank). Self-matches excluded.
+    The query side is broadcast; the corpus streams through one stage of
+    codegen'd vector math, then a per-query top-k window (shuffle on
+    query_id — bounded by |queries| × |corpus| rows pre-filtered to k
+    via AQE + the rank filter).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("score", cosine(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("score", 6).alias("score"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def _hyperplane(table: int, plane: int, dim: int):
+    """Deterministic pseudo-random unit-free hyperplane: component d is
+    h60('t|p|d') scaled to [-1, 1). Stable across engines and sessions."""
+    from batch_process_dpla_index_spark.functions.text import h60
+
+    comps = []
+    for d in range(dim):
+        seed = F.lit(f"hp:{table}:{plane}:{d}")
+        comps.append((h60(seed) % 2_000_003).cast("double") / 1_000_001.5 - 1.0)
+    return F.array(*comps)
+
+
+def lsh_buckets(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_planes: int = 8,
+    n_tables: int = 4,
+) -> DataFrame:
+    """(id, table, bucket) sign-sketch buckets: bucket bit j = sign(v·p_j)."""
+    out_rows = []
+    for t in range(n_tables):
+        bucket = F.lit(0).cast("bigint")
+        for j in range(n_planes):
+            proj = dot(F.col(vec_col), _hyperplane(t, j, dim))
+            bucket = bucket + F.when(proj >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        out_rows.append(F.struct(F.lit(t).alias("table"), bucket.alias("bucket")))
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.explode(F.array(*out_rows)).alias("tb"),
+    ).select("id", "vec", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 5,
+    n_planes: int = 8,
+    n_tables: int = 4,
+) -> DataFrame:
+    """Approximate all-pairs top-k: score only bucket-sharing candidates.
+
+    Output: (query_id, neighbor_id, score, rank) — a subset of the exact
+    result with tunable recall. Shuffles on (table, bucket) then on
+    query_id for the top-k window; never materializes all pairs.
+    """
+    b = lsh_buckets(corpus, id_col, vec_col, dim, n_planes, n_tables)
+    cand = (
+        b.alias("x")
+        .join(b.alias("y"), ["table", "bucket"])
+        .filter(F.col("x.id") != F.col("y.id"))
+        .select(
+            F.col("x.id").alias("query_id"),
+            F.col("x.vec").alias("q_vec"),
+            F.col("y.id").alias("neighbor_id"),
+            F.col("y.vec").alias("c_vec"),
+        )
+        .distinct()
+    )
+    scored = cand.withColumn("score", cosine(F.col("q_vec"), F.col("c_vec")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("score", 6).alias("score"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -1,0 +1,92 @@
+"""SparkSession construction with scale-oriented defaults.
+
+The reference delegates all resource policy to EMR's
+``maximizeResourceAllocation`` (reference: cluster-config.json:2-6);
+we instead declare engine-level SQL confs that hold from local[32]
+up to a 1000-executor cluster: AQE (runtime re-plan, skew-join
+splitting, partition coalescing), nested-schema pruning for the deeply
+nested DPLA model, and Arrow for any pandas-UDF exchange.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Confs applied at session build time. Keys that are runtime-settable are
+#: also re-asserted by :func:`tune` so the engine behaves identically on a
+#: session it did not create (e.g. the verification driver's).
+ENGINE_CONFS: dict[str, str] = {
+    # Adaptive execution: runtime shuffle-partition coalescing, skew-join
+    # splitting, and plan re-optimization — essential at 100 TB where static
+    # partition counts are always wrong for somebody.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Deterministic timestamp semantics across engines (oracle parity).
+    "spark.sql.session.timeZone": "UTC",
+    # The events fixture stores TIMESTAMP(NANOS) parquet which Spark's reader
+    # rejects; read as long and convert (sources/tables.py).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Arrow for pandas_udf / toPandas boundaries.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Nested-schema pruning so the DPLA MAP model (structs of arrays of
+    # structs) only reads touched leaves (SURVEY.md §4).
+    "spark.sql.optimizer.nestedSchemaPruning.enabled": "true",
+    "spark.sql.parquet.filterPushdown": "true",
+}
+
+
+def default_parallelism() -> int:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if cpus:
+        return max(1, int(cpus))
+    return os.cpu_count() or 8
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Assert runtime-settable engine confs on an existing session.
+
+    Called by the table loaders so correctness-critical confs (timezone,
+    nanos handling) hold even when the caller owns the SparkSession.
+    """
+    for key in (
+        "spark.sql.session.timeZone",
+        "spark.sql.legacy.parquet.nanosAsLong",
+        "spark.sql.adaptive.enabled",
+        "spark.sql.optimizer.nestedSchemaPruning.enabled",
+    ):
+        try:
+            spark.conf.set(key, ENGINE_CONFS[key])
+        except Exception:
+            # Non-runtime-settable on this build — session default stands.
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "batch_process_dpla_index_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_confs: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (or all cores) for
+    the test/bench environment; on a real cluster pass ``None`` with a
+    pre-set master, or a ``yarn``/``k8s`` master explicitly.
+    """
+    par = default_parallelism()
+    builder = SparkSession.builder.appName(app_name)
+    builder = builder.master(master or f"local[{par}]")
+    confs = dict(ENGINE_CONFS)
+    confs["spark.sql.shuffle.partitions"] = str(shuffle_partitions or par)
+    confs.setdefault("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    confs["spark.ui.enabled"] = "false"
+    confs["spark.ui.showConsoleProgress"] = "false"
+    if extra_confs:
+        confs.update(extra_confs)
+    for k, v in confs.items():
+        builder = builder.config(k, v)
+    return tune(builder.getOrCreate())

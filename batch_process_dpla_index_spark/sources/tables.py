@@ -1,0 +1,46 @@
+"""Fixture-table loaders (TESTDATA.md tables).
+
+Mirrors the reference's scan surface (SURVEY.md §2.1 S1-S3) for the
+driver-generated star schema. The only non-trivial piece: ``events.ts``
+is stored as parquet TIMESTAMP(NANOS), which Spark's vectorized reader
+rejects outright; with ``spark.sql.legacy.parquet.nanosAsLong=true`` it
+arrives as a nanosecond long which we truncate to microseconds —
+bit-identical to how DuckDB (and Arrow-µs consumers) read the same file.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from batch_process_dpla_index_spark.session import tune
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Small dimension tables — always broadcast-join these against fact tables.
+BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # nanos-as-long → µs truncation (integer div: the values ~1.7e18 do
+        # not survive a double round-trip).
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
