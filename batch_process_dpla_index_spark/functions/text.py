@@ -51,15 +51,22 @@ def token_count(col: Column) -> Column:
 def word_shingles(tok: Column, n: int) -> Column:
     """n-gram word shingles over a token array.
 
-    Texts shorter than ``n`` tokens yield a single shingle of the whole
-    text (standard MinHash convention so short docs still have a set).
+    Non-empty texts shorter than ``n`` tokens yield a single shingle of
+    the whole text (standard MinHash convention so short docs still have
+    a set). Empty/whitespace-only texts yield the EMPTY set — otherwise
+    every blank doc would share the ``[""]`` singleton and Jaccard-match
+    every other blank doc at 1.0 (round-1 defect).
     """
     joined = F.concat_ws(" ", tok)
     gen = F.transform(
         F.sequence(F.lit(0), F.size(tok) - n),
         lambda i: F.concat_ws(" ", F.slice(tok, i + 1, n)),
     )
-    return F.when(F.size(tok) <= n, F.array(joined)).otherwise(gen)
+    return (
+        F.when(F.size(tok) == 0, F.array().cast("array<string>"))
+        .when(F.size(tok) <= n, F.array(joined))
+        .otherwise(gen)
+    )
 
 
 def stopword_hits(tok: Column, lang: str) -> Column:

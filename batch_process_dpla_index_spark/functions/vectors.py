@@ -35,4 +35,9 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """Cosine similarity; NULL when either vector has zero norm.
+
+    ``try_divide`` (not ``/``) so a single zero/empty embedding yields
+    NULL instead of aborting the job under Spark's default ANSI mode.
+    """
+    return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))

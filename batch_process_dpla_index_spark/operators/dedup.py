@@ -38,6 +38,28 @@ from batch_process_dpla_index_spark.functions.text import h60, tokens, word_shin
 _MERSENNE = 2_147_483_647
 
 
+def _with_cached_deps(result: DataFrame, deps: list[DataFrame]) -> DataFrame:
+    """Attach persisted intermediates to the returned plan.
+
+    The pair operators persist a shared intermediate (shingle sets /
+    signatures) that the returned lazy plan reads twice. The cache cannot
+    be dropped before the caller materializes the result, so the handles
+    ride along as ``result._cached_deps``; call :func:`unpersist_deps`
+    after the action (tests and products do) to release executor storage
+    in long-lived sessions.
+    """
+    result._cached_deps = deps  # type: ignore[attr-defined]
+    return result
+
+
+def unpersist_deps(df: DataFrame) -> DataFrame:
+    """Release caches attached by the pair operators (idempotent)."""
+    for dep in getattr(df, "_cached_deps", []):
+        dep.unpersist()
+    df._cached_deps = []  # type: ignore[attr-defined]
+    return df
+
+
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Keep the min-id row per exact content digest. Returns survivors' ids.
 
@@ -105,11 +127,12 @@ def jaccard_pairs(
     jac = F.col("n_common").cast("double") / (
         F.col("size_a") + F.col("size_b") - F.col("n_common")
     ).cast("double")
-    return (
+    out = (
         inter.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
+    return _with_cached_deps(out, [sets])
 
 
 def _perm_params(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
@@ -186,7 +209,7 @@ def minhash_lsh_pairs(
     # Defuse pathological buckets before the self-join.
     sizes = buckets.groupBy("band", "key").agg(F.count("*").alias("sz"))
     buckets = buckets.join(
-        F.broadcast(sizes.filter(F.col("sz") > max_bucket).select("band", "key").withColumn("__skip", F.lit(1))),
+        F.broadcast(sizes.filter(F.col("sz") > max_bucket).select("band", "key")),
         ["band", "key"],
         "left_anti",
     )
@@ -210,7 +233,7 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
-    return verified
+    return _with_cached_deps(verified, [sig])
 
 
 def simhash(
@@ -219,20 +242,39 @@ def simhash(
     """SimHash over a token array: bit j is 1 when the sum over tokens of
     ±1 (sign of token-hash bit j) is >= 0. Returned as a positive bigint.
 
-    Pure expression tree (``bits`` aggregate folds over the hashed token
-    array) — heavy to compile but fully codegen'd and oracle-replicable.
+    Single array-valued fold: the accumulator is the per-bit vote vector
+    (array<bigint> of length ``bits``), updated with ``zip_with`` against
+    each token hash's bit decomposition — one pass over the tokens, one
+    compact expression tree, fully codegen'd and oracle-replicable.
+    (A per-bit loop of ``F.aggregate`` calls would both blow up the plan
+    and hit PySpark's lambda-argument binding — lambdas passed to
+    higher-order functions must take exactly the declared parameters, so
+    bit indexes are introduced via ``F.sequence``, never default args.)
     """
     hashed = F.transform(tok, hash_fn)
-    acc = F.lit(0).cast("bigint")
-    for j in range(bits):
-        vote = F.aggregate(
-            hashed,
-            F.lit(0).cast("bigint"),
-            lambda h_acc, h, j=j: h_acc
-            + F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
-        acc = acc + F.when(vote >= 0, F.lit(1 << j).cast("bigint")).otherwise(F.lit(0))
-    return acc
+    # Literal per-bit masks: bitwiseAND takes Column operands, unlike
+    # shiftright/shiftleft whose numBits must be a Python int (the round-1
+    # crash: a lambda-bound bit index arrives as a Column).
+    masks = F.array(*[F.lit(1 << j).cast("bigint") for j in range(bits)])
+    zero_votes = F.array(*[F.lit(0).cast("bigint") for _ in range(bits)])
+    votes = F.aggregate(
+        hashed,
+        zero_votes,
+        lambda acc, h: F.zip_with(
+            acc,
+            masks,
+            lambda v, m: v + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1),
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            votes,
+            masks,
+            lambda v, m: F.when(v >= 0, m).otherwise(F.lit(0).cast("bigint")),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
 
 
 def simhash_table(df: DataFrame, text_col: str, id_col: str, bits: int = 60) -> DataFrame:
@@ -274,6 +316,7 @@ def simhash_pairs(
         .distinct()
     )
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return cand.withColumn("hamming", ham).filter(F.col("hamming") <= max_hamming).select(
+    out = cand.withColumn("hamming", ham).filter(F.col("hamming") <= max_hamming).select(
         "id_a", "id_b", "hamming"
     )
+    return _with_cached_deps(out, [sh])

@@ -67,15 +67,23 @@ def cosine_topk(
     )
 
 
+def _h60_py(s: str) -> int:
+    """Driver-side twin of functions.text.h60 (first 15 md5 hex chars)."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
 def _hyperplane(table: int, plane: int, dim: int):
     """Deterministic pseudo-random unit-free hyperplane: component d is
-    h60('t|p|d') scaled to [-1, 1). Stable across engines and sessions."""
-    from batch_process_dpla_index_spark.functions.text import h60
-
+    h60('t|p|d') scaled to [-1, 1). Computed driver-side with hashlib
+    (identical value to the in-plan h60) and embedded as plain float
+    literals — ``dim × planes × tables`` md5 *expression nodes* in every
+    plan was a round-1 compile hazard; literals are free."""
     comps = []
     for d in range(dim):
-        seed = F.lit(f"hp:{table}:{plane}:{d}")
-        comps.append((h60(seed) % 2_000_003).cast("double") / 1_000_001.5 - 1.0)
+        h = _h60_py(f"hp:{table}:{plane}:{d}")
+        comps.append(F.lit((h % 2_000_003) / 1_000_001.5 - 1.0))
     return F.array(*comps)
 
 

@@ -82,7 +82,13 @@ def get_spark(
     builder = builder.master(master or f"local[{par}]")
     confs = dict(ENGINE_CONFS)
     confs["spark.sql.shuffle.partitions"] = str(shuffle_partitions or par)
-    confs.setdefault("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    # JVM-startup-only conf: meaningful only when this call actually
+    # creates the session — on an existing JVM it would be silently
+    # ignored, so don't pretend to set it.
+    if SparkSession.getActiveSession() is None:
+        confs.setdefault(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+        )
     confs["spark.ui.enabled"] = "false"
     confs["spark.ui.showConsoleProgress"] = "false"
     if extra_confs:
