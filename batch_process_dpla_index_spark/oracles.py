@@ -1,0 +1,580 @@
+"""DuckDB oracle SQL — one ANSI-SQL equivalent per entry in queries.py.
+
+The driver runs each Spark query AND its oracle on the same parquet
+tables (pre-registered DuckDB views: region nation customer supplier
+part orders lineitem events documents embeddings) and compares
+row-count + schema + order-insensitive value hash. Column names and
+types are aligned 1:1 with the Spark results.
+
+The probabilistic-looking operators (MinHash-LSH, SimHash, hyperplane
+LSH) are in fact fully deterministic — their hash seeds derive from
+md5 via the engine-portable ``h60`` digest — so their oracles are
+*generated* here from the same Python constants the Spark operators
+use (permutation params, stopword lists, hyperplane components),
+giving exact value-level verification of the whole pipeline, not just
+row counts.
+
+Float policy: every aggregate is rounded in BOTH engines (sums to 2
+decimals, means/scores to 6); per-row float math (cosine, ratios) is
+expressed as an identical strict left-to-right double fold in both
+engines, so values are bit-identical before rounding.
+"""
+
+from __future__ import annotations
+
+from batch_process_dpla_index_spark.functions.text import LANG_ORDER, STOPWORDS
+from batch_process_dpla_index_spark.operators.dedup import _MERSENNE, _perm_params
+from batch_process_dpla_index_spark.operators.similarity import _h60_py
+
+# --- shared SQL fragments --------------------------------------------------
+
+#: normalized text: lowercase, trim, collapse whitespace (functions.text.normalize)
+def _nrm(col: str) -> str:
+    return f"regexp_replace(lower(trim({col})), '\\s+', ' ', 'g')"
+
+
+#: whitespace tokens with the empty-string guard (functions.text.tokens)
+def _tok(nrm: str) -> str:
+    return f"CASE WHEN {nrm} = '' THEN []::VARCHAR[] ELSE string_split({nrm}, ' ') END"
+
+
+#: the engine-portable 60-bit digest (functions.text.h60)
+def _h60(col: str) -> str:
+    return f"CAST(concat('0x', substring(md5({col}), 1, 15)) AS BIGINT)"
+
+
+#: word n-gram shingles incl. short-doc and empty-doc conventions
+def _shingles(tok: str, n: int) -> str:
+    return f"""CASE
+        WHEN len({tok}) = 0 THEN []::VARCHAR[]
+        WHEN len({tok}) <= {n} THEN [array_to_string({tok}, ' ')]
+        ELSE list_transform(range(0, len({tok}) - {n} + 1),
+                            i -> array_to_string(({tok})[i+1:i+{n}], ' '))
+    END"""
+
+
+#: strict left-fold double dot product (functions.vectors.dot)
+def _dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(list_zip({a}, {b}), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+def _stop_hits(tok: str, lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"len(list_filter({tok}, t -> list_contains([{words}], t)))"
+
+
+_DOC_TOK_CTE = f"""doc_tok AS (
+    SELECT doc_id, lang, source, n_chars, text, {_tok("nrm")} AS tok
+    FROM (SELECT *, {_nrm("text")} AS nrm FROM documents)
+)"""
+
+
+# --- relational core -------------------------------------------------------
+
+ORACLE_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+ORACLE_TOP_ORDERS = """
+SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+FROM orders
+ORDER BY round(o_totalprice, 2) DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+ORACLE_REGION_REVENUE = """
+SELECT r_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(DISTINCT o_orderkey) AS n_orders
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+ORACLE_SEGMENT_WITH_F_ORDERS = """
+SELECT c_mktsegment, count(*) AS n_customers
+FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+GROUP BY c_mktsegment
+"""
+
+ORACLE_CUSTOMERS_WITHOUT_ORDERS = """
+SELECT c_nationkey, count(*) AS n_customers
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_nationkey
+"""
+
+ORACLE_BRAND_REVENUE = """
+SELECT p_brand,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+ORACLE_PRIORITY_BY_MONTH = """
+SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+       o_orderpriority,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS sum_price
+FROM orders
+GROUP BY order_month, o_orderpriority
+"""
+
+ORACLE_SCALAR_SUITE = """
+SELECT c_custkey,
+       split_part(c_name, '#', -1) AS cust_num,
+       CAST(length(c_name) AS BIGINT) AS name_len,
+       substring(c_name, 1, 8) AS abbrev,
+       concat_ws('|', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS seg_tag,
+       CASE WHEN c_acctbal < 0 THEN 'neg'
+            WHEN c_acctbal < 5000 THEN 'mid'
+            ELSE 'high' END AS bal_bucket,
+       round(sqrt(abs(c_acctbal)), 6) AS bal_mag
+FROM customer
+"""
+
+ORACLE_UNION_ENTITIES = """
+SELECT kind, count(*) AS n_rows, min(entity_key) AS min_key, max(entity_key) AS max_key
+FROM (
+    SELECT c_custkey AS entity_key, 'customer' AS kind FROM customer
+    UNION ALL
+    SELECT s_suppkey AS entity_key, 'supplier' AS kind FROM supplier
+    UNION ALL
+    SELECT p_partkey AS entity_key, 'part' AS kind FROM part
+)
+GROUP BY kind
+"""
+
+ORACLE_DISTINCT_PARTS_PER_FLAG = """
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_suppkey) AS n_supps,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+ORACLE_ROLLUP_FLAGS = """
+SELECT l_returnflag, l_linestatus, count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+# --- windows over events ---------------------------------------------------
+
+ORACLE_LATEST_EVENTS_PER_USER = """
+SELECT user_id, event_id, rn
+FROM (
+    SELECT user_id, event_id,
+           CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS INTEGER) AS rn
+    FROM events
+)
+WHERE rn <= 3
+"""
+
+ORACLE_ROLLING_USER_VALUE = """
+SELECT event_id, user_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS rolling_value,
+       round(value - lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), 6) AS delta_prev
+FROM events
+"""
+
+ORACLE_HOURLY_EVENT_COUNTS = """
+SELECT epoch_us(date_trunc('hour', ts)) AS win_start,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM events
+GROUP BY win_start, event_type
+"""
+
+ORACLE_SLIDING_EVENT_COUNTS = """
+SELECT epoch_us(ws) AS win_start, count(*) AS n_events
+FROM (
+    SELECT unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR, date_trunc('hour', ts)]) AS ws
+    FROM events
+)
+GROUP BY ws
+"""
+
+# Session semantics: an event joins the previous session iff it is
+# STRICTLY closer than the gap (Spark's session end bound is exclusive);
+# session_end = last event + gap.
+ORACLE_USER_SESSIONS = """
+WITH ordered AS (
+    SELECT user_id, ts, value,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+    FROM events
+), marked AS (
+    SELECT *, CASE WHEN prev_ts IS NULL OR ts - prev_ts >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new
+    FROM ordered
+), grouped AS (
+    SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS grp
+    FROM marked
+)
+SELECT user_id,
+       epoch_us(min(ts)) AS session_start,
+       epoch_us(max(ts) + INTERVAL 30 MINUTE) AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM grouped
+GROUP BY user_id, grp
+"""
+
+ORACLE_PROPS_BY_TYPE = """
+SELECT event_type,
+       count(k) AS n_with_k,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       round(avg(k), 6) AS avg_k
+FROM (SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events)
+GROUP BY event_type
+"""
+
+# --- dedup / text ----------------------------------------------------------
+
+ORACLE_EXACT_DEDUP = """
+SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+"""
+
+ORACLE_KEEP_FIRST = """
+SELECT doc_id, source, lang, n_chars
+FROM (
+    SELECT doc_id, source, lang, n_chars,
+           row_number() OVER (PARTITION BY source, lang ORDER BY n_chars, doc_id) AS rn
+    FROM documents
+)
+WHERE rn = 1
+"""
+
+ORACLE_FINGERPRINT_CLUSTERS = f"""
+WITH {_DOC_TOK_CTE}
+SELECT md5(array_to_string(list_sort(list_distinct(tok)), ' ')) AS fp,
+       count(*) AS n_docs,
+       min(doc_id) AS first_doc
+FROM doc_tok
+GROUP BY fp
+"""
+
+ORACLE_TEXT_STATS = f"""
+WITH {_DOC_TOK_CTE}, m AS (
+    SELECT doc_id,
+           CAST(len(tok) AS BIGINT) AS n_tokens,
+           CASE WHEN len(tok) = 0 THEN 0.0
+                ELSE CAST(list_sum(list_transform(tok, t -> length(t))) AS DOUBLE) / CAST(len(tok) AS DOUBLE)
+           END AS mtl,
+           CASE WHEN length({_nrm("text")}) = 0 THEN 0.0
+                ELSE CAST(length(regexp_replace({_nrm("text")}, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+                     / CAST(length({_nrm("text")}) AS DOUBLE)
+           END AS pr,
+           CASE WHEN len(tok) = 0 THEN 0.0
+                ELSE CAST({_stop_hits("tok", "en")} AS DOUBLE) / CAST(len(tok) AS DOUBLE)
+           END AS swr
+    FROM doc_tok
+)
+SELECT doc_id,
+       n_tokens,
+       round(mtl, 6) AS mean_tok_len,
+       round(pr, 6) AS punct_ratio,
+       round(swr, 6) AS stopword_ratio,
+       round(((CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 1.0 ELSE 0.0 END)
+            + (CASE WHEN mtl >= 2.0 AND mtl <= 12.0 THEN 1.0 ELSE 0.0 END)
+            + (CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.0 END)
+            + (CASE WHEN swr > 0.0 THEN 1.0 ELSE 0.0 END)) / 4.0, 6) AS quality
+FROM m
+"""
+
+
+def _language_id_oracle() -> str:
+    votes = ",\n           ".join(
+        f"{_stop_hits('tok', lang)} AS v_{lang}" for lang in LANG_ORDER
+    )
+    best = "greatest(" + ", ".join(f"v_{lang}" for lang in LANG_ORDER) + ")"
+    cases = "\n            ".join(
+        f"WHEN best > 0 AND v_{lang} = best THEN '{lang}'" for lang in LANG_ORDER
+    )
+    return f"""
+WITH {_DOC_TOK_CTE}, votes AS (
+    SELECT lang,
+           {votes}
+    FROM doc_tok
+), scored AS (
+    SELECT lang, {best} AS best, * FROM votes
+)
+SELECT lang,
+       CASE {cases}
+            ELSE 'und' END AS lang_guess,
+       count(*) AS n_docs
+FROM scored
+GROUP BY lang, lang_guess
+"""
+
+
+ORACLE_LANGUAGE_ID = _language_id_oracle()
+
+ORACLE_ROLLING_HASH = f"""
+WITH {_DOC_TOK_CTE}
+SELECT doc_id,
+       list_reduce(
+           list_prepend(CAST(0 AS BIGINT), list_transform(tok, t -> {_h60("t")} % 1000000007)),
+           (acc, x) -> (acc * 31 + x) % 1000000007) AS rhash
+FROM doc_tok
+"""
+
+ORACLE_DOC_PRESENCE_SCORES = f"""
+WITH {_DOC_TOK_CTE}, flagged AS (
+    SELECT source,
+           CASE WHEN text IS NULL OR trim(text) = '' THEN 0 ELSE 1 END AS has_text,
+           CASE WHEN len(tok) >= 50 THEN 1 ELSE 0 END AS is_long,
+           CASE WHEN text IS NOT NULL AND (text LIKE '%spark%' OR text LIKE '%query%' OR text LIKE '%data%')
+                THEN 1 ELSE 0 END AS mentions_engine,
+           CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_english,
+           1 AS cnt
+    FROM doc_tok
+)
+SELECT source,
+       round(avg(has_text), 6) AS has_text_score,
+       round(avg(is_long), 6) AS is_long_score,
+       round(avg(mentions_engine), 6) AS mentions_engine_score,
+       round(avg(is_english), 6) AS is_english_score,
+       CAST(sum(cnt) AS BIGINT) AS n_docs
+FROM flagged
+GROUP BY source
+"""
+
+
+def _jaccard_oracle(n: int = 3, threshold: float = 0.4) -> str:
+    return f"""
+WITH {_DOC_TOK_CTE}, sets AS (
+    SELECT doc_id, list_distinct({_shingles("tok", n)}) AS sh
+    FROM doc_tok
+), posts AS (
+    SELECT doc_id AS id, len(sh) AS sz, unnest(sh) AS shingle FROM sets
+), inter AS (
+    SELECT a.id AS id_a, b.id AS id_b, a.sz AS sz_a, b.sz AS sz_b, count(*) AS n_common
+    FROM posts a JOIN posts b USING (shingle)
+    WHERE a.id < b.id
+    GROUP BY a.id, b.id, a.sz, b.sz
+)
+SELECT id_a, id_b,
+       round(CAST(n_common AS DOUBLE) / CAST(sz_a + sz_b - n_common AS DOUBLE), 6) AS jaccard
+FROM inter
+WHERE CAST(n_common AS DOUBLE) / CAST(sz_a + sz_b - n_common AS DOUBLE) >= {threshold}
+"""
+
+
+ORACLE_JACCARD_PAIRS = _jaccard_oracle(3, 0.4)
+
+
+def _minhash_oracle(
+    n: int = 3,
+    threshold: float = 0.5,
+    num_perm: int = 64,
+    bands: int = 16,
+    max_bucket: int = 1000,
+) -> str:
+    rows = num_perm // bands
+    perms = _perm_params(num_perm)
+    sig_terms = ", ".join(
+        f"list_min(list_transform(base, h -> ({a} * h + {b}) % {_MERSENNE}))"
+        for a, b in perms
+    )
+    band_rows = ",\n        ".join(
+        f"({i}, md5(array_to_string(sig[{i * rows + 1}:{i * rows + rows}], ',')))"
+        for i in range(bands)
+    )
+    return f"""
+WITH {_DOC_TOK_CTE}, sets AS (
+    SELECT doc_id AS id, list_distinct({_shingles("tok", n)}) AS sh
+    FROM doc_tok
+), sigs AS (
+    SELECT id, sh, [{sig_terms}] AS sig
+    FROM (SELECT id, sh, list_transform(sh, s -> {_h60("s")} % {_MERSENNE}) AS base FROM sets)
+), buckets AS (
+    SELECT id, band, key
+    FROM sigs, LATERAL (VALUES
+        {band_rows}
+    ) AS b(band, key)
+), ok_buckets AS (
+    SELECT band, key FROM buckets GROUP BY band, key HAVING count(*) <= {max_bucket}
+), pruned AS (
+    SELECT b.* FROM buckets b JOIN ok_buckets USING (band, key)
+), cand AS (
+    SELECT DISTINCT x.id AS id_a, y.id AS id_b
+    FROM pruned x JOIN pruned y USING (band, key)
+    WHERE x.id < y.id
+)
+SELECT id_a, id_b,
+       round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE), 6) AS jaccard
+FROM cand
+JOIN sets sa ON sa.id = id_a
+JOIN sets sb ON sb.id = id_b
+WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+      / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) >= {threshold}
+"""
+
+
+ORACLE_MINHASH_LSH_PAIRS = _minhash_oracle()
+
+
+def _simhash_oracle(bits: int = 60, max_hamming: int = 3) -> str:
+    nbands = max_hamming + 1
+    width = bits // nbands
+    bit_terms = "\n         + ".join(
+        f"(CASE WHEN 2 * len(list_filter(hashed, h -> (h >> {j}) & 1 = 1)) >= len(hashed) "
+        f"THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(bits)
+    )
+    band_rows = ",\n        ".join(
+        f"({i}, (sh >> {i * width}) & {(1 << width) - 1})" for i in range(nbands)
+    )
+    return f"""
+WITH {_DOC_TOK_CTE}, hashed AS (
+    SELECT doc_id AS id, list_transform(tok, t -> {_h60("t")}) AS hashed
+    FROM doc_tok
+), sims AS (
+    SELECT id, {bit_terms} AS sh
+    FROM hashed
+), exploded AS (
+    SELECT id, sh, band, val
+    FROM sims, LATERAL (VALUES
+        {band_rows}
+    ) AS b(band, val)
+), cand AS (
+    SELECT DISTINCT x.id AS id_a, x.sh AS sh_a, y.id AS id_b, y.sh AS sh_b
+    FROM exploded x JOIN exploded y USING (band, val)
+    WHERE x.id < y.id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+FROM cand
+WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}
+"""
+
+
+ORACLE_SIMHASH_PAIRS = _simhash_oracle()
+
+# --- similarity ------------------------------------------------------------
+
+ORACLE_COSINE_TOPK = f"""
+WITH e AS (
+    SELECT vec_id, embedding, sqrt({_dot("embedding", "embedding")}) AS nrm
+    FROM embeddings
+), scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           CASE WHEN q.nrm * c.nrm = 0 THEN NULL
+                ELSE {_dot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) END AS score
+    FROM e q JOIN e c ON q.vec_id < 25 AND q.vec_id <> c.vec_id
+), ranked AS (
+    SELECT query_id, neighbor_id, score,
+           row_number() OVER (PARTITION BY query_id ORDER BY score DESC NULLS LAST, neighbor_id) AS rnk
+    FROM scored
+)
+SELECT query_id, neighbor_id, round(score, 6) AS score, CAST(rnk AS INTEGER) AS rank
+FROM ranked
+WHERE rnk <= 5
+"""
+
+
+def _lsh_ann_oracle(
+    dim: int = 64, k: int = 5, n_planes: int = 8, n_tables: int = 4
+) -> str:
+    def plane_sql(t: int, j: int) -> str:
+        comps = ", ".join(
+            repr((_h60_py(f"hp:{t}:{j}:{d}") % 2_000_003) / 1_000_001.5 - 1.0)
+            for d in range(dim)
+        )
+        return f"[{comps}]"
+
+    bucket_selects = []
+    for t in range(n_tables):
+        terms = " + ".join(
+            f"(CASE WHEN {_dot('embedding', plane_sql(t, j))} >= 0 "
+            f"THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+            for j in range(n_planes)
+        )
+        bucket_selects.append(
+            f"SELECT vec_id AS id, {t} AS tbl, {terms} AS bucket FROM embeddings"
+        )
+    buckets = "\n    UNION ALL\n    ".join(bucket_selects)
+    return f"""
+WITH buckets AS (
+    {buckets}
+), cand AS (
+    SELECT DISTINCT x.id AS query_id, y.id AS neighbor_id
+    FROM buckets x JOIN buckets y ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.id <> y.id
+), e AS (
+    SELECT vec_id, embedding, sqrt({_dot("embedding", "embedding")}) AS nrm
+    FROM embeddings
+), scored AS (
+    SELECT cand.query_id, cand.neighbor_id,
+           CASE WHEN q.nrm * c.nrm = 0 THEN NULL
+                ELSE {_dot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) END AS score
+    FROM cand
+    JOIN e q ON q.vec_id = cand.query_id
+    JOIN e c ON c.vec_id = cand.neighbor_id
+), ranked AS (
+    SELECT query_id, neighbor_id, score,
+           row_number() OVER (PARTITION BY query_id ORDER BY score DESC NULLS LAST, neighbor_id) AS rnk
+    FROM scored
+)
+SELECT query_id, neighbor_id, round(score, 6) AS score, CAST(rnk AS INTEGER) AS rank
+FROM ranked
+WHERE rnk <= {k}
+"""
+
+
+ORACLE_LSH_ANN_TOPK = _lsh_ann_oracle()
+
+
+ORACLES: dict[str, str] = {
+    "pricing_summary": ORACLE_PRICING_SUMMARY,
+    "top_orders": ORACLE_TOP_ORDERS,
+    "region_revenue": ORACLE_REGION_REVENUE,
+    "segment_with_f_orders": ORACLE_SEGMENT_WITH_F_ORDERS,
+    "customers_without_orders": ORACLE_CUSTOMERS_WITHOUT_ORDERS,
+    "brand_revenue": ORACLE_BRAND_REVENUE,
+    "priority_by_month": ORACLE_PRIORITY_BY_MONTH,
+    "scalar_suite": ORACLE_SCALAR_SUITE,
+    "union_entities": ORACLE_UNION_ENTITIES,
+    "distinct_parts_per_flag": ORACLE_DISTINCT_PARTS_PER_FLAG,
+    "rollup_flags": ORACLE_ROLLUP_FLAGS,
+    "latest_events_per_user": ORACLE_LATEST_EVENTS_PER_USER,
+    "rolling_user_value": ORACLE_ROLLING_USER_VALUE,
+    "hourly_event_counts": ORACLE_HOURLY_EVENT_COUNTS,
+    "sliding_event_counts": ORACLE_SLIDING_EVENT_COUNTS,
+    "user_sessions": ORACLE_USER_SESSIONS,
+    "props_by_type": ORACLE_PROPS_BY_TYPE,
+    "exact_dedup": ORACLE_EXACT_DEDUP,
+    "keep_first": ORACLE_KEEP_FIRST,
+    "fingerprint_clusters": ORACLE_FINGERPRINT_CLUSTERS,
+    "text_stats": ORACLE_TEXT_STATS,
+    "language_id": ORACLE_LANGUAGE_ID,
+    "rolling_hash": ORACLE_ROLLING_HASH,
+    "doc_presence_scores": ORACLE_DOC_PRESENCE_SCORES,
+    "jaccard_pairs": ORACLE_JACCARD_PAIRS,
+    "minhash_lsh_pairs": ORACLE_MINHASH_LSH_PAIRS,
+    "simhash_pairs": ORACLE_SIMHASH_PAIRS,
+    "cosine_topk": ORACLE_COSINE_TOPK,
+    "lsh_ann_topk": ORACLE_LSH_ANN_TOPK,
+}

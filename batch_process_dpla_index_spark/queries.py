@@ -1,0 +1,496 @@
+"""Named query registry — the engine's public query surface.
+
+Each entry is ``(spark, sf_dir) -> DataFrame`` over the driver fixture
+tables (TESTDATA.md). Together they cover SURVEY.md §2's operator
+inventory: scans, projections/filters/CASE presence flags (P1-P8),
+joins incl. broadcast/semi/anti (§2.4 extension), aggregations (A1-A4),
+windows/top-k (§2.6), set ops (U1), scalar functions (F1-F14),
+tumbling/sliding/session time windows (§2.11 extension), and the
+LLM-data-pipeline operators (dedup, similarity, text analysis).
+
+Every computed column is aliased; ``oracles.py`` carries the matching
+DuckDB SQL with identical column names (the driver's correctness gate
+hashes values under sorted column names).
+
+Scale notes are per-query docstrings: each declares its shuffle
+structure and why the plan survives a 100 TB input.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from batch_process_dpla_index_spark.functions.presence import (
+    like_any,
+    present_string,
+)
+from batch_process_dpla_index_spark.functions.text import (
+    fingerprint,
+    language_id,
+    mean_token_len,
+    punct_ratio,
+    quality_score,
+    rolling_hash,
+    stopword_ratio,
+    token_count,
+    tokens,
+)
+from batch_process_dpla_index_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    keep_first,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+from batch_process_dpla_index_spark.operators.relational import (
+    anti_join,
+    join_dim,
+    semi_join,
+    top_k,
+)
+from batch_process_dpla_index_spark.operators.similarity import (
+    cosine_topk,
+    lsh_ann_topk,
+)
+from batch_process_dpla_index_spark.sources.tables import load_table
+from batch_process_dpla_index_spark.streaming.windows import (
+    session_agg,
+    sliding_agg,
+    tumbling_agg,
+)
+
+# ---------------------------------------------------------------------------
+# Relational core (reference A1/A2 aggregation shape + extension joins)
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped scan→filter→hash-agg (reference A1 shape,
+    MqReports.scala:94-111 analog). One shuffle (partial+final agg);
+    filter and the 6-column projection push into the parquet scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k (W1): orderBy+limit → TakeOrderedAndProject (local
+    top-k per partition, single-reduce merge — no full sort at scale)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return top_k(
+        orders.select(
+            "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice")
+        ),
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        10,
+    )
+
+
+def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: fact lineitem ⋈ orders (shuffle) then broadcast dims
+    customer/nation/region — at 100 TB only the fact-fact join shuffles;
+    every dim ships to executors (J1)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .transform(lambda d: join_dim(d, customer, F.col("o_custkey") == F.col("c_custkey")))
+        .transform(lambda d: join_dim(d, nation, F.col("c_nationkey") == F.col("n_nationkey")))
+        .transform(lambda d: join_dim(d, region, F.col("n_regionkey") == F.col("r_regionkey")))
+    )
+    return joined.groupBy("r_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.countDistinct("o_orderkey").alias("n_orders"),
+    )
+
+
+def q_segment_with_f_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (J1): customers having ≥1 'F' order, counted per
+    market segment. Semi avoids materializing the match multiplicity."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    f_orders = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return (
+        semi_join(customer, f_orders, "c_custkey")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (J1): customers with zero orders, per nation."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        anti_join(customer, orders.select(F.col("o_custkey").alias("c_custkey")), "c_custkey")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+def q_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ broadcast part dim → per-brand rollup of qty/revenue."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        join_dim(li, part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q_priority_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date bucketing (F11) + two-key agg (A2)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("order_month", F.date_format("o_orderdate", "yyyy-MM"))
+        .groupBy("order_month", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+def q_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function sweep over customer (F1 substring_index, F3
+    substring, F4 concat_ws, F12 CASE boolean algebra, F14 math).
+    Pure narrow projection — no shuffle at any scale."""
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.select(
+        "c_custkey",
+        F.substring_index("c_name", "#", -1).alias("cust_num"),
+        F.length("c_name").cast("bigint").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("abbrev"),
+        F.concat_ws("|", F.col("c_mktsegment"), F.col("c_nationkey").cast("string")).alias("seg_tag"),
+        F.when(F.col("c_acctbal") < 0, "neg")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high")
+        .alias("bal_bucket"),
+        F.round(F.sqrt(F.abs(F.col("c_acctbal"))), 6).alias("bal_mag"),
+    )
+
+
+def q_union_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-ary union-all (U1, JsonlDump.scala:51 shape) + per-kind agg."""
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part")
+    from functools import reduce
+
+    parts = [
+        customer.select(F.col("c_custkey").alias("entity_key"), F.lit("customer").alias("kind")),
+        supplier.select(F.col("s_suppkey").alias("entity_key"), F.lit("supplier").alias("kind")),
+        part.select(F.col("p_partkey").alias("entity_key"), F.lit("part").alias("kind")),
+    ]
+    return (
+        reduce(DataFrame.unionByName, parts)
+        .groupBy("kind")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("entity_key").alias("min_key"),
+            F.max("entity_key").alias("max_key"),
+        )
+    )
+
+
+def q_distinct_parts_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count_distinct per group (extension of A-block)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+def q_rollup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (extension of §2.5 — absent in the
+    reference, stock GroupedData API here)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions & time windows over events (§2.6 / §2.11 extension)
+# ---------------------------------------------------------------------------
+
+
+def q_latest_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window (W1): latest 3 events per user. One shuffle on
+    user_id; AQE splits skewed users."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "event_id", "rn")
+    )
+
+
+def q_rolling_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic frames (W1 rowsBetween) + lag: per-user rolling sum over
+    the trailing 3 events and delta vs the previous event."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    frame = w.rowsBetween(-2, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(frame), 6).alias("rolling_value"),
+        F.round(F.col("value") - F.lag("value", 1).over(w), 6).alias("delta_prev"),
+    )
+
+
+def q_hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling window (ST1): 1-hour buckets × event_type."""
+    ev = load_table(spark, sf_dir, "events")
+    out = tumbling_agg(
+        ev,
+        "ts",
+        "1 hour",
+        ["event_type"],
+        [F.count("*").alias("n_events"), F.round(F.sum("value"), 6).alias("sum_value")],
+    )
+    return out.select(
+        F.unix_micros(F.col("win.start")).alias("win_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+def q_sliding_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (ST1): 2-hour windows sliding hourly — each event
+    lands in exactly 2 windows."""
+    ev = load_table(spark, sf_dir, "events")
+    out = sliding_agg(ev, "ts", "2 hours", "1 hour", [], [F.count("*").alias("n_events")])
+    return out.select(F.unix_micros(F.col("win.start")).alias("win_start"), "n_events")
+
+
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (ST1): 30-minute-gap sessions per user. The
+    session merge runs inside Spark's session-window aggregation (one
+    shuffle on user_id); the oracle replicates it as gaps-and-islands."""
+    ev = load_table(spark, sf_dir, "events")
+    out = session_agg(
+        ev,
+        "ts",
+        "30 minutes",
+        ["user_id"],
+        [F.count("*").alias("n_events"), F.round(F.sum("value"), 6).alias("sum_value")],
+    )
+    return out.select(
+        "user_id",
+        F.unix_micros(F.col("win.start")).alias("session_start"),
+        F.unix_micros(F.col("win.end")).alias("session_end"),
+        "n_events",
+        "sum_value",
+    )
+
+
+def q_props_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction (F13, the `events.props` surface): parse the
+    props object per event and aggregate the extracted field."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup / text analysis over documents (LLM-pipeline extension)
+# ---------------------------------------------------------------------------
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup survivors (min doc_id per content digest)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs, "text", "doc_id")
+
+
+def q_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first window dedup: shortest doc per (source, lang)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return keep_first(docs, ["source", "lang"], "n_chars", "doc_id").select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+
+
+def q_fingerprint_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-set fingerprint clustering (document fingerprinting)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(fingerprint(F.col("text")).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("first_doc"))
+    )
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text metrics: token count, mean token length,
+    punctuation ratio, stopword ratio, composite quality score."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        token_count(t).alias("n_tokens"),
+        F.round(mean_token_len(t), 6).alias("mean_tok_len"),
+        F.round(punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(stopword_ratio(t), 6).alias("stopword_ratio"),
+        F.round(quality_score(t), 6).alias("quality"),
+    )
+
+
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID vs the labeled lang column, aggregated into
+    a (lang, guess) confusion table."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", language_id(F.col("text")).alias("lang_guess"))
+        .groupBy("lang", "lang_guess")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def q_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive polynomial fingerprint per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", rolling_hash(tokens(F.col("text"))).alias("rhash"))
+
+
+def q_doc_presence_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship: MQ-reports-shaped presence scoring (P5-P8 + A1,
+    MqReports.scala:22-134 analog on the documents corpus): CASE-WHEN
+    flags per doc, then per-source mean completeness + count. Scan →
+    narrow flags → one partial+final hash agg; at 100 TB this is one
+    shuffle of |sources| × flags tiny rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    flagged = docs.select(
+        "source",
+        present_string(t).alias("has_text"),
+        F.when(token_count(t) >= 50, 1).otherwise(0).alias("is_long"),
+        like_any(t, ["%spark%", "%query%", "%data%"]).alias("mentions_engine"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("is_english"),
+        F.lit(1).alias("count"),
+    )
+    return flagged.groupBy("source").agg(
+        F.round(F.avg("has_text"), 6).alias("has_text_score"),
+        F.round(F.avg("is_long"), 6).alias("is_long_score"),
+        F.round(F.avg("mentions_engine"), 6).alias("mentions_engine_score"),
+        F.round(F.avg("is_english"), 6).alias("is_english_score"),
+        F.sum("count").alias("n_docs"),
+    )
+
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs at J ≥ 0.4 (inverted-index
+    join — quadratic only within a shingle's posting list)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.4)
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate generation + exact-Jaccard verification at
+    J ≥ 0.5 (the 100 TB dedup path: bands×docs shuffle, capped buckets,
+    zero false positives)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.5, num_perm=64, bands=16
+    )
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs within Hamming ≤ 3 via pigeonhole band
+    join (no cross join at any scale)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(docs, "text", "doc_id", bits=60, max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for the first 25 vectors (brute-force
+    baseline tier; the LSH variant is the scale path)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 25)
+    return cosine_topk(emb, queries, "vec_id", "embedding", k=5)
+
+
+def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate all-pairs top-5 (shuffle on bucket keys
+    only — never all pairs)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_ann_topk(emb, "vec_id", "embedding", dim=64, k=5, n_planes=8, n_tables=4)
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "pricing_summary": q_pricing_summary,
+    "top_orders": q_top_orders,
+    "region_revenue": q_region_revenue,
+    "segment_with_f_orders": q_segment_with_f_orders,
+    "customers_without_orders": q_customers_without_orders,
+    "brand_revenue": q_brand_revenue,
+    "priority_by_month": q_priority_by_month,
+    "scalar_suite": q_scalar_suite,
+    "union_entities": q_union_entities,
+    "distinct_parts_per_flag": q_distinct_parts_per_flag,
+    "rollup_flags": q_rollup_flags,
+    "latest_events_per_user": q_latest_events_per_user,
+    "rolling_user_value": q_rolling_user_value,
+    "hourly_event_counts": q_hourly_event_counts,
+    "sliding_event_counts": q_sliding_event_counts,
+    "user_sessions": q_user_sessions,
+    "props_by_type": q_props_by_type,
+    "exact_dedup": q_exact_dedup,
+    "keep_first": q_keep_first,
+    "fingerprint_clusters": q_fingerprint_clusters,
+    "text_stats": q_text_stats,
+    "language_id": q_language_id,
+    "rolling_hash": q_rolling_hash,
+    "doc_presence_scores": q_doc_presence_scores,
+    "jaccard_pairs": q_jaccard_pairs,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "simhash_pairs": q_simhash_pairs,
+    "cosine_topk": q_cosine_topk,
+    "lsh_ann_topk": q_lsh_ann_topk,
+}
