@@ -1,0 +1,150 @@
+"""Sinks (SURVEY.md §2.2 K1-K9), local-filesystem carrier.
+
+Everything the reference writes — parquet, avro, single-file header
+CSV, gzipped text, raw puts, idempotent overwrite, batched purge — as
+committer-safe DataFrame writers where possible. The reference's
+executor-side raw S3 puts (K6) are replaced by the committer path;
+only the sitemap product keeps a per-partition write (see
+products/sitemap.py) because its unit of output is one XML document
+per partition.
+
+Avro is format-gated: the spark-avro datasource jar is not bundled
+with this pyspark build, so `write_avro`/`read_avro` probe once and
+raise a clear error if absent (SchemaRepair.scala:31-33 parity is
+structural, exercised via parquet in tests).
+"""
+
+from __future__ import annotations
+
+import glob
+import gzip
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+_AVRO_OK: bool | None = None
+
+
+def avro_available(spark: SparkSession) -> bool:
+    global _AVRO_OK
+    if _AVRO_OK is None:
+        try:
+            # The real registration check: Catalyst's own provider lookup
+            # (class presence alone is not enough — sql/core ships some
+            # avro classes without registering the datasource).
+            spark._jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
+                "avro", spark._jsparkSession.sessionState().conf()
+            )
+            _AVRO_OK = True
+        except Exception:
+            _AVRO_OK = False
+    return _AVRO_OK
+
+
+def write_parquet(df: DataFrame, path: str, overwrite: bool = True) -> None:
+    """K1 (ParquetDump.scala:118); idempotent via overwrite mode (K8)."""
+    df.write.mode("overwrite" if overwrite else "error").parquet(path)
+
+
+def write_avro(df: DataFrame, path: str, overwrite: bool = True) -> None:
+    """K2 (SchemaRepair.scala:33) — gated on the avro datasource."""
+    if not avro_available(df.sparkSession):
+        raise NotImplementedError(
+            "spark-avro datasource not on the classpath; add the "
+            "org.apache.spark:spark-avro jar to enable K2/S1"
+        )
+    df.write.mode("overwrite" if overwrite else "error").format("avro").save(path)
+
+
+def read_avro(spark: SparkSession, *paths: str) -> DataFrame:
+    """S1 (ParquetDump.scala:116) — gated like write_avro."""
+    if not avro_available(spark):
+        raise NotImplementedError(
+            "spark-avro datasource not on the classpath; add the "
+            "org.apache.spark:spark-avro jar to enable K2/S1"
+        )
+    return spark.read.format("avro").load(list(paths))
+
+
+def write_csv_single(df: DataFrame, path: str, overwrite: bool = True) -> None:
+    """K3: coalesce(1) single-file CSV with header
+    (MqReports.scala:136-148). coalesce — not repartition — so the
+    final agg output funnels through one task without an extra
+    shuffle; only ever used on small aggregated results."""
+    (
+        df.coalesce(1)
+        .write.mode("overwrite" if overwrite else "error")
+        .option("header", "true")
+        .format("csv")
+        .save(path)
+    )
+
+
+def write_text_gzip(df: DataFrame, path: str, overwrite: bool = True) -> None:
+    """K4: gzip-compressed text (JsonlDump.scala:76-77), DataFrame-native
+    (no RDD saveAsTextFile detour — same product, committer-safe)."""
+    (
+        df.write.mode("overwrite" if overwrite else "error")
+        .option("compression", "gzip")
+        .text(path)
+    )
+
+
+def write_local(out_dir: str, filename: str, text: str) -> str:
+    """K5/K7: raw put of a small driver-side artifact
+    (LocalFileWriter.scala:9-14 / S3FileHelper.scala:63-74)."""
+    os.makedirs(out_dir, exist_ok=True)
+    full = os.path.join(out_dir, filename)
+    os.makedirs(os.path.dirname(full), exist_ok=True)
+    with open(full, "w", encoding="utf-8") as f:
+        f.write(text)
+    return full
+
+
+def write_local_gzip(out_dir: str, filename: str, text: str) -> str:
+    """K6: gzip put (S3FileHelper.scala:76-98), local carrier."""
+    os.makedirs(out_dir, exist_ok=True)
+    full = os.path.join(out_dir, filename)
+    os.makedirs(os.path.dirname(full), exist_ok=True)
+    with gzip.open(full, "wt", encoding="utf-8") as f:
+        f.write(text)
+    return full
+
+
+def delete_existing(path: str) -> bool:
+    """K8: idempotent-overwrite prefix delete (JsonlDump.scala:72-74).
+    Returns True when something was removed."""
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+        return True
+    if os.path.exists(path):
+        os.remove(path)
+        return True
+    return False
+
+
+def purge_keys(keys: list[str], batch: int = 1000) -> int:
+    """K9: batched object purge (S3FileHelper.scala:46-55 semantics —
+    1000-key delete batches; locally the batch is a unit of progress
+    accounting, the API contract callers depend on). Returns the number
+    of objects actually removed."""
+    removed = 0
+    for i in range(0, len(keys), batch):
+        for key in keys[i : i + batch]:
+            if os.path.exists(key):
+                os.remove(key)
+                removed += 1
+    return removed
+
+
+def read_csv_single(path: str) -> list[dict[str, str]]:
+    """Read back a K3 product (tests + downstream consumers)."""
+    import csv
+
+    parts = sorted(glob.glob(os.path.join(path, "part-*.csv")))
+    rows: list[dict[str, str]] = []
+    for p in parts:
+        with open(p, newline="", encoding="utf-8") as f:
+            rows.extend(csv.DictReader(f))
+    return rows

@@ -152,3 +152,84 @@ def lsh_ann_topk(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def cosine_topk_pandas(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine — the Arrow/BLAS fast path for the brute tier.
+
+    Same contract and results as :func:`cosine_topk`, different physical
+    plan: the (small, broadcastable-by-contract) query side is collected
+    to a dense float64 matrix and shipped in the UDF closure; the corpus
+    streams through ``mapInPandas`` where each Arrow batch is scored
+    against ALL queries with one BLAS matmul and immediately reduced to
+    a per-batch top-k per query. Only ``batches × |Q| × k`` candidate
+    rows reach the final window — never the |Q|×|C| materialization the
+    expression form pays (the round-1 scale hazard). No shuffle until
+    the tiny candidate set.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype="int64")
+    q_mat = np.array([r[1] for r in q_rows], dtype="float64")
+    q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
+    id_name, vec_name = id_col, vec_col
+
+    def _score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            c_ids = pdf[id_name].to_numpy(dtype="int64")
+            c_mat = np.array(list(pdf[vec_name]), dtype="float64")
+            if c_mat.size == 0:
+                continue
+            c_norm = np.sqrt((c_mat * c_mat).sum(axis=1))
+            denom = np.outer(c_norm, q_norm)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                scores = np.where(denom == 0, np.nan, (c_mat @ q_mat.T) / denom)
+            out_q, out_n, out_s = [], [], []
+            for j, qid in enumerate(q_ids):
+                col = scores[:, j].copy()
+                mask = c_ids != qid  # exclude self-matches
+                ids_j, col = c_ids[mask], col[mask]
+                if ids_j.size == 0:
+                    continue
+                order = np.lexsort((ids_j, -col))[:k]  # NaN sorts last
+                out_q.extend([qid] * len(order))
+                out_n.extend(ids_j[order])
+                out_s.extend(col[order])
+            yield pd.DataFrame(
+                {
+                    "query_id": pd.Series(out_q, dtype="int64"),
+                    "neighbor_id": pd.Series(out_n, dtype="int64"),
+                    "raw_score": pd.Series(out_s, dtype="float64"),
+                }
+            )
+
+    cand = corpus.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        _score, "query_id bigint, neighbor_id bigint, raw_score double"
+    )
+    # NaN marks zero-norm pairs; surface them as NULL (try_divide parity).
+    scored = cand.withColumn(
+        "score", F.when(F.isnan("raw_score"), F.lit(None)).otherwise(F.col("raw_score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc_nulls_last(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("score", 6).alias("score"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -547,6 +547,190 @@ WHERE rnk <= {k}
 ORACLE_LSH_ANN_TOPK = _lsh_ann_oracle()
 
 
+# --- DPLA nested-pipeline parity (closed-form from model/fixtures.py) ------
+
+#: rights URI by doc_id % 7 (fixtures.rights_uri)
+_RIGHTS_CASE = """CASE doc_id % 7
+    WHEN 1 THEN 'http://rightsstatements.org/vocab/NoC-US/1.0/'
+    WHEN 2 THEN 'http://creativecommons.org/publicdomain/zero/1.0/'
+    WHEN 3 THEN 'http://creativecommons.org/licenses/by/4.0/'
+    WHEN 4 THEN 'http://creativecommons.org/licenses/by-sa/4.0/'
+    WHEN 5 THEN 'http://rightsstatements.org/vocab/InC/1.0/'
+    WHEN 6 THEN 'http://rightsstatements.org/vocab/InC/1.0/'
+    ELSE NULL END"""
+
+#: the 16 MQ flags, in closed form from the fixture modulo rules
+_MQ_FLAGS = f"""
+    CASE WHEN doc_id % 5 = 0 THEN 0 ELSE 1 END AS title,
+    CASE WHEN doc_id % 4 = 0 THEN 0 ELSE 1 END AS description,
+    CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 1 END AS creator,
+    CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END AS "type",
+    CASE WHEN doc_id % 7 = 0 THEN 0 ELSE 1 END AS "language",
+    CASE WHEN doc_id % 6 = 0 THEN 0 ELSE 1 END AS spatial,
+    CASE WHEN doc_id % 8 = 0 THEN 0 ELSE 1 END AS subject,
+    CASE WHEN doc_id % 9 = 0 THEN 0 ELSE 1 END AS collection,
+    CASE WHEN doc_id % 10 = 0 THEN 0 ELSE 1 END AS "date",
+    CASE WHEN doc_id % 7 = 0 THEN 0 ELSE 1 END AS standardizedRights,
+    CASE WHEN doc_id % 7 IN (1, 2, 3, 4) THEN 1 ELSE 0 END AS openRights,
+    -- preview: the flatten reshape rebuilds `object` as struct(...) over a
+    -- possibly-NULL input, and Spark's struct of null fields is NON-null
+    -- (the reference's Scala edmWebResource at ParquetDump.scala:106-113
+    -- behaves identically), so MQ's "object is null" never fires
+    -- post-flatten. Faithful parity: flag is constant 1.
+    1 AS preview,
+    CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 1 END AS iiifManifest,
+    CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS mediaMaster,
+    CASE WHEN doc_id % 3 = 0 AND doc_id % 4 <> 0 THEN 0 ELSE 1 END AS mediaAccess
+"""
+
+_MQ_SCORE_SELECT = """
+       round(avg(title), 6) AS title,
+       round(avg(description), 6) AS description,
+       round(avg(creator), 6) AS creator,
+       round(avg("type"), 6) AS "type",
+       round(avg("language"), 6) AS "language",
+       round(avg(spatial), 6) AS spatial,
+       round(avg(subject), 6) AS subject,
+       round(avg(collection), 6) AS collection,
+       round(avg("date"), 6) AS "date",
+       round(avg(standardizedRights), 6) AS standardizedRights,
+       round(avg(preview), 6) AS preview,
+       round(avg(iiifManifest), 6) AS iiifManifest,
+       round(avg(mediaMaster), 6) AS mediaMaster,
+       round(avg(mediaAccess), 6) AS mediaAccess,
+       round(avg(openRights), 6) AS openRights,
+       round(avg(wikimediaReady), 6) AS wikimediaReady,
+       CAST(count(*) AS BIGINT) AS count
+"""
+
+_MQ_FLAGGED_CTE = f"""flagged AS (
+    SELECT source AS provider,
+           source || '-dp' || CAST(doc_id % 3 AS VARCHAR) AS dataProvider,
+           {_MQ_FLAGS}
+    FROM documents
+), ready AS (
+    SELECT *, CASE WHEN mediaAccess = 1 AND openRights = 1 THEN 1 ELSE 0 END AS wikimediaReady
+    FROM flagged
+)"""
+
+ORACLE_MQ_PROVIDER_SCORES = f"""
+WITH {_MQ_FLAGGED_CTE}
+SELECT provider, {_MQ_SCORE_SELECT}
+FROM ready GROUP BY provider
+"""
+
+ORACLE_MQ_CONTRIBUTOR_SCORES = f"""
+WITH {_MQ_FLAGGED_CTE}
+SELECT dataProvider, provider, {_MQ_SCORE_SELECT}
+FROM ready GROUP BY dataProvider, provider
+"""
+
+
+def _flat_leaves_oracle(repaired: bool) -> str:
+    """Expected flat leaves. repaired=True models the typed nulls the
+    SchemaRepair path injects (isReferencedBy, collection.isShownAt,
+    place.exactMatch)."""
+    place0 = (
+        "NULL" if repaired
+        else "CASE WHEN doc_id % 6 = 0 THEN NULL ELSE 'city' || CAST(doc_id % 10 AS VARCHAR) END"
+    )
+    coll0 = (
+        "NULL" if repaired
+        else "CASE WHEN doc_id % 9 = 0 THEN NULL ELSE 'http://coll/coll' || CAST(doc_id % 4 AS VARCHAR) END"
+    )
+    hasview0 = (
+        "NULL" if repaired
+        else ("CASE WHEN doc_id % 2 = 0 THEN NULL "
+              "ELSE 'http://example.org/item/' || CAST(doc_id AS VARCHAR) || '#ref' END")
+    )
+    return f"""
+SELECT CAST(doc_id AS VARCHAR) AS id,
+       'http://dp.la/api/items/' || CAST(doc_id AS VARCHAR) AS uri,
+       {_RIGHTS_CASE} AS rights,
+       source AS provider_name,
+       'http://dp.la/agent/' || source AS provider_uri,
+       source || '-dp' || CAST(doc_id % 3 AS VARCHAR) AS dataprovider_name,
+       CASE WHEN doc_id % 3 = 0 THEN NULL
+            ELSE 'http://iiif.io/m/' || CAST(doc_id AS VARCHAR) END AS iiif,
+       CAST(CASE WHEN doc_id % 5 = 0 THEN 0 ELSE 1 END AS INTEGER) AS n_title,
+       CASE WHEN doc_id % 5 = 0 THEN NULL ELSE substring(text, 1, 20) END AS title0,
+       CASE WHEN doc_id % 3 = 0 THEN NULL
+            ELSE 'http://dp.la/agent/creator' || CAST(doc_id % 7 AS VARCHAR) END AS creator0_uri,
+       CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang0,
+       {place0} AS place0_exact,
+       {coll0} AS coll0_shownat,
+       'rel-' || CAST(doc_id % 6 AS VARCHAR) AS rel0,
+       CASE WHEN doc_id % 4 = 0 THEN 'text/html' ELSE NULL END AS media0_format,
+       {hasview0} AS hasview0_ref,
+       -- struct() over a NULL input yields a non-null all-null-fields
+       -- struct in Spark (see the preview-flag note above): never missing.
+       0 AS object_missing
+FROM documents
+"""
+
+
+ORACLE_FLATTEN_ITEMS = _flat_leaves_oracle(repaired=False)
+ORACLE_REPAIR_FLATTEN = _flat_leaves_oracle(repaired=True)
+
+ORACLE_SCHEMA_ALIGN = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(0 AS BIGINT) AS n_lang,
+       CAST(0 AS BIGINT) AS n_source,
+       CAST(0 AS BIGINT) AS n_quality,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+"""
+
+ORACLE_SITEMAP_URLS = f"""
+WITH n AS (SELECT CAST(ceil(count(*) / 100.0) AS BIGINT) AS n FROM documents)
+SELECT CAST(doc_id AS VARCHAR) AS id,
+       'https://dp.la/item/' || CAST(doc_id AS VARCHAR) AS url,
+       CAST({_h60("CAST(doc_id AS VARCHAR)")} % n.n AS INTEGER) AS part
+FROM documents, n
+"""
+
+# --- multimodal binary columns ---------------------------------------------
+
+_BLOB_CTE = r"""b AS (
+    SELECT doc_id,
+           CASE doc_id % 4
+               WHEN 0 THEN '\x89PNG'::BLOB
+               WHEN 1 THEN '\xFF\xD8\xFF\xE0'::BLOB
+               WHEN 2 THEN 'GIF8'::BLOB
+               ELSE ''::BLOB
+           END || encode(text) AS blob
+    FROM documents
+)"""
+
+ORACLE_MULTIMODAL_META = f"""
+WITH {_BLOB_CTE}
+SELECT doc_id,
+       CAST(octet_length(blob) AS BIGINT) AS byte_len,
+       upper(substring(hex(blob), 1, 8)) AS magic,
+       CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+            WHEN 2 THEN 'gif' ELSE 'unknown' END AS kind
+FROM b
+"""
+
+ORACLE_MULTIMODAL_DECODE = f"""
+WITH {_BLOB_CTE}
+SELECT doc_id,
+       CAST(64 + octet_length(blob) % 512 AS INTEGER) AS width,
+       CAST(64 + (7 * octet_length(blob)) % 512 AS INTEGER) AS height,
+       CAST((64 + octet_length(blob) % 512)
+            * (64 + (7 * octet_length(blob)) % 512) AS BIGINT) AS n_pixels
+FROM b
+"""
+
+ORACLE_MULTIMODAL_FRAMES = f"""
+WITH {_BLOB_CTE}
+SELECT doc_id,
+       CAST(frame_no AS INTEGER) AS frame_no,
+       CAST(frame_no * 256 AS BIGINT) AS "offset"
+FROM (SELECT doc_id, unnest(range(0, octet_length(blob) // 256, 4)) AS frame_no FROM b)
+"""
+
+
 ORACLES: dict[str, str] = {
     "pricing_summary": ORACLE_PRICING_SUMMARY,
     "top_orders": ORACLE_TOP_ORDERS,
@@ -577,4 +761,14 @@ ORACLES: dict[str, str] = {
     "simhash_pairs": ORACLE_SIMHASH_PAIRS,
     "cosine_topk": ORACLE_COSINE_TOPK,
     "lsh_ann_topk": ORACLE_LSH_ANN_TOPK,
+    "cosine_topk_pandas": ORACLE_COSINE_TOPK,
+    "mq_provider_scores": ORACLE_MQ_PROVIDER_SCORES,
+    "mq_contributor_scores": ORACLE_MQ_CONTRIBUTOR_SCORES,
+    "flatten_items": ORACLE_FLATTEN_ITEMS,
+    "repair_flatten": ORACLE_REPAIR_FLATTEN,
+    "schema_align": ORACLE_SCHEMA_ALIGN,
+    "sitemap_urls": ORACLE_SITEMAP_URLS,
+    "multimodal_meta": ORACLE_MULTIMODAL_META,
+    "multimodal_decode": ORACLE_MULTIMODAL_DECODE,
+    "multimodal_frames": ORACLE_MULTIMODAL_FRAMES,
 }

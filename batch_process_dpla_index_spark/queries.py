@@ -54,6 +54,7 @@ from batch_process_dpla_index_spark.operators.relational import (
 )
 from batch_process_dpla_index_spark.operators.similarity import (
     cosine_topk,
+    cosine_topk_pandas,
     lsh_ann_topk,
 )
 from batch_process_dpla_index_spark.sources.tables import load_table
@@ -463,6 +464,206 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann_topk(emb, "vec_id", "embedding", dim=64, k=5, n_planes=8, n_tables=4)
 
 
+# ---------------------------------------------------------------------------
+# DPLA reference parity: nested model → flatten → MQ reports
+# (items synthesized deterministically from documents; the DuckDB oracle
+# recomputes the expected flat outputs in closed form — see model/fixtures.py)
+# ---------------------------------------------------------------------------
+
+
+def _flat_leaves(flat: DataFrame) -> DataFrame:
+    """Leaf projection used by the flatten/repair parity queries —
+    every D2 macro contributes at least one leaf."""
+    sr = "sourceResource"
+    return flat.select(
+        "id",
+        "uri",
+        "rights",
+        F.col("provider.name").alias("provider_name"),
+        F.col("provider.uri").alias("provider_uri"),
+        F.col("dataProvider.name").alias("dataprovider_name"),
+        F.col("iiifManifest").alias("iiif"),
+        F.size(f"{sr}.title").alias("n_title"),
+        F.get(f"{sr}.title", 0).alias("title0"),
+        F.get(f"{sr}.creator", 0).getField("uri").alias("creator0_uri"),
+        F.get(f"{sr}.language", 0).getField("providedLabel").alias("lang0"),
+        F.get(F.get(f"{sr}.place", 0).getField("exactMatch"), 0).alias("place0_exact"),
+        F.get(f"{sr}.collection", 0).getField("isShownAt").getField("uri").alias("coll0_shownat"),
+        F.get(f"{sr}.relation", 0).alias("rel0"),
+        F.get(F.get("mediaMaster", 0).getField("format"), 0).alias("media0_format"),
+        F.get("hasView", 0).getField("isReferencedBy").alias("hasview0_ref"),
+        F.when(F.col("object").isNull(), 1).otherwise(0).alias("object_missing"),
+    )
+
+
+def _mq_rounded(scores: DataFrame, keys: list[str]) -> DataFrame:
+    from batch_process_dpla_index_spark.quality.mq import SCORE_COLS
+
+    return scores.select(
+        *keys,
+        *[F.round(c, 6).alias(c) for c in SCORE_COLS],
+        F.col("count"),
+    )
+
+
+def q_mq_provider_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full reference pipeline: synthesize enriched items → ParquetDump
+    flatten (D2 macros) → 16-flag itemdata SQL → per-provider mean
+    scores (MqReports.scala:22-111). One narrow reshape + one hash-agg
+    shuffle of |providers| rows at any scale."""
+    from batch_process_dpla_index_spark.model.fixtures import synthesize_enriched
+    from batch_process_dpla_index_spark.model.flatten import modify_columns
+    from batch_process_dpla_index_spark.quality.mq import item_data, provider_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    flat = modify_columns(synthesize_enriched(docs))
+    return _mq_rounded(
+        provider_scores(item_data(spark, flat, view="items_mqp")), ["provider"]
+    )
+
+
+def q_mq_contributor_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-key MQ scores keyed (dataProvider, provider)
+    (MqReports.scala:113-134)."""
+    from batch_process_dpla_index_spark.model.fixtures import synthesize_enriched
+    from batch_process_dpla_index_spark.model.flatten import modify_columns
+    from batch_process_dpla_index_spark.quality.mq import contributor_scores, item_data
+
+    docs = load_table(spark, sf_dir, "documents")
+    flat = modify_columns(synthesize_enriched(docs))
+    return _mq_rounded(
+        contributor_scores(item_data(spark, flat, view="items_mqc")),
+        ["dataProvider", "provider"],
+    )
+
+
+def q_flatten_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ParquetDump reshape parity (ParquetDump.scala:10-52): enriched →
+    flatten → leaf projection through every EDM macro."""
+    from batch_process_dpla_index_spark.model.fixtures import synthesize_enriched
+    from batch_process_dpla_index_spark.model.flatten import modify_columns
+
+    docs = load_table(spark, sf_dir, "documents")
+    return _flat_leaves(modify_columns(synthesize_enriched(docs)))
+
+
+def q_repair_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SchemaRepair → ParquetDump composition (SchemaRepair.scala:88-138
+    then ParquetDump.scala:10-52): raw provider shape → canonical →
+    flat leaves. The repair-injected typed nulls (isReferencedBy,
+    collection.isShownAt, place.exactMatch) surface as NULL leaves."""
+    from batch_process_dpla_index_spark.model.fixtures import synthesize_raw
+    from batch_process_dpla_index_spark.model.flatten import modify_columns
+    from batch_process_dpla_index_spark.model.repair import fix_schema
+
+    docs = load_table(spark, sf_dir, "documents")
+    return _flat_leaves(modify_columns(fix_schema(synthesize_raw(docs))))
+
+
+def q_schema_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """align_to_schema parity (the generalized ESDN fix,
+    SchemaRepair.scala:12-24): a provider frame missing two columns and
+    carrying a drifted int column is reconciled to the canonical
+    schema; nulls/casts verified by aggregate."""
+    from pyspark.sql.types import StructType
+
+    from batch_process_dpla_index_spark.model.schema import align_to_schema
+
+    docs = load_table(spark, sf_dir, "documents")
+    divergent = docs.select(
+        "doc_id", "text", F.col("n_chars").cast("int").alias("n_chars")
+    )
+    target = StructType.fromDDL(
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, "
+        "n_chars BIGINT, quality DOUBLE"
+    )
+    aligned = align_to_schema(divergent, target)
+    return aligned.agg(
+        F.count("*").alias("n_rows"),
+        F.count("lang").alias("n_lang"),
+        F.count("source").alias("n_source"),
+        F.count("quality").alias("n_quality"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+def q_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap assignment parity (Sitemap.scala:24-27 semantics with the
+    portable h60 bucket hash): id → URL + subfile part."""
+    from batch_process_dpla_index_spark.products.sitemap import (
+        ITEM_URL_PREFIX,
+        assign_subfiles,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = docs.select(F.col("doc_id").cast("string").alias("id"))
+    assigned, _n = assign_subfiles(ids, "id", max_rows=100)
+    return assigned.select(
+        "id", F.concat(F.lit(ITEM_URL_PREFIX), F.col("id")).alias("url"), "part"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal binary columns (opaque media + typed metadata)
+# ---------------------------------------------------------------------------
+
+
+def _docs_with_blob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (doc_id, blob): text bytes prefixed with a real
+    container magic chosen by doc_id%4 (png/jpeg/gif/none) so the
+    sniffing path is exercised end-to-end."""
+    docs = load_table(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 4
+    magic = (
+        F.when(m == 0, F.lit(b"\x89PNG"))
+        .when(m == 1, F.lit(bytes.fromhex("FFD8FFE0")))
+        .when(m == 2, F.lit(b"GIF8"))
+        .otherwise(F.lit(b""))
+    )
+    return docs.select(
+        "doc_id", F.concat(magic, F.encode("text", "UTF-8")).alias("blob")
+    )
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary metadata extraction: byte length + magic + container
+    sniff, pure Column expressions (the digest column is exercised in
+    pytest — the oracle engine lacks blob md5)."""
+    from batch_process_dpla_index_spark.operators.multimodal import binary_metadata
+
+    meta = binary_metadata(_docs_with_blob(spark, sf_dir), "blob", "doc_id")
+    return meta.select("doc_id", "byte_len", "magic", "kind")
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas decode plumbing with the deterministic
+    fake decoder (no codec in this environment): closed-form
+    width/height → fully oracle-verifiable."""
+    from batch_process_dpla_index_spark.operators.multimodal import decode_images
+
+    decoded = decode_images(_docs_with_blob(spark, sf_dir), "blob", "doc_id")
+    return decoded.select(
+        F.col("id").alias("doc_id"), "width", "height", "n_pixels"
+    )
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling (1 row → N frame rows inside
+    mapInPandas): every 4th 256-byte window."""
+    from batch_process_dpla_index_spark.operators.multimodal import sample_frames
+
+    frames = sample_frames(_docs_with_blob(spark, sf_dir), "blob", "doc_id")
+    return frames.select(F.col("id").alias("doc_id"), "frame_no", "offset")
+
+
+def q_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow/BLAS exact top-k (same results as cosine_topk, the
+    100 TB-safe physical plan: per-batch matmul + local top-k)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 25)
+    return cosine_topk_pandas(emb, queries, "vec_id", "embedding", k=5)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "top_orders": q_top_orders,
@@ -493,4 +694,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_pairs": q_simhash_pairs,
     "cosine_topk": q_cosine_topk,
     "lsh_ann_topk": q_lsh_ann_topk,
+    "cosine_topk_pandas": q_cosine_topk_pandas,
+    "mq_provider_scores": q_mq_provider_scores,
+    "mq_contributor_scores": q_mq_contributor_scores,
+    "flatten_items": q_flatten_items,
+    "repair_flatten": q_repair_flatten,
+    "schema_align": q_schema_align,
+    "sitemap_urls": q_sitemap_urls,
+    "multimodal_meta": q_multimodal_meta,
+    "multimodal_decode": q_multimodal_decode,
+    "multimodal_frames": q_multimodal_frames,
 }

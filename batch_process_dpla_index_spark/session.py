@@ -45,6 +45,44 @@ def default_parallelism() -> int:
     return os.cpu_count() or 8
 
 
+_PYFILES_SHIPPED: set[int] = set()
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make this package importable on executor Python workers.
+
+    Closures shipped to executors (mapInPandas decoders, foreachPartition
+    writers) reference module globals, which pickle as *imports* on the
+    worker side — and workers do not inherit the driver's ``sys.path``
+    mutations. Zip the package once and ``addPyFile`` it: the standard
+    deployment mechanism on a real cluster, and a no-op cost locally.
+    """
+    key = id(spark.sparkContext)
+    if key in _PYFILES_SHIPPED:
+        return
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(
+        "/tmp", f"batch_process_dpla_index_spark_{os.getpid()}.zip"
+    )
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(root, fn)
+                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                        zf.write(full, rel)
+    try:
+        spark.sparkContext.addPyFile(zip_path)
+    except Exception:
+        # Session type without addPyFile (e.g. Connect) — closures that
+        # reach executors must then be self-contained.
+        pass
+    _PYFILES_SHIPPED.add(key)
+
+
 def tune(spark: SparkSession) -> SparkSession:
     """Assert runtime-settable engine confs on an existing session.
 
@@ -62,6 +100,7 @@ def tune(spark: SparkSession) -> SparkSession:
         except Exception:
             # Non-runtime-settable on this build — session default stands.
             pass
+    ship_package(spark)
     return spark
 
 

@@ -1,0 +1,116 @@
+"""Operator property tests: dedup idempotence, LSH recall bound,
+shingle edge cases, multimodal digests, pandas-vs-expression cosine
+agreement."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from batch_process_dpla_index_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    keep_first,
+    minhash_lsh_pairs,
+    unpersist_deps,
+)
+from batch_process_dpla_index_spark.functions.text import tokens, word_shingles
+from batch_process_dpla_index_spark.operators.multimodal import (
+    binary_metadata,
+    decode_images,
+    sample_frames,
+)
+from batch_process_dpla_index_spark.operators.similarity import (
+    cosine_topk,
+    cosine_topk_pandas,
+)
+from batch_process_dpla_index_spark.sources.tables import load_table
+from tests.conftest import SF_DIR
+
+
+def test_exact_dedup_idempotent(docs):
+    survivors = exact_dedup(docs, "text", "doc_id")
+    survivors_docs = docs.join(survivors, "doc_id", "semi")
+    again = exact_dedup(survivors_docs, "text", "doc_id")
+    assert survivors.count() == again.count()
+    assert survivors.exceptAll(again).count() == 0
+
+
+def test_keep_first_deterministic(docs):
+    a = keep_first(docs, ["source", "lang"], "n_chars", "doc_id")
+    b = keep_first(docs, ["source", "lang"], "n_chars", "doc_id")
+    assert a.exceptAll(b).count() == 0
+    # exactly one survivor per observed key
+    keys = docs.select("source", "lang").distinct().count()
+    assert a.count() == keys
+
+
+def test_word_shingles_empty_doc(spark):
+    """Round-1 advice item: empty/whitespace docs must yield empty
+    shingle sets, not a [''] singleton that makes them all near-dups."""
+    df = spark.createDataFrame(
+        [("", 1), ("   ", 2), ("one two three four", 3)], "text STRING, id INT"
+    )
+    out = df.select(
+        "id", word_shingles(tokens(F.col("text")), 3).alias("sh")
+    ).orderBy("id").collect()
+    assert out[0]["sh"] == [] and out[1]["sh"] == []
+    assert out[2]["sh"] == ["one two three", "two three four"]
+    # and short docs produce the whole-doc singleton shingle
+    short = spark.createDataFrame([("one two", 1)], "text STRING, id INT")
+    row = short.select(word_shingles(tokens(F.col("text")), 3).alias("sh")).collect()[0]
+    assert row["sh"] == ["one two"]
+
+
+def test_lsh_recall_vs_exact(docs):
+    """Banded-LSH candidate recall at J≥0.7 must be ≥0.9 of the exact
+    Jaccard join (64 perms / 16 bands S-curve ≈ .998 at 0.7)."""
+    exact = jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.7)
+    exact_pairs = {(r["id_a"], r["id_b"]) for r in exact.collect()}
+    unpersist_deps(exact)
+    approx = minhash_lsh_pairs(docs, "text", "doc_id", n=3, threshold=0.7)
+    approx_pairs = {(r["id_a"], r["id_b"]) for r in approx.collect()}
+    unpersist_deps(approx)
+    # zero false positives (exact verification step)
+    assert approx_pairs <= exact_pairs
+    if exact_pairs:
+        assert len(approx_pairs) / len(exact_pairs) >= 0.9
+
+
+def test_cosine_pandas_matches_expression(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    a = cosine_topk(emb, q, "vec_id", "embedding", k=3)
+    b = cosine_topk_pandas(emb, q, "vec_id", "embedding", k=3)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_binary_digest_matches_hashlib(spark):
+    df = spark.createDataFrame([(1, b"\x89PNGhello"), (2, b"")], "id BIGINT, blob BINARY")
+    rows = {r["id"]: r for r in binary_metadata(df, "blob", "id").collect()}
+    assert rows[1]["digest"] == hashlib.md5(b"\x89PNGhello").hexdigest()
+    assert rows[1]["kind"] == "png" and rows[1]["byte_len"] == 9
+    assert rows[2]["byte_len"] == 0 and rows[2]["kind"] == "unknown"
+
+
+def test_decode_fake_contract(spark):
+    payload = b"\xff\xd8\xff\xe0" + bytes(range(100))
+    df = spark.createDataFrame([(7, payload)], "id BIGINT, blob BINARY")
+    row = decode_images(df, "blob", "id").collect()[0]
+    n = len(payload)
+    assert row["width"] == 64 + n % 512
+    assert row["height"] == 64 + (7 * n) % 512
+    assert row["n_pixels"] == row["width"] * row["height"]
+    assert abs(row["mean_byte"] - (sum(payload) / n)) < 1e-9
+    assert row["decoder"] == "fake"
+
+
+def test_sample_frames_fanout(spark):
+    data = bytes(range(256)) * 9  # 9 frames → sampled frame_nos 0,4,8
+    df = spark.createDataFrame([(3, data)], "id BIGINT, blob BINARY")
+    rows = sample_frames(df, "blob", "id", frame_size=256, stride=4).orderBy("frame_no").collect()
+    assert [r["frame_no"] for r in rows] == [0, 4, 8]
+    assert rows[1]["offset"] == 4 * 256
+    expected = hashlib.md5(data[0:256]).hexdigest()
+    assert rows[0]["frame_digest"] == expected

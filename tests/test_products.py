@@ -1,0 +1,173 @@
+"""Product invariants: MQ CSVs, JSONL dump, sitemap, parquet dump,
+manifests, catalog discovery — the reference's operational
+correctness contract (SURVEY.md §5 items 3-4)."""
+
+from __future__ import annotations
+
+import glob
+import gzip
+import os
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from batch_process_dpla_index_spark.io.manifest import build_manifest, read_manifest
+from batch_process_dpla_index_spark.io.paths import (
+    date_path,
+    latest_dataset_paths,
+    parquet_path,
+)
+from batch_process_dpla_index_spark.io.sinks import (
+    delete_existing,
+    purge_keys,
+    read_csv_single,
+    write_csv_single,
+    write_local,
+)
+from batch_process_dpla_index_spark.model.fixtures import synthesize_enriched
+from batch_process_dpla_index_spark.model.flatten import modify_columns
+from batch_process_dpla_index_spark.products import jsonl_dump, parquet_dump, sitemap
+from batch_process_dpla_index_spark.quality.mq import write_mq_reports
+
+
+def test_mq_csv_product(spark, docs_small, tmp_path):
+    out = str(tmp_path / "mq")
+    items = modify_columns(synthesize_enriched(docs_small))
+    opts = write_mq_reports(spark, items, out)
+    provider_rows = read_csv_single(f"{out}/provider.csv")
+    contributor_rows = read_csv_single(f"{out}/contributor.csv")
+    assert len(provider_rows) == int(opts["Provider count"]) > 0
+    assert len(contributor_rows) == int(opts["Contributor count"]) > 0
+    # header + score sanity
+    assert {"provider", "title", "wikimediaReady", "count"} <= set(provider_rows[0])
+    assert sum(int(r["count"]) for r in provider_rows) == docs_small.count()
+    # manifest written and parseable
+    man = read_manifest(out)
+    assert man["Provider count"] == opts["Provider count"]
+    # single part file each (coalesce(1))
+    assert len(glob.glob(f"{out}/provider.csv/part-*.csv")) == 1
+
+
+def test_jsonl_dump_invariants(spark, tmp_path):
+    # two fake providers' jsonl inputs
+    in_a, in_b = str(tmp_path / "in/a"), str(tmp_path / "in/b")
+    spark.range(0, 40).select(F.concat(F.lit('{"id":'), "id", F.lit("}")).alias("value")).write.text(in_a)
+    spark.range(100, 125).select(F.concat(F.lit('{"id":'), "id", F.lit("}")).alias("value")).write.text(in_b)
+    out = str(tmp_path / "out")
+    counts = jsonl_dump.execute(spark, {"hubA": in_a, "hubB": in_b}, out)
+    assert counts == {"hubA": 40, "hubB": 25, "__all__": 65}
+    # per-provider + union manifests agree with data
+    man_a = read_manifest(f"{out}/hubA.jsonl")
+    assert man_a["Record count"] == "40"
+    man_all = read_manifest(f"{out}/all.jsonl")
+    assert man_all["Total record count"] == "65"
+    assert man_all["hubB record count"] == "25"
+    # gzip parts decode back to exactly the inputs
+    lines = []
+    for part in glob.glob(f"{out}/all.jsonl/part-*.gz"):
+        with gzip.open(part, "rt") as f:
+            lines.extend(line.strip() for line in f)
+    assert len(lines) == 65
+    assert '{"id":0}' in lines and '{"id":124}' in lines
+    # idempotent overwrite: run again, same result
+    counts2 = jsonl_dump.execute(spark, {"hubA": in_a, "hubB": in_b}, out)
+    assert counts2 == counts
+
+
+@pytest.mark.parametrize("exact", [False, True])
+def test_sitemap_invariants(spark, docs, tmp_path, exact):
+    out = str(tmp_path / f"sitemap_{exact}")
+    ids = docs.select(F.col("doc_id").cast("string").alias("id"))
+    max_rows = 60
+    sitemap.execute(
+        spark, ids, out, "https://cdn.example.org/sitemaps",
+        max_rows=max_rows, exact=exact,
+    )
+    man = read_manifest(out)
+    n_ids = ids.count()
+    assert man["Total URL count"] == str(n_ids)
+    # index lists exactly the subfiles on disk
+    with open(f"{out}/all_item_urls.xml") as f:
+        index = f.read()
+    listed = re.findall(r"<loc>https://cdn\.example\.org/sitemaps/([^<]+)</loc>", index)
+    subfiles = [
+        os.path.relpath(p, out)
+        for p in glob.glob(f"{out}/*/all_item_urls_*.xml")
+    ]
+    assert sorted(listed) == sorted(subfiles) and subfiles
+    # union of subfile ids == input ids; per-file cap in exact mode
+    seen = []
+    for p in glob.glob(f"{out}/*/all_item_urls_*.xml"):
+        with open(p) as f:
+            urls = re.findall(r"<loc>https://dp\.la/item/([^<]+)</loc>", f.read())
+        if exact:
+            assert len(urls) <= max_rows
+        seen.extend(urls)
+    expected = {r["id"] for r in ids.collect()}
+    assert sorted(seen) == sorted(expected)
+
+
+def test_parquet_dump_product(spark, docs_small, tmp_path):
+    # catalog layout: <root>/<hub>/enrichment/<date>/ with two snapshots
+    root = str(tmp_path / "master")
+    half = docs_small.limit(30)
+    for hub, frame in (("hubA", half), ("hubB", docs_small.subtract(half))):
+        stale = f"{root}/{hub}/enrichment/2026-01"
+        fresh = f"{root}/{hub}/enrichment/2026-05"
+        synthesize_enriched(frame.limit(1)).write.parquet(stale)
+        synthesize_enriched(frame).write.parquet(fresh)
+    paths = latest_dataset_paths(root, "enrichment")
+    assert set(paths) == {"hubA", "hubB"}
+    assert all(p.endswith("2026-05") for p in paths.values())
+    out_base = str(tmp_path / "dump")
+    out_path = parquet_dump.execute(spark, root, out_base, fmt="parquet")
+    assert out_path.startswith(out_base) and out_path.endswith("/all.parquet/")
+    flat = spark.read.parquet(out_path)
+    assert flat.count() == docs_small.count()
+    assert "id" in flat.columns and "originalRecord" not in flat.columns
+
+
+def test_manifest_format():
+    text = build_manifest({"B key": "2", "A key": "1"}, timestamp="2026-08-13T00:00:00Z")
+    lines = text.splitlines()
+    assert lines[0] == "A key: 1" and lines[1] == "B key: 2"
+    assert lines[2].startswith("Start date/time of file generation: ")
+
+
+def test_paths_convention():
+    from datetime import datetime, timezone
+
+    dt = datetime(2026, 8, 13, tzinfo=timezone.utc)
+    assert date_path(dt) == "/2026/08"
+    assert parquet_path("s3://bucket/base/", dt) == "s3://bucket/base/2026/08/all.parquet/"
+
+
+def test_delete_existing_and_purge(tmp_path):
+    d = tmp_path / "x"
+    d.mkdir()
+    (d / "f.txt").write_text("hi")
+    assert delete_existing(str(d)) is True
+    assert delete_existing(str(d)) is False
+    files = []
+    for i in range(5):
+        p = tmp_path / f"k{i}.jpg"
+        p.write_text("img")
+        files.append(str(p))
+    assert purge_keys(files, batch=2) == 5
+    assert purge_keys(files) == 0
+
+
+def test_avro_gating(spark):
+    """spark-avro absent in this container → clear NotImplementedError."""
+    from batch_process_dpla_index_spark.io.sinks import avro_available, read_avro
+
+    if avro_available(spark):  # pragma: no cover - jar present elsewhere
+        pytest.skip("avro datasource present")
+    with pytest.raises(NotImplementedError):
+        read_avro(spark, "/tmp/nope")
+
+
+def test_write_local_nested(tmp_path):
+    full = write_local(str(tmp_path), "sub/dir/file.txt", "content")
+    assert open(full).read() == "content"
