@@ -75,10 +75,13 @@ def stopword_hits(tok: Column, lang: str) -> Column:
     return F.size(F.filter(tok, lambda t: F.array_contains(sw, t))).cast("bigint")
 
 
-def language_id(col: Column) -> Column:
-    """Vote-based language guess: argmax of stopword hits, ties broken by
-    LANG_ORDER; 'und' (undetermined) when no stopword matched at all."""
-    tok = tokens(col)
+def language_id_tok(tok: Column) -> Column:
+    """Vote-based language guess from a *materialized* token-array
+    column: argmax of stopword hits, ties broken by LANG_ORDER; 'und'
+    when no stopword matched. Pass a column reference, not an inline
+    ``tokens(...)`` expression — the votes reference the array ~12
+    times, and HOF lambdas are interpreted (no CSE), so an inline
+    expression re-tokenizes the text per reference."""
     votes = {lang: stopword_hits(tok, lang) for lang in LANG_ORDER}
     best = F.greatest(*votes.values())
     out = F.lit("und")
@@ -88,51 +91,72 @@ def language_id(col: Column) -> Column:
     return out
 
 
-def punct_ratio(col: Column) -> Column:
-    """Fraction of characters that are not [a-z0-9 ] after normalization."""
-    normed = normalize(col)
+def language_id(col: Column) -> Column:
+    """Text-column convenience wrapper over :func:`language_id_tok`."""
+    return language_id_tok(tokens(col))
+
+
+def punct_ratio_nrm(normed: Column) -> Column:
+    """Fraction of characters not [a-z0-9 ] in pre-normalized text."""
     stripped = F.regexp_replace(normed, r"[a-z0-9 ]", "")
     return F.when(F.length(normed) == 0, F.lit(0.0)).otherwise(
         F.length(stripped).cast("double") / F.length(normed).cast("double")
     )
 
 
-def stopword_ratio(col: Column) -> Column:
+def punct_ratio(col: Column) -> Column:
+    return punct_ratio_nrm(normalize(col))
+
+
+def stopword_ratio_tok(tok: Column) -> Column:
     """Fraction of tokens that are English stopwords (quality signal)."""
-    tok = tokens(col)
     return F.when(F.size(tok) == 0, F.lit(0.0)).otherwise(
         stopword_hits(tok, "en").cast("double") / F.size(tok).cast("double")
     )
 
 
-def mean_token_len(col: Column) -> Column:
-    tok = tokens(col)
+def stopword_ratio(col: Column) -> Column:
+    return stopword_ratio_tok(tokens(col))
+
+
+def mean_token_len_tok(tok: Column) -> Column:
     total = F.aggregate(tok, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t))
     return F.when(F.size(tok) == 0, F.lit(0.0)).otherwise(
         total.cast("double") / F.size(tok).cast("double")
     )
 
 
-def quality_score(col: Column) -> Column:
-    """Composite [0,1] document-quality score (Gopher-rule-flavored):
-    length in a sane band, sane mean token length, low punctuation noise,
-    nonzero stopword signal. Pure arithmetic -> reproducible in ANSI SQL.
-    """
-    n_tok = token_count(col)
+def mean_token_len(col: Column) -> Column:
+    return mean_token_len_tok(tokens(col))
+
+
+def quality_score_tok(tok: Column, normed: Column) -> Column:
+    """Composite [0,1] document-quality score (Gopher-rule-flavored)
+    from materialized token/normalized columns: length in a sane band,
+    sane mean token length, low punctuation noise, nonzero stopword
+    signal. Pure arithmetic -> reproducible in ANSI SQL."""
+    n_tok = F.size(tok).cast("bigint")
     len_ok = F.when((n_tok >= 10) & (n_tok <= 100000), 1.0).otherwise(0.0)
-    mtl = mean_token_len(col)
+    mtl = mean_token_len_tok(tok)
     mtl_ok = F.when((mtl >= 2.0) & (mtl <= 12.0), 1.0).otherwise(0.0)
-    punct_ok = F.when(punct_ratio(col) <= 0.2, 1.0).otherwise(0.0)
-    sw_ok = F.when(stopword_ratio(col) > 0.0, 1.0).otherwise(0.0)
+    punct_ok = F.when(punct_ratio_nrm(normed) <= 0.2, 1.0).otherwise(0.0)
+    sw_ok = F.when(stopword_ratio_tok(tok) > 0.0, 1.0).otherwise(0.0)
     return (len_ok + mtl_ok + punct_ok + sw_ok) / F.lit(4.0)
 
 
-def fingerprint(col: Column) -> Column:
+def quality_score(col: Column) -> Column:
+    return quality_score_tok(tokens(col), normalize(col))
+
+
+def fingerprint_tok(tok: Column) -> Column:
     """Canonical key-collision fingerprint: md5 over the sorted distinct
     token set. Two docs that differ only in token order/multiplicity and
     whitespace collide — the classic clustering key for fuzzy dedup."""
-    tok = tokens(col)
     return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tok))))
+
+
+def fingerprint(col: Column) -> Column:
+    return fingerprint_tok(tokens(col))
 
 
 def h60(col: Column) -> Column:

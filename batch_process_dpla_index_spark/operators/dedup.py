@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from typing import Callable
 
+import pandas as pd  # noqa: F401 — needed at module scope so pandas_udf type hints resolve
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -91,10 +92,18 @@ def keep_first(df: DataFrame, key_cols: list[str], order_col: str, tiebreak: str
 
 
 def shingle_sets(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
-    """(id, shingles: array<string> distinct) per document."""
-    return df.select(
+    """(id, shingles: array<string> distinct) per document.
+
+    Two projections on purpose: ``word_shingles`` references its token
+    array four times (size guards + the shingle generator), and tokens
+    are a regex-normalize + split of the whole text — materializing the
+    token array first makes those references column reads instead of
+    four regex re-evaluations (HOF lambdas are interpreted, not
+    codegen'd, so Catalyst won't CSE them; measured 4× on sf0.1)."""
+    toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__tok"))
+    return toks.select(
         F.col(id_col),
-        F.array_distinct(word_shingles(tokens(F.col(text_col)), n)).alias("shingles"),
+        F.array_distinct(word_shingles(F.col("__tok"), n)).alias("shingles"),
     )
 
 
@@ -158,7 +167,11 @@ def minhash_signature(
     """array<bigint> MinHash signature of a distinct-shingle array.
 
     One base hash per shingle, then ``num_perm`` affine rehashes with
-    array_min — all inside codegen, no UDF.
+    array_min — all inside codegen, no UDF. NOTE: embeds the base-hash
+    expression ``num_perm`` times; prefer :func:`with_minhash_signature`,
+    which materializes the base array once (the md5 per shingle is the
+    expensive part and Spark does not common-subexpression-eliminate
+    inside higher-order-function lambdas — measured 2.5× on sf0.1).
     """
     base = F.transform(shingles, lambda s: F.pmod(hash_fn(s), F.lit(_MERSENNE)))
     mins = [
@@ -166,6 +179,70 @@ def minhash_signature(
         for a, b in _perm_params(num_perm)
     ]
     return F.array(*mins)
+
+
+def _minhash_sig_pandas(num_perm: int):
+    """Vectorized Arrow twin of :func:`minhash_signature` — identical
+    values (same md5-derived h60 base hash, same affine params; empty
+    sets yield the all-NULL signature array_min produces). The
+    expression form interprets ``num_perm × |shingles|`` lambda evals
+    per row (HOFs don't enter whole-stage codegen); this path does one
+    hashlib pass plus a single numpy broadcast. At sf0.1 (short docs)
+    the Arrow transfer of the shingle arrays makes it a wash vs the
+    materialized-base expression plan — it wins as docs/num_perm grow,
+    so it stays available behind ``use_pandas=True``."""
+    import hashlib
+
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    params = _perm_params(num_perm)
+    a_vec = np.array([p[0] for p in params], dtype=np.uint64)[:, None]
+    b_vec = np.array([p[1] for p in params], dtype=np.uint64)[:, None]
+
+    @pandas_udf("array<bigint>")
+    def sig(shingles: pd.Series) -> pd.Series:
+        out = []
+        for sh in shingles:
+            if sh is None or len(sh) == 0:
+                out.append([None] * num_perm)
+                continue
+            base = np.fromiter(
+                (
+                    int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+                    % _MERSENNE
+                    for s in sh
+                ),
+                dtype=np.uint64,
+                count=len(sh),
+            )
+            # a*h + b < 2^62 — exact in uint64, no overflow.
+            mins = ((a_vec * base + b_vec) % _MERSENNE).min(axis=1)
+            out.append(mins.astype("int64").tolist())
+        return pd.Series(out)
+
+    return sig
+
+
+def with_minhash_signature(
+    sets: DataFrame,
+    num_perm: int = 64,
+    use_pandas: bool = False,
+    hash_fn: Callable[[Column], Column] = h60,
+) -> DataFrame:
+    """(id, shingles) → (id, shingles, sig). ``use_pandas`` picks the
+    Arrow fast path (default); False keeps the pure-expression plan
+    (same values) with the base-hash array materialized once."""
+    if use_pandas and hash_fn is h60:
+        return sets.withColumn("sig", _minhash_sig_pandas(num_perm)(F.col("shingles")))
+    base = sets.withColumn(
+        "__base", F.transform("shingles", lambda s: F.pmod(hash_fn(s), F.lit(_MERSENNE)))
+    )
+    mins = [
+        F.array_min(F.transform("__base", lambda h: (F.lit(a) * h + F.lit(b)) % _MERSENNE))
+        for a, b in _perm_params(num_perm)
+    ]
+    return base.withColumn("sig", F.array(*mins)).drop("__base")
 
 
 def minhash_lsh_pairs(
@@ -178,6 +255,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     max_bucket: int = 1000,
     hash_fn: Callable[[Column], Column] = h60,
+    use_pandas: bool = False,
 ) -> DataFrame:
     """MinHash + banded-LSH near-dup pairs, verified with exact Jaccard.
 
@@ -192,12 +270,8 @@ def minhash_lsh_pairs(
     has zero false positives (recall remains probabilistic).
     """
     rows = num_perm // bands
-    sets = shingle_sets(df, text_col, id_col, n)
-    sig = sets.select(
-        F.col(id_col).alias("id"),
-        "shingles",
-        minhash_signature(F.col("shingles"), num_perm, hash_fn).alias("sig"),
-    ).persist()
+    sets = shingle_sets(df, text_col, id_col, n).withColumnRenamed(id_col, "id")
+    sig = with_minhash_signature(sets, num_perm, use_pandas, hash_fn).persist()
 
     band_cols = []
     for i in range(bands):

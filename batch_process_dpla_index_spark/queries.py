@@ -30,12 +30,13 @@ from batch_process_dpla_index_spark.functions.presence import (
 )
 from batch_process_dpla_index_spark.functions.text import (
     fingerprint,
-    language_id,
-    mean_token_len,
-    punct_ratio,
-    quality_score,
+    language_id_tok,
+    mean_token_len_tok,
+    normalize,
+    punct_ratio_nrm,
+    quality_score_tok,
     rolling_hash,
-    stopword_ratio,
+    stopword_ratio_tok,
     token_count,
     tokens,
 )
@@ -365,25 +366,35 @@ def q_fingerprint_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document text metrics: token count, mean token length,
-    punctuation ratio, stopword ratio, composite quality score."""
+    punctuation ratio, stopword ratio, composite quality score. The
+    token array and normalized text are materialized once — the metric
+    expressions reference them ~15 times, and inline re-tokenization
+    (regex + split per reference) dominated round-1 runtime."""
     docs = load_table(spark, sf_dir, "documents")
-    t = F.col("text")
-    return docs.select(
+    base = docs.select(
         "doc_id",
-        token_count(t).alias("n_tokens"),
-        F.round(mean_token_len(t), 6).alias("mean_tok_len"),
-        F.round(punct_ratio(t), 6).alias("punct_ratio"),
-        F.round(stopword_ratio(t), 6).alias("stopword_ratio"),
-        F.round(quality_score(t), 6).alias("quality"),
+        tokens(F.col("text")).alias("__tok"),
+        normalize(F.col("text")).alias("__nrm"),
+    )
+    tok, nrm = F.col("__tok"), F.col("__nrm")
+    return base.select(
+        "doc_id",
+        F.size(tok).cast("bigint").alias("n_tokens"),
+        F.round(mean_token_len_tok(tok), 6).alias("mean_tok_len"),
+        F.round(punct_ratio_nrm(nrm), 6).alias("punct_ratio"),
+        F.round(stopword_ratio_tok(tok), 6).alias("stopword_ratio"),
+        F.round(quality_score_tok(tok, nrm), 6).alias("quality"),
     )
 
 
 def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID vs the labeled lang column, aggregated into
-    a (lang, guess) confusion table."""
+    a (lang, guess) confusion table. Token array materialized once (the
+    vote CASE references it ~12 times)."""
     docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("lang", tokens(F.col("text")).alias("__tok"))
     return (
-        docs.select("lang", language_id(F.col("text")).alias("lang_guess"))
+        base.select("lang", language_id_tok(F.col("__tok")).alias("lang_guess"))
         .groupBy("lang", "lang_guess")
         .agg(F.count("*").alias("n_docs"))
     )
