@@ -233,3 +233,40 @@ def cosine_topk_pandas(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def embedding_near_dup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    threshold: float = 0.3,
+    n_planes: int = 8,
+    n_tables: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the vector-space member
+    of the dedup family: (id_a < id_b, score) for pairs sharing an LSH
+    bucket whose exact cosine ≥ threshold.
+
+    Same 100 TB shape as :func:`lsh_ann_topk`: shuffle on bucket keys,
+    candidate verification only — never all pairs. Recall is the LSH
+    S-curve; the verification join makes precision exact.
+    """
+    b = lsh_buckets(corpus, id_col, vec_col, dim, n_planes, n_tables)
+    cand = (
+        b.alias("x")
+        .join(b.alias("y"), ["table", "bucket"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("x.vec").alias("vec_a"),
+            F.col("y.id").alias("id_b"),
+            F.col("y.vec").alias("vec_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("score", cosine(F.col("vec_a"), F.col("vec_b")))
+        .filter(F.col("score") >= threshold)
+        .select("id_a", "id_b", F.round("score", 6).alias("score"))
+    )

@@ -731,6 +731,66 @@ FROM (SELECT doc_id, unnest(range(0, octet_length(blob) // 256, 4)) AS frame_no 
 """
 
 
+def _embedding_near_dup_oracle(
+    dim: int = 64, threshold: float = 0.3, n_planes: int = 8, n_tables: int = 4
+) -> str:
+    def plane_sql(t: int, j: int) -> str:
+        comps = ", ".join(
+            repr((_h60_py(f"hp:{t}:{j}:{d}") % 2_000_003) / 1_000_001.5 - 1.0)
+            for d in range(dim)
+        )
+        return f"[{comps}]"
+
+    bucket_selects = []
+    for t in range(n_tables):
+        terms = " + ".join(
+            f"(CASE WHEN {_dot('embedding', plane_sql(t, j))} >= 0 "
+            f"THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+            for j in range(n_planes)
+        )
+        bucket_selects.append(
+            f"SELECT vec_id AS id, {t} AS tbl, {terms} AS bucket FROM embeddings"
+        )
+    buckets = "\n    UNION ALL\n    ".join(bucket_selects)
+    return f"""
+WITH buckets AS (
+    {buckets}
+), cand AS (
+    SELECT DISTINCT x.id AS id_a, y.id AS id_b
+    FROM buckets x JOIN buckets y ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.id < y.id
+), e AS (
+    SELECT vec_id, embedding, sqrt({_dot("embedding", "embedding")}) AS nrm
+    FROM embeddings
+), scored AS (
+    SELECT cand.id_a, cand.id_b,
+           CASE WHEN a.nrm * b.nrm = 0 THEN NULL
+                ELSE {_dot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) END AS score
+    FROM cand
+    JOIN e a ON a.vec_id = cand.id_a
+    JOIN e b ON b.vec_id = cand.id_b
+)
+SELECT id_a, id_b, round(score, 6) AS score
+FROM scored WHERE score >= {threshold}
+"""
+
+
+ORACLE_EMBEDDING_NEAR_DUP = _embedding_near_dup_oracle()
+
+ORACLE_PROPS_FROM_JSON = """
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+       CAST(CASE WHEN props IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS parsed_ok
+FROM events
+"""
+
+ORACLE_THUMBNAIL_KEYS = """
+SELECT concat_ws('/', substring(id, 1, 1), substring(id, 2, 1),
+                 substring(id, 3, 1), substring(id, 4, 1),
+                 id || '.jpg') AS key
+FROM (SELECT CAST(doc_id AS VARCHAR) AS id FROM documents)
+"""
+
+
 ORACLES: dict[str, str] = {
     "pricing_summary": ORACLE_PRICING_SUMMARY,
     "top_orders": ORACLE_TOP_ORDERS,
@@ -771,4 +831,9 @@ ORACLES: dict[str, str] = {
     "multimodal_meta": ORACLE_MULTIMODAL_META,
     "multimodal_decode": ORACLE_MULTIMODAL_DECODE,
     "multimodal_frames": ORACLE_MULTIMODAL_FRAMES,
+    "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
+    "props_from_json": ORACLE_PROPS_FROM_JSON,
+    "thumbnail_keys": ORACLE_THUMBNAIL_KEYS,
+    # approx_distinct_users: deliberately no oracle — HLL sketch
+    # estimates are engine-specific; accuracy bound asserted in pytest.
 }

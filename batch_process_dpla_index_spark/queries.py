@@ -56,6 +56,7 @@ from batch_process_dpla_index_spark.operators.relational import (
 from batch_process_dpla_index_spark.operators.similarity import (
     cosine_topk,
     cosine_topk_pandas,
+    embedding_near_dup,
     lsh_ann_topk,
 )
 from batch_process_dpla_index_spark.sources.tables import load_table
@@ -675,6 +676,50 @@ def q_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_pandas(emb, queries, "vec_id", "embedding", k=5)
 
 
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via LSH buckets + exact
+    verification (the vector member of the dedup family)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup(emb, "vec_id", "embedding", dim=64, threshold=0.3)
+
+
+def q_props_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13 proper: full from_json parse of events.props with a declared
+    schema (get_json_object covers the single-path case in
+    props_by_type)."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.withColumn(
+        "props_struct", F.from_json("props", "k BIGINT")
+    )
+    return parsed.select(
+        "event_id",
+        F.col("props_struct.k").alias("k"),
+        F.col("props_struct").isNotNull().cast("int").alias("parsed_ok"),
+    )
+
+
+def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL approx_count_distinct per event type (rsd=0.02). No SQL
+    oracle — sketch estimates are engine-specific; the accuracy bound
+    vs exact distinct is asserted in pytest (tests/test_operators.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def q_thumbnail_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ThumbnailPurge key derivation (ThumbnailPurge.scala:17-33),
+    fully in-plan — the purge action itself is tested in pytest."""
+    from batch_process_dpla_index_spark.model.fixtures import synthesize_enriched
+    from batch_process_dpla_index_spark.products.thumbnail_purge import thumbnail_keys
+
+    docs = load_table(spark, sf_dir, "documents")
+    items = synthesize_enriched(docs).select(F.col("dplaUri.value").alias("dplaUri"))
+    return thumbnail_keys(items, "dplaUri")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "top_orders": q_top_orders,
@@ -715,4 +760,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_meta": q_multimodal_meta,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_frames": q_multimodal_frames,
+    "embedding_near_dup": q_embedding_near_dup,
+    "props_from_json": q_props_from_json,
+    "approx_distinct_users": q_approx_distinct_users,
+    "thumbnail_keys": q_thumbnail_keys,
 }

@@ -64,3 +64,62 @@ def streaming_tumbling_counts(
         .groupBy(F.window(ts_col, duration).alias("win"), *(group_cols or []))
         .agg(F.count("*").alias("n_events"))
     )
+
+
+def run_stream_to_batch(sdf, query_name: str, output_mode: str = "complete"):
+    """Run a streaming DataFrame to completion over the currently
+    available data (Trigger.AvailableNow) into a memory sink and return
+    the result as a BATCH DataFrame.
+
+    This is how the engine oracle-verifies streaming semantics: the
+    same aggregation builders produce the batch plan (DuckDB-checked)
+    and the streaming plan (checked here to converge to identical
+    results once the source drains).
+    """
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sdf.sparkSession.table(query_name)
+
+
+def streaming_dedup(stream, id_cols: list[str], ts_col: str, watermark: str):
+    """Streaming exact dedup: watermark-bounded dropDuplicates — the
+    state store retains one entry per key only within the watermark
+    horizon (the 100 TB streaming path for exact_dedup)."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicates(id_cols)
+
+
+RUNNING_TOTALS_STATE = "n BIGINT, total DOUBLE"
+RUNNING_TOTALS_OUTPUT = "user_id BIGINT, n_events BIGINT, total_value DOUBLE"
+
+
+def running_user_totals(stream):
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running event count + value sum, emitted once per micro-batch.
+    State is two scalars per user — O(|users|) state at any scale."""
+    import pandas as pd
+
+    def update(key, pdfs, state):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        RUNNING_TOTALS_OUTPUT,
+        RUNNING_TOTALS_STATE,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -171,3 +171,60 @@ def test_avro_gating(spark):
 def test_write_local_nested(tmp_path):
     full = write_local(str(tmp_path), "sub/dir/file.txt", "content")
     assert open(full).read() == "content"
+
+
+def test_thumbnail_purge_streams_batches(spark, docs_small, tmp_path):
+    from batch_process_dpla_index_spark.model.fixtures import synthesize_enriched
+    from batch_process_dpla_index_spark.products import thumbnail_purge
+    from pyspark.sql import functions as F
+
+    items = synthesize_enriched(docs_small).select(
+        F.col("dplaUri.value").alias("dplaUri")
+    )
+    batches = []
+    n = thumbnail_purge.execute(spark, items, batches.append, batch=25)
+    assert n == docs_small.count()
+    assert all(len(b) <= 25 for b in batches)
+    flat = [k for b in batches for k in b]
+    assert len(flat) == n
+    # key shape parity with the reference's thumbnailPrefix for 4+-char ids
+    long_ids = [k for k in flat if len(k.split("/")[-1]) >= 8]
+    for k in long_ids[:5]:
+        tail = k.split("/")[-1].removesuffix(".jpg")
+        assert k == thumbnail_purge.thumbnail_prefix(tail)
+
+
+def test_schema_test_product(spark, docs_small, tmp_path):
+    from batch_process_dpla_index_spark.model.fixtures import synthesize_enriched
+    from batch_process_dpla_index_spark.products import schema_test
+
+    root = str(tmp_path / "master")
+    synthesize_enriched(docs_small.limit(5)).write.parquet(
+        f"{root}/hubA/enrichment/2026-05"
+    )
+    docs_small.limit(5).write.parquet(f"{root}/hubB/enrichment/2026-04")
+    out = str(tmp_path / "schemas")
+    ddls = schema_test.execute(spark, root, out, fmt="parquet")
+    assert set(ddls) == {"hubA", "hubB"}
+    a = open(f"{out}/hubA.schema").read()
+    b = open(f"{out}/hubB.schema").read()
+    assert "sourceResource" in a and "doc_id" in b and a != b
+
+
+def test_approx_distinct_bound(spark):
+    from batch_process_dpla_index_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events")
+    got = {
+        r["event_type"]: (r["approx"], r["exact"])
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.02).alias("approx"),
+            F.countDistinct("user_id").alias("exact"),
+        )
+        .collect()
+    }
+    for et, (approx, exact) in got.items():
+        assert abs(approx - exact) <= max(2, 0.1 * exact), (et, approx, exact)
