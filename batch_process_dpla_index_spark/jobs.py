@@ -1,0 +1,118 @@
+"""CLI job entry points (SURVEY.md §2.12 O1).
+
+One subcommand per reference process ``main`` (ParquetDump.scala:129,
+JsonlDump.scala:90, MqReports.scala:164, Sitemap.scala:103,
+SchemaRepair.scala:26, SchemaTest.scala:16, ThumbnailPurge.scala:41),
+plus the monthly-batch sequencer (monthly_batch_emr.sh:41-111)::
+
+    python -m batch_process_dpla_index_spark.jobs parquet-dump <in_root> <out_base>
+    python -m batch_process_dpla_index_spark.jobs jsonl-dump <in_root> <out_base>
+    python -m batch_process_dpla_index_spark.jobs mq-reports <parquet_path> <out_dir>
+    python -m batch_process_dpla_index_spark.jobs sitemap <parquet_path> <out_dir> <url_prefix>
+    python -m batch_process_dpla_index_spark.jobs schema-repair <in_path> <out_path>
+    python -m batch_process_dpla_index_spark.jobs schema-test <in_root> <out_dir>
+    python -m batch_process_dpla_index_spark.jobs monthly-batch <in_root> <out_root> [url_prefix]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from pyspark.sql import functions as F
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="batch_process_dpla_index_spark.jobs")
+    sub = p.add_subparsers(dest="job", required=True)
+    s = sub.add_parser("parquet-dump")
+    s.add_argument("in_root")
+    s.add_argument("out_base")
+    s = sub.add_parser("jsonl-dump")
+    s.add_argument("in_root")
+    s.add_argument("out_base")
+    s = sub.add_parser("mq-reports")
+    s.add_argument("parquet_path")
+    s.add_argument("out_dir")
+    s = sub.add_parser("sitemap")
+    s.add_argument("parquet_path")
+    s.add_argument("out_dir")
+    s.add_argument("url_prefix")
+    s = sub.add_parser("schema-repair")
+    s.add_argument("in_path")
+    s.add_argument("out_path")
+    s = sub.add_parser("schema-test")
+    s.add_argument("in_root")
+    s.add_argument("out_dir")
+    s = sub.add_parser("monthly-batch")
+    s.add_argument("in_root")
+    s.add_argument("out_root")
+    s.add_argument("url_prefix", nargs="?", default="https://sitemaps.example.org")
+    args = p.parse_args(argv)
+
+    from batch_process_dpla_index_spark.session import get_spark
+
+    spark = get_spark(app_name=f"bpdi-{args.job}")
+    try:
+        if args.job == "parquet-dump":
+            out = __import__(
+                "batch_process_dpla_index_spark.products.parquet_dump",
+                fromlist=["execute"],
+            ).execute(spark, args.in_root, args.out_base)
+            print(f"Parquet saved to {out}")
+        elif args.job == "jsonl-dump":
+            from batch_process_dpla_index_spark.io.paths import date_path, latest_dataset_paths
+            from batch_process_dpla_index_spark.products import jsonl_dump
+
+            counts = jsonl_dump.execute(
+                spark,
+                latest_dataset_paths(args.in_root, "jsonl"),
+                args.out_base.rstrip("/") + date_path(),
+            )
+            print(f"JSONL counts: {counts}")
+        elif args.job == "mq-reports":
+            from batch_process_dpla_index_spark.quality.mq import write_mq_reports
+
+            opts = write_mq_reports(
+                spark, spark.read.parquet(args.parquet_path), args.out_dir
+            )
+            print(f"MQ reports: {opts}")
+        elif args.job == "sitemap":
+            from batch_process_dpla_index_spark.products import sitemap
+
+            ids = spark.read.parquet(args.parquet_path).select(F.col("id"))
+            out = sitemap.execute(spark, ids, args.out_dir, args.url_prefix)
+            print(f"Sitemap saved to {out}")
+        elif args.job == "schema-repair":
+            from batch_process_dpla_index_spark.io.sinks import avro_available, read_avro, write_avro
+            from batch_process_dpla_index_spark.model.repair import fix_schema
+
+            if avro_available(spark):
+                df = read_avro(spark, args.in_path)
+                write_avro(fix_schema(df), args.out_path)
+            else:
+                df = spark.read.parquet(args.in_path)
+                fix_schema(df).write.mode("overwrite").parquet(args.out_path)
+            print(f"Repaired schema written to {args.out_path}")
+        elif args.job == "schema-test":
+            from batch_process_dpla_index_spark.products import schema_test
+
+            ddls = schema_test.execute(spark, args.in_root, args.out_dir)
+            print(f"Dumped {len(ddls)} provider schemas to {args.out_dir}")
+        elif args.job == "monthly-batch":
+            from batch_process_dpla_index_spark.products import monthly_batch
+
+            result = monthly_batch.execute(
+                spark, args.in_root, args.out_root, args.url_prefix
+            )
+            print(f"Steps run: {result.steps_run}; outputs: {result.outputs}")
+            if result.failed_step:
+                print(f"FAILED at {result.failed_step}: {result.error}")
+                return 1
+    finally:
+        pass  # session is shared in tests; real CLI runs end with process exit
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

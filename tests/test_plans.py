@@ -1,0 +1,93 @@
+"""Physical-plan audits — the 100 TB design assertions.
+
+Each test pins a plan property that must hold for the operator to
+survive scale-up: dimension joins broadcast, filters reach the scan,
+projections prune columns, single-shuffle aggregations stay single-
+shuffle, reshape pipelines never exchange. A regression here is a
+performance bug even when results stay correct.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from batch_process_dpla_index_spark.queries import QUERIES
+from tests.conftest import SF_DIR
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_star_join_broadcasts_dims(spark):
+    plan = _plan(spark, "region_revenue")
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    # dims must never sort-merge at any SF — they're declared broadcast
+    assert "SortMergeJoin" not in plan or plan.count("BroadcastHashJoin") >= 3
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = _plan(spark, "pricing_summary")
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert pushed and "l_shipdate" in pushed.group(1), plan
+
+
+def test_partial_aggregation(spark):
+    """groupBy must plan partial (map-side) + final hash aggregate —
+    the shuffle carries |groups| rows, not |input| rows."""
+    plan = _plan(spark, "pricing_summary")
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_topk_avoids_global_sort(spark):
+    plan = _plan(spark, "top_orders")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_column_pruning(spark):
+    plan = _plan(spark, "scalar_suite")
+    schema = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schema is not None
+    cols = {c.split(":")[0] for c in schema.group(1).split(",")}
+    assert cols == {"c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"}
+
+
+def test_flatten_is_shuffle_free(spark):
+    """The ParquetDump reshape must stay one narrow stage
+    (ParquetDump.scala parity: scan → Project → write, no Exchange)."""
+    from batch_process_dpla_index_spark.model.fixtures import synthesize_enriched
+    from batch_process_dpla_index_spark.model.flatten import modify_columns
+    from batch_process_dpla_index_spark.sources.tables import load_table
+
+    flat = modify_columns(synthesize_enriched(load_table(spark, SF_DIR, "documents")))
+    plan = flat._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_exact_dedup_single_shuffle(spark):
+    plan = _plan(spark, "exact_dedup")
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_keep_first_single_shuffle_window(spark):
+    plan = _plan(spark, "keep_first")
+    assert plan.count("Exchange") == 1 and "Window" in plan, plan
+
+
+def test_semi_anti_join_shapes(spark):
+    for name, kind in (("segment_with_f_orders", "LeftSemi"), ("customers_without_orders", "LeftAnti")):
+        plan = _plan(spark, name)
+        assert kind in plan, (name, plan)
+
+
+def test_mq_scores_single_agg_shuffle(spark):
+    """MQ provider scores: flags are narrow; the only exchange is the
+    final-aggregate shuffle of |providers| rows (plus AQE reads)."""
+    plan = _plan(spark, "mq_provider_scores")
+    assert plan.count("HashAggregate") >= 2, plan
+    # narrow flag projection must not introduce a pre-agg exchange
+    exchanges = plan.count("Exchange hashpartitioning")
+    assert exchanges <= 1, plan

@@ -228,3 +228,37 @@ def test_approx_distinct_bound(spark):
     }
     for et, (approx, exact) in got.items():
         assert abs(approx - exact) <= max(2, 0.1 * exact), (et, approx, exact)
+
+
+def test_monthly_batch_sequencing(spark, docs_small, tmp_path):
+    """O4: the four steps run in order against a master-dataset layout;
+    mq + sitemap consume the parquet step's output."""
+    from batch_process_dpla_index_spark.model.fixtures import synthesize_enriched
+    from batch_process_dpla_index_spark.products import monthly_batch
+
+    root = str(tmp_path / "master")
+    synthesize_enriched(docs_small).write.parquet(f"{root}/hubA/enrichment/2026-05")
+    docs_small.select(
+        F.concat(F.lit('{"id":'), "doc_id", F.lit("}")).alias("value")
+    ).write.text(f"{root}/hubA/jsonl/2026-05")
+    out = str(tmp_path / "out")
+    result = monthly_batch.execute(spark, root, out, "https://cdn.x/s")
+    assert result.failed_step is None, result
+    assert result.steps_run == ["parquet", "jsonl", "mq", "sitemap"]
+    # downstream consumption: mq CSV rows cover every doc
+    rows = read_csv_single(glob.glob(f"{out}/mq/*/*/provider.csv")[0])
+    assert sum(int(r["count"]) for r in rows) == docs_small.count()
+    man = read_manifest(glob.glob(f"{out}/sitemap")[0])
+    assert man["Total URL count"] == str(docs_small.count())
+
+
+def test_monthly_batch_halts_on_failure(spark, tmp_path):
+    """CANCEL_AND_WAIT: an empty master dataset fails the parquet step
+    and nothing downstream runs."""
+    from batch_process_dpla_index_spark.products import monthly_batch
+
+    result = monthly_batch.execute(
+        spark, str(tmp_path / "nothing"), str(tmp_path / "out")
+    )
+    assert result.failed_step == "parquet"
+    assert result.steps_run == []
