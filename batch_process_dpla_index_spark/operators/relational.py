@@ -34,3 +34,46 @@ def top_k(df: DataFrame, order_cols: list, k: int) -> DataFrame:
     Spark's TakeOrderedAndProject does exactly this for orderBy+limit, so
     declare it and let the planner pick that physical operator."""
     return df.orderBy(*order_cols).limit(k)
+
+
+def range_join(
+    fact: DataFrame, ranges: DataFrame, value_col: str, lo_col: str, hi_col: str
+) -> DataFrame:
+    """Theta/range join: match rows whose value falls in [lo, hi).
+
+    The ranges side is broadcast (tier/bucket tables are small by
+    contract), so the physical plan is BroadcastNestedLoopJoin over a
+    handful of range rows — fact rows stream through one stage; never a
+    cartesian shuffle. For large range sets, bucketize first and
+    equi-join on the bucket id instead.
+    """
+    cond = (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
+    return fact.join(F.broadcast(ranges), cond)
+
+
+def salted_join(
+    big: DataFrame,
+    skewed_small: DataFrame,
+    key: str,
+    n_salts: int = 8,
+    salt_source: str | None = None,
+) -> DataFrame:
+    """Skew-mitigated equi-join: the big side salts its key with a
+    deterministic per-row salt in [0, n_salts); the small side is
+    exploded n_salts× so every (key, salt) pair still matches. The
+    shuffle then spreads each hot key over n_salts reducers.
+
+    Results are identical to ``big.join(skewed_small, key)`` for any
+    salt assignment. ``salt_source`` names a column whose hash picks
+    the salt (defaults to the join key itself combined with all
+    columns via xxhash64 — deterministic, no RNG).
+    """
+    salt_col = F.pmod(
+        F.xxhash64(F.col(salt_source) if salt_source else F.struct(*big.columns)),
+        F.lit(n_salts),
+    ).cast("int")
+    salted_big = big.withColumn("__salt", salt_col)
+    salted_small = skewed_small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return salted_big.join(salted_small, [key, "__salt"]).drop("__salt")

@@ -783,6 +783,40 @@ SELECT event_id,
 FROM events
 """
 
+ORACLE_PRICE_TIERS = """
+WITH tiers(tier, lo, hi) AS (VALUES
+    ('T0', 0.0, 50000.0), ('T1', 50000.0, 150000.0),
+    ('T2', 150000.0, 300000.0), ('T3', 300000.0, 1e18))
+SELECT tier, count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_price
+FROM orders JOIN tiers ON o_totalprice >= lo AND o_totalprice < hi
+GROUP BY tier
+"""
+
+# Salted join must produce exactly the plain-join aggregate.
+ORACLE_SALTED_BRAND_JOIN = """
+SELECT p_brand, count(*) AS n_items, round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+ORACLE_SEGMENT_OVERLAP = """
+WITH c AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+     s AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+SELECT relation, count(*) AS n_nations
+FROM (
+    SELECT nationkey, 'both' AS relation FROM (SELECT nationkey FROM c INTERSECT SELECT nationkey FROM s)
+    UNION ALL
+    SELECT nationkey, 'customer_only' AS relation FROM (SELECT nationkey FROM c EXCEPT SELECT nationkey FROM s)
+)
+GROUP BY relation
+"""
+
+ORACLE_CUBE_FLAGS = """
+SELECT l_returnflag, l_linestatus, count(*) AS n_rows, round(avg(l_discount), 6) AS avg_disc
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
 ORACLE_THUMBNAIL_KEYS = """
 SELECT concat_ws('/', substring(id, 1, 1), substring(id, 2, 1),
                  substring(id, 3, 1), substring(id, 4, 1),
@@ -834,6 +868,10 @@ ORACLES: dict[str, str] = {
     "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
     "props_from_json": ORACLE_PROPS_FROM_JSON,
     "thumbnail_keys": ORACLE_THUMBNAIL_KEYS,
+    "price_tiers": ORACLE_PRICE_TIERS,
+    "salted_brand_join": ORACLE_SALTED_BRAND_JOIN,
+    "segment_overlap": ORACLE_SEGMENT_OVERLAP,
+    "cube_flags": ORACLE_CUBE_FLAGS,
     # approx_distinct_users: deliberately no oracle — HLL sketch
     # estimates are engine-specific; accuracy bound asserted in pytest.
 }

@@ -50,6 +50,8 @@ from batch_process_dpla_index_spark.operators.dedup import (
 from batch_process_dpla_index_spark.operators.relational import (
     anti_join,
     join_dim,
+    range_join,
+    salted_join,
     semi_join,
     top_k,
 )
@@ -676,6 +678,70 @@ def q_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_pandas(emb, queries, "vec_id", "embedding", k=5)
 
 
+def q_price_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/theta join (§2.4 extension): orders matched into literal
+    price tiers via BroadcastNestedLoopJoin over 4 range rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    tiers = spark.createDataFrame(
+        [("T0", 0.0, 50_000.0), ("T1", 50_000.0, 150_000.0),
+         ("T2", 150_000.0, 300_000.0), ("T3", 300_000.0, 1e18)],
+        "tier STRING, lo DOUBLE, hi DOUBLE",
+    )
+    return (
+        range_join(orders, tiers, "o_totalprice", "lo", "hi")
+        .groupBy("tier")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+def q_salted_brand_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigation parity: salted equi-join must equal the plain
+    join — here lineitem ⋈ part with the part side exploded 8× so a
+    hot p_partkey spreads over 8 reducers."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("p_partkey"), "l_quantity"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        salted_join(li, part, "p_partkey", n_salts=8)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+def q_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (§2.7 extension): INTERSECT and EXCEPT ALL over
+    nation keys of customers vs suppliers."""
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    c = customer.select(F.col("c_nationkey").alias("nationkey"))
+    s = supplier.select(F.col("s_nationkey").alias("nationkey"))
+    both = c.intersect(s).withColumn("relation", F.lit("both"))
+    cust_only = (
+        c.distinct().exceptAll(s.distinct()).withColumn("relation", F.lit("customer_only"))
+    )
+    return (
+        both.unionByName(cust_only)
+        .groupBy("relation")
+        .agg(F.count("*").alias("n_nations"))
+    )
+
+
+def q_cube_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (§2.5 extension, beside rollup_flags)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+    )
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via LSH buckets + exact
     verification (the vector member of the dedup family)."""
@@ -764,4 +830,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "props_from_json": q_props_from_json,
     "approx_distinct_users": q_approx_distinct_users,
     "thumbnail_keys": q_thumbnail_keys,
+    "price_tiers": q_price_tiers,
+    "salted_brand_join": q_salted_brand_join,
+    "segment_overlap": q_segment_overlap,
+    "cube_flags": q_cube_flags,
 }
