@@ -394,3 +394,73 @@ def simhash_pairs(
         "id_a", "id_b", "hamming"
     )
     return _with_cached_deps(out, [sh])
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Cluster near-dup pairs into components: (id, cluster) where
+    cluster is the MIN id reachable from the node — the canonical
+    representative. Completes the dedup pipeline: pair generation
+    (jaccard/minhash/simhash/embedding) → clustering → keep-one-per-
+    cluster.
+
+    Algorithm: min-label propagation to fixpoint (the dataflow form of
+    connected components). Per iteration: one join (labels to
+    neighbors) + one min-aggregate — two shuffles — and a
+    ``localCheckpoint`` to truncate lineage, which is what keeps an
+    iterative Spark job planner-stable at scale. Converges in
+    O(component diameter) iterations; near-dup clusters are shallow
+    (diameter ≲ 10 even at 100 TB), and ``max_iter`` bounds the loop.
+    The fixpoint is unique, so results are deterministic regardless of
+    execution order.
+    """
+    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    rev = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    edges = fwd.union(rev).distinct().persist()
+
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("cluster", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_labels = edges.join(
+            labels.select(F.col("node").alias("dst"), F.col("cluster")), "dst"
+        ).select(F.col("src").alias("node"), "cluster")
+        new_labels = (
+            labels.select("node", "cluster")
+            .union(neighbor_labels)
+            .groupBy("node")
+            .agg(F.min("cluster").alias("cluster"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("cluster", "old"), "node")
+            .filter(F.col("cluster") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node"), F.col("cluster"))
+
+
+def dedup_survivors(
+    df: DataFrame, pairs: DataFrame, id_col: str, id_a: str = "id_a", id_b: str = "id_b"
+) -> DataFrame:
+    """End-to-end near-dedup: keep the min-id representative of every
+    near-dup cluster plus all unpaired rows. Anti-join the non-
+    representative members — one broadcastable frame of |clustered
+    nodes| rows at any corpus size (near-dup clusters are a small
+    fraction of the corpus)."""
+    components = connected_components(pairs, id_a, id_b)
+    losers = components.filter(F.col("node") != F.col("cluster")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(F.broadcast(losers), id_col, "left_anti")

@@ -783,6 +783,24 @@ SELECT event_id,
 FROM events
 """
 
+# Connected components = transitive closure (recursive CTE) + min label.
+# The Spark side computes the same fixpoint by min-label propagation.
+ORACLE_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION
+    SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(node, lab) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT e.src, r.lab FROM edges e JOIN reach r ON r.node = e.dst
+)
+SELECT node AS doc_id, min(lab) AS cluster
+FROM reach GROUP BY node
+"""
+
 ORACLE_PRICE_TIERS = """
 WITH tiers(tier, lo, hi) AS (VALUES
     ('T0', 0.0, 50000.0), ('T1', 50000.0, 150000.0),
@@ -868,6 +886,7 @@ ORACLES: dict[str, str] = {
     "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
     "props_from_json": ORACLE_PROPS_FROM_JSON,
     "thumbnail_keys": ORACLE_THUMBNAIL_KEYS,
+    "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
     "price_tiers": ORACLE_PRICE_TIERS,
     "salted_brand_join": ORACLE_SALTED_BRAND_JOIN,
     "segment_overlap": ORACLE_SEGMENT_OVERLAP,

@@ -41,6 +41,7 @@ from batch_process_dpla_index_spark.functions.text import (
     tokens,
 )
 from batch_process_dpla_index_spark.operators.dedup import (
+    connected_components,
     exact_dedup,
     jaccard_pairs,
     keep_first,
@@ -678,6 +679,22 @@ def q_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_pandas(emb, queries, "vec_id", "embedding", k=5)
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: MinHash-LSH pairs → connected components →
+    (doc_id, cluster representative). The iterative min-label
+    propagation runs to fixpoint (unique, deterministic); the oracle
+    replicates it with a recursive transitive-closure CTE."""
+    from batch_process_dpla_index_spark.operators.dedup import unpersist_deps
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+    # CC materializes eagerly (checkpointed fixpoint), so the pair
+    # operator's cached signature frame can be released right after.
+    labels = connected_components(pairs)
+    unpersist_deps(pairs)
+    return labels.select(F.col("node").alias("doc_id"), F.col("cluster"))
+
+
 def q_price_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range/theta join (§2.4 extension): orders matched into literal
     price tiers via BroadcastNestedLoopJoin over 4 range rows."""
@@ -830,6 +847,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "props_from_json": q_props_from_json,
     "approx_distinct_users": q_approx_distinct_users,
     "thumbnail_keys": q_thumbnail_keys,
+    "dedup_clusters": q_dedup_clusters,
     "price_tiers": q_price_tiers,
     "salted_brand_join": q_salted_brand_join,
     "segment_overlap": q_segment_overlap,

@@ -114,3 +114,25 @@ def test_sample_frames_fanout(spark):
     assert rows[1]["offset"] == 4 * 256
     expected = hashlib.md5(data[0:256]).hexdigest()
     assert rows[0]["frame_digest"] == expected
+
+
+def test_connected_components_fixpoint(spark):
+    """Chain + triangle + isolated pair → exact clusters."""
+    from batch_process_dpla_index_spark.operators.dedup import (
+        connected_components,
+        dedup_survivors,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a BIGINT, id_b BIGINT",
+    )
+    got = {r["node"]: r["cluster"] for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+    corpus = spark.range(0, 30).withColumnRenamed("id", "doc_id")
+    kept = dedup_survivors(corpus, pairs, "doc_id")
+    kept_ids = {r["doc_id"] for r in kept.collect()}
+    # representatives survive, other members don't, unpaired rows survive
+    assert {1, 10, 20} <= kept_ids
+    assert kept_ids.isdisjoint({2, 3, 4, 11, 12, 21})
+    assert 25 in kept_ids and len(kept_ids) == 30 - 6
