@@ -148,3 +148,17 @@ def read_csv_single(path: str) -> list[dict[str, str]]:
         with open(p, newline="", encoding="utf-8") as f:
             rows.extend(csv.DictReader(f))
     return rows
+
+
+def write_parquet_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], overwrite: bool = True
+) -> None:
+    """Hive-layout partitioned parquet (the scale-native form of the
+    reference's dated paths, SURVEY.md §4: `<base>/yyyy/MM/` becomes
+    real partitionBy("year","month") so partition PRUNING — not just
+    naming convention — applies to every dated read)."""
+    (
+        df.write.mode("overwrite" if overwrite else "error")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )

@@ -270,3 +270,92 @@ def embedding_near_dup(
         .filter(F.col("score") >= threshold)
         .select("id_a", "id_b", F.round("score", 6).alias("score"))
     )
+
+
+def _centroid(cell: int, dim: int):
+    """Deterministic pseudo-random IVF centroid (same h60-literal scheme
+    as the hyperplanes: computed driver-side, embedded as float
+    literals — zero plan bloat)."""
+    return F.array(
+        *[
+            F.lit((_h60_py(f"ivf:{cell}:{d}") % 2_000_003) / 1_000_001.5 - 1.0)
+            for d in range(dim)
+        ]
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_cells: int = 16,
+    n_probe: int = 1,
+) -> DataFrame:
+    """(id, vec, cells: array<int>) — the ``n_probe`` nearest coarse
+    cells by dot product, nearest first. n_probe=1 is the storage
+    assignment; queries probe more cells for recall."""
+    scored = F.array(
+        *[
+            F.struct(
+                dot(F.col(vec_col), _centroid(c, dim)).alias("d"),
+                F.lit(c).alias("cell"),
+            )
+            for c in range(n_cells)
+        ]
+    )
+    # lexicographic struct sort: by dot asc then cell asc → reverse for
+    # best-first; ties break toward the higher cell id (deterministic).
+    probes = F.slice(F.reverse(F.array_sort(scored)), 1, n_probe)
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.transform(probes, lambda s: s.getField("cell")).alias("cells"),
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF approximate all-pairs top-k — the inverted-file scale path
+    beside the hyperplane-LSH variant.
+
+    Storage side: every vector lives in its single nearest coarse cell
+    (one int per row). Query side: each vector probes its ``n_probe``
+    nearest cells; candidates are the vectors stored there. Shuffle is
+    on the cell id (n_probe×|corpus| rows) — at 100 TB the cell count
+    scales to √N and per-cell lists stay bounded; never all pairs.
+    """
+    stored = ivf_assign(corpus, id_col, vec_col, dim, n_cells, 1).select(
+        F.col("id").alias("neighbor_id"),
+        F.col("vec").alias("c_vec"),
+        F.element_at("cells", 1).alias("cell"),
+    )
+    probing = ivf_assign(corpus, id_col, vec_col, dim, n_cells, n_probe).select(
+        F.col("id").alias("query_id"),
+        F.col("vec").alias("q_vec"),
+        F.explode("cells").alias("cell"),
+    )
+    cand = probing.join(stored, "cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = cand.withColumn("score", cosine(F.col("q_vec"), F.col("c_vec")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc_nulls_last(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("score", 6).alias("score"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

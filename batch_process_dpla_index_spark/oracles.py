@@ -783,6 +783,54 @@ SELECT event_id,
 FROM events
 """
 
+def _ivf_oracle(
+    dim: int = 64, k: int = 5, n_cells: int = 16, n_probe: int = 4
+) -> str:
+    def centroid_sql(c: int) -> str:
+        comps = ", ".join(
+            repr((_h60_py(f"ivf:{c}:{d}") % 2_000_003) / 1_000_001.5 - 1.0)
+            for d in range(dim)
+        )
+        return f"[{comps}]"
+
+    cell_selects = "\n    UNION ALL\n    ".join(
+        f"SELECT vec_id, embedding, {c} AS cell, "
+        f"{_dot('embedding', centroid_sql(c))} AS d FROM embeddings"
+        for c in range(n_cells)
+    )
+    return f"""
+WITH dots AS (
+    {cell_selects}
+), ranked AS (
+    SELECT vec_id, embedding, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell DESC) AS rnk
+    FROM dots
+), stored AS (
+    SELECT vec_id AS neighbor_id, embedding AS c_vec, cell FROM ranked WHERE rnk = 1
+), probing AS (
+    SELECT vec_id AS query_id, embedding AS q_vec, cell FROM ranked WHERE rnk <= {n_probe}
+), cand AS (
+    SELECT query_id, q_vec, neighbor_id, c_vec
+    FROM probing JOIN stored USING (cell)
+    WHERE query_id <> neighbor_id
+), scored AS (
+    SELECT query_id, neighbor_id,
+           CASE WHEN sqrt({_dot("q_vec", "q_vec")}) * sqrt({_dot("c_vec", "c_vec")}) = 0 THEN NULL
+                ELSE {_dot("q_vec", "c_vec")}
+                     / (sqrt({_dot("q_vec", "q_vec")}) * sqrt({_dot("c_vec", "c_vec")})) END AS score
+    FROM cand
+), topk AS (
+    SELECT query_id, neighbor_id, score,
+           row_number() OVER (PARTITION BY query_id ORDER BY score DESC NULLS LAST, neighbor_id) AS rnk
+    FROM scored
+)
+SELECT query_id, neighbor_id, round(score, 6) AS score, CAST(rnk AS INTEGER) AS rank
+FROM topk WHERE rnk <= {k}
+"""
+
+
+ORACLE_IVF_TOPK = _ivf_oracle()
+
 # Connected components = transitive closure (recursive CTE) + min label.
 # The Spark side computes the same fixpoint by min-label propagation.
 ORACLE_DEDUP_CLUSTERS = f"""
@@ -886,6 +934,7 @@ ORACLES: dict[str, str] = {
     "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
     "props_from_json": ORACLE_PROPS_FROM_JSON,
     "thumbnail_keys": ORACLE_THUMBNAIL_KEYS,
+    "ivf_topk": ORACLE_IVF_TOPK,
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
     "price_tiers": ORACLE_PRICE_TIERS,
     "salted_brand_join": ORACLE_SALTED_BRAND_JOIN,

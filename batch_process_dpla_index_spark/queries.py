@@ -60,6 +60,7 @@ from batch_process_dpla_index_spark.operators.similarity import (
     cosine_topk,
     cosine_topk_pandas,
     embedding_near_dup,
+    ivf_topk,
     lsh_ann_topk,
 )
 from batch_process_dpla_index_spark.sources.tables import load_table
@@ -679,6 +680,14 @@ def q_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_pandas(emb, queries, "vec_id", "embedding", k=5)
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate all-pairs top-5 (inverted-file coarse
+    quantization, 16 cells / 4 probes — the second ANN scale path
+    beside hyperplane LSH)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, "vec_id", "embedding", dim=64, k=5, n_cells=16, n_probe=4)
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clustering: MinHash-LSH pairs → connected components →
     (doc_id, cluster representative). The iterative min-label
@@ -847,6 +856,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "props_from_json": q_props_from_json,
     "approx_distinct_users": q_approx_distinct_users,
     "thumbnail_keys": q_thumbnail_keys,
+    "ivf_topk": q_ivf_topk,
     "dedup_clusters": q_dedup_clusters,
     "price_tiers": q_price_tiers,
     "salted_brand_join": q_salted_brand_join,

@@ -136,3 +136,17 @@ def test_connected_components_fixpoint(spark):
     assert {1, 10, 20} <= kept_ids
     assert kept_ids.isdisjoint({2, 3, 4, 11, 12, 21})
     assert 25 in kept_ids and len(kept_ids) == 30 - 6
+
+
+def test_ivf_recall_vs_exact(spark):
+    """IVF top-1 recall over the exact top-1 (16 cells / 4 probes on
+    near-random 64-dim vectors still finds most true nearest
+    neighbors; bound kept loose — this guards wiring, not tuning)."""
+    from batch_process_dpla_index_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    exact = cosine_topk(emb, emb, "vec_id", "embedding", k=1)
+    got = ivf_topk(emb, "vec_id", "embedding", dim=64, k=1, n_cells=16, n_probe=4)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    g = {(r["query_id"], r["neighbor_id"]) for r in got.collect()}
+    assert len(g & e) / len(e) >= 0.3

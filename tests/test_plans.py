@@ -91,3 +91,27 @@ def test_mq_scores_single_agg_shuffle(spark):
     # narrow flag projection must not introduce a pre-agg exchange
     exchanges = plan.count("Exchange hashpartitioning")
     assert exchanges <= 1, plan
+
+
+def test_partitioned_write_prunes(spark, tmp_path_factory):
+    """Dated-path layout as real partitions: a month filter must prune
+    at planning time (PartitionFilters), not scan-and-discard."""
+    from pyspark.sql import functions as F
+
+    from batch_process_dpla_index_spark.io.sinks import write_parquet_partitioned
+    from batch_process_dpla_index_spark.sources.tables import load_table
+
+    out = str(tmp_path_factory.mktemp("dated") / "orders")
+    orders = load_table(spark, SF_DIR, "orders").withColumn(
+        "year", F.year("o_orderdate")
+    ).withColumn("month", F.month("o_orderdate"))
+    write_parquet_partitioned(orders, out, ["year", "month"])
+
+    back = spark.read.parquet(out).filter("year = 1995 AND month = 3")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "year" in m.group(1) and "month" in m.group(1), plan
+    # and the filter is partition-level, not a data filter on the scan
+    n = back.count()
+    want = orders.filter("year = 1995 AND month = 3").count()
+    assert n == want > 0
