@@ -182,3 +182,19 @@ def rolling_hash(tok: Column, base: int = 31, mod: int = 1_000_000_007) -> Colum
         F.lit(0).cast("bigint"),
         lambda acc, t: (acc * base + F.pmod(h60(t), F.lit(mod))) % mod,
     )
+
+
+#: BPE-ish pre-tokenization pattern (GPT-2-flavored, ASCII-only and
+#: lookahead-free so the Java regex engine and the oracle's RE2 agree):
+#: contractions, space-prefixed word/number runs, punctuation runs.
+BPE_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s']+"
+
+
+def bpe_tokens(col: Column) -> Column:
+    """BPE-style pre-tokens of the lowercased text (the 'BPE-ish regex'
+    tier of token counting — whitespace tokens stay `tokens`)."""
+    return F.regexp_extract_all(F.lower(col), F.lit(BPE_PATTERN), 0)
+
+
+def bpe_token_count(col: Column) -> Column:
+    return F.size(bpe_tokens(col)).cast("bigint")

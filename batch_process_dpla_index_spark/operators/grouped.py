@@ -1,0 +1,66 @@
+"""Grouped Arrow UDF operators (applyInPandas) — per-group pandas
+computations the built-in window/agg functions can't express cleanly
+(model-ish transforms, library calls). Each group arrives as ONE
+pandas DataFrame, so group cardinality must be bounded (per-user
+event history, not the whole fact table) — that's the contract that
+makes these safe at 100 TB: shuffle on the group key, then embarrassed
+parallelism across groups.
+"""
+
+from __future__ import annotations
+
+import pandas as pd  # noqa: F401 — pandas_udf/applyInPandas type hints
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+CUMSUM_SCHEMA = "event_id BIGINT, user_id BIGINT, cum_value DOUBLE"
+
+
+def user_cumulative_value(events: DataFrame) -> DataFrame:
+    """Per-user running sum of ``value`` in (ts, event_id) order via
+    applyInPandas — the grouped-UDF twin of the window-function form
+    (``sum().over(ROWS UNBOUNDED PRECEDING)``). Demonstrates the
+    grouped Arrow path with a result the SQL oracle can verify exactly
+    (sequential left-to-right fold in both engines)."""
+
+    def cumsum(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "user_id": pdf["user_id"],
+                "cum_value": pdf["value"].cumsum(),
+            }
+        )
+
+    return (
+        events.select("event_id", "user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandas(cumsum, CUMSUM_SCHEMA)
+    )
+
+
+ZSCORE_SCHEMA = "event_id BIGINT, user_id BIGINT, zscore DOUBLE"
+
+
+def normalize_per_group(events: DataFrame) -> DataFrame:
+    """Per-user z-score normalization of ``value`` (population std) —
+    the per-group feature-normalization shape every training pipeline
+    needs. Zero-variance groups yield NULL (no information)."""
+
+    def z(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"]
+        std = v.std(ddof=0)
+        if std == 0 or pd.isna(std):
+            zs = pd.Series([None] * len(v), dtype="float64")
+        else:
+            zs = (v - v.mean()) / std
+        return pd.DataFrame(
+            {"event_id": pdf["event_id"], "user_id": pdf["user_id"], "zscore": zs}
+        )
+
+    return (
+        events.select("event_id", "user_id", "value")
+        .groupBy("user_id")
+        .applyInPandas(z, ZSCORE_SCHEMA)
+    )

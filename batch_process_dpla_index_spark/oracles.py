@@ -783,6 +783,27 @@ SELECT event_id,
 FROM events
 """
 
+ORACLE_BPE_TOKEN_COUNTS = r"""
+SELECT doc_id,
+       CAST(CASE WHEN trim(lower(text)) = '' THEN 0
+                 ELSE len(string_split_regex(trim(lower(text)), '\s+')) END AS BIGINT)
+           AS n_ws_tokens,
+       CAST(len(regexp_extract_all(lower(text),
+            '''s|''t|''re|''ve|''m|''ll|''d| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s'']+'))
+           AS BIGINT) AS n_bpe_tokens
+FROM documents
+"""
+
+# Sequential left-to-right cumulative fold — identical float result in
+# the pandas cumsum and the SQL running-sum window.
+ORACLE_USER_CUMSUM = """
+SELECT event_id, user_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING), 6) AS cum_value
+FROM events
+"""
+
+
 def _ivf_oracle(
     dim: int = 64, k: int = 5, n_cells: int = 16, n_probe: int = 4
 ) -> str:
@@ -934,6 +955,8 @@ ORACLES: dict[str, str] = {
     "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
     "props_from_json": ORACLE_PROPS_FROM_JSON,
     "thumbnail_keys": ORACLE_THUMBNAIL_KEYS,
+    "bpe_token_counts": ORACLE_BPE_TOKEN_COUNTS,
+    "user_cumsum": ORACLE_USER_CUMSUM,
     "ivf_topk": ORACLE_IVF_TOPK,
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
     "price_tiers": ORACLE_PRICE_TIERS,

@@ -20,9 +20,22 @@ from batch_process_dpla_index_spark.io.sinks import avro_available, read_avro
 from batch_process_dpla_index_spark.model.flatten import modify_columns
 
 
-def dump(spark: SparkSession, in_paths: list[str], out_path: str, fmt: str | None = None) -> DataFrame:
+def dump(
+    spark: SparkSession,
+    in_paths: list[str],
+    out_path: str,
+    fmt: str | None = None,
+    output_partitions: int | None = None,
+    partition_key: str = "id",
+) -> DataFrame:
     """ParquetDump.dump (ParquetDump.scala:115-119): multi-path scan →
-    modify_columns → parquet write. Returns the flattened frame."""
+    modify_columns → parquet write. Returns the flattened frame.
+
+    ``output_partitions`` hash-repartitions on ``partition_key`` before
+    the write (X1, the reference's Sitemap.scala:27 idiom) to bound
+    output file count/size — without it the write inherits input-split
+    parallelism (no shuffle).
+    """
     if fmt is None:
         fmt = "avro" if avro_available(spark) else "parquet"
     if fmt == "avro":
@@ -30,7 +43,10 @@ def dump(spark: SparkSession, in_paths: list[str], out_path: str, fmt: str | Non
     else:
         df = spark.read.parquet(*in_paths)
     flat = modify_columns(df)
-    flat.write.mode("overwrite").parquet(out_path)
+    out = flat
+    if output_partitions:
+        out = flat.repartition(output_partitions, partition_key)
+    out.write.mode("overwrite").parquet(out_path)
     return flat
 
 

@@ -680,6 +680,31 @@ def q_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_pandas(emb, queries, "vec_id", "embedding", k=5)
 
 
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counting beside the whitespace count (the
+    two token-counting tiers of the text pipeline)."""
+    from batch_process_dpla_index_spark.functions.text import bpe_token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_ws_tokens"),
+        bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
+    )
+
+
+def q_user_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped Arrow UDF (applyInPandas): per-user running value sum,
+    exactly equal to the window-function form — verified against the
+    SQL window oracle."""
+    from batch_process_dpla_index_spark.operators.grouped import user_cumulative_value
+
+    ev = load_table(spark, sf_dir, "events")
+    return user_cumulative_value(ev).select(
+        "event_id", "user_id", F.round("cum_value", 6).alias("cum_value")
+    )
+
+
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate all-pairs top-5 (inverted-file coarse
     quantization, 16 cells / 4 probes — the second ANN scale path
@@ -856,6 +881,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "props_from_json": q_props_from_json,
     "approx_distinct_users": q_approx_distinct_users,
     "thumbnail_keys": q_thumbnail_keys,
+    "bpe_token_counts": q_bpe_token_counts,
+    "user_cumsum": q_user_cumsum,
     "ivf_topk": q_ivf_topk,
     "dedup_clusters": q_dedup_clusters,
     "price_tiers": q_price_tiers,

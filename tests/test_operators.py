@@ -150,3 +150,22 @@ def test_ivf_recall_vs_exact(spark):
     e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
     g = {(r["query_id"], r["neighbor_id"]) for r in got.collect()}
     assert len(g & e) / len(e) >= 0.3
+
+
+def test_zscore_per_group(spark):
+    """applyInPandas z-score equals the window-expression form."""
+    from batch_process_dpla_index_spark.operators.grouped import normalize_per_group
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, SF_DIR, "events")
+    got = normalize_per_group(ev).select(
+        "event_id", F.round("zscore", 6).alias("z")
+    )
+    w = Window.partitionBy("user_id")
+    want = ev.select(
+        "event_id",
+        F.round(
+            (F.col("value") - F.avg("value").over(w)) / F.stddev_pop("value").over(w), 6
+        ).alias("z"),
+    )
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
