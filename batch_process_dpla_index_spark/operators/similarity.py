@@ -314,6 +314,61 @@ def ivf_assign(
     )
 
 
+def _centroid_matrix(dim: int, n_cells: int):
+    """numpy twin of :func:`_centroid` — identical float values."""
+    import numpy as np
+
+    return np.array(
+        [
+            [
+                (_h60_py(f"ivf:{c}:{d}") % 2_000_003) / 1_000_001.5 - 1.0
+                for d in range(dim)
+            ]
+            for c in range(n_cells)
+        ],
+        dtype="float64",
+    )
+
+
+def ivf_cells_pandas(
+    df: DataFrame, id_col: str, vec_col: str, dim: int, n_cells: int, n_probe: int
+) -> DataFrame:
+    """(id, vec, cells array<int>) via one Arrow pass: N×dim @ dim×cells
+    matmul + per-row argsort — the vectorized twin of
+    :func:`ivf_assign` (ties break toward the higher cell id, same as
+    the expression form's struct-max)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    cents = _centroid_matrix(dim, n_cells).T  # dim × cells
+    id_name, vec_name = id_col, vec_col
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.array(list(pdf[vec_name]), dtype="float64")
+            dots = mat @ cents  # N × cells
+            # sort by (dot desc, cell desc): lexsort on (-cell, -dot)
+            cell_ids = np.arange(dots.shape[1])
+            order = np.lexsort(
+                (-np.tile(cell_ids, (len(pdf), 1)), -dots), axis=1
+            )[:, :n_probe]
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_name].to_numpy(),
+                    "vec": pdf[vec_name],
+                    "cells": [row.astype("int32").tolist() for row in order],
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        assign, f"id bigint, vec {df.schema[vec_col].dataType.simpleString()}, cells array<int>"
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -326,26 +381,75 @@ def ivf_topk(
     """IVF approximate all-pairs top-k — the inverted-file scale path
     beside the hyperplane-LSH variant.
 
-    Storage side: every vector lives in its single nearest coarse cell
-    (one int per row). Query side: each vector probes its ``n_probe``
-    nearest cells; candidates are the vectors stored there. Shuffle is
-    on the cell id (n_probe×|corpus| rows) — at 100 TB the cell count
-    scales to √N and per-cell lists stay bounded; never all pairs.
+    Storage side: every vector lives in its single nearest coarse cell.
+    Query side: each vector probes its ``n_probe`` nearest cells.
+    Physical shape: one Arrow pass assigns cells (N×cells matmul), one
+    shuffle on the cell id groups each cell's stored+probing vectors
+    into a single applyInPandas group scored with ONE BLAS matmul and
+    reduced to a per-cell top-k — Arrow transfer is per-vector, never
+    per-candidate-pair (the expression form paid an interpreted 64-dim
+    fold per pair: 5× slower at sf0.1). At 100 TB, n_cells scales ~√N
+    so both the shuffle and each group stay bounded.
     """
-    stored = ivf_assign(corpus, id_col, vec_col, dim, n_cells, 1).select(
-        F.col("id").alias("neighbor_id"),
-        F.col("vec").alias("c_vec"),
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    assigned = ivf_cells_pandas(corpus, id_col, vec_col, dim, n_cells, n_probe)
+    stored = assigned.select(
         F.element_at("cells", 1).alias("cell"),
+        F.lit(0).alias("role"),
+        F.col("id"),
+        F.col("vec"),
     )
-    probing = ivf_assign(corpus, id_col, vec_col, dim, n_cells, n_probe).select(
-        F.col("id").alias("query_id"),
-        F.col("vec").alias("q_vec"),
-        F.explode("cells").alias("cell"),
+    probing = assigned.select(
+        F.explode("cells").alias("cell"), F.lit(1).alias("role"), F.col("id"), F.col("vec")
     )
-    cand = probing.join(stored, "cell").filter(
-        F.col("query_id") != F.col("neighbor_id")
+
+    def score_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        st = pdf[pdf["role"] == 0]
+        pr = pdf[pdf["role"] == 1]
+        if not len(st) or not len(pr):
+            return pd.DataFrame(
+                {"query_id": pd.Series(dtype="int64"),
+                 "neighbor_id": pd.Series(dtype="int64"),
+                 "raw_score": pd.Series(dtype="float64")}
+            )
+        c_ids = st["id"].to_numpy(dtype="int64")
+        q_ids = pr["id"].to_numpy(dtype="int64")
+        c_mat = np.array(list(st["vec"]), dtype="float64")
+        q_mat = np.array(list(pr["vec"]), dtype="float64")
+        c_norm = np.sqrt((c_mat * c_mat).sum(axis=1))
+        q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
+        denom = np.outer(q_norm, c_norm)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            scores = np.where(denom == 0, np.nan, (q_mat @ c_mat.T) / denom)
+        out_q, out_n, out_s = [], [], []
+        for i, qid in enumerate(q_ids):
+            col = scores[i]
+            mask = c_ids != qid
+            ids_i, col = c_ids[mask], col[mask]
+            if not ids_i.size:
+                continue
+            order = np.lexsort((ids_i, -col))[:k]
+            out_q.extend([qid] * len(order))
+            out_n.extend(ids_i[order])
+            out_s.extend(col[order])
+        return pd.DataFrame(
+            {"query_id": pd.Series(out_q, dtype="int64"),
+             "neighbor_id": pd.Series(out_n, dtype="int64"),
+             "raw_score": pd.Series(out_s, dtype="float64")}
+        )
+
+    cand = (
+        stored.unionByName(probing)
+        .groupBy("cell")
+        .applyInPandas(score_cell, "query_id bigint, neighbor_id bigint, raw_score double")
     )
-    scored = cand.withColumn("score", cosine(F.col("q_vec"), F.col("c_vec")))
+    scored = cand.withColumn(
+        "score", F.when(F.isnan("raw_score"), F.lit(None)).otherwise(F.col("raw_score"))
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc_nulls_last(), F.col("neighbor_id").asc()
     )

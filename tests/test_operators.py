@@ -169,3 +169,19 @@ def test_zscore_per_group(spark):
         ).alias("z"),
     )
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_salted_join_on_skewed_data(spark):
+    """Skew demo: 90% of the big side carries ONE key; the salted join
+    must equal the plain join exactly while spreading that key over 8
+    salt partitions."""
+    from batch_process_dpla_index_spark.operators.relational import salted_join
+
+    big = spark.range(0, 20000).selectExpr(
+        "CASE WHEN id % 10 < 9 THEN 777 ELSE id % 50 END AS k", "id AS payload"
+    )
+    small = spark.range(0, 50).selectExpr("id AS k", "concat('v', id) AS label")
+    got = salted_join(big, small, "k", n_salts=8)
+    want = big.join(small, "k")
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
