@@ -118,29 +118,50 @@ def lsh_ann_topk(
     k: int = 5,
     n_planes: int = 8,
     n_tables: int = 4,
+    use_pandas: bool = False,
 ) -> DataFrame:
     """Approximate all-pairs top-k: score only bucket-sharing candidates.
 
     Output: (query_id, neighbor_id, score, rank) — a subset of the exact
     result with tunable recall. Shuffles on (table, bucket) then on
     query_id for the top-k window; never materializes all pairs.
+
+    Physical strategy: the default expression plan wins at bench scale
+    (one fused stage, no Python-stage overhead); ``use_pandas=True``
+    switches to vectorized bucket assignment + sharded per-bucket
+    matmul scoring with lossless group-local top-k — the path that
+    wins when per-bucket candidate volume grows (same values, measured
+    equal by the oracle).
     """
-    b = lsh_buckets(corpus, id_col, vec_col, dim, n_planes, n_tables)
-    cand = (
-        b.alias("x")
-        .join(b.alias("y"), ["table", "bucket"])
-        .filter(F.col("x.id") != F.col("y.id"))
-        .select(
-            F.col("x.id").alias("query_id"),
-            F.col("x.vec").alias("q_vec"),
-            F.col("y.id").alias("neighbor_id"),
-            F.col("y.vec").alias("c_vec"),
+    if use_pandas:
+        b = lsh_buckets_pandas(corpus, id_col, vec_col, dim, n_planes, n_tables)
+        pairs = _scored_bucket_pairs(b, ordered=False, k=k).dropDuplicates(
+            ["id_a", "id_b"]
         )
-        .distinct()
-    )
-    scored = cand.withColumn("score", cosine(F.col("q_vec"), F.col("c_vec")))
+        scored = pairs.select(
+            F.col("id_a").alias("query_id"),
+            F.col("id_b").alias("neighbor_id"),
+            F.when(F.isnan("raw_score"), F.lit(None))
+            .otherwise(F.col("raw_score"))
+            .alias("score"),
+        )
+    else:
+        b = lsh_buckets(corpus, id_col, vec_col, dim, n_planes, n_tables)
+        cand = (
+            b.alias("x")
+            .join(b.alias("y"), ["table", "bucket"])
+            .filter(F.col("x.id") != F.col("y.id"))
+            .select(
+                F.col("x.id").alias("query_id"),
+                F.col("x.vec").alias("q_vec"),
+                F.col("y.id").alias("neighbor_id"),
+                F.col("y.vec").alias("c_vec"),
+            )
+            .distinct()
+        )
+        scored = cand.withColumn("score", cosine(F.col("q_vec"), F.col("c_vec")))
     w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("neighbor_id").asc()
+        F.col("score").desc_nulls_last(), F.col("neighbor_id").asc()
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -243,6 +264,7 @@ def embedding_near_dup(
     threshold: float = 0.3,
     n_planes: int = 8,
     n_tables: int = 4,
+    use_pandas: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs — the vector-space member
     of the dedup family: (id_a < id_b, score) for pairs sharing an LSH
@@ -250,8 +272,19 @@ def embedding_near_dup(
 
     Same 100 TB shape as :func:`lsh_ann_topk`: shuffle on bucket keys,
     candidate verification only — never all pairs. Recall is the LSH
-    S-curve; the verification join makes precision exact.
+    S-curve; the verification join makes precision exact. Default
+    physical strategy is the per-bucket Arrow matmul (see
+    lsh_ann_topk); ``use_pandas=False`` keeps the zero-Python
+    expression plan.
     """
+    if use_pandas:
+        b = lsh_buckets_pandas(corpus, id_col, vec_col, dim, n_planes, n_tables)
+        pairs = _scored_bucket_pairs(
+            b, ordered=True, threshold=threshold
+        ).dropDuplicates(["id_a", "id_b"])
+        return pairs.select(
+            "id_a", "id_b", F.round("raw_score", 6).alias("score")
+        )
     b = lsh_buckets(corpus, id_col, vec_col, dim, n_planes, n_tables)
     cand = (
         b.alias("x")
@@ -462,4 +495,149 @@ def ivf_topk(
             F.round("score", 6).alias("score"),
             F.col("rank").cast("int").alias("rank"),
         )
+    )
+
+
+def _hyperplane_matrix(dim: int, n_planes: int, n_tables: int):
+    """numpy twin of :func:`_hyperplane` — identical float values.
+    Shape: (n_tables, dim, n_planes)."""
+    import numpy as np
+
+    return np.array(
+        [
+            [
+                [
+                    (_h60_py(f"hp:{t}:{j}:{d}") % 2_000_003) / 1_000_001.5 - 1.0
+                    for j in range(n_planes)
+                ]
+                for d in range(dim)
+            ]
+            for t in range(n_tables)
+        ],
+        dtype="float64",
+    )
+
+
+def lsh_buckets_pandas(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_planes: int = 8,
+    n_tables: int = 4,
+) -> DataFrame:
+    """(id, vec, table, bucket) via one Arrow pass: a single
+    N×dim @ dim×(tables·planes) matmul replaces tables×planes
+    interpreted dot folds per row (vectorized twin of
+    :func:`lsh_buckets`, same sign convention: bit j set when
+    v·p_j ≥ 0)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    planes = _hyperplane_matrix(dim, n_planes, n_tables)
+    weights = (1 << np.arange(n_planes)).astype("int64")
+    id_name, vec_name = id_col, vec_col
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.array(list(pdf[vec_name]), dtype="float64")
+            ids = pdf[id_name].to_numpy(dtype="int64")
+            out_id, out_vec, out_t, out_b = [], [], [], []
+            for t in range(n_tables):
+                proj = mat @ planes[t]  # N × planes
+                buckets = ((proj >= 0) @ weights).astype("int64")
+                out_id.extend(ids)
+                out_vec.extend(pdf[vec_name])
+                out_t.extend([t] * len(ids))
+                out_b.extend(buckets)
+            yield pd.DataFrame(
+                {
+                    "id": pd.Series(out_id, dtype="int64"),
+                    "vec": out_vec,
+                    "table": pd.Series(out_t, dtype="int32"),
+                    "bucket": pd.Series(out_b, dtype="int64"),
+                }
+            )
+
+    vec_ddl = df.schema[vec_col].dataType.simpleString()
+    return df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        assign, f"id bigint, vec {vec_ddl}, table int, bucket bigint"
+    )
+
+
+def _scored_bucket_pairs(
+    buckets: DataFrame,
+    ordered: bool,
+    k: int | None = None,
+    threshold: float | None = None,
+) -> DataFrame:
+    """Per-(table, bucket) Arrow scoring: one matmul per group, emit
+    (id_a, id_b, raw_score) in-bucket pairs (a<b when ``ordered``,
+    else both directions), deduped across tables by the caller. Arrow
+    transfer is per-vector, never per-pair.
+
+    Lossless group-local pruning: ``k`` keeps only each query's k best
+    within a bucket (a candidate's global rank over the union of
+    buckets is ≥ its rank within any single bucket, so dropped rows
+    can never enter the global top-k); ``threshold`` drops
+    sub-threshold pairs early (NaN/zero-norm scores fail the
+    comparison, matching the NULL-drop semantics of the expression
+    form).
+
+    Physical grouping is (table, bucket mod n_shards) — per-Arrow-group
+    overhead amortizes over ~|buckets|/n_shards buckets (1024 singleton
+    groups cost ~7 s of pure per-group overhead at sf0.1), while each
+    group stays bounded at scale; the exact per-bucket split happens in
+    pandas inside the group."""
+    import numpy as np
+    import pandas as pd
+
+    n_shards = 8
+
+    def score_bucket(ids: "np.ndarray", mat: "np.ndarray", out):
+        norm = np.sqrt((mat * mat).sum(axis=1))
+        denom = np.outer(norm, norm)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            scores = np.where(denom == 0, np.nan, (mat @ mat.T) / denom)
+        if k is not None:
+            for i, qid in enumerate(ids):
+                col = scores[i]
+                mask = ids != qid
+                ids_i, col_i = ids[mask], col[mask]
+                order = np.lexsort((ids_i, -col_i))[:k]
+                out[0].extend([qid] * len(order))
+                out[1].extend(ids_i[order])
+                out[2].extend(col_i[order])
+            return
+        ii, jj = np.meshgrid(np.arange(len(ids)), np.arange(len(ids)), indexing="ij")
+        keep = ids[ii] < ids[jj] if ordered else ids[ii] != ids[jj]
+        if threshold is not None:
+            with np.errstate(invalid="ignore"):
+                keep = keep & (scores >= threshold)  # NaN fails → dropped
+        out[0].extend(ids[ii[keep]])
+        out[1].extend(ids[jj[keep]])
+        out[2].extend(scores[keep])
+
+    def score_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = ([], [], [])
+        for _, grp in pdf.groupby("bucket", sort=False):
+            if len(grp) >= 2:
+                score_bucket(
+                    grp["id"].to_numpy(dtype="int64"),
+                    np.array(list(grp["vec"]), dtype="float64"),
+                    out,
+                )
+        return pd.DataFrame(
+            {"id_a": pd.Series(out[0], dtype="int64"),
+             "id_b": pd.Series(out[1], dtype="int64"),
+             "raw_score": pd.Series(out[2], dtype="float64")}
+        )
+
+    sharded = buckets.withColumn("shard", F.pmod("bucket", F.lit(n_shards)))
+    return sharded.groupBy("table", "shard").applyInPandas(
+        score_shard, "id_a bigint, id_b bigint, raw_score double"
     )
