@@ -1,21 +1,24 @@
 """Similarity search over embedding columns (array<float>).
 
-Two tiers, same API:
+Four tiers, one output contract (query_id, neighbor_id, score, rank):
 
-- cosine_topk:      exact brute-force top-k — the correctness baseline.
-                    Plan: broadcast the (small) query side, crossJoin-free
-                    equi-free join, per-query top-k via window. At scale
-                    the query side is the broadcastable one by contract.
-- lsh_ann_topk:     random-hyperplane LSH (sign sketch) bucketing; only
-                    pairs sharing a bucket are scored. Approximate,
-                    recall tunable via (n_planes, n_tables). The 100 TB
-                    path: shuffle on bucket key only, never all-pairs.
+- cosine_topk:        exact brute-force top-k, pure expressions — the
+                      correctness baseline tier.
+- cosine_topk_pandas: exact top-k via Arrow batches + BLAS matmul with
+                      per-batch local top-k — the brute tier's scale
+                      path (never materializes |Q|×|C|).
+- lsh_ann_topk:       random-hyperplane LSH (sign sketch) bucketing;
+                      only bucket-sharing pairs are scored. Recall
+                      tunable via (n_planes, n_tables); shuffle on
+                      bucket keys only.
+- ivf_topk:           inverted-file coarse quantization: single-cell
+                      storage + n_probe query fan-out, per-cell Arrow
+                      matmul scoring.
 
-Hyperplanes are generated from the deterministic h60 digest of
-(table, plane, dim) so results are reproducible without any RNG state.
-A pandas_udf/BLAS batch scorer is a possible future fast path; the
-expression form keeps everything inside codegen and is plenty at
-64-dim.
+Plus embedding_near_dup (threshold pairs — the vector member of the
+dedup family). Hyperplanes/centroids derive from the deterministic
+h60 digest, so every tier is value-reproducible in the SQL oracle
+without RNG state.
 """
 
 from __future__ import annotations
