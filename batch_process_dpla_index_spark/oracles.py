@@ -783,6 +783,15 @@ SELECT event_id,
 FROM events
 """
 
+ORACLE_SQL_SUPPLIER_SHARE = """
+SELECT n.n_name AS nation,
+       count(*) AS n_suppliers,
+       round(sum(s.s_acctbal), 2) AS sum_acctbal,
+       round(sum(s.s_acctbal) / (SELECT sum(s_acctbal) FROM supplier), 6) AS share
+FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
 ORACLE_BPE_TOKEN_COUNTS = r"""
 SELECT doc_id,
        CAST(CASE WHEN trim(lower(text)) = '' THEN 0
@@ -955,6 +964,7 @@ ORACLES: dict[str, str] = {
     "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
     "props_from_json": ORACLE_PROPS_FROM_JSON,
     "thumbnail_keys": ORACLE_THUMBNAIL_KEYS,
+    "sql_supplier_share": ORACLE_SQL_SUPPLIER_SHARE,
     "bpe_token_counts": ORACLE_BPE_TOKEN_COUNTS,
     "user_cumsum": ORACLE_USER_CUMSUM,
     "ivf_topk": ORACLE_IVF_TOPK,

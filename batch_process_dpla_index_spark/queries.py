@@ -680,6 +680,26 @@ def q_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_pandas(emb, queries, "vec_id", "embedding", k=5)
 
 
+def q_sql_supplier_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure SQL-string entry (the reference's MqReports shape:
+    registered views → spark.sql → Catalyst): per-nation supplier
+    account share with a scalar subquery."""
+    from batch_process_dpla_index_spark.sources.tables import register_tables
+
+    register_tables(spark, sf_dir, suffix="_sql")
+    return spark.sql(
+        """
+        SELECT n.n_name AS nation,
+               count(*) AS n_suppliers,
+               round(sum(s.s_acctbal), 2) AS sum_acctbal,
+               round(sum(s.s_acctbal)
+                     / (SELECT sum(s_acctbal) FROM supplier_sql), 6) AS share
+        FROM supplier_sql s JOIN nation_sql n ON s.s_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+        """
+    )
+
+
 def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish regex token counting beside the whitespace count (the
     two token-counting tiers of the text pipeline)."""
@@ -881,6 +901,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "props_from_json": q_props_from_json,
     "approx_distinct_users": q_approx_distinct_users,
     "thumbnail_keys": q_thumbnail_keys,
+    "sql_supplier_share": q_sql_supplier_share,
     "bpe_token_counts": q_bpe_token_counts,
     "user_cumsum": q_user_cumsum,
     "ivf_topk": q_ivf_topk,

@@ -44,3 +44,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_tables(spark: SparkSession, sf_dir: str, suffix: str = "") -> list[str]:
+    """Register every fixture table as a temp view (`<name><suffix>`) so
+    callers can hit the engine through the SQL-string entry path — the
+    reference's own MqReports shape (spark.sql over a registered view).
+    Returns the view names."""
+    names = []
+    for name in TABLES:
+        view = f"{name}{suffix}"
+        load_table(spark, sf_dir, name).createOrReplaceTempView(view)
+        names.append(view)
+    return names

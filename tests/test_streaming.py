@@ -75,3 +75,81 @@ def test_running_user_totals_state(spark, events_dir):
         F.round(F.max("total_value"), 6).alias("total_value"),
     )
     assert latest.exceptAll(want).count() == 0 and want.exceptAll(latest).count() == 0
+
+
+def test_streaming_session_matches_batch(spark, events_dir):
+    from batch_process_dpla_index_spark.streaming.windows import session_agg
+
+    ev = spark.read.parquet(events_dir)
+    stream = spark.readStream.schema(ev.schema).parquet(events_dir)
+    sessions = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    name = f"ss_{uuid.uuid4().hex[:8]}"
+    got = run_stream_to_batch(sessions, name).select(
+        F.col("win.start").alias("ws"), "user_id", "n_events"
+    )
+    want = session_agg(
+        ev, "ts", "30 minutes", ["user_id"], [F.count("*").alias("n_events")]
+    ).select(F.col("win.start").alias("ws"), "user_id", "n_events")
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_streaming_watermark_drops_late_rows(spark, tmp_path):
+    """Watermark semantics across restarts: a row arriving behind the
+    checkpointed watermark is DROPPED — proven by the finalized
+    window's count excluding it (not merely by its window not
+    showing, which pending-emission would also explain)."""
+    from datetime import datetime
+
+    schema = "event_id BIGINT, ts TIMESTAMP, v DOUBLE"
+    src = tmp_path / "late_src"
+    out = str(tmp_path / "late_out")
+    cp = str(tmp_path / "late_cp")
+    src.mkdir()
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        agg = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("win"))
+            .agg(F.count("*").alias("n"))
+            .select(F.col("win.start").alias("ws"), "n")
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    fresh = spark.createDataFrame(
+        [(1, datetime(2024, 1, 10, 12, 0), 1.0),
+         (2, datetime(2024, 1, 10, 12, 30), 1.0)],
+        schema,
+    )
+    fresh.coalesce(1).write.parquet(str(src), mode="append")
+    run_once()  # watermark checkpointed at 12:20
+
+    late = spark.createDataFrame(
+        [(3, datetime(2024, 1, 10, 12, 45), 1.0)], schema
+    ).withColumn("ts", F.lit(datetime(2024, 1, 1, 0, 0)))  # 9 days behind
+    late.coalesce(1).write.parquet(str(src), mode="append")
+    run_once()  # late row is behind the restored watermark → dropped
+
+    advance = spark.createDataFrame(
+        [(4, datetime(2024, 1, 10, 15, 0), 1.0)], schema
+    )
+    advance.coalesce(1).write.parquet(str(src), mode="append")
+    run_once()  # watermark → 14:50; the 12:00 window finalizes
+
+    rows = {(str(r["ws"]), r["n"]) for r in spark.read.parquet(out).collect()}
+    # the finalized 12:00 window counts ONLY the two fresh rows…
+    assert ("2024-01-10 12:00:00", 2) in rows, rows
+    # …and the dropped late row's window never materialized
+    assert not any("2024-01-01" in w for w, _ in rows), rows
