@@ -35,7 +35,8 @@ from pyspark.sql import functions as F
 
 from batch_process_dpla_index_spark.functions.text import h60, tokens, word_shingles
 
-# 2^31-1, Mersenne prime: keeps a*h+b < 2^61 (ANSI-safe, no overflow).
+# 2^31-1, Mersenne prime: keeps a*h+b < 2^62 (int64-safe with headroom;
+# ANSI mode never overflows).
 _MERSENNE = 2_147_483_647
 
 

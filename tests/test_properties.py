@@ -1,0 +1,68 @@
+"""Property-based tests (hypothesis) for the pure-Python seams:
+manifest round-trip, purge batching, hash-param bounds, h60 twins.
+No SparkSession — these run in milliseconds."""
+
+from __future__ import annotations
+
+import hashlib
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from batch_process_dpla_index_spark.io.manifest import build_manifest, parse_manifest
+from batch_process_dpla_index_spark.operators.dedup import _MERSENNE, _perm_params
+from batch_process_dpla_index_spark.operators.similarity import _h60_py
+from batch_process_dpla_index_spark.products.thumbnail_purge import thumbnail_prefix
+
+_key = st.text(
+    alphabet=st.characters(whitelist_categories=("L", "N"), whitelist_characters=" -_"),
+    min_size=1,
+    max_size=30,
+).filter(lambda s: s.strip() == s and ": " not in s)
+_val = st.text(
+    alphabet=st.characters(whitelist_categories=("L", "N"), whitelist_characters=" -_./"),
+    max_size=50,
+)
+
+
+@given(st.dictionaries(_key, _val, max_size=8))
+@settings(max_examples=100)
+def test_manifest_roundtrip(opts):
+    text = build_manifest(opts, timestamp="2026-08-13T00:00:00Z")
+    parsed = parse_manifest(text)
+    for k, v in opts.items():
+        assert parsed[k] == v
+    assert parsed["Start date/time of file generation"] == "2026-08-13T00:00:00Z"
+    # sorted key order is part of the product contract
+    lines = [line.split(": ", 1)[0] for line in text.splitlines()]
+    assert lines == sorted(lines)
+
+
+@given(st.integers(min_value=1, max_value=256), st.integers(min_value=0, max_value=2**31))
+@settings(max_examples=50)
+def test_perm_params_bounds_and_determinism(n, seed):
+    a = _perm_params(n, seed)
+    b = _perm_params(n, seed)
+    assert a == b and len(a) == n
+    for x, y in a:
+        # a in [1, p-2], b in [0, p-1] → a*h + b < 2^62 for h < p
+        # (int64-safe with headroom; ANSI mode never overflows)
+        assert 1 <= x <= _MERSENNE - 2 and 0 <= y < _MERSENNE
+        assert x * (_MERSENNE - 1) + y < 1 << 62
+
+
+@given(st.text(max_size=60))
+@settings(max_examples=100)
+def test_h60_py_range_and_definition(s):
+    h = _h60_py(s)
+    assert 0 <= h < 1 << 60
+    assert h == int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
+@given(st.text(alphabet="abcdef0123456789", min_size=4, max_size=32))
+@settings(max_examples=100)
+def test_thumbnail_prefix_shape(dpla_id):
+    key = thumbnail_prefix(dpla_id)
+    parts = key.split("/")
+    assert parts[:4] == list(dpla_id[:4])
+    assert parts[4] == f"{dpla_id}.jpg"
