@@ -198,3 +198,35 @@ def bpe_tokens(col: Column) -> Column:
 
 def bpe_token_count(col: Column) -> Column:
     return F.size(bpe_tokens(col)).cast("bigint")
+
+
+#: PII patterns (ASCII, lookahead-free — portable between Java regex
+#: and RE2): email addresses, IPv4 addresses, long digit runs (phone/
+#: account numbers). Order matters: emails first so their digits
+#: aren't half-eaten by the number rule.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "<EMAIL>"),
+    (r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    (r"\b[0-9][0-9 \-]{6,}[0-9]\b", "<NUMBER>"),
+)
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace emails / IPv4s / long digit runs with typed placeholders
+    — the scrubbing pass of a training-data pipeline, kept as chained
+    regexp_replace so it stays in the scan's projection."""
+    out = col
+    for pattern, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+def repetition_ratio_tok(tok: Column, n: int = 2) -> Column:
+    """Fraction of within-document n-grams that are repeats of an
+    earlier n-gram (Gopher-style repetition signal): 1 - distinct/total.
+    0.0 for docs with no n-grams."""
+    grams = word_shingles(tok, n)
+    total = F.size(grams)
+    return F.when(total <= 0, F.lit(0.0)).otherwise(
+        1.0 - F.size(F.array_distinct(grams)).cast("double") / total.cast("double")
+    )

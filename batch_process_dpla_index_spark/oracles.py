@@ -783,6 +783,58 @@ SELECT event_id,
 FROM events
 """
 
+ORACLE_PII_REDACTION = r"""
+WITH dirty AS (
+    SELECT doc_id,
+           text
+           || CASE WHEN doc_id % 3 = 0
+                   THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                   ELSE '' END
+           || CASE WHEN doc_id % 4 = 0
+                   THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+                   ELSE '' END AS d
+    FROM documents
+), clean AS (
+    SELECT doc_id, d,
+           regexp_replace(regexp_replace(regexp_replace(d,
+               '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+               '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+               '\b[0-9][0-9 \-]{6,}[0-9]\b', '<NUMBER>', 'g') AS c
+    FROM dirty
+)
+SELECT doc_id,
+       CAST(length(d) AS BIGINT) AS dirty_len,
+       CAST(length(c) AS BIGINT) AS clean_len,
+       CAST(CASE WHEN c <> d THEN 1 ELSE 0 END AS INTEGER) AS was_redacted,
+       CAST(length(c) - length(replace(c, '<EMAIL>', '')) AS INTEGER) AS email_chars
+FROM clean
+"""
+
+ORACLE_REPETITION_STATS = f"""
+WITH {_DOC_TOK_CTE}, reps AS (
+    SELECT source,
+           CASE WHEN len({_shingles("tok", 2)}) <= 0 THEN 0.0
+                ELSE 1.0 - CAST(len(list_distinct({_shingles("tok", 2)})) AS DOUBLE)
+                           / CAST(len({_shingles("tok", 2)}) AS DOUBLE)
+           END AS rep
+    FROM doc_tok
+)
+SELECT source,
+       round(avg(rep), 6) AS avg_repetition,
+       round(max(rep), 6) AS max_repetition,
+       count(*) AS n_docs
+FROM reps GROUP BY source
+"""
+
+ORACLE_TOP_BIGRAMS = f"""
+WITH {_DOC_TOK_CTE}
+SELECT bigram, count(*) AS n
+FROM (SELECT unnest({_shingles("tok", 2)}) AS bigram FROM doc_tok)
+GROUP BY bigram
+ORDER BY n DESC, bigram ASC
+LIMIT 20
+"""
+
 ORACLE_SQL_SUPPLIER_SHARE = """
 SELECT n.n_name AS nation,
        count(*) AS n_suppliers,
@@ -964,6 +1016,9 @@ ORACLES: dict[str, str] = {
     "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
     "props_from_json": ORACLE_PROPS_FROM_JSON,
     "thumbnail_keys": ORACLE_THUMBNAIL_KEYS,
+    "pii_redaction": ORACLE_PII_REDACTION,
+    "repetition_stats": ORACLE_REPETITION_STATS,
+    "top_bigrams": ORACLE_TOP_BIGRAMS,
     "sql_supplier_share": ORACLE_SQL_SUPPLIER_SHARE,
     "bpe_token_counts": ORACLE_BPE_TOKEN_COUNTS,
     "user_cumsum": ORACLE_USER_CUMSUM,

@@ -680,6 +680,66 @@ def q_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_pandas(emb, queries, "vec_id", "embedding", k=5)
 
 
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data scrubbing: inject deterministic PII into documents
+    (closed-form from doc_id so the oracle reproduces it), redact, and
+    report per-doc changed flags + redacted lengths."""
+    from batch_process_dpla_index_spark.functions.text import redact_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    m = F.col("doc_id")
+    dirty = F.concat(
+        F.col("text"),
+        F.when((m % 3) == 0, F.concat(F.lit(" contact user"), m.cast("string"), F.lit("@example.com")))
+        .otherwise(F.lit("")),
+        F.when((m % 4) == 0, F.concat(F.lit(" from 10.0."), (m % 256).cast("string"), F.lit(".7")))
+        .otherwise(F.lit("")),
+    )
+    clean = redact_pii(dirty)
+    return docs.select(
+        "doc_id",
+        F.length(dirty).cast("bigint").alias("dirty_len"),
+        F.length(clean).cast("bigint").alias("clean_len"),
+        (clean != dirty).cast("int").alias("was_redacted"),
+        (F.length(clean) - F.length(F.replace(clean, F.lit("<EMAIL>"), F.lit("")))).alias("email_chars"),
+    )
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc bigram repetition ratio (Gopher-style quality
+    signal), bucketed per source."""
+    from batch_process_dpla_index_spark.functions.text import repetition_ratio_tok
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("source", tokens(F.col("text")).alias("__tok"))
+    return (
+        base.select("source", repetition_ratio_tok(F.col("__tok"), 2).alias("rep"))
+        .groupBy("source")
+        .agg(
+            F.round(F.avg("rep"), 6).alias("avg_repetition"),
+            F.round(F.max("rep"), 6).alias("max_repetition"),
+            F.count("*").alias("n_docs"),
+        )
+    )
+
+
+def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 bigrams (stop-gram mining): explode →
+    count → top-k. The explode-count is one partial+final hash agg;
+    top-k is TakeOrdered — no global sort at any scale."""
+    from batch_process_dpla_index_spark.functions.text import word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        F.explode(word_shingles(tokens(F.col("text")), 2)).alias("bigram")
+    )
+    return top_k(
+        grams.groupBy("bigram").agg(F.count("*").alias("n")),
+        [F.col("n").desc(), F.col("bigram").asc()],
+        20,
+    )
+
+
 def q_sql_supplier_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pure SQL-string entry (the reference's MqReports shape:
     registered views → spark.sql → Catalyst): per-nation supplier
@@ -901,6 +961,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "props_from_json": q_props_from_json,
     "approx_distinct_users": q_approx_distinct_users,
     "thumbnail_keys": q_thumbnail_keys,
+    "pii_redaction": q_pii_redaction,
+    "repetition_stats": q_repetition_stats,
+    "top_bigrams": q_top_bigrams,
     "sql_supplier_share": q_sql_supplier_share,
     "bpe_token_counts": q_bpe_token_counts,
     "user_cumsum": q_user_cumsum,
