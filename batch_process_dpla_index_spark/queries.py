@@ -730,8 +730,8 @@ def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     from batch_process_dpla_index_spark.functions.text import word_shingles
 
     docs = load_table(spark, sf_dir, "documents")
-    grams = docs.select(
-        F.explode(word_shingles(tokens(F.col("text")), 2)).alias("bigram")
+    grams = docs.select(tokens(F.col("text")).alias("__tok")).select(
+        F.explode(word_shingles(F.col("__tok"), 2)).alias("bigram")
     )
     return top_k(
         grams.groupBy("bigram").agg(F.count("*").alias("n")),
