@@ -783,6 +783,13 @@ SELECT event_id,
 FROM events
 """
 
+ORACLE_GROUPING_SETS = """
+SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+       round(sum(l_extendedprice), 2) AS sum_price
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
 ORACLE_PII_REDACTION = r"""
 WITH dirty AS (
     SELECT doc_id,
@@ -1016,6 +1023,7 @@ ORACLES: dict[str, str] = {
     "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
     "props_from_json": ORACLE_PROPS_FROM_JSON,
     "thumbnail_keys": ORACLE_THUMBNAIL_KEYS,
+    "grouping_sets": ORACLE_GROUPING_SETS,
     "pii_redaction": ORACLE_PII_REDACTION,
     "repetition_stats": ORACLE_REPETITION_STATS,
     "top_bigrams": ORACLE_TOP_BIGRAMS,

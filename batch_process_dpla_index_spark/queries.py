@@ -680,6 +680,23 @@ def q_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_pandas(emb, queries, "vec_id", "embedding", k=5)
 
 
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the third grouping-set form beside
+    rollup_flags and cube_flags), via the SQL entry path."""
+    from batch_process_dpla_index_spark.sources.tables import register_tables
+
+    register_tables(spark, sf_dir, suffix="_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n_rows,
+               round(sum(l_extendedprice), 2) AS sum_price
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
 def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data scrubbing: inject deterministic PII into documents
     (closed-form from doc_id so the oracle reproduces it), redact, and
@@ -961,6 +978,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "props_from_json": q_props_from_json,
     "approx_distinct_users": q_approx_distinct_users,
     "thumbnail_keys": q_thumbnail_keys,
+    "grouping_sets": q_grouping_sets,
     "pii_redaction": q_pii_redaction,
     "repetition_stats": q_repetition_stats,
     "top_bigrams": q_top_bigrams,

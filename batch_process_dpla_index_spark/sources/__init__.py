@@ -1,3 +1,8 @@
-from batch_process_dpla_index_spark.sources.tables import TABLES, load_table, load_tables
+from batch_process_dpla_index_spark.sources.tables import (
+    TABLES,
+    load_table,
+    load_tables,
+    register_tables,
+)
 
-__all__ = ["TABLES", "load_table", "load_tables"]
+__all__ = ["TABLES", "load_table", "load_tables", "register_tables"]
