@@ -465,3 +465,28 @@ def dedup_survivors(
         F.col("node").alias(id_col)
     )
     return df.join(F.broadcast(losers), id_col, "left_anti")
+
+
+def hash_sample(df: DataFrame, key_col: str, fraction: float, salt: str = "sample") -> DataFrame:
+    """Deterministic hash sampling: keep rows where
+    h60(salt‖key) mod 10000 < fraction·10000.
+
+    Unlike ``df.sample`` (seeded per-partition RNG — resample on every
+    repartition), the kept set is a pure function of the key: stable
+    across runs, cluster layouts, and engines (the SQL oracle
+    reproduces it exactly) — the reproducibility contract a
+    training-data pipeline needs.
+    """
+    bucket = F.pmod(h60(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string"))), F.lit(10_000))
+    return df.filter(bucket < int(round(fraction * 10_000)))
+
+
+def hash_split(df: DataFrame, key_col: str, val_fraction: float = 0.1, salt: str = "split") -> DataFrame:
+    """Deterministic train/validation assignment: adds ``split`` ∈
+    {'train','val'} as a pure function of the key (same stability
+    contract as :func:`hash_sample`)."""
+    bucket = F.pmod(h60(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string"))), F.lit(10_000))
+    return df.withColumn(
+        "split",
+        F.when(bucket < int(round(val_fraction * 10_000)), F.lit("val")).otherwise(F.lit("train")),
+    )

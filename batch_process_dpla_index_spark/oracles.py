@@ -783,6 +783,54 @@ SELECT event_id,
 FROM events
 """
 
+_SAMPLE_BUCKET = _h60("'sample:' || CAST(doc_id AS VARCHAR)") + " % 10000"
+_SPLIT_BUCKET = _h60("'split:' || CAST(doc_id AS VARCHAR)") + " % 10000"
+
+ORACLE_HASH_SAMPLE_SPLIT = f"""
+WITH sampled AS (
+    SELECT doc_id, source FROM documents WHERE {_SAMPLE_BUCKET} < 5000
+), split AS (
+    SELECT source,
+           CASE WHEN {_SPLIT_BUCKET} < 2000 THEN 'val' ELSE 'train' END AS split,
+           doc_id
+    FROM sampled
+)
+SELECT source, split, count(*) AS n_docs, min(doc_id) AS min_doc
+FROM split GROUP BY source, split
+"""
+
+ORACLE_TRAINING_PREP = f"""
+WITH {_DOC_TOK_CTE}, m AS (
+    SELECT doc_id, source, text,
+           CAST(len(tok) AS BIGINT) AS n_tokens,
+           CASE WHEN len(tok) = 0 THEN 0.0
+                ELSE CAST(list_sum(list_transform(tok, t -> length(t))) AS DOUBLE) / CAST(len(tok) AS DOUBLE)
+           END AS mtl,
+           CASE WHEN length({_nrm("text")}) = 0 THEN 0.0
+                ELSE CAST(length(regexp_replace({_nrm("text")}, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+                     / CAST(length({_nrm("text")}) AS DOUBLE)
+           END AS pr,
+           CASE WHEN len(tok) = 0 THEN 0.0
+                ELSE CAST({_stop_hits("tok", "en")} AS DOUBLE) / CAST(len(tok) AS DOUBLE)
+           END AS swr
+    FROM doc_tok
+), q AS (
+    SELECT doc_id, source, text FROM m
+    WHERE ((CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 1.0 ELSE 0.0 END)
+         + (CASE WHEN mtl >= 2.0 AND mtl <= 12.0 THEN 1.0 ELSE 0.0 END)
+         + (CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.0 END)
+         + (CASE WHEN swr > 0.0 THEN 1.0 ELSE 0.0 END)) / 4.0 >= 0.75
+), surv AS (
+    SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)
+), kept AS (
+    SELECT q.* FROM q JOIN surv USING (doc_id)
+), samp AS (
+    SELECT * FROM kept WHERE {_SAMPLE_BUCKET} < 8000
+)
+SELECT source, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM samp GROUP BY source
+"""
+
 ORACLE_GROUPING_SETS = """
 SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
        round(sum(l_extendedprice), 2) AS sum_price
@@ -1023,6 +1071,8 @@ ORACLES: dict[str, str] = {
     "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
     "props_from_json": ORACLE_PROPS_FROM_JSON,
     "thumbnail_keys": ORACLE_THUMBNAIL_KEYS,
+    "hash_sample_split": ORACLE_HASH_SAMPLE_SPLIT,
+    "training_prep": ORACLE_TRAINING_PREP,
     "grouping_sets": ORACLE_GROUPING_SETS,
     "pii_redaction": ORACLE_PII_REDACTION,
     "repetition_stats": ORACLE_REPETITION_STATS,

@@ -680,6 +680,49 @@ def q_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_pandas(emb, queries, "vec_id", "embedding", k=5)
 
 
+def q_hash_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash sampling + train/val split: kept set and
+    split assignment are pure functions of doc_id — reproducible
+    across runs/engines (vs. df.sample's per-partition RNG)."""
+    from batch_process_dpla_index_spark.operators.dedup import hash_sample, hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    sampled = hash_sample(docs, "doc_id", 0.5)
+    return (
+        hash_split(sampled, "doc_id", 0.2)
+        .groupBy("source", "split")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc"))
+    )
+
+
+def q_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed training-data prep pipeline: quality-filter →
+    exact-dedup survivors → deterministic sample → per-source stats.
+    Each stage is one of the verified operators; the oracle replays
+    the whole composition in SQL."""
+    from batch_process_dpla_index_spark.functions.text import (
+        normalize as _nrm_fn,
+        quality_score_tok,
+    )
+    from batch_process_dpla_index_spark.operators.dedup import exact_dedup, hash_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "source", "text",
+        tokens(F.col("text")).alias("__tok"),
+        _nrm_fn(F.col("text")).alias("__nrm"),
+    )
+    quality_ok = base.filter(
+        quality_score_tok(F.col("__tok"), F.col("__nrm")) >= 0.75
+    ).select("doc_id", "source", "text")
+    survivors = exact_dedup(quality_ok, "text", "doc_id")
+    kept = quality_ok.join(survivors, "doc_id", "semi")
+    sampled = hash_sample(kept, "doc_id", 0.8)
+    return sampled.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("doc_id").alias("id_sum")
+    )
+
+
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS (the third grouping-set form beside
     rollup_flags and cube_flags), via the SQL entry path."""
@@ -978,6 +1021,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "props_from_json": q_props_from_json,
     "approx_distinct_users": q_approx_distinct_users,
     "thumbnail_keys": q_thumbnail_keys,
+    "hash_sample_split": q_hash_sample_split,
+    "training_prep": q_training_prep,
     "grouping_sets": q_grouping_sets,
     "pii_redaction": q_pii_redaction,
     "repetition_stats": q_repetition_stats,
