@@ -115,3 +115,19 @@ def test_partitioned_write_prunes(spark, tmp_path_factory):
     n = back.count()
     want = orders.filter("year = 1995 AND month = 3").count()
     assert n == want > 0
+
+
+def test_wholestage_codegen_active(spark):
+    """The scan→filter→partial-agg pipeline must sit inside
+    WholeStageCodegen stages (the `*(n)` markers; AQE's wrapper hides
+    them at explain time, so plan with AQE off — and flip the conf
+    AFTER building the query, because the loader's tune() re-asserts
+    AQE on)."""
+    df = QUERIES["pricing_summary"](spark, SF_DIR)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        # physical planning happens lazily here, under adaptive=false
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "*(" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
