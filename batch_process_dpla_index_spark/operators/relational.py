@@ -77,3 +77,63 @@ def salted_join(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )
     return salted_big.join(salted_small, [key, "__salt"]).drop("__salt")
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """Backward as-of join: each left row picks up the value columns of
+    the LATEST right row with ``right.ts <= left.ts`` for the same key
+    (NULL when no prior right row exists) — the time-series join Spark
+    has no built-in for (the brief's canonical custom-operator example).
+
+    Composition, not a new engine primitive: tag + unionByName both
+    sides, one window sorted by (ts, side) per key carrying the right
+    values forward with last(..., ignorenulls), then keep left rows.
+    ONE shuffle on the key (same cost as a sort-merge join), no range
+    explosion, AQE-skew-safe; right rows at exactly left.ts win (ties
+    ordered right-before-left).
+    """
+    from pyspark.sql.window import Window
+
+    rv_ddl = (
+        "struct<"
+        + ",".join(f"{c}:{right.schema[c].dataType.simpleString()}" for c in value_cols)
+        + ">"
+    )
+    l_ddl = (
+        "struct<"
+        + ",".join(f"{f.name}:{f.dataType.simpleString()}" for f in left.schema.fields)
+        + ">"
+    )
+    l_tag = left.select(
+        F.col(key), F.col(left_ts).alias("__ts"), F.lit(1).alias("__is_left"),
+        F.lit(None).cast(rv_ddl).alias("__rv"),
+        F.struct(*left.columns).alias("__row"),
+    )
+    r_tag = right.select(
+        F.col(key), F.col(right_ts).alias("__ts"), F.lit(0).alias("__is_left"),
+        # one struct per right row so all carried values come from the
+        # SAME matched row even when some of its columns are null
+        F.struct(*[F.col(c) for c in value_cols]).alias("__rv"),
+        F.lit(None).cast(l_ddl).alias("__row"),
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col("__ts").asc(), F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l_tag.unionByName(r_tag).select(
+        "__is_left",
+        "__row",
+        F.last("__rv", ignorenulls=True).over(w).alias("__m"),
+    )
+    return carried.filter(F.col("__is_left") == 1).select(
+        *[F.col(f"__row.{c}").alias(c) for c in left.columns],
+        *[F.col(f"__m.{c}").alias(c) for c in value_cols],
+    )

@@ -783,6 +783,20 @@ SELECT event_id,
 FROM events
 """
 
+# Independent-algorithm oracle: DuckDB's native ASOF JOIN (binary
+# search per key) vs our union+window carry — same semantics, totally
+# different execution.
+ORACLE_ASOF_PURCHASES = """
+SELECT l.event_id, l.user_id,
+       r.purchase_value, r.purchase_ts
+FROM events l
+ASOF LEFT JOIN (
+    SELECT user_id, ts, round(value, 6) AS purchase_value,
+           epoch_us(ts) AS purchase_ts
+    FROM events WHERE event_type = 'purchase'
+) r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
 _SAMPLE_BUCKET = _h60("'sample:' || CAST(doc_id AS VARCHAR)") + " % 10000"
 _SPLIT_BUCKET = _h60("'split:' || CAST(doc_id AS VARCHAR)") + " % 10000"
 
@@ -1071,6 +1085,7 @@ ORACLES: dict[str, str] = {
     "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
     "props_from_json": ORACLE_PROPS_FROM_JSON,
     "thumbnail_keys": ORACLE_THUMBNAIL_KEYS,
+    "asof_purchases": ORACLE_ASOF_PURCHASES,
     "hash_sample_split": ORACLE_HASH_SAMPLE_SPLIT,
     "training_prep": ORACLE_TRAINING_PREP,
     "grouping_sets": ORACLE_GROUPING_SETS,

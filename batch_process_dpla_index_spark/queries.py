@@ -680,6 +680,27 @@ def q_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_pandas(emb, queries, "vec_id", "embedding", k=5)
 
 
+def q_asof_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (the brief's canonical custom operator):
+    every event picks up the latest at-or-before purchase of the same
+    user. Verified against DuckDB's NATIVE ASOF JOIN — an independent
+    algorithm, not a transliteration of our union+window plan."""
+    from batch_process_dpla_index_spark.operators.relational import as_of_join
+
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.select("event_id", "user_id", "ts")
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.round("value", 6).alias("purchase_value"),
+        F.unix_micros("ts").alias("purchase_ts"),
+    )
+    out = as_of_join(
+        left, right, "user_id", "ts", "ts", ["purchase_value", "purchase_ts"]
+    )
+    return out.select("event_id", "user_id", "purchase_value", "purchase_ts")
+
+
 def q_hash_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash sampling + train/val split: kept set and
     split assignment are pure functions of doc_id — reproducible
@@ -1021,6 +1042,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "props_from_json": q_props_from_json,
     "approx_distinct_users": q_approx_distinct_users,
     "thumbnail_keys": q_thumbnail_keys,
+    "asof_purchases": q_asof_purchases,
     "hash_sample_split": q_hash_sample_split,
     "training_prep": q_training_prep,
     "grouping_sets": q_grouping_sets,

@@ -185,3 +185,29 @@ def test_salted_join_on_skewed_data(spark):
     want = big.join(small, "k")
     assert got.count() == want.count()
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_as_of_join_edges(spark):
+    """Exact-timestamp match wins (backward-inclusive); no prior right
+    row → NULLs; values come from the same matched row."""
+    from datetime import datetime
+
+    from batch_process_dpla_index_spark.operators.relational import as_of_join
+
+    t = lambda m: datetime(2024, 1, 1, 0, m)
+    left = spark.createDataFrame(
+        [(1, 100, t(5)), (2, 100, t(10)), (3, 100, t(2)), (4, 200, t(30))],
+        "eid BIGINT, k BIGINT, ts TIMESTAMP",
+    )
+    right = spark.createDataFrame(
+        [(100, t(5), 50.0, "a"), (100, t(9), 90.0, "b"), (200, t(31), 1.0, "c")],
+        "k BIGINT, ts TIMESTAMP, v DOUBLE, tag STRING",
+    )
+    out = {
+        r["eid"]: (r["v"], r["tag"])
+        for r in as_of_join(left, right, "k", "ts", "ts", ["v", "tag"]).collect()
+    }
+    assert out[1] == (50.0, "a")   # exact-ts right row matches
+    assert out[2] == (90.0, "b")   # latest at-or-before 10 → 9
+    assert out[3] == (None, None)  # before any right row
+    assert out[4] == (None, None)  # right row is in the future
