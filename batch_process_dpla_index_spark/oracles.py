@@ -783,6 +783,28 @@ SELECT event_id,
 FROM events
 """
 
+ORACLE_VALUE_PERCENTILES = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95,
+       round(stddev_pop(value), 6) AS sd,
+       round(corr(value, CAST(json_extract(props, '$.k') AS DOUBLE)), 6) AS corr_vk
+FROM events
+GROUP BY event_type
+"""
+
+# DuckDB has no width_bucket — spell out its definition:
+# 0 below lo, n+1 at/above hi, else floor((v-lo)/width)+1.
+ORACLE_PRICE_HISTOGRAM = """
+SELECT CAST(CASE WHEN o_totalprice < 0.0 THEN 0
+                 WHEN o_totalprice >= 600000.0 THEN 13
+                 ELSE CAST(floor(o_totalprice / 50000.0) AS BIGINT) + 1
+            END AS BIGINT) AS bucket,
+       count(*) AS n_orders
+FROM orders
+GROUP BY bucket
+"""
+
 # Independent-algorithm oracle: DuckDB's native ASOF JOIN (binary
 # search per key) vs our union+window carry — same semantics, totally
 # different execution.
@@ -1085,6 +1107,8 @@ ORACLES: dict[str, str] = {
     "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
     "props_from_json": ORACLE_PROPS_FROM_JSON,
     "thumbnail_keys": ORACLE_THUMBNAIL_KEYS,
+    "value_percentiles": ORACLE_VALUE_PERCENTILES,
+    "price_histogram": ORACLE_PRICE_HISTOGRAM,
     "asof_purchases": ORACLE_ASOF_PURCHASES,
     "hash_sample_split": ORACLE_HASH_SAMPLE_SPLIT,
     "training_prep": ORACLE_TRAINING_PREP,

@@ -680,6 +680,31 @@ def q_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_pandas(emb, queries, "vec_id", "embedding", k=5)
 
 
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles + dispersion stats per event
+    type (F.percentile is the exact form; percentile_approx is the
+    sketch tier — compared via its own accuracy-bound test)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", 0.5), 6).alias("p50"),
+        F.round(F.percentile("value", 0.95), 6).alias("p95"),
+        F.round(F.stddev_pop("value"), 6).alias("sd"),
+        F.round(F.corr("value", F.get_json_object("props", "$.k").cast("double")), 6).alias("corr_vk"),
+    )
+
+
+def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram via width_bucket over order totals."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.width_bucket("o_totalprice", F.lit(0.0), F.lit(600000.0), F.lit(12)).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
 def q_asof_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backward as-of join (the brief's canonical custom operator):
     every event picks up the latest at-or-before purchase of the same
@@ -1042,6 +1067,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "props_from_json": q_props_from_json,
     "approx_distinct_users": q_approx_distinct_users,
     "thumbnail_keys": q_thumbnail_keys,
+    "value_percentiles": q_value_percentiles,
+    "price_histogram": q_price_histogram,
     "asof_purchases": q_asof_purchases,
     "hash_sample_split": q_hash_sample_split,
     "training_prep": q_training_prep,
