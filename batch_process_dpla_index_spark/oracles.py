@@ -783,6 +783,24 @@ SELECT event_id,
 FROM events
 """
 
+ORACLE_PIVOT_STATUS = """
+SELECT c_mktsegment,
+       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O,
+       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS P
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+# DuckDB dayofweek/dow is 0=Sunday; Spark's dayofweek is 1=Sunday.
+ORACLE_EVENT_CALENDAR = """
+SELECT CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+       CAST(hour(ts) AS INTEGER) AS hod,
+       count(*) AS n_events
+FROM events
+GROUP BY dow, hod
+"""
+
 ORACLE_VALUE_PERCENTILES = """
 SELECT event_type,
        round(quantile_cont(value, 0.5), 6) AS p50,
@@ -1107,6 +1125,8 @@ ORACLES: dict[str, str] = {
     "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
     "props_from_json": ORACLE_PROPS_FROM_JSON,
     "thumbnail_keys": ORACLE_THUMBNAIL_KEYS,
+    "pivot_status": ORACLE_PIVOT_STATUS,
+    "event_calendar": ORACLE_EVENT_CALENDAR,
     "value_percentiles": ORACLE_VALUE_PERCENTILES,
     "price_histogram": ORACLE_PRICE_HISTOGRAM,
     "asof_purchases": ORACLE_ASOF_PURCHASES,

@@ -680,6 +680,38 @@ def q_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_pandas(emb, queries, "vec_id", "embedding", k=5)
 
 
+def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide): order-status counts per market segment.
+    Explicit value list so the plan is a single agg (no extra
+    distinct-values job)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = join_dim(
+        orders, customer, F.col("o_custkey") == F.col("c_custkey")
+    )
+    return (
+        joined.groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+
+
+def q_event_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar bucketing (F11 family): day-of-week × hour-of-day event
+    counts (Spark dayofweek is 1=Sunday; the oracle maps its 0=Sunday
+    dow accordingly)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.dayofweek("ts").alias("dow"),
+            F.hour("ts").alias("hod"),
+        )
+        .groupBy("dow", "hod")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
 def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles + dispersion stats per event
     type (F.percentile is the exact form; percentile_approx is the
@@ -1067,6 +1099,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "props_from_json": q_props_from_json,
     "approx_distinct_users": q_approx_distinct_users,
     "thumbnail_keys": q_thumbnail_keys,
+    "pivot_status": q_pivot_status,
+    "event_calendar": q_event_calendar,
     "value_percentiles": q_value_percentiles,
     "price_histogram": q_price_histogram,
     "asof_purchases": q_asof_purchases,
