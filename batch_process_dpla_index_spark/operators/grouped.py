@@ -64,3 +64,22 @@ def normalize_per_group(events: DataFrame) -> DataFrame:
         .groupBy("user_id")
         .applyInPandas(z, ZSCORE_SCHEMA)
     )
+
+
+def sentence_udtf():
+    """Python UDTF (Spark 4 table-function surface): one input doc →
+    N (sent_no, sentence) rows, splitting on '. ' — the lateral-join
+    row-expansion shape (a codec/tokenizer would slot in the same
+    eval loop). Register with ``spark.udtf.register`` and use via
+    LATERAL in SQL, or call directly as a relation function."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, sent_no int, sentence string")
+    class SplitSentences:
+        def eval(self, doc_id, text):
+            if text is None:
+                return
+            for i, seg in enumerate(text.split(". ")):
+                yield doc_id, i, seg
+
+    return SplitSentences

@@ -783,6 +783,17 @@ SELECT event_id,
 FROM events
 """
 
+ORACLE_UDTF_SENTENCES = """
+WITH p AS (
+    SELECT doc_id, string_split(text, '. ') AS parts
+    FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id,
+       CAST(i - 1 AS INTEGER) AS sent_no,
+       parts[i] AS sentence
+FROM p, LATERAL (SELECT unnest(range(1, len(parts) + 1)) AS i) t
+"""
+
 ORACLE_PIVOT_STATUS = """
 SELECT c_mktsegment,
        CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
@@ -1125,6 +1136,7 @@ ORACLES: dict[str, str] = {
     "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
     "props_from_json": ORACLE_PROPS_FROM_JSON,
     "thumbnail_keys": ORACLE_THUMBNAIL_KEYS,
+    "udtf_sentences": ORACLE_UDTF_SENTENCES,
     "pivot_status": ORACLE_PIVOT_STATUS,
     "event_calendar": ORACLE_EVENT_CALENDAR,
     "value_percentiles": ORACLE_VALUE_PERCENTILES,

@@ -680,6 +680,20 @@ def q_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_pandas(emb, queries, "vec_id", "embedding", k=5)
 
 
+def q_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF via LATERAL (the Spark 4 table-function surface):
+    per-doc row expansion, oracle-checked against a SQL unnest."""
+    from batch_process_dpla_index_spark.operators.grouped import sentence_udtf
+
+    spark.udtf.register("split_sentences", sentence_udtf())
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("docs_udtf")
+    return spark.sql(
+        "SELECT s.doc_id, s.sent_no, s.sentence "
+        "FROM docs_udtf, LATERAL split_sentences(doc_id, text) s"
+    )
+
+
 def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot (long→wide): order-status counts per market segment.
     Explicit value list so the plan is a single agg (no extra
@@ -1099,6 +1113,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "props_from_json": q_props_from_json,
     "approx_distinct_users": q_approx_distinct_users,
     "thumbnail_keys": q_thumbnail_keys,
+    "udtf_sentences": q_udtf_sentences,
     "pivot_status": q_pivot_status,
     "event_calendar": q_event_calendar,
     "value_percentiles": q_value_percentiles,
