@@ -114,6 +114,7 @@ def jaccard_pairs(
     id_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    max_posting: int = 1000,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity join: pairs (a < b) with J >= t.
 
@@ -121,11 +122,28 @@ def jaccard_pairs(
     count shared shingles per pair → Jaccard from |A|,|B|,|A∩B|.
     Returns columns (id_a, id_b, jaccard). The explode-join shuffles on
     the shingle value; a hot shingle's posting list is the only
-    quadratic zone (the LSH variant removes even that).
+    quadratic zone, so ``max_posting`` drops shingles whose posting
+    list exceeds the cap before the self-join — the same
+    drop-the-degenerate-key contract as ``minhash_lsh_pairs.max_bucket``
+    (a stopword 3-gram shared by millions of docs carries no dedup
+    signal but would go quadratic). Pairs are still scored on their
+    FULL set sizes, so dropping a hot shingle can only lower a pair's
+    reported Jaccard (intersection undercount), never raise it — with
+    the default cap far above any real shingle frequency below web
+    scale, small-SF results are bit-identical to the uncapped join.
     """
     sets = shingle_sets(df, text_col, id_col, n).withColumn("set_size", F.size("shingles"))
     sets = sets.persist()
     posts = sets.select(F.col(id_col).alias("id"), "set_size", F.explode("shingles").alias("shingle"))
+    # Defuse pathological posting lists before the self-join (the
+    # inverted-index twin of the LSH bucket cap).
+    hot = (
+        posts.groupBy("shingle")
+        .agg(F.count("*").alias("df_"))
+        .filter(F.col("df_") > max_posting)
+        .select("shingle")
+    )
+    posts = posts.join(F.broadcast(hot), "shingle", "left_anti")
     a = posts.select(F.col("id").alias("id_a"), F.col("set_size").alias("size_a"), "shingle")
     b = posts.select(F.col("id").alias("id_b"), F.col("set_size").alias("size_b"), "shingle")
     inter = (
@@ -402,6 +420,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Cluster near-dup pairs into components: (id, cluster) where
     cluster is the MIN id reachable from the node — the canonical
@@ -411,44 +430,69 @@ def connected_components(
 
     Algorithm: min-label propagation to fixpoint (the dataflow form of
     connected components). Per iteration: one join (labels to
-    neighbors) + one min-aggregate — two shuffles — and a
-    ``localCheckpoint`` to truncate lineage, which is what keeps an
-    iterative Spark job planner-stable at scale. Converges in
-    O(component diameter) iterations; near-dup clusters are shallow
-    (diameter ≲ 10 even at 100 TB), and ``max_iter`` bounds the loop.
-    The fixpoint is unique, so results are deterministic regardless of
-    execution order.
+    neighbors) + one min-aggregate — two shuffles — and a checkpoint
+    to truncate lineage, which is what keeps an iterative Spark job
+    planner-stable at scale. Convergence detection is free: the old
+    label rides through the same min-aggregate (each node contributes
+    its own label exactly once, so ``max(old)`` recovers it), and the
+    per-iteration check is a ``LIMIT 1`` scan of the just-checkpointed
+    frame — no extra join or full count job. Converges in O(component
+    diameter) iterations; near-dup clusters are shallow (diameter ≲ 10
+    even at 100 TB), and ``max_iter`` bounds the loop; hitting the
+    bound without convergence emits a warning (the labels are then a
+    valid under-approximation: every cluster id is reachable, but deep
+    chains may not have collapsed to one representative yet).
+
+    ``reliable_checkpoint=True`` uses ``df.checkpoint()`` (requires
+    ``sparkContext.setCheckpointDir``) so a 100-iteration job on a real
+    cluster survives executor loss; the default ``localCheckpoint``
+    trades that fault-tolerance for zero-config speed.
     """
+    import warnings
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        return df.checkpoint() if reliable_checkpoint else df.localCheckpoint()
+
     fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     rev = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
     edges = fwd.union(rev).distinct().persist()
 
-    labels = (
+    labels = _ckpt(
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("cluster", F.col("node"))
-        .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iter):
         neighbor_labels = edges.join(
             labels.select(F.col("node").alias("dst"), F.col("cluster")), "dst"
-        ).select(F.col("src").alias("node"), "cluster")
-        new_labels = (
-            labels.select("node", "cluster")
-            .union(neighbor_labels)
+        ).select(
+            F.col("src").alias("node"),
+            "cluster",
+            F.lit(None).cast(labels.schema["cluster"].dataType).alias("old"),
+        )
+        own = labels.select("node", "cluster", F.col("cluster").alias("old"))
+        new_labels = _ckpt(
+            own.union(neighbor_labels)
             .groupBy("node")
-            .agg(F.min("cluster").alias("cluster"))
-            .localCheckpoint()
+            .agg(
+                F.min("cluster").alias("cluster"),
+                (F.min("cluster") != F.max("old")).alias("__changed"),
+            )
         )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("cluster", "old"), "node")
-            .filter(F.col("cluster") != F.col("old"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        changed = not new_labels.filter(F.col("__changed")).isEmpty()
+        labels = new_labels.drop("__changed")
+        if not changed:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        warnings.warn(
+            f"connected_components hit max_iter={max_iter} before the label "
+            "fixpoint; deep chains may not be fully collapsed — raise max_iter",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select(F.col("node"), F.col("cluster"))
 
 
@@ -456,15 +500,16 @@ def dedup_survivors(
     df: DataFrame, pairs: DataFrame, id_col: str, id_a: str = "id_a", id_b: str = "id_b"
 ) -> DataFrame:
     """End-to-end near-dedup: keep the min-id representative of every
-    near-dup cluster plus all unpaired rows. Anti-join the non-
-    representative members — one broadcastable frame of |clustered
-    nodes| rows at any corpus size (near-dup clusters are a small
-    fraction of the corpus)."""
+    near-dup cluster plus all unpaired rows. Plain ``left_anti`` against
+    the non-representative members — web-scale corpora routinely dedup
+    away 30-60% of rows, so the losers frame is NOT broadcastable in
+    general; AQE picks a broadcast exchange at runtime whenever it does
+    fit, and a shuffled anti-join otherwise."""
     components = connected_components(pairs, id_a, id_b)
     losers = components.filter(F.col("node") != F.col("cluster")).select(
         F.col("node").alias(id_col)
     )
-    return df.join(F.broadcast(losers), id_col, "left_anti")
+    return df.join(losers, id_col, "left_anti")
 
 
 def hash_sample(df: DataFrame, key_col: str, fraction: float, salt: str = "sample") -> DataFrame:

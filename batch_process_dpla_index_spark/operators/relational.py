@@ -97,7 +97,11 @@ def as_of_join(
     values forward with last(..., ignorenulls), then keep left rows.
     ONE shuffle on the key (same cost as a sort-merge join), no range
     explosion, AQE-skew-safe; right rows at exactly left.ts win (ties
-    ordered right-before-left).
+    ordered right-before-left). Multiple right rows at the SAME
+    (key, ts) resolve deterministically: the value struct itself is the
+    final sort key, so the lexicographically-largest (value_cols…)
+    tuple wins regardless of partitioning or execution order — the
+    same rule an ORDER BY ts, (v…) LAST_VALUE oracle reproduces.
     """
     from pyspark.sql.window import Window
 
@@ -125,7 +129,7 @@ def as_of_join(
     )
     w = (
         Window.partitionBy(key)
-        .orderBy(F.col("__ts").asc(), F.col("__is_left").asc())
+        .orderBy(F.col("__ts").asc(), F.col("__is_left").asc(), F.col("__rv").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = l_tag.unionByName(r_tag).select(

@@ -2,11 +2,13 @@
 
 Four tiers, one output contract (query_id, neighbor_id, score, rank):
 
-- cosine_topk:        exact brute-force top-k, pure expressions — the
-                      correctness baseline tier.
-- cosine_topk_pandas: exact top-k via Arrow batches + BLAS matmul with
-                      per-batch local top-k — the brute tier's scale
-                      path (never materializes |Q|×|C|).
+- cosine_topk:        exact brute-force top-k. Default physical plan is
+                      the Arrow/BLAS mapInPandas path (per-batch matmul
+                      + local top-k — never materializes |Q|×|C|);
+                      ``use_pandas=False`` keeps the pure-expression
+                      reference tier.
+- cosine_topk_pandas: the Arrow/BLAS plan itself (what the default
+                      routes to).
 - lsh_ann_topk:       random-hyperplane LSH (sign sketch) bucketing;
                       only bucket-sharing pairs are scored. Recall
                       tunable via (n_planes, n_tables); shuffle on
@@ -36,15 +38,23 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    use_pandas: bool = True,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
     Output: (query_id, neighbor_id, score, rank). Self-matches excluded.
-    The query side is broadcast; the corpus streams through one stage of
-    codegen'd vector math, then a per-query top-k window (shuffle on
-    query_id — bounded by |queries| × |corpus| rows pre-filtered to k
-    via AQE + the rank filter).
+
+    Physical strategy: the default routes through the Arrow/BLAS
+    ``mapInPandas`` plan (:func:`cosine_topk_pandas`) — per-batch
+    matmul with immediate local top-k, so only ``batches × |Q| × k``
+    candidate rows ever reach a shuffle. ``use_pandas=False`` keeps the
+    pure-expression plan (broadcast join + per-query window), which
+    materializes |Q|×|C| scored rows into the window shuffle — exact
+    and oracle-identical, but scale-capped; it stays as the reference
+    tier for tests.
     """
+    if use_pandas:
+        return cosine_topk_pandas(corpus, queries, id_col, vec_col, k)
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )

@@ -49,10 +49,18 @@ def url_entry(id_col, timestamp: str):
 
 
 def assign_subfiles(
-    ids: DataFrame, id_col: str = "id", max_rows: int = MAX_ROWS, exact: bool = False
+    ids: DataFrame,
+    id_col: str = "id",
+    max_rows: int = MAX_ROWS,
+    exact: bool = False,
+    id_count: int | None = None,
 ) -> tuple[DataFrame, int]:
-    """(id, part) assignment + part count n = ⌈count/max_rows⌉."""
-    count = ids.count()
+    """(id, part) assignment + part count n = ⌈count/max_rows⌉.
+
+    Pass ``id_count`` when the caller already counted the frame — the
+    count is a full scan job, and :func:`execute` needs the same number
+    for its manifest (one count job total, not two)."""
+    count = ids.count() if id_count is None else id_count
     n = max(1, math.ceil(count / max_rows))
     if exact:
         from pyspark.sql.window import Window
@@ -98,12 +106,15 @@ def execute(
 
     ids = items.select(F.col(id_col).cast("string").alias("id"))
     id_count = ids.count()
-    assigned, _n = assign_subfiles(ids, "id", max_rows, exact)
+    assigned, _n = assign_subfiles(ids, "id", max_rows, exact, id_count=id_count)
 
+    # Persisted: read twice below (executor-side writes + the tiny
+    # part-number collect) — without it the whole groupBy recomputes.
     subfile_bodies = (
         assigned.select("part", url_entry(F.col("id"), ts).alias("entry"))
         .groupBy("part")
         .agg(F.concat_ws("", F.array_sort(F.collect_list("entry"))).alias("body"))
+        .persist()
     )
 
     suffix = ".xml.gz" if gzip_subfiles else ".xml"
@@ -136,6 +147,7 @@ def execute(
 
     # Part numbers actually populated (tiny: ≤ n rows to the driver).
     parts = sorted(r["part"] for r in subfile_bodies.select("part").collect())
+    subfile_bodies.unpersist()
     subfile_names = [f"{dir_ts}/all_item_urls_{p}{suffix}" for p in parts]
 
     write_local(out_path, "all_item_urls.xml",

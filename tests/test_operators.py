@@ -81,7 +81,7 @@ def test_lsh_recall_vs_exact(docs):
 def test_cosine_pandas_matches_expression(spark):
     emb = load_table(spark, SF_DIR, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
-    a = cosine_topk(emb, q, "vec_id", "embedding", k=3)
+    a = cosine_topk(emb, q, "vec_id", "embedding", k=3, use_pandas=False)
     b = cosine_topk_pandas(emb, q, "vec_id", "embedding", k=3)
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
 
@@ -211,3 +211,66 @@ def test_as_of_join_edges(spark):
     assert out[2] == (90.0, "b")   # latest at-or-before 10 → 9
     assert out[3] == (None, None)  # before any right row
     assert out[4] == (None, None)  # right row is in the future
+
+
+def test_jaccard_hot_shingle_cap(spark):
+    """A degenerate shared shingle (every doc identical short text)
+    must be droppable via max_posting: with the cap below the corpus
+    size, the all-pairs zone disappears; with the default cap it
+    behaves exactly like the uncapped join."""
+    rows = [(i, "common words here") for i in range(40)] + [
+        (100, "a genuinely different document about something else entirely"),
+        (101, "a genuinely different document about something else entirely"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    capped = jaccard_pairs(df, "text", "doc_id", n=3, threshold=0.5, max_posting=10)
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    unpersist_deps(capped)
+    # the 40-doc clique (780 pairs) is defused; the pair sharing a
+    # sub-cap shingle survives
+    assert got == {(100, 101)}
+    full = jaccard_pairs(df, "text", "doc_id", n=3, threshold=0.5)
+    n_full = full.count()
+    unpersist_deps(full)
+    assert n_full == 780 + 1
+
+
+def test_dedup_survivors_majority_dups(spark):
+    """>50% of the corpus is clustered away — the losers frame is NOT
+    small; the anti-join must neither force a broadcast nor change
+    results."""
+    from batch_process_dpla_index_spark.operators.dedup import dedup_survivors
+
+    # 100 rows; ids 0..79 form 8 chains of 10 → 8 survivors + 20 singles
+    pairs = spark.createDataFrame(
+        [(c * 10 + i, c * 10 + i + 1) for c in range(8) for i in range(9)],
+        "id_a BIGINT, id_b BIGINT",
+    )
+    corpus = spark.range(0, 100).withColumnRenamed("id", "doc_id")
+    kept = dedup_survivors(corpus, pairs, "doc_id")
+    plan = kept._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in plan, plan  # no forced broadcast hint
+    ids = {r["doc_id"] for r in kept.collect()}
+    assert ids == {c * 10 for c in range(8)} | set(range(80, 100))
+
+
+def test_connected_components_warns_at_max_iter(spark):
+    import warnings
+
+    from batch_process_dpla_index_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a BIGINT, id_b BIGINT"
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        connected_components(chain, max_iter=2).collect()
+    assert any("max_iter" in str(x.message) for x in w)
+
+
+def test_cosine_topk_default_plan_is_map_in_pandas(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    df = cosine_topk(emb, q, "vec_id", "embedding", k=3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan, plan
