@@ -35,6 +35,48 @@ def normalize(col: Column) -> Column:
     return F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
 
 
+#: Accent-folding character map — the asciifolding tier of the
+#: reference's ES analyzer (lowercase + asciifolding + shingles,
+#: index-settings-and-mappings-necropolis.json:9-14). 1:1 diacritic
+#: removals only, both cases, chosen as exactly the subset where ICU
+#: asciifolding and DuckDB's ``strip_accents`` agree byte-for-byte
+#: (multi-char folds like æ→ae / ß→ss are deliberately excluded:
+#: strip_accents passes those through, and the oracle must reproduce
+#: every byte). ``translate`` is a codegen'd per-char lookup — no
+#: regex, no UDF.
+_FOLD_FROM = (
+    "àáâãäåāăąèéêëēĕėęěìíîïĩīĭįòóôõöōŏőùúûüũūŭůűýÿçćĉċčñńņňšśŝşžźżğĝřŕďťţĺľȳẽỹṽḡ"
+    "ÀÁÂÃÄÅĀĂĄÈÉÊËĒĔĖĘĚÌÍÎÏĨĪĬĮÒÓÔÕÖŌŎŐÙÚÛÜŨŪŬŮŰÝŸÇĆĈĊČÑŃŅŇŠŚŜŞŽŹŻĞĜŘŔĎŤŢĹĽȲẼỸṼḠ"
+)
+_FOLD_TO = (
+    "aaaaaaaaaeeeeeeeeeiiiiiiiioooooooouuuuuuuuuyycccccnnnnsssszzzggrrdttllyeyvg"
+    "AAAAAAAAAEEEEEEEEEIIIIIIIIOOOOOOOOUUUUUUUUUYYCCCCCNNNNSSSSZZZGGRRDTTLLYEYVG"
+)
+
+
+def fold_ascii(col: Column) -> Column:
+    """Strip Latin diacritics: 'Café' → 'Cafe' (ES asciifolding parity).
+
+    Characters outside the map (including non-Latin scripts and the
+    multi-char ligatures) pass through unchanged — the same contract as
+    DuckDB's ``strip_accents``, which the oracle uses as the
+    independent implementation."""
+    return F.translate(col, _FOLD_FROM, _FOLD_TO)
+
+
+def normalize_folded(col: Column) -> Column:
+    """Accent-folded :func:`normalize` — the full ES analyzer
+    normalization chain (lowercase + asciifolding + whitespace)."""
+    return normalize(fold_ascii(col))
+
+
+def fingerprint_folded(col: Column) -> Column:
+    """Accent-folded :func:`fingerprint`: 'Café'/'Cafe' spellings of
+    the same text collide, the way the reference's search analyzer
+    folds them at index time."""
+    return fingerprint_tok(tokens(fold_ascii(col)))
+
+
 def tokens(col: Column) -> Column:
     """Whitespace tokens of the normalized text (array<string>, no empties).
 

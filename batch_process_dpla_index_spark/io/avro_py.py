@@ -1,0 +1,472 @@
+"""Pure-Python Avro Object Container File codec + distributed plumbing.
+
+Un-gates S1/K2 (the reference's primary I/O format —
+ParquetDump.scala:116 ``spark.read.format("avro")``,
+SchemaRepair.scala:33 avro write) in environments without the
+spark-avro JVM datasource: this module implements the Avro 1.11 OCF
+wire format (magic ``Obj\\x01``, metadata map, sync-marked blocks,
+binary record encoding with zigzag varints) from the public
+specification, so the files it writes are readable by any Avro
+implementation and it reads files any Avro implementation writes
+(within the type subset below).
+
+Distributed shape — Spark-first, not driver-side:
+
+- :func:`write_avro_py` writes one ``part-NNNNN.avro`` container per
+  DataFrame partition from the executors (``foreachPartition`` +
+  ``TaskContext.partitionId`` — the same per-partition write unit as
+  the committer path, K6-style).
+- :func:`read_avro_py` lists the containers into a ``binaryFile``
+  scan, decodes records executor-side in ``mapInPandas`` (one Arrow
+  batch of JSON-encoded rows per container), and restores the exact
+  Spark schema via ``from_json`` — schema inference reads a single
+  file header driver-side, the data path is fully distributed.
+
+Type subset = the engine's data model (SURVEY.md §1): null, boolean,
+int, long, float, double, string, bytes, record, array, map, plus the
+timestamp-micros and date logical types. No decimal/fixed/enum (absent
+from the reference's model). Per-record Python encoding makes this the
+*compatibility* carrier, not the throughput path — parquet remains the
+performance format; the reference uses Avro the same way (interchange
+in, parquet out).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import struct
+import zlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MAGIC = b"Obj\x01"
+DEFAULT_SYNC = bytes(range(16))  # deterministic marker: files are reproducible
+
+
+# --------------------------------------------------------------------------
+# Spark schema <-> Avro schema
+# --------------------------------------------------------------------------
+
+_PRIMITIVES: dict[type, str] = {
+    T.StringType: "string",
+    T.LongType: "long",
+    T.IntegerType: "int",
+    T.ShortType: "int",
+    T.ByteType: "int",
+    T.DoubleType: "double",
+    T.FloatType: "float",
+    T.BooleanType: "boolean",
+    T.BinaryType: "bytes",
+}
+
+
+def spark_to_avro_schema(dt: T.DataType, name: str = "topLevelRecord", *, _path: str = "") -> object:
+    """Spark DataType → Avro schema (JSON-able dict/str). Nested record
+    names are derived from the field path (Avro names must be unique
+    within a schema)."""
+    for cls, avro in _PRIMITIVES.items():
+        if isinstance(dt, cls):
+            return avro
+    if isinstance(dt, T.TimestampType):
+        return {"type": "long", "logicalType": "timestamp-micros"}
+    if isinstance(dt, T.DateType):
+        return {"type": "int", "logicalType": "date"}
+    if isinstance(dt, T.ArrayType):
+        items = spark_to_avro_schema(dt.elementType, name, _path=_path + "_item")
+        if dt.containsNull:
+            items = ["null", items]
+        return {"type": "array", "items": items}
+    if isinstance(dt, T.MapType):
+        if not isinstance(dt.keyType, T.StringType):
+            raise NotImplementedError("Avro map keys must be strings")
+        values = spark_to_avro_schema(dt.valueType, name, _path=_path + "_value")
+        if dt.valueContainsNull:
+            values = ["null", values]
+        return {"type": "map", "values": values}
+    if isinstance(dt, T.StructType):
+        fields = []
+        for f in dt.fields:
+            fs = spark_to_avro_schema(f.dataType, f.name, _path=_path + "_" + f.name)
+            if f.nullable:
+                fs = ["null", fs]
+            fields.append({"name": f.name, "type": fs, "default": None} if f.nullable
+                          else {"name": f.name, "type": fs})
+        return {"type": "record", "name": (name + _path) or "record", "fields": fields}
+    raise NotImplementedError(f"unsupported Spark type for Avro: {dt}")
+
+
+def avro_to_spark_schema(schema: object) -> T.DataType:
+    """Avro schema (parsed JSON) → Spark DataType. Unions must be
+    ``["null", X]`` (the only union shape the model uses)."""
+    if isinstance(schema, str):
+        return {
+            "string": T.StringType(), "long": T.LongType(), "int": T.IntegerType(),
+            "double": T.DoubleType(), "float": T.FloatType(),
+            "boolean": T.BooleanType(), "bytes": T.BinaryType(),
+            "null": T.NullType(),
+        }[schema]
+    if isinstance(schema, list):
+        non_null = [s for s in schema if s != "null"]
+        if len(non_null) != 1:
+            raise NotImplementedError(f"only [null, X] unions supported: {schema}")
+        return avro_to_spark_schema(non_null[0])
+    t = schema["type"]
+    if t == "long" and schema.get("logicalType") == "timestamp-micros":
+        return T.TimestampType()
+    if t == "int" and schema.get("logicalType") == "date":
+        return T.DateType()
+    if t in ("string", "long", "int", "double", "float", "boolean", "bytes"):
+        return avro_to_spark_schema(t)
+    if t == "array":
+        return T.ArrayType(avro_to_spark_schema(schema["items"]))
+    if t == "map":
+        return T.MapType(T.StringType(), avro_to_spark_schema(schema["values"]))
+    if t == "record":
+        return T.StructType(
+            [
+                T.StructField(f["name"], avro_to_spark_schema(f["type"]), True)
+                for f in schema["fields"]
+            ]
+        )
+    raise NotImplementedError(f"unsupported Avro schema: {schema}")
+
+
+# --------------------------------------------------------------------------
+# Binary encoding (Avro spec §"Binary encoding")
+# --------------------------------------------------------------------------
+
+
+def _zigzag(n: int) -> bytes:
+    z = (n << 1) ^ (n >> 63) if n < 0 else n << 1
+    out = bytearray()
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _read_zigzag(buf: io.BytesIO) -> int:
+    shift = 0
+    acc = 0
+    while True:
+        (b,) = buf.read(1)
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    return (acc >> 1) ^ -(acc & 1)
+
+
+def _encode(value, schema, out: bytearray) -> None:
+    if isinstance(schema, list):  # [null, X]
+        if value is None:
+            out += _zigzag(0)
+            return
+        out += _zigzag(1)
+        _encode(value, [s for s in schema if s != "null"][0], out)
+        return
+    t = schema["type"] if isinstance(schema, dict) else schema
+    if t == "null":
+        return
+    if t == "boolean":
+        out.append(1 if value else 0)
+    elif t == "int" or t == "long":
+        if isinstance(schema, dict) and schema.get("logicalType") == "timestamp-micros":
+            import datetime
+
+            if isinstance(value, datetime.datetime):
+                if value.tzinfo is None:
+                    value = value.replace(tzinfo=datetime.timezone.utc)
+                value = int(value.timestamp() * 1_000_000)
+        elif isinstance(schema, dict) and schema.get("logicalType") == "date":
+            import datetime
+
+            if isinstance(value, datetime.date):
+                value = (value - datetime.date(1970, 1, 1)).days
+        out += _zigzag(int(value))
+    elif t == "float":
+        out += struct.pack("<f", value)
+    elif t == "double":
+        out += struct.pack("<d", value)
+    elif t == "string":
+        raw = value.encode("utf-8")
+        out += _zigzag(len(raw))
+        out += raw
+    elif t == "bytes":
+        raw = bytes(value)
+        out += _zigzag(len(raw))
+        out += raw
+    elif t == "record":
+        for f in schema["fields"]:
+            fv = value.get(f["name"]) if isinstance(value, dict) else getattr(value, f["name"])
+            _encode(fv, f["type"], out)
+    elif t == "array":
+        if value:
+            out += _zigzag(len(value))
+            for item in value:
+                _encode(item, schema["items"], out)
+        out += _zigzag(0)
+    elif t == "map":
+        if value:
+            out += _zigzag(len(value))
+            for k, v in value.items():
+                _encode(k, "string", out)
+                _encode(v, schema["values"], out)
+        out += _zigzag(0)
+    else:
+        raise NotImplementedError(f"encode: {schema}")
+
+
+def _decode(buf: io.BytesIO, schema):
+    if isinstance(schema, list):
+        idx = _read_zigzag(buf)
+        branch = schema[idx]
+        return None if branch == "null" else _decode(buf, branch)
+    t = schema["type"] if isinstance(schema, dict) else schema
+    if t == "null":
+        return None
+    if t == "boolean":
+        return buf.read(1) == b"\x01"
+    if t in ("int", "long"):
+        v = _read_zigzag(buf)
+        if isinstance(schema, dict) and schema.get("logicalType") == "timestamp-micros":
+            import datetime
+
+            return datetime.datetime.fromtimestamp(v / 1_000_000, tz=datetime.timezone.utc)
+        if isinstance(schema, dict) and schema.get("logicalType") == "date":
+            import datetime
+
+            return datetime.date(1970, 1, 1) + datetime.timedelta(days=v)
+        return v
+    if t == "float":
+        return struct.unpack("<f", buf.read(4))[0]
+    if t == "double":
+        return struct.unpack("<d", buf.read(8))[0]
+    if t == "string":
+        return buf.read(_read_zigzag(buf)).decode("utf-8")
+    if t == "bytes":
+        return buf.read(_read_zigzag(buf))
+    if t == "record":
+        return {f["name"]: _decode(buf, f["type"]) for f in schema["fields"]}
+    if t == "array":
+        out = []
+        while True:
+            n = _read_zigzag(buf)
+            if n == 0:
+                return out
+            if n < 0:  # block with byte-size prefix
+                n = -n
+                _read_zigzag(buf)
+            for _ in range(n):
+                out.append(_decode(buf, schema["items"]))
+    if t == "map":
+        out = {}
+        while True:
+            n = _read_zigzag(buf)
+            if n == 0:
+                return out
+            if n < 0:
+                n = -n
+                _read_zigzag(buf)
+            for _ in range(n):
+                k = _decode(buf, "string")
+                out[k] = _decode(buf, schema["values"])
+    raise NotImplementedError(f"decode: {schema}")
+
+
+# --------------------------------------------------------------------------
+# Object Container File framing
+# --------------------------------------------------------------------------
+
+
+def write_container(records, avro_schema, fh, codec: str = "deflate",
+                    sync: bytes = DEFAULT_SYNC, block_records: int = 1000) -> int:
+    """Write an OCF stream: header + sync-marked blocks. Returns the
+    record count."""
+    meta = {
+        "avro.schema": json.dumps(avro_schema).encode("utf-8"),
+        "avro.codec": codec.encode("utf-8"),
+    }
+    fh.write(MAGIC)
+    hdr = bytearray()
+    hdr += _zigzag(len(meta))
+    for k, v in meta.items():
+        _encode(k, "string", hdr)
+        _encode(v, "bytes", hdr)
+    hdr += _zigzag(0)
+    fh.write(bytes(hdr))
+    fh.write(sync)
+
+    n_total = 0
+    block: list = []
+
+    def flush() -> None:
+        nonlocal n_total
+        if not block:
+            return
+        body = bytearray()
+        for rec in block:
+            _encode(rec, avro_schema, body)
+        data = bytes(body)
+        if codec == "deflate":
+            data = zlib.compress(data)[2:-4]  # raw deflate per spec
+        fh.write(_zigzag(len(block)))
+        fh.write(_zigzag(len(data)))
+        fh.write(data)
+        fh.write(sync)
+        n_total += len(block)
+        block.clear()
+
+    for rec in records:
+        block.append(rec)
+        if len(block) >= block_records:
+            flush()
+    flush()
+    return n_total
+
+
+def read_container(raw: bytes):
+    """Parse an OCF byte string → (avro_schema, iterator of records)."""
+    buf = io.BytesIO(raw)
+    if buf.read(4) != MAGIC:
+        raise ValueError("not an Avro object container file")
+    meta: dict[str, bytes] = {}
+    while True:
+        n = _read_zigzag(buf)
+        if n == 0:
+            break
+        if n < 0:
+            n = -n
+            _read_zigzag(buf)
+        for _ in range(n):
+            k = _decode(buf, "string")
+            meta[k] = _decode(buf, "bytes")
+    schema = json.loads(meta["avro.schema"].decode("utf-8"))
+    codec = meta.get("avro.codec", b"null").decode("utf-8")
+    sync = buf.read(16)
+
+    def records():
+        while True:
+            head = buf.read(1)
+            if not head:
+                return
+            buf.seek(-1, 1)
+            n = _read_zigzag(buf)
+            size = _read_zigzag(buf)
+            data = buf.read(size)
+            if codec == "deflate":
+                data = zlib.decompress(data, -15)
+            elif codec != "null":
+                raise NotImplementedError(f"codec {codec}")
+            bbuf = io.BytesIO(data)
+            for _ in range(n):
+                yield _decode(bbuf, schema)
+            if buf.read(16) != sync:
+                raise ValueError("sync marker mismatch (corrupt container)")
+
+    return schema, records()
+
+
+# --------------------------------------------------------------------------
+# Distributed plumbing
+# --------------------------------------------------------------------------
+
+
+def write_avro_py(df: DataFrame, path: str, overwrite: bool = True,
+                  codec: str = "deflate") -> None:
+    """K2 fallback: one OCF part file per DataFrame partition, written
+    from the executors (TaskContext partition id names the part — the
+    same unit-of-output contract as the committer path)."""
+    from batch_process_dpla_index_spark.io.sinks import delete_existing
+
+    if overwrite:
+        delete_existing(path)
+    os.makedirs(path, exist_ok=True)
+    avro_schema = spark_to_avro_schema(df.schema)
+
+    def _write(rows) -> None:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        it = iter(rows)
+        try:
+            first = next(it)
+        except StopIteration:
+            return  # no empty part files
+        import itertools as _it
+
+        full = os.path.join(path, f"part-{pid:05d}.avro")
+        with open(full + "._tmp", "wb") as fh:
+            write_container(
+                (r.asDict(recursive=True) for r in _it.chain([first], it)),
+                avro_schema, fh, codec=codec,
+            )
+        os.replace(full + "._tmp", full)  # commit rename, no partial files
+
+    df.foreachPartition(_write)
+    with open(os.path.join(path, "_SUCCESS"), "w", encoding="utf-8"):
+        pass
+
+
+def _json_default(v):
+    import base64
+    import datetime
+
+    if isinstance(v, bytes):
+        return base64.b64encode(v).decode("ascii")
+    if isinstance(v, datetime.datetime):
+        return v.strftime("%Y-%m-%dT%H:%M:%S.%f%z")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    raise TypeError(type(v))
+
+
+def read_avro_py(spark: SparkSession, *paths: str) -> DataFrame:
+    """S1 fallback: distributed OCF scan. ``binaryFile`` ships each
+    container to an executor; records decode there and re-enter Spark
+    through ``from_json`` with the schema read from the first file's
+    header — so filters/pruning apply from the first real DataFrame op
+    on. One file is one input split (Avro blocks could split further
+    via the sync markers; containers here are one-partition-sized by
+    construction)."""
+    import glob as _glob
+
+    first: str | None = None
+    expanded: list[str] = []
+    for p in paths:
+        hits = sorted(_glob.glob(os.path.join(p, "*.avro"))) if os.path.isdir(p) else [p]
+        expanded.extend(hits)
+    if not expanded:
+        raise FileNotFoundError(f"no .avro containers under {paths}")
+    first = expanded[0]
+    with open(first, "rb") as fh:
+        avro_schema, _ = read_container(fh.read())
+    spark_schema = avro_to_spark_schema(avro_schema)
+    if not isinstance(spark_schema, T.StructType):
+        raise ValueError("top-level Avro schema must be a record")
+
+    def _decode_files(batches):
+        import json as _json
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for blob in pdf["content"]:
+                _, recs = read_container(bytes(blob))
+                out.extend(_json.dumps(r, default=_json_default) for r in recs)
+            yield pd.DataFrame({"json": pd.Series(out, dtype="object")})
+
+    blobs = spark.read.format("binaryFile").load(expanded).select("content")
+    jsons = blobs.mapInPandas(_decode_files, "json string")
+    return jsons.select(
+        F.from_json("json", spark_schema).alias("__r")
+    ).select("__r.*")

@@ -48,23 +48,27 @@ def write_parquet(df: DataFrame, path: str, overwrite: bool = True) -> None:
 
 
 def write_avro(df: DataFrame, path: str, overwrite: bool = True) -> None:
-    """K2 (SchemaRepair.scala:33) — gated on the avro datasource."""
-    if not avro_available(df.sparkSession):
-        raise NotImplementedError(
-            "spark-avro datasource not on the classpath; add the "
-            "org.apache.spark:spark-avro jar to enable K2/S1"
-        )
-    df.write.mode("overwrite" if overwrite else "error").format("avro").save(path)
+    """K2 (SchemaRepair.scala:33). Uses the JVM spark-avro datasource
+    when it is on the classpath; otherwise the bundled pure-Python OCF
+    codec (io/avro_py.py) — same wire format, per-partition executor
+    writes, readable by any Avro implementation."""
+    if avro_available(df.sparkSession):
+        df.write.mode("overwrite" if overwrite else "error").format("avro").save(path)
+        return
+    from batch_process_dpla_index_spark.io.avro_py import write_avro_py
+
+    write_avro_py(df, path, overwrite=overwrite)
 
 
 def read_avro(spark: SparkSession, *paths: str) -> DataFrame:
-    """S1 (ParquetDump.scala:116) — gated like write_avro."""
-    if not avro_available(spark):
-        raise NotImplementedError(
-            "spark-avro datasource not on the classpath; add the "
-            "org.apache.spark:spark-avro jar to enable K2/S1"
-        )
-    return spark.read.format("avro").load(list(paths))
+    """S1 (ParquetDump.scala:116) — multi-path Avro scan; JVM
+    datasource when present, else the distributed pure-Python OCF
+    reader (binaryFile scan + executor-side decode)."""
+    if avro_available(spark):
+        return spark.read.format("avro").load(list(paths))
+    from batch_process_dpla_index_spark.io.avro_py import read_avro_py
+
+    return read_avro_py(spark, *paths)
 
 
 def write_csv_single(df: DataFrame, path: str, overwrite: bool = True) -> None:

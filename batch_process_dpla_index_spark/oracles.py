@@ -276,6 +276,34 @@ FROM doc_tok
 GROUP BY fp
 """
 
+# Independent implementation of the asciifolding tier: DuckDB's
+# strip_accents (ICU diacritic removal) vs our translate() map — the
+# two agree byte-for-byte on the folded subset (functions/text.py
+# _FOLD_FROM), and ligatures/strokes pass through in both.
+ORACLE_FINGERPRINT_FOLDED = f"""
+WITH dec AS (
+    SELECT doc_id,
+           CASE CAST(doc_id % 4 AS INT)
+             WHEN 0 THEN 'Café Résumé '
+             WHEN 1 THEN 'Cafe Resume '
+             WHEN 2 THEN 'Naïve Façade '
+             ELSE 'Naive Facade ' END || text AS dtext
+    FROM documents
+), f AS (
+    SELECT doc_id,
+           {_nrm("strip_accents(dtext)")} AS fnrm,
+           {_nrm("dtext")} AS rnrm
+    FROM dec
+)
+SELECT doc_id,
+       substr(fnrm, 1, 80) AS folded_head,
+       md5(array_to_string(list_sort(list_distinct({_tok("fnrm")})), ' ')) AS fp_folded,
+       CAST(md5(array_to_string(list_sort(list_distinct({_tok("fnrm")})), ' '))
+            <> md5(array_to_string(list_sort(list_distinct({_tok("rnrm")})), ' ')) AS INT)
+           AS folding_changed
+FROM f
+"""
+
 ORACLE_TEXT_STATS = f"""
 WITH {_DOC_TOK_CTE}, m AS (
     SELECT doc_id,
@@ -1114,6 +1142,7 @@ ORACLES: dict[str, str] = {
     "exact_dedup": ORACLE_EXACT_DEDUP,
     "keep_first": ORACLE_KEEP_FIRST,
     "fingerprint_clusters": ORACLE_FINGERPRINT_CLUSTERS,
+    "fingerprint_folded": ORACLE_FINGERPRINT_FOLDED,
     "text_stats": ORACLE_TEXT_STATS,
     "language_id": ORACLE_LANGUAGE_ID,
     "rolling_hash": ORACLE_ROLLING_HASH,
@@ -1127,6 +1156,7 @@ ORACLES: dict[str, str] = {
     "mq_provider_scores": ORACLE_MQ_PROVIDER_SCORES,
     "mq_contributor_scores": ORACLE_MQ_CONTRIBUTOR_SCORES,
     "flatten_items": ORACLE_FLATTEN_ITEMS,
+    "avro_flatten_items": ORACLE_FLATTEN_ITEMS,
     "repair_flatten": ORACLE_REPAIR_FLATTEN,
     "schema_align": ORACLE_SCHEMA_ALIGN,
     "sitemap_urls": ORACLE_SITEMAP_URLS,

@@ -369,6 +369,38 @@ def q_fingerprint_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fingerprint_folded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asciifolding normalization tier — ES analyzer parity (lowercase
+    + asciifolding + shingles, index-settings-and-mappings-
+    necropolis.json:9-14): accented spellings ('Café Résumé') fold to
+    their ASCII twins before fingerprinting, so they collide the way
+    the reference's search analyzer folds them at index time. Docs are
+    decorated with deterministic accented/plain prefixes so the fold is
+    actually exercised; the oracle replays it with DuckDB's independent
+    ``strip_accents``. Pure ``translate`` + md5 in the scan projection —
+    no shuffle, no UDF."""
+    from batch_process_dpla_index_spark.functions.text import (
+        fingerprint_folded,
+        normalize_folded,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    m = F.pmod(F.col("doc_id"), F.lit(4))
+    prefix = (
+        F.when(m == 0, F.lit("Café Résumé "))
+        .when(m == 1, F.lit("Cafe Resume "))
+        .when(m == 2, F.lit("Naïve Façade "))
+        .otherwise(F.lit("Naive Facade "))
+    )
+    dtext = F.concat(prefix, F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.substring(normalize_folded(dtext), 1, 80).alias("folded_head"),
+        fingerprint_folded(dtext).alias("fp_folded"),
+        (fingerprint_folded(dtext) != fingerprint(dtext)).cast("int").alias("folding_changed"),
+    )
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document text metrics: token count, mean token length,
     punctuation ratio, stopword ratio, composite quality score. The
@@ -561,6 +593,31 @@ def q_flatten_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return _flat_leaves(modify_columns(synthesize_enriched(docs)))
+
+
+def q_avro_flatten_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ACTUAL input path, end to end: enriched items →
+    Avro containers on disk → multi-path Avro scan → flatten → leaf
+    projection (ParquetDump.scala:116 ``spark.read.format("avro")``
+    then the :10-52 reshape). The Avro leg runs for real — JVM
+    spark-avro when on the classpath, else the bundled pure-Python OCF
+    codec (io/avro_py.py): per-partition executor writes, binaryFile +
+    executor-side decode reads. Output is identical to
+    ``flatten_items``, which is exactly the point: the oracle proves
+    the Avro round trip is lossless on the full nested EDM model."""
+    import hashlib as _hl
+    import tempfile as _tf
+
+    from batch_process_dpla_index_spark.io.sinks import read_avro, write_avro
+    from batch_process_dpla_index_spark.model.fixtures import synthesize_enriched
+    from batch_process_dpla_index_spark.model.flatten import modify_columns
+
+    docs = load_table(spark, sf_dir, "documents")
+    enriched = synthesize_enriched(docs).repartition(4, "dplaUri")
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:12]
+    path = f"{_tf.gettempdir()}/spark_graft_avro_{tag}"
+    write_avro(enriched, path)
+    return _flat_leaves(modify_columns(read_avro(spark, path)))
 
 
 def q_repair_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1090,6 +1147,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_dedup": q_exact_dedup,
     "keep_first": q_keep_first,
     "fingerprint_clusters": q_fingerprint_clusters,
+    "fingerprint_folded": q_fingerprint_folded,
     "text_stats": q_text_stats,
     "language_id": q_language_id,
     "rolling_hash": q_rolling_hash,
@@ -1103,6 +1161,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mq_provider_scores": q_mq_provider_scores,
     "mq_contributor_scores": q_mq_contributor_scores,
     "flatten_items": q_flatten_items,
+    "avro_flatten_items": q_avro_flatten_items,
     "repair_flatten": q_repair_flatten,
     "schema_align": q_schema_align,
     "sitemap_urls": q_sitemap_urls,

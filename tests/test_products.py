@@ -158,13 +158,14 @@ def test_delete_existing_and_purge(tmp_path):
     assert purge_keys(files) == 0
 
 
-def test_avro_gating(spark):
-    """spark-avro absent in this container → clear NotImplementedError."""
+def test_avro_missing_path(spark):
+    """Reading a path with no containers fails loudly, not with an
+    empty frame (the JVM datasource errors the same way)."""
     from batch_process_dpla_index_spark.io.sinks import avro_available, read_avro
 
     if avro_available(spark):  # pragma: no cover - jar present elsewhere
         pytest.skip("avro datasource present")
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(FileNotFoundError):
         read_avro(spark, "/tmp/nope")
 
 
