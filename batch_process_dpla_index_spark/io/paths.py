@@ -51,14 +51,13 @@ def latest_dataset_paths(root: str, data_type: str) -> dict[str, str]:
     skipped, matching the reference's flatMap over
     ``sorted.lastOption``.
     """
+    from batch_process_dpla_index_spark.io.fs import get_fs, strip_scheme
+
+    fs = get_fs(root)
     out: dict[str, str] = {}
-    if not os.path.isdir(root):
-        return out
-    for hub in sorted(os.listdir(root)):
-        type_dir = os.path.join(root, hub, data_type)
-        if not os.path.isdir(type_dir):
-            continue
-        dated = sorted(d for d in os.listdir(type_dir) if not d.startswith("."))
-        if dated:
-            out[hub] = os.path.join(type_dir, dated[-1])
+    for hub_path in fs.list_prefix(strip_scheme(root)):
+        hub = os.path.basename(hub_path.rstrip("/"))
+        latest = fs.latest_prefix(os.path.join(hub_path, data_type))
+        if latest is not None:
+            out[hub] = latest
     return out

@@ -17,9 +17,7 @@ structural, exercised via parquet in tests).
 from __future__ import annotations
 
 import glob
-import gzip
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -97,35 +95,29 @@ def write_text_gzip(df: DataFrame, path: str, overwrite: bool = True) -> None:
 
 def write_local(out_dir: str, filename: str, text: str) -> str:
     """K5/K7: raw put of a small driver-side artifact
-    (LocalFileWriter.scala:9-14 / S3FileHelper.scala:63-74)."""
-    os.makedirs(out_dir, exist_ok=True)
-    full = os.path.join(out_dir, filename)
-    os.makedirs(os.path.dirname(full), exist_ok=True)
-    with open(full, "w", encoding="utf-8") as f:
-        f.write(text)
-    return full
+    (LocalFileWriter.scala:9-14 / S3FileHelper.scala:63-74). Routed
+    through the carrier seam (io/fs.py) — scheme-dispatched, so the
+    same call targets an object store once one is registered."""
+    from batch_process_dpla_index_spark.io.fs import get_fs, strip_scheme
+
+    full = os.path.join(strip_scheme(out_dir), filename)
+    return get_fs(out_dir).put(full, text)
 
 
 def write_local_gzip(out_dir: str, filename: str, text: str) -> str:
-    """K6: gzip put (S3FileHelper.scala:76-98), local carrier."""
-    os.makedirs(out_dir, exist_ok=True)
-    full = os.path.join(out_dir, filename)
-    os.makedirs(os.path.dirname(full), exist_ok=True)
-    with gzip.open(full, "wt", encoding="utf-8") as f:
-        f.write(text)
-    return full
+    """K6: gzip put (S3FileHelper.scala:76-98) via the carrier seam."""
+    from batch_process_dpla_index_spark.io.fs import get_fs, strip_scheme
+
+    full = os.path.join(strip_scheme(out_dir), filename)
+    return get_fs(out_dir).put_gzip(full, text)
 
 
 def delete_existing(path: str) -> bool:
     """K8: idempotent-overwrite prefix delete (JsonlDump.scala:72-74).
     Returns True when something was removed."""
-    if os.path.isdir(path):
-        shutil.rmtree(path)
-        return True
-    if os.path.exists(path):
-        os.remove(path)
-        return True
-    return False
+    from batch_process_dpla_index_spark.io.fs import get_fs, strip_scheme
+
+    return get_fs(path).delete_prefix(strip_scheme(path))
 
 
 def purge_keys(keys: list[str], batch: int = 1000) -> int:
@@ -133,13 +125,11 @@ def purge_keys(keys: list[str], batch: int = 1000) -> int:
     1000-key delete batches; locally the batch is a unit of progress
     accounting, the API contract callers depend on). Returns the number
     of objects actually removed."""
-    removed = 0
-    for i in range(0, len(keys), batch):
-        for key in keys[i : i + batch]:
-            if os.path.exists(key):
-                os.remove(key)
-                removed += 1
-    return removed
+    from batch_process_dpla_index_spark.io.fs import get_fs, strip_scheme
+
+    if not keys:
+        return 0
+    return get_fs(keys[0]).purge([strip_scheme(k) for k in keys], batch=batch)
 
 
 def read_csv_single(path: str) -> list[dict[str, str]]:

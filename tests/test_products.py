@@ -263,3 +263,57 @@ def test_monthly_batch_halts_on_failure(spark, tmp_path):
     )
     assert result.failed_step == "parquet"
     assert result.steps_run == []
+
+
+def test_fs_seam_scheme_dispatch(tmp_path):
+    """K5-K9 route through the carrier interface: a backend registered
+    for a custom scheme receives the puts/purges unchanged — the seam
+    an object-store (fsspec/boto3) impl plugs into without touching
+    product code."""
+    from batch_process_dpla_index_spark.io import fs as fsmod
+    from batch_process_dpla_index_spark.io.sinks import purge_keys, write_local
+
+    calls = []
+
+    class Recorder(fsmod.LocalFilesystem):
+        def put(self, key, text):
+            calls.append(("put", key))
+            return key
+
+        def purge(self, keys, batch=1000, on_batch=None):
+            calls.append(("purge", len(keys), batch))
+            return len(keys)
+
+    fsmod.register_fs("mem", Recorder())
+    try:
+        write_local("mem://bucket/reports", "a.csv", "x,y")
+        n = purge_keys(["mem://bucket/t/1", "mem://bucket/t/2"], batch=1)
+        assert n == 2
+        assert calls == [
+            ("put", "mem://bucket/reports/a.csv"),
+            ("purge", 2, 1),
+        ]
+    finally:
+        fsmod._REGISTRY.pop("mem", None)
+    # unknown schemes fail loudly, not silently local
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        write_local("s3://bucket/x", "f", "t")
+
+
+def test_fs_purge_batch_progress(tmp_path):
+    """The 1000-key batch contract (S3FileHelper.scala:46-55): purge
+    reports per-batch progress and deletes everything."""
+    from batch_process_dpla_index_spark.io.fs import LocalFilesystem
+
+    files = []
+    for i in range(5):
+        p = tmp_path / f"k{i}"
+        p.write_text("x")
+        files.append(str(p))
+    seen = []
+    n = LocalFilesystem().purge(files, batch=2, on_batch=lambda b, k: seen.append((b, k)))
+    assert n == 5
+    assert seen == [(0, 2), (1, 2), (2, 1)]
+    assert not any(__import__("os").path.exists(f) for f in files)
