@@ -481,7 +481,8 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero false positives)."""
     docs = load_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(
-        docs, "text", "doc_id", n=3, threshold=0.5, num_perm=64, bands=16
+        docs, "text", "doc_id", n=3, threshold=0.5, num_perm=64, bands=16,
+        use_pandas=True,
     )
 
 
@@ -613,7 +614,7 @@ def q_avro_flatten_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     from batch_process_dpla_index_spark.model.flatten import modify_columns
 
     docs = load_table(spark, sf_dir, "documents")
-    enriched = synthesize_enriched(docs).repartition(4, "dplaUri")
+    enriched = synthesize_enriched(docs).repartition(16, "dplaUri")
     tag = _hl.md5(sf_dir.encode()).hexdigest()[:12]
     path = f"{_tf.gettempdir()}/spark_graft_avro_{tag}"
     write_avro(enriched, path)
@@ -1010,7 +1011,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from batch_process_dpla_index_spark.operators.dedup import unpersist_deps
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+    pairs = minhash_lsh_pairs(docs, "text", "doc_id", n=3, threshold=0.5, use_pandas=True)
     # CC materializes eagerly (checkpointed fixpoint), so the pair
     # operator's cached signature frame can be released right after.
     labels = connected_components(pairs)
