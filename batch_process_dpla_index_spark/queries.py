@@ -510,7 +510,10 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate all-pairs top-5 (shuffle on bucket keys
     only — never all pairs)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return lsh_ann_topk(emb, "vec_id", "embedding", dim=64, k=5, n_planes=8, n_tables=4)
+    return lsh_ann_topk(
+        emb, "vec_id", "embedding", dim=64, k=5, n_planes=8, n_tables=4,
+        use_pandas=True,
+    )
 
 
 # ---------------------------------------------------------------------------
