@@ -1121,6 +1121,18 @@ FROM (SELECT CAST(doc_id AS VARCHAR) AS id FROM documents)
 """
 
 
+# Batch twin of the stream-stream interval join (state bound = the
+# same interval predicate).
+ORACLE_INTERVAL_JOIN = """
+SELECT p.event_id AS l_event_id, c.event_id AS r_event_id
+FROM events p JOIN events c
+  ON p.user_id = c.user_id
+ AND c.ts > p.ts - INTERVAL 1 HOUR
+ AND c.ts <= p.ts
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+"""
+
+
 ORACLES: dict[str, str] = {
     "pricing_summary": ORACLE_PRICING_SUMMARY,
     "top_orders": ORACLE_TOP_ORDERS,
@@ -1187,6 +1199,7 @@ ORACLES: dict[str, str] = {
     "salted_brand_join": ORACLE_SALTED_BRAND_JOIN,
     "segment_overlap": ORACLE_SEGMENT_OVERLAP,
     "cube_flags": ORACLE_CUBE_FLAGS,
+    "interval_join": ORACLE_INTERVAL_JOIN,
     # approx_distinct_users: deliberately no oracle — HLL sketch
     # estimates are engine-specific; accuracy bound asserted in pytest.
 }

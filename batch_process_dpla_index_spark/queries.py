@@ -1119,6 +1119,28 @@ def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval (attribution-window) join: purchases pick up the
+    same user's clicks within the preceding hour. The same builder is
+    the stream-stream join operator (streaming/windows.interval_join);
+    batch form planned as a range-predicate equi-join — one shuffle on
+    user_id, time bound pruned stage-side. Streaming convergence is
+    pytest-proven (test_interval_join_stream_matches_batch)."""
+    from batch_process_dpla_index_spark.streaming.windows import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    return interval_join(purchases, clicks, "user_id", lookback="1 hour").select(
+        "l_event_id", "r_event_id"
+    )
+
+
 def q_thumbnail_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ThumbnailPurge key derivation (ThumbnailPurge.scala:17-33),
     fully in-plan — the purge action itself is tested in pytest."""
@@ -1212,4 +1234,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_frames": q_multimodal_frames,
     "approx_distinct_users": q_approx_distinct_users,
     "thumbnail_keys": q_thumbnail_keys,
+    "interval_join": q_interval_join,
 }

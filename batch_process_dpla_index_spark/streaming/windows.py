@@ -94,6 +94,57 @@ def streaming_dedup(stream, id_cols: list[str], ts_col: str, watermark: str):
     return stream.withWatermark(ts_col, watermark).dropDuplicates(id_cols)
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lookback: str = "1 hour",
+    watermark: str | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream (or batch) time-interval join: each left row pairs
+    with right rows of the same key whose timestamp falls in
+    ``(left_ts - lookback, left_ts]`` — the attribution-window join
+    (click ← preceding impressions, purchase ← preceding clicks).
+
+    The SAME builder serves both engines — Spark's planner picks the
+    physical form from the input kind:
+
+    - batch frames → a range-predicate equi-join (shuffle on the key;
+      the time bound prunes pairs stage-side);
+    - streaming frames (``watermark`` set) → a watermarked
+      stream-stream join where the interval condition is exactly what
+      lets Spark BOUND THE STATE STORE: right rows age out once
+      ``right_ts < watermark - lookback``, left rows once matched or
+      expired. Without a time bound a stream-stream join must retain
+      unbounded state — this operator makes the bound explicit.
+
+    Columns are emitted prefixed (``l_`` / ``r_``) so the join is
+    self-join-safe (events to events).
+    """
+    l = left.select(
+        F.col(key).alias("l_key"),
+        F.col(left_ts).alias("l_ts"),
+        *[F.col(c).alias(f"l_{c}") for c in left.columns if c not in (key, left_ts)],
+    )
+    r = right.select(
+        F.col(key).alias("r_key"),
+        F.col(right_ts).alias("r_ts"),
+        *[F.col(c).alias(f"r_{c}") for c in right.columns if c not in (key, right_ts)],
+    )
+    if watermark is not None:
+        l = l.withWatermark("l_ts", watermark)
+        r = r.withWatermark("r_ts", watermark)
+    cond = (
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("r_ts") > F.col("l_ts") - F.expr(f"INTERVAL {lookback}"))
+        & (F.col("r_ts") <= F.col("l_ts"))
+    )
+    return l.join(r, cond, how)
+
+
 RUNNING_TOTALS_STATE = "n BIGINT, total DOUBLE"
 RUNNING_TOTALS_OUTPUT = "user_id BIGINT, n_events BIGINT, total_value DOUBLE"
 

@@ -317,3 +317,31 @@ def test_fs_purge_batch_progress(tmp_path):
     assert n == 5
     assert seen == [(0, 2), (1, 2), (2, 1)]
     assert not any(__import__("os").path.exists(f) for f in files)
+
+
+def test_format_matrix_round_trips(spark, docs_small, tmp_path):
+    """Every format in the source/sink matrix round-trips the documents
+    slice losslessly (csv/json with explicit schema — inference is
+    banned at scale)."""
+    from batch_process_dpla_index_spark.sources.formats import FORMATS, read_any, write_any
+
+    base = docs_small.select("doc_id", "source", "lang", "n_chars", "text")
+    want = {tuple(map(str, r)) for r in base.collect()}
+    for fmt in FORMATS:
+        if fmt == "text":
+            continue  # opaque single-column tier, covered by jsonl dump
+        path = str(tmp_path / f"rt_{fmt}")
+        write_any(base, path, fmt)
+        schema = base.schema if fmt in ("csv", "json") else None
+        back = read_any(spark, path, fmt, schema=schema)
+        got = {tuple(map(str, r)) for r in back.select(*base.columns).collect()}
+        assert got == want, fmt
+
+
+def test_csv_json_require_schema(spark, tmp_path):
+    from batch_process_dpla_index_spark.sources.formats import read_any
+
+    with pytest.raises(ValueError, match="schema"):
+        read_any(spark, str(tmp_path), "csv")
+    with pytest.raises(ValueError, match="schema"):
+        read_any(spark, str(tmp_path), "json")

@@ -153,3 +153,41 @@ def test_streaming_watermark_drops_late_rows(spark, tmp_path):
     assert ("2024-01-10 12:00:00", 2) in rows, rows
     # …and the dropped late row's window never materialized
     assert not any("2024-01-01" in w for w, _ in rows), rows
+
+
+def test_interval_join_stream_matches_batch(spark, events_dir):
+    """Stream-stream watermarked interval join converges to the batch
+    range join on the same inputs: purchases pick up clicks by the
+    same user within the preceding hour."""
+    from batch_process_dpla_index_spark.streaming.windows import interval_join
+
+    ev = spark.read.parquet(events_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    want = interval_join(purchases, clicks, "user_id", lookback="1 hour").select(
+        "l_event_id", "r_event_id"
+    )
+
+    s_purch = (
+        spark.readStream.schema(ev.schema).parquet(events_dir)
+        .filter(F.col("event_type") == "purchase").select("user_id", "ts", "event_id")
+    )
+    s_click = (
+        spark.readStream.schema(ev.schema).parquet(events_dir)
+        .filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    )
+    import uuid as _uuid
+
+    joined = interval_join(
+        s_purch, s_click, "user_id", lookback="1 hour", watermark="2 hours"
+    )
+    name = f"ij_{_uuid.uuid4().hex[:8]}"
+    got = run_stream_to_batch(joined, name, output_mode="append").select(
+        "l_event_id", "r_event_id"
+    )
+    assert want.count() > 0
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
