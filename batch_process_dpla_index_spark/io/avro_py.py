@@ -215,9 +215,12 @@ def _encode(value, schema, out: bytearray) -> None:
                 _encode(item, schema["items"], out)
         out += _zigzag(0)
     elif t == "map":
-        if value:
-            out += _zigzag(len(value))
-            for k, v in value.items():
+        # dicts from Row.asDict / JSON; (key, value) pair lists from
+        # pyarrow's to_pylist rendering of MapType
+        items = list(value.items()) if isinstance(value, dict) else list(value or ())
+        if items:
+            out += _zigzag(len(items))
+            for k, v in items:
                 _encode(k, "string", out)
                 _encode(v, schema["values"], out)
         out += _zigzag(0)
@@ -384,7 +387,14 @@ def write_avro_py(df: DataFrame, path: str, overwrite: bool = True,
                   codec: str = "deflate") -> None:
     """K2 fallback: one OCF part file per DataFrame partition, written
     from the executors (TaskContext partition id names the part — the
-    same unit-of-output contract as the committer path)."""
+    same unit-of-output contract as the committer path).
+
+    Rows reach Python through ``mapInArrow`` — Arrow batches +
+    ``to_pylist`` (nested structs arrive as plain dicts, nulls as
+    None) — instead of pickled Row objects; on the deeply nested EDM
+    model the pickle path spent more time deserializing rows than
+    encoding Avro (measured ~2× at sf0.1). The per-partition summary
+    row is the action that drives the write."""
     from batch_process_dpla_index_spark.io.sinks import delete_existing
 
     if overwrite:
@@ -392,26 +402,34 @@ def write_avro_py(df: DataFrame, path: str, overwrite: bool = True,
     os.makedirs(path, exist_ok=True)
     avro_schema = spark_to_avro_schema(df.schema)
 
-    def _write(rows) -> None:
+    def _write(batches):
+        import itertools as _it
+
+        import pyarrow as pa
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        it = iter(rows)
+
+        def recs():
+            for b in batches:
+                yield from b.to_pylist()
+
+        it = recs()
         try:
             first = next(it)
-        except StopIteration:
-            return  # no empty part files
-        import itertools as _it
-
+        except StopIteration:  # no empty part files
+            yield pa.RecordBatch.from_pydict(
+                {"path": pa.array([], type=pa.string()),
+                 "n": pa.array([], type=pa.int64())}
+            )
+            return
         full = os.path.join(path, f"part-{pid:05d}.avro")
         with open(full + "._tmp", "wb") as fh:
-            write_container(
-                (r.asDict(recursive=True) for r in _it.chain([first], it)),
-                avro_schema, fh, codec=codec,
-            )
+            n = write_container(_it.chain([first], it), avro_schema, fh, codec=codec)
         os.replace(full + "._tmp", full)  # commit rename, no partial files
+        yield pa.RecordBatch.from_pydict({"path": [full], "n": [n]})
 
-    df.foreachPartition(_write)
+    df.mapInArrow(_write, "path string, n bigint").collect()
     with open(os.path.join(path, "_SUCCESS"), "w", encoding="utf-8"):
         pass
 
