@@ -149,6 +149,51 @@ RUNNING_TOTALS_STATE = "n BIGINT, total DOUBLE"
 RUNNING_TOTALS_OUTPUT = "user_id BIGINT, n_events BIGINT, total_value DOUBLE"
 
 
+def running_user_totals_tws(stream):
+    """The same running per-user totals on the Spark 4
+    ``transformWithStateInPandas`` API (StatefulProcessor + typed
+    ValueState) — the successor surface to applyInPandasWithState:
+    named state variables with their own schemas/TTLs and optional
+    timers, instead of one opaque state tuple. Kept semantically
+    identical to :func:`running_user_totals` so the two APIs are
+    convergence-tested against the same batch aggregate.
+
+    Runtime requirement: the TWS state protocol is protobuf-based
+    (pyspark/sql/streaming/proto), so executing this needs
+    ``google.protobuf`` on driver and executors; environments without
+    it use :func:`running_user_totals` (applyInPandasWithState), which
+    has no such dependency — the convergence test gates accordingly."""
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class Totals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", RUNNING_TOTALS_STATE)
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._totals.exists():
+                n, total = self._totals.get()
+            else:
+                n, total = 0, 0.0
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._totals.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=Totals(),
+        outputStructType=RUNNING_TOTALS_OUTPUT,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def running_user_totals(stream):
     """Custom stateful operator via applyInPandasWithState: per-user
     running event count + value sum, emitted once per micro-batch.

@@ -191,3 +191,31 @@ def test_interval_join_stream_matches_batch(spark, events_dir):
     )
     assert want.count() > 0
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_transform_with_state_matches_batch(spark, events_dir):
+    """The Spark 4 transformWithStateInPandas surface (StatefulProcessor
+    + typed ValueState) converges to the same batch totals as the
+    applyInPandasWithState form. The TWS state protocol speaks protobuf
+    (pyspark/sql/streaming/proto): without google.protobuf in the
+    environment the operator cannot execute, so this gate mirrors the
+    applyInPandasWithState coverage that can."""
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="transformWithState requires protobuf (absent in this env)",
+    )
+    from batch_process_dpla_index_spark.streaming.windows import running_user_totals_tws
+
+    ev = spark.read.parquet(events_dir)
+    stream = spark.readStream.schema(ev.schema).parquet(events_dir)
+    name = f"tw_{uuid.uuid4().hex[:8]}"
+    got = run_stream_to_batch(running_user_totals_tws(stream), name, output_mode="update")
+    want = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )
+    latest = got.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.round(F.max("total_value"), 6).alias("total_value"),
+    )
+    assert latest.exceptAll(want).count() == 0 and want.exceptAll(latest).count() == 0
