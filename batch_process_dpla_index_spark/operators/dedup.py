@@ -146,9 +146,17 @@ def jaccard_pairs(
     posts = posts.join(F.broadcast(hot), "shingle", "left_anti")
     a = posts.select(F.col("id").alias("id_a"), F.col("set_size").alias("size_a"), "shingle")
     b = posts.select(F.col("id").alias("id_b"), F.col("set_size").alias("size_b"), "shingle")
+    # Size-ratio prune (set-similarity-join length filter): J(A,B) >= t
+    # forces t·max(|A|,|B|) <= min(|A|,|B|), so size-incompatible pairs
+    # can be dropped BEFORE the pair aggregation — identical results,
+    # smaller groupBy input. (J = |∩|/|∪| <= min/max.)
+    size_ok = (
+        F.greatest(F.col("size_a"), F.col("size_b")) * threshold
+        <= F.least(F.col("size_a"), F.col("size_b"))
+    )
     inter = (
         a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter((F.col("id_a") < F.col("id_b")) & size_ok)
         .groupBy("id_a", "id_b", "size_a", "size_b")
         .agg(F.count("*").alias("n_common"))
     )
