@@ -131,3 +131,30 @@ def test_wholestage_codegen_active(spark):
         assert "*(" in plan, plan
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_interval_join_is_equi_join_not_cartesian(spark):
+    """The time-interval join must plan as a key equi-join with the
+    range bound as residual condition — a BroadcastNestedLoop or
+    Cartesian here would be quadratic at scale."""
+    plan = _plan(spark, "interval_join")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    ), plan
+
+
+def test_fingerprint_folded_is_shuffle_free(spark):
+    """Accent folding + fingerprinting is a pure scan projection
+    (translate + md5) — no Exchange at any scale."""
+    plan = _plan(spark, "fingerprint_folded")
+    assert "Exchange" not in plan, plan
+
+
+def test_cosine_topk_registered_plan_uses_arrow(spark):
+    """The registered cosine_topk must execute the BLAS mapInPandas
+    plan (the |Q|x|C| expression materialization was the round-2
+    scale-killer)."""
+    plan = _plan(spark, "cosine_topk")
+    assert "MapInPandas" in plan, plan
