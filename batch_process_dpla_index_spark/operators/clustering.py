@@ -1,0 +1,193 @@
+"""K-means (Lloyd's) over embedding columns — the iterative-algorithm
+member of the similarity family, and the upgrade path for IVF: learned
+coarse centroids instead of the deterministic pseudo-random ones
+(`similarity._centroid`), which is how a production IVF index is
+actually trained.
+
+Dataflow shape per iteration (the only shape that survives 100 TB):
+
+- ASSIGN: one Arrow pass over the corpus — N×dim @ dim×k matmul,
+  argmin of squared L2 per row (`mapInPandas`, centroids shipped in
+  the task closure: k×dim floats, broadcast-sized by contract).
+- UPDATE: posexplode the vectors and hash-aggregate SUM/COUNT keyed by
+  (cell, dimension) — map-side partial aggregation means the shuffle
+  carries k×dim rows, and no aggregation buffer ever holds more than
+  one running sum (a collect_list-per-cell formulation would buffer
+  whole cells — exactly the OOM shape this avoids); the k×dim result
+  collects to the driver (tiny), becoming the next closure.
+
+So each iteration is one narrow stage + one k-row shuffle — no
+per-pair work anywhere, state on the driver is k×dim. Empty cells
+keep their previous centroid (the standard Lloyd's convention).
+Initialization is deterministic farthest-point (maximin) seeding —
+see :func:`_maximin_seeds` — engine-reproducible, no RNG.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from batch_process_dpla_index_spark.functions.text import h60
+
+
+def _assign_cells(df: DataFrame, id_col: str, vec_col: str, centroids) -> DataFrame:
+    """(id, vec, cell): nearest centroid by squared L2, one Arrow pass."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    cents = np.asarray(centroids, dtype="float64")  # k × dim
+    sq = (cents * cents).sum(axis=1)  # ‖c‖² per cell
+    id_name, vec_name = id_col, vec_col
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.array(list(pdf[vec_name]), dtype="float64")
+            # argmin ‖x−c‖² = argmin ‖c‖² − 2·x·c  (‖x‖² constant per row)
+            cell = (sq[None, :] - 2.0 * (mat @ cents.T)).argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_name].to_numpy(),
+                    "vec": pdf[vec_name],
+                    "cell": cell.astype("int32"),
+                }
+            )
+
+    vec_ddl = df.schema[vec_col].dataType.simpleString()
+    return df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        assign, f"id bigint, vec {vec_ddl}, cell int"
+    )
+
+
+def _maximin_seeds(df: DataFrame, id_col: str, vec_col: str, k: int) -> list[list[float]]:
+    """Deterministic farthest-point (maximin) seeding: first seed is
+    the row with the smallest ``h60(id)`` digest; each next seed is the
+    point with the LARGEST distance to its nearest chosen seed (ties →
+    smallest id). Separated clusters each receive a seed, which is what
+    keeps Lloyd's out of the split-one-blob local optimum that naive
+    seeding falls into; k−1 extra Arrow passes, each O(N·k·dim) — an
+    init cost, not a per-iteration one. (k-means|| is the sampled
+    refinement of exactly this for very large k.)"""
+    first = (
+        df.select(F.col(vec_col).alias("vec"), h60(F.col(id_col).cast("string")).alias("__h"))
+        .orderBy("__h")
+        .limit(1)
+        .collect()
+    )
+    if not first:
+        raise ValueError("empty corpus")
+    seeds = [list(first[0]["vec"])]
+    for _ in range(k - 1):
+        far = (
+            kmeans_assign(df, seeds, id_col, vec_col)
+            .orderBy(F.col("dist2").desc(), F.col("id").asc())
+            .limit(1)
+            .collect()[0]
+        )
+        vec = (
+            df.filter(F.col(id_col) == far["id"]).select(F.col(vec_col)).collect()[0][0]
+        )
+        seeds.append(list(vec))
+    return seeds
+
+
+def kmeans_fit(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+    n_iter: int = 10,
+    tol: float = 1e-6,
+    init: str = "maximin",
+) -> list[list[float]]:
+    """Lloyd's iterations; returns the k×dim centroid list (driver-side
+    — it IS the model, k×dim floats). Stops early when no centroid
+    moves more than ``tol`` (squared L2).
+
+    ``init='maximin'`` (default) is the quality seeding — k−1 extra
+    passes, recovers separated clusters. ``init='hash'`` seeds with the
+    k rows of smallest ``h60(id)`` in ONE pass: cheapest deterministic
+    start for throughput-bound jobs that only need a stable partition
+    of the space, at the cost of local-optimum quality."""
+    if init == "maximin":
+        centroids = _maximin_seeds(df, id_col, vec_col, k)
+    else:
+        rows = (
+            df.select(F.col(vec_col).alias("vec"), h60(F.col(id_col).cast("string")).alias("__h"))
+            .orderBy("__h")
+            .limit(k)
+            .collect()
+        )
+        centroids = [list(r["vec"]) for r in rows]
+        if len(centroids) < k:
+            raise ValueError(f"corpus has fewer than k={k} rows")
+
+    dim = len(centroids[0])
+    for _ in range(n_iter):
+        assigned = _assign_cells(df, id_col, vec_col, centroids)
+        # per-(cell, dimension) sum/count: partial agg shuffles k×dim
+        # rows; per-(cell,pos) count == the cell's row count
+        stats = (
+            assigned.select("cell", F.posexplode("vec").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        sums: dict[int, list[float]] = {}
+        counts: dict[int, int] = {}
+        for r in stats:
+            sums.setdefault(r["cell"], [0.0] * dim)[r["pos"]] = r["s"]
+            counts[r["cell"]] = r["n"]
+        new_centroids = list(centroids)  # empty cells keep previous
+        shift = 0.0
+        for cell, vsum in sums.items():
+            c = [s / counts[cell] for s in vsum]
+            old = centroids[cell]
+            shift = max(shift, sum((a - b) ** 2 for a, b in zip(c, old)))
+            new_centroids[cell] = c
+        centroids = new_centroids
+        if shift <= tol:
+            break
+    return centroids
+
+
+def kmeans_assign(
+    df: DataFrame,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell, dist2): final assignment + squared distance — the
+    inference pass, also the storage assignment for a learned-centroid
+    IVF index."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    cents = np.asarray(centroids, dtype="float64")
+    sq = (cents * cents).sum(axis=1)
+    id_name, vec_name = id_col, vec_col
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.array(list(pdf[vec_name]), dtype="float64")
+            d2 = sq[None, :] - 2.0 * (mat @ cents.T) + (mat * mat).sum(axis=1)[:, None]
+            cell = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_name].to_numpy(),
+                    "cell": cell.astype("int32"),
+                    "dist2": d2[np.arange(len(cell)), cell],
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        assign, "id bigint, cell int, dist2 double"
+    )

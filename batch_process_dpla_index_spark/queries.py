@@ -1120,6 +1120,32 @@ def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+
+def q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned-centroid clustering (Lloyd's k-means, deterministic
+    maximin seeding) over the embeddings table: per-cell population +
+    mean squared distance. Iterative algorithm — deliberately no SQL
+    oracle (the driver records the rows-only check); exact recovery,
+    monotone inertia, and determinism are pytest-proven
+    (tests/test_clustering.py). Per iteration: one Arrow assign pass +
+    one (cell, dim)-keyed partial agg — the IVF training path."""
+    from batch_process_dpla_index_spark.operators.clustering import (
+        kmeans_assign,
+        kmeans_fit,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(emb, "vec_id", "embedding", k=8, n_iter=3, init="hash")
+    return (
+        kmeans_assign(emb, cents, "vec_id", "embedding")
+        .groupBy("cell")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.round(F.avg("dist2"), 6).alias("avg_dist2"),
+        )
+    )
+
+
 def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-interval (attribution-window) join: purchases pick up the
     same user's clicks within the preceding hour. The same builder is
@@ -1235,4 +1261,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "approx_distinct_users": q_approx_distinct_users,
     "thumbnail_keys": q_thumbnail_keys,
     "interval_join": q_interval_join,
+    "kmeans_cells": q_kmeans_cells,
 }
