@@ -378,18 +378,24 @@ def _centroid_matrix(dim: int, n_cells: int):
 
 
 def ivf_cells_pandas(
-    df: DataFrame, id_col: str, vec_col: str, dim: int, n_cells: int, n_probe: int
+    df: DataFrame, id_col: str, vec_col: str, dim: int, n_cells: int, n_probe: int,
+    centroids=None,
 ) -> DataFrame:
     """(id, vec, cells array<int>) via one Arrow pass: N×dim @ dim×cells
     matmul + per-row argsort — the vectorized twin of
     :func:`ivf_assign` (ties break toward the higher cell id, same as
-    the expression form's struct-max)."""
+    the expression form's struct-max). Pass ``centroids`` (k×dim, e.g.
+    from ``operators.clustering.kmeans_fit``) to use a LEARNED coarse
+    quantizer instead of the deterministic pseudo-random one."""
     from collections.abc import Iterator
 
     import numpy as np
     import pandas as pd
 
-    cents = _centroid_matrix(dim, n_cells).T  # dim × cells
+    if centroids is not None:
+        cents = np.asarray(centroids, dtype="float64").T  # dim × cells
+    else:
+        cents = _centroid_matrix(dim, n_cells).T  # dim × cells
     id_name, vec_name = id_col, vec_col
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -424,9 +430,14 @@ def ivf_topk(
     k: int = 5,
     n_cells: int = 16,
     n_probe: int = 4,
+    centroids=None,
 ) -> DataFrame:
     """IVF approximate all-pairs top-k — the inverted-file scale path
-    beside the hyperplane-LSH variant.
+    beside the hyperplane-LSH variant. ``centroids`` switches the
+    coarse quantizer to a learned k-means codebook
+    (``operators.clustering.kmeans_fit``) — the production IVF shape;
+    recall improvement over the pseudo-random quantizer is pinned in
+    tests/test_clustering.py.
 
     Storage side: every vector lives in its single nearest coarse cell.
     Query side: each vector probes its ``n_probe`` nearest cells.
@@ -443,7 +454,7 @@ def ivf_topk(
     import numpy as np
     import pandas as pd
 
-    assigned = ivf_cells_pandas(corpus, id_col, vec_col, dim, n_cells, n_probe)
+    assigned = ivf_cells_pandas(corpus, id_col, vec_col, dim, n_cells, n_probe, centroids)
     stored = assigned.select(
         F.element_at("cells", 1).alias("cell"),
         F.lit(0).alias("role"),

@@ -78,3 +78,31 @@ def test_learned_ivf_on_fixture_embeddings(spark):
     assert n_cells >= 4  # near-random fixture vectors spread out
     again = _assign_cells(emb, "vec_id", "embedding", cents).select("id", "cell")
     assert assigned.select("id", "cell").exceptAll(again).count() == 0
+
+
+def test_learned_centroids_improve_ivf_recall(spark):
+    """IVF with a k-means codebook must match or beat the pseudo-random
+    quantizer's top-1 recall at the same (n_cells, n_probe) budget —
+    the reason the training path exists."""
+    from batch_process_dpla_index_spark.operators.similarity import cosine_topk, ivf_topk
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, emb, "vec_id", "embedding", k=1).collect()
+    }
+    cents = kmeans_fit(emb, "vec_id", "embedding", k=16, n_iter=5)
+
+    def recall(centroids):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivf_topk(
+                emb, "vec_id", "embedding", dim=64, k=1,
+                n_cells=16, n_probe=4, centroids=centroids,
+            ).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    r_random, r_learned = recall(None), recall(cents)
+    assert r_learned >= r_random - 0.02  # never materially worse
+    assert r_learned >= 0.3
