@@ -263,6 +263,38 @@ def redact_pii(col: Column) -> Column:
     return out
 
 
+def chunk_structs(tok: Column, chunk_tokens: int = 64, overlap: int = 16) -> Column:
+    """Token-window document chunking — the context-length prep op of
+    an LLM pipeline: array of (chunk_no, chunk_text, n_tokens) structs
+    where chunk i covers tokens [i·stride, i·stride + chunk_tokens)
+    with stride = chunk_tokens − overlap, so consecutive chunks share
+    ``overlap`` tokens. Chunk count = max(1, ⌈(n − overlap) / stride⌉)
+    for non-empty docs (short docs yield one whole-doc chunk); empty
+    docs yield no chunks. Pure expressions over a materialized token
+    array — explode it and the whole thing stays one narrow stage.
+    """
+    stride = chunk_tokens - overlap
+    n = F.size(tok)
+    n_chunks = F.greatest(
+        F.lit(1), ((n - overlap + stride - 1) / stride).cast("bigint")
+    )
+    gen = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_no"),
+            F.concat_ws(" ", F.slice(tok, i * stride + 1, chunk_tokens)).alias(
+                "chunk_text"
+            ),
+            F.least(F.lit(chunk_tokens), n - i * stride).cast("bigint").alias(
+                "n_tokens"
+            ),
+        ),
+    )
+    return F.when(n == 0, F.array().cast(
+        "array<struct<chunk_no:int,chunk_text:string,n_tokens:bigint>>"
+    )).otherwise(gen)
+
+
 def repetition_ratio_tok(tok: Column, n: int = 2) -> Column:
     """Fraction of within-document n-grams that are repeats of an
     earlier n-gram (Gopher-style repetition signal): 1 - distinct/total.

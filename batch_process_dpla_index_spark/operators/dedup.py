@@ -534,6 +534,29 @@ def hash_sample(df: DataFrame, key_col: str, fraction: float, salt: str = "sampl
     return df.filter(bucket < int(round(fraction * 10_000)))
 
 
+def stratified_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "strat",
+) -> DataFrame:
+    """Per-group deterministic sampling — the source-mixing knob of a
+    training-data pipeline (upsample curated sources, downsample web
+    crawl): group g keeps ``fractions[g]`` of its rows, chosen by the
+    same pure-function-of-key rule as :func:`hash_sample` (stable
+    across runs, partitionings, and engines; the SQL oracle replays it
+    exactly). Groups absent from ``fractions`` keep
+    ``default_fraction``. One narrow filter — the threshold CASE and
+    the digest both live in the scan projection."""
+    bucket = F.pmod(h60(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string"))), F.lit(10_000))
+    thresh: Column = F.lit(int(round(default_fraction * 10_000)))
+    for group, frac in sorted(fractions.items()):
+        thresh = F.when(F.col(group_col) == group, int(round(frac * 10_000))).otherwise(thresh)
+    return df.filter(bucket < thresh)
+
+
 def hash_split(df: DataFrame, key_col: str, val_fraction: float = 0.1, salt: str = "split") -> DataFrame:
     """Deterministic train/validation assignment: adds ``split`` ∈
     {'train','val'} as a pure function of the key (same stability

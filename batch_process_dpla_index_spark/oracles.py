@@ -1133,6 +1133,31 @@ WHERE p.event_type = 'purchase' AND c.event_type = 'click'
 """
 
 
+# Token-window chunking: stride 48 = 64 - 16; chunk count
+# max(1, ceil((n-16)/48)) for non-empty docs, 1-based list slices.
+ORACLE_DOC_CHUNKS = f"""
+WITH {_DOC_TOK_CTE}, c AS (
+    SELECT doc_id, CAST(len(tok) AS BIGINT) AS n, tok
+    FROM doc_tok WHERE len(tok) > 0
+)
+SELECT doc_id,
+       CAST(i AS INT) AS chunk_no,
+       array_to_string(tok[i*48+1 : i*48+64], ' ') AS chunk_text,
+       CAST(least(64, n - i*48) AS BIGINT) AS n_tokens
+FROM c, UNNEST(range(greatest(1, (n - 16 + 47) // 48))) AS t(i)
+"""
+
+
+ORACLE_STRATIFIED_SAMPLE = """
+SELECT source, count(*) AS n_docs, min(doc_id) AS min_doc
+FROM documents
+WHERE CAST(concat('0x', substring(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 <
+      CASE source WHEN 'src2' THEN 1000 WHEN 'src1' THEN 5000
+                  WHEN 'src0' THEN 8000 ELSE 2500 END
+GROUP BY source
+"""
+
+
 ORACLES: dict[str, str] = {
     "pricing_summary": ORACLE_PRICING_SUMMARY,
     "top_orders": ORACLE_TOP_ORDERS,
@@ -1200,6 +1225,8 @@ ORACLES: dict[str, str] = {
     "segment_overlap": ORACLE_SEGMENT_OVERLAP,
     "cube_flags": ORACLE_CUBE_FLAGS,
     "interval_join": ORACLE_INTERVAL_JOIN,
+    "doc_chunks": ORACLE_DOC_CHUNKS,
+    "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
     # approx_distinct_users: deliberately no oracle — HLL sketch
     # estimates are engine-specific; accuracy bound asserted in pytest.
 }

@@ -1146,6 +1146,45 @@ def q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking (64-token chunks, 16-token overlap) — the
+    context-length prep stage of a training pipeline. Token array
+    materialized once, chunk structs generated in-expression, one
+    explode: a single narrow stage, no shuffle at any scale."""
+    from batch_process_dpla_index_spark.functions.text import chunk_structs
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", tokens(F.col("text")).alias("__tok"))
+    return base.select(
+        "doc_id", F.explode(chunk_structs(F.col("__tok"), 64, 16)).alias("c")
+    ).select(
+        "doc_id",
+        F.col("c.chunk_no").alias("chunk_no"),
+        F.col("c.chunk_text").alias("chunk_text"),
+        F.col("c.n_tokens").alias("n_tokens"),
+    )
+
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-source keep fractions
+    (src0 80%, src1 50%, src2 10%, others 25%) as a pure function of
+    doc_id — the source-mixing stage of training-data prep. Narrow
+    filter + one count agg; reproducible in any engine."""
+    from batch_process_dpla_index_spark.operators.dedup import stratified_hash_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = stratified_hash_sample(
+        docs, "doc_id", "source",
+        {"src0": 0.8, "src1": 0.5, "src2": 0.1},
+        default_fraction=0.25,
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc")
+    )
+
+
 def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-interval (attribution-window) join: purchases pick up the
     same user's clicks within the preceding hour. The same builder is
@@ -1261,5 +1300,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "approx_distinct_users": q_approx_distinct_users,
     "thumbnail_keys": q_thumbnail_keys,
     "interval_join": q_interval_join,
+    "doc_chunks": q_doc_chunks,
+    "stratified_sample": q_stratified_sample,
     "kmeans_cells": q_kmeans_cells,
 }

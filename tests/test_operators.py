@@ -274,3 +274,33 @@ def test_cosine_topk_default_plan_is_map_in_pandas(spark):
     df = cosine_topk(emb, q, "vec_id", "embedding", k=3)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" in plan, plan
+
+
+def test_chunk_structs_edges(spark):
+    """Empty doc → no chunks; short doc → one whole-doc chunk; exact
+    64-token doc → one chunk; 65 tokens → two overlapping chunks whose
+    overlap region matches."""
+    from batch_process_dpla_index_spark.functions.text import chunk_structs
+
+    texts = [
+        (1, ""),
+        (2, "a b c"),
+        (3, " ".join(f"t{i}" for i in range(64))),
+        (4, " ".join(f"t{i}" for i in range(65))),
+    ]
+    df = spark.createDataFrame(texts, "id BIGINT, text STRING")
+    out = df.select(
+        "id", F.explode_outer(chunk_structs(tokens(F.col("text")), 64, 16)).alias("c")
+    ).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["id"], []).append(r["c"])
+    assert by_id[1] == [None]  # explode_outer of empty array
+    assert len(by_id[2]) == 1 and by_id[2][0]["chunk_text"] == "a b c"
+    assert len(by_id[3]) == 1 and by_id[3][0]["n_tokens"] == 64
+    assert len(by_id[4]) == 2
+    c0, c1 = sorted(by_id[4], key=lambda c: c["chunk_no"])
+    assert c0["n_tokens"] == 64 and c1["n_tokens"] == 17
+    # 16-token overlap: chunk 1 starts at token 48
+    assert c1["chunk_text"].split()[0] == "t48"
+    assert c0["chunk_text"].split()[48:] == c1["chunk_text"].split()[:16]
