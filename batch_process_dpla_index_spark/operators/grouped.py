@@ -91,3 +91,57 @@ def sentence_udtf():
                 yield doc_id, i, seg
 
     return SplitSentences
+
+
+PACK_SCHEMA = "group STRING, item_id BIGINT, item_no INT, bin BIGINT, n_tokens BIGINT"
+
+
+def pack_sequences(
+    items: DataFrame,
+    group_col: str,
+    id_col: str,
+    order_col: str,
+    token_col: str,
+    budget: int = 512,
+) -> DataFrame:
+    """Greedy sequence packing — the fill-the-context-window stage
+    between chunking and batching in LLM training prep: within each
+    group, walk items in (id, order) order and open a new bin whenever
+    adding the next item would exceed ``budget`` tokens. Items larger
+    than the budget occupy a bin alone. Sequential by definition, so
+    the GROUP is the packing domain: one applyInPandas per group
+    (groups = sources/shards — thousands at 100 TB, each bounded),
+    embarrassingly parallel across groups, deterministic everywhere
+    (no RNG, total order inside the group).
+
+    Returns per-item bin assignments (group, item_id, item_no, bin,
+    n_tokens); aggregate by (group, bin) for bin-level stats.
+    """
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["__id", "__ord"]).reset_index(drop=True)
+        bins, running, current = [], 0, 0
+        for t in pdf["__tok"]:
+            t = int(t)
+            if running > 0 and running + t > budget:
+                current += 1
+                running = 0
+            bins.append(current)
+            running += t
+        return pd.DataFrame(
+            {
+                "group": pdf["__grp"],
+                "item_id": pdf["__id"],
+                "item_no": pdf["__ord"],
+                "bin": pd.Series(bins, dtype="int64"),
+                "n_tokens": pdf["__tok"].astype("int64"),
+            }
+        )
+
+    prepared = items.select(
+        F.col(group_col).cast("string").alias("__grp"),
+        F.col(id_col).cast("long").alias("__id"),
+        F.col(order_col).cast("int").alias("__ord"),
+        F.col(token_col).cast("long").alias("__tok"),
+    )
+    return prepared.groupBy("__grp").applyInPandas(pack, PACK_SCHEMA)

@@ -1185,6 +1185,34 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_packed_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk → greedy sequence packing → per-bin stats: the full
+    context-window fill pipeline (chunking's downstream stage).
+    Sequential greedy walk is per-source inside applyInPandas —
+    deliberately no SQL oracle (sequential algorithm; the driver
+    records the rows-only check, the walk contract is pytest-pinned
+    in test_pack_sequences_contract)."""
+    from batch_process_dpla_index_spark.functions.text import chunk_structs
+    from batch_process_dpla_index_spark.operators.grouped import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = docs.select(
+        "source", "doc_id", tokens(F.col("text")).alias("__tok")
+    ).select(
+        "source", "doc_id", F.explode(chunk_structs(F.col("__tok"), 64, 16)).alias("c")
+    ).select(
+        "source", "doc_id",
+        F.col("c.chunk_no").alias("chunk_no"),
+        F.col("c.n_tokens").alias("n_tokens"),
+    )
+    packed = pack_sequences(chunks, "source", "doc_id", "chunk_no", "n_tokens", budget=512)
+    return packed.groupBy("group", "bin").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum("n_tokens").alias("n_tokens"),
+    )
+
+
 def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-interval (attribution-window) join: purchases pick up the
     same user's clicks within the preceding hour. The same builder is
@@ -1302,5 +1330,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "interval_join": q_interval_join,
     "doc_chunks": q_doc_chunks,
     "stratified_sample": q_stratified_sample,
+    "packed_bins": q_packed_bins,
     "kmeans_cells": q_kmeans_cells,
 }

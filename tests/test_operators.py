@@ -304,3 +304,32 @@ def test_chunk_structs_edges(spark):
     # 16-token overlap: chunk 1 starts at token 48
     assert c1["chunk_text"].split()[0] == "t48"
     assert c0["chunk_text"].split()[48:] == c1["chunk_text"].split()[:16]
+
+
+def test_pack_sequences_contract(spark):
+    """Greedy packing: no bin exceeds the budget unless a single item
+    does; order is preserved (bins are monotone in item order);
+    deterministic across runs."""
+    from batch_process_dpla_index_spark.operators.grouped import pack_sequences
+
+    rows = []
+    for g in ("a", "b"):
+        for i, t in enumerate([100, 200, 300, 250, 600, 50, 50, 50]):
+            rows.append((g, i, i, t))
+    df = spark.createDataFrame(rows, "src STRING, cid BIGINT, ord INT, toks BIGINT")
+    out = pack_sequences(df, "src", "cid", "ord", "toks", budget=512)
+    rows_a = sorted(
+        [r for r in out.collect() if r["group"] == "a"], key=lambda r: r["item_id"]
+    )
+    # greedy walk: [100,200]=300 | [300] | [250] | [600] | [50,50,50]
+    assert [r["bin"] for r in rows_a] == [0, 0, 1, 2, 3, 4, 4, 4]
+    # bins within budget except the 600-token single item
+    import collections
+
+    tot = collections.Counter()
+    for r in rows_a:
+        tot[r["bin"]] += r["n_tokens"]
+    for b, t in tot.items():
+        assert t <= 512 or (t == 600)
+    again = pack_sequences(df, "src", "cid", "ord", "toks", budget=512)
+    assert out.exceptAll(again).count() == 0
