@@ -1,0 +1,175 @@
+"""Corpus-curation operators for training-data pipelines:
+benchmark decontamination, quality-gate filtering, deterministic
+global shuffle.
+
+These extend the reference's batch-reporting surface (MqReports-style
+per-record scoring, `MqReports.scala:22-88`) to the curation steps an
+LLM data pipeline runs between dedup and tokenization. All three are
+pure DataFrame compositions designed for the 100 TB shape:
+
+- decontaminate:  n-gram overlap against a *small* benchmark corpus.
+                  The benchmark side (thousands of eval questions) is
+                  broadcast; the corpus side is one narrow
+                  shingle-explode. The only shuffle is the per-doc hit
+                  count over *matched* rows — a tiny fraction of the
+                  corpus — so cost is ~one scan regardless of corpus
+                  size.
+- quality_gate:   C4/Gopher-style threshold filter over the verified
+                  text metrics (token count, mean token length,
+                  stopword ratio, punctuation ratio, repetition
+                  ratio). Entirely in-expression: narrow, codegen'd,
+                  zero shuffle.
+- global_shuffle: deterministic pseudo-random reorder + shard
+                  assignment as a pure function of (seed, key) using
+                  the engine-portable ``h60`` digest. No global
+                  window (a row_number over an unpartitioned window
+                  would serialize on one task); ordering is carried by
+                  the sortable ``shuffle_key`` column and sharding by
+                  ``pmod`` — both narrow. Writers order within shards
+                  via sortWithinPartitions(shuffle_key).
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from batch_process_dpla_index_spark.functions.text import (
+    h60,
+    mean_token_len_tok,
+    normalize,
+    punct_ratio_nrm,
+    repetition_ratio_tok,
+    stopword_ratio_tok,
+    tokens,
+    word_shingles,
+)
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Flag corpus documents sharing word n-grams with a benchmark set.
+
+    The standard eval-decontamination step (n-gram collision against
+    held-out benchmarks) run before training. Contract: ``benchmark``
+    is small (eval suites are thousands of rows) and is broadcast
+    explicitly; the corpus is never re-shuffled — its shingles stream
+    through the broadcast hash join, and only matching (doc, shingle)
+    rows reach the per-doc count aggregation. The final hits→docs join
+    is left to AQE (hit counts are usually tiny, but a poisoned
+    benchmark shouldn't force-broadcast a big frame).
+
+    Returns every corpus row with ``n_hits`` (distinct contaminated
+    shingles) and a ``contaminated`` flag.
+    """
+    doc_sh = docs.select(
+        id_col,
+        F.explode(
+            F.array_distinct(word_shingles(tokens(F.col(text_col)), n))
+        ).alias("__shingle"),
+    )
+    bench_sh = (
+        benchmark.select(
+            F.explode(
+                F.array_distinct(word_shingles(tokens(F.col(text_col)), n))
+            ).alias("__shingle")
+        )
+        .where(F.col("__shingle") != "")
+        .distinct()
+    )
+    hits = (
+        doc_sh.join(F.broadcast(bench_sh), "__shingle")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        docs.join(hits, id_col, "left")
+        .withColumn("n_hits", F.coalesce(F.col("n_hits"), F.lit(0)))
+        .withColumn("contaminated", F.col("n_hits") >= F.lit(min_hits))
+    )
+
+
+#: default gate thresholds (C4/Gopher-flavored, tuned for the synthetic corpus)
+DEFAULT_GATES: Mapping[str, float] = {
+    "min_tokens": 5,
+    "max_tokens": 100_000,
+    "min_mean_token_len": 2.0,
+    "max_mean_token_len": 12.0,
+    "max_punct_ratio": 0.2,
+    "min_stopword_ratio": 0.0,
+    "max_repetition_ratio": 0.6,
+}
+
+
+def quality_gate(
+    docs: DataFrame,
+    text_col: str = "text",
+    gates: Mapping[str, float] = DEFAULT_GATES,
+    lang: str = "en",
+) -> DataFrame:
+    """Score every document against threshold gates and keep survivors.
+
+    The metric columns are materialized once from a shared token array
+    (the ``top_bigrams`` lesson: inline HOFs re-tokenize per use), the
+    filter is a single conjunction — one narrow projection + filter,
+    fully codegen'd, no Python, no shuffle. Emits the metrics alongside
+    the surviving rows so downstream stages can re-cut without
+    recomputing.
+    """
+    g = dict(DEFAULT_GATES)
+    g.update(gates)
+    nrm = normalize(F.col(text_col))
+    base = docs.withColumn("__tok", tokens(F.col(text_col))).withColumn(
+        "__nrm", nrm
+    )
+    scored = base.select(
+        *docs.columns,
+        F.size("__tok").alias("n_tokens"),
+        F.round(mean_token_len_tok(F.col("__tok")), 6).alias("mean_token_len"),
+        F.round(stopword_ratio_tok(F.col("__tok")), 6).alias("stopword_ratio"),
+        F.round(punct_ratio_nrm(F.col("__nrm")), 6).alias("punct_ratio"),
+        F.round(repetition_ratio_tok(F.col("__tok"), 2), 6).alias(
+            "repetition_ratio"
+        ),
+    )
+    return scored.where(
+        (F.col("n_tokens") >= F.lit(int(g["min_tokens"])))
+        & (F.col("n_tokens") <= F.lit(int(g["max_tokens"])))
+        & (F.col("mean_token_len") >= F.lit(float(g["min_mean_token_len"])))
+        & (F.col("mean_token_len") <= F.lit(float(g["max_mean_token_len"])))
+        & (F.col("punct_ratio") <= F.lit(float(g["max_punct_ratio"])))
+        & (F.col("stopword_ratio") >= F.lit(float(g["min_stopword_ratio"])))
+        & (F.col("repetition_ratio") <= F.lit(float(g["max_repetition_ratio"])))
+    )
+
+
+def global_shuffle(
+    df: DataFrame,
+    key_col: str,
+    seed: str = "seed0",
+    n_shards: int = 8,
+) -> DataFrame:
+    """Deterministic global shuffle: shuffle_key + shard per row.
+
+    Training-data writers need a reproducible random order that is a
+    pure function of (seed, key) — identical across engines, re-runs,
+    and partitionings. ``shuffle_key = h60(seed || key)`` gives the
+    order; ``shard = pmod(shuffle_key, n_shards)`` gives an even
+    writer-file assignment. Both are narrow expressions; there is
+    deliberately NO global row_number (an unpartitioned window is a
+    single-task serialization point at scale). A writer materializes
+    the order with repartition(n_shards, shard).sortWithinPartitions
+    (shuffle_key) — range-free, skew-free, parallel.
+    """
+    key = F.concat_ws("|", F.lit(seed), F.col(key_col).cast("string"))
+    return df.withColumn("shuffle_key", h60(key)).withColumn(
+        "shard", F.pmod(F.col("shuffle_key"), F.lit(n_shards)).cast("int")
+    )

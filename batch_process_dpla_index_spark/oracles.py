@@ -1158,6 +1158,63 @@ GROUP BY source
 """
 
 
+ORACLE_DECONTAMINATE = f"""
+WITH {_DOC_TOK_CTE}, sh AS (
+    SELECT doc_id, list_distinct({_shingles("tok", 3)}) AS sh
+    FROM doc_tok
+), bench AS (
+    SELECT DISTINCT unnest(sh) AS shingle FROM sh WHERE doc_id % 97 = 0
+), corpus AS (
+    SELECT doc_id, unnest(sh) AS shingle FROM sh WHERE doc_id % 97 <> 0
+), hits AS (
+    SELECT c.doc_id, count(*) AS n_hits
+    FROM corpus c JOIN bench USING (shingle)
+    GROUP BY c.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       coalesce(h.n_hits, 0) >= 1 AS contaminated
+FROM doc_tok d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % 97 <> 0
+"""
+
+ORACLE_QUALITY_GATE = f"""
+WITH {_DOC_TOK_CTE}, m AS (
+    SELECT doc_id, source,
+           CAST(len(tok) AS BIGINT) AS n_tokens,
+           round(CASE WHEN len(tok) = 0 THEN 0.0
+                ELSE CAST(list_sum(list_transform(tok, t -> length(t))) AS DOUBLE) / CAST(len(tok) AS DOUBLE)
+           END, 6) AS mean_token_len,
+           round(CASE WHEN len(tok) = 0 THEN 0.0
+                ELSE CAST({_stop_hits("tok", "en")} AS DOUBLE) / CAST(len(tok) AS DOUBLE)
+           END, 6) AS stopword_ratio,
+           round(CASE WHEN length({_nrm("text")}) = 0 THEN 0.0
+                ELSE CAST(length(regexp_replace({_nrm("text")}, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+                     / CAST(length({_nrm("text")}) AS DOUBLE)
+           END, 6) AS punct_ratio,
+           round(CASE WHEN len({_shingles("tok", 2)}) <= 0 THEN 0.0
+                ELSE 1.0 - CAST(len(list_distinct({_shingles("tok", 2)})) AS DOUBLE)
+                           / CAST(len({_shingles("tok", 2)}) AS DOUBLE)
+           END, 6) AS repetition_ratio
+    FROM doc_tok
+)
+SELECT doc_id, source, n_tokens, mean_token_len, stopword_ratio,
+       punct_ratio, repetition_ratio
+FROM m
+WHERE n_tokens >= 5 AND n_tokens <= 100000
+  AND mean_token_len >= 2.0 AND mean_token_len <= 12.0
+  AND punct_ratio <= 0.2
+  AND stopword_ratio >= 0.0
+  AND repetition_ratio <= 0.6
+"""
+
+ORACLE_GLOBAL_SHUFFLE = f"""
+SELECT doc_id,
+       {_h60("concat_ws('|', 'seed0', CAST(doc_id AS VARCHAR))")} AS shuffle_key,
+       CAST({_h60("concat_ws('|', 'seed0', CAST(doc_id AS VARCHAR))")} % 8 AS INT) AS shard
+FROM documents
+"""
+
 ORACLES: dict[str, str] = {
     "pricing_summary": ORACLE_PRICING_SUMMARY,
     "top_orders": ORACLE_TOP_ORDERS,
@@ -1227,6 +1284,9 @@ ORACLES: dict[str, str] = {
     "interval_join": ORACLE_INTERVAL_JOIN,
     "doc_chunks": ORACLE_DOC_CHUNKS,
     "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
+    "decontaminate": ORACLE_DECONTAMINATE,
+    "quality_gate": ORACLE_QUALITY_GATE,
+    "global_shuffle": ORACLE_GLOBAL_SHUFFLE,
     # approx_distinct_users: deliberately no oracle — HLL sketch
     # estimates are engine-specific; accuracy bound asserted in pytest.
 }

@@ -1245,6 +1245,55 @@ def q_thumbnail_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return thumbnail_keys(items, "dplaUri")
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing any 3-gram with
+    the benchmark slice (doc_id % 97 == 0 stands in for an eval suite)
+    are flagged. Benchmark shingles broadcast; corpus side is one
+    narrow shingle-explode; the only shuffle is the per-doc count of
+    *matched* rows — contamination cost stays ~one corpus scan at any
+    scale."""
+    from batch_process_dpla_index_spark.operators.curation import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    return decontaminate(corpus, bench, n=3).select(
+        "doc_id", "n_hits", "contaminated"
+    )
+
+
+def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style quality gate: threshold filter over the verified
+    text metrics, metrics emitted with the survivors. Single narrow
+    codegen'd projection + filter — zero shuffle at any scale."""
+    from batch_process_dpla_index_spark.operators.curation import quality_gate
+
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_gate(docs).select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "mean_token_len",
+        "stopword_ratio",
+        "punct_ratio",
+        "repetition_ratio",
+    )
+
+
+def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for training-data writers:
+    shuffle_key/shard as a pure function of (seed, doc_id) via the
+    engine-portable h60 digest. Narrow expressions only — ordering is
+    carried by the sortable key, NOT a single-task global
+    row_number."""
+    from batch_process_dpla_index_spark.operators.curation import global_shuffle
+
+    docs = load_table(spark, sf_dir, "documents")
+    return global_shuffle(docs, "doc_id", seed="seed0", n_shards=8).select(
+        "doc_id", "shuffle_key", "shard"
+    )
+
+
 # Registry order is part of the driver contract: the correctness gate
 # records exactly the FIRST 50 entries, so the first 50 are chosen to
 # cover every distinct operator family (one representative per
@@ -1284,7 +1333,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_dedup": q_exact_dedup,
     "keep_first": q_keep_first,
     "fingerprint_clusters": q_fingerprint_clusters,
-    "fingerprint_folded": q_fingerprint_folded,
+    "decontaminate": q_decontaminate,
     "jaccard_pairs": q_jaccard_pairs,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash_pairs": q_simhash_pairs,
@@ -1328,6 +1377,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "approx_distinct_users": q_approx_distinct_users,
     "thumbnail_keys": q_thumbnail_keys,
     "interval_join": q_interval_join,
+    "fingerprint_folded": q_fingerprint_folded,
+    "quality_gate": q_quality_gate,
+    "global_shuffle": q_global_shuffle,
     "doc_chunks": q_doc_chunks,
     "stratified_sample": q_stratified_sample,
     "packed_bins": q_packed_bins,
