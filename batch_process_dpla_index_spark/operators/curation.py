@@ -118,17 +118,30 @@ def quality_gate(
     """Score every document against threshold gates and keep survivors.
 
     The metric columns are materialized once from a shared token array
-    (the ``top_bigrams`` lesson: inline HOFs re-tokenize per use), the
-    filter is a single conjunction — one narrow projection + filter,
-    fully codegen'd, no Python, no shuffle. Emits the metrics alongside
-    the surviving rows so downstream stages can re-cut without
-    recomputing.
+    (the ``top_bigrams`` lesson: inline HOFs re-tokenize per use).
+    A plain ``.where`` on the metric columns would be pushed below the
+    metric projection by Catalyst (PushDownPredicate substitutes the
+    aliases), re-deriving the token split and bigram shingles inline in
+    the Filter — measured 50× slower because the CASE WHEN branches
+    defeat codegen subexpression elimination. The gate is therefore
+    applied as a Generate (explode of a 0/1-element array), a pushdown
+    barrier: one narrow scan→project→generate pipeline, every metric
+    computed exactly once, still zero shuffle and zero Python.
     """
     g = dict(DEFAULT_GATES)
     g.update(gates)
     nrm = normalize(F.col(text_col))
-    base = docs.withColumn("__tok", tokens(F.col(text_col))).withColumn(
-        "__nrm", nrm
+    base = (
+        docs.withColumn("__tok", tokens(F.col(text_col)))
+        .withColumn("__nrm", nrm)
+        # bigram shingles referenced 3× by the repetition ratio —
+        # materialized once (CASE WHEN re-derivation defeats codegen CSE)
+        .withColumn("__sh2", word_shingles(F.col("__tok"), 2))
+    )
+    rep = F.when(F.size("__sh2") <= 0, F.lit(0.0)).otherwise(
+        F.lit(1.0)
+        - F.size(F.array_distinct(F.col("__sh2"))).cast("double")
+        / F.size("__sh2").cast("double")
     )
     scored = base.select(
         *docs.columns,
@@ -136,11 +149,9 @@ def quality_gate(
         F.round(mean_token_len_tok(F.col("__tok")), 6).alias("mean_token_len"),
         F.round(stopword_ratio_tok(F.col("__tok")), 6).alias("stopword_ratio"),
         F.round(punct_ratio_nrm(F.col("__nrm")), 6).alias("punct_ratio"),
-        F.round(repetition_ratio_tok(F.col("__tok"), 2), 6).alias(
-            "repetition_ratio"
-        ),
+        F.round(rep, 6).alias("repetition_ratio"),
     )
-    return scored.where(
+    passed = (
         (F.col("n_tokens") >= F.lit(int(g["min_tokens"])))
         & (F.col("n_tokens") <= F.lit(int(g["max_tokens"])))
         & (F.col("mean_token_len") >= F.lit(float(g["min_mean_token_len"])))
@@ -149,6 +160,12 @@ def quality_gate(
         & (F.col("stopword_ratio") >= F.lit(float(g["min_stopword_ratio"])))
         & (F.col("repetition_ratio") <= F.lit(float(g["max_repetition_ratio"])))
     )
+    gate = F.explode(
+        F.when(passed, F.array(F.lit(True))).otherwise(
+            F.array().cast("array<boolean>")
+        )
+    )
+    return scored.select("*", gate.alias("__keep")).drop("__keep")
 
 
 def global_shuffle(
