@@ -1158,6 +1158,35 @@ GROUP BY source
 """
 
 
+ORACLE_CORPUS_REPORT = f"""
+WITH {_DOC_TOK_CTE}, per AS (
+    SELECT source,
+           CAST(len(tok) AS BIGINT) AS n_tokens,
+           CASE WHEN len(tok) = 0 THEN 0.0
+                ELSE CAST(list_sum(list_transform(tok, t -> length(t))) AS DOUBLE) / CAST(len(tok) AS DOUBLE)
+           END AS mtl,
+           CASE WHEN length({_nrm("text")}) = 0 THEN 0.0
+                ELSE CAST(length(regexp_replace({_nrm("text")}, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+                     / CAST(length({_nrm("text")}) AS DOUBLE)
+           END AS pr,
+           CASE WHEN len(tok) = 0 THEN 0.0
+                ELSE CAST({_stop_hits("tok", "en")} AS DOUBLE) / CAST(len(tok) AS DOUBLE)
+           END AS swr,
+           md5(array_to_string(list_sort(list_distinct(tok)), ' ')) AS fp
+    FROM doc_tok
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       round(avg(mtl), 6) AS avg_token_len,
+       round(avg(pr), 6) AS avg_punct_ratio,
+       round(avg(swr), 6) AS avg_stopword_ratio,
+       count(DISTINCT fp) AS n_distinct_docs,
+       round(1.0 - CAST(count(DISTINCT fp) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS dup_rate
+FROM per
+GROUP BY source
+"""
+
 ORACLE_DECONTAMINATE = f"""
 WITH {_DOC_TOK_CTE}, sh AS (
     SELECT doc_id, list_distinct({_shingles("tok", 3)}) AS sh
@@ -1287,6 +1316,7 @@ ORACLES: dict[str, str] = {
     "decontaminate": ORACLE_DECONTAMINATE,
     "quality_gate": ORACLE_QUALITY_GATE,
     "global_shuffle": ORACLE_GLOBAL_SHUFFLE,
+    "corpus_report": ORACLE_CORPUS_REPORT,
     # approx_distinct_users: deliberately no oracle — HLL sketch
     # estimates are engine-specific; accuracy bound asserted in pytest.
 }

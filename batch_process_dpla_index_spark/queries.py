@@ -1245,6 +1245,50 @@ def q_thumbnail_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return thumbnail_keys(items, "dplaUri")
 
 
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus statistics — the training-corpus analogue of
+    the reference's MqReports rollup (MqReports.scala:73-88: one
+    groupBy over per-record CASE scores): doc/token volume, mean
+    quality metrics, exact-dup rate via distinct content fingerprints.
+    Metrics come from singly-materialized token/normalized columns;
+    one partial-agg shuffle on source carries |sources| rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    from batch_process_dpla_index_spark.functions.text import (
+        fingerprint_tok,
+        mean_token_len_tok,
+        punct_ratio_nrm,
+        stopword_ratio_tok,
+    )
+
+    base = docs.select(
+        "source",
+        tokens(F.col("text")).alias("__tok"),
+        normalize(F.col("text")).alias("__nrm"),
+    )
+    per_doc = base.select(
+        "source",
+        F.size("__tok").cast("bigint").alias("n_tokens"),
+        mean_token_len_tok(F.col("__tok")).alias("mtl"),
+        punct_ratio_nrm(F.col("__nrm")).alias("pr"),
+        stopword_ratio_tok(F.col("__tok")).alias("swr"),
+        fingerprint_tok(F.col("__tok")).alias("fp"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("mtl"), 6).alias("avg_token_len"),
+            F.round(F.avg("pr"), 6).alias("avg_punct_ratio"),
+            F.round(F.avg("swr"), 6).alias("avg_stopword_ratio"),
+            F.countDistinct("fp").alias("n_distinct_docs"),
+            F.round(
+                F.lit(1.0) - F.countDistinct("fp") / F.count("*"), 6
+            ).alias("dup_rate"),
+        )
+    )
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: corpus docs sharing any 3-gram with
     the benchmark slice (doc_id % 97 == 0 stands in for an eval suite)
@@ -1378,6 +1422,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "thumbnail_keys": q_thumbnail_keys,
     "interval_join": q_interval_join,
     "fingerprint_folded": q_fingerprint_folded,
+    "corpus_report": q_corpus_report,
     "quality_gate": q_quality_gate,
     "global_shuffle": q_global_shuffle,
     "doc_chunks": q_doc_chunks,
