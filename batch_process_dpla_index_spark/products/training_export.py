@@ -1,0 +1,66 @@
+"""Training-data export product: quality gate → deterministic global
+shuffle → sharded, order-stable parquet + manifest.
+
+The writer side of ``operators/curation.global_shuffle`` — the final
+stage of a training-data pipeline, shaped like the reference's dated
+product writers (ParquetDump.scala:115-126 write conventions,
+manifest per `_MANIFEST` discipline) but with the ordering contract
+LLM training runs need:
+
+- every surviving doc gets ``shuffle_key = h60(seed || doc_id)`` and
+  ``shard = pmod(shuffle_key, n_shards)``;
+- rows are hash-repartitioned BY SHARD (one shuffle, even fan-out —
+  NOT a global range sort) and sorted within each shard by
+  shuffle_key via sortWithinPartitions — a per-partition spillable
+  sort, no second exchange;
+- re-running with the same seed reproduces byte-identical shard
+  contents on any cluster size, because order is a pure function of
+  (seed, doc_id) and shard files are written with
+  partitionBy("shard").
+
+At 100 TB: one shuffle total (by shard id, uniformly distributed by
+construction), per-shard external sort, parallel parquet writes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from batch_process_dpla_index_spark.io.manifest import write_manifest
+from batch_process_dpla_index_spark.operators.curation import (
+    global_shuffle,
+    quality_gate,
+)
+
+
+def export_training_shards(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    seed: str = "seed0",
+    n_shards: int = 8,
+    gate: bool = True,
+) -> dict[str, str]:
+    """Run the gate + shuffle and write ordered shard files.
+
+    Returns the manifest dict (also written as ``_MANIFEST``).
+    """
+    kept = quality_gate(docs) if gate else docs
+    shuffled = global_shuffle(kept, "doc_id", seed=seed, n_shards=n_shards)
+    # hash-partition by shard id: two shard ids may collide into one
+    # task (fine — partitionBy still splits the files and the leading
+    # "shard" sort key keeps each file internally ordered); at real
+    # n_shards (hundreds+) hashing evens out.
+    ordered = shuffled.repartition(n_shards, "shard").sortWithinPartitions(
+        "shard", "shuffle_key"
+    )
+    ordered.write.mode("overwrite").partitionBy("shard").parquet(out_dir)
+    n_docs = spark.read.parquet(out_dir).count()
+    opts = {
+        "Seed": seed,
+        "Shards": str(n_shards),
+        "Gate": str(gate),
+        "Total doc count": str(n_docs),
+    }
+    write_manifest(opts, out_dir)
+    return opts

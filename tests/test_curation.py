@@ -135,3 +135,49 @@ def test_quality_gate_is_narrow(spark, docs):
 def test_global_shuffle_is_narrow(spark, docs):
     plan = _executed(global_shuffle(docs, "doc_id"))
     assert "Exchange" not in plan, plan
+
+
+# --- training export product ----------------------------------------------
+
+
+def test_training_export_reproducible_ordered_shards(spark, docs, tmp_path):
+    from batch_process_dpla_index_spark.io.manifest import read_manifest
+    from batch_process_dpla_index_spark.products.training_export import (
+        export_training_shards,
+    )
+
+    out_a = str(tmp_path / "a")
+    out_b = str(tmp_path / "b")
+    opts = export_training_shards(spark, docs, out_a, seed="s1", n_shards=4)
+    export_training_shards(spark, docs, out_b, seed="s1", n_shards=4)
+
+    back_a = spark.read.parquet(out_a)
+    back_b = spark.read.parquet(out_b)
+    # identical contents across re-runs (order is a pure fn of seed+id)
+    rows_a = [r.asDict() for r in back_a.orderBy("shuffle_key").collect()]
+    rows_b = [r.asDict() for r in back_b.orderBy("shuffle_key").collect()]
+    assert rows_a == rows_b and len(rows_a) > 0
+
+    # every shard directory's file is internally sorted by shuffle_key
+    import glob
+
+    shard_dirs = sorted(glob.glob(out_a + "/shard=*"))
+    assert len(shard_dirs) == 4
+    for d in shard_dirs:
+        keys = [r["shuffle_key"] for r in spark.read.parquet(d).collect()]
+        assert keys == sorted(keys) and len(keys) > 0
+
+    # manifest written and consistent
+    mf = read_manifest(out_a)
+    assert mf["Seed"] == "s1" and int(mf["Total doc count"]) == len(rows_a)
+    assert opts["Shards"] == "4"
+
+    # a different seed produces a different order
+    out_c = str(tmp_path / "c")
+    export_training_shards(spark, docs, out_c, seed="s2", n_shards=4)
+    order_a = [r["doc_id"] for r in rows_a]
+    order_c = [
+        r["doc_id"]
+        for r in spark.read.parquet(out_c).orderBy("shuffle_key").collect()
+    ]
+    assert order_a != order_c and sorted(order_a) == sorted(order_c)
