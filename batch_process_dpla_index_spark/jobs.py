@@ -12,6 +12,7 @@ plus the monthly-batch sequencer (monthly_batch_emr.sh:41-111)::
     python -m batch_process_dpla_index_spark.jobs schema-repair <in_path> <out_path>
     python -m batch_process_dpla_index_spark.jobs schema-test <in_root> <out_dir>
     python -m batch_process_dpla_index_spark.jobs monthly-batch <in_root> <out_root> [url_prefix]
+    python -m batch_process_dpla_index_spark.jobs training-export <docs_parquet> <out_dir> [--seed S] [--shards N] [--no-gate]
 """
 
 from __future__ import annotations
@@ -48,6 +49,12 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("in_root")
     s.add_argument("out_root")
     s.add_argument("url_prefix", nargs="?", default="https://sitemaps.example.org")
+    s = sub.add_parser("training-export")
+    s.add_argument("docs_parquet")
+    s.add_argument("out_dir")
+    s.add_argument("--seed", default="seed0")
+    s.add_argument("--shards", type=int, default=8)
+    s.add_argument("--no-gate", action="store_true")
     args = p.parse_args(argv)
 
     from batch_process_dpla_index_spark.session import get_spark
@@ -109,6 +116,20 @@ def main(argv: list[str] | None = None) -> int:
             if result.failed_step:
                 print(f"FAILED at {result.failed_step}: {result.error}")
                 return 1
+        elif args.job == "training-export":
+            from batch_process_dpla_index_spark.products.training_export import (
+                export_training_shards,
+            )
+
+            opts = export_training_shards(
+                spark,
+                spark.read.parquet(args.docs_parquet),
+                args.out_dir,
+                seed=args.seed,
+                n_shards=args.shards,
+                gate=not args.no_gate,
+            )
+            print(f"Training shards: {opts}")
     finally:
         pass  # session is shared in tests; real CLI runs end with process exit
     return 0
