@@ -181,3 +181,21 @@ def test_training_export_reproducible_ordered_shards(spark, docs, tmp_path):
         for r in spark.read.parquet(out_c).orderBy("shuffle_key").collect()
     ]
     assert order_a != order_c and sorted(order_a) == sorted(order_c)
+
+
+def test_quality_gate_runs_in_streaming(spark, docs, tmp_path):
+    """quality_gate is a narrow scan->project->generate pipeline, so the
+    SAME builder must run unchanged as a Structured Streaming transform
+    and converge to the batch result once the source drains."""
+    from batch_process_dpla_index_spark.streaming.windows import run_stream_to_batch
+
+    src = str(tmp_path / "docs_stream")
+    docs.repartition(3).write.parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    got = run_stream_to_batch(
+        quality_gate(stream).select("doc_id", "n_tokens"),
+        "qgate_stream",
+        output_mode="append",
+    )
+    want = quality_gate(spark.read.parquet(src)).select("doc_id", "n_tokens")
+    assert sorted(got.collect()) == sorted(want.collect())
