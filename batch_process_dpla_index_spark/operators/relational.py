@@ -141,3 +141,54 @@ def as_of_join(
         *[F.col(f"__row.{c}").alias(c) for c in left.columns],
         *[F.col(f"__m.{c}").alias(c) for c in value_cols],
     )
+
+
+def apply_changeset(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply an insert/update/delete changeset to a snapshot (the
+    MERGE INTO batch pattern on plain immutable storage — pair with
+    sinks.write_idempotent for the reference's overwrite discipline,
+    SURVEY §2 K8).
+
+    ``changes`` carries the snapshot columns plus ``op_col`` in
+    {'I','U','D'}. Semantics: D drops the key, U/I replace-or-add the
+    row. Duplicate keys inside one changeset are a caller error (the
+    last-writer tie would be nondeterministic in a distributed apply).
+
+    Plan shape: one anti join (snapshot keys touched by the changeset
+    drop out) + union with the non-delete changeset rows. Both sides
+    shuffle by key at most once; AQE broadcasts the changeset side
+    when it is small — the common case (daily delta vs full corpus).
+    """
+    untouched = snapshot.join(changes.select(key), key, "left_anti")
+    upserts = changes.where(F.col(op_col) != F.lit("D")).select(
+        *snapshot.columns
+    )
+    return untouched.unionByName(upserts)
+
+
+def skew_report(
+    df: DataFrame, key, top_n: int = 20
+) -> DataFrame:
+    """Heavy-hitter report for a prospective join/agg key: the top-N
+    keys by row count with their share of the table. The operational
+    pre-check for choosing salted_join / AQE skew handling at 100 TB.
+    One partial-agg shuffle on the key, a single-reduce top-N merge
+    (TakeOrdered — no global sort), and the grand total joined in as a
+    broadcast single-row aggregate — one Spark job, no driver-side
+    count action."""
+    counts = df.groupBy(key).agg(F.count("*").alias("n_rows"))
+    total = df.agg(F.count("*").alias("__total"))
+    return (
+        counts.orderBy(F.col("n_rows").desc(), F.col(key).asc())
+        .limit(top_n)
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "share", F.round(F.col("n_rows") / F.col("__total"), 6)
+        )
+        .drop("__total")
+    )

@@ -1158,6 +1158,36 @@ GROUP BY source
 """
 
 
+ORACLE_APPLY_CHANGESET = """
+WITH snap AS (
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+), marked AS (
+    SELECT *, o_orderkey % 10 AS m FROM snap WHERE o_orderkey % 10 < 3
+), changes AS (
+    SELECT CASE WHEN m = 2 THEN o_orderkey + 100000000 ELSE o_orderkey END AS o_orderkey,
+           o_custkey, o_orderstatus,
+           CASE WHEN m = 1 THEN o_totalprice * 1.1 ELSE o_totalprice END AS o_totalprice,
+           CASE WHEN m = 0 THEN 'D' WHEN m = 1 THEN 'U' ELSE 'I' END AS op
+    FROM marked
+)
+SELECT o_orderkey, o_custkey, o_orderstatus, round(o_totalprice, 6) AS o_totalprice
+FROM snap WHERE o_orderkey NOT IN (SELECT o_orderkey FROM changes)
+UNION ALL
+SELECT o_orderkey, o_custkey, o_orderstatus, round(o_totalprice, 6) AS o_totalprice
+FROM changes WHERE op <> 'D'
+"""
+
+ORACLE_SKEW_REPORT = """
+WITH counts AS (
+    SELECT user_id, count(*) AS n_rows FROM events GROUP BY user_id
+), total AS (SELECT count(*) AS t FROM events)
+SELECT user_id, n_rows,
+       round(CAST(n_rows AS DOUBLE) / CAST(t AS DOUBLE), 6) AS share
+FROM counts, total
+ORDER BY n_rows DESC, user_id ASC
+LIMIT 20
+"""
+
 ORACLE_CORPUS_REPORT = f"""
 WITH {_DOC_TOK_CTE}, per AS (
     SELECT source,
@@ -1317,6 +1347,8 @@ ORACLES: dict[str, str] = {
     "quality_gate": ORACLE_QUALITY_GATE,
     "global_shuffle": ORACLE_GLOBAL_SHUFFLE,
     "corpus_report": ORACLE_CORPUS_REPORT,
+    "apply_changeset": ORACLE_APPLY_CHANGESET,
+    "skew_report": ORACLE_SKEW_REPORT,
     # approx_distinct_users: deliberately no oracle — HLL sketch
     # estimates are engine-specific; accuracy bound asserted in pytest.
 }

@@ -1245,6 +1245,55 @@ def q_thumbnail_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return thumbnail_keys(items, "dplaUri")
 
 
+def q_apply_changeset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics on immutable storage: a deterministic
+    changeset synthesized from orders (key%10: 0→delete, 1→update with
+    +10% price, 2→insert under an offset key) applied to the snapshot.
+    One anti join + union; AQE broadcasts the small changeset side."""
+    from batch_process_dpla_index_spark.operators.relational import apply_changeset
+
+    orders = load_table(spark, sf_dir, "orders")
+    snap = orders.select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    m = F.col("o_orderkey") % 10
+    changes = (
+        snap.where(m < 3)
+        .select(
+            F.when(m == 2, F.col("o_orderkey") + F.lit(100_000_000))
+            .otherwise(F.col("o_orderkey"))
+            .alias("o_orderkey"),
+            "o_custkey",
+            "o_orderstatus",
+            F.when(m == 1, F.col("o_totalprice") * F.lit(1.1))
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+            F.when(m == 0, F.lit("D"))
+            .when(m == 1, F.lit("U"))
+            .otherwise(F.lit("I"))
+            .alias("op"),
+        )
+    )
+    out = apply_changeset(snap, changes, "o_orderkey")
+    return out.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 6).alias("o_totalprice"),
+    )
+
+
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter diagnostic for a prospective join key (events.
+    user_id): top-20 keys by count with share of table. The pre-check
+    that decides salted_join/AQE skew config at scale. Partial-agg
+    shuffle + TakeOrdered merge + broadcast single-row total."""
+    from batch_process_dpla_index_spark.operators.relational import skew_report
+
+    ev = load_table(spark, sf_dir, "events")
+    return skew_report(ev, "user_id", top_n=20)
+
+
 def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus statistics — the training-corpus analogue of
     the reference's MqReports rollup (MqReports.scala:73-88: one
@@ -1422,6 +1471,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "thumbnail_keys": q_thumbnail_keys,
     "interval_join": q_interval_join,
     "fingerprint_folded": q_fingerprint_folded,
+    "apply_changeset": q_apply_changeset,
+    "skew_report": q_skew_report,
     "corpus_report": q_corpus_report,
     "quality_gate": q_quality_gate,
     "global_shuffle": q_global_shuffle,

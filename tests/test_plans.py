@@ -158,3 +158,18 @@ def test_cosine_topk_registered_plan_uses_arrow(spark):
     scale-killer)."""
     plan = _plan(spark, "cosine_topk")
     assert "MapInPandas" in plan, plan
+
+
+def test_changeset_anti_join_broadcasts_delta(spark):
+    """The daily-delta changeset is small vs the snapshot; AQE must
+    broadcast it in the left_anti (no SortMergeJoin on the apply)."""
+    df = QUERIES["apply_changeset"](spark, SF_DIR)
+    df.count()  # let AQE finalize
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_skew_report_single_reduce_topn(spark):
+    plan = _plan(spark, "skew_report")
+    assert "TakeOrdered" in plan, plan
