@@ -1158,6 +1158,25 @@ GROUP BY source
 """
 
 
+def _zorder_oracle(bits: int = 8) -> str:
+    terms = []
+    for i, c in enumerate(("xb", "yb")):
+        for b in range(bits):
+            terms.append(f"((({c} >> {b}) & 1) << {b * 2 + i})")
+    z = " | ".join(terms)
+    return f"""
+WITH buckets AS (
+    SELECT event_id,
+           CAST(least(255, greatest(0, CAST(floor((CAST(value AS DOUBLE) - 0.0) / 100.0 * 256) AS BIGINT))) AS BIGINT) AS xb,
+           CAST(user_id % 256 AS BIGINT) AS yb
+    FROM events
+)
+SELECT event_id, xb, yb, CAST({z} AS BIGINT) AS zkey FROM buckets
+"""
+
+
+ORACLE_ZORDER_EVENTS = _zorder_oracle()
+
 ORACLE_APPLY_CHANGESET = """
 WITH snap AS (
     SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
@@ -1349,6 +1368,7 @@ ORACLES: dict[str, str] = {
     "corpus_report": ORACLE_CORPUS_REPORT,
     "apply_changeset": ORACLE_APPLY_CHANGESET,
     "skew_report": ORACLE_SKEW_REPORT,
+    "zorder_events": ORACLE_ZORDER_EVENTS,
     # approx_distinct_users: deliberately no oracle — HLL sketch
     # estimates are engine-specific; accuracy bound asserted in pytest.
 }

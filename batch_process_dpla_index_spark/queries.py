@@ -1245,6 +1245,30 @@ def q_thumbnail_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return thumbnail_keys(items, "dplaUri")
 
 
+def q_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over two event dimensions
+    (value bucketized to 8 bits over [0,100], user_id low byte):
+    the multi-dimension data-layout key behind OPTIMIZE ZORDER BY,
+    as pure bitwise expressions. Buckets materialized once, the
+    16-term interleave runs on the aliased columns — narrow,
+    codegen'd, no shuffle (the writer side adds one range
+    partitioning; tested in test_layout)."""
+    from batch_process_dpla_index_spark.operators.layout import bucketize, zorder_key
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        bucketize(F.col("value"), 0.0, 100.0, 8).alias("xb"),
+        (F.col("user_id") % 256).cast("bigint").alias("yb"),
+    )
+    return base.select(
+        "event_id",
+        "xb",
+        "yb",
+        zorder_key([F.col("xb"), F.col("yb")], 8).alias("zkey"),
+    )
+
+
 def q_apply_changeset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE INTO semantics on immutable storage: a deterministic
     changeset synthesized from orders (key%10: 0→delete, 1→update with
@@ -1473,6 +1497,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fingerprint_folded": q_fingerprint_folded,
     "apply_changeset": q_apply_changeset,
     "skew_report": q_skew_report,
+    "zorder_events": q_zorder_events,
     "corpus_report": q_corpus_report,
     "quality_gate": q_quality_gate,
     "global_shuffle": q_global_shuffle,
