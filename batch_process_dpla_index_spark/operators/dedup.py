@@ -272,6 +272,98 @@ def with_minhash_signature(
     return base.withColumn("sig", F.array(*mins)).drop("__base")
 
 
+def _band_buckets(sig: DataFrame, bands: int, rows: int) -> DataFrame:
+    """(id, sig) → (id, band, key): one md5 band key per signature
+    slice. The exploded frame is bands × docs rows — the whole LSH
+    shuffle budget."""
+    band_cols = []
+    for i in range(bands):
+        band_key = F.md5(F.concat_ws(",", F.slice("sig", i * rows + 1, rows)))
+        band_cols.append(F.struct(F.lit(i).alias("band"), band_key.alias("key")))
+    return sig.select("id", F.explode(F.array(*band_cols)).alias("bk")).select(
+        "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    num_perm: int = 64,
+    bands: int = 16,
+    max_bucket: int = 1000,
+    use_pandas: bool = False,
+) -> DataFrame:
+    """Dedupe an incoming batch against the existing corpus: the op an
+    ingest pipeline actually runs — no O(corpus²) re-clustering, just
+    new-vs-old candidate generation through the banded-LSH buckets and
+    exact-Jaccard verification.
+
+    Returns (new_id, dup_of, jaccard): for each new doc with a corpus
+    match at TRUE Jaccard >= threshold, its best match (highest
+    jaccard, ties to the smallest corpus id — deterministic). New docs
+    with no match are absent (they're the novel set; anti-join the
+    batch against this frame to keep them).
+
+    Scale design: the corpus side's signatures are pure functions of
+    text — production stores them alongside the corpus and re-reads
+    (cost: bands × new_docs explode + a bucket equi-join); here they
+    are computed in-line for self-containment. The ``max_bucket`` skew
+    cap applies to CORPUS buckets (hot template clusters); candidates
+    are bucket-bounded, never all-pairs.
+    """
+    rows = num_perm // bands
+    new_sets = shingle_sets(new_docs, text_col, id_col, n).withColumnRenamed(
+        id_col, "id"
+    )
+    corp_sets = shingle_sets(corpus_docs, text_col, id_col, n).withColumnRenamed(
+        id_col, "id"
+    )
+    new_sig = with_minhash_signature(new_sets, num_perm, use_pandas).persist()
+    corp_sig = with_minhash_signature(corp_sets, num_perm, use_pandas).persist()
+    nb = _band_buckets(new_sig, bands, rows)
+    cb = _band_buckets(corp_sig, bands, rows)
+    oversized = (
+        cb.groupBy("band", "key")
+        .agg(F.count("*").alias("sz"))
+        .filter(F.col("sz") > max_bucket)
+        .select("band", "key")
+    )
+    cb = cb.join(F.broadcast(oversized), ["band", "key"], "left_anti")
+    cand = (
+        nb.alias("x")
+        .join(cb.alias("y"), ["band", "key"])
+        .select(F.col("x.id").alias("new_id"), F.col("y.id").alias("dup_of"))
+        .distinct()
+    )
+    sa = new_sig.select(F.col("id").alias("new_id"), F.col("shingles").alias("sh_a"))
+    sb = corp_sig.select(F.col("id").alias("dup_of"), F.col("shingles").alias("sh_b"))
+    verified = (
+        cand.join(sa, "new_id")
+        .join(sb, "dup_of")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("new_id").orderBy(
+        F.col("jaccard").desc(), F.col("dup_of").asc()
+    )
+    best = (
+        verified.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("new_id", "dup_of", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return _with_cached_deps(best, [new_sig, corp_sig])
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -300,13 +392,7 @@ def minhash_lsh_pairs(
     sets = shingle_sets(df, text_col, id_col, n).withColumnRenamed(id_col, "id")
     sig = with_minhash_signature(sets, num_perm, use_pandas, hash_fn).persist()
 
-    band_cols = []
-    for i in range(bands):
-        band_key = F.md5(F.concat_ws(",", F.slice("sig", i * rows + 1, rows)))
-        band_cols.append(F.struct(F.lit(i).alias("band"), band_key.alias("key")))
-    buckets = sig.select("id", F.explode(F.array(*band_cols)).alias("bk")).select(
-        "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
-    )
+    buckets = _band_buckets(sig, bands, rows)
     # Defuse pathological buckets before the self-join.
     sizes = buckets.groupBy("band", "key").agg(F.count("*").alias("sz"))
     buckets = buckets.join(

@@ -466,6 +466,64 @@ WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
 ORACLE_MINHASH_LSH_PAIRS = _minhash_oracle()
 
 
+def _incremental_dedup_oracle(
+    n: int = 3,
+    threshold: float = 0.5,
+    num_perm: int = 64,
+    bands: int = 16,
+    max_bucket: int = 1000,
+) -> str:
+    rows = num_perm // bands
+    perms = _perm_params(num_perm)
+    sig_terms = ", ".join(
+        f"list_min(list_transform(base, h -> ({a} * h + {b}) % {_MERSENNE}))"
+        for a, b in perms
+    )
+    band_rows = ",\n        ".join(
+        f"({i}, md5(array_to_string(sig[{i * rows + 1}:{i * rows + rows}], ',')))"
+        for i in range(bands)
+    )
+    return f"""
+WITH {_DOC_TOK_CTE}, sets AS (
+    SELECT doc_id AS id, doc_id % 10 = 7 AS is_new, list_distinct({_shingles("tok", n)}) AS sh
+    FROM doc_tok
+), sigs AS (
+    SELECT id, is_new, sh, [{sig_terms}] AS sig
+    FROM (SELECT id, is_new, sh, list_transform(sh, s -> {_h60("s")} % {_MERSENNE}) AS base FROM sets)
+), buckets AS (
+    SELECT id, is_new, band, key
+    FROM sigs, LATERAL (VALUES
+        {band_rows}
+    ) AS b(band, key)
+), ok_corp AS (
+    SELECT band, key FROM buckets WHERE NOT is_new
+    GROUP BY band, key HAVING count(*) <= {max_bucket}
+), corp_pruned AS (
+    SELECT b.* FROM buckets b JOIN ok_corp USING (band, key) WHERE NOT b.is_new
+), cand AS (
+    SELECT DISTINCT x.id AS new_id, y.id AS dup_of
+    FROM (SELECT * FROM buckets WHERE is_new) x
+    JOIN corp_pruned y USING (band, key)
+), scored AS (
+    SELECT new_id, dup_of,
+           CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+           / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) AS j
+    FROM cand
+    JOIN sets sa ON sa.id = new_id
+    JOIN sets sb ON sb.id = dup_of
+)
+SELECT new_id, dup_of, round(j, 6) AS jaccard
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY new_id ORDER BY j DESC, dup_of ASC) AS rn
+    FROM scored WHERE j >= {threshold}
+)
+WHERE rn = 1
+"""
+
+
+ORACLE_INCREMENTAL_DEDUP = _incremental_dedup_oracle()
+
+
 def _simhash_oracle(bits: int = 60, max_hamming: int = 3) -> str:
     nbands = max_hamming + 1
     width = bits // nbands
@@ -1369,6 +1427,7 @@ ORACLES: dict[str, str] = {
     "apply_changeset": ORACLE_APPLY_CHANGESET,
     "skew_report": ORACLE_SKEW_REPORT,
     "zorder_events": ORACLE_ZORDER_EVENTS,
+    "incremental_dedup": ORACLE_INCREMENTAL_DEDUP,
     # approx_distinct_users: deliberately no oracle — HLL sketch
     # estimates are engine-specific; accuracy bound asserted in pytest.
 }

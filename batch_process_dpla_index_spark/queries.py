@@ -1245,6 +1245,19 @@ def q_thumbnail_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return thumbnail_keys(items, "dplaUri")
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time dedup: the batch slice (doc_id % 10 == 7) deduped
+    against the rest of the corpus through banded-LSH buckets + exact
+    verification — no corpus self-join. Best corpus match per new doc,
+    deterministic tie-break."""
+    from batch_process_dpla_index_spark.operators.dedup import incremental_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.where(F.col("doc_id") % 10 == 7)
+    corpus = docs.where(F.col("doc_id") % 10 != 7)
+    return incremental_dedup(new, corpus, "text", "doc_id", use_pandas=True)
+
+
 def q_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) clustering key over two event dimensions
     (value bucketized to 8 bits over [0,100], user_id low byte):
@@ -1498,6 +1511,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "apply_changeset": q_apply_changeset,
     "skew_report": q_skew_report,
     "zorder_events": q_zorder_events,
+    "incremental_dedup": q_incremental_dedup,
     "corpus_report": q_corpus_report,
     "quality_gate": q_quality_gate,
     "global_shuffle": q_global_shuffle,

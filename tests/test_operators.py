@@ -333,3 +333,29 @@ def test_pack_sequences_contract(spark):
         assert t <= 512 or (t == 600)
     again = pack_sequences(df, "src", "cid", "ord", "toks", budget=512)
     assert out.exceptAll(again).count() == 0
+
+
+def test_incremental_dedup_finds_batch_dups_only(spark):
+    from batch_process_dpla_index_spark.operators.dedup import incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again today"),
+            (2, "completely different corpus content about parquet footers and stats"),
+        ],
+        "doc_id bigint, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            # near-dup of corpus doc 1 (one token appended: J = 10/11,
+            # far above the 16-band S-curve knee — deterministic hit)
+            (10, "the quick brown fox jumps over the lazy dog again and again today ok"),
+            # novel
+            (11, "entirely novel text with no overlap whatsoever in any shingle"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = incremental_dedup(new, corpus, "text", "doc_id", threshold=0.3).collect()
+    assert len(got) == 1
+    assert got[0]["new_id"] == 10 and got[0]["dup_of"] == 1
+    assert 0.3 <= got[0]["jaccard"] < 1.0
