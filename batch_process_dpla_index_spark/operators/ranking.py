@@ -1,0 +1,92 @@
+"""Batch text retrieval: BM25 ranking over the tokenized corpus.
+
+The reference's output feeds an Elasticsearch index whose analyzer
+(lowercase + asciifolding + shingles,
+index-settings-and-mappings-necropolis.json:4-33) exists to serve
+ranked search. This operator answers the same class of query
+batch-side, Spark-first: classic Okapi BM25 with the engine's own
+normalize/tokenize tier (so scores are reproducible in the ANSI-SQL
+oracle).
+
+Plan shape at 100 TB: the corpus explodes to (doc, term) ONCE and is
+immediately filtered to the query's terms through a broadcast hash
+join (query terms: tens of literals) — the surviving frame is tiny
+(docs containing any query term × matched terms). Document frequency
+and average doc length are single-row/small broadcast aggregates.
+No corpus-wide shuffle survives the term filter; the final top-k is a
+TakeOrdered merge, not a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from batch_process_dpla_index_spark.functions.text import normalize, tokens
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k documents for a free-text query under Okapi BM25.
+
+    idf uses the standard Robertson–Sparck Jones form
+    ln(1 + (N - df + 0.5)/(df + 0.5)); doc length is the token count
+    under the engine tokenizer. Ties broken by id for determinism.
+    """
+    q_terms = [t for t in query.lower().split() if t]
+    q_df = docs.sparkSession.createDataFrame(
+        [(t,) for t in sorted(set(q_terms))], "term string"
+    )
+
+    toks = docs.select(
+        F.col(id_col).alias("id"), tokens(normalize(F.col(text_col))).alias("__tok")
+    )
+    lengths = toks.select("id", F.size("__tok").cast("double").alias("dl"))
+    corpus_stats = lengths.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+
+    tf = (
+        toks.select("id", F.explode("__tok").alias("term"))
+        .join(F.broadcast(q_df), "term")
+        .groupBy("id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.countDistinct("id").alias("df"))
+
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .join(lengths, "id")
+        .crossJoin(F.broadcast(corpus_stats))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "w",
+            F.col("idf")
+            * (F.col("tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    return (
+        scored.groupBy("id")
+        .agg(F.round(F.sum("w"), 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("id").asc())
+        .limit(k)
+    )

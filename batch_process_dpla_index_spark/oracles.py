@@ -524,6 +524,37 @@ WHERE rn = 1
 ORACLE_INCREMENTAL_DEDUP = _incremental_dedup_oracle()
 
 
+def _bm25_oracle(query: str, k: int = 20, k1: float = 1.2, b: float = 0.75) -> str:
+    terms = ", ".join(f"'{t}'" for t in sorted(set(query.lower().split())))
+    return f"""
+WITH {_DOC_TOK_CTE}, lengths AS (
+    SELECT doc_id AS id, CAST(len(tok) AS DOUBLE) AS dl FROM doc_tok
+), stats AS (
+    SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM lengths
+), tf AS (
+    SELECT doc_id AS id, term, CAST(count(*) AS DOUBLE) AS tf
+    FROM (SELECT doc_id, unnest(tok) AS term FROM doc_tok)
+    WHERE term IN ({terms})
+    GROUP BY doc_id, term
+), dft AS (
+    SELECT term, CAST(count(DISTINCT id) AS DOUBLE) AS df FROM tf GROUP BY term
+)
+SELECT id AS doc_id,
+       round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                 * (tf * {k1 + 1.0}) / (tf + {k1} * ({1.0 - b} + {b} * dl / avgdl))), 6) AS score
+FROM tf
+JOIN dft USING (term)
+JOIN lengths USING (id)
+CROSS JOIN stats
+GROUP BY id
+ORDER BY score DESC, id ASC
+LIMIT {k}
+"""
+
+
+ORACLE_BM25_SEARCH = _bm25_oracle("spark query join fast")
+
+
 def _simhash_oracle(bits: int = 60, max_hamming: int = 3) -> str:
     nbands = max_hamming + 1
     width = bits // nbands
@@ -1428,6 +1459,7 @@ ORACLES: dict[str, str] = {
     "skew_report": ORACLE_SKEW_REPORT,
     "zorder_events": ORACLE_ZORDER_EVENTS,
     "incremental_dedup": ORACLE_INCREMENTAL_DEDUP,
+    "bm25_search": ORACLE_BM25_SEARCH,
     # approx_distinct_users: deliberately no oracle — HLL sketch
     # estimates are engine-specific; accuracy bound asserted in pytest.
 }

@@ -1245,6 +1245,22 @@ def q_thumbnail_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return thumbnail_keys(items, "dplaUri")
 
 
+BM25_QUERY = "spark query join fast"
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-20 for a fixed free-text query — the batch-side
+    answer to the search workload the reference's ES index serves.
+    Corpus explode filtered through a broadcast term join (only docs
+    matching a query term survive), broadcast df/avgdl stats,
+    TakeOrdered top-k."""
+    from batch_process_dpla_index_spark.operators.ranking import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = bm25_topk(docs, BM25_QUERY, k=20)
+    return out.select(F.col("id").alias("doc_id"), "score")
+
+
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingest-time dedup: the batch slice (doc_id % 10 == 7) deduped
     against the rest of the corpus through banded-LSH buckets + exact
@@ -1444,7 +1460,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "distinct_parts_per_flag": q_distinct_parts_per_flag,
     "rollup_flags": q_rollup_flags,
     "grouping_sets": q_grouping_sets,
-    "cube_flags": q_cube_flags,
+    "zorder_events": q_zorder_events,
     "price_tiers": q_price_tiers,
     "salted_brand_join": q_salted_brand_join,
     "segment_overlap": q_segment_overlap,
@@ -1456,7 +1472,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sliding_event_counts": q_sliding_event_counts,
     "user_sessions": q_user_sessions,
     "props_by_type": q_props_by_type,
-    "props_from_json": q_props_from_json,
+    "interval_join": q_interval_join,
     "asof_purchases": q_asof_purchases,
     "user_cumsum": q_user_cumsum,
     # -- dedup family --
@@ -1506,12 +1522,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_frames": q_multimodal_frames,
     "approx_distinct_users": q_approx_distinct_users,
     "thumbnail_keys": q_thumbnail_keys,
-    "interval_join": q_interval_join,
     "fingerprint_folded": q_fingerprint_folded,
+    "cube_flags": q_cube_flags,
+    "props_from_json": q_props_from_json,
     "apply_changeset": q_apply_changeset,
     "skew_report": q_skew_report,
-    "zorder_events": q_zorder_events,
     "incremental_dedup": q_incremental_dedup,
+    "bm25_search": q_bm25_search,
     "corpus_report": q_corpus_report,
     "quality_gate": q_quality_gate,
     "global_shuffle": q_global_shuffle,

@@ -359,3 +359,34 @@ def test_incremental_dedup_finds_batch_dups_only(spark):
     assert len(got) == 1
     assert got[0]["new_id"] == 10 and got[0]["dup_of"] == 1
     assert 0.3 <= got[0]["jaccard"] < 1.0
+
+
+def test_bm25_ranking_semantics(spark):
+    from batch_process_dpla_index_spark.operators.ranking import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark engine"),
+            (2, "spark engine"),
+            (3, "engine only here"),
+            (4, "completely unrelated words appear"),
+        ],
+        "doc_id long, text string",
+    )
+    out = bm25_topk(docs, "spark", k=10).collect()
+    # Only docs containing a query term are scored.
+    assert [r.id for r in out[:2]] == [1, 2]
+    assert {r.id for r in out} == {1, 2}
+    assert out[0].score > out[1].score > 0
+    # Rare-term idf dominates: doc 3 wins a two-term query on its rare term.
+    out2 = bm25_topk(docs, "engine only", k=10).collect()
+    assert out2[0].id == 3
+
+
+def test_bm25_plan_broadcasts_term_filter(docs):
+    from batch_process_dpla_index_spark.operators.ranking import bm25_topk
+
+    plan = bm25_topk(docs, "spark query join fast", k=20)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # Top-k must be a TakeOrdered merge, not a global Sort+Exchange.
+    assert "TakeOrderedAndProject" in plan
