@@ -11,10 +11,12 @@ oracle).
 Plan shape at 100 TB: the corpus explodes to (doc, term) ONCE and is
 immediately filtered to the query's terms through a broadcast hash
 join (query terms: tens of literals) — the surviving frame is tiny
-(docs containing any query term × matched terms). Document frequency
-and average doc length are single-row/small broadcast aggregates.
-No corpus-wide shuffle survives the term filter; the final top-k is a
-TakeOrdered merge, not a global sort.
+(docs containing any query term × matched terms) and carries doc
+length with it, so no join back to a corpus-wide lengths table is
+ever needed. Document frequency and average doc length are
+single-row/small broadcast aggregates. The only shuffle after the
+term filter is the tiny per-(doc, term) tf aggregation; the final
+top-k is a TakeOrdered merge, not a global sort.
 """
 
 from __future__ import annotations
@@ -45,25 +47,26 @@ def bm25_topk(
         [(t,) for t in sorted(set(q_terms))], "term string"
     )
 
-    toks = docs.select(
+    # Doc length rides along through the explode so the scored frame
+    # never joins back to a corpus-wide lengths table — after the
+    # broadcast term filter, every surviving row already carries dl.
+    with_dl = docs.select(
         F.col(id_col).alias("id"), tokens(normalize(F.col(text_col))).alias("__tok")
-    )
-    lengths = toks.select("id", F.size("__tok").cast("double").alias("dl"))
-    corpus_stats = lengths.agg(
+    ).select("id", F.size("__tok").cast("double").alias("dl"), "__tok")
+    corpus_stats = with_dl.agg(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
     )
 
     tf = (
-        toks.select("id", F.explode("__tok").alias("term"))
+        with_dl.select("id", "dl", F.explode("__tok").alias("term"))
         .join(F.broadcast(q_df), "term")
-        .groupBy("id", "term")
+        .groupBy("id", "dl", "term")
         .agg(F.count("*").alias("tf"))
     )
     df_t = tf.groupBy("term").agg(F.countDistinct("id").alias("df"))
 
     scored = (
         tf.join(F.broadcast(df_t), "term")
-        .join(lengths, "id")
         .crossJoin(F.broadcast(corpus_stats))
         .withColumn(
             "idf",
