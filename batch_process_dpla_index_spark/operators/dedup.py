@@ -92,7 +92,40 @@ def keep_first(df: DataFrame, key_cols: list[str], order_col: str, tiebreak: str
     )
 
 
-def shingle_sets(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+def _word_shingles_pandas(n: int):
+    """Arrow twin of ``array_distinct(word_shingles(tok, n))`` —
+    identical values AND order (dict.fromkeys keeps first occurrence,
+    exactly array_distinct's contract; <=n tokens → one whole-text
+    shingle; empty → empty set). The expression form interprets a
+    sequence→slice→concat lambda per shingle (HOFs never enter
+    whole-stage codegen); this path is one Python loop per doc over
+    the JVM-tokenized array."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def sh(tok: pd.Series) -> pd.Series:
+        out = []
+        for t in tok:
+            if t is None or len(t) == 0:
+                out.append([])
+            elif len(t) <= n:
+                out.append([" ".join(t)])
+            else:
+                out.append(
+                    list(
+                        dict.fromkeys(
+                            " ".join(t[i : i + n]) for i in range(len(t) - n + 1)
+                        )
+                    )
+                )
+        return pd.Series(out)
+
+    return sh
+
+
+def shingle_sets(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, use_pandas: bool = False
+) -> DataFrame:
     """(id, shingles: array<string> distinct) per document.
 
     Two projections on purpose: ``word_shingles`` references its token
@@ -100,8 +133,14 @@ def shingle_sets(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataF
     are a regex-normalize + split of the whole text — materializing the
     token array first makes those references column reads instead of
     four regex re-evaluations (HOF lambdas are interpreted, not
-    codegen'd, so Catalyst won't CSE them; measured 4× on sf0.1)."""
+    codegen'd, so Catalyst won't CSE them; measured 4× on sf0.1).
+    ``use_pandas=True`` swaps the interpreted shingle HOF for the Arrow
+    twin (same values/order; tokenization stays JVM-side)."""
     toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__tok"))
+    if use_pandas:
+        return toks.select(
+            F.col(id_col), _word_shingles_pandas(n)(F.col("__tok")).alias("shingles")
+        )
     return toks.select(
         F.col(id_col),
         F.array_distinct(word_shingles(F.col("__tok"), n)).alias("shingles"),
@@ -316,12 +355,12 @@ def incremental_dedup(
     are bucket-bounded, never all-pairs.
     """
     rows = num_perm // bands
-    new_sets = shingle_sets(new_docs, text_col, id_col, n).withColumnRenamed(
-        id_col, "id"
-    )
-    corp_sets = shingle_sets(corpus_docs, text_col, id_col, n).withColumnRenamed(
-        id_col, "id"
-    )
+    new_sets = shingle_sets(
+        new_docs, text_col, id_col, n, use_pandas=use_pandas
+    ).withColumnRenamed(id_col, "id")
+    corp_sets = shingle_sets(
+        corpus_docs, text_col, id_col, n, use_pandas=use_pandas
+    ).withColumnRenamed(id_col, "id")
     new_sig = with_minhash_signature(new_sets, num_perm, use_pandas).persist()
     corp_sig = with_minhash_signature(corp_sets, num_perm, use_pandas).persist()
     nb = _band_buckets(new_sig, bands, rows)
@@ -389,7 +428,9 @@ def minhash_lsh_pairs(
     has zero false positives (recall remains probabilistic).
     """
     rows = num_perm // bands
-    sets = shingle_sets(df, text_col, id_col, n).withColumnRenamed(id_col, "id")
+    sets = shingle_sets(
+        df, text_col, id_col, n, use_pandas=use_pandas
+    ).withColumnRenamed(id_col, "id")
     sig = with_minhash_signature(sets, num_perm, use_pandas, hash_fn).persist()
 
     buckets = _band_buckets(sig, bands, rows)
