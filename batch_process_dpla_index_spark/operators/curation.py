@@ -190,3 +190,61 @@ def global_shuffle(
     return df.withColumn("shuffle_key", h60(key)).withColumn(
         "shard", F.pmod(F.col("shuffle_key"), F.lit(n_shards)).cast("int")
     )
+
+
+def boilerplate_stats(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    seg_tokens: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document boilerplate exposure via corpus-frequent segments —
+    the CCNet/RefinedWeb boilerplate-removal signal: segments (non-
+    overlapping ``seg_tokens``-token windows, partial tail included)
+    that recur in >= ``min_docs`` distinct documents are boilerplate
+    (headers, footers, nav chrome, license blurbs); a document's ratio
+    says how much of it is template rather than content.
+
+    Returns (doc_id, n_segments, n_boilerplate, boilerplate_ratio) for
+    non-empty documents.
+
+    Plan shape at 100 TB: one narrow segment explode; the boilerplate
+    dictionary is a threshold-filtered aggregate over (segment →
+    distinct-doc count) — map-side partial agg, and the >= min_docs
+    filter shrinks it by orders of magnitude, so the mark-join back
+    onto the exploded frame is AQE-broadcastable; the per-doc rollup is
+    a count aggregate. Two real shuffles total (segment agg, doc agg),
+    both linear and skew-tolerant.
+    """
+    w = seg_tokens
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__tok")
+    ).filter(F.size("__tok") > 0)
+    n_segs = F.ceil(F.size("__tok") / F.lit(w)).cast("bigint")
+    segs = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_segs - 1),
+                lambda i: F.concat_ws(" ", F.slice("__tok", i * w + 1, w)),
+            )
+        ).alias("seg"),
+    )
+    bp = (
+        segs.groupBy("seg")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= min_docs)
+        .select("seg", F.lit(1).alias("__bp"))
+    )
+    return (
+        segs.join(bp, "seg", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.count("__bp").alias("n_boilerplate"),
+            F.round(
+                F.count("__bp").cast("double") / F.count("*").cast("double"), 6
+            ).alias("boilerplate_ratio"),
+        )
+    )

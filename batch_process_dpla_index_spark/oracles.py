@@ -555,6 +555,29 @@ LIMIT {k}
 ORACLE_BM25_SEARCH = _bm25_oracle("spark query join fast")
 
 
+def _boilerplate_oracle(w: int = 8, min_docs: int = 2) -> str:
+    return f"""
+WITH {_DOC_TOK_CTE}, c AS (
+    SELECT doc_id, tok, CAST(len(tok) AS BIGINT) AS n
+    FROM doc_tok WHERE len(tok) > 0
+), segs AS (
+    SELECT doc_id, array_to_string(tok[i*{w}+1 : i*{w}+{w}], ' ') AS seg
+    FROM c, UNNEST(range((n + {w - 1}) // {w})) AS t(i)
+), bp AS (
+    SELECT seg FROM segs GROUP BY seg HAVING count(DISTINCT doc_id) >= {min_docs}
+)
+SELECT s.doc_id,
+       count(*) AS n_segments,
+       count(b.seg) AS n_boilerplate,
+       round(count(b.seg) * 1.0 / count(*), 6) AS boilerplate_ratio
+FROM segs s LEFT JOIN bp b ON s.seg = b.seg
+GROUP BY s.doc_id
+"""
+
+
+ORACLE_BOILERPLATE_STATS = _boilerplate_oracle()
+
+
 def _simhash_oracle(bits: int = 60, max_hamming: int = 3) -> str:
     nbands = max_hamming + 1
     width = bits // nbands
@@ -1460,6 +1483,7 @@ ORACLES: dict[str, str] = {
     "zorder_events": ORACLE_ZORDER_EVENTS,
     "incremental_dedup": ORACLE_INCREMENTAL_DEDUP,
     "bm25_search": ORACLE_BM25_SEARCH,
+    "boilerplate_stats": ORACLE_BOILERPLATE_STATS,
     # approx_distinct_users: deliberately no oracle — HLL sketch
     # estimates are engine-specific; accuracy bound asserted in pytest.
 }

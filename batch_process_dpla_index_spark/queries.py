@@ -1408,6 +1408,18 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_boilerplate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate exposure per document: non-overlapping 8-token
+    segments recurring in ≥2 distinct docs are boilerplate (CCNet/
+    RefinedWeb line-removal signal). Segment explode → threshold-
+    filtered segment aggregate (the small boilerplate dictionary) →
+    mark-join → per-doc rollup; two linear shuffles at any scale."""
+    from batch_process_dpla_index_spark.operators.curation import boilerplate_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return boilerplate_stats(docs, "text", "doc_id", seg_tokens=8, min_docs=2)
+
+
 def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4/Gopher-style quality gate: threshold filter over the verified
     text metrics, metrics emitted with the survivors. Single narrow
@@ -1457,7 +1469,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "priority_by_month": q_priority_by_month,
     "scalar_suite": q_scalar_suite,
     "union_entities": q_union_entities,
-    "distinct_parts_per_flag": q_distinct_parts_per_flag,
+    "boilerplate_stats": q_boilerplate_stats,
     "rollup_flags": q_rollup_flags,
     "grouping_sets": q_grouping_sets,
     "zorder_events": q_zorder_events,
@@ -1523,6 +1535,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "approx_distinct_users": q_approx_distinct_users,
     "thumbnail_keys": q_thumbnail_keys,
     "fingerprint_folded": q_fingerprint_folded,
+    "distinct_parts_per_flag": q_distinct_parts_per_flag,
     "cube_flags": q_cube_flags,
     "props_from_json": q_props_from_json,
     "apply_changeset": q_apply_changeset,

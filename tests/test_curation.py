@@ -199,3 +199,27 @@ def test_quality_gate_runs_in_streaming(spark, docs, tmp_path):
     )
     want = quality_gate(spark.read.parquet(src)).select("doc_id", "n_tokens")
     assert sorted(got.collect()) == sorted(want.collect())
+
+
+def test_boilerplate_stats_semantics(spark):
+    from batch_process_dpla_index_spark.operators.curation import boilerplate_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h unique one tail"),
+            (2, "a b c d e f g h other content words"),
+            (3, "totally different text with no repeats"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in boilerplate_stats(docs, "text", "doc_id", seg_tokens=8, min_docs=2).collect()
+    }
+    # Empty doc excluded; docs 1 and 2 share their first 8-token segment.
+    assert set(out) == {1, 2, 3}
+    assert out[1].n_segments == 2 and out[1].n_boilerplate == 1
+    assert out[2].n_segments == 2 and out[2].n_boilerplate == 1
+    assert out[3].n_boilerplate == 0
+    assert abs(out[1].boilerplate_ratio - 0.5) < 1e-9
