@@ -578,6 +578,17 @@ GROUP BY s.doc_id
 ORACLE_BOILERPLATE_STATS = _boilerplate_oracle()
 
 
+ORACLE_EVENT_RANK_SUITE = """
+SELECT event_id, user_id,
+       dense_rank() OVER w AS value_dense_rank,
+       round(percent_rank() OVER w, 6) AS value_pct_rank,
+       ntile(4) OVER w AS value_quartile,
+       round(lead(value, 1) OVER w, 6) AS next_lower_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id ASC)
+"""
+
+
 def _simhash_oracle(bits: int = 60, max_hamming: int = 3) -> str:
     nbands = max_hamming + 1
     width = bits // nbands
@@ -1484,6 +1495,7 @@ ORACLES: dict[str, str] = {
     "incremental_dedup": ORACLE_INCREMENTAL_DEDUP,
     "bm25_search": ORACLE_BM25_SEARCH,
     "boilerplate_stats": ORACLE_BOILERPLATE_STATS,
+    "event_rank_suite": ORACLE_EVENT_RANK_SUITE,
     # approx_distinct_users: deliberately no oracle — HLL sketch
     # estimates are engine-specific; accuracy bound asserted in pytest.
 }

@@ -277,6 +277,25 @@ def q_rolling_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function suite (W1 extension): dense_rank / percent_rank
+    / ntile(4) / lead over one per-user window — a single window
+    shuffle shared by all four functions (one Exchange + sort; Spark
+    evaluates the whole frame family in one Window node)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.dense_rank().over(w).alias("value_dense_rank"),
+        F.round(F.percent_rank().over(w), 6).alias("value_pct_rank"),
+        F.ntile(4).over(w).alias("value_quartile"),
+        F.round(F.lead("value", 1).over(w), 6).alias("next_lower_value"),
+    )
+
+
 def q_hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling window (ST1): 1-hour buckets × event_type."""
     ev = load_table(spark, sf_dir, "events")
@@ -1526,6 +1545,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_token_counts": q_bpe_token_counts,
     "pivot_status": q_pivot_status,
     "event_calendar": q_event_calendar,
+    "event_rank_suite": q_event_rank_suite,
     "value_percentiles": q_value_percentiles,
     "price_histogram": q_price_histogram,
     "cosine_topk_pandas": q_cosine_topk_pandas,
