@@ -13,6 +13,7 @@ plus the monthly-batch sequencer (monthly_batch_emr.sh:41-111)::
     python -m batch_process_dpla_index_spark.jobs schema-test <in_root> <out_dir>
     python -m batch_process_dpla_index_spark.jobs monthly-batch <in_root> <out_root> [url_prefix]
     python -m batch_process_dpla_index_spark.jobs training-export <docs_parquet> <out_dir> [--seed S] [--shards N] [--no-gate]
+    python -m batch_process_dpla_index_spark.jobs dedup-index build|query|append <docs_parquet> <index_dir> [--threshold T]
 """
 
 from __future__ import annotations
@@ -55,6 +56,13 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--seed", default="seed0")
     s.add_argument("--shards", type=int, default=8)
     s.add_argument("--no-gate", action="store_true")
+    s = sub.add_parser("dedup-index")
+    s.add_argument("action", choices=["build", "query", "append"])
+    s.add_argument("docs_parquet")
+    s.add_argument("index_dir")
+    s.add_argument("--id-col", default="doc_id")
+    s.add_argument("--text-col", default="text")
+    s.add_argument("--threshold", type=float, default=0.5)
     args = p.parse_args(argv)
 
     from batch_process_dpla_index_spark.session import get_spark
@@ -130,6 +138,29 @@ def main(argv: list[str] | None = None) -> int:
                 gate=not args.no_gate,
             )
             print(f"Training shards: {opts}")
+        elif args.job == "dedup-index":
+            from batch_process_dpla_index_spark.operators.dedup import unpersist_deps
+            from batch_process_dpla_index_spark.products import dedup_index
+
+            docs = spark.read.parquet(args.docs_parquet)
+            if args.action == "build":
+                manifest = dedup_index.build_dedup_index(
+                    docs, args.text_col, args.id_col, args.index_dir
+                )
+                print(f"Index built: {manifest}")
+            elif args.action == "append":
+                dedup_index.append_to_dedup_index(
+                    docs, args.text_col, args.id_col, args.index_dir
+                )
+                print(f"Appended {docs.count()} docs to {args.index_dir}")
+            else:
+                matches = dedup_index.incremental_dedup_indexed(
+                    spark, docs, args.text_col, args.id_col, args.index_dir,
+                    threshold=args.threshold,
+                )
+                n = matches.count()
+                unpersist_deps(matches)
+                print(f"Batch docs with a corpus match: {n}")
     finally:
         pass  # session is shared in tests; real CLI runs end with process exit
     return 0

@@ -1,0 +1,188 @@
+"""Persisted near-dup index: the "store signatures alongside the
+corpus" production pattern the in-line operators only simulate.
+
+An ingest pipeline at 100 TB does not re-shingle the corpus per batch
+— it maintains a signature/bucket index (built once, appended per
+accepted batch) and dedupes each incoming batch against the index:
+
+- :func:`build_dedup_index` materializes two parquet datasets under
+  ``index_dir``: ``signatures`` (id, shingles, sig — the exact-verify
+  side) and ``buckets`` (band, key, id — the LSH candidate side,
+  repartitioned on the join key so batch lookups co-locate), plus a
+  ``_MANIFEST`` recording the LSH parameters (ManifestWriter.scala:7-14
+  convention). Cost: one corpus pass.
+- :func:`incremental_dedup_indexed` shingles ONLY the new batch,
+  explodes it to band keys, equi-joins the stored buckets, and
+  exact-verifies against the stored shingle sets — identical output
+  contract to ``operators.dedup.incremental_dedup`` (best corpus match
+  per new doc at true Jaccard >= threshold), without touching corpus
+  text. LSH parameters are never passed by the caller on the read
+  path: they come from the manifest, so an index built with different
+  (n, num_perm, bands) cannot be silently mis-queried.
+
+Scale notes: per-batch cost is bands × |batch| explode + one shuffle
+join against the bucket dataset (AQE broadcasts the batch side when
+small); the ``max_bucket`` cap is applied to stored buckets at build
+time (hot template clusters are dropped-and-logged once, not per
+batch). Appending a batch = union-write its signatures/buckets into
+the same layout.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from batch_process_dpla_index_spark.io.manifest import read_manifest, write_manifest
+from batch_process_dpla_index_spark.operators.dedup import (
+    _band_buckets,
+    shingle_sets,
+    with_minhash_signature,
+)
+
+
+def build_dedup_index(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    index_dir: str,
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    max_bucket: int = 1000,
+    use_pandas: bool = True,
+    bucket_partitions: int = 32,
+) -> dict[str, str]:
+    """One corpus pass → signatures + capped band buckets + manifest.
+
+    Returns the manifest dict (also written to ``index_dir/_MANIFEST``).
+    """
+    rows = num_perm // bands
+    sig = with_minhash_signature(
+        shingle_sets(docs, text_col, id_col, n, use_pandas=use_pandas)
+        .withColumnRenamed(id_col, "id"),
+        num_perm,
+        use_pandas,
+    ).persist()
+    sig.write.mode("overwrite").parquet(os.path.join(index_dir, "signatures"))
+
+    buckets = _band_buckets(sig, bands, rows)
+    oversized = (
+        buckets.groupBy("band", "key")
+        .agg(F.count("*").alias("sz"))
+        .filter(F.col("sz") > max_bucket)
+        .select("band", "key")
+    )
+    n_dropped = oversized.count()
+    (
+        buckets.join(F.broadcast(oversized), ["band", "key"], "left_anti")
+        # co-locate bucket lookups: batch-side band keys hash-join into
+        # a layout already partitioned on the join key
+        .repartition(bucket_partitions, "band", "key")
+        .write.mode("overwrite")
+        .parquet(os.path.join(index_dir, "buckets"))
+    )
+    n_docs = sig.count()
+    sig.unpersist()
+    manifest = {
+        "shingle_n": str(n),
+        "num_perm": str(num_perm),
+        "bands": str(bands),
+        "max_bucket": str(max_bucket),
+        "Record count": str(n_docs),
+        "Oversized buckets dropped": str(n_dropped),
+    }
+    write_manifest(manifest, index_dir)
+    return manifest
+
+
+def incremental_dedup_indexed(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    index_dir: str,
+    threshold: float = 0.5,
+    use_pandas: bool = True,
+) -> DataFrame:
+    """Dedupe a batch against a stored index — no corpus re-shingle.
+
+    Output contract matches ``incremental_dedup``: (new_id, dup_of,
+    jaccard), best corpus match per new doc, ties to smallest corpus id.
+    """
+    manifest = read_manifest(index_dir)
+    n = int(manifest["shingle_n"])
+    num_perm = int(manifest["num_perm"])
+    bands = int(manifest["bands"])
+    rows = num_perm // bands
+
+    new_sig = with_minhash_signature(
+        shingle_sets(new_docs, text_col, id_col, n, use_pandas=use_pandas)
+        .withColumnRenamed(id_col, "id"),
+        num_perm,
+        use_pandas,
+    ).persist()
+    corp_buckets = spark.read.parquet(os.path.join(index_dir, "buckets"))
+    corp_sig = spark.read.parquet(os.path.join(index_dir, "signatures"))
+
+    cand = (
+        _band_buckets(new_sig, bands, rows)
+        .alias("x")
+        .join(corp_buckets.alias("y"), ["band", "key"])
+        .select(F.col("x.id").alias("new_id"), F.col("y.id").alias("dup_of"))
+        .distinct()
+    )
+    sa = new_sig.select(F.col("id").alias("new_id"), F.col("shingles").alias("sh_a"))
+    sb = corp_sig.select(F.col("id").alias("dup_of"), F.col("shingles").alias("sh_b"))
+    verified = (
+        cand.join(sa, "new_id")
+        .join(sb, "dup_of")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("new_id").orderBy(
+        F.col("jaccard").desc(), F.col("dup_of").asc()
+    )
+    out = (
+        verified.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("new_id", "dup_of", F.round("jaccard", 6).alias("jaccard"))
+    )
+    out._cached_deps = [new_sig]  # type: ignore[attr-defined]
+    return out
+
+
+def append_to_dedup_index(
+    batch_docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    index_dir: str,
+    use_pandas: bool = True,
+) -> None:
+    """Append an accepted batch's signatures/buckets to the index
+    (append-mode writes into the same parquet layouts; parameters come
+    from the manifest so drift is impossible)."""
+    manifest = read_manifest(index_dir)
+    n = int(manifest["shingle_n"])
+    num_perm = int(manifest["num_perm"])
+    bands = int(manifest["bands"])
+    rows = num_perm // bands
+    sig = with_minhash_signature(
+        shingle_sets(batch_docs, text_col, id_col, n, use_pandas=use_pandas)
+        .withColumnRenamed(id_col, "id"),
+        num_perm,
+        use_pandas,
+    ).persist()
+    sig.write.mode("append").parquet(os.path.join(index_dir, "signatures"))
+    _band_buckets(sig, bands, rows).write.mode("append").parquet(
+        os.path.join(index_dir, "buckets")
+    )
+    sig.unpersist()

@@ -345,3 +345,44 @@ def test_csv_json_require_schema(spark, tmp_path):
         read_any(spark, str(tmp_path), "csv")
     with pytest.raises(ValueError, match="schema"):
         read_any(spark, str(tmp_path), "json")
+
+
+def test_dedup_index_round_trip(spark, tmp_path):
+    """Indexed incremental dedup == in-line incremental dedup, exactly."""
+    from batch_process_dpla_index_spark.operators.dedup import (
+        incremental_dedup,
+        unpersist_deps,
+    )
+    from batch_process_dpla_index_spark.products.dedup_index import (
+        append_to_dedup_index,
+        build_dedup_index,
+        incremental_dedup_indexed,
+    )
+    from batch_process_dpla_index_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    new = docs.filter(F.col("doc_id") % 10 == 7)
+    corpus = docs.filter(F.col("doc_id") % 10 != 7)
+    idx = str(tmp_path / "dedup_index")
+
+    manifest = build_dedup_index(corpus, "text", "doc_id", idx)
+    assert read_manifest(idx)["shingle_n"] == "3"
+    assert int(manifest["Record count"]) == corpus.count()
+
+    got = incremental_dedup_indexed(spark, new, "text", "doc_id", idx)
+    want = incremental_dedup(new, corpus, "text", "doc_id", use_pandas=True)
+    got_rows = sorted(map(tuple, got.collect()))
+    want_rows = sorted(map(tuple, want.collect()))
+    unpersist_deps(got)
+    unpersist_deps(want)
+    assert got_rows == want_rows and len(got_rows) > 0
+
+    # Append the batch; a re-ingest of the same batch now self-matches
+    # at jaccard 1.0 through the stored index.
+    append_to_dedup_index(new, "text", "doc_id", idx)
+    again = incremental_dedup_indexed(spark, new, "text", "doc_id", idx)
+    rows = {r.new_id: r for r in again.collect()}
+    unpersist_deps(again)
+    sample = next(iter(rows))
+    assert rows[sample].jaccard == 1.0
