@@ -14,6 +14,7 @@ plus the monthly-batch sequencer (monthly_batch_emr.sh:41-111)::
     python -m batch_process_dpla_index_spark.jobs monthly-batch <in_root> <out_root> [url_prefix]
     python -m batch_process_dpla_index_spark.jobs training-export <docs_parquet> <out_dir> [--seed S] [--shards N] [--no-gate]
     python -m batch_process_dpla_index_spark.jobs dedup-index build|query|append <docs_parquet> <index_dir> [--threshold T]
+    python -m batch_process_dpla_index_spark.jobs ann-index build|query <vectors_parquet> <index_dir> [--cells N] [--k K] [--probe P]
 """
 
 from __future__ import annotations
@@ -63,6 +64,16 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--id-col", default="doc_id")
     s.add_argument("--text-col", default="text")
     s.add_argument("--threshold", type=float, default=0.5)
+    s = sub.add_parser("ann-index")
+    s.add_argument("action", choices=["build", "query"])
+    s.add_argument("vectors_parquet")
+    s.add_argument("index_dir")
+    s.add_argument("--id-col", default="vec_id")
+    s.add_argument("--vec-col", default="embedding")
+    s.add_argument("--dim", type=int, default=64)
+    s.add_argument("--cells", type=int, default=16)
+    s.add_argument("--k", type=int, default=5)
+    s.add_argument("--probe", type=int, default=4)
     args = p.parse_args(argv)
 
     from batch_process_dpla_index_spark.session import get_spark
@@ -161,6 +172,22 @@ def main(argv: list[str] | None = None) -> int:
                 n = matches.count()
                 unpersist_deps(matches)
                 print(f"Batch docs with a corpus match: {n}")
+        elif args.job == "ann-index":
+            from batch_process_dpla_index_spark.products import ann_index
+
+            vecs = spark.read.parquet(args.vectors_parquet)
+            if args.action == "build":
+                manifest = ann_index.build_ann_index(
+                    vecs, args.id_col, args.vec_col, args.index_dir,
+                    dim=args.dim, n_cells=args.cells,
+                )
+                print(f"ANN index built: {manifest}")
+            else:
+                out = ann_index.ann_query_indexed(
+                    spark, vecs, args.id_col, args.vec_col, args.index_dir,
+                    k=args.k, n_probe=args.probe,
+                )
+                print(f"Neighbor rows: {out.count()}")
     finally:
         pass  # session is shared in tests; real CLI runs end with process exit
     return 0

@@ -449,11 +449,6 @@ def ivf_topk(
     fold per pair: 5× slower at sf0.1). At 100 TB, n_cells scales ~√N
     so both the shuffle and each group stay bounded.
     """
-    from collections.abc import Iterator
-
-    import numpy as np
-    import pandas as pd
-
     assigned = ivf_cells_pandas(corpus, id_col, vec_col, dim, n_cells, n_probe, centroids)
     stored = assigned.select(
         F.element_at("cells", 1).alias("cell"),
@@ -464,6 +459,16 @@ def ivf_topk(
     probing = assigned.select(
         F.explode("cells").alias("cell"), F.lit(1).alias("role"), F.col("id"), F.col("vec")
     )
+    return _ivf_score_and_rank(stored, probing, k)
+
+
+def _ivf_score_and_rank(stored: DataFrame, probing: DataFrame, k: int) -> DataFrame:
+    """Shared IVF scoring tail: union the (cell, role, id, vec) sides,
+    one applyInPandas BLAS matmul per cell, global per-query top-k.
+    ``stored`` rows carry role=0, ``probing`` rows role=1; a stored row
+    never scores against itself (neighbor_id == query_id is masked)."""
+    import numpy as np
+    import pandas as pd
 
     def score_cell(pdf: pd.DataFrame) -> pd.DataFrame:
         st = pdf[pdf["role"] == 0]
@@ -521,6 +526,45 @@ def ivf_topk(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def ivf_query_topk(
+    stored: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    centroids=None,
+) -> DataFrame:
+    """Query-vs-corpus IVF top-k against PRE-ASSIGNED corpus cells.
+
+    ``stored`` is (cell int, id, vec) — e.g. read back from the
+    persisted ANN index (``products.ann_index``) so the corpus is never
+    re-assigned per query batch. Only the query side pays the
+    centroid matmul (bands of ~|Q| rows); the join work is the same
+    one cell-grouped applyInPandas as :func:`ivf_topk`. With
+    ``queries == corpus`` and the same quantizer this reproduces
+    ``ivf_topk`` exactly (pinned in tests).
+    """
+    q_assigned = ivf_cells_pandas(
+        queries, id_col, vec_col, dim, n_cells, n_probe, centroids
+    )
+    probing = q_assigned.select(
+        F.explode("cells").alias("cell"),
+        F.lit(1).alias("role"),
+        F.col("id"),
+        F.col("vec"),
+    )
+    stored_side = stored.select(
+        F.col("cell").cast("int").alias("cell"),
+        F.lit(0).alias("role"),
+        F.col("id"),
+        F.col("vec"),
+    )
+    return _ivf_score_and_rank(stored_side, probing, k)
 
 
 def _hyperplane_matrix(dim: int, n_planes: int, n_tables: int):

@@ -386,3 +386,35 @@ def test_dedup_index_round_trip(spark, tmp_path):
     unpersist_deps(again)
     sample = next(iter(rows))
     assert rows[sample].jaccard == 1.0
+
+
+def test_ann_index_round_trip(spark, tmp_path):
+    """Query-vs-index IVF == in-line ivf_topk under the same codebook."""
+    from batch_process_dpla_index_spark.operators.similarity import ivf_topk
+    from batch_process_dpla_index_spark.products.ann_index import (
+        ann_query_indexed,
+        build_ann_index,
+        load_centroids,
+    )
+    from batch_process_dpla_index_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    idx = str(tmp_path / "ann_index")
+    manifest = build_ann_index(
+        emb, "vec_id", "embedding", idx, dim=64, n_cells=8, kmeans_iters=3
+    )
+    assert manifest["quantizer"] == "kmeans-maximin"
+    assert int(manifest["Record count"]) == emb.count()
+
+    got = ann_query_indexed(
+        spark, emb, "vec_id", "embedding", idx, k=5, n_probe=3
+    )
+    centroids = load_centroids(spark, idx)
+    want = ivf_topk(
+        emb, "vec_id", "embedding", dim=64, k=5, n_cells=8, n_probe=3,
+        centroids=centroids,
+    )
+    got_rows = sorted(map(tuple, got.collect()))
+    want_rows = sorted(map(tuple, want.collect()))
+    assert got_rows == want_rows and len(got_rows) > 0
