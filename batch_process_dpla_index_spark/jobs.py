@@ -64,6 +64,7 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--id-col", default="doc_id")
     s.add_argument("--text-col", default="text")
     s.add_argument("--threshold", type=float, default=0.5)
+    s.add_argument("--batch", type=int, default=1)
     s = sub.add_parser("ann-index")
     s.add_argument("action", choices=["build", "query"])
     s.add_argument("vectors_parquet")
@@ -161,7 +162,8 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"Index built: {manifest}")
             elif args.action == "append":
                 dedup_index.append_to_dedup_index(
-                    docs, args.text_col, args.id_col, args.index_dir
+                    docs, args.text_col, args.id_col, args.index_dir,
+                    ingest_batch=args.batch,
                 )
                 print(f"Appended {docs.count()} docs to {args.index_dir}")
             else:

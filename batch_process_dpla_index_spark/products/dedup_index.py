@@ -66,7 +66,15 @@ def build_dedup_index(
         num_perm,
         use_pandas,
     ).persist()
-    sig.write.mode("overwrite").parquet(os.path.join(index_dir, "signatures"))
+    # Both datasets carry an ``ingest_batch`` Hive partition (0 at
+    # build) so streaming appends land per-micro-batch partitions that
+    # a checkpoint replay can overwrite idempotently.
+    (
+        sig.withColumn("ingest_batch", F.lit(0))
+        .write.mode("overwrite")
+        .partitionBy("ingest_batch")
+        .parquet(os.path.join(index_dir, "signatures"))
+    )
 
     buckets = _band_buckets(sig, bands, rows)
     oversized = (
@@ -81,7 +89,9 @@ def build_dedup_index(
         # co-locate bucket lookups: batch-side band keys hash-join into
         # a layout already partitioned on the join key
         .repartition(bucket_partitions, "band", "key")
+        .withColumn("ingest_batch", F.lit(0))
         .write.mode("overwrite")
+        .partitionBy("ingest_batch")
         .parquet(os.path.join(index_dir, "buckets"))
     )
     n_docs = sig.count()
@@ -166,10 +176,16 @@ def append_to_dedup_index(
     id_col: str,
     index_dir: str,
     use_pandas: bool = True,
+    ingest_batch: int = 1,
+    idempotent: bool = False,
 ) -> None:
-    """Append an accepted batch's signatures/buckets to the index
-    (append-mode writes into the same parquet layouts; parameters come
-    from the manifest so drift is impossible)."""
+    """Append an accepted batch's signatures/buckets to the index under
+    the ``ingest_batch`` partition (parameters come from the manifest so
+    drift is impossible). ``idempotent=True`` switches to dynamic
+    partition overwrite — a streaming checkpoint replay then REPLACES
+    its own partition instead of appending a second copy; leave it off
+    for ad-hoc batch appends (two appends under one ingest_batch value
+    would otherwise clobber each other)."""
     manifest = read_manifest(index_dir)
     n = int(manifest["shingle_n"])
     num_perm = int(manifest["num_perm"])
@@ -181,8 +197,17 @@ def append_to_dedup_index(
         num_perm,
         use_pandas,
     ).persist()
-    sig.write.mode("append").parquet(os.path.join(index_dir, "signatures"))
-    _band_buckets(sig, bands, rows).write.mode("append").parquet(
-        os.path.join(index_dir, "buckets")
-    )
+
+    def _write(df: DataFrame, name: str) -> None:
+        writer = df.withColumn("ingest_batch", F.lit(int(ingest_batch))).write
+        if idempotent:
+            writer = writer.mode("overwrite").option(
+                "partitionOverwriteMode", "dynamic"
+            )
+        else:
+            writer = writer.mode("append")
+        writer.partitionBy("ingest_batch").parquet(os.path.join(index_dir, name))
+
+    _write(sig, "signatures")
+    _write(_band_buckets(sig, bands, rows), "buckets")
     sig.unpersist()

@@ -80,3 +80,97 @@ def ingest_available(
         timestamp=iso_timestamp(now),
     )
     return counts
+
+
+def ingest_dedup_available(
+    spark: SparkSession,
+    source_path: str,
+    schema,
+    out_path: str,
+    checkpoint_path: str,
+    index_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    max_files_per_trigger: int | None = None,
+    now=None,
+) -> dict[int, tuple[int, int]]:
+    """Dedup-on-ingest: every micro-batch is checked against the
+    persisted near-dup index (``products.dedup_index``) before landing;
+    only novel documents (no corpus match at true Jaccard >=
+    ``threshold``) are written, and THEIR signatures are appended to
+    the index so later batches dedupe against them too.
+
+    End-to-end idempotent under checkpoint replay: both the landed
+    parquet and the index append overwrite their own per-batch
+    partition (``batch=<id>`` / ``ingest_batch=<id+1>``) instead of
+    appending. Contract: corpus-level dedup only — intra-batch
+    near-dups both survive (run ``exact_dedup``/``minhash_lsh_pairs``
+    upstream if a batch can self-duplicate).
+
+    Returns {batch_id: (rows_seen, rows_kept)}.
+    """
+    from pyspark.sql import functions as F
+
+    from batch_process_dpla_index_spark.operators.dedup import unpersist_deps
+    from batch_process_dpla_index_spark.products import dedup_index
+
+    stats: dict[int, tuple[int, int]] = {}
+
+    def land(batch_df, batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        n_seen = batch_df.count()
+        matches = dedup_index.incremental_dedup_indexed(
+            spark, batch_df, text_col, id_col, index_dir, threshold=threshold
+        )
+        dup_ids = matches.select(F.col("new_id").alias(id_col))
+        survivors = batch_df.join(dup_ids, id_col, "left_anti").persist()
+        (
+            survivors.withColumn("batch", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch")
+            .parquet(out_path)
+        )
+        n_kept = survivors.count()
+        dedup_index.append_to_dedup_index(
+            survivors,
+            text_col,
+            id_col,
+            index_dir,
+            ingest_batch=int(batch_id) + 1,
+            idempotent=True,
+        )
+        unpersist_deps(matches)
+        survivors.unpersist()
+        batch_df.unpersist()
+        stats[int(batch_id)] = (n_seen, n_kept)
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_path)
+    q = (
+        stream.writeStream.foreachBatch(land)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    write_manifest(
+        {
+            "Source": source_path,
+            "Dedup index": index_dir,
+            "Batches": str(len(stats)),
+            "Total records seen": str(sum(s for s, _ in stats.values())),
+            "Total records kept": str(sum(k for _, k in stats.values())),
+            **{
+                f"Batch {b} seen/kept": f"{s}/{k}"
+                for b, (s, k) in sorted(stats.items())
+            },
+        },
+        out_path,
+        timestamp=iso_timestamp(now),
+    )
+    return stats

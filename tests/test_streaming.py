@@ -250,3 +250,51 @@ def test_streaming_ingest_product(spark, events_dir, tmp_path):
     )
     assert counts2 == {}
     assert spark.read.parquet(out).count() == want
+
+
+def test_streaming_dedup_ingest(spark, tmp_path):
+    """Dedup-on-ingest: batch 2's copies of batch-1 docs are dropped
+    because batch 1's survivors were appended to the index; replay with
+    the same checkpoint ingests nothing and duplicates nothing."""
+    from batch_process_dpla_index_spark.products import dedup_index, streaming_ingest
+    from batch_process_dpla_index_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") < 300)
+    slice_a = docs.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 400))
+    # batch B = new docs + exact copies of batch A docs under new ids
+    copies = slice_a.limit(20).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    slice_b = docs.filter(F.col("doc_id") >= 400).unionByName(copies)
+
+    idx = str(tmp_path / "idx")
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "landed")
+    ckpt = str(tmp_path / "ckpt")
+    dedup_index.build_dedup_index(corpus, "text", "doc_id", idx)
+    slice_a.coalesce(1).write.parquet(src)
+    slice_b.coalesce(1).write.mode("append").parquet(src)
+
+    stats = streaming_ingest.ingest_dedup_available(
+        spark, src, docs.schema, out, ckpt, idx, max_files_per_trigger=1
+    )
+    assert len(stats) == 2
+    seen = sum(s for s, _ in stats.values())
+    kept = sum(k for _, k in stats.values())
+    assert seen == slice_a.count() + slice_b.count()
+    landed = spark.read.parquet(out)
+    assert landed.count() == kept
+    # every cross-batch exact copy was caught (whichever slice came
+    # first, its twin in the other batch is a J=1.0 corpus match)
+    landed_ids = {r.doc_id for r in landed.select("doc_id").collect()}
+    assert not {r.doc_id + 100000 for r in slice_a.limit(20).collect()} <= landed_ids
+    assert seen - kept >= 20
+
+    # replay: nothing new, nothing duplicated, index unchanged
+    stats2 = streaming_ingest.ingest_dedup_available(
+        spark, src, docs.schema, out, ckpt, idx, max_files_per_trigger=1
+    )
+    assert stats2 == {}
+    assert spark.read.parquet(out).count() == kept
