@@ -58,6 +58,55 @@ def read_any(
     return reader.load(paths)
 
 
+def read_with_quarantine(
+    spark: SparkSession,
+    path: str | list[str],
+    fmt: str,
+    schema,
+    corrupt_col: str = "_corrupt_record",
+    **options: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Row-format scan that survives malformed input: returns
+    ``(good, bad)`` frames instead of letting one broken line kill a
+    100 TB job.
+
+    Uses PERMISSIVE mode with ``columnNameOfCorruptRecord``: parseable
+    rows land typed with the corrupt column null; unparseable rows keep
+    their raw text there (csv/json only — columnar formats validate at
+    write time). ``good`` drops the corrupt column; ``bad`` carries the
+    raw line first for quarantine writes.
+
+    Deliberately NO ``.cache()``: good and bad are two single-pass
+    scans of the same files. Caching would dodge the second scan but
+    pins the whole input in executor memory — the wrong trade at scale;
+    callers that want one pass write ``bad`` out per-batch instead.
+    (Spark disallows plans referencing only the corrupt column, so
+    ``bad`` keeps the typed columns alongside it.)
+    """
+    if fmt not in ("csv", "json"):
+        raise ValueError(
+            f"quarantine scan is for row formats (csv/json), got {fmt!r}"
+        )
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType
+
+    if corrupt_col not in schema.fieldNames():
+        schema = schema.add(corrupt_col, StringType())
+    df = read_any(
+        spark,
+        path,
+        fmt,
+        schema=schema,
+        mode="PERMISSIVE",
+        columnNameOfCorruptRecord=corrupt_col,
+        **options,
+    )
+    data_cols = [c for c in df.columns if c != corrupt_col]
+    good = df.filter(F.col(corrupt_col).isNull()).select(*data_cols)
+    bad = df.filter(F.col(corrupt_col).isNotNull()).select(corrupt_col, *data_cols)
+    return good, bad
+
+
 def write_any(
     df: DataFrame,
     path: str,

@@ -338,6 +338,42 @@ def test_format_matrix_round_trips(spark, docs_small, tmp_path):
         assert got == want, fmt
 
 
+def test_quarantine_scan_splits_corrupt_rows(spark, tmp_path):
+    """Malformed lines land in the quarantine frame with their raw
+    text; parseable rows come back typed — one bad record must never
+    kill the scan."""
+    from pyspark.sql.types import LongType, StringType, StructType
+
+    from batch_process_dpla_index_spark.sources.formats import read_with_quarantine
+
+    schema = StructType().add("doc_id", LongType()).add("text", StringType())
+    jdir = tmp_path / "jsonl"
+    jdir.mkdir()
+    (jdir / "part-0.json").write_text(
+        '{"doc_id": 1, "text": "ok"}\n'
+        "{broken json line\n"
+        '{"doc_id": 2, "text": "also ok"}\n'
+        '{"doc_id": "not a number", "text": "bad type"}\n'
+    )
+    good, bad = read_with_quarantine(spark, str(jdir), "json", schema)
+    assert {r.doc_id for r in good.collect()} == {1, 2}
+    bad_rows = bad.collect()
+    assert len(bad_rows) == 2
+    assert all(r._corrupt_record for r in bad_rows)
+
+    cdir = tmp_path / "csv"
+    cdir.mkdir()
+    (cdir / "part-0.csv").write_text(
+        "doc_id,text\n1,ok\nnot_a_number,bad\n2,fine\n"
+    )
+    good_c, bad_c = read_with_quarantine(spark, str(cdir), "csv", schema)
+    assert {r.doc_id for r in good_c.collect()} == {1, 2}
+    assert [r._corrupt_record for r in bad_c.collect()] == ["not_a_number,bad"]
+
+    with pytest.raises(ValueError, match="row formats"):
+        read_with_quarantine(spark, str(jdir), "parquet", schema)
+
+
 def test_csv_json_require_schema(spark, tmp_path):
     from batch_process_dpla_index_spark.sources.formats import read_any
 
