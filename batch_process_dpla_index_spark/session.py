@@ -29,6 +29,11 @@ ENGINE_CONFS: dict[str, str] = {
     # The events fixture stores TIMESTAMP(NANOS) parquet which Spark's reader
     # rejects; read as long and convert (sources/tables.py).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Parquet µs timestamps with no tz annotation must arrive as TIMESTAMP,
+    # not TIMESTAMP_NTZ: NTZ breaks unix_micros(), withWatermark(), and
+    # oracle parity (DuckDB reads the same column as tz-naive-as-UTC, which
+    # with our pinned UTC session is exactly Spark's TIMESTAMP).
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     # Arrow for pandas_udf / toPandas boundaries.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Nested-schema pruning so the DPLA MAP model (structs of arrays of
@@ -92,6 +97,7 @@ def tune(spark: SparkSession) -> SparkSession:
     for key in (
         "spark.sql.session.timeZone",
         "spark.sql.legacy.parquet.nanosAsLong",
+        "spark.sql.parquet.inferTimestampNTZ.enabled",
         "spark.sql.adaptive.enabled",
         "spark.sql.optimizer.nestedSchemaPruning.enabled",
     ):

@@ -35,10 +35,19 @@ BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     tune(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # nanos-as-long → µs truncation (integer div: the values ~1.7e18 do
-        # not survive a double round-trip).
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # nanos-as-long → µs truncation (integer div: the values ~1.7e18
+            # do not survive a double round-trip).
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type == "timestamp_ntz":
+            # Un-annotated parquet µs timestamps infer as TIMESTAMP_NTZ on
+            # PySpark 4.1 when the session was built before tune() could set
+            # inferTimestampNTZ=false. The session TZ is pinned UTC, so the
+            # cast is value-exact and restores unix_micros/withWatermark
+            # compatibility.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
