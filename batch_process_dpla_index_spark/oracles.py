@@ -1135,6 +1135,17 @@ SELECT event_id, user_id,
 FROM events
 """
 
+# Per-user population z-score; zero-variance (incl. single-event) users
+# yield NULL in both engines (pandas ddof=0 std == stddev_pop, NULLIF
+# mirrors the std==0 guard).
+ORACLE_USER_ZSCORE = """
+SELECT event_id, user_id,
+       round((value - avg(value) OVER w)
+             / NULLIF(stddev_pop(value) OVER w, 0), 6) AS zscore
+FROM events
+WINDOW w AS (PARTITION BY user_id)
+"""
+
 
 def _ivf_oracle(
     dim: int = 64, k: int = 5, n_cells: int = 16, n_probe: int = 4
@@ -1476,6 +1487,7 @@ ORACLES: dict[str, str] = {
     "sql_supplier_share": ORACLE_SQL_SUPPLIER_SHARE,
     "bpe_token_counts": ORACLE_BPE_TOKEN_COUNTS,
     "user_cumsum": ORACLE_USER_CUMSUM,
+    "user_zscore": ORACLE_USER_ZSCORE,
     "ivf_topk": ORACLE_IVF_TOPK,
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
     "price_tiers": ORACLE_PRICE_TIERS,

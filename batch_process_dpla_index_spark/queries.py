@@ -1006,14 +1006,37 @@ def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_user_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouped Arrow UDF (applyInPandas): per-user running value sum,
-    exactly equal to the window-function form — verified against the
-    SQL window oracle."""
-    from batch_process_dpla_index_spark.operators.grouped import user_cumulative_value
+    """Per-user running value sum as a pure JVM window
+    (``sum().over(ROWS UNBOUNDED PRECEDING)``): one hash exchange on
+    user_id + one sort, all inside whole-stage codegen — ~10× the
+    applyInPandas form it replaced (which remains available as
+    ``operators.grouped.user_cumulative_value`` for parity tests; the
+    grouped-Arrow path is driver-verified via ``user_zscore``)."""
+    from pyspark.sql.window import Window
 
     ev = load_table(spark, sf_dir, "events")
-    return user_cumulative_value(ev).select(
-        "event_id", "user_id", F.round("cum_value", 6).alias("cum_value")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 6).alias("cum_value"),
+    )
+
+
+def q_user_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped Arrow UDF (applyInPandas): per-user z-score
+    normalization of ``value`` (population std; zero-variance users →
+    NULL) — the per-group feature-normalization shape, demonstrating
+    the grouped-pandas exchange with an exact SQL-window oracle."""
+    from batch_process_dpla_index_spark.operators.grouped import normalize_per_group
+
+    ev = load_table(spark, sf_dir, "events")
+    return normalize_per_group(ev).select(
+        "event_id", "user_id", F.round("zscore", 6).alias("zscore")
     )
 
 
@@ -1472,50 +1495,34 @@ def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Registry order is part of the driver contract: the correctness gate
-# records exactly the FIRST 50 entries, so the first 50 are chosen to
-# cover every distinct operator family (one representative per
-# physical-plan shape); redundant single-function variants and
-# pytest-covered product projections sit in the tail, where the same
-# oracles still run via tools/verify_local.py.
+# records exactly the FIRST 50 entries. Round-4 rotation: every query
+# never driver-verified in rounds 2-3 (the 50-entry window never
+# reached them) now sits inside the window, together with this round's
+# changed/fixed queries (NTZ-affected event windows, the rewritten
+# user_cumsum, the new user_zscore) and one representative per operator
+# family. Rotated-out entries were green in r2/r3, remain pinned by
+# pytest plan tests, and still oracle-verify via tools/verify_local.py.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # -- relational core (scan/filter/agg/join/window/set/cube) --
+    # -- relational core representatives --
     "pricing_summary": q_pricing_summary,
     "top_orders": q_top_orders,
     "region_revenue": q_region_revenue,
-    "segment_with_f_orders": q_segment_with_f_orders,
-    "customers_without_orders": q_customers_without_orders,
-    "brand_revenue": q_brand_revenue,
-    "priority_by_month": q_priority_by_month,
     "scalar_suite": q_scalar_suite,
-    "union_entities": q_union_entities,
-    "boilerplate_stats": q_boilerplate_stats,
-    "rollup_flags": q_rollup_flags,
-    "grouping_sets": q_grouping_sets,
-    "zorder_events": q_zorder_events,
-    "price_tiers": q_price_tiers,
-    "salted_brand_join": q_salted_brand_join,
-    "segment_overlap": q_segment_overlap,
-    "sql_supplier_share": q_sql_supplier_share,
-    # -- events: windows, sessions, JSON, as-of, grouped Arrow --
-    "latest_events_per_user": q_latest_events_per_user,
-    "rolling_user_value": q_rolling_user_value,
+    # -- events: windows, sessions, as-of (r3 NTZ fix), grouped Arrow --
     "hourly_event_counts": q_hourly_event_counts,
     "sliding_event_counts": q_sliding_event_counts,
     "user_sessions": q_user_sessions,
-    "props_by_type": q_props_by_type,
     "interval_join": q_interval_join,
     "asof_purchases": q_asof_purchases,
     "user_cumsum": q_user_cumsum,
+    "user_zscore": q_user_zscore,
     # -- dedup family --
     "exact_dedup": q_exact_dedup,
-    "keep_first": q_keep_first,
     "fingerprint_clusters": q_fingerprint_clusters,
     "decontaminate": q_decontaminate,
     "jaccard_pairs": q_jaccard_pairs,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
-    "simhash_pairs": q_simhash_pairs,
     "dedup_clusters": q_dedup_clusters,
-    "hash_sample_split": q_hash_sample_split,
     "training_prep": q_training_prep,
     # -- text analysis --
     "text_stats": q_text_stats,
@@ -1535,17 +1542,50 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- multimodal + UDTF --
     "multimodal_meta": q_multimodal_meta,
     "udtf_sentences": q_udtf_sentences,
-    # ---- driver-window boundary (entry 50 above this line) ----
-    # -- tail: variants still oracle-verified via verify_local --
-    "language_id": q_language_id,
-    "rolling_hash": q_rolling_hash,
+    # -- first-time driver verification (never in the r2/r3 windows) --
+    "bm25_search": q_bm25_search,
+    "incremental_dedup": q_incremental_dedup,
+    "kmeans_cells": q_kmeans_cells,
+    "quality_gate": q_quality_gate,
+    "global_shuffle": q_global_shuffle,
+    "doc_chunks": q_doc_chunks,
+    "packed_bins": q_packed_bins,
+    "stratified_sample": q_stratified_sample,
+    "apply_changeset": q_apply_changeset,
+    "skew_report": q_skew_report,
+    "corpus_report": q_corpus_report,
+    "event_rank_suite": q_event_rank_suite,
+    "fingerprint_folded": q_fingerprint_folded,
+    "cube_flags": q_cube_flags,
     "pii_redaction": q_pii_redaction,
     "repetition_stats": q_repetition_stats,
     "top_bigrams": q_top_bigrams,
     "bpe_token_counts": q_bpe_token_counts,
+    # ---- driver-window boundary (entry 50 above this line) ----
+    # -- tail: green in r2/r3, still oracle-verified via verify_local --
+    "segment_with_f_orders": q_segment_with_f_orders,
+    "customers_without_orders": q_customers_without_orders,
+    "brand_revenue": q_brand_revenue,
+    "priority_by_month": q_priority_by_month,
+    "union_entities": q_union_entities,
+    "boilerplate_stats": q_boilerplate_stats,
+    "rollup_flags": q_rollup_flags,
+    "grouping_sets": q_grouping_sets,
+    "zorder_events": q_zorder_events,
+    "price_tiers": q_price_tiers,
+    "salted_brand_join": q_salted_brand_join,
+    "segment_overlap": q_segment_overlap,
+    "sql_supplier_share": q_sql_supplier_share,
+    "latest_events_per_user": q_latest_events_per_user,
+    "rolling_user_value": q_rolling_user_value,
+    "props_by_type": q_props_by_type,
+    "keep_first": q_keep_first,
+    "hash_sample_split": q_hash_sample_split,
+    "simhash_pairs": q_simhash_pairs,
+    "language_id": q_language_id,
+    "rolling_hash": q_rolling_hash,
     "pivot_status": q_pivot_status,
     "event_calendar": q_event_calendar,
-    "event_rank_suite": q_event_rank_suite,
     "value_percentiles": q_value_percentiles,
     "price_histogram": q_price_histogram,
     "cosine_topk_pandas": q_cosine_topk_pandas,
@@ -1554,19 +1594,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_frames": q_multimodal_frames,
     "approx_distinct_users": q_approx_distinct_users,
     "thumbnail_keys": q_thumbnail_keys,
-    "fingerprint_folded": q_fingerprint_folded,
     "distinct_parts_per_flag": q_distinct_parts_per_flag,
-    "cube_flags": q_cube_flags,
     "props_from_json": q_props_from_json,
-    "apply_changeset": q_apply_changeset,
-    "skew_report": q_skew_report,
-    "incremental_dedup": q_incremental_dedup,
-    "bm25_search": q_bm25_search,
-    "corpus_report": q_corpus_report,
-    "quality_gate": q_quality_gate,
-    "global_shuffle": q_global_shuffle,
-    "doc_chunks": q_doc_chunks,
-    "stratified_sample": q_stratified_sample,
-    "packed_bins": q_packed_bins,
-    "kmeans_cells": q_kmeans_cells,
 }

@@ -173,3 +173,21 @@ def test_changeset_anti_join_broadcasts_delta(spark):
 def test_skew_report_single_reduce_topn(spark):
     plan = _plan(spark, "skew_report")
     assert "TakeOrdered" in plan, plan
+
+
+def test_user_cumsum_is_jvm_window(spark):
+    """The running sum must be a pure JVM window plan: exactly one
+    hash exchange on user_id, a Window node, and ZERO Python/Arrow
+    exchanges (the applyInPandas form it replaced cost ~10x)."""
+    plan = _plan(spark, "user_cumsum")
+    assert "Window" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    for marker in ("MapInPandas", "FlatMapGroupsInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert marker not in plan, plan
+
+
+def test_user_zscore_is_grouped_arrow(spark):
+    """user_zscore deliberately exercises the grouped-pandas exchange
+    (FlatMapGroupsInPandas) — the registered demo of that path."""
+    plan = _plan(spark, "user_zscore")
+    assert "FlatMapGroupsInPandas" in plan, plan
