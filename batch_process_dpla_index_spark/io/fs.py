@@ -113,6 +113,183 @@ class LocalFilesystem:
         return children[-1] if children else None
 
 
+class MemoryFilesystem:
+    """In-memory object-store carrier: a flat key→bytes mapping with
+    S3-like semantics — no directories, prefix listing is a key scan,
+    "directories" exist only as shared key prefixes. Proves that every
+    K5-K9 call site works against a non-POSIX backend (the same
+    contract an S3/GCS carrier implements), and doubles as the test
+    backend for purge batching and paged listing.
+
+    ``page_size`` emulates paged List requests: ``list_prefix`` walks
+    the key space page-by-page and stops at ``max_keys``
+    (S3FileHelper.scala:16's 2M-key cap — the reference treats a
+    listing that large as a bug, not a workload).
+    """
+
+    #: listing cap mirrored from the reference's S3 helper.
+    MAX_LIST_KEYS = 2_000_000
+
+    def __init__(self, page_size: int = 1000) -> None:
+        self.objects: dict[str, bytes] = {}
+        self.page_size = page_size
+        self.list_pages = 0  # observability for tests
+
+    def put(self, key: str, text: str) -> str:
+        self.objects[key] = text.encode("utf-8")
+        return key
+
+    def put_gzip(self, key: str, text: str) -> str:
+        self.objects[key] = _gzip.compress(text.encode("utf-8"))
+        return key
+
+    def read(self, key: str) -> str:
+        data = self.objects[key]
+        if key.endswith(".gz"):
+            data = _gzip.decompress(data)
+        return data.decode("utf-8")
+
+    def exists(self, key: str) -> bool:
+        # an exact object, or a "directory" (any key under the prefix)
+        if key in self.objects:
+            return True
+        prefix = key.rstrip("/") + "/"
+        return any(k.startswith(prefix) for k in self.objects)
+
+    def delete_prefix(self, key: str) -> bool:
+        prefix = key.rstrip("/") + "/"
+        doomed = [k for k in self.objects if k == key or k.startswith(prefix)]
+        for k in doomed:
+            del self.objects[k]
+        return bool(doomed)
+
+    def purge(
+        self, keys: list[str], batch: int = 1000,
+        on_batch: Callable[[int, int], None] | None = None,
+    ) -> int:
+        removed = 0
+        for i in range(0, len(keys), batch):
+            n_before = removed
+            for key in keys[i : i + batch]:
+                if key in self.objects:
+                    del self.objects[key]
+                    removed += 1
+            if on_batch is not None:
+                on_batch(i // batch, removed - n_before)
+        return removed
+
+    def list_prefix(self, prefix: str) -> list[str]:
+        """Immediate children of ``prefix`` (object keys and pseudo-dir
+        prefixes), paged like an object-store List call and capped at
+        :data:`MAX_LIST_KEYS` matched keys."""
+        base = prefix.rstrip("/") + "/"
+        out: set[str] = set()
+        matched = 0
+        self.list_pages = 0
+        keys = sorted(self.objects)
+        for page_start in range(0, len(keys), self.page_size):
+            self.list_pages += 1
+            for k in keys[page_start : page_start + self.page_size]:
+                if not k.startswith(base):
+                    continue
+                matched += 1
+                if matched > self.MAX_LIST_KEYS:
+                    raise RuntimeError(
+                        f"listing under {prefix!r} exceeds "
+                        f"{self.MAX_LIST_KEYS} keys"
+                    )
+                rest = k[len(base):]
+                child = base + rest.split("/", 1)[0]
+                out.add(child)
+        return sorted(out)
+
+    def latest_prefix(self, prefix: str) -> str | None:
+        children = [
+            c for c in self.list_prefix(prefix)
+            # pseudo-directory = some key strictly below it
+            if any(k.startswith(c + "/") for k in self.objects)
+        ]
+        return children[-1] if children else None
+
+
+class FsspecFilesystem:
+    """Adapter over an `fsspec <https://filesystem-spec.readthedocs.io>`_
+    AbstractFileSystem — the production object-store path (s3fs, gcsfs,
+    abfs all speak it). Import-gated: fsspec is not in the sandbox, so
+    construction raises ImportError unless an ``fs`` instance is
+    injected; the contract itself is exercised by
+    :class:`MemoryFilesystem` in tests/test_fs.py.
+
+    Usage on a real cluster::
+
+        import fsspec
+        from batch_process_dpla_index_spark.io import fs as iofs
+        iofs.register_fs("s3", iofs.FsspecFilesystem(fsspec.filesystem("s3")))
+    """
+
+    def __init__(self, fs=None, protocol: str | None = None) -> None:
+        if fs is None:
+            import fsspec  # raises ImportError in this sandbox
+
+            fs = fsspec.filesystem(protocol or "file")
+        self.fs = fs
+
+    def put(self, key: str, text: str) -> str:
+        with self.fs.open(key, "wb") as f:
+            f.write(text.encode("utf-8"))
+        return key
+
+    def put_gzip(self, key: str, text: str) -> str:
+        with self.fs.open(key, "wb") as f:
+            f.write(_gzip.compress(text.encode("utf-8")))
+        return key
+
+    def read(self, key: str) -> str:
+        with self.fs.open(key, "rb") as f:
+            data = f.read()
+        if key.endswith(".gz"):
+            data = _gzip.decompress(data)
+        return data.decode("utf-8")
+
+    def exists(self, key: str) -> bool:
+        return bool(self.fs.exists(key))
+
+    def delete_prefix(self, key: str) -> bool:
+        if not self.fs.exists(key):
+            return False
+        self.fs.rm(key, recursive=True)
+        return True
+
+    def purge(
+        self, keys: list[str], batch: int = 1000,
+        on_batch: Callable[[int, int], None] | None = None,
+    ) -> int:
+        removed = 0
+        for i in range(0, len(keys), batch):
+            existing = [k for k in keys[i : i + batch] if self.fs.exists(k)]
+            if existing:
+                # one bulk call per batch — fsspec fans this out to the
+                # store's multi-delete where the backend supports it
+                self.fs.rm(existing)
+                removed += len(existing)
+            if on_batch is not None:
+                on_batch(i // batch, len(existing))
+        return removed
+
+    def list_prefix(self, prefix: str) -> list[str]:
+        if not self.fs.exists(prefix):
+            return []
+        return sorted(self.fs.ls(prefix, detail=False))
+
+    def latest_prefix(self, prefix: str) -> str | None:
+        children = [
+            p["name"] if isinstance(p, dict) else p
+            for p in self.fs.ls(prefix, detail=True)
+            if (p.get("type") == "directory" if isinstance(p, dict) else self.fs.isdir(p))
+        ]
+        return sorted(children)[-1] if children else None
+
+
 _REGISTRY: dict[str, Filesystem] = {"file": LocalFilesystem()}
 
 
