@@ -192,6 +192,120 @@ def global_shuffle(
     )
 
 
+def mixture_plan(
+    docs: DataFrame,
+    domain_col: str,
+    weights: Mapping[str, float],
+    token_budget: int,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-domain sampling-rate plan to hit a target token mixture.
+
+    The domain-reweighting step of training-data assembly: given target
+    mixture ``weights`` (domain → fraction of the token budget) and the
+    corpus's actual per-domain token counts, emit the keep-rate each
+    domain must be sampled at. Rates are integer parts-per-million so
+    the plan (and the sample that consumes it) is bit-identical across
+    engines — no float-boundary drift between Spark and the oracle.
+
+    Plan shape at 100 TB: one map-side-combined aggregate whose shuffle
+    carries |domains| rows (dozens), then arms-length integer
+    arithmetic. Domains absent from ``weights`` get rate 0 (excluded
+    from the mixture); a domain with fewer tokens than its target is
+    capped at rate 1e6 (take everything — the plan surfaces the
+    shortfall via target_tokens > n_tokens).
+    """
+    if weights:
+        wmap = F.create_map(
+            *[F.lit(x) for k, v in weights.items() for x in (k, float(v))]
+        )
+        weight = F.coalesce(wmap[F.col("domain")], F.lit(0.0))
+    else:  # empty mixture: every domain excluded (map() has VOID values)
+        weight = F.lit(0.0)
+    return (
+        docs.groupBy(F.col(domain_col).alias("domain"))
+        .agg(F.sum(F.size(tokens(F.col(text_col)))).cast("bigint").alias("n_tokens"))
+        .withColumn("weight", weight)
+        .withColumn(
+            "target_tokens",
+            F.floor(F.lit(int(token_budget)) * F.col("weight")).cast("bigint"),
+        )
+        .withColumn(
+            "rate_ppm",
+            F.least(
+                F.lit(1_000_000).cast("bigint"),
+                F.expr("(1000000 * target_tokens) div n_tokens"),
+            ),
+        )
+    )
+
+
+def mixture_sample(
+    docs: DataFrame,
+    plan: DataFrame,
+    domain_col: str,
+    id_col: str = "doc_id",
+    seed: str = "mix0",
+) -> DataFrame:
+    """Apply a :func:`mixture_plan`: deterministically keep each row
+    with its domain's rate — keep iff ``h60(seed|key) % 1e6 <
+    rate_ppm``. Pure function of (seed, key), so re-runs, engines, and
+    partitionings agree row-for-row; no RNG, no sampleBy (whose
+    Bernoulli draws are partitioning-dependent).
+
+    Plan shape: the plan frame is |domains| rows — broadcast — so the
+    sample is a narrow scan→join→filter with zero extra shuffles.
+    """
+    key = F.concat_ws("|", F.lit(seed), F.col(id_col).cast("string"))
+    return (
+        docs.join(F.broadcast(plan.select("domain", "rate_ppm")),
+                  docs[domain_col] == F.col("domain"))
+        .where(F.pmod(h60(key), F.lit(1_000_000)) < F.col("rate_ppm"))
+        .drop("domain", "rate_ppm")
+    )
+
+
+def domain_cap(
+    docs: DataFrame,
+    domain_col: str,
+    id_col: str,
+    cap: int,
+    quality_col: str | None = None,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Keep at most ``cap`` documents per domain, preferring quality —
+    the RefinedWeb/C4-style host-level cap that stops one domain from
+    dominating the corpus. Order inside a domain is total and
+    deterministic: ``quality_col`` DESC, then ``id_col`` ASC.
+
+    Plan shape at 100 TB — the naive single window per domain makes a
+    hot domain (one host with billions of pages) a one-task straggler.
+    Two-phase instead: phase 1 ranks within (domain, salt-of-id) — at
+    most ``n_salts`` × the straggler reduction, keeping ≤ cap rows per
+    salt — so phase 2's exact per-domain rank sees ≤ n_salts·cap rows
+    per domain regardless of input skew. The total order makes the
+    two-phase result provably identical to the single window.
+    """
+    from pyspark.sql.window import Window
+
+    order = (
+        [F.col(quality_col).desc()] if quality_col else []
+    ) + [F.col(id_col).asc()]
+    salted = Window.partitionBy(
+        domain_col, F.pmod(h60(F.col(id_col).cast("string")), F.lit(n_salts))
+    ).orderBy(*order)
+    pruned = (
+        docs.withColumn("__lrn", F.row_number().over(salted))
+        .where(F.col("__lrn") <= cap)
+        .drop("__lrn")
+    )
+    exact = Window.partitionBy(domain_col).orderBy(*order)
+    return (
+        pruned.withColumn("rank_in_domain", F.row_number().over(exact))
+        .where(F.col("rank_in_domain") <= cap)
+    )
+
+
 def boilerplate_stats(
     docs: DataFrame,
     text_col: str,

@@ -1420,6 +1420,58 @@ WHERE n_tokens >= 5 AND n_tokens <= 100000
   AND repetition_ratio <= 0.6
 """
 
+#: whitespace token count (functions.text.token_count twin)
+_WS_TOKENS = (
+    "CAST(CASE WHEN trim(lower(text)) = '' THEN 0 "
+    "ELSE len(string_split_regex(trim(lower(text)), '\\s+')) END AS BIGINT)"
+)
+
+#: the pinned language-mixture config (queries.MIXTURE_WEIGHTS twin);
+#: cast because DuckDB types bare decimal literals as DECIMAL, not DOUBLE
+_MIXTURE_CASE = (
+    "CAST(CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.2 WHEN 'fr' THEN 0.15 "
+    "WHEN 'es' THEN 0.1 WHEN 'zh' THEN 0.05 ELSE 0.0 END AS DOUBLE)"
+)
+
+_MIXTURE_PLAN_CTE = f"""
+WITH totals AS (
+    SELECT lang AS domain,
+           CAST(sum({_WS_TOKENS}) AS BIGINT) AS n_tokens,
+           {_MIXTURE_CASE} AS weight
+    FROM documents GROUP BY lang
+), plan AS (
+    SELECT domain, n_tokens, weight,
+           CAST(floor(10000 * weight) AS BIGINT) AS target_tokens,
+           least(CAST(1000000 AS BIGINT),
+                 (1000000 * CAST(floor(10000 * weight) AS BIGINT)) // n_tokens)
+               AS rate_ppm
+    FROM totals
+)
+"""
+
+ORACLE_MIXTURE_PLAN = f"""
+{_MIXTURE_PLAN_CTE}
+SELECT domain, n_tokens, weight, target_tokens, rate_ppm FROM plan
+"""
+
+ORACLE_MIXTURE_SAMPLE = f"""
+{_MIXTURE_PLAN_CTE}
+SELECT d.doc_id, d.lang, d.source
+FROM documents d JOIN plan p ON d.lang = p.domain
+WHERE {_h60("concat_ws('|', 'mix0', CAST(d.doc_id AS VARCHAR))")} % 1000000
+      < p.rate_ppm
+"""
+
+ORACLE_DOMAIN_CAP = """
+SELECT doc_id, lang, n_chars, rank_in_domain FROM (
+    SELECT doc_id, lang, n_chars,
+           CAST(row_number() OVER (PARTITION BY lang
+                                   ORDER BY n_chars DESC, doc_id)
+                AS INTEGER) AS rank_in_domain
+    FROM documents
+) WHERE rank_in_domain <= 25
+"""
+
 ORACLE_GLOBAL_SHUFFLE = f"""
 SELECT doc_id,
        {_h60("concat_ws('|', 'seed0', CAST(doc_id AS VARCHAR))")} AS shuffle_key,
@@ -1488,6 +1540,9 @@ ORACLES: dict[str, str] = {
     "bpe_token_counts": ORACLE_BPE_TOKEN_COUNTS,
     "user_cumsum": ORACLE_USER_CUMSUM,
     "user_zscore": ORACLE_USER_ZSCORE,
+    "mixture_plan": ORACLE_MIXTURE_PLAN,
+    "mixture_sample": ORACLE_MIXTURE_SAMPLE,
+    "domain_cap": ORACLE_DOMAIN_CAP,
     "ivf_topk": ORACLE_IVF_TOPK,
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
     "price_tiers": ORACLE_PRICE_TIERS,

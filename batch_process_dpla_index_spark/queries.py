@@ -1494,6 +1494,51 @@ def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: target language mixture for the registered mixture queries (the
+#: domain-reweighting weights a training run would pin in its config)
+MIXTURE_WEIGHTS = {"en": 0.5, "de": 0.2, "fr": 0.15, "es": 0.1, "zh": 0.05}
+MIXTURE_BUDGET = 10_000
+
+
+def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-reweighting plan: per-language token totals → integer
+    ppm keep-rates against the pinned target mixture. One
+    |domains|-row aggregate; every rate is integer arithmetic so the
+    plan is engine-exact."""
+    from batch_process_dpla_index_spark.operators.curation import mixture_plan
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixture_plan(docs, "lang", MIXTURE_WEIGHTS, MIXTURE_BUDGET)
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the mixture plan: deterministic h60-keyed per-domain
+    sampling (broadcast plan join + narrow filter — zero extra
+    shuffles beyond the plan's tiny aggregate)."""
+    from batch_process_dpla_index_spark.operators.curation import (
+        mixture_plan,
+        mixture_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = mixture_plan(docs, "lang", MIXTURE_WEIGHTS, MIXTURE_BUDGET)
+    return mixture_sample(docs, plan, "lang", "doc_id", seed="mix0").select(
+        "doc_id", "lang", "source"
+    )
+
+
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quality cap: at most 25 docs per language, best
+    n_chars first (deterministic doc_id tie-break). Two-phase salted
+    top-N so a hot domain never serializes one task."""
+    from batch_process_dpla_index_spark.operators.curation import domain_cap
+
+    docs = load_table(spark, sf_dir, "documents")
+    return domain_cap(docs, "lang", "doc_id", cap=25, quality_col="n_chars").select(
+        "doc_id", "lang", "n_chars", "rank_in_domain"
+    )
+
+
 # Registry order is part of the driver contract: the correctness gate
 # records exactly the FIRST 50 entries. Round-4 rotation: every query
 # never driver-verified in rounds 2-3 (the 50-entry window never
@@ -1536,12 +1581,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mq_provider_scores": q_mq_provider_scores,
     "mq_contributor_scores": q_mq_contributor_scores,
     "flatten_items": q_flatten_items,
-    "avro_flatten_items": q_avro_flatten_items,
-    "repair_flatten": q_repair_flatten,
-    "schema_align": q_schema_align,
     # -- multimodal + UDTF --
     "multimodal_meta": q_multimodal_meta,
     "udtf_sentences": q_udtf_sentences,
+    # -- round-4 curation additions (new code → driver-verified now) --
+    "mixture_plan": q_mixture_plan,
+    "mixture_sample": q_mixture_sample,
+    "domain_cap": q_domain_cap,
     # -- first-time driver verification (never in the r2/r3 windows) --
     "bm25_search": q_bm25_search,
     "incremental_dedup": q_incremental_dedup,
@@ -1563,6 +1609,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_token_counts": q_bpe_token_counts,
     # ---- driver-window boundary (entry 50 above this line) ----
     # -- tail: green in r2/r3, still oracle-verified via verify_local --
+    "avro_flatten_items": q_avro_flatten_items,
+    "repair_flatten": q_repair_flatten,
+    "schema_align": q_schema_align,
     "segment_with_f_orders": q_segment_with_f_orders,
     "customers_without_orders": q_customers_without_orders,
     "brand_revenue": q_brand_revenue,

@@ -223,3 +223,71 @@ def test_boilerplate_stats_semantics(spark):
     assert out[2].n_segments == 2 and out[2].n_boilerplate == 1
     assert out[3].n_boilerplate == 0
     assert abs(out[1].boilerplate_ratio - 0.5) < 1e-9
+
+
+def test_mixture_plan_rates(spark):
+    from batch_process_dpla_index_spark.operators.curation import mixture_plan
+
+    docs = spark.createDataFrame(
+        [(1, "a", "en"), (2, "b c d e", "en"), (3, "x y", "de"), (4, "z", "xx")],
+        "doc_id long, text string, lang string",
+    )
+    plan = {r.domain: r for r in mixture_plan(docs, "lang", {"en": 0.5, "de": 0.5}, 4).collect()}
+    # en: 5 tokens, target 2 -> 400000 ppm; de: 2 tokens, target 2 -> capped 1e6
+    assert plan["en"].n_tokens == 5 and plan["en"].rate_ppm == 400_000
+    assert plan["de"].rate_ppm == 1_000_000
+    # unweighted domain: rate 0 (excluded from the mixture)
+    assert plan["xx"].weight == 0.0 and plan["xx"].rate_ppm == 0
+
+
+def test_mixture_sample_deterministic_and_rate_faithful(spark, docs):
+    from batch_process_dpla_index_spark.operators.curation import (
+        mixture_plan,
+        mixture_sample,
+    )
+
+    weights = {"en": 0.5, "de": 0.2, "fr": 0.15, "es": 0.1, "zh": 0.05}
+    plan = mixture_plan(docs, "lang", weights, 10_000)
+    a = sorted(r.doc_id for r in mixture_sample(docs, plan, "lang").select("doc_id").collect())
+    b = sorted(
+        r.doc_id
+        for r in mixture_sample(docs.repartition(7), plan, "lang").select("doc_id").collect()
+    )
+    assert a == b and len(a) > 0  # partitioning-independent
+    # rate-0 domains contribute nothing
+    none_plan = mixture_plan(docs, "lang", {}, 10_000)
+    assert mixture_sample(docs, none_plan, "lang").count() == 0
+
+
+def test_domain_cap_equals_single_window(spark, docs):
+    """The salted two-phase top-N must be row-identical to the naive
+    single-window form (the total order makes the pre-prune lossless)."""
+    from pyspark.sql.window import Window
+
+    from batch_process_dpla_index_spark.operators.curation import domain_cap
+
+    got = domain_cap(docs, "lang", "doc_id", cap=7, quality_col="n_chars", n_salts=4).select(
+        "doc_id", "lang", "rank_in_domain"
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+    want = (
+        docs.withColumn("rank_in_domain", F.row_number().over(w))
+        .where(F.col("rank_in_domain") <= 7)
+        .select("doc_id", "lang", "rank_in_domain")
+    )
+    assert sorted(got.collect()) == sorted(want.collect())
+
+
+def test_mixture_sample_is_broadcast_narrow(spark, docs):
+    """The plan join must broadcast (|domains| rows) — no shuffle of
+    the corpus side beyond the plan's own tiny aggregate."""
+    from batch_process_dpla_index_spark.operators.curation import (
+        mixture_plan,
+        mixture_sample,
+    )
+
+    plan = mixture_plan(docs, "lang", {"en": 0.5}, 1000)
+    sampled = mixture_sample(docs, plan, "lang")
+    p = sampled._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
