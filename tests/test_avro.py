@@ -170,3 +170,63 @@ def test_overwrite_is_idempotent(spark, tmp_path):
     write_avro(spark.range(0, 100), path)
     write_avro(spark.range(0, 7), path)  # overwrite, not append
     assert read_avro(spark, path).count() == 7
+
+
+# ---- Python DataSource surface (format("avro_py")) ----
+
+
+def test_avro_datasource_roundtrip(spark, tmp_path):
+    """df.write.format('avro_py') → spark.read.format('avro_py') must
+    round-trip the nested model exactly, one container per task, with
+    the standard-API surface (no helper functions)."""
+    from batch_process_dpla_index_spark.io.avro_datasource import register
+
+    register(spark)
+    import datetime
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", [1, 2], {"k": 1.5}, (7, "x"), datetime.datetime(2024, 1, 2, 3, 4, 5)),
+            (2, None, [], {}, (8, None), None),
+        ],
+        "id long, s string, arr array<int>, m map<string,double>, "
+        "st struct<a:int,b:string>, ts timestamp",
+    )
+    out = str(tmp_path / "ds_avro")
+    df.repartition(3).write.format("avro_py").mode("overwrite").save(out)
+    import glob
+
+    parts = glob.glob(out + "/part-*.avro")
+    assert 1 <= len(parts) <= 3 and not glob.glob(out + "/*._tmp")
+    got = spark.read.format("avro_py").load(out)
+    assert got.schema.fieldNames() == df.schema.fieldNames()
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_avro_datasource_interops_with_codec_helpers(spark, tmp_path):
+    """Files written by the helper tier read back through the
+    datasource and vice versa — one wire format, two API surfaces."""
+    from batch_process_dpla_index_spark.io.avro_datasource import register
+    from batch_process_dpla_index_spark.io.avro_py import read_avro_py, write_avro_py
+
+    register(spark)
+    df = spark.range(100).withColumnRenamed("id", "n")
+    a = str(tmp_path / "helper_written")
+    write_avro_py(df, a)
+    via_ds = spark.read.format("avro_py").load(a)
+    assert sorted(r.n for r in via_ds.collect()) == list(range(100))
+
+    b = str(tmp_path / "ds_written")
+    df.write.format("avro_py").mode("overwrite").save(b)
+    via_helper = read_avro_py(spark, b)
+    assert sorted(r.n for r in via_helper.collect()) == list(range(100))
+
+
+def test_avro_datasource_overwrite_mode(spark, tmp_path):
+    from batch_process_dpla_index_spark.io.avro_datasource import register
+
+    register(spark)
+    out = str(tmp_path / "ow")
+    spark.range(10).write.format("avro_py").mode("append").save(out)
+    spark.range(5).write.format("avro_py").mode("overwrite").save(out)
+    assert spark.read.format("avro_py").load(out).count() == 5
