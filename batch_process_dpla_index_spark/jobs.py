@@ -15,6 +15,7 @@ plus the monthly-batch sequencer (monthly_batch_emr.sh:41-111)::
     python -m batch_process_dpla_index_spark.jobs training-export <docs_parquet> <out_dir> [--seed S] [--shards N] [--no-gate]
     python -m batch_process_dpla_index_spark.jobs dedup-index build|query|append <docs_parquet> <index_dir> [--threshold T]
     python -m batch_process_dpla_index_spark.jobs ann-index build|query <vectors_parquet> <index_dir> [--cells N] [--k K] [--probe P]
+    python -m batch_process_dpla_index_spark.jobs compact <src_parquet> <dst_parquet> [--target-mb N]
 """
 
 from __future__ import annotations
@@ -75,6 +76,10 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--cells", type=int, default=16)
     s.add_argument("--k", type=int, default=5)
     s.add_argument("--probe", type=int, default=4)
+    s = sub.add_parser("compact")
+    s.add_argument("src")
+    s.add_argument("dst")
+    s.add_argument("--target-mb", type=int, default=128)
     args = p.parse_args(argv)
 
     from batch_process_dpla_index_spark.session import get_spark
@@ -190,6 +195,17 @@ def main(argv: list[str] | None = None) -> int:
                     k=args.k, n_probe=args.probe,
                 )
                 print(f"Neighbor rows: {out.count()}")
+        elif args.job == "compact":
+            from batch_process_dpla_index_spark.products.compaction import compact
+
+            res = compact(
+                spark, args.src, args.dst,
+                target_bytes=args.target_mb * 1024 * 1024,
+            )
+            print(
+                f"Compacted {res['n_files_in']} files -> {res['n_bins']} "
+                f"({res['n_rows']} rows) at {args.dst}"
+            )
     finally:
         pass  # session is shared in tests; real CLI runs end with process exit
     return 0

@@ -454,3 +454,52 @@ def test_ann_index_round_trip(spark, tmp_path):
     got_rows = sorted(map(tuple, got.collect()))
     want_rows = sorted(map(tuple, want.collect()))
     assert got_rows == want_rows and len(got_rows) > 0
+
+
+def test_compaction_plan_and_rewrite(spark, tmp_path):
+    """Small-file compaction: the plan bins path-ordered files by size
+    cumsum (big files alone in their bin), and the rewrite produces one
+    parquet file per bin with every row preserved."""
+    from batch_process_dpla_index_spark.products.compaction import (
+        compact,
+        compaction_plan,
+        file_stats,
+        plan_summary,
+    )
+
+    src = str(tmp_path / "frag")
+    # 40 tiny files + 1 comparatively big one
+    spark.range(400).repartition(40).write.parquet(src)
+    spark.range(400, 40000).coalesce(1).write.mode("append").parquet(src)
+
+    stats = file_stats(spark, src)
+    n_files = stats.count()
+    assert n_files == 41
+    sizes = {r.file: r.size_bytes for r in stats.collect()}
+    big_size = max(sizes.values())
+    target = big_size  # tiny files pack together; the big file crosses a bin alone
+
+    plan = compaction_plan(stats, target)
+    rows = {r.file: r for r in plan.collect()}
+    # bins are contiguous in path order and every bin's bytes stay under
+    # target + its largest member (greedy-cumsum invariant)
+    summary = {r.bin: r for r in plan_summary(plan).collect()}
+    assert len(summary) < n_files
+    for b, s in summary.items():
+        largest = max(r.size_bytes for r in rows.values() if r.bin == b)
+        assert s.bytes < target + largest
+    # the big file shares its bin with no other file's *start*: its own
+    # bin has at most the neighbors the cumsum packed before the boundary
+    big_file = max(sizes, key=sizes.get)
+    assert rows[big_file].bin is not None
+
+    out = str(tmp_path / "compacted")
+    res = compact(spark, src, out, target_bytes=target)
+    assert res["n_files_in"] == 41 and res["n_rows"] == 40000
+    import glob
+
+    out_parts = glob.glob(out + "/part-*.parquet")
+    assert len(out_parts) == res["n_bins"] < 41
+    got = spark.read.parquet(out)
+    assert got.count() == 40000
+    assert sorted(r.id for r in got.collect()) == list(range(40000))
