@@ -94,6 +94,23 @@ def streaming_dedup(stream, id_cols: list[str], ts_col: str, watermark: str):
     return stream.withWatermark(ts_col, watermark).dropDuplicates(id_cols)
 
 
+def streaming_dedup_within_watermark(
+    stream, id_cols: list[str], ts_col: str, watermark: str
+):
+    """Bounded-state dedup for at-least-once sources whose RETRIES can
+    carry different event times (redelivery re-stamps ``ts``): plain
+    ``dropDuplicates`` only guarantees state eviction when the event
+    time is part of the key, but then re-stamped retries aren't
+    duplicates anymore. ``dropDuplicatesWithinWatermark`` (Spark 3.5+)
+    keys state on ``id_cols`` alone and evicts an entry once the
+    watermark passes its first-seen time — duplicates are dropped as
+    long as they arrive within the watermark delay of the original,
+    and state stays bounded by the horizon regardless."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        id_cols
+    )
+
+
 def interval_join(
     left: DataFrame,
     right: DataFrame,

@@ -298,3 +298,23 @@ def test_streaming_dedup_ingest(spark, tmp_path):
     )
     assert stats2 == {}
     assert spark.read.parquet(out).count() == kept
+
+
+def test_streaming_dedup_within_watermark_restamped_retries(spark, events_dir, tmp_path):
+    """Retries with RE-STAMPED event times (ts shifted a few minutes)
+    still dedup under dropDuplicatesWithinWatermark — the scenario
+    where keying state on (id, ts) would wrongly keep both copies."""
+    from batch_process_dpla_index_spark.streaming.windows import (
+        streaming_dedup_within_watermark,
+    )
+
+    ev = spark.read.parquet(events_dir)
+    retry = ev.withColumn("ts", F.col("ts") + F.expr("INTERVAL 5 MINUTES"))
+    dup_dir = str(tmp_path / "restamped")
+    ev.union(retry).repartition(3).write.parquet(dup_dir)
+    stream = spark.readStream.schema(ev.schema).parquet(dup_dir)
+    deduped = streaming_dedup_within_watermark(stream, ["event_id"], "ts", "1 hour")
+    name = f"dw_{uuid.uuid4().hex[:8]}"
+    got = run_stream_to_batch(deduped, name, output_mode="append")
+    assert got.count() == ev.count()
+    assert got.select("event_id").distinct().count() == ev.count()
