@@ -306,6 +306,64 @@ def domain_cap(
     )
 
 
+def unigram_lm_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    counts: DataFrame | None = None,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Perplexity-style quality scoring without a model: per-document
+    mean log2 probability under an add-``alpha``-smoothed unigram LM —
+    the CCNet/Gopher quality signal class (documents whose token
+    distribution diverges from the corpus score low: gibberish,
+    boilerplate floods, wrong-language text).
+
+    ``counts`` lets a REFERENCE corpus define the model (score web
+    text under a Wikipedia-fit LM, CCNet's actual setup): a
+    (term, c) frequency frame from a previous run; by default the
+    model is fit on ``docs`` itself. OOV terms under a reference model
+    get the smoothing mass (c=0).
+
+    Returns (id, n_terms, lm_score); lower = more surprising.
+
+    Plan shape at 100 TB: one narrow term explode; term frequencies
+    are a vocab-sized aggregate (map-side combined); (N, V) ride a
+    broadcast 1-row crossJoin (the bm25 corpus-stats pattern,
+    ranking.py:70); the term→prob join is left to AQE (vocabularies
+    usually broadcast; a huge one degrades to a shuffle join, not a
+    failure); per-doc rollup is one aggregate. No Python anywhere.
+    """
+    terms = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__term")
+    )
+    if counts is None:
+        counts = terms.groupBy(F.col("__term").alias("term")).agg(
+            F.count("*").cast("bigint").alias("c")
+        )
+    stats = counts.agg(
+        F.sum("c").cast("bigint").alias("__n"),
+        F.count("*").cast("bigint").alias("__v"),
+    )
+    # log2 p = log2(c + alpha) - log2(N + alpha*V); the subtraction form
+    # keeps both engines' float paths identical (no division ordering).
+    scored = (
+        terms.join(counts, terms["__term"] == counts["term"], "left")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            id_col,
+            (
+                F.log2(F.coalesce(F.col("c"), F.lit(0)) + F.lit(float(alpha)))
+                - F.log2(F.col("__n") + F.lit(float(alpha)) * F.col("__v"))
+            ).alias("__lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_terms"),
+        F.round(F.avg("__lp"), 6).alias("lm_score"),
+    )
+
+
 def boilerplate_stats(
     docs: DataFrame,
     text_col: str,

@@ -1462,6 +1462,25 @@ WHERE {_h60("concat_ws('|', 'mix0', CAST(d.doc_id AS VARCHAR))")} % 1000000
       < p.rate_ppm
 """
 
+# Self-fit smoothed unigram LM; log2(c+1) - log2(N+V) mirrors the
+# Spark subtraction form exactly (no division-order float drift).
+ORACLE_LM_SCORES = """
+WITH terms AS (
+    SELECT doc_id,
+           unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+    FROM documents WHERE trim(lower(text)) <> ''
+), counts AS (
+    SELECT term, CAST(count(*) AS BIGINT) AS c FROM terms GROUP BY term
+), stats AS (
+    SELECT CAST(sum(c) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS v
+    FROM counts
+)
+SELECT t.doc_id, count(*) AS n_terms,
+       round(avg(log2(c + 1.0) - log2(n + 1.0 * v)), 6) AS lm_score
+FROM terms t JOIN counts USING (term) CROSS JOIN stats
+GROUP BY t.doc_id
+"""
+
 ORACLE_DOMAIN_CAP = """
 SELECT doc_id, lang, n_chars, rank_in_domain FROM (
     SELECT doc_id, lang, n_chars,
@@ -1543,6 +1562,7 @@ ORACLES: dict[str, str] = {
     "mixture_plan": ORACLE_MIXTURE_PLAN,
     "mixture_sample": ORACLE_MIXTURE_SAMPLE,
     "domain_cap": ORACLE_DOMAIN_CAP,
+    "lm_scores": ORACLE_LM_SCORES,
     "ivf_topk": ORACLE_IVF_TOPK,
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
     "price_tiers": ORACLE_PRICE_TIERS,

@@ -1527,6 +1527,16 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality scoring (perplexity-proxy, self-fit model):
+    term explode → vocab-sized count agg → broadcast-stats join →
+    per-doc mean log2 prob. Pure JVM expressions."""
+    from batch_process_dpla_index_spark.operators.curation import unigram_lm_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_lm_scores(docs).select("doc_id", "n_terms", "lm_score")
+
+
 def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain quality cap: at most 25 docs per language, best
     n_chars first (deterministic doc_id tie-break). Two-phase salted
@@ -1568,7 +1578,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jaccard_pairs": q_jaccard_pairs,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "dedup_clusters": q_dedup_clusters,
-    "training_prep": q_training_prep,
     # -- text analysis --
     "text_stats": q_text_stats,
     "doc_presence_scores": q_doc_presence_scores,
@@ -1588,6 +1597,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mixture_plan": q_mixture_plan,
     "mixture_sample": q_mixture_sample,
     "domain_cap": q_domain_cap,
+    "lm_scores": q_lm_scores,
     # -- first-time driver verification (never in the r2/r3 windows) --
     "bm25_search": q_bm25_search,
     "incremental_dedup": q_incremental_dedup,
@@ -1612,6 +1622,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "avro_flatten_items": q_avro_flatten_items,
     "repair_flatten": q_repair_flatten,
     "schema_align": q_schema_align,
+    "training_prep": q_training_prep,
     "segment_with_f_orders": q_segment_with_f_orders,
     "customers_without_orders": q_customers_without_orders,
     "brand_revenue": q_brand_revenue,

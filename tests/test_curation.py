@@ -291,3 +291,33 @@ def test_mixture_sample_is_broadcast_narrow(spark, docs):
     p = sampled._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in p, p
     assert "SortMergeJoin" not in p, p
+
+
+def test_unigram_lm_reference_model_and_oov(spark):
+    """Scoring under a REFERENCE corpus model: OOV terms get the
+    smoothing mass (c=0), and a distribution-matching doc outscores a
+    gibberish one."""
+    import math
+
+    from batch_process_dpla_index_spark.operators.curation import unigram_lm_scores
+
+    ref = spark.createDataFrame(
+        [(i, "the cat sat on the mat") for i in range(50)],
+        "doc_id long, text string",
+    )
+    ref_counts = (
+        ref.select(F.explode(F.split(F.lower("text"), " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    docs = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "zyx qwv jkl")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in unigram_lm_scores(docs, counts=ref_counts).collect()}
+    assert out[1].n_terms == 3 and out[2].n_terms == 3
+    assert out[1].lm_score > out[2].lm_score  # in-distribution wins
+    # OOV exact value: every term unseen -> log2(alpha) - log2(N + alpha*V)
+    n, v = 50 * 6, 5  # 300 tokens, vocab {the,cat,sat,on,mat}
+    want = math.log2(1.0) - math.log2(n + v)
+    assert abs(out[2].lm_score - round(want, 6)) < 1e-9
