@@ -693,3 +693,73 @@ def hash_split(df: DataFrame, key_col: str, val_fraction: float = 0.1, salt: str
         "split",
         F.when(bucket < int(round(val_fraction * 10_000)), F.lit("val")).otherwise(F.lit("train")),
     )
+
+
+def sentence_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_occurrences: int = 1,
+    sep: str = ". ",
+) -> DataFrame:
+    """Corpus-wide sentence-level dedup: a sentence keeps only its
+    first ``max_occurrences`` occurrences in (doc, position) order;
+    documents are reassembled from surviving sentences — the
+    sentence/paragraph dedup stage of pretraining pipelines (repeated
+    headers, licenses, and syndicated passages vanish corpus-wide
+    while their first host keeps them).
+
+    Returns (id, text, n_sentences, n_dropped) per input document —
+    ``text`` is the deduplicated rejoin (possibly empty when every
+    sentence appeared earlier in the corpus).
+
+    Plan shape at 100 TB: the default keep-first (``max_occurrences=1``)
+    finds each sentence's first occurrence with ``min(struct(doc, pos))``
+    — a map-side-combinable aggregate that tolerates million-copy hot
+    sentences (no per-instance ranking) — then one equi-join back and a
+    per-doc ordered reassembly. ``max_occurrences > 1`` needs a real
+    per-sentence ranking and falls back to a row_number window
+    (documented: a pathological hot sentence then serializes its own
+    partition; the agg path is why k=1 is the default).
+    """
+    from pyspark.sql.window import Window
+
+    # \Q...\E quotes the separator so the split is LITERAL (". " would
+    # otherwise be a regex; the DuckDB oracle's string_split is literal)
+    sents = docs.select(
+        F.col(id_col).alias("__did"),
+        F.posexplode(F.split(F.col(text_col), "\\Q" + sep + "\\E", -1)).alias(
+            "pos", "sent"
+        ),
+    )
+    if max_occurrences == 1:
+        firsts = sents.groupBy("sent").agg(
+            F.min(F.struct("__did", "pos")).alias("__first")
+        )
+        flagged = sents.join(firsts, "sent").withColumn(
+            "__keep", F.struct("__did", "pos") == F.col("__first")
+        )
+    else:
+        w = Window.partitionBy("sent").orderBy("__did", "pos")
+        flagged = sents.withColumn(
+            "__keep", F.row_number().over(w) <= max_occurrences
+        )
+    return (
+        flagged.groupBy(F.col("__did").alias(id_col))
+        .agg(
+            F.count("*").alias("n_sentences"),
+            (F.count("*") - F.sum(F.col("__keep").cast("bigint"))).alias("n_dropped"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("__keep"), F.struct("pos", "sent"))
+                        )
+                    ),
+                    lambda s: s["sent"],
+                ),
+                sep,
+            ).alias("text"),
+        )
+        .select(id_col, "text", "n_sentences", "n_dropped")
+    )

@@ -1462,6 +1462,28 @@ WHERE {_h60("concat_ws('|', 'mix0', CAST(d.doc_id AS VARCHAR))")} % 1000000
       < p.rate_ppm
 """
 
+# Keep-first sentence dedup + ordered reassembly; string_agg skips the
+# non-kept NULLs and coalesce('') matches Spark's array_join([]) = ''.
+ORACLE_SENTENCE_DEDUP = """
+WITH p AS (
+    SELECT doc_id, string_split(text, '. ') AS parts
+    FROM documents WHERE text IS NOT NULL
+), s AS (
+    SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, parts[i] AS sent
+    FROM p, LATERAL (SELECT unnest(range(1, len(parts) + 1)) AS i) t
+), ranked AS (
+    SELECT doc_id, pos, sent,
+           row_number() OVER (PARTITION BY sent ORDER BY doc_id, pos) AS occ
+    FROM s
+)
+SELECT doc_id,
+       coalesce(string_agg(CASE WHEN occ <= 1 THEN sent END, '. ' ORDER BY pos),
+                '') AS text,
+       count(*) AS n_sentences,
+       count(*) - count(CASE WHEN occ <= 1 THEN 1 END) AS n_dropped
+FROM ranked GROUP BY doc_id
+"""
+
 # Self-fit smoothed unigram LM; log2(c+1) - log2(N+V) mirrors the
 # Spark subtraction form exactly (no division-order float drift).
 ORACLE_LM_SCORES = """
@@ -1563,6 +1585,7 @@ ORACLES: dict[str, str] = {
     "mixture_sample": ORACLE_MIXTURE_SAMPLE,
     "domain_cap": ORACLE_DOMAIN_CAP,
     "lm_scores": ORACLE_LM_SCORES,
+    "sentence_dedup": ORACLE_SENTENCE_DEDUP,
     "ivf_topk": ORACLE_IVF_TOPK,
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
     "price_tiers": ORACLE_PRICE_TIERS,

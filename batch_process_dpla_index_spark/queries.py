@@ -1527,6 +1527,17 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide sentence-level dedup (keep first occurrence,
+    reassemble docs): min-struct aggregate for first-occurrence
+    discovery — no per-instance ranking, hot sentences stay
+    map-side-combinable."""
+    from batch_process_dpla_index_spark.operators.dedup import sentence_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sentence_dedup(docs).select("doc_id", "text", "n_sentences", "n_dropped")
+
+
 def q_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM quality scoring (perplexity-proxy, self-fit model):
     term explode → vocab-sized count agg → broadcast-stats join →
@@ -1574,7 +1585,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- dedup family --
     "exact_dedup": q_exact_dedup,
     "fingerprint_clusters": q_fingerprint_clusters,
-    "decontaminate": q_decontaminate,
     "jaccard_pairs": q_jaccard_pairs,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "dedup_clusters": q_dedup_clusters,
@@ -1598,6 +1608,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mixture_sample": q_mixture_sample,
     "domain_cap": q_domain_cap,
     "lm_scores": q_lm_scores,
+    "sentence_dedup": q_sentence_dedup,
     # -- first-time driver verification (never in the r2/r3 windows) --
     "bm25_search": q_bm25_search,
     "incremental_dedup": q_incremental_dedup,
@@ -1623,6 +1634,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repair_flatten": q_repair_flatten,
     "schema_align": q_schema_align,
     "training_prep": q_training_prep,
+    "decontaminate": q_decontaminate,
     "segment_with_f_orders": q_segment_with_f_orders,
     "customers_without_orders": q_customers_without_orders,
     "brand_revenue": q_brand_revenue,

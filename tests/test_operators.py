@@ -390,3 +390,52 @@ def test_bm25_plan_broadcasts_term_filter(docs):
     assert "BroadcastHashJoin" in plan
     # Top-k must be a TakeOrdered merge, not a global Sort+Exchange.
     assert "TakeOrderedAndProject" in plan
+
+
+def test_sentence_dedup_keep_first_and_reassembly(spark):
+    from batch_process_dpla_index_spark.operators.dedup import sentence_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta. common footer. unique one"),
+            (2, "common footer. second body"),
+            (3, "common footer"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in sentence_dedup(docs).collect()}
+    # doc 1 hosts the footer's first occurrence and keeps everything
+    assert out[1].text == "alpha beta. common footer. unique one"
+    assert out[1].n_dropped == 0 and out[1].n_sentences == 3
+    # later hosts lose it but keep their own content, order preserved
+    assert out[2].text == "second body" and out[2].n_dropped == 1
+    # a doc that was ALL duplicates reassembles to empty, not NULL
+    assert out[3].text == "" and out[3].n_dropped == 1
+
+
+def test_sentence_dedup_window_path_matches_agg_path(spark, docs_small):
+    """max_occurrences=1 via the min-struct aggregate must equal the
+    row_number-window formulation (the k>1 fallback) on real text."""
+    from batch_process_dpla_index_spark.operators.dedup import sentence_dedup
+
+    d = docs_small.select("doc_id", "text")
+    agg_path = sentence_dedup(d, max_occurrences=1)
+    # force the window path with k=1 semantics by monkey-free means:
+    # k=2 on a corpus whose sentences never repeat within a doc reduces
+    # to k=1 only for cross-doc dups — so compare k=1 against an
+    # explicit window-side recomputation instead
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    sents = d.select(
+        F.col("doc_id").alias("__did"),
+        F.posexplode(F.split("text", "\\Q. \\E", -1)).alias("pos", "sent"),
+    )
+    w = Window.partitionBy("sent").orderBy("__did", "pos")
+    want_kept = sents.withColumn("occ", F.row_number().over(w)).where(
+        F.col("occ") <= 1
+    )
+    got_total = agg_path.agg(
+        F.sum("n_sentences").alias("s"), F.sum("n_dropped").alias("d")
+    ).first()
+    assert got_total.s - got_total.d == want_kept.count()
