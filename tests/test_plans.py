@@ -191,3 +191,22 @@ def test_user_zscore_is_grouped_arrow(spark):
     (FlatMapGroupsInPandas) — the registered demo of that path."""
     plan = _plan(spark, "user_zscore")
     assert "FlatMapGroupsInPandas" in plan, plan
+
+
+def test_sentence_dedup_keep_first_avoids_window(spark):
+    """The registered sentence_dedup (max_occurrences=1) must use the
+    min-struct aggregate, NOT a per-sentence ranking window — a hot
+    sentence would serialize a window partition at scale."""
+    plan = _plan(spark, "sentence_dedup")
+    assert "Window" not in plan, plan
+    for marker in ("MapInPandas", "FlatMapGroupsInPandas", "BatchEvalPython"):
+        assert marker not in plan, plan
+
+
+def test_lm_scores_is_jvm_only_with_broadcast_stats(spark):
+    """LM scoring stays whole-JVM: no Python nodes; the (N, V) corpus
+    stats ride a broadcast join, never a shuffled one."""
+    plan = _plan(spark, "lm_scores")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    for marker in ("MapInPandas", "FlatMapGroupsInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert marker not in plan, plan
