@@ -115,8 +115,16 @@ class AvroPyWriter(DataSourceWriter):
 
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else 0
+        # The attempt number is part of BOTH names: two attempts of the
+        # same partition (speculation, zombie tasks) write disjoint tmp
+        # files, and only the attempt whose commit message the driver
+        # received gets renamed — a zombie surviving past commit keeps
+        # writing to its own tmp, never into a committed container.
+        attempt = ctx.attemptNumber() if ctx is not None else 0
         os.makedirs(self.path, exist_ok=True)
-        final = os.path.join(self.path, f"part-{pid:05d}-{self.job_tag}.avro")
+        final = os.path.join(
+            self.path, f"part-{pid:05d}-{self.job_tag}-a{attempt}.avro"
+        )
         tmp = final + "._tmp"
         avro_schema = spark_to_avro_schema(self.schema)
         rows = (r.asDict(recursive=True) for r in iterator)
@@ -165,8 +173,23 @@ class AvroPyDataSource(DataSource):
         files = _expand(self._path())
         if not files:
             raise FileNotFoundError(f"no .avro containers at {self._path()}")
-        with open(files[0], "rb") as fh:
-            avro_schema, _ = read_container(fh.read())
+        # Header-only read: the OCF metadata map (magic + schema JSON +
+        # codec + sync) lives in the first bytes — never pull a multi-GB
+        # container into driver memory for schema inference. 1 MiB covers
+        # any sane schema; double on the rare truncated-parse until the
+        # header fits.
+        size = os.path.getsize(files[0])
+        prefix = 1 << 20
+        while True:
+            with open(files[0], "rb") as fh:
+                head = fh.read(min(prefix, size))
+            try:
+                avro_schema, _ = read_container(head)
+                break
+            except Exception:
+                if prefix >= size:
+                    raise
+                prefix *= 8
         spark_schema = avro_to_spark_schema(avro_schema)
         if not isinstance(spark_schema, T.StructType):
             raise ValueError("top-level Avro schema must be a record")

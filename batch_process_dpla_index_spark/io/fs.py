@@ -282,6 +282,8 @@ class FsspecFilesystem:
         return sorted(self.fs.ls(prefix, detail=False))
 
     def latest_prefix(self, prefix: str) -> str | None:
+        if not self.fs.exists(prefix):  # first run: no snapshot yet → None,
+            return None  # matching the Local/Memory carriers (no FileNotFoundError)
         children = [
             p["name"] if isinstance(p, dict) else p
             for p in self.fs.ls(prefix, detail=True)

@@ -222,21 +222,34 @@ def mixture_plan(
         weight = F.coalesce(wmap[F.col("domain")], F.lit(0.0))
     else:  # empty mixture: every domain excluded (map() has VOID values)
         weight = F.lit(0.0)
+    # Rate in DOUBLE, not integer div: `(1000000 * target) div n` overflows
+    # int64 once target exceeds ~9.2e12 tokens (exactly the 100T-token
+    # regime), and under ANSI mode (Spark 4 default) a zero-token domain
+    # turns the div into a DIVIDE_BY_ZERO crash. The double form is
+    # IEEE-deterministic and identical in the DuckDB oracle; zero-/NULL-
+    # token domains get rate 0 explicitly (nothing to sample).
+    rate = F.when(
+        F.col("n_tokens") > 0,
+        F.least(
+            F.lit(1_000_000).cast("bigint"),
+            F.floor(
+                F.col("target_tokens") * F.lit(1_000_000.0) / F.col("n_tokens")
+            ).cast("bigint"),
+        ),
+    ).otherwise(F.lit(0).cast("bigint"))
     return (
         docs.groupBy(F.col(domain_col).alias("domain"))
-        .agg(F.sum(F.size(tokens(F.col(text_col)))).cast("bigint").alias("n_tokens"))
+        .agg(
+            F.coalesce(
+                F.sum(F.size(tokens(F.col(text_col)))).cast("bigint"), F.lit(0)
+            ).alias("n_tokens")
+        )
         .withColumn("weight", weight)
         .withColumn(
             "target_tokens",
             F.floor(F.lit(int(token_budget)) * F.col("weight")).cast("bigint"),
         )
-        .withColumn(
-            "rate_ppm",
-            F.least(
-                F.lit(1_000_000).cast("bigint"),
-                F.expr("(1000000 * target_tokens) div n_tokens"),
-            ),
-        )
+        .withColumn("rate_ppm", rate)
     )
 
 
@@ -257,11 +270,18 @@ def mixture_sample(
     sample is a narrow scan→join→filter with zero extra shuffles.
     """
     key = F.concat_ws("|", F.lit(seed), F.col(id_col).cast("string"))
+    # plan columns are aliased to reserved names so a docs column called
+    # "domain"/"rate_ppm" neither collides in the join nor gets dropped
+    side = F.broadcast(
+        plan.select(
+            F.col("domain").alias("__mix_domain"),
+            F.col("rate_ppm").alias("__mix_rate"),
+        )
+    )
     return (
-        docs.join(F.broadcast(plan.select("domain", "rate_ppm")),
-                  docs[domain_col] == F.col("domain"))
-        .where(F.pmod(h60(key), F.lit(1_000_000)) < F.col("rate_ppm"))
-        .drop("domain", "rate_ppm")
+        docs.join(side, docs[domain_col] == F.col("__mix_domain"))
+        .where(F.pmod(h60(key), F.lit(1_000_000)) < F.col("__mix_rate"))
+        .drop("__mix_domain", "__mix_rate")
     )
 
 

@@ -725,12 +725,15 @@ def sentence_dedup(
     from pyspark.sql.window import Window
 
     # \Q...\E quotes the separator so the split is LITERAL (". " would
-    # otherwise be a regex; the DuckDB oracle's string_split is literal)
+    # otherwise be a regex; the DuckDB oracle's string_split is literal).
+    # NULL text coalesces to '' so the document still comes back (as one
+    # empty "sentence" subject to dedup like any other) instead of
+    # silently vanishing from the per-document output.
     sents = docs.select(
         F.col(id_col).alias("__did"),
-        F.posexplode(F.split(F.col(text_col), "\\Q" + sep + "\\E", -1)).alias(
-            "pos", "sent"
-        ),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\\Q" + sep + "\\E", -1)
+        ).alias("pos", "sent"),
     )
     if max_occurrences == 1:
         firsts = sents.groupBy("sent").agg(

@@ -1442,9 +1442,11 @@ WITH totals AS (
 ), plan AS (
     SELECT domain, n_tokens, weight,
            CAST(floor(10000 * weight) AS BIGINT) AS target_tokens,
-           least(CAST(1000000 AS BIGINT),
-                 (1000000 * CAST(floor(10000 * weight) AS BIGINT)) // n_tokens)
-               AS rate_ppm
+           CASE WHEN n_tokens > 0 THEN
+               least(CAST(1000000 AS BIGINT),
+                     CAST(floor(CAST(floor(10000 * weight) AS BIGINT)
+                                * 1000000.0 / n_tokens) AS BIGINT))
+           ELSE CAST(0 AS BIGINT) END AS rate_ppm
     FROM totals
 )
 """
@@ -1466,8 +1468,8 @@ WHERE {_h60("concat_ws('|', 'mix0', CAST(d.doc_id AS VARCHAR))")} % 1000000
 # non-kept NULLs and coalesce('') matches Spark's array_join([]) = ''.
 ORACLE_SENTENCE_DEDUP = """
 WITH p AS (
-    SELECT doc_id, string_split(text, '. ') AS parts
-    FROM documents WHERE text IS NOT NULL
+    SELECT doc_id, string_split(coalesce(text, ''), '. ') AS parts
+    FROM documents
 ), s AS (
     SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, parts[i] AS sent
     FROM p, LATERAL (SELECT unnest(range(1, len(parts) + 1)) AS i) t

@@ -90,26 +90,37 @@ def compact(
     """Rewrite ``src`` into ``dst`` with one output file per planned
     bin. Returns {"n_files_in", "n_bins", "n_rows"}.
 
-    Plan shape: stats + plan are |files|-sized; the data pass is one
-    scan joined (broadcast — the plan frame is tiny) to its bin
-    assignment, then ``repartitionByRange`` on bin: exactly one
-    shuffle of the data, collision-free bin→task mapping."""
+    Plan shape: stats + plan are |files|-sized and CACHED (one
+    `_metadata` listing job feeds every driver-side count); the data
+    pass is one scan joined (broadcast — the plan frame is tiny) to
+    its bin assignment, then ``repartitionByRange`` on bin: exactly
+    one shuffle of the data. Range boundaries come from a reservoir
+    sample, so two adjacent bins can in rare skewed samples share a
+    task (one ~2× file, never lost rows) — the returned ``n_bins`` is
+    the PLANNED count; callers needing the exact file count list the
+    output."""
     stats = file_stats(spark, src)
-    plan = compaction_plan(stats, target_bytes).select("file", "bin")
-    n_files = plan.count()
-    n_bins = plan.select("bin").distinct().count()
+    plan = compaction_plan(stats, target_bytes).cache()
+    try:
+        n_files = plan.count()  # materializes the cache
+        n_bins = plan.select("bin").distinct().count()
+        n_rows = plan.agg(F.sum("n_rows")).first()[0] or 0
 
-    data = spark.read.parquet(src).withColumn(
-        "__file", F.col("_metadata.file_path")
-    )
-    binned = data.join(
-        F.broadcast(plan.withColumnRenamed("file", "__file")), "__file"
-    ).drop("__file")
-    (
-        binned.repartitionByRange(max(n_bins, 1), "bin")
-        .drop("bin")
-        .write.mode("overwrite")
-        .parquet(dst)
-    )
-    n_rows = spark.read.parquet(dst).count()
-    return {"n_files_in": n_files, "n_bins": n_bins, "n_rows": n_rows}
+        data = spark.read.parquet(src).withColumn(
+            "__file", F.col("_metadata.file_path")
+        )
+        binned = data.join(
+            F.broadcast(
+                plan.select(F.col("file").alias("__file"), "bin")
+            ),
+            "__file",
+        ).drop("__file")
+        (
+            binned.repartitionByRange(max(n_bins, 1), "bin")
+            .drop("bin")
+            .write.mode("overwrite")
+            .parquet(dst)
+        )
+    finally:
+        plan.unpersist()
+    return {"n_files_in": n_files, "n_bins": n_bins, "n_rows": int(n_rows)}

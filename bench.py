@@ -52,9 +52,14 @@ def main():
         "unit": "sec",
         "queries": times,
         "sf": float(sf),
+        # `value` sums only the SUCCEEDING queries — consumers must
+        # check `complete`/`errors` before reading it as a speedup
+        # (a newly-crashing query would otherwise look like a win).
+        "complete": not errors,
     }
     if errors:
         out["errors"] = errors
+        out["n_errors"] = len(errors)
     print(json.dumps(out))
 
 

@@ -321,3 +321,52 @@ def test_unigram_lm_reference_model_and_oov(spark):
     n, v = 50 * 6, 5  # 300 tokens, vocab {the,cat,sat,on,mat}
     want = math.log2(1.0) - math.log2(n + v)
     assert abs(out[2].lm_score - round(want, 6)) < 1e-9
+
+
+def test_mixture_plan_zero_and_null_token_domains(spark):
+    """ANSI-mode regression: a domain whose docs are all empty or NULL
+    text must plan rate 0 (not DIVIDE_BY_ZERO, not keep-everything)."""
+    from batch_process_dpla_index_spark.operators.curation import (
+        mixture_plan,
+        mixture_sample,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hello world", "en"), (2, "", "junk"), (3, None, "nulls")],
+        "doc_id long, text string, lang string",
+    )
+    plan = {r.domain: r for r in mixture_plan(docs, "lang", {"en": 1.0, "junk": 1.0, "nulls": 1.0}, 4).collect()}
+    assert plan["junk"].n_tokens == 0 and plan["junk"].rate_ppm == 0
+    assert plan["nulls"].n_tokens == 0 and plan["nulls"].rate_ppm == 0
+    assert plan["en"].rate_ppm == 1_000_000
+    kept = mixture_sample(docs, mixture_plan(docs, "lang", {"en": 1.0, "junk": 1.0, "nulls": 1.0}, 4), "lang")
+    assert {r.doc_id for r in kept.collect()} == {1}
+
+
+def test_mixture_plan_huge_budget_no_overflow(spark):
+    """rate arithmetic must survive 100T-token budgets (the old
+    integer form overflowed int64 at target_tokens > ~9.2e12)."""
+    from batch_process_dpla_index_spark.operators.curation import mixture_plan
+
+    docs = spark.createDataFrame(
+        [(1, "a b c", "en")], "doc_id long, text string, lang string"
+    )
+    plan = mixture_plan(docs, "lang", {"en": 0.5}, 20_000_000_000_000).collect()[0]
+    assert plan.target_tokens == 10_000_000_000_000
+    assert plan.rate_ppm == 1_000_000  # capped: corpus far smaller than target
+
+
+def test_mixture_sample_tolerates_reserved_column_names(spark):
+    """docs columns named domain/rate_ppm must survive the plan join."""
+    from batch_process_dpla_index_spark.operators.curation import (
+        mixture_plan,
+        mixture_sample,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "x y z", "en", "keepme", 7)],
+        "doc_id long, text string, lang string, domain string, rate_ppm int",
+    )
+    plan = mixture_plan(docs.select("doc_id", "text", "lang"), "lang", {"en": 1.0}, 100)
+    out = mixture_sample(docs, plan, "lang").collect()
+    assert len(out) == 1 and out[0].domain == "keepme" and out[0].rate_ppm == 7

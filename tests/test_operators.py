@@ -439,3 +439,14 @@ def test_sentence_dedup_window_path_matches_agg_path(spark, docs_small):
         F.sum("n_sentences").alias("s"), F.sum("n_dropped").alias("d")
     ).first()
     assert got_total.s - got_total.d == want_kept.count()
+
+
+def test_sentence_dedup_null_text_still_returned(spark):
+    from batch_process_dpla_index_spark.operators.dedup import sentence_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "real content"), (2, None)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in sentence_dedup(docs).collect()}
+    assert set(out) == {1, 2}  # NULL-text doc does NOT vanish
+    assert out[2].n_sentences == 1  # one empty "sentence"

