@@ -12,7 +12,7 @@ plus the monthly-batch sequencer (monthly_batch_emr.sh:41-111)::
     python -m batch_process_dpla_index_spark.jobs schema-repair <in_path> <out_path>
     python -m batch_process_dpla_index_spark.jobs schema-test <in_root> <out_dir>
     python -m batch_process_dpla_index_spark.jobs monthly-batch <in_root> <out_root> [url_prefix]
-    python -m batch_process_dpla_index_spark.jobs training-export <docs_parquet> <out_dir> [--seed S] [--shards N] [--no-gate]
+    python -m batch_process_dpla_index_spark.jobs training-export <docs_parquet> <out_dir> [--seed S] [--shards N] [--no-gate] [--sentence-dedup] [--mixture lang:en=0.5,de=0.5:10000]
     python -m batch_process_dpla_index_spark.jobs dedup-index build|query|append <docs_parquet> <index_dir> [--threshold T]
     python -m batch_process_dpla_index_spark.jobs ann-index build|query <vectors_parquet> <index_dir> [--cells N] [--k K] [--probe P]
     python -m batch_process_dpla_index_spark.jobs compact <src_parquet> <dst_parquet> [--target-mb N]
@@ -58,6 +58,12 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--seed", default="seed0")
     s.add_argument("--shards", type=int, default=8)
     s.add_argument("--no-gate", action="store_true")
+    s.add_argument("--sentence-dedup", action="store_true")
+    s.add_argument(
+        "--mixture",
+        default=None,
+        help="domain_col:d1=w1,d2=w2:token_budget (e.g. lang:en=0.5,de=0.5:10000)",
+    )
     s = sub.add_parser("dedup-index")
     s.add_argument("action", choices=["build", "query", "append"])
     s.add_argument("docs_parquet")
@@ -146,6 +152,14 @@ def main(argv: list[str] | None = None) -> int:
                 export_training_shards,
             )
 
+            mixture = None
+            if args.mixture:
+                dcol, wspec, budget = args.mixture.split(":")
+                weights = {
+                    k: float(v)
+                    for k, v in (kv.split("=") for kv in wspec.split(","))
+                }
+                mixture = (dcol, weights, int(budget))
             opts = export_training_shards(
                 spark,
                 spark.read.parquet(args.docs_parquet),
@@ -153,6 +167,8 @@ def main(argv: list[str] | None = None) -> int:
                 seed=args.seed,
                 n_shards=args.shards,
                 gate=not args.no_gate,
+                sentence_dedup_first=args.sentence_dedup,
+                mixture=mixture,
             )
             print(f"Training shards: {opts}")
         elif args.job == "dedup-index":

@@ -40,12 +40,39 @@ def export_training_shards(
     seed: str = "seed0",
     n_shards: int = 8,
     gate: bool = True,
+    sentence_dedup_first: bool = False,
+    mixture: tuple[str, dict[str, float], int] | None = None,
 ) -> dict[str, str]:
-    """Run the gate + shuffle and write ordered shard files.
+    """Run the curation chain and write ordered shard files.
+
+    Full chain (each stage optional, composed in pipeline order):
+    corpus-wide sentence dedup → quality gate → domain-mixture
+    sampling (``mixture`` = (domain_col, weights, token_budget)) →
+    deterministic global shuffle → sharded ordered parquet. Every
+    stage is itself oracle-verified as a registry query; this product
+    is the write-side composition.
 
     Returns the manifest dict (also written as ``_MANIFEST``).
     """
-    kept = quality_gate(docs) if gate else docs
+    kept = docs
+    if sentence_dedup_first:
+        from batch_process_dpla_index_spark.operators.dedup import sentence_dedup
+
+        deduped = sentence_dedup(kept).select("doc_id", "text")
+        # re-attach the non-text columns (dedup reassembles text only)
+        others = [c for c in kept.columns if c not in ("text",)]
+        kept = kept.select(*others).join(deduped, "doc_id")
+    if gate:
+        kept = quality_gate(kept)
+    if mixture is not None:
+        from batch_process_dpla_index_spark.operators.curation import (
+            mixture_plan,
+            mixture_sample,
+        )
+
+        domain_col, weights, budget = mixture
+        plan = mixture_plan(kept, domain_col, weights, budget)
+        kept = mixture_sample(kept, plan, domain_col, "doc_id", seed=seed)
     shuffled = global_shuffle(kept, "doc_id", seed=seed, n_shards=n_shards)
     # hash-partition by shard id: two shard ids may collide into one
     # task (fine — partitionBy still splits the files and the leading
@@ -60,6 +87,10 @@ def export_training_shards(
         "Seed": seed,
         "Shards": str(n_shards),
         "Gate": str(gate),
+        "Sentence dedup": str(sentence_dedup_first),
+        "Mixture": "none" if mixture is None else (
+            f"{mixture[0]}:{sorted(mixture[1].items())}@{mixture[2]}"
+        ),
         "Total doc count": str(n_docs),
     }
     write_manifest(opts, out_dir)

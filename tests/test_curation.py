@@ -370,3 +370,39 @@ def test_mixture_sample_tolerates_reserved_column_names(spark):
     plan = mixture_plan(docs.select("doc_id", "text", "lang"), "lang", {"en": 1.0}, 100)
     out = mixture_sample(docs, plan, "lang").collect()
     assert len(out) == 1 and out[0].domain == "keepme" and out[0].rate_ppm == 7
+
+
+def test_training_export_full_curation_chain(spark, docs, tmp_path):
+    """End-to-end: sentence dedup → gate → mixture sample → shuffle →
+    shards. Counts shrink monotonically through the chain, the
+    manifest records every stage, and a re-run with the same seed is
+    byte-identical."""
+    from batch_process_dpla_index_spark.io.manifest import read_manifest
+    from batch_process_dpla_index_spark.products.training_export import (
+        export_training_shards,
+    )
+
+    weights = {"en": 0.6, "de": 0.4}
+    out = str(tmp_path / "full_chain")
+    opts = export_training_shards(
+        spark, docs, out,
+        seed="chain0", n_shards=4,
+        gate=True, sentence_dedup_first=True,
+        mixture=("lang", weights, 5_000),
+    )
+    n = int(opts["Total doc count"])
+    assert 0 < n < docs.count()
+    man = read_manifest(out)
+    assert man["Sentence dedup"] == "True" and man["Mixture"].startswith("lang:")
+    landed = spark.read.parquet(out)
+    # only weighted languages survive the mixture
+    assert {r.lang for r in landed.select("lang").distinct().collect()} <= set(weights)
+    # reproducibility: same seed → identical shard contents
+    out2 = str(tmp_path / "full_chain2")
+    export_training_shards(
+        spark, docs, out2, seed="chain0", n_shards=4,
+        gate=True, sentence_dedup_first=True, mixture=("lang", weights, 5_000),
+    )
+    a = sorted(map(tuple, spark.read.parquet(out).collect()))
+    b = sorted(map(tuple, spark.read.parquet(out2).collect()))
+    assert a == b
