@@ -230,3 +230,36 @@ def test_avro_datasource_overwrite_mode(spark, tmp_path):
     spark.range(10).write.format("avro_py").mode("append").save(out)
     spark.range(5).write.format("avro_py").mode("overwrite").save(out)
     assert spark.read.format("avro_py").load(out).count() == 5
+
+
+def test_compiled_encoder_matches_reference_bytes(spark):
+    """The schema-compiled encoder (the write hot path) must stay
+    byte-identical to the readable reference _encode on the full
+    nested model, including unions, logical types, arrays, and maps."""
+    import datetime
+
+    from batch_process_dpla_index_spark.io.avro_py import (
+        _compile_encoder,
+        _encode,
+        spark_to_avro_schema,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", [1, None, 3], {"k": 1.5, "j": None}, (7, "x"),
+             datetime.datetime(2024, 1, 2, 3, 4, 5), datetime.date(2024, 6, 1),
+             b"\x00\xff", 1.25, True),
+            (2, None, [], {}, (None, None), None, None, None, None, None),
+        ],
+        "id long, s string, arr array<int>, m map<string,double>, "
+        "st struct<a:int,b:string>, ts timestamp, d date, bin binary, "
+        "f double, flag boolean",
+    )
+    schema = spark_to_avro_schema(df.schema)
+    enc = _compile_encoder(schema)
+    for row in df.collect():
+        rec = row.asDict(recursive=True)
+        a, b = bytearray(), bytearray()
+        _encode(rec, schema, a)
+        enc(rec, b)
+        assert bytes(a) == bytes(b)
