@@ -407,6 +407,94 @@ def _decode(buf: io.BytesIO, schema):
     raise NotImplementedError(f"decode: {schema}")
 
 
+def _compile_decoder(schema):
+    """Decoder twin of :func:`_compile_encoder`: compile the schema
+    into ``f(buf) -> value`` closures so per-record reads skip the
+    per-value schema dispatch of the reference :func:`_decode` (which
+    remains the spec-readable form the unit tests exercise)."""
+    if isinstance(schema, list):
+        branches = [
+            (None if s == "null" else _compile_decoder(s)) for s in schema
+        ]
+
+        def dec_union(buf):
+            d = branches[_read_zigzag(buf)]
+            return None if d is None else d(buf)
+
+        return dec_union
+    t = schema["type"] if isinstance(schema, dict) else schema
+    if t == "null":
+        return lambda buf: None
+    if t == "boolean":
+        return lambda buf: buf.read(1) == b"\x01"
+    if t in ("int", "long"):
+        logical = schema.get("logicalType") if isinstance(schema, dict) else None
+        if logical == "timestamp-micros":
+            import datetime
+
+            utc = datetime.timezone.utc
+            fromts = datetime.datetime.fromtimestamp
+            return lambda buf: fromts(_read_zigzag(buf) / 1_000_000, tz=utc)
+        if logical == "date":
+            import datetime
+
+            epoch = datetime.date(1970, 1, 1)
+            day = datetime.timedelta
+            return lambda buf: epoch + day(days=_read_zigzag(buf))
+        return _read_zigzag
+    if t == "float":
+        unpack = struct.Struct("<f").unpack
+        return lambda buf: unpack(buf.read(4))[0]
+    if t == "double":
+        unpack = struct.Struct("<d").unpack
+        return lambda buf: unpack(buf.read(8))[0]
+    if t == "string":
+        return lambda buf: buf.read(_read_zigzag(buf)).decode("utf-8")
+    if t == "bytes":
+        return lambda buf: buf.read(_read_zigzag(buf))
+    if t == "record":
+        fields = [(f["name"], _compile_decoder(f["type"])) for f in schema["fields"]]
+
+        def dec_record(buf):
+            return {name: dec(buf) for name, dec in fields}
+
+        return dec_record
+    if t == "array":
+        item_dec = _compile_decoder(schema["items"])
+
+        def dec_array(buf):
+            out = []
+            while True:
+                n = _read_zigzag(buf)
+                if n == 0:
+                    return out
+                if n < 0:
+                    n = -n
+                    _read_zigzag(buf)
+                for _ in range(n):
+                    out.append(item_dec(buf))
+
+        return dec_array
+    if t == "map":
+        val_dec = _compile_decoder(schema["values"])
+
+        def dec_map(buf):
+            out = {}
+            while True:
+                n = _read_zigzag(buf)
+                if n == 0:
+                    return out
+                if n < 0:
+                    n = -n
+                    _read_zigzag(buf)
+                for _ in range(n):
+                    k = buf.read(_read_zigzag(buf)).decode("utf-8")
+                    out[k] = val_dec(buf)
+
+        return dec_map
+    raise NotImplementedError(f"decode: {schema}")
+
+
 # --------------------------------------------------------------------------
 # Object Container File framing
 # --------------------------------------------------------------------------
@@ -485,6 +573,7 @@ def read_container(raw: bytes):
     schema = json.loads(meta["avro.schema"].decode("utf-8"))
     codec = meta.get("avro.codec", b"null").decode("utf-8")
     sync = buf.read(16)
+    decode = _compile_decoder(schema)
 
     def records():
         while True:
@@ -501,7 +590,7 @@ def read_container(raw: bytes):
                 raise NotImplementedError(f"codec {codec}")
             bbuf = io.BytesIO(data)
             for _ in range(n):
-                yield _decode(bbuf, schema)
+                yield decode(bbuf)
             if buf.read(16) != sync:
                 raise ValueError("sync marker mismatch (corrupt container)")
 

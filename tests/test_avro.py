@@ -263,3 +263,37 @@ def test_compiled_encoder_matches_reference_bytes(spark):
         _encode(rec, schema, a)
         enc(rec, b)
         assert bytes(a) == bytes(b)
+
+
+def test_compiled_decoder_matches_reference_values(spark):
+    """The compiled decoder must reproduce reference _decode values on
+    the full nested model (round trip through the compiled encoder)."""
+    import datetime
+    import io as _io
+
+    from batch_process_dpla_index_spark.io.avro_py import (
+        _compile_decoder,
+        _compile_encoder,
+        _decode,
+        spark_to_avro_schema,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "héllo", [1, None, 3], {"k": 1.5}, (7, "x"),
+             datetime.datetime(2024, 1, 2, 3, 4, 5), datetime.date(2024, 6, 1),
+             b"\x00\xff", -1.25, False),
+            (2, None, [], {}, (None, None), None, None, None, None, None),
+        ],
+        "id long, s string, arr array<int>, m map<string,double>, "
+        "st struct<a:int,b:string>, ts timestamp, d date, bin binary, "
+        "f double, flag boolean",
+    )
+    schema = spark_to_avro_schema(df.schema)
+    enc = _compile_encoder(schema)
+    dec = _compile_decoder(schema)
+    for row in df.collect():
+        rec = row.asDict(recursive=True)
+        buf = bytearray()
+        enc(rec, buf)
+        assert dec(_io.BytesIO(bytes(buf))) == _decode(_io.BytesIO(bytes(buf)), schema)
