@@ -19,9 +19,9 @@ Distributed shape — Spark-first, not driver-side:
   closures (:func:`_compile_encoder`), ~2x the readable reference
   encoder they are pinned byte-identical to.
 - :func:`read_avro_py` lists the containers into a ``binaryFile``
-  scan, decodes records executor-side in ``mapInPandas`` (one Arrow
-  batch of JSON-encoded rows per container), and restores the exact
-  Spark schema via ``from_json`` — schema inference reads a single
+  scan, decodes records executor-side (compiled closures), and yields
+  Arrow RecordBatches built directly against the target schema via
+  ``mapInArrow`` — no JSON detour; schema inference reads a single
   file header driver-side, the data path is fully distributed.
 
 Type subset = the engine's data model (SURVEY.md §1): null, boolean,
@@ -655,57 +655,41 @@ def write_avro_py(df: DataFrame, path: str, overwrite: bool = True,
         pass
 
 
-def _json_default(v):
-    import base64
-    import datetime
-
-    if isinstance(v, bytes):
-        return base64.b64encode(v).decode("ascii")
-    if isinstance(v, datetime.datetime):
-        return v.strftime("%Y-%m-%dT%H:%M:%S.%f%z")
-    if isinstance(v, datetime.date):
-        return v.isoformat()
-    raise TypeError(type(v))
-
-
 def read_avro_py(spark: SparkSession, *paths: str) -> DataFrame:
     """S1 fallback: distributed OCF scan. ``binaryFile`` ships each
-    container to an executor; records decode there and re-enter Spark
-    through ``from_json`` with the schema read from the first file's
-    header — so filters/pruning apply from the first real DataFrame op
-    on. One file is one input split (Avro blocks could split further
-    via the sync markers; containers here are one-partition-sized by
-    construction)."""
+    container to an executor; records decode there (schema-compiled
+    closures) and re-enter Spark as Arrow RecordBatches built directly
+    against the target schema — no JSON detour, so the only text pass
+    left is Avro's own string fields. One file is one input split
+    (Avro blocks could split further via the sync markers; containers
+    here are one-partition-sized by construction); schema inference
+    reads a single header driver-side."""
     import glob as _glob
 
-    first: str | None = None
     expanded: list[str] = []
     for p in paths:
         hits = sorted(_glob.glob(os.path.join(p, "*.avro"))) if os.path.isdir(p) else [p]
         expanded.extend(hits)
     if not expanded:
         raise FileNotFoundError(f"no .avro containers under {paths}")
-    first = expanded[0]
-    with open(first, "rb") as fh:
+    with open(expanded[0], "rb") as fh:
         avro_schema, _ = read_container(fh.read())
     spark_schema = avro_to_spark_schema(avro_schema)
     if not isinstance(spark_schema, T.StructType):
         raise ValueError("top-level Avro schema must be a record")
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    arrow_schema = to_arrow_schema(spark_schema)
 
     def _decode_files(batches):
-        import json as _json
+        import pyarrow as pa
 
-        import pandas as pd
-
-        for pdf in batches:
-            out = []
-            for blob in pdf["content"]:
-                _, recs = read_container(bytes(blob))
-                out.extend(_json.dumps(r, default=_json_default) for r in recs)
-            yield pd.DataFrame({"json": pd.Series(out, dtype="object")})
+        for batch in batches:
+            for blob in batch.column("content"):
+                _, recs = read_container(blob.as_py())
+                rows = list(recs)
+                if rows:
+                    yield pa.RecordBatch.from_pylist(rows, schema=arrow_schema)
 
     blobs = spark.read.format("binaryFile").load(expanded).select("content")
-    jsons = blobs.mapInPandas(_decode_files, "json string")
-    return jsons.select(
-        F.from_json("json", spark_schema).alias("__r")
-    ).select("__r.*")
+    return blobs.mapInArrow(_decode_files, spark_schema)
