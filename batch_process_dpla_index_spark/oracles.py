@@ -1282,6 +1282,44 @@ FROM c, UNNEST(range(greatest(1, (n - 16 + 47) // 48))) AS t(i)
 """
 
 
+# Greedy sequence packing replayed exactly: the per-group sequential
+# walk is a recursive CTE stepping one item at a time (depth = max
+# chunks per source — fine at oracle SFs), matching pack_sequences'
+# open-new-bin-when-budget-exceeded rule; `running > 0` is vacuous
+# after item 1 because every chunk has >= 1 token.
+ORACLE_PACKED_BINS = f"""
+WITH RECURSIVE {_DOC_TOK_CTE}, c AS (
+    SELECT doc_id, CAST(len(tok) AS BIGINT) AS n
+    FROM doc_tok WHERE len(tok) > 0
+), chunks AS (
+    SELECT d.source, c.doc_id,
+           CAST(i AS INT) AS chunk_no,
+           CAST(least(64, n - i*48) AS BIGINT) AS n_tokens
+    FROM c JOIN documents d USING (doc_id),
+         UNNEST(range(greatest(1, (n - 16 + 47) // 48))) AS t(i)
+), items AS (
+    SELECT source, doc_id, chunk_no, n_tokens,
+           row_number() OVER (PARTITION BY source ORDER BY doc_id, chunk_no) AS rn
+    FROM chunks
+), walk AS (
+    SELECT source, n_tokens, rn, CAST(0 AS BIGINT) AS bin,
+           n_tokens AS running
+    FROM items WHERE rn = 1
+    UNION ALL
+    SELECT i.source, i.n_tokens, i.rn,
+           CASE WHEN w.running + i.n_tokens > 512 THEN w.bin + 1
+                ELSE w.bin END,
+           CASE WHEN w.running + i.n_tokens > 512 THEN i.n_tokens
+                ELSE w.running + i.n_tokens END
+    FROM items i JOIN walk w ON i.source = w.source AND i.rn = w.rn + 1
+)
+SELECT source AS "group", bin,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+FROM walk GROUP BY source, bin
+"""
+
+
 ORACLE_STRATIFIED_SAMPLE = """
 SELECT source, count(*) AS n_docs, min(doc_id) AS min_doc
 FROM documents
@@ -1588,6 +1626,7 @@ ORACLES: dict[str, str] = {
     "domain_cap": ORACLE_DOMAIN_CAP,
     "lm_scores": ORACLE_LM_SCORES,
     "sentence_dedup": ORACLE_SENTENCE_DEDUP,
+    "packed_bins": ORACLE_PACKED_BINS,
     "ivf_topk": ORACLE_IVF_TOPK,
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
     "price_tiers": ORACLE_PRICE_TIERS,

@@ -1231,10 +1231,10 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_packed_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk → greedy sequence packing → per-bin stats: the full
     context-window fill pipeline (chunking's downstream stage).
-    Sequential greedy walk is per-source inside applyInPandas —
-    deliberately no SQL oracle (sequential algorithm; the driver
-    records the rows-only check, the walk contract is pytest-pinned
-    in test_pack_sequences_contract)."""
+    Sequential greedy walk is per-source inside applyInPandas; the
+    oracle replays the walk exactly with a recursive CTE stepping one
+    item at a time (hash-verified), and the walk contract is also
+    pytest-pinned in test_pack_sequences_contract."""
     from batch_process_dpla_index_spark.functions.text import chunk_structs
     from batch_process_dpla_index_spark.operators.grouped import pack_sequences
 
