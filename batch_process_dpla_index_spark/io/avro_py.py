@@ -187,7 +187,11 @@ def _encode(value, schema, out: bytearray) -> None:
             if isinstance(value, datetime.datetime):
                 if value.tzinfo is None:
                     value = value.replace(tzinfo=datetime.timezone.utc)
-                value = int(value.timestamp() * 1_000_000)
+                # integer µs since epoch — float .timestamp() loses µs
+                # precision past ~year 2243 (2^53 µs)
+                value = (
+                    value - datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
+                ) // datetime.timedelta(microseconds=1)
         elif isinstance(schema, dict) and schema.get("logicalType") == "date":
             import datetime
 
@@ -262,12 +266,14 @@ def _compile_encoder(schema):
 
             utc = datetime.timezone.utc
             dt = datetime.datetime
+            epoch = dt(1970, 1, 1, tzinfo=utc)
+            micro = datetime.timedelta(microseconds=1)
 
             def enc_ts(value, out):
                 if isinstance(value, dt):
                     if value.tzinfo is None:
                         value = value.replace(tzinfo=utc)
-                    value = int(value.timestamp() * 1_000_000)
+                    value = (value - epoch) // micro  # exact integer µs
                 out += _zigzag(int(value))
 
             return enc_ts
@@ -367,7 +373,9 @@ def _decode(buf: io.BytesIO, schema):
         if isinstance(schema, dict) and schema.get("logicalType") == "timestamp-micros":
             import datetime
 
-            return datetime.datetime.fromtimestamp(v / 1_000_000, tz=datetime.timezone.utc)
+            return datetime.datetime(
+                1970, 1, 1, tzinfo=datetime.timezone.utc
+            ) + datetime.timedelta(microseconds=v)
         if isinstance(schema, dict) and schema.get("logicalType") == "date":
             import datetime
 
@@ -434,9 +442,9 @@ def _compile_decoder(schema):
         if logical == "timestamp-micros":
             import datetime
 
-            utc = datetime.timezone.utc
-            fromts = datetime.datetime.fromtimestamp
-            return lambda buf: fromts(_read_zigzag(buf) / 1_000_000, tz=utc)
+            epoch = datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
+            micros = datetime.timedelta
+            return lambda buf: epoch + micros(microseconds=_read_zigzag(buf))
         if logical == "date":
             import datetime
 

@@ -154,12 +154,19 @@ def main(argv: list[str] | None = None) -> int:
 
             mixture = None
             if args.mixture:
-                dcol, wspec, budget = args.mixture.split(":")
-                weights = {
-                    k: float(v)
-                    for k, v in (kv.split("=") for kv in wspec.split(","))
-                }
-                mixture = (dcol, weights, int(budget))
+                try:
+                    dcol, wspec, budget = args.mixture.split(":")
+                    weights = {
+                        k: float(v)
+                        for k, v in (kv.split("=") for kv in wspec.split(","))
+                    }
+                    mixture = (dcol, weights, int(budget))
+                except ValueError:
+                    p.error(
+                        f"--mixture {args.mixture!r} is malformed; expected "
+                        "domain_col:d1=w1,d2=w2:token_budget "
+                        "(e.g. lang:en=0.5,de=0.5:10000)"
+                    )
             opts = export_training_shards(
                 spark,
                 spark.read.parquet(args.docs_parquet),

@@ -72,7 +72,14 @@ def export_training_shards(
 
         domain_col, weights, budget = mixture
         plan = mixture_plan(kept, domain_col, weights, budget)
-        kept = mixture_sample(kept, plan, domain_col, "doc_id", seed=seed)
+        # The sampling digest must NOT reuse the shuffle seed verbatim:
+        # both would hash h60(seed|doc_id), and since n_shards divides
+        # 1e6, survivors of a low ppm rate all share small residues →
+        # shard = residue % n_shards collapses into the first few
+        # shards (empirically: rate_ppm=4, n_shards=8 leaves shards
+        # 4-7 EMPTY). A derived salt decorrelates the two decisions
+        # while keeping the whole chain a pure function of `seed`.
+        kept = mixture_sample(kept, plan, domain_col, "doc_id", seed=seed + "|mix")
     shuffled = global_shuffle(kept, "doc_id", seed=seed, n_shards=n_shards)
     # hash-partition by shard id: two shard ids may collide into one
     # task (fine — partitionBy still splits the files and the leading

@@ -297,3 +297,31 @@ def test_compiled_decoder_matches_reference_values(spark):
         buf = bytearray()
         enc(rec, buf)
         assert dec(_io.BytesIO(bytes(buf))) == _decode(_io.BytesIO(bytes(buf)), schema)
+
+
+def test_timestamp_micros_exact_far_future():
+    """Round-trip must be µs-exact beyond ~2243 (2^53 µs), where the
+    old float .timestamp() path lost 1µs on ~half of values — in all
+    four codec paths (reference + compiled, encode + decode)."""
+    import datetime
+    import io as _io
+
+    from batch_process_dpla_index_spark.io.avro_py import (
+        _compile_decoder,
+        _compile_encoder,
+        _decode,
+        _encode,
+    )
+
+    schema = {"type": "long", "logicalType": "timestamp-micros"}
+    enc, dec = _compile_encoder(schema), _compile_decoder(schema)
+    utc = datetime.timezone.utc
+    for us in (1, 3, 123457, 999999):
+        for year in (2024, 2200, 2255, 2400):
+            v = datetime.datetime(year, 7, 2, 3, 4, 5, us, tzinfo=utc)
+            for e in (lambda val, o: _encode(val, schema, o), enc):
+                buf = bytearray()
+                e(v, buf)
+                raw = bytes(buf)
+                assert _decode(_io.BytesIO(raw), schema) == v, (year, us)
+                assert dec(_io.BytesIO(raw)) == v, (year, us)

@@ -406,3 +406,24 @@ def test_training_export_full_curation_chain(spark, docs, tmp_path):
     a = sorted(map(tuple, spark.read.parquet(out).collect()))
     b = sorted(map(tuple, spark.read.parquet(out2).collect()))
     assert a == b
+
+
+def test_export_mixture_seed_decorrelated_from_shards():
+    """Pure-Python replay of the export chain's two digests: with the
+    OLD scheme (same seed for sampling and shuffle), every survivor of
+    a tiny ppm rate has residue < rate_ppm, so shard = residue % 8
+    can only hit shards 0..rate_ppm-1. The shipped '|mix' salt must
+    spread survivors across the full shard range (fixed seed → this
+    is deterministic, not statistical)."""
+    from batch_process_dpla_index_spark.operators.similarity import _h60_py
+
+    rate_ppm, n_shards, n_keys = 4, 8, 2_000_000
+    old_shards, new_shards = set(), set()
+    for k in range(n_keys):
+        shuffle_key = _h60_py(f"seed0|{k}")
+        if shuffle_key % 1_000_000 < rate_ppm:  # old: same digest
+            old_shards.add(shuffle_key % n_shards)
+        if _h60_py(f"seed0|mix|{k}") % 1_000_000 < rate_ppm:  # shipped
+            new_shards.add(shuffle_key % n_shards)
+    assert old_shards and old_shards <= set(range(rate_ppm))  # the collapse
+    assert max(new_shards) >= rate_ppm  # decorrelated: reaches high shards
