@@ -1048,6 +1048,24 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, "vec_id", "embedding", dim=64, k=5, n_cells=16, n_probe=4)
 
 
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: train m=8 sub-codebooks (grouped
+    Lloyd's — one aggregate per iteration for ALL subspaces), encode
+    the corpus to 8 int codes/vector, score 25 queries by ADC lookup
+    tables. Rows-only driver check (float k-means has no cross-engine
+    oracle); recall-vs-exact and determinism are pytest-pinned. At
+    scale: train on a hash-sample, encode everything — pq_train takes
+    any DataFrame, so the sample IS the caller's choice."""
+    from batch_process_dpla_index_spark.operators.quantization import (
+        pq_topk,
+        pq_train,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq_train(emb, dim=64, m=8, k=16, n_iter=2)
+    return pq_topk(emb, books, k=5, n_queries=25)
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clustering: MinHash-LSH pairs → connected components →
     (doc_id, cluster representative). The iterative min-label
@@ -1584,7 +1602,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_zscore": q_user_zscore,
     # -- dedup family --
     "exact_dedup": q_exact_dedup,
-    "fingerprint_clusters": q_fingerprint_clusters,
     "jaccard_pairs": q_jaccard_pairs,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "dedup_clusters": q_dedup_clusters,
@@ -1595,6 +1612,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cosine_topk": q_cosine_topk,
     "lsh_ann_topk": q_lsh_ann_topk,
     "ivf_topk": q_ivf_topk,
+    "pq_topk": q_pq_topk,
     "embedding_near_dup": q_embedding_near_dup,
     # -- DPLA reference parity --
     "mq_provider_scores": q_mq_provider_scores,
@@ -1635,6 +1653,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "schema_align": q_schema_align,
     "training_prep": q_training_prep,
     "decontaminate": q_decontaminate,
+    "fingerprint_clusters": q_fingerprint_clusters,
     "segment_with_f_orders": q_segment_with_f_orders,
     "customers_without_orders": q_customers_without_orders,
     "brand_revenue": q_brand_revenue,

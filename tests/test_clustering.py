@@ -106,3 +106,72 @@ def test_learned_centroids_improve_ivf_recall(spark):
     r_random, r_learned = recall(None), recall(cents)
     assert r_learned >= r_random - 0.02  # never materially worse
     assert r_learned >= 0.3
+
+
+# ---- product quantization ----
+
+
+def test_pq_codes_shape_range_and_determinism(spark):
+    from batch_process_dpla_index_spark.operators.quantization import (
+        pq_encode,
+        pq_train,
+    )
+    from batch_process_dpla_index_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    books = pq_train(emb, dim=64, m=8, k=16, n_iter=3)
+    assert len(books) == 8 and len(books[0]) == 16 and len(books[0][0]) == 8
+    codes = {r.id: r.codes for r in pq_encode(emb, books).collect()}
+    assert len(codes) == emb.count()
+    assert all(len(c) == 8 and all(0 <= x < 16 for x in c) for c in codes.values())
+    # pure function of (corpus, params): second run identical
+    books2 = pq_train(emb, dim=64, m=8, k=16, n_iter=3)
+    assert books == books2
+    codes2 = {r.id: r.codes for r in pq_encode(emb, books2).collect()}
+    assert codes == codes2
+
+
+def test_pq_topk_recall_beats_chance(spark):
+    """ADC over PQ codes must recover a meaningful share of the exact
+    L2 top-5 (measured 0.22 mean on the synthetic fixture — ~9x the
+    0.025 chance level for 5 of ~200; pinned well below measurement)."""
+    import numpy as np
+
+    from batch_process_dpla_index_spark.operators.quantization import (
+        pq_topk,
+        pq_train,
+    )
+    from batch_process_dpla_index_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    rows = emb.collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.array([list(r["embedding"]) for r in rows])
+    books = pq_train(emb, dim=64, m=8, k=16, n_iter=4)
+    got = pq_topk(emb, books, k=5, n_queries=25).collect()
+    by_q: dict = {}
+    for r in got:
+        by_q.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert len(by_q) == 25 and all(len(v) == 5 for v in by_q.values())
+    recalls = []
+    for qid, approx in by_q.items():
+        qi = int(np.where(ids == qid)[0][0])
+        d = ((X - X[qi]) ** 2).sum(axis=1)
+        d[qi] = np.inf
+        exact = set(ids[np.argsort(d)[:5]].tolist())
+        recalls.append(len(exact & approx) / 5)
+    assert sum(recalls) / len(recalls) >= 0.12
+
+
+def test_pq_train_rejects_indivisible_dim(spark):
+    import pytest as _pytest
+
+    from batch_process_dpla_index_spark.operators.quantization import pq_train
+    from batch_process_dpla_index_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    with _pytest.raises(ValueError, match="not divisible"):
+        pq_train(emb, dim=64, m=7)
