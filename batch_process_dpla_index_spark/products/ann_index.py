@@ -51,9 +51,19 @@ def build_ann_index(
     learned: bool = True,
     kmeans_iters: int = 10,
     cell_partitions: int = 32,
+    pq_m: int | None = None,
+    pq_k: int = 16,
+    pq_iters: int = 3,
 ) -> dict[str, str]:
     """One corpus pass (+ k-means when ``learned``) → centroids, cell
-    assignments, manifest. Returns the manifest dict."""
+    assignments, manifest. Returns the manifest dict.
+
+    ``pq_m`` turns on the IVF-PQ layout: m sub-codebooks train on the
+    corpus (``operators.quantization.pq_train``), every stored row
+    additionally carries its m-code array, and the codebooks persist
+    under ``pq_codebooks`` — :func:`pq_query_indexed` then serves
+    queries from codes alone (32× less data motion at the defaults),
+    with the float vectors still in place for exact re-ranking."""
     spark = corpus.sparkSession
     if learned:
         from batch_process_dpla_index_spark.operators.clustering import kmeans_fit
@@ -68,9 +78,32 @@ def build_ann_index(
     stored = assigned.select(
         F.element_at("cells", 1).cast("int").alias("cell"), "id", "vec"
     )
+    codebooks = None
+    if pq_m is not None:
+        from batch_process_dpla_index_spark.operators.quantization import (
+            pq_encode,
+            pq_train,
+        )
+
+        codebooks = pq_train(
+            corpus, id_col, vec_col, dim=dim, m=pq_m, k=pq_k, n_iter=pq_iters
+        )
+        codes = pq_encode(corpus, codebooks, id_col, vec_col)
+        stored = stored.join(codes, "id")
     stored.repartition(cell_partitions, "cell").write.mode("overwrite").parquet(
         os.path.join(index_dir, "cells")
     )
+    if codebooks is not None:
+        book_rows = [
+            (j, c, [float(x) for x in vec])
+            for j, book in enumerate(codebooks)
+            for c, vec in enumerate(book)
+        ]
+        spark.createDataFrame(
+            book_rows, "j int, code int, centroid array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(index_dir, "pq_codebooks")
+        )
 
     if centroids is None:
         from batch_process_dpla_index_spark.operators.similarity import (
@@ -91,6 +124,9 @@ def build_ann_index(
         "metric": "cosine",
         "Record count": str(n_vecs),
     }
+    if pq_m is not None:
+        manifest["pq_m"] = str(pq_m)
+        manifest["pq_k"] = str(pq_k)
     write_manifest(manifest, index_dir)
     return manifest
 
@@ -102,6 +138,110 @@ def load_centroids(spark: SparkSession, index_dir: str) -> list[list[float]]:
         .collect()
     )
     return [list(r["centroid"]) for r in rows]
+
+
+def load_pq_codebooks(spark: SparkSession, index_dir: str) -> list[list[list[float]]]:
+    rows = (
+        spark.read.parquet(os.path.join(index_dir, "pq_codebooks"))
+        .orderBy("j", "code")
+        .collect()
+    )
+    m = max(r["j"] for r in rows) + 1
+    k = max(r["code"] for r in rows) + 1
+    books: list[list[list[float]]] = [[None] * k for _ in range(m)]  # type: ignore[list-item]
+    for r in rows:
+        books[r["j"]][r["code"]] = list(r["centroid"])
+    return books
+
+
+def pq_query_indexed(
+    spark: SparkSession,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    index_dir: str,
+    k: int = 5,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF-PQ serving: route each query to its ``n_probe`` nearest
+    cells, ADC-score the PROBED cells' stored codes (the float vectors
+    are never read), emit exact top-k per query over the probed set.
+
+    Plan shape: query assignment is one Arrow pass over the (small)
+    query batch; the only corpus-side work is a shuffle-join of the
+    probed (cell, query) pairs into the cell-partitioned codes layout
+    + per-cell grouped ADC — data motion is m bytes/row instead of
+    4·dim, the IVF-PQ bandwidth win."""
+    from pyspark.sql.window import Window
+
+    import numpy as np
+
+    manifest = read_manifest(index_dir)
+    dim = int(manifest["dim"])
+    n_cells = int(manifest["n_cells"])
+    m = int(manifest["pq_m"])
+    centroids = load_centroids(spark, index_dir)
+    books = np.asarray(load_pq_codebooks(spark, index_dir), dtype="float64")
+    dsub = dim // m
+
+    q_assigned = ivf_cells_pandas(
+        queries, id_col, vec_col, dim, n_cells, n_probe, centroids
+    )
+    probes = q_assigned.select(
+        F.explode("cells").alias("cell"),
+        F.col("id").alias("qid"),
+        F.col("vec").alias("qvec"),
+    ).withColumn("cell", F.col("cell").cast("int"))
+    stored = spark.read.parquet(os.path.join(index_dir, "cells")).select(
+        "cell", "id", "codes"
+    )
+    joined = stored.join(probes, "cell")
+
+    def score_cell(pdf):
+        import pandas as pd
+
+        qg = pdf.drop_duplicates("qid")
+        Q = np.asarray(list(qg["qvec"]), dtype="float64")
+        qids = qg["qid"].to_numpy()
+        cg = pdf.drop_duplicates("id")
+        C = np.asarray(list(cg["codes"]), dtype="int64")
+        ids = cg["id"].to_numpy()
+        T = np.stack(
+            [
+                (
+                    (Q[:, j * dsub : (j + 1) * dsub][:, None, :] - books[j][None, :, :])
+                    ** 2
+                ).sum(axis=2)
+                for j in range(m)
+            ],
+            axis=1,
+        )
+        dist = T[:, np.arange(m)[None, :], C].sum(axis=2)
+        out_q, out_id, out_d = [], [], []
+        local_k = min(k + 1, dist.shape[1])
+        part = np.argpartition(dist, local_k - 1, axis=1)[:, :local_k]
+        for qi in range(len(qids)):
+            for ri in part[qi]:
+                if ids[ri] == qids[qi]:
+                    continue
+                out_q.append(qids[qi])
+                out_id.append(ids[ri])
+                out_d.append(dist[qi, ri])
+        return pd.DataFrame(
+            {"query_id": out_q, "neighbor_id": out_id, "dist2": out_d}
+        )
+
+    scored = joined.groupBy("cell").applyInPandas(
+        score_cell, "query_id bigint, neighbor_id bigint, dist2 double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", F.round("dist2", 6).alias("dist2"), "rnk")
+    )
 
 
 def ann_query_indexed(

