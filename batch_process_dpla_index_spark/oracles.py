@@ -1502,6 +1502,47 @@ WHERE {_h60("concat_ws('|', 'mix0', CAST(d.doc_id AS VARCHAR))")} % 1000000
       < p.rate_ppm
 """
 
+# Hourly resample + forward-fill; generate_series is inclusive of both
+# endpoints like Spark's sequence, and last_value IGNORE NULLS mirrors
+# F.last(ignorenulls=True) over the same frame.
+ORACLE_GAP_FILL = """
+WITH hourly AS (
+    SELECT user_id, date_trunc('hour', ts) AS hr, round(sum(value), 6) AS v
+    FROM events GROUP BY 1, 2
+), spans AS (
+    SELECT user_id, min(hr) AS h0, max(hr) AS h1 FROM hourly GROUP BY user_id
+), grid AS (
+    SELECT s.user_id, g.hr
+    FROM spans s, LATERAL (
+        SELECT unnest(generate_series(s.h0, s.h1, INTERVAL 1 HOUR)) AS hr
+    ) g
+)
+SELECT g.user_id,
+       epoch_us(g.hr) AS hr_us,
+       h.v IS NOT NULL AS observed,
+       last_value(h.v IGNORE NULLS) OVER (
+           PARTITION BY g.user_id ORDER BY g.hr
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS v_filled
+FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hr = h.hr
+"""
+
+# Wide→long unpivot: UNION ALL keeps the oracle ANSI-portable and the
+# metric labels identical to Spark's unpivot output.
+ORACLE_MELT_METRICS = """
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+       round(CAST(l_quantity AS DOUBLE), 6) AS val FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+       round(CAST(l_extendedprice AS DOUBLE), 6) FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount',
+       round(CAST(l_discount AS DOUBLE), 6) FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_tax',
+       round(CAST(l_tax AS DOUBLE), 6) FROM lineitem
+"""
+
 # Keep-first sentence dedup + ordered reassembly; string_agg skips the
 # non-kept NULLs and coalesce('') matches Spark's array_join([]) = ''.
 ORACLE_SENTENCE_DEDUP = """
@@ -1627,6 +1668,8 @@ ORACLES: dict[str, str] = {
     "lm_scores": ORACLE_LM_SCORES,
     "sentence_dedup": ORACLE_SENTENCE_DEDUP,
     "packed_bins": ORACLE_PACKED_BINS,
+    "gap_fill": ORACLE_GAP_FILL,
+    "melt_metrics": ORACLE_MELT_METRICS,
     "ivf_topk": ORACLE_IVF_TOPK,
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
     "price_tiers": ORACLE_PRICE_TIERS,

@@ -277,6 +277,57 @@ def q_rolling_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization: per-user hourly resample onto a
+    dense grid between the user's first and last active hour, with
+    observed hourly sums forward-filled across silent hours (the
+    resample + ffill shape every metrics pipeline needs). Grid
+    generation is a narrow sequence-explode off a per-user span
+    aggregate; the fill is last(ignorenulls) over one per-user window
+    — two shuffles total (span agg + window), grid rows ∝ users×span
+    hours, never events×hours."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(F.round(F.sum("value"), 6).alias("v"))
+    spans = hourly.groupBy("user_id").agg(
+        F.min("hr").alias("h0"), F.max("hr").alias("h1")
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("hr"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ["user_id", "hr"], "left")
+        .select(
+            "user_id",
+            F.unix_micros("hr").alias("hr_us"),
+            F.col("v").isNotNull().alias("observed"),
+            F.last("v", ignorenulls=True).over(w).alias("v_filled"),
+        )
+    )
+
+
+def q_melt_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): four lineitem measure columns become
+    (metric, val) rows — the wide→long reshape (Spark 3.4+ native
+    ``unpivot``; pure narrow Generate, zero shuffle)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    return li.select(
+        "l_orderkey", "l_linenumber", *[F.col(c).cast("double") for c in cols]
+    ).unpivot(
+        ["l_orderkey", "l_linenumber"], cols, "metric", "__v"
+    ).select(
+        "l_orderkey", "l_linenumber", "metric", F.round("__v", 6).alias("val")
+    )
+
+
 def q_event_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking-function suite (W1 extension): dense_rank / percent_rank
     / ntile(4) / lead over one per-user window — a single window
@@ -1616,11 +1667,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup": q_embedding_near_dup,
     # -- DPLA reference parity --
     "mq_provider_scores": q_mq_provider_scores,
-    "mq_contributor_scores": q_mq_contributor_scores,
     "flatten_items": q_flatten_items,
-    # -- multimodal + UDTF --
+    # -- multimodal --
     "multimodal_meta": q_multimodal_meta,
-    "udtf_sentences": q_udtf_sentences,
+    # -- round-4 events/relational additions --
+    "gap_fill": q_gap_fill,
+    "melt_metrics": q_melt_metrics,
     # -- round-4 curation additions (new code → driver-verified now) --
     "mixture_plan": q_mixture_plan,
     "mixture_sample": q_mixture_sample,
@@ -1654,6 +1706,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "training_prep": q_training_prep,
     "decontaminate": q_decontaminate,
     "fingerprint_clusters": q_fingerprint_clusters,
+    "mq_contributor_scores": q_mq_contributor_scores,
+    "udtf_sentences": q_udtf_sentences,
     "segment_with_f_orders": q_segment_with_f_orders,
     "customers_without_orders": q_customers_without_orders,
     "brand_revenue": q_brand_revenue,
