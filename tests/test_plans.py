@@ -210,3 +210,20 @@ def test_lm_scores_is_jvm_only_with_broadcast_stats(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
     for marker in ("MapInPandas", "FlatMapGroupsInPandas", "ArrowEvalPython", "BatchEvalPython"):
         assert marker not in plan, plan
+
+
+def test_melt_is_shuffle_free(spark):
+    """Unpivot must stay a narrow Generate — no Exchange at any scale."""
+    plan = _plan(spark, "melt_metrics")
+    assert "Exchange" not in plan, plan
+
+
+def test_gap_fill_two_shuffles(spark):
+    """Resample+ffill: span aggregate + per-user fill window — the
+    grid explode and the hourly agg share the user_id partitioning, so
+    the whole plan needs at most three exchanges (hourly agg, span
+    agg reuse, window), never one per stage."""
+    plan = _plan(spark, "gap_fill")
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+    for marker in ("MapInPandas", "FlatMapGroupsInPandas", "BatchEvalPython"):
+        assert marker not in plan, plan
