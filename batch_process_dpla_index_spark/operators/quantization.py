@@ -78,14 +78,28 @@ def pq_train(
 
     sub = _subvector_rows(df, id_col, vec_col, dim, m)
 
-    # deterministic one-pass seeding: per subspace, the k subvectors
-    # with smallest h60(id|j) — one window over the exploded frame
-    w = Window.partitionBy("j").orderBy(F.col("__h").asc(), F.col("id").asc())
+    # deterministic seeding: per subspace, the k subvectors with the
+    # smallest h60(id|j). Salted two-phase top-k (the domain_cap
+    # pattern): a bare Window.partitionBy("j") would sort the WHOLE
+    # exploded corpus inside m tasks; phase 1 ranks within (j, salt)
+    # so phase 2's exact per-j rank sees ≤ n_salts·k rows per
+    # subspace regardless of corpus size. The (h, id) order is total,
+    # so the two-phase result equals the single window.
+    n_salts = 64
+    hashed = sub.withColumn(
+        "__h", h60(F.concat_ws("|", F.col("id").cast("string"), F.col("j")))
+    )
+    w1 = Window.partitionBy("j", F.pmod(F.col("__h"), F.lit(n_salts))).orderBy(
+        F.col("__h").asc(), F.col("id").asc()
+    )
+    pruned = (
+        hashed.withColumn("__rn1", F.row_number().over(w1))
+        .filter(F.col("__rn1") <= k)
+        .drop("__rn1")
+    )
+    w2 = Window.partitionBy("j").orderBy(F.col("__h").asc(), F.col("id").asc())
     seeds = (
-        sub.withColumn(
-            "__h", h60(F.concat_ws("|", F.col("id").cast("string"), F.col("j")))
-        )
-        .withColumn("__rn", F.row_number().over(w))
+        pruned.withColumn("__rn", F.row_number().over(w2))
         .filter(F.col("__rn") <= k)
         .select("j", "__rn", "subvec")
         .collect()
@@ -138,9 +152,8 @@ def _assign_codes_rows(sub: DataFrame, books) -> DataFrame:
             pdf["code"] = codes
             yield pdf
 
-    dsub = books.shape[2]
     return sub.mapInPandas(
-        assign, f"id bigint, j int, subvec array<double>, code int"
+        assign, "id bigint, j int, subvec array<double>, code int"
     )
 
 
@@ -177,6 +190,50 @@ def pq_encode(
     return df.select(id_col, vec_col).mapInPandas(encode, "id bigint, codes array<int>")
 
 
+def adc_tables(Q, books):
+    """ADC lookup tables T[q, j, c] = ||Q[q, j-th slice] − books[j][c]||²
+    for a query matrix — the per-query-batch precompute both serving
+    paths (operator + persisted index) share."""
+    import numpy as np
+
+    books = np.asarray(books, dtype="float64")
+    m, _, dsub = books.shape
+    return np.stack(
+        [
+            (
+                (Q[:, j * dsub : (j + 1) * dsub][:, None, :] - books[j][None, :, :])
+                ** 2
+            ).sum(axis=2)
+            for j in range(m)
+        ],
+        axis=1,
+    )
+
+
+def adc_score_topk(T, qids, C, ids, k):
+    """Gather code distances for every (query, stored) pair and emit
+    exact local top-k lists with the engine's deterministic tie-break
+    (dist asc, then neighbor_id asc — ``np.lexsort``, the
+    `_ivf_score_and_rank` convention; a bare argpartition drops tied
+    candidates arbitrarily and breaks run-to-run determinism).
+    Returns (query_ids, neighbor_ids, dists) lists."""
+    import numpy as np
+
+    m = T.shape[1]
+    dist = T[:, np.arange(m)[None, :], C].sum(axis=2)
+    out_q, out_id, out_d = [], [], []
+    for qi in range(len(qids)):
+        mask = ids != qids[qi]
+        ids_i, d_i = ids[mask], dist[qi][mask]
+        if not ids_i.size:
+            continue
+        order = np.lexsort((ids_i, d_i))[:k]
+        out_q.extend([qids[qi]] * len(order))
+        out_id.extend(ids_i[order])
+        out_d.extend(d_i[order])
+    return out_q, out_id, out_d
+
+
 def pq_topk(
     df: DataFrame,
     codebooks,
@@ -198,7 +255,6 @@ def pq_topk(
     import numpy as np
 
     books = np.asarray(codebooks, dtype="float64")
-    m, ksub, dsub = books.shape
     codes = pq_encode(df, codebooks, id_col, vec_col)
 
     qdf = df.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"))
@@ -207,16 +263,7 @@ def pq_topk(
     qrows = qdf.collect()
     qids = np.asarray([r["qid"] for r in qrows], dtype="int64")
     Q = np.asarray([list(r["qvec"]) for r in qrows], dtype="float64")
-    # ADC tables: T[q, j, c] = ||Q[q, j-th slice] - books[j][c]||^2
-    T = np.stack(
-        [
-            ((Q[:, j * dsub : (j + 1) * dsub][:, None, :] - books[j][None, :, :]) ** 2).sum(
-                axis=2
-            )
-            for j in range(m)
-        ],
-        axis=1,
-    )
+    T = adc_tables(Q, books)
 
     def score(batches):
         import pandas as pd
@@ -225,19 +272,8 @@ def pq_topk(
             if not len(pdf):
                 continue
             C = np.asarray(list(pdf["codes"]), dtype="int64")  # rows × m
-            ids = pdf["id"].to_numpy()
-            # dist[q, r] = sum_j T[q, j, C[r, j]]
-            dist = T[:, np.arange(m)[None, :], C].sum(axis=2)
-            local_k = min(k + 1, dist.shape[1])
-            idx = np.argpartition(dist, local_k - 1, axis=1)[:, :local_k]
-            out_q, out_id, out_d = [], [], []
-            for qi in range(len(qids)):
-                for ri in idx[qi]:
-                    if ids[ri] == qids[qi]:
-                        continue
-                    out_q.append(qids[qi])
-                    out_id.append(ids[ri])
-                    out_d.append(dist[qi, ri])
+            ids = pdf["id"].to_numpy(dtype="int64")
+            out_q, out_id, out_d = adc_score_topk(T, qids, C, ids, k)
             yield pd.DataFrame(
                 {"query_id": out_q, "neighbor_id": out_id, "dist2": out_d}
             )

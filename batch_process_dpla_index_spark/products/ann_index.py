@@ -116,7 +116,9 @@ def build_ann_index(
         cent_rows, "cell int, centroid array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(os.path.join(index_dir, "centroids"))
 
-    n_vecs = stored.count()
+    # count from the freshly written parquet footers — recounting the
+    # unpersisted `stored` frame would re-run the whole encode DAG
+    n_vecs = spark.read.parquet(os.path.join(index_dir, "cells")).count()
     manifest = {
         "dim": str(dim),
         "n_cells": str(n_cells),
@@ -167,72 +169,74 @@ def pq_query_indexed(
     cells, ADC-score the PROBED cells' stored codes (the float vectors
     are never read), emit exact top-k per query over the probed set.
 
-    Plan shape: query assignment is one Arrow pass over the (small)
-    query batch; the only corpus-side work is a shuffle-join of the
-    probed (cell, query) pairs into the cell-partitioned codes layout
-    + per-cell grouped ADC — data motion is m bytes/row instead of
-    4·dim, the IVF-PQ bandwidth win."""
+    Plan shape — the `_ivf_score_and_rank` union-with-role contract:
+    stored rows shuffle ONCE carrying only (cell, id, m codes); query
+    rows shuffle once per probe carrying their float vector (|Q|·
+    n_probe rows — the small side). Each cell group then scores with
+    one ADC gather. No stored×query cross product is ever
+    materialized, which is what makes the m-bytes-per-stored-row
+    motion claim true."""
     from pyspark.sql.window import Window
 
     import numpy as np
 
+    from batch_process_dpla_index_spark.operators.quantization import (
+        adc_score_topk,
+        adc_tables,
+    )
+
     manifest = read_manifest(index_dir)
     dim = int(manifest["dim"])
     n_cells = int(manifest["n_cells"])
-    m = int(manifest["pq_m"])
     centroids = load_centroids(spark, index_dir)
     books = np.asarray(load_pq_codebooks(spark, index_dir), dtype="float64")
-    dsub = dim // m
 
     q_assigned = ivf_cells_pandas(
         queries, id_col, vec_col, dim, n_cells, n_probe, centroids
     )
-    probes = q_assigned.select(
+    probe_side = q_assigned.select(
         F.explode("cells").alias("cell"),
-        F.col("id").alias("qid"),
+        F.lit(1).alias("role"),
+        F.col("id"),
+        F.lit(None).cast("array<int>").alias("codes"),
         F.col("vec").alias("qvec"),
     ).withColumn("cell", F.col("cell").cast("int"))
-    stored = spark.read.parquet(os.path.join(index_dir, "cells")).select(
-        "cell", "id", "codes"
+    stored_side = (
+        spark.read.parquet(os.path.join(index_dir, "cells"))
+        .select(
+            "cell",
+            F.lit(0).alias("role"),
+            "id",
+            "codes",
+            F.lit(None).cast("array<double>").alias("qvec"),
+        )
     )
-    joined = stored.join(probes, "cell")
 
     def score_cell(pdf):
         import pandas as pd
 
-        qg = pdf.drop_duplicates("qid")
-        Q = np.asarray(list(qg["qvec"]), dtype="float64")
-        qids = qg["qid"].to_numpy()
-        cg = pdf.drop_duplicates("id")
-        C = np.asarray(list(cg["codes"]), dtype="int64")
-        ids = cg["id"].to_numpy()
-        T = np.stack(
-            [
-                (
-                    (Q[:, j * dsub : (j + 1) * dsub][:, None, :] - books[j][None, :, :])
-                    ** 2
-                ).sum(axis=2)
-                for j in range(m)
-            ],
-            axis=1,
-        )
-        dist = T[:, np.arange(m)[None, :], C].sum(axis=2)
-        out_q, out_id, out_d = [], [], []
-        local_k = min(k + 1, dist.shape[1])
-        part = np.argpartition(dist, local_k - 1, axis=1)[:, :local_k]
-        for qi in range(len(qids)):
-            for ri in part[qi]:
-                if ids[ri] == qids[qi]:
-                    continue
-                out_q.append(qids[qi])
-                out_id.append(ids[ri])
-                out_d.append(dist[qi, ri])
+        st = pdf[pdf["role"] == 0]
+        pr = pdf[pdf["role"] == 1]
+        if not len(st) or not len(pr):
+            return pd.DataFrame(
+                {"query_id": pd.Series(dtype="int64"),
+                 "neighbor_id": pd.Series(dtype="int64"),
+                 "dist2": pd.Series(dtype="float64")}
+            )
+        qids = pr["id"].to_numpy(dtype="int64")
+        Q = np.asarray(list(pr["qvec"]), dtype="float64")
+        ids = st["id"].to_numpy(dtype="int64")
+        C = np.asarray(list(st["codes"]), dtype="int64")
+        T = adc_tables(Q, books)
+        out_q, out_id, out_d = adc_score_topk(T, qids, C, ids, k)
         return pd.DataFrame(
             {"query_id": out_q, "neighbor_id": out_id, "dist2": out_d}
         )
 
-    scored = joined.groupBy("cell").applyInPandas(
-        score_cell, "query_id bigint, neighbor_id bigint, dist2 double"
+    scored = (
+        stored_side.unionByName(probe_side)
+        .groupBy("cell")
+        .applyInPandas(score_cell, "query_id bigint, neighbor_id bigint, dist2 double")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("dist2").asc(), F.col("neighbor_id").asc()
