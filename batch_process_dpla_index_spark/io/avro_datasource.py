@@ -139,9 +139,35 @@ class AvroPyWriter(DataSourceWriter):
         return _Committed(tmp, final, n)
 
     def commit(self, messages) -> None:
+        committed = 0
         for m in messages:
             if m is not None and m.n > 0:
                 os.replace(m.tmp, m.final)
+                committed += 1
+        # Failed-then-retried or zombie attempts leave their own
+        # part-*-{job_tag}-a*.avro._tmp behind (only the attempt whose
+        # message we received was renamed); sweep this job's leftovers
+        # so a successful job never accumulates orphan tmp files.
+        for leftover in _glob.glob(
+            os.path.join(self.path, f"part-*-{self.job_tag}-a*.avro._tmp")
+        ):
+            try:
+                os.remove(leftover)
+            except OSError:
+                pass
+        if committed == 0:
+            # Every partition was empty: emit one schema-only container
+            # so a subsequent read of this path returns an empty frame
+            # with the written schema instead of FileNotFoundError —
+            # the round trip must be symmetric for the empty dataset.
+            from batch_process_dpla_index_spark.io.avro_py import (
+                spark_to_avro_schema,
+                write_container,
+            )
+
+            empty = os.path.join(self.path, f"part-00000-{self.job_tag}-a0.avro")
+            with open(empty, "wb") as fh:
+                write_container(iter(()), spark_to_avro_schema(self.schema), fh)
         with open(os.path.join(self.path, "_SUCCESS"), "w", encoding="utf-8"):
             pass
 

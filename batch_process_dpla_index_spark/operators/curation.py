@@ -36,6 +36,7 @@ from typing import Mapping
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from batch_process_dpla_index_spark.operators.dedup import _with_cached_deps
 from batch_process_dpla_index_spark.functions.text import (
     h60,
     mean_token_len_tok,
@@ -204,9 +205,11 @@ def mixture_plan(
     The domain-reweighting step of training-data assembly: given target
     mixture ``weights`` (domain → fraction of the token budget) and the
     corpus's actual per-domain token counts, emit the keep-rate each
-    domain must be sampled at. Rates are integer parts-per-million so
-    the plan (and the sample that consumes it) is bit-identical across
-    engines — no float-boundary drift between Spark and the oracle.
+    domain must be sampled at. Rates are parts-per-million computed as
+    the floor of an IEEE-double expression (see the inline ANSI/overflow
+    note below); engine parity holds because the oracle mirrors the
+    identical double expression verbatim, not because the arithmetic is
+    pure-integer.
 
     Plan shape at 100 TB: one map-side-combined aggregate whose shuffle
     carries |domains| rows (dozens), then arms-length integer
@@ -407,7 +410,10 @@ def boilerplate_stats(
     filter shrinks it by orders of magnitude, so the mark-join back
     onto the exploded frame is AQE-broadcastable; the per-doc rollup is
     a count aggregate. Two real shuffles total (segment agg, doc agg),
-    both linear and skew-tolerant.
+    both linear and skew-tolerant. The exploded frame feeds both the
+    dictionary aggregate and the mark-join, so it is persisted — one
+    corpus scan + tokenization, not two; callers release it with
+    :func:`~batch_process_dpla_index_spark.operators.dedup.unpersist_deps`.
     """
     w = seg_tokens
     toks = docs.select(
@@ -422,14 +428,14 @@ def boilerplate_stats(
                 lambda i: F.concat_ws(" ", F.slice("__tok", i * w + 1, w)),
             )
         ).alias("seg"),
-    )
+    ).persist()
     bp = (
         segs.groupBy("seg")
         .agg(F.countDistinct("doc_id").alias("df"))
         .filter(F.col("df") >= min_docs)
         .select("seg", F.lit(1).alias("__bp"))
     )
-    return (
+    result = (
         segs.join(bp, "seg", "left")
         .groupBy("doc_id")
         .agg(
@@ -440,3 +446,4 @@ def boilerplate_stats(
             ).alias("boilerplate_ratio"),
         )
     )
+    return _with_cached_deps(result, [segs])

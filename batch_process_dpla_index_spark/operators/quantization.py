@@ -28,10 +28,16 @@ Spark-first shape:
   |Q|×|corpus| float matrix ever materializes.
 
 Determinism: seeding, iteration count, and tie-breaks are pure
-functions of (corpus, params) — same codes on every run/partitioning.
-Float k-means prevents a cross-engine SQL oracle (documented; the
-driver records the rows-only check); recall against the exact scorer
-and run-to-run determinism are pytest-pinned.
+functions of (corpus, params), so reruns of the same plan over the
+same fixture produce the same codes (pytest-pinned). Cross-PARTITIONING
+bit-stability is NOT guaranteed: the centroid update uses Spark float
+sums whose accumulation order follows the partitioning, and last-ulp
+drift can flip a near-tied argmin code assignment. Float k-means also
+prevents a cross-engine SQL oracle for the end-to-end top-k
+(documented; the driver records the rows-only check) — but the encode
+step given a PINNED codebook and the ADC distance math are exact and
+oracle-verified (`pq_encode` in the registry); recall against the
+exact scorer is pytest-pinned.
 """
 
 from __future__ import annotations

@@ -56,9 +56,12 @@ def compaction_plan(stats: DataFrame, target_bytes: int) -> DataFrame:
     |files| rows, so a single-partition window is fine even when the
     DATA is 100 TB (a million files is still one executor's work).
 
-    Files at/above ``target_bytes`` land alone in their bin (their
-    cumsum step crosses a bin boundary), so big files are never
-    rewritten together."""
+    A file at/above ``target_bytes`` always closes its bin (the cumsum
+    step crosses a bin boundary, so the next file starts a new bin),
+    but it may share its own bin with small files that preceded it —
+    e.g. sizes 10 then 200 with target 100 both land in bin 0. Large
+    files are never rewritten *with each other*; the rewrite of a bin
+    containing one large file is bounded by target + that file."""
     w = Window.orderBy("file").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return (
         stats.withColumn("__cum", F.sum("size_bytes").over(w))

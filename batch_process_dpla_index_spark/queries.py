@@ -1570,10 +1570,11 @@ MIXTURE_BUDGET = 10_000
 
 
 def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Domain-reweighting plan: per-language token totals → integer
-    ppm keep-rates against the pinned target mixture. One
-    |domains|-row aggregate; every rate is integer arithmetic so the
-    plan is engine-exact."""
+    """Domain-reweighting plan: per-language token totals → ppm
+    keep-rates against the pinned target mixture. One |domains|-row
+    aggregate; the rate is the floor of an IEEE-double expression the
+    oracle mirrors verbatim, so the plan is engine-exact by mirroring,
+    not by integer arithmetic."""
     from batch_process_dpla_index_spark.operators.curation import mixture_plan
 
     docs = load_table(spark, sf_dir, "documents")

@@ -60,6 +60,18 @@ def main():
     if errors:
         out["errors"] = errors
         out["n_errors"] = len(errors)
+    # Self-record the complete result: the driver captures only the tail
+    # of stdout, which truncated 14 queries' timings out of BENCH_r04.
+    # The file is the durable artifact; the stdout line is the contract.
+    local_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+    )
+    try:
+        with open(local_path, "w", encoding="utf-8") as f:
+            json.dump(out, f, indent=1, sort_keys=True)
+            f.write("\n")
+    except OSError as exc:  # never let recording kill the contract line
+        print(f"# BENCH_LOCAL.json write failed: {exc}", file=sys.stderr)
     print(json.dumps(out))
 
 

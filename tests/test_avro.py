@@ -232,6 +232,60 @@ def test_avro_datasource_overwrite_mode(spark, tmp_path):
     assert spark.read.format("avro_py").load(out).count() == 5
 
 
+def test_avro_datasource_empty_write_round_trips(spark, tmp_path):
+    """Writing an empty DataFrame must still produce a readable path:
+    commit() emits one schema-only container, so the read returns an
+    empty frame with the written schema (symmetric round trip)."""
+    from batch_process_dpla_index_spark.io.avro_datasource import register
+
+    register(spark)
+    out = str(tmp_path / "empty")
+    empty = spark.range(10).filter("id < 0").withColumnRenamed("id", "n")
+    empty.write.format("avro_py").mode("overwrite").save(out)
+    got = spark.read.format("avro_py").load(out)
+    assert got.schema.fieldNames() == ["n"]
+    assert got.count() == 0
+
+
+def test_avro_datasource_commit_sweeps_orphan_tmp(spark, tmp_path):
+    """A zombie/retried attempt's leftover ._tmp must be swept by the
+    next successful commit of the same job tag — a green job leaves no
+    tmp debris behind."""
+    import glob
+
+    from batch_process_dpla_index_spark.io.avro_datasource import (
+        AvroPyWriter,
+        _Committed,
+        register,
+    )
+
+    register(spark)
+    out = str(tmp_path / "sweep")
+    df = spark.range(3).withColumnRenamed("id", "n")
+    writer = AvroPyWriter(df.schema, out, overwrite=True)
+    import os
+
+    os.makedirs(out, exist_ok=True)
+    # simulate a zombie attempt's orphan tmp for this job tag
+    orphan = os.path.join(out, f"part-00001-{writer.job_tag}-a0.avro._tmp")
+    with open(orphan, "wb") as fh:
+        fh.write(b"partial")
+    # and a real committed part from attempt 1 of the same partition
+    from batch_process_dpla_index_spark.io.avro_py import (
+        spark_to_avro_schema,
+        write_container,
+    )
+
+    final = os.path.join(out, f"part-00001-{writer.job_tag}-a1.avro")
+    tmp = final + "._tmp"
+    with open(tmp, "wb") as fh:
+        n = write_container(iter([{"n": 1}]), spark_to_avro_schema(df.schema), fh)
+    writer.commit([_Committed(tmp, final, n)])
+    assert os.path.exists(final)
+    assert not glob.glob(out + "/*._tmp")
+    assert spark.read.format("avro_py").load(out).count() == 1
+
+
 def test_compiled_encoder_matches_reference_bytes(spark):
     """The schema-compiled encoder (the write hot path) must stay
     byte-identical to the readable reference _encode on the full
