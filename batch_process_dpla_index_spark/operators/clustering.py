@@ -103,6 +103,7 @@ def kmeans_fit(
     n_iter: int = 10,
     tol: float = 1e-6,
     init: str = "maximin",
+    update_grid: int | None = None,
 ) -> list[list[float]]:
     """Lloyd's iterations; returns the k×dim centroid list (driver-side
     — it IS the model, k×dim floats). Stops early when no centroid
@@ -112,7 +113,20 @@ def kmeans_fit(
     passes, recovers separated clusters. ``init='hash'`` seeds with the
     k rows of smallest ``h60(id)`` in ONE pass: cheapest deterministic
     start for throughput-bound jobs that only need a stable partition
-    of the space, at the cost of local-optimum quality."""
+    of the space, at the cost of local-optimum quality.
+
+    ``update_grid`` (e.g. ``10**6``) makes the centroid UPDATE
+    order-insensitive: per-(cell, dim) sums aggregate
+    ``floor(x · grid)`` as exact BIGINTs instead of doubles, and the
+    centroid coordinate is ``(Σq / n) / grid``. Integer addition
+    commutes, so the fitted centroids are bit-identical across
+    partitionings, reruns, AND engines (float32→double conversion,
+    the scale/floor, and the two divisions are all IEEE-exact and
+    correctly rounded in any conforming engine — sums stay under 2^53
+    by construction for unit-scale embeddings). The ~1e-6 coordinate
+    quantization is far below k-means' own noise floor; this is how
+    the registry's `kmeans_cells` gets a cross-engine SQL oracle for
+    an iterative float algorithm."""
     if init == "maximin":
         centroids = _maximin_seeds(df, id_col, vec_col, k)
     else:
@@ -131,10 +145,16 @@ def kmeans_fit(
         assigned = _assign_cells(df, id_col, vec_col, centroids)
         # per-(cell, dimension) sum/count: partial agg shuffles k×dim
         # rows; per-(cell,pos) count == the cell's row count
+        x = F.col("x").cast("double")
+        s_expr = (
+            F.sum(F.floor(x * F.lit(float(update_grid))).cast("bigint"))
+            if update_grid
+            else F.sum(x)
+        )
         stats = (
             assigned.select("cell", F.posexplode("vec").alias("pos", "x"))
             .groupBy("cell", "pos")
-            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+            .agg(s_expr.alias("s"), F.count("*").alias("n"))
             .collect()
         )
         sums: dict[int, list[float]] = {}
@@ -145,7 +165,10 @@ def kmeans_fit(
         new_centroids = list(centroids)  # empty cells keep previous
         shift = 0.0
         for cell, vsum in sums.items():
-            c = [s / counts[cell] for s in vsum]
+            if update_grid:
+                c = [s / counts[cell] / update_grid for s in vsum]
+            else:
+                c = [s / counts[cell] for s in vsum]
             old = centroids[cell]
             shift = max(shift, sum((a - b) ** 2 for a, b in zip(c, old)))
             new_centroids[cell] = c

@@ -168,9 +168,16 @@ def pq_encode(
     codebooks,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    with_error: bool = False,
 ) -> DataFrame:
     """(id, codes array<int>): one narrow Arrow pass; each vector is
-    sliced and matched against its subspace codebook in-batch."""
+    sliced and matched against its subspace codebook in-batch.
+
+    ``with_error=True`` adds ``recon_err`` — the per-row ADC
+    reconstruction error Σⱼ ‖xⱼ − books[j][codes[j]]‖², i.e. exactly
+    the distance the ADC tables would report for the vector against
+    its own codes. Same pass, no extra shuffle; this is the quantity
+    the `pq_encode` registry oracle verifies value-level."""
     import numpy as np
 
     books = np.asarray(codebooks, dtype="float64")
@@ -185,15 +192,44 @@ def pq_encode(
             X = np.asarray(list(pdf[vec_col]), dtype="float64")
             n = len(pdf)
             codes = np.empty((n, m), dtype="int32")
+            errs = np.zeros(n, dtype="float64")
             for j in range(m):
                 sl = X[:, j * dsub : (j + 1) * dsub]
                 d = ((sl[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
                 codes[:, j] = d.argmin(axis=1)
-            yield pd.DataFrame(
-                {"id": pdf[id_col].to_numpy(), "codes": list(codes.tolist())}
-            )
+                if with_error:
+                    errs += d[np.arange(n), codes[:, j]]
+            out = {"id": pdf[id_col].to_numpy(), "codes": list(codes.tolist())}
+            if with_error:
+                out["recon_err"] = errs
+            yield pd.DataFrame(out)
 
-    return df.select(id_col, vec_col).mapInPandas(encode, "id bigint, codes array<int>")
+    schema = "id bigint, codes array<int>"
+    if with_error:
+        schema += ", recon_err double"
+    return df.select(id_col, vec_col).mapInPandas(encode, schema)
+
+
+def pq_pinned_codebooks(m: int = 8, k: int = 16, dsub: int = 8):
+    """Deterministic pseudo-random codebooks — the PQ twin of
+    `similarity._centroid`'s h60-literal scheme: component d of code c
+    in subspace j is ``h60('pq:{j}:{c}:{d}')`` scaled to [-1, 1).
+    Engine-portable by construction (the oracle regenerates the exact
+    same doubles), which is what makes the ENCODE step and the ADC
+    distance math SQL-verifiable independently of float k-means
+    training."""
+    from batch_process_dpla_index_spark.operators.similarity import _h60_py
+
+    return [
+        [
+            [
+                (_h60_py(f"pq:{j}:{c}:{d}") % 2_000_003) / 1_000_001.5 - 1.0
+                for d in range(dsub)
+            ]
+            for c in range(k)
+        ]
+        for j in range(m)
+    ]
 
 
 def adc_tables(Q, books):

@@ -1195,6 +1195,111 @@ FROM topk WHERE rnk <= {k}
 
 ORACLE_IVF_TOPK = _ivf_oracle()
 
+
+def _kmeans_oracle(k: int = 8, n_iter: int = 3, grid: int = 10**6) -> str:
+    """Unrolled Lloyd's replay — possible because the Spark side's
+    centroid update aggregates integer micro-units (exact BIGINT sums,
+    order-insensitive; `clustering.kmeans_fit(update_grid=...)`), so
+    both engines compute bit-identical centroids at every iteration
+    boundary: float32→double is exact, floor(x·grid) is deterministic,
+    and (Σq / n) / grid divides exact integers below 2^53. Assignment
+    distances are plain double math in both engines; argmin agrees
+    unless two centroids tie within ~1 ulp (not the case on the
+    fixtures). ``n_iter`` is unrolled as plain CTEs — no recursion."""
+    h = _h60("CAST(vec_id AS VARCHAR)")
+    parts = [
+        "WITH v AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,"
+        " CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),",
+        f"""seeds AS (
+    SELECT vec_id, row_number() OVER (ORDER BY h, vec_id) - 1 AS cell
+    FROM (SELECT vec_id, {h} AS h FROM embeddings ORDER BY h, vec_id LIMIT {k})
+),
+c0 AS (SELECT s.cell, v.pos, v.x AS c FROM seeds s JOIN v ON v.vec_id = s.vec_id),""",
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(f"""a{i} AS (
+    SELECT vec_id, cell FROM (
+        SELECT v.vec_id, c.cell,
+               row_number() OVER (PARTITION BY v.vec_id
+                   ORDER BY sum((v.x - c.c) * (v.x - c.c)), c.cell) AS rn
+        FROM v JOIN c{i - 1} c USING (pos)
+        GROUP BY v.vec_id, c.cell)
+    WHERE rn = 1
+),
+u{i} AS (
+    SELECT a.cell, v.pos,
+           sum(CAST(floor(v.x * {grid}.0) AS BIGINT)) AS s, count(*) AS n
+    FROM a{i} a JOIN v ON v.vec_id = a.vec_id
+    GROUP BY a.cell, v.pos
+),
+c{i} AS (
+    SELECT p.cell, p.pos,
+           COALESCE(CAST(u.s AS DOUBLE) / CAST(u.n AS DOUBLE) / {grid}.0, p.c) AS c
+    FROM c{i - 1} p LEFT JOIN u{i} u ON u.cell = p.cell AND u.pos = p.pos
+),""")
+    parts.append(f"""final AS (
+    SELECT vec_id, cell, d2 FROM (
+        SELECT v.vec_id, c.cell, sum((v.x - c.c) * (v.x - c.c)) AS d2,
+               row_number() OVER (PARTITION BY v.vec_id
+                   ORDER BY sum((v.x - c.c) * (v.x - c.c)), c.cell) AS rn
+        FROM v JOIN c{n_iter} c USING (pos)
+        GROUP BY v.vec_id, c.cell)
+    WHERE rn = 1
+)
+SELECT CAST(cell AS INTEGER) AS cell, count(*) AS n_vectors,
+       round(avg(d2), 6) AS avg_dist2
+FROM final GROUP BY cell""")
+    return "\n".join(parts)
+
+
+ORACLE_KMEANS_CELLS = _kmeans_oracle()
+
+
+def _pq_encode_oracle(m: int = 8, k: int = 16, dsub: int = 8) -> str:
+    """Replays PQ encoding against the same pinned h60-literal codebook
+    `quantization.pq_pinned_codebooks` builds: for every (subspace j,
+    code c) a distance expression over the 8 sliced components, argmin
+    per (vec, j) with the lowest-code tie-break, codes assembled in
+    subspace order, recon_err = Σⱼ best distance (rounded 6 in both
+    engines)."""
+
+    def book(j: int, c: int, d: int) -> float:
+        return (_h60_py(f"pq:{j}:{c}:{d}") % 2_000_003) / 1_000_001.5 - 1.0
+
+    def dist_expr(j: int, c: int) -> str:
+        terms = []
+        for d in range(dsub):
+            idx = j * dsub + d + 1  # 1-based list index
+            b = repr(book(j, c, d))
+            terms.append(
+                f"(CAST(embedding[{idx}] AS DOUBLE) - ({b}))"
+                f" * (CAST(embedding[{idx}] AS DOUBLE) - ({b}))"
+            )
+        return " + ".join(terms)
+
+    selects = "\n    UNION ALL\n    ".join(
+        f"SELECT vec_id, {j} AS j, {c} AS c, {dist_expr(j, c)} AS dist FROM embeddings"
+        for j in range(m)
+        for c in range(k)
+    )
+    return f"""
+WITH dists AS (
+    {selects}
+), best AS (
+    SELECT vec_id, j, c AS code, dist,
+           row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, c) AS rn
+    FROM dists
+)
+SELECT vec_id,
+       list(CAST(code AS INTEGER) ORDER BY j) AS codes,
+       round(sum(dist), 6) AS recon_err
+FROM best WHERE rn = 1
+GROUP BY vec_id
+"""
+
+
+ORACLE_PQ_ENCODE = _pq_encode_oracle()
+
 # Connected components = transitive closure (recursive CTE) + min label.
 # The Spark side computes the same fixpoint by min-label propagation.
 ORACLE_DEDUP_CLUSTERS = f"""
@@ -1671,6 +1776,8 @@ ORACLES: dict[str, str] = {
     "gap_fill": ORACLE_GAP_FILL,
     "melt_metrics": ORACLE_MELT_METRICS,
     "ivf_topk": ORACLE_IVF_TOPK,
+    "kmeans_cells": ORACLE_KMEANS_CELLS,
+    "pq_encode": ORACLE_PQ_ENCODE,
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
     "price_tiers": ORACLE_PRICE_TIERS,
     "salted_brand_join": ORACLE_SALTED_BRAND_JOIN,

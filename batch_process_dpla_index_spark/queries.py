@@ -1234,10 +1234,14 @@ def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned-centroid clustering (Lloyd's k-means, deterministic
-    maximin seeding) over the embeddings table: per-cell population +
-    mean squared distance. Iterative algorithm — deliberately no SQL
-    oracle (the driver records the rows-only check); exact recovery,
-    monotone inertia, and determinism are pytest-proven
+    hash seeding) over the embeddings table: per-cell population +
+    mean squared distance. The centroid update aggregates integer
+    micro-units (``update_grid=1e6``), so the fitted centroids are
+    bit-identical across partitionings and engines — which is what
+    lets this iterative float algorithm carry a real SQL oracle: the
+    DuckDB side replays the same 3 unrolled Lloyd's iterations from
+    the same hash seeds. Exact recovery, monotone inertia, and
+    determinism are additionally pytest-proven
     (tests/test_clustering.py). Per iteration: one Arrow assign pass +
     one (cell, dim)-keyed partial agg — the IVF training path."""
     from batch_process_dpla_index_spark.operators.clustering import (
@@ -1246,7 +1250,9 @@ def q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = kmeans_fit(emb, "vec_id", "embedding", k=8, n_iter=3, init="hash")
+    cents = kmeans_fit(
+        emb, "vec_id", "embedding", k=8, n_iter=3, init="hash", update_grid=10**6
+    )
     return (
         kmeans_assign(emb, cents, "vec_id", "embedding")
         .groupBy("cell")
@@ -1256,6 +1262,31 @@ def q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+
+
+def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encode + ADC distance math, oracle-verified: assign each
+    embedding its m=8 sub-codes against a PINNED deterministic codebook
+    (h60-literal scheme — no float training in the loop) and emit the
+    ADC reconstruction error Σⱼ ‖xⱼ − cⱼ‖². This isolates the exact,
+    SQL-expressible core of the PQ pipeline (slicing, argmin code
+    assignment, table-gather distance) from the float k-means training
+    that keeps `pq_topk` rows-only. One narrow Arrow pass, no
+    shuffle."""
+    from batch_process_dpla_index_spark.operators.quantization import (
+        pq_encode,
+        pq_pinned_codebooks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    enc = pq_encode(
+        emb, pq_pinned_codebooks(), "vec_id", "embedding", with_error=True
+    )
+    return enc.select(
+        F.col("id").alias("vec_id"),
+        "codes",
+        F.round("recon_err", 6).alias("recon_err"),
+    )
 
 
 def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1665,6 +1696,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lsh_ann_topk": q_lsh_ann_topk,
     "ivf_topk": q_ivf_topk,
     "pq_topk": q_pq_topk,
+    "pq_encode": q_pq_encode,
     "embedding_near_dup": q_embedding_near_dup,
     # -- DPLA reference parity --
     "mq_provider_scores": q_mq_provider_scores,
