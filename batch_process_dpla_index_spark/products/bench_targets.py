@@ -1,0 +1,127 @@
+"""Timed product pipelines for ``bench.py``.
+
+The registry queries cover every operator individually; users actually
+run the composed write-side products (index build + serve, curation
+export, sitemap, compaction). Each target here runs one product
+end-to-end at the bench scale factor inside a scratch directory and
+returns a row count, so the per-round bench (and its 2× regression
+gate) covers the pipelines, not just their stages.
+
+Contract: ``PRODUCT_BENCHES[name](spark, sf_dir, work_dir) -> int``.
+Timing includes every job the product runs (builds, writes, reads
+back) — the number is a regression signal for the composition, not a
+micro-benchmark of one stage. Targets write only under ``work_dir``
+(a fresh temp dir per bench run).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from batch_process_dpla_index_spark.sources.tables import load_table
+
+
+def _bench_sitemap(spark: SparkSession, sf_dir: str, work_dir: str) -> int:
+    """Sitemap product (Sitemap.scala analog): ids → XML subfiles +
+    index + manifest; max_rows sized so sf0.1 produces ~10 subfiles."""
+    from batch_process_dpla_index_spark.products import sitemap
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = docs.select(F.col("doc_id").cast("string").alias("id"))
+    out = os.path.join(work_dir, "sitemap")
+    sitemap.execute(
+        spark, ids, out, "https://cdn.example.org/sitemaps", max_rows=500
+    )
+    return ids.count()
+
+
+def _bench_training_export(spark: SparkSession, sf_dir: str, work_dir: str) -> int:
+    """Full curation chain: sentence dedup → quality gate → mixture
+    sampling → deterministic shuffle → 8 ordered shards + manifest."""
+    from batch_process_dpla_index_spark.products.training_export import (
+        export_training_shards,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    manifest = export_training_shards(
+        spark,
+        docs,
+        os.path.join(work_dir, "shards"),
+        seed="bench",
+        n_shards=8,
+        gate=True,
+        sentence_dedup_first=True,
+        mixture=("lang", {"en": 0.5, "de": 0.2, "fr": 0.2, "es": 0.1}, 100_000),
+    )
+    return int(manifest["Total doc count"])
+
+
+def _bench_dedup_index(spark: SparkSession, sf_dir: str, work_dir: str) -> int:
+    """Dedup index build over the corpus + one indexed batch query
+    (the incremental-ingest serving path)."""
+    from batch_process_dpla_index_spark.operators.dedup import unpersist_deps
+    from batch_process_dpla_index_spark.products.dedup_index import (
+        build_dedup_index,
+        incremental_dedup_indexed,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = os.path.join(work_dir, "dedup_index")
+    build_dedup_index(docs, "text", "doc_id", idx)
+    batch = docs.filter(F.col("doc_id") % 10 == 7)
+    out = incremental_dedup_indexed(spark, batch, "text", "doc_id", idx)
+    n = out.count()
+    unpersist_deps(out)
+    return n
+
+
+def _bench_ann_index(spark: SparkSession, sf_dir: str, work_dir: str) -> int:
+    """IVF-PQ index build (learned centroids + PQ codebooks) + one
+    25-query ADC serve from codes alone."""
+    from batch_process_dpla_index_spark.products.ann_index import (
+        build_ann_index,
+        pq_query_indexed,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = os.path.join(work_dir, "ann_index")
+    build_ann_index(
+        emb,
+        "vec_id",
+        "embedding",
+        idx,
+        dim=64,
+        n_cells=16,
+        kmeans_iters=3,
+        pq_m=8,
+        pq_iters=2,
+    )
+    queries = emb.orderBy("vec_id").limit(25)
+    return pq_query_indexed(
+        spark, queries, "vec_id", "embedding", idx, k=5, n_probe=4
+    ).count()
+
+
+def _bench_compaction(spark: SparkSession, sf_dir: str, work_dir: str) -> int:
+    """Small-file maintenance: fragment the events table into 64 files,
+    then compact to 8 MiB bins (plan + one-shuffle rewrite)."""
+    from batch_process_dpla_index_spark.products.compaction import compact
+
+    events = load_table(spark, sf_dir, "events")
+    frag = os.path.join(work_dir, "frag")
+    events.repartition(64).write.parquet(frag)
+    result = compact(spark, frag, os.path.join(work_dir, "compacted"), 8 << 20)
+    return result["n_rows"]
+
+
+PRODUCT_BENCHES: dict[str, Callable[[SparkSession, str, str], int]] = {
+    "product_sitemap": _bench_sitemap,
+    "product_training_export": _bench_training_export,
+    "product_dedup_index": _bench_dedup_index,
+    "product_ann_index": _bench_ann_index,
+    "product_compaction": _bench_compaction,
+}

@@ -45,6 +45,30 @@ def main():
         times[name] = round(time.time() - t0, 3)
         print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
 
+    # Composed product pipelines (index build+serve, curation export,
+    # sitemap, compaction) — timed end-to-end in a scratch dir so the
+    # 2x gate covers what users actually run, not just the stages.
+    import shutil
+    import tempfile
+
+    from batch_process_dpla_index_spark.products.bench_targets import (
+        PRODUCT_BENCHES,
+    )
+
+    for name, fn in PRODUCT_BENCHES.items():
+        work_dir = tempfile.mkdtemp(prefix=f"bench_{name}_")
+        t0 = time.time()
+        try:
+            n = fn(spark, sf_dir, work_dir)
+        except Exception as exc:
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"# {name}: ERROR {errors[name][:120]}", file=sys.stderr)
+            continue
+        finally:
+            shutil.rmtree(work_dir, ignore_errors=True)
+        times[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
+
     total = round(sum(times.values()), 3)
     out = {
         "metric": "total_query_wall_clock",
