@@ -217,8 +217,10 @@ class FsspecFilesystem:
     AbstractFileSystem — the production object-store path (s3fs, gcsfs,
     abfs all speak it). Import-gated: fsspec is not in the sandbox, so
     construction raises ImportError unless an ``fs`` instance is
-    injected; the contract itself is exercised by
-    :class:`MemoryFilesystem` in tests/test_fs.py.
+    injected. The adapter's code runs in tests/test_fs.py's full K5-K9
+    contract matrix against a duck-typed AbstractFileSystem fake
+    (always), and against fsspec's real ``memory://`` backend when the
+    package is importable.
 
     Usage on a real cluster::
 

@@ -5,8 +5,9 @@ carrier and the in-memory object-store carrier (S3-semantics test
 double), proving the raw-put sink seam is backend-agnostic — the
 reference's S3FileHelper contract (paged listing, raw/gzip put,
 1000-key batch delete, latest-dated-prefix discovery) holds without a
-real object store. FsspecFilesystem joins the matrix automatically
-when fsspec is installed (not in this sandbox).
+real object store. FsspecFilesystem runs in the matrix against a
+duck-typed fsspec fake (always), and against the genuine `memory://`
+backend too when fsspec is installed.
 """
 
 from __future__ import annotations
@@ -24,9 +25,78 @@ from batch_process_dpla_index_spark.io.fs import (
 )
 
 
+class _FakeAbstractFS:
+    """Duck-typed stand-in for fsspec's MemoryFileSystem implementing
+    exactly the AbstractFileSystem subset `FsspecFilesystem` calls
+    (open / exists / ls / rm / isdir), with fsspec semantics:
+    implicit parent directories, `ls(detail=True)` dicts carrying
+    ``name``/``type``, `rm` accepting a str or a list. This executes
+    the adapter's real code in the sandbox (fsspec itself isn't
+    installed); when fsspec IS importable, the same contract suite
+    also runs against the genuine `memory://` backend."""
+
+    def __init__(self) -> None:
+        self.files: dict[str, bytes] = {}
+
+    @staticmethod
+    def _norm(path: str) -> str:
+        return "/" + path.strip("/")
+
+    def open(self, path, mode="rb"):
+        import io
+
+        path = self._norm(path)
+        if "w" in mode:
+            fake = self
+
+            class _W(io.BytesIO):
+                def close(inner):  # noqa: N805
+                    fake.files[path] = inner.getvalue()
+                    super().close()
+
+            return _W()
+        if path not in self.files:
+            raise FileNotFoundError(path)
+        return io.BytesIO(self.files[path])
+
+    def isdir(self, path) -> bool:
+        d = self._norm(path) + "/"
+        return any(k.startswith(d) for k in self.files)
+
+    def exists(self, path) -> bool:
+        return self._norm(path) in self.files or self.isdir(path)
+
+    def ls(self, path, detail=False):
+        path = self._norm(path)
+        if path in self.files:
+            entries = [path]
+        else:
+            d = path + "/"
+            entries = sorted(
+                {d + k[len(d):].split("/", 1)[0] for k in self.files if k.startswith(d)}
+            )
+        if not detail:
+            return entries
+        return [
+            {"name": e, "type": "directory" if self.isdir(e) else "file"}
+            for e in entries
+        ]
+
+    def rm(self, path, recursive=False):
+        for p in [path] if isinstance(path, str) else path:
+            p = self._norm(p)
+            if p in self.files:
+                del self.files[p]
+            elif recursive:
+                d = p + "/"
+                for k in [k for k in self.files if k.startswith(d)]:
+                    del self.files[k]
+
+
 def _backends():
     yield "local"
     yield "memory"
+    yield "fsspec-fake"
     try:
         import fsspec  # noqa: F401
 
@@ -42,9 +112,12 @@ def carrier(request, tmp_path):
         return LocalFilesystem(), str(tmp_path)
     if request.param == "memory":
         return MemoryFilesystem(), "mem://bucket/data"
-    import fsspec
 
     from batch_process_dpla_index_spark.io.fs import FsspecFilesystem
+
+    if request.param == "fsspec-fake":
+        return FsspecFilesystem(_FakeAbstractFS()), "/fsspec-test"
+    import fsspec
 
     return FsspecFilesystem(fsspec.filesystem("memory")), "/fsspec-test"
 
