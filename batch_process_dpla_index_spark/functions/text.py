@@ -304,3 +304,35 @@ def repetition_ratio_tok(tok: Column, n: int = 2) -> Column:
     return F.when(total <= 0, F.lit(0.0)).otherwise(
         1.0 - F.size(F.array_distinct(grams)).cast("double") / total.cast("double")
     )
+
+
+def char_entropy(col: Column) -> Column:
+    """Shannon entropy (bits/char) of the raw character distribution —
+    the gibberish/encoding-noise quality signal: natural text sits
+    near 4-4.5 bits, base64 blobs score high, repeated-char floods
+    score near 0. NULL for the empty string.
+
+    Computed entirely in-expression via the aggregate identity
+    H = log2(n) − (Σ_d c_d·log2 c_d)/n over the distinct-char counts
+    (``split(col, '')`` yields one element per character), so the scan
+    stays one narrow codegen stage — no explode, no shuffle. Per-row
+    cost is O(len · distinct_chars); distinct chars in real text is
+    < 100, which keeps this cheap at any corpus size. The identity
+    form (one division at the end, log2-of-integer terms) is what the
+    DuckDB oracle mirrors verbatim.
+    """
+    chars = F.split(col, "")
+    # split('', '') yields [''] (size 1), so the empty guard must use
+    # char_length, not array size
+    n = F.length(col)
+    csum = F.aggregate(
+        F.transform(
+            F.array_distinct(chars),
+            lambda d: F.size(F.filter(chars, lambda c: c == d)).cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, c: acc + c * F.log2(c),
+    )
+    return F.when(n <= 0, F.lit(None).cast("double")).otherwise(
+        F.log2(n.cast("double")) - csum / n.cast("double")
+    )

@@ -387,6 +387,71 @@ def unigram_lm_scores(
     )
 
 
+def dsir_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): per-document mean
+    log-likelihood ratio between a TARGET-domain unigram LM and the
+    raw-corpus unigram LM. Documents that look like the target domain
+    get high weights; importance resampling then samples the raw
+    corpus proportionally. Both LMs are add-``alpha`` smoothed and fit
+    in-plan (the target model from ``target``, the raw model from
+    ``docs``).
+
+    Returns (id, n_terms, dsir_weight); higher = more target-like.
+
+    Plan shape at 100 TB: two vocab-sized count aggregates (map-side
+    combined; the target corpus is typically small), each paired with
+    a broadcast 1-row stats frame; the scoring join against the raw
+    vocabulary is AQE's choice (broadcast for real vocabularies); one
+    per-doc rollup. The log2-subtraction form keeps both engines'
+    float paths identical — same discipline as
+    :func:`unigram_lm_scores`.
+    """
+    terms = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__term")
+    )
+    t_counts = (
+        target.select(F.explode(tokens(F.col(text_col))).alias("__t"))
+        .groupBy(F.col("__t").alias("t_term"))
+        .agg(F.count("*").cast("bigint").alias("tc"))
+    )
+    c_counts = terms.groupBy(F.col("__term").alias("c_term")).agg(
+        F.count("*").cast("bigint").alias("cc")
+    )
+    t_stats = t_counts.agg(
+        F.sum("tc").cast("bigint").alias("__tn"),
+        F.count("*").cast("bigint").alias("__tv"),
+    )
+    c_stats = c_counts.agg(
+        F.sum("cc").cast("bigint").alias("__cn"),
+        F.count("*").cast("bigint").alias("__cv"),
+    )
+    a = float(alpha)
+    lp_t = F.log2(F.coalesce(F.col("tc"), F.lit(0)) + F.lit(a)) - F.log2(
+        F.col("__tn") + F.lit(a) * F.col("__tv")
+    )
+    lp_c = F.log2(F.coalesce(F.col("cc"), F.lit(0)) + F.lit(a)) - F.log2(
+        F.col("__cn") + F.lit(a) * F.col("__cv")
+    )
+    scored = (
+        terms.join(t_counts, terms["__term"] == t_counts["t_term"], "left")
+        .join(c_counts, terms["__term"] == c_counts["c_term"], "left")
+        .crossJoin(F.broadcast(t_stats))
+        .crossJoin(F.broadcast(c_stats))
+        .select(id_col, (lp_t - lp_c).alias("__lr"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_terms"),
+        F.round(F.avg("__lr"), 6).alias("dsir_weight"),
+    )
+
+
 def boilerplate_stats(
     docs: DataFrame,
     text_col: str,

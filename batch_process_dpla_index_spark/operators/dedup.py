@@ -766,3 +766,73 @@ def sentence_dedup(
         )
         .select(id_col, "text", "n_sentences", "n_dropped")
     )
+
+
+def semdedup(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    n_iter: int = 3,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
+    embedding space with deterministic k-means, then WITHIN each
+    cluster mark every vector that has a higher-similarity twin with a
+    smaller id. Cross-cluster pairs are never compared — the cluster
+    count bounds the pair join exactly like LSH bands bound MinHash.
+
+    Returns (id, cell, n_close, kept): ``n_close`` counts same-cell
+    vectors with smaller id and cosine >= ``threshold``; ``kept`` is
+    the survivor flag (no smaller-id twin). Deterministic end to end:
+    the k-means uses the integer-grid centroid update
+    (`clustering.kmeans_fit(update_grid=...)`) so cells are
+    bit-identical across engines, and cosine is the strict-fold
+    expression both engines evaluate identically — which is why this
+    whole pipeline (cluster → pair → threshold) carries a value-level
+    SQL oracle.
+
+    Plan shape at 100 TB: the per-iteration k-means cost is one Arrow
+    assign pass + one k×dim-row aggregate; the pair stage shuffles on
+    cell once and each cell's pair count is (|cell| choose 2) — size
+    cells via k ≈ √N (the IVF convention) and no task goes quadratic
+    in the corpus. No |corpus|² anywhere.
+    """
+    from batch_process_dpla_index_spark.functions.vectors import cosine
+    from batch_process_dpla_index_spark.operators.clustering import (
+        kmeans_assign,
+        kmeans_fit,
+    )
+
+    cents = kmeans_fit(
+        emb, id_col, vec_col, k=k, n_iter=n_iter, init="hash", update_grid=10**6
+    )
+    vecs = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    av = (
+        kmeans_assign(emb, cents, id_col, vec_col)
+        .select("id", "cell")
+        .join(vecs, "id")
+        .persist()
+    )
+    close = (
+        av.alias("a")
+        .join(
+            av.alias("b"),
+            (F.col("a.cell") == F.col("b.cell")) & (F.col("b.id") < F.col("a.id")),
+        )
+        .withColumn("__cos", cosine(F.col("a.vec"), F.col("b.vec")))
+        .filter(F.col("__cos") >= F.lit(float(threshold)))
+        .groupBy(F.col("a.id").alias("id"))
+        .agg(F.count("*").alias("n_close"))
+    )
+    result = (
+        av.select("id", "cell")
+        .join(close, "id", "left")
+        .select(
+            "id",
+            "cell",
+            F.coalesce(F.col("n_close"), F.lit(0)).cast("bigint").alias("n_close"),
+            (F.coalesce(F.col("n_close"), F.lit(0)) == 0).alias("kept"),
+        )
+    )
+    return _with_cached_deps(result, [av])

@@ -93,3 +93,56 @@ def bm25_topk(
         .orderBy(F.col("score").desc(), F.col("id").asc())
         .limit(k)
     )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Per-document top-k terms by TF-IDF — the keyword/fingerprint
+    extraction stage of corpus analysis (and the classic sparse
+    retrieval weight, tf · ln(N/df)).
+
+    Returns (id, term, tf, df, tfidf, rnk) for each document's top-k
+    terms; ties rank by ROUNDED score then term (ascending), so two
+    mathematically-equal scores reached through different (tf, df)
+    pairs — e.g. 2·ln(N/5) vs 1·ln(N/25) when N=125 — order
+    identically in every engine regardless of last-ulp float drift.
+
+    Plan shape at 100 TB: one (doc, term) tf aggregate and one
+    term-keyed df aggregate over it (both map-side combined; the df
+    frame is vocabulary-sized and joins back under AQE's choice), a
+    broadcast 1-row N, then a per-doc ranking window whose partitions
+    are single documents' term lists. No Python anywhere.
+    """
+    tf = (
+        docs.select(F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy("id", "term")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
+    n_docs = docs.agg(F.count("*").cast("bigint").alias("__n"))
+    from pyspark.sql.window import Window
+
+    scored = (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf").cast("double")
+                * F.log(F.col("__n").cast("double") / F.col("df").cast("double")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("id", "term", "tf", "df", "tfidf", "rnk")
+    )

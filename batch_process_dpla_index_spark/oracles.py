@@ -1196,16 +1196,11 @@ FROM topk WHERE rnk <= {k}
 ORACLE_IVF_TOPK = _ivf_oracle()
 
 
-def _kmeans_oracle(k: int = 8, n_iter: int = 3, grid: int = 10**6) -> str:
-    """Unrolled Lloyd's replay — possible because the Spark side's
-    centroid update aggregates integer micro-units (exact BIGINT sums,
-    order-insensitive; `clustering.kmeans_fit(update_grid=...)`), so
-    both engines compute bit-identical centroids at every iteration
-    boundary: float32→double is exact, floor(x·grid) is deterministic,
-    and (Σq / n) / grid divides exact integers below 2^53. Assignment
-    distances are plain double math in both engines; argmin agrees
-    unless two centroids tie within ~1 ulp (not the case on the
-    fixtures). ``n_iter`` is unrolled as plain CTEs — no recursion."""
+def _kmeans_cte_chain(k: int, n_iter: int, grid: int) -> str:
+    """Shared CTE prefix replaying `clustering.kmeans_fit(init='hash',
+    update_grid=grid)` exactly: unrolled Lloyd's iterations ending at
+    centroid frame ``c{n_iter}`` (cell, pos, c). Used by the
+    kmeans_cells and semdedup oracles."""
     h = _h60("CAST(vec_id AS VARCHAR)")
     parts = [
         "WITH v AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,"
@@ -1237,6 +1232,20 @@ c{i} AS (
            COALESCE(CAST(u.s AS DOUBLE) / CAST(u.n AS DOUBLE) / {grid}.0, p.c) AS c
     FROM c{i - 1} p LEFT JOIN u{i} u ON u.cell = p.cell AND u.pos = p.pos
 ),""")
+    return "\n".join(parts)
+
+
+def _kmeans_oracle(k: int = 8, n_iter: int = 3, grid: int = 10**6) -> str:
+    """Unrolled Lloyd's replay — possible because the Spark side's
+    centroid update aggregates integer micro-units (exact BIGINT sums,
+    order-insensitive; `clustering.kmeans_fit(update_grid=...)`), so
+    both engines compute bit-identical centroids at every iteration
+    boundary: float32→double is exact, floor(x·grid) is deterministic,
+    and (Σq / n) / grid divides exact integers below 2^53. Assignment
+    distances are plain double math in both engines; argmin agrees
+    unless two centroids tie within ~1 ulp (not the case on the
+    fixtures). ``n_iter`` is unrolled as plain CTEs — no recursion."""
+    parts = [_kmeans_cte_chain(k, n_iter, grid)]
     parts.append(f"""final AS (
     SELECT vec_id, cell, d2 FROM (
         SELECT v.vec_id, c.cell, sum((v.x - c.c) * (v.x - c.c)) AS d2,
@@ -1299,6 +1308,135 @@ GROUP BY vec_id
 
 
 ORACLE_PQ_ENCODE = _pq_encode_oracle()
+
+
+def _semdedup_oracle(
+    k: int = 8, n_iter: int = 3, grid: int = 10**6, threshold: float = 0.3
+) -> str:
+    """Replays `dedup.semdedup` end to end: the shared k-means CTE
+    chain yields bit-identical cells (integer-grid update), the final
+    assignment mirrors `kmeans_assign`'s argmin, and the within-cell
+    pair stage uses the strict-fold cosine both engines evaluate
+    identically."""
+    cos = (
+        f"({_dot('a.embedding', 'b.embedding')}) / "
+        f"(sqrt({_dot('a.embedding', 'a.embedding')}) * "
+        f"sqrt({_dot('b.embedding', 'b.embedding')}))"
+    )
+    return f"""{_kmeans_cte_chain(k, n_iter, grid)}
+af AS (
+    SELECT vec_id, cell FROM (
+        SELECT v.vec_id, c.cell,
+               row_number() OVER (PARTITION BY v.vec_id
+                   ORDER BY sum((v.x - c.c) * (v.x - c.c)), c.cell) AS rn
+        FROM v JOIN c{n_iter} c USING (pos)
+        GROUP BY v.vec_id, c.cell)
+    WHERE rn = 1
+),
+av AS (
+    SELECT f.vec_id AS id, f.cell, e.embedding
+    FROM af f JOIN embeddings e ON e.vec_id = f.vec_id
+),
+close AS (
+    SELECT a.id, CAST(count(*) AS BIGINT) AS n_close
+    FROM av a JOIN av b ON a.cell = b.cell AND b.id < a.id
+    WHERE {cos} >= {threshold}
+    GROUP BY a.id
+)
+SELECT av.id AS vec_id, CAST(av.cell AS INTEGER) AS cell,
+       CAST(COALESCE(close.n_close, 0) AS BIGINT) AS n_close,
+       COALESCE(close.n_close, 0) = 0 AS kept
+FROM av LEFT JOIN close ON close.id = av.id
+"""
+
+
+ORACLE_SEMDEDUP = _semdedup_oracle()
+
+# Target-vs-corpus unigram LMs, both add-1 smoothed; the log2
+# subtraction form mirrors curation.dsir_weights term by term.
+ORACLE_DSIR_WEIGHTS = """
+WITH terms AS (
+    SELECT doc_id,
+           unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+    FROM documents WHERE trim(lower(text)) <> ''
+), t_counts AS (
+    SELECT term, CAST(count(*) AS BIGINT) AS tc
+    FROM (
+        SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+        FROM documents WHERE lang = 'en' AND trim(lower(text)) <> ''
+    ) GROUP BY term
+), c_counts AS (
+    SELECT term, CAST(count(*) AS BIGINT) AS cc FROM terms GROUP BY term
+), t_stats AS (
+    SELECT CAST(sum(tc) AS BIGINT) AS tn, CAST(count(*) AS BIGINT) AS tv
+    FROM t_counts
+), c_stats AS (
+    SELECT CAST(sum(cc) AS BIGINT) AS cn, CAST(count(*) AS BIGINT) AS cv
+    FROM c_counts
+)
+SELECT t.doc_id, count(*) AS n_terms,
+       round(avg((log2(COALESCE(tc, 0) + 1.0) - log2(tn + 1.0 * tv))
+               - (log2(COALESCE(cc, 0) + 1.0) - log2(cn + 1.0 * cv))), 6)
+           AS dsir_weight
+FROM terms t
+LEFT JOIN t_counts USING (term)
+LEFT JOIN c_counts USING (term)
+CROSS JOIN t_stats CROSS JOIN c_stats
+GROUP BY t.doc_id
+"""
+
+# Rank on the ROUNDED score (term tie-break) — mathematically-equal
+# scores from different (tf, df) pairs order identically everywhere.
+ORACLE_TFIDF_TERMS = """
+WITH tf AS (
+    SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+    FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+        FROM documents WHERE trim(lower(text)) <> ''
+    ) GROUP BY doc_id, term
+), df AS (
+    SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+), n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+SELECT doc_id, term, tf, df, tfidf, rnk FROM (
+    SELECT tf.doc_id, tf.term, tf.tf, df.df,
+           round(CAST(tf.tf AS DOUBLE)
+                 * ln(CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)), 6)
+               AS tfidf,
+           CAST(row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY round(CAST(tf.tf AS DOUBLE)
+                   * ln(CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)), 6)
+                   DESC, tf.term) AS INTEGER) AS rnk
+    FROM tf JOIN df USING (term) CROSS JOIN n
+) WHERE rnk <= 3
+"""
+
+# H = log2(n) − (Σ c·log2 c)/n over per-character counts, computed
+# in-list exactly like the Spark expression (no explode).
+ORACLE_CHAR_ENTROPY = """
+SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_e,
+       CASE WHEN length(text) = 0 THEN NULL
+            ELSE round(
+                log2(CAST(length(text) AS DOUBLE))
+                - list_reduce(
+                    list_prepend(CAST(0.0 AS DOUBLE),
+                        list_transform(
+                            list_distinct(list_transform(
+                                range(1, length(text) + 1), i -> text[i])),
+                            d -> CAST(len(list_filter(
+                                    list_transform(range(1, length(text) + 1),
+                                                   i -> text[i]),
+                                    c -> c = d)) AS DOUBLE)
+                                 * log2(CAST(len(list_filter(
+                                    list_transform(range(1, length(text) + 1),
+                                                   i -> text[i]),
+                                    c -> c = d)) AS DOUBLE)))),
+                    (acc, x) -> acc + x)
+                  / CAST(length(text) AS DOUBLE), 6)
+       END AS entropy
+FROM documents
+"""
 
 # Connected components = transitive closure (recursive CTE) + min label.
 # The Spark side computes the same fixpoint by min-label propagation.
@@ -1778,6 +1916,10 @@ ORACLES: dict[str, str] = {
     "ivf_topk": ORACLE_IVF_TOPK,
     "kmeans_cells": ORACLE_KMEANS_CELLS,
     "pq_encode": ORACLE_PQ_ENCODE,
+    "semdedup": ORACLE_SEMDEDUP,
+    "dsir_weights": ORACLE_DSIR_WEIGHTS,
+    "tfidf_terms": ORACLE_TFIDF_TERMS,
+    "char_entropy": ORACLE_CHAR_ENTROPY,
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
     "price_tiers": ORACLE_PRICE_TIERS,
     "salted_brand_join": ORACLE_SALTED_BRAND_JOIN,

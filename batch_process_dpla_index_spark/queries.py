@@ -1289,6 +1289,61 @@ def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights: per-doc mean log-likelihood ratio
+    between a target-domain unigram LM (here: the English subset) and
+    the whole-corpus LM — the data-selection score for importance
+    resampling. Two vocab aggregates + broadcast stats + one rollup,
+    log2-subtraction float discipline."""
+    from batch_process_dpla_index_spark.operators.curation import dsir_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_weights(docs, docs.filter(F.col("lang") == "en"))
+
+
+def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms (keyword extraction / sparse
+    retrieval weights). Ranked on the ROUNDED score with a term
+    tie-break so mathematically-equal scores order identically in
+    both engines."""
+    from batch_process_dpla_index_spark.operators.ranking import tfidf_top_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, "doc_id", "text", k=3).select(
+        F.col("id").alias("doc_id"), "term", "tf", "df", "tfidf", "rnk"
+    )
+
+
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document (gibberish /
+    encoding-noise signal) — computed fully in-expression via the
+    H = log2(n) − Σc·log2(c)/n identity: zero shuffles, zero Python,
+    one codegen stage over the scan."""
+    from batch_process_dpla_index_spark.functions.text import char_entropy
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars_e"),
+        F.round(char_entropy(F.col("text")), 6).alias("entropy"),
+    )
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup over embeddings: deterministic
+    k-means cells (integer-grid update — bit-identical across
+    engines), then within-cell cosine pairs mark every vector with a
+    smaller-id twin at similarity >= 0.3. The full cluster→pair→flag
+    pipeline is value-verified by a SQL replay; cross-cell pairs are
+    never compared (cells bound the join like LSH bands)."""
+    from batch_process_dpla_index_spark.operators.dedup import semdedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semdedup(emb, "vec_id", "embedding", k=8, n_iter=3, threshold=0.3).select(
+        F.col("id").alias("vec_id"), "cell", "n_close", "kept"
+    )
+
+
 def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-window chunking (64-token chunks, 16-token overlap) — the
     context-length prep stage of a training pipeline. Token array
@@ -1717,16 +1772,20 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- changed/new this round --
     "kmeans_cells": q_kmeans_cells,
     "pq_encode": q_pq_encode,
-    # -- r4-green representatives (one per major family) --
-    "pricing_summary": q_pricing_summary,
-    "asof_purchases": q_asof_purchases,
-    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "semdedup": q_semdedup,
+    "dsir_weights": q_dsir_weights,
+    "tfidf_terms": q_tfidf_terms,
+    "char_entropy": q_char_entropy,
+    # -- r4-green representatives --
     "cosine_topk": q_cosine_topk,
     "gap_fill": q_gap_fill,
-    "sentence_dedup": q_sentence_dedup,
     "mq_provider_scores": q_mq_provider_scores,
     # ---- driver-window boundary (entry 50 above this line) ----
     # -- tail: hash-green in r4, still oracle-verified via verify_local --
+    "pricing_summary": q_pricing_summary,
+    "asof_purchases": q_asof_purchases,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "sentence_dedup": q_sentence_dedup,
     "top_orders": q_top_orders,
     "region_revenue": q_region_revenue,
     "scalar_suite": q_scalar_suite,

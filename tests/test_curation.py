@@ -427,3 +427,42 @@ def test_export_mixture_seed_decorrelated_from_shards():
             new_shards.add(shuffle_key % n_shards)
     assert old_shards and old_shards <= set(range(rate_ppm))  # the collapse
     assert max(new_shards) >= rate_ppm  # decorrelated: reaches high shards
+
+
+def test_char_entropy_exact_values(spark):
+    from pyspark.sql import functions as F
+
+    from batch_process_dpla_index_spark.functions.text import char_entropy
+
+    df = spark.createDataFrame(
+        [("aaaa",), ("ab",), ("abca",), ("",)], "s string"
+    ).select("s", F.round(char_entropy(F.col("s")), 9).alias("h"))
+    got = {r["s"]: r["h"] for r in df.collect()}
+    assert got["aaaa"] == 0.0
+    assert got["ab"] == 1.0
+    # counts a:2,b:1,c:1 -> H = log2(4) - (2*log2(2))/4 = 2 - 0.5 = 1.5
+    assert got["abca"] == 1.5
+    assert got[""] is None
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    from pyspark.sql import functions as F
+
+    from batch_process_dpla_index_spark.operators.curation import dsir_weights
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps", "en"),
+            (2, "the lazy brown dog sleeps", "en"),
+            (3, "der schnelle braune fuchs springt", "de"),
+            (4, "the quick brown fox runs", "de"),  # target-like text, wrong label
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = dsir_weights(docs, docs.filter(F.col("lang") == "en"))
+    w = {r["doc_id"]: r["dsir_weight"] for r in out.collect()}
+    # docs sharing the target (en) vocabulary outscore the German one,
+    # including doc 4 whose LABEL is de but whose text is target-like —
+    # DSIR scores text, not metadata
+    assert w[1] > w[3] and w[2] > w[3] and w[4] > w[3]
+    assert all(r["n_terms"] == 5 for r in out.collect())

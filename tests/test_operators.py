@@ -450,3 +450,56 @@ def test_sentence_dedup_null_text_still_returned(spark):
     out = {r.doc_id: r for r in sentence_dedup(docs).collect()}
     assert set(out) == {1, 2}  # NULL-text doc does NOT vanish
     assert out[2].n_sentences == 1  # one empty "sentence"
+
+
+def test_tfidf_terms_rank_and_values(spark):
+    from batch_process_dpla_index_spark.operators.ranking import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana"),
+            (2, "banana cherry"),
+            (3, "cherry date date date"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_top_terms(docs, "doc_id", "text", k=2).collect()
+    import math
+
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["id"], []).append(r)
+    # doc 1: apple tf=2 df=1 -> 2*ln(3); banana tf=1 df=2 -> ln(1.5)
+    top1 = sorted(by_doc[1], key=lambda r: r["rnk"])[0]
+    assert top1["term"] == "apple" and top1["tf"] == 2 and top1["df"] == 1
+    assert abs(top1["tfidf"] - round(2 * math.log(3.0), 6)) < 1e-9
+    # doc 3: date tf=3 df=1 dominates
+    assert sorted(by_doc[3], key=lambda r: r["rnk"])[0]["term"] == "date"
+    assert all(len(v) <= 2 for v in by_doc.values())
+
+
+def test_semdedup_marks_smaller_id_twins(spark):
+    from batch_process_dpla_index_spark.operators.dedup import (
+        semdedup,
+        unpersist_deps,
+    )
+
+    # two tight groups far apart; within each group vectors are nearly
+    # parallel (cosine ~1), across groups orthogonal
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.0, 0.999, 0.02, 0.0]),
+        (5, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semdedup(emb, "vec_id", "embedding", k=2, n_iter=2, threshold=0.9)
+    got = {r["id"]: (r["n_close"], r["kept"]) for r in out.collect()}
+    unpersist_deps(out)
+    # the smallest id of each near-parallel pair survives; its twin is
+    # marked. 5 is alone in space -> kept regardless of cell.
+    assert got[1] == (0, True)
+    assert got[2][0] >= 1 and got[2][1] is False
+    assert got[3][1] in (True, False)  # depends on 3/4 cell split
+    assert got[5][1] is True
