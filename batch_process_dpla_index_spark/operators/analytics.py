@@ -1,0 +1,194 @@
+"""Event-sequence analytics: ordered funnels, SCD2 history, retention
+cohorts, running anomaly detection.
+
+The reference's batch surface is per-record scoring and reporting
+(MqReports.scala:22-134); these operators extend it to the
+*sequence-aware* analyses a warehouse runs over the same event stream.
+All are single-digit-shuffle DataFrame compositions:
+
+- funnel_stages:   ordered-step conversion via ONE fold-aggregate per
+                   user (chained strict-min semantics) — no N-pass
+                   self-joins, no per-step shuffles.
+- scd2_history:    type-2 slowly-changing-dimension build — collapse
+                   consecutive repeats, then validity intervals from
+                   lead(); both windows share one sort/exchange.
+- retention_cohorts: cohort-week × week-offset distinct-user matrix.
+- running_anomaly: per-key running mean/std (expanding window,
+                   warmup-gated) z-score flags — the batch twin of the
+                   streaming detector in `streaming/stateful.py`.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def funnel_stages(
+    events: DataFrame,
+    steps: Sequence[str] = ("signup", "view", "click", "purchase"),
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel: how many users reached step i via a strictly
+    time-increasing chain (first qualifying event after the previous
+    stage's event — the chained-min funnel definition).
+
+    One shuffle: events collapse to a per-user sorted struct array,
+    and a single ``aggregate`` fold walks it with (stage, last_ts)
+    state — advancing only when the event matches the next step AND
+    is strictly later than the previous stage's timestamp. Equivalent
+    to the N-CTE chained-min formulation but one pass instead of
+    len(steps) join rounds; per-user arrays are session-sized, not
+    corpus-sized, so the fold is bounded.
+
+    Returns (stage, step, n_users) for stages 1..len(steps), where
+    n_users counts users whose chain reached AT LEAST that stage.
+    """
+    steps_arr = F.array(*[F.lit(s) for s in steps])
+    evs = F.array_sort(
+        F.collect_list(F.struct(F.col(ts_col).alias("t"), F.col(type_col).alias("et")))
+    )
+    state0 = F.struct(
+        F.lit(0).alias("stage"), F.lit(None).cast("timestamp").alias("t")
+    )
+    fold = F.aggregate(
+        evs,
+        state0,
+        lambda acc, e: F.when(
+            (acc["stage"] < len(steps))
+            & (e["et"] == F.element_at(steps_arr, acc["stage"] + 1))
+            & (acc["t"].isNull() | (e["t"] > acc["t"])),
+            F.struct(
+                (acc["stage"] + 1).alias("stage"), e["t"].alias("t")
+            ),
+        ).otherwise(acc),
+    )
+    per_user = events.groupBy(user_col).agg(fold["stage"].alias("max_stage"))
+
+    exact = per_user.groupBy("max_stage").agg(
+        F.count("*").alias("__n")
+    )
+    ladder = (
+        events.sparkSession.createDataFrame(
+            [(i + 1, s) for i, s in enumerate(steps)], ["stage", "step"]
+        )
+        .join(exact, F.col("max_stage") == F.col("stage"), "left")
+        .drop("max_stage")
+    )
+    at_least = Window.orderBy(F.col("stage").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return ladder.select(
+        F.col("stage").cast("bigint").alias("stage"),
+        "step",
+        F.sum(F.coalesce(F.col("__n"), F.lit(0)))
+        .over(at_least)
+        .cast("bigint")
+        .alias("n_users"),
+    )
+
+
+def scd2_history(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    attr_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history of ``attr_col`` per key.
+
+    Consecutive repeats of the same attribute value collapse into one
+    version row; each version carries [valid_from, valid_to) with
+    valid_to NULL on the current row. Both windows (the lag that finds
+    change points and the lead that closes intervals) share the same
+    (key, ts) sort, so Spark plans ONE exchange + sort for the whole
+    operator — the plan you want when the change stream is 100 TB.
+    """
+    order = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    changed = (
+        events.select(key_col, ts_col, attr_col, tiebreak_col)
+        .withColumn("__prev", F.lag(attr_col).over(order))
+        .where(F.col("__prev").isNull() | (F.col("__prev") != F.col(attr_col)))
+    )
+    # The filtered frame keeps the same partitioning/ordering, so this
+    # second window re-sorts within partitions without a new exchange.
+    return (
+        changed.withColumn("valid_to", F.lead(ts_col).over(order))
+        .select(
+            key_col,
+            F.col(attr_col).alias("attr_value"),
+            F.col(ts_col).alias("valid_from"),
+            "valid_to",
+            F.col("valid_to").isNull().alias("is_current"),
+        )
+    )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly retention matrix: users grouped by first-activity week
+    (cohort), counted per later activity week offset.
+
+    Cohort assignment is a min-over-user window (one shuffle on user);
+    the (cohort_week, week_offset) matrix is a distinct + count over
+    frames already keyed by user, and the output is |weeks|² rows —
+    driver-safe at any corpus size.
+    """
+    by_user = Window.partitionBy(user_col)
+    with_cohort = events.select(
+        user_col,
+        F.date_trunc("week", F.min(ts_col).over(by_user)).alias("cohort_week"),
+        F.date_trunc("week", F.col(ts_col)).alias("active_week"),
+    )
+    return (
+        with_cohort.distinct()
+        .groupBy(
+            "cohort_week",
+            (F.datediff("active_week", "cohort_week") / 7)
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+def running_anomaly(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    threshold: float = 3.0,
+    warmup: int = 5,
+) -> DataFrame:
+    """Per-key running z-score anomaly flags — the batch twin of the
+    streaming detector (`streaming/stateful.py:anomaly_stream`).
+
+    Each event is scored against the mean/stddev of the STRICTLY
+    PRIOR events of its key (expanding window, current row excluded)
+    so the score stream is causal — computable one event at a time by
+    the streaming state machine with identical results. Events before
+    ``warmup`` prior observations get a NULL score (insufficient
+    history), mirroring the stream's warmup gate.
+    """
+    prior = Window.partitionBy(key_col).orderBy(ts_col, id_col).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    n_prior = F.count(value_col).over(prior)
+    mean_prior = F.avg(value_col).over(prior)
+    std_prior = F.stddev_pop(value_col).over(prior)
+    score = (F.col(value_col) - mean_prior) / std_prior
+    gated = F.when((n_prior >= warmup) & (std_prior > 0), score)
+    return events.select(
+        id_col,
+        key_col,
+        F.round(gated, 6).alias("zscore"),
+        F.coalesce(F.abs(gated) > threshold, F.lit(False)).alias("is_anomaly"),
+    )

@@ -1844,7 +1844,154 @@ SELECT doc_id,
 FROM documents
 """
 
+# --- round-5 additions: spans / sequence analytics / classifier -----------
+
+
+def _duplicate_spans_oracle(k: int = 8, min_docs: int = 2) -> str:
+    gram = _h60(f"array_to_string(tok[i+1:i+{k}], ' ')")
+    return f"""
+WITH {_DOC_TOK_CTE}, c AS (
+    SELECT doc_id, tok, len(tok) AS n FROM doc_tok WHERE len(tok) >= {k}
+), w AS (
+    SELECT doc_id, CAST(i AS BIGINT) AS pos, {gram} AS g
+    FROM c, UNNEST(range(n - {k} + 1)) AS t(i)
+), dup AS (
+    SELECT g FROM w GROUP BY g HAVING count(DISTINCT doc_id) >= {min_docs}
+), hit AS (
+    SELECT w.doc_id, w.pos FROM w JOIN dup USING (g)
+), isl AS (
+    SELECT doc_id, pos,
+           sum(CASE WHEN prev IS NULL OR pos > prev + {k} THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS island
+    FROM (SELECT doc_id, pos,
+                 lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+          FROM hit)
+)
+SELECT doc_id,
+       CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + {k} AS BIGINT) AS span_end,
+       CAST(max(pos) + {k} - min(pos) AS BIGINT) AS span_tokens
+FROM isl GROUP BY doc_id, island
+"""
+
+
+ORACLE_DUPLICATE_SPANS = _duplicate_spans_oracle()
+
+
+def _funnel_oracle(steps: tuple = ("signup", "view", "click", "purchase")) -> str:
+    # chained strict-min CTEs: u_i = first step-i event strictly after
+    # the user's stage-(i-1) timestamp — the N-pass formulation the
+    # Spark fold-aggregate collapses into one pass.
+    ctes = [
+        f"u1 AS (SELECT user_id, min(ts) AS t FROM events "
+        f"WHERE event_type = '{steps[0]}' GROUP BY user_id)"
+    ]
+    for i in range(1, len(steps)):
+        ctes.append(
+            f"u{i + 1} AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
+            f"JOIN u{i} ON e.user_id = u{i}.user_id AND e.ts > u{i}.t "
+            f"WHERE e.event_type = '{steps[i]}' GROUP BY e.user_id)"
+        )
+    rows = "\nUNION ALL\n".join(
+        f"SELECT CAST({i + 1} AS BIGINT) AS stage, '{s}' AS step, "
+        f"(SELECT count(*) FROM u{i + 1}) AS n_users"
+        for i, s in enumerate(steps)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + rows
+
+
+ORACLE_FUNNEL_STAGES = _funnel_oracle()
+
+
+ORACLE_SCD2_HISTORY = """
+WITH ordered AS (
+    SELECT user_id, ts, event_type, event_id,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+    FROM events
+), changed AS (
+    SELECT user_id, ts, event_type, event_id
+    FROM ordered WHERE prev IS NULL OR prev <> event_type
+)
+SELECT user_id,
+       event_type AS attr_value,
+       ts AS valid_from,
+       lead(ts) OVER w AS valid_to,
+       (lead(ts) OVER w IS NULL) AS is_current
+FROM changed
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+ORACLE_RETENTION_COHORTS = """
+WITH w AS (
+    SELECT DISTINCT user_id,
+           CAST(date_trunc('week', min(ts) OVER (PARTITION BY user_id))
+                AS TIMESTAMP) AS cohort_week,
+           CAST(date_trunc('week', ts) AS TIMESTAMP) AS active_week
+    FROM events
+)
+SELECT cohort_week,
+       CAST(date_diff('day', cohort_week, active_week) // 7 AS BIGINT) AS week_offset,
+       count(*) AS n_users
+FROM w GROUP BY cohort_week, week_offset
+"""
+
+
+ORACLE_USER_RUNNING_ANOMALY = """
+SELECT event_id, user_id,
+       round(CASE WHEN cnt >= 5 AND sd > 0 THEN (value - mu) / sd END, 6) AS zscore,
+       (CASE WHEN cnt >= 5 AND sd > 0
+             THEN abs((value - mu) / sd) > 3.0 ELSE FALSE END) AS is_anomaly
+FROM (
+    SELECT event_id, user_id, value,
+           count(value) OVER w AS cnt,
+           avg(value) OVER w AS mu,
+           stddev_pop(value) OVER w AS sd
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+"""
+
+
+def _classifier_oracle() -> str:
+    from batch_process_dpla_index_spark.functions.classifier import (
+        BIAS,
+        term_weights,
+    )
+
+    cases = " ".join(
+        f"WHEN '{t}' THEN CAST({w!r} AS DOUBLE)"
+        for t, w in sorted(term_weights().items())
+    )
+    fold = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(tok, t -> CASE t {cases} ELSE CAST(0.0 AS DOUBLE) END)), "
+        "(acc, x) -> acc + x)"
+    )
+    return f"""
+WITH {_DOC_TOK_CTE}, scored AS (
+    SELECT doc_id,
+           1.0 / (1.0 + exp(-(CASE WHEN len(tok) > 0
+                                   THEN CAST({BIAS!r} AS DOUBLE) + {fold} / len(tok)
+                                   ELSE 0.0 END))) AS score
+    FROM doc_tok
+)
+SELECT doc_id, round(score, 6) AS quality_prob, score >= 0.5 AS keep
+FROM scored
+"""
+
+
+ORACLE_QUALITY_CLASSIFIER = _classifier_oracle()
+
+
 ORACLES: dict[str, str] = {
+    "duplicate_spans": ORACLE_DUPLICATE_SPANS,
+    "funnel_stages": ORACLE_FUNNEL_STAGES,
+    "scd2_history": ORACLE_SCD2_HISTORY,
+    "retention_cohorts": ORACLE_RETENTION_COHORTS,
+    "user_running_anomaly": ORACLE_USER_RUNNING_ANOMALY,
+    "quality_classifier": ORACLE_QUALITY_CLASSIFIER,
     "pricing_summary": ORACLE_PRICING_SUMMARY,
     "top_orders": ORACLE_TOP_ORDERS,
     "region_revenue": ORACLE_REGION_REVENUE,

@@ -1716,6 +1716,76 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup (exact duplicated passages): stride-1
+    8-token windows hashed with h60, grams shared by >=2 documents
+    mark their windows, overlapping marked windows merge into maximal
+    spans via one gaps-and-islands window. Linear in corpus tokens —
+    no all-pairs step (operators/spans.py)."""
+    from batch_process_dpla_index_spark.operators.spans import duplicate_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicate_spans(docs, k=8, min_docs=2)
+
+
+def q_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel signup→view→click→purchase with
+    chained strict-min semantics, computed as ONE fold-aggregate per
+    user instead of len(steps) join rounds
+    (operators/analytics.py:funnel_stages)."""
+    from batch_process_dpla_index_spark.operators.analytics import funnel_stages
+
+    events = load_table(spark, sf_dir, "events")
+    return funnel_stages(events)
+
+
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD history of each user's event_type: collapse
+    consecutive repeats, [valid_from, valid_to) intervals, is_current
+    flag — both windows share one exchange+sort
+    (operators/analytics.py:scd2_history)."""
+    from batch_process_dpla_index_spark.operators.analytics import scd2_history
+
+    events = load_table(spark, sf_dir, "events")
+    return scd2_history(events)
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users bucketed by first-activity
+    week, distinct-counted per later week offset
+    (operators/analytics.py:retention_cohorts)."""
+    from batch_process_dpla_index_spark.operators.analytics import retention_cohorts
+
+    events = load_table(spark, sf_dir, "events")
+    return retention_cohorts(events)
+
+
+def q_user_running_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Causal per-user running z-score anomalies (expanding window,
+    current row excluded, 5-event warmup) — the oracle-verified batch
+    twin of streaming/stateful.py:anomaly_stream."""
+    from batch_process_dpla_index_spark.operators.analytics import running_anomaly
+
+    events = load_table(spark, sf_dir, "events")
+    return running_anomaly(events)
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-vocabulary linear quality classifier (fastText-style):
+    sigmoid(bias + fold(weight[token])/n) with the weight table a
+    literal map in the plan — zero shuffles, zero joins, codegen'd
+    (functions/classifier.py)."""
+    from batch_process_dpla_index_spark.functions.classifier import classifier_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    score = classifier_score(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.round(score, 6).alias("quality_prob"),
+        (score >= 0.5).alias("keep"),
+    )
+
+
 # Registry order is part of the driver contract: the correctness gate
 # records exactly the FIRST 50 entries. Round-5 rotation: the 41
 # queries last driver-verified in round 2 (the code under them churned
@@ -1776,12 +1846,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_weights": q_dsir_weights,
     "tfidf_terms": q_tfidf_terms,
     "char_entropy": q_char_entropy,
-    # -- r4-green representatives --
+    # -- new in round 5 (never driver-verified → window) --
+    "duplicate_spans": q_duplicate_spans,
+    "funnel_stages": q_funnel_stages,
+    "scd2_history": q_scd2_history,
+    # ---- driver-window boundary (entry 50 above this line) ----
+    # -- tail: hash-green in r4, still oracle-verified via verify_local --
+    # (new-in-r5 tail entries rotate into the r6 window)
+    "retention_cohorts": q_retention_cohorts,
+    "user_running_anomaly": q_user_running_anomaly,
+    "quality_classifier": q_quality_classifier,
     "cosine_topk": q_cosine_topk,
     "gap_fill": q_gap_fill,
     "mq_provider_scores": q_mq_provider_scores,
-    # ---- driver-window boundary (entry 50 above this line) ----
-    # -- tail: hash-green in r4, still oracle-verified via verify_local --
     "pricing_summary": q_pricing_summary,
     "asof_purchases": q_asof_purchases,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,

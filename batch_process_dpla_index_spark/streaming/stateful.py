@@ -1,0 +1,81 @@
+"""Custom stateful streaming operators beyond windowed aggregation.
+
+`streaming/windows.py` covers the built-in surface (tumbling / sliding
+/ session windows, watermark dedup) plus running totals on both custom
+state APIs; this module holds the *algorithmic* state machines — ops
+whose per-key state is a learned summary, not a counter.
+
+- anomaly_stream: causal per-key z-score anomaly detection. State is
+  a Welford (n, mean, M2) triple per key — O(|keys|) state, constant
+  per-event work — and each event is scored against the history
+  STRICTLY BEFORE it, so replaying the stream yields exactly the batch
+  twin `operators/analytics.py:running_anomaly` (expanding-window,
+  current-row-excluded). The batch form is the oracle-verified one;
+  the stream is convergence-tested against it.
+"""
+
+from __future__ import annotations
+
+ANOMALY_STATE = "n BIGINT, mean DOUBLE, m2 DOUBLE"
+ANOMALY_OUTPUT = (
+    "event_id BIGINT, user_id BIGINT, zscore DOUBLE, is_anomaly BOOLEAN"
+)
+
+
+def anomaly_stream(stream, threshold: float = 3.0, warmup: int = 5):
+    """Score each event against its key's running mean/std (events
+    strictly before it in (ts, event_id) order), then fold it into the
+    Welford state. Emits one row per input event with the same
+    (zscore, is_anomaly) the batch twin computes.
+
+    Rows within a micro-batch are sorted by (ts, event_id) before the
+    scan so intra-batch causality matches the batch window's ordering;
+    cross-batch causality holds when batches arrive in time order (the
+    usual append-stream contract — enforce with a watermark upstream
+    if the source can reorder)."""
+    import math
+
+    import pandas as pd
+
+    def update(key, pdfs, state):
+        n, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
+        ids, zs, flags = [], [], []
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
+        for eid, v in zip(batch["event_id"], batch["value"]):
+            v = float(v)
+            std = math.sqrt(m2 / n) if n > 0 else 0.0
+            if n >= warmup and std > 0:
+                z = (v - mean) / std
+                # flag from the unrounded score (the batch twin rounds
+                # only the emitted column, not the threshold input)
+                zs.append(round(z, 6))
+                flags.append(abs(z) > threshold)
+            else:
+                zs.append(None)
+                flags.append(False)
+            ids.append(int(eid))
+            # Welford fold of the just-scored observation.
+            n += 1
+            d = v - mean
+            mean += d / n
+            m2 += d * (v - mean)
+        state.update((int(n), float(mean), float(m2)))
+        yield pd.DataFrame(
+            {
+                "event_id": ids,
+                "user_id": [int(key[0])] * len(ids),
+                "zscore": pd.array(zs, dtype="float64"),
+                "is_anomaly": flags,
+            }
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        ANOMALY_OUTPUT,
+        ANOMALY_STATE,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

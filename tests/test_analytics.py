@@ -1,0 +1,141 @@
+"""Unit coverage for the round-5 sequence/span/classifier operators
+(`operators/spans.py`, `operators/analytics.py`,
+`functions/classifier.py`) — edge cases the sf-fixture oracles don't
+isolate: sub-k documents, adjacency merging, out-of-order funnel
+traps, SCD2 collapse, warmup gating, the empty-document prior."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from batch_process_dpla_index_spark.functions.classifier import classifier_score
+from batch_process_dpla_index_spark.operators.analytics import (
+    funnel_stages,
+    retention_cohorts,
+    running_anomaly,
+    scd2_history,
+)
+from batch_process_dpla_index_spark.operators.spans import duplicate_spans
+
+
+def _ts(minute: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 0, minute)
+
+
+def test_duplicate_spans_finds_shared_passage(spark):
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"one two {shared} three four"),
+            (2, f"{shared} nine ten eleven twelve"),
+            (3, "totally unrelated text with no duplicated passage here"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in duplicate_spans(docs, k=8).collect()
+    }
+    # doc 1: shared run starts at token 2; doc 2: at token 0; doc 3: none
+    assert got == {(1, 2, 10), (2, 0, 8)}
+
+
+def test_duplicate_spans_merges_adjacent_windows(spark):
+    # 16 identical tokens across two docs → every window duplicated →
+    # ONE maximal span covering the whole text, not 9 fragments.
+    text = " ".join(f"t{i}" for i in range(16))
+    docs = spark.createDataFrame([(1, text), (2, text)], ["doc_id", "text"])
+    rows = duplicate_spans(docs, k=8).collect()
+    assert {(r.doc_id, r.span_start, r.span_end, r.span_tokens) for r in rows} == {
+        (1, 0, 16, 16),
+        (2, 0, 16, 16),
+    }
+
+
+def test_duplicate_spans_skips_sub_k_docs(spark):
+    docs = spark.createDataFrame(
+        [(1, "too short"), (2, "too short")], ["doc_id", "text"]
+    )
+    assert duplicate_spans(docs, k=8).count() == 0
+
+
+def test_funnel_requires_strict_order(spark):
+    rows = [
+        # u1 completes the full chain in order
+        (1, _ts(0), "signup"), (1, _ts(1), "view"),
+        (1, _ts(2), "click"), (1, _ts(3), "purchase"),
+        # u2's purchase PRECEDES its click → stalls at click (stage 3)
+        (2, _ts(0), "signup"), (2, _ts(1), "view"),
+        (2, _ts(3), "click"), (2, _ts(2), "purchase"),
+        # u3 never signs up → contributes to no stage
+        (3, _ts(0), "view"), (3, _ts(1), "click"), (3, _ts(2), "purchase"),
+    ]
+    events = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    got = {r.step: r.n_users for r in funnel_stages(events).collect()}
+    assert got == {"signup": 2, "view": 2, "click": 2, "purchase": 1}
+
+
+def test_scd2_collapses_repeats_and_closes_intervals(spark):
+    rows = [
+        (1, _ts(0), "a", 10), (1, _ts(1), "a", 11),  # repeat collapses
+        (1, _ts(2), "b", 12), (1, _ts(3), "a", 13),  # back to a = new version
+    ]
+    events = spark.createDataFrame(rows, ["user_id", "ts", "event_type", "event_id"])
+    hist = sorted(scd2_history(events).collect(), key=lambda r: r.valid_from)
+    assert [(r.attr_value, r.is_current) for r in hist] == [
+        ("a", False), ("b", False), ("a", True)
+    ]
+    assert hist[0].valid_to == hist[1].valid_from  # no gaps
+    assert hist[-1].valid_to is None
+
+
+def test_retention_counts_distinct_users_per_offset(spark):
+    w0 = dt.datetime(2024, 1, 1)  # a Monday
+    rows = [
+        (1, w0), (1, w0 + dt.timedelta(days=7)),   # retained week 1
+        (1, w0 + dt.timedelta(days=8)),            # same week → not double-counted
+        (2, w0), (2, w0 + dt.timedelta(days=14)),  # skips week 1
+        (3, w0 + dt.timedelta(days=7)),            # later cohort
+    ]
+    events = spark.createDataFrame(rows, ["user_id", "ts"])
+    got = {
+        (r.cohort_week.date().isoformat(), r.week_offset): r.n_users
+        for r in retention_cohorts(events).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 2, ("2024-01-01", 1): 1, ("2024-01-01", 2): 1,
+        ("2024-01-08", 0): 1,
+    }
+
+
+def test_running_anomaly_warmup_and_flag(spark):
+    vals = [10.0, 10.5, 9.5, 10.2, 9.8, 10.1, 100.0]
+    rows = [(1, _ts(i), float(v), i) for i, v in enumerate(vals)]
+    events = spark.createDataFrame(rows, ["user_id", "ts", "value", "event_id"])
+    got = {r.event_id: r for r in running_anomaly(events).collect()}
+    # first 5 events: fewer than `warmup` prior observations → ungated
+    for i in range(5):
+        assert got[i].zscore is None and got[i].is_anomaly is False
+    assert got[5].is_anomaly is False  # in-distribution
+    assert got[6].is_anomaly is True and got[6].zscore > 3
+
+
+def test_classifier_separates_spam_from_formal(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the research method and data analysis published in the journal"),
+            (2, "click here free winner casino prize offer buy now cheap deal"),
+            (3, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: r.p
+        for r in docs.select(
+            "doc_id", classifier_score(F.col("text")).alias("p")
+        ).collect()
+    }
+    assert got[1] > 0.5 > got[2]
+    assert abs(got[3] - 0.5) < 1e-12  # empty doc → neutral prior

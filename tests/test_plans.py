@@ -227,3 +227,48 @@ def test_gap_fill_two_shuffles(spark):
     assert plan.count("Exchange hashpartitioning") <= 3, plan
     for marker in ("MapInPandas", "FlatMapGroupsInPandas", "BatchEvalPython"):
         assert marker not in plan, plan
+
+
+def test_scd2_windows_share_one_exchange(spark):
+    """Both SCD2 windows (change-point lag, interval-closing lead) use
+    the same (key, ts) partitioning+ordering, so the whole operator
+    must plan exactly ONE Exchange and ONE Sort — at 100 TB the change
+    stream is shuffled once, not once per window."""
+    plan = _plan(spark, "scd2_history")
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("Sort ") == 1, plan
+
+
+def test_classifier_is_shuffle_free_jvm(spark):
+    """The literal-map weight lookup + fold must stay a narrow codegen
+    stage: no Exchange, no join, no Python."""
+    plan = _plan(spark, "quality_classifier")
+    assert "Exchange" not in plan, plan
+    for marker in ("Join", "MapInPandas", "BatchEvalPython", "ArrowEvalPython"):
+        assert marker not in plan, plan
+
+
+def test_running_anomaly_single_exchange(spark):
+    """Expanding-window scoring is one shuffle on the key — the
+    causal batch twin must not cost more than its streaming form."""
+    plan = _plan(spark, "user_running_anomaly")
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_duplicate_spans_no_all_pairs(spark):
+    """Substring dedup must stay linear: gram aggregate + equi-join +
+    per-doc window. Any nested-loop/cartesian step means the plan
+    regressed to all-pairs."""
+    plan = _plan(spark, "duplicate_spans")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("Exchange") <= 4, plan
+
+
+def test_funnel_is_one_fold_pass(spark):
+    """The funnel must be the single fold-aggregate form: one corpus
+    shuffle (user groupBy) plus tiny-frame plumbing — no per-step
+    self-joins (would show len(steps) SortMergeJoins), no Python."""
+    plan = _plan(spark, "funnel_stages")
+    assert "SortMergeJoin" not in plan, plan
+    for marker in ("MapInPandas", "FlatMapGroupsInPandas", "BatchEvalPython"):
+        assert marker not in plan, plan

@@ -77,6 +77,30 @@ def test_running_user_totals_state(spark, events_dir):
     assert latest.exceptAll(want).count() == 0 and want.exceptAll(latest).count() == 0
 
 
+def test_streaming_anomaly_matches_batch_twin(spark, tmp_path):
+    """The Welford state machine (`streaming/stateful.py:anomaly_stream`)
+    replays to EXACTLY the oracle-verified batch twin
+    (`operators/analytics.py:running_anomaly`): same warmup nulls, same
+    rounded z-scores, same flags. Single sorted file so the one
+    micro-batch preserves the causal (ts, event_id) order the batch
+    window defines; intra-batch ordering is the operator's own sort."""
+    from batch_process_dpla_index_spark.operators.analytics import running_anomaly
+    from batch_process_dpla_index_spark.streaming.stateful import anomaly_stream
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    src = str(tmp_path / "anomaly_src")
+    ev.orderBy("ts", "event_id").coalesce(1).write.parquet(src)
+    batch = spark.read.parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    name = f"an_{uuid.uuid4().hex[:8]}"
+    got = run_stream_to_batch(anomaly_stream(stream), name, output_mode="update")
+    want = running_anomaly(batch)
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
 def test_streaming_session_matches_batch(spark, events_dir):
     from batch_process_dpla_index_spark.streaming.windows import session_agg
 
