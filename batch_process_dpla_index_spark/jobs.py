@@ -86,6 +86,17 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("src")
     s.add_argument("dst")
     s.add_argument("--target-mb", type=int, default=128)
+    s = sub.add_parser("snapshot")
+    s.add_argument(
+        "action",
+        choices=["append", "overwrite", "read", "history", "rollback",
+                 "vacuum", "compact"],
+    )
+    s.add_argument("root")
+    s.add_argument("--input", help="parquet path for append/overwrite")
+    s.add_argument("--version", type=int, help="read/rollback target version")
+    s.add_argument("--keep-versions", type=int, default=2)
+    s.add_argument("--target-mb", type=int, default=128, dest="snap_target_mb")
     args = p.parse_args(argv)
 
     from batch_process_dpla_index_spark.session import get_spark
@@ -229,6 +240,41 @@ def main(argv: list[str] | None = None) -> int:
                 f"Compacted {res['n_files_in']} files -> {res['n_bins']} "
                 f"({res['n_rows']} rows) at {args.dst}"
             )
+        elif args.job == "snapshot":
+            from batch_process_dpla_index_spark.products import snapshots
+
+            if args.action in ("append", "overwrite"):
+                df = spark.read.parquet(args.input)
+                fn = (
+                    snapshots.commit_append
+                    if args.action == "append"
+                    else snapshots.commit_overwrite
+                )
+                v = fn(df, args.root)
+                print(f"Committed version {v} at {args.root}")
+            elif args.action == "read":
+                n = snapshots.read_snapshot(
+                    spark, args.root, version=args.version
+                ).count()
+                print(f"Version {args.version if args.version is not None else 'latest'}: {n} rows")
+            elif args.action == "history":
+                for e in snapshots.history(args.root):
+                    print(
+                        f"v{e['version']:>4} {e['op']:<10} "
+                        f"+{len(e['add'])} -{len(e['remove'])}"
+                    )
+            elif args.action == "rollback":
+                v = snapshots.rollback(args.root, args.version)
+                print(f"Rolled back to v{args.version} as version {v}")
+            elif args.action == "vacuum":
+                deleted = snapshots.vacuum(args.root, args.keep_versions)
+                print(f"Vacuumed {len(deleted)} files")
+            else:
+                v = snapshots.compact_snapshot(
+                    spark, args.root,
+                    target_bytes=args.snap_target_mb * 1024 * 1024,
+                )
+                print(f"Compacted into version {v}")
     finally:
         pass  # session is shared in tests; real CLI runs end with process exit
     return 0

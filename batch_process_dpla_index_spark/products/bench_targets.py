@@ -118,10 +118,33 @@ def _bench_compaction(spark: SparkSession, sf_dir: str, work_dir: str) -> int:
     return result["n_rows"]
 
 
+def _bench_snapshots(spark: SparkSession, sf_dir: str, work_dir: str) -> int:
+    """Versioned-dataset lifecycle (`products/snapshots.py`): 4
+    appends → transactional compaction → rollback → vacuum, with a
+    time-travel read-back verifying the pre-compaction version."""
+    from batch_process_dpla_index_spark.products import snapshots
+
+    root = os.path.join(work_dir, "tbl")
+    ev = load_table(spark, sf_dir, "events")
+    for q in range(4):
+        snapshots.commit_append(
+            ev.where(F.pmod(F.col("event_id"), F.lit(4)) == q).coalesce(4), root
+        )
+    pre = snapshots.latest_version(root)
+    snapshots.compact_snapshot(spark, root, target_bytes=64 * 1024 * 1024)
+    n_travel = snapshots.read_snapshot(spark, root, version=pre).count()
+    snapshots.rollback(root, pre)
+    snapshots.vacuum(root, keep_versions=2)
+    n_now = snapshots.read_snapshot(spark, root).count()
+    assert n_now == n_travel
+    return n_now
+
+
 PRODUCT_BENCHES: dict[str, Callable[[SparkSession, str, str], int]] = {
     "product_sitemap": _bench_sitemap,
     "product_training_export": _bench_training_export,
     "product_dedup_index": _bench_dedup_index,
     "product_ann_index": _bench_ann_index,
     "product_compaction": _bench_compaction,
+    "product_snapshots": _bench_snapshots,
 }

@@ -34,12 +34,14 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
-def file_stats(spark: SparkSession, path: str) -> DataFrame:
+def file_stats(spark: SparkSession, path: str | list[str]) -> DataFrame:
     """(file, size_bytes, n_rows) per parquet part file — computed
     executor-side from the `_metadata` struct, aggregated in one tiny
-    shuffle (|files| rows)."""
+    shuffle (|files| rows). ``path`` may be a directory or an explicit
+    file list (the snapshot product passes a version's exact files)."""
+    paths = [path] if isinstance(path, str) else list(path)
     return (
-        spark.read.parquet(path)
+        spark.read.parquet(*paths)
         .select(
             F.col("_metadata.file_path").alias("file"),
             F.col("_metadata.file_size").alias("size_bytes"),
@@ -86,7 +88,7 @@ def plan_summary(plan: DataFrame) -> DataFrame:
 
 def compact(
     spark: SparkSession,
-    src: str,
+    src: str | list[str],
     dst: str,
     target_bytes: int = 128 * 1024 * 1024,
 ) -> dict[str, int]:
@@ -109,7 +111,8 @@ def compact(
         n_bins = plan.select("bin").distinct().count()
         n_rows = plan.agg(F.sum("n_rows")).first()[0] or 0
 
-        data = spark.read.parquet(src).withColumn(
+        src_paths = [src] if isinstance(src, str) else list(src)
+        data = spark.read.parquet(*src_paths).withColumn(
             "__file", F.col("_metadata.file_path")
         )
         binned = data.join(

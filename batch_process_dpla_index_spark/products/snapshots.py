@@ -1,0 +1,239 @@
+"""Versioned parquet datasets: commit log, time travel, rollback,
+vacuum, and transactional compaction ("table format lite").
+
+The reference's monthly pipeline versions data by DATED PREFIX and
+swaps whole directories (monthly_batch_emr.sh:41-111 sequencing;
+JsonlDump.scala:72-74 delete-then-write) — readers between delete and
+write see a torn dataset, and history costs a full copy per month.
+This product provides the log-structured alternative every modern
+lakehouse uses: data files are immutable, a JSON commit log records
+(add, remove) file sets per version, and readers resolve a version's
+EXACT file list before handing it to `spark.read.parquet(*files)`.
+
+Why it scales:
+
+- A commit is O(|files touched|) driver work + one atomic log-entry
+  create. Appending a micro-batch to a 100 TB table writes the new
+  parts and a 1 KB log entry — no rewrite, no listing.
+- Readers never LIST the data directory (the log IS the listing), so
+  eventually-consistent stores and in-flight writers can't tear a
+  read; a version's file set is immutable forever.
+- Rollback is a metadata commit (restore an old file set); vacuum is
+  the only operation that deletes data, and only files unreferenced
+  by ANY retained version.
+- Concurrency: the next-version log entry is created with
+  create-exclusive (O_EXCL), so two racing writers conflict on the
+  same version number and the loser retries on fresh state —
+  single-table optimistic concurrency, the object-store equivalent
+  being a conditional put / DynamoDB-style log service behind the
+  same seam.
+
+Log layout under ``<root>/``::
+
+    _log/00000000.json   {"version": 0, "op": "append",
+                          "add": ["data/b0-<tag>/part-...parquet", ...],
+                          "remove": [], "params": {...}}
+    _log/00000001.json   ...
+    data/b<version>-<tag>/part-*.parquet   (immutable once committed)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+_LOG = "_log"
+_DATA = "data"
+
+
+class CommitConflict(RuntimeError):
+    """Another writer committed this version first; retry on fresh state."""
+
+
+def _log_dir(root: str) -> str:
+    return os.path.join(root, _LOG)
+
+
+def _entry_path(root: str, version: int) -> str:
+    return os.path.join(_log_dir(root), f"{version:08d}.json")
+
+
+def history(root: str) -> list[dict]:
+    """All commit entries, version-ascending. O(|versions|) small reads."""
+    d = _log_dir(root)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for name in sorted(os.listdir(d)):
+        if name.endswith(".json"):
+            with open(os.path.join(d, name), encoding="utf-8") as fh:
+                out.append(json.load(fh))
+    return out
+
+
+def latest_version(root: str) -> int | None:
+    h = history(root)
+    return h[-1]["version"] if h else None
+
+
+def snapshot_files(root: str, version: int | None = None) -> list[str]:
+    """Resolve the exact file list at ``version`` (default: latest) by
+    replaying (add − remove) through the log. Paths are root-relative
+    in the log, absolute in the return."""
+    live: list[str] = []  # keep commit order → stable read order
+    for entry in history(root):
+        if version is not None and entry["version"] > version:
+            break
+        removed = set(entry["remove"])
+        live = [f for f in live if f not in removed]
+        live.extend(entry["add"])
+    return [os.path.join(root, f) for f in live]
+
+
+def _commit(root: str, op: str, add: list[str], remove: list[str],
+            params: dict | None = None, expected_version: int | None = None) -> int:
+    """Append one log entry with create-exclusive semantics.
+
+    ``expected_version`` pins the optimistic check: the commit claims
+    version expected+1 and raises :class:`CommitConflict` if that log
+    entry already exists (a racing writer won). Callers re-read state
+    and retry; data files are uniquely named so a loser's files are
+    simply never referenced (vacuum reaps them).
+    """
+    os.makedirs(_log_dir(root), exist_ok=True)
+    if expected_version is None:
+        cur = latest_version(root)
+        expected_version = -1 if cur is None else cur
+    version = expected_version + 1
+    entry = {
+        "version": version,
+        "op": op,
+        "add": add,
+        "remove": remove,
+        "params": params or {},
+    }
+    path = _entry_path(root, version)
+    try:
+        fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+    except FileExistsError as exc:
+        raise CommitConflict(
+            f"version {version} already committed by another writer"
+        ) from exc
+    with os.fdopen(fd, "w", encoding="utf-8") as fh:
+        json.dump(entry, fh, sort_keys=True)
+    return version
+
+
+def _write_batch(df: DataFrame, root: str, tag: str) -> list[str]:
+    """Write df as immutable parts under data/<tag>/, return the
+    root-relative file list (from the committed directory listing —
+    the only list call, scoped to the files just written)."""
+    batch_dir = os.path.join(root, _DATA, tag)
+    df.write.parquet(batch_dir)
+    rel = os.path.join(_DATA, tag)
+    return sorted(
+        os.path.join(rel, f)
+        for f in os.listdir(batch_dir)
+        if f.endswith(".parquet")
+    )
+
+
+def commit_append(df: DataFrame, root: str, params: dict | None = None) -> int:
+    """Transactional append: new files become visible atomically with
+    the log-entry create. Retries once on a concurrent commit."""
+    tag = f"b{uuid.uuid4().hex[:12]}"
+    add = _write_batch(df, root, tag)
+    try:
+        return _commit(root, "append", add, [], params)
+    except CommitConflict:
+        return _commit(root, "append", add, [], params)
+
+
+def commit_overwrite(df: DataFrame, root: str, params: dict | None = None) -> int:
+    """Replace the table contents; prior versions stay readable (the
+    removed files remain on disk until vacuum)."""
+    tag = f"b{uuid.uuid4().hex[:12]}"
+    add = _write_batch(df, root, tag)
+    cur = latest_version(root)
+    remove = (
+        [os.path.relpath(f, root) for f in snapshot_files(root)]
+        if cur is not None
+        else []
+    )
+    return _commit(root, "overwrite", add, remove, params)
+
+
+def read_snapshot(spark: SparkSession, root: str, version: int | None = None) -> DataFrame:
+    """Time-travel read: the file list comes from the log, never from
+    listing the data directory — immutable and tear-free."""
+    files = snapshot_files(root, version)
+    if not files:
+        raise FileNotFoundError(f"no snapshot at {root} (version={version})")
+    return spark.read.parquet(*files)
+
+
+def rollback(root: str, version: int) -> int:
+    """Restore ``version``'s file set as a NEW commit (history is
+    append-only; nothing is deleted)."""
+    target = set(snapshot_files(root, version))
+    current = set(snapshot_files(root))
+    add = [os.path.relpath(f, root) for f in sorted(target - current)]
+    remove = [os.path.relpath(f, root) for f in sorted(current - target)]
+    return _commit(root, "rollback", add, remove, {"to_version": str(version)})
+
+
+def vacuum(root: str, keep_versions: int = 1) -> list[str]:
+    """Delete data files unreferenced by the last ``keep_versions``
+    versions (and orphans from lost commit races). Returns deleted
+    paths. The log itself is never pruned — history metadata is tiny."""
+    h = history(root)
+    if not h:
+        return []
+    horizon = [e["version"] for e in h][-keep_versions:]
+    referenced: set[str] = set()
+    for v in horizon:
+        referenced.update(os.path.relpath(f, root) for f in snapshot_files(root, v))
+    deleted = []
+    data_root = os.path.join(root, _DATA)
+    for dirpath, _dirs, files in os.walk(data_root):
+        for name in files:
+            full = os.path.join(dirpath, name)
+            rel = os.path.relpath(full, root)
+            if name.endswith(".parquet") and rel not in referenced:
+                os.remove(full)
+                deleted.append(rel)
+    return sorted(deleted)
+
+
+def compact_snapshot(
+    spark: SparkSession, root: str, target_bytes: int, params: dict | None = None
+) -> int:
+    """Transactional small-file compaction: plan bins over the CURRENT
+    snapshot's files (size-cumsum binning, `products/compaction.py`),
+    rewrite them as one file per bin, and commit (add=compacted,
+    remove=old) atomically. Readers on any version never see a torn
+    table; the pre-compaction version stays time-travelable until
+    vacuumed."""
+    from batch_process_dpla_index_spark.products.compaction import compact
+
+    cur = latest_version(root)
+    if cur is None:
+        raise FileNotFoundError(f"no snapshot at {root}")
+    files = snapshot_files(root, cur)
+    tag = f"c{uuid.uuid4().hex[:12]}"
+    out_dir = os.path.join(root, _DATA, tag)
+    compact(spark, files, out_dir, target_bytes=target_bytes)
+    add = sorted(
+        os.path.join(_DATA, tag, f)
+        for f in os.listdir(out_dir)
+        if f.endswith(".parquet")
+    )
+    remove = [os.path.relpath(f, root) for f in files]
+    return _commit(
+        root, "compact", add, remove,
+        {**(params or {}), "target_bytes": str(target_bytes)},
+        expected_version=cur,
+    )

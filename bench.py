@@ -23,6 +23,7 @@ def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
+    from batch_process_dpla_index_spark.operators.dedup import unpersist_deps
     from batch_process_dpla_index_spark.queries import QUERIES
     from batch_process_dpla_index_spark.session import get_spark
 
@@ -44,6 +45,10 @@ def main():
             continue
         times[name] = round(time.time() - t0, 3)
         print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
+        # release pair-operator caches (the _with_cached_deps
+        # discipline) so 100+ queries don't accumulate persisted
+        # frames and skew later timings via memory pressure
+        unpersist_deps(df)
 
     # Composed product pipelines (index build+serve, curation export,
     # sitemap, compaction) — timed end-to-end in a scratch dir so the

@@ -132,15 +132,21 @@ def main() -> int:
     spark = get_spark()
     spark.read.parquet(f"{BASE}/lineitem.parquet").count()
 
+    from batch_process_dpla_index_spark.operators.dedup import unpersist_deps
+
     rows = []
     for name in names:
         fn = QUERIES[name]
         t0 = time.time()
-        n_small = fn(spark, BASE).count()
+        df_small = fn(spark, BASE)
+        n_small = df_small.count()
         t_small = time.time() - t0
+        unpersist_deps(df_small)
         t0 = time.time()
-        n_big = fn(spark, OUT).count()
+        df_big = fn(spark, OUT)
+        n_big = df_big.count()
         t_big = time.time() - t0
+        unpersist_deps(df_big)
         ratio = t_big / t_small if t_small else float("inf")
         rows.append((name, t_small, n_small, t_big, n_big, ratio))
         print(

@@ -76,6 +76,13 @@ def main():
             sdf = qs[name](spark, sf_dir)
             s_cols = sdf.columns
             s_rows = [tuple(r) for r in sdf.collect()]
+            # drop pair-operator persists so a ~100-query session
+            # doesn't accumulate cached frames
+            from batch_process_dpla_index_spark.operators.dedup import (
+                unpersist_deps,
+            )
+
+            unpersist_deps(sdf)
         except Exception as e:
             print(f"FAIL {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
             n_fail += 1
