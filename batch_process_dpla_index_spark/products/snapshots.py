@@ -141,15 +141,56 @@ def _write_batch(df: DataFrame, root: str, tag: str) -> list[str]:
     )
 
 
-def commit_append(df: DataFrame, root: str, params: dict | None = None) -> int:
+def _zone_stats(
+    spark: SparkSession, root: str, add: list[str], stats_cols: list[str]
+) -> dict[str, dict[str, list]]:
+    """Per-file [min, max] zone maps for ``stats_cols``, computed
+    DISTRIBUTED over the just-written batch via the `_metadata` hidden
+    column — one aggregate whose shuffle carries |batch files| rows.
+    Stored in the commit entry so readers prune without opening a
+    single parquet footer."""
+    from pyspark.sql import functions as F
+
+    paths = [os.path.join(root, f) for f in add]
+    aggs = []
+    for c in stats_cols:
+        aggs.append(F.min(c).alias(f"__lo_{c}"))
+        aggs.append(F.max(c).alias(f"__hi_{c}"))
+    rows = (
+        spark.read.parquet(*paths)
+        .groupBy(F.col("_metadata.file_path").alias("__file"))
+        .agg(*aggs)
+        .collect()
+    )
+    by_base = {os.path.basename(f): f for f in add}
+    out: dict[str, dict[str, list]] = {}
+    for r in rows:
+        rel = by_base[os.path.basename(r["__file"])]
+        out[rel] = {
+            c: [r[f"__lo_{c}"], r[f"__hi_{c}"]] for c in stats_cols
+        }
+    return out
+
+
+def commit_append(
+    df: DataFrame,
+    root: str,
+    params: dict | None = None,
+    stats_cols: list[str] | None = None,
+) -> int:
     """Transactional append: new files become visible atomically with
-    the log-entry create. Retries once on a concurrent commit."""
+    the log-entry create. Retries once on a concurrent commit.
+    ``stats_cols`` attaches per-file min/max zone maps to the commit
+    for data-skipping reads (:func:`read_snapshot` with a predicate)."""
     tag = f"b{uuid.uuid4().hex[:12]}"
     add = _write_batch(df, root, tag)
+    extra = dict(params or {})
+    if stats_cols:
+        extra["__stats"] = _zone_stats(df.sparkSession, root, add, stats_cols)
     try:
-        return _commit(root, "append", add, [], params)
+        return _commit(root, "append", add, [], extra)
     except CommitConflict:
-        return _commit(root, "append", add, [], params)
+        return _commit(root, "append", add, [], extra)
 
 
 def commit_overwrite(df: DataFrame, root: str, params: dict | None = None) -> int:
@@ -166,13 +207,92 @@ def commit_overwrite(df: DataFrame, root: str, params: dict | None = None) -> in
     return _commit(root, "overwrite", add, remove, params)
 
 
-def read_snapshot(spark: SparkSession, root: str, version: int | None = None) -> DataFrame:
-    """Time-travel read: the file list comes from the log, never from
-    listing the data directory — immutable and tear-free."""
+def _file_stats_at(root: str, version: int | None) -> dict[str, dict[str, list]]:
+    """rel-file → zone maps, unioned over the log up to ``version``."""
+    out: dict[str, dict[str, list]] = {}
+    for entry in history(root):
+        if version is not None and entry["version"] > version:
+            break
+        out.update(entry.get("params", {}).get("__stats", {}))
+    return out
+
+
+def _may_match(stats: dict[str, list] | None, col: str, op: str, value) -> bool:
+    """Conservative zone-map test: False ONLY when [min, max] proves no
+    row in the file can satisfy the predicate. Missing stats, an
+    unknown column, or a NULL bound never prune."""
+    if not stats or col not in stats:
+        return True
+    lo, hi = stats[col]
+    if lo is None or hi is None:
+        return True
+    if op == "=":
+        return lo <= value <= hi
+    if op == ">=":
+        return hi >= value
+    if op == ">":
+        return hi > value
+    if op == "<=":
+        return lo <= value
+    if op == "<":
+        return lo < value
+    return True  # unknown operator: never prune
+
+
+def prune_files(
+    root: str,
+    predicates: list[tuple[str, str, object]],
+    version: int | None = None,
+) -> tuple[list[str], int]:
+    """(surviving absolute files, number pruned) for AND-ed predicates
+    ``(col, op, value)`` with op in {=, <, <=, >, >=}. Pure log-metadata
+    work — no store I/O beyond the log read."""
+    stats = _file_stats_at(root, version)
     files = snapshot_files(root, version)
-    if not files:
+    keep = []
+    for f in files:
+        rel = os.path.relpath(f, root)
+        if all(_may_match(stats.get(rel), c, op, v) for c, op, v in predicates):
+            keep.append(f)
+    return keep, len(files) - len(keep)
+
+
+def read_snapshot(
+    spark: SparkSession,
+    root: str,
+    version: int | None = None,
+    predicates: list[tuple[str, str, object]] | None = None,
+) -> DataFrame:
+    """Time-travel read: the file list comes from the log, never from
+    listing the data directory — immutable and tear-free.
+
+    With ``predicates``, files whose zone maps prove no match are
+    dropped from the scan BEFORE Spark sees them (driver-side data
+    skipping on log metadata — at 100 TB a selective predicate reads a
+    handful of files instead of the table), and the predicate is ALSO
+    applied as a row filter, so results are exact regardless of how
+    conservative the pruning was."""
+    from pyspark.sql import functions as F
+
+    all_files = snapshot_files(root, version)
+    if not all_files:
         raise FileNotFoundError(f"no snapshot at {root} (version={version})")
-    return spark.read.parquet(*files)
+    if predicates:
+        files, _ = prune_files(root, predicates, version)
+        # every file pruned: keep one so the read still has a schema —
+        # the row filter below makes the result (exactly) empty, and
+        # parquet row-group stats skip its pages anyway
+        files = files or all_files[:1]
+    else:
+        files = all_files
+    df = spark.read.parquet(*files)
+    for c, op, v in predicates or []:
+        expr = {
+            "=": F.col(c) == v, "<": F.col(c) < v, "<=": F.col(c) <= v,
+            ">": F.col(c) > v, ">=": F.col(c) >= v,
+        }[op]
+        df = df.where(expr)
+    return df
 
 
 def rollback(root: str, version: int) -> int:

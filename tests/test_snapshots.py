@@ -99,3 +99,38 @@ def test_compact_snapshot_transactional(spark, tmp_path):
     assert _ids(spark, root, version=before) == list(range(60))
     vacuum(root, keep_versions=1)
     assert _ids(spark, root) == list(range(60))
+
+
+def test_zone_map_data_skipping(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    # three appends with disjoint key ranges, zone maps on k
+    from batch_process_dpla_index_spark.products.snapshots import prune_files
+
+    for lo in (0, 100, 200):
+        commit_append(
+            _frame(spark, lo, lo + 100).coalesce(2), root, stats_cols=["k"]
+        )
+    n_total = len(snapshot_files(root))
+    kept, pruned = prune_files(root, [("k", ">=", 250)])
+    assert pruned >= n_total - 2 and kept  # only the last batch survives
+    got = sorted(
+        r.k for r in read_snapshot(spark, root, predicates=[("k", ">=", 250)]).collect()
+    )
+    assert got == list(range(250, 300))  # pruning is exact, not lossy
+    # equality inside a covered range
+    got = read_snapshot(spark, root, predicates=[("k", "=", 150)]).collect()
+    assert [r.k for r in got] == [150]
+
+
+def test_zone_map_conservative_without_stats(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    commit_append(_frame(spark, 0, 50), root)  # no stats_cols
+    from batch_process_dpla_index_spark.products.snapshots import prune_files
+
+    kept, pruned = prune_files(root, [("k", ">=", 9999)])
+    assert pruned == 0  # nothing proves non-match → nothing pruned
+    # all-pruned predicate on a stats'd table still returns exact empty
+    commit_overwrite(_frame(spark, 0, 10), root)
+    commit_append(_frame(spark, 10, 20), root, stats_cols=["k"])
+    got = read_snapshot(spark, root, predicates=[("k", ">", 10_000)]).collect()
+    assert got == []
