@@ -159,6 +159,40 @@ def retention_cohorts(
     )
 
 
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: (from_type, to_type, n_transitions, p_transition) with
+    probabilities normalized per from_type.
+
+    One corpus shuffle (the per-user lead window); the transition
+    matrix itself is |types|² rows, so the normalizing window runs on
+    a frame that fits one task at any corpus size.
+    """
+    order = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    pairs = events.select(
+        F.col(type_col).alias("from_type"),
+        F.lead(type_col).over(order).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count("*").alias("n_transitions")
+    )
+    per_from = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions") / F.sum("n_transitions").over(per_from), 6
+        ).alias("p_transition"),
+    )
+
+
 def running_anomaly(
     events: DataFrame,
     key_col: str = "user_id",

@@ -210,6 +210,67 @@ def jaccard_pairs(
     return _with_cached_deps(out, [sets])
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_posting: int = 1000,
+) -> DataFrame:
+    """Asymmetric containment join: pairs (a < b) where the SMALLER
+    shingle set is >= ``threshold`` contained in the larger —
+    C_max(A,B) = |A∩B| / min(|A|,|B|).
+
+    Jaccard misses the quote-inclusion case (a 100-shingle doc fully
+    embedded in a 10,000-shingle doc scores J ≈ 0.01 but containment
+    1.0); this is the dedup signal for sub-document duplication
+    between differently-sized documents, complementing the
+    within-document `operators/spans.py:duplicate_spans`.
+
+    Same inverted-index plan as :func:`jaccard_pairs` (explode →
+    equi-join on shingle → per-pair count), same hot-posting-list
+    defuse. NO size-ratio prune: containment admits no length filter
+    (a tiny doc can be fully contained in any larger one), which is
+    exactly why it catches what Jaccard's prune is allowed to skip.
+    """
+    sets = shingle_sets(df, text_col, id_col, n).withColumn(
+        "set_size", F.size("shingles")
+    )
+    sets = sets.persist()
+    posts = sets.select(
+        F.col(id_col).alias("id"), "set_size", F.explode("shingles").alias("shingle")
+    )
+    hot = (
+        posts.groupBy("shingle")
+        .agg(F.count("*").alias("df_"))
+        .filter(F.col("df_") > max_posting)
+        .select("shingle")
+    )
+    posts = posts.join(F.broadcast(hot), "shingle", "left_anti")
+    a = posts.select(
+        F.col("id").alias("id_a"), F.col("set_size").alias("size_a"), "shingle"
+    )
+    b = posts.select(
+        F.col("id").alias("id_b"), F.col("set_size").alias("size_b"), "shingle"
+    )
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "size_a", "size_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    cont = F.col("n_common").cast("double") / F.least(
+        F.col("size_a"), F.col("size_b")
+    ).cast("double")
+    out = (
+        inter.withColumn("containment", cont)
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", F.round("containment", 6).alias("containment"))
+    )
+    return _with_cached_deps(out, [sets])
+
+
 def _perm_params(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
     """Deterministic (a, b) pairs for universal hashing h_i = (a*h + b) % p.
 

@@ -1985,7 +1985,79 @@ FROM scored
 ORACLE_QUALITY_CLASSIFIER = _classifier_oracle()
 
 
+def _containment_oracle(n: int = 3, threshold: float = 0.6) -> str:
+    return f"""
+WITH {_DOC_TOK_CTE}, sets AS (
+    SELECT doc_id, list_distinct({_shingles("tok", n)}) AS sh
+    FROM doc_tok
+), posts AS (
+    SELECT doc_id AS id, len(sh) AS sz, unnest(sh) AS shingle FROM sets
+), inter AS (
+    SELECT a.id AS id_a, b.id AS id_b, a.sz AS sz_a, b.sz AS sz_b, count(*) AS n_common
+    FROM posts a JOIN posts b USING (shingle)
+    WHERE a.id < b.id
+    GROUP BY a.id, b.id, a.sz, b.sz
+)
+SELECT id_a, id_b,
+       round(CAST(n_common AS DOUBLE) / CAST(least(sz_a, sz_b) AS DOUBLE), 6)
+           AS containment
+FROM inter
+WHERE CAST(n_common AS DOUBLE) / CAST(least(sz_a, sz_b) AS DOUBLE) >= {threshold}
+"""
+
+
+ORACLE_CONTAINMENT_PAIRS = _containment_oracle()
+
+
+ORACLE_EVENT_TRANSITIONS = """
+WITH pairs AS (
+    SELECT event_type AS from_type,
+           lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS to_type
+    FROM events
+), counts AS (
+    SELECT from_type, to_type, count(*) AS n_transitions
+    FROM pairs WHERE to_type IS NOT NULL
+    GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n_transitions,
+       round(CAST(n_transitions AS DOUBLE)
+             / sum(n_transitions) OVER (PARTITION BY from_type), 6)
+           AS p_transition
+FROM counts
+"""
+
+
+ORACLE_TOKENIZER_FERTILITY = r"""
+WITH per_doc AS (
+    SELECT lang,
+           CAST(length(text) AS BIGINT) AS n_chars_t,
+           CAST(CASE WHEN trim(lower(text)) = '' THEN 0
+                     ELSE len(string_split_regex(trim(lower(text)), '\s+')) END
+                AS BIGINT) AS n_ws,
+           CAST(len(regexp_extract_all(lower(text),
+                '''s|''t|''re|''ve|''m|''ll|''d| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s'']+'))
+                AS BIGINT) AS n_bpe
+    FROM documents
+)
+SELECT lang,
+       sum(n_chars_t) AS sum_chars,
+       sum(n_ws) AS sum_words,
+       sum(n_bpe) AS sum_bpe,
+       round(CAST(sum(n_chars_t) AS DOUBLE) / CAST(sum(n_ws) AS DOUBLE), 6)
+           AS chars_per_word,
+       round(CAST(sum(n_chars_t) AS DOUBLE) / CAST(sum(n_bpe) AS DOUBLE), 6)
+           AS chars_per_bpe,
+       round(CAST(sum(n_bpe) AS DOUBLE) / CAST(sum(n_ws) AS DOUBLE), 6)
+           AS fertility
+FROM per_doc GROUP BY lang
+"""
+
+
 ORACLES: dict[str, str] = {
+    "containment_pairs": ORACLE_CONTAINMENT_PAIRS,
+    "event_transitions": ORACLE_EVENT_TRANSITIONS,
+    "tokenizer_fertility": ORACLE_TOKENIZER_FERTILITY,
     "duplicate_spans": ORACLE_DUPLICATE_SPANS,
     "funnel_stages": ORACLE_FUNNEL_STAGES,
     "scd2_history": ORACLE_SCD2_HISTORY,

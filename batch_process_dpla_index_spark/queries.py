@@ -1786,6 +1786,53 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup: pairs where the smaller
+    shingle set is >=60% contained in the larger — catches
+    quote-inclusion duplication that Jaccard's symmetric score misses
+    (operators/dedup.py:containment_pairs)."""
+    from batch_process_dpla_index_spark.operators.dedup import containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return containment_pairs(docs, "text", "doc_id", n=3, threshold=0.6)
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences (operators/analytics.py:event_transitions)."""
+    from batch_process_dpla_index_spark.operators.analytics import event_transitions
+
+    events = load_table(spark, sf_dir, "events")
+    return event_transitions(events)
+
+
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fertility report per language: chars per whitespace
+    word, chars per BPE-ish token, and BPE tokens per word — the
+    corpus statistic that prices a tokenizer's compression per
+    language. Pure expressions + one |langs|-row aggregate."""
+    from batch_process_dpla_index_spark.functions.text import (
+        bpe_token_count,
+        token_count,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "lang",
+        F.length("text").cast("bigint").alias("n_chars_t"),
+        token_count(F.col("text")).alias("n_ws"),
+        bpe_token_count(F.col("text")).alias("n_bpe"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.sum("n_chars_t").alias("sum_chars"),
+        F.sum("n_ws").alias("sum_words"),
+        F.sum("n_bpe").alias("sum_bpe"),
+        F.round(F.sum("n_chars_t") / F.sum("n_ws"), 6).alias("chars_per_word"),
+        F.round(F.sum("n_chars_t") / F.sum("n_bpe"), 6).alias("chars_per_bpe"),
+        F.round(F.sum("n_bpe") / F.sum("n_ws"), 6).alias("fertility"),
+    )
+
+
 # Registry order is part of the driver contract: the correctness gate
 # records exactly the FIRST 50 entries. Round-5 rotation: the 41
 # queries last driver-verified in round 2 (the code under them churned
@@ -1856,6 +1903,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "retention_cohorts": q_retention_cohorts,
     "user_running_anomaly": q_user_running_anomaly,
     "quality_classifier": q_quality_classifier,
+    "containment_pairs": q_containment_pairs,
+    "event_transitions": q_event_transitions,
+    "tokenizer_fertility": q_tokenizer_fertility,
     "cosine_topk": q_cosine_topk,
     "gap_fill": q_gap_fill,
     "mq_provider_scores": q_mq_provider_scores,

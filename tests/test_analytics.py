@@ -139,3 +139,47 @@ def test_classifier_separates_spam_from_formal(spark):
     }
     assert got[1] > 0.5 > got[2]
     assert abs(got[3] - 0.5) < 1e-12  # empty doc → neutral prior
+
+
+def test_containment_catches_quote_inclusion(spark):
+    small = "alpha beta gamma delta epsilon"
+    big = small + " " + " ".join(f"filler{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(1, small), (2, big), (3, "unrelated words entirely different")],
+        ["doc_id", "text"],
+    )
+    from batch_process_dpla_index_spark.operators.dedup import (
+        containment_pairs,
+        jaccard_pairs,
+        unpersist_deps,
+    )
+
+    cont = containment_pairs(docs, "text", "doc_id", n=3, threshold=0.9)
+    rows = cont.collect()
+    unpersist_deps(cont)
+    # doc 1's shingles are all inside doc 2 → containment 1.0
+    assert [(r.id_a, r.id_b, r.containment) for r in rows] == [(1, 2, 1.0)]
+    # ...while Jaccard at even 0.3 misses the pair entirely
+    jac = jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.3)
+    assert jac.count() == 0
+    unpersist_deps(jac)
+
+
+def test_event_transitions_probabilities(spark):
+    rows = [
+        (1, _ts(0), "a", 0), (1, _ts(1), "b", 1), (1, _ts(2), "a", 2),
+        (1, _ts(3), "c", 3),
+        (2, _ts(0), "a", 4), (2, _ts(1), "b", 5),
+    ]
+    events = spark.createDataFrame(rows, ["user_id", "ts", "event_type", "event_id"])
+    from batch_process_dpla_index_spark.operators.analytics import event_transitions
+
+    got = {
+        (r.from_type, r.to_type): (r.n_transitions, r.p_transition)
+        for r in event_transitions(events).collect()
+    }
+    # from 'a': 2×→b, 1×→c (cross-user sequences never chain together)
+    assert got[("a", "b")] == (2, round(2 / 3, 6))
+    assert got[("a", "c")] == (1, round(1 / 3, 6))
+    assert got[("b", "a")] == (1, 1.0)
+    assert ("c", "a") not in got  # c is terminal
