@@ -264,6 +264,8 @@ def main(argv: list[str] | None = None) -> int:
                         f"+{len(e['add'])} -{len(e['remove'])}"
                     )
             elif args.action == "rollback":
+                if args.version is None:
+                    p.error("snapshot rollback requires --version")
                 v = snapshots.rollback(args.root, args.version)
                 print(f"Rolled back to v{args.version} as version {v}")
             elif args.action == "vacuum":

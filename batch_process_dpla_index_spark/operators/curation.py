@@ -413,9 +413,13 @@ def dsir_weights(
     float paths identical — same discipline as
     :func:`unigram_lm_scores`.
     """
+    # `terms` feeds BOTH the corpus-LM aggregate and the scoring join;
+    # persist it so the corpus-wide tokenize+explode runs once, not
+    # twice (the boilerplate_stats lesson — callers release via
+    # unpersist_deps)
     terms = docs.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__term")
-    )
+    ).persist()
     t_counts = (
         target.select(F.explode(tokens(F.col(text_col))).alias("__t"))
         .groupBy(F.col("__t").alias("t_term"))
@@ -446,10 +450,11 @@ def dsir_weights(
         .crossJoin(F.broadcast(c_stats))
         .select(id_col, (lp_t - lp_c).alias("__lr"))
     )
-    return scored.groupBy(id_col).agg(
+    result = scored.groupBy(id_col).agg(
         F.count("*").alias("n_terms"),
         F.round(F.avg("__lr"), 6).alias("dsir_weight"),
     )
+    return _with_cached_deps(result, [terms])
 
 
 def boilerplate_stats(

@@ -54,6 +54,17 @@ def _with_cached_deps(result: DataFrame, deps: list[DataFrame]) -> DataFrame:
     return result
 
 
+def carry_deps(out: DataFrame, src: DataFrame) -> DataFrame:
+    """Re-attach ``src``'s cached deps to a transformed frame.
+
+    DataFrame methods return NEW objects, so ``op(...).select(...)``
+    silently drops the ``_cached_deps`` attribute and downstream
+    ``unpersist_deps`` becomes a no-op (the persisted intermediate
+    then leaks for the session). Wrap any post-transformation of a
+    deps-carrying result with this."""
+    return _with_cached_deps(out, list(getattr(src, "_cached_deps", [])))
+
+
 def unpersist_deps(df: DataFrame) -> DataFrame:
     """Release caches attached by the pair operators (idempotent)."""
     for dep in getattr(df, "_cached_deps", []):
@@ -865,8 +876,11 @@ def semdedup(
         kmeans_fit,
     )
 
+    # tol=0: run exactly n_iter iterations so the fixed-depth SQL
+    # oracle replay can never diverge via an unmodeled early stop
     cents = kmeans_fit(
-        emb, id_col, vec_col, k=k, n_iter=n_iter, init="hash", update_grid=10**6
+        emb, id_col, vec_col, k=k, n_iter=n_iter, init="hash",
+        update_grid=10**6, tol=0.0,
     )
     vecs = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     av = (

@@ -117,10 +117,14 @@ def tfidf_top_terms(
     broadcast 1-row N, then a per-doc ranking window whose partitions
     are single documents' term lists. No Python anywhere.
     """
+    # `tf` feeds BOTH the df aggregate and the scoring join; persist it
+    # so the corpus explode+aggregate runs once (callers release via
+    # unpersist_deps)
     tf = (
         docs.select(F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("term"))
         .groupBy("id", "term")
         .agg(F.count("*").cast("bigint").alias("tf"))
+        .persist()
     )
     df_t = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
     n_docs = docs.agg(F.count("*").cast("bigint").alias("__n"))
@@ -141,8 +145,11 @@ def tfidf_top_terms(
     w = Window.partitionBy("id").orderBy(
         F.col("tfidf").desc(), F.col("term").asc()
     )
-    return (
+    from batch_process_dpla_index_spark.operators.dedup import _with_cached_deps
+
+    result = (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("id", "term", "tf", "df", "tfidf", "rnk")
     )
+    return _with_cached_deps(result, [tf])

@@ -391,13 +391,23 @@ GROUP BY source
 """
 
 
-def _jaccard_oracle(n: int = 3, threshold: float = 0.4) -> str:
+def _jaccard_oracle(n: int = 3, threshold: float = 0.4, max_posting: int = 1000) -> str:
+    # the hot-posting-list defuse is part of the operator's semantics
+    # (dedup.py: shingles with doc frequency > max_posting are dropped
+    # BEFORE the self-join), so the oracle must mirror it — identical
+    # at small fixtures, required for parity once any shingle's df
+    # exceeds the cap
     return f"""
 WITH {_DOC_TOK_CTE}, sets AS (
     SELECT doc_id, list_distinct({_shingles("tok", n)}) AS sh
     FROM doc_tok
-), posts AS (
+), all_posts AS (
     SELECT doc_id AS id, len(sh) AS sz, unnest(sh) AS shingle FROM sets
+), posts AS (
+    SELECT * FROM all_posts
+    WHERE shingle NOT IN (
+        SELECT shingle FROM all_posts GROUP BY shingle
+        HAVING count(*) > {max_posting})
 ), inter AS (
     SELECT a.id AS id_a, b.id AS id_b, a.sz AS sz_a, b.sz AS sz_b, count(*) AS n_common
     FROM posts a JOIN posts b USING (shingle)
@@ -1985,13 +1995,23 @@ FROM scored
 ORACLE_QUALITY_CLASSIFIER = _classifier_oracle()
 
 
-def _containment_oracle(n: int = 3, threshold: float = 0.6) -> str:
+def _containment_oracle(
+    n: int = 3, threshold: float = 0.6, max_posting: int = 1000
+) -> str:
+    # mirrors the operator's hot-posting-list defuse (see
+    # _jaccard_oracle note) — required for parity at any fixture where
+    # a shingle's doc frequency exceeds the cap
     return f"""
 WITH {_DOC_TOK_CTE}, sets AS (
     SELECT doc_id, list_distinct({_shingles("tok", n)}) AS sh
     FROM doc_tok
-), posts AS (
+), all_posts AS (
     SELECT doc_id AS id, len(sh) AS sz, unnest(sh) AS shingle FROM sets
+), posts AS (
+    SELECT * FROM all_posts
+    WHERE shingle NOT IN (
+        SELECT shingle FROM all_posts GROUP BY shingle
+        HAVING count(*) > {max_posting})
 ), inter AS (
     SELECT a.id AS id_a, b.id AS id_b, a.sz AS sz_a, b.sz AS sz_b, count(*) AS n_common
     FROM posts a JOIN posts b USING (shingle)

@@ -195,16 +195,32 @@ def commit_append(
 
 def commit_overwrite(df: DataFrame, root: str, params: dict | None = None) -> int:
     """Replace the table contents; prior versions stay readable (the
-    removed files remain on disk until vacuum)."""
+    removed files remain on disk until vacuum).
+
+    The remove list is computed AT a pinned version and the commit
+    claims exactly version+1 (``expected_version``), so a racing
+    append between the read and the commit raises
+    :class:`CommitConflict` instead of producing an "overwrite" that
+    silently retains the racer's files; we then recompute the remove
+    set on fresh state and retry once."""
     tag = f"b{uuid.uuid4().hex[:12]}"
     add = _write_batch(df, root, tag)
-    cur = latest_version(root)
-    remove = (
-        [os.path.relpath(f, root) for f in snapshot_files(root)]
-        if cur is not None
-        else []
-    )
-    return _commit(root, "overwrite", add, remove, params)
+    for attempt in range(2):
+        cur = latest_version(root)
+        remove = (
+            [os.path.relpath(f, root) for f in snapshot_files(root, cur)]
+            if cur is not None
+            else []
+        )
+        try:
+            return _commit(
+                root, "overwrite", add, remove, params,
+                expected_version=-1 if cur is None else cur,
+            )
+        except CommitConflict:
+            if attempt:
+                raise
+    raise AssertionError("unreachable")
 
 
 def _file_stats_at(root: str, version: int | None) -> dict[str, dict[str, list]]:
@@ -305,26 +321,57 @@ def rollback(root: str, version: int) -> int:
     return _commit(root, "rollback", add, remove, {"to_version": str(version)})
 
 
-def vacuum(root: str, keep_versions: int = 1) -> list[str]:
+def vacuum(
+    root: str, keep_versions: int = 1, orphan_grace_s: float = 86_400.0
+) -> list[str]:
     """Delete data files unreferenced by the last ``keep_versions``
-    versions (and orphans from lost commit races). Returns deleted
-    paths. The log itself is never pruned — history metadata is tiny."""
+    versions. Returns deleted paths. The log itself is never pruned —
+    history metadata is tiny.
+
+    Two classes of deletable file, treated differently so vacuum can
+    run concurrently with writers:
+
+    - **logged but not retained** (in some version's add list, outside
+      the horizon): safe to delete immediately — the log proves no
+      retained version references them.
+    - **never logged** (an in-flight commit writes its data files
+      BEFORE its log entry exists; a lost commit race leaves the
+      loser's files forever): deleted only when older than
+      ``orphan_grace_s`` (mtime), so a commit in progress is never
+      torn. Lost-race orphans age past the grace and get reaped on a
+      later vacuum.
+    """
+    import time as _time
+
     h = history(root)
     if not h:
         return []
     horizon = [e["version"] for e in h][-keep_versions:]
-    referenced: set[str] = set()
+    retained: set[str] = set()
     for v in horizon:
-        referenced.update(os.path.relpath(f, root) for f in snapshot_files(root, v))
+        retained.update(os.path.relpath(f, root) for f in snapshot_files(root, v))
+    ever_logged: set[str] = set()
+    for e in h:
+        ever_logged.update(e["add"])
+    now = _time.time()
     deleted = []
     data_root = os.path.join(root, _DATA)
     for dirpath, _dirs, files in os.walk(data_root):
         for name in files:
+            if not name.endswith(".parquet"):
+                continue
             full = os.path.join(dirpath, name)
             rel = os.path.relpath(full, root)
-            if name.endswith(".parquet") and rel not in referenced:
-                os.remove(full)
-                deleted.append(rel)
+            if rel in retained:
+                continue
+            if rel not in ever_logged:
+                try:
+                    if now - os.path.getmtime(full) < orphan_grace_s:
+                        continue  # possibly an in-flight commit
+                except OSError:
+                    continue
+            os.remove(full)
+            deleted.append(rel)
     return sorted(deleted)
 
 

@@ -1250,8 +1250,12 @@ def q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # tol=0 pins EXACTLY n_iter iterations — the SQL oracle replays a
+    # fixed-depth CTE chain, so the engine must not early-stop on a
+    # near-converged shift the oracle doesn't model
     cents = kmeans_fit(
-        emb, "vec_id", "embedding", k=8, n_iter=3, init="hash", update_grid=10**6
+        emb, "vec_id", "embedding", k=8, n_iter=3, init="hash",
+        update_grid=10**6, tol=0.0,
     )
     return (
         kmeans_assign(emb, cents, "vec_id", "embedding")
@@ -1336,11 +1340,14 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     smaller-id twin at similarity >= 0.3. The full cluster→pair→flag
     pipeline is value-verified by a SQL replay; cross-cell pairs are
     never compared (cells bound the join like LSH bands)."""
-    from batch_process_dpla_index_spark.operators.dedup import semdedup
+    from batch_process_dpla_index_spark.operators.dedup import carry_deps, semdedup
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return semdedup(emb, "vec_id", "embedding", k=8, n_iter=3, threshold=0.3).select(
-        F.col("id").alias("vec_id"), "cell", "n_close", "kept"
+    sd = semdedup(emb, "vec_id", "embedding", k=8, n_iter=3, threshold=0.3)
+    # carry the persisted-deps handles through the rename so callers'
+    # unpersist_deps still releases the assignment frame
+    return carry_deps(
+        sd.select(F.col("id").alias("vec_id"), "cell", "n_close", "kept"), sd
     )
 
 
@@ -1838,11 +1845,14 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 # queries last driver-verified in round 2 (the code under them churned
 # ~60 commits since) move INTO the window, together with this round's
 # changed/new queries (kmeans_cells — now integer-grid deterministic
-# with a real oracle; pq_encode — new; boilerplate_stats — persist
-# fix) and a handful of r4-green representatives per family. With
-# CORRECTNESS_r04, this makes every registry query driver-green in
-# r4 ∪ r5. Rotated-out entries were hash-green in r4, remain pinned by
-# pytest plan tests, and still oracle-verify via tools/verify_local.py.
+# with a real oracle; pq_encode / duplicate_spans / funnel_stages /
+# scd2_history — new). With CORRECTNESS_r04, every query that existed
+# before round 5 is driver-green in r4 ∪ r5; the six round-5 queries
+# placed in the tail (retention_cohorts … tokenizer_fertility) are
+# oracle-verified via tools/verify_local.py at sf0.001+sf0.01 this
+# round and rotate into the r6 driver window. Rotated-out entries were
+# hash-green in r4, remain pinned by pytest plan tests, and still
+# oracle-verify via tools/verify_local.py.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- stale-since-r2 set (re-verified this round) --
     "avro_flatten_items": q_avro_flatten_items,

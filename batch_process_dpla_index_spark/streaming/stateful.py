@@ -34,8 +34,16 @@ def anomaly_stream(stream, threshold: float = 3.0, warmup: int = 5):
     usual append-stream contract — enforce with a watermark upstream
     if the source can reorder)."""
     import math
+    from decimal import ROUND_HALF_UP, Decimal
 
     import pandas as pd
+
+    def _round6(x: float) -> float:
+        # Mirror Spark's F.round exactly: Java BigDecimal.valueOf uses
+        # Double.toString (shortest repr — same as Python's repr) then
+        # HALF_UP; Python's built-in round() is half-EVEN and would
+        # diverge on .XXXXXX5 boundaries.
+        return float(Decimal(repr(x)).quantize(Decimal("1e-6"), ROUND_HALF_UP))
 
     def update(key, pdfs, state):
         n, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
@@ -49,7 +57,7 @@ def anomaly_stream(stream, threshold: float = 3.0, warmup: int = 5):
                 z = (v - mean) / std
                 # flag from the unrounded score (the batch twin rounds
                 # only the emitted column, not the threshold input)
-                zs.append(round(z, 6))
+                zs.append(_round6(z))
                 flags.append(abs(z) > threshold)
             else:
                 zs.append(None)

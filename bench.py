@@ -65,13 +65,16 @@ def main():
         t0 = time.time()
         try:
             n = fn(spark, sf_dir, work_dir)
+            # stop the clock before cleanup: scratch-dir deletion is
+            # disk-state noise, not pipeline cost
+            elapsed = time.time() - t0
         except Exception as exc:
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"# {name}: ERROR {errors[name][:120]}", file=sys.stderr)
             continue
         finally:
             shutil.rmtree(work_dir, ignore_errors=True)
-        times[name] = round(time.time() - t0, 3)
+        times[name] = round(elapsed, 3)
         print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(times.values()), 3)
