@@ -82,6 +82,55 @@ def ingest_available(
     return counts
 
 
+def ingest_to_snapshot_available(
+    spark: SparkSession,
+    source_path: str,
+    schema,
+    snapshot_root: str,
+    checkpoint_path: str,
+    transform=None,
+) -> dict[int, int]:
+    """Drain the source into a VERSIONED snapshot table
+    (`products/snapshots.py`): one ``commit_append`` per micro-batch,
+    so every batch is an atomic, time-travelable version and readers
+    never see a torn table.
+
+    Exactly-once across restarts: the commit records its
+    ``stream_batch_id``; a replayed micro-batch (checkpoint recovery
+    re-delivers the last in-flight batch) finds its id already in the
+    log and SKIPS the commit — the snapshot log is the sink-side
+    ledger the parquet-partition recipe above emulates with
+    partition overwrites. The abandoned first attempt's data files
+    are never referenced and age out via ``vacuum``'s orphan grace.
+    """
+    from batch_process_dpla_index_spark.products import snapshots
+
+    counts: dict[int, int] = {}
+
+    def land(batch_df, batch_id: int) -> None:
+        out = transform(batch_df) if transform is not None else batch_df
+        already = {
+            e["params"].get("stream_batch_id")
+            for e in snapshots.history(snapshot_root)
+        }
+        if str(int(batch_id)) in already:
+            return  # replayed batch: its version is already committed
+        snapshots.commit_append(
+            out, snapshot_root, params={"stream_batch_id": str(int(batch_id))}
+        )
+        counts[int(batch_id)] = out.count()
+
+    stream = spark.readStream.schema(schema).parquet(source_path)
+    q = (
+        stream.writeStream.foreachBatch(land)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return counts
+
+
 def ingest_dedup_available(
     spark: SparkSession,
     source_path: str,

@@ -134,3 +134,59 @@ def test_zone_map_conservative_without_stats(spark, tmp_path):
     commit_append(_frame(spark, 10, 20), root, stats_cols=["k"])
     got = read_snapshot(spark, root, predicates=[("k", ">", 10_000)]).collect()
     assert got == []
+
+
+def test_vacuum_orphan_grace_protects_inflight_commits(spark, tmp_path):
+    """Data files not yet referenced by any log entry (an in-flight
+    commit writes files BEFORE its log entry) survive vacuum inside
+    the grace period and are reaped once it expires."""
+    import glob
+
+    from batch_process_dpla_index_spark.products.snapshots import _DATA
+
+    root = str(tmp_path / "tbl")
+    commit_append(_frame(spark, 0, 10), root)
+    # simulate an in-flight commit: files on disk, no log entry yet
+    orphan_dir = str(tmp_path / "tbl" / _DATA / "binflight")
+    _frame(spark, 50, 60).coalesce(1).write.parquet(orphan_dir)
+    n_orphans = len(glob.glob(orphan_dir + "/*.parquet"))
+    assert n_orphans > 0
+    assert vacuum(root, keep_versions=1) == []  # grace: nothing reaped
+    assert len(glob.glob(orphan_dir + "/*.parquet")) == n_orphans
+    # grace expired (orphan_grace_s=0): the lost-race files are reaped,
+    # the committed snapshot is untouched
+    deleted = vacuum(root, keep_versions=1, orphan_grace_s=0.0)
+    assert len(deleted) == n_orphans
+    assert _ids(spark, root) == list(range(10))
+
+
+def test_streaming_ingest_to_snapshot_exactly_once(spark, tmp_path):
+    """foreachBatch → commit_append lands each micro-batch as an
+    atomic snapshot version; re-running against the same snapshot log
+    with a fresh checkpoint (forcing full batch replay) commits
+    nothing new — the stream_batch_id ledger makes replays no-ops."""
+    from batch_process_dpla_index_spark.products.streaming_ingest import (
+        ingest_to_snapshot_available,
+    )
+
+    src = str(tmp_path / "src")
+    root = str(tmp_path / "tbl")
+    df = _frame(spark, 0, 100)
+    df.coalesce(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    counts = ingest_to_snapshot_available(
+        spark, src, schema, root, str(tmp_path / "ckpt1")
+    )
+    assert sum(counts.values()) == 100
+    assert _ids(spark, root) == list(range(100))
+    v_before = latest_version(root)
+
+    # fresh checkpoint = every batch replays from scratch; the ledger
+    # must swallow them all
+    counts2 = ingest_to_snapshot_available(
+        spark, src, schema, root, str(tmp_path / "ckpt2")
+    )
+    assert counts2 == {}
+    assert latest_version(root) == v_before
+    assert _ids(spark, root) == list(range(100))
