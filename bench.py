@@ -31,6 +31,15 @@ def main():
     # warm the JVM + parquet footers once so per-query times measure the
     # query, not session bootstrap
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    # ...and the Python-worker pool + Arrow channel: the first
+    # Arrow-batched query otherwise absorbs worker cold-start (~3 s),
+    # and the correctness-window rotation can put any query first
+    from pyspark.sql import functions as F
+
+    # lambda form: `from __future__ import annotations` stringifies
+    # type hints, which pandas_udf's hint inference rejects
+    _warm = F.pandas_udf(lambda s: s + 1, "long")
+    spark.range(1024).select(_warm("id")).count()
 
     times: dict[str, float] = {}
     errors: dict[str, str] = {}

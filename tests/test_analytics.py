@@ -183,3 +183,94 @@ def test_event_transitions_probabilities(spark):
     assert got[("a", "c")] == (1, round(1 / 3, 6))
     assert got[("b", "a")] == (1, 1.0)
     assert ("c", "a") not in got  # c is terminal
+
+
+def test_span_invariants_on_fixture(spark, docs):
+    """Corpus-level invariants at sf0.001: every span lies within its
+    document's token count, is at least k tokens long, and spans of
+    one document never overlap (maximal-merge correctness)."""
+    from collections import defaultdict
+
+    from batch_process_dpla_index_spark.functions.text import token_count
+    from batch_process_dpla_index_spark.operators.dedup import unpersist_deps
+
+    k = 8
+    spans = duplicate_spans(docs, k=k)
+    rows = spans.collect()
+    unpersist_deps(spans)
+    assert rows  # fixture contains near-dup docs → spans exist
+    n_tok = {
+        r.doc_id: r.n
+        for r in docs.select("doc_id", token_count(F.col("text")).alias("n")).collect()
+    }
+    by_doc = defaultdict(list)
+    for r in rows:
+        assert r.span_tokens == r.span_end - r.span_start >= k
+        assert 0 <= r.span_start < r.span_end <= n_tok[r.doc_id]
+        by_doc[r.doc_id].append((r.span_start, r.span_end))
+    for doc_spans in by_doc.values():
+        doc_spans.sort()
+        for (s1, e1), (s2, e2) in zip(doc_spans, doc_spans[1:]):
+            # merged-maximal: islands split iff the next window start
+            # exceeds prev_start + k, i.e. s2 > (e1 - k) + k = e1 —
+            # consecutive spans are disjoint with a gap of >= 1 token
+            assert s2 > e1
+
+
+def test_scd2_intervals_partition_time(spark):
+    """Per key, SCD2 versions tile [first_change, ∞): consecutive
+    valid_to == next valid_from, exactly one open interval, no
+    adjacent duplicate attribute values."""
+    from batch_process_dpla_index_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    events = load_table(spark, SF_DIR, "events")
+    hist = scd2_history(events).collect()
+    from collections import defaultdict
+
+    by_key = defaultdict(list)
+    for r in hist:
+        by_key[r.user_id].append(r)
+    for rows in by_key.values():
+        rows.sort(key=lambda r: r.valid_from)
+        opens = [r for r in rows if r.valid_to is None]
+        assert len(opens) == 1 and rows[-1].is_current
+        for a, b in zip(rows, rows[1:]):
+            assert a.valid_to == b.valid_from  # no gaps, no overlaps
+            assert a.attr_value != b.attr_value  # repeats collapsed
+
+
+def test_funnel_monotone_on_fixture(spark):
+    from batch_process_dpla_index_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    events = load_table(spark, SF_DIR, "events")
+    rows = sorted(funnel_stages(events).collect(), key=lambda r: r.stage)
+    counts = [r.n_users for r in rows]
+    assert counts == sorted(counts, reverse=True)  # conversions only shrink
+    assert counts[0] > 0
+
+
+def test_range_join_bucketize_rewrite_and_overlap_fallback(spark):
+    """Non-overlapping ranges take the bucketize+equi-join fast path
+    (no nested loop in the plan, same rows); overlapping ranges keep
+    the general theta join and yield BOTH matches."""
+    from batch_process_dpla_index_spark.operators.relational import range_join
+
+    fact = spark.createDataFrame([(5.0,), (15.0,), (25.0,), (99.0,)], ["v"])
+    disjoint = spark.createDataFrame(
+        [("a", 0.0, 10.0), ("b", 10.0, 20.0)], "name STRING, lo DOUBLE, hi DOUBLE"
+    )
+    out = range_join(fact, disjoint, "v", "lo", "hi")
+    assert sorted((r.v, r.name) for r in out.collect()) == [(5.0, "a"), (15.0, "b")]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "BroadcastHashJoin" in plan
+
+    overlapping = spark.createDataFrame(
+        [("x", 0.0, 20.0), ("y", 10.0, 30.0)], "name STRING, lo DOUBLE, hi DOUBLE"
+    )
+    out2 = range_join(fact, overlapping, "v", "lo", "hi")
+    assert sorted((r.v, r.name) for r in out2.collect()) == [
+        (5.0, "x"), (15.0, "x"), (15.0, "y"), (25.0, "y")
+    ]
+    assert "BroadcastNestedLoopJoin" in out2._jdf.queryExecution().executedPlan().toString()
