@@ -244,6 +244,8 @@ def main(argv: list[str] | None = None) -> int:
             from batch_process_dpla_index_spark.products import snapshots
 
             if args.action in ("append", "overwrite"):
+                if args.input is None:
+                    p.error(f"snapshot {args.action} requires --input")
                 df = spark.read.parquet(args.input)
                 fn = (
                     snapshots.commit_append

@@ -158,6 +158,58 @@ def shingle_sets(
     )
 
 
+def _pair_intersections(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    max_posting: int,
+    pair_filter=None,
+):
+    """Shared inverted-index pair core for the exact set-similarity
+    joins: shingle sets (persisted — returned for the caller's
+    `_with_cached_deps`), posting explode, hot-posting-list defuse,
+    and the per-pair intersection count. ``pair_filter`` (a Column
+    over size_a/size_b) prunes pairs BEFORE the aggregation — the
+    jaccard length filter plugs in there; containment passes None
+    because it admits no such prune.
+
+    Returns (inter, sets): inter has columns
+    (id_a, id_b, size_a, size_b, n_common)."""
+    sets = shingle_sets(df, text_col, id_col, n).withColumn(
+        "set_size", F.size("shingles")
+    )
+    sets = sets.persist()
+    posts = sets.select(
+        F.col(id_col).alias("id"), "set_size", F.explode("shingles").alias("shingle")
+    )
+    # Defuse pathological posting lists before the self-join (the
+    # inverted-index twin of the LSH bucket cap).
+    hot = (
+        posts.groupBy("shingle")
+        .agg(F.count("*").alias("df_"))
+        .filter(F.col("df_") > max_posting)
+        .select("shingle")
+    )
+    posts = posts.join(F.broadcast(hot), "shingle", "left_anti")
+    a = posts.select(
+        F.col("id").alias("id_a"), F.col("set_size").alias("size_a"), "shingle"
+    )
+    b = posts.select(
+        F.col("id").alias("id_b"), F.col("set_size").alias("size_b"), "shingle"
+    )
+    cond = F.col("id_a") < F.col("id_b")
+    if pair_filter is not None:
+        cond = cond & pair_filter
+    inter = (
+        a.join(b, "shingle")
+        .filter(cond)
+        .groupBy("id_a", "id_b", "size_a", "size_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return inter, sets
+
+
 def jaccard_pairs(
     df: DataFrame,
     text_col: str,
@@ -182,20 +234,6 @@ def jaccard_pairs(
     the default cap far above any real shingle frequency below web
     scale, small-SF results are bit-identical to the uncapped join.
     """
-    sets = shingle_sets(df, text_col, id_col, n).withColumn("set_size", F.size("shingles"))
-    sets = sets.persist()
-    posts = sets.select(F.col(id_col).alias("id"), "set_size", F.explode("shingles").alias("shingle"))
-    # Defuse pathological posting lists before the self-join (the
-    # inverted-index twin of the LSH bucket cap).
-    hot = (
-        posts.groupBy("shingle")
-        .agg(F.count("*").alias("df_"))
-        .filter(F.col("df_") > max_posting)
-        .select("shingle")
-    )
-    posts = posts.join(F.broadcast(hot), "shingle", "left_anti")
-    a = posts.select(F.col("id").alias("id_a"), F.col("set_size").alias("size_a"), "shingle")
-    b = posts.select(F.col("id").alias("id_b"), F.col("set_size").alias("size_b"), "shingle")
     # Size-ratio prune (set-similarity-join length filter): J(A,B) >= t
     # forces t·max(|A|,|B|) <= min(|A|,|B|), so size-incompatible pairs
     # can be dropped BEFORE the pair aggregation — identical results,
@@ -204,11 +242,8 @@ def jaccard_pairs(
         F.greatest(F.col("size_a"), F.col("size_b")) * threshold
         <= F.least(F.col("size_a"), F.col("size_b"))
     )
-    inter = (
-        a.join(b, "shingle")
-        .filter((F.col("id_a") < F.col("id_b")) & size_ok)
-        .groupBy("id_a", "id_b", "size_a", "size_b")
-        .agg(F.count("*").alias("n_common"))
+    inter, sets = _pair_intersections(
+        df, text_col, id_col, n, max_posting, pair_filter=size_ok
     )
     jac = F.col("n_common").cast("double") / (
         F.col("size_a") + F.col("size_b") - F.col("n_common")
@@ -245,32 +280,7 @@ def containment_pairs(
     (a tiny doc can be fully contained in any larger one), which is
     exactly why it catches what Jaccard's prune is allowed to skip.
     """
-    sets = shingle_sets(df, text_col, id_col, n).withColumn(
-        "set_size", F.size("shingles")
-    )
-    sets = sets.persist()
-    posts = sets.select(
-        F.col(id_col).alias("id"), "set_size", F.explode("shingles").alias("shingle")
-    )
-    hot = (
-        posts.groupBy("shingle")
-        .agg(F.count("*").alias("df_"))
-        .filter(F.col("df_") > max_posting)
-        .select("shingle")
-    )
-    posts = posts.join(F.broadcast(hot), "shingle", "left_anti")
-    a = posts.select(
-        F.col("id").alias("id_a"), F.col("set_size").alias("size_a"), "shingle"
-    )
-    b = posts.select(
-        F.col("id").alias("id_b"), F.col("set_size").alias("size_b"), "shingle"
-    )
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b", "size_a", "size_b")
-        .agg(F.count("*").alias("n_common"))
-    )
+    inter, sets = _pair_intersections(df, text_col, id_col, n, max_posting)
     cont = F.col("n_common").cast("double") / F.least(
         F.col("size_a"), F.col("size_b")
     ).cast("double")

@@ -58,11 +58,18 @@ def range_join(
     exactly what the equi-join rewrite cannot express.
     """
     rows = ranges.collect()  # small by the broadcast contract
-    spans = sorted(
-        ((r[lo_col], r[hi_col], i) for i, r in enumerate(rows)),
-        key=lambda t: (t[0], t[1]),
+    bounds_ok = all(
+        r[lo_col] is not None and r[hi_col] is not None for r in rows
     )
-    non_overlapping = all(
+    spans = (
+        sorted(
+            ((r[lo_col], r[hi_col], i) for i, r in enumerate(rows)),
+            key=lambda t: (t[0], t[1]),
+        )
+        if bounds_ok
+        else []
+    )
+    non_overlapping = bounds_ok and all(
         a_hi <= b_lo for (_, a_hi, _), (b_lo, _, _) in zip(spans, spans[1:])
     )
     if non_overlapping and rows:
@@ -72,9 +79,17 @@ def range_join(
                 (F.col(value_col) >= F.lit(lo)) & (F.col(value_col) < F.lit(hi)),
                 F.lit(i),
             ).otherwise(expr)
+        # explicit schema (ranges.schema + the index) — inference from
+        # collected Python values would drift dtypes from the fallback
+        # path (int→bigint) and crash on all-NULL attribute columns
+        from pyspark.sql.types import IntegerType, StructField, StructType
+
+        idx_schema = StructType(
+            [StructField("__range_idx", IntegerType(), False)]
+            + list(ranges.schema.fields)
+        )
         idx_ranges = ranges.sparkSession.createDataFrame(
-            [(i,) + tuple(r) for i, r in enumerate(rows)],
-            ["__range_idx", *ranges.columns],
+            [(i,) + tuple(r) for i, r in enumerate(rows)], idx_schema
         )
         return (
             fact.withColumn("__range_idx", expr)

@@ -75,16 +75,33 @@ def history(root: str) -> list[dict]:
 
 
 def latest_version(root: str) -> int | None:
-    h = history(root)
-    return h[-1]["version"] if h else None
+    """Newest committed version — from the zero-padded log FILENAMES
+    (no JSON parse), so commits stay O(listdir) as the log grows."""
+    d = _log_dir(root)
+    if not os.path.isdir(d):
+        return None
+    versions = [
+        int(name[:-5])
+        for name in os.listdir(d)
+        if name.endswith(".json") and name[:-5].isdigit()
+    ]
+    return max(versions) if versions else None
 
 
 def snapshot_files(root: str, version: int | None = None) -> list[str]:
     """Resolve the exact file list at ``version`` (default: latest) by
     replaying (add − remove) through the log. Paths are root-relative
-    in the log, absolute in the return."""
+    in the log, absolute in the return. Asking for a version newer
+    than the log raises instead of silently serving the latest data
+    under the wrong label."""
+    h = history(root)
+    if version is not None and (not h or version > h[-1]["version"]):
+        newest = h[-1]["version"] if h else None
+        raise ValueError(
+            f"version {version} does not exist at {root} (latest: {newest})"
+        )
     live: list[str] = []  # keep commit order → stable read order
-    for entry in history(root):
+    for entry in h:
         if version is not None and entry["version"] > version:
             break
         removed = set(entry["remove"])
@@ -115,15 +132,26 @@ def _commit(root: str, op: str, add: list[str], remove: list[str],
         "remove": remove,
         "params": params or {},
     }
+    # Two-phase publish so readers can NEVER observe a partial entry:
+    # the full JSON is written (and fsynced) to a private temp file,
+    # then os.link() atomically claims the final name — link fails
+    # with EEXIST if a racing writer won, preserving the conflict
+    # check, and a crash before the link leaves only an invisible
+    # temp file, never a truncated log entry.
     path = _entry_path(root, version)
+    tmp = f"{path}.{uuid.uuid4().hex[:8]}.tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(entry, fh, sort_keys=True)
+        fh.flush()
+        os.fsync(fh.fileno())
     try:
-        fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+        os.link(tmp, path)
     except FileExistsError as exc:
         raise CommitConflict(
             f"version {version} already committed by another writer"
         ) from exc
-    with os.fdopen(fd, "w", encoding="utf-8") as fh:
-        json.dump(entry, fh, sort_keys=True)
+    finally:
+        os.unlink(tmp)
     return version
 
 
@@ -139,6 +167,25 @@ def _write_batch(df: DataFrame, root: str, tag: str) -> list[str]:
         for f in os.listdir(batch_dir)
         if f.endswith(".parquet")
     )
+
+
+def _json_scalar(v):
+    """Map a collected Spark scalar (or a reader's predicate value) to
+    its JSON-storable zone-map form. datetime/date become ISO-8601
+    strings — lexicographic order on the ISO form equals temporal
+    order, so `_may_match`'s <=/>= comparisons stay correct; Decimal
+    becomes float; unorderable-as-JSON types (bytes, lists) map to
+    None, which `_may_match` treats as "never prune"."""
+    import datetime as _dt
+    import decimal as _dec
+
+    if v is None or isinstance(v, (int, float, str, bool)):
+        return v
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return v.isoformat()
+    if isinstance(v, _dec.Decimal):
+        return float(v)
+    return None
 
 
 def _zone_stats(
@@ -167,7 +214,8 @@ def _zone_stats(
     for r in rows:
         rel = by_base[os.path.basename(r["__file"])]
         out[rel] = {
-            c: [r[f"__lo_{c}"], r[f"__hi_{c}"]] for c in stats_cols
+            c: [_json_scalar(r[f"__lo_{c}"]), _json_scalar(r[f"__hi_{c}"])]
+            for c in stats_cols
         }
     return out
 
@@ -240,7 +288,8 @@ def _may_match(stats: dict[str, list] | None, col: str, op: str, value) -> bool:
     if not stats or col not in stats:
         return True
     lo, hi = stats[col]
-    if lo is None or hi is None:
+    value = _json_scalar(value)  # same mapping the stats were stored under
+    if lo is None or hi is None or value is None:
         return True
     if op == "=":
         return lo <= value <= hi
@@ -313,8 +362,20 @@ def read_snapshot(
 
 def rollback(root: str, version: int) -> int:
     """Restore ``version``'s file set as a NEW commit (history is
-    append-only; nothing is deleted)."""
+    append-only; nothing is deleted).
+
+    Raises FileNotFoundError when any of the target version's data
+    files has been vacuumed — rollback only reaches versions inside
+    the vacuum retention, and failing loudly here prevents committing
+    a "restored" version that points at deleted files."""
     target = set(snapshot_files(root, version))
+    missing = sorted(os.path.relpath(f, root) for f in target if not os.path.exists(f))
+    if missing:
+        raise FileNotFoundError(
+            f"cannot roll back to version {version}: {len(missing)} data "
+            f"file(s) already vacuumed (first: {missing[0]}); rollback is "
+            "limited to versions within the vacuum retention"
+        )
     current = set(snapshot_files(root))
     add = [os.path.relpath(f, root) for f in sorted(target - current)]
     remove = [os.path.relpath(f, root) for f in sorted(current - target)]

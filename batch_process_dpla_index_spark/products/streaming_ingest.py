@@ -23,6 +23,8 @@ production for a continuously running query.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import SparkSession
 
 from batch_process_dpla_index_spark.io.manifest import write_manifest
@@ -115,10 +117,22 @@ def ingest_to_snapshot_available(
         }
         if str(int(batch_id)) in already:
             return  # replayed batch: its version is already committed
-        snapshots.commit_append(
+        v = snapshots.commit_append(
             out, snapshot_root, params={"stream_batch_id": str(int(batch_id))}
         )
-        counts[int(batch_id)] = out.count()
+        # count from the COMMITTED files' parquet footers — re-counting
+        # `out` would re-execute the whole transform lineage a second
+        # time (and could disagree with what was written if the
+        # transform is nondeterministic)
+        entry = next(
+            e for e in snapshots.history(snapshot_root) if e["version"] == v
+        )
+        committed = [os.path.join(snapshot_root, f) for f in entry["add"]]
+        counts[int(batch_id)] = (
+            batch_df.sparkSession.read.parquet(*committed).count()
+            if committed
+            else 0
+        )
 
     stream = spark.readStream.schema(schema).parquet(source_path)
     q = (

@@ -1310,11 +1310,13 @@ def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     retrieval weights). Ranked on the ROUNDED score with a term
     tie-break so mathematically-equal scores order identically in
     both engines."""
+    from batch_process_dpla_index_spark.operators.dedup import carry_deps
     from batch_process_dpla_index_spark.operators.ranking import tfidf_top_terms
 
     docs = load_table(spark, sf_dir, "documents")
-    return tfidf_top_terms(docs, "doc_id", "text", k=3).select(
-        F.col("id").alias("doc_id"), "term", "tf", "df", "tfidf", "rnk"
+    tt = tfidf_top_terms(docs, "doc_id", "text", k=3)
+    return carry_deps(
+        tt.select(F.col("id").alias("doc_id"), "term", "tf", "df", "tfidf", "rnk"), tt
     )
 
 

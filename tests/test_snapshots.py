@@ -190,3 +190,41 @@ def test_streaming_ingest_to_snapshot_exactly_once(spark, tmp_path):
     assert counts2 == {}
     assert latest_version(root) == v_before
     assert _ids(spark, root) == list(range(100))
+
+
+def test_nonexistent_version_raises(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    commit_append(_frame(spark, 0, 10), root)
+    with pytest.raises(ValueError, match="version 999 does not exist"):
+        read_snapshot(spark, root, version=999)
+
+
+def test_rollback_refuses_vacuumed_version(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    commit_append(_frame(spark, 0, 10), root)
+    commit_overwrite(_frame(spark, 100, 105), root)
+    vacuum(root, keep_versions=1)
+    with pytest.raises(FileNotFoundError, match="already vacuumed"):
+        rollback(root, 0)
+    assert _ids(spark, root) == list(range(100, 105))  # table intact
+
+
+def test_zone_maps_on_timestamp_column(spark, tmp_path):
+    """Zone maps on non-JSON-native types (timestamps) serialize as
+    ISO strings and still prune correctly — ISO lexicographic order
+    equals temporal order."""
+    import datetime as dt
+
+    from batch_process_dpla_index_spark.products.snapshots import prune_files
+
+    root = str(tmp_path / "tbl")
+    for day in (1, 10, 20):
+        rows = [(i, dt.datetime(2024, 1, day, i)) for i in range(5)]
+        df = spark.createDataFrame(rows, ["k", "ts"]).coalesce(1)
+        commit_append(df, root, stats_cols=["ts"])
+    kept, pruned = prune_files(root, [("ts", ">=", dt.datetime(2024, 1, 15))])
+    assert pruned == 2 and len(kept) == 1
+    got = read_snapshot(
+        spark, root, predicates=[("ts", ">=", dt.datetime(2024, 1, 15))]
+    ).collect()
+    assert len(got) == 5 and all(r.ts.day == 20 for r in got)
