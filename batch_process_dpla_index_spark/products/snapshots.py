@@ -61,16 +61,21 @@ def _entry_path(root: str, version: int) -> str:
     return os.path.join(_log_dir(root), f"{version:08d}.json")
 
 
-def history(root: str) -> list[dict]:
-    """All commit entries, version-ascending. O(|versions|) small reads."""
+def history(root: str, since_version: int | None = None) -> list[dict]:
+    """Commit entries, version-ascending; ``since_version`` loads only
+    entries with a STRICTLY GREATER version (the checkpoint replay
+    path). Checkpoint sidecars (*.checkpoint.json) are not entries."""
     d = _log_dir(root)
     if not os.path.isdir(d):
         return []
     out = []
     for name in sorted(os.listdir(d)):
-        if name.endswith(".json"):
-            with open(os.path.join(d, name), encoding="utf-8") as fh:
-                out.append(json.load(fh))
+        if not (name.endswith(".json") and name[:-5].isdigit()):
+            continue
+        if since_version is not None and int(name[:-5]) <= since_version:
+            continue
+        with open(os.path.join(d, name), encoding="utf-8") as fh:
+            out.append(json.load(fh))
     return out
 
 
@@ -88,20 +93,82 @@ def latest_version(root: str) -> int | None:
     return max(versions) if versions else None
 
 
+#: auto-checkpoint cadence: every N commits, _commit materializes the
+#: live file list into a sidecar so replay is O(N), not O(versions)
+CHECKPOINT_EVERY = 64
+
+
+def _checkpoint_path(root: str, version: int) -> str:
+    return os.path.join(_log_dir(root), f"{version:08d}.checkpoint.json")
+
+
+def _latest_checkpoint(root: str, at_or_before: int | None) -> dict | None:
+    """Newest checkpoint sidecar with version <= ``at_or_before``
+    (None = no bound). Filename scan only; one JSON read."""
+    d = _log_dir(root)
+    if not os.path.isdir(d):
+        return None
+    best = None
+    for name in os.listdir(d):
+        if not name.endswith(".checkpoint.json"):
+            continue
+        v = int(name.split(".")[0])
+        if (at_or_before is None or v <= at_or_before) and (
+            best is None or v > best
+        ):
+            best = v
+    if best is None:
+        return None
+    with open(_checkpoint_path(root, best), encoding="utf-8") as fh:
+        return json.load(fh)
+
+
+def write_checkpoint(root: str) -> int:
+    """Materialize the CURRENT live file list (and unioned zone-map
+    stats) into a checkpoint sidecar for the latest version. Replay
+    then starts from the checkpoint instead of entry 0 — the log-
+    compaction tier for long-lived tables. Idempotent and race-safe:
+    a concurrent writer producing the same checkpoint loses the
+    atomic link and that's fine (contents are identical)."""
+    cur = latest_version(root)
+    if cur is None:
+        raise FileNotFoundError(f"no snapshot at {root}")
+    cp = {
+        "version": cur,
+        "files": [os.path.relpath(f, root) for f in snapshot_files(root, cur)],
+        "stats": _file_stats_at(root, cur),
+    }
+    path = _checkpoint_path(root, cur)
+    tmp = f"{path}.{uuid.uuid4().hex[:8]}.tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(cp, fh, sort_keys=True)
+        fh.flush()
+        os.fsync(fh.fileno())
+    try:
+        os.link(tmp, path)
+    except FileExistsError:
+        pass  # a racing writer checkpointed the same version
+    finally:
+        os.unlink(tmp)
+    return cur
+
+
 def snapshot_files(root: str, version: int | None = None) -> list[str]:
     """Resolve the exact file list at ``version`` (default: latest) by
-    replaying (add − remove) through the log. Paths are root-relative
-    in the log, absolute in the return. Asking for a version newer
-    than the log raises instead of silently serving the latest data
-    under the wrong label."""
-    h = history(root)
-    if version is not None and (not h or version > h[-1]["version"]):
-        newest = h[-1]["version"] if h else None
+    replaying (add − remove) through the log — starting from the
+    newest checkpoint at or before ``version``, so resolution is
+    O(commits since checkpoint). Paths are root-relative in the log,
+    absolute in the return. Asking for a version newer than the log
+    raises instead of silently serving the latest data under the
+    wrong label."""
+    newest = latest_version(root)
+    if version is not None and (newest is None or version > newest):
         raise ValueError(
             f"version {version} does not exist at {root} (latest: {newest})"
         )
-    live: list[str] = []  # keep commit order → stable read order
-    for entry in h:
+    cp = _latest_checkpoint(root, version if version is not None else newest)
+    live: list[str] = list(cp["files"]) if cp else []  # commit order kept
+    for entry in history(root, since_version=cp["version"] if cp else None):
         if version is not None and entry["version"] > version:
             break
         removed = set(entry["remove"])
@@ -152,6 +219,11 @@ def _commit(root: str, op: str, add: list[str], remove: list[str],
         ) from exc
     finally:
         os.unlink(tmp)
+    if version > 0 and version % CHECKPOINT_EVERY == 0:
+        try:  # best-effort: a failed checkpoint never fails the commit
+            write_checkpoint(root)
+        except OSError:
+            pass
     return version
 
 
@@ -272,9 +344,13 @@ def commit_overwrite(df: DataFrame, root: str, params: dict | None = None) -> in
 
 
 def _file_stats_at(root: str, version: int | None) -> dict[str, dict[str, list]]:
-    """rel-file → zone maps, unioned over the log up to ``version``."""
-    out: dict[str, dict[str, list]] = {}
-    for entry in history(root):
+    """rel-file → zone maps, unioned over the log up to ``version``
+    (checkpoint-based: the sidecar carries the unioned stats at its
+    version, then only newer entries are merged)."""
+    bound = version if version is not None else latest_version(root)
+    cp = _latest_checkpoint(root, bound)
+    out: dict[str, dict[str, list]] = dict(cp["stats"]) if cp else {}
+    for entry in history(root, since_version=cp["version"] if cp else None):
         if version is not None and entry["version"] > version:
             break
         out.update(entry.get("params", {}).get("__stats", {}))

@@ -228,3 +228,45 @@ def test_zone_maps_on_timestamp_column(spark, tmp_path):
         spark, root, predicates=[("ts", ">=", dt.datetime(2024, 1, 15))]
     ).collect()
     assert len(got) == 5 and all(r.ts.day == 20 for r in got)
+
+
+def test_checkpoint_replay_equivalence(spark, tmp_path):
+    """Resolution through a checkpoint equals full-log replay: same
+    files, same time travel, same zone-map pruning; versions behind
+    the checkpoint stay reachable (the log is never pruned)."""
+    from batch_process_dpla_index_spark.products.snapshots import (
+        prune_files,
+        snapshot_files as sf,
+        write_checkpoint,
+    )
+
+    root = str(tmp_path / "tbl")
+    for lo in (0, 100, 200):
+        commit_append(
+            _frame(spark, lo, lo + 100).coalesce(1), root, stats_cols=["k"]
+        )
+    full = sf(root)
+    cp_v = write_checkpoint(root)
+    assert cp_v == 2
+    assert sf(root) == full  # checkpointed resolution identical
+    commit_append(_frame(spark, 300, 400).coalesce(1), root, stats_cols=["k"])
+    assert _ids(spark, root) == list(range(400))
+    # time travel to a pre-checkpoint version still replays correctly
+    assert _ids(spark, root, version=0) == list(range(100))
+    # zone maps survive the checkpoint: stats from before AND after it
+    kept, pruned = prune_files(root, [("k", ">=", 350)])
+    assert len(kept) == 1 and pruned == 3
+
+
+def test_auto_checkpoint_cadence(spark, tmp_path, monkeypatch):
+    import glob
+
+    from batch_process_dpla_index_spark.products import snapshots
+
+    monkeypatch.setattr(snapshots, "CHECKPOINT_EVERY", 4)
+    root = str(tmp_path / "tbl")
+    for i in range(6):
+        commit_append(_frame(spark, i * 10, i * 10 + 10).coalesce(1), root)
+    cps = glob.glob(str(tmp_path / "tbl" / "_log" / "*.checkpoint.json"))
+    assert len(cps) == 1 and cps[0].endswith("00000004.checkpoint.json")
+    assert _ids(spark, root) == list(range(60))
