@@ -137,6 +137,15 @@ def write_checkpoint(root: str) -> int:
         "version": cur,
         "files": [os.path.relpath(f, root) for f in snapshot_files(root, cur)],
         "stats": _file_stats_at(root, cur),
+        # the streaming-ingest exactly-once ledger rides along so the
+        # per-batch replay check is O(since-checkpoint) too
+        "stream_batch_ids": sorted(
+            {
+                e["params"]["stream_batch_id"]
+                for e in history(root)
+                if e["version"] <= cur and "stream_batch_id" in e.get("params", {})
+            }
+        ),
     }
     path = _checkpoint_path(root, cur)
     tmp = f"{path}.{uuid.uuid4().hex[:8]}.tmp"
@@ -151,6 +160,26 @@ def write_checkpoint(root: str) -> int:
     finally:
         os.unlink(tmp)
     return cur
+
+
+def committed_stream_batch_ids(root: str) -> set[str]:
+    """All ``stream_batch_id`` params ever committed — the streaming
+    exactly-once ledger. Checkpoint-accelerated: ids at-or-before the
+    newest checkpoint come from its sidecar (older checkpoints
+    without the field fall back to a full scan), then only newer
+    entries are parsed."""
+    cp = _latest_checkpoint(root, None)
+    if cp is not None and "stream_batch_ids" in cp:
+        ids = set(cp["stream_batch_ids"])
+        entries = history(root, since_version=cp["version"])
+    else:
+        ids = set()
+        entries = history(root)
+    for e in entries:
+        b = e.get("params", {}).get("stream_batch_id")
+        if b is not None:
+            ids.add(b)
+    return ids
 
 
 def snapshot_files(root: str, version: int | None = None) -> list[str]:

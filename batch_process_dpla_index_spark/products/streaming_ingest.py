@@ -111,10 +111,7 @@ def ingest_to_snapshot_available(
 
     def land(batch_df, batch_id: int) -> None:
         out = transform(batch_df) if transform is not None else batch_df
-        already = {
-            e["params"].get("stream_batch_id")
-            for e in snapshots.history(snapshot_root)
-        }
+        already = snapshots.committed_stream_batch_ids(snapshot_root)
         if str(int(batch_id)) in already:
             return  # replayed batch: its version is already committed
         v = snapshots.commit_append(

@@ -270,3 +270,36 @@ def test_auto_checkpoint_cadence(spark, tmp_path, monkeypatch):
     cps = glob.glob(str(tmp_path / "tbl" / "_log" / "*.checkpoint.json"))
     assert len(cps) == 1 and cps[0].endswith("00000004.checkpoint.json")
     assert _ids(spark, root) == list(range(60))
+
+
+def test_ledger_rides_checkpoint(spark, tmp_path):
+    """The exactly-once ledger survives checkpointing: batch ids from
+    before the checkpoint are found via its sidecar, newer ones via
+    entry replay, and the replayed stream still commits nothing."""
+    from batch_process_dpla_index_spark.products.snapshots import (
+        committed_stream_batch_ids,
+        write_checkpoint,
+    )
+    from batch_process_dpla_index_spark.products.streaming_ingest import (
+        ingest_to_snapshot_available,
+    )
+
+    src = str(tmp_path / "src")
+    root = str(tmp_path / "tbl")
+    _frame(spark, 0, 50).coalesce(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    counts = ingest_to_snapshot_available(
+        spark, src, schema, root, str(tmp_path / "ck1")
+    )
+    assert sum(counts.values()) == 50
+    write_checkpoint(root)
+    commit_append(
+        _frame(spark, 50, 60), root, params={"stream_batch_id": "post-cp"}
+    )
+    ids = committed_stream_batch_ids(root)
+    assert "0" in ids and "post-cp" in ids
+    # full replay against the checkpointed ledger: still a no-op
+    assert ingest_to_snapshot_available(
+        spark, src, schema, root, str(tmp_path / "ck2")
+    ) == {}
+    assert _ids(spark, root) == list(range(60))
