@@ -192,6 +192,87 @@ def as_of_join(
     )
 
 
+def nearest_asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """NEAREST as-of join: each left row matches the right row with
+    the smallest |right.ts − left.ts| for its key, in either time
+    direction (ties → the backward/at-or-before match). Adds
+    ``matched_delta_us`` (signed, right − left) beside the carried
+    value columns; NULL columns when the key has no right rows at all.
+
+    Same single-exchange composition as :func:`as_of_join` — tag +
+    union both sides, then TWO carry windows over the one partition
+    (backward: last right at-or-before; forward: first right
+    at-or-after, via the reversed sort) and a per-row nearest pick.
+    One shuffle on the key; the second window re-sorts within
+    partitions but never re-exchanges. Tie rule among right rows at
+    the same (key, ts): the lexicographically-largest value struct
+    wins in BOTH directions (same contract as as_of_join).
+    """
+    from pyspark.sql.window import Window
+
+    rv_fields = [f"{c}:{right.schema[c].dataType.simpleString()}" for c in value_cols]
+    rv_ddl = "struct<" + ",".join(rv_fields + ["__rts:bigint"]) + ">"
+    l_ddl = (
+        "struct<"
+        + ",".join(f"{f.name}:{f.dataType.simpleString()}" for f in left.schema.fields)
+        + ">"
+    )
+    l_tag = left.select(
+        F.col(key), F.col(left_ts).alias("__ts"), F.lit(1).alias("__is_left"),
+        F.lit(None).cast(rv_ddl).alias("__rv"),
+        F.struct(*left.columns).alias("__row"),
+    )
+    r_tag = right.select(
+        F.col(key), F.col(right_ts).alias("__ts"), F.lit(0).alias("__is_left"),
+        F.struct(
+            *[F.col(c) for c in value_cols],
+            F.unix_micros(F.col(right_ts)).alias("__rts"),
+        ).alias("__rv"),
+        F.lit(None).cast(l_ddl).alias("__row"),
+    )
+    back = (
+        Window.partitionBy(key)
+        .orderBy(F.col("__ts").asc(), F.col("__is_left").asc(), F.col("__rv").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy(key)
+        .orderBy(F.col("__ts").desc(), F.col("__is_left").asc(), F.col("__rv").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l_tag.unionByName(r_tag).select(
+        "__is_left",
+        "__row",
+        F.last("__rv", ignorenulls=True).over(back).alias("__prev"),
+        F.last("__rv", ignorenulls=True).over(fwd).alias("__next"),
+    )
+    lts = F.unix_micros(F.col(f"__row.{left_ts}"))
+    prev_d = lts - F.col("__prev.__rts")   # >= 0
+    next_d = F.col("__next.__rts") - lts   # >= 0
+    pick = (
+        F.when(F.col("__next").isNull(), F.col("__prev"))
+        .when(F.col("__prev").isNull(), F.col("__next"))
+        .when(prev_d <= next_d, F.col("__prev"))
+        .otherwise(F.col("__next"))
+    )
+    return (
+        carried.filter(F.col("__is_left") == 1)
+        .withColumn("__m", pick)
+        .select(
+            *[F.col(f"__row.{c}").alias(c) for c in left.columns],
+            *[F.col(f"__m.{c}").alias(c) for c in value_cols],
+            (F.col("__m.__rts") - lts).alias("matched_delta_us"),
+        )
+    )
+
+
 def apply_changeset(
     snapshot: DataFrame,
     changes: DataFrame,

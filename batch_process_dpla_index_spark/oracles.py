@@ -2074,7 +2074,65 @@ FROM per_doc GROUP BY lang
 """
 
 
+ORACLE_NEAREST_PURCHASE = """
+WITH pur AS (
+    SELECT user_id, ts, round(value, 6) AS purchase_value, epoch_us(ts) AS rts
+    FROM events WHERE event_type = 'purchase'
+), b AS (
+    SELECT l.event_id, l.user_id, epoch_us(l.ts) AS lts,
+           r.purchase_value AS pv, r.rts
+    FROM events l
+    ASOF LEFT JOIN pur r ON l.user_id = r.user_id AND l.ts >= r.ts
+), f AS (
+    SELECT l.event_id, r.purchase_value AS nv, r.rts AS nrts
+    FROM events l
+    ASOF LEFT JOIN pur r ON l.user_id = r.user_id AND l.ts <= r.ts
+)
+SELECT b.event_id, b.user_id,
+       CASE WHEN f.nrts IS NULL THEN b.pv
+            WHEN b.rts IS NULL THEN f.nv
+            WHEN b.lts - b.rts <= f.nrts - b.lts THEN b.pv
+            ELSE f.nv END AS purchase_value,
+       CASE WHEN f.nrts IS NULL THEN b.rts - b.lts
+            WHEN b.rts IS NULL THEN f.nrts - b.lts
+            WHEN b.lts - b.rts <= f.nrts - b.lts THEN b.rts - b.lts
+            ELSE f.nrts - b.lts END AS matched_delta_us
+FROM b JOIN f USING (event_id)
+"""
+
+
+ORACLE_BIGRAM_PMI = f"""
+WITH {_DOC_TOK_CTE}, uni AS (
+    SELECT w, CAST(count(*) AS BIGINT) AS c
+    FROM (SELECT unnest(tok) AS w FROM doc_tok) GROUP BY w
+), bigr AS (
+    SELECT bigram, CAST(count(*) AS BIGINT) AS c_ab
+    FROM (SELECT unnest({_shingles("tok", 2)}) AS bigram FROM doc_tok)
+    WHERE len(string_split(bigram, ' ')) = 2
+    GROUP BY bigram
+), nu AS (SELECT CAST(sum(c) AS BIGINT) AS nu FROM uni),
+nb AS (
+    SELECT CAST(count(*) AS BIGINT) AS nb
+    FROM (SELECT unnest({_shingles("tok", 2)}) AS bigram FROM doc_tok)
+    WHERE len(string_split(bigram, ' ')) = 2
+)
+SELECT bigram, c_ab, a.c AS c_a, b.c AS c_b,
+       round(log2((CAST(c_ab AS DOUBLE) / nb)
+                  / ((CAST(a.c AS DOUBLE) / nu) * (CAST(b.c AS DOUBLE) / nu))),
+             6) AS pmi
+FROM bigr
+JOIN uni a ON string_split(bigram, ' ')[1] = a.w
+JOIN uni b ON string_split(bigram, ' ')[2] = b.w
+CROSS JOIN nu CROSS JOIN nb
+WHERE c_ab >= 5
+ORDER BY pmi DESC, bigram ASC
+LIMIT 20
+"""
+
+
 ORACLES: dict[str, str] = {
+    "nearest_purchase": ORACLE_NEAREST_PURCHASE,
+    "bigram_pmi": ORACLE_BIGRAM_PMI,
     "containment_pairs": ORACLE_CONTAINMENT_PAIRS,
     "event_transitions": ORACLE_EVENT_TRANSITIONS,
     "tokenizer_fertility": ORACLE_TOKENIZER_FERTILITY,

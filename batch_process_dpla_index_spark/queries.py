@@ -1842,6 +1842,81 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_nearest_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join (either time direction, ties backward):
+    every event matches its user's temporally CLOSEST purchase, with
+    the signed microsecond delta. Verified against a DuckDB oracle
+    built from two NATIVE ASOF JOINs (backward + forward) and a
+    nearest pick — an independent algorithm
+    (operators/relational.py:nearest_asof_join)."""
+    from batch_process_dpla_index_spark.operators.relational import nearest_asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.select("event_id", "user_id", "ts")
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.round("value", 6).alias("purchase_value")
+    )
+    return nearest_asof_join(
+        left, right, "user_id", "ts", "ts", ["purchase_value"]
+    ).select("event_id", "user_id", "purchase_value", "matched_delta_us")
+
+
+def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 collocations by pointwise mutual information:
+    log2(p(ab) / (p(a)·p(b))) over corpus unigram/bigram counts with a
+    min-count floor (rare-pair PMI explodes). Ranked on the ROUNDED
+    score with a bigram tie-break so equal scores order identically
+    in both engines. Two hash aggs + two vocabulary joins + two
+    broadcast 1-row totals — no corpus re-scan."""
+    from batch_process_dpla_index_spark.functions.text import word_shingles
+    from batch_process_dpla_index_spark.operators.relational import top_k
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(tokens(F.col("text")).alias("__tok"))
+    uni = (
+        toks.select(F.explode("__tok").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    big = (
+        toks.select(F.explode(word_shingles(F.col("__tok"), 2)).alias("bigram"))
+        .where(F.size(F.split("bigram", " ")) == 2)
+        .groupBy("bigram")
+        .agg(F.count("*").cast("bigint").alias("c_ab"))
+        .where(F.col("c_ab") >= 5)
+    )
+    n_uni = uni.agg(F.sum("c").cast("bigint").alias("__nu"))
+    n_big = toks.select(
+        F.explode(word_shingles(F.col("__tok"), 2)).alias("bigram")
+    ).where(F.size(F.split("bigram", " ")) == 2).agg(
+        F.count("*").cast("bigint").alias("__nb")
+    )
+    w1 = F.split("bigram", " ")[0]
+    w2 = F.split("bigram", " ")[1]
+    ua = uni.select(F.col("w").alias("__w1"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("w").alias("__w2"), F.col("c").alias("c_b"))
+    pmi = F.round(
+        F.log2(
+            (F.col("c_ab").cast("double") / F.col("__nb"))
+            / (
+                (F.col("c_a").cast("double") / F.col("__nu"))
+                * (F.col("c_b").cast("double") / F.col("__nu"))
+            )
+        ),
+        6,
+    )
+    scored = (
+        big.withColumn("__w1", w1)
+        .withColumn("__w2", w2)
+        .join(ua, "__w1")
+        .join(ub, "__w2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_big))
+        .select("bigram", "c_ab", "c_a", "c_b", pmi.alias("pmi"))
+    )
+    return top_k(scored, [F.col("pmi").desc(), F.col("bigram").asc()], 20)
+
+
 # Registry order is part of the driver contract: the correctness gate
 # records exactly the FIRST 50 entries. Round-5 rotation: the 41
 # queries last driver-verified in round 2 (the code under them churned
@@ -1849,8 +1924,8 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 # changed/new queries (kmeans_cells — now integer-grid deterministic
 # with a real oracle; pq_encode / duplicate_spans / funnel_stages /
 # scd2_history — new). With CORRECTNESS_r04, every query that existed
-# before round 5 is driver-green in r4 ∪ r5; the six round-5 queries
-# placed in the tail (retention_cohorts … tokenizer_fertility) are
+# before round 5 is driver-green in r4 ∪ r5; the eight round-5 queries
+# placed in the tail (retention_cohorts … bigram_pmi) are
 # oracle-verified via tools/verify_local.py at sf0.001+sf0.01 this
 # round and rotate into the r6 driver window. Rotated-out entries were
 # hash-green in r4, remain pinned by pytest plan tests, and still
@@ -1918,6 +1993,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "containment_pairs": q_containment_pairs,
     "event_transitions": q_event_transitions,
     "tokenizer_fertility": q_tokenizer_fertility,
+    "nearest_purchase": q_nearest_purchase,
+    "bigram_pmi": q_bigram_pmi,
     "cosine_topk": q_cosine_topk,
     "gap_fill": q_gap_fill,
     "mq_provider_scores": q_mq_provider_scores,

@@ -274,3 +274,35 @@ def test_range_join_bucketize_rewrite_and_overlap_fallback(spark):
         (5.0, "x"), (15.0, "x"), (15.0, "y"), (25.0, "y")
     ]
     assert "BroadcastNestedLoopJoin" in out2._jdf.queryExecution().executedPlan().toString()
+
+
+def test_nearest_asof_picks_closest_either_direction(spark):
+    from batch_process_dpla_index_spark.operators.relational import nearest_asof_join
+
+    left = spark.createDataFrame(
+        [(1, _ts(10), 100), (1, _ts(40), 101), (2, _ts(5), 102)],
+        ["user_id", "ts", "event_id"],
+    ).select("event_id", "user_id", "ts")
+    right = spark.createDataFrame(
+        [(1, _ts(12), 7.0), (1, _ts(30), 8.0)], ["user_id", "ts", "v"]
+    )
+    got = {
+        r.event_id: (r.v, r.matched_delta_us)
+        for r in nearest_asof_join(
+            left, right, "user_id", "ts", "ts", ["v"]
+        ).collect()
+    }
+    assert got[100] == (7.0, 2 * 60_000_000)       # forward match is closer
+    assert got[101] == (8.0, -10 * 60_000_000)     # backward match is closer
+    assert got[102] == (None, None)                # key with no right rows
+
+
+def test_nearest_asof_tie_prefers_backward(spark):
+    from batch_process_dpla_index_spark.operators.relational import nearest_asof_join
+
+    left = spark.createDataFrame([(1, _ts(20), 1)], ["user_id", "ts", "event_id"])
+    right = spark.createDataFrame(
+        [(1, _ts(10), 5.0), (1, _ts(30), 6.0)], ["user_id", "ts", "v"]
+    )
+    rows = nearest_asof_join(left, right, "user_id", "ts", "ts", ["v"]).collect()
+    assert rows[0].v == 5.0 and rows[0].matched_delta_us == -10 * 60_000_000
