@@ -96,8 +96,14 @@ def range_join(
             .join(F.broadcast(idx_ranges), "__range_idx")
             .drop("__range_idx")
         )
+    # overlapping / NULL-bounded intervals: general theta join. Built
+    # from the ALREADY-collected rows (not the original plan) so the
+    # ranges computation executes exactly once either way — and a
+    # nondeterministic ranges source can't disagree between the
+    # overlap check and the executed join.
+    literal_ranges = fact.sparkSession.createDataFrame(rows, ranges.schema)
     cond = (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
-    return fact.join(F.broadcast(ranges), cond)
+    return fact.join(F.broadcast(literal_ranges), cond)
 
 
 def salted_join(
@@ -128,6 +134,51 @@ def salted_join(
     return salted_big.join(salted_small, [key, "__salt"]).drop("__salt")
 
 
+def _asof_tag_union(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    with_rts: bool = False,
+) -> DataFrame:
+    """Shared tag+union scaffolding for the as-of family: both sides
+    unioned under (key, __ts, __is_left, __rv, __row), where __rv is
+    the right-value struct (optionally carrying __rts epoch-micros for
+    the nearest variant) and __row the full left row. The tie contract
+    lives in the struct layout: value_cols order IS the lexicographic
+    tie order, so a change here must update both join variants' docs
+    and their oracles together."""
+    rv_fields = [
+        f"{c}:{right.schema[c].dataType.simpleString()}" for c in value_cols
+    ]
+    if with_rts:
+        rv_fields.append("__rts:bigint")
+    rv_ddl = "struct<" + ",".join(rv_fields) + ">"
+    l_ddl = (
+        "struct<"
+        + ",".join(f"{f.name}:{f.dataType.simpleString()}" for f in left.schema.fields)
+        + ">"
+    )
+    rv_cols = [F.col(c) for c in value_cols]
+    if with_rts:
+        rv_cols.append(F.unix_micros(F.col(right_ts)).alias("__rts"))
+    l_tag = left.select(
+        F.col(key), F.col(left_ts).alias("__ts"), F.lit(1).alias("__is_left"),
+        F.lit(None).cast(rv_ddl).alias("__rv"),
+        F.struct(*left.columns).alias("__row"),
+    )
+    r_tag = right.select(
+        F.col(key), F.col(right_ts).alias("__ts"), F.lit(0).alias("__is_left"),
+        # one struct per right row so all carried values come from the
+        # SAME matched row even when some of its columns are null
+        F.struct(*rv_cols).alias("__rv"),
+        F.lit(None).cast(l_ddl).alias("__row"),
+    )
+    return l_tag.unionByName(r_tag)
+
+
 def as_of_join(
     left: DataFrame,
     right: DataFrame,
@@ -154,34 +205,13 @@ def as_of_join(
     """
     from pyspark.sql.window import Window
 
-    rv_ddl = (
-        "struct<"
-        + ",".join(f"{c}:{right.schema[c].dataType.simpleString()}" for c in value_cols)
-        + ">"
-    )
-    l_ddl = (
-        "struct<"
-        + ",".join(f"{f.name}:{f.dataType.simpleString()}" for f in left.schema.fields)
-        + ">"
-    )
-    l_tag = left.select(
-        F.col(key), F.col(left_ts).alias("__ts"), F.lit(1).alias("__is_left"),
-        F.lit(None).cast(rv_ddl).alias("__rv"),
-        F.struct(*left.columns).alias("__row"),
-    )
-    r_tag = right.select(
-        F.col(key), F.col(right_ts).alias("__ts"), F.lit(0).alias("__is_left"),
-        # one struct per right row so all carried values come from the
-        # SAME matched row even when some of its columns are null
-        F.struct(*[F.col(c) for c in value_cols]).alias("__rv"),
-        F.lit(None).cast(l_ddl).alias("__row"),
-    )
+    tagged = _asof_tag_union(left, right, key, left_ts, right_ts, value_cols)
     w = (
         Window.partitionBy(key)
         .orderBy(F.col("__ts").asc(), F.col("__is_left").asc(), F.col("__rv").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = l_tag.unionByName(r_tag).select(
+    carried = tagged.select(
         "__is_left",
         "__row",
         F.last("__rv", ignorenulls=True).over(w).alias("__m"),
@@ -217,25 +247,8 @@ def nearest_asof_join(
     """
     from pyspark.sql.window import Window
 
-    rv_fields = [f"{c}:{right.schema[c].dataType.simpleString()}" for c in value_cols]
-    rv_ddl = "struct<" + ",".join(rv_fields + ["__rts:bigint"]) + ">"
-    l_ddl = (
-        "struct<"
-        + ",".join(f"{f.name}:{f.dataType.simpleString()}" for f in left.schema.fields)
-        + ">"
-    )
-    l_tag = left.select(
-        F.col(key), F.col(left_ts).alias("__ts"), F.lit(1).alias("__is_left"),
-        F.lit(None).cast(rv_ddl).alias("__rv"),
-        F.struct(*left.columns).alias("__row"),
-    )
-    r_tag = right.select(
-        F.col(key), F.col(right_ts).alias("__ts"), F.lit(0).alias("__is_left"),
-        F.struct(
-            *[F.col(c) for c in value_cols],
-            F.unix_micros(F.col(right_ts)).alias("__rts"),
-        ).alias("__rv"),
-        F.lit(None).cast(l_ddl).alias("__row"),
+    tagged = _asof_tag_union(
+        left, right, key, left_ts, right_ts, value_cols, with_rts=True
     )
     back = (
         Window.partitionBy(key)
@@ -247,7 +260,7 @@ def nearest_asof_join(
         .orderBy(F.col("__ts").desc(), F.col("__is_left").asc(), F.col("__rv").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = l_tag.unionByName(r_tag).select(
+    carried = tagged.select(
         "__is_left",
         "__row",
         F.last("__rv", ignorenulls=True).over(back).alias("__prev"),

@@ -1003,9 +1003,13 @@ SELECT l.event_id, l.user_id,
        r.purchase_value, r.purchase_ts
 FROM events l
 ASOF LEFT JOIN (
-    SELECT user_id, ts, round(value, 6) AS purchase_value,
+    -- max() per (user, ts): same duplicate-timestamp winner as the
+    -- engine's largest-value-struct tie rule (native ASOF has no
+    -- defined tie order)
+    SELECT user_id, ts, max(round(value, 6)) AS purchase_value,
            epoch_us(ts) AS purchase_ts
     FROM events WHERE event_type = 'purchase'
+    GROUP BY user_id, ts
 ) r ON l.user_id = r.user_id AND l.ts >= r.ts
 """
 
@@ -2076,8 +2080,13 @@ FROM per_doc GROUP BY lang
 
 ORACLE_NEAREST_PURCHASE = """
 WITH pur AS (
-    SELECT user_id, ts, round(value, 6) AS purchase_value, epoch_us(ts) AS rts
+    -- max() per (user, ts) pins the duplicate-timestamp tie to the
+    -- same winner as the engine's largest-value-struct rule; DuckDB's
+    -- native ASOF has no defined tie order of its own
+    SELECT user_id, ts, max(round(value, 6)) AS purchase_value,
+           epoch_us(ts) AS rts
     FROM events WHERE event_type = 'purchase'
+    GROUP BY user_id, ts
 ), b AS (
     SELECT l.event_id, l.user_id, epoch_us(l.ts) AS lts,
            r.purchase_value AS pv, r.rts

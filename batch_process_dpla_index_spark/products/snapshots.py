@@ -49,6 +49,18 @@ _LOG = "_log"
 _DATA = "data"
 
 
+def _fsync_dir(path: str) -> None:
+    """fsync a directory so a just-linked entry survives power loss —
+    without this the atomic link is atomic but not DURABLE, and a
+    crash could drop a commit the streaming checkpoint already counts
+    as delivered (silent data loss on replay)."""
+    fd = os.open(path, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
 class CommitConflict(RuntimeError):
     """Another writer committed this version first; retry on fresh state."""
 
@@ -138,14 +150,10 @@ def write_checkpoint(root: str) -> int:
         "files": [os.path.relpath(f, root) for f in snapshot_files(root, cur)],
         "stats": _file_stats_at(root, cur),
         # the streaming-ingest exactly-once ledger rides along so the
-        # per-batch replay check is O(since-checkpoint) too
-        "stream_batch_ids": sorted(
-            {
-                e["params"]["stream_batch_id"]
-                for e in history(root)
-                if e["version"] <= cur and "stream_batch_id" in e.get("params", {})
-            }
-        ),
+        # per-batch replay check is O(since-checkpoint) too; seeded
+        # from the PREVIOUS checkpoint's ledger (not a full scan), so
+        # checkpointing itself stays O(CHECKPOINT_EVERY)
+        "stream_batch_ids": sorted(committed_stream_batch_ids(root)),
     }
     path = _checkpoint_path(root, cur)
     tmp = f"{path}.{uuid.uuid4().hex[:8]}.tmp"
@@ -159,6 +167,7 @@ def write_checkpoint(root: str) -> int:
         pass  # a racing writer checkpointed the same version
     finally:
         os.unlink(tmp)
+    _fsync_dir(_log_dir(root))
     return cur
 
 
@@ -248,6 +257,7 @@ def _commit(root: str, op: str, add: list[str], remove: list[str],
         ) from exc
     finally:
         os.unlink(tmp)
+    _fsync_dir(_log_dir(root))
     if version > 0 and version % CHECKPOINT_EVERY == 0:
         try:  # best-effort: a failed checkpoint never fails the commit
             write_checkpoint(root)
@@ -270,22 +280,32 @@ def _write_batch(df: DataFrame, root: str, tag: str) -> list[str]:
     )
 
 
-def _json_scalar(v):
-    """Map a collected Spark scalar (or a reader's predicate value) to
-    its JSON-storable zone-map form. datetime/date become ISO-8601
-    strings — lexicographic order on the ISO form equals temporal
-    order, so `_may_match`'s <=/>= comparisons stay correct; Decimal
-    becomes float; unorderable-as-JSON types (bytes, lists) map to
-    None, which `_may_match` treats as "never prune"."""
+def _json_scalar(v, comparing: bool = False):
+    """Map a collected Spark scalar (store side) or a reader's
+    predicate value (``comparing=True``) to the JSON zone-map form.
+    Naive datetimes/dates become ISO-8601 strings — lexicographic
+    order on the ISO form equals temporal order, so `_may_match`'s
+    <=/>= comparisons stay correct; a tz-AWARE predicate is first
+    normalized to UTC-naive (stats collected from a UTC-session Spark
+    are UTC wall times — `session.ENGINE_CONFS` pins the session TZ),
+    so the offset suffix can never corrupt the lexicographic compare.
+    On the compare side anything lossy or unorderable (Decimal — its
+    stored form is a rounded float — bytes, lists) maps to None,
+    which `_may_match` treats as "never prune"; on the store side
+    Decimal stats become floats usable against int/float predicates."""
     import datetime as _dt
     import decimal as _dec
 
     if v is None or isinstance(v, (int, float, str, bool)):
         return v
-    if isinstance(v, (_dt.datetime, _dt.date)):
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return v.isoformat()
+    if isinstance(v, _dt.date):
         return v.isoformat()
     if isinstance(v, _dec.Decimal):
-        return float(v)
+        return None if comparing else float(v)
     return None
 
 
@@ -393,7 +413,7 @@ def _may_match(stats: dict[str, list] | None, col: str, op: str, value) -> bool:
     if not stats or col not in stats:
         return True
     lo, hi = stats[col]
-    value = _json_scalar(value)  # same mapping the stats were stored under
+    value = _json_scalar(value, comparing=True)
     if lo is None or hi is None or value is None:
         return True
     if op == "=":

@@ -1871,26 +1871,30 @@ def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     from batch_process_dpla_index_spark.functions.text import word_shingles
     from batch_process_dpla_index_spark.operators.relational import top_k
 
+    from batch_process_dpla_index_spark.operators.dedup import _with_cached_deps
+
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(tokens(F.col("text")).alias("__tok"))
+    # both count frames feed a totals aggregate AND the scoring join —
+    # persist so each corpus explode runs once (callers release via
+    # unpersist_deps; totals derive from the aggregates, never from a
+    # second corpus scan)
     uni = (
         toks.select(F.explode("__tok").alias("w"))
         .groupBy("w")
         .agg(F.count("*").cast("bigint").alias("c"))
+        .persist()
     )
-    big = (
+    bigr = (
         toks.select(F.explode(word_shingles(F.col("__tok"), 2)).alias("bigram"))
         .where(F.size(F.split("bigram", " ")) == 2)
         .groupBy("bigram")
         .agg(F.count("*").cast("bigint").alias("c_ab"))
-        .where(F.col("c_ab") >= 5)
+        .persist()
     )
+    big = bigr.where(F.col("c_ab") >= 5)
     n_uni = uni.agg(F.sum("c").cast("bigint").alias("__nu"))
-    n_big = toks.select(
-        F.explode(word_shingles(F.col("__tok"), 2)).alias("bigram")
-    ).where(F.size(F.split("bigram", " ")) == 2).agg(
-        F.count("*").cast("bigint").alias("__nb")
-    )
+    n_big = bigr.agg(F.sum("c_ab").cast("bigint").alias("__nb"))
     w1 = F.split("bigram", " ")[0]
     w2 = F.split("bigram", " ")[1]
     ua = uni.select(F.col("w").alias("__w1"), F.col("c").alias("c_a"))
@@ -1914,7 +1918,9 @@ def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_big))
         .select("bigram", "c_ab", "c_a", "c_b", pmi.alias("pmi"))
     )
-    return top_k(scored, [F.col("pmi").desc(), F.col("bigram").asc()], 20)
+    return _with_cached_deps(
+        top_k(scored, [F.col("pmi").desc(), F.col("bigram").asc()], 20), [uni, bigr]
+    )
 
 
 # Registry order is part of the driver contract: the correctness gate

@@ -303,3 +303,22 @@ def test_ledger_rides_checkpoint(spark, tmp_path):
         spark, src, schema, root, str(tmp_path / "ck2")
     ) == {}
     assert _ids(spark, root) == list(range(60))
+
+
+def test_zone_map_tz_aware_predicate(spark, tmp_path):
+    """A tz-aware predicate is normalized to UTC-naive before the
+    lexicographic compare (the UTC-session Spark stats are UTC wall
+    times), so the offset suffix can't corrupt pruning."""
+    import datetime as dt
+
+    root = str(tmp_path / "tbl")
+    rows = [(i, dt.datetime(2024, 1, 15, 5 + i)) for i in range(3)]
+    commit_append(
+        spark.createDataFrame(rows, ["k", "ts"]).coalesce(1), root, stats_cols=["ts"]
+    )
+    # 10:00+05:00 == 05:00 UTC — must match, not be pruned away
+    aware = dt.datetime(
+        2024, 1, 15, 10, 0, tzinfo=dt.timezone(dt.timedelta(hours=5))
+    )
+    got = read_snapshot(spark, root, predicates=[("ts", ">=", aware)]).collect()
+    assert len(got) == 3
