@@ -193,6 +193,55 @@ def event_transitions(
     )
 
 
+def session_paths(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Per-session event-type paths: sessions split on ``gap_minutes``
+    of inactivity (gaps-and-islands, >= gap starts a new session —
+    the session_window convention), each session's ordered types
+    joined into a '>' path string.
+
+    Returns (user_col, session_id, path, n_events). One shuffle on
+    the user key; the session split and the ordered path aggregation
+    share its partitioning.
+    """
+    order = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    run = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    gap_us = gap_minutes * 60 * 1_000_000
+    marked = events.withColumn(
+        "__new",
+        F.when(
+            F.lag(ts_col).over(order).isNull()
+            | (
+                F.unix_micros(F.col(ts_col))
+                - F.unix_micros(F.lag(ts_col).over(order))
+                >= gap_us
+            ),
+            1,
+        ).otherwise(0),
+    ).withColumn("session_id", F.sum("__new").over(run))
+    ordered = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col(ts_col).alias("t"),
+                F.col(tiebreak_col).alias("k"),
+                F.col(type_col).alias("et"),
+            )
+        )
+    )
+    return marked.groupBy(user_col, "session_id").agg(
+        F.concat_ws(">", F.transform(ordered, lambda e: e["et"])).alias("path"),
+        F.count("*").alias("n_events"),
+    )
+
+
 def running_anomaly(
     events: DataFrame,
     key_col: str = "user_id",

@@ -729,6 +729,42 @@ def dedup_survivors(
     return df.join(losers, id_col, "left_anti")
 
 
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis–Spirakis A-ES): each row draws u = h60(salt‖key)
+    scaled into (0, 1) and ranks by ln(u)/weight descending — the
+    top-k of that key IS a weight-proportional sample. Same
+    reproducibility contract as :func:`hash_sample` (pure function of
+    the key — stable across runs, partitionings, and engines), which
+    a `df.sample`-style RNG cannot give, PLUS weight-proportional
+    inclusion (sample by quality score, token count, domain priority).
+
+    One TakeOrderedAndProject — no shuffle, no sort of the corpus.
+    Ranking uses the ROUNDED key with the id as tie-break so last-ulp
+    libm differences between engines cannot reorder the boundary.
+    """
+    u = (
+        F.pmod(
+            h60(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string"))),
+            F.lit(1_000_003),
+        )
+        + 1
+    ) / F.lit(1_000_004.0)
+    es_key = F.round(F.log(u) / F.col(weight_col), 6)
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("ws_key", es_key)
+        .orderBy(F.col("ws_key").desc(), F.col(key_col).asc())
+        .limit(k)
+    )
+
+
 def hash_sample(df: DataFrame, key_col: str, fraction: float, salt: str = "sample") -> DataFrame:
     """Deterministic hash sampling: keep rows where
     h60(salt‖key) mod 10000 < fraction·10000.

@@ -2139,7 +2139,46 @@ LIMIT 20
 """
 
 
+ORACLE_WEIGHTED_SAMPLE = f"""
+SELECT doc_id, n_chars,
+       round(ln((({_h60("'wsample:' || CAST(doc_id AS VARCHAR)")} % 1000003) + 1)
+                / 1000004.0) / n_chars, 6) AS ws_key
+FROM documents
+WHERE n_chars > 0
+ORDER BY ws_key DESC, doc_id ASC
+LIMIT 50
+"""
+
+
+ORACLE_SESSION_PATHS = """
+WITH marked AS (
+    SELECT user_id, ts, event_id, event_type,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 30 * 60 * 1000000
+                THEN 1 ELSE 0 END AS new_s
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+    SELECT user_id, ts, event_id, event_type,
+           sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+    FROM marked
+), paths AS (
+    SELECT user_id, session_id,
+           string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+    FROM sess GROUP BY user_id, session_id
+)
+SELECT path, count(*) AS n_sessions
+FROM paths GROUP BY path
+ORDER BY n_sessions DESC, path ASC
+LIMIT 15
+"""
+
+
 ORACLES: dict[str, str] = {
+    "weighted_sample": ORACLE_WEIGHTED_SAMPLE,
+    "session_paths": ORACLE_SESSION_PATHS,
     "nearest_purchase": ORACLE_NEAREST_PURCHASE,
     "bigram_pmi": ORACLE_BIGRAM_PMI,
     "containment_pairs": ORACLE_CONTAINMENT_PAIRS,

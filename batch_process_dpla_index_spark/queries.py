@@ -1923,6 +1923,33 @@ def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (A-ES):
+    top-50 documents by ln(u)/n_chars with h60-derived u — longer
+    documents proportionally likelier, reproducible in any engine
+    (operators/dedup.py:weighted_sample)."""
+    from batch_process_dpla_index_spark.operators.dedup import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_sample(docs, "doc_id", "n_chars", k=50).select(
+        "doc_id", "n_chars", "ws_key"
+    )
+
+
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 session journeys: 30-minute-gap sessions per user, each
+    session's ordered event types joined into a '>' path, counted
+    corpus-wide (operators/analytics.py:session_paths)."""
+    from batch_process_dpla_index_spark.operators.analytics import session_paths
+    from batch_process_dpla_index_spark.operators.relational import top_k
+
+    events = load_table(spark, sf_dir, "events")
+    paths = session_paths(events).groupBy("path").agg(
+        F.count("*").alias("n_sessions")
+    )
+    return top_k(paths, [F.col("n_sessions").desc(), F.col("path").asc()], 15)
+
+
 # Registry order is part of the driver contract: the correctness gate
 # records exactly the FIRST 50 entries. Round-5 rotation: the 41
 # queries last driver-verified in round 2 (the code under them churned
@@ -1930,8 +1957,8 @@ def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 # changed/new queries (kmeans_cells — now integer-grid deterministic
 # with a real oracle; pq_encode / duplicate_spans / funnel_stages /
 # scd2_history — new). With CORRECTNESS_r04, every query that existed
-# before round 5 is driver-green in r4 ∪ r5; the eight round-5 queries
-# placed in the tail (retention_cohorts … bigram_pmi) are
+# before round 5 is driver-green in r4 ∪ r5; the ten round-5 queries
+# placed in the tail (retention_cohorts … session_paths) are
 # oracle-verified via tools/verify_local.py at sf0.001+sf0.01 this
 # round and rotate into the r6 driver window. Rotated-out entries were
 # hash-green in r4, remain pinned by pytest plan tests, and still
@@ -2001,6 +2028,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tokenizer_fertility": q_tokenizer_fertility,
     "nearest_purchase": q_nearest_purchase,
     "bigram_pmi": q_bigram_pmi,
+    "weighted_sample": q_weighted_sample,
+    "session_paths": q_session_paths,
     "cosine_topk": q_cosine_topk,
     "gap_fill": q_gap_fill,
     "mq_provider_scores": q_mq_provider_scores,

@@ -306,3 +306,31 @@ def test_nearest_asof_tie_prefers_backward(spark):
     )
     rows = nearest_asof_join(left, right, "user_id", "ts", "ts", ["v"]).collect()
     assert rows[0].v == 5.0 and rows[0].matched_delta_us == -10 * 60_000_000
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    """Weight-proportional inclusion: with weights 1000:1, the heavy
+    rows dominate the sample; zero/negative weights are excluded; the
+    kept set is identical across repartitionings (pure key function)."""
+    from batch_process_dpla_index_spark.operators.dedup import weighted_sample
+
+    rows = [(i, 1000.0 if i < 50 else 1.0) for i in range(500)] + [(999, 0.0)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    got = weighted_sample(df, "doc_id", "w", k=30).collect()
+    heavy = sum(1 for r in got if r.doc_id < 50)
+    assert heavy >= 25  # 50 heavy rows at 1000x weight dominate top-30
+    assert all(r.doc_id != 999 for r in got)
+    again = weighted_sample(df.repartition(7), "doc_id", "w", k=30).collect()
+    assert {r.doc_id for r in got} == {r.doc_id for r in again}
+
+
+def test_session_paths_split_on_gap(spark):
+    from batch_process_dpla_index_spark.operators.analytics import session_paths
+
+    rows = [
+        (1, _ts(0), "a", 0), (1, _ts(10), "b", 1),   # session 1: a>b
+        (1, _ts(50), "c", 2),                        # 40-min gap → session 2: c
+    ]
+    events = spark.createDataFrame(rows, ["user_id", "ts", "event_type", "event_id"])
+    got = {r.session_id: (r.path, r.n_events) for r in session_paths(events).collect()}
+    assert got == {1: ("a>b", 2), 2: ("c", 1)}
