@@ -746,8 +746,16 @@ def weighted_sample(
     inclusion (sample by quality score, token count, domain priority).
 
     One TakeOrderedAndProject — no shuffle, no sort of the corpus.
-    Ranking uses the ROUNDED key with the id as tie-break so last-ulp
-    libm differences between engines cannot reorder the boundary.
+
+    Ranking uses the FULL-PRECISION key (rounding it would collapse
+    the ranking whenever |ln(u)/w| is small — for w ≥ 10⁵ a 6-decimal
+    key degenerates the "sample" into lowest-id-first, silently and
+    identically in both engines). The emitted ``ws_key`` column is
+    rounded for display/hash only. Cross-engine determinism of the
+    SELECTION rests on both libms computing ln within 1 ulp: a
+    boundary flip needs two keys within ~1e-15 relative of each other
+    at exactly rank k, vanishing for continuous keys; the id
+    tie-break covers exact duplicates.
     """
     u = (
         F.pmod(
@@ -756,12 +764,14 @@ def weighted_sample(
         )
         + 1
     ) / F.lit(1_000_004.0)
-    es_key = F.round(F.log(u) / F.col(weight_col), 6)
+    es_key = F.log(u) / F.col(weight_col)
     return (
         df.filter(F.col(weight_col) > 0)
-        .withColumn("ws_key", es_key)
-        .orderBy(F.col("ws_key").desc(), F.col(key_col).asc())
+        .withColumn("__ws_key_full", es_key)
+        .orderBy(F.col("__ws_key_full").desc(), F.col(key_col).asc())
         .limit(k)
+        .withColumn("ws_key", F.round("__ws_key_full", 6))
+        .drop("__ws_key_full")
     )
 
 

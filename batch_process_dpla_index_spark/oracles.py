@@ -2140,12 +2140,18 @@ LIMIT 20
 
 
 ORACLE_WEIGHTED_SAMPLE = f"""
-SELECT doc_id, n_chars,
-       round(ln((({_h60("'wsample:' || CAST(doc_id AS VARCHAR)")} % 1000003) + 1)
-                / 1000004.0) / n_chars, 6) AS ws_key
-FROM documents
-WHERE n_chars > 0
-ORDER BY ws_key DESC, doc_id ASC
+-- rank on the FULL-precision key (rounding first would collapse the
+-- A-ES ranking for large weights); round only the emitted column
+WITH keyed AS (
+    SELECT doc_id, n_chars,
+           ln((({_h60("'wsample:' || CAST(doc_id AS VARCHAR)")} % 1000003) + 1)
+              / 1000004.0) / n_chars AS ws_key_full
+    FROM documents
+    WHERE n_chars > 0
+)
+SELECT doc_id, n_chars, round(ws_key_full, 6) AS ws_key
+FROM keyed
+ORDER BY ws_key_full DESC, doc_id ASC
 LIMIT 50
 """
 

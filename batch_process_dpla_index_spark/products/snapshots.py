@@ -50,13 +50,24 @@ _DATA = "data"
 
 
 def _fsync_dir(path: str) -> None:
-    """fsync a directory so a just-linked entry survives power loss —
-    without this the atomic link is atomic but not DURABLE, and a
-    crash could drop a commit the streaming checkpoint already counts
-    as delivered (silent data loss on replay)."""
-    fd = os.open(path, os.O_RDONLY)
+    """Best-effort directory fsync so a just-linked entry survives
+    power loss — without it the atomic link is atomic but not
+    DURABLE, and a crash could drop a commit the streaming checkpoint
+    already counts as delivered (silent data loss on replay).
+
+    Best-effort because it runs AFTER the entry is already linked: on
+    filesystems that reject directory fsync (FUSE/network mounts),
+    raising here would report a commit that IS in the log as failed —
+    and a caller retry would then duplicate the data. Durability
+    degrades to the filesystem's own guarantee in that case."""
+    try:
+        fd = os.open(path, os.O_RDONLY)
+    except OSError:
+        return
     try:
         os.fsync(fd)
+    except OSError:
+        pass
     finally:
         os.close(fd)
 
@@ -71,6 +82,13 @@ def _log_dir(root: str) -> str:
 
 def _entry_path(root: str, version: int) -> str:
     return os.path.join(_log_dir(root), f"{version:08d}.json")
+
+
+def read_entry(root: str, version: int) -> dict:
+    """One committed entry, by its derivable path — O(1), no directory
+    scan (entries are immutable once linked)."""
+    with open(_entry_path(root, version), encoding="utf-8") as fh:
+        return json.load(fh)
 
 
 def history(root: str, since_version: int | None = None) -> list[dict]:
@@ -145,15 +163,44 @@ def write_checkpoint(root: str) -> int:
     cur = latest_version(root)
     if cur is None:
         raise FileNotFoundError(f"no snapshot at {root}")
+    # ONE pass: locate the previous checkpoint once, read the entries
+    # after it once, and fold files + stats + the stream ledger
+    # together — three separate checkpoint-resolving calls would
+    # re-list and re-parse the same entries three times on the commit
+    # hot path. Every field is bounded at `cur`, so two racing
+    # writers checkpointing the same version produce byte-identical
+    # sidecars (the premise of the lost-link tolerance below).
+    prev = _latest_checkpoint(root, cur)
+    live: list[str] = list(prev["files"]) if prev else []
+    stats: dict = dict(prev["stats"]) if prev else {}
+    if prev is not None and "stream_batch_ids" in prev:
+        ids = set(prev["stream_batch_ids"])
+    elif prev is not None:
+        # legacy sidecar without a ledger: rebuild it up to the
+        # checkpoint once from the full log
+        ids = {
+            e["params"]["stream_batch_id"]
+            for e in history(root)
+            if e["version"] <= prev["version"]
+            and "stream_batch_id" in e.get("params", {})
+        }
+    else:
+        ids = set()
+    for e in history(root, since_version=prev["version"] if prev else None):
+        if e["version"] > cur:
+            break
+        removed = set(e["remove"])
+        live = [f for f in live if f not in removed]
+        live.extend(e["add"])
+        stats.update(e.get("params", {}).get("__stats", {}))
+        b = e.get("params", {}).get("stream_batch_id")
+        if b is not None:
+            ids.add(b)
     cp = {
         "version": cur,
-        "files": [os.path.relpath(f, root) for f in snapshot_files(root, cur)],
-        "stats": _file_stats_at(root, cur),
-        # the streaming-ingest exactly-once ledger rides along so the
-        # per-batch replay check is O(since-checkpoint) too; seeded
-        # from the PREVIOUS checkpoint's ledger (not a full scan), so
-        # checkpointing itself stays O(CHECKPOINT_EVERY)
-        "stream_batch_ids": sorted(committed_stream_batch_ids(root)),
+        "files": live,
+        "stats": stats,
+        "stream_batch_ids": sorted(ids),
     }
     path = _checkpoint_path(root, cur)
     tmp = f"{path}.{uuid.uuid4().hex[:8]}.tmp"

@@ -121,10 +121,9 @@ def ingest_to_snapshot_available(
         # `out` would re-execute the whole transform lineage a second
         # time (and could disagree with what was written if the
         # transform is nondeterministic)
-        # entry v is immutable and its path is derivable — O(1) parse,
-        # not a full history() scan per micro-batch
-        entries = snapshots.history(snapshot_root, since_version=v - 1)
-        entry = next(e for e in entries if e["version"] == v)
+        # entry v is immutable and its path is derivable — one direct
+        # read, no per-micro-batch directory scan
+        entry = snapshots.read_entry(snapshot_root, v)
         committed = [os.path.join(snapshot_root, f) for f in entry["add"]]
         counts[int(batch_id)] = (
             batch_df.sparkSession.read.parquet(*committed).count()

@@ -308,17 +308,32 @@ def test_ledger_rides_checkpoint(spark, tmp_path):
 def test_zone_map_tz_aware_predicate(spark, tmp_path):
     """A tz-aware predicate is normalized to UTC-naive before the
     lexicographic compare (the UTC-session Spark stats are UTC wall
-    times), so the offset suffix can't corrupt pruning."""
+    times), so the offset suffix can't corrupt pruning. Asserted at
+    the prune_files level over MULTIPLE files — read_snapshot's
+    keep-one-file schema fallback would otherwise mask a wrong
+    all-pruned result on a single-file table."""
     import datetime as dt
 
+    from batch_process_dpla_index_spark.products.snapshots import prune_files
+
     root = str(tmp_path / "tbl")
-    rows = [(i, dt.datetime(2024, 1, 15, 5 + i)) for i in range(3)]
-    commit_append(
-        spark.createDataFrame(rows, ["k", "ts"]).coalesce(1), root, stats_cols=["ts"]
-    )
-    # 10:00+05:00 == 05:00 UTC — must match, not be pruned away
+    for day in (10, 15):
+        rows = [(i, dt.datetime(2024, 1, day, 5 + i)) for i in range(3)]
+        commit_append(
+            spark.createDataFrame(rows, ["k", "ts"]).coalesce(1),
+            root,
+            stats_cols=["ts"],
+        )
+    # 10:00+05:00 on the 15th == 05:00 UTC — the day-15 file matches
+    # and must survive pruning; without the tz normalization its
+    # '+05:00' suffix sorts past the stored naive hi bound and the
+    # file would be (wrongly) pruned too
     aware = dt.datetime(
         2024, 1, 15, 10, 0, tzinfo=dt.timezone(dt.timedelta(hours=5))
     )
+    kept, pruned = prune_files(root, [("ts", ">=", aware)])
+    assert pruned == 1 and len(kept) == 1  # day-10 pruned, day-15 kept
     got = read_snapshot(spark, root, predicates=[("ts", ">=", aware)]).collect()
-    assert len(got) == 3
+    assert sorted(r.k for r in got) == [0, 1, 2] and all(
+        r.ts.day == 15 for r in got
+    )
