@@ -86,6 +86,10 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("src")
     s.add_argument("dst")
     s.add_argument("--target-mb", type=int, default=128)
+    s = sub.add_parser("dataset-card")
+    s.add_argument("parquet_path")
+    s.add_argument("out_dir")
+    s.add_argument("--name", default="corpus")
     s = sub.add_parser("snapshot")
     s.add_argument(
         "action",
@@ -94,6 +98,10 @@ def main(argv: list[str] | None = None) -> int:
     )
     s.add_argument("root")
     s.add_argument("--input", help="parquet path for append/overwrite")
+    s.add_argument(
+        "--stats-cols",
+        help="comma-separated columns to zone-map on append (data-skipping reads)",
+    )
     s.add_argument("--version", type=int, help="read/rollback target version")
     s.add_argument("--keep-versions", type=int, default=2)
     s.add_argument("--target-mb", type=int, default=128, dest="snap_target_mb")
@@ -240,6 +248,16 @@ def main(argv: list[str] | None = None) -> int:
                 f"Compacted {res['n_files_in']} files -> {res['n_bins']} "
                 f"({res['n_rows']} rows) at {args.dst}"
             )
+        elif args.job == "dataset-card":
+            from batch_process_dpla_index_spark.products.dataset_card import (
+                build_dataset_card,
+            )
+
+            path = build_dataset_card(
+                spark, spark.read.parquet(args.parquet_path), args.out_dir,
+                name=args.name,
+            )
+            print(f"Dataset card written to {path}")
         elif args.job == "snapshot":
             from batch_process_dpla_index_spark.products import snapshots
 
@@ -247,12 +265,15 @@ def main(argv: list[str] | None = None) -> int:
                 if args.input is None:
                     p.error(f"snapshot {args.action} requires --input")
                 df = spark.read.parquet(args.input)
-                fn = (
-                    snapshots.commit_append
-                    if args.action == "append"
-                    else snapshots.commit_overwrite
-                )
-                v = fn(df, args.root)
+                if args.action == "append":
+                    cols = (
+                        [c.strip() for c in args.stats_cols.split(",") if c.strip()]
+                        if args.stats_cols
+                        else None
+                    )
+                    v = snapshots.commit_append(df, args.root, stats_cols=cols)
+                else:
+                    v = snapshots.commit_overwrite(df, args.root)
                 print(f"Committed version {v} at {args.root}")
             elif args.action == "read":
                 n = snapshots.read_snapshot(

@@ -504,3 +504,26 @@ def test_compaction_plan_and_rewrite(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 40000
     assert sorted(r.id for r in got.collect()) == list(range(40000))
+
+
+def test_dataset_card_product(spark, tmp_path):
+    """The datasheet renders from verified stats: volume totals match
+    direct counts, every source/language appears, and the manifest
+    lands beside the card."""
+    from batch_process_dpla_index_spark.products.dataset_card import (
+        build_dataset_card,
+    )
+    from batch_process_dpla_index_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    out = str(tmp_path / "card")
+    path = build_dataset_card(spark, docs, out, name="sf0.001-docs")
+    text = open(path, encoding="utf-8").read()
+    n_docs = docs.count()
+    assert f"| {n_docs} |" in text  # volume row carries the doc count
+    for src in [r.source for r in docs.select("source").distinct().collect()]:
+        assert f"| {src} |" in text
+    for lang in [r.lang for r in docs.select("lang").distinct().collect()]:
+        assert f"| {lang} |" in text
+    assert os.path.exists(os.path.join(out, "_MANIFEST"))
