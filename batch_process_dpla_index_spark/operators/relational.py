@@ -37,7 +37,12 @@ def top_k(df: DataFrame, order_cols: list, k: int) -> DataFrame:
 
 
 def range_join(
-    fact: DataFrame, ranges: DataFrame, value_col: str, lo_col: str, hi_col: str
+    fact: DataFrame,
+    ranges: DataFrame,
+    value_col: str,
+    lo_col: str,
+    hi_col: str,
+    max_bucketize_ranges: int = 1024,
 ) -> DataFrame:
     """Theta/range join: match rows whose value falls in [lo, hi).
 
@@ -55,7 +60,12 @@ def range_join(
 
     Overlapping intervals (a value may match several ranges) keep the
     general BroadcastNestedLoopJoin path — that multiplicity is
-    exactly what the equi-join rewrite cannot express.
+    exactly what the equi-join rewrite cannot express. So does a
+    ranges side above ``max_bucketize_ranges`` intervals: the CASE
+    index is one flat expression of |ranges| branches, and past a few
+    thousand branches Catalyst analysis/codegen cost grows where the
+    nested-loop join merely slows — the fallback degrades gracefully
+    instead of overflowing the planner.
     """
     rows = ranges.collect()  # small by the broadcast contract
     bounds_ok = all(
@@ -72,13 +82,21 @@ def range_join(
     non_overlapping = bounds_ok and all(
         a_hi <= b_lo for (_, a_hi, _), (b_lo, _, _) in zip(spans, spans[1:])
     )
-    if non_overlapping and rows:
-        expr = F.lit(None).cast("int")
-        for lo, hi, i in spans:
-            expr = F.when(
-                (F.col(value_col) >= F.lit(lo)) & (F.col(value_col) < F.lit(hi)),
-                F.lit(i),
-            ).otherwise(expr)
+    if non_overlapping and rows and len(rows) <= max_bucketize_ranges:
+        # flat coalesce-of-whens, not a nested otherwise-chain: the
+        # expression tree stays depth-1/width-n, which Catalyst and
+        # codegen handle far past where O(n)-deep nesting recurses out
+        expr = F.coalesce(
+            *(
+                F.when(
+                    (F.col(value_col) >= F.lit(lo))
+                    & (F.col(value_col) < F.lit(hi)),
+                    F.lit(i),
+                )
+                for lo, hi, i in spans
+            ),
+            F.lit(None).cast("int"),
+        )
         # explicit schema (ranges.schema + the index) — inference from
         # collected Python values would drift dtypes from the fallback
         # path (int→bigint) and crash on all-NULL attribute columns

@@ -1283,8 +1283,9 @@ def _pq_encode_oracle(m: int = 8, k: int = 16, dsub: int = 8) -> str:
     `quantization.pq_pinned_codebooks` builds: for every (subspace j,
     code c) a distance expression over the 8 sliced components, argmin
     per (vec, j) with the lowest-code tie-break, codes assembled in
-    subspace order, recon_err = Σⱼ best distance (rounded 6 in both
-    engines)."""
+    subspace order as a ','-joined string (scalar — the driver's
+    canonicalizer cannot hash list columns), recon_err = Σⱼ best
+    distance (rounded 6 in both engines)."""
 
     def book(j: int, c: int, d: int) -> float:
         return (_h60_py(f"pq:{j}:{c}:{d}") % 2_000_003) / 1_000_001.5 - 1.0
@@ -1314,7 +1315,7 @@ WITH dists AS (
     FROM dists
 )
 SELECT vec_id,
-       list(CAST(code AS INTEGER) ORDER BY j) AS codes,
+       string_agg(CAST(code AS VARCHAR), ',' ORDER BY j) AS codes_csv,
        round(sum(dist), 6) AS recon_err
 FROM best WHERE rn = 1
 GROUP BY vec_id
@@ -2290,6 +2291,15 @@ ORACLES: dict[str, str] = {
     "bm25_search": ORACLE_BM25_SEARCH,
     "boilerplate_stats": ORACLE_BOILERPLATE_STATS,
     "event_rank_suite": ORACLE_EVENT_RANK_SUITE,
-    # approx_distinct_users: deliberately no oracle — HLL sketch
-    # estimates are engine-specific; accuracy bound asserted in pytest.
+    # approx_distinct_users: the raw HLL estimate is engine-specific
+    # and not emitted; the hashable surface is the exact distinct count
+    # plus the |approx-exact|/exact <= 3*rsd bound flag, which the
+    # oracle asserts always-true. A sketch outside its advertised rsd
+    # now hash-mismatches at the gate.
+    "approx_distinct_users": """
+SELECT event_type,
+       count(DISTINCT user_id) AS n_users_exact,
+       count(*) AS n_events,
+       TRUE AS approx_within_bound
+FROM events GROUP BY event_type""",
 }

@@ -393,11 +393,28 @@ def commit_append(
     root: str,
     params: dict | None = None,
     stats_cols: list[str] | None = None,
-) -> int:
+    idempotency_key: str | None = None,
+) -> int | None:
     """Transactional append: new files become visible atomically with
     the log-entry create. Retries once on a concurrent commit.
     ``stats_cols`` attaches per-file min/max zone maps to the commit
-    for data-skipping reads (:func:`read_snapshot` with a predicate)."""
+    for data-skipping reads (:func:`read_snapshot` with a predicate).
+
+    ``idempotency_key`` makes the append once-only against the
+    ``stream_batch_id`` ledger: if the key is already committed — or
+    lands concurrently, detected when our version-slot CAS raises
+    :class:`CommitConflict` and the re-read ledger now contains the
+    key — the append NO-OPS and returns ``None`` instead of
+    double-committing the batch. This closes the check-then-act race
+    two writers draining into the same root would otherwise hit (the
+    conflict retry is the only window; it now re-verifies). The
+    abandoned attempt's data files are unreferenced and age out via
+    ``vacuum``'s orphan grace."""
+    if (
+        idempotency_key is not None
+        and idempotency_key in committed_stream_batch_ids(root)
+    ):
+        return None
     tag = f"b{uuid.uuid4().hex[:12]}"
     add = _write_batch(df, root, tag)
     extra = dict(params or {})
@@ -406,6 +423,11 @@ def commit_append(
     try:
         return _commit(root, "append", add, [], extra)
     except CommitConflict:
+        if (
+            idempotency_key is not None
+            and idempotency_key in committed_stream_batch_ids(root)
+        ):
+            return None  # a rival writer landed this exact batch
         return _commit(root, "append", add, [], extra)
 
 
@@ -456,23 +478,28 @@ def _file_stats_at(root: str, version: int | None) -> dict[str, dict[str, list]]
 def _may_match(stats: dict[str, list] | None, col: str, op: str, value) -> bool:
     """Conservative zone-map test: False ONLY when [min, max] proves no
     row in the file can satisfy the predicate. Missing stats, an
-    unknown column, or a NULL bound never prune."""
+    unknown column, a NULL bound, or a type-mismatched predicate (int
+    vs string-column stats, say) never prune — a reader mistake must
+    cost an over-read, not a crash."""
     if not stats or col not in stats:
         return True
     lo, hi = stats[col]
     value = _json_scalar(value, comparing=True)
     if lo is None or hi is None or value is None:
         return True
-    if op == "=":
-        return lo <= value <= hi
-    if op == ">=":
-        return hi >= value
-    if op == ">":
-        return hi > value
-    if op == "<=":
-        return lo <= value
-    if op == "<":
-        return lo < value
+    try:
+        if op == "=":
+            return lo <= value <= hi
+        if op == ">=":
+            return hi >= value
+        if op == ">":
+            return hi > value
+        if op == "<=":
+            return lo <= value
+        if op == "<":
+            return lo < value
+    except TypeError:
+        return True  # incomparable types: never prune
     return True  # unknown operator: never prune
 
 

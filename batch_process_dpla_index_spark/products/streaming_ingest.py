@@ -104,6 +104,12 @@ def ingest_to_snapshot_available(
     ledger the parquet-partition recipe above emulates with
     partition overwrites. The abandoned first attempt's data files
     are never referenced and age out via ``vacuum``'s orphan grace.
+
+    Exactly-once across WRITERS too: the commit passes the batch id as
+    ``commit_append``'s ``idempotency_key``, so even two drivers
+    draining the same source into the same root cannot double-commit a
+    batch — the loser's conflict retry re-verifies the ledger and
+    no-ops (returns ``None``).
     """
     from batch_process_dpla_index_spark.products import snapshots
 
@@ -111,12 +117,15 @@ def ingest_to_snapshot_available(
 
     def land(batch_df, batch_id: int) -> None:
         out = transform(batch_df) if transform is not None else batch_df
-        already = snapshots.committed_stream_batch_ids(snapshot_root)
-        if str(int(batch_id)) in already:
-            return  # replayed batch: its version is already committed
+        bid = str(int(batch_id))
         v = snapshots.commit_append(
-            out, snapshot_root, params={"stream_batch_id": str(int(batch_id))}
+            out,
+            snapshot_root,
+            params={"stream_batch_id": bid},
+            idempotency_key=bid,
         )
+        if v is None:
+            return  # replayed or concurrently-landed batch: committed already
         # count from the COMMITTED files' parquet footers — re-counting
         # `out` would re-execute the whole transform lineage a second
         # time (and could disagree with what was written if the

@@ -1220,13 +1220,30 @@ def q_props_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL approx_count_distinct per event type (rsd=0.02). No SQL
-    oracle — sketch estimates are engine-specific; the accuracy bound
-    vs exact distinct is asserted in pytest (tests/test_operators.py)."""
+    """HLL approx_count_distinct per event type (rsd=0.02), verified
+    the only way a sketch can be cross-engine: the raw HLL estimate is
+    engine-specific (and so is NOT emitted — it would never hash-match
+    DuckDB), but the exact distinct count and the boolean
+    `|approx − exact| / exact ≤ 3·rsd` accuracy claim ARE deterministic
+    and hashable. The oracle computes the same exact count and asserts
+    the bound flag is always true, so a sketch drifting out of its
+    advertised rsd now fails the driver gate instead of hiding behind a
+    rows-only check. The HLL's single-pass-no-exact-shuffle advantage
+    still shows in the plan/bench; the exact count here is the
+    verification harness, not the serving path."""
     ev = load_table(spark, sf_dir, "events")
+    rsd = 0.02
     return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.count_distinct("user_id").alias("n_users_exact"),
         F.count("*").alias("n_events"),
+        (
+            F.abs(
+                F.approx_count_distinct("user_id", rsd)
+                - F.count_distinct("user_id")
+            )
+            / F.count_distinct("user_id")
+            <= 3 * rsd
+        ).alias("approx_within_bound"),
     )
 
 
@@ -1276,7 +1293,11 @@ def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL-expressible core of the PQ pipeline (slicing, argmin code
     assignment, table-gather distance) from the float k-means training
     that keeps `pq_topk` rows-only. One narrow Arrow pass, no
-    shuffle."""
+    shuffle. The m sub-codes are emitted as a single ','-joined string
+    (`codes_csv`) — the driver's pandas canonicalizer hashes result
+    values and cannot hash Python lists, so registry queries must emit
+    scalar columns only (the operator itself keeps the array<int>
+    column for the ANN/PQ pipeline)."""
     from batch_process_dpla_index_spark.operators.quantization import (
         pq_encode,
         pq_pinned_codebooks,
@@ -1288,7 +1309,7 @@ def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return enc.select(
         F.col("id").alias("vec_id"),
-        "codes",
+        F.concat_ws(",", F.col("codes").cast("array<string>")).alias("codes_csv"),
         F.round("recon_err", 6).alias("recon_err"),
     )
 
@@ -1964,11 +1985,72 @@ def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 # hash-green in r4, remain pinned by pytest plan tests, and still
 # oracle-verify via tools/verify_local.py.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # -- stale-since-r2 set (re-verified this round) --
+    # The driver's correctness gate records the FIRST 50 entries only;
+    # the window rotates each round so every query gets re-proven.
+    # -- r6 window head: the 10 round-5 additions that had never had a
+    #    driver row (the entire r5 "claimed but unproven" gap) --
+    "retention_cohorts": q_retention_cohorts,
+    "user_running_anomaly": q_user_running_anomaly,
+    "quality_classifier": q_quality_classifier,
+    "containment_pairs": q_containment_pairs,
+    "event_transitions": q_event_transitions,
+    "tokenizer_fertility": q_tokenizer_fertility,
+    "nearest_purchase": q_nearest_purchase,
+    "bigram_pmi": q_bigram_pmi,
+    "weighted_sample": q_weighted_sample,
+    "session_paths": q_session_paths,
+    # -- changed this round: pq_encode now emits driver-hashable
+    #    codes_csv (r5 gate err was `unhashable type: 'list'`);
+    #    approx_distinct_users upgraded from rows-only to hash-green
+    #    (exact count + 3·rsd bound flag); price_tiers / training_prep
+    #    touched by the range_join cap and the persist audit --
+    "pq_encode": q_pq_encode,
+    "approx_distinct_users": q_approx_distinct_users,
+    "price_tiers": q_price_tiers,
+    "training_prep": q_training_prep,
+    # -- stalest re-verification set: last driver-green in round 4 --
+    "exact_dedup": q_exact_dedup,
+    "jaccard_pairs": q_jaccard_pairs,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "dedup_clusters": q_dedup_clusters,
+    "sentence_dedup": q_sentence_dedup,
+    "incremental_dedup": q_incremental_dedup,
+    "cosine_topk": q_cosine_topk,
+    "lsh_ann_topk": q_lsh_ann_topk,
+    "ivf_topk": q_ivf_topk,
+    "embedding_near_dup": q_embedding_near_dup,
+    "mq_provider_scores": q_mq_provider_scores,
+    "flatten_items": q_flatten_items,
+    "doc_presence_scores": q_doc_presence_scores,
+    "asof_purchases": q_asof_purchases,
+    "gap_fill": q_gap_fill,
+    "hourly_event_counts": q_hourly_event_counts,
+    "sliding_event_counts": q_sliding_event_counts,
+    "user_sessions": q_user_sessions,
+    "interval_join": q_interval_join,
+    "user_cumsum": q_user_cumsum,
+    "user_zscore": q_user_zscore,
+    "multimodal_meta": q_multimodal_meta,
+    "mixture_plan": q_mixture_plan,
+    "mixture_sample": q_mixture_sample,
+    "domain_cap": q_domain_cap,
+    "lm_scores": q_lm_scores,
+    "bm25_search": q_bm25_search,
+    "quality_gate": q_quality_gate,
+    "global_shuffle": q_global_shuffle,
+    "doc_chunks": q_doc_chunks,
+    "packed_bins": q_packed_bins,
+    "stratified_sample": q_stratified_sample,
+    "apply_changeset": q_apply_changeset,
+    "skew_report": q_skew_report,
+    "corpus_report": q_corpus_report,
+    "event_rank_suite": q_event_rank_suite,
+    # ---- driver-window boundary (entry 50 above this line) ----
+    # -- tail: hash-green in r5 (or r4 for the last 13), still
+    #    oracle-verified every round via tools/verify_local.py --
     "avro_flatten_items": q_avro_flatten_items,
     "repair_flatten": q_repair_flatten,
     "schema_align": q_schema_align,
-    "training_prep": q_training_prep,
     "decontaminate": q_decontaminate,
     "fingerprint_clusters": q_fingerprint_clusters,
     "mq_contributor_scores": q_mq_contributor_scores,
@@ -1982,7 +2064,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_flags": q_rollup_flags,
     "grouping_sets": q_grouping_sets,
     "zorder_events": q_zorder_events,
-    "price_tiers": q_price_tiers,
     "salted_brand_join": q_salted_brand_join,
     "segment_overlap": q_segment_overlap,
     "sql_supplier_share": q_sql_supplier_share,
@@ -2002,81 +2083,29 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sitemap_urls": q_sitemap_urls,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_frames": q_multimodal_frames,
-    "approx_distinct_users": q_approx_distinct_users,
     "thumbnail_keys": q_thumbnail_keys,
     "distinct_parts_per_flag": q_distinct_parts_per_flag,
     "props_from_json": q_props_from_json,
-    # -- changed/new this round --
     "kmeans_cells": q_kmeans_cells,
-    "pq_encode": q_pq_encode,
     "semdedup": q_semdedup,
     "dsir_weights": q_dsir_weights,
     "tfidf_terms": q_tfidf_terms,
     "char_entropy": q_char_entropy,
-    # -- new in round 5 (never driver-verified → window) --
     "duplicate_spans": q_duplicate_spans,
     "funnel_stages": q_funnel_stages,
     "scd2_history": q_scd2_history,
-    # ---- driver-window boundary (entry 50 above this line) ----
-    # -- tail: hash-green in r4, still oracle-verified via verify_local --
-    # (new-in-r5 tail entries rotate into the r6 window)
-    "retention_cohorts": q_retention_cohorts,
-    "user_running_anomaly": q_user_running_anomaly,
-    "quality_classifier": q_quality_classifier,
-    "containment_pairs": q_containment_pairs,
-    "event_transitions": q_event_transitions,
-    "tokenizer_fertility": q_tokenizer_fertility,
-    "nearest_purchase": q_nearest_purchase,
-    "bigram_pmi": q_bigram_pmi,
-    "weighted_sample": q_weighted_sample,
-    "session_paths": q_session_paths,
-    "cosine_topk": q_cosine_topk,
-    "gap_fill": q_gap_fill,
-    "mq_provider_scores": q_mq_provider_scores,
-    "pricing_summary": q_pricing_summary,
-    "asof_purchases": q_asof_purchases,
-    "minhash_lsh_pairs": q_minhash_lsh_pairs,
-    "sentence_dedup": q_sentence_dedup,
+    # -- last driver-green in r4 (simple, stable plans; next rotation) --
+    "pq_topk": q_pq_topk,
     "top_orders": q_top_orders,
     "region_revenue": q_region_revenue,
+    "pricing_summary": q_pricing_summary,
     "scalar_suite": q_scalar_suite,
-    "hourly_event_counts": q_hourly_event_counts,
-    "sliding_event_counts": q_sliding_event_counts,
-    "user_sessions": q_user_sessions,
-    "interval_join": q_interval_join,
-    "user_cumsum": q_user_cumsum,
-    "user_zscore": q_user_zscore,
-    "exact_dedup": q_exact_dedup,
-    "jaccard_pairs": q_jaccard_pairs,
-    "dedup_clusters": q_dedup_clusters,
     "text_stats": q_text_stats,
-    "doc_presence_scores": q_doc_presence_scores,
-    "lsh_ann_topk": q_lsh_ann_topk,
-    "ivf_topk": q_ivf_topk,
-    "pq_topk": q_pq_topk,
-    "embedding_near_dup": q_embedding_near_dup,
-    "flatten_items": q_flatten_items,
-    "multimodal_meta": q_multimodal_meta,
     "melt_metrics": q_melt_metrics,
-    "mixture_plan": q_mixture_plan,
-    "mixture_sample": q_mixture_sample,
-    "domain_cap": q_domain_cap,
-    "lm_scores": q_lm_scores,
-    "bm25_search": q_bm25_search,
-    "incremental_dedup": q_incremental_dedup,
-    "quality_gate": q_quality_gate,
-    "global_shuffle": q_global_shuffle,
-    "doc_chunks": q_doc_chunks,
-    "packed_bins": q_packed_bins,
-    "stratified_sample": q_stratified_sample,
-    "apply_changeset": q_apply_changeset,
-    "skew_report": q_skew_report,
-    "corpus_report": q_corpus_report,
-    "event_rank_suite": q_event_rank_suite,
-    "fingerprint_folded": q_fingerprint_folded,
     "cube_flags": q_cube_flags,
     "pii_redaction": q_pii_redaction,
     "repetition_stats": q_repetition_stats,
     "top_bigrams": q_top_bigrams,
     "bpe_token_counts": q_bpe_token_counts,
+    "fingerprint_folded": q_fingerprint_folded,
 }

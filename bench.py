@@ -45,6 +45,7 @@ def main():
     errors: dict[str, str] = {}
     for name, fn in QUERIES.items():
         t0 = time.time()
+        df = None
         try:
             df = fn(spark, sf_dir)
             n = df.count()
@@ -52,12 +53,16 @@ def main():
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"# {name}: ERROR {errors[name][:120]}", file=sys.stderr)
             continue
+        finally:
+            # release pair-operator caches (the _with_cached_deps
+            # discipline) so 100+ queries don't accumulate persisted
+            # frames and skew later timings via memory pressure —
+            # ERROR paths included, or one failing query leaks its
+            # persists into every subsequent timing
+            if df is not None:
+                unpersist_deps(df)
         times[name] = round(time.time() - t0, 3)
         print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
-        # release pair-operator caches (the _with_cached_deps
-        # discipline) so 100+ queries don't accumulate persisted
-        # frames and skew later timings via memory pressure
-        unpersist_deps(df)
 
     # Composed product pipelines (index build+serve, curation export,
     # sitemap, compaction) — timed end-to-end in a scratch dir so the

@@ -334,3 +334,20 @@ def test_session_paths_split_on_gap(spark):
     events = spark.createDataFrame(rows, ["user_id", "ts", "event_type", "event_id"])
     got = {r.session_id: (r.path, r.n_events) for r in session_paths(events).collect()}
     assert got == {1: ("a>b", 2), 2: ("c", 1)}
+
+
+def test_range_join_cap_falls_back_to_theta_join(spark):
+    """Above max_bucketize_ranges the CASE-index rewrite would hand
+    Catalyst an |ranges|-branch expression; the cap keeps the general
+    BroadcastNestedLoopJoin, which degrades gracefully instead of
+    overflowing analysis/codegen — rows identical either way."""
+    from batch_process_dpla_index_spark.operators.relational import range_join
+
+    fact = spark.createDataFrame([(5.0,), (15.0,), (99.0,)], ["v"])
+    disjoint = spark.createDataFrame(
+        [("a", 0.0, 10.0), ("b", 10.0, 20.0)], "name STRING, lo DOUBLE, hi DOUBLE"
+    )
+    out = range_join(fact, disjoint, "v", "lo", "hi", max_bucketize_ranges=1)
+    assert sorted((r.v, r.name) for r in out.collect()) == [(5.0, "a"), (15.0, "b")]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan  # capped: no CASE rewrite

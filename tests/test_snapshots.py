@@ -337,3 +337,38 @@ def test_zone_map_tz_aware_predicate(spark, tmp_path):
     assert sorted(r.k for r in got) == [0, 1, 2] and all(
         r.ts.day == 15 for r in got
     )
+
+
+def test_zone_map_type_mismatch_never_prunes(spark, tmp_path):
+    """A reader predicate whose value is incomparable with the stored
+    stats (string vs int-column bounds and vice versa) must cost an
+    over-read, not a TypeError: _may_match's conservative contract is
+    'False only on proof of non-match'."""
+    from batch_process_dpla_index_spark.products.snapshots import prune_files
+
+    root = str(tmp_path / "tbl")
+    commit_append(_frame(spark, 0, 50).coalesce(1), root, stats_cols=["k"])
+    for op in ("=", ">=", ">", "<=", "<"):
+        kept, pruned = prune_files(root, [("k", op, "not-a-number")])
+        assert pruned == 0 and kept  # mismatch → never prune, never raise
+
+
+def test_commit_append_idempotency_key(spark, tmp_path):
+    """The stream-ledger CAS: a second append carrying an
+    already-committed idempotency key no-ops (returns None) — the
+    multi-writer double-commit guard behind
+    ingest_to_snapshot_available."""
+    root = str(tmp_path / "tbl")
+    v = commit_append(_frame(spark, 0, 10), root, params={"stream_batch_id": "7"},
+                      idempotency_key="7")
+    assert v == 0
+    # rival writer replays the same batch
+    assert commit_append(_frame(spark, 0, 10), root,
+                         params={"stream_batch_id": "7"},
+                         idempotency_key="7") is None
+    assert latest_version(root) == 0  # no second version
+    assert _ids(spark, root) == list(range(10))  # no duplicated rows
+    # a DIFFERENT key still lands normally
+    assert commit_append(_frame(spark, 10, 20), root,
+                         params={"stream_batch_id": "8"},
+                         idempotency_key="8") == 1

@@ -134,19 +134,37 @@ def main() -> int:
 
     from batch_process_dpla_index_spark.operators.dedup import unpersist_deps
 
+    def run_once(name: str, sf_dir: str) -> tuple[float, int]:
+        """One timed execution at ``sf_dir``. Registry queries count
+        their DataFrame; ``product_*`` names run the composed pipeline
+        from PRODUCT_BENCHES end-to-end in a fresh scratch dir
+        (cleanup excluded from the clock, like bench.py)."""
+        if name.startswith("product_"):
+            import shutil as _sh
+            import tempfile
+
+            from batch_process_dpla_index_spark.products.bench_targets import (
+                PRODUCT_BENCHES,
+            )
+
+            work = tempfile.mkdtemp(prefix=f"probe_{name}_")
+            t0 = time.time()
+            try:
+                n = PRODUCT_BENCHES[name](spark, sf_dir, work)
+                return time.time() - t0, n
+            finally:
+                _sh.rmtree(work, ignore_errors=True)
+        t0 = time.time()
+        df = QUERIES[name](spark, sf_dir)
+        n = df.count()
+        elapsed = time.time() - t0
+        unpersist_deps(df)
+        return elapsed, n
+
     rows = []
     for name in names:
-        fn = QUERIES[name]
-        t0 = time.time()
-        df_small = fn(spark, BASE)
-        n_small = df_small.count()
-        t_small = time.time() - t0
-        unpersist_deps(df_small)
-        t0 = time.time()
-        df_big = fn(spark, OUT)
-        n_big = df_big.count()
-        t_big = time.time() - t0
-        unpersist_deps(df_big)
+        t_small, n_small = run_once(name, BASE)
+        t_big, n_big = run_once(name, OUT)
         ratio = t_big / t_small if t_small else float("inf")
         rows.append((name, t_small, n_small, t_big, n_big, ratio))
         print(

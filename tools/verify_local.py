@@ -26,6 +26,16 @@ TABLES = (
 )
 
 
+class NonScalarResult(TypeError):
+    """A result column holds list/dict/struct values. The DRIVER's
+    correctness gate canonicalizes via pandas sort_values/factorize,
+    which raises `unhashable type: 'list'` on such columns (observed:
+    pq_encode, round 5). This verifier used to stringify lists and
+    pass, letting a red driver row ship — so now it fails the same way
+    the driver does. Emit scalar columns only (concat_ws the array, or
+    explode to scalar rows)."""
+
+
 def canon(v):
     if v is None:
         return "NULL"
@@ -36,8 +46,17 @@ def canon(v):
         if v == 0.0:
             v = 0.0
         return repr(round(v, 9))
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(canon(x) for x in v) + "]"
+    if isinstance(v, (list, tuple, dict, set)) or type(v).__name__ == "ndarray":
+        raise NonScalarResult(
+            f"non-scalar result value {type(v).__name__}: the driver "
+            "gate cannot hash this — emit scalar columns only "
+            "(concat_ws / explode)"
+        )
+    if hasattr(v, "asDict"):  # pyspark Row (struct column)
+        raise NonScalarResult(
+            "struct result column: the driver gate cannot hash this — "
+            "flatten to scalar columns"
+        )
     if isinstance(v, bytes):
         return v.hex()
     return str(v)
@@ -98,8 +117,13 @@ def main():
             print(f"FAIL {name}: duckdb error: {type(e).__name__}: {str(e)[:300]}")
             n_fail += 1
             continue
-        sc, sr = frame_rows(s_cols, s_rows)
-        dc, dr = frame_rows(d_cols, d_rows)
+        try:
+            sc, sr = frame_rows(s_cols, s_rows)
+            dc, dr = frame_rows(d_cols, d_rows)
+        except NonScalarResult as e:
+            print(f"FAIL {name}: driver-unhashable result: {e} [{time.time()-t0:.1f}s]")
+            n_fail += 1
+            continue
         if sc != dc:
             status, detail = "FAIL", f"schema: spark={sc} duck={dc}"
         elif len(sr) != len(dr):
