@@ -401,34 +401,50 @@ def commit_append(
     for data-skipping reads (:func:`read_snapshot` with a predicate).
 
     ``idempotency_key`` makes the append once-only against the
-    ``stream_batch_id`` ledger: if the key is already committed — or
-    lands concurrently, detected when our version-slot CAS raises
-    :class:`CommitConflict` and the re-read ledger now contains the
-    key — the append NO-OPS and returns ``None`` instead of
-    double-committing the batch. This closes the check-then-act race
-    two writers draining into the same root would otherwise hit (the
-    conflict retry is the only window; it now re-verifies). The
-    abandoned attempt's data files are unreferenced and age out via
-    ``vacuum``'s orphan grace."""
-    if (
-        idempotency_key is not None
-        and idempotency_key in committed_stream_batch_ids(root)
-    ):
-        return None
+    ``stream_batch_id`` ledger (the key is recorded into the commit's
+    params itself, so callers need not duplicate it): the version CAS
+    is PINNED to the log head read before the ledger check, so any
+    commit that lands during our batch write — including a rival
+    writer landing this very key — forces :class:`CommitConflict`,
+    after which the re-read ledger decides: key present → NO-OP
+    (return ``None``), absent → re-pin and retry. There is no window
+    in which a rival's same-key commit can land without tripping our
+    CAS, because landing it necessarily claims the version slot we
+    pinned. The abandoned attempt's data files are unreferenced and
+    age out via ``vacuum``'s orphan grace."""
+    expected: int | None = None
+    if idempotency_key is not None:
+        # pin the CAS BEFORE the ledger read: a same-key commit after
+        # this point claims our pinned slot and surfaces as a conflict
+        cur = latest_version(root)
+        expected = -1 if cur is None else cur
+        if idempotency_key in committed_stream_batch_ids(root):
+            return None
     tag = f"b{uuid.uuid4().hex[:12]}"
     add = _write_batch(df, root, tag)
     extra = dict(params or {})
+    if idempotency_key is not None:
+        extra.setdefault("stream_batch_id", idempotency_key)
     if stats_cols:
         extra["__stats"] = _zone_stats(df.sparkSession, root, add, stats_cols)
-    try:
-        return _commit(root, "append", add, [], extra)
-    except CommitConflict:
-        if (
-            idempotency_key is not None
-            and idempotency_key in committed_stream_batch_ids(root)
-        ):
-            return None  # a rival writer landed this exact batch
-        return _commit(root, "append", add, [], extra)
+    if idempotency_key is None:
+        try:
+            return _commit(root, "append", add, [], extra)
+        except CommitConflict:
+            return _commit(root, "append", add, [], extra)
+    for _ in range(8):  # bounded CAS loop under contention
+        try:
+            return _commit(
+                root, "append", add, [], extra, expected_version=expected
+            )
+        except CommitConflict:
+            if idempotency_key in committed_stream_batch_ids(root):
+                return None  # a rival writer landed this exact batch
+            cur = latest_version(root)
+            expected = -1 if cur is None else cur
+    raise CommitConflict(
+        f"append with idempotency_key={idempotency_key!r} lost the CAS 8 times"
+    )
 
 
 def commit_overwrite(df: DataFrame, root: str, params: dict | None = None) -> int:

@@ -1233,17 +1233,20 @@ def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification harness, not the serving path."""
     ev = load_table(spark, sf_dir, "events")
     rsd = 0.02
+    exact = F.count_distinct("user_id")
+    # all-NULL user_id group: exact = 0, the relative-error ratio is
+    # undefined (NULL under ANSI), and both engines agree approx = 0 —
+    # vacuously within bound, never NULL (the oracle emits constant
+    # TRUE, so a NULL here would hash-mismatch instead of signaling)
+    bound = F.when(
+        exact > 0,
+        F.abs(F.approx_count_distinct("user_id", rsd) - exact) / exact
+        <= 3 * rsd,
+    ).otherwise(F.lit(True))
     return ev.groupBy("event_type").agg(
-        F.count_distinct("user_id").alias("n_users_exact"),
+        exact.alias("n_users_exact"),
         F.count("*").alias("n_events"),
-        (
-            F.abs(
-                F.approx_count_distinct("user_id", rsd)
-                - F.count_distinct("user_id")
-            )
-            / F.count_distinct("user_id")
-            <= 3 * rsd
-        ).alias("approx_within_bound"),
+        bound.alias("approx_within_bound"),
     )
 
 

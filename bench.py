@@ -49,6 +49,10 @@ def main():
         try:
             df = fn(spark, sf_dir)
             n = df.count()
+            # stop the clock BEFORE cache release: unpersist is
+            # bookkeeping, not query cost, and the baselines were
+            # recorded under that semantics
+            elapsed = time.time() - t0
         except Exception as exc:  # one broken query must never erase the run
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"# {name}: ERROR {errors[name][:120]}", file=sys.stderr)
@@ -61,7 +65,7 @@ def main():
             # persists into every subsequent timing
             if df is not None:
                 unpersist_deps(df)
-        times[name] = round(time.time() - t0, 3)
+        times[name] = round(elapsed, 3)
         print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
 
     # Composed product pipelines (index build+serve, curation export,

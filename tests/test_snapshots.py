@@ -372,3 +372,45 @@ def test_commit_append_idempotency_key(spark, tmp_path):
     assert commit_append(_frame(spark, 10, 20), root,
                          params={"stream_batch_id": "8"},
                          idempotency_key="8") == 1
+
+
+def test_commit_append_idempotency_mid_write_race(spark, tmp_path, monkeypatch):
+    """The TOCTOU window: a rival lands the SAME key while our writer
+    is inside _write_batch (after the ledger check). The pinned
+    version CAS must trip, the ledger re-read must find the key, and
+    our commit must no-op — no double-committed batch, ever."""
+    from batch_process_dpla_index_spark.products import snapshots
+
+    root = str(tmp_path / "tbl")
+    real_write = snapshots._write_batch
+    raced = {"done": False}
+
+    def write_with_rival(df, r, tag):
+        files = real_write(df, r, tag)
+        if not raced["done"]:
+            raced["done"] = True
+            # rival writer lands key '7' while we're "still writing"
+            rival = real_write(_frame(spark, 0, 10), r, "rivaltag")
+            snapshots._commit(r, "append", rival, [], {"stream_batch_id": "7"})
+        return files
+
+    monkeypatch.setattr(snapshots, "_write_batch", write_with_rival)
+    v = snapshots.commit_append(
+        _frame(spark, 0, 10), root,
+        params={"stream_batch_id": "7"}, idempotency_key="7",
+    )
+    assert v is None  # our attempt detected the rival and no-op'd
+    assert snapshots.latest_version(root) == 0  # only the rival's commit
+    assert _ids(spark, root) == list(range(10))  # rows not duplicated
+
+
+def test_commit_append_idempotency_key_self_recorded(spark, tmp_path):
+    """idempotency_key alone (no params) must still arm the ledger:
+    the key is recorded into the commit's own params."""
+    from batch_process_dpla_index_spark.products import snapshots
+
+    root = str(tmp_path / "tbl")
+    assert commit_append(_frame(spark, 0, 5), root, idempotency_key="k1") == 0
+    assert "k1" in snapshots.committed_stream_batch_ids(root)
+    assert commit_append(_frame(spark, 0, 5), root, idempotency_key="k1") is None
+    assert _ids(spark, root) == list(range(5))

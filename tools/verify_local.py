@@ -46,16 +46,18 @@ def canon(v):
         if v == 0.0:
             v = 0.0
         return repr(round(v, 9))
+    if hasattr(v, "asDict"):  # pyspark Row (struct column) — check
+        # BEFORE the tuple branch: Row subclasses tuple, and the
+        # generic message would suggest the wrong fix for a struct
+        raise NonScalarResult(
+            "struct result column: the driver gate cannot hash this — "
+            "flatten to scalar columns"
+        )
     if isinstance(v, (list, tuple, dict, set)) or type(v).__name__ == "ndarray":
         raise NonScalarResult(
             f"non-scalar result value {type(v).__name__}: the driver "
             "gate cannot hash this — emit scalar columns only "
             "(concat_ws / explode)"
-        )
-    if hasattr(v, "asDict"):  # pyspark Row (struct column)
-        raise NonScalarResult(
-            "struct result column: the driver gate cannot hash this — "
-            "flatten to scalar columns"
         )
     if isinstance(v, bytes):
         return v.hex()
@@ -107,6 +109,16 @@ def main():
             n_fail += 1
             continue
         if name not in oracles:
+            # rows-only queries still go through the driver's pandas
+            # canonicalizer — a non-scalar column crashes the gate even
+            # without an oracle (the r5 pq_encode failure class), so
+            # canonicalize the Spark rows before declaring SKIP
+            try:
+                frame_rows(s_cols, s_rows)
+            except NonScalarResult as e:
+                print(f"FAIL {name}: driver-unhashable result: {e}")
+                n_fail += 1
+                continue
             print(f"SKIP {name}: no oracle (rows={len(s_rows)}) [{time.time()-t0:.1f}s]")
             continue
         try:
