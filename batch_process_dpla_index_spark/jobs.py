@@ -94,13 +94,23 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument(
         "action",
         choices=["append", "overwrite", "read", "history", "rollback",
-                 "vacuum", "compact"],
+                 "vacuum", "compact", "merge"],
     )
     s.add_argument("root")
-    s.add_argument("--input", help="parquet path for append/overwrite")
+    s.add_argument("--input", help="parquet path for append/overwrite/merge")
     s.add_argument(
         "--stats-cols",
         help="comma-separated columns to zone-map on append (data-skipping reads)",
+    )
+    s.add_argument(
+        "--cluster-by",
+        help="comma-separated columns to range-cluster batches on "
+             "(tight zone maps; implies --stats-cols on those columns)",
+    )
+    s.add_argument("--key", help="merge key column (snapshot merge)")
+    s.add_argument(
+        "--op-col", default="op",
+        help="changeset op column with I/U/D values (snapshot merge)",
     )
     s.add_argument("--version", type=int, help="read/rollback target version")
     s.add_argument("--keep-versions", type=int, default=2)
@@ -261,17 +271,31 @@ def main(argv: list[str] | None = None) -> int:
         elif args.job == "snapshot":
             from batch_process_dpla_index_spark.products import snapshots
 
-            if args.action in ("append", "overwrite"):
+            def _cols(spec):
+                return (
+                    [c.strip() for c in spec.split(",") if c.strip()]
+                    if spec
+                    else None
+                )
+
+            if args.action in ("append", "overwrite", "merge"):
                 if args.input is None:
                     p.error(f"snapshot {args.action} requires --input")
                 df = spark.read.parquet(args.input)
                 if args.action == "append":
-                    cols = (
-                        [c.strip() for c in args.stats_cols.split(",") if c.strip()]
-                        if args.stats_cols
-                        else None
+                    v = snapshots.commit_append(
+                        df, args.root,
+                        stats_cols=_cols(args.stats_cols),
+                        cluster_by=_cols(args.cluster_by),
                     )
-                    v = snapshots.commit_append(df, args.root, stats_cols=cols)
+                elif args.action == "merge":
+                    if args.key is None:
+                        p.error("snapshot merge requires --key")
+                    v = snapshots.merge_into(
+                        spark, df, args.root, args.key, op_col=args.op_col,
+                        stats_cols=_cols(args.stats_cols),
+                        cluster_by=_cols(args.cluster_by),
+                    )
                 else:
                     v = snapshots.commit_overwrite(df, args.root)
                 print(f"Committed version {v} at {args.root}")

@@ -414,3 +414,112 @@ def test_commit_append_idempotency_key_self_recorded(spark, tmp_path):
     assert "k1" in snapshots.committed_stream_batch_ids(root)
     assert commit_append(_frame(spark, 0, 5), root, idempotency_key="k1") is None
     assert _ids(spark, root) == list(range(5))
+
+
+def test_cluster_by_tightens_zone_maps(spark, tmp_path):
+    """Same rows, two layouts: round-robin (every file spans the whole
+    key domain → zone maps prune nothing) vs cluster_by (files own
+    disjoint ranges → a narrow predicate prunes all but one file).
+    Results identical; pruning strictly better clustered."""
+    from batch_process_dpla_index_spark.products.snapshots import prune_files
+
+    df = _frame(spark, 0, 400)
+    rr = str(tmp_path / "roundrobin")
+    commit_append(df.repartition(4), rr, stats_cols=["k"])
+    cl = str(tmp_path / "clustered")
+    commit_append(df.repartition(4), cl, cluster_by=["k"])
+
+    pred = [("k", ">=", 390)]
+    kept_rr, pruned_rr = prune_files(rr, pred)
+    kept_cl, pruned_cl = prune_files(cl, pred)
+    assert pruned_rr == 0  # round-robin: every file's [min,max] matches
+    assert pruned_cl >= len(kept_cl)  # clustered: most files proven out
+    got = sorted(
+        r.k for r in read_snapshot(spark, cl, predicates=pred).collect()
+    )
+    assert got == list(range(390, 400))  # pruning is exact
+    # cluster_by implies stats on the cluster columns (no stats_cols passed)
+    assert pruned_cl > 0
+
+
+def test_merge_into_rewrites_only_touched_files(spark, tmp_path):
+    """Copy-on-write MERGE: with a key-clustered table, a delta
+    touching one file's range rewrites that file only — the commit's
+    remove list stays a strict subset, untouched files survive by
+    reference, and the result matches apply_changeset semantics."""
+    from batch_process_dpla_index_spark.products import snapshots
+
+    root = str(tmp_path / "tbl")
+    # three clustered appends with disjoint ranges -> >= 3 files
+    for lo in (0, 100, 200):
+        commit_append(_frame(spark, lo, lo + 100).coalesce(2), root,
+                      cluster_by=["k"])
+    n_files_before = len(snapshot_files(root))
+    pre = snapshots.latest_version(root)
+
+    changes = spark.createDataFrame(
+        [(5, "U"), (7, "D"), (9999, "I")], ["k", "op"]
+    )
+    v = snapshots.merge_into(spark, changes, root, "k", cluster_by=["k"])
+    assert v == pre + 1
+    entry = snapshots.read_entry(root, v)
+    assert entry["op"] == "merge"
+    # only the 0-99 range files (plus none other) were rewritten
+    assert 0 < len(entry["remove"]) < n_files_before
+    got = sorted(r.k for r in read_snapshot(spark, root).collect())
+    expect = sorted(set(range(300)) - {7} | {9999})
+    assert got == expect
+    # time travel: the pre-merge version still reads intact
+    assert _ids(spark, root, version=pre) == list(range(300))
+
+
+def test_merge_into_empty_table_and_pure_inserts(spark, tmp_path):
+    from batch_process_dpla_index_spark.products import snapshots
+
+    root = str(tmp_path / "tbl")
+    changes = spark.createDataFrame([(1, "I"), (2, "U"), (3, "D")], ["k", "op"])
+    v = snapshots.merge_into(spark, changes, root, "k", cluster_by=["k"])
+    assert v == 0
+    assert _ids(spark, root) == [1, 2]  # D on a missing key is a no-op
+    # pure-insert delta outside every live (zone-mapped) range:
+    # zero files rewritten — the merge is effectively an append
+    ins = spark.createDataFrame([(50, "I"), (51, "I")], ["k", "op"])
+    v2 = snapshots.merge_into(spark, ins, root, "k")
+    entry = snapshots.read_entry(root, v2)
+    assert entry["remove"] == []
+    assert _ids(spark, root) == [1, 2, 50, 51]
+
+
+def test_merge_into_without_stats_degrades_to_full_rewrite(spark, tmp_path):
+    """No zone maps on the key -> every file is conservatively touched;
+    the merge is a full rewrite but the result is still exact."""
+    from batch_process_dpla_index_spark.products import snapshots
+
+    root = str(tmp_path / "tbl")
+    commit_append(_frame(spark, 0, 100).coalesce(2), root)  # no stats
+    changes = spark.createDataFrame([(0, "D"), (500, "I")], ["k", "op"])
+    v = snapshots.merge_into(spark, changes, root, "k")
+    entry = snapshots.read_entry(root, v)
+    assert len(entry["remove"]) == len(
+        snapshots.read_entry(root, 0)["add"]
+    )  # all prior files rewritten
+    assert _ids(spark, root) == list(range(1, 100)) + [500]
+
+
+def test_snapshot_merge_cli(spark, tmp_path):
+    """`jobs.py snapshot merge --key k --cluster-by k` end to end."""
+    from batch_process_dpla_index_spark import jobs
+    from batch_process_dpla_index_spark.products import snapshots
+
+    root = str(tmp_path / "tbl")
+    base = str(tmp_path / "base.parquet")
+    delta = str(tmp_path / "delta.parquet")
+    _frame(spark, 0, 100).coalesce(2).write.parquet(base)
+    spark.createDataFrame([(1, "D"), (200, "I")], ["k", "op"]).write.parquet(delta)
+
+    assert jobs.main(["snapshot", "append", root, "--input", base,
+                      "--cluster-by", "k"]) == 0
+    assert jobs.main(["snapshot", "merge", root, "--input", delta,
+                      "--key", "k", "--cluster-by", "k"]) == 0
+    assert snapshots.read_entry(root, 1)["op"] == "merge"
+    assert _ids(spark, root) == sorted(set(range(100)) - {1} | {200})
