@@ -140,6 +140,42 @@ def _bench_snapshots(spark: SparkSession, sf_dir: str, work_dir: str) -> int:
     return n_now
 
 
+def _bench_merge(spark: SparkSession, sf_dir: str, work_dir: str) -> int:
+    """Copy-on-write MERGE serving path: build a key-clustered events
+    snapshot (4 range-clustered appends), then land a ~1% CDC delta
+    (updates + deletes + out-of-range inserts). The clustered layout
+    is what keeps the rewrite partial — the timing covers build +
+    merge + read-back."""
+    from batch_process_dpla_index_spark.products import snapshots
+
+    root = os.path.join(work_dir, "tbl")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    for q in range(4):
+        snapshots.commit_append(
+            ev.where(F.pmod(F.col("event_id"), F.lit(4)) == q).repartition(4),
+            root,
+            cluster_by=["event_id"],
+        )
+    max_id = ev.agg(F.max("event_id")).first()[0]
+    delta = ev.where(F.col("event_id") % 100 == 3).select(
+        "event_id", "user_id", "event_type", "value",
+        F.when(F.col("event_id") % 3 == 0, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    ).unionByName(
+        ev.limit(100).select(
+            (F.col("event_id") + max_id + 1).alias("event_id"),
+            "user_id", "event_type", "value", F.lit("I").alias("op"),
+        )
+    )
+    snapshots.merge_into(
+        spark, delta, root, "event_id", cluster_by=["event_id"]
+    )
+    return snapshots.read_snapshot(spark, root).count()
+
+
 PRODUCT_BENCHES: dict[str, Callable[[SparkSession, str, str], int]] = {
     "product_sitemap": _bench_sitemap,
     "product_training_export": _bench_training_export,
@@ -147,4 +183,5 @@ PRODUCT_BENCHES: dict[str, Callable[[SparkSession, str, str], int]] = {
     "product_ann_index": _bench_ann_index,
     "product_compaction": _bench_compaction,
     "product_snapshots": _bench_snapshots,
+    "product_merge": _bench_merge,
 }
