@@ -278,6 +278,19 @@ def main(argv: list[str] | None = None) -> int:
                     else None
                 )
 
+            # reject option/action combinations that would be silently
+            # ignored — "committed" with --cluster-by dropped on the
+            # floor leaves the user believing the table is clustered
+            if args.action not in ("append", "merge"):
+                for opt, val in (
+                    ("--cluster-by", args.cluster_by),
+                    ("--stats-cols", args.stats_cols),
+                ):
+                    if val:
+                        p.error(f"{opt} applies to append/merge only")
+            if args.action != "merge" and (args.key or args.op_col != "op"):
+                p.error("--key/--op-col apply to snapshot merge only")
+
             if args.action in ("append", "overwrite", "merge"):
                 if args.input is None:
                     p.error(f"snapshot {args.action} requires --input")

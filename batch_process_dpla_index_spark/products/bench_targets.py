@@ -142,10 +142,13 @@ def _bench_snapshots(spark: SparkSession, sf_dir: str, work_dir: str) -> int:
 
 def _bench_merge(spark: SparkSession, sf_dir: str, work_dir: str) -> int:
     """Copy-on-write MERGE serving path: build a key-clustered events
-    snapshot (4 range-clustered appends), then land a ~1% CDC delta
-    (updates + deletes + out-of-range inserts). The clustered layout
-    is what keeps the rewrite partial — the timing covers build +
-    merge + read-back."""
+    snapshot (4 range-clustered appends, 4 files each), then land a
+    RANGE-LOCALIZED ~1% CDC delta (updates + deletes confined to one
+    narrow id band, plus out-of-range inserts) — the workload the
+    partial-rewrite claim is about. A domain-wide delta would touch
+    every file's range and the bench would silently time a full
+    rewrite, hiding regressions in the zone-map touch detection this
+    product exists for. Timing covers build + merge + read-back."""
     from batch_process_dpla_index_spark.products import snapshots
 
     root = os.path.join(work_dir, "tbl")
@@ -154,24 +157,36 @@ def _bench_merge(spark: SparkSession, sf_dir: str, work_dir: str) -> int:
     )
     for q in range(4):
         snapshots.commit_append(
-            ev.where(F.pmod(F.col("event_id"), F.lit(4)) == q).repartition(4),
+            ev.where(F.pmod(F.col("event_id"), F.lit(4)) == q),
             root,
             cluster_by=["event_id"],
+            cluster_partitions=4,
         )
-    max_id = ev.agg(F.max("event_id")).first()[0]
-    delta = ev.where(F.col("event_id") % 100 == 3).select(
+    lo, hi = ev.agg(F.min("event_id"), F.max("event_id")).first()
+    band = lo + (hi - lo) // 10  # one ~1%-of-rows band, range-localized
+    delta = ev.where(
+        (F.col("event_id") >= band) & (F.col("event_id") < band + (hi - lo) // 100)
+    ).select(
         "event_id", "user_id", "event_type", "value",
         F.when(F.col("event_id") % 3 == 0, F.lit("D"))
         .otherwise(F.lit("U"))
         .alias("op"),
     ).unionByName(
         ev.limit(100).select(
-            (F.col("event_id") + max_id + 1).alias("event_id"),
+            (F.col("event_id") + hi + 1).alias("event_id"),
             "user_id", "event_type", "value", F.lit("I").alias("op"),
         )
     )
-    snapshots.merge_into(
-        spark, delta, root, "event_id", cluster_by=["event_id"]
+    v = snapshots.merge_into(
+        spark, delta, root, "event_id",
+        cluster_by=["event_id"], cluster_partitions=4,
+    )
+    # the bench exists to exercise the PARTIAL path — fail loudly if
+    # the layout ever stops making the rewrite partial
+    entry = snapshots.read_entry(root, v)
+    n_files = sum(len(e["add"]) for e in snapshots.history(root)[:4])
+    assert 0 < len(entry["remove"]) < n_files, (
+        f"merge rewrote {len(entry['remove'])}/{n_files} files — not partial"
     )
     return snapshots.read_snapshot(spark, root).count()
 

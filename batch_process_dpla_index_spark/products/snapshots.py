@@ -40,10 +40,13 @@ Log layout under ``<root>/``::
 from __future__ import annotations
 
 import json
+import logging
 import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+
+_logger = logging.getLogger(__name__)
 
 _LOG = "_log"
 _DATA = "data"
@@ -196,6 +199,15 @@ def write_checkpoint(root: str) -> int:
         b = e.get("params", {}).get("stream_batch_id")
         if b is not None:
             ids.add(b)
+    # prune stats to LIVE files: with CDC merges, file removal is a
+    # steady-state event, and carrying dead files' zone maps forward
+    # would grow every future sidecar without bound. Safe for time
+    # travel — a checkpoint only ever serves versions >= its own, and
+    # a file removed before the checkpoint cannot be live at any of
+    # them; readers of newer versions get newer files' stats from the
+    # post-checkpoint entries.
+    live_set = set(live)
+    stats = {f: s for f, s in stats.items() if f in live_set}
     cp = {
         "version": cur,
         "files": live,
@@ -388,7 +400,9 @@ def _zone_stats(
     return out
 
 
-def _clustered(df: DataFrame, cluster_by: list[str]) -> DataFrame:
+def _clustered(
+    df: DataFrame, cluster_by: list[str], n_files: int | None = None
+) -> DataFrame:
     """Range-partition + sort the batch by ``cluster_by`` before
     writing, so each file owns a DISJOINT slice of the key domain.
     Zone maps are only as good as the layout: on a randomly laid-out
@@ -399,12 +413,19 @@ def _clustered(df: DataFrame, cluster_by: list[str]) -> DataFrame:
     range-exchange per commit (Spark samples the keys to pick
     balanced bounds), amortized over every subsequent pruned read.
 
-    The partition count is pinned to the incoming frame's: an explicit
-    count keeps AQE from coalescing the range exchange into one fat
-    file (observed on small batches), and it hands file sizing to the
-    caller — partition your batch for the file size you want, cluster
-    it for the layout."""
-    n = df.rdd.getNumPartitions()
+    The partition count is explicit (``n_files``, default
+    ``spark.sql.shuffle.partitions``): an explicit count keeps AQE
+    from coalescing the range exchange into one fat file (observed on
+    small batches), and it is read from conf, NOT from
+    ``df.rdd.getNumPartitions()`` — under AQE, touching ``df.rdd``
+    materializes the final plan, which would EXECUTE the whole input
+    (a merge's rewrite join) once just to count partitions and again
+    for the write."""
+    n = int(
+        n_files
+        if n_files is not None
+        else df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
     return df.repartitionByRange(n, *cluster_by).sortWithinPartitions(
         *cluster_by
     )
@@ -417,13 +438,16 @@ def commit_append(
     stats_cols: list[str] | None = None,
     idempotency_key: str | None = None,
     cluster_by: list[str] | None = None,
+    cluster_partitions: int | None = None,
 ) -> int | None:
     """Transactional append: new files become visible atomically with
     the log-entry create. Retries once on a concurrent commit.
     ``stats_cols`` attaches per-file min/max zone maps to the commit
     for data-skipping reads (:func:`read_snapshot` with a predicate).
     ``cluster_by`` range-partitions the batch before writing (see
-    :func:`_clustered`) and implies zone maps on those columns.
+    :func:`_clustered`) and implies zone maps on those columns;
+    ``cluster_partitions`` sets the file count (default
+    ``spark.sql.shuffle.partitions``).
 
     ``idempotency_key`` makes the append once-only against the
     ``stream_batch_id`` ledger (the key is recorded into the commit's
@@ -446,7 +470,7 @@ def commit_append(
         if idempotency_key in committed_stream_batch_ids(root):
             return None
     if cluster_by:
-        df = _clustered(df, cluster_by)
+        df = _clustered(df, cluster_by, cluster_partitions)
         if stats_cols is None:
             stats_cols = list(cluster_by)
     tag = f"b{uuid.uuid4().hex[:12]}"
@@ -506,21 +530,42 @@ def commit_overwrite(df: DataFrame, root: str, params: dict | None = None) -> in
     raise AssertionError("unreachable")
 
 
+#: merge-key Spark types whose zone-map bounds round-trip JSON exactly
+#: and compare without implicit casts. Timestamps/dates are stored as
+#: ISO strings, and comparing a timestamp column against them would go
+#: through a SESSION-TZ-dependent cast — a silent shift there is not
+#: an over-rewrite, it is a missed file and a corrupted merge, so any
+#: type outside this set conservatively touches everything.
+_MERGE_PRUNABLE_TYPES = {
+    "tinyint", "smallint", "int", "bigint", "float", "double", "string",
+}
+
+
 def _touched_files(
     spark: SparkSession, root: str, version: int, changes: DataFrame, key: str
 ) -> tuple[list[str], list[str]]:
     """(touched, untouched) root-relative file lists for a changeset:
     a file is touched iff its ``key`` zone map admits at least one
-    change key. Files without usable bounds (no stats recorded,
-    non-scalar bounds, or a bounds/key type mismatch) are
-    conservatively touched — a merge may over-rewrite, never corrupt.
-    The membership test is one broadcast range-join of the distinct
-    change keys against the |files|-row bounds table — no data file
-    is opened to decide."""
+    change key. Anything that would make that test unreliable — no
+    stats recorded, non-scalar bounds, a key type whose stored bounds
+    don't compare exactly (see ``_MERGE_PRUNABLE_TYPES``), or a failed
+    membership join — conservatively touches the file: a merge may
+    over-rewrite, never corrupt. The membership test is one broadcast
+    range-join of the distinct change keys against the |files|-row
+    bounds table — no data file is opened to decide."""
     from pyspark.sql import functions as F
+    from pyspark.sql.utils import AnalysisException
 
-    stats = _file_stats_at(root, version)
     rels = [os.path.relpath(f, root) for f in snapshot_files(root, version)]
+    key_type = changes.schema[key].dataType.simpleString()
+    if key_type not in _MERGE_PRUNABLE_TYPES:
+        _logger.warning(
+            "merge_into: key %r has type %s whose zone bounds cannot be "
+            "compared exactly — rewriting all %d files",
+            key, key_type, len(rels),
+        )
+        return sorted(rels), []
+    stats = _file_stats_at(root, version)
     bounded: list[tuple[str, object, object]] = []
     touched: set[str] = set()
     for rel in rels:
@@ -550,8 +595,16 @@ def _touched_files(
                 .collect()
             )
             touched |= {r["__file"] for r in hits}
-        except Exception:
-            # bounds/key type mismatch at plan or runtime: rewrite all
+        except AnalysisException:
+            # bounds/key mismatch Catalyst can still reject at analysis
+            # (e.g. numeric key vs str bounds from a reclustered table).
+            # ONLY this narrow class degrades to full rewrite — a
+            # transient executor failure must surface, not silently
+            # schedule an O(table) rewrite.
+            _logger.warning(
+                "merge_into: zone-bound comparison rejected for key %r — "
+                "rewriting all %d files", key, len(rels),
+            )
             touched |= {rel for rel, _, _ in bounded}
     untouched = [r for r in rels if r not in touched]
     return sorted(touched), untouched
@@ -566,6 +619,7 @@ def merge_into(
     params: dict | None = None,
     stats_cols: list[str] | None = None,
     cluster_by: list[str] | None = None,
+    cluster_partitions: int | None = None,
 ) -> int:
     """MERGE a CDC changeset into the snapshot, copy-on-write at FILE
     granularity: only files whose ``key`` zone maps admit a change key
@@ -593,8 +647,11 @@ def merge_into(
 
     for attempt in range(2):
         cur = latest_version(root)
-        if cur is None:
-            # empty table: the merge is exactly the changeset's upserts
+        live = snapshot_files(root, cur) if cur is not None else []
+        if not live:
+            # empty table (no versions yet, or the current version has
+            # zero live files after an all-delete merge): the merge is
+            # exactly the changeset's upserts
             empty = changes.where(F.lit(False)).drop(op_col)
             rewrite, touched = _apply(empty, changes, key, op_col), []
         else:
@@ -603,11 +660,15 @@ def merge_into(
                 current = spark.read.parquet(
                     *[os.path.join(root, r) for r in touched]
                 )
-            else:  # pure-insert delta: nothing overlaps, rewrite nothing
-                current = read_snapshot(spark, root, cur).where(F.lit(False))
+            else:
+                # pure-insert delta: nothing overlaps, rewrite nothing.
+                # Schema comes from ONE live file — listing/inferring
+                # over the whole table would cost O(files) driver work
+                # in exactly the branch whose point is to touch none
+                current = spark.read.parquet(live[0]).where(F.lit(False))
             rewrite = _apply(current, changes, key, op_col)
         if cluster_by:
-            rewrite = _clustered(rewrite, cluster_by)
+            rewrite = _clustered(rewrite, cluster_by, cluster_partitions)
             if stats_cols is None:
                 stats_cols = list(cluster_by)
         tag = f"b{uuid.uuid4().hex[:12]}"

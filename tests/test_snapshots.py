@@ -427,7 +427,7 @@ def test_cluster_by_tightens_zone_maps(spark, tmp_path):
     rr = str(tmp_path / "roundrobin")
     commit_append(df.repartition(4), rr, stats_cols=["k"])
     cl = str(tmp_path / "clustered")
-    commit_append(df.repartition(4), cl, cluster_by=["k"])
+    commit_append(df, cl, cluster_by=["k"], cluster_partitions=4)
 
     pred = [("k", ">=", 390)]
     kept_rr, pruned_rr = prune_files(rr, pred)
@@ -452,8 +452,8 @@ def test_merge_into_rewrites_only_touched_files(spark, tmp_path):
     root = str(tmp_path / "tbl")
     # three clustered appends with disjoint ranges -> >= 3 files
     for lo in (0, 100, 200):
-        commit_append(_frame(spark, lo, lo + 100).coalesce(2), root,
-                      cluster_by=["k"])
+        commit_append(_frame(spark, lo, lo + 100), root,
+                      cluster_by=["k"], cluster_partitions=2)
     n_files_before = len(snapshot_files(root))
     pre = snapshots.latest_version(root)
 
@@ -523,3 +523,77 @@ def test_snapshot_merge_cli(spark, tmp_path):
                       "--key", "k", "--cluster-by", "k"]) == 0
     assert snapshots.read_entry(root, 1)["op"] == "merge"
     assert _ids(spark, root) == sorted(set(range(100)) - {1} | {200})
+
+
+def test_merge_into_after_all_delete_merge(spark, tmp_path):
+    """A CDC stream may empty the table and repopulate it: an
+    all-delete merge leaves a version with ZERO live files, and the
+    next merge must behave like the empty-table case instead of
+    crashing on an empty read."""
+    from batch_process_dpla_index_spark.products import snapshots
+
+    root = str(tmp_path / "tbl")
+    commit_append(_frame(spark, 0, 10).coalesce(1), root, cluster_by=["k"],
+                  cluster_partitions=1)
+    wipe = spark.createDataFrame([(k, "D") for k in range(10)], ["k", "op"])
+    snapshots.merge_into(spark, wipe, root, "k")
+    assert _ids(spark, root) == []
+    refill = spark.createDataFrame([(7, "I"), (8, "I")], ["k", "op"])
+    snapshots.merge_into(spark, refill, root, "k")
+    assert _ids(spark, root) == [7, 8]
+    # the strict zero-live-files case (an empty rewrite that produced
+    # NO part files at all): forge it at the log level, then merge
+    live = [os.path.relpath(f, root) for f in snapshot_files(root)]
+    snapshots._commit(root, "merge", [], live)
+    assert snapshot_files(root) == []
+    v = snapshots.merge_into(
+        spark, spark.createDataFrame([(42, "I")], ["k", "op"]), root, "k"
+    )
+    assert snapshots.read_entry(root, v)["remove"] == []
+    assert _ids(spark, root) == [42]
+
+
+def test_merge_into_timestamp_key_is_conservative(spark, tmp_path):
+    """Zone bounds for timestamp columns are stored as ISO strings; a
+    timestamp merge key must NOT be compared against them through a
+    session-TZ-dependent cast — a shifted compare would silently skip
+    a file (a corrupted merge, not an over-read). Such keys rewrite
+    everything, correctly."""
+    import datetime as dt
+
+    from batch_process_dpla_index_spark.products import snapshots
+
+    root = str(tmp_path / "tbl")
+    rows = [(i, dt.datetime(2024, 1, 1 + i)) for i in range(4)]
+    spark_df = spark.createDataFrame(rows, ["k", "ts"])
+    commit_append(spark_df.coalesce(2), root, stats_cols=["ts"])
+    n_files = len(snapshot_files(root))
+    changes = spark.createDataFrame(
+        [(9, dt.datetime(2024, 2, 1), "I")], ["k", "ts", "op"]
+    )
+    v = snapshots.merge_into(spark, changes, root, "ts")
+    # conservative: ALL files rewritten (no zone-prune for timestamps)
+    assert len(snapshots.read_entry(root, v)["remove"]) == n_files
+    got = sorted(r.k for r in read_snapshot(spark, root).collect())
+    assert got == [0, 1, 2, 3, 9]
+
+
+def test_checkpoint_prunes_dead_file_stats(spark, tmp_path, monkeypatch):
+    """Zone-map stats of files replaced by merges must not ride every
+    future checkpoint — steady-state CDC would grow the sidecar
+    without bound."""
+    from batch_process_dpla_index_spark.products import snapshots
+
+    monkeypatch.setattr(snapshots, "CHECKPOINT_EVERY", 4)
+    root = str(tmp_path / "tbl")
+    commit_append(_frame(spark, 0, 40).coalesce(1), root, cluster_by=["k"],
+                  cluster_partitions=1)
+    for i in range(4):  # each merge replaces the single live file
+        delta = spark.createDataFrame([(i, "U")], ["k", "op"])
+        snapshots.merge_into(spark, delta, root, "k", cluster_by=["k"],
+                             cluster_partitions=1)
+    cp = snapshots._latest_checkpoint(root, None)
+    assert cp is not None
+    live = set(cp["files"])
+    assert set(cp["stats"]) <= live  # no dead-file stats in the sidecar
+    assert _ids(spark, root) == list(range(40))
