@@ -597,3 +597,63 @@ def test_checkpoint_prunes_dead_file_stats(spark, tmp_path, monkeypatch):
     live = set(cp["files"])
     assert set(cp["stats"]) <= live  # no dead-file stats in the sidecar
     assert _ids(spark, root) == list(range(40))
+
+
+def test_merge_randomized_against_model(spark, tmp_path):
+    """Seeded randomized append/merge/compact sequence checked against
+    an in-memory dict model after every operation — the model-based
+    test for the CDC path (hypothesis-style, but one seeded run:
+    per-example Spark jobs are too slow for example fan-out)."""
+    import random
+
+    from batch_process_dpla_index_spark.products import snapshots
+
+    rng = random.Random(0xC0FFEE)
+    root = str(tmp_path / "tbl")
+    model: dict[int, int] = {}
+
+    def check():
+        got = {
+            (r.k, r.v)
+            for r in read_snapshot(spark, root).collect()
+        } if snapshots.latest_version(root) is not None else set()
+        assert got == set(model.items())
+
+    for step in range(8):
+        op = rng.choice(["append", "merge", "merge", "compact"])
+        if op == "append" or snapshots.latest_version(root) is None:
+            fresh = {
+                k: rng.randrange(1000)
+                for k in rng.sample(range(10_000), rng.randrange(1, 40))
+                if k not in model
+            }
+            if not fresh:
+                continue
+            df = spark.createDataFrame(
+                sorted(fresh.items()), ["k", "v"]
+            )
+            commit_append(df, root, cluster_by=["k"], cluster_partitions=2)
+            model.update(fresh)
+        elif op == "merge":
+            keys = rng.sample(range(10_000), rng.randrange(1, 30))
+            rows, ops = [], []
+            for k in keys:
+                o = rng.choice(["I", "U", "D"])
+                v = rng.randrange(1000)
+                rows.append((k, v, o))
+                ops.append((k, v, o))
+            df = spark.createDataFrame(rows, ["k", "v", "op"])
+            snapshots.merge_into(
+                spark, df, root, "k",
+                cluster_by=["k"], cluster_partitions=2,
+            )
+            for k, v, o in ops:
+                if o == "D":
+                    model.pop(k, None)
+                else:
+                    model[k] = v
+        else:
+            snapshots.compact_snapshot(
+                spark, root, target_bytes=64 * 1024 * 1024
+            )
+        check()
