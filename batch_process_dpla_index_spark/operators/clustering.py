@@ -71,7 +71,15 @@ def _maximin_seeds(df: DataFrame, id_col: str, vec_col: str, k: int) -> list[lis
     keeps Lloyd's out of the split-one-blob local optimum that naive
     seeding falls into; k−1 extra Arrow passes, each O(N·k·dim) — an
     init cost, not a per-iteration one. (k-means|| is the sampled
-    refinement of exactly this for very large k.)"""
+    refinement of exactly this for very large k.) The farthest-point
+    pass CARRIES the vector through to the TakeOrdered reduce, so each
+    seed costs exactly one corpus scan — a second id-lookup scan per
+    seed would double the documented init cost."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
     first = (
         df.select(F.col(vec_col).alias("vec"), h60(F.col(id_col).cast("string")).alias("__h"))
         .orderBy("__h")
@@ -81,17 +89,39 @@ def _maximin_seeds(df: DataFrame, id_col: str, vec_col: str, k: int) -> list[lis
     if not first:
         raise ValueError("empty corpus")
     seeds = [list(first[0]["vec"])]
+    id_name, vec_name = id_col, vec_col
+    vec_ddl = df.schema[vec_col].dataType.simpleString()
+
     for _ in range(k - 1):
+        cents = np.asarray(seeds, dtype="float64")
+        sq = (cents * cents).sum(axis=1)
+
+        def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                mat = np.array(list(pdf[vec_name]), dtype="float64")
+                d2 = (
+                    sq[None, :]
+                    - 2.0 * (mat @ cents.T)
+                    + (mat * mat).sum(axis=1)[:, None]
+                ).min(axis=1)
+                yield pd.DataFrame(
+                    {
+                        "id": pdf[id_name].to_numpy(),
+                        "dist2": d2,
+                        "vec": pdf[vec_name],
+                    }
+                )
+
         far = (
-            kmeans_assign(df, seeds, id_col, vec_col)
+            df.select(F.col(id_col), F.col(vec_col))
+            .mapInPandas(scan, f"id bigint, dist2 double, vec {vec_ddl}")
             .orderBy(F.col("dist2").desc(), F.col("id").asc())
             .limit(1)
             .collect()[0]
         )
-        vec = (
-            df.filter(F.col(id_col) == far["id"]).select(F.col(vec_col)).collect()[0][0]
-        )
-        seeds.append(list(vec))
+        seeds.append(list(far["vec"]))
     return seeds
 
 

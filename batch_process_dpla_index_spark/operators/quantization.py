@@ -182,7 +182,6 @@ def pq_encode(
 
     books = np.asarray(codebooks, dtype="float64")
     m, k, dsub = books.shape
-
     def encode(batches):
         import pandas as pd
 
@@ -190,6 +189,18 @@ def pq_encode(
             if not len(pdf):
                 continue
             X = np.asarray(list(pdf[vec_col]), dtype="float64")
+            # the subspace slices read exactly m*dsub components: a
+            # wider vector would be SILENTLY truncated (wrong codes,
+            # no error) and a narrower one would die in a bare numpy
+            # broadcast ValueError — fail with the actual contract
+            # instead (pq_train guards dim % m; the encode path must
+            # guard the vector/codebook pairing)
+            if X.ndim != 2 or X.shape[1] != m * dsub:
+                got = X.shape[1] if X.ndim == 2 else "ragged"
+                raise ValueError(
+                    f"pq_encode: vector dim {got} != m*dsub = "
+                    f"{m}*{dsub} = {m * dsub} of the supplied codebooks"
+                )
             n = len(pdf)
             codes = np.empty((n, m), dtype="int32")
             errs = np.zeros(n, dtype="float64")
@@ -218,12 +229,12 @@ def pq_pinned_codebooks(m: int = 8, k: int = 16, dsub: int = 8):
     same doubles), which is what makes the ENCODE step and the ADC
     distance math SQL-verifiable independently of float k-means
     training."""
-    from batch_process_dpla_index_spark.operators.similarity import _h60_py
+    from batch_process_dpla_index_spark.operators.similarity import _h60_unit
 
     return [
         [
             [
-                (_h60_py(f"pq:{j}:{c}:{d}") % 2_000_003) / 1_000_001.5 - 1.0
+                _h60_unit(f"pq:{j}:{c}:{d}")
                 for d in range(dsub)
             ]
             for c in range(k)

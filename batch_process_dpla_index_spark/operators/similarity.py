@@ -21,6 +21,19 @@ Plus embedding_near_dup (threshold pairs — the vector member of the
 dedup family). Hyperplanes/centroids derive from the deterministic
 h60 digest, so every tier is value-reproducible in the SQL oracle
 without RNG state.
+
+Known precision sensitivity (documented, accepted): the BLAS tiers
+rank on raw float64 scores whose summation order (blocked dgemm)
+differs from the SQL oracle's left-to-right fold, so two DISTINCT
+candidates whose true cosines differ by less than ~1 ulp could rank
+differently across engines, and a projection within an ulp of zero
+could flip an LSH bucket bit. Exact ties (duplicate embeddings) are
+safe — identical inputs produce identical dots in both engines and
+the deterministic neighbor-id tie-break applies; the sub-ulp
+near-tie case has never occurred on the fixtures and rounding-only
+emission (round 6) keeps emitted values engine-identical. Ranking on
+rounded scores both sides would close it fully and is the planned
+follow-up if a fixture ever trips it.
 """
 
 from __future__ import annotations
@@ -87,17 +100,24 @@ def _h60_py(s: str) -> int:
     return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
 
 
+def _h60_unit(s: str) -> float:
+    """h60 scaled to [-1, 1) — THE pseudo-random float generator behind
+    every deterministic hyperplane/centroid/codebook component. One
+    definition on purpose: the expression tiers, their numpy twins,
+    and the SQL oracles must all regenerate bit-identical doubles, so
+    the scaling constants live in exactly one place."""
+    return (_h60_py(s) % 2_000_003) / 1_000_001.5 - 1.0
+
+
 def _hyperplane(table: int, plane: int, dim: int):
     """Deterministic pseudo-random unit-free hyperplane: component d is
     h60('t|p|d') scaled to [-1, 1). Computed driver-side with hashlib
     (identical value to the in-plan h60) and embedded as plain float
     literals — ``dim × planes × tables`` md5 *expression nodes* in every
     plan was a round-1 compile hazard; literals are free."""
-    comps = []
-    for d in range(dim):
-        h = _h60_py(f"hp:{table}:{plane}:{d}")
-        comps.append(F.lit((h % 2_000_003) / 1_000_001.5 - 1.0))
-    return F.array(*comps)
+    return F.array(
+        *[F.lit(_h60_unit(f"hp:{table}:{plane}:{d}")) for d in range(dim)]
+    )
 
 
 def lsh_buckets(
@@ -160,7 +180,12 @@ def lsh_ann_topk(
             .alias("score"),
         )
     else:
-        b = lsh_buckets(corpus, id_col, vec_col, dim, n_planes, n_tables)
+        # the self-join consumes the bucket frame twice; without the
+        # persist the tables×planes interpreted dot-fold bucketing of
+        # the whole corpus executes once per side (persist discipline:
+        # any frame consumed twice is cached and released by the
+        # caller's unpersist_deps)
+        b = lsh_buckets(corpus, id_col, vec_col, dim, n_planes, n_tables).persist()
         cand = (
             b.alias("x")
             .join(b.alias("y"), ["table", "bucket"])
@@ -177,7 +202,7 @@ def lsh_ann_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc_nulls_last(), F.col("neighbor_id").asc()
     )
-    return (
+    ranked = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
@@ -187,6 +212,14 @@ def lsh_ann_topk(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+    if not use_pandas:
+        # local import: dedup imports _h60_py from this module
+        from batch_process_dpla_index_spark.operators.dedup import (
+            _with_cached_deps,
+        )
+
+        ranked = _with_cached_deps(ranked, [b])
+    return ranked
 
 
 def cosine_topk_pandas(
@@ -214,6 +247,13 @@ def cosine_topk_pandas(
     import pandas as pd
 
     q_rows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+    if not q_rows:
+        # np.array([]) is 1-D and the axis-1 reductions below would
+        # raise; the expression tier returns an empty frame for an
+        # empty query side, so this tier must too (same contract)
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id bigint, neighbor_id bigint, score double, rank int"
+        )
     q_ids = np.array([r[0] for r in q_rows], dtype="int64")
     q_mat = np.array([r[1] for r in q_rows], dtype="float64")
     q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
@@ -299,7 +339,11 @@ def embedding_near_dup(
         return pairs.select(
             "id_a", "id_b", F.round("raw_score", 6).alias("score")
         )
-    b = lsh_buckets(corpus, id_col, vec_col, dim, n_planes, n_tables)
+    from batch_process_dpla_index_spark.operators.dedup import _with_cached_deps
+
+    # persist: the self-join reads the bucket frame twice (discipline:
+    # caller releases via unpersist_deps)
+    b = lsh_buckets(corpus, id_col, vec_col, dim, n_planes, n_tables).persist()
     cand = (
         b.alias("x")
         .join(b.alias("y"), ["table", "bucket"])
@@ -312,10 +356,11 @@ def embedding_near_dup(
         )
         .distinct()
     )
-    return (
+    return _with_cached_deps(
         cand.withColumn("score", cosine(F.col("vec_a"), F.col("vec_b")))
         .filter(F.col("score") >= threshold)
-        .select("id_a", "id_b", F.round("score", 6).alias("score"))
+        .select("id_a", "id_b", F.round("score", 6).alias("score")),
+        [b],
     )
 
 
@@ -325,7 +370,7 @@ def _centroid(cell: int, dim: int):
     literals — zero plan bloat)."""
     return F.array(
         *[
-            F.lit((_h60_py(f"ivf:{cell}:{d}") % 2_000_003) / 1_000_001.5 - 1.0)
+            F.lit(_h60_unit(f"ivf:{cell}:{d}"))
             for d in range(dim)
         ]
     )
@@ -368,7 +413,7 @@ def _centroid_matrix(dim: int, n_cells: int):
     return np.array(
         [
             [
-                (_h60_py(f"ivf:{c}:{d}") % 2_000_003) / 1_000_001.5 - 1.0
+                _h60_unit(f"ivf:{c}:{d}")
                 for d in range(dim)
             ]
             for c in range(n_cells)
@@ -449,7 +494,14 @@ def ivf_topk(
     fold per pair: 5× slower at sf0.1). At 100 TB, n_cells scales ~√N
     so both the shuffle and each group stay bounded.
     """
-    assigned = ivf_cells_pandas(corpus, id_col, vec_col, dim, n_cells, n_probe, centroids)
+    from batch_process_dpla_index_spark.operators.dedup import _with_cached_deps
+
+    # persist: stored + probing both read the Arrow assignment frame —
+    # unpersisted, the full-corpus N×cells matmul pass would execute
+    # once per union branch (caller releases via unpersist_deps)
+    assigned = ivf_cells_pandas(
+        corpus, id_col, vec_col, dim, n_cells, n_probe, centroids
+    ).persist()
     stored = assigned.select(
         F.element_at("cells", 1).alias("cell"),
         F.lit(0).alias("role"),
@@ -459,7 +511,7 @@ def ivf_topk(
     probing = assigned.select(
         F.explode("cells").alias("cell"), F.lit(1).alias("role"), F.col("id"), F.col("vec")
     )
-    return _ivf_score_and_rank(stored, probing, k)
+    return _with_cached_deps(_ivf_score_and_rank(stored, probing, k), [assigned])
 
 
 def _ivf_score_and_rank(stored: DataFrame, probing: DataFrame, k: int) -> DataFrame:
@@ -576,7 +628,7 @@ def _hyperplane_matrix(dim: int, n_planes: int, n_tables: int):
         [
             [
                 [
-                    (_h60_py(f"hp:{t}:{j}:{d}") % 2_000_003) / 1_000_001.5 - 1.0
+                    _h60_unit(f"hp:{t}:{j}:{d}")
                     for j in range(n_planes)
                 ]
                 for d in range(dim)

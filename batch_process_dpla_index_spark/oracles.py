@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from batch_process_dpla_index_spark.functions.text import LANG_ORDER, STOPWORDS
 from batch_process_dpla_index_spark.operators.dedup import _MERSENNE, _perm_params
-from batch_process_dpla_index_spark.operators.similarity import _h60_py
+from batch_process_dpla_index_spark.operators.similarity import _h60_py, _h60_unit
 
 # --- shared SQL fragments --------------------------------------------------
 
@@ -662,7 +662,7 @@ def _lsh_ann_oracle(
 ) -> str:
     def plane_sql(t: int, j: int) -> str:
         comps = ", ".join(
-            repr((_h60_py(f"hp:{t}:{j}:{d}") % 2_000_003) / 1_000_001.5 - 1.0)
+            repr(_h60_unit(f"hp:{t}:{j}:{d}"))
             for d in range(dim)
         )
         return f"[{comps}]"
@@ -897,7 +897,7 @@ def _embedding_near_dup_oracle(
 ) -> str:
     def plane_sql(t: int, j: int) -> str:
         comps = ", ".join(
-            repr((_h60_py(f"hp:{t}:{j}:{d}") % 2_000_003) / 1_000_001.5 - 1.0)
+            repr(_h60_unit(f"hp:{t}:{j}:{d}"))
             for d in range(dim)
         )
         return f"[{comps}]"
@@ -1166,7 +1166,7 @@ def _ivf_oracle(
 ) -> str:
     def centroid_sql(c: int) -> str:
         comps = ", ".join(
-            repr((_h60_py(f"ivf:{c}:{d}") % 2_000_003) / 1_000_001.5 - 1.0)
+            repr(_h60_unit(f"ivf:{c}:{d}"))
             for d in range(dim)
         )
         return f"[{comps}]"
@@ -1288,7 +1288,7 @@ def _pq_encode_oracle(m: int = 8, k: int = 16, dsub: int = 8) -> str:
     distance (rounded 6 in both engines)."""
 
     def book(j: int, c: int, d: int) -> float:
-        return (_h60_py(f"pq:{j}:{c}:{d}") % 2_000_003) / 1_000_001.5 - 1.0
+        return _h60_unit(f"pq:{j}:{c}:{d}")
 
     def dist_expr(j: int, c: int) -> str:
         terms = []
