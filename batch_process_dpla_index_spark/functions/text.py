@@ -156,15 +156,21 @@ def punct_ratio(col: Column) -> Column:
     return punct_ratio_nrm(normalize(col))
 
 
-def stopword_ratio_tok(tok: Column) -> Column:
-    """Fraction of tokens that are English stopwords (quality signal)."""
+def stopword_ratio_tok(tok: Column, lang: str = "en") -> Column:
+    """Fraction of tokens that are ``lang`` stopwords (quality signal).
+    Raises on a language without a stopword list — scoring French text
+    by English stopwords would silently gate out the whole corpus."""
+    if lang not in STOPWORDS:
+        raise ValueError(
+            f"no stopword list for lang={lang!r} (have {sorted(STOPWORDS)})"
+        )
     return F.when(F.size(tok) == 0, F.lit(0.0)).otherwise(
-        stopword_hits(tok, "en").cast("double") / F.size(tok).cast("double")
+        stopword_hits(tok, lang).cast("double") / F.size(tok).cast("double")
     )
 
 
-def stopword_ratio(col: Column) -> Column:
-    return stopword_ratio_tok(tokens(col))
+def stopword_ratio(col: Column, lang: str = "en") -> Column:
+    return stopword_ratio_tok(tokens(col), lang)
 
 
 def mean_token_len_tok(tok: Column) -> Column:

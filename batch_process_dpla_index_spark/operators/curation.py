@@ -118,6 +118,10 @@ def quality_gate(
 ) -> DataFrame:
     """Score every document against threshold gates and keep survivors.
 
+    ``lang`` selects the stopword list for the stopword-ratio gate
+    (raises for a language without one — scoring French text against
+    English stopwords would silently drop the whole corpus).
+
     The metric columns are materialized once from a shared token array
     (the ``top_bigrams`` lesson: inline HOFs re-tokenize per use).
     A plain ``.where`` on the metric columns would be pushed below the
@@ -148,7 +152,7 @@ def quality_gate(
         *docs.columns,
         F.size("__tok").alias("n_tokens"),
         F.round(mean_token_len_tok(F.col("__tok")), 6).alias("mean_token_len"),
-        F.round(stopword_ratio_tok(F.col("__tok")), 6).alias("stopword_ratio"),
+        F.round(stopword_ratio_tok(F.col("__tok"), lang), 6).alias("stopword_ratio"),
         F.round(punct_ratio_nrm(F.col("__nrm")), 6).alias("punct_ratio"),
         F.round(rep, 6).alias("repetition_ratio"),
     )
@@ -360,7 +364,15 @@ def unigram_lm_scores(
     terms = docs.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__term")
     )
+    deps = []
     if counts is None:
+        # the default path reads `terms` three times (scoring join,
+        # the counts aggregate, and the stats aggregate over counts) —
+        # unpersisted, each consumption re-runs the corpus-wide
+        # tokenize+explode (the dsir_weights/boilerplate_stats lesson;
+        # callers release via unpersist_deps)
+        terms = terms.persist()
+        deps.append(terms)
         counts = terms.groupBy(F.col("__term").alias("term")).agg(
             F.count("*").cast("bigint").alias("c")
         )
@@ -381,9 +393,12 @@ def unigram_lm_scores(
             ).alias("__lp"),
         )
     )
-    return scored.groupBy(id_col).agg(
-        F.count("*").alias("n_terms"),
-        F.round(F.avg("__lp"), 6).alias("lm_score"),
+    return _with_cached_deps(
+        scored.groupBy(id_col).agg(
+            F.count("*").alias("n_terms"),
+            F.round(F.avg("__lp"), 6).alias("lm_score"),
+        ),
+        deps,
     )
 
 

@@ -16,7 +16,7 @@ from 500 docs to 100 TB:
                      pairs verified with exact Jaccard. The 100 TB path:
                      shuffle is bounded by (bands × docs), buckets are
                      capped to defuse degenerate skew.
-- simhash:           64-bit SimHash per document; near-dup pairs via
+- simhash:           60-bit SimHash per document (h60's width); near-dup pairs via
                      Hamming distance over band-equality prefilter.
 
 MinHash/SimHash hashing uses the engine-portable ``h60`` digest
@@ -117,7 +117,13 @@ def _word_shingles_pandas(n: int):
     def sh(tok: pd.Series) -> pd.Series:
         out = []
         for t in tok:
-            if t is None or len(t) == 0:
+            if t is None:
+                # NULL token array (NULL text) → NULL shingles, exactly
+                # what array_distinct(word_shingles(NULL)) yields — the
+                # twins must agree on NULL rows or set_size diverges
+                # (NULL vs 0) between the two modes
+                out.append(None)
+            elif len(t) == 0:
                 out.append([])
             elif len(t) <= n:
                 out.append([" ".join(t)])
@@ -393,6 +399,21 @@ def with_minhash_signature(
     return base.withColumn("sig", F.array(*mins)).drop("__base")
 
 
+def _band_rows(num_perm: int, bands: int) -> int:
+    """Validated rows-per-band. Integer division would otherwise fail
+    SILENTLY: bands > num_perm gives rows=0, so every band key hashes
+    the EMPTY slice — all docs share one bucket per band, which either
+    trips max_bucket (zero pairs reported as "no near-dups") or goes
+    quadratic; a non-divisor bands quietly ignores the trailing
+    permutations and degrades the documented S-curve recall."""
+    if bands < 1 or bands > num_perm or num_perm % bands:
+        raise ValueError(
+            f"bands={bands} must divide num_perm={num_perm} "
+            f"(1 <= bands <= num_perm)"
+        )
+    return num_perm // bands
+
+
 def _band_buckets(sig: DataFrame, bands: int, rows: int) -> DataFrame:
     """(id, sig) → (id, band, key): one md5 band key per signature
     slice. The exploded frame is bands × docs rows — the whole LSH
@@ -436,7 +457,7 @@ def incremental_dedup(
     cap applies to CORPUS buckets (hot template clusters); candidates
     are bucket-bounded, never all-pairs.
     """
-    rows = num_perm // bands
+    rows = _band_rows(num_perm, bands)
     new_sets = shingle_sets(
         new_docs, text_col, id_col, n, use_pandas=use_pandas
     ).withColumnRenamed(id_col, "id")
@@ -509,7 +530,7 @@ def minhash_lsh_pairs(
     Candidates are verified against the exact shingle sets, so the output
     has zero false positives (recall remains probabilistic).
     """
-    rows = num_perm // bands
+    rows = _band_rows(num_perm, bands)
     sets = shingle_sets(
         df, text_col, id_col, n, use_pandas=use_pandas
     ).withColumnRenamed(id_col, "id")
@@ -561,6 +582,15 @@ def simhash(
     higher-order functions must take exactly the declared parameters, so
     bit indexes are introduced via ``F.sequence``, never default args.)
     """
+    # h60 produces 60 usable bits: bit 60+ of every token hash is zero,
+    # so votes there are constant -1 (dead bands in simhash_pairs'
+    # pigeonhole split), and 1 << 63 doesn't even fit a positive int64
+    # literal — fail loudly instead of silently degrading recall.
+    if not 1 <= bits <= 60:
+        raise ValueError(
+            f"bits={bits}: simhash supports 1..60 bits (h60 token hashes "
+            "carry 60 bits; higher bit positions would never be set)"
+        )
     hashed = F.transform(tok, hash_fn)
     # Literal per-bit masks: bitwiseAND takes Column operands, unlike
     # shiftright/shiftleft whose numBits must be a Python int (the round-1
@@ -726,7 +756,23 @@ def dedup_survivors(
     losers = components.filter(F.col("node") != F.col("cluster")).select(
         F.col("node").alias(id_col)
     )
-    return df.join(losers, id_col, "left_anti")
+    # carry the pair operator's persisted intermediates (shingle sets /
+    # signatures) onto the returned frame, or the caller's
+    # unpersist_deps is a no-op and the cache leaks for the session —
+    # the exact trap carry_deps documents
+    return carry_deps(df.join(losers, id_col, "left_anti"), pairs)
+
+
+def _salted_h60(key_col: str, salt: str) -> Column:
+    """``h60(salt‖':'‖key)`` — THE salted digest behind the
+    deterministic sampling family (hash_sample / stratified /
+    hash_split / weighted_sample). One definition on purpose: the
+    digest is the operators' reproducibility contract and the SQL
+    oracles regenerate it verbatim, so a tweak (separator, cast,
+    salt shape) must change every site or none. (mixture_sample and
+    global_shuffle use the separate ``concat_ws('|', seed, key)``
+    family, likewise mirrored in their oracles.)"""
+    return h60(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string")))
 
 
 def weighted_sample(
@@ -757,13 +803,9 @@ def weighted_sample(
     at exactly rank k, vanishing for continuous keys; the id
     tie-break covers exact duplicates.
     """
-    u = (
-        F.pmod(
-            h60(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string"))),
-            F.lit(1_000_003),
-        )
-        + 1
-    ) / F.lit(1_000_004.0)
+    u = (F.pmod(_salted_h60(key_col, salt), F.lit(1_000_003)) + 1) / F.lit(
+        1_000_004.0
+    )
     es_key = F.log(u) / F.col(weight_col)
     return (
         df.filter(F.col(weight_col) > 0)
@@ -785,7 +827,7 @@ def hash_sample(df: DataFrame, key_col: str, fraction: float, salt: str = "sampl
     reproduces it exactly) — the reproducibility contract a
     training-data pipeline needs.
     """
-    bucket = F.pmod(h60(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string"))), F.lit(10_000))
+    bucket = F.pmod(_salted_h60(key_col, salt), F.lit(10_000))
     return df.filter(bucket < int(round(fraction * 10_000)))
 
 
@@ -805,7 +847,7 @@ def stratified_hash_sample(
     exactly). Groups absent from ``fractions`` keep
     ``default_fraction``. One narrow filter — the threshold CASE and
     the digest both live in the scan projection."""
-    bucket = F.pmod(h60(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string"))), F.lit(10_000))
+    bucket = F.pmod(_salted_h60(key_col, salt), F.lit(10_000))
     thresh: Column = F.lit(int(round(default_fraction * 10_000)))
     for group, frac in sorted(fractions.items()):
         thresh = F.when(F.col(group_col) == group, int(round(frac * 10_000))).otherwise(thresh)
@@ -816,7 +858,7 @@ def hash_split(df: DataFrame, key_col: str, val_fraction: float = 0.1, salt: str
     """Deterministic train/validation assignment: adds ``split`` ∈
     {'train','val'} as a pure function of the key (same stability
     contract as :func:`hash_sample`)."""
-    bucket = F.pmod(h60(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string"))), F.lit(10_000))
+    bucket = F.pmod(_salted_h60(key_col, salt), F.lit(10_000))
     return df.withColumn(
         "split",
         F.when(bucket < int(round(val_fraction * 10_000)), F.lit("val")).otherwise(F.lit("train")),
@@ -864,6 +906,12 @@ def sentence_dedup(
         ).alias("pos", "sent"),
     )
     if max_occurrences == 1:
+        # persist: this path reads the frame twice (the min-struct
+        # aggregate AND the join back) — without the cache the
+        # corpus-wide split+posexplode executes once per consumption
+        # (the duplicate_spans/boilerplate_stats lesson, ~1.8x
+        # measured there). The window path below reads it once.
+        sents = sents.persist()
         firsts = sents.groupBy("sent").agg(
             F.min(F.struct("__did", "pos")).alias("__first")
         )
@@ -875,7 +923,7 @@ def sentence_dedup(
         flagged = sents.withColumn(
             "__keep", F.row_number().over(w) <= max_occurrences
         )
-    return (
+    return _with_cached_deps(
         flagged.groupBy(F.col("__did").alias(id_col))
         .agg(
             F.count("*").alias("n_sentences"),
@@ -892,7 +940,8 @@ def sentence_dedup(
                 sep,
             ).alias("text"),
         )
-        .select(id_col, "text", "n_sentences", "n_dropped")
+        .select(id_col, "text", "n_sentences", "n_dropped"),
+        [sents],
     )
 
 

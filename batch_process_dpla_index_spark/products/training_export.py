@@ -55,10 +55,12 @@ def export_training_shards(
     Returns the manifest dict (also written as ``_MANIFEST``).
     """
     kept = docs
+    sd = None
     if sentence_dedup_first:
         from batch_process_dpla_index_spark.operators.dedup import sentence_dedup
 
-        deduped = sentence_dedup(kept).select("doc_id", "text")
+        sd = sentence_dedup(kept)
+        deduped = sd.select("doc_id", "text")
         # re-attach the non-text columns (dedup reassembles text only)
         others = [c for c in kept.columns if c not in ("text",)]
         kept = kept.select(*others).join(deduped, "doc_id")
@@ -89,6 +91,12 @@ def export_training_shards(
         "shard", "shuffle_key"
     )
     ordered.write.mode("overwrite").partitionBy("shard").parquet(out_dir)
+    if sd is not None:
+        # the write above materialized the dedup — release the
+        # persisted sentence explode before the read-back
+        from batch_process_dpla_index_spark.operators.dedup import unpersist_deps
+
+        unpersist_deps(sd)
     n_docs = spark.read.parquet(out_dir).count()
     opts = {
         "Seed": seed,

@@ -1721,10 +1721,18 @@ def q_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     reassemble docs): min-struct aggregate for first-occurrence
     discovery — no per-instance ranking, hot sentences stay
     map-side-combinable."""
-    from batch_process_dpla_index_spark.operators.dedup import sentence_dedup
+    from batch_process_dpla_index_spark.operators.dedup import (
+        carry_deps,
+        sentence_dedup,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
-    return sentence_dedup(docs).select("doc_id", "text", "n_sentences", "n_dropped")
+    sd = sentence_dedup(docs)
+    # carry_deps: .select() returns a NEW frame and would drop the
+    # persisted sentence explode, leaking it past unpersist_deps
+    return carry_deps(
+        sd.select("doc_id", "text", "n_sentences", "n_dropped"), sd
+    )
 
 
 def q_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1732,9 +1740,11 @@ def q_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     term explode → vocab-sized count agg → broadcast-stats join →
     per-doc mean log2 prob. Pure JVM expressions."""
     from batch_process_dpla_index_spark.operators.curation import unigram_lm_scores
+    from batch_process_dpla_index_spark.operators.dedup import carry_deps
 
     docs = load_table(spark, sf_dir, "documents")
-    return unigram_lm_scores(docs).select("doc_id", "n_terms", "lm_score")
+    lm = unigram_lm_scores(docs)
+    return carry_deps(lm.select("doc_id", "n_terms", "lm_score"), lm)
 
 
 def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -503,3 +503,50 @@ def test_semdedup_marks_smaller_id_twins(spark):
     assert got[2][0] >= 1 and got[2][1] is False
     assert got[3][1] in (True, False)  # depends on 3/4 cell split
     assert got[5][1] is True
+
+
+def test_dedup_parameter_guards(spark):
+    """Round-6 review guards: silently-degrading parameter combos now
+    fail loudly; the pandas shingle twin agrees with the expression
+    twin on NULL text."""
+    import pytest as _pytest
+
+    from batch_process_dpla_index_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        shingle_sets,
+        simhash,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, None)], ["id", "text"]
+    )
+    # bands must divide num_perm (rows=0 would silently return no pairs)
+    with _pytest.raises(ValueError, match="bands"):
+        minhash_lsh_pairs(docs, "text", "id", num_perm=8, bands=16)
+    with _pytest.raises(ValueError, match="bands"):
+        minhash_lsh_pairs(docs, "text", "id", num_perm=64, bands=10)
+    # simhash is 60-bit (h60 width); 64 would silently zero bits 61-63
+    with _pytest.raises(ValueError, match="bits"):
+        simhash(F.col("text"), bits=64)
+    # NULL text: both shingle tiers must yield NULL (not [] vs NULL)
+    expr = {r.id: r.shingles for r in shingle_sets(docs, "text", "id").collect()}
+    pand = {
+        r.id: r.shingles
+        for r in shingle_sets(docs, "text", "id", use_pandas=True).collect()
+    }
+    assert expr[2] is None and pand[2] is None
+    assert expr[1] == pand[1] and expr[1]
+
+
+def test_quality_gate_rejects_unknown_stopword_lang(spark):
+    from batch_process_dpla_index_spark.operators.curation import quality_gate
+
+    docs = spark.createDataFrame([(1, "le chat est sur la table")], ["doc_id", "text"])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="stopword"):
+        quality_gate(docs, lang="xx")
+    # a supported non-English lang scores by ITS stopwords
+    out = quality_gate(docs, lang="fr", gates={"min_stopword_ratio": 0.3}).collect()
+    assert len(out) == 1  # French text passes a French stopword gate
