@@ -37,12 +37,12 @@ from __future__ import annotations
 
 import io
 import json
+import glob as _glob
 import os
 import struct
 import zlib
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 MAGIC = b"Obj\x01"
@@ -521,6 +521,13 @@ def write_container(records, avro_schema, fh, codec: str = "deflate",
     per-record encoding (not zlib) dominates write cost ~10:1, so the
     default keeps zlib's size-friendly 6; drop it only for codecs-
     bound workloads."""
+    if codec not in ("null", "deflate"):
+        # recording an unimplemented codec in the header while writing
+        # raw blocks would produce a file EVERY conforming reader
+        # rejects (or mis-decompresses) — fail at write time instead
+        raise ValueError(
+            f"unsupported avro codec {codec!r} (supported: null, deflate)"
+        )
     meta = {
         "avro.schema": json.dumps(avro_schema).encode("utf-8"),
         "avro.codec": codec.encode("utf-8"),
@@ -624,12 +631,20 @@ def write_avro_py(df: DataFrame, path: str, overwrite: bool = True,
     model the pickle path spent more time deserializing rows than
     encoding Avro (measured ~2× at sf0.1). The per-partition summary
     row is the action that drives the write."""
+    import uuid as _uuid
+
     from batch_process_dpla_index_spark.io.sinks import delete_existing
 
     if overwrite:
         delete_existing(path)
     os.makedirs(path, exist_ok=True)
     avro_schema = spark_to_avro_schema(df.schema)
+    # job/attempt-tagged tmp names: two attempts of the same partition
+    # (speculation, stage retry) must write DISJOINT tmp files or they
+    # interleave into one truncated stream and the replace commits a
+    # corrupt container — the exact hazard the avro_py datasource
+    # writer documents; leftovers are swept after the action
+    job_tag = _uuid.uuid4().hex[:12]
 
     def _write(batches):
         import itertools as _it
@@ -652,13 +667,28 @@ def write_avro_py(df: DataFrame, path: str, overwrite: bool = True,
                  "n": pa.array([], type=pa.int64())}
             )
             return
+        ctx = TaskContext.get()
         full = os.path.join(path, f"part-{pid:05d}.avro")
-        with open(full + "._tmp", "wb") as fh:
+        tmp = f"{full}.{job_tag}-a{ctx.attemptNumber()}._tmp"
+        with open(tmp, "wb") as fh:
             n = write_container(_it.chain([first], it), avro_schema, fh, codec=codec)
-        os.replace(full + "._tmp", full)  # commit rename, no partial files
+        os.replace(tmp, full)  # commit rename, no partial files
         yield pa.RecordBatch.from_pydict({"path": [full], "n": [n]})
 
-    df.mapInArrow(_write, "path string, n bigint").collect()
+    committed = df.mapInArrow(_write, "path string, n bigint").collect()
+    for leftover in _glob.glob(os.path.join(path, f"*.{job_tag}-a*._tmp")):
+        try:  # failed-then-retried attempts leave their own tmp files
+            os.remove(leftover)
+        except OSError:
+            pass
+    if not any(r["n"] for r in committed):
+        # every partition was empty: emit one schema-only container so
+        # the round trip is symmetric — without it read_avro_py raises
+        # FileNotFoundError where the JVM datasource and the avro_py
+        # DataSource (AvroPyWriter.commit) both return an empty frame
+        empty = os.path.join(path, "part-00000.avro")
+        with open(empty, "wb") as fh:
+            write_container(iter(()), avro_schema, fh, codec=codec)
     with open(os.path.join(path, "_SUCCESS"), "w", encoding="utf-8"):
         pass
 
@@ -672,11 +702,19 @@ def read_avro_py(spark: SparkSession, *paths: str) -> DataFrame:
     (Avro blocks could split further via the sync markers; containers
     here are one-partition-sized by construction); schema inference
     reads a single header driver-side."""
-    import glob as _glob
-
     expanded: list[str] = []
     for p in paths:
-        hits = sorted(_glob.glob(os.path.join(p, "*.avro"))) if os.path.isdir(p) else [p]
+        if os.path.isdir(p):
+            hits = sorted(
+                _glob.glob(os.path.join(_glob.escape(p), "*.avro"))
+            )
+        elif any(ch in p for ch in "*?["):
+            # accept the same glob-pattern grammar as the avro_py
+            # DataSource's _expand — the two read entry points to one
+            # codec must not disagree on path syntax
+            hits = sorted(_glob.glob(p))
+        else:
+            hits = [p]
         expanded.extend(hits)
     if not expanded:
         raise FileNotFoundError(f"no .avro containers under {paths}")

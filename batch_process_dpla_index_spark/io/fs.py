@@ -106,7 +106,11 @@ class LocalFilesystem:
         return removed
 
     def list_prefix(self, prefix: str) -> list[str]:
-        return sorted(_glob.glob(os.path.join(prefix, "*")))
+        # glob.escape: a prefix containing [, ? or * is a literal path
+        # here — unescaped it becomes a character class / wildcard and
+        # the listing silently returns wrong or empty results (a
+        # silent catalog omission at the S4 discovery call site)
+        return sorted(_glob.glob(os.path.join(_glob.escape(prefix), "*")))
 
     def latest_prefix(self, prefix: str) -> str | None:
         children = [p for p in self.list_prefix(prefix) if os.path.isdir(p)]
@@ -144,7 +148,14 @@ class MemoryFilesystem:
         return key
 
     def read(self, key: str) -> str:
-        data = self.objects[key]
+        try:
+            data = self.objects[key]
+        except KeyError:
+            # carrier contract: every backend raises FileNotFoundError
+            # for a missing object (what 'file' and fsspec raise) —
+            # a bare KeyError would pass real backends' callers and
+            # crash only against this one
+            raise FileNotFoundError(key) from None
         if key.endswith(".gz"):
             data = _gzip.decompress(data)
         return data.decode("utf-8")
@@ -265,17 +276,40 @@ class FsspecFilesystem:
     def purge(
         self, keys: list[str], batch: int = 1000,
         on_batch: Callable[[int, int], None] | None = None,
+        strict_count: bool = True,
     ) -> int:
+        """``strict_count=True`` (the carrier contract: missing keys are
+        not counted) pays one exists() round trip per key — on an
+        object store that is a HEAD per key, which dominates a large
+        purge. ``strict_count=False`` is the production fast path: one
+        bulk delete per batch, missing keys deleted as no-ops and
+        counted as requested (exactly S3 DeleteObjects semantics, the
+        reference's own purge); use it when the caller doesn't need
+        the removed count to exclude already-absent keys."""
         removed = 0
         for i in range(0, len(keys), batch):
-            existing = [k for k in keys[i : i + batch] if self.fs.exists(k)]
-            if existing:
-                # one bulk call per batch — fsspec fans this out to the
-                # store's multi-delete where the backend supports it
-                self.fs.rm(existing)
-                removed += len(existing)
+            group = keys[i : i + batch]
+            n_before = removed
+            if strict_count:
+                existing = [k for k in group if self.fs.exists(k)]
+                if existing:
+                    # one bulk call per batch — fsspec fans this out to
+                    # the store's multi-delete where supported
+                    self.fs.rm(existing)
+                    removed += len(existing)
+            else:
+                try:
+                    self.fs.rm(group)
+                    removed += len(group)
+                except FileNotFoundError:
+                    for k in group:
+                        try:
+                            self.fs.rm(k)
+                            removed += 1
+                        except FileNotFoundError:
+                            pass
             if on_batch is not None:
-                on_batch(i // batch, len(existing))
+                on_batch(i // batch, removed - n_before)
         return removed
 
     def list_prefix(self, prefix: str) -> list[str]:

@@ -129,14 +129,28 @@ def purge_keys(keys: list[str], batch: int = 1000) -> int:
 
     if not keys:
         return 0
-    return get_fs(keys[0]).purge([strip_scheme(k) for k in keys], batch=batch)
+    # group by scheme: dispatching the whole list to keys[0]'s backend
+    # would silently skip (and under-count) keys living on another
+    # store — a purge that "succeeded" while the objects survive
+    by_scheme: dict[str, list[str]] = {}
+    for k in keys:
+        scheme = k.split("://", 1)[0] if "://" in k else "file"
+        by_scheme.setdefault(scheme, []).append(k)
+    removed = 0
+    for group in by_scheme.values():
+        removed += get_fs(group[0]).purge(
+            [strip_scheme(k) for k in group], batch=batch
+        )
+    return removed
 
 
 def read_csv_single(path: str) -> list[dict[str, str]]:
     """Read back a K3 product (tests + downstream consumers)."""
     import csv
 
-    parts = sorted(glob.glob(os.path.join(path, "part-*.csv")))
+    # glob.escape: the directory is a literal path — [, ? or * in it
+    # would otherwise act as wildcards and silently read nothing
+    parts = sorted(glob.glob(os.path.join(glob.escape(path), "part-*.csv")))
     rows: list[dict[str, str]] = []
     for p in parts:
         with open(p, newline="", encoding="utf-8") as f:

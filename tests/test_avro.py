@@ -379,3 +379,45 @@ def test_timestamp_micros_exact_far_future():
                 raw = bytes(buf)
                 assert _decode(_io.BytesIO(raw), schema) == v, (year, us)
                 assert dec(_io.BytesIO(raw)) == v, (year, us)
+
+
+def test_empty_write_read_roundtrip_helper_path(spark, tmp_path):
+    """K2 symmetry (round-6 review): an all-empty-partitions write must
+    leave a schema-only container so the read returns an empty frame
+    with the written schema — the same contract the JVM datasource and
+    AvroPyWriter.commit keep — instead of FileNotFoundError."""
+    from batch_process_dpla_index_spark.io.avro_py import read_avro_py, write_avro_py
+
+    out = str(tmp_path / "empty_avro")
+    df = spark.createDataFrame([], "a INT, b STRING")
+    write_avro_py(df, out)
+    back = read_avro_py(spark, out)
+    assert back.count() == 0
+    assert [f.name for f in back.schema.fields] == ["a", "b"]
+
+
+def test_write_container_rejects_unknown_codec(spark, tmp_path):
+    """A codec recorded in the header but not applied to the blocks
+    would produce a file every conforming reader rejects — fail at
+    write time."""
+    import io as _io
+
+    import pytest as _pytest
+
+    from batch_process_dpla_index_spark.io.avro_py import write_container
+
+    with _pytest.raises(ValueError, match="codec"):
+        write_container(iter(()), {"type": "record", "name": "r", "fields": []},
+                        _io.BytesIO(), codec="snappy")
+
+
+def test_read_avro_py_accepts_glob_pattern(spark, tmp_path):
+    """Both read entry points to the codec accept the same path
+    grammar: a part-file glob works in the helper path, not just in
+    format('avro_py')."""
+    from batch_process_dpla_index_spark.io.avro_py import read_avro_py, write_avro_py
+
+    out = str(tmp_path / "g")
+    write_avro_py(spark.createDataFrame([(1,), (2,)], "a INT").coalesce(1), out)
+    back = read_avro_py(spark, f"{out}/part-*.avro")
+    assert sorted(r.a for r in back.collect()) == [1, 2]

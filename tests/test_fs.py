@@ -254,3 +254,43 @@ def test_sinks_route_through_registered_carrier():
 def test_unregistered_scheme_is_a_clear_error():
     with pytest.raises(NotImplementedError, match="scheme 's3'"):
         get_fs("s3://bucket/key")
+
+
+def test_memory_read_missing_key_raises_filenotfound():
+    """Carrier contract: every backend raises FileNotFoundError for a
+    missing object (what 'file' and fsspec raise) — not KeyError."""
+    from batch_process_dpla_index_spark.io.fs import MemoryFilesystem
+
+    with pytest.raises(FileNotFoundError):
+        MemoryFilesystem().read("nope/missing.txt")
+
+
+def test_local_list_prefix_with_glob_chars(tmp_path):
+    """A prefix containing [, ? or * is a literal path: unescaped it
+    becomes a character class and the listing silently lies."""
+    from batch_process_dpla_index_spark.io.fs import LocalFilesystem
+
+    weird = tmp_path / "hub[1]"
+    weird.mkdir()
+    (weird / "a.txt").write_text("x")
+    got = LocalFilesystem().list_prefix(str(weird))
+    assert got == [str(weird / "a.txt")]
+
+
+def test_purge_keys_groups_by_scheme(tmp_path):
+    """Mixed-scheme key lists purge on EACH key's backend — dispatching
+    everything to keys[0]'s scheme would silently skip the rest."""
+    from batch_process_dpla_index_spark.io import fs as fs_mod
+    from batch_process_dpla_index_spark.io.fs import MemoryFilesystem
+    from batch_process_dpla_index_spark.io.sinks import purge_keys
+
+    mem = MemoryFilesystem()
+    fs_mod.register_fs("mem2", mem)
+    try:
+        local = tmp_path / "l.txt"
+        local.write_text("x")
+        mem.put("mem2://b/k.txt", "y")
+        assert purge_keys([str(local), "mem2://b/k.txt"]) == 2
+        assert not local.exists() and mem.objects == {}
+    finally:
+        fs_mod._REGISTRY.pop("mem2", None)
