@@ -31,8 +31,14 @@ LANG_ORDER: tuple[str, ...] = ("en", "de", "fr", "es")
 
 
 def normalize(col: Column) -> Column:
-    """Lowercase, trim, collapse internal whitespace."""
-    return F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
+    """Lowercase, collapse whitespace runs, trim. Collapse-THEN-trim on
+    purpose: Spark's ``trim`` strips only 0x20, so trimming first left
+    boundary tabs/newlines in place and the collapse turned them into
+    boundary SPACES — 'a\\n' normalized to 'a ' (trailing space) and
+    downstream splits grew empty tokens. After the collapse every
+    whitespace run is a plain space, so the space-only trim is exact.
+    The SQL oracle twin (oracles._nrm) mirrors this order."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
 
 
 #: Accent-folding character map — the asciifolding tier of the
@@ -80,12 +86,15 @@ def fingerprint_folded(col: Column) -> Column:
 def tokens(col: Column) -> Column:
     """Whitespace tokens of the normalized text (array<string>, no empties).
 
-    Single regex pass: split on ``\\s+`` directly instead of
-    collapse-then-split — identical token arrays to
-    ``split(normalize(col), ' ')`` (trim removes boundary whitespace, so
-    interior ``\\s+`` splits produce no empties), one less full-text
-    regex scan (~2× on the sf0.1 text pipeline)."""
-    trimmed = F.trim(F.lower(col))
+    Two regex passes (regex-trim ALL boundary whitespace, then split
+    on ``\\s+``) instead of the old ``trim``-then-split: Spark's
+    ``trim`` strips only 0x20, so 'hello world\\n' used to tokenize to
+    ['hello','world',''] and a tab/newline-only doc to ['',''] — the
+    empty-string tokens inflated counts and re-opened the round-1
+    blank-doc Jaccard defect word_shingles' guard exists to prevent
+    (all whitespace-only docs sharing one singleton shingle). The SQL
+    oracle twin (oracles._tok over _nrm) keeps identical values."""
+    trimmed = F.regexp_replace(F.lower(col), r"^\s+|\s+$", "")
     return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
         F.split(trimmed, r"\s+")
     )
@@ -140,7 +149,14 @@ def language_id_tok(tok: Column) -> Column:
 
 
 def language_id(col: Column) -> Column:
-    """Text-column convenience wrapper over :func:`language_id_tok`."""
+    """Text-column convenience wrapper over :func:`language_id_tok`.
+
+    Convenience only — the inline ``tokens(col)`` is referenced ~12
+    times by the vote expressions, and HOF lambdas are interpreted
+    (no CSE), so each reference re-tokenizes the full text. On any
+    corpus-sized path, materialize the token array once in a
+    projection and call :func:`language_id_tok` on the column (what
+    the registry query and dataset_card do)."""
     return language_id_tok(tokens(col))
 
 
@@ -279,6 +295,13 @@ def chunk_structs(tok: Column, chunk_tokens: int = 64, overlap: int = 16) -> Col
     docs yield no chunks. Pure expressions over a materialized token
     array — explode it and the whole thing stays one narrow stage.
     """
+    if overlap >= chunk_tokens or chunk_tokens < 1 or overlap < 0:
+        # stride 0 divides by zero (ANSI cast overflow at runtime) and
+        # negative stride silently truncates the document to one chunk
+        raise ValueError(
+            f"chunk_structs: need 0 <= overlap < chunk_tokens "
+            f"(got chunk_tokens={chunk_tokens}, overlap={overlap})"
+        )
     stride = chunk_tokens - overlap
     n = F.size(tok)
     n_chunks = F.greatest(

@@ -47,10 +47,23 @@ def funnel_stages(
 
     Returns (stage, step, n_users) for stages 1..len(steps), where
     n_users counts users whose chain reached AT LEAST that stage.
+
+    NULL-timestamp events are excluded up front (mirrored in the
+    oracle): a time-ordered funnel cannot place them, and letting one
+    through used to poison the fold — the initial-state test was
+    ``acc.t IS NULL``, which is ALSO true after advancing on a NULL-ts
+    event, silently disabling the strict-ordering constraint for the
+    rest of that user's chain. The initial state is now tested by
+    ``stage == 0``, never by the timestamp.
     """
     steps_arr = F.array(*[F.lit(s) for s in steps])
     evs = F.array_sort(
-        F.collect_list(F.struct(F.col(ts_col).alias("t"), F.col(type_col).alias("et")))
+        F.collect_list(
+            F.when(
+                F.col(ts_col).isNotNull(),
+                F.struct(F.col(ts_col).alias("t"), F.col(type_col).alias("et")),
+            )  # collect_list drops NULLs → NULL-ts events never enter
+        )
     )
     state0 = F.struct(
         F.lit(0).alias("stage"), F.lit(None).cast("timestamp").alias("t")
@@ -61,7 +74,7 @@ def funnel_stages(
         lambda acc, e: F.when(
             (acc["stage"] < len(steps))
             & (e["et"] == F.element_at(steps_arr, acc["stage"] + 1))
-            & (acc["t"].isNull() | (e["t"] > acc["t"])),
+            & ((acc["stage"] == 0) | (e["t"] > acc["t"])),
             F.struct(
                 (acc["stage"] + 1).alias("stage"), e["t"].alias("t")
             ),

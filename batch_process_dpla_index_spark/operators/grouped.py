@@ -35,7 +35,14 @@ def user_cumulative_value(events: DataFrame, n_shards: int = 64) -> DataFrame:
     def cumsum(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["user_id", "ts", "event_id"])
         out = pdf[["event_id", "user_id"]].copy()
-        out["cum_value"] = pdf.groupby("user_id", sort=False)["value"].cumsum()
+        # dropna=False: pandas groupby silently EXCLUDES NaN keys by
+        # default, emitting NULL cum_value for NULL-user rows where the
+        # JVM-window twin (PARTITION BY user_id) computes real sums —
+        # the parity contract between the two forms must hold on any
+        # data, NULL keys included
+        out["cum_value"] = pdf.groupby(
+            "user_id", sort=False, dropna=False
+        )["value"].cumsum()
         return out
 
     return (
@@ -57,7 +64,9 @@ def normalize_per_group(events: DataFrame, n_shards: int = 64) -> DataFrame:
     inside the shard) to amortize per-group Arrow overhead."""
 
     def z(pdf: pd.DataFrame) -> pd.DataFrame:
-        g = pdf.groupby("user_id", sort=False)["value"]
+        # dropna=False: see user_cumulative_value — NULL user_ids form
+        # one group, matching the JVM window twin
+        g = pdf.groupby("user_id", sort=False, dropna=False)["value"]
         mean = g.transform("mean")
         std = g.transform(lambda v: v.std(ddof=0))
         zs = (pdf["value"] - mean) / std
@@ -120,6 +129,15 @@ def pack_sequences(
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["__id", "__ord"]).reset_index(drop=True)
+        if pdf["__tok"].isna().any():
+            # a NULL token count (upstream join miss) arrives as NaN and
+            # int(NaN) dies mid-walk with an opaque worker traceback —
+            # name the contract violation instead
+            bad = pdf.loc[pdf["__tok"].isna(), "__id"].iloc[0]
+            raise ValueError(
+                f"pack_sequences: NULL token count for item {bad!r} — "
+                "token_col must be non-null for every row"
+            )
         bins, running, current = [], 0, 0
         for t in pdf["__tok"]:
             t = int(t)

@@ -50,9 +50,19 @@ def bm25_topk(
     # Doc length rides along through the explode so the scored frame
     # never joins back to a corpus-wide lengths table — after the
     # broadcast term filter, every surviving row already carries dl.
+    # tokens(col) directly (NOT tokens(normalize(col))): tokens already
+    # normalizes, the double pass cost a full-text regex scan, and the
+    # engine tokenizer must be THE tokenizer everywhere — the oracle's
+    # _DOC_TOK_CTE replays tokens(text), so a divergent path here would
+    # shift dl/avgdl and every score with it.
     with_dl = docs.select(
-        F.col(id_col).alias("id"), tokens(normalize(F.col(text_col))).alias("__tok")
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("__tok")
     ).select("id", F.size("__tok").cast("double").alias("dl"), "__tok")
+    # persist: with_dl feeds corpus_stats AND tf, tf feeds df_t AND the
+    # scoring join — unpersisted, the corpus tokenize+explode lineage
+    # executes once per consumer (tfidf_top_terms pays 1 for the same
+    # shape; callers release via unpersist_deps)
+    with_dl = with_dl.persist()
     corpus_stats = with_dl.agg(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
     )
@@ -62,6 +72,7 @@ def bm25_topk(
         .join(F.broadcast(q_df), "term")
         .groupBy("id", "dl", "term")
         .agg(F.count("*").alias("tf"))
+        .persist()
     )
     df_t = tf.groupBy("term").agg(F.countDistinct("id").alias("df"))
 
@@ -87,11 +98,14 @@ def bm25_topk(
             ),
         )
     )
-    return (
+    from batch_process_dpla_index_spark.operators.dedup import _with_cached_deps
+
+    return _with_cached_deps(
         scored.groupBy("id")
         .agg(F.round(F.sum("w"), 6).alias("score"))
         .orderBy(F.col("score").desc(), F.col("id").asc())
-        .limit(k)
+        .limit(k),
+        [with_dl, tf],
     )
 
 

@@ -30,7 +30,10 @@ from batch_process_dpla_index_spark.operators.similarity import _h60_py, _h60_un
 
 #: normalized text: lowercase, trim, collapse whitespace (functions.text.normalize)
 def _nrm(col: str) -> str:
-    return f"regexp_replace(lower(trim({col})), '\\s+', ' ', 'g')"
+    # collapse THEN trim (functions.text.normalize order): trim-first
+    # left boundary tabs/newlines to become boundary spaces, and
+    # string_split then grew empty tokens in both engines
+    return f"trim(regexp_replace(lower({col}), '\\s+', ' ', 'g'))"
 
 
 #: whitespace tokens with the empty-string guard (functions.text.tokens)
@@ -1897,9 +1900,12 @@ def _funnel_oracle(steps: tuple = ("signup", "view", "click", "purchase")) -> st
     # chained strict-min CTEs: u_i = first step-i event strictly after
     # the user's stage-(i-1) timestamp — the N-pass formulation the
     # Spark fold-aggregate collapses into one pass.
+    # ts IS NOT NULL mirrors the engine: NULL-ts events never enter a
+    # time-ordered funnel (the i>=2 CTEs exclude them implicitly via
+    # the strict > join; stage 1 must match)
     ctes = [
         f"u1 AS (SELECT user_id, min(ts) AS t FROM events "
-        f"WHERE event_type = '{steps[0]}' GROUP BY user_id)"
+        f"WHERE event_type = '{steps[0]}' AND ts IS NOT NULL GROUP BY user_id)"
     ]
     for i in range(1, len(steps)):
         ctes.append(

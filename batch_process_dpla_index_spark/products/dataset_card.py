@@ -41,21 +41,37 @@ def build_dataset_card(
     """Render the datasheet to ``<out_dir>/DATASET_CARD.md`` (plus the
     standard `_MANIFEST`) and return the card path."""
     from batch_process_dpla_index_spark.functions.classifier import classifier_score
+
+    # tokens materialized ONCE: language_id_tok references its token
+    # array ~12 times and HOF lambdas are interpreted (no CSE), so the
+    # inline language_id(text) wrapper would re-tokenize the full text
+    # per reference on this corpus-wide pass
     from batch_process_dpla_index_spark.functions.text import (
-        language_id,
-        token_count,
+        language_id_tok,
+        tokens as _tokens,
     )
     from batch_process_dpla_index_spark.operators.dedup import exact_dedup
 
-    base = docs.select(
-        "doc_id",
-        "source",
-        "lang",
-        F.length("text").cast("bigint").alias("n_chars_c"),
-        token_count(F.col("text")).alias("n_tok"),
-        language_id(F.col("text")).alias("lang_pred"),
-        F.round(classifier_score(F.col("text")), 6).alias("q_score"),
-    ).persist()
+    base = (
+        docs.select(
+            "doc_id",
+            "source",
+            "lang",
+            F.length("text").cast("bigint").alias("n_chars_c"),
+            F.col("text"),
+            _tokens(F.col("text")).alias("__tok"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            "n_chars_c",
+            F.size("__tok").cast("bigint").alias("n_tok"),
+            language_id_tok(F.col("__tok")).alias("lang_pred"),
+            F.round(classifier_score(F.col("text")), 6).alias("q_score"),
+        )
+        .persist()
+    )
     try:
         totals = base.agg(
             F.count("*").alias("docs"),

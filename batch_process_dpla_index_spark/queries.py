@@ -1484,11 +1484,12 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     Corpus explode filtered through a broadcast term join (only docs
     matching a query term survive), broadcast df/avgdl stats,
     TakeOrdered top-k."""
+    from batch_process_dpla_index_spark.operators.dedup import carry_deps
     from batch_process_dpla_index_spark.operators.ranking import bm25_topk
 
     docs = load_table(spark, sf_dir, "documents")
     out = bm25_topk(docs, BM25_QUERY, k=20)
-    return out.select(F.col("id").alias("doc_id"), "score")
+    return carry_deps(out.select(F.col("id").alias("doc_id"), "score"), out)
 
 
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

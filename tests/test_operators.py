@@ -550,3 +550,53 @@ def test_quality_gate_rejects_unknown_stopword_lang(spark):
     # a supported non-English lang scores by ITS stopwords
     out = quality_gate(docs, lang="fr", gates={"min_stopword_ratio": 0.3}).collect()
     assert len(out) == 1  # French text passes a French stopword gate
+
+
+def test_tokens_no_empty_strings_on_boundary_whitespace(spark):
+    """Spark trim strips only 0x20: 'hello world\\n' used to tokenize
+    to ['hello','world',''] and a newline-only doc to ['',''] — empty
+    tokens inflated counts and made all whitespace-only docs
+    Jaccard-match each other (the round-1 blank-doc defect, reopened).
+    Both engines now agree on the no-empties contract."""
+    from batch_process_dpla_index_spark.functions.text import normalize, tokens
+
+    df = spark.createDataFrame(
+        [(1, "hello world\n"), (2, "\n"), (3, "\tabc"), (4, "a\n\nb"), (5, "")],
+        ["id", "text"],
+    )
+    got = {
+        r.id: (r.tok, r.nrm)
+        for r in df.select(
+            "id", tokens("text").alias("tok"), normalize("text").alias("nrm")
+        ).collect()
+    }
+    assert got[1] == (["hello", "world"], "hello world")
+    assert got[2] == ([], "")  # whitespace-only: empty, not ['','']
+    assert got[3] == (["abc"], "abc")
+    assert got[4] == (["a", "b"], "a b")
+    assert got[5] == ([], "")
+
+
+def test_funnel_null_ts_events_are_excluded(spark):
+    """A NULL-ts step-1 event used to poison the fold (acc.t IS NULL
+    doubled as the initial-state test, disabling strict ordering for
+    the rest of the chain). NULL-ts events now never enter the funnel,
+    matching the oracle's min/strict-join semantics."""
+    import datetime as dt
+
+    from batch_process_dpla_index_spark.operators.analytics import funnel_stages
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        # user 1: NULL-ts signup, then out-of-order events — must NOT
+        # sail through all stages on the poisoned state
+        (1, None, "signup"), (1, t(10), "click"), (1, t(11), "view"),
+        (1, t(10), "purchase"),
+        # user 2: clean strictly-increasing full funnel
+        (2, t(1), "signup"), (2, t(2), "view"), (2, t(3), "click"),
+        (2, t(4), "purchase"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id BIGINT, ts TIMESTAMP, event_type STRING")
+    got = {r.stage: r.n_users for r in funnel_stages(ev).collect()}
+    # user 1 has no non-NULL signup → reaches nothing; user 2 reaches 4
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1}
