@@ -288,3 +288,53 @@ def running_anomaly(
         F.round(gated, 6).alias("zscore"),
         F.coalesce(F.abs(gated) > threshold, F.lit(False)).alias("is_anomaly"),
     )
+
+
+def decayed_counts(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    half_life_days: float = 7.0,
+) -> DataFrame:
+    """Per-key exponentially time-decayed activity: each event
+    contributes ``2^(-age_days / half_life)`` weight, aged against the
+    corpus max timestamp — the standard feature-store recency feature
+    (a count where yesterday's event is worth more than last month's).
+
+    Plan: the reference timestamp is a 1-row aggregate broadcast onto
+    the events via a broadcast nested-loop cross join (the same
+    1-row-stats pattern as lm_scores / corpus_report — NOT a shuffle),
+    then ONE groupBy(key) with map-side partial aggregation. The decay
+    weight is a pure JVM expression (`exp`), so the whole plan is a
+    scan + broadcast + single exchange, independent of half_life.
+
+    NULL timestamps are excluded (an undatable event has no age);
+    NULL values contribute 0 to decayed_value but full weight to
+    decayed_n. Returns (key, n_events, decayed_n, decayed_value)
+    rounded 6.
+    """
+    import math
+
+    lam = math.log(2.0) / half_life_days
+    dated = events.where(F.col(ts_col).isNotNull())
+    t_ref = dated.agg(F.max(ts_col).alias("__t_ref"))
+    # exact integer microsecond epochs (unix_micros / DuckDB epoch_us):
+    # the seconds-truncating unix_timestamp would round ages engine-
+    # dependently; integer micros make the age double bit-identical
+    age_days = (
+        F.unix_micros(F.col("__t_ref")) - F.unix_micros(F.col(ts_col))
+    ) / F.lit(86400.0e6)
+    w = F.exp(-F.lit(lam) * age_days)
+    return (
+        dated.crossJoin(F.broadcast(t_ref))
+        .groupBy(key_col)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(w), 6).alias("decayed_n"),
+            F.round(
+                F.sum(w * F.coalesce(F.col(value_col), F.lit(0.0))), 6
+            ).alias("decayed_value"),
+        )
+        .orderBy(key_col)
+    )

@@ -1,0 +1,138 @@
+"""Dataset profiling: per-column statistics and numeric correlation.
+
+The reference ships a schema-introspection helper (SchemaTest,
+reference entry points traced in SURVEY.md §3) that answers "what
+columns exist"; a warehouse also needs "what is IN them". These
+operators produce the datasheet numbers — null rates, cardinalities,
+bounds, pairwise correlations — that gate ingest and feed the dataset
+card (`products/dataset_card.py`).
+
+Scale design (100 TB):
+
+- ``column_profile`` canonicalizes every profiled column into ONE long
+  (col_name, value_num, value_str, is_null) frame via an inline
+  array-of-structs explode — no per-column scan, no driver loop over
+  ``.collect()``; the table is read once, the explode is a
+  partition-local map, and the single shuffle is the (col_name) agg.
+  Exact ``count(DISTINCT …)`` is the verifiable default; the 100 TB
+  escape hatch is ``exact_distinct=False``, which swaps in
+  ``approx_count_distinct`` (HLL, one pass, no distinct expand) —
+  the same sketch-vs-exact trade documented for approx_distinct_users.
+- ``corr_matrix`` computes all pairwise Pearson correlations in ONE
+  aggregate pass over the table (k·(k-1)/2 corr expressions share a
+  single scan; Catalyst evaluates them in the same partial-aggregate),
+  then unpivots the 1-row result driver-side — the matrix is k², a
+  constant, so the reshape never touches executors.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_NUMERIC = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+)
+
+
+def column_profile(
+    df: DataFrame,
+    columns: Sequence[str] | None = None,
+    exact_distinct: bool = True,
+) -> DataFrame:
+    """Per-column profile: (col_name, n_rows, n_nulls, n_distinct,
+    min_num, max_num, min_str, max_str).
+
+    Every column is canonicalized to a (value_num, value_str) pair —
+    numerics keep their double value (bounds emitted rounded 6),
+    strings keep the raw value, timestamps are formatted as ISO
+    ``yyyy-MM-dd HH:mm:ss`` strings (lexicographic order == time
+    order, so min/max stay meaningful). Distinct counts are over the
+    canonical value and exclude NULLs.
+
+    One table scan; the explode is map-side; one shuffle keyed by
+    col_name. ``exact_distinct=False`` switches to
+    ``approx_count_distinct`` for the 100 TB case where the exact
+    distinct expand (2 aggregate phases per distinct column) is the
+    dominant cost.
+    """
+    cols = list(columns) if columns is not None else list(df.columns)
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    structs = []
+    for c in cols:
+        dt = fields[c]
+        if isinstance(dt, _NUMERIC):
+            num = F.col(c).cast("double")
+            s = F.lit(None).cast("string")
+        elif isinstance(dt, (T.TimestampType, T.DateType)):
+            num = F.lit(None).cast("double")
+            # ISO with full microseconds: lexicographic == chronological,
+            # and distinct-over-canonical stays exact (a seconds-level
+            # format would collapse sub-second-distinct timestamps)
+            s = F.date_format(F.col(c), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        else:
+            num = F.lit(None).cast("double")
+            s = F.col(c).cast("string")
+        structs.append(
+            F.struct(
+                F.lit(c).alias("col_name"),
+                num.alias("value_num"),
+                s.alias("value_str"),
+                F.col(c).isNull().alias("is_null"),
+            )
+        )
+    long = df.select(F.explode(F.array(*structs)).alias("v")).select("v.*")
+    canonical = F.coalesce(
+        F.col("value_str"), F.col("value_num").cast("string")
+    )
+    n_distinct = (
+        F.count_distinct(canonical)
+        if exact_distinct
+        else F.approx_count_distinct(canonical)
+    )
+    return (
+        long.groupBy("col_name")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("is_null").cast("long")).alias("n_nulls"),
+            n_distinct.alias("n_distinct"),
+            F.round(F.min("value_num"), 6).alias("min_num"),
+            F.round(F.max("value_num"), 6).alias("max_num"),
+            F.min("value_str").alias("min_str"),
+            F.max("value_str").alias("max_str"),
+        )
+        .orderBy("col_name")
+    )
+
+
+def corr_matrix(df: DataFrame, columns: Sequence[str]) -> DataFrame:
+    """All pairwise Pearson correlations of ``columns`` in one
+    aggregate pass: (col_a, col_b, corr) for a < b (column order as
+    given), corr rounded 6.
+
+    The k·(k-1)/2 ``corr`` expressions share one scan and one
+    partial-aggregate — no per-pair jobs, no VectorAssembler detour.
+    The 1×k² result is reshaped with a driver-side unpivot (stack over
+    a one-row frame), which is free.
+    """
+    cols = list(columns)
+    aggs = []
+    pairs = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            alias = f"__corr_{i}_{cols.index(b)}"
+            aggs.append(F.round(F.corr(a, b), 6).alias(alias))
+            pairs.append((a, b, alias))
+    wide = df.agg(*aggs)
+    stack_expr = ", ".join(
+        f"'{a}', '{b}', {alias}" for a, b, alias in pairs
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(pairs)}, {stack_expr}) AS (col_a, col_b, corr)"
+        )
+    ).orderBy("col_a", "col_b")

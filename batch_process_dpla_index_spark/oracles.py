@@ -2189,7 +2189,165 @@ LIMIT 15
 """
 
 
+# --- round-6 additions: profiling, linkage, graph, sketches ---------------
+
+def _profile_block(col: str, kind: str) -> str:
+    """One column's profile row (operators/profiling.py:column_profile
+    canonicalization: numerics → double bounds, strings → raw bounds,
+    timestamps → ISO-micros strings whose lexicographic order is time
+    order; distinct counts are over the canonical value)."""
+    if kind == "num":
+        sel = (
+            f"count(DISTINCT {col}) AS n_distinct, "
+            f"round(CAST(min({col}) AS DOUBLE), 6) AS min_num, "
+            f"round(CAST(max({col}) AS DOUBLE), 6) AS max_num, "
+            f"CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str"
+        )
+    elif kind == "ts":
+        fmt = f"strftime({col}, '%Y-%m-%d %H:%M:%S.%f')"
+        sel = (
+            f"count(DISTINCT {fmt}) AS n_distinct, "
+            f"CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num, "
+            f"min({fmt}) AS min_str, max({fmt}) AS max_str"
+        )
+    else:
+        sel = (
+            f"count(DISTINCT {col}) AS n_distinct, "
+            f"CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num, "
+            f"min({col}) AS min_str, max({col}) AS max_str"
+        )
+    return (
+        f"SELECT '{col}' AS col_name, count(*) AS n_rows, "
+        f"CAST(sum(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, "
+        f"{sel} FROM orders"
+    )
+
+
+ORACLE_COLUMN_PROFILE = (
+    "\nUNION ALL\n".join(
+        _profile_block(c, k)
+        for c, k in (
+            ("o_orderkey", "num"),
+            ("o_custkey", "num"),
+            ("o_orderstatus", "str"),
+            ("o_totalprice", "num"),
+            ("o_orderdate", "ts"),
+            ("o_orderpriority", "str"),
+        )
+    )
+    + "\nORDER BY col_name"
+)
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+ORACLE_CORR_MATRIX = (
+    "\nUNION ALL\n".join(
+        f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
+        f"round(corr({a}, {b}), 6) AS corr FROM lineitem"
+        for i, a in enumerate(_CORR_COLS)
+        for b in _CORR_COLS[i + 1:]
+    )
+    + "\nORDER BY col_a, col_b"
+)
+
+# lam literal repr round-trips the exact double the Spark side folds in
+_DECAY_LAM = __import__("math").log(2.0) / 7.0
+ORACLE_DECAYED_COUNTS = f"""
+WITH dated AS (SELECT * FROM events WHERE ts IS NOT NULL),
+ref AS (SELECT max(ts) AS t_ref FROM dated)
+SELECT user_id, count(*) AS n_events,
+       round(sum(exp(-{_DECAY_LAM!r} * (epoch_us(t_ref) - epoch_us(ts)) / 86400000000.0)), 6) AS decayed_n,
+       round(sum(exp(-{_DECAY_LAM!r} * (epoch_us(t_ref) - epoch_us(ts)) / 86400000000.0)
+                 * coalesce(value, 0.0)), 6) AS decayed_value
+FROM dated CROSS JOIN ref
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+_SNM_W = 3
+_SNM_LEADS = ",\n       ".join(
+    f"lead(k, {i}) OVER win AS k{i}, lead(nm, {i}) OVER win AS n{i}"
+    for i in range(1, _SNM_W + 1)
+)
+_SNM_SLOTS = "\nUNION ALL\n".join(
+    f"SELECT k AS key_a, k{i} AS key_b, levenshtein(nm, n{i}) AS distance "
+    f"FROM w WHERE n{i} IS NOT NULL"
+    for i in range(1, _SNM_W + 1)
+)
+ORACLE_FUZZY_MATCH = f"""
+WITH t AS (SELECT doc_id AS k, substring({_nrm('text')}, 1, 200) AS nm FROM documents),
+t2 AS (SELECT k, nm, substring(nm, 1, 1) AS b FROM t),
+w AS (SELECT k, nm, b,
+       {_SNM_LEADS}
+      FROM t2 WINDOW win AS (PARTITION BY b ORDER BY nm ASC, k ASC)),
+cand AS ({_SNM_SLOTS})
+SELECT key_a, key_b, distance FROM cand
+WHERE distance <= 8
+ORDER BY key_a, key_b
+"""
+
+
+def _pagerank_oracle(damping: float = 0.85, iterations: int = 8) -> str:
+    """Unrolled fixed-k power iteration mirroring operators/graph.py:
+    pagerank — same edge normalization, same dangling-mass fold, same
+    double literals (1-d and d parsed as the identical IEEE ops)."""
+    ctes = [
+        """edges AS (
+  SELECT from_type AS src, to_type AS dst, CAST(count(*) AS DOUBLE) AS w
+  FROM (SELECT event_type AS from_type,
+               lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        FROM events)
+  WHERE to_type IS NOT NULL GROUP BY 1, 2)""",
+        "nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
+        "outw AS (SELECT src, sum(w) AS wout FROM edges GROUP BY src)",
+        "en AS MATERIALIZED (SELECT e.src, e.dst, e.w / o.wout AS wn FROM edges e JOIN outw o USING (src))",
+        # MATERIALIZED: each r_i is referenced twice (contrib + dangling);
+        # inlining would blow the unrolled plan up 2^k
+        "r0 AS MATERIALIZED (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn)",
+    ]
+    for i in range(iterations):
+        ctes.append(
+            f"d{i} AS (SELECT coalesce(sum(rank), 0.0) AS dang FROM r{i} "
+            f"WHERE node NOT IN (SELECT src FROM en))"
+        )
+        ctes.append(
+            f"c{i} AS (SELECT en.dst AS node, sum(r.rank * en.wn) AS contrib "
+            f"FROM r{i} r JOIN en ON r.node = en.src GROUP BY en.dst)"
+        )
+        ctes.append(
+            f"r{i + 1} AS MATERIALIZED (SELECT nodes.node, "
+            f"(1.0 - {damping!r}) / nn.n + {damping!r} * "
+            f"(coalesce(c.contrib, 0.0) + d.dang / nn.n) AS rank "
+            f"FROM nodes CROSS JOIN nn CROSS JOIN d{i} d "
+            f"LEFT JOIN c{i} c ON nodes.node = c.node)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, round(rank, 6) AS rank FROM r{iterations} ORDER BY node"
+    )
+
+
+ORACLE_PAGERANK = _pagerank_oracle()
+
+ORACLE_HEAVY_HITTERS = f"""
+WITH {_DOC_TOK_CTE},
+items AS (SELECT unnest(tok) AS item FROM doc_tok)
+SELECT item, count(*) AS n_exact,
+       CAST(row_number() OVER (ORDER BY count(*) DESC, item ASC) AS INTEGER) AS rank,
+       TRUE AS mg_bound_ok
+FROM items GROUP BY item
+ORDER BY n_exact DESC, item ASC
+LIMIT 20
+"""
+
+
 ORACLES: dict[str, str] = {
+    "column_profile": ORACLE_COLUMN_PROFILE,
+    "corr_matrix": ORACLE_CORR_MATRIX,
+    "decayed_counts": ORACLE_DECAYED_COUNTS,
+    "fuzzy_match": ORACLE_FUZZY_MATCH,
+    "pagerank": ORACLE_PAGERANK,
+    "heavy_hitters": ORACLE_HEAVY_HITTERS,
     "weighted_sample": ORACLE_WEIGHTED_SAMPLE,
     "session_paths": ORACLE_SESSION_PATHS,
     "nearest_purchase": ORACLE_NEAREST_PURCHASE,

@@ -1985,6 +1985,101 @@ def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_k(paths, [F.col("n_sessions").desc(), F.col("path").asc()], 15)
 
 
+def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column dataset profile of `orders` — null counts, exact
+    cardinalities, numeric/string/timestamp bounds — via ONE scan +
+    one explode + one (col_name) aggregate
+    (operators/profiling.py:column_profile). The ingest-gate numbers
+    the reference's SchemaTest answers structurally, answered for the
+    DATA."""
+    from batch_process_dpla_index_spark.operators.profiling import column_profile
+
+    orders = load_table(spark, sf_dir, "orders")
+    return column_profile(orders)
+
+
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations of the lineitem numerics in one
+    aggregate pass — k·(k-1)/2 corr expressions sharing a single scan
+    (operators/profiling.py:corr_matrix)."""
+    from batch_process_dpla_index_spark.operators.profiling import corr_matrix
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return corr_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+
+def q_decayed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially time-decayed activity (7-day half-life,
+    aged against the corpus max timestamp): the feature-store recency
+    feature. Broadcast 1-row reference + ONE groupBy(user) with
+    map-side combine (operators/analytics.py:decayed_counts)."""
+    from batch_process_dpla_index_spark.operators.analytics import decayed_counts
+
+    events = load_table(spark, sf_dir, "events")
+    return decayed_counts(events)
+
+
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution over document prefixes: blocked
+    sorted-neighborhood candidates (w=3 neighbors in normalized-prefix
+    order per first-char block) + JVM Levenshtein ≤ 8 — O(n·w)
+    comparisons, one hash exchange, no O(n²) join
+    (operators/linkage.py:sorted_neighborhood_pairs)."""
+    from batch_process_dpla_index_spark.operators.linkage import (
+        sorted_neighborhood_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    recs = docs.select(
+        "doc_id",
+        F.substring(normalize(F.col("text")), 1, 200).alias("prefix"),
+    )
+    pairs = sorted_neighborhood_pairs(
+        recs, "doc_id", "prefix", window=3, max_distance=8
+    )
+    return pairs.select("key_a", "key_b", "distance")
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (d=0.85, 8 fixed power iterations) over the
+    event-type transition graph — the repo's second iterative-dataflow
+    operator after connected_components; verified value-exactly
+    against a DuckDB oracle that unrolls the same 8 iterations as
+    chained CTEs (operators/graph.py:pagerank)."""
+    from batch_process_dpla_index_spark.operators.analytics import event_transitions
+    from batch_process_dpla_index_spark.operators.dedup import carry_deps
+    from batch_process_dpla_index_spark.operators.graph import pagerank
+
+    events = load_table(spark, sf_dir, "events")
+    edges = event_transitions(events).select(
+        "from_type", "to_type", "n_transitions"
+    )
+    ranks = pagerank(
+        edges, "from_type", "to_type", "n_transitions",
+        damping=0.85, iterations=8,
+    )
+    out = ranks.select(
+        "node", F.round("rank", 6).alias("rank")
+    ).orderBy("node")
+    return carry_deps(out, ranks)
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-20 corpus tokens via a Misra–Gries candidate sweep
+    (capacity 400/partition): sketch pass enumerates a provable
+    candidate superset without shuffling the token domain, exact pass
+    counts only candidates; mg_bound_ok asserts the sketch's coverage
+    proof held (operators/sketches.py:heavy_hitters)."""
+    from batch_process_dpla_index_spark.functions.text import tokens
+    from batch_process_dpla_index_spark.operators.sketches import heavy_hitters
+
+    docs = load_table(spark, sf_dir, "documents")
+    items = docs.select(F.explode(tokens(F.col("text"))).alias("item"))
+    return heavy_hitters(items, "item", k=20, capacity=400)
+
+
 # Registry order is part of the driver contract: the correctness gate
 # records exactly the FIRST 50 entries. Round-5 rotation: the 41
 # queries last driver-verified in round 2 (the code under them churned
@@ -2022,6 +2117,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "approx_distinct_users": q_approx_distinct_users,
     "price_tiers": q_price_tiers,
     "training_prep": q_training_prep,
+    # -- new this round (must be driver-proven in their debut round;
+    #    they displace six r4-green re-verification entries, which
+    #    rotate back in next round) --
+    "column_profile": q_column_profile,
+    "corr_matrix": q_corr_matrix,
+    "decayed_counts": q_decayed_counts,
+    "fuzzy_match": q_fuzzy_match,
+    "pagerank": q_pagerank,
+    "heavy_hitters": q_heavy_hitters,
     # -- stalest re-verification set: last driver-green in round 4 --
     "exact_dedup": q_exact_dedup,
     "jaccard_pairs": q_jaccard_pairs,
@@ -2053,15 +2157,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_gate": q_quality_gate,
     "global_shuffle": q_global_shuffle,
     "doc_chunks": q_doc_chunks,
+    # ---- driver-window boundary (entry 50 above this line) ----
+    # -- tail: hash-green in r4/r5, still oracle-verified every round
+    #    via tools/verify_local.py; the six entries displaced by this
+    #    round's new queries lead the r7 rotation --
     "packed_bins": q_packed_bins,
     "stratified_sample": q_stratified_sample,
     "apply_changeset": q_apply_changeset,
     "skew_report": q_skew_report,
     "corpus_report": q_corpus_report,
     "event_rank_suite": q_event_rank_suite,
-    # ---- driver-window boundary (entry 50 above this line) ----
-    # -- tail: hash-green in r5 (or r4 for the last 13), still
-    #    oracle-verified every round via tools/verify_local.py --
     "avro_flatten_items": q_avro_flatten_items,
     "repair_flatten": q_repair_flatten,
     "schema_align": q_schema_align,

@@ -1,0 +1,250 @@
+"""Unit coverage for the round-6 profiling / linkage / graph / sketch
+operators (`operators/profiling.py`, `operators/linkage.py`,
+`operators/graph.py`, `operators/sketches.py`) — invariants and edge
+cases the sf-fixture oracles don't isolate: null accounting, the
+approx-distinct escape hatch, perfect correlations, SNM window and
+block semantics, rank-mass conservation with and without dangling
+nodes, the Misra–Gries lower-bound/merge guarantees."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from batch_process_dpla_index_spark.operators.analytics import decayed_counts
+from batch_process_dpla_index_spark.operators.graph import pagerank
+from batch_process_dpla_index_spark.operators.linkage import (
+    sorted_neighborhood_pairs,
+)
+from batch_process_dpla_index_spark.operators.profiling import (
+    column_profile,
+    corr_matrix,
+)
+from batch_process_dpla_index_spark.operators.sketches import (
+    heavy_hitters,
+    mg_summaries,
+)
+
+
+# --- column_profile --------------------------------------------------------
+
+
+def test_column_profile_null_and_distinct_accounting(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "a", None), (3, None, 2.5), (3, "b", 2.5)],
+        ["k", "s", "v"],
+    )
+    prof = {r["col_name"]: r for r in column_profile(df).collect()}
+    assert prof["k"]["n_rows"] == 4
+    assert prof["k"]["n_nulls"] == 0
+    assert prof["k"]["n_distinct"] == 3
+    assert (prof["k"]["min_num"], prof["k"]["max_num"]) == (1.0, 3.0)
+    assert prof["k"]["min_str"] is None  # numeric column: no string bounds
+    assert prof["s"]["n_nulls"] == 1
+    assert prof["s"]["n_distinct"] == 2  # NULL excluded
+    assert (prof["s"]["min_str"], prof["s"]["max_str"]) == ("a", "b")
+    assert prof["s"]["min_num"] is None
+    assert prof["v"]["n_nulls"] == 1
+    assert prof["v"]["n_distinct"] == 2
+
+
+def test_column_profile_timestamp_bounds_are_chronological(spark):
+    df = spark.createDataFrame(
+        [
+            (dt.datetime(2024, 1, 2, 0, 0, 0, 999999),),
+            (dt.datetime(2024, 1, 10, 5, 0, 0, 1),),
+            (dt.datetime(2024, 1, 2, 0, 0, 0, 999998),),
+        ],
+        ["ts"],
+    )
+    row = column_profile(df).collect()[0]
+    # microsecond-resolution canonicalization: sub-second-distinct
+    # timestamps stay distinct, bounds are the true min/max
+    assert row["n_distinct"] == 3
+    assert row["min_str"] == "2024-01-02 00:00:00.999998"
+    assert row["max_str"] == "2024-01-10 05:00:00.000001"
+
+
+def test_column_profile_approx_escape_hatch(spark):
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 10).alias("m")
+    )
+    prof = {
+        r["col_name"]: r
+        for r in column_profile(df, exact_distinct=False).collect()
+    }
+    # HLL at default rsd: within 5% of truth for these cardinalities
+    assert abs(prof["m"]["n_distinct"] - 10) <= 1
+    assert abs(prof["id"]["n_distinct"] - 1000) <= 50
+
+
+# --- corr_matrix -----------------------------------------------------------
+
+
+def test_corr_matrix_perfect_and_inverse(spark):
+    df = spark.range(50).select(
+        F.col("id").cast("double").alias("x"),
+        (F.col("id") * 2 + 1).cast("double").alias("y"),
+        (-F.col("id")).cast("double").alias("z"),
+    )
+    got = {(r["col_a"], r["col_b"]): r["corr"] for r in corr_matrix(df, ["x", "y", "z"]).collect()}
+    assert len(got) == 3  # k(k-1)/2
+    assert got[("x", "y")] == pytest.approx(1.0)
+    assert got[("x", "z")] == pytest.approx(-1.0)
+    assert got[("y", "z")] == pytest.approx(-1.0)
+
+
+# --- decayed_counts --------------------------------------------------------
+
+
+def test_decayed_counts_half_life_semantics(spark):
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (1, t0, 10.0),
+            (1, t0 + dt.timedelta(days=7), 4.0),  # ref event: weight 1
+            (2, None, 99.0),  # undatable: excluded entirely
+        ],
+        ["user_id", "ts", "value"],
+    )
+    rows = {r["user_id"]: r for r in decayed_counts(df).collect()}
+    assert set(rows) == {1}
+    # newest event weighs 1.0, the 7-day-old one exactly one half-life
+    assert rows[1]["decayed_n"] == pytest.approx(1.5, abs=1e-6)
+    assert rows[1]["decayed_value"] == pytest.approx(4.0 + 0.5 * 10.0, abs=1e-6)
+    assert rows[1]["n_events"] == 2
+
+
+def test_decayed_counts_null_value_counts_but_adds_zero(spark):
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(1, t0, None)], schema="user_id long, ts timestamp, value double"
+    )
+    row = decayed_counts(df).collect()[0]
+    assert row["decayed_n"] == pytest.approx(1.0, abs=1e-6)
+    assert row["decayed_value"] == pytest.approx(0.0, abs=1e-6)
+
+
+# --- sorted_neighborhood_pairs ---------------------------------------------
+
+
+def test_snm_finds_window_local_matches_only(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha"),
+            (2, "alphb"),  # distance 1 from alpha, adjacent in sort
+            (3, "alzzz"),  # same block 'a', far in edit distance
+            (4, "beta"),  # different block: never compared to 'a*'
+            (5, "betz"),  # distance 1 from beta
+        ],
+        ["k", "nm"],
+    )
+    pairs = {
+        (r["key_a"], r["key_b"], r["distance"])
+        for r in sorted_neighborhood_pairs(
+            df, "k", "nm", window=2, max_distance=2
+        ).collect()
+    }
+    assert (1, 2, 1) in pairs
+    assert (4, 5, 1) in pairs
+    # cross-block pair (a* vs b*) must not appear even when close
+    assert all(not (a in (1, 2, 3) and b in (4, 5)) for a, b, _ in pairs)
+
+
+def test_snm_window_bound_caps_comparisons(spark):
+    # 5 identical strings, window=1: only the 4 adjacent pairs emit,
+    # never the transitive ones — the O(n·w) contract
+    df = spark.createDataFrame([(i, "same") for i in range(5)], ["k", "nm"])
+    pairs = sorted_neighborhood_pairs(df, "k", "nm", window=1, max_distance=0)
+    got = {(r["key_a"], r["key_b"]) for r in pairs.collect()}
+    assert got == {(0, 1), (1, 2), (2, 3), (3, 4)}
+
+
+# --- pagerank --------------------------------------------------------------
+
+
+def _rank_sum(rows):
+    return sum(r["rank"] for r in rows)
+
+
+def test_pagerank_uniform_on_symmetric_cycle(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], ["src", "dst"]
+    )
+    rows = pagerank(edges, iterations=5).collect()
+    assert _rank_sum(rows) == pytest.approx(1.0, abs=1e-9)
+    for r in rows:
+        assert r["rank"] == pytest.approx(1.0 / 3.0, abs=1e-9)
+
+
+def test_pagerank_dangling_mass_conserved(spark):
+    # 'c' has no out-edges: without the dangling fold, total mass
+    # leaks each iteration and the ranks stop summing to 1
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c")], ["src", "dst"]
+    )
+    rows = pagerank(edges, iterations=6).collect()
+    assert _rank_sum(rows) == pytest.approx(1.0, abs=1e-9)
+    ranks = {r["node"]: r["rank"] for r in rows}
+    assert ranks["c"] > ranks["b"] > 0  # sink accumulates most mass
+
+
+def test_pagerank_weighted_edges_shift_mass(spark):
+    edges = spark.createDataFrame(
+        [("a", "b", 9.0), ("a", "c", 1.0), ("b", "a", 1.0), ("c", "a", 1.0)],
+        ["src", "dst", "w"],
+    )
+    ranks = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges, weight_col="w", iterations=10).collect()
+    }
+    assert ranks["b"] > ranks["c"]  # 90% of a's vote flows to b
+
+
+# --- Misra–Gries heavy hitters ---------------------------------------------
+
+
+def test_mg_summaries_are_lower_bounds_with_exact_totals(spark):
+    items = spark.createDataFrame(
+        [("x",)] * 50 + [("y",)] * 30 + [(f"z{i}",) for i in range(40)],
+        ["item"],
+    ).repartition(4)
+    rows = mg_summaries(items, "item", capacity=8).collect()
+    sentinel_total = sum(r["lb"] for r in rows if r["item"] is None)
+    assert sentinel_total == 120
+    merged: dict[str, int] = {}
+    for r in rows:
+        if r["item"] is not None:
+            merged[r["item"]] = merged.get(r["item"], 0) + r["lb"]
+    # lower-bound property, and the undercount is within N/(cap+1)
+    assert merged.get("x", 0) <= 50
+    assert merged.get("y", 0) <= 30
+    assert merged.get("x", 0) >= 50 - math.ceil(120 / 9)
+    assert merged.get("y", 0) >= 30 - math.ceil(120 / 9)
+
+
+def test_heavy_hitters_exact_topk_with_proof(spark):
+    rows = []
+    for i in range(20):
+        rows += [(f"hot{i:02d}",)] * (200 - 5 * i)
+    rows += [(f"cold{i}",) for i in range(500)]
+    items = spark.createDataFrame(rows, ["item"]).repartition(8)
+    got = heavy_hitters(items, "item", k=10, capacity=100).collect()
+    assert [r["item"] for r in got] == [f"hot{i:02d}" for i in range(10)]
+    assert [r["n_exact"] for r in got] == [200 - 5 * i for i in range(10)]
+    assert [r["rank"] for r in got] == list(range(1, 11))
+    assert all(r["mg_bound_ok"] for r in got)
+
+
+def test_heavy_hitters_flags_insufficient_capacity(spark):
+    # near-uniform domain with capacity far below the distinct count:
+    # the k-th exact count can't dominate the MG error bound, so the
+    # proof flag must come back False rather than silently lying
+    items = spark.createDataFrame(
+        [(f"u{i % 400}",) for i in range(1200)], ["item"]
+    ).repartition(4)
+    got = heavy_hitters(items, "item", k=10, capacity=20).collect()
+    assert got and not any(r["mg_bound_ok"] for r in got)
