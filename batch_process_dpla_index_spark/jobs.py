@@ -94,7 +94,7 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument(
         "action",
         choices=["append", "overwrite", "read", "history", "rollback",
-                 "vacuum", "compact", "merge"],
+                 "vacuum", "compact", "merge", "schema"],
     )
     s.add_argument("root")
     s.add_argument("--input", help="parquet path for append/overwrite/merge")
@@ -331,6 +331,13 @@ def main(argv: list[str] | None = None) -> int:
             elif args.action == "vacuum":
                 deleted = snapshots.vacuum(args.root, args.keep_versions)
                 print(f"Vacuumed {len(deleted)} files")
+            elif args.action == "schema":
+                merged = snapshots.table_schema(args.root, args.version)
+                if merged is None:
+                    print("(no recorded schemas; reads use file inference)")
+                else:
+                    for f in merged.fields:
+                        print(f"{f.name} {f.dataType.simpleString()}")
             else:
                 v = snapshots.compact_snapshot(
                     spark, args.root,

@@ -75,6 +75,13 @@ def _fsync_dir(path: str) -> None:
         os.close(fd)
 
 
+class SchemaEvolutionError(RuntimeError):
+    """A write or read would silently change a column's TYPE (or
+    compaction would collapse heterogeneous schemas). Adding columns
+    is legal evolution; changing a column's type never is — it would
+    corrupt merged reads quietly, so it fails loudly here."""
+
+
 class CommitConflict(RuntimeError):
     """Another writer committed this version first; retry on fresh state."""
 
@@ -176,6 +183,7 @@ def write_checkpoint(root: str) -> int:
     prev = _latest_checkpoint(root, cur)
     live: list[str] = list(prev["files"]) if prev else []
     stats: dict = dict(prev["stats"]) if prev else {}
+    schemas: dict = dict(prev.get("schemas", {})) if prev else {}
     if prev is not None and "stream_batch_ids" in prev:
         ids = set(prev["stream_batch_ids"])
     elif prev is not None:
@@ -196,6 +204,10 @@ def write_checkpoint(root: str) -> int:
         live = [f for f in live if f not in removed]
         live.extend(e["add"])
         stats.update(e.get("params", {}).get("__stats", {}))
+        sj = e.get("params", {}).get("__schema")
+        if sj is not None:
+            for f in e["add"]:
+                schemas[f] = sj
         b = e.get("params", {}).get("stream_batch_id")
         if b is not None:
             ids.add(b)
@@ -208,10 +220,16 @@ def write_checkpoint(root: str) -> int:
     # post-checkpoint entries.
     live_set = set(live)
     stats = {f: s for f, s in stats.items() if f in live_set}
+    schemas = {f: s for f, s in schemas.items() if f in live_set}
     cp = {
         "version": cur,
         "files": live,
         "stats": stats,
+        # ordered PAIR LIST, not an object: the sidecar is dumped with
+        # sort_keys=True, which would scramble commit order inside an
+        # object — and merged-schema column order is first-appearance
+        # order, which must survive the checkpoint boundary
+        "schemas": [[f, s] for f, s in schemas.items()],
         "stream_batch_ids": sorted(ids),
     }
     path = _checkpoint_path(root, cur)
@@ -469,6 +487,7 @@ def commit_append(
         expected = -1 if cur is None else cur
         if idempotency_key in committed_stream_batch_ids(root):
             return None
+    _check_append_schema(df, root)
     if cluster_by:
         df = _clustered(df, cluster_by, cluster_partitions)
         if stats_cols is None:
@@ -476,6 +495,7 @@ def commit_append(
     tag = f"b{uuid.uuid4().hex[:12]}"
     add = _write_batch(df, root, tag)
     extra = dict(params or {})
+    extra["__schema"] = _schema_json(df)
     if idempotency_key is not None:
         extra.setdefault("stream_batch_id", idempotency_key)
     if stats_cols and add:  # an empty batch has no files to map
@@ -512,6 +532,7 @@ def commit_overwrite(df: DataFrame, root: str, params: dict | None = None) -> in
     set on fresh state and retry once."""
     tag = f"b{uuid.uuid4().hex[:12]}"
     add = _write_batch(df, root, tag)
+    params = {**(params or {}), "__schema": _schema_json(df)}
     for attempt in range(2):
         cur = latest_version(root)
         remove = (
@@ -656,16 +677,23 @@ def merge_into(
             rewrite, touched = _apply(empty, changes, key, op_col), []
         else:
             touched, _untouched = _touched_files(spark, root, cur, changes, key)
+            # evolved tables: touched files may carry different column
+            # sets; the merged log schema makes the rewrite read them
+            # uniformly (missing columns as NULL) instead of taking
+            # whichever file's footer Spark samples first
+            evolved = table_schema(root, cur)
+            reader = spark.read.schema(evolved) if evolved else spark.read
             if touched:
-                current = spark.read.parquet(
+                current = reader.parquet(
                     *[os.path.join(root, r) for r in touched]
                 )
             else:
                 # pure-insert delta: nothing overlaps, rewrite nothing.
-                # Schema comes from ONE live file — listing/inferring
-                # over the whole table would cost O(files) driver work
-                # in exactly the branch whose point is to touch none
-                current = spark.read.parquet(live[0]).where(F.lit(False))
+                # Schema comes from the log (or ONE live file) —
+                # listing/inferring over the whole table would cost
+                # O(files) driver work in exactly the branch whose
+                # point is to touch none
+                current = reader.parquet(live[0]).where(F.lit(False))
             rewrite = _apply(current, changes, key, op_col)
         if cluster_by:
             rewrite = _clustered(rewrite, cluster_by, cluster_partitions)
@@ -674,6 +702,7 @@ def merge_into(
         tag = f"b{uuid.uuid4().hex[:12]}"
         add = _write_batch(rewrite, root, tag)
         extra = dict(params or {})
+        extra["__schema"] = _schema_json(rewrite)
         if stats_cols and add:  # an all-delete rewrite can be empty
             extra["__stats"] = _zone_stats(spark, root, add, stats_cols)
         try:
@@ -694,6 +723,93 @@ def _apply(snapshot: DataFrame, changes: DataFrame, key: str, op_col: str):
     )
 
     return apply_changeset(snapshot, changes, key, op_col)
+
+
+def _schema_json(df: DataFrame) -> str:
+    """Canonical JSON of a batch's schema, recorded into its commit's
+    params (``__schema``) so readers can resolve every live file's
+    schema from LOG METADATA — never by opening 100 TB of parquet
+    footers the way ``mergeSchema`` would."""
+    return json.dumps(df.schema.jsonValue(), sort_keys=True)
+
+
+def _file_schemas_at(root: str, version: int | None) -> dict[str, str]:
+    """rel-file → schema JSON, resolved over the log up to ``version``
+    (checkpoint-accelerated like :func:`_file_stats_at`). The map only
+    ACCUMULATES: files are immutable, so a rollback that re-adds a
+    file without re-recording ``__schema`` still resolves through the
+    file's original commit."""
+    bound = version if version is not None else latest_version(root)
+    cp = _latest_checkpoint(root, bound)
+    out: dict[str, str] = dict(cp.get("schemas", {})) if cp else {}
+    for entry in history(root, since_version=cp["version"] if cp else None):
+        if version is not None and entry["version"] > version:
+            break
+        sj = entry.get("params", {}).get("__schema")
+        if sj is not None:
+            for f in entry["add"]:
+                out[f] = sj
+    return out
+
+
+def table_schema(root: str, version: int | None = None):
+    """Merged (evolved) schema of a snapshot version: the union of its
+    live files' recorded schemas in commit order — new columns append,
+    all fields nullable (older files read them as NULL), and a column
+    recorded under two different TYPES raises
+    :class:`SchemaEvolutionError`.
+
+    Returns ``None`` when any live file predates schema recording
+    (legacy table): callers fall back to plain schema inference.
+    Pure log-metadata work, O(|commits| + |columns|) on the driver.
+    """
+    from pyspark.sql import types as T
+
+    live = [os.path.relpath(f, root) for f in snapshot_files(root, version)]
+    if not live:
+        return None
+    schemas = _file_schemas_at(root, version)
+    if any(rel not in schemas for rel in live):
+        return None
+    live_set = set(live)
+    fields: dict[str, T.StructField] = {}
+    seen: set[str] = set()
+    for rel, sj in schemas.items():  # insertion order == commit order
+        if rel not in live_set or sj in seen:
+            continue
+        seen.add(sj)
+        for f in T.StructType.fromJson(json.loads(sj)).fields:
+            prev = fields.get(f.name)
+            if prev is None:
+                fields[f.name] = T.StructField(f.name, f.dataType, True)
+            elif prev.dataType != f.dataType:
+                raise SchemaEvolutionError(
+                    f"column {f.name!r} recorded as {prev.dataType.simpleString()} "
+                    f"and {f.dataType.simpleString()} across live files of "
+                    f"{root} (version={version})"
+                )
+    return T.StructType(list(fields.values()))
+
+
+def _check_append_schema(df: DataFrame, root: str) -> None:
+    """Commit-time evolution gate: new columns are fine, but a column
+    whose type differs from the table's recorded type fails BEFORE any
+    batch file is written (no orphans, no corrupt merged reads)."""
+    try:
+        existing = table_schema(root)
+    except FileNotFoundError:
+        return
+    if existing is None:
+        return
+    by_name = {f.name: f.dataType for f in existing.fields}
+    for f in df.schema.fields:
+        prev = by_name.get(f.name)
+        if prev is not None and prev != f.dataType:
+            raise SchemaEvolutionError(
+                f"append changes column {f.name!r} from "
+                f"{prev.simpleString()} to {f.dataType.simpleString()}; "
+                "write it under a new column name instead"
+            )
 
 
 def _file_stats_at(root: str, version: int | None) -> dict[str, dict[str, list]]:
@@ -770,7 +886,14 @@ def read_snapshot(
     skipping on log metadata — at 100 TB a selective predicate reads a
     handful of files instead of the table), and the predicate is ALSO
     applied as a row filter, so results are exact regardless of how
-    conservative the pruning was."""
+    conservative the pruning was.
+
+    Schema-evolved tables read under the version's MERGED log schema
+    (:func:`table_schema`): files written before a column existed
+    return NULL for it, no parquet footer is ever opened for schema
+    discovery, and a column recorded under conflicting types raises
+    instead of returning whichever file Spark sampled first. Legacy
+    tables (no recorded schemas) keep the inferred-schema read."""
     from pyspark.sql import functions as F
 
     all_files = snapshot_files(root, version)
@@ -784,7 +907,9 @@ def read_snapshot(
         files = files or all_files[:1]
     else:
         files = all_files
-    df = spark.read.parquet(*files)
+    merged = table_schema(root, version)
+    reader = spark.read.schema(merged) if merged is not None else spark.read
+    df = reader.parquet(*files)
     for c, op, v in predicates or []:
         expr = {
             "=": F.col(c) == v, "<": F.col(c) < v, "<=": F.col(c) <= v,
@@ -885,6 +1010,23 @@ def compact_snapshot(
     if cur is None:
         raise FileNotFoundError(f"no snapshot at {root}")
     files = snapshot_files(root, cur)
+    # compaction's bin rewriter reads each bin's files as-is; on a
+    # schema-evolved table a bin mixing old and new files would
+    # silently drop the columns its first-sampled file lacks. Refuse
+    # loudly instead — rewrite to a uniform schema first (overwrite /
+    # merge), then compact.
+    schemas = _file_schemas_at(root, cur)
+    live_schemas = {
+        schemas[os.path.relpath(f, root)]
+        for f in files
+        if os.path.relpath(f, root) in schemas
+    }
+    if len(live_schemas) > 1:
+        raise SchemaEvolutionError(
+            f"{root} has {len(live_schemas)} distinct live file schemas; "
+            "compaction would collapse them lossily — rewrite to a uniform "
+            "schema before compacting"
+        )
     tag = f"c{uuid.uuid4().hex[:12]}"
     out_dir = os.path.join(root, _DATA, tag)
     compact(spark, files, out_dir, target_bytes=target_bytes)
@@ -894,8 +1036,10 @@ def compact_snapshot(
         if f.endswith(".parquet")
     )
     remove = [os.path.relpath(f, root) for f in files]
+    extra = {**(params or {}), "target_bytes": str(target_bytes)}
+    if len(live_schemas) == 1:
+        extra["__schema"] = next(iter(live_schemas))
     return _commit(
-        root, "compact", add, remove,
-        {**(params or {}), "target_bytes": str(target_bytes)},
+        root, "compact", add, remove, extra,
         expected_version=cur,
     )

@@ -657,3 +657,125 @@ def test_merge_randomized_against_model(spark, tmp_path):
                 spark, root, target_bytes=64 * 1024 * 1024
             )
         check()
+
+
+# --- schema evolution ------------------------------------------------------
+
+
+def _ev_frames(spark):
+    from pyspark.sql import functions as F
+
+    old = spark.range(0, 3).select(F.col("id").alias("k"))
+    new = spark.range(10, 13).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("extra")
+    )
+    return old, new
+
+
+def test_append_new_column_reads_merged_with_nulls(spark, tmp_path):
+    from batch_process_dpla_index_spark.products.snapshots import table_schema
+
+    root = str(tmp_path / "tbl")
+    old, new = _ev_frames(spark)
+    commit_append(old, root)
+    commit_append(new, root)
+    df = read_snapshot(spark, root)
+    assert df.columns == ["k", "extra"]  # first-appearance column order
+    got = {r.k: r.extra for r in df.collect()}
+    assert got == {0: None, 1: None, 2: None, 10: 20, 11: 22, 12: 24}
+    # time travel shows the PRE-evolution schema
+    assert read_snapshot(spark, root, version=0).columns == ["k"]
+    assert [f.name for f in table_schema(root).fields] == ["k", "extra"]
+
+
+def test_append_type_change_rejected_before_write(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from batch_process_dpla_index_spark.products.snapshots import (
+        SchemaEvolutionError,
+    )
+
+    root = str(tmp_path / "tbl")
+    commit_append(_frame(spark, 0, 3), root)
+    bad = spark.range(3).select(F.col("id").cast("string").alias("k"))
+    files_before = snapshot_files(root)
+    with pytest.raises(SchemaEvolutionError, match="column 'k'"):
+        commit_append(bad, root)
+    # the gate fires BEFORE the batch write: no orphan files, no commit
+    assert snapshot_files(root) == files_before
+    assert latest_version(root) == 0
+
+
+def test_overwrite_resets_schema_and_time_travel_keeps_both(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    old, new = _ev_frames(spark)
+    commit_append(old, root)
+    commit_append(new, root)
+    commit_overwrite(old, root)  # drops 'extra' going forward
+    assert read_snapshot(spark, root).columns == ["k"]
+    assert read_snapshot(spark, root, version=1).columns == ["k", "extra"]
+
+
+def test_evolved_schema_survives_checkpoint(spark, tmp_path):
+    from batch_process_dpla_index_spark.products.snapshots import (
+        write_checkpoint,
+    )
+
+    root = str(tmp_path / "tbl")
+    old, new = _ev_frames(spark)
+    commit_append(old, root)
+    commit_append(new, root)
+    write_checkpoint(root)
+    commit_append(old, root)  # post-checkpoint entry, pre-evolution shape
+    df = read_snapshot(spark, root)
+    assert df.columns == ["k", "extra"]  # order preserved across the sidecar
+    assert df.count() == 9
+
+
+def test_rollback_restores_pre_evolution_schema(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    old, new = _ev_frames(spark)
+    commit_append(old, root)
+    commit_append(new, root)
+    rollback(root, 0)
+    assert read_snapshot(spark, root).columns == ["k"]
+
+
+def test_compaction_refuses_heterogeneous_schemas(spark, tmp_path):
+    from batch_process_dpla_index_spark.products.snapshots import (
+        SchemaEvolutionError,
+    )
+
+    root = str(tmp_path / "tbl")
+    old, new = _ev_frames(spark)
+    commit_append(old, root)
+    commit_append(new, root)
+    with pytest.raises(SchemaEvolutionError, match="distinct live file schemas"):
+        compact_snapshot(spark, root, target_bytes=1 << 20)
+    # uniform table still compacts, carrying its schema forward
+    commit_overwrite(new, root)
+    v = compact_snapshot(spark, root, target_bytes=1 << 20)
+    assert read_snapshot(spark, root, version=v).columns == ["k", "extra"]
+
+
+def test_merge_into_reads_evolved_table_uniformly(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from batch_process_dpla_index_spark.products.snapshots import merge_into
+
+    root = str(tmp_path / "tbl")
+    old, new = _ev_frames(spark)
+    commit_append(old, root)
+    commit_append(new, root)
+    changes = spark.createDataFrame(
+        [(1, 99, "U"), (10, None, "D")], ["k", "extra", "op"]
+    ).select(
+        F.col("k").cast("bigint"),
+        F.col("extra").cast("bigint"),
+        F.col("op"),
+    )
+    merge_into(spark, changes, root, key="k")
+    got = {r.k: r.extra for r in read_snapshot(spark, root).collect()}
+    # old-file row 1 updated WITH the evolved column; 10 deleted;
+    # untouched rows keep NULL extra
+    assert got == {0: None, 1: 99, 2: None, 11: 22, 12: 24}
