@@ -272,3 +272,73 @@ def test_funnel_is_one_fold_pass(spark):
     assert "SortMergeJoin" not in plan, plan
     for marker in ("MapInPandas", "FlatMapGroupsInPandas", "BatchEvalPython"):
         assert marker not in plan, plan
+
+
+def test_column_profile_one_scan_no_joins(spark):
+    """The profiler reads the table ONCE and unpivots via explode —
+    a per-column scan loop or a join would multiply 100 TB reads."""
+    plan = _plan(spark, "column_profile")
+    assert len(re.findall(r"FileScan|Scan parquet", plan)) == 1, plan
+    assert "Generate" in plan and "Join" not in plan, plan
+
+
+def test_corr_matrix_single_pass_no_hash_shuffle(spark):
+    """All k·(k-1)/2 correlations share one scan + one global
+    aggregate; a hash exchange would mean a per-pair job snuck in."""
+    plan = _plan(spark, "corr_matrix")
+    assert len(re.findall(r"FileScan|Scan parquet", plan)) == 1, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_decayed_counts_broadcast_ref_single_agg(spark):
+    """The corpus-max timestamp rides a 1-row broadcast nested-loop
+    cross join (never a shuffle), leaving ONE hash exchange for the
+    per-key aggregate."""
+    plan = _plan(spark, "decayed_counts")
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_fuzzy_match_is_window_not_join(spark):
+    """Sorted-neighborhood candidates come from a blocked window
+    (one hash exchange on the block key) — any Join node would mean
+    the O(n·w) contract regressed toward O(n²)."""
+    plan = _plan(spark, "fuzzy_match")
+    assert "Join" not in plan, plan
+    assert "Window" in plan and "levenshtein" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_pagerank_iterations_are_checkpointed(spark):
+    """The returned frame must scan the final checkpoint's RDD, not
+    drag an 8-iteration lazy lineage — unbounded lineage is what
+    breaks iterative Spark jobs at scale."""
+    from batch_process_dpla_index_spark.operators.dedup import unpersist_deps
+
+    df = QUERIES["pagerank"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    unpersist_deps(df)
+    assert "Scan ExistingRDD" in plan, plan
+    assert "FileScan" not in plan, plan  # no re-read of the edge source
+
+
+def test_mg_sketch_pass_is_shuffle_free_arrow(spark):
+    """Misra–Gries partition summaries fold in MapInPandas with ZERO
+    exchanges — the whole point of the sketch is that the item domain
+    never shuffles."""
+    import pyspark.sql.functions as F
+
+    from batch_process_dpla_index_spark.functions.text import tokens
+    from batch_process_dpla_index_spark.operators.sketches import mg_summaries
+    from batch_process_dpla_index_spark.sources.tables import load_table
+
+    items = load_table(spark, SF_DIR, "documents").select(
+        F.explode(tokens(F.col("text"))).alias("item")
+    )
+    plan = (
+        mg_summaries(items, "item")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "MapInPandas" in plan and "Exchange" not in plan, plan
