@@ -108,6 +108,19 @@ def build_dataset_card(
     finally:
         base.unpersist()
 
+    # schema-level profile straight from the oracle-verified profiler
+    # (one scan + one aggregate; |columns| output rows)
+    from batch_process_dpla_index_spark.operators.profiling import column_profile
+
+    profile = [
+        {
+            "column": r["col_name"],
+            "nulls": r["n_nulls"],
+            "distinct": r["n_distinct"],
+        }
+        for r in column_profile(docs).collect()
+    ]
+
     card = f"""# Dataset card: {name}
 
 Every figure below is produced by an operator that is hash-verified
@@ -129,6 +142,13 @@ against an independent DuckDB oracle (see `tools/verify_local.py`).
 prediction matches the recorded label.
 
 {_md_table(by_lang, ['lang', 'docs', 'langid_agreement'])}
+
+## Column profile
+
+Null counts and exact cardinalities per column
+(`operators/profiling.py:column_profile`).
+
+{_md_table(profile, ['column', 'nulls', 'distinct'])}
 """
     os.makedirs(out_dir, exist_ok=True)
     path = os.path.join(out_dir, "DATASET_CARD.md")

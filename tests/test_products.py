@@ -526,4 +526,8 @@ def test_dataset_card_product(spark, tmp_path):
         assert f"| {src} |" in text
     for lang in [r.lang for r in docs.select("lang").distinct().collect()]:
         assert f"| {lang} |" in text
+    # column profile section: every docs column with its null count
+    assert "## Column profile" in text
+    for col in docs.columns:
+        assert f"| {col} |" in text
     assert os.path.exists(os.path.join(out, "_MANIFEST"))
