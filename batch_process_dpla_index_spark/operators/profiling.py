@@ -50,9 +50,9 @@ def column_profile(
     Every column is canonicalized to a (value_num, value_str) pair —
     numerics keep their double value (bounds emitted rounded 6),
     strings keep the raw value, timestamps are formatted as ISO
-    ``yyyy-MM-dd HH:mm:ss`` strings (lexicographic order == time
-    order, so min/max stay meaningful). Distinct counts are over the
-    canonical value and exclude NULLs.
+    microsecond strings (lexicographic order == time order, so min/max
+    stay meaningful). Distinct counts are over the canonical value and
+    exclude NULLs.
 
     One table scan; the explode is map-side; one shuffle keyed by
     col_name. ``exact_distinct=False`` switches to
@@ -136,3 +136,94 @@ def corr_matrix(df: DataFrame, columns: Sequence[str]) -> DataFrame:
             f"stack({len(pairs)}, {stack_expr}) AS (col_a, col_b, corr)"
         )
     ).orderBy("col_a", "col_b")
+
+
+def robust_outliers(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    k: float = 3.0,
+) -> DataFrame:
+    """Per-group robust outlier summary via median/MAD (the
+    median-absolute-deviation rule: |x − med| > k·1.4826·MAD), the
+    resistant alternative to z-scores when the metric itself has
+    outliers — a mean/stddev gate moves with the outliers it is
+    trying to catch; the median does not.
+
+    Returns (key, n, med, mad, n_outliers) rounded 6, ordered by key.
+
+    Plan: exact ``percentile`` needs the group's values together, so
+    this is the honest two-round shape — groupBy(key) median,
+    broadcast the |keys|-row stats back, groupBy(key) MAD, broadcast
+    again, one final count aggregate. Three hash exchanges of the
+    CORPUS at most (the stats frames are |keys| rows and broadcast);
+    for the approximate-at-scale variant swap ``percentile`` for
+    ``approx_percentile`` and lose cross-engine exactness, not shape.
+    """
+    df = df.where(F.col(value_col).isNotNull())  # NULLs have no deviation
+    med = df.groupBy(key_col).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("med")
+    )
+    dev = (
+        df.join(F.broadcast(med), key_col)
+        .withColumn("__adev", F.abs(F.col(value_col) - F.col("med")))
+    )
+    mad = dev.groupBy(key_col).agg(
+        F.expr("percentile(__adev, 0.5)").alias("mad")
+    )
+    flagged = dev.join(F.broadcast(mad), key_col).withColumn(
+        "__is_out",
+        (F.col("__adev") > F.lit(k) * F.lit(1.4826) * F.col("mad")).cast("long"),
+    )
+    return (
+        flagged.groupBy(key_col)
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.first("med"), 6).alias("med"),
+            F.round(F.first("mad"), 6).alias("mad"),
+            F.sum("__is_out").alias("n_outliers"),
+        )
+        .orderBy(key_col)
+    )
+
+
+def quantile_bins(
+    df: DataFrame,
+    value_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Equal-frequency discretization: exact decile (or n-bin)
+    boundaries from ONE percentile aggregate, then per-bin occupancy
+    and means — the feature-binning profile (and the monotone-edge
+    histogram `price_histogram`'s equal-width twin).
+
+    A global ``ntile`` window would funnel the corpus through one
+    partition; this is the scale-safe shape — one aggregate produces
+    the n_bins−1 boundaries, they fold into the row expression as a
+    broadcast 1-row frame, and ONE groupBy(bin) aggregates. Bin b
+    holds rows with value > edge[b-1] and <= edge[b] (NULLs dropped);
+    ties on an edge go DOWN, mirroring the oracle exactly.
+
+    Returns (bin, n, mean_value) rounded 6 for bins 1..n_bins.
+    """
+    ps = [i / n_bins for i in range(1, n_bins)]
+    edges = df.agg(
+        *[
+            F.expr(f"percentile({value_col}, {p!r})").alias(f"__e{i}")
+            for i, p in enumerate(ps)
+        ]
+    )
+    bin_expr = F.lit(1)
+    for i in range(len(ps)):
+        bin_expr = bin_expr + (F.col(value_col) > F.col(f"__e{i}")).cast("int")
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .crossJoin(F.broadcast(edges))
+        .select(bin_expr.alias("bin"), F.col(value_col).alias("__v"))
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("__v"), 6).alias("mean_value"),
+        )
+        .orderBy("bin")
+    )

@@ -2329,6 +2329,37 @@ def _pagerank_oracle(damping: float = 0.85, iterations: int = 8) -> str:
 
 ORACLE_PAGERANK = _pagerank_oracle()
 
+ORACLE_ROBUST_OUTLIERS = """
+WITH v AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+med AS (SELECT event_type, quantile_cont(value, 0.5) AS med FROM v GROUP BY event_type),
+dev AS (SELECT v.event_type, abs(v.value - m.med) AS adev, m.med
+        FROM v JOIN med m USING (event_type)),
+mad AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY event_type)
+SELECT d.event_type, count(*) AS n,
+       round(max(d.med), 6) AS med,
+       round(max(m.mad), 6) AS mad,
+       CAST(sum(CASE WHEN d.adev > 3.0 * 1.4826 * m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY d.event_type
+ORDER BY d.event_type
+"""
+
+_QB_PS = [i / 10 for i in range(1, 10)]
+_QB_EDGES = ", ".join(
+    f"quantile_cont(val, {p!r}) AS e{i}" for i, p in enumerate(_QB_PS)
+)
+_QB_BIN = "1 + " + " + ".join(
+    f"(CASE WHEN val > e{i} THEN 1 ELSE 0 END)" for i in range(len(_QB_PS))
+)
+ORACLE_QUANTILE_BINS = f"""
+WITH v AS (SELECT o_totalprice AS val FROM orders WHERE o_totalprice IS NOT NULL),
+e AS (SELECT {_QB_EDGES} FROM v)
+SELECT {_QB_BIN} AS bin, count(*) AS n, round(avg(val), 6) AS mean_value
+FROM v CROSS JOIN e
+GROUP BY bin
+ORDER BY bin
+"""
+
 ORACLE_HEAVY_HITTERS = f"""
 WITH {_DOC_TOK_CTE},
 items AS (SELECT unnest(tok) AS item FROM doc_tok)
@@ -2348,6 +2379,8 @@ ORACLES: dict[str, str] = {
     "fuzzy_match": ORACLE_FUZZY_MATCH,
     "pagerank": ORACLE_PAGERANK,
     "heavy_hitters": ORACLE_HEAVY_HITTERS,
+    "robust_outliers": ORACLE_ROBUST_OUTLIERS,
+    "quantile_bins": ORACLE_QUANTILE_BINS,
     "weighted_sample": ORACLE_WEIGHTED_SAMPLE,
     "session_paths": ORACLE_SESSION_PATHS,
     "nearest_purchase": ORACLE_NEAREST_PURCHASE,

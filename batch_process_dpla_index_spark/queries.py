@@ -2080,6 +2080,28 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(items, "item", k=20, capacity=400)
 
 
+def q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type robust outlier summary (median/MAD rule,
+    k=3): the resistant alternative to the z-score gate
+    (operators/profiling.py:robust_outliers). Exact medians verified
+    value-level against DuckDB's quantile_cont."""
+    from batch_process_dpla_index_spark.operators.profiling import robust_outliers
+
+    events = load_table(spark, sf_dir, "events")
+    return robust_outliers(events, "event_type", "value")
+
+
+def q_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency decile binning of order totals: exact decile
+    edges from ONE percentile aggregate folded back as a broadcast —
+    never a global ntile window
+    (operators/profiling.py:quantile_bins)."""
+    from batch_process_dpla_index_spark.operators.profiling import quantile_bins
+
+    orders = load_table(spark, sf_dir, "orders")
+    return quantile_bins(orders, "o_totalprice", n_bins=10)
+
+
 # Registry order is part of the driver contract: the correctness gate
 # records exactly the FIRST 50 entries. Round-5 rotation: the 41
 # queries last driver-verified in round 2 (the code under them churned
@@ -2126,6 +2148,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuzzy_match": q_fuzzy_match,
     "pagerank": q_pagerank,
     "heavy_hitters": q_heavy_hitters,
+    "robust_outliers": q_robust_outliers,
+    "quantile_bins": q_quantile_bins,
     # -- stalest re-verification set: last driver-green in round 4 --
     "exact_dedup": q_exact_dedup,
     "jaccard_pairs": q_jaccard_pairs,
@@ -2155,12 +2179,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lm_scores": q_lm_scores,
     "bm25_search": q_bm25_search,
     "quality_gate": q_quality_gate,
-    "global_shuffle": q_global_shuffle,
-    "doc_chunks": q_doc_chunks,
     # ---- driver-window boundary (entry 50 above this line) ----
     # -- tail: hash-green in r4/r5, still oracle-verified every round
-    #    via tools/verify_local.py; the six entries displaced by this
-    #    round's new queries lead the r7 rotation --
+    #    via tools/verify_local.py; the eight entries displaced by
+    #    this round's new queries lead the r7 rotation --
+    "global_shuffle": q_global_shuffle,
+    "doc_chunks": q_doc_chunks,
     "packed_bins": q_packed_bins,
     "stratified_sample": q_stratified_sample,
     "apply_changeset": q_apply_changeset,

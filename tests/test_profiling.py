@@ -248,3 +248,56 @@ def test_heavy_hitters_flags_insufficient_capacity(spark):
     ).repartition(4)
     got = heavy_hitters(items, "item", k=10, capacity=20).collect()
     assert got and not any(r["mg_bound_ok"] for r in got)
+
+
+# --- robust_outliers / quantile_bins ---------------------------------------
+
+
+def test_robust_outliers_flags_only_the_spike(spark):
+    from batch_process_dpla_index_spark.operators.profiling import (
+        robust_outliers,
+    )
+
+    rows = [("a", float(v)) for v in [10, 11, 9, 10, 12, 10, 11, 1000]]
+    rows += [("b", 5.0), ("b", None)]  # NULL value: excluded entirely
+    df = spark.createDataFrame(rows, schema="k string, v double")
+    got = {r["k"]: r for r in robust_outliers(df, "k", "v").collect()}
+    assert got["a"]["n"] == 8
+    assert got["a"]["n_outliers"] == 1  # the 1000 spike, nothing else
+    assert got["a"]["med"] == pytest.approx(10.5)
+    # group b: single non-null value, MAD 0, no outliers, NULL dropped
+    assert got["b"]["n"] == 1
+    assert got["b"]["n_outliers"] == 0
+
+
+def test_robust_outliers_resists_what_zscore_misses(spark):
+    # one huge outlier inflates stddev enough that 3-sigma misses a
+    # second, smaller outlier; MAD still flags both
+    vals = [10.0] * 30 + [11.0] * 30 + [9.0] * 30 + [50.0, 100000.0]
+    df = spark.createDataFrame(
+        [("a", v) for v in vals], schema="k string, v double"
+    )
+    from batch_process_dpla_index_spark.operators.profiling import (
+        robust_outliers,
+    )
+
+    row = robust_outliers(df, "k", "v").collect()[0]
+    assert row["n_outliers"] == 2
+
+
+def test_quantile_bins_equal_frequency(spark):
+    from pyspark.sql import functions as F
+
+    from batch_process_dpla_index_spark.operators.profiling import (
+        quantile_bins,
+    )
+
+    df = spark.range(1000).select((F.col("id") + 1).cast("double").alias("v"))
+    rows = quantile_bins(df, "v", n_bins=10).collect()
+    assert [r["bin"] for r in rows] == list(range(1, 11))
+    # exact deciles over 1..1000: every bin holds ~100 rows (edge ties
+    # go down, so counts are exactly 100 each up to interpolation)
+    assert all(abs(r["n"] - 100) <= 1 for r in rows)
+    assert sum(r["n"] for r in rows) == 1000
+    means = [r["mean_value"] for r in rows]
+    assert means == sorted(means)  # bins are ordered value ranges
