@@ -40,6 +40,26 @@ from batch_process_dpla_index_spark.functions.text import h60, tokens, word_shin
 _MERSENNE = 2_147_483_647
 
 
+class _CheckpointHandle:
+    """``unpersist()``-compatible shim for a (local)checkpointed frame.
+
+    ``DataFrame.unpersist`` is a CacheManager lookup and a NO-OP on a
+    checkpointed frame — the persisted blocks belong to the internal
+    RDD behind its LogicalRDD node, so releasing them needs that RDD's
+    own ``unpersist``. Ride this in ``_cached_deps`` so the repo's
+    ``unpersist_deps`` discipline genuinely frees checkpoint storage
+    for the iterative operators (connected_components, pagerank)."""
+
+    def __init__(self, df: DataFrame):
+        self._df = df
+
+    def unpersist(self, blocking: bool = False) -> None:
+        try:
+            self._df._jdf.queryExecution().analyzed().rdd().unpersist(blocking)
+        except Exception:  # pragma: no cover — best-effort release
+            pass
+
+
 def _with_cached_deps(result: DataFrame, deps: list[DataFrame]) -> DataFrame:
     """Attach persisted intermediates to the returned plan.
 
@@ -709,6 +729,7 @@ def connected_components(
         .distinct()
         .withColumn("cluster", F.col("node"))
     )
+    ckpts: list[DataFrame] = [labels]
     converged = False
     for _ in range(max_iter):
         neighbor_labels = edges.join(
@@ -728,11 +749,18 @@ def connected_components(
             )
         )
         changed = not new_labels.filter(F.col("__changed")).isEmpty()
+        ckpts.append(new_labels)
         labels = new_labels.drop("__changed")
         if not changed:
             converged = True
             break
     edges.unpersist()
+    # every checkpoint except the final one has served its purpose —
+    # release its block-manager storage now (DataFrame.unpersist is a
+    # no-op on checkpointed frames, hence the handle), and hand the
+    # final one's release handle to the caller via unpersist_deps
+    for old in ckpts[:-1]:
+        _CheckpointHandle(old).unpersist()
     if not converged:
         warnings.warn(
             f"connected_components hit max_iter={max_iter} before the label "
@@ -740,7 +768,10 @@ def connected_components(
             RuntimeWarning,
             stacklevel=2,
         )
-    return labels.select(F.col("node"), F.col("cluster"))
+    return _with_cached_deps(
+        labels.select(F.col("node"), F.col("cluster")),
+        [_CheckpointHandle(ckpts[-1])],
+    )
 
 
 def dedup_survivors(
@@ -756,11 +787,15 @@ def dedup_survivors(
     losers = components.filter(F.col("node") != F.col("cluster")).select(
         F.col("node").alias(id_col)
     )
-    # carry the pair operator's persisted intermediates (shingle sets /
-    # signatures) onto the returned frame, or the caller's
-    # unpersist_deps is a no-op and the cache leaks for the session —
-    # the exact trap carry_deps documents
-    return carry_deps(df.join(losers, id_col, "left_anti"), pairs)
+    # carry BOTH the pair operator's persisted intermediates (shingle
+    # sets / signatures) AND the components' checkpoint handle onto
+    # the returned frame, or the caller's unpersist_deps misses one
+    # and the cache leaks for the session — the trap carry_deps
+    # documents
+    merged = list(getattr(pairs, "_cached_deps", [])) + list(
+        getattr(components, "_cached_deps", [])
+    )
+    return _with_cached_deps(df.join(losers, id_col, "left_anti"), merged)
 
 
 def _salted_h60(key_col: str, salt: str) -> Column:

@@ -29,6 +29,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from batch_process_dpla_index_spark.operators.dedup import (
+    _CheckpointHandle,
+    _with_cached_deps,
+)
+
 
 def pagerank(
     edges: DataFrame,
@@ -98,6 +103,7 @@ def pagerank(
     has_dangling = not dangling_nodes.isEmpty()
 
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
+    intermediates: list[DataFrame] = []
     for i in range(iterations):
         contrib = (
             ranks.join(norm, ranks["node"] == norm["src"])
@@ -135,13 +141,18 @@ def pagerank(
             # those eager
             eager=(has_dangling or i == iterations - 1),
         )
+        if i < iterations - 1:
+            intermediates.append(ranks)
     norm.unpersist()
     nodes.unpersist()
     src_nodes.unpersist()
     dangling_nodes.unpersist()
-    # the returned frame IS a localCheckpoint (materialized blocks);
-    # ride it along as its own cached dep so callers' unpersist_deps
-    # discipline releases the checkpoint storage after the action
-    from batch_process_dpla_index_spark.operators.dedup import _with_cached_deps
-
-    return _with_cached_deps(ranks, [ranks])
+    # the final checkpoint is materialized (eager), so every earlier
+    # iteration's checkpoint has served its purpose — release their
+    # block-manager storage NOW instead of leaking k-1 RDDs per call
+    for df in intermediates:
+        _CheckpointHandle(df).unpersist()
+    # the returned frame IS a checkpoint (materialized blocks); ride a
+    # real release handle along as its cached dep so the callers'
+    # unpersist_deps discipline frees the storage after the action
+    return _with_cached_deps(ranks, [_CheckpointHandle(ranks)])

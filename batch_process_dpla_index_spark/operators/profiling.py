@@ -68,31 +68,36 @@ def column_profile(
         if isinstance(dt, _NUMERIC):
             num = F.col(c).cast("double")
             s = F.lit(None).cast("string")
+            # distinct counts canonicalize the RAW value's string form,
+            # not the double: bigint IDs beyond 2^53 are distinct longs
+            # that collapse to one double, and the oracle counts
+            # DISTINCT over the raw column
+            canon = F.col(c).cast("string")
         elif isinstance(dt, (T.TimestampType, T.DateType)):
             num = F.lit(None).cast("double")
             # ISO with full microseconds: lexicographic == chronological,
             # and distinct-over-canonical stays exact (a seconds-level
             # format would collapse sub-second-distinct timestamps)
             s = F.date_format(F.col(c), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            canon = s
         else:
             num = F.lit(None).cast("double")
             s = F.col(c).cast("string")
+            canon = s
         structs.append(
             F.struct(
                 F.lit(c).alias("col_name"),
                 num.alias("value_num"),
                 s.alias("value_str"),
+                canon.alias("canon"),
                 F.col(c).isNull().alias("is_null"),
             )
         )
     long = df.select(F.explode(F.array(*structs)).alias("v")).select("v.*")
-    canonical = F.coalesce(
-        F.col("value_str"), F.col("value_num").cast("string")
-    )
     n_distinct = (
-        F.count_distinct(canonical)
+        F.count_distinct(F.col("canon"))
         if exact_distinct
-        else F.approx_count_distinct(canonical)
+        else F.approx_count_distinct(F.col("canon"))
     )
     return (
         long.groupBy("col_name")
@@ -120,11 +125,13 @@ def corr_matrix(df: DataFrame, columns: Sequence[str]) -> DataFrame:
     a one-row frame), which is free.
     """
     cols = list(columns)
+    if len(set(cols)) != len(cols):
+        raise ValueError(f"corr_matrix: duplicate column names in {cols}")
     aggs = []
     pairs = []
     for i, a in enumerate(cols):
-        for b in cols[i + 1:]:
-            alias = f"__corr_{i}_{cols.index(b)}"
+        for j, b in enumerate(cols[i + 1:], i + 1):
+            alias = f"__corr_{i}_{j}"
             aggs.append(F.round(F.corr(a, b), 6).alias(alias))
             pairs.append((a, b, alias))
     wide = df.agg(*aggs)
@@ -160,13 +167,19 @@ def robust_outliers(
     for the approximate-at-scale variant swap ``percentile`` for
     ``approx_percentile`` and lose cross-engine exactness, not shape.
     """
-    df = df.where(F.col(value_col).isNotNull())  # NULLs have no deviation
-    med = df.groupBy(key_col).agg(
+    from batch_process_dpla_index_spark.operators.dedup import _with_cached_deps
+
+    # both the filtered base and the deviation frame feed two subtrees
+    # each (median + deviations; MAD + flags) — persist per the repo's
+    # consumed-twice discipline, released by the caller's unpersist_deps
+    base = df.where(F.col(value_col).isNotNull()).persist()
+    med = base.groupBy(key_col).agg(
         F.expr(f"percentile({value_col}, 0.5)").alias("med")
     )
     dev = (
-        df.join(F.broadcast(med), key_col)
+        base.join(F.broadcast(med), key_col)
         .withColumn("__adev", F.abs(F.col(value_col) - F.col("med")))
+        .persist()
     )
     mad = dev.groupBy(key_col).agg(
         F.expr("percentile(__adev, 0.5)").alias("mad")
@@ -175,7 +188,7 @@ def robust_outliers(
         "__is_out",
         (F.col("__adev") > F.lit(k) * F.lit(1.4826) * F.col("mad")).cast("long"),
     )
-    return (
+    out = (
         flagged.groupBy(key_col)
         .agg(
             F.count("*").alias("n"),
@@ -185,6 +198,7 @@ def robust_outliers(
         )
         .orderBy(key_col)
     )
+    return _with_cached_deps(out, [base, dev])
 
 
 def quantile_bins(
@@ -203,6 +217,11 @@ def quantile_bins(
     broadcast 1-row frame, and ONE groupBy(bin) aggregates. Bin b
     holds rows with value > edge[b-1] and <= edge[b] (NULLs dropped);
     ties on an edge go DOWN, mirroring the oracle exactly.
+
+    The source is deliberately scanned TWICE (edge pass + binning
+    pass) rather than persisted: both scans prune to the one value
+    column, and caching the corpus to save a pruned columnar re-read
+    is the worse trade at 100 TB (pinned in test_plans).
 
     Returns (bin, n, mean_value) rounded 6 for bins 1..n_bins.
     """

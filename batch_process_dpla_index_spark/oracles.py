@@ -2251,12 +2251,17 @@ ORACLE_CORR_MATRIX = (
 
 # lam literal repr round-trips the exact double the Spark side folds in
 _DECAY_LAM = __import__("math").log(2.0) / 7.0
+# NOTE the parenthesization: the Spark side computes
+# (-lam) * (diff_us / 86400e6) — age FIRST, then the rate multiply.
+# The unparenthesized SQL form would parse as ((-lam * diff) / 86400e6),
+# a different FP association whose last-ulp drift defeats the
+# integer-micros bit-identity argument.
 ORACLE_DECAYED_COUNTS = f"""
 WITH dated AS (SELECT * FROM events WHERE ts IS NOT NULL),
 ref AS (SELECT max(ts) AS t_ref FROM dated)
 SELECT user_id, count(*) AS n_events,
-       round(sum(exp(-{_DECAY_LAM!r} * (epoch_us(t_ref) - epoch_us(ts)) / 86400000000.0)), 6) AS decayed_n,
-       round(sum(exp(-{_DECAY_LAM!r} * (epoch_us(t_ref) - epoch_us(ts)) / 86400000000.0)
+       round(sum(exp((-{_DECAY_LAM!r}) * ((epoch_us(t_ref) - epoch_us(ts)) / 86400000000.0))), 6) AS decayed_n,
+       round(sum(exp((-{_DECAY_LAM!r}) * ((epoch_us(t_ref) - epoch_us(ts)) / 86400000000.0))
                  * coalesce(value, 0.0)), 6) AS decayed_value
 FROM dated CROSS JOIN ref
 GROUP BY user_id

@@ -208,6 +208,8 @@ def write_checkpoint(root: str) -> int:
         if sj is not None:
             for f in e["add"]:
                 schemas[f] = sj
+        for f, s in e.get("params", {}).get("__schemas", {}).items():
+            schemas[f] = s
         b = e.get("params", {}).get("stream_batch_id")
         if b is not None:
             ids.add(b)
@@ -725,12 +727,43 @@ def _apply(snapshot: DataFrame, changes: DataFrame, key: str, op_col: str):
     return apply_changeset(snapshot, changes, key, op_col)
 
 
+def _canon_dt(t):
+    """Canonicalize a schema jsonValue tree: force every nullability
+    flag true and drop metadata, recursively. Recorded schemas must
+    compare by NAME+TYPE only — parquet reads come back nullable=true
+    while in-memory frames may be nullable=false, and a raw-JSON
+    comparison would call those 'different schemas' and (e.g.)
+    spuriously block compaction of a type-uniform table."""
+    if isinstance(t, dict):
+        t = dict(t)
+        kind = t.get("type")
+        if kind == "struct":
+            t["fields"] = [
+                {
+                    "name": f["name"],
+                    "type": _canon_dt(f["type"]),
+                    "nullable": True,
+                    "metadata": {},
+                }
+                for f in t["fields"]
+            ]
+        elif kind == "array":
+            t["elementType"] = _canon_dt(t["elementType"])
+            t["containsNull"] = True
+        elif kind == "map":
+            t["keyType"] = _canon_dt(t["keyType"])
+            t["valueType"] = _canon_dt(t["valueType"])
+            t["valueContainsNull"] = True
+    return t
+
+
 def _schema_json(df: DataFrame) -> str:
-    """Canonical JSON of a batch's schema, recorded into its commit's
-    params (``__schema``) so readers can resolve every live file's
-    schema from LOG METADATA — never by opening 100 TB of parquet
-    footers the way ``mergeSchema`` would."""
-    return json.dumps(df.schema.jsonValue(), sort_keys=True)
+    """Canonical JSON of a batch's schema (nullability-normalized,
+    metadata-free), recorded into its commit's params (``__schema``)
+    so readers can resolve every live file's schema from LOG METADATA
+    — never by opening 100 TB of parquet footers the way
+    ``mergeSchema`` would."""
+    return json.dumps(_canon_dt(df.schema.jsonValue()), sort_keys=True)
 
 
 def _file_schemas_at(root: str, version: int | None) -> dict[str, str]:
@@ -749,6 +782,10 @@ def _file_schemas_at(root: str, version: int | None) -> dict[str, str]:
         if sj is not None:
             for f in entry["add"]:
                 out[f] = sj
+        # per-file map (rollback re-adds files whose original commits
+        # may sit below a checkpoint that pruned them)
+        for f, s in entry.get("params", {}).get("__schemas", {}).items():
+            out[f] = s
     return out
 
 
@@ -801,8 +838,14 @@ def _check_append_schema(df: DataFrame, root: str) -> None:
         return
     if existing is None:
         return
+    from pyspark.sql import types as T
+
+    # compare CANONICAL types (nullability/metadata normalized) — the
+    # incoming in-memory frame may be nullable=false where parquet
+    # reads are nullable=true, and that is not a type change
+    incoming = T.StructType.fromJson(json.loads(_schema_json(df)))
     by_name = {f.name: f.dataType for f in existing.fields}
-    for f in df.schema.fields:
+    for f in incoming.fields:
         prev = by_name.get(f.name)
         if prev is not None and prev != f.dataType:
             raise SchemaEvolutionError(
@@ -938,7 +981,16 @@ def rollback(root: str, version: int) -> int:
     current = set(snapshot_files(root))
     add = [os.path.relpath(f, root) for f in sorted(target - current)]
     remove = [os.path.relpath(f, root) for f in sorted(current - target)]
-    return _commit(root, "rollback", add, remove, {"to_version": str(version)})
+    params: dict = {"to_version": str(version)}
+    # re-record the restored files' schemas AT the rollback entry: a
+    # checkpoint written after their removal prunes them from the
+    # sidecar, and without this the re-added files would resolve to no
+    # schema — silently demoting an evolved table to footer inference
+    known = _file_schemas_at(root, version)
+    restored = {f: known[f] for f in add if f in known}
+    if restored:
+        params["__schemas"] = restored
+    return _commit(root, "rollback", add, remove, params)
 
 
 def vacuum(
@@ -1014,16 +1066,20 @@ def compact_snapshot(
     # schema-evolved table a bin mixing old and new files would
     # silently drop the columns its first-sampled file lacks. Refuse
     # loudly instead — rewrite to a uniform schema first (overwrite /
-    # merge), then compact.
+    # merge), then compact. A live file with NO recorded schema counts
+    # as its own (unknown) schema class: a legacy+evolved mix is
+    # exactly as lossy as two recorded schemas, and compacting it
+    # would additionally stamp the output with a schema the data may
+    # not contain. Pure-legacy tables (nothing recorded) keep the
+    # pre-feature behavior.
     schemas = _file_schemas_at(root, cur)
-    live_schemas = {
-        schemas[os.path.relpath(f, root)]
-        for f in files
-        if os.path.relpath(f, root) in schemas
-    }
-    if len(live_schemas) > 1:
+    rels = [os.path.relpath(f, root) for f in files]
+    live_schemas = {schemas[r] for r in rels if r in schemas}
+    n_unrecorded = sum(1 for r in rels if r not in schemas)
+    if len(live_schemas) > 1 or (live_schemas and n_unrecorded):
         raise SchemaEvolutionError(
-            f"{root} has {len(live_schemas)} distinct live file schemas; "
+            f"{root} has {len(live_schemas)} distinct recorded live file "
+            f"schemas and {n_unrecorded} unrecorded live file(s); "
             "compaction would collapse them lossily — rewrite to a uniform "
             "schema before compacting"
         )

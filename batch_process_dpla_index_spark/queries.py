@@ -1127,10 +1127,15 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(docs, "text", "doc_id", n=3, threshold=0.5, use_pandas=True)
     # CC materializes eagerly (checkpointed fixpoint), so the pair
-    # operator's cached signature frame can be released right after.
+    # operator's cached signature frame can be released right after;
+    # the labels frame still carries ITS final-checkpoint handle,
+    # which must ride through the select (carry_deps).
+    from batch_process_dpla_index_spark.operators.dedup import carry_deps
+
     labels = connected_components(pairs)
     unpersist_deps(pairs)
-    return labels.select(F.col("node").alias("doc_id"), F.col("cluster"))
+    out = labels.select(F.col("node").alias("doc_id"), F.col("cluster"))
+    return carry_deps(out, labels)
 
 
 def q_price_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2140,7 +2145,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "price_tiers": q_price_tiers,
     "training_prep": q_training_prep,
     # -- new this round (must be driver-proven in their debut round;
-    #    they displace six r4-green re-verification entries, which
+    #    they displace eight r4-green re-verification entries, which
     #    rotate back in next round) --
     "column_profile": q_column_profile,
     "corr_matrix": q_corr_matrix,

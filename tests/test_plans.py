@@ -342,3 +342,30 @@ def test_mg_sketch_pass_is_shuffle_free_arrow(spark):
         .toString()
     )
     assert "MapInPandas" in plan and "Exchange" not in plan, plan
+
+
+def test_robust_outliers_broadcast_stats_no_smj(spark):
+    """Median/MAD stats frames are |keys| rows and must broadcast
+    back; a SortMergeJoin would shuffle the corpus per stats round.
+    No window: the expanding-window formulation would sort the corpus
+    into one frame per key."""
+    from batch_process_dpla_index_spark.operators.dedup import unpersist_deps
+
+    df = QUERIES["robust_outliers"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    unpersist_deps(df)
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_quantile_bins_broadcast_edges_no_global_window(spark):
+    """Cut points fold back as a 1-row broadcast (BNLJ) and binning is
+    ONE hash aggregate — never the single-partition ntile window. The
+    source is scanned twice (edges pass + binning pass) BY CHOICE:
+    both scans prune to one column, and persisting the corpus to save
+    a pruned re-scan is the worse trade at 100 TB."""
+    plan = _plan(spark, "quantile_bins")
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "Window" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan

@@ -301,3 +301,63 @@ def test_quantile_bins_equal_frequency(spark):
     assert sum(r["n"] for r in rows) == 1000
     means = [r["mean_value"] for r in rows]
     assert means == sorted(means)  # bins are ordered value ranges
+
+
+def test_column_profile_bigint_beyond_double_precision(spark):
+    # adjacent 64-bit IDs above 2^53 collapse to one double; distinct
+    # counting must canonicalize the RAW value, not the double
+    df = spark.createDataFrame(
+        [(9007199254740993,), (9007199254740994,)], schema="k long"
+    )
+    row = column_profile(df).collect()[0]
+    assert row["n_distinct"] == 2
+
+
+def test_corr_matrix_rejects_duplicate_columns(spark):
+    df = spark.range(5).select(
+        F.col("id").cast("double").alias("x"),
+        F.col("id").cast("double").alias("y"),
+    )
+    with pytest.raises(ValueError, match="duplicate column"):
+        corr_matrix(df, ["x", "y", "x"])
+
+
+def test_pagerank_releases_checkpoint_storage(spark):
+    """DataFrame.unpersist is a no-op on checkpointed frames; the
+    operator must release its intermediate iteration checkpoints
+    itself and hand back a WORKING release handle for the final one."""
+    from batch_process_dpla_index_spark.operators.dedup import unpersist_deps
+
+    sc = spark.sparkContext
+    before = set(dict(sc._jsc.getPersistentRDDs()))
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], ["src", "dst"]
+    )
+    df = pagerank(edges, iterations=4)
+    df.collect()
+    leaked = set(dict(sc._jsc.getPersistentRDDs())) - before
+    assert len(leaked) <= 1  # only the final checkpoint outlives the call
+    unpersist_deps(df)
+    assert set(dict(sc._jsc.getPersistentRDDs())) - before == set()
+
+
+def test_connected_components_releases_checkpoint_storage(spark):
+    """Same contract as pagerank: intermediate fixpoint checkpoints
+    are released inside the operator, and the survivors' deps carry a
+    WORKING handle for the final one."""
+    from batch_process_dpla_index_spark.operators.dedup import (
+        connected_components,
+        unpersist_deps,
+    )
+
+    sc = spark.sparkContext
+    before = set(dict(sc._jsc.getPersistentRDDs()))
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["id_a", "id_b"]
+    )
+    labels = connected_components(pairs)
+    labels.collect()
+    leaked = set(dict(sc._jsc.getPersistentRDDs())) - before
+    assert len(leaked) <= 1
+    unpersist_deps(labels)
+    assert set(dict(sc._jsc.getPersistentRDDs())) - before == set()

@@ -750,7 +750,9 @@ def test_compaction_refuses_heterogeneous_schemas(spark, tmp_path):
     old, new = _ev_frames(spark)
     commit_append(old, root)
     commit_append(new, root)
-    with pytest.raises(SchemaEvolutionError, match="distinct live file schemas"):
+    with pytest.raises(
+        SchemaEvolutionError, match="distinct recorded live file"
+    ):
         compact_snapshot(spark, root, target_bytes=1 << 20)
     # uniform table still compacts, carrying its schema forward
     commit_overwrite(new, root)
@@ -779,3 +781,67 @@ def test_merge_into_reads_evolved_table_uniformly(spark, tmp_path):
     # old-file row 1 updated WITH the evolved column; 10 deleted;
     # untouched rows keep NULL extra
     assert got == {0: None, 1: 99, 2: None, 11: 22, 12: 24}
+
+
+def test_compaction_refuses_legacy_plus_evolved_mix(spark, tmp_path, monkeypatch):
+    """A live file with NO recorded schema mixed with recorded ones is
+    as lossy to compact as two recorded schemas — and used to slip
+    through the distinct-recorded-schemas check."""
+    import batch_process_dpla_index_spark.products.snapshots as snap
+
+    root = str(tmp_path / "tbl")
+    old, new = _ev_frames(spark)
+    # legacy commit: simulate a pre-feature entry with no __schema
+    real_schema_json = snap._schema_json
+    monkeypatch.setattr(snap, "_schema_json", lambda df: None)
+    monkeypatch.setattr(
+        snap, "_check_append_schema", lambda df, root: None
+    )
+    tag = "blegacy"
+    add = snap._write_batch(old, root, tag)
+    snap._commit(root, "append", add, [], {})
+    monkeypatch.setattr(snap, "_schema_json", real_schema_json)
+    commit_append(new, root)  # recorded, evolved
+    with pytest.raises(
+        snap.SchemaEvolutionError, match="unrecorded live file"
+    ):
+        compact_snapshot(spark, root, target_bytes=1 << 20)
+
+
+def test_nullability_only_difference_still_compacts(spark, tmp_path):
+    """parquet round trips flip nullable=false to true; that is not a
+    schema change and must not block compaction (schemas are recorded
+    nullability-normalized)."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "tbl")
+    df = spark.range(3).select(F.col("id").alias("k"))  # nullable=false
+    commit_append(df, root)
+    # same shape, read back from parquet: nullable=true
+    back = read_snapshot(spark, root)
+    commit_append(back, root)
+    v = compact_snapshot(spark, root, target_bytes=1 << 20)
+    assert read_snapshot(spark, root, version=v).count() == 6
+
+
+def test_rollback_past_checkpoint_keeps_recorded_schemas(spark, tmp_path):
+    """The review repro: checkpoint prunes removed files' schemas from
+    the sidecar; a later rollback re-adds those files and must carry
+    their schemas in ITS entry, or the evolved table silently demotes
+    to footer-inference reads."""
+    from batch_process_dpla_index_spark.products.snapshots import (
+        table_schema,
+        write_checkpoint,
+    )
+
+    root = str(tmp_path / "tbl")
+    old, new = _ev_frames(spark)
+    commit_append(old, root)  # v0
+    commit_append(new, root)  # v1 (evolved)
+    commit_overwrite(old, root)  # v2: evolution files now dead
+    write_checkpoint(root)  # sidecar prunes v0/v1 file schemas
+    rollback(root, 1)  # restore the evolved file set
+    merged = table_schema(root)
+    assert merged is not None, "rollback dropped recorded schemas"
+    assert [f.name for f in merged.fields] == ["k", "extra"]
+    assert read_snapshot(spark, root).columns == ["k", "extra"]
