@@ -296,6 +296,7 @@ def decayed_counts(
     ts_col: str = "ts",
     value_col: str = "value",
     half_life_days: float = 7.0,
+    per_key_reference: bool = False,
 ) -> DataFrame:
     """Per-key exponentially time-decayed activity: each event
     contributes ``2^(-age_days / half_life)`` weight, aged against the
@@ -313,11 +314,38 @@ def decayed_counts(
     NULL values contribute 0 to decayed_value but full weight to
     decayed_n. Returns (key, n_events, decayed_n, decayed_value)
     rounded 6.
+
+    ``per_key_reference=True`` ages each key against ITS OWN latest
+    event instead of the corpus max — the semantics an online
+    stateful stream can maintain (it never sees the corpus max), and
+    the batch twin `streaming/stateful.py:decayed_stream` is
+    convergence-tested against. Costs one per-key max window on the
+    same (key) partitioning the aggregate uses — still one exchange.
     """
     import math
 
     lam = math.log(2.0) / half_life_days
     dated = events.where(F.col(ts_col).isNotNull())
+    if per_key_reference:
+        ref_us = F.max(F.unix_micros(F.col(ts_col))).over(
+            Window.partitionBy(key_col)
+        )
+        dated = dated.withColumn("__t_ref_us", ref_us)
+        age_days = (
+            F.col("__t_ref_us") - F.unix_micros(F.col(ts_col))
+        ) / F.lit(86400.0e6)
+        w = F.exp(-F.lit(lam) * age_days)
+        return (
+            dated.groupBy(key_col)
+            .agg(
+                F.count("*").alias("n_events"),
+                F.round(F.sum(w), 6).alias("decayed_n"),
+                F.round(
+                    F.sum(w * F.coalesce(F.col(value_col), F.lit(0.0))), 6
+                ).alias("decayed_value"),
+            )
+            .orderBy(key_col)
+        )
     t_ref = dated.agg(F.max(ts_col).alias("__t_ref"))
     # exact integer microsecond epochs (unix_micros / DuckDB epoch_us):
     # the seconds-truncating unix_timestamp would round ages engine-

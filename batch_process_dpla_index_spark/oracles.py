@@ -2334,6 +2334,29 @@ def _pagerank_oracle(damping: float = 0.85, iterations: int = 8) -> str:
 
 ORACLE_PAGERANK = _pagerank_oracle()
 
+ORACLE_ER_CLUSTERS = f"""
+WITH RECURSIVE t AS (SELECT doc_id AS k, substring({_nrm('text')}, 1, 200) AS nm FROM documents),
+t2 AS (SELECT k, nm, substring(nm, 1, 1) AS b FROM t),
+w AS (SELECT k, nm, b,
+       {_SNM_LEADS}
+      FROM t2 WINDOW win AS (PARTITION BY b ORDER BY nm ASC, k ASC)),
+cand AS ({_SNM_SLOTS}),
+pairs AS (SELECT key_a, key_b FROM cand WHERE distance <= 8),
+edges AS (
+    SELECT key_a AS src, key_b AS dst FROM pairs
+    UNION
+    SELECT key_b AS src, key_a AS dst FROM pairs
+),
+reach(node, lab) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT e.src, r.lab FROM edges e JOIN reach r ON r.node = e.dst
+)
+SELECT node AS doc_id, min(lab) AS entity_id
+FROM reach GROUP BY node
+ORDER BY doc_id
+"""
+
 ORACLE_ROBUST_OUTLIERS = """
 WITH v AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
 med AS (SELECT event_type, quantile_cont(value, 0.5) AS med FROM v GROUP BY event_type),
@@ -2386,6 +2409,7 @@ ORACLES: dict[str, str] = {
     "heavy_hitters": ORACLE_HEAVY_HITTERS,
     "robust_outliers": ORACLE_ROBUST_OUTLIERS,
     "quantile_bins": ORACLE_QUANTILE_BINS,
+    "er_clusters": ORACLE_ER_CLUSTERS,
     "weighted_sample": ORACLE_WEIGHTED_SAMPLE,
     "session_paths": ORACLE_SESSION_PATHS,
     "nearest_purchase": ORACLE_NEAREST_PURCHASE,

@@ -2085,6 +2085,35 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(items, "item", k=20, capacity=400)
 
 
+def q_er_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution: blocked sorted-neighborhood
+    fuzzy pairs (operators/linkage.py) → connected components
+    (operators/dedup.py) → (doc_id, entity_id) for every matched
+    record. The composition the two operators exist for; the oracle
+    replays the SNM window AND the transitive closure recursively."""
+    from batch_process_dpla_index_spark.operators.dedup import (
+        carry_deps,
+        connected_components,
+    )
+    from batch_process_dpla_index_spark.operators.linkage import (
+        sorted_neighborhood_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    recs = docs.select(
+        "doc_id",
+        F.substring(normalize(F.col("text")), 1, 200).alias("prefix"),
+    )
+    pairs = sorted_neighborhood_pairs(
+        recs, "doc_id", "prefix", window=3, max_distance=8
+    )
+    labels = connected_components(pairs, "key_a", "key_b")
+    out = labels.select(
+        F.col("node").alias("doc_id"), F.col("cluster").alias("entity_id")
+    ).orderBy("doc_id")
+    return carry_deps(out, labels)
+
+
 def q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type robust outlier summary (median/MAD rule,
     k=3): the resistant alternative to the z-score gate
@@ -2155,6 +2184,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "heavy_hitters": q_heavy_hitters,
     "robust_outliers": q_robust_outliers,
     "quantile_bins": q_quantile_bins,
+    "er_clusters": q_er_clusters,
     # -- stalest re-verification set: last driver-green in round 4 --
     "exact_dedup": q_exact_dedup,
     "jaccard_pairs": q_jaccard_pairs,
@@ -2183,11 +2213,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "domain_cap": q_domain_cap,
     "lm_scores": q_lm_scores,
     "bm25_search": q_bm25_search,
-    "quality_gate": q_quality_gate,
     # ---- driver-window boundary (entry 50 above this line) ----
     # -- tail: hash-green in r4/r5, still oracle-verified every round
-    #    via tools/verify_local.py; the eight entries displaced by
+    #    via tools/verify_local.py; the nine entries displaced by
     #    this round's new queries lead the r7 rotation --
+    "quality_gate": q_quality_gate,
     "global_shuffle": q_global_shuffle,
     "doc_chunks": q_doc_chunks,
     "packed_bins": q_packed_bins,

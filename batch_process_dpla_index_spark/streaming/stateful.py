@@ -12,6 +12,10 @@ whose per-key state is a learned summary, not a counter.
   twin `operators/analytics.py:running_anomaly` (expanding-window,
   current-row-excluded). The batch form is the oracle-verified one;
   the stream is convergence-tested against it.
+- decayed_stream: per-key exponentially time-decayed totals with O(1)
+  state — the previous totals decay by exp(-lam·Δt) as each event
+  folds in, replaying to the batch twin
+  `operators/analytics.py:decayed_counts(per_key_reference=True)`.
 """
 
 from __future__ import annotations
@@ -87,3 +91,87 @@ def anomaly_stream(stream, threshold: float = 3.0, warmup: int = 5):
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+DECAY_STATE = "t_last_us BIGINT, dn DOUBLE, dv DOUBLE, n BIGINT"
+DECAY_OUTPUT = (
+    "user_id BIGINT, n_events BIGINT, decayed_n DOUBLE, decayed_value DOUBLE"
+)
+
+
+def decayed_stream(stream, half_life_days: float = 7.0):
+    """Per-key exponentially time-decayed activity, maintained ONLINE:
+    the streaming twin of
+    `operators/analytics.py:decayed_counts(per_key_reference=True)`.
+
+    State per key is O(1) — (t_last_us, decayed_n, decayed_value, n).
+    On each event the previous totals decay by
+    ``exp(-lam · Δt_since_last)`` and the event folds in with weight
+    1; because ``exp(-a)·exp(-b) == exp(-(a+b))`` up to FP, the
+    running totals equal the batch definition "every event weighted
+    by its age against the key's LATEST event" without ever
+    rescanning history. Emits one row per key per micro-batch with
+    the current totals (update mode — downstream keeps the latest).
+
+    Same ordering contract as `anomaly_stream`: rows are sorted by
+    (ts, event_id) within a micro-batch; cross-batch causality holds
+    for append-in-time-order streams. A late event older than the
+    key's last-seen timestamp still folds in correctly (its negative
+    Δt grows the factor — algebraically exact), but then the "latest
+    event" reference no longer advances monotonically; bound
+    lateness with a watermark upstream if the source can reorder.
+    """
+    import math
+
+    import pandas as pd
+
+    lam = math.log(2.0) / half_life_days
+
+    def update(key, pdfs, state):
+        t_last, dn, dv, n = (
+            state.get if state.exists else (None, 0.0, 0.0, 0)
+        )
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.dropna(subset=["ts"])
+        batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
+        # normalize to µs regardless of the Arrow-delivered resolution
+        # (datetime64[ns] would make a bare astype(int64) 1000× off)
+        ts_us = batch["ts"].astype("datetime64[us]").astype("int64")
+        vals = batch["value"]
+        for t, v in zip(ts_us, vals):
+            t = int(t)
+            if t_last is not None:
+                f = math.exp(-lam * ((t - t_last) / 86400.0e6))
+                dn *= f
+                dv *= f
+            dn += 1.0
+            dv += 0.0 if pd.isna(v) else float(v)
+            t_last = t
+            n += 1
+        state.update((t_last, float(dn), float(dv), int(n)))
+        yield pd.DataFrame(
+            {
+                "user_id": [int(key[0])],
+                "n_events": [int(n)],
+                "decayed_n": [_round6_top(dn)],
+                "decayed_value": [_round6_top(dv)],
+            }
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        DECAY_OUTPUT,
+        DECAY_STATE,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def _round6_top(x: float) -> float:
+    """Module-level twin of anomaly_stream's _round6 (HALF_UP like
+    Spark's F.round) for operators defined after it."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal("1e-6"), ROUND_HALF_UP))

@@ -342,3 +342,62 @@ def test_streaming_dedup_within_watermark_restamped_retries(spark, events_dir, t
     got = run_stream_to_batch(deduped, name, output_mode="append")
     assert got.count() == ev.count()
     assert got.select("event_id").distinct().count() == ev.count()
+
+
+def test_streaming_decayed_counts_matches_batch_twin(spark, tmp_path):
+    """The O(1)-state decayed counter
+    (`streaming/stateful.py:decayed_stream`) replays to the batch twin
+    `decayed_counts(per_key_reference=True)`: incrementally decaying
+    the running totals (product of exps) equals weighting every event
+    against the key's latest timestamp (exp of sums) up to FP, and
+    both sides round at 6."""
+    from batch_process_dpla_index_spark.operators.analytics import decayed_counts
+    from batch_process_dpla_index_spark.streaming.stateful import decayed_stream
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    src = str(tmp_path / "decay_src")
+    ev.orderBy("ts", "event_id").coalesce(1).write.parquet(src)
+    batch = spark.read.parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    name = f"dc_{uuid.uuid4().hex[:8]}"
+    got = run_stream_to_batch(decayed_stream(stream), name, output_mode="update")
+    want = decayed_counts(batch, per_key_reference=True)
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_streaming_decayed_state_carries_across_batches(spark, tmp_path):
+    """Two time-ordered micro-batches must produce the same final
+    totals as one: the state (t_last, dn, dv) is the whole history."""
+    import datetime as dtm
+
+    from batch_process_dpla_index_spark.operators.analytics import decayed_counts
+    from batch_process_dpla_index_spark.streaming.stateful import decayed_stream
+
+    t0 = dtm.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + dtm.timedelta(days=i), 7, float(i)) for i in range(10)
+    ]
+    df = spark.createDataFrame(
+        rows, schema="event_id long, ts timestamp, user_id long, value double"
+    )
+    src = str(tmp_path / "two_batches")
+    # two files in time order -> AvailableNow replays them as separate
+    # micro-batches (maxFilesPerTrigger=1)
+    df.where("event_id < 5").coalesce(1).write.parquet(src + "/p1")
+    df.where("event_id >= 5").coalesce(1).write.parquet(src + "/p2")
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/p*")
+    )
+    name = f"dc2_{uuid.uuid4().hex[:8]}"
+    got = run_stream_to_batch(decayed_stream(stream), name, output_mode="update")
+    # update mode: one emission per micro-batch that touched the key;
+    # the final state is the row with the max n_events
+    final = got.orderBy(F.col("n_events").desc()).limit(1)
+    want = decayed_counts(df, per_key_reference=True)
+    assert final.exceptAll(want).count() == 0
+    assert final.collect()[0]["n_events"] == 10
