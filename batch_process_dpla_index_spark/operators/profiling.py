@@ -171,8 +171,16 @@ def robust_outliers(
 
     # both the filtered base and the deviation frame feed two subtrees
     # each (median + deviations; MAD + flags) — persist per the repo's
-    # consumed-twice discipline, released by the caller's unpersist_deps
-    base = df.where(F.col(value_col).isNotNull()).persist()
+    # consumed-twice discipline, released by the caller's
+    # unpersist_deps. Project to the two live columns FIRST: a cache
+    # materializes its plan's full output (pruning does not reach
+    # through InMemoryRelation), and pinning every column of a 100 TB
+    # table to save a two-column re-scan is the wrong trade
+    base = (
+        df.select(key_col, value_col)
+        .where(F.col(value_col).isNotNull())
+        .persist()
+    )
     med = base.groupBy(key_col).agg(
         F.expr(f"percentile({value_col}, 0.5)").alias("med")
     )

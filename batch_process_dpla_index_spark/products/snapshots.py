@@ -208,7 +208,7 @@ def write_checkpoint(root: str) -> int:
         if sj is not None:
             for f in e["add"]:
                 schemas[f] = sj
-        for f, s in e.get("params", {}).get("__schemas", {}).items():
+        for f, s in _pairs(e.get("params", {}).get("__schemas", [])):
             schemas[f] = s
         b = e.get("params", {}).get("stream_batch_id")
         if b is not None:
@@ -782,11 +782,26 @@ def _file_schemas_at(root: str, version: int | None) -> dict[str, str]:
         if sj is not None:
             for f in entry["add"]:
                 out[f] = sj
-        # per-file map (rollback re-adds files whose original commits
-        # may sit below a checkpoint that pruned them)
-        for f, s in entry.get("params", {}).get("__schemas", {}).items():
+        # per-file pair list (rollback re-adds files whose original
+        # commits may sit below a checkpoint that pruned them); an
+        # ordered LIST because _commit dumps entries sort_keys=True,
+        # which would scramble a dict's commit order
+        for f, s in _pairs(entry.get("params", {}).get("__schemas", [])):
             out[f] = s
-    return out
+    # normalize EVERY resolved schema through the canonicalizer: log
+    # entries written before nullability normalization carry raw
+    # jsonValue forms, and comparing those against canonical ones
+    # would read a nullable-only difference as a schema change
+    return {
+        f: json.dumps(_canon_dt(json.loads(s)), sort_keys=True)
+        for f, s in out.items()
+    }
+
+
+def _pairs(v):
+    """Items of an ordered [[k, v], ...] pair list, tolerating the
+    dict form older entries may carry."""
+    return v.items() if isinstance(v, dict) else v
 
 
 def table_schema(root: str, version: int | None = None):
@@ -985,11 +1000,23 @@ def rollback(root: str, version: int) -> int:
     # re-record the restored files' schemas AT the rollback entry: a
     # checkpoint written after their removal prunes them from the
     # sidecar, and without this the re-added files would resolve to no
-    # schema — silently demoting an evolved table to footer inference
+    # schema — silently demoting an evolved table to footer inference.
+    # Ordered pair list in the ORIGINAL commit order (iterate the
+    # resolution map, which preserves it — `add` is filename-sorted
+    # and would scramble merged-column order), because _commit dumps
+    # params sort_keys=True and a dict would come back key-sorted.
     known = _file_schemas_at(root, version)
-    restored = {f: known[f] for f in add if f in known}
+    add_set = set(add)
+    restored = [[f, s] for f, s in known.items() if f in add_set]
     if restored:
         params["__schemas"] = restored
+    # same re-record for zone-map stats: without it, restored files
+    # resolve no stats and every read of the restored version scans
+    # them all — a silent loss of the advertised data skipping
+    known_stats = _file_stats_at(root, version)
+    restored_stats = {f: known_stats[f] for f in add if f in known_stats}
+    if restored_stats:
+        params["__stats"] = restored_stats
     return _commit(root, "rollback", add, remove, params)
 
 

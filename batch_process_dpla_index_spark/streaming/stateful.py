@@ -76,7 +76,9 @@ def anomaly_stream(stream, threshold: float = 3.0, warmup: int = 5):
         yield pd.DataFrame(
             {
                 "event_id": ids,
-                "user_id": [int(key[0])] * len(ids),
+                # NULL keys are legal (the batch twin groups them) and
+                # arrive as None OR NaN
+                "user_id": [None if pd.isna(key[0]) else int(key[0])] * len(ids),
                 "zscore": pd.array(zs, dtype="float64"),
                 "is_anomaly": flags,
             }
@@ -133,6 +135,12 @@ def decayed_stream(stream, half_life_days: float = 7.0):
         )
         batch = pd.concat(list(pdfs), ignore_index=True)
         batch = batch.dropna(subset=["ts"])
+        if batch.empty and not state.exists:
+            # a key whose rows were ALL undatable: the batch twin
+            # (which filters ts IS NOT NULL before grouping) emits no
+            # row for it — emitting a zero row (and creating state)
+            # here would diverge from the convergence contract
+            return
         batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
         # normalize to µs regardless of the Arrow-delivered resolution
         # (datetime64[ns] would make a bare astype(int64) 1000× off)
@@ -151,7 +159,10 @@ def decayed_stream(stream, half_life_days: float = 7.0):
         state.update((t_last, float(dn), float(dv), int(n)))
         yield pd.DataFrame(
             {
-                "user_id": [int(key[0])],
+                # NULL keys are legal (the batch twin groups them) and
+                # arrive as None OR NaN; int() on either would abort
+                # the whole query
+                "user_id": [None if pd.isna(key[0]) else int(key[0])],
                 "n_events": [int(n)],
                 "decayed_n": [_round6_top(dn)],
                 "decayed_value": [_round6_top(dv)],

@@ -401,3 +401,31 @@ def test_streaming_decayed_state_carries_across_batches(spark, tmp_path):
     want = decayed_counts(df, per_key_reference=True)
     assert final.exceptAll(want).count() == 0
     assert final.collect()[0]["n_events"] == 10
+
+
+def test_streaming_decayed_skips_undatable_only_keys(spark, tmp_path):
+    """A key whose rows ALL have NULL ts must produce NO row (the
+    batch twin filters them before grouping) — and a NULL user_id
+    must not crash the Python worker."""
+    import datetime as dtm
+
+    from batch_process_dpla_index_spark.streaming.stateful import decayed_stream
+
+    t0 = dtm.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (1, t0, 7, 1.0),
+            (2, None, 8, 5.0),  # undatable-only key: no output row
+            (3, t0, None, 2.0),  # NULL key: grouped, not crashed
+        ],
+        schema="event_id long, ts timestamp, user_id long, value double",
+    )
+    src = str(tmp_path / "nulls_src")
+    df.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    name = f"dn_{uuid.uuid4().hex[:8]}"
+    got = run_stream_to_batch(decayed_stream(stream), name, output_mode="update")
+    rows = {r["user_id"]: r for r in got.collect()}
+    assert 8 not in rows
+    assert rows[7]["n_events"] == 1
+    assert None in rows and rows[None]["n_events"] == 1
