@@ -1328,6 +1328,90 @@ GROUP BY vec_id
 ORACLE_PQ_ENCODE = _pq_encode_oracle()
 
 
+def _pq_topk_oracle(
+    m: int = 8, k_sub: int = 16, dsub: int = 8, k: int = 5, nq: int = 25
+) -> str:
+    """Replays the full ADC serve path of `quantization.pq_topk` over
+    the pinned codebook: corpus encode-argmin (as in ORACLE_PQ_ENCODE),
+    per-query subspace distance tables, and the gather-sum — with BOTH
+    float reductions written as the exact 8-leaf TREE numpy's pairwise
+    summation performs for length-8 axes (((t0+t1)+(t2+t3)) +
+    ((t4+t5)+(t6+t7))), so raw distances are bit-identical and the
+    raw-distance ranking (neighbor-id tie-break, the similarity-family
+    convention) cannot flip cross-engine."""
+
+    def book(j: int, c: int, d: int) -> float:
+        return _h60_unit(f"pq:{j}:{c}:{d}")
+
+    def tree(terms: list[str]) -> str:
+        assert len(terms) == 8
+        return (
+            f"(({terms[0]} + {terms[1]}) + ({terms[2]} + {terms[3]})) + "
+            f"(({terms[4]} + {terms[5]}) + ({terms[6]} + {terms[7]}))"
+        )
+
+    def dist_expr(col: str, j: int, c: int) -> str:
+        terms = []
+        for d in range(dsub):
+            idx = j * dsub + d + 1  # 1-based list index
+            b = repr(book(j, c, d))
+            terms.append(
+                f"((CAST({col}[{idx}] AS DOUBLE) - ({b}))"
+                f" * (CAST({col}[{idx}] AS DOUBLE) - ({b})))"
+            )
+        return tree(terms)
+
+    corpus_dists = "\n    UNION ALL\n    ".join(
+        f"SELECT vec_id, {j} AS j, {c} AS c, "
+        f"{dist_expr('embedding', j, c)} AS dist FROM embeddings"
+        for j in range(m)
+        for c in range(k_sub)
+    )
+    qt_dists = "\n    UNION ALL\n    ".join(
+        f"SELECT qid, {j} AS j, {c} AS c, "
+        f"{dist_expr('embedding', j, c)} AS tdist FROM q"
+        for j in range(m)
+        for c in range(k_sub)
+    )
+    lsum = tree([f"l[{i + 1}]" for i in range(m)])
+    return f"""
+WITH dists AS (
+    {corpus_dists}
+), best AS (
+    SELECT vec_id, j, code FROM (
+        SELECT vec_id, j, c AS code,
+               row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, c) AS rn
+        FROM dists)
+    WHERE rn = 1
+), q AS (
+    SELECT vec_id AS qid, embedding FROM embeddings ORDER BY vec_id LIMIT {nq}
+), qt AS (
+    {qt_dists}
+), pair AS (
+    SELECT t.qid AS query_id, b.vec_id AS neighbor_id, t.j, t.tdist
+    FROM best b JOIN qt t ON t.j = b.j AND t.c = b.code
+    WHERE b.vec_id <> t.qid
+), agg AS (
+    SELECT query_id, neighbor_id, list(tdist ORDER BY j) AS l
+    FROM pair GROUP BY query_id, neighbor_id
+), scored AS (
+    SELECT query_id, neighbor_id, {lsum} AS raw FROM agg
+), ranked AS (
+    SELECT query_id, neighbor_id, raw,
+           CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY raw ASC, neighbor_id ASC
+           ) AS INTEGER) AS rnk
+    FROM scored
+)
+SELECT query_id, neighbor_id, round(raw, 6) AS dist2, rnk
+FROM ranked WHERE rnk <= {k}
+ORDER BY query_id, rnk
+"""
+
+
+ORACLE_PQ_TOPK = _pq_topk_oracle()
+
+
 def _semdedup_oracle(
     k: int = 8, n_iter: int = 3, grid: int = 10**6, threshold: float = 0.3
 ) -> str:
@@ -2410,6 +2494,7 @@ ORACLES: dict[str, str] = {
     "robust_outliers": ORACLE_ROBUST_OUTLIERS,
     "quantile_bins": ORACLE_QUANTILE_BINS,
     "er_clusters": ORACLE_ER_CLUSTERS,
+    "pq_topk": ORACLE_PQ_TOPK,
     "weighted_sample": ORACLE_WEIGHTED_SAMPLE,
     "session_paths": ORACLE_SESSION_PATHS,
     "nearest_purchase": ORACLE_NEAREST_PURCHASE,

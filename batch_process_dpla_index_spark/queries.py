@@ -1100,21 +1100,25 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ANN: train m=8 sub-codebooks (grouped
-    Lloyd's — one aggregate per iteration for ALL subspaces), encode
-    the corpus to 8 int codes/vector, score 25 queries by ADC lookup
-    tables. Rows-only driver check (float k-means has no cross-engine
-    oracle); recall-vs-exact and determinism are pytest-pinned. At
-    scale: train on a hash-sample, encode everything — pq_train takes
-    any DataFrame, so the sample IS the caller's choice."""
+    """Product-quantization ANN serve path, now FULLY hash-verified:
+    encode the corpus against the PINNED deterministic codebook (the
+    pq_encode scheme) and score 25 queries by ADC lookup tables. The
+    oracle replays encode-argmin AND the ADC gather-sum with the same
+    floating-point association numpy's pairwise reduction uses
+    (8-leaf tree), ranking on the raw distance with the neighbor-id
+    tie-break — so every emitted (query, neighbor, dist², rank) is
+    value-exact cross-engine. Float k-means TRAINING (pq_train)
+    remains exercised by `product_ann_index` and pytest
+    (recall-vs-exact + determinism pins); the registry query pins the
+    codebook precisely so the serve path stops being the one
+    rows-only entry."""
     from batch_process_dpla_index_spark.operators.quantization import (
+        pq_pinned_codebooks,
         pq_topk,
-        pq_train,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    books = pq_train(emb, dim=64, m=8, k=16, n_iter=2)
-    return pq_topk(emb, books, k=5, n_queries=25)
+    return pq_topk(emb, pq_pinned_codebooks(), k=5, n_queries=25)
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1299,9 +1303,9 @@ def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     (h60-literal scheme — no float training in the loop) and emit the
     ADC reconstruction error Σⱼ ‖xⱼ − cⱼ‖². This isolates the exact,
     SQL-expressible core of the PQ pipeline (slicing, argmin code
-    assignment, table-gather distance) from the float k-means training
-    that keeps `pq_topk` rows-only. One narrow Arrow pass, no
-    shuffle. The m sub-codes are emitted as a single ','-joined string
+    assignment, table-gather distance) from float k-means training —
+    the same pinned scheme `pq_topk`'s full ADC serve path now
+    verifies against too. One narrow Arrow pass, no shuffle. The m sub-codes are emitted as a single ','-joined string
     (`codes_csv`) — the driver's pandas canonicalizer hashes result
     values and cannot hash Python lists, so registry queries must emit
     scalar columns only (the operator itself keeps the array<int>
