@@ -1281,31 +1281,50 @@ FROM final GROUP BY cell""")
 ORACLE_KMEANS_CELLS = _kmeans_oracle()
 
 
+# --- shared PQ oracle helpers: the pinned codebook literals and the
+# distance expression with numpy's EXACT float association. numpy's
+# pairwise summation reduces a length-8 axis as the 8-leaf tree
+# ((t0+t1)+(t2+t3)) + ((t4+t5)+(t6+t7)) — writing the SQL in any other
+# association (e.g. a left-to-right '+' chain) leaves ~1-ulp drift
+# that can flip an unrounded argmin tie-break or top-k rank.
+
+
+def _pq_book(j: int, c: int, d: int) -> float:
+    return _h60_unit(f"pq:{j}:{c}:{d}")
+
+
+def _pq_tree8(terms: list[str]) -> str:
+    assert len(terms) == 8
+    return (
+        f"(({terms[0]} + {terms[1]}) + ({terms[2]} + {terms[3]})) + "
+        f"(({terms[4]} + {terms[5]}) + ({terms[6]} + {terms[7]}))"
+    )
+
+
+def _pq_dist_expr(col: str, j: int, c: int, dsub: int = 8) -> str:
+    terms = []
+    for d in range(dsub):
+        idx = j * dsub + d + 1  # 1-based list index
+        b = repr(_pq_book(j, c, d))
+        terms.append(
+            f"((CAST({col}[{idx}] AS DOUBLE) - ({b}))"
+            f" * (CAST({col}[{idx}] AS DOUBLE) - ({b})))"
+        )
+    return _pq_tree8(terms)
+
+
 def _pq_encode_oracle(m: int = 8, k: int = 16, dsub: int = 8) -> str:
     """Replays PQ encoding against the same pinned h60-literal codebook
     `quantization.pq_pinned_codebooks` builds: for every (subspace j,
-    code c) a distance expression over the 8 sliced components, argmin
-    per (vec, j) with the lowest-code tie-break, codes assembled in
-    subspace order as a ','-joined string (scalar — the driver's
-    canonicalizer cannot hash list columns), recon_err = Σⱼ best
-    distance (rounded 6 in both engines)."""
-
-    def book(j: int, c: int, d: int) -> float:
-        return _h60_unit(f"pq:{j}:{c}:{d}")
-
-    def dist_expr(j: int, c: int) -> str:
-        terms = []
-        for d in range(dsub):
-            idx = j * dsub + d + 1  # 1-based list index
-            b = repr(book(j, c, d))
-            terms.append(
-                f"(CAST(embedding[{idx}] AS DOUBLE) - ({b}))"
-                f" * (CAST(embedding[{idx}] AS DOUBLE) - ({b}))"
-            )
-        return " + ".join(terms)
-
+    code c) a distance expression over the 8 sliced components (in
+    numpy's tree association — see `_pq_tree8`), argmin per (vec, j)
+    with the lowest-code tie-break, codes assembled in subspace order
+    as a ','-joined string (scalar — the driver's canonicalizer cannot
+    hash list columns), recon_err = Σⱼ best distance (rounded 6 in
+    both engines)."""
     selects = "\n    UNION ALL\n    ".join(
-        f"SELECT vec_id, {j} AS j, {c} AS c, {dist_expr(j, c)} AS dist FROM embeddings"
+        f"SELECT vec_id, {j} AS j, {c} AS c, "
+        f"{_pq_dist_expr('embedding', j, c, dsub)} AS dist FROM embeddings"
         for j in range(m)
         for c in range(k)
     )
@@ -1339,41 +1358,19 @@ def _pq_topk_oracle(
     ((t4+t5)+(t6+t7))), so raw distances are bit-identical and the
     raw-distance ranking (neighbor-id tie-break, the similarity-family
     convention) cannot flip cross-engine."""
-
-    def book(j: int, c: int, d: int) -> float:
-        return _h60_unit(f"pq:{j}:{c}:{d}")
-
-    def tree(terms: list[str]) -> str:
-        assert len(terms) == 8
-        return (
-            f"(({terms[0]} + {terms[1]}) + ({terms[2]} + {terms[3]})) + "
-            f"(({terms[4]} + {terms[5]}) + ({terms[6]} + {terms[7]}))"
-        )
-
-    def dist_expr(col: str, j: int, c: int) -> str:
-        terms = []
-        for d in range(dsub):
-            idx = j * dsub + d + 1  # 1-based list index
-            b = repr(book(j, c, d))
-            terms.append(
-                f"((CAST({col}[{idx}] AS DOUBLE) - ({b}))"
-                f" * (CAST({col}[{idx}] AS DOUBLE) - ({b})))"
-            )
-        return tree(terms)
-
     corpus_dists = "\n    UNION ALL\n    ".join(
         f"SELECT vec_id, {j} AS j, {c} AS c, "
-        f"{dist_expr('embedding', j, c)} AS dist FROM embeddings"
+        f"{_pq_dist_expr('embedding', j, c, dsub)} AS dist FROM embeddings"
         for j in range(m)
         for c in range(k_sub)
     )
     qt_dists = "\n    UNION ALL\n    ".join(
         f"SELECT qid, {j} AS j, {c} AS c, "
-        f"{dist_expr('embedding', j, c)} AS tdist FROM q"
+        f"{_pq_dist_expr('embedding', j, c, dsub)} AS tdist FROM q"
         for j in range(m)
         for c in range(k_sub)
     )
-    lsum = tree([f"l[{i + 1}]" for i in range(m)])
+    lsum = _pq_tree8([f"l[{i + 1}]" for i in range(m)])
     return f"""
 WITH dists AS (
     {corpus_dists}

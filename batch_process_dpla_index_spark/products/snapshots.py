@@ -791,11 +791,21 @@ def _file_schemas_at(root: str, version: int | None) -> dict[str, str]:
     # normalize EVERY resolved schema through the canonicalizer: log
     # entries written before nullability normalization carry raw
     # jsonValue forms, and comparing those against canonical ones
-    # would read a nullable-only difference as a schema change
-    return {
-        f: json.dumps(_canon_dt(json.loads(s)), sort_keys=True)
-        for f, s in out.items()
-    }
+    # would read a nullable-only difference as a schema change.
+    # Memoized per distinct input string — thousands of files share a
+    # handful of schemas, and this runs on the read/commit hot path.
+    return {f: _canon_cached(s) for f, s in out.items()}
+
+
+_CANON_CACHE: dict[str, str] = {}
+
+
+def _canon_cached(s: str) -> str:
+    c = _CANON_CACHE.get(s)
+    if c is None:
+        c = json.dumps(_canon_dt(json.loads(s)), sort_keys=True)
+        _CANON_CACHE[s] = c
+    return c
 
 
 def _pairs(v):
@@ -1005,6 +1015,12 @@ def rollback(root: str, version: int) -> int:
     # resolution map, which preserves it — `add` is filename-sorted
     # and would scramble merged-column order), because _commit dumps
     # params sort_keys=True and a dict would come back key-sorted.
+    # Known limit: when the restore MIXES still-live files (which keep
+    # their original map position) with re-added ones (which resolve
+    # at this entry), the merged-schema COLUMN ORDER of the restored
+    # version can differ from reading the target version directly —
+    # the column SET and types are exact either way; order-sensitive
+    # consumers should select by name.
     known = _file_schemas_at(root, version)
     add_set = set(add)
     restored = [[f, s] for f, s in known.items() if f in add_set]

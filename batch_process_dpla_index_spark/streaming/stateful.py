@@ -53,7 +53,13 @@ def anomaly_stream(stream, threshold: float = 3.0, warmup: int = 5):
         n, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
         ids, zs, flags = [], [], []
         batch = pd.concat(list(pdfs), ignore_index=True)
-        batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
+        # NULLS FIRST to mirror the batch twin's window ordering
+        # (Spark ASC NULLS FIRST); pandas defaults NaT LAST, which
+        # would fold undatable events in a different position and
+        # diverge every later score for the key
+        batch = batch.sort_values(
+            ["ts", "event_id"], kind="mergesort", na_position="first"
+        )
         for eid, v in zip(batch["event_id"], batch["value"]):
             v = float(v)
             std = math.sqrt(m2 / n) if n > 0 else 0.0
