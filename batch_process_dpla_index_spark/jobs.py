@@ -90,6 +90,14 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("parquet_path")
     s.add_argument("out_dir")
     s.add_argument("--name", default="corpus")
+    s = sub.add_parser("profile")
+    s.add_argument("parquet_path")
+    s.add_argument("--out-csv", help="write the profile as a header CSV")
+    s.add_argument(
+        "--approx", action="store_true",
+        help="approx_count_distinct instead of the exact distinct expand "
+             "(the 100 TB path)",
+    )
     s = sub.add_parser("snapshot")
     s.add_argument(
         "action",
@@ -268,6 +276,30 @@ def main(argv: list[str] | None = None) -> int:
                 name=args.name,
             )
             print(f"Dataset card written to {path}")
+        elif args.job == "profile":
+            from batch_process_dpla_index_spark.operators.profiling import (
+                column_profile,
+            )
+
+            prof = column_profile(
+                spark.read.parquet(args.parquet_path),
+                exact_distinct=not args.approx,
+            )
+            if args.out_csv:
+                from batch_process_dpla_index_spark.io.sinks import (
+                    write_csv_single,
+                )
+
+                write_csv_single(prof, args.out_csv)
+                print(f"Profile written to {args.out_csv}")
+            else:
+                for r in prof.collect():
+                    print(
+                        f"{r['col_name']}: rows={r['n_rows']} "
+                        f"nulls={r['n_nulls']} distinct={r['n_distinct']} "
+                        f"num=[{r['min_num']}, {r['max_num']}] "
+                        f"str=[{r['min_str']}, {r['max_str']}]"
+                    )
         elif args.job == "snapshot":
             from batch_process_dpla_index_spark.products import snapshots
 

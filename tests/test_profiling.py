@@ -361,3 +361,32 @@ def test_connected_components_releases_checkpoint_storage(spark):
     assert len(leaked) <= 1
     unpersist_deps(labels)
     assert set(dict(sc._jsc.getPersistentRDDs())) - before == set()
+
+
+def test_profile_cli(spark, tmp_path, capsys):
+    """`jobs.py profile` end to end: stdout report and the single-file
+    header CSV, exact and approx paths."""
+    import csv
+
+    from batch_process_dpla_index_spark import jobs
+
+    src = str(tmp_path / "t.parquet")
+    spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("m")
+    ).write.parquet(src)
+
+    assert jobs.main(["profile", src]) == 0
+    out = capsys.readouterr().out
+    assert "k: rows=100 nulls=0 distinct=100" in out
+    assert "m: rows=100 nulls=0 distinct=7" in out
+
+    out_csv = str(tmp_path / "prof.csv")
+    assert jobs.main(["profile", src, "--out-csv", out_csv, "--approx"]) == 0
+    import glob
+
+    parts = glob.glob(out_csv + "/part-*.csv")
+    assert len(parts) == 1  # coalesce(1): one part file
+    with open(parts[0], newline="", encoding="utf-8") as fh:
+        rows = {r["col_name"]: r for r in csv.DictReader(fh)}
+    assert set(rows) == {"k", "m"}
+    assert abs(int(rows["m"]["n_distinct"]) - 7) <= 1  # HLL tolerance
