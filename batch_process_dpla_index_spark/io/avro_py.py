@@ -676,7 +676,9 @@ def write_avro_py(df: DataFrame, path: str, overwrite: bool = True,
         yield pa.RecordBatch.from_pydict({"path": [full], "n": [n]})
 
     committed = df.mapInArrow(_write, "path string, n bigint").collect()
-    for leftover in _glob.glob(os.path.join(path, f"*.{job_tag}-a*._tmp")):
+    for leftover in _glob.glob(
+        os.path.join(_glob.escape(path), f"*.{job_tag}-a*._tmp")
+    ):
         try:  # failed-then-retried attempts leave their own tmp files
             os.remove(leftover)
         except OSError:

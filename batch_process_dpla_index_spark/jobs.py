@@ -12,6 +12,7 @@ plus the monthly-batch sequencer (monthly_batch_emr.sh:41-111)::
     python -m batch_process_dpla_index_spark.jobs schema-repair <in_path> <out_path>
     python -m batch_process_dpla_index_spark.jobs schema-test <in_root> <out_dir>
     python -m batch_process_dpla_index_spark.jobs monthly-batch <in_root> <out_root> [url_prefix]
+    python -m batch_process_dpla_index_spark.jobs thumbnail-purge <in_path> <bucket_root> [--uri-col C] [--batch N]
     python -m batch_process_dpla_index_spark.jobs training-export <docs_parquet> <out_dir> [--seed S] [--shards N] [--no-gate] [--sentence-dedup] [--mixture lang:en=0.5,de=0.5:10000]
     python -m batch_process_dpla_index_spark.jobs dedup-index build|query|append <docs_parquet> <index_dir> [--threshold T]
     python -m batch_process_dpla_index_spark.jobs ann-index build|query <vectors_parquet> <index_dir> [--cells N] [--k K] [--probe P]
@@ -86,6 +87,11 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("src")
     s.add_argument("dst")
     s.add_argument("--target-mb", type=int, default=128)
+    s = sub.add_parser("thumbnail-purge")
+    s.add_argument("in_path")
+    s.add_argument("bucket_root")
+    s.add_argument("--uri-col", default="dplaUri")
+    s.add_argument("--batch", type=int, default=1000)
     s = sub.add_parser("dataset-card")
     s.add_argument("parquet_path")
     s.add_argument("out_dir")
@@ -266,6 +272,24 @@ def main(argv: list[str] | None = None) -> int:
                 f"Compacted {res['n_files_in']} files -> {res['n_bins']} "
                 f"({res['n_rows']} rows) at {args.dst}"
             )
+        elif args.job == "thumbnail-purge":
+            # ThumbnailPurge.scala:41-53 (args: item path, bucket);
+            # deletion routed through the fs carrier for the bucket's
+            # scheme, ids streamed via toLocalIterator
+            from batch_process_dpla_index_spark.io.fs import get_fs, strip_scheme
+            from batch_process_dpla_index_spark.products import thumbnail_purge
+
+            items = spark.read.parquet(args.in_path)
+            fs = get_fs(args.bucket_root)
+            root = strip_scheme(args.bucket_root).rstrip("/")
+
+            def _delete(keys: list[str]) -> None:
+                fs.purge([f"{root}/{k}" for k in keys], batch=args.batch)
+
+            n = thumbnail_purge.execute(
+                spark, items, _delete, uri_col=args.uri_col, batch=args.batch
+            )
+            print(f"Purged {n} thumbnail keys under {args.bucket_root}")
         elif args.job == "dataset-card":
             from batch_process_dpla_index_spark.products.dataset_card import (
                 build_dataset_card,

@@ -366,3 +366,63 @@ def decayed_counts(
         )
         .orderBy(key_col)
     )
+
+
+def skipgram_cooc(
+    docs: DataFrame,
+    tokens_col,
+    max_skip: int = 4,
+    min_count: int = 2,
+) -> DataFrame:
+    """Skip-gram co-occurrence counts: how often two words appear
+    within ``max_skip`` positions of each other — the context-pair
+    statistic that feeds word2vec/GloVe-style embedding training.
+
+    ``tokens_col`` is a Column of array<string> (pre-tokenized).
+    Pairs are UNORDERED ((a,b) ≡ (b,a), canonicalized a <= b) and
+    counted with multiplicity; self-pairs (repeated word within the
+    window) are dropped.
+
+    Scale shape: pair generation is a pure per-row expression —
+    nested `transform` over the token array flattened once — so the
+    corpus scan produces (w_a, w_b) rows with NO join and NO window;
+    the only shuffle is the final hash aggregate on the pair key,
+    with map-side partial aggregation collapsing each partition's
+    repeats first. A position self-join (the naive formulation) would
+    shuffle the exploded corpus twice and break at 100 TB.
+    """
+    toks = tokens_col.alias("__toks")
+    pair_structs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size("__toks"), F.lit(1))),
+            lambda i: F.transform(
+                # j in [i+1, min(i+max_skip, n)]; empty sequence guard
+                # via sequence(a, b) with b < a is invalid -> filter
+                F.filter(
+                    F.sequence(
+                        F.lit(1), F.lit(max_skip)
+                    ),
+                    lambda d: i + d <= F.size("__toks"),
+                ),
+                lambda d: F.struct(
+                    F.element_at("__toks", i).alias("wi"),
+                    F.element_at("__toks", i + d).alias("wj"),
+                ),
+            ),
+        )
+    )
+    pairs = (
+        docs.select(toks)
+        .where(F.size("__toks") >= 2)
+        .select(F.explode(pair_structs).alias("p"))
+        .select(
+            F.least("p.wi", "p.wj").alias("w_a"),
+            F.greatest("p.wi", "p.wj").alias("w_b"),
+        )
+        .where(F.col("w_a") != F.col("w_b"))
+    )
+    return (
+        pairs.groupBy("w_a", "w_b")
+        .agg(F.count("*").alias("n_cooc"))
+        .where(F.col("n_cooc") >= min_count)
+    )

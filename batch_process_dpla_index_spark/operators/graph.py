@@ -91,6 +91,11 @@ def pagerank(
         .persist()
     )
     n_nodes = nodes.count()
+    if n_nodes == 0:
+        # loud contract error, not a ZeroDivisionError two jobs later
+        norm.unpersist()
+        nodes.unpersist()
+        raise ValueError("pagerank: empty edge list (no nodes to rank)")
     src_nodes = norm.select("src").distinct().persist()
     dangling_nodes = nodes.join(
         src_nodes, nodes["node"] == src_nodes["src"], "left_anti"

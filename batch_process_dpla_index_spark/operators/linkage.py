@@ -96,8 +96,58 @@ def sorted_neighborhood_pairs(
             "text_a",
             F.col("nb.text_b").alias("text_b"),
         )
-        .where(F.col("key_b").isNotNull())
+        .where(F.col("key_b").isNotNull() & F.col("text_b").isNotNull())
         .withColumn("distance", F.levenshtein("text_a", "text_b"))
         .where(F.col("distance") <= max_distance)
     )
     return pairs.orderBy("key_a", "key_b")
+
+
+def multipass_snm_pairs(
+    df: DataFrame,
+    key_col: str,
+    text_col: str,
+    window: int = 3,
+    max_distance: int = 3,
+) -> DataFrame:
+    """Two-pass sorted-neighborhood match: the documented escape for
+    single-pass SNM's blocking blind spot (pairs whose members differ
+    in the FIRST character never share a block, so the forward pass
+    cannot reach them — see the module docstring).
+
+    Pass 1 is the forward pass (block/sort on ``text_col``); pass 2
+    blocks and sorts on the REVERSED text, catching leading-character
+    typos (Levenshtein is reversal-invariant, so the distance computed
+    on reversed strings equals the true distance). Pair sets from the
+    two passes overlap heavily; pairs are canonicalized to
+    ``key_a < key_b`` and deduplicated with one hash aggregate.
+
+    Returns (key_a, key_b, distance) ordered (key_a, key_b). Cost:
+    2 × (one hash exchange + one per-block window) + one dedup
+    aggregate on the tiny pair set — still O(n·w) comparisons, never
+    all-pairs.
+    """
+    fwd = sorted_neighborhood_pairs(
+        df, key_col, text_col, window=window, max_distance=max_distance
+    )
+    rev_in = df.select(
+        F.col(key_col), F.reverse(F.col(text_col)).alias(text_col)
+    )
+    rev = sorted_neighborhood_pairs(
+        rev_in, key_col, text_col, window=window, max_distance=max_distance
+    )
+    both = fwd.select("key_a", "key_b", "distance").unionAll(
+        rev.select("key_a", "key_b", "distance")
+    )
+    canon = both.select(
+        F.least("key_a", "key_b").alias("key_a"),
+        F.greatest("key_a", "key_b").alias("key_b"),
+        "distance",
+    )
+    # the two passes compute the identical distance for a shared pair;
+    # min() is just the dedup fold
+    return (
+        canon.groupBy("key_a", "key_b")
+        .agg(F.min("distance").alias("distance"))
+        .orderBy("key_a", "key_b")
+    )

@@ -233,6 +233,8 @@ def quantile_bins(
 
     Returns (bin, n, mean_value) rounded 6 for bins 1..n_bins.
     """
+    if n_bins < 2:
+        raise ValueError(f"quantile_bins: n_bins must be >= 2, got {n_bins}")
     ps = [i / n_bins for i in range(1, n_bins)]
     edges = df.agg(
         *[

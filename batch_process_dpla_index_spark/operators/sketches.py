@@ -56,6 +56,8 @@ def mg_summaries(
     ``n_partition/(capacity+1)``.
     """
     cap = int(capacity)
+    if cap < 1:
+        raise ValueError(f"mg_summaries: capacity must be >= 1, got {capacity}")
 
     def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict[str, int] = {}
@@ -105,6 +107,12 @@ def heavy_hitters(
     aggregates (N, g_k) and one ≤capacity-row candidate collect —
     never O(distinct).
     """
+    if k < 1:
+        raise ValueError(f"heavy_hitters: k must be >= 1, got {k}")
+    if capacity < 1:
+        raise ValueError(
+            f"heavy_hitters: capacity must be >= 1, got {capacity}"
+        )
     items = items.where(F.col(item_col).isNotNull()).persist()
     summary = mg_summaries(items, item_col, capacity).persist()
 

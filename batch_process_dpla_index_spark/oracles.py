@@ -1555,6 +1555,59 @@ SELECT node AS doc_id, min(lab) AS cluster
 FROM reach GROUP BY node
 """
 
+# Representative pick per near-dup cluster (queries.q_dedup_representatives):
+# same transitive closure, then longest member (n_chars DESC, doc_id ASC).
+ORACLE_DEDUP_REPRESENTATIVES = f"""
+WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION
+    SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(node, lab) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT e.src, r.lab FROM edges e JOIN reach r ON r.node = e.dst
+),
+clusters AS (
+    SELECT node AS doc_id, min(lab) AS cluster FROM reach GROUP BY node
+),
+sized AS (
+    SELECT c.cluster, c.doc_id, d.n_chars,
+           row_number() OVER (
+               PARTITION BY c.cluster
+               ORDER BY d.n_chars DESC, c.doc_id ASC) AS rn,
+           count(*) OVER (PARTITION BY c.cluster) AS n_members
+    FROM clusters c JOIN documents d USING (doc_id)
+)
+SELECT cluster, doc_id AS rep_doc_id, n_chars,
+       CAST(n_members AS BIGINT) AS n_members
+FROM sized WHERE rn = 1
+ORDER BY cluster
+"""
+
+# Skip-gram co-occurrence (operators/analytics.py:skipgram_cooc): the
+# same per-row pair expression, built with DuckDB list lambdas.
+ORACLE_SKIPGRAM_COOC = f"""
+WITH t AS (SELECT {_tok(_nrm('text'))} AS toks FROM documents),
+t2 AS (SELECT toks FROM t WHERE len(toks) >= 2),
+p0 AS (
+    SELECT unnest(flatten(list_transform(range(1, len(toks) + 1), i ->
+           list_transform(list_filter(range(1, 5), d -> i + d <= len(toks)),
+                          d -> [toks[i], toks[i + d]])))) AS pr
+    FROM t2
+)
+SELECT * FROM (
+    SELECT least(pr[1], pr[2]) AS w_a, greatest(pr[1], pr[2]) AS w_b,
+           CAST(count(*) AS BIGINT) AS n_cooc
+    FROM p0 WHERE pr[1] <> pr[2]
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+)
+ORDER BY n_cooc DESC, w_a, w_b
+LIMIT 25
+"""
+
 ORACLE_PRICE_TIERS = """
 WITH tiers(tier, lo, hi) AS (VALUES
     ('T0', 0.0, 50000.0), ('T1', 50000.0, 150000.0),
@@ -2140,22 +2193,25 @@ FROM counts
 """
 
 
-ORACLE_TOKENIZER_FERTILITY = r"""
+ORACLE_TOKENIZER_FERTILITY = rf"""
 WITH per_doc AS (
     SELECT lang,
            CAST(length(text) AS BIGINT) AS n_chars_t,
-           CAST(CASE WHEN trim(lower(text)) = '' THEN 0
-                     ELSE len(string_split_regex(trim(lower(text)), '\s+')) END
-                AS BIGINT) AS n_ws,
+           -- shared _nrm/_tok twins of functions.text.tokens (regex
+           -- trim, NOT bare trim: boundary tabs/newlines must not
+           -- grow empty tokens)
+           CAST(len({_tok(_nrm('text'))}) AS BIGINT) AS n_ws,
            CAST(len(regexp_extract_all(lower(text),
                 '''s|''t|''re|''ve|''m|''ll|''d| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s'']+'))
                 AS BIGINT) AS n_bpe
     FROM documents
 )
 SELECT lang,
-       sum(n_chars_t) AS sum_chars,
-       sum(n_ws) AS sum_words,
-       sum(n_bpe) AS sum_bpe,
+       -- CAST: DuckDB sum(BIGINT) is HUGEINT, which the driver's
+       -- canonicalization hashes differently than Spark's BIGINT
+       CAST(sum(n_chars_t) AS BIGINT) AS sum_chars,
+       CAST(sum(n_ws) AS BIGINT) AS sum_words,
+       CAST(sum(n_bpe) AS BIGINT) AS sum_bpe,
        round(CAST(sum(n_chars_t) AS DOUBLE) / CAST(sum(n_ws) AS DOUBLE), 6)
            AS chars_per_word,
        round(CAST(sum(n_chars_t) AS DOUBLE) / CAST(sum(n_bpe) AS DOUBLE), 6)
@@ -2355,8 +2411,11 @@ _SNM_LEADS = ",\n       ".join(
     for i in range(1, _SNM_W + 1)
 )
 _SNM_SLOTS = "\nUNION ALL\n".join(
+    # both key AND text non-null, the engine's predicate exactly
+    # (linkage.py filters key_b AND text_b): a record with a NULL id
+    # must be dropped by BOTH sides or the hashes diverge
     f"SELECT k AS key_a, k{i} AS key_b, levenshtein(nm, n{i}) AS distance "
-    f"FROM w WHERE n{i} IS NOT NULL"
+    f"FROM w WHERE k{i} IS NOT NULL AND n{i} IS NOT NULL"
     for i in range(1, _SNM_W + 1)
 )
 ORACLE_FUZZY_MATCH = f"""
@@ -2368,6 +2427,41 @@ w AS (SELECT k, nm, b,
 cand AS ({_SNM_SLOTS})
 SELECT key_a, key_b, distance FROM cand
 WHERE distance <= 8
+ORDER BY key_a, key_b
+"""
+
+_SNM_SLOTS_R = "\nUNION ALL\n".join(
+    f"SELECT k AS key_a, k{i} AS key_b, levenshtein(nm, n{i}) AS distance "
+    f"FROM wr WHERE k{i} IS NOT NULL AND n{i} IS NOT NULL"
+    for i in range(1, _SNM_W + 1)
+)
+
+# Two-pass SNM (linkage.py:multipass_snm_pairs): the forward pass is
+# ORACLE_FUZZY_MATCH's; the second pass blocks/sorts on reverse(nm)
+# (levenshtein on reversed strings == true distance), pairs
+# canonicalized least/greatest and deduplicated with min().
+ORACLE_SNM_MULTIPASS = f"""
+WITH t AS (SELECT doc_id AS k, substring({_nrm('text')}, 1, 200) AS nm FROM documents),
+t2 AS (SELECT k, nm, substring(nm, 1, 1) AS b FROM t),
+w AS (SELECT k, nm, b,
+       {_SNM_LEADS}
+      FROM t2 WINDOW win AS (PARTITION BY b ORDER BY nm ASC, k ASC)),
+cand AS ({_SNM_SLOTS}),
+tr AS (SELECT k, reverse(nm) AS nm FROM t),
+tr2 AS (SELECT k, nm, substring(nm, 1, 1) AS b FROM tr),
+wr AS (SELECT k, nm, b,
+       {_SNM_LEADS}
+      FROM tr2 WINDOW win AS (PARTITION BY b ORDER BY nm ASC, k ASC)),
+candr AS ({_SNM_SLOTS_R}),
+allp AS (
+    SELECT least(key_a, key_b) AS key_a,
+           greatest(key_a, key_b) AS key_b, distance
+    FROM (SELECT * FROM cand WHERE distance <= 8
+          UNION ALL
+          SELECT * FROM candr WHERE distance <= 8)
+)
+SELECT key_a, key_b, min(distance) AS distance
+FROM allp GROUP BY key_a, key_b
 ORDER BY key_a, key_b
 """
 
@@ -2486,6 +2580,9 @@ ORACLES: dict[str, str] = {
     "corr_matrix": ORACLE_CORR_MATRIX,
     "decayed_counts": ORACLE_DECAYED_COUNTS,
     "fuzzy_match": ORACLE_FUZZY_MATCH,
+    "snm_multipass": ORACLE_SNM_MULTIPASS,
+    "dedup_representatives": ORACLE_DEDUP_REPRESENTATIVES,
+    "skipgram_cooc": ORACLE_SKIPGRAM_COOC,
     "pagerank": ORACLE_PAGERANK,
     "heavy_hitters": ORACLE_HEAVY_HITTERS,
     "robust_outliers": ORACLE_ROBUST_OUTLIERS,

@@ -669,6 +669,12 @@ def merge_into(
     from pyspark.sql import functions as F
 
     for attempt in range(2):
+        # commit-time evolution gate, same as commit_append: a changeset
+        # column whose type conflicts with the table's recorded type
+        # must fail the WRITE (before any batch file exists) — not
+        # silently widen via apply_changeset's unionByName and break
+        # every subsequent read of the committed version
+        _check_append_schema(changes.drop(op_col), root)
         cur = latest_version(root)
         live = snapshot_files(root, cur) if cur is not None else []
         if not live:

@@ -2140,6 +2140,81 @@ def q_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantile_bins(orders, "o_totalprice", n_bins=10)
 
 
+def q_snm_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass sorted-neighborhood match (forward + reversed-text
+    pass): the multi-pass recall escape single-pass blocking documents
+    (operators/linkage.py:multipass_snm_pairs). Same record key and
+    thresholds as `fuzzy_match`, so the delta between the two result
+    sets is exactly the pairs the reversed pass recovers."""
+    from batch_process_dpla_index_spark.operators.linkage import (
+        multipass_snm_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    recs = docs.select(
+        "doc_id",
+        F.substring(normalize(F.col("text")), 1, 200).alias("prefix"),
+    )
+    return multipass_snm_pairs(recs, "doc_id", "prefix", window=3, max_distance=8)
+
+
+def q_dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection per near-dup cluster: MinHash-LSH
+    pairs → connected components → keep the LONGEST member (n_chars
+    desc, doc_id asc tie-break) — the 'which copy do we train on'
+    step that follows clustering in a dedup pipeline. The tiny label
+    frame broadcasts into the documents join; the representative pick
+    is one per-cluster window."""
+    from batch_process_dpla_index_spark.operators.dedup import (
+        carry_deps,
+        keep_first,
+        unpersist_deps,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.5, use_pandas=True
+    )
+    labels = connected_components(pairs)
+    unpersist_deps(pairs)
+    members = (
+        labels.join(
+            docs.select("doc_id", "n_chars"),
+            labels["node"] == docs["doc_id"],
+        )
+        .select("cluster", "doc_id", "n_chars")
+        .withColumn("__neg_chars", -F.col("n_chars"))
+    )
+    counts = members.groupBy("cluster").agg(
+        F.count("*").cast("bigint").alias("n_members")
+    )
+    rep = keep_first(members, ["cluster"], "__neg_chars", "doc_id").select(
+        "cluster", F.col("doc_id").alias("rep_doc_id"), "n_chars"
+    )
+    out = (
+        rep.join(F.broadcast(counts), "cluster")
+        .select("cluster", "rep_doc_id", "n_chars", "n_members")
+        .orderBy("cluster")
+    )
+    return carry_deps(out, labels)
+
+
+def q_skipgram_cooc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram co-occurrence vocabulary (word2vec/GloVe training
+    prep): unordered within-4 token pairs counted corpus-wide, top 25
+    by count. Pair generation is a pure per-row expression (nested
+    transform over the token array) — the only shuffle is the final
+    pair-key hash aggregate (operators/analytics.py:skipgram_cooc)."""
+    from batch_process_dpla_index_spark.functions.text import tokens
+    from batch_process_dpla_index_spark.operators.analytics import skipgram_cooc
+
+    docs = load_table(spark, sf_dir, "documents")
+    cooc = skipgram_cooc(docs, tokens(F.col("text")), max_skip=4, min_count=2)
+    return cooc.orderBy(
+        F.col("n_cooc").desc(), F.col("w_a").asc(), F.col("w_b").asc()
+    ).limit(25)
+
+
 # Registry order is part of the driver contract: the correctness gate
 # records exactly the FIRST 50 entries. Round-5 rotation: the 41
 # queries last driver-verified in round 2 (the code under them churned
@@ -2156,40 +2231,113 @@ def q_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # The driver's correctness gate records the FIRST 50 entries only;
     # the window rotates each round so every query gets re-proven.
-    # -- r6 window head: the 10 round-5 additions that had never had a
-    #    driver row (the entire r5 "claimed but unproven" gap) --
+    # -- r7 window head: the two entries with NO driver-green row ever
+    #    (pq_topk: reworked late r6, never windowed since; 
+    #    tokenizer_fertility: r6 red, oracle HUGEINT cast + shared
+    #    _nrm/_tok helpers fixed this round) --
+    "pq_topk": q_pq_topk,
+    "tokenizer_fertility": q_tokenizer_fertility,
+    # -- stalest re-verification set: last driver-green in round 4 --
+    "quality_gate": q_quality_gate,
+    "global_shuffle": q_global_shuffle,
+    "doc_chunks": q_doc_chunks,
+    "packed_bins": q_packed_bins,
+    "stratified_sample": q_stratified_sample,
+    "apply_changeset": q_apply_changeset,
+    "skew_report": q_skew_report,
+    "corpus_report": q_corpus_report,
+    "event_rank_suite": q_event_rank_suite,
+    "top_orders": q_top_orders,
+    "region_revenue": q_region_revenue,
+    "pricing_summary": q_pricing_summary,
+    "scalar_suite": q_scalar_suite,
+    "text_stats": q_text_stats,
+    "melt_metrics": q_melt_metrics,
+    "cube_flags": q_cube_flags,
+    "pii_redaction": q_pii_redaction,
+    "repetition_stats": q_repetition_stats,
+    "top_bigrams": q_top_bigrams,
+    "bpe_token_counts": q_bpe_token_counts,
+    "fingerprint_folded": q_fingerprint_folded,
+    # -- changed this round: oracle SNM slots now filter key AND text
+    #    non-null, matching the engine predicate exactly --
+    "fuzzy_match": q_fuzzy_match,
+    # -- new this round (driver-proven in their debut round) --
+    "snm_multipass": q_snm_multipass,
+    "dedup_representatives": q_dedup_representatives,
+    "skipgram_cooc": q_skipgram_cooc,
+    # -- oldest round-5-green entries (first half; the rest lead r8) --
+    "avro_flatten_items": q_avro_flatten_items,
+    "repair_flatten": q_repair_flatten,
+    "schema_align": q_schema_align,
+    "decontaminate": q_decontaminate,
+    "fingerprint_clusters": q_fingerprint_clusters,
+    "mq_contributor_scores": q_mq_contributor_scores,
+    "udtf_sentences": q_udtf_sentences,
+    "segment_with_f_orders": q_segment_with_f_orders,
+    "customers_without_orders": q_customers_without_orders,
+    "brand_revenue": q_brand_revenue,
+    "priority_by_month": q_priority_by_month,
+    "union_entities": q_union_entities,
+    "boilerplate_stats": q_boilerplate_stats,
+    "rollup_flags": q_rollup_flags,
+    "grouping_sets": q_grouping_sets,
+    "zorder_events": q_zorder_events,
+    "salted_brand_join": q_salted_brand_join,
+    "segment_overlap": q_segment_overlap,
+    "sql_supplier_share": q_sql_supplier_share,
+    "latest_events_per_user": q_latest_events_per_user,
+    "rolling_user_value": q_rolling_user_value,
+    "props_by_type": q_props_by_type,
+    "keep_first": q_keep_first,
+    # ---- driver-window boundary (entry 50 above this line) ----
+    # -- tail: r5-green remainder (these lead the r8 rotation), then
+    #    the r6-green window, all still oracle-verified every round
+    #    via tools/verify_local.py --
+    "hash_sample_split": q_hash_sample_split,
+    "simhash_pairs": q_simhash_pairs,
+    "language_id": q_language_id,
+    "rolling_hash": q_rolling_hash,
+    "pivot_status": q_pivot_status,
+    "event_calendar": q_event_calendar,
+    "value_percentiles": q_value_percentiles,
+    "price_histogram": q_price_histogram,
+    "cosine_topk_pandas": q_cosine_topk_pandas,
+    "sitemap_urls": q_sitemap_urls,
+    "multimodal_decode": q_multimodal_decode,
+    "multimodal_frames": q_multimodal_frames,
+    "thumbnail_keys": q_thumbnail_keys,
+    "distinct_parts_per_flag": q_distinct_parts_per_flag,
+    "props_from_json": q_props_from_json,
+    "kmeans_cells": q_kmeans_cells,
+    "semdedup": q_semdedup,
+    "dsir_weights": q_dsir_weights,
+    "tfidf_terms": q_tfidf_terms,
+    "char_entropy": q_char_entropy,
+    "duplicate_spans": q_duplicate_spans,
+    "funnel_stages": q_funnel_stages,
+    "scd2_history": q_scd2_history,
     "retention_cohorts": q_retention_cohorts,
     "user_running_anomaly": q_user_running_anomaly,
     "quality_classifier": q_quality_classifier,
     "containment_pairs": q_containment_pairs,
     "event_transitions": q_event_transitions,
-    "tokenizer_fertility": q_tokenizer_fertility,
     "nearest_purchase": q_nearest_purchase,
     "bigram_pmi": q_bigram_pmi,
     "weighted_sample": q_weighted_sample,
     "session_paths": q_session_paths,
-    # -- changed this round: pq_encode now emits driver-hashable
-    #    codes_csv (r5 gate err was `unhashable type: 'list'`);
-    #    approx_distinct_users upgraded from rows-only to hash-green
-    #    (exact count + 3·rsd bound flag); price_tiers / training_prep
-    #    touched by the range_join cap and the persist audit --
     "pq_encode": q_pq_encode,
     "approx_distinct_users": q_approx_distinct_users,
     "price_tiers": q_price_tiers,
     "training_prep": q_training_prep,
-    # -- new this round (must be driver-proven in their debut round;
-    #    they displace eight r4-green re-verification entries, which
-    #    rotate back in next round) --
     "column_profile": q_column_profile,
     "corr_matrix": q_corr_matrix,
     "decayed_counts": q_decayed_counts,
-    "fuzzy_match": q_fuzzy_match,
     "pagerank": q_pagerank,
     "heavy_hitters": q_heavy_hitters,
     "robust_outliers": q_robust_outliers,
     "quantile_bins": q_quantile_bins,
     "er_clusters": q_er_clusters,
-    # -- stalest re-verification set: last driver-green in round 4 --
     "exact_dedup": q_exact_dedup,
     "jaccard_pairs": q_jaccard_pairs,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -2217,77 +2365,4 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "domain_cap": q_domain_cap,
     "lm_scores": q_lm_scores,
     "bm25_search": q_bm25_search,
-    # ---- driver-window boundary (entry 50 above this line) ----
-    # -- tail: hash-green in r4/r5, still oracle-verified every round
-    #    via tools/verify_local.py; the nine entries displaced by
-    #    this round's new queries lead the r7 rotation --
-    "quality_gate": q_quality_gate,
-    "global_shuffle": q_global_shuffle,
-    "doc_chunks": q_doc_chunks,
-    "packed_bins": q_packed_bins,
-    "stratified_sample": q_stratified_sample,
-    "apply_changeset": q_apply_changeset,
-    "skew_report": q_skew_report,
-    "corpus_report": q_corpus_report,
-    "event_rank_suite": q_event_rank_suite,
-    "avro_flatten_items": q_avro_flatten_items,
-    "repair_flatten": q_repair_flatten,
-    "schema_align": q_schema_align,
-    "decontaminate": q_decontaminate,
-    "fingerprint_clusters": q_fingerprint_clusters,
-    "mq_contributor_scores": q_mq_contributor_scores,
-    "udtf_sentences": q_udtf_sentences,
-    "segment_with_f_orders": q_segment_with_f_orders,
-    "customers_without_orders": q_customers_without_orders,
-    "brand_revenue": q_brand_revenue,
-    "priority_by_month": q_priority_by_month,
-    "union_entities": q_union_entities,
-    "boilerplate_stats": q_boilerplate_stats,
-    "rollup_flags": q_rollup_flags,
-    "grouping_sets": q_grouping_sets,
-    "zorder_events": q_zorder_events,
-    "salted_brand_join": q_salted_brand_join,
-    "segment_overlap": q_segment_overlap,
-    "sql_supplier_share": q_sql_supplier_share,
-    "latest_events_per_user": q_latest_events_per_user,
-    "rolling_user_value": q_rolling_user_value,
-    "props_by_type": q_props_by_type,
-    "keep_first": q_keep_first,
-    "hash_sample_split": q_hash_sample_split,
-    "simhash_pairs": q_simhash_pairs,
-    "language_id": q_language_id,
-    "rolling_hash": q_rolling_hash,
-    "pivot_status": q_pivot_status,
-    "event_calendar": q_event_calendar,
-    "value_percentiles": q_value_percentiles,
-    "price_histogram": q_price_histogram,
-    "cosine_topk_pandas": q_cosine_topk_pandas,
-    "sitemap_urls": q_sitemap_urls,
-    "multimodal_decode": q_multimodal_decode,
-    "multimodal_frames": q_multimodal_frames,
-    "thumbnail_keys": q_thumbnail_keys,
-    "distinct_parts_per_flag": q_distinct_parts_per_flag,
-    "props_from_json": q_props_from_json,
-    "kmeans_cells": q_kmeans_cells,
-    "semdedup": q_semdedup,
-    "dsir_weights": q_dsir_weights,
-    "tfidf_terms": q_tfidf_terms,
-    "char_entropy": q_char_entropy,
-    "duplicate_spans": q_duplicate_spans,
-    "funnel_stages": q_funnel_stages,
-    "scd2_history": q_scd2_history,
-    # -- last driver-green in r4 (simple, stable plans; next rotation) --
-    "pq_topk": q_pq_topk,
-    "top_orders": q_top_orders,
-    "region_revenue": q_region_revenue,
-    "pricing_summary": q_pricing_summary,
-    "scalar_suite": q_scalar_suite,
-    "text_stats": q_text_stats,
-    "melt_metrics": q_melt_metrics,
-    "cube_flags": q_cube_flags,
-    "pii_redaction": q_pii_redaction,
-    "repetition_stats": q_repetition_stats,
-    "top_bigrams": q_top_bigrams,
-    "bpe_token_counts": q_bpe_token_counts,
-    "fingerprint_folded": q_fingerprint_folded,
 }

@@ -122,7 +122,30 @@ def main():
             f.write("\n")
     except OSError as exc:  # never let recording kill the contract line
         print(f"# BENCH_LOCAL.json write failed: {exc}", file=sys.stderr)
-    print(json.dumps(out))
+    # The driver keeps only the LAST ~2000 chars of output and parses
+    # the JSON it finds there; the full 120-query dict is ~2900 chars
+    # compact (names alone are ~1800), so a complete line can never
+    # survive the window — BENCH_r0{3..6}.json all have parsed:null
+    # with the head of the line sheared off. Emit a line that FITS:
+    # totals + the slowest queries that squeeze under the budget, with
+    # an omission count; BENCH_LOCAL.json (committed) keeps every
+    # timing.
+    budget = 1800
+    line_out = {k: v for k, v in out.items() if k != "queries"}
+    line_out["n_queries"] = len(times)
+    line_out["full"] = "BENCH_LOCAL.json"
+    by_cost = sorted(times.items(), key=lambda kv: (-kv[1], kv[0]))
+    kept: dict[str, float] = {}
+    for qname, t in by_cost:
+        trial = dict(line_out)
+        trial["queries"] = {**kept, qname: t}
+        trial["queries_omitted"] = len(times) - len(trial["queries"])
+        if len(json.dumps(trial, separators=(",", ":"))) > budget:
+            break
+        kept[qname] = t
+    line_out["queries"] = kept
+    line_out["queries_omitted"] = len(times) - len(kept)
+    print(json.dumps(line_out, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -195,6 +195,33 @@ def test_thumbnail_purge_streams_batches(spark, docs_small, tmp_path):
         assert k == thumbnail_purge.thumbnail_prefix(tail)
 
 
+def test_thumbnail_purge_cli(spark, tmp_path):
+    """The runnable form (ThumbnailPurge.scala:41-53 args: item path,
+    bucket): jobs.py wires product + fs carrier; keys under the bucket
+    root actually disappear."""
+    import os
+
+    from batch_process_dpla_index_spark import jobs
+    from batch_process_dpla_index_spark.products import thumbnail_purge
+
+    src = str(tmp_path / "items")
+    ids = [f"{i:08x}" for i in range(10)]
+    items = spark.createDataFrame(
+        [(thumbnail_purge.ITEM_URI_PREFIX + i,) for i in ids], ["dplaUri"]
+    )
+    items.write.parquet(src)
+    bucket = str(tmp_path / "bucket")
+    keys = [f"{bucket}/{thumbnail_purge.thumbnail_prefix(i)}" for i in ids]
+    survivor = f"{bucket}/unrelated.jpg"
+    for k in keys + [survivor]:
+        os.makedirs(os.path.dirname(k), exist_ok=True)
+        open(k, "w").write("x")
+
+    assert jobs.main(["thumbnail-purge", src, bucket, "--batch", "4"]) == 0
+    assert all(not os.path.exists(k) for k in keys)
+    assert os.path.exists(survivor)  # only derived keys purged
+
+
 def test_schema_test_product(spark, docs_small, tmp_path):
     from batch_process_dpla_index_spark.model.fixtures import synthesize_enriched
     from batch_process_dpla_index_spark.products import schema_test

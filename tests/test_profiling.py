@@ -390,3 +390,90 @@ def test_profile_cli(spark, tmp_path, capsys):
         rows = {r["col_name"]: r for r in csv.DictReader(fh)}
     assert set(rows) == {"k", "m"}
     assert abs(int(rows["m"]["n_distinct"]) - 7) <= 1  # HLL tolerance
+
+
+def test_degenerate_params_fail_loud(spark):
+    """Contract-named ValueErrors, not opaque executor/agg errors
+    (repo loud-validation convention): quantile_bins with <2 bins,
+    heavy_hitters/mg_summaries with non-positive k/capacity, pagerank
+    on an empty edge list."""
+    import pytest
+
+    from batch_process_dpla_index_spark.operators.graph import pagerank
+    from batch_process_dpla_index_spark.operators.profiling import quantile_bins
+    from batch_process_dpla_index_spark.operators.sketches import (
+        heavy_hitters,
+        mg_summaries,
+    )
+
+    df = spark.range(10).select(F.col("id").alias("v"))
+    with pytest.raises(ValueError, match="n_bins"):
+        quantile_bins(df, "v", n_bins=1)
+    with pytest.raises(ValueError, match="capacity"):
+        mg_summaries(df, "v", capacity=0)
+    with pytest.raises(ValueError, match="k must be"):
+        heavy_hitters(df, "v", k=0)
+    with pytest.raises(ValueError, match="capacity"):
+        heavy_hitters(df, "v", capacity=-1)
+    empty = spark.createDataFrame([], "src string, dst string")
+    with pytest.raises(ValueError, match="empty edge list"):
+        pagerank(empty, "src", "dst")
+
+
+def test_multipass_snm_recovers_leading_char_typos(spark):
+    """A first-character typo pair lands in different blocks, so the
+    forward pass cannot see it BY CONSTRUCTION; the reversed second
+    pass recovers it (the multi-pass recall story the linkage module
+    docstring documents)."""
+    from batch_process_dpla_index_spark.operators.linkage import (
+        multipass_snm_pairs,
+        sorted_neighborhood_pairs,
+    )
+
+    rows = [
+        ("a", "hello world"),
+        ("b", "jello world"),   # leading-char typo of 'a'
+        ("c", "hello worlds"),  # same-block near-dup of 'a'
+        ("d", "zzz unrelated"),
+    ]
+    df = spark.createDataFrame(rows, ["k", "t"])
+    fwd = {
+        (r["key_a"], r["key_b"])
+        for r in sorted_neighborhood_pairs(df, "k", "t", 3, 3).collect()
+    }
+    multi = {
+        (r["key_a"], r["key_b"])
+        for r in multipass_snm_pairs(df, "k", "t", 3, 3).collect()
+    }
+    assert ("a", "c") in fwd and ("a", "b") not in fwd
+    assert {("a", "b"), ("a", "c")} <= multi
+    assert not any("d" in p for p in multi)
+    # distances survive the canonicalize+dedup fold
+    d = {(r["key_a"], r["key_b"]): r["distance"]
+         for r in multipass_snm_pairs(df, "k", "t", 3, 3).collect()}
+    assert d[("a", "b")] == 1 and d[("a", "c")] == 1
+
+
+def test_skipgram_cooc_counts(spark):
+    """Known-answer skip-gram counts: unordered pairs within max_skip,
+    self-pairs dropped, multiplicity kept, min_count floor applied."""
+    from batch_process_dpla_index_spark.operators.analytics import skipgram_cooc
+
+    df = spark.createDataFrame(
+        [("a b c a",), ("x y",), ("",), ("solo",)], ["text"]
+    )
+    got = {
+        (r["w_a"], r["w_b"]): r["n_cooc"]
+        for r in skipgram_cooc(
+            df, F.split(F.col("text"), " "), max_skip=4, min_count=1
+        ).collect()
+    }
+    # 'a b c a': ab,ac,(aa drop),bc,ba,ca -> ab:2 ac:2 bc:1; 'x y' -> xy:1
+    assert got == {("a", "b"): 2, ("a", "c"): 2, ("b", "c"): 1, ("x", "y"): 1}
+    floored = {
+        (r["w_a"], r["w_b"])
+        for r in skipgram_cooc(
+            df, F.split(F.col("text"), " "), max_skip=4, min_count=2
+        ).collect()
+    }
+    assert floored == {("a", "b"), ("a", "c")}

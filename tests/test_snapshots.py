@@ -706,6 +706,33 @@ def test_append_type_change_rejected_before_write(spark, tmp_path):
     assert latest_version(root) == 0
 
 
+def test_merge_type_change_rejected_before_write(spark, tmp_path):
+    """merge_into gets the same commit-time evolution gate as
+    commit_append: a type-conflicting changeset fails the WRITE — it
+    must not silently widen via unionByName, commit a conflicting
+    __schema, and break every later read/append of the table."""
+    from pyspark.sql import functions as F
+
+    from batch_process_dpla_index_spark.products.snapshots import (
+        SchemaEvolutionError,
+        merge_into,
+    )
+
+    root = str(tmp_path / "tbl")
+    commit_append(_frame(spark, 0, 3), root)
+    bad = spark.range(3).select(
+        F.col("id").cast("string").alias("k"), F.lit("U").alias("op")
+    )
+    files_before = snapshot_files(root)
+    with pytest.raises(SchemaEvolutionError, match="column 'k'"):
+        merge_into(spark, bad, root, "k")
+    assert snapshot_files(root) == files_before  # no orphans, no commit
+    assert latest_version(root) == 0
+    # the table still reads and appends cleanly after the refused merge
+    commit_append(_frame(spark, 3, 6), root)
+    assert read_snapshot(spark, root).count() == 6
+
+
 def test_overwrite_resets_schema_and_time_travel_keeps_both(spark, tmp_path):
     root = str(tmp_path / "tbl")
     old, new = _ev_frames(spark)

@@ -39,9 +39,15 @@ class NonScalarResult(TypeError):
 def canon(v):
     if v is None:
         return "NULL"
+    if v.__class__.__name__ == "NaTType":  # pandas NaT (null timestamp)
+        return "NULL"
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
+            # pandas NA, same bucket as None: the driver's canonicalizer
+            # treats NaN-float (a NULL bigint/double after the pandas
+            # hop) and None as equally missing (repair_flatten is
+            # driver-green with all-NULL numeric columns)
+            return "NULL"
         # driver-style: stable repr, collapse -0.0
         if v == 0.0:
             v = 0.0
@@ -95,8 +101,15 @@ def main():
         status, detail = "PASS", ""
         try:
             sdf = qs[name](spark, sf_dir)
-            s_cols = sdf.columns
-            s_rows = [tuple(r) for r in sdf.collect()]
+            # pandas round-trip, NOT collect(): the driver canonicalizes
+            # pandas frames, and dtypes shift in that hop (DuckDB
+            # HUGEINT -> float64, NULL bigint -> NaN float). collect()
+            # hid a real driver hash-fail (tokenizer_fertility, r6).
+            s_pdf = sdf.toPandas()
+            s_cols = list(s_pdf.columns)
+            s_rows = [
+                tuple(row) for row in s_pdf.itertuples(index=False, name=None)
+            ]
             # drop pair-operator persists so a ~100-query session
             # doesn't accumulate cached frames
             from batch_process_dpla_index_spark.operators.dedup import (
@@ -123,8 +136,15 @@ def main():
             continue
         try:
             rel = con.sql(oracles[name])
-            d_cols = list(rel.columns)
-            d_rows = rel.fetchall()
+            # .df(), NOT fetchall(): fetchall returns HUGEINT sums as
+            # Python ints (indistinguishable from BIGINT) while the
+            # driver's pandas hop turns them into float64 — the exact
+            # class of driver hash-fail this mirror exists to catch.
+            d_pdf = rel.df()
+            d_cols = list(d_pdf.columns)
+            d_rows = [
+                tuple(row) for row in d_pdf.itertuples(index=False, name=None)
+            ]
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {type(e).__name__}: {str(e)[:300]}")
             n_fail += 1
