@@ -274,17 +274,17 @@ def main(argv: list[str] | None = None) -> int:
             )
         elif args.job == "thumbnail-purge":
             # ThumbnailPurge.scala:41-53 (args: item path, bucket);
-            # deletion routed through the fs carrier for the bucket's
-            # scheme, ids streamed via toLocalIterator
-            from batch_process_dpla_index_spark.io.fs import get_fs, strip_scheme
+            # deletion routed through K9 purge_keys (carrier dispatch +
+            # scheme grouping live there), ids streamed via
+            # toLocalIterator inside thumbnail_purge.execute
+            from batch_process_dpla_index_spark.io.sinks import purge_keys
             from batch_process_dpla_index_spark.products import thumbnail_purge
 
             items = spark.read.parquet(args.in_path)
-            fs = get_fs(args.bucket_root)
-            root = strip_scheme(args.bucket_root).rstrip("/")
+            root = args.bucket_root.rstrip("/")
 
             def _delete(keys: list[str]) -> None:
-                fs.purge([f"{root}/{k}" for k in keys], batch=args.batch)
+                purge_keys([f"{root}/{k}" for k in keys], batch=args.batch)
 
             n = thumbnail_purge.execute(
                 spark, items, _delete, uri_col=args.uri_col, batch=args.batch

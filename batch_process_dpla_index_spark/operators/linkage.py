@@ -45,9 +45,12 @@ def sorted_neighborhood_pairs(
     keep pairs with ``levenshtein <= max_distance``.
 
     Returns (key_a, key_b, text_a, text_b, distance) with key_a the
-    sort-order predecessor; output ordering is deterministic
-    (key_a, key_b). ``block_expr`` defaults to the first character of
-    ``text_col`` — override per pass for multi-pass SNM.
+    sort-order predecessor; row ORDER is not defined (callers that
+    need presentation order sort the tiny pair set themselves — an
+    internal orderBy would add a range exchange that multi-pass
+    composition immediately re-aggregates away). ``block_expr``
+    defaults to the first character of ``text_col`` — override per
+    pass for multi-pass SNM.
 
     One hash exchange on the block key + one per-block window; the w
     lead() expressions share the frame. Comparisons: n·w, each a
@@ -100,7 +103,7 @@ def sorted_neighborhood_pairs(
         .withColumn("distance", F.levenshtein("text_a", "text_b"))
         .where(F.col("distance") <= max_distance)
     )
-    return pairs.orderBy("key_a", "key_b")
+    return pairs
 
 
 def multipass_snm_pairs(

@@ -1576,7 +1576,7 @@ sized AS (
     SELECT c.cluster, c.doc_id, d.n_chars,
            row_number() OVER (
                PARTITION BY c.cluster
-               ORDER BY d.n_chars DESC, c.doc_id ASC) AS rn,
+               ORDER BY d.n_chars DESC NULLS LAST, c.doc_id ASC) AS rn,
            count(*) OVER (PARTITION BY c.cluster) AS n_members
     FROM clusters c JOIN documents d USING (doc_id)
 )

@@ -2048,7 +2048,7 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = sorted_neighborhood_pairs(
         recs, "doc_id", "prefix", window=3, max_distance=8
     )
-    return pairs.select("key_a", "key_b", "distance")
+    return pairs.select("key_a", "key_b", "distance").orderBy("key_a", "key_b")
 
 
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2183,7 +2183,14 @@ def q_dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             labels["node"] == docs["doc_id"],
         )
         .select("cluster", "doc_id", "n_chars")
-        .withColumn("__neg_chars", -F.col("n_chars"))
+        # NULL n_chars must LOSE the pick on both engines: Spark ASC is
+        # NULLS FIRST (a NULL-length doc would win) while the oracle's
+        # n_chars DESC is DuckDB NULLS LAST — map NULL to a sentinel
+        # above every negated length so both sides rank it last
+        .withColumn(
+            "__neg_chars",
+            F.coalesce(-F.col("n_chars"), F.lit(2**62).cast("bigint")),
+        )
     )
     counts = members.groupBy("cluster").agg(
         F.count("*").cast("bigint").alias("n_members")

@@ -369,3 +369,25 @@ def test_quantile_bins_broadcast_edges_no_global_window(spark):
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "Window" not in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_skipgram_cooc_no_join(spark):
+    """Pair generation must stay a per-row expression: no join, no
+    window — only the pair-key aggregate exchanges (plus the top-k
+    reduce). A position self-join would shuffle the exploded corpus."""
+    plan = _plan(spark, "skipgram_cooc")
+    assert "Join" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan  # partial + final
+    assert "TakeOrderedAndProject" in plan, plan  # limit 25, no global sort
+
+
+def test_multipass_snm_two_block_exchanges(spark):
+    """Each SNM pass is one hash exchange on its block key + one
+    per-block window; the dedup fold adds one aggregate exchange.
+    A global (un-partitioned) sort must never appear."""
+    plan = _plan(spark, "snm_multipass")
+    assert plan.count("Window") == 2, plan
+    # every Sort is within a partitioned window frame, not global
+    assert "Exchange SinglePartition" not in plan, plan
+    n_exch = plan.count("Exchange")
+    assert n_exch <= 5, plan  # 2 block hashes + pair-dedup agg (+AQE reads)
