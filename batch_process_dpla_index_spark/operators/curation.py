@@ -532,3 +532,67 @@ def boilerplate_stats(
         )
     )
     return _with_cached_deps(result, [segs])
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    val_fraction: float = 0.2,
+    salt: str = "split",
+) -> DataFrame:
+    """Cluster-aware train/validation split: near-duplicate documents
+    NEVER straddle the split boundary.
+
+    A plain per-document hash split leaks templated/near-identical
+    text across train and eval (the val loss then measures
+    memorization of near-copies, not generalization). Here the split
+    key is the document's near-dup CLUSTER id — every member of a
+    cluster draws the same deterministic h60 bucket, so the whole
+    cluster lands on one side; singletons fall back to their own id
+    (coalesce), which reduces to the ordinary hash split for unique
+    documents.
+
+    ``pairs`` is any verified near-dup pair frame (MinHash-LSH by
+    convention); clustering is the same checkpointed min-label
+    fixpoint as the dedup pipeline. Scale shape: the label frame is
+    (dup docs only) — usually a small fraction of the corpus — and
+    joins back as AQE sees fit; the split itself is a pure projection
+    (one h60 expression), no extra shuffle beyond the CC labels.
+
+    Returns every doc with (cluster, n_members, split) — the
+    n_members > 1 rows are exactly the leakage candidates a naive
+    split would have scattered.
+    """
+    from batch_process_dpla_index_spark.operators.dedup import (
+        _salted_h60,
+        _with_cached_deps,
+        connected_components,
+        unpersist_deps,
+    )
+
+    labels = connected_components(pairs)
+    unpersist_deps(pairs)
+    with_cluster = (
+        docs.join(labels, docs[id_col] == labels["node"], "left")
+        .withColumn("cluster", F.coalesce(F.col("cluster"), F.col(id_col)))
+        .select(id_col, "cluster")
+    )
+    # persist: feeds both the per-cluster size aggregate and the final
+    # projection (the CC fixpoint above it is the expensive lineage)
+    with_cluster = with_cluster.persist()
+    sizes = with_cluster.groupBy("cluster").agg(
+        F.count("*").cast("bigint").alias("n_members")
+    )
+    bucket = F.pmod(_salted_h60("cluster", salt), F.lit(10_000))
+    out = (
+        with_cluster.join(sizes, "cluster")
+        .withColumn(
+            "split",
+            F.when(
+                bucket < int(round(val_fraction * 10_000)), F.lit("val")
+            ).otherwise(F.lit("train")),
+        )
+        .select(id_col, "cluster", "n_members", "split")
+    )
+    return _with_cached_deps(out, [with_cluster, labels])

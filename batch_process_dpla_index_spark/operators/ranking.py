@@ -167,3 +167,68 @@ def tfidf_top_terms(
         .select("id", "term", "tf", "df", "tfidf", "rnk")
     )
     return _with_cached_deps(result, [tf])
+
+
+def rank_candidates(df: DataFrame, score_col: str, id_col: str) -> DataFrame:
+    """Add a dense 1-based ``rank`` to a BOUNDED candidate list.
+
+    Contract: ``df`` is a retriever's top-k output (tens to hundreds
+    of rows), NOT a corpus — the un-partitioned row_number window here
+    is a single-partition sort over ≤k rows by construction, the same
+    bounded-collect class as the query matrix in similarity.py.
+    Ranking orders by the ROUNDED score (every retriever in this repo
+    emits round(score, 6)) then id, so two engines reaching equal
+    scores through different float paths rank identically.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+    return df.withColumn("rank", F.row_number().over(w))
+
+
+def rrf_fuse(
+    candidates: list[DataFrame],
+    id_col: str = "id",
+    rank_col: str = "rank",
+    k_const: int = 60,
+    limit: int = 20,
+) -> DataFrame:
+    """Reciprocal-rank fusion of retriever candidate lists (hybrid
+    search: BM25 ∪ dense ANN is the canonical pair).
+
+    score(d) = Σ_lists 1/(k_const + rank_list(d)) — the standard RRF
+    with k=60 (Cormack/Clarke/Büttcher 2009). Rank-based, so the
+    retrievers' incomparable score scales never need calibration.
+
+    Scale shape: inputs are bounded top-k lists (see
+    :func:`rank_candidates`), so the union + fused aggregate handle
+    Σ|lists| ≈ hundreds of rows regardless of corpus size — the
+    expensive part of hybrid search is the retrievers, which keep
+    their own scale paths (broadcast-term BM25, ANN tiers). The fuse
+    itself is one tiny hash aggregate + a TakeOrdered.
+
+    Returns (id, rrf_score, n_lists) — n_lists = how many retrievers
+    surfaced the doc (the agreement signal).
+    """
+    from functools import reduce
+
+    parts = [
+        c.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.col(rank_col).cast("long").alias("__rank"),
+        )
+        for c in candidates
+    ]
+    u = reduce(DataFrame.unionByName, parts)
+    return (
+        u.groupBy("id")
+        .agg(
+            F.round(
+                F.sum(F.lit(1.0) / (F.lit(float(k_const)) + F.col("__rank"))),
+                6,
+            ).alias("rrf_score"),
+            F.count("*").cast("int").alias("n_lists"),
+        )
+        .orderBy(F.col("rrf_score").desc(), F.col("id").asc())
+        .limit(limit)
+    )

@@ -568,6 +568,74 @@ LIMIT {k}
 ORACLE_BM25_SEARCH = _bm25_oracle("spark query join fast")
 
 
+def _rrf_oracle(
+    query: str,
+    q_vec_id: int = 7,
+    n_cand: int = 50,
+    k_const: int = 60,
+    limit: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """RRF twin of queries.q_rrf_fusion: the BM25 CTE stack (top
+    n_cand, ranked on the ROUNDED score like the engine), the dense
+    cosine top-n_cand around the pinned query embedding, then
+    1/(k+rank) summed per doc."""
+    terms = ", ".join(f"'{t}'" for t in sorted(set(query.lower().split())))
+    return f"""
+WITH {_DOC_TOK_CTE}, lengths AS (
+    SELECT doc_id AS id, CAST(len(tok) AS DOUBLE) AS dl FROM doc_tok
+), stats AS (
+    SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM lengths
+), tf AS (
+    SELECT doc_id AS id, term, CAST(count(*) AS DOUBLE) AS tf
+    FROM (SELECT doc_id, unnest(tok) AS term FROM doc_tok)
+    WHERE term IN ({terms})
+    GROUP BY doc_id, term
+), dft AS (
+    SELECT term, CAST(count(DISTINCT id) AS DOUBLE) AS df FROM tf GROUP BY term
+), bm25 AS (
+    SELECT id,
+           round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                     * (tf * {k1 + 1.0}) / (tf + {k1} * ({1.0 - b} + {b} * dl / avgdl))), 6) AS score
+    FROM tf
+    JOIN dft USING (term)
+    JOIN lengths USING (id)
+    CROSS JOIN stats
+    GROUP BY id
+    ORDER BY score DESC, id ASC
+    LIMIT {n_cand}
+), sparse_ranked AS (
+    SELECT id, row_number() OVER (ORDER BY score DESC, id ASC) AS rnk FROM bm25
+), e AS (
+    SELECT vec_id, embedding, sqrt({_dot("embedding", "embedding")}) AS nrm
+    FROM embeddings
+), dense AS (
+    SELECT c.vec_id AS id,
+           round(CASE WHEN q.nrm * c.nrm = 0 THEN NULL
+                      ELSE {_dot("q.embedding", "c.embedding")} / (q.nrm * c.nrm)
+                 END, 6) AS score
+    FROM e c JOIN e q ON q.vec_id = {q_vec_id} AND c.vec_id <> {q_vec_id}
+    ORDER BY score DESC NULLS LAST, id ASC
+    LIMIT {n_cand}
+), dense_ranked AS (
+    SELECT id, row_number() OVER (ORDER BY score DESC NULLS LAST, id ASC) AS rnk FROM dense
+), fused AS (
+    SELECT id, round(sum(CAST(1.0 AS DOUBLE) / ({k_const} + rnk)), 6) AS rrf_score,
+           CAST(count(*) AS INTEGER) AS n_lists
+    FROM (SELECT * FROM sparse_ranked UNION ALL SELECT * FROM dense_ranked)
+    GROUP BY id
+)
+SELECT id AS doc_id, rrf_score, n_lists
+FROM fused
+ORDER BY rrf_score DESC, id ASC
+LIMIT {limit}
+"""
+
+
+ORACLE_RRF_FUSION = _rrf_oracle("spark query join fast")
+
+
 def _boilerplate_oracle(w: int = 8, min_docs: int = 2) -> str:
     return f"""
 WITH {_DOC_TOK_CTE}, c AS (
@@ -2583,6 +2651,7 @@ ORACLES: dict[str, str] = {
     "snm_multipass": ORACLE_SNM_MULTIPASS,
     "dedup_representatives": ORACLE_DEDUP_REPRESENTATIVES,
     "skipgram_cooc": ORACLE_SKIPGRAM_COOC,
+    "rrf_fusion": ORACLE_RRF_FUSION,
     "pagerank": ORACLE_PAGERANK,
     "heavy_hitters": ORACLE_HEAVY_HITTERS,
     "robust_outliers": ORACLE_ROBUST_OUTLIERS,

@@ -1501,6 +1501,53 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return carry_deps(out.select(F.col("id").alias("doc_id"), "score"), out)
 
 
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 top-50 for the fixed text query fused
+    with the dense cosine top-50 around the pinned query embedding
+    (vec_id 7) via reciprocal-rank fusion, k=60. Each retriever keeps
+    its own scale path (broadcast-term BM25 / TakeOrdered dense
+    top-k); the fuse is a Σ|lists|-row aggregate — corpus size never
+    reaches it (operators/ranking.py:rrf_fuse)."""
+    from batch_process_dpla_index_spark.functions.vectors import cosine
+    from batch_process_dpla_index_spark.operators.dedup import carry_deps
+    from batch_process_dpla_index_spark.operators.ranking import (
+        bm25_topk,
+        rank_candidates,
+        rrf_fuse,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    sparse = bm25_topk(docs, BM25_QUERY, k=50)
+    sparse_ranked = rank_candidates(sparse, "score", "id")
+
+    qvec = emb.where(F.col("vec_id") == 7).select(
+        F.col("embedding").alias("q_vec")
+    )
+    # top-50 FIRST (TakeOrdered — no global sort), then rank the
+    # bounded candidate list; score rounded before both so rank order
+    # is float-drift-proof across engines
+    dense = (
+        emb.where(F.col("vec_id") != 7)
+        .crossJoin(F.broadcast(qvec))
+        .select(
+            F.col("vec_id").alias("id"),
+            F.round(cosine(F.col("q_vec"), F.col("embedding")), 6).alias(
+                "score"
+            ),
+        )
+        .orderBy(F.col("score").desc(), F.col("id").asc())
+        .limit(50)
+    )
+    dense_ranked = rank_candidates(dense, "score", "id")
+
+    out = rrf_fuse([sparse_ranked, dense_ranked], limit=20).select(
+        F.col("id").alias("doc_id"), "rrf_score", "n_lists"
+    )
+    return carry_deps(out, sparse)
+
+
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingest-time dedup: the batch slice (doc_id % 10 == 7) deduped
     against the rest of the corpus through banded-LSH buckets + exact
@@ -2273,6 +2320,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "snm_multipass": q_snm_multipass,
     "dedup_representatives": q_dedup_representatives,
     "skipgram_cooc": q_skipgram_cooc,
+    "rrf_fusion": q_rrf_fusion,
     # -- oldest round-5-green entries (first half; the rest lead r8) --
     "avro_flatten_items": q_avro_flatten_items,
     "repair_flatten": q_repair_flatten,
