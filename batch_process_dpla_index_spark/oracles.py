@@ -1654,6 +1654,37 @@ FROM sized WHERE rn = 1
 ORDER BY cluster
 """
 
+# Cluster-aware train/val split (operators/curation.py:
+# leakage_safe_split): same transitive closure as dedup_clusters, then
+# singleton coalesce + per-cluster size window + the h60 'split' bucket
+# keyed on the CLUSTER id (every member draws the same side).
+ORACLE_LEAKAGE_SAFE_SPLIT = f"""
+WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION
+    SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(node, lab) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT e.src, r.lab FROM edges e JOIN reach r ON r.node = e.dst
+),
+clusters AS (
+    SELECT node AS doc_id, min(lab) AS cluster FROM reach GROUP BY node
+),
+with_cluster AS (
+    SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS cluster
+    FROM documents d LEFT JOIN clusters c USING (doc_id)
+)
+SELECT doc_id, cluster,
+       CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT) AS n_members,
+       CASE WHEN {_h60("'split:' || CAST(cluster AS VARCHAR)")} % 10000 < 2000
+            THEN 'val' ELSE 'train' END AS split
+FROM with_cluster
+ORDER BY doc_id
+"""
+
 # Skip-gram co-occurrence (operators/analytics.py:skipgram_cooc): the
 # same per-row pair expression, built with DuckDB list lambdas.
 ORACLE_SKIPGRAM_COOC = f"""
@@ -2650,6 +2681,7 @@ ORACLES: dict[str, str] = {
     "fuzzy_match": ORACLE_FUZZY_MATCH,
     "snm_multipass": ORACLE_SNM_MULTIPASS,
     "dedup_representatives": ORACLE_DEDUP_REPRESENTATIVES,
+    "leakage_safe_split": ORACLE_LEAKAGE_SAFE_SPLIT,
     "skipgram_cooc": ORACLE_SKIPGRAM_COOC,
     "rrf_fusion": ORACLE_RRF_FUSION,
     "pagerank": ORACLE_PAGERANK,

@@ -2209,9 +2209,12 @@ def q_dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-document selection per near-dup cluster: MinHash-LSH
     pairs → connected components → keep the LONGEST member (n_chars
     desc, doc_id asc tie-break) — the 'which copy do we train on'
-    step that follows clustering in a dedup pipeline. The tiny label
-    frame broadcasts into the documents join; the representative pick
-    is one per-cluster window."""
+    step that follows clustering in a dedup pipeline. n_members rides
+    a count(*) window over the SAME per-cluster partitioning the
+    keep-first pick sorts on, so the size annotation costs zero extra
+    exchanges — no counts frame, no data-proportional broadcast (at
+    web scale the per-cluster frame is hundreds of millions of rows;
+    an explicit broadcast hint there is a driver OOM)."""
     from batch_process_dpla_index_spark.operators.dedup import (
         carry_deps,
         keep_first,
@@ -2239,18 +2242,48 @@ def q_dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(-F.col("n_chars"), F.lit(2**62).cast("bigint")),
         )
     )
-    counts = members.groupBy("cluster").agg(
-        F.count("*").cast("bigint").alias("n_members")
-    )
-    rep = keep_first(members, ["cluster"], "__neg_chars", "doc_id").select(
-        "cluster", F.col("doc_id").alias("rep_doc_id"), "n_chars"
+    from pyspark.sql.window import Window
+
+    members = members.withColumn(
+        "n_members",
+        F.count("*")
+        .over(Window.partitionBy("cluster"))
+        .cast("bigint"),
     )
     out = (
-        rep.join(F.broadcast(counts), "cluster")
-        .select("cluster", "rep_doc_id", "n_chars", "n_members")
+        keep_first(members, ["cluster"], "__neg_chars", "doc_id")
+        .select(
+            "cluster",
+            F.col("doc_id").alias("rep_doc_id"),
+            "n_chars",
+            "n_members",
+        )
         .orderBy("cluster")
     )
     return carry_deps(out, labels)
+
+
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware train/val split (operators/curation.py:
+    leakage_safe_split): MinHash-LSH near-dup pairs → connected
+    components → every cluster member draws the SAME h60 bucket (keyed
+    on the cluster id, not the doc id), so near-duplicates can never
+    straddle the eval boundary — the leakage a naive per-doc hash
+    split bakes into val loss. Singletons coalesce to their own id and
+    reduce to the ordinary hash split. Scale shape: CC runs on dup
+    docs only; the split itself is one projection — no shuffle beyond
+    the label join, which AQE sizes (no explicit broadcast hint)."""
+    from batch_process_dpla_index_spark.operators.curation import (
+        leakage_safe_split,
+    )
+    from batch_process_dpla_index_spark.operators.dedup import carry_deps
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.5, use_pandas=True
+    )
+    out = leakage_safe_split(docs, pairs, "doc_id", val_fraction=0.2)
+    return carry_deps(out.orderBy("doc_id"), out)
 
 
 def q_skipgram_cooc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2319,6 +2352,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- new this round (driver-proven in their debut round) --
     "snm_multipass": q_snm_multipass,
     "dedup_representatives": q_dedup_representatives,
+    "leakage_safe_split": q_leakage_safe_split,
     "skipgram_cooc": q_skipgram_cooc,
     "rrf_fusion": q_rrf_fusion,
     # -- oldest round-5-green entries (first half; the rest lead r8) --

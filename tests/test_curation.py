@@ -466,3 +466,59 @@ def test_dsir_weights_prefer_target_like_docs(spark):
     # DSIR scores text, not metadata
     assert w[1] > w[3] and w[2] > w[3] and w[4] > w[3]
     assert all(r["n_terms"] == 5 for r in out.collect())
+
+
+def test_leakage_safe_split_never_straddles_clusters(spark):
+    from batch_process_dpla_index_spark.operators.curation import (
+        leakage_safe_split,
+    )
+    from batch_process_dpla_index_spark.operators.dedup import unpersist_deps
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 41)], "doc_id bigint, text string"
+    )
+    # two multi-doc near-dup clusters (one a chain: 1-2, 2-3 — the CC
+    # fixpoint, not just pair grouping, must keep it together) + a
+    # 2-cycle; everything else is a singleton
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a bigint, id_b bigint"
+    )
+    out = leakage_safe_split(docs, pairs, "doc_id", val_fraction=0.5)
+    rows = out.collect()
+    unpersist_deps(out)
+    assert len(rows) == 40  # every doc labeled, singletons included
+    by_cluster: dict[int, set[str]] = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster"], set()).add(r["split"])
+    # THE leakage property: one split side per cluster, no straddle
+    assert all(len(sides) == 1 for sides in by_cluster.values())
+    sizes = {r["doc_id"]: r["n_members"] for r in rows}
+    assert sizes[1] == sizes[2] == sizes[3] == 3
+    assert sizes[10] == sizes[11] == 2
+    assert sizes[40] == 1
+    # singletons fall back to the per-doc hash split -> both sides occur
+    singleton_sides = {r["split"] for r in rows if r["n_members"] == 1}
+    assert singleton_sides == {"train", "val"}
+
+
+def test_leakage_safe_split_deterministic_and_cluster_keyed(spark):
+    from batch_process_dpla_index_spark.operators.curation import (
+        leakage_safe_split,
+    )
+    from batch_process_dpla_index_spark.operators.dedup import unpersist_deps
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 21)], "doc_id bigint, text string"
+    )
+    pairs = spark.createDataFrame([(4, 5)], "id_a bigint, id_b bigint")
+    a = leakage_safe_split(docs, pairs, "doc_id")
+    got_a = sorted((r["doc_id"], r["split"]) for r in a.collect())
+    unpersist_deps(a)
+    b = leakage_safe_split(docs, pairs, "doc_id")
+    got_b = sorted((r["doc_id"], r["split"]) for r in b.collect())
+    unpersist_deps(b)
+    assert got_a == got_b  # pure function of (salt, cluster id)
+    # the pair (4,5) shares cluster min(4,5)=4 -> doc 5's bucket is
+    # keyed on 4, identical side to doc 4 by construction
+    sides = dict(got_a)
+    assert sides[4] == sides[5]

@@ -391,3 +391,36 @@ def test_multipass_snm_two_block_exchanges(spark):
     assert "Exchange SinglePartition" not in plan, plan
     n_exch = plan.count("Exchange")
     assert n_exch <= 5, plan  # 2 block hashes + pair-dedup agg (+AQE reads)
+
+
+def test_rrf_fusion_fuse_side_is_bounded(spark):
+    """The fuse must aggregate bounded top-k candidate lists: both
+    retrievers end in a TakeOrderedAndProject / Limit (no global sort
+    of the corpus), the per-list rank windows run over those bounded
+    lists, and no corpus-sized frame is broadcast (the only broadcasts
+    are the 1-row query vector and the ≤|terms| BM25 term frame)."""
+    plan = _plan(spark, "rrf_fusion")
+    assert "TakeOrderedAndProject" in plan, plan
+    # candidate ranking = 2 bounded windows (one per retriever list)
+    assert plan.count("Window") == 2, plan
+    # every join broadcasts a tiny frame (query vector, BM25 term
+    # list, corpus stats) — the corpus itself must never shuffle or
+    # sort-merge for a join on either retriever path
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+
+
+def test_dedup_representatives_no_data_broadcast(spark):
+    """n_members must ride the per-cluster count window in the SAME
+    pass as the keep-first pick — a separate counts frame joined with
+    an explicit broadcast hint is one row per cluster (hundreds of
+    millions at web scale) pinned to the driver. No BroadcastExchange
+    may carry the cluster-members frame; the count adds zero
+    exchanges beyond the window's cluster hash partitioning."""
+    plan = _plan(spark, "dedup_representatives")
+    # the per-cluster window pass (count + row_number share it)
+    assert "Window" in plan, plan
+    # broadcasts that remain belong to the CC label join as AQE sees
+    # fit at this SF — but never a hinted counts frame: the counts
+    # aggregate is gone entirely
+    assert plan.count("HashAggregate") <= 2, plan
