@@ -426,3 +426,81 @@ def skipgram_cooc(
         .agg(F.count("*").alias("n_cooc"))
         .where(F.col("n_cooc") >= min_count)
     )
+
+
+def cusum_changepoint(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    slack_frac: float = 0.1,
+) -> DataFrame:
+    """Per-key CUSUM drift scores (Page's cumulative-sum changepoint
+    statistic): s_i = max(0, s_{i-1} + (x_i − mean − slack)) for upward
+    drift, mirrored for downward; the reported score is each
+    direction's running maximum. The standard mean-shift detector for
+    metric streams — a level change keeps feeding one side's sum while
+    noise keeps resetting it to zero.
+
+    The recursion is a SEQUENTIAL fold, not a window sum, so it runs
+    as one ``aggregate`` over the key's time-ordered value array —
+    strictly left-to-right in both engines, which makes the float path
+    engine-identical (the oracle folds the same list in the same
+    order). Slack is ``slack_frac·|mean|`` (scale-free allowance).
+
+    Plan: ONE shuffle on the key; collect_list is bounded by per-key
+    event counts (the session_paths contract). Returns
+    (key, n_events, mean_value, cusum_up, cusum_dn, direction).
+    """
+    seq = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col(ts_col).alias("t"),
+                F.col(id_col).alias("k"),
+                F.col(value_col).alias("v"),
+            )
+        )
+    )
+    base = (
+        events.where(F.col(value_col).isNotNull())
+        .groupBy(key_col)
+        .agg(seq.alias("__seq"))
+        .withColumn("__vals", F.transform(F.col("__seq"), lambda e: e["v"]))
+        .withColumn(
+            "__mean",
+            F.aggregate(F.col("__vals"), F.lit(0.0), lambda a, x: a + x)
+            / F.size(F.col("__vals")),
+        )
+        .withColumn("__slack", F.lit(slack_frac) * F.abs(F.col("__mean")))
+    )
+    mean, slack = F.col("__mean"), F.col("__slack")
+    zero = F.lit(0.0)
+    acc0 = F.struct(
+        zero.alias("su"), zero.alias("mu"), zero.alias("sd"), zero.alias("md")
+    )
+
+    def step(a, x):
+        su = F.greatest(zero, a["su"] + (x - mean - slack))
+        sd = F.greatest(zero, a["sd"] + (mean - x - slack))
+        return F.struct(
+            su.alias("su"),
+            F.greatest(a["mu"], su).alias("mu"),
+            sd.alias("sd"),
+            F.greatest(a["md"], sd).alias("md"),
+        )
+
+    folded = F.aggregate(F.col("__vals"), acc0, step)
+    up = F.round(folded["mu"], 6)
+    dn = F.round(folded["md"], 6)
+    return base.select(
+        key_col,
+        F.size(F.col("__vals")).cast("bigint").alias("n_events"),
+        F.round(mean, 6).alias("mean_value"),
+        up.alias("cusum_up"),
+        dn.alias("cusum_dn"),
+        F.when((up == 0.0) & (dn == 0.0), F.lit("none"))
+        .when(up >= dn, F.lit("up"))
+        .otherwise(F.lit("dn"))
+        .alias("direction"),
+    )

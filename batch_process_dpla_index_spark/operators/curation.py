@@ -596,3 +596,123 @@ def leakage_safe_split(
         .select(id_col, "cluster", "n_members", "split")
     )
     return _with_cached_deps(out, [with_cluster, labels])
+
+
+def domain_quality_rank(
+    docs: DataFrame,
+    domain_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_tiles: int = 10,
+) -> DataFrame:
+    """Within-domain quality normalization: percent_rank + decile of
+    the composite quality score, partitioned by domain — the
+    FineWeb-style move where filtering thresholds are set PER DOMAIN
+    because raw scores aren't comparable across sources (a mid-tier
+    encyclopedia doc outranks a top-tier forum doc on the raw scale).
+
+    Ranking orders by the ROUNDED score then the doc id — a total
+    order, so percent_rank and ntile are engine-deterministic (ties
+    on equal scores are broken identically everywhere).
+
+    Plan: one hash exchange on the domain key + per-domain sort; the
+    rank functions need each domain's rows together, so this is the
+    honest shape. A pathological mono-domain corpus degenerates to a
+    single task — the escape at that extreme is the two-pass
+    quantile-edge bin (see ``quantile_bins``), not a bigger window.
+    """
+    from batch_process_dpla_index_spark.functions.text import (
+        normalize,
+        quality_score_tok,
+        tokens,
+    )
+    from pyspark.sql.window import Window
+
+    base = docs.where(F.col(text_col).isNotNull()).select(
+        id_col,
+        domain_col,
+        F.round(
+            quality_score_tok(tokens(F.col(text_col)), normalize(F.col(text_col))),
+            6,
+        ).alias("quality"),
+    )
+    w = Window.partitionBy(domain_col).orderBy(
+        F.col("quality").asc(), F.col(id_col).asc()
+    )
+    return base.select(
+        id_col,
+        domain_col,
+        "quality",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.ntile(n_tiles).over(w).cast("int").alias("decile"),
+    )
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    reference: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document n-gram novelty vs a reference corpus: the fraction
+    of a doc's distinct word n-grams NOT present anywhere in the
+    reference — the synthetic-data curation signal (regurgitated or
+    templated generations score near 0; genuinely new text near 1).
+    ``decontaminate`` is the small-benchmark cousin; here the
+    reference is corpus-sized, so nothing broadcasts.
+
+    Plan: both sides shuffle on the shingle key (the reference side
+    pre-shrunk by DISTINCT, with map-side partial dedup), one
+    per-doc count aggregate, then a left join restores shingle-less
+    docs (empty/NULL text) with n_shingles 0 and NULL novelty.
+    """
+    from batch_process_dpla_index_spark.functions.text import (
+        tokens,
+        word_shingles,
+    )
+
+    doc_sh = docs.select(
+        id_col,
+        F.explode(
+            F.array_distinct(word_shingles(tokens(F.col(text_col)), n))
+        ).alias("__shingle"),
+    )
+    ref_sh = (
+        reference.select(
+            F.explode(
+                F.array_distinct(word_shingles(tokens(F.col(text_col)), n))
+            ).alias("__shingle")
+        )
+        .where(F.col("__shingle") != "")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    per_doc = (
+        doc_sh.join(ref_sh, "__shingle", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count("__hit").alias("n_seen"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_shingles"), F.lit(0)).alias("n_shingles"),
+            F.coalesce(F.col("n_seen"), F.lit(0)).alias("n_seen"),
+            F.when(
+                F.coalesce(F.col("n_shingles"), F.lit(0)) == 0, F.lit(None)
+            )
+            .otherwise(
+                F.round(
+                    F.lit(1.0)
+                    - F.col("n_seen") / F.col("n_shingles").cast("double"),
+                    6,
+                )
+            )
+            .alias("novelty"),
+        )
+    )

@@ -256,3 +256,90 @@ def quantile_bins(
         )
         .orderBy("bin")
     )
+
+
+def benford_profile(df: DataFrame, value_col: str) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law — the
+    classic synthetic/fabricated-numeric-data screen (a generated or
+    tampered amount column drifts from log10(1 + 1/d); organic
+    multi-scale amounts follow it).
+
+    Digit extraction is engine-portable by construction: the value is
+    snapped to an exact cent grid (``round(x·100)`` as BIGINT) and the
+    leading digit read from the integer's decimal string — the leading
+    significant digit is invariant under ×100, and bigint→string never
+    goes scientific, unlike double→string. A float ``log10``-based
+    digit would disagree across engines at powers of ten.
+
+    Plan: one partial+final hash aggregate to 9 digit rows; the total
+    for the observed shares re-aggregates THAT 9-row frame (a second
+    corpus scan for a COUNT would be the wrong trade). Returns
+    (digit, n, observed_p, benford_p, abs_dev) ordered by digit.
+    """
+    cents = F.round(F.col(value_col) * 100).cast("bigint")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    counts = (
+        df.where(F.col(value_col).isNotNull() & (F.col(value_col) > 0))
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count("*").alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("__total"))
+    benford_p = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            F.round(F.col("n") / F.col("__total"), 6).alias("observed_p"),
+            F.round(benford_p, 6).alias("benford_p"),
+            F.round(
+                F.abs(F.col("n") / F.col("__total") - benford_p), 6
+            ).alias("abs_dev"),
+        )
+        .orderBy("digit")
+    )
+
+
+def winsorized_stats(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    lo: float = 0.05,
+    hi: float = 0.95,
+) -> DataFrame:
+    """Per-group winsorized moments: exact lo/hi percentiles, then the
+    mean/stddev of the CLAMPED values next to the raw ones — the
+    outlier-robust summary feeding reward/quality-score normalization
+    (a handful of runaway values otherwise own the z-scale).
+
+    Plan shape mirrors ``robust_outliers``: one groupBy(key) percentile
+    aggregate produces the |keys|-row bounds frame, it broadcasts back
+    (groups are bounded by the key domain, never data-proportional),
+    and ONE final aggregate computes raw and winsorized moments
+    together — two corpus exchanges total, both map-side-combined.
+    Population stddev on purpose: its one-pass parity across engines
+    is proven (value_percentiles); price-scale outputs round 2.
+    """
+    base = df.select(key_col, value_col).where(F.col(value_col).isNotNull())
+    bounds = base.groupBy(key_col).agg(
+        F.expr(f"percentile({value_col}, {lo!r})").alias("__lo"),
+        F.expr(f"percentile({value_col}, {hi!r})").alias("__hi"),
+    )
+    clamped = base.join(F.broadcast(bounds), key_col).withColumn(
+        "__w",
+        F.greatest(F.least(F.col(value_col), F.col("__hi")), F.col("__lo")),
+    )
+    return (
+        clamped.groupBy(key_col)
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.first("__lo"), 2).alias("p_lo"),
+            F.round(F.first("__hi"), 2).alias("p_hi"),
+            F.round(F.avg(value_col), 2).alias("mean_raw"),
+            F.round(F.avg("__w"), 2).alias("mean_winsor"),
+            F.round(F.stddev_pop(value_col), 2).alias("sd_raw"),
+            F.round(F.stddev_pop("__w"), 2).alias("sd_winsor"),
+        )
+        .orderBy(key_col)
+    )

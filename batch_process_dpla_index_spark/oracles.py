@@ -1654,6 +1654,173 @@ FROM sized WHERE rn = 1
 ORDER BY cluster
 """
 
+# Per-key CUSUM drift (operators/analytics.py:cusum_changepoint):
+# the same strictly-sequential fold over the (ts, event_id)-ordered
+# value list — list_reduce runs left-to-right exactly like Spark's
+# aggregate, so the float path is engine-identical without rounding
+# any intermediate.
+ORACLE_CUSUM_CHANGEPOINT = """
+WITH seq AS (
+    SELECT user_id, list(value ORDER BY ts, event_id) AS vals
+    FROM events WHERE value IS NOT NULL GROUP BY user_id
+), m AS (
+    SELECT user_id, vals, len(vals) AS n,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE), vals),
+                       (a, x) -> a + x) / len(vals) AS mean
+    FROM seq
+), f AS (
+    -- field ORDER is load-bearing: DuckDB 1.0 list_reduce evaluates
+    -- struct fields left-to-right with the accumulator already
+    -- mutated (a.su read inside a later field sees the NEW su).
+    -- Putting the max-trackers (mu, md) BEFORE the sums they read
+    -- (su, sd) makes every field read only not-yet-reassigned
+    -- fields — identical results under mutation AND snapshot
+    -- semantics, so it matches Spark's snapshot fold exactly.
+    SELECT user_id, n, mean,
+           list_reduce(
+               list_prepend(
+                   {'v': CAST(0.0 AS DOUBLE),
+                    'mu': CAST(0.0 AS DOUBLE), 'md': CAST(0.0 AS DOUBLE),
+                    'su': CAST(0.0 AS DOUBLE), 'sd': CAST(0.0 AS DOUBLE)},
+                   list_transform(vals, v ->
+                       {'v': v,
+                        'mu': CAST(0.0 AS DOUBLE), 'md': CAST(0.0 AS DOUBLE),
+                        'su': CAST(0.0 AS DOUBLE), 'sd': CAST(0.0 AS DOUBLE)})),
+               (a, x) -> {
+                   'v': x.v,
+                   'mu': greatest(a.mu,
+                       greatest(0.0, a.su + (x.v - mean - 0.1 * abs(mean)))),
+                   'md': greatest(a.md,
+                       greatest(0.0, a.sd + (mean - x.v - 0.1 * abs(mean)))),
+                   'su': greatest(0.0, a.su + (x.v - mean - 0.1 * abs(mean))),
+                   'sd': greatest(0.0, a.sd + (mean - x.v - 0.1 * abs(mean)))
+               }) AS r
+    FROM m
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_events,
+       round(mean, 6) AS mean_value,
+       round(r.mu, 6) AS cusum_up,
+       round(r.md, 6) AS cusum_dn,
+       CASE WHEN round(r.mu, 6) = 0.0 AND round(r.md, 6) = 0.0 THEN 'none'
+            WHEN round(r.mu, 6) >= round(r.md, 6) THEN 'up'
+            ELSE 'dn' END AS direction
+FROM f
+"""
+
+# Within-domain quality ranks (operators/curation.py:
+# domain_quality_rank): text_stats' quality expression, then
+# percent_rank/ntile over the (rounded score, doc_id) total order —
+# deterministic tie-break, identical rank semantics both engines.
+ORACLE_DOMAIN_QUALITY_RANK = f"""
+WITH base AS (
+    SELECT doc_id, source, {_tok(_nrm('text'))} AS tok, {_nrm('text')} AS nrm
+    FROM documents WHERE text IS NOT NULL
+), m AS (
+    SELECT doc_id, source,
+           CAST(len(tok) AS BIGINT) AS n_tokens,
+           CASE WHEN len(tok) = 0 THEN 0.0
+                ELSE CAST(list_sum(list_transform(tok, t -> length(t))) AS DOUBLE) / CAST(len(tok) AS DOUBLE)
+           END AS mtl,
+           CASE WHEN length(nrm) = 0 THEN 0.0
+                ELSE CAST(length(regexp_replace(nrm, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+                     / CAST(length(nrm) AS DOUBLE)
+           END AS pr,
+           CASE WHEN len(tok) = 0 THEN 0.0
+                ELSE CAST({_stop_hits("tok", "en")} AS DOUBLE) / CAST(len(tok) AS DOUBLE)
+           END AS swr
+    FROM base
+), q AS (
+    SELECT doc_id, source,
+           round(((CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 1.0 ELSE 0.0 END)
+                + (CASE WHEN mtl >= 2.0 AND mtl <= 12.0 THEN 1.0 ELSE 0.0 END)
+                + (CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.0 END)
+                + (CASE WHEN swr > 0.0 THEN 1.0 ELSE 0.0 END)) / 4.0, 6) AS quality
+    FROM m
+)
+SELECT doc_id, source, quality,
+       round(percent_rank() OVER (
+           PARTITION BY source ORDER BY quality ASC, doc_id ASC), 6)
+           AS pct_rank,
+       CAST(ntile(10) OVER (
+           PARTITION BY source ORDER BY quality ASC, doc_id ASC) AS INTEGER)
+           AS decile
+FROM q
+"""
+
+# n-gram novelty vs a reference half (operators/curation.py:
+# ngram_novelty): distinct 3-gram shingles, left join against the
+# reference's distinct shingle set, shingle-less docs → NULL novelty.
+ORACLE_NGRAM_NOVELTY = f"""
+WITH tgt AS (
+    SELECT doc_id,
+           list_distinct({_shingles(_tok(_nrm('text')), 3)}) AS sh
+    FROM documents WHERE doc_id % 2 = 1
+), ref AS (
+    SELECT DISTINCT unnest(
+        list_distinct({_shingles(_tok(_nrm('text')), 3)})) AS s
+    FROM documents WHERE doc_id % 2 = 0
+), ref_ne AS (SELECT s FROM ref WHERE s <> ''),
+ex AS (SELECT doc_id, unnest(sh) AS s FROM tgt),
+hits AS (
+    SELECT e.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(count(r.s) AS BIGINT) AS n_seen
+    FROM ex e LEFT JOIN ref_ne r USING (s)
+    GROUP BY e.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(h.n_shingles, 0) AS n_shingles,
+       COALESCE(h.n_seen, 0) AS n_seen,
+       CASE WHEN COALESCE(h.n_shingles, 0) = 0 THEN NULL
+            ELSE round(1.0 - h.n_seen / CAST(h.n_shingles AS DOUBLE), 6)
+       END AS novelty
+FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+LEFT JOIN hits h USING (doc_id)
+"""
+
+# First-digit Benford screen (operators/profiling.py:benford_profile):
+# cent-grid snap + bigint→string leading digit, shares over the 9-row
+# digit frame. bigint→VARCHAR never goes scientific, so the digit is
+# engine-portable where a float log10 would not be.
+ORACLE_BENFORD_PROFILE = """
+WITH d AS (
+    SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                            AS VARCHAR), 1, 1) AS INTEGER) AS digit
+    FROM orders
+    WHERE o_totalprice IS NOT NULL AND o_totalprice > 0
+), c AS (
+    SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit
+), t AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM c)
+SELECT digit, n,
+       round(n / total, 6) AS observed_p,
+       round(log10(1.0 + 1.0 / digit), 6) AS benford_p,
+       round(abs(n / total - log10(1.0 + 1.0 / digit)), 6) AS abs_dev
+FROM c CROSS JOIN t
+ORDER BY digit
+"""
+
+# Winsorized per-group moments (operators/profiling.py:
+# winsorized_stats): quantile_cont == Spark exact percentile (proven
+# hash-green), stddev_pop one-pass parity per value_percentiles.
+ORACLE_WINSORIZED_STATS = """
+WITH base AS (
+    SELECT o_orderpriority AS k, o_totalprice AS v
+    FROM orders WHERE o_totalprice IS NOT NULL
+), b AS (
+    SELECT k, quantile_cont(v, 0.05) AS lo, quantile_cont(v, 0.95) AS hi
+    FROM base GROUP BY k
+), c AS (
+    SELECT base.k, v, greatest(least(v, hi), lo) AS w, lo, hi
+    FROM base JOIN b USING (k)
+)
+SELECT k AS o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+       round(min(lo), 2) AS p_lo, round(min(hi), 2) AS p_hi,
+       round(avg(v), 2) AS mean_raw, round(avg(w), 2) AS mean_winsor,
+       round(stddev_pop(v), 2) AS sd_raw,
+       round(stddev_pop(w), 2) AS sd_winsor
+FROM c GROUP BY k ORDER BY k
+"""
+
 # Cluster-aware train/val split (operators/curation.py:
 # leakage_safe_split): same transitive closure as dedup_clusters, then
 # singleton coalesce + per-cluster size window + the h60 'split' bucket
@@ -2682,6 +2849,11 @@ ORACLES: dict[str, str] = {
     "snm_multipass": ORACLE_SNM_MULTIPASS,
     "dedup_representatives": ORACLE_DEDUP_REPRESENTATIVES,
     "leakage_safe_split": ORACLE_LEAKAGE_SAFE_SPLIT,
+    "cusum_changepoint": ORACLE_CUSUM_CHANGEPOINT,
+    "domain_quality_rank": ORACLE_DOMAIN_QUALITY_RANK,
+    "ngram_novelty": ORACLE_NGRAM_NOVELTY,
+    "benford_profile": ORACLE_BENFORD_PROFILE,
+    "winsorized_stats": ORACLE_WINSORIZED_STATS,
     "skipgram_cooc": ORACLE_SKIPGRAM_COOC,
     "rrf_fusion": ORACLE_RRF_FUSION,
     "pagerank": ORACLE_PAGERANK,

@@ -2187,6 +2187,72 @@ def q_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantile_bins(orders, "o_totalprice", n_bins=10)
 
 
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user CUSUM mean-shift scores over event values — the
+    sequential fold over each key's time-ordered array, one shuffle
+    on the user key (operators/analytics.py:cusum_changepoint)."""
+    from batch_process_dpla_index_spark.operators.analytics import (
+        cusum_changepoint,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return cusum_changepoint(ev)
+
+
+def q_domain_quality_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality normalization: percent_rank + decile of the
+    composite quality score within each source — thresholds become
+    domain-relative (operators/curation.py:domain_quality_rank). One
+    hash exchange on source + per-domain sort."""
+    from batch_process_dpla_index_spark.operators.curation import (
+        domain_quality_rank,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return domain_quality_rank(docs)
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram novelty of odd-id documents against the even-id half as
+    reference corpus — the regurgitation/templating screen
+    (operators/curation.py:ngram_novelty). Shingle-key hash join, ref
+    side pre-shrunk by DISTINCT, nothing broadcast."""
+    from batch_process_dpla_index_spark.operators.curation import ngram_novelty
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_novelty(
+        docs.where(F.col("doc_id") % 2 == 1),
+        docs.where(F.col("doc_id") % 2 == 0),
+        n=3,
+    )
+
+
+def q_benford_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-digit Benford screen over order totals — the fabricated-
+    numeric-data detector. One 9-row hash aggregate; the share
+    denominator re-aggregates the 9-row frame, never a second corpus
+    scan (operators/profiling.py:benford_profile)."""
+    from batch_process_dpla_index_spark.operators.profiling import (
+        benford_profile,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    return benford_profile(orders, "o_totalprice")
+
+
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority winsorized moments of order totals: exact p05/p95
+    bounds broadcast back (|keys| rows), clamped mean/stddev next to
+    raw — two map-combined corpus exchanges total
+    (operators/profiling.py:winsorized_stats)."""
+    from batch_process_dpla_index_spark.operators.profiling import (
+        winsorized_stats,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    return winsorized_stats(orders, "o_orderpriority", "o_totalprice")
+
+
 def q_snm_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-pass sorted-neighborhood match (forward + reversed-text
     pass): the multi-pass recall escape single-pass blocking documents
@@ -2350,6 +2416,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #    non-null, matching the engine predicate exactly --
     "fuzzy_match": q_fuzzy_match,
     # -- new this round (driver-proven in their debut round) --
+    "cusum_changepoint": q_cusum_changepoint,
+    "domain_quality_rank": q_domain_quality_rank,
+    "ngram_novelty": q_ngram_novelty,
+    "benford_profile": q_benford_profile,
+    "winsorized_stats": q_winsorized_stats,
     "snm_multipass": q_snm_multipass,
     "dedup_representatives": q_dedup_representatives,
     "leakage_safe_split": q_leakage_safe_split,

@@ -351,3 +351,44 @@ def test_range_join_cap_falls_back_to_theta_join(spark):
     assert sorted((r.v, r.name) for r in out.collect()) == [(5.0, "a"), (15.0, "b")]
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan  # capped: no CASE rewrite
+
+
+def test_cusum_changepoint_flags_planted_shift(spark):
+    import datetime as dt
+
+    from batch_process_dpla_index_spark.operators.analytics import (
+        cusum_changepoint,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # user 1: flat at 10 then jumps to 20 — upward drift accumulates
+    for i in range(20):
+        rows.append((i, t0 + dt.timedelta(minutes=i), 1, 10.0 + (10.0 if i >= 10 else 0.0)))
+    # user 2: constant — CUSUM never escapes the slack band
+    for i in range(20):
+        rows.append((100 + i, t0 + dt.timedelta(minutes=i), 2, 10.0))
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, value double"
+    )
+    out = {r["user_id"]: r for r in cusum_changepoint(df).collect()}
+    assert out[1]["direction"] == "up" and out[1]["cusum_up"] > 10
+    assert out[2]["direction"] == "none"
+    assert out[2]["cusum_up"] == 0.0 and out[2]["cusum_dn"] == 0.0
+    assert out[1]["n_events"] == 20 and out[1]["mean_value"] == 15.0
+
+
+def test_cusum_changepoint_order_is_time_not_insert(spark):
+    import datetime as dt
+
+    from batch_process_dpla_index_spark.operators.analytics import (
+        cusum_changepoint,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    seq = [(i, t0 + dt.timedelta(minutes=i), 1, 10.0 + (10.0 if i >= 5 else 0.0)) for i in range(10)]
+    df_fwd = spark.createDataFrame(seq, "event_id bigint, ts timestamp, user_id bigint, value double")
+    df_rev = spark.createDataFrame(list(reversed(seq)), "event_id bigint, ts timestamp, user_id bigint, value double")
+    a = cusum_changepoint(df_fwd).collect()[0]
+    b = cusum_changepoint(df_rev).collect()[0]
+    assert (a["cusum_up"], a["cusum_dn"]) == (b["cusum_up"], b["cusum_dn"])

@@ -522,3 +522,51 @@ def test_leakage_safe_split_deterministic_and_cluster_keyed(spark):
     # keyed on 4, identical side to doc 4 by construction
     sides = dict(got_a)
     assert sides[4] == sides[5]
+
+
+def test_domain_quality_rank_is_per_domain(spark):
+    from batch_process_dpla_index_spark.operators.curation import (
+        domain_quality_rank,
+    )
+
+    good = "the quick brown fox jumps over the lazy dog again and again today"
+    bad = "x!!! y??? z***"
+    df = spark.createDataFrame(
+        [
+            (1, good, "a"),
+            (2, bad, "a"),
+            (3, good, "b"),
+            (4, bad, "b"),
+            (5, None, "b"),  # NULL text is excluded, not ranked
+        ],
+        "doc_id bigint, text string, source string",
+    )
+    rows = {r["doc_id"]: r for r in domain_quality_rank(df).collect()}
+    assert 5 not in rows and len(rows) == 4
+    # ranks are computed within each domain independently: both
+    # domains see the same (low, high) pattern
+    assert rows[1]["pct_rank"] == 1.0 and rows[2]["pct_rank"] == 0.0
+    assert rows[3]["pct_rank"] == 1.0 and rows[4]["pct_rank"] == 0.0
+    assert rows[1]["quality"] > rows[2]["quality"]
+
+
+def test_ngram_novelty_detects_regurgitation(spark):
+    from batch_process_dpla_index_spark.operators.curation import ngram_novelty
+
+    ref = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")],
+        "doc_id bigint, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),        # all 3-grams in ref
+            (2, "totally novel words here now"),  # none in ref
+            (3, ""),                              # no shingles
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {r["doc_id"]: r for r in ngram_novelty(docs, ref, n=3).collect()}
+    assert rows[1]["novelty"] == 0.0
+    assert rows[2]["novelty"] == 1.0
+    assert rows[3]["n_shingles"] == 0 and rows[3]["novelty"] is None
+    assert rows[1]["n_seen"] == rows[1]["n_shingles"] == 2

@@ -477,3 +477,54 @@ def test_skipgram_cooc_counts(spark):
         ).collect()
     }
     assert floored == {("a", "b"), ("a", "c")}
+
+
+def test_benford_profile_closed_form(spark):
+    from pyspark.sql import functions as F
+
+    from batch_process_dpla_index_spark.operators.profiling import (
+        benford_profile,
+    )
+
+    # 2 values leading with 1, 1 with 2; zero/negative/NULL dropped
+    df = spark.createDataFrame(
+        [(123.45,), (1999.99,), (25.0,), (0.0,), (-500.0,), (None,)],
+        "v double",
+    )
+    rows = {r["digit"]: r for r in benford_profile(df, "v").collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1]["n"] == 2 and rows[2]["n"] == 1
+    assert rows[1]["observed_p"] == round(2 / 3, 6)
+    import math
+
+    assert rows[1]["benford_p"] == round(math.log10(2.0), 6)
+
+
+def test_benford_profile_digit_is_scale_invariant(spark):
+    from batch_process_dpla_index_spark.operators.profiling import (
+        benford_profile,
+    )
+
+    # same leading digit whether the amount is 9.99 or 999.0 — the
+    # cent-grid snap must not shift the first significant digit
+    df = spark.createDataFrame([(9.99,), (999.0,), (0.09,)], "v double")
+    rows = {r["digit"]: r["n"] for r in benford_profile(df, "v").collect()}
+    assert rows == {9: 3}
+
+
+def test_winsorized_stats_clamps_outlier(spark):
+    from batch_process_dpla_index_spark.operators.profiling import (
+        winsorized_stats,
+    )
+
+    vals = [float(x) for x in range(1, 20)] + [10_000.0]
+    df = spark.createDataFrame([("g", v) for v in vals], "k string, v double")
+    row = winsorized_stats(df, "k", "v", lo=0.05, hi=0.95).collect()[0]
+    assert row["n"] == 20
+    # the 10k outlier is clamped to the interpolated p95 (~518 for
+    # this 20-value set), so the winsorized mean falls back toward
+    # the bulk while the raw mean is dragged up ~500
+    assert row["mean_raw"] > 500
+    assert row["mean_winsor"] < 40
+    assert row["sd_winsor"] < row["sd_raw"]
+    assert row["p_lo"] <= row["p_hi"]
