@@ -353,3 +353,117 @@ def skew_report(
         )
         .drop("__total")
     )
+
+
+def bloom_bitmap(
+    keys: DataFrame,
+    key_col: str,
+    m_bits: int = 1 << 14,
+    k_hashes: int = 3,
+    salt: str = "bloom",
+) -> DataFrame:
+    """Build a Bloom-filter bitmap over ``keys`` as a ONE-ROW frame
+    holding an ``array<bigint>`` of ``m_bits/64`` words.
+
+    The bitmap is built distributed — each key expands to its
+    ``k_hashes`` bit positions (the h60 salted-digest family, so the
+    filter is engine-reproducible), positions aggregate to words via
+    ``bit_or`` map-side, and only the ≤``m_bits/64``-word frame ever
+    converges — never the key set. The single row broadcasts into the
+    probing scan as an expression, which is how a semi-join prune
+    reaches 100 TB facts without shuffling them: Spark's own runtime
+    row-level filters do exactly this, but only when the join is
+    already planned; this operator makes the prune explicit and
+    portable (no `might_contain` in the public function registry).
+    """
+    from batch_process_dpla_index_spark.functions.text import h60
+
+    n_words = m_bits // 64
+    pos = F.explode(
+        F.array(
+            *[
+                F.pmod(
+                    h60(
+                        F.concat(
+                            F.lit(f"{salt}:{i}:"),
+                            F.col(key_col).cast("string"),
+                        )
+                    ),
+                    F.lit(m_bits),
+                )
+                for i in range(k_hashes)
+            ]
+        )
+    ).alias("__pos")
+    words = (
+        keys.where(F.col(key_col).isNotNull())
+        .select(pos)
+        # expression strings: the Python shiftleft() helper only takes
+        # a literal shift amount, not a per-row Column
+        .selectExpr(
+            "CAST(__pos / 64 AS INT) AS __word",
+            "shiftleft(CAST(1 AS BIGINT), CAST(__pos % 64 AS INT)) AS __bit",
+        )
+        .groupBy("__word")
+        .agg(F.bit_or("__bit").alias("__bits"))
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(n_words - 1)),
+        lambda i: F.coalesce(F.element_at(F.col("__m"), i), F.lit(0).cast("bigint")),
+    )
+    return words.agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("__word", "__bits")))
+        ).alias("__m")
+    ).select(dense.alias("__bloom"))
+
+
+def bloom_prune_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    m_bits: int = 1 << 14,
+    k_hashes: int = 3,
+    salt: str = "bloom",
+) -> DataFrame:
+    """Inner join with an explicit Bloom pre-prune of the fact side.
+
+    The dim keys' bitmap (one broadcast row) folds into a pure
+    expression filter on the fact scan — rows failing ANY of the
+    ``k_hashes`` bit probes drop before the join. The exact join then
+    removes Bloom false positives, so the RESULT is bit-identical to
+    the plain join (the oracle replays the plain join — false
+    negatives are impossible by construction, false positives never
+    survive the join).
+
+    Why this matters at scale: a selective dim against a 100 TB fact
+    normally ships every fact row into the join's exchange. The
+    bitmap prune runs inside the scan stage at ~x% pass-through
+    (m/n tuned), so the shuffle — or even a broadcast-join's probe —
+    sees only candidate rows. This is Catalyst's runtime-filter
+    design made explicit and tunable.
+    """
+    bm = bloom_bitmap(dim.select(dim_key), dim_key, m_bits, k_hashes, salt)
+    from batch_process_dpla_index_spark.functions.text import h60
+
+    def pos_expr(i: int) -> F.Column:
+        return F.pmod(
+            h60(F.concat(F.lit(f"{salt}:{i}:"), F.col(fact_key).cast("string"))),
+            F.lit(m_bits),
+        )
+
+    probed = fact.where(F.col(fact_key).isNotNull()).crossJoin(F.broadcast(bm))
+    for i in range(k_hashes):
+        probed = probed.withColumn(f"__p{i}", pos_expr(i))
+    # per-row shift amounts need the SQL shift functions (the Python
+    # helpers only accept literal shifts)
+    cond = " AND ".join(
+        f"(shiftrightunsigned(element_at(__bloom, CAST(__p{i} / 64 AS INT) + 1),"
+        f" CAST(__p{i} % 64 AS INT)) & CAST(1 AS BIGINT)) = 1"
+        for i in range(k_hashes)
+    )
+    pruned = probed.where(F.expr(cond)).drop(
+        "__bloom", *[f"__p{i}" for i in range(k_hashes)]
+    )
+    return pruned.join(dim, pruned[fact_key] == dim[dim_key])

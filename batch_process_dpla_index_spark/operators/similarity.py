@@ -762,3 +762,59 @@ def _scored_bucket_pairs(
     return sharded.groupBy("table", "shard").applyInPandas(
         score_shard, "id_a bigint, id_b bigint, raw_score double"
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 3,
+) -> DataFrame:
+    """Contrastive hard-negative mining: for each query vector, the
+    top-k most-similar corpus vectors whose LABEL DIFFERS — the pairs
+    a contrastive/embedding trainer wants as negatives precisely
+    because the model currently scores them like positives.
+
+    Label semantics are null-safe: a NULL corpus label counts as
+    differing from any non-NULL query label (IS DISTINCT FROM), so
+    unlabeled vectors can still serve as negatives.
+
+    Plan: the query side is a bounded mining batch by contract, so it
+    broadcasts into one scan of the corpus; per-query top-k is a
+    |Q|-partition window over scored candidates. At mining-fleet
+    scale the corpus side routes through the ANN tiers first (IVF
+    cells / LSH buckets shrink the candidate set per query) and this
+    operator runs on the survivors — the expression tier here IS the
+    exact re-scorer of that pipeline.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col(label_col).alias("q_label"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col(label_col).alias("neighbor_label"),
+    )
+    scored = c.join(
+        F.broadcast(q),
+        (F.col("query_id") != F.col("neighbor_id"))
+        & ~F.col("neighbor_label").eqNullSafe(F.col("q_label")),
+    ).withColumn("score", cosine(F.col("q_vec"), F.col("c_vec")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "neighbor_label",
+            F.round("score", 6).alias("score"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

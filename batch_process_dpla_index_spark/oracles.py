@@ -1654,6 +1654,48 @@ FROM sized WHERE rn = 1
 ORDER BY cluster
 """
 
+# Hard-negative mining (operators/similarity.py:hard_negatives):
+# cosine_topk's scoring with the null-safe label-differs predicate.
+ORACLE_HARD_NEGATIVES = f"""
+WITH e AS (
+    SELECT vec_id, label, embedding,
+           sqrt({_dot("embedding", "embedding")}) AS nrm
+    FROM embeddings
+), scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           c.label AS neighbor_label,
+           CASE WHEN q.nrm * c.nrm = 0 THEN NULL
+                ELSE {_dot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) END AS score
+    FROM e q JOIN e c
+      ON q.vec_id < 10 AND q.vec_id <> c.vec_id
+     AND c.label IS DISTINCT FROM q.label
+), ranked AS (
+    SELECT query_id, neighbor_id, neighbor_label, score,
+           row_number() OVER (PARTITION BY query_id
+               ORDER BY score DESC NULLS LAST, neighbor_id) AS rnk
+    FROM scored
+)
+SELECT query_id, neighbor_id, neighbor_label,
+       round(score, 6) AS score, CAST(rnk AS INTEGER) AS rank
+FROM ranked WHERE rnk <= 3
+"""
+
+# Independent-algorithm oracle for the Bloom-pruned join: the plain
+# join. A Bloom filter admits no false negatives and the exact join
+# removes its false positives, so the pruned plan's RESULT must equal
+# the unpruned join bit for bit — the prune is pure physical-plan
+# optimization (operators/relational.py:bloom_prune_join).
+ORACLE_BLOOM_PRUNE_JOIN = """
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_items,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_price
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand = 'Brand#4'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
 # Per-key CUSUM drift (operators/analytics.py:cusum_changepoint):
 # the same strictly-sequential fold over the (ts, event_id)-ordered
 # value list — list_reduce runs left-to-right exactly like Spark's
@@ -2849,6 +2891,8 @@ ORACLES: dict[str, str] = {
     "snm_multipass": ORACLE_SNM_MULTIPASS,
     "dedup_representatives": ORACLE_DEDUP_REPRESENTATIVES,
     "leakage_safe_split": ORACLE_LEAKAGE_SAFE_SPLIT,
+    "hard_negatives": ORACLE_HARD_NEGATIVES,
+    "bloom_prune_join": ORACLE_BLOOM_PRUNE_JOIN,
     "cusum_changepoint": ORACLE_CUSUM_CHANGEPOINT,
     "domain_quality_rank": ORACLE_DOMAIN_QUALITY_RANK,
     "ngram_novelty": ORACLE_NGRAM_NOVELTY,

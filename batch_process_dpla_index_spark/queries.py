@@ -2187,6 +2187,47 @@ def q_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantile_bins(orders, "o_totalprice", n_bins=10)
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining: top-3 most-similar
+    different-label neighbors for the first 10 vectors — bounded
+    query batch broadcasts, per-query window top-k
+    (operators/similarity.py:hard_negatives)."""
+    from batch_process_dpla_index_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hard_negatives(emb, emb.filter(F.col("vec_id") < 10), k=3)
+
+
+def q_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned selective join: lineitem rows probe the Brand#4
+    part-key bitmap (one broadcast row, pure expression filter inside
+    the scan stage) before the exact join removes false positives —
+    result bit-identical to the plain join, which is exactly what the
+    oracle replays (operators/relational.py:bloom_prune_join)."""
+    from batch_process_dpla_index_spark.operators.relational import (
+        bloom_prune_join,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_brand") == "Brand#4")
+        .select("p_partkey", "p_brand")
+    )
+    joined = bloom_prune_join(li, part, "l_partkey", "p_partkey")
+    return (
+        joined.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user CUSUM mean-shift scores over event values — the
     sequential fold over each key's time-ordered array, one shuffle
@@ -2416,6 +2457,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #    non-null, matching the engine predicate exactly --
     "fuzzy_match": q_fuzzy_match,
     # -- new this round (driver-proven in their debut round) --
+    "hard_negatives": q_hard_negatives,
+    "bloom_prune_join": q_bloom_prune_join,
     "cusum_changepoint": q_cusum_changepoint,
     "domain_quality_rank": q_domain_quality_rank,
     "ngram_novelty": q_ngram_novelty,

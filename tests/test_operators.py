@@ -600,3 +600,69 @@ def test_funnel_null_ts_events_are_excluded(spark):
     got = {r.stage: r.n_users for r in funnel_stages(ev).collect()}
     # user 1 has no non-NULL signup → reaches nothing; user 2 reaches 4
     assert got == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_bloom_prune_join_exact_and_selective(spark):
+    from pyspark.sql import functions as F
+
+    from batch_process_dpla_index_spark.operators.relational import (
+        bloom_bitmap,
+        bloom_prune_join,
+    )
+    from batch_process_dpla_index_spark.functions.text import h60
+
+    fact = spark.createDataFrame(
+        [(i, i % 100) for i in range(2000)], "row_id bigint, k bigint"
+    )
+    dim = spark.createDataFrame([(3,), (7,), (42,)], "dk bigint")
+    got = sorted(
+        r["row_id"]
+        for r in bloom_prune_join(fact, dim, "k", "dk", m_bits=1 << 12).collect()
+    )
+    want = sorted(
+        r["row_id"] for r in fact.join(dim, fact["k"] == dim["dk"]).collect()
+    )
+    assert got == want and len(got) == 60  # exact: no FNs, FPs removed
+
+    # the bitmap itself: every dim key's probes must hit (no false
+    # negatives by construction), and a dense non-key mostly misses
+    bm = bloom_bitmap(dim, "dk", m_bits=1 << 12).collect()[0]["__bloom"]
+
+    def probes(key: int, m_bits: int = 1 << 12, k_hashes: int = 3):
+        import hashlib
+
+        out = []
+        for i in range(k_hashes):
+            h = int(
+                hashlib.md5(f"bloom:{i}:{key}".encode()).hexdigest()[:15], 16
+            )
+            out.append(h % m_bits)
+        return out
+
+    def member(key: int) -> bool:
+        return all((bm[p // 64] >> (p % 64)) & 1 for p in probes(key))
+
+    assert all(member(k) for k in (3, 7, 42))
+    fp = sum(member(k) for k in range(1000, 3000))
+    assert fp < 40  # ~3 set keys in 4096 bits -> tiny FP rate
+
+
+def test_hard_negatives_excludes_same_label_and_self(spark):
+    from batch_process_dpla_index_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [0.99, 0.1], 0),   # same label as 1 -> never its negative
+        (3, [0.9, 0.2], 1),    # closest different-label vector
+        (4, [0.0, 1.0], 1),    # orthogonal -> ranks below 3
+        (5, [0.95, 0.05], None),  # NULL label serves as a negative
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>, label int")
+    out = hard_negatives(df, df.filter("vec_id = 1"), k=3).collect()
+    ids = [r["neighbor_id"] for r in out]
+    assert 2 not in ids and 1 not in ids
+    assert ids[0] == 5  # NULL label, most similar different-label vector
+    assert ids[1] == 3 and out[0]["rank"] == 1
+    assert all(r["query_id"] == 1 for r in out)
