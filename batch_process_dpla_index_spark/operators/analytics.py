@@ -504,3 +504,183 @@ def cusum_changepoint(
         .otherwise(F.lit("dn"))
         .alias("direction"),
     )
+
+
+def seasonal_baseline(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Seasonal (hour-of-day) anomaly profile: each event compares to
+    the mean/stddev of ITS OWN (type, hour) cell — the baseline shape
+    for metrics with daily periodicity, where a global z-score flags
+    every rush hour as anomalous and misses a quiet-hour spike.
+
+    The cell stats snap to 6 decimals BEFORE the threshold compare on
+    BOTH engines (documented determinism snap): a one-pass mean's
+    last-ulp association drift must never flip a boundary row's flag
+    between Spark and the oracle.
+
+    Plan: one groupBy(type, hour) stats aggregate; the |types|×24-row
+    cell frame broadcasts back (bounded by the type domain, never
+    data-proportional); one final aggregate counts flags per cell.
+    """
+    hour = F.hour(F.col(ts_col))
+    base = events.where(F.col(value_col).isNotNull()).select(
+        F.col(type_col), hour.alias("hod"), F.col(value_col).alias("__v")
+    )
+    cells = base.groupBy(type_col, "hod").agg(
+        F.round(F.avg("__v"), 6).alias("__mean"),
+        F.round(F.stddev_pop("__v"), 6).alias("__sd"),
+    )
+    flagged = base.join(F.broadcast(cells), [type_col, "hod"]).withColumn(
+        "__anom",
+        (
+            (F.col("__sd") > 0)
+            & (F.abs(F.col("__v") - F.col("__mean")) > F.lit(z_threshold) * F.col("__sd"))
+        ).cast("long"),
+    )
+    return (
+        flagged.groupBy(type_col, "hod")
+        .agg(
+            F.count("*").alias("n"),
+            F.first("__mean").alias("mean_value"),
+            F.first("__sd").alias("sd_value"),
+            F.sum("__anom").alias("n_anomalies"),
+        )
+        .orderBy(type_col, "hod")
+    )
+
+
+def triangle_count(edges: DataFrame, src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """Global triangle census over an undirected edge list: node/edge
+    counts, wedge count, triangle count, and the global clustering
+    coefficient 3·triangles/wedges — the graph-shape datasheet number
+    next to pagerank and connected components.
+
+    Scale design is the standard DEGREE ORIENTATION: every canonical
+    edge points from its lower-(degree, id) endpoint to the higher
+    one, so each wedge is generated exactly once at its lowest-degree
+    apex and the wedge join's fan-out is bounded by the graph's
+    degeneracy, not by the max degree (a celebrity node with 10^6
+    neighbors generates zero wedges as apex unless its degree is
+    genuinely lowest). Wedges for the coefficient come free from the
+    degree frame (Σ d·(d−1)/2), never materialized.
+    """
+    canon = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("u"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .where(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .distinct()
+    )
+    canon = canon.persist()
+    deg = (
+        canon.select(F.col("u").alias("node"))
+        .unionAll(canon.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    ).persist()
+    n_nodes = deg.agg(F.count("*").alias("n_nodes"))
+    n_edges = canon.agg(F.count("*").alias("n_edges"))
+    wedges = deg.agg(
+        F.sum(F.col("deg") * (F.col("deg") - 1) / 2).cast("bigint").alias("n_wedges")
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    oriented = (
+        canon.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("s"), F.col("v").alias("d")),
+            )
+            .otherwise(F.struct(F.col("v").alias("s"), F.col("u").alias("d")))
+            .alias("e")
+        )
+        .select(F.col("e.s").alias("s"), F.col("e.d").alias("d"))
+    ).persist()
+    e1 = oriented.select(F.col("s").alias("a"), F.col("d").alias("b"))
+    e2 = oriented.select(F.col("s").alias("b2"), F.col("d").alias("c"))
+    wedge = (
+        e1.join(e2, e1["b"] == e2["b2"])
+        # close against the CANONICAL edge set keyed (min, max) — an
+        # either-orientation OR predicate would degrade to a nested
+        # loop; this stays an equi hash join on two keys
+        .select(
+            F.least(F.col("a"), F.col("c")).alias("u"),
+            F.greatest(F.col("a"), F.col("c")).alias("v"),
+        )
+    )
+    n_tri = wedge.join(canon, ["u", "v"]).agg(
+        F.count("*").alias("n_triangles")
+    )
+    out = (
+        n_nodes.crossJoin(n_edges)
+        .crossJoin(wedges)
+        .crossJoin(n_tri)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.when(F.col("n_wedges") > 0,
+                   F.round(3.0 * F.col("n_triangles") / F.col("n_wedges"), 6))
+            .alias("clustering"),
+        )
+    )
+    from batch_process_dpla_index_spark.operators.dedup import _with_cached_deps
+
+    return _with_cached_deps(out, [canon, deg, oriented])
+
+
+def bpe_merge_pairs(
+    docs: DataFrame,
+    tokens_col,
+    min_count: int = 2,
+) -> DataFrame:
+    """Adjacent-symbol pair counts within words — ONE iteration of the
+    BPE merge-candidate statistic (the pair a byte-pair-encoding
+    trainer would merge next is the argmax of exactly this table).
+    Character-level seed alphabet; ordered pairs, since BPE merges are
+    position-sensitive ('th' ≠ 'ht').
+
+    Same 100 TB shape as ``skipgram_cooc``: pair generation is a pure
+    per-row nested-transform expression (words → adjacent char pairs,
+    flattened twice), the only shuffle is the pair-key hash aggregate
+    with map-side partials. The aggregate key space is bounded by the
+    squared alphabet, so the reduce side is tiny regardless of corpus.
+    """
+    toks = tokens_col.alias("__toks")
+    word_pairs = F.flatten(
+        F.transform(
+            F.col("__toks"),
+            lambda t: F.transform(
+                F.filter(
+                    F.sequence(F.lit(1), F.greatest(F.length(t) - 1, F.lit(1))),
+                    lambda i: i <= F.length(t) - 1,
+                ),
+                lambda i: F.struct(
+                    t.substr(i, F.lit(1)).alias("ca"),
+                    t.substr(i + 1, F.lit(1)).alias("cb"),
+                ),
+            ),
+        )
+    )
+    pairs = (
+        docs.select(toks)
+        .where(F.size("__toks") >= 1)
+        .select(F.explode(word_pairs).alias("p"))
+        .select(F.col("p.ca").alias("c_a"), F.col("p.cb").alias("c_b"))
+    )
+    return (
+        pairs.groupBy("c_a", "c_b")
+        .agg(F.count("*").alias("n_pairs"))
+        .where(F.col("n_pairs") >= min_count)
+    )

@@ -1654,6 +1654,85 @@ FROM sized WHERE rn = 1
 ORDER BY cluster
 """
 
+# Hour-of-day seasonal anomaly cells (operators/analytics.py:
+# seasonal_baseline): stats snapped to 6dp BEFORE the 3σ compare on
+# both engines, so one-pass mean association drift can't flip a
+# boundary row's flag.
+ORACLE_SEASONAL_BASELINE = """
+WITH base AS (
+    SELECT event_type, CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hod,
+           value AS v
+    FROM events WHERE value IS NOT NULL
+), cells AS (
+    SELECT event_type, hod,
+           round(avg(v), 6) AS mean_value,
+           round(stddev_pop(v), 6) AS sd_value
+    FROM base GROUP BY event_type, hod
+)
+SELECT b.event_type, b.hod, CAST(count(*) AS BIGINT) AS n,
+       min(c.mean_value) AS mean_value,
+       min(c.sd_value) AS sd_value,
+       CAST(sum(CASE WHEN c.sd_value > 0
+                      AND abs(b.v - c.mean_value) > 3.0 * c.sd_value
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+FROM base b JOIN cells c USING (event_type, hod)
+GROUP BY b.event_type, b.hod
+ORDER BY b.event_type, b.hod
+"""
+
+# Triangle census of the part co-purchase graph: the u<v<w three-way
+# self-join — a DIFFERENT algorithm from the engine's degree-oriented
+# wedge close, same count by symmetry. Edges are canonical (sorted
+# part lists), support >= 2 orders.
+ORACLE_TRIANGLE_COUNT = """
+WITH po AS (
+    SELECT l_orderkey,
+           list_sort(list_distinct(list(l_partkey))) AS parts
+    FROM lineitem GROUP BY l_orderkey
+), pr AS (
+    SELECT unnest(flatten(list_transform(range(1, len(parts)), i ->
+        list_transform(range(i + 1, len(parts) + 1),
+                       j -> [parts[i], parts[j]])))) AS p
+    FROM po WHERE len(parts) >= 2
+), e AS (
+    SELECT p[1] AS u, p[2] AS v FROM pr
+    GROUP BY 1, 2 HAVING count(*) >= 2
+), nodes AS (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e),
+deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d FROM nodes GROUP BY node),
+tri AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_tri
+    FROM e e1
+    JOIN e e2 ON e2.u = e1.v
+    JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+       (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+       (SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT) FROM deg) AS n_wedges,
+       (SELECT n_tri FROM tri) AS n_triangles,
+       CASE WHEN (SELECT sum(d * (d - 1) / 2) FROM deg) > 0
+            THEN round(3.0 * (SELECT n_tri FROM tri)
+                       / (SELECT sum(d * (d - 1) / 2) FROM deg), 6)
+       END AS clustering
+"""
+
+# One BPE iteration's merge-candidate table (operators/analytics.py:
+# bpe_merge_pairs): ordered adjacent char pairs within words.
+ORACLE_BPE_MERGES = f"""
+WITH t AS (SELECT {_tok(_nrm('text'))} AS toks FROM documents),
+w AS (SELECT unnest(toks) AS w FROM t WHERE len(toks) >= 1),
+p AS (
+    SELECT unnest(list_transform(range(1, length(w)),
+                                 i -> [w[i], w[i + 1]])) AS pr
+    FROM w WHERE length(w) >= 2
+)
+SELECT * FROM (
+    SELECT pr[1] AS c_a, pr[2] AS c_b, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM p GROUP BY 1, 2 HAVING count(*) >= 2
+)
+ORDER BY n_pairs DESC, c_a, c_b
+LIMIT 25
+"""
+
 # Hard-negative mining (operators/similarity.py:hard_negatives):
 # cosine_topk's scoring with the null-safe label-differs predicate.
 ORACLE_HARD_NEGATIVES = f"""
@@ -2891,6 +2970,9 @@ ORACLES: dict[str, str] = {
     "snm_multipass": ORACLE_SNM_MULTIPASS,
     "dedup_representatives": ORACLE_DEDUP_REPRESENTATIVES,
     "leakage_safe_split": ORACLE_LEAKAGE_SAFE_SPLIT,
+    "seasonal_baseline": ORACLE_SEASONAL_BASELINE,
+    "triangle_count": ORACLE_TRIANGLE_COUNT,
+    "bpe_merges": ORACLE_BPE_MERGES,
     "hard_negatives": ORACLE_HARD_NEGATIVES,
     "bloom_prune_join": ORACLE_BLOOM_PRUNE_JOIN,
     "cusum_changepoint": ORACLE_CUSUM_CHANGEPOINT,

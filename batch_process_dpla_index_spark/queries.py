@@ -2187,6 +2187,76 @@ def q_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantile_bins(orders, "o_totalprice", n_bins=10)
 
 
+def q_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day anomaly profile per event type: cell stats snap to
+    6dp before the 3σ compare (engine-deterministic boundary), one
+    stats aggregate + one bounded broadcast back
+    (operators/analytics.py:seasonal_baseline)."""
+    from batch_process_dpla_index_spark.operators.analytics import (
+        seasonal_baseline,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return seasonal_baseline(ev)
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the part co-purchase graph (parts sharing
+    ≥2 orders): degree-oriented wedge join closed against the
+    canonical edge set — wedge fan-out bounded by degeneracy, never
+    max degree (operators/analytics.py:triangle_count). Edge building
+    is skipgram-style per-order pair expressions, no self-join."""
+    from batch_process_dpla_index_spark.operators.analytics import (
+        triangle_count,
+    )
+    from batch_process_dpla_index_spark.operators.dedup import carry_deps
+
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = (
+        li.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("__parts"))
+        .where(F.size("__parts") >= 2)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size("__parts") - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, F.size("__parts")),
+                lambda j: F.struct(
+                    F.element_at("__parts", i).alias("pa"),
+                    F.element_at("__parts", j).alias("pb"),
+                ),
+            ),
+        )
+    )
+    edges = (
+        per_order.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.pa").alias("src"), F.col("p.pb").alias("dst"))
+        .agg(F.count("*").alias("__support"))
+        .where(F.col("__support") >= 2)
+    )
+    out = triangle_count(edges)
+    return carry_deps(out, out)
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 BPE merge candidates: adjacent within-word char pairs
+    counted corpus-wide by a pure nested-transform expression — one
+    alphabet²-bounded hash aggregate, no join, no window
+    (operators/analytics.py:bpe_merge_pairs)."""
+    from batch_process_dpla_index_spark.functions.text import tokens
+    from batch_process_dpla_index_spark.operators.analytics import (
+        bpe_merge_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = bpe_merge_pairs(docs, tokens(F.col("text")), min_count=2)
+    return pairs.orderBy(
+        F.col("n_pairs").desc(), F.col("c_a").asc(), F.col("c_b").asc()
+    ).limit(25)
+
+
 def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive hard-negative mining: top-3 most-similar
     different-label neighbors for the first 10 vectors — bounded
@@ -2457,6 +2527,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #    non-null, matching the engine predicate exactly --
     "fuzzy_match": q_fuzzy_match,
     # -- new this round (driver-proven in their debut round) --
+    "seasonal_baseline": q_seasonal_baseline,
+    "triangle_count": q_triangle_count,
+    "bpe_merges": q_bpe_merges,
     "hard_negatives": q_hard_negatives,
     "bloom_prune_join": q_bloom_prune_join,
     "cusum_changepoint": q_cusum_changepoint,

@@ -392,3 +392,73 @@ def test_cusum_changepoint_order_is_time_not_insert(spark):
     a = cusum_changepoint(df_fwd).collect()[0]
     b = cusum_changepoint(df_rev).collect()[0]
     assert (a["cusum_up"], a["cusum_dn"]) == (b["cusum_up"], b["cusum_dn"])
+
+
+def test_triangle_count_closed_form(spark):
+    from batch_process_dpla_index_spark.operators.analytics import (
+        triangle_count,
+    )
+    from batch_process_dpla_index_spark.operators.dedup import unpersist_deps
+
+    # K4 on 1-4 (4 triangles) + a pendant edge (5-6) + a duplicate and
+    # a reversed edge that must canonicalize away + a self-loop
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+             (5, 6), (6, 5), (2, 1), (7, 7)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    out = triangle_count(df)
+    row = out.collect()[0]
+    unpersist_deps(out)
+    assert row["n_nodes"] == 6          # the self-loop node never enters
+    assert row["n_edges"] == 7
+    assert row["n_triangles"] == 4
+    # wedges: K4 gives 4 nodes of degree 3 -> 4*3 = 12, pendant adds 0
+    assert row["n_wedges"] == 12
+    assert row["clustering"] == 1.0     # 3*4/12: every K4 wedge closes
+
+
+def test_bpe_merge_pairs_counts_and_order_sensitivity(spark):
+    from pyspark.sql import functions as F
+
+    from batch_process_dpla_index_spark.operators.analytics import (
+        bpe_merge_pairs,
+    )
+    from batch_process_dpla_index_spark.functions.text import tokens
+
+    df = spark.createDataFrame(
+        [("the then", ), ("he he x", )], "text string"
+    )
+    out = {
+        (r["c_a"], r["c_b"]): r["n_pairs"]
+        for r in bpe_merge_pairs(df, tokens(F.col("text")), min_count=1).collect()
+    }
+    # 'he' appears in: the, then, he, he -> ('h','e') = 4; ordered
+    # pairs so ('e','h') only from 'eh' substrings (none)
+    assert out[("h", "e")] == 4
+    assert ("e", "h") not in out
+    assert out[("t", "h")] == 2
+    # single-char word 'x' contributes nothing
+    assert sum(n for (a, b), n in out.items() if "x" in (a, b)) == 0
+
+
+def test_seasonal_baseline_flags_only_off_cycle_spike(spark):
+    import datetime as dt
+
+    from batch_process_dpla_index_spark.operators.analytics import (
+        seasonal_baseline,
+    )
+
+    rows = []
+    eid = 0
+    # hour 9 cell: twenty 100s and one 200 -> the 200 is > 3 sigma off
+    for day in range(20):
+        rows.append((eid, dt.datetime(2024, 1, 1 + day, 9, 0), 1, "m", 100.0)); eid += 1
+    rows.append((eid, dt.datetime(2024, 1, 21, 9, 0), 1, "m", 200.0)); eid += 1
+    # hour 18 cell: the same 200-level is NORMAL there
+    for day in range(10):
+        rows.append((eid, dt.datetime(2024, 1, 1 + day, 18, 0), 1, "m", 200.0)); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string, value double"
+    )
+    out = {r["hod"]: r for r in seasonal_baseline(df).collect()}
+    assert out[9]["n_anomalies"] == 1 and out[9]["n"] == 21
+    assert out[18]["n_anomalies"] == 0  # zero variance cell never flags
