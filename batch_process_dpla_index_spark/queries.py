@@ -2495,81 +2495,9 @@ def q_skipgram_cooc(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # The driver's correctness gate records the FIRST 50 entries only;
     # the window rotates each round so every query gets re-proven.
-    # -- r7 window head: the two entries with NO driver-green row ever
-    #    (pq_topk: reworked late r6, never windowed since; 
-    #    tokenizer_fertility: r6 red, oracle HUGEINT cast + shared
-    #    _nrm/_tok helpers fixed this round) --
-    "pq_topk": q_pq_topk,
-    "tokenizer_fertility": q_tokenizer_fertility,
-    # -- stalest re-verification set: last driver-green in round 4 --
-    "quality_gate": q_quality_gate,
-    "global_shuffle": q_global_shuffle,
-    "doc_chunks": q_doc_chunks,
-    "packed_bins": q_packed_bins,
-    "stratified_sample": q_stratified_sample,
-    "apply_changeset": q_apply_changeset,
-    "skew_report": q_skew_report,
-    "corpus_report": q_corpus_report,
-    "event_rank_suite": q_event_rank_suite,
-    "top_orders": q_top_orders,
-    "region_revenue": q_region_revenue,
-    "pricing_summary": q_pricing_summary,
-    "scalar_suite": q_scalar_suite,
-    "text_stats": q_text_stats,
-    "melt_metrics": q_melt_metrics,
-    "cube_flags": q_cube_flags,
-    "pii_redaction": q_pii_redaction,
-    "repetition_stats": q_repetition_stats,
-    "top_bigrams": q_top_bigrams,
-    "bpe_token_counts": q_bpe_token_counts,
-    "fingerprint_folded": q_fingerprint_folded,
-    # -- changed this round: oracle SNM slots now filter key AND text
-    #    non-null, matching the engine predicate exactly --
-    "fuzzy_match": q_fuzzy_match,
-    # -- new this round (driver-proven in their debut round) --
-    "seasonal_baseline": q_seasonal_baseline,
-    "triangle_count": q_triangle_count,
-    "bpe_merges": q_bpe_merges,
-    "hard_negatives": q_hard_negatives,
-    "bloom_prune_join": q_bloom_prune_join,
-    "cusum_changepoint": q_cusum_changepoint,
-    "domain_quality_rank": q_domain_quality_rank,
-    "ngram_novelty": q_ngram_novelty,
-    "benford_profile": q_benford_profile,
-    "winsorized_stats": q_winsorized_stats,
-    "snm_multipass": q_snm_multipass,
-    "dedup_representatives": q_dedup_representatives,
-    "leakage_safe_split": q_leakage_safe_split,
-    "skipgram_cooc": q_skipgram_cooc,
-    "rrf_fusion": q_rrf_fusion,
-    # -- oldest round-5-green entries (first half; the rest lead r8) --
-    "avro_flatten_items": q_avro_flatten_items,
-    "repair_flatten": q_repair_flatten,
-    "schema_align": q_schema_align,
-    "decontaminate": q_decontaminate,
-    "fingerprint_clusters": q_fingerprint_clusters,
-    "mq_contributor_scores": q_mq_contributor_scores,
-    "udtf_sentences": q_udtf_sentences,
-    "segment_with_f_orders": q_segment_with_f_orders,
-    "customers_without_orders": q_customers_without_orders,
-    "brand_revenue": q_brand_revenue,
-    "priority_by_month": q_priority_by_month,
-    "union_entities": q_union_entities,
-    "boilerplate_stats": q_boilerplate_stats,
-    "rollup_flags": q_rollup_flags,
-    "grouping_sets": q_grouping_sets,
-    "zorder_events": q_zorder_events,
-    "salted_brand_join": q_salted_brand_join,
-    "segment_overlap": q_segment_overlap,
-    "sql_supplier_share": q_sql_supplier_share,
-    "latest_events_per_user": q_latest_events_per_user,
-    "rolling_user_value": q_rolling_user_value,
-    "props_by_type": q_props_by_type,
-    "keep_first": q_keep_first,
-    # ---- driver-window boundary (entry 50 above this line) ----
-    # -- tail: r5-green remainder (these lead the r8 rotation), then
-    #    the r6-green window, all still oracle-verified every round
-    #    via tools/verify_local.py --
+    # -- r8 window head: the 24 stalest entries (last driver-green in
+    #    round 5) — they re-prove first and absorb the session's
+    #    window-head codegen premium on KNOWN baselines --
     "hash_sample_split": q_hash_sample_split,
     "simhash_pairs": q_simhash_pairs,
     "language_id": q_language_id,
@@ -2594,6 +2522,22 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "funnel_stages": q_funnel_stages,
     "scd2_history": q_scd2_history,
     "retention_cohorts": q_retention_cohorts,
+    # -- changed this round: n_members now rides the keep-first pick's
+    #    per-cluster window (the counts-frame broadcast hint is gone) --
+    "dedup_representatives": q_dedup_representatives,
+    # -- new this round (driver-proven in their debut round) --
+    "leakage_safe_split": q_leakage_safe_split,
+    "benford_profile": q_benford_profile,
+    "winsorized_stats": q_winsorized_stats,
+    "cusum_changepoint": q_cusum_changepoint,
+    "domain_quality_rank": q_domain_quality_rank,
+    "ngram_novelty": q_ngram_novelty,
+    "bloom_prune_join": q_bloom_prune_join,
+    "hard_negatives": q_hard_negatives,
+    "seasonal_baseline": q_seasonal_baseline,
+    "triangle_count": q_triangle_count,
+    "bpe_merges": q_bpe_merges,
+    # -- oldest round-6-green entries (first 14; the rest lead r9) --
     "user_running_anomaly": q_user_running_anomaly,
     "quality_classifier": q_quality_classifier,
     "containment_pairs": q_containment_pairs,
@@ -2608,6 +2552,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "training_prep": q_training_prep,
     "column_profile": q_column_profile,
     "corr_matrix": q_corr_matrix,
+    # ---- driver-window boundary (entry 50 above this line) ----
+    # -- tail: r6-green remainder (these lead the r9 rotation), then
+    #    the displaced r7-green window, all still oracle-verified every
+    #    round via tools/verify_local.py --
     "decayed_counts": q_decayed_counts,
     "pagerank": q_pagerank,
     "heavy_hitters": q_heavy_hitters,
@@ -2641,4 +2589,55 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "domain_cap": q_domain_cap,
     "lm_scores": q_lm_scores,
     "bm25_search": q_bm25_search,
+    # -- displaced r7-green window --
+    "pq_topk": q_pq_topk,
+    "tokenizer_fertility": q_tokenizer_fertility,
+    "quality_gate": q_quality_gate,
+    "global_shuffle": q_global_shuffle,
+    "doc_chunks": q_doc_chunks,
+    "packed_bins": q_packed_bins,
+    "stratified_sample": q_stratified_sample,
+    "apply_changeset": q_apply_changeset,
+    "skew_report": q_skew_report,
+    "corpus_report": q_corpus_report,
+    "event_rank_suite": q_event_rank_suite,
+    "top_orders": q_top_orders,
+    "region_revenue": q_region_revenue,
+    "pricing_summary": q_pricing_summary,
+    "scalar_suite": q_scalar_suite,
+    "text_stats": q_text_stats,
+    "melt_metrics": q_melt_metrics,
+    "cube_flags": q_cube_flags,
+    "pii_redaction": q_pii_redaction,
+    "repetition_stats": q_repetition_stats,
+    "top_bigrams": q_top_bigrams,
+    "bpe_token_counts": q_bpe_token_counts,
+    "fingerprint_folded": q_fingerprint_folded,
+    "fuzzy_match": q_fuzzy_match,
+    "snm_multipass": q_snm_multipass,
+    "skipgram_cooc": q_skipgram_cooc,
+    "rrf_fusion": q_rrf_fusion,
+    "avro_flatten_items": q_avro_flatten_items,
+    "repair_flatten": q_repair_flatten,
+    "schema_align": q_schema_align,
+    "decontaminate": q_decontaminate,
+    "fingerprint_clusters": q_fingerprint_clusters,
+    "mq_contributor_scores": q_mq_contributor_scores,
+    "udtf_sentences": q_udtf_sentences,
+    "segment_with_f_orders": q_segment_with_f_orders,
+    "customers_without_orders": q_customers_without_orders,
+    "brand_revenue": q_brand_revenue,
+    "priority_by_month": q_priority_by_month,
+    "union_entities": q_union_entities,
+    "boilerplate_stats": q_boilerplate_stats,
+    "rollup_flags": q_rollup_flags,
+    "grouping_sets": q_grouping_sets,
+    "zorder_events": q_zorder_events,
+    "salted_brand_join": q_salted_brand_join,
+    "segment_overlap": q_segment_overlap,
+    "sql_supplier_share": q_sql_supplier_share,
+    "latest_events_per_user": q_latest_events_per_user,
+    "rolling_user_value": q_rolling_user_value,
+    "props_by_type": q_props_by_type,
+    "keep_first": q_keep_first,
 }
