@@ -569,6 +569,16 @@ def triangle_count(edges: DataFrame, src_col: str = "src", dst_col: str = "dst")
     genuinely lowest). Wedges for the coefficient come free from the
     degree frame (Σ d·(d−1)/2), never materialized.
     """
+    from batch_process_dpla_index_spark.operators.dedup import (
+        _CheckpointHandle,
+    )
+
+    # localCheckpoint (not persist): canon and deg feed FOUR sibling
+    # branches crossJoined into the one-row census — with lazy caches
+    # the full edge-build lineage re-prints (and re-plans) under every
+    # branch, ~300 phantom exchanges in the plan fingerprint. The
+    # checkpoint truncates them to materialized-RDD scans; the handles
+    # ride _cached_deps so unpersist_deps releases the blocks.
     canon = (
         edges.select(
             F.least(F.col(src_col), F.col(dst_col)).alias("u"),
@@ -577,19 +587,20 @@ def triangle_count(edges: DataFrame, src_col: str = "src", dst_col: str = "dst")
         .where(F.col("u") != F.col("v"))
         .where(F.col("u").isNotNull() & F.col("v").isNotNull())
         .distinct()
-    )
-    canon = canon.persist()
+    ).localCheckpoint(eager=True)
     deg = (
         canon.select(F.col("u").alias("node"))
         .unionAll(canon.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count("*").alias("deg"))
-    ).persist()
-    n_nodes = deg.agg(F.count("*").alias("n_nodes"))
-    n_edges = canon.agg(F.count("*").alias("n_edges"))
-    wedges = deg.agg(
-        F.sum(F.col("deg") * (F.col("deg") - 1) / 2).cast("bigint").alias("n_wedges")
+    ).localCheckpoint(eager=True)
+    node_stats = deg.agg(
+        F.count("*").alias("n_nodes"),
+        F.sum(F.col("deg") * (F.col("deg") - 1) / 2)
+        .cast("bigint")
+        .alias("n_wedges"),
     )
+    n_edges = canon.agg(F.count("*").alias("n_edges"))
     du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
     oriented = (
@@ -605,7 +616,7 @@ def triangle_count(edges: DataFrame, src_col: str = "src", dst_col: str = "dst")
             .alias("e")
         )
         .select(F.col("e.s").alias("s"), F.col("e.d").alias("d"))
-    ).persist()
+    ).localCheckpoint(eager=True)
     e1 = oriented.select(F.col("s").alias("a"), F.col("d").alias("b"))
     e2 = oriented.select(F.col("s").alias("b2"), F.col("d").alias("c"))
     wedge = (
@@ -622,8 +633,7 @@ def triangle_count(edges: DataFrame, src_col: str = "src", dst_col: str = "dst")
         F.count("*").alias("n_triangles")
     )
     out = (
-        n_nodes.crossJoin(n_edges)
-        .crossJoin(wedges)
+        node_stats.crossJoin(n_edges)
         .crossJoin(n_tri)
         .select(
             "n_nodes",
@@ -637,7 +647,10 @@ def triangle_count(edges: DataFrame, src_col: str = "src", dst_col: str = "dst")
     )
     from batch_process_dpla_index_spark.operators.dedup import _with_cached_deps
 
-    return _with_cached_deps(out, [canon, deg, oriented])
+    return _with_cached_deps(
+        out,
+        [_CheckpointHandle(canon), _CheckpointHandle(deg), _CheckpointHandle(oriented)],
+    )
 
 
 def bpe_merge_pairs(

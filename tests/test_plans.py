@@ -424,3 +424,43 @@ def test_dedup_representatives_no_data_broadcast(spark):
     # fit at this SF — but never a hinted counts frame: the counts
     # aggregate is gone entirely
     assert plan.count("HashAggregate") <= 2, plan
+
+
+def test_bloom_prune_probes_are_scan_side_expressions(spark):
+    """The bloom probe must fold into the fact side as an expression
+    filter under a broadcast of the ONE-ROW bitmap frame — never a
+    shuffle of lineitem for the pruning itself, and no SortMergeJoin
+    anywhere (dim side is explicitly tiny here)."""
+    plan = _plan(spark, "bloom_prune_join")
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan  # 1-row bitmap crossJoin
+    # lineitem scans once: the probe filter and the exact join share it
+    assert plan.count("Scan parquet") <= 3, plan
+
+
+def test_bpe_merges_no_join_no_window(spark):
+    """Pair generation is a per-row nested-transform expression; the
+    only exchanges are the pair-key aggregate + the top-25 reduce."""
+    plan = _plan(spark, "bpe_merges")
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_triangle_count_plan_is_checkpoint_truncated(spark):
+    """The census crossJoins aggregates of the SAME checkpointed
+    frames — lineage must be truncated (materialized-RDD scans), not
+    re-planned per branch: a lazy cache here re-printed ~300 phantom
+    exchanges and re-planned the edge build under every branch."""
+    plan = _plan(spark, "triangle_count")
+    assert plan.count("Exchange hashpartitioning") <= 4, plan
+    assert "Scan ExistingRDD" in plan, plan
+
+
+def test_seasonal_baseline_cells_broadcast_back(spark):
+    """The (type, hour) cell frame is bounded by the key domain and
+    must broadcast into the flag pass — the corpus exchanges only for
+    its two aggregates."""
+    plan = _plan(spark, "seasonal_baseline")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
