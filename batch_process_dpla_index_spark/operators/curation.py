@@ -621,20 +621,15 @@ def domain_quality_rank(
     single task — the escape at that extreme is the two-pass
     quantile-edge bin (see ``quantile_bins``), not a bigger window.
     """
-    from batch_process_dpla_index_spark.functions.text import (
-        normalize,
-        quality_score_tok,
-        tokens,
-    )
+    from batch_process_dpla_index_spark.functions.text import quality_score
     from pyspark.sql.window import Window
 
     base = docs.where(F.col(text_col).isNotNull()).select(
         id_col,
         domain_col,
-        F.round(
-            quality_score_tok(tokens(F.col(text_col)), normalize(F.col(text_col))),
-            6,
-        ).alias("quality"),
+        # the shared composite (quality_score == quality_score_tok over
+        # tokens+normalize) — one definition, same as text_stats' oracle
+        F.round(quality_score(F.col(text_col)), 6).alias("quality"),
     )
     w = Window.partitionBy(domain_col).orderBy(
         F.col("quality").asc(), F.col(id_col).asc()

@@ -279,7 +279,11 @@ def benford_profile(df: DataFrame, value_col: str) -> DataFrame:
     cents = F.round(F.col(value_col) * 100).cast("bigint")
     digit = F.substring(cents.cast("string"), 1, 1).cast("int")
     counts = (
-        df.where(F.col(value_col).isNotNull() & (F.col(value_col) > 0))
+        df.where(F.col(value_col).isNotNull())
+        # gate on the SNAPPED grid, not the raw value: a positive
+        # amount below half a cent rounds to 0 cents, whose 'digit' 0
+        # would put 1/0 into benford_p (job-aborting under ANSI)
+        .where(cents >= 1)
         .select(digit.alias("digit"))
         .groupBy("digit")
         .agg(F.count("*").alias("n"))

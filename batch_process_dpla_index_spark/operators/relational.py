@@ -378,7 +378,11 @@ def bloom_bitmap(
     """
     from batch_process_dpla_index_spark.functions.text import h60
 
-    n_words = m_bits // 64
+    # ceil, never floor: positions live in [0, m_bits), so the top
+    # word must exist even for m_bits not divisible by 64 — a floored
+    # build dropped those bits and the probe's element_at walked past
+    # the array (ANSI crash; silent false negatives with ANSI off)
+    n_words = (m_bits + 63) // 64
     pos = F.explode(
         F.array(
             *[

@@ -2209,7 +2209,6 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from batch_process_dpla_index_spark.operators.analytics import (
         triangle_count,
     )
-    from batch_process_dpla_index_spark.operators.dedup import carry_deps
 
     li = load_table(spark, sf_dir, "lineitem")
     per_order = (
@@ -2236,8 +2235,8 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("__support"))
         .where(F.col("__support") >= 2)
     )
-    out = triangle_count(edges)
-    return carry_deps(out, out)
+    # triangle_count attaches its own checkpoint handles to the result
+    return triangle_count(edges)
 
 
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:

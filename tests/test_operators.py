@@ -666,3 +666,20 @@ def test_hard_negatives_excludes_same_label_and_self(spark):
     assert ids[0] == 5  # NULL label, most similar different-label vector
     assert ids[1] == 3 and out[0]["rank"] == 1
     assert all(r["query_id"] == 1 for r in out)
+
+
+def test_bloom_prune_join_non_word_aligned_m_bits(spark):
+    from batch_process_dpla_index_spark.operators.relational import (
+        bloom_prune_join,
+    )
+
+    # m_bits=100 needs a ceil'd 2-word bitmap: a floored build dropped
+    # bits [64, 100) and the probe crashed (ANSI) or silently lost
+    # matching rows (non-ANSI) — the one guarantee bloom must never break
+    fact = spark.createDataFrame(
+        [(i, i % 50) for i in range(500)], "row_id bigint, k bigint"
+    )
+    dim = spark.createDataFrame([(3,), (7,)], "dk bigint")
+    got = bloom_prune_join(fact, dim, "k", "dk", m_bits=100).count()
+    want = fact.join(dim, fact["k"] == dim["dk"]).count()
+    assert got == want == 20

@@ -528,3 +528,15 @@ def test_winsorized_stats_clamps_outlier(spark):
     assert row["mean_winsor"] < 40
     assert row["sd_winsor"] < row["sd_raw"]
     assert row["p_lo"] <= row["p_hi"]
+
+
+def test_benford_profile_sub_cent_values_never_divide_by_zero(spark):
+    from batch_process_dpla_index_spark.operators.profiling import (
+        benford_profile,
+    )
+
+    # 0.004 snaps to 0 cents — it must be DROPPED, not become digit 0
+    # (whose benford_p would be 1/0, job-aborting under ANSI)
+    df = spark.createDataFrame([(0.004,), (0.3,), (123.0,)], "v double")
+    rows = {r["digit"]: r["n"] for r in benford_profile(df, "v").collect()}
+    assert rows == {1: 1, 3: 1}
