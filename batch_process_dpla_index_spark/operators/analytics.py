@@ -697,3 +697,101 @@ def bpe_merge_pairs(
         .agg(F.count("*").alias("n_pairs"))
         .where(F.col("n_pairs") >= min_count)
     )
+
+
+def market_basket(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+    k: int = 25,
+) -> DataFrame:
+    """Association-rule mining over co-occurrence baskets: directed
+    rules (antecedent → consequent) with support, confidence and lift
+    — the classic market-basket statistic, and at corpus scale the
+    'documents citing X also cite Y' signal.
+
+    Pair generation is the skipgram/triangle pattern: per-basket
+    sorted item sets expand to unordered pairs as a pure nested-
+    transform expression (no self-join of the exploded fact), one
+    hash aggregate counts pair support, and rules emit both
+    directions from each surviving pair. Item supports and the basket
+    total join back onto the (already support-thresholded, hence
+    small) rule frame; ranking is on ROUNDED lift/confidence + ids —
+    engine-deterministic. One TakeOrdered top-k, no global sort.
+    """
+    per = baskets.select(basket_col, item_col).distinct()
+    per = per.persist()  # feeds pair gen, item supports, basket total
+    n_baskets = per.agg(
+        F.count_distinct(F.col(basket_col)).cast("bigint").alias("n_baskets")
+    )
+    sets = (
+        per.groupBy(basket_col)
+        .agg(F.array_sort(F.collect_set(item_col)).alias("__items"))
+        .where(F.size("__items") >= 2)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size("__items") - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, F.size("__items")),
+                lambda j: F.struct(
+                    F.element_at("__items", i).alias("ia"),
+                    F.element_at("__items", j).alias("ib"),
+                ),
+            ),
+        )
+    )
+    pairs = (
+        sets.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.ia").alias("ia"), F.col("p.ib").alias("ib"))
+        .agg(F.count("*").cast("bigint").alias("s_ab"))
+        .where(F.col("s_ab") >= min_support)
+    )
+    rules = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("ia").alias("antecedent"),
+                    F.col("ib").alias("consequent"),
+                    F.col("s_ab"),
+                ),
+                F.struct(
+                    F.col("ib").alias("antecedent"),
+                    F.col("ia").alias("consequent"),
+                    F.col("s_ab"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.antecedent", "r.consequent", "r.s_ab")
+    sup = per.groupBy(item_col).agg(F.count("*").cast("bigint").alias("__s"))
+    sa = sup.select(F.col(item_col).alias("antecedent"), F.col("__s").alias("s_ant"))
+    sb = sup.select(F.col(item_col).alias("consequent"), F.col("__s").alias("s_con"))
+    out = (
+        rules.join(sa, "antecedent")
+        .join(sb, "consequent")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("s_ab").alias("support_pair"),
+            "s_ant",
+            "s_con",
+            F.round(F.col("s_ab") / F.col("s_ant"), 6).alias("confidence"),
+            F.round(
+                (F.col("s_ab") * F.col("n_baskets"))
+                / (F.col("s_ant") * F.col("s_con")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(
+            F.col("lift").desc(),
+            F.col("confidence").desc(),
+            F.col("antecedent").asc(),
+            F.col("consequent").asc(),
+        )
+        .limit(k)
+    )
+    from batch_process_dpla_index_spark.operators.dedup import _with_cached_deps
+
+    return _with_cached_deps(out, [per])

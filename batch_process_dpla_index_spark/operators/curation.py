@@ -711,3 +711,57 @@ def ngram_novelty(
             .alias("novelty"),
         )
     )
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    tokens_col,
+    cutoffs: tuple[int, ...] = (100, 1000, 10000),
+) -> DataFrame:
+    """Vocabulary coverage curve: what fraction of all corpus token
+    OCCURRENCES the top-k most frequent terms cover, at each cutoff —
+    the tokenizer/vocab-sizing datasheet number (the OOV rate of a
+    k-term vocab is exactly 1 − coverage(k)).
+
+    A global rank window over the vocabulary would single-partition a
+    frame that is vocabulary-sized (hundreds of millions of terms on
+    web corpora); instead each cutoff is ONE TakeOrdered top-k over
+    the persisted term-count frame (deterministic under count ties:
+    ordered by count desc, term asc) followed by a k-row aggregate —
+    no global sort anywhere, |cutoffs| cheap jobs over one cached
+    aggregate.
+    """
+    from functools import reduce
+
+    from batch_process_dpla_index_spark.operators.dedup import _with_cached_deps
+
+    terms = docs.select(F.explode(tokens_col).alias("__term"))
+    counts = (
+        terms.groupBy("__term").agg(F.count("*").cast("bigint").alias("__c"))
+    ).persist()
+    total = counts.agg(F.sum("__c").cast("bigint").alias("total_tokens"))
+    branches = []
+    for k in cutoffs:
+        topk = counts.orderBy(F.col("__c").desc(), F.col("__term").asc()).limit(k)
+        branches.append(
+            topk.agg(
+                F.lit(int(k)).alias("cutoff"),
+                F.count("*").cast("bigint").alias("n_terms"),
+                F.sum("__c").cast("bigint").alias("covered_tokens"),
+            )
+        )
+    u = reduce(DataFrame.unionByName, branches)
+    out = (
+        u.crossJoin(F.broadcast(total))
+        .select(
+            "cutoff",
+            "n_terms",
+            "covered_tokens",
+            "total_tokens",
+            F.round(
+                F.col("covered_tokens") / F.col("total_tokens"), 6
+            ).alias("coverage"),
+        )
+        .orderBy("cutoff")
+    )
+    return _with_cached_deps(out, [counts])

@@ -1654,6 +1654,90 @@ FROM sized WHERE rn = 1
 ORDER BY cluster
 """
 
+# Association rules (operators/analytics.py:market_basket): the
+# independent self-join formulation — per-order distinct items joined
+# on the order key — vs the engine's per-basket pair expression.
+# Ranking on ROUNDED lift/confidence + ids, both engines.
+ORACLE_MARKET_BASKET = """
+WITH per AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+n AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n_baskets FROM per),
+pair AS (
+    SELECT a.i AS ia, c.i AS ib, CAST(count(*) AS BIGINT) AS s_ab
+    FROM per a JOIN per c ON a.b = c.b AND a.i < c.i
+    GROUP BY 1, 2 HAVING count(*) >= 2
+),
+dir AS (
+    SELECT ia AS antecedent, ib AS consequent, s_ab FROM pair
+    UNION ALL
+    SELECT ib AS antecedent, ia AS consequent, s_ab FROM pair
+),
+sup AS (SELECT i, CAST(count(*) AS BIGINT) AS s FROM per GROUP BY i)
+SELECT * FROM (
+    SELECT d.antecedent, d.consequent, d.s_ab AS support_pair,
+           sa.s AS s_ant, sb.s AS s_con,
+           round(d.s_ab / sa.s, 6) AS confidence,
+           round((d.s_ab * n.n_baskets) / (sa.s * sb.s), 6) AS lift
+    FROM dir d
+    JOIN sup sa ON sa.i = d.antecedent
+    JOIN sup sb ON sb.i = d.consequent
+    CROSS JOIN n
+)
+ORDER BY lift DESC, confidence DESC, antecedent, consequent
+LIMIT 25
+"""
+
+# Vocabulary coverage curve (operators/curation.py:vocab_coverage):
+# per-cutoff top-k sums over the term-count table, deterministic under
+# count ties (ORDER BY c DESC, term).
+ORACLE_VOCAB_COVERAGE = f"""
+WITH t AS (SELECT unnest({_tok(_nrm('text'))}) AS term FROM documents),
+c AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY term),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS total_tokens FROM c),
+ks AS (
+    SELECT CAST(100 AS INTEGER) AS cutoff,
+           CAST(count(*) AS BIGINT) AS n_terms,
+           CAST(sum(c) AS BIGINT) AS covered_tokens
+    FROM (SELECT c FROM c ORDER BY c DESC, term LIMIT 100)
+    UNION ALL
+    SELECT CAST(1000 AS INTEGER), CAST(count(*) AS BIGINT),
+           CAST(sum(c) AS BIGINT)
+    FROM (SELECT c FROM c ORDER BY c DESC, term LIMIT 1000)
+    UNION ALL
+    SELECT CAST(10000 AS INTEGER), CAST(count(*) AS BIGINT),
+           CAST(sum(c) AS BIGINT)
+    FROM (SELECT c FROM c ORDER BY c DESC, term LIMIT 10000)
+)
+SELECT cutoff, n_terms, covered_tokens, total_tokens,
+       round(covered_tokens / CAST(total_tokens AS DOUBLE), 6) AS coverage
+FROM ks CROSS JOIN tot
+ORDER BY cutoff
+"""
+
+# Last-touch attribution: DuckDB's native ASOF JOIN vs the engine's
+# union+window carry (as_of_join). Same (user, ts) touch ties resolve
+# to the lexicographically-largest (channel, event_id) tuple on both
+# engines — the as-of family's documented struct tie rule.
+ORACLE_ATTRIBUTION_LAST_TOUCH = """
+WITH p AS (
+    SELECT user_id, ts, value AS p_value FROM events
+    WHERE event_type = 'purchase'
+), t0 AS (
+    SELECT user_id, ts, event_type AS channel, event_id,
+           row_number() OVER (PARTITION BY user_id, ts
+               ORDER BY event_type DESC, event_id DESC) AS rn
+    FROM events WHERE event_type <> 'purchase'
+), t AS (SELECT user_id, ts, channel FROM t0 WHERE rn = 1),
+att AS (
+    SELECT p.p_value, t.channel
+    FROM p ASOF LEFT JOIN t
+      ON p.user_id = t.user_id AND p.ts >= t.ts
+)
+SELECT COALESCE(channel, 'none') AS channel,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       round(sum(p_value), 2) AS sum_value
+FROM att GROUP BY 1 ORDER BY 1
+"""
+
 # Hour-of-day seasonal anomaly cells (operators/analytics.py:
 # seasonal_baseline): stats snapped to 6dp BEFORE the 3σ compare on
 # both engines, so one-pass mean association drift can't flip a
@@ -2970,6 +3054,9 @@ ORACLES: dict[str, str] = {
     "snm_multipass": ORACLE_SNM_MULTIPASS,
     "dedup_representatives": ORACLE_DEDUP_REPRESENTATIVES,
     "leakage_safe_split": ORACLE_LEAKAGE_SAFE_SPLIT,
+    "market_basket": ORACLE_MARKET_BASKET,
+    "vocab_coverage": ORACLE_VOCAB_COVERAGE,
+    "attribution_last_touch": ORACLE_ATTRIBUTION_LAST_TOUCH,
     "seasonal_baseline": ORACLE_SEASONAL_BASELINE,
     "triangle_count": ORACLE_TRIANGLE_COUNT,
     "bpe_merges": ORACLE_BPE_MERGES,

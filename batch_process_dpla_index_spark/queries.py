@@ -2187,6 +2187,61 @@ def q_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantile_bins(orders, "o_totalprice", n_bins=10)
 
 
+def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 association rules over order baskets: support /
+    confidence / lift, pair generation as a per-basket expression —
+    no fact self-join (operators/analytics.py:market_basket)."""
+    from batch_process_dpla_index_spark.operators.analytics import (
+        market_basket,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return market_basket(li, "l_orderkey", "l_partkey", min_support=2, k=25)
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve at 100/1000/10000-term cutoffs — the
+    tokenizer-sizing datasheet number. Each cutoff is one TakeOrdered
+    top-k over the cached term-count aggregate, never a global rank
+    window over the vocabulary (operators/curation.py:vocab_coverage)."""
+    from batch_process_dpla_index_spark.functions.text import tokens
+    from batch_process_dpla_index_spark.operators.curation import (
+        vocab_coverage,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return vocab_coverage(docs, tokens(F.col("text")))
+
+
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credits the latest
+    same-or-earlier non-purchase event of its user (the as-of join
+    composition — one shuffle on the user key, union+window carry,
+    operators/relational.py:as_of_join), rolled up to per-channel
+    purchase counts and revenue. Purchases with no prior touch land
+    in the 'none' channel."""
+    from batch_process_dpla_index_spark.operators.relational import as_of_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("p_value")
+    )
+    touches = ev.where(F.col("event_type") != "purchase").select(
+        "user_id", "ts", F.col("event_type").alias("channel"), "event_id"
+    )
+    att = as_of_join(
+        purchases, touches, "user_id", "ts", "ts", ["channel", "event_id"]
+    )
+    return (
+        att.groupBy(F.coalesce(F.col("channel"), F.lit("none")).alias("channel"))
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.round(F.sum("p_value"), 2).alias("sum_value"),
+        )
+        .orderBy("channel")
+    )
+
+
 def q_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hour-of-day anomaly profile per event type: cell stats snap to
     6dp before the 3σ compare (engine-deterministic boundary), one
@@ -2533,6 +2588,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_novelty": q_ngram_novelty,
     "bloom_prune_join": q_bloom_prune_join,
     "hard_negatives": q_hard_negatives,
+    "market_basket": q_market_basket,
+    "vocab_coverage": q_vocab_coverage,
+    "attribution_last_touch": q_attribution_last_touch,
     "seasonal_baseline": q_seasonal_baseline,
     "triangle_count": q_triangle_count,
     "bpe_merges": q_bpe_merges,

@@ -462,3 +462,85 @@ def test_seasonal_baseline_flags_only_off_cycle_spike(spark):
     out = {r["hod"]: r for r in seasonal_baseline(df).collect()}
     assert out[9]["n_anomalies"] == 1 and out[9]["n"] == 21
     assert out[18]["n_anomalies"] == 0  # zero variance cell never flags
+
+
+def test_market_basket_closed_form(spark):
+    from batch_process_dpla_index_spark.operators.analytics import (
+        market_basket,
+    )
+    from batch_process_dpla_index_spark.operators.dedup import unpersist_deps
+
+    # 4 baskets: {x,y} twice, {x,z} once, {x} once
+    rows = [(1, "x"), (1, "y"), (2, "x"), (2, "y"), (3, "x"), (3, "z"), (4, "x"),
+            (1, "x")]  # duplicate line in basket 1 must not inflate support
+    df = spark.createDataFrame(rows, "b bigint, i string")
+    out = market_basket(df, "b", "i", min_support=2, k=10)
+    rules = {(r["antecedent"], r["consequent"]): r for r in out.collect()}
+    unpersist_deps(out)
+    # only the x-y pair survives min_support=2 (x-z has support 1)
+    assert set(rules) == {("x", "y"), ("y", "x")}
+    xy = rules[("x", "y")]
+    assert xy["support_pair"] == 2 and xy["s_ant"] == 4 and xy["s_con"] == 2
+    assert xy["confidence"] == 0.5          # 2 of x's 4 baskets have y
+    assert xy["lift"] == 1.0                # 2*4 / (4*2)
+    yx = rules[("y", "x")]
+    assert yx["confidence"] == 1.0          # every y basket has x
+
+
+def test_vocab_coverage_cutoff_and_totals(spark):
+    from pyspark.sql import functions as F
+
+    from batch_process_dpla_index_spark.functions.text import tokens
+    from batch_process_dpla_index_spark.operators.curation import (
+        vocab_coverage,
+    )
+    from batch_process_dpla_index_spark.operators.dedup import unpersist_deps
+
+    df = spark.createDataFrame(
+        [("a a a a b b c",), ("a b d",)], "text string"
+    )  # counts: a=5, b=3, c=1, d=1 ; total=10
+    out = vocab_coverage(df, tokens(F.col("text")), cutoffs=(1, 2, 10))
+    rows = {r["cutoff"]: r for r in out.collect()}
+    unpersist_deps(out)
+    assert rows[1]["covered_tokens"] == 5 and rows[1]["coverage"] == 0.5
+    assert rows[2]["covered_tokens"] == 8 and rows[2]["coverage"] == 0.8
+    # cutoff past the vocabulary: full coverage, n_terms = |vocab|
+    assert rows[10]["n_terms"] == 4 and rows[10]["coverage"] == 1.0
+    assert all(r["total_tokens"] == 10 for r in rows.values())
+
+
+def test_attribution_last_touch_picks_latest_prior(spark):
+    import datetime as dt
+
+    from batch_process_dpla_index_spark.queries import (
+        q_attribution_last_touch,
+    )
+    from batch_process_dpla_index_spark.operators.relational import as_of_join
+    from pyspark.sql import functions as F
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    ev = spark.createDataFrame(
+        [
+            (1, t(0), 7, "view", None),
+            (2, t(5), 7, "click", None),
+            (3, t(6), 7, "purchase", 10.0),   # last touch: click
+            (4, t(9), 7, "purchase", 5.0),    # still click (no new touch)
+            (5, t(1), 8, "purchase", 3.0),    # user 8 has no touch at all
+        ],
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, value double",
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("p_value")
+    )
+    touches = ev.where(F.col("event_type") != "purchase").select(
+        "user_id", "ts", F.col("event_type").alias("channel"), "event_id"
+    )
+    att = as_of_join(
+        purchases, touches, "user_id", "ts", "ts", ["channel", "event_id"]
+    )
+    got = {
+        (r["user_id"], r["p_value"]): r["channel"] for r in att.collect()
+    }
+    assert got[(7, 10.0)] == "click"
+    assert got[(7, 5.0)] == "click"
+    assert got[(8, 3.0)] is None  # -> 'none' channel after the rollup
