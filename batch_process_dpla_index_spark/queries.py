@@ -2594,7 +2594,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "seasonal_baseline": q_seasonal_baseline,
     "triangle_count": q_triangle_count,
     "bpe_merges": q_bpe_merges,
-    # -- oldest round-6-green entries (first 14; the rest lead r9) --
+    # -- oldest round-6-green entries (first 11; the rest lead r9) --
     "user_running_anomaly": q_user_running_anomaly,
     "quality_classifier": q_quality_classifier,
     "containment_pairs": q_containment_pairs,
@@ -2606,10 +2606,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pq_encode": q_pq_encode,
     "approx_distinct_users": q_approx_distinct_users,
     "price_tiers": q_price_tiers,
+    # ---- driver-window boundary (entry 50 above this line) ----
     "training_prep": q_training_prep,
     "column_profile": q_column_profile,
     "corr_matrix": q_corr_matrix,
-    # ---- driver-window boundary (entry 50 above this line) ----
     # -- tail: r6-green remainder (these lead the r9 rotation), then
     #    the displaced r7-green window, all still oracle-verified every
     #    round via tools/verify_local.py --
