@@ -720,8 +720,20 @@ def market_basket(
     small) rule frame; ranking is on ROUNDED lift/confidence + ids —
     engine-deterministic. One TakeOrdered top-k, no global sort.
     """
-    per = baskets.select(basket_col, item_col).distinct()
-    per = per.persist()  # feeds pair gen, item supports, basket total
+    from batch_process_dpla_index_spark.operators.dedup import (
+        _CheckpointHandle,
+    )
+
+    # eager localCheckpoint, not lazy persist: three sibling branches
+    # (basket total, pair expansion, item supports) read this frame
+    # inside ONE crossJoined job — a lazy cache both races its own
+    # materialization across branches and re-prints the distinct's
+    # lineage under each one (phantom exchanges in the fingerprint).
+    # Storage cost equals a DISK persist; lineage loss is the
+    # documented CC-pattern tradeoff.
+    per = baskets.select(basket_col, item_col).distinct().localCheckpoint(
+        eager=True
+    )
     n_baskets = per.agg(
         F.count_distinct(F.col(basket_col)).cast("bigint").alias("n_baskets")
     )
@@ -794,4 +806,4 @@ def market_basket(
     )
     from batch_process_dpla_index_spark.operators.dedup import _with_cached_deps
 
-    return _with_cached_deps(out, [per])
+    return _with_cached_deps(out, [_CheckpointHandle(per)])

@@ -735,10 +735,17 @@ def vocab_coverage(
 
     from batch_process_dpla_index_spark.operators.dedup import _with_cached_deps
 
+    from batch_process_dpla_index_spark.operators.dedup import (
+        _CheckpointHandle,
+    )
+
     terms = docs.select(F.explode(tokens_col).alias("__term"))
+    # eager localCheckpoint: |cutoffs|+1 sibling branches read this
+    # vocabulary-bounded frame in one job — the market_basket/
+    # triangle_count pattern (lazy caches race and re-print lineage)
     counts = (
         terms.groupBy("__term").agg(F.count("*").cast("bigint").alias("__c"))
-    ).persist()
+    ).localCheckpoint(eager=True)
     total = counts.agg(F.sum("__c").cast("bigint").alias("total_tokens"))
     branches = []
     for k in cutoffs:
@@ -764,4 +771,4 @@ def vocab_coverage(
         )
         .orderBy("cutoff")
     )
-    return _with_cached_deps(out, [counts])
+    return _with_cached_deps(out, [_CheckpointHandle(counts)])
