@@ -192,3 +192,105 @@ def _round6_top(x: float) -> float:
     from decimal import ROUND_HALF_UP, Decimal
 
     return float(Decimal(repr(x)).quantize(Decimal("1e-6"), ROUND_HALF_UP))
+
+
+SS_STATE = (
+    "items ARRAY<STRING>, cnts ARRAY<BIGINT>, errs ARRAY<BIGINT>, n BIGINT"
+)
+SS_OUTPUT = (
+    "shard INT, item STRING, count_hi BIGINT, err BIGINT, n_shard BIGINT"
+)
+
+
+def topk_stream(stream, item_col: str, capacity: int = 64, n_shards: int = 8):
+    """Streaming heavy hitters via SPACE-SAVING sketches — the
+    streaming twin of the batch Misra–Gries sweep
+    (`operators/sketches.py:heavy_hitters`).
+
+    Items shard by the portable h60 digest into ``n_shards`` state
+    groups; each group maintains one Space-Saving sketch of
+    ``capacity`` counters (evicting the MIN counter and inheriting its
+    count as the newcomer's error). Because an item maps to exactly
+    ONE shard, the union of shard sketches IS a global sketch: per
+    item, ``count_hi`` is an upper bound on its true stream count and
+    ``count_hi − err`` a lower bound (the classic SS guarantee, error
+    ≤ n_shard/capacity). With capacity ≥ the shard's distinct items
+    the sketch is EXACT — the convergence contract the tests pin
+    against the oracle-verified batch counts.
+
+    State is O(n_shards × capacity) regardless of stream length; each
+    micro-batch emits every tracked (shard, item) with the running
+    ``n_shard``, so the snapshot with the max n_shard per shard is the
+    final answer under AvailableNow draining.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    cap = int(capacity)
+    if cap < 1:
+        raise ValueError(f"topk_stream: capacity must be >= 1, got {capacity}")
+
+    def update(key, pdfs, state):
+        if state.exists:
+            items, cnts, errs, n = state.get
+            counters = {
+                i: [int(c), int(e)] for i, c, e in zip(items, cnts, errs)
+            }
+            n = int(n)
+        else:
+            counters, n = {}, 0
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        col = batch["__item"].dropna()
+        n += len(col)
+        # value_counts order is frequency-then-insertion; iterate in a
+        # DETERMINISTIC (count desc, item asc) order so min-evictions
+        # replay identically across runs and partitionings
+        vc = sorted(
+            col.value_counts().items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        for item, cnt in vc:
+            c = int(cnt)
+            if item in counters:
+                counters[item][0] += c
+            elif len(counters) < cap:
+                counters[item] = [c, 0]
+            else:
+                # evict the min counter (ties: smallest item string —
+                # deterministic); newcomer inherits its count as error
+                evict, (mc, _) = min(
+                    counters.items(), key=lambda kv: (kv[1][0], kv[0])
+                )
+                del counters[evict]
+                counters[item] = [mc + c, mc]
+        state.update(
+            (
+                list(counters.keys()),
+                [v[0] for v in counters.values()],
+                [v[1] for v in counters.values()],
+                int(n),
+            )
+        )
+        shard = None if pd.isna(key[0]) else int(key[0])
+        yield pd.DataFrame(
+            {
+                "shard": [shard] * len(counters),
+                "item": list(counters.keys()),
+                "count_hi": [v[0] for v in counters.values()],
+                "err": [v[1] for v in counters.values()],
+                "n_shard": [n] * len(counters),
+            }
+        )
+
+    from batch_process_dpla_index_spark.functions.text import h60
+    from pyspark.sql import functions as F
+
+    sharded = stream.select(
+        F.col(item_col).cast("string").alias("__item"),
+        F.pmod(h60(F.col(item_col).cast("string")), F.lit(n_shards))
+        .cast("int")
+        .alias("__shard"),
+    ).where(F.col("__item").isNotNull())
+    return sharded.groupBy("__shard").applyInPandasWithState(
+        update, SS_OUTPUT, SS_STATE, "update", GroupStateTimeout.NoTimeout
+    )

@@ -429,3 +429,115 @@ def test_streaming_decayed_skips_undatable_only_keys(spark, tmp_path):
     assert 8 not in rows
     assert rows[7]["n_events"] == 1
     assert None in rows and rows[None]["n_events"] == 1
+
+
+def test_streaming_topk_exact_when_capacity_suffices(spark, events_dir):
+    """With capacity >= per-shard distinct items, the Space-Saving
+    stream is EXACT: every tracked item's count_hi equals its true
+    count with err 0, converging to the oracle-verified batch
+    aggregate the MG heavy_hitters sweep also verifies against."""
+    from pyspark.sql import functions as F
+
+    from batch_process_dpla_index_spark.sources.tables import load_table
+    from batch_process_dpla_index_spark.streaming.stateful import topk_stream
+    from batch_process_dpla_index_spark.streaming.windows import (
+        run_stream_to_batch,
+    )
+
+    batch = load_table(spark, SF_DIR, "events")
+    stream = spark.readStream.schema(
+        spark.read.parquet(events_dir).schema
+    ).parquet(events_dir)
+    # normalize ts exactly as load_table does not matter here: only
+    # user_id is sketched
+    name = f"ss_{uuid.uuid4().hex[:8]}"
+    got = run_stream_to_batch(
+        topk_stream(stream, "user_id", capacity=1000, n_shards=4),
+        name,
+        output_mode="update",
+    )
+    # final snapshot = rows at each shard's max n_shard
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("shard")
+    final = (
+        got.withColumn("__mx", F.max("n_shard").over(w))
+        .where(F.col("n_shard") == F.col("__mx"))
+        .select("item", "count_hi", "err")
+    )
+    want = (
+        batch.where(F.col("user_id").isNotNull())
+        .groupBy(F.col("user_id").cast("string").alias("item"))
+        .agg(F.count("*").alias("n_true"))
+    )
+    j = final.join(want, "item", "full").collect()
+    assert len(j) > 0
+    for r in j:
+        assert r["count_hi"] == r["n_true"], r  # exact, no item missing
+        assert r["err"] == 0, r
+
+
+def test_streaming_topk_bounds_hold_under_eviction(spark, tmp_path):
+    """Tiny capacity forces evictions across TWO micro-batches; the SS
+    guarantee must still hold for every tracked item:
+    count_hi >= true count >= count_hi - err, and state stays at
+    most `capacity` items per shard."""
+    from pyspark.sql import functions as F
+
+    from batch_process_dpla_index_spark.streaming.stateful import topk_stream
+    from batch_process_dpla_index_spark.streaming.windows import (
+        run_stream_to_batch,
+    )
+
+    # skewed stream: item 'hot' dominates, a tail of 40 rare items;
+    # split into two EXPLICIT batches (subtract/limit would set-dedupe
+    # the duplicate rows and corrupt the true counts)
+    batch1 = [("hot",)] * 140
+    batch2 = [("hot",)] * 60 + [
+        (f"rare{i:02d}",) for i in range(40) for _ in range(2)
+    ]
+    rows = batch1 + batch2
+    df = spark.createDataFrame(rows, "k string")
+    src = str(tmp_path / "ss_src")
+    # two files -> two micro-batches with maxFilesPerTrigger=1
+    spark.createDataFrame(batch1, "k string").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    spark.createDataFrame(batch2, "k string").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema("k string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    name = f"ssb_{uuid.uuid4().hex[:8]}"
+    got = run_stream_to_batch(
+        topk_stream(stream, "k", capacity=8, n_shards=2),
+        name,
+        output_mode="update",
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("shard")
+    final = (
+        got.withColumn("__mx", F.max("n_shard").over(w))
+        .where(F.col("n_shard") == F.col("__mx"))
+        .select("shard", "item", "count_hi", "err")
+    )
+    true = {
+        r["k"]: r["n"]
+        for r in df.groupBy("k").agg(F.count("*").alias("n")).collect()
+    }
+    rows_f = final.collect()
+    per_shard: dict[int, int] = {}
+    hot_tracked = False
+    for r in rows_f:
+        per_shard[r["shard"]] = per_shard.get(r["shard"], 0) + 1
+        t = true.get(r["item"], 0)
+        assert r["count_hi"] >= t, r            # upper bound
+        assert r["count_hi"] - r["err"] <= t, r  # lower bound
+        if r["item"] == "hot":
+            hot_tracked = True
+    assert hot_tracked  # the dominant item always survives eviction
+    assert all(n <= 8 for n in per_shard.values())
