@@ -699,6 +699,64 @@ def bpe_merge_pairs(
     )
 
 
+def pair_supports(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+    assume_clean: bool = False,
+) -> DataFrame:
+    """Unordered within-basket item-pair supports — the shared edge/
+    rule builder behind ``market_basket`` and the co-purchase graph
+    (queries.q_triangle_count).
+
+    Per-basket sorted distinct item sets expand to (ia < ib) pairs as
+    a pure nested-transform expression (no self-join of the exploded
+    fact); one hash aggregate counts how many baskets contain each
+    pair; ``min_support`` thresholds the result. NULL baskets and
+    NULL items are dropped up front: Spark's groupBy would fuse every
+    NULL basket id into ONE pseudo-basket whose item array expands
+    O(m²) pairs of meaningless co-occurrence (and a SQL self-join
+    oracle drops them, so keeping them would also diverge engines).
+
+    Returns (ia, ib, s_ab) with ia < ib. ``assume_clean`` skips the
+    projection/NULL-drop/distinct for callers that already hold a
+    deduplicated non-NULL frame (market_basket checkpoints one) —
+    re-running distinct there would add a full extra exchange.
+    """
+    if assume_clean:
+        per = df
+    else:
+        per = (
+            df.select(basket_col, item_col)
+            .where(F.col(basket_col).isNotNull() & F.col(item_col).isNotNull())
+            .distinct()
+        )
+    sets = (
+        per.groupBy(basket_col)
+        .agg(F.array_sort(F.collect_set(item_col)).alias("__items"))
+        .where(F.size("__items") >= 2)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size("__items") - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, F.size("__items")),
+                lambda j: F.struct(
+                    F.element_at("__items", i).alias("ia"),
+                    F.element_at("__items", j).alias("ib"),
+                ),
+            ),
+        )
+    )
+    return (
+        sets.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.ia").alias("ia"), F.col("p.ib").alias("ib"))
+        .agg(F.count("*").cast("bigint").alias("s_ab"))
+        .where(F.col("s_ab") >= min_support)
+    )
+
+
 def market_basket(
     baskets: DataFrame,
     basket_col: str,
@@ -722,6 +780,7 @@ def market_basket(
     """
     from batch_process_dpla_index_spark.operators.dedup import (
         _CheckpointHandle,
+        _with_cached_deps,
     )
 
     # eager localCheckpoint, not lazy persist: three sibling branches
@@ -730,36 +789,18 @@ def market_basket(
     # materialization across branches and re-prints the distinct's
     # lineage under each one (phantom exchanges in the fingerprint).
     # Storage cost equals a DISK persist; lineage loss is the
-    # documented CC-pattern tradeoff.
-    per = baskets.select(basket_col, item_col).distinct().localCheckpoint(
-        eager=True
+    # documented CC-pattern tradeoff. NULL baskets/items drop here,
+    # matching pair_supports' contract (and the SQL oracle's join).
+    per = (
+        baskets.select(basket_col, item_col)
+        .where(F.col(basket_col).isNotNull() & F.col(item_col).isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)
     )
     n_baskets = per.agg(
         F.count_distinct(F.col(basket_col)).cast("bigint").alias("n_baskets")
     )
-    sets = (
-        per.groupBy(basket_col)
-        .agg(F.array_sort(F.collect_set(item_col)).alias("__items"))
-        .where(F.size("__items") >= 2)
-    )
-    pair_structs = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), F.size("__items") - 1),
-            lambda i: F.transform(
-                F.sequence(i + 1, F.size("__items")),
-                lambda j: F.struct(
-                    F.element_at("__items", i).alias("ia"),
-                    F.element_at("__items", j).alias("ib"),
-                ),
-            ),
-        )
-    )
-    pairs = (
-        sets.select(F.explode(pair_structs).alias("p"))
-        .groupBy(F.col("p.ia").alias("ia"), F.col("p.ib").alias("ib"))
-        .agg(F.count("*").cast("bigint").alias("s_ab"))
-        .where(F.col("s_ab") >= min_support)
-    )
+    pairs = pair_supports(per, basket_col, item_col, min_support, assume_clean=True)
     rules = pairs.select(
         F.explode(
             F.array(
@@ -804,6 +845,4 @@ def market_basket(
         )
         .limit(k)
     )
-    from batch_process_dpla_index_spark.operators.dedup import _with_cached_deps
-
     return _with_cached_deps(out, [_CheckpointHandle(per)])

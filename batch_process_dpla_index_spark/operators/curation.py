@@ -733,8 +733,7 @@ def vocab_coverage(
     """
     from functools import reduce
 
-    from batch_process_dpla_index_spark.operators.dedup import _with_cached_deps
-
+    # _with_cached_deps already imported at module scope
     from batch_process_dpla_index_spark.operators.dedup import (
         _CheckpointHandle,
     )

@@ -2262,33 +2262,15 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     max degree (operators/analytics.py:triangle_count). Edge building
     is skipgram-style per-order pair expressions, no self-join."""
     from batch_process_dpla_index_spark.operators.analytics import (
+        pair_supports,
         triangle_count,
     )
 
     li = load_table(spark, sf_dir, "lineitem")
-    per_order = (
-        li.select("l_orderkey", "l_partkey")
-        .groupBy("l_orderkey")
-        .agg(F.array_sort(F.collect_set("l_partkey")).alias("__parts"))
-        .where(F.size("__parts") >= 2)
-    )
-    pair_structs = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), F.size("__parts") - 1),
-            lambda i: F.transform(
-                F.sequence(i + 1, F.size("__parts")),
-                lambda j: F.struct(
-                    F.element_at("__parts", i).alias("pa"),
-                    F.element_at("__parts", j).alias("pb"),
-                ),
-            ),
-        )
-    )
-    edges = (
-        per_order.select(F.explode(pair_structs).alias("p"))
-        .groupBy(F.col("p.pa").alias("src"), F.col("p.pb").alias("dst"))
-        .agg(F.count("*").alias("__support"))
-        .where(F.col("__support") >= 2)
+    # shared edge builder with market_basket (pair_supports): per-order
+    # pair expressions, support >= 2 orders
+    edges = pair_supports(li, "l_orderkey", "l_partkey", min_support=2).select(
+        F.col("ia").alias("src"), F.col("ib").alias("dst")
     )
     # triangle_count attaches its own checkpoint handles to the result
     return triangle_count(edges)

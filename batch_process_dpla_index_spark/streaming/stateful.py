@@ -230,6 +230,10 @@ def topk_stream(stream, item_col: str, capacity: int = 64, n_shards: int = 8):
     cap = int(capacity)
     if cap < 1:
         raise ValueError(f"topk_stream: capacity must be >= 1, got {capacity}")
+    if int(n_shards) < 1:
+        # pmod(x, 0) is NULL, which would silently fuse every item into
+        # one NULL-key group and void the per-shard error guarantee
+        raise ValueError(f"topk_stream: n_shards must be >= 1, got {n_shards}")
 
     def update(key, pdfs, state):
         if state.exists:

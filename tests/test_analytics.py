@@ -512,9 +512,6 @@ def test_vocab_coverage_cutoff_and_totals(spark):
 def test_attribution_last_touch_picks_latest_prior(spark):
     import datetime as dt
 
-    from batch_process_dpla_index_spark.queries import (
-        q_attribution_last_touch,
-    )
     from batch_process_dpla_index_spark.operators.relational import as_of_join
     from pyspark.sql import functions as F
 
@@ -543,4 +540,35 @@ def test_attribution_last_touch_picks_latest_prior(spark):
     }
     assert got[(7, 10.0)] == "click"
     assert got[(7, 5.0)] == "click"
-    assert got[(8, 3.0)] is None  # -> 'none' channel after the rollup
+    assert got[(8, 3.0)] is None
+    # the registry query's rollup: NULL channel coalesces to 'none'
+    rolled = {
+        r["channel"]: (r["n_purchases"], r["sum_value"])
+        for r in att.groupBy(
+            F.coalesce(F.col("channel"), F.lit("none")).alias("channel")
+        )
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.round(F.sum("p_value"), 2).alias("sum_value"),
+        )
+        .collect()
+    }
+    assert rolled["click"] == (2, 15.0)
+    assert rolled["none"] == (1, 3.0)
+
+
+def test_pair_supports_drops_null_baskets_and_items(spark):
+    from batch_process_dpla_index_spark.operators.analytics import (
+        pair_supports,
+    )
+
+    rows = [
+        (1, "x"), (1, "y"), (2, "x"), (2, "y"),
+        (None, "a"), (None, "b"), (None, "c"),  # NULL pseudo-basket
+        (3, None),                              # NULL item
+    ]
+    df = spark.createDataFrame(rows, "b bigint, i string")
+    got = {(r["ia"], r["ib"]): r["s_ab"] for r in pair_supports(df, "b", "i", min_support=1).collect()}
+    # NULL baskets must NOT fuse into one pseudo-basket producing
+    # (a,b)/(a,c)/(b,c) pairs; NULL items never pair
+    assert got == {("x", "y"): 2}
