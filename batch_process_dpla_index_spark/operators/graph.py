@@ -161,3 +161,62 @@ def pagerank(
     # real release handle along as its cached dep so the callers'
     # unpersist_deps discipline frees the storage after the action
     return _with_cached_deps(ranks, [_CheckpointHandle(ranks)])
+
+
+def label_propagation(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 4,
+) -> DataFrame:
+    """Synchronous label-propagation community detection (LPA) over an
+    undirected edge list, fixed iteration count — the deterministic
+    formulation (each node adopts its neighbors' MODE label, frequency
+    ties broken by MIN label; labels init to the node id). Connected
+    components answers "which nodes touch at all"; LPA splits a
+    component into densely-linked communities.
+
+    Per iteration: one join of the label frame onto the pre-
+    partitioned symmetric edge frame + one (node, label) count
+    aggregate + one per-node top-1 window — the label frame is the
+    only thing that moves, the edge frame shuffles ONCE up front.
+    Intermediate label frames localCheckpoint lazily (the pagerank
+    pattern: lineage truncation without 2·k driver-blocking jobs).
+    All-integer arithmetic — bit-exact across engines by construction.
+
+    Returns (node, community) for every node with at least one edge.
+    """
+    from pyspark.sql.window import Window
+
+    both = (
+        edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+        .unionAll(
+            edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d"))
+        )
+        .where(F.col("s").isNotNull() & F.col("d").isNotNull())
+        .where(F.col("s") != F.col("d"))
+        .distinct()
+        .repartition("s")
+        .persist()
+    )
+    labels = both.select(F.col("s").alias("node")).distinct().select(
+        "node", F.col("node").alias("community")
+    )
+    handles: list = [both]
+    for _ in range(int(iterations)):
+        nbr = both.join(
+            labels, both["s"] == labels["node"]
+        ).select(F.col("d").alias("node"), "community")
+        counts = nbr.groupBy("node", "community").agg(
+            F.count("*").alias("__c")
+        )
+        w = Window.partitionBy("node").orderBy(
+            F.col("__c").desc(), F.col("community").asc()
+        )
+        labels = (
+            counts.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select("node", "community")
+        ).localCheckpoint(eager=False)
+        handles.append(_CheckpointHandle(labels))
+    return _with_cached_deps(labels, handles)

@@ -347,3 +347,31 @@ def winsorized_stats(
         )
         .orderBy(key_col)
     )
+
+
+def embedding_dim_profile(df: DataFrame, vec_col: str) -> DataFrame:
+    """Per-dimension statistics of an embedding column: n, mean,
+    stddev, min, max for every vector position — the datasheet for a
+    vector corpus (a collapsed dimension, a scale-drifted batch, or a
+    dead ReLU channel shows up here before it poisons ANN recall).
+
+    One posexplode (a narrow per-row expansion, dim rows per vector)
+    and ONE hash aggregate keyed by position — the aggregate output is
+    |dim| rows regardless of corpus size. Floats widen to double
+    before the moments so both engines accumulate in the same type.
+    """
+    ex = df.where(F.col(vec_col).isNotNull()).select(
+        F.posexplode(vec_col).alias("pos", "__v")
+    )
+    return (
+        ex.select("pos", F.col("__v").cast("double").alias("__v"))
+        .groupBy("pos")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("__v"), 6).alias("mean_v"),
+            F.round(F.stddev_pop("__v"), 6).alias("sd_v"),
+            F.round(F.min("__v"), 6).alias("min_v"),
+            F.round(F.max("__v"), 6).alias("max_v"),
+        )
+        .orderBy("pos")
+    )

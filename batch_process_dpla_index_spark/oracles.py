@@ -1654,6 +1654,72 @@ FROM sized WHERE rn = 1
 ORDER BY cluster
 """
 
+# Synchronous label propagation (operators/graph.py:
+# label_propagation): 4 unrolled mode-label iterations over the
+# co-purchase edges — all-integer counting, min-label ties, the
+# pagerank MATERIALIZED-CTE unrolling pattern.
+ORACLE_LABEL_PROPAGATION = """
+WITH per AS (
+    SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+    WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+),
+pair AS (
+    SELECT a.i AS ia, c.i AS ib
+    FROM per a JOIN per c ON a.b = c.b AND a.i < c.i
+    GROUP BY 1, 2 HAVING count(*) >= 2
+),
+eb AS MATERIALIZED (
+    SELECT ia AS s, ib AS d FROM pair
+    UNION
+    SELECT ib AS s, ia AS d FROM pair
+),
+l0 AS MATERIALIZED (SELECT DISTINCT s AS node, s AS community FROM eb),
+n0 AS (SELECT e.d AS node, l.community, count(*) AS c FROM eb e JOIN l0 l ON l.node = e.s GROUP BY 1, 2),
+l1 AS MATERIALIZED (SELECT node, community FROM (SELECT node, community, row_number() OVER (PARTITION BY node ORDER BY c DESC, community ASC) AS rn FROM n0) WHERE rn = 1),
+n1 AS (SELECT e.d AS node, l.community, count(*) AS c FROM eb e JOIN l1 l ON l.node = e.s GROUP BY 1, 2),
+l2 AS MATERIALIZED (SELECT node, community FROM (SELECT node, community, row_number() OVER (PARTITION BY node ORDER BY c DESC, community ASC) AS rn FROM n1) WHERE rn = 1),
+n2 AS (SELECT e.d AS node, l.community, count(*) AS c FROM eb e JOIN l2 l ON l.node = e.s GROUP BY 1, 2),
+l3 AS MATERIALIZED (SELECT node, community FROM (SELECT node, community, row_number() OVER (PARTITION BY node ORDER BY c DESC, community ASC) AS rn FROM n2) WHERE rn = 1),
+n3 AS (SELECT e.d AS node, l.community, count(*) AS c FROM eb e JOIN l3 l ON l.node = e.s GROUP BY 1, 2),
+l4 AS MATERIALIZED (SELECT node, community FROM (SELECT node, community, row_number() OVER (PARTITION BY node ORDER BY c DESC, community ASC) AS rn FROM n3) WHERE rn = 1)
+SELECT node, community FROM l4 ORDER BY node
+"""
+
+# Per-dimension embedding stats (operators/profiling.py:
+# embedding_dim_profile): parallel unnest of (index, value), float
+# widened to double before the moments. Spark's posexplode is 0-based.
+ORACLE_EMBEDDING_DIM_PROFILE = """
+WITH ex AS (
+    SELECT unnest(generate_series(1, len(embedding))) - 1 AS pos,
+           CAST(unnest(embedding) AS DOUBLE) AS v
+    FROM embeddings WHERE embedding IS NOT NULL
+)
+SELECT CAST(pos AS INTEGER) AS pos, CAST(count(*) AS BIGINT) AS n,
+       round(avg(v), 6) AS mean_v,
+       round(stddev_pop(v), 6) AS sd_v,
+       round(min(v), 6) AS min_v,
+       round(max(v), 6) AS max_v
+FROM ex GROUP BY pos ORDER BY pos
+"""
+
+# Month-over-month growth per priority: lag over the bounded monthly
+# aggregate; growth divides the ROUNDED 2dp sums (identical bigint-
+# cent values on both engines), so the quotient is bit-identical.
+ORACLE_GROWTH_RATES = """
+WITH m AS (
+    SELECT o_orderpriority, strftime(o_orderdate, '%Y-%m') AS order_month,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM orders GROUP BY 1, 2
+)
+SELECT o_orderpriority, order_month, n_orders, sum_price,
+       round((sum_price - lag(sum_price) OVER w)
+             / lag(sum_price) OVER w, 6) AS growth_pct
+FROM m
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY order_month)
+ORDER BY o_orderpriority, order_month
+"""
+
 # Association rules (operators/analytics.py:market_basket): the
 # independent self-join formulation — per-order distinct items joined
 # on the order key — vs the engine's per-basket pair expression.
@@ -3054,6 +3120,9 @@ ORACLES: dict[str, str] = {
     "snm_multipass": ORACLE_SNM_MULTIPASS,
     "dedup_representatives": ORACLE_DEDUP_REPRESENTATIVES,
     "leakage_safe_split": ORACLE_LEAKAGE_SAFE_SPLIT,
+    "label_propagation": ORACLE_LABEL_PROPAGATION,
+    "embedding_dim_profile": ORACLE_EMBEDDING_DIM_PROFILE,
+    "growth_rates": ORACLE_GROWTH_RATES,
     "market_basket": ORACLE_MARKET_BASKET,
     "vocab_coverage": ORACLE_VOCAB_COVERAGE,
     "attribution_last_touch": ORACLE_ATTRIBUTION_LAST_TOUCH,

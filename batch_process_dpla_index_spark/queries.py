@@ -2187,6 +2187,67 @@ def q_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantile_bins(orders, "o_totalprice", n_bins=10)
 
 
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LPA communities of the part co-purchase graph (same pair_supports
+    edges as the triangle census): 4 synchronous mode-label iterations,
+    min-label ties — all-integer, bit-exact across engines
+    (operators/graph.py:label_propagation)."""
+    from batch_process_dpla_index_spark.operators.analytics import (
+        pair_supports,
+    )
+    from batch_process_dpla_index_spark.operators.dedup import carry_deps
+    from batch_process_dpla_index_spark.operators.graph import (
+        label_propagation,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = pair_supports(li, "l_orderkey", "l_partkey", min_support=2).select(
+        F.col("ia").alias("src"), F.col("ib").alias("dst")
+    )
+    out = label_propagation(edges, iterations=4)
+    return carry_deps(out.orderBy("node"), out)
+
+
+def q_embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding statistics — the vector-corpus
+    datasheet (dead channels, scale drift). One posexplode + one
+    |dim|-row aggregate (operators/profiling.py:embedding_dim_profile)."""
+    from batch_process_dpla_index_spark.operators.profiling import (
+        embedding_dim_profile,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_dim_profile(emb, "embedding")
+
+
+def q_growth_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth per order priority: monthly
+    aggregate, then lag over the bounded (priority, month) frame —
+    growth computed from the ROUNDED sums so the division is
+    engine-identical. One corpus aggregate + one window over
+    |priorities|×|months| rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = (
+        orders.withColumn(
+            "order_month", F.date_format("o_orderdate", "yyyy-MM")
+        )
+        .groupBy("o_orderpriority", "order_month")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("order_month")
+    prev = F.lag("sum_price").over(w)
+    return monthly.select(
+        "o_orderpriority",
+        "order_month",
+        "n_orders",
+        "sum_price",
+        F.round((F.col("sum_price") - prev) / prev, 6).alias("growth_pct"),
+    ).orderBy("o_orderpriority", "order_month")
+
+
 def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-25 association rules over order baskets: support /
     confidence / lift, pair generation as a per-basket expression —
@@ -2570,6 +2631,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_novelty": q_ngram_novelty,
     "bloom_prune_join": q_bloom_prune_join,
     "hard_negatives": q_hard_negatives,
+    "label_propagation": q_label_propagation,
+    "embedding_dim_profile": q_embedding_dim_profile,
+    "growth_rates": q_growth_rates,
     "market_basket": q_market_basket,
     "vocab_coverage": q_vocab_coverage,
     "attribution_last_touch": q_attribution_last_touch,
@@ -2585,10 +2649,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bigram_pmi": q_bigram_pmi,
     "weighted_sample": q_weighted_sample,
     "session_paths": q_session_paths,
+    # ---- driver-window boundary (entry 50 above this line) ----
     "pq_encode": q_pq_encode,
     "approx_distinct_users": q_approx_distinct_users,
     "price_tiers": q_price_tiers,
-    # ---- driver-window boundary (entry 50 above this line) ----
     "training_prep": q_training_prep,
     "column_profile": q_column_profile,
     "corr_matrix": q_corr_matrix,

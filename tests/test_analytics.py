@@ -572,3 +572,44 @@ def test_pair_supports_drops_null_baskets_and_items(spark):
     # NULL baskets must NOT fuse into one pseudo-basket producing
     # (a,b)/(a,c)/(b,c) pairs; NULL items never pair
     assert got == {("x", "y"): 2}
+
+
+def test_label_propagation_splits_bridged_cliques(spark):
+    from batch_process_dpla_index_spark.operators.graph import (
+        label_propagation,
+    )
+    from batch_process_dpla_index_spark.operators.dedup import unpersist_deps
+
+    # two 4-cliques joined by ONE bridge edge: connected components
+    # would merge them; LPA must keep two communities
+    c1 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    c2 = [(a, b) for a in range(11, 15) for b in range(a + 1, 15)]
+    edges = c1 + c2 + [(4, 11)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    out = label_propagation(df, iterations=4)
+    got = {r["node"]: r["community"] for r in out.collect()}
+    unpersist_deps(out)
+    assert len(got) == 8
+    left = {got[n] for n in (1, 2, 3)}
+    right = {got[n] for n in (12, 13, 14)}
+    assert len(left) == 1 and len(right) == 1
+    assert left != right  # the bridge does not merge the communities
+
+
+def test_growth_rates_query_monthly_lag(spark):
+    from batch_process_dpla_index_spark.queries import q_growth_rates
+    from tests.conftest import SF_DIR
+
+    rows = q_growth_rates(spark, SF_DIR).collect()
+    assert len(rows) > 0
+    by_key = {(r["o_orderpriority"], r["order_month"]): r for r in rows}
+    # first month of every priority has NULL growth (no prior month)
+    import itertools
+
+    for prio, grp in itertools.groupby(rows, key=lambda r: r["o_orderpriority"]):
+        grp = list(grp)
+        assert grp[0]["growth_pct"] is None
+        for prev, cur in zip(grp, grp[1:]):
+            if cur["growth_pct"] is not None:
+                want = round((cur["sum_price"] - prev["sum_price"]) / prev["sum_price"], 6)
+                assert abs(cur["growth_pct"] - want) < 1e-9

@@ -540,3 +540,20 @@ def test_benford_profile_sub_cent_values_never_divide_by_zero(spark):
     df = spark.createDataFrame([(0.004,), (0.3,), (123.0,)], "v double")
     rows = {r["digit"]: r["n"] for r in benford_profile(df, "v").collect()}
     assert rows == {1: 1, 3: 1}
+
+
+def test_embedding_dim_profile_closed_form(spark):
+    from batch_process_dpla_index_spark.operators.profiling import (
+        embedding_dim_profile,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 10.0]), (2, [3.0, 10.0]), (3, None)],
+        "vec_id bigint, embedding array<float>",
+    )
+    rows = {r["pos"]: r for r in embedding_dim_profile(df, "embedding").collect()}
+    assert set(rows) == {0, 1}           # NULL vector contributes nothing
+    assert rows[0]["n"] == 2 and rows[0]["mean_v"] == 2.0
+    assert rows[0]["sd_v"] == 1.0        # population stddev of {1,3}
+    assert (rows[0]["min_v"], rows[0]["max_v"]) == (1.0, 3.0)
+    assert rows[1]["sd_v"] == 0.0        # dead dimension shows up as sd 0
