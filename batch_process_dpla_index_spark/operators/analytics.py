@@ -435,6 +435,7 @@ def cusum_changepoint(
     value_col: str = "value",
     id_col: str = "event_id",
     slack_frac: float = 0.1,
+    target_col: str | None = None,
 ) -> DataFrame:
     """Per-key CUSUM drift scores (Page's cumulative-sum changepoint
     statistic): s_i = max(0, s_{i-1} + (x_i − mean − slack)) for upward
@@ -449,6 +450,14 @@ def cusum_changepoint(
     engine-identical (the oracle folds the same list in the same
     order). Slack is ``slack_frac·|mean|`` (scale-free allowance).
 
+    ``target_col`` switches the reference level from the key's own
+    full-series mean (retrospective changepoint analysis) to a
+    per-row PROVIDED target — the deployed-CUSUM form where the
+    reference comes from a historical baseline, and the form a
+    one-pass STREAM can compute exactly (`streaming/stateful.py:
+    cusum_stream` is the convergence-tested twin). The fold is
+    identical; only the subtracted level changes.
+
     Plan: ONE shuffle on the key; collect_list is bounded by per-key
     event counts (the session_paths contract). Returns
     (key, n_events, mean_value, cusum_up, cusum_dn, direction).
@@ -462,18 +471,24 @@ def cusum_changepoint(
             )
         )
     )
+    aggs = [seq.alias("__seq")]
+    if target_col is not None:
+        # per-key constant by contract (a historical baseline joined
+        # onto the rows); first() under the same grouping
+        aggs.append(F.first(F.col(target_col)).alias("__mean"))
     base = (
         events.where(F.col(value_col).isNotNull())
         .groupBy(key_col)
-        .agg(seq.alias("__seq"))
+        .agg(*aggs)
         .withColumn("__vals", F.transform(F.col("__seq"), lambda e: e["v"]))
-        .withColumn(
+    )
+    if target_col is None:
+        base = base.withColumn(
             "__mean",
             F.aggregate(F.col("__vals"), F.lit(0.0), lambda a, x: a + x)
             / F.size(F.col("__vals")),
         )
-        .withColumn("__slack", F.lit(slack_frac) * F.abs(F.col("__mean")))
-    )
+    base = base.withColumn("__slack", F.lit(slack_frac) * F.abs(F.col("__mean")))
     mean, slack = F.col("__mean"), F.col("__slack")
     zero = F.lit(0.0)
     acc0 = F.struct(

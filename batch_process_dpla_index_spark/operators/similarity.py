@@ -818,3 +818,38 @@ def hard_negatives(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def random_projection(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    out_dim: int = 16,
+    salt: str = "rp",
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection: each output component
+    is the dot product with a deterministic pseudo-random plane (the
+    h60-unit family — same machinery as the LSH hyperplanes, so the
+    projection is bit-reproducible across engines, runs and
+    partitionings). The standard dimensionality-reduction step before
+    ANN indexing or clustering when the raw embedding is wider than
+    the recall target needs.
+
+    Pure per-row expression — planes are driver-side float literals
+    (out_dim × dim of them), no broadcast frame, no shuffle, and the
+    projection stays inside the scan stage at any corpus size.
+
+    Returns (id_col, proj array<double>).
+    """
+    from batch_process_dpla_index_spark.functions.vectors import dot
+
+    def plane(j: int):
+        return F.array(
+            *[F.lit(_h60_unit(f"{salt}:{j}:{d}")) for d in range(dim)]
+        )
+
+    proj = F.array(*[dot(F.col(vec_col), plane(j)) for j in range(out_dim)])
+    return df.where(F.col(vec_col).isNotNull()).select(
+        id_col, proj.alias("proj")
+    )

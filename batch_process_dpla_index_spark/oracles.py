@@ -1654,6 +1654,62 @@ FROM sized WHERE rn = 1
 ORDER BY cluster
 """
 
+
+# Sketch-quality evaluation: the exact-Jaccard truth CTE vs the
+# MinHash-LSH candidate CTE (both reused verbatim from their own
+# oracles), full-outer-joined into one TP/FP/FN row.
+ORACLE_LSH_QUALITY_REPORT = f"""
+WITH truth AS ({_jaccard_oracle(3, 0.5)}),
+cand AS ({_minhash_oracle()}),
+j AS (
+    SELECT t.id_a AS t_a, c.id_a AS c_a
+    FROM truth t FULL JOIN cand c
+      ON t.id_a = c.id_a AND t.id_b = c.id_b
+)
+SELECT CAST(count(t_a) AS BIGINT) AS n_truth,
+       CAST(count(c_a) AS BIGINT) AS n_candidates,
+       CAST(sum(CASE WHEN t_a IS NOT NULL AND c_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       CAST(sum(CASE WHEN t_a IS NULL AND c_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       CAST(sum(CASE WHEN t_a IS NOT NULL AND c_a IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       CASE WHEN count(c_a) > 0 THEN round(
+           sum(CASE WHEN t_a IS NOT NULL AND c_a IS NOT NULL THEN 1 ELSE 0 END)
+           / CAST(count(c_a) AS DOUBLE), 6) END AS precision,
+       CASE WHEN count(t_a) > 0 THEN round(
+           sum(CASE WHEN t_a IS NOT NULL AND c_a IS NOT NULL THEN 1 ELSE 0 END)
+           / CAST(count(t_a) AS DOUBLE), 6) END AS recall
+FROM j
+"""
+
+
+def _random_projection_oracle(dim: int = 64, out_dim: int = 16) -> str:
+    """JL projection replay: the same h60-unit plane literals Spark
+    embeds driver-side, dotted sequentially (list_reduce == the
+    engine's aggregate fold), then the per-output-dimension profile."""
+    comps = []
+    for j in range(out_dim):
+        plane = ", ".join(repr(_h60_unit(f"rp:{j}:{d}")) for d in range(dim))
+        comps.append(f"{_dot('embedding', f'[{plane}]')}")
+    proj = ", ".join(comps)
+    return f"""
+WITH p AS (
+    SELECT vec_id, [{proj}] AS proj
+    FROM embeddings WHERE embedding IS NOT NULL
+), ex AS (
+    SELECT unnest(generate_series(1, len(proj))) - 1 AS pos,
+           CAST(unnest(proj) AS DOUBLE) AS v
+    FROM p
+)
+SELECT CAST(pos AS INTEGER) AS pos, CAST(count(*) AS BIGINT) AS n,
+       round(avg(v), 6) AS mean_v,
+       round(stddev_pop(v), 6) AS sd_v,
+       round(min(v), 6) AS min_v,
+       round(max(v), 6) AS max_v
+FROM ex GROUP BY pos ORDER BY pos
+"""
+
+
+ORACLE_RANDOM_PROJECTION_PROFILE = _random_projection_oracle()
+
 # Synchronous label propagation (operators/graph.py:
 # label_propagation): 4 unrolled mode-label iterations over the
 # co-purchase edges — all-integer counting, min-label ties, the
@@ -3120,6 +3176,8 @@ ORACLES: dict[str, str] = {
     "snm_multipass": ORACLE_SNM_MULTIPASS,
     "dedup_representatives": ORACLE_DEDUP_REPRESENTATIVES,
     "leakage_safe_split": ORACLE_LEAKAGE_SAFE_SPLIT,
+    "lsh_quality_report": ORACLE_LSH_QUALITY_REPORT,
+    "random_projection_profile": ORACLE_RANDOM_PROJECTION_PROFILE,
     "label_propagation": ORACLE_LABEL_PROPAGATION,
     "embedding_dim_profile": ORACLE_EMBEDDING_DIM_PROFILE,
     "growth_rates": ORACLE_GROWTH_RATES,

@@ -2187,6 +2187,81 @@ def q_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantile_bins(orders, "o_totalprice", n_bins=10)
 
 
+def q_lsh_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality evaluation: MinHash-LSH candidate pairs vs the
+    exact-Jaccard ground truth at the same threshold — TP/FP/FN,
+    precision, recall in one row. FP must be zero (LSH candidates are
+    exact-verified); recall is the banding miss rate, THE number that
+    sizes (num_perm, bands) before a 100 TB dedup run. Both sides are
+    existing oracle-verified operators; the report is one full outer
+    join of two bounded pair frames + a 1-row aggregate."""
+    from batch_process_dpla_index_spark.operators.dedup import (
+        _with_cached_deps,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    truth = (
+        jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+        .select("id_a", "id_b")
+        .withColumn("__t", F.lit(1))
+    )
+    cand = (
+        minhash_lsh_pairs(
+            docs, "text", "doc_id", n=3, threshold=0.5, use_pandas=True
+        )
+        .select("id_a", "id_b")
+        .withColumn("__c", F.lit(1))
+    )
+    j = truth.join(cand, ["id_a", "id_b"], "full")
+    out = j.agg(
+        F.count("__t").cast("bigint").alias("n_truth"),
+        F.count("__c").cast("bigint").alias("n_candidates"),
+        F.sum((F.col("__t").isNotNull() & F.col("__c").isNotNull()).cast("long"))
+        .cast("bigint")
+        .alias("tp"),
+        F.sum((F.col("__t").isNull() & F.col("__c").isNotNull()).cast("long"))
+        .cast("bigint")
+        .alias("fp"),
+        F.sum((F.col("__t").isNotNull() & F.col("__c").isNull()).cast("long"))
+        .cast("bigint")
+        .alias("fn"),
+    ).select(
+        "n_truth",
+        "n_candidates",
+        "tp",
+        "fp",
+        "fn",
+        F.when(
+            F.col("n_candidates") > 0,
+            F.round(F.col("tp") / F.col("n_candidates"), 6),
+        ).alias("precision"),
+        F.when(
+            F.col("n_truth") > 0, F.round(F.col("tp") / F.col("n_truth"), 6)
+        ).alias("recall"),
+    )
+    deps = list(getattr(truth, "_cached_deps", [])) + list(
+        getattr(cand, "_cached_deps", [])
+    )
+    return _with_cached_deps(out, deps)
+
+
+def q_random_projection_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL random projection 64→16 dims (deterministic h60-unit planes,
+    pure scan-stage expression) profiled per output dimension —
+    composition of random_projection + embedding_dim_profile
+    (operators/similarity.py:random_projection)."""
+    from batch_process_dpla_index_spark.operators.profiling import (
+        embedding_dim_profile,
+    )
+    from batch_process_dpla_index_spark.operators.similarity import (
+        random_projection,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    proj = random_projection(emb, "vec_id", "embedding", dim=64, out_dim=16)
+    return embedding_dim_profile(proj, "proj")
+
+
 def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LPA communities of the part co-purchase graph (same pair_supports
     edges as the triangle census): 4 synchronous mode-label iterations,
@@ -2631,6 +2706,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_novelty": q_ngram_novelty,
     "bloom_prune_join": q_bloom_prune_join,
     "hard_negatives": q_hard_negatives,
+    "lsh_quality_report": q_lsh_quality_report,
+    "random_projection_profile": q_random_projection_profile,
     "label_propagation": q_label_propagation,
     "embedding_dim_profile": q_embedding_dim_profile,
     "growth_rates": q_growth_rates,
@@ -2647,9 +2724,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_transitions": q_event_transitions,
     "nearest_purchase": q_nearest_purchase,
     "bigram_pmi": q_bigram_pmi,
+    # ---- driver-window boundary (entry 50 above this line) ----
     "weighted_sample": q_weighted_sample,
     "session_paths": q_session_paths,
-    # ---- driver-window boundary (entry 50 above this line) ----
     "pq_encode": q_pq_encode,
     "approx_distinct_users": q_approx_distinct_users,
     "price_tiers": q_price_tiers,

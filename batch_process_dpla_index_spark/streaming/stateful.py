@@ -298,3 +298,69 @@ def topk_stream(stream, item_col: str, capacity: int = 64, n_shards: int = 8):
     return sharded.groupBy("__shard").applyInPandasWithState(
         update, SS_OUTPUT, SS_STATE, "update", GroupStateTimeout.NoTimeout
     )
+
+
+CUSUM_STATE = "su DOUBLE, mu DOUBLE, sd DOUBLE, md DOUBLE, n BIGINT"
+CUSUM_OUTPUT = (
+    "user_id BIGINT, n_events BIGINT, cusum_up DOUBLE, cusum_dn DOUBLE,"
+    " direction STRING"
+)
+
+
+def cusum_stream(stream, slack_frac: float = 0.1):
+    """Streaming CUSUM drift detector — the O(1)-state twin of the
+    batch fold (`operators/analytics.py:cusum_changepoint` with
+    ``target_col``): rows carry a per-key ``target`` baseline, and the
+    state is just the four CUSUM registers plus the count. Each
+    micro-batch sorts by (ts, event_id) so intra-batch fold order
+    matches the batch twin's time order; cross-batch causality is the
+    append-stream contract.
+
+    Emits the running maxima per key per batch — with AvailableNow
+    draining, the last emission per key equals the batch twin's row
+    exactly (the fold is the same sequence of IEEE adds and maxes).
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        su, mu, sd, md, n = (
+            state.get if state.exists else (0.0, 0.0, 0.0, 0.0, 0)
+        )
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(
+            ["ts", "event_id"], kind="mergesort", na_position="first"
+        )
+        for v, tgt in zip(batch["value"], batch["target"]):
+            if pd.isna(v):
+                continue
+            v = float(v)
+            mean = float(tgt)
+            slack = slack_frac * abs(mean)
+            su = max(0.0, su + (v - mean - slack))
+            mu = max(mu, su)
+            sd = max(0.0, sd + (mean - v - slack))
+            md = max(md, sd)
+            n += 1
+        state.update((float(su), float(mu), float(sd), float(md), int(n)))
+        up, dn = _round6_top(mu), _round6_top(md)
+        if up == 0.0 and dn == 0.0:
+            direction = "none"
+        elif up >= dn:
+            direction = "up"
+        else:
+            direction = "dn"
+        yield pd.DataFrame(
+            {
+                "user_id": [None if pd.isna(key[0]) else int(key[0])],
+                "n_events": [int(n)],
+                "cusum_up": [up],
+                "cusum_dn": [dn],
+                "direction": [direction],
+            }
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update, CUSUM_OUTPUT, CUSUM_STATE, "update", GroupStateTimeout.NoTimeout
+    )

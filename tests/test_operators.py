@@ -683,3 +683,42 @@ def test_bloom_prune_join_non_word_aligned_m_bits(spark):
     got = bloom_prune_join(fact, dim, "k", "dk", m_bits=100).count()
     want = fact.join(dim, fact["k"] == dim["dk"]).count()
     assert got == want == 20
+
+
+def test_lsh_quality_report_invariants(spark):
+    from batch_process_dpla_index_spark.queries import q_lsh_quality_report
+    from batch_process_dpla_index_spark.operators.dedup import unpersist_deps
+    from tests.conftest import SF_DIR
+
+    out = q_lsh_quality_report(spark, SF_DIR)
+    row = out.collect()[0]
+    unpersist_deps(out)
+    # exact verification after banding -> candidates can never include
+    # a below-threshold pair: FP identically zero
+    assert row["fp"] == 0
+    assert row["tp"] + row["fn"] == row["n_truth"]
+    assert row["tp"] + row["fp"] == row["n_candidates"]
+    assert row["n_truth"] > 0 and row["tp"] > 0
+    assert row["precision"] == 1.0
+    assert 0.0 < row["recall"] <= 1.0
+
+
+def test_random_projection_is_deterministic_and_linear(spark):
+    from pyspark.sql import functions as F
+
+    from batch_process_dpla_index_spark.operators.similarity import (
+        random_projection,
+        _h60_unit,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 2.0, 0.0, 0.0]), (3, None)],
+        "vec_id bigint, embedding array<float>",
+    )
+    out = {r["vec_id"]: r["proj"] for r in random_projection(df, dim=4, out_dim=2).collect()}
+    assert set(out) == {1, 2}  # NULL vector dropped
+    # unit basis vector e_d projects to exactly the plane's d-th
+    # component (scaled by the vector's value) — pins the plane layout
+    assert out[1][0] == _h60_unit("rp:0:0")
+    assert out[1][1] == _h60_unit("rp:1:0")
+    assert out[2][0] == 2.0 * _h60_unit("rp:0:1")

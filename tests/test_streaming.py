@@ -541,3 +541,48 @@ def test_streaming_topk_bounds_hold_under_eviction(spark, tmp_path):
             hot_tracked = True
     assert hot_tracked  # the dominant item always survives eviction
     assert all(n <= 8 for n in per_shard.values())
+
+
+def test_streaming_cusum_matches_batch_twin(spark, events_dir):
+    """The O(1)-state CUSUM stream replays to EXACTLY the batch fold
+    with the same provided target (historical per-user mean): same
+    running maxima, same direction labels — the fold is the identical
+    IEEE sequence, so equality is exact after the shared rounding."""
+    from pyspark.sql import functions as F
+
+    from batch_process_dpla_index_spark.operators.analytics import (
+        cusum_changepoint,
+    )
+    from batch_process_dpla_index_spark.sources.tables import load_table
+    from batch_process_dpla_index_spark.streaming.stateful import cusum_stream
+    from batch_process_dpla_index_spark.streaming.windows import (
+        run_stream_to_batch,
+    )
+
+    ev = load_table(spark, SF_DIR, "events")
+    # per-user baseline from the batch (a 'historical' target)
+    targets = ev.groupBy("user_id").agg(F.avg("value").alias("target"))
+    with_t = ev.join(targets, "user_id").select(
+        "event_id", "ts", "user_id", "value", "target"
+    )
+    import tempfile
+
+    src = tempfile.mkdtemp(prefix="cusum_src_")
+    with_t.orderBy("ts", "event_id").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    batch = spark.read.parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    name = f"cs_{uuid.uuid4().hex[:8]}"
+    got = run_stream_to_batch(cusum_stream(stream), name, output_mode="update")
+    # last emission per key (single batch here -> the only emission)
+    got_final = {
+        r["user_id"]: (r["n_events"], r["cusum_up"], r["cusum_dn"], r["direction"])
+        for r in got.collect()
+    }
+    want = {
+        r["user_id"]: (r["n_events"], r["cusum_up"], r["cusum_dn"], r["direction"])
+        for r in cusum_changepoint(batch, target_col="target").collect()
+    }
+    assert len(got_final) == len(want) > 0
+    assert got_final == want
