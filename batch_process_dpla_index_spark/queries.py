@@ -2190,9 +2190,13 @@ def q_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_lsh_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-quality evaluation: MinHash-LSH candidate pairs vs the
     exact-Jaccard ground truth at the same threshold — TP/FP/FN,
-    precision, recall in one row. FP must be zero (LSH candidates are
-    exact-verified); recall is the banding miss rate, THE number that
-    sizes (num_perm, bands) before a 100 TB dedup run. Both sides are
+    precision, recall in one row. FP is zero whenever no shingle's
+    posting list hits jaccard_pairs' max_posting cap (true at every
+    test SF): under the cap, truth undercounts Jaccard for pairs
+    relying on a dropped hot shingle while LSH verifies against FULL
+    sets, so capped-regime FPs are a truth-side artifact, not an LSH
+    error. Recall is the banding miss rate, THE number that sizes
+    (num_perm, bands) before a 100 TB dedup run. Both sides are
     existing oracle-verified operators; the report is one full outer
     join of two bounded pair frames + a 1-row aggregate."""
     from batch_process_dpla_index_spark.operators.dedup import (
@@ -2200,18 +2204,15 @@ def q_lsh_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    truth = (
-        jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
-        .select("id_a", "id_b")
-        .withColumn("__t", F.lit(1))
+    # Capture the RAW operator results before any .select()/.withColumn()
+    # — DataFrame methods return new objects without _cached_deps, so
+    # deps must be collected from these frames (the carry_deps trap).
+    truth_raw = jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+    cand_raw = minhash_lsh_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.5, use_pandas=True
     )
-    cand = (
-        minhash_lsh_pairs(
-            docs, "text", "doc_id", n=3, threshold=0.5, use_pandas=True
-        )
-        .select("id_a", "id_b")
-        .withColumn("__c", F.lit(1))
-    )
+    truth = truth_raw.select("id_a", "id_b").withColumn("__t", F.lit(1))
+    cand = cand_raw.select("id_a", "id_b").withColumn("__c", F.lit(1))
     j = truth.join(cand, ["id_a", "id_b"], "full")
     out = j.agg(
         F.count("__t").cast("bigint").alias("n_truth"),
@@ -2239,8 +2240,8 @@ def q_lsh_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_truth") > 0, F.round(F.col("tp") / F.col("n_truth"), 6)
         ).alias("recall"),
     )
-    deps = list(getattr(truth, "_cached_deps", [])) + list(
-        getattr(cand, "_cached_deps", [])
+    deps = list(getattr(truth_raw, "_cached_deps", [])) + list(
+        getattr(cand_raw, "_cached_deps", [])
     )
     return _with_cached_deps(out, deps)
 

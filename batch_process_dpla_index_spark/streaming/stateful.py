@@ -332,6 +332,12 @@ def cusum_stream(stream, slack_frac: float = 0.1):
         batch = batch.sort_values(
             ["ts", "event_id"], kind="mergesort", na_position="first"
         )
+        # Batch-twin NULL parity: cusum_changepoint filters value IS NOT
+        # NULL before grouping, so a key whose every value is NULL gets no
+        # batch row. Mirror that — never create state or emit for such a
+        # key (same guard decayed_stream uses for empty batches).
+        if not state.exists and not batch["value"].notna().any():
+            return
         for v, tgt in zip(batch["value"], batch["target"]):
             if pd.isna(v):
                 continue

@@ -602,7 +602,6 @@ def test_growth_rates_query_monthly_lag(spark):
 
     rows = q_growth_rates(spark, SF_DIR).collect()
     assert len(rows) > 0
-    by_key = {(r["o_orderpriority"], r["order_month"]): r for r in rows}
     # first month of every priority has NULL growth (no prior month)
     import itertools
 

@@ -694,7 +694,10 @@ def test_lsh_quality_report_invariants(spark):
     row = out.collect()[0]
     unpersist_deps(out)
     # exact verification after banding -> candidates can never include
-    # a below-threshold pair: FP identically zero
+    # a below-threshold pair: FP identically zero IN THE UNCAPPED REGIME
+    # (no shingle posting list at test SF reaches jaccard_pairs'
+    # max_posting cap; under the cap, truth-side undercounting could
+    # surface capped-regime FPs that are a truth artifact, not LSH error)
     assert row["fp"] == 0
     assert row["tp"] + row["fn"] == row["n_truth"]
     assert row["tp"] + row["fp"] == row["n_candidates"]

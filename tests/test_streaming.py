@@ -543,7 +543,7 @@ def test_streaming_topk_bounds_hold_under_eviction(spark, tmp_path):
     assert all(n <= 8 for n in per_shard.values())
 
 
-def test_streaming_cusum_matches_batch_twin(spark, events_dir):
+def test_streaming_cusum_matches_batch_twin(spark, tmp_path):
     """The O(1)-state CUSUM stream replays to EXACTLY the batch fold
     with the same provided target (historical per-user mean): same
     running maxima, same direction labels — the fold is the identical
@@ -565,9 +565,7 @@ def test_streaming_cusum_matches_batch_twin(spark, events_dir):
     with_t = ev.join(targets, "user_id").select(
         "event_id", "ts", "user_id", "value", "target"
     )
-    import tempfile
-
-    src = tempfile.mkdtemp(prefix="cusum_src_")
+    src = str(tmp_path / "cusum_src")
     with_t.orderBy("ts", "event_id").coalesce(1).write.mode(
         "overwrite"
     ).parquet(src)
@@ -586,3 +584,39 @@ def test_streaming_cusum_matches_batch_twin(spark, events_dir):
     }
     assert len(got_final) == len(want) > 0
     assert got_final == want
+
+
+def test_streaming_cusum_all_null_key_emits_no_row(spark, tmp_path):
+    """Batch-twin NULL parity: cusum_changepoint drops NULL values
+    BEFORE grouping, so a key whose every value is NULL has no batch
+    row — the stream must likewise neither emit nor create state for
+    it (the decayed_stream empty-batch guard, applied to NaN-only)."""
+    from batch_process_dpla_index_spark.operators.analytics import (
+        cusum_changepoint,
+    )
+    from batch_process_dpla_index_spark.streaming.stateful import cusum_stream
+
+    rows = [
+        (1, 1_000_000, 7, 10.0, 10.0),
+        (2, 2_000_000, 7, 25.0, 10.0),
+        (3, 3_000_000, 7, None, 10.0),
+        (4, 1_500_000, 9, None, 5.0),  # user 9: all-NULL values
+        (5, 2_500_000, 9, None, 5.0),
+    ]
+    src_df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts bigint, user_id int, "
+        "value double, target double",
+    )
+    src = str(tmp_path / "cusum_null_src")
+    src_df.coalesce(1).write.parquet(src)
+    batch = spark.read.parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    name = f"csn_{uuid.uuid4().hex[:8]}"
+    got = run_stream_to_batch(cusum_stream(stream), name, output_mode="update")
+    got_keys = {r["user_id"] for r in got.collect()}
+    want_keys = {
+        r["user_id"]
+        for r in cusum_changepoint(batch, target_col="target").collect()
+    }
+    assert got_keys == want_keys == {7}
