@@ -365,3 +365,30 @@ def char_entropy(col: Column) -> Column:
     return F.when(n <= 0, F.lit(None).cast("double")).otherwise(
         F.log2(n.cast("double")) - csum / n.cast("double")
     )
+
+
+def syllables_tok(tok: Column) -> Column:
+    """Heuristic syllable count of a token array: per word, the number
+    of vowel-group runs (``[aeiouy]+``), floored at 1 — the standard
+    dictionary-free approximation readability formulas use. Integer
+    fold over the token array (0 for empty docs), so the count is
+    bit-identical in any engine that runs the same regex."""
+    return F.aggregate(
+        F.transform(
+            tok,
+            lambda w: F.greatest(
+                F.lit(1), F.regexp_count(w, F.lit("[aeiouy]+"))
+            ),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, s: acc + s,
+    )
+
+
+def sentence_count(col: Column) -> Column:
+    """Sentence-terminator-run count (``[.!?]+``), floored at 1 so an
+    unpunctuated document counts as a single sentence — the
+    denominator convention of the Flesch family."""
+    return F.greatest(F.lit(1), F.regexp_count(col, F.lit("[.!?]+"))).cast(
+        "bigint"
+    )

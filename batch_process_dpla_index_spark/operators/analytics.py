@@ -861,3 +861,123 @@ def market_basket(
         .limit(k)
     )
     return _with_cached_deps(out, [_CheckpointHandle(per)])
+
+
+def rfm_segments(
+    orders: DataFrame,
+    cust_col: str = "o_custkey",
+    date_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+) -> DataFrame:
+    """RFM (recency / frequency / monetary) quartile segmentation — the
+    classic customer-value scoring a warehouse derives straight from
+    the order fact (extends the reference's per-record scoring surface,
+    MqReports.scala:22-88, to per-entity behavioral scoring).
+
+    Shape: ONE per-customer aggregate (count / max-date / sum), then
+    the nine quartile edges come from ONE exact-percentile aggregate
+    over that (already small) per-customer frame and fold back as a
+    broadcast 1-row join — the same scale-safe edges-then-score shape
+    as profiling.quantile_bins, never a global ntile window. Scores
+    count strict edge crossings (ties score DOWN), recency inverted so
+    4 = most recent; monetary is rounded to cents BEFORE the edge pass
+    so both engines quantile identical inputs.
+
+    Returns (custkey, recency_days, frequency, monetary, r_score,
+    f_score, m_score, rfm) — one row per customer, rfm = 100r+10f+m.
+    """
+    base = orders.where(F.col(cust_col).isNotNull()).select(
+        F.col(cust_col).alias("custkey"),
+        F.col(date_col).alias("__d"),
+        F.col(amount_col).alias("__amt"),
+    )
+    per_cust = base.groupBy("custkey").agg(
+        F.max("__d").alias("__last"),
+        F.count("*").cast("bigint").alias("frequency"),
+        F.round(F.sum("__amt"), 2).alias("monetary"),
+    )
+    # global anchor date: 1-row broadcast, not driver-side collect
+    anchor = per_cust.agg(F.max("__last").alias("__anchor"))
+    rfm = per_cust.crossJoin(F.broadcast(anchor)).select(
+        "custkey",
+        F.datediff("__anchor", "__last").cast("bigint").alias("recency_days"),
+        "frequency",
+        "monetary",
+    )
+    qs = (0.25, 0.5, 0.75)
+    edges = rfm.agg(
+        *[
+            F.expr(f"percentile({c}, {q!r})").alias(f"__{c[0]}e{i}")
+            for c in ("recency_days", "frequency", "monetary")
+            for i, q in enumerate(qs)
+        ]
+    )
+
+    def _crossings(col: str, prefix: str) -> F.Column:
+        expr = F.lit(0)
+        for i in range(3):
+            expr = expr + (F.col(col) > F.col(f"__{prefix}e{i}")).cast("int")
+        return expr
+
+    scored = rfm.crossJoin(F.broadcast(edges)).select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        # recency: LOWER is better -> invert the crossing count
+        (F.lit(4) - _crossings("recency_days", "r")).alias("r_score"),
+        (F.lit(1) + _crossings("frequency", "f")).alias("f_score"),
+        (F.lit(1) + _crossings("monetary", "m")).alias("m_score"),
+    )
+    return scored.withColumn(
+        "rfm",
+        (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score"))
+        .cast("int"),
+    )
+
+
+def churn_labels(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    horizon_days: int = 14,
+) -> DataFrame:
+    """Churn training-label generation: a user is labeled churned when
+    their last activity precedes the corpus' latest timestamp by more
+    than ``horizon_days`` — the standard label a training pipeline
+    derives before fitting a churn model, emitted alongside the basic
+    activity features so one pass yields the training frame.
+
+    ONE per-user aggregate (count / distinct-day count / max-ts) plus a
+    1-row broadcast global-max anchor; all outputs are integers or
+    dates, so the labels are bit-identical across engines. NULL users
+    are dropped (a NULL group would fuse unrelated rows into one
+    pseudo-user — the same guard as pair_supports).
+
+    Returns (user_id, n_events, active_days, days_since_last, churned).
+    """
+    base = events.where(F.col(user_col).isNotNull()).select(
+        F.col(user_col).alias("user_id"),
+        F.col(ts_col).alias("__ts"),
+        F.to_date(ts_col).alias("__day"),
+    )
+    per_user = base.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.countDistinct("__day").cast("bigint").alias("active_days"),
+        F.max("__ts").alias("__last_ts"),
+    )
+    anchor = per_user.agg(F.max("__last_ts").alias("__anchor_ts"))
+    return per_user.crossJoin(F.broadcast(anchor)).select(
+        "user_id",
+        "n_events",
+        "active_days",
+        F.datediff(F.to_date("__anchor_ts"), F.to_date("__last_ts"))
+        .cast("bigint")
+        .alias("days_since_last"),
+        (
+            F.col("__last_ts")
+            < F.col("__anchor_ts") - F.expr(f"INTERVAL {int(horizon_days)} DAYS")
+        )
+        .cast("int")
+        .alias("churned"),
+    )

@@ -3168,7 +3168,99 @@ LIMIT 20
 """
 
 
+# RFM quartile segmentation (operators/analytics.py:rfm_segments):
+# per-customer recency/frequency/monetary, exact quartile edges
+# (DuckDB quantile_cont == Spark exact percentile, proven hash-green
+# by quantile_bins), strict-crossing scores with ties scoring down.
+# Monetary is rounded to cents BEFORE the edge pass in both engines.
+ORACLE_RFM_SEGMENTS = """
+WITH pc AS (
+    SELECT o_custkey AS custkey,
+           max(o_orderdate) AS last_d,
+           CAST(count(*) AS BIGINT) AS frequency,
+           round(sum(o_totalprice), 2) AS monetary
+    FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1
+), anc AS (SELECT max(last_d) AS anchor FROM pc),
+r AS (
+    SELECT custkey,
+           CAST(date_diff('day', last_d, anchor) AS BIGINT) AS recency_days,
+           frequency, monetary
+    FROM pc CROSS JOIN anc
+), e AS (
+    SELECT quantile_cont(recency_days, 0.25) AS re0,
+           quantile_cont(recency_days, 0.5)  AS re1,
+           quantile_cont(recency_days, 0.75) AS re2,
+           quantile_cont(frequency, 0.25) AS fe0,
+           quantile_cont(frequency, 0.5)  AS fe1,
+           quantile_cont(frequency, 0.75) AS fe2,
+           quantile_cont(monetary, 0.25) AS me0,
+           quantile_cont(monetary, 0.5)  AS me1,
+           quantile_cont(monetary, 0.75) AS me2
+    FROM r
+), s AS (
+    SELECT custkey, recency_days, frequency, monetary,
+           CAST(4 - ((recency_days > re0)::INT + (recency_days > re1)::INT
+                     + (recency_days > re2)::INT) AS INTEGER) AS r_score,
+           CAST(1 + ((frequency > fe0)::INT + (frequency > fe1)::INT
+                     + (frequency > fe2)::INT) AS INTEGER) AS f_score,
+           CAST(1 + ((monetary > me0)::INT + (monetary > me1)::INT
+                     + (monetary > me2)::INT) AS INTEGER) AS m_score
+    FROM r CROSS JOIN e
+)
+SELECT custkey, recency_days, frequency, monetary,
+       r_score, f_score, m_score,
+       CAST(r_score * 100 + f_score * 10 + m_score AS INTEGER) AS rfm
+FROM s ORDER BY custkey
+"""
+
+# Churn training labels (operators/analytics.py:churn_labels):
+# all-integer per-user aggregate + 1-row global anchor; the 14-day
+# horizon compares full timestamps, day distance compares dates.
+ORACLE_CHURN_LABELS = """
+WITH pu AS (
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS active_days,
+           max(ts) AS last_ts
+    FROM events WHERE user_id IS NOT NULL GROUP BY 1
+), anc AS (SELECT max(last_ts) AS anchor_ts FROM pu)
+SELECT user_id, n_events, active_days,
+       CAST(date_diff('day', CAST(last_ts AS DATE),
+                      CAST(anchor_ts AS DATE)) AS BIGINT) AS days_since_last,
+       CAST(last_ts < anchor_ts - INTERVAL 14 DAY AS INTEGER) AS churned
+FROM pu CROSS JOIN anc ORDER BY user_id
+"""
+
+# Flesch / Flesch-Kincaid readability (queries.q_readability_scores):
+# integer word / sentence-run / vowel-group counts (identical regexes
+# both engines), then the identical left-to-right double formula.
+ORACLE_READABILITY_SCORES = f"""
+WITH t AS (
+    SELECT doc_id, text, {_tok(_nrm('text'))} AS tok FROM documents
+), m AS (
+    SELECT doc_id,
+           CAST(len(tok) AS BIGINT) AS n_words,
+           CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+                AS BIGINT) AS n_sentences,
+           CAST(list_sum(list_transform(tok,
+                w -> greatest(1, len(regexp_extract_all(w, '[aeiouy]+')))))
+                AS BIGINT) AS n_syllables
+    FROM t WHERE len(tok) >= 1
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                     - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words),
+             6) AS flesch,
+       round(0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+             + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words) - 15.59,
+             6) AS fk_grade
+FROM m ORDER BY doc_id
+"""
+
 ORACLES: dict[str, str] = {
+    "rfm_segments": ORACLE_RFM_SEGMENTS,
+    "churn_labels": ORACLE_CHURN_LABELS,
+    "readability_scores": ORACLE_READABILITY_SCORES,
     "column_profile": ORACLE_COLUMN_PROFILE,
     "corr_matrix": ORACLE_CORR_MATRIX,
     "decayed_counts": ORACLE_DECAYED_COUNTS,

@@ -2652,6 +2652,64 @@ def q_skipgram_cooc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(25)
 
 
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM quartile segmentation of the order fact: one per-customer
+    aggregate, nine exact-percentile edges from ONE aggregate folded
+    back as a broadcast 1-row join (the quantile_bins edge shape —
+    never a global ntile window), strict-crossing scores with ties
+    scoring down (operators/analytics.py:rfm_segments)."""
+    from batch_process_dpla_index_spark.operators.analytics import rfm_segments
+
+    orders = load_table(spark, sf_dir, "orders")
+    return rfm_segments(orders).orderBy("custkey")
+
+
+def q_churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn-label generation (14-day horizon vs the corpus' latest
+    timestamp): the training-label pass of a churn-model pipeline —
+    one per-user aggregate + a 1-row broadcast anchor, all-integer
+    outputs (operators/analytics.py:churn_labels)."""
+    from batch_process_dpla_index_spark.operators.analytics import churn_labels
+
+    events = load_table(spark, sf_dir, "events")
+    return churn_labels(events, horizon_days=14).orderBy("user_id")
+
+
+def q_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease + Flesch-Kincaid grade per document from
+    integer word / sentence-run / vowel-group-syllable counts — pure
+    scan-stage expressions (functions/text.py:syllables_tok), zero
+    shuffles; the float formula is a fixed left-to-right chain over
+    bit-identical integers, so scores verify value-exactly."""
+    from batch_process_dpla_index_spark.functions.text import (
+        sentence_count,
+        syllables_tok,
+        tokens,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    m = docs.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_words"),
+        sentence_count(F.col("text")).alias("n_sentences"),
+        syllables_tok(tokens(F.col("text"))).alias("n_syllables"),
+    ).where(F.col("n_words") >= 1)
+    wps = F.col("n_words") / F.col("n_sentences")
+    spw = F.col("n_syllables") / F.col("n_words")
+    return m.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.round(
+            F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 6
+        ).alias("flesch"),
+        F.round(
+            F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 6
+        ).alias("fk_grade"),
+    )
+
+
 # Registry order is part of the driver contract: the correctness gate
 # records exactly the FIRST 50 entries. Round-5 rotation: the 41
 # queries last driver-verified in round 2 (the code under them churned
@@ -2718,14 +2776,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "seasonal_baseline": q_seasonal_baseline,
     "triangle_count": q_triangle_count,
     "bpe_merges": q_bpe_merges,
-    # -- oldest round-6-green entries (first 11; the rest lead r9) --
+    "rfm_segments": q_rfm_segments,
+    "churn_labels": q_churn_labels,
+    "readability_scores": q_readability_scores,
+    # -- oldest round-6-green entries (first 3; the rest lead r9) --
     "user_running_anomaly": q_user_running_anomaly,
     "quality_classifier": q_quality_classifier,
     "containment_pairs": q_containment_pairs,
+    # ---- driver-window boundary (entry 50 above this line) ----
     "event_transitions": q_event_transitions,
     "nearest_purchase": q_nearest_purchase,
     "bigram_pmi": q_bigram_pmi,
-    # ---- driver-window boundary (entry 50 above this line) ----
     "weighted_sample": q_weighted_sample,
     "session_paths": q_session_paths,
     "pq_encode": q_pq_encode,

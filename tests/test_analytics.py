@@ -612,3 +612,98 @@ def test_growth_rates_query_monthly_lag(spark):
             if cur["growth_pct"] is not None:
                 want = round((cur["sum_price"] - prev["sum_price"]) / prev["sum_price"], 6)
                 assert abs(cur["growth_pct"] - want) < 1e-9
+
+
+def test_rfm_segments_synthetic_quartiles(spark):
+    from batch_process_dpla_index_spark.operators.analytics import rfm_segments
+
+    # 8 customers, 1 order each on distinct dates, amounts ascending:
+    # recency and monetary quartiles are hand-computable
+    rows = [
+        (i, c, dt.date(2024, 1, c), float(100 * c))
+        for i, c in enumerate(range(1, 9))
+    ]
+    orders = spark.createDataFrame(
+        rows, "o_orderkey bigint, o_custkey bigint, o_orderdate date, "
+        "o_totalprice double"
+    )
+    got = {r["custkey"]: r for r in rfm_segments(orders).collect()}
+    assert len(got) == 8
+    # customer 8 ordered last (recency 0 -> r=1? no: lower recency is
+    # BETTER -> r_score 4) and spent the most (m_score 4)
+    assert got[8]["recency_days"] == 0
+    assert got[8]["r_score"] == 4 and got[8]["m_score"] == 4
+    assert got[1]["r_score"] == 1 and got[1]["m_score"] == 1
+    # single order each -> frequency quartiles all collapse to 1.0,
+    # ties score DOWN: everyone lands f_score 1
+    assert {r["f_score"] for r in got.values()} == {1}
+    for r in got.values():
+        assert r["rfm"] == r["r_score"] * 100 + r["f_score"] * 10 + r["m_score"]
+        assert 1 <= r["r_score"] <= 4 and 1 <= r["m_score"] <= 4
+
+
+def test_churn_labels_horizon_boundary(spark):
+    from batch_process_dpla_index_spark.operators.analytics import churn_labels
+
+    base = dt.datetime(2024, 6, 30, 12, 0, 0)
+    rows = [
+        # user 1 anchors the corpus max
+        (1, 1, base, "a"),
+        # user 2: exactly 14 days before the anchor -> NOT churned
+        # (strict > horizon comparison)
+        (2, 2, base - dt.timedelta(days=14), "a"),
+        # user 3: 14 days + 1 second -> churned
+        (3, 3, base - dt.timedelta(days=14, seconds=1), "a"),
+        # user 1 again on a second day
+        (4, 1, base - dt.timedelta(days=1), "b"),
+        # NULL user dropped
+        (5, None, base, "a"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, user_id int, ts timestamp, event_type string"
+    )
+    got = {r["user_id"]: r for r in churn_labels(ev, horizon_days=14).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1]["churned"] == 0 and got[1]["active_days"] == 2
+    assert got[2]["churned"] == 0 and got[2]["days_since_last"] == 14
+    assert got[3]["churned"] == 1 and got[3]["days_since_last"] == 14
+
+
+def test_readability_scores_hand_example(spark):
+    from batch_process_dpla_index_spark.queries import q_readability_scores
+    from tests.conftest import SF_DIR
+
+    rows = q_readability_scores(spark, SF_DIR).collect()
+    assert len(rows) > 0
+    for r in rows[:50]:
+        assert r["n_words"] >= 1 and r["n_sentences"] >= 1
+        # every word contributes >= 1 syllable
+        assert r["n_syllables"] >= r["n_words"]
+        wps = r["n_words"] / r["n_sentences"]
+        spw = r["n_syllables"] / r["n_words"]
+        want = round(206.835 - 1.015 * wps - 84.6 * spw, 6)
+        assert abs(r["flesch"] - want) < 1e-9
+
+
+def test_readability_counts_on_known_text(spark):
+    from batch_process_dpla_index_spark.functions.text import (
+        sentence_count,
+        syllables_tok,
+        tokens,
+    )
+
+    df = spark.createDataFrame(
+        [("The cat sat. It purred! Then slept?",), ("unpunctuated words only",)],
+        "text string",
+    )
+    got = df.select(
+        F.size(tokens(F.col("text"))).alias("w"),
+        sentence_count(F.col("text")).alias("s"),
+        syllables_tok(tokens(F.col("text"))).alias("sy"),
+    ).collect()
+    # 'the cat sat. it purred! then slept?' -> 7 words, 3 sentences;
+    # syllables: the/cat/sat./it/then=1 each, purred!=2 ('u','e'),
+    # slept?=1 -> 8
+    assert (got[0]["w"], got[0]["s"], got[0]["sy"]) == (7, 3, 8)
+    # no terminator runs -> floored at 1 sentence
+    assert (got[1]["w"], got[1]["s"]) == (3, 1)
