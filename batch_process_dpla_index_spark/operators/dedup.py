@@ -1051,3 +1051,69 @@ def semdedup(
         )
     )
     return _with_cached_deps(result, [av])
+
+
+def source_minhash_overlap(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    n: int = 3,
+    num_perm: int = 64,
+) -> DataFrame:
+    """Estimated Jaccard overlap between SOURCES (datasets) via
+    per-source union-MinHash sketches — the dataset-level dedup
+    diagnostic run before mixing corpora: "how much of source B is
+    already in source A?" at sketch cost, never a cross-source pair
+    scan.
+
+    The union sketch is the MinHash identity sig(A∪B)[p] =
+    min(sig(A)[p], sig(B)[p]): a source's signature is the per-perm
+    MIN over every shingle any of its documents contains. min is
+    idempotent over duplicates, so the shingle stream needs NO
+    distinct — the whole operator is one map (shingle → base hash)
+    plus ONE hash aggregate keyed by source with num_perm min
+    columns (map-side partials), then a |sources|² self-join of the
+    tiny signature frame. All-integer arithmetic (same h60 base and
+    affine params as :func:`minhash_lsh_pairs`) — bit-exact across
+    engines.
+
+    Returns (source_a, source_b, n_equal, est_jaccard) for every
+    unordered source pair, est_jaccard = matching perms / num_perm.
+    """
+    sh = docs.where(F.col(source_col).isNotNull()).select(
+        F.col(source_col).alias("source"),
+        F.explode(word_shingles(tokens(F.col(text_col)), n)).alias("__sh"),
+    )
+    base = sh.select(
+        "source", F.pmod(h60(F.col("__sh")), F.lit(_MERSENNE)).alias("__base")
+    )
+    sig = base.groupBy("source").agg(
+        *[
+            F.min((F.lit(a) * F.col("__base") + F.lit(b)) % _MERSENNE).alias(
+                f"__p{i}"
+            )
+            for i, (a, b) in enumerate(_perm_params(num_perm))
+        ]
+    )
+    left = sig.select(
+        F.col("source").alias("source_a"),
+        *[F.col(f"__p{i}").alias(f"__l{i}") for i in range(num_perm)],
+    )
+    right = sig.select(
+        F.col("source").alias("source_b"),
+        *[F.col(f"__p{i}").alias(f"__r{i}") for i in range(num_perm)],
+    )
+    pairs = left.join(
+        F.broadcast(right), F.col("source_a") < F.col("source_b")
+    )
+    n_eq = F.lit(0)
+    for i in range(num_perm):
+        n_eq = n_eq + (F.col(f"__l{i}") == F.col(f"__r{i}")).cast("int")
+    return pairs.select(
+        "source_a",
+        "source_b",
+        n_eq.cast("bigint").alias("n_equal"),
+        F.round(
+            n_eq.cast("double") / F.lit(float(num_perm)), 6
+        ).alias("est_jaccard"),
+    )

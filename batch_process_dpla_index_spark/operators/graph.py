@@ -220,3 +220,174 @@ def label_propagation(
         ).localCheckpoint(eager=False)
         handles.append(_CheckpointHandle(labels))
     return _with_cached_deps(labels, handles)
+
+
+def hits_scores(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 4,
+) -> DataFrame:
+    """HITS hubs-and-authorities over a directed edge list, fixed
+    iteration count, max-normalized — the link-analysis complement to
+    :func:`pagerank` (hub = points at good authorities, authority =
+    pointed at by good hubs).
+
+    The deterministic formulation: scores normalize by the iteration's
+    MAX (an order-free aggregate) instead of the L2 norm — same
+    fixed-point directionality, but the normalizer is exact in any
+    engine, which is what lets a SQL oracle replay the iterations
+    value-exactly. Fixed ``iterations``, never an epsilon stop.
+
+    Per iteration: the score frame (O(|nodes|), the small side) joins
+    the once-shuffled distinct edge frame twice (auth step on src, hub
+    step on dst) with one sum-aggregate + one 1-row broadcast max
+    each — the edge corpus never re-shuffles, the same per-iteration
+    cost shape as pagerank. Intermediates localCheckpoint lazily.
+
+    Returns (node, authority, hub) full-precision doubles (callers
+    round on emit); nodes with no in-edges score authority 0.0, no
+    out-edges hub 0.0.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+        .where(F.col("s").isNotNull() & F.col("d").isNotNull())
+        .distinct()
+        .repartition("s")
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .union(e.select(F.col("d").alias("node")))
+        .distinct()
+        .persist()
+    )
+    if nodes.isEmpty():
+        e.unpersist()
+        nodes.unpersist()
+        raise ValueError("hits_scores: empty edge list (no nodes to score)")
+    hub = nodes.select("node", F.lit(1.0).alias("h"))
+    handles: list = [e, nodes]
+    auth = None
+    for _ in range(int(iterations)):
+        raw_a = (
+            hub.join(e, hub["node"] == e["s"])
+            .groupBy("d")
+            .agg(F.sum("h").alias("__a"))
+        )
+        amax = raw_a.agg(F.max("__a").alias("__amax"))
+        auth = (
+            nodes.join(raw_a, nodes["node"] == raw_a["d"], "left")
+            .crossJoin(F.broadcast(amax))
+            .select(
+                "node",
+                F.coalesce(F.col("__a") / F.col("__amax"), F.lit(0.0)).alias(
+                    "a"
+                ),
+            )
+            .localCheckpoint(eager=False)
+        )
+        handles.append(_CheckpointHandle(auth))
+        raw_h = (
+            auth.join(e, auth["node"] == e["d"])
+            .groupBy("s")
+            .agg(F.sum("a").alias("__h"))
+        )
+        hmax = raw_h.agg(F.max("__h").alias("__hmax"))
+        hub = (
+            nodes.join(raw_h, nodes["node"] == raw_h["s"], "left")
+            .crossJoin(F.broadcast(hmax))
+            .select(
+                "node",
+                F.coalesce(F.col("__h") / F.col("__hmax"), F.lit(0.0)).alias(
+                    "h"
+                ),
+            )
+            .localCheckpoint(eager=False)
+        )
+        handles.append(_CheckpointHandle(hub))
+    out = auth.join(hub, "node").select(
+        "node", F.col("a").alias("authority"), F.col("h").alias("hub")
+    )
+    return _with_cached_deps(out, handles)
+
+
+def common_neighbors(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_degree: int | None = None,
+    k: int = 25,
+) -> DataFrame:
+    """Common-neighbor link prediction over an undirected edge list:
+    for every NON-adjacent node pair sharing at least one neighbor,
+    the shared-neighbor count and the Adamic-Adar score
+    (Σ_z 1/ln(deg z) over shared neighbors z — rarer mutual contacts
+    weigh more). The classic "who should be linked next" ranking for
+    co-purchase, citation, or entity graphs.
+
+    Scale shape: wedges enumerate per CENTER node z as an equi-join of
+    the symmetric adjacency with itself on z — Σ deg(z)² work, bounded
+    by ``max_degree`` (hub centers above the cap are excluded, the
+    standard wedge-sampling concession; None = uncapped). Existing
+    edges drop via one anti-join against the canonical edge set. The
+    Adamic-Adar sum folds a SORTED degree array left-to-right
+    (deterministic FP association — engine-exact, unlike a bare
+    SUM of doubles), and shared-neighbor lists are bounded by the same
+    degree cap, so no group collects unboundedly.
+
+    Returns top-``k`` (id_a, id_b, common_neighbors, adamic_adar)
+    by score — a bounded frame, TakeOrdered not a global sort.
+    """
+    canon = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .where(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    adj = canon.select(F.col("a").alias("z"), F.col("b").alias("n")).unionAll(
+        canon.select(F.col("b").alias("z"), F.col("a").alias("n"))
+    )
+    deg = adj.groupBy("z").agg(F.count("*").cast("bigint").alias("d"))
+    centers = adj.join(deg, "z")
+    if max_degree is not None:
+        centers = centers.where(F.col("d") <= int(max_degree))
+    left = centers.select("z", F.col("n").alias("n1"), "d")
+    right = centers.select("z", F.col("n").alias("n2"))
+    wedges = left.join(right, "z").where(F.col("n1") < F.col("n2"))
+    open_w = wedges.join(
+        canon,
+        (wedges["n1"] == canon["a"]) & (wedges["n2"] == canon["b"]),
+        "left_anti",
+    )
+    scored = (
+        open_w.groupBy(F.col("n1").alias("id_a"), F.col("n2").alias("id_b"))
+        .agg(
+            F.count("*").cast("bigint").alias("common_neighbors"),
+            F.sort_array(F.collect_list("d")).alias("__degs"),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "common_neighbors",
+            F.round(
+                F.aggregate(
+                    F.col("__degs"),
+                    F.lit(0.0),
+                    lambda acc, d: acc + F.lit(1.0) / F.log(d),
+                ),
+                6,
+            ).alias("adamic_adar"),
+        )
+    )
+    out = scored.orderBy(
+        F.col("adamic_adar").desc(),
+        F.col("common_neighbors").desc(),
+        F.col("id_a").asc(),
+        F.col("id_b").asc(),
+    ).limit(int(k))
+    return _with_cached_deps(out, [canon])

@@ -3168,6 +3168,126 @@ LIMIT 20
 """
 
 
+def _hits_oracle(iterations: int = 4) -> str:
+    """Unrolled fixed-k HITS mirroring operators/graph.py:hits_scores —
+    same distinct transition edges as the pagerank oracle, same
+    max-normalization (order-free, so each iteration is value-exact)."""
+    ctes = [
+        """edges AS MATERIALIZED (
+  SELECT DISTINCT from_type AS s, to_type AS d
+  FROM (SELECT event_type AS from_type,
+               lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        FROM events)
+  WHERE to_type IS NOT NULL)""",
+        "nodes AS MATERIALIZED (SELECT s AS node FROM edges UNION SELECT d FROM edges)",
+        "h0 AS MATERIALIZED (SELECT node, 1.0 AS h FROM nodes)",
+    ]
+    for i in range(iterations):
+        ctes.append(
+            f"ra{i} AS (SELECT e.d AS node, sum(h.h) AS a "
+            f"FROM h{i} h JOIN edges e ON h.node = e.s GROUP BY e.d)"
+        )
+        ctes.append(f"am{i} AS (SELECT max(a) AS m FROM ra{i})")
+        ctes.append(
+            f"a{i + 1} AS MATERIALIZED (SELECT nodes.node, "
+            f"coalesce(r.a / am.m, 0.0) AS a "
+            f"FROM nodes CROSS JOIN am{i} am "
+            f"LEFT JOIN ra{i} r ON nodes.node = r.node)"
+        )
+        ctes.append(
+            f"rh{i} AS (SELECT e.s AS node, sum(a.a) AS h "
+            f"FROM a{i + 1} a JOIN edges e ON a.node = e.d GROUP BY e.s)"
+        )
+        ctes.append(f"hm{i} AS (SELECT max(h) AS m FROM rh{i})")
+        ctes.append(
+            f"h{i + 1} AS MATERIALIZED (SELECT nodes.node, "
+            f"coalesce(r.h / hm.m, 0.0) AS h "
+            f"FROM nodes CROSS JOIN hm{i} hm "
+            f"LEFT JOIN rh{i} r ON nodes.node = r.node)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT a.node, round(a.a, 6) AS authority, "
+        f"round(h.h, 6) AS hub "
+        f"FROM a{iterations} a JOIN h{iterations} h USING (node) "
+        f"ORDER BY node"
+    )
+
+
+ORACLE_HITS_SCORES = _hits_oracle()
+
+# Common-neighbor / Adamic-Adar link prediction
+# (operators/graph.py:common_neighbors) on the co-purchase graph: the
+# triangle oracle's edge CTEs, symmetric adjacency, capped wedge
+# centers, anti-join against existing edges, and a SORTED left fold
+# for the Adamic-Adar sum (identical association both engines).
+ORACLE_COMMON_NEIGHBORS = """
+WITH po AS (
+    SELECT l_orderkey,
+           list_sort(list_distinct(list(l_partkey))) AS parts
+    FROM lineitem GROUP BY l_orderkey
+), pr AS (
+    SELECT unnest(flatten(list_transform(range(1, len(parts)), i ->
+        list_transform(range(i + 1, len(parts) + 1),
+                       j -> [parts[i], parts[j]])))) AS p
+    FROM po WHERE len(parts) >= 2
+), e AS (
+    SELECT p[1] AS u, p[2] AS v FROM pr
+    GROUP BY 1, 2 HAVING count(*) >= 2
+),
+adj AS (SELECT u AS z, v AS n FROM e UNION ALL SELECT v AS z, u AS n FROM e),
+deg AS (SELECT z, CAST(count(*) AS BIGINT) AS dg FROM adj GROUP BY z),
+ctr AS (SELECT adj.z, adj.n, deg.dg FROM adj JOIN deg USING (z)
+        WHERE deg.dg <= 10000),
+w AS (SELECT a1.n AS a, a2.n AS b, a1.dg AS dg
+      FROM ctr a1 JOIN ctr a2 ON a1.z = a2.z AND a1.n < a2.n),
+nw AS (SELECT w.a, w.b, w.dg FROM w
+       ANTI JOIN e ON w.a = e.u AND w.b = e.v),
+g AS (SELECT a AS id_a, b AS id_b,
+             CAST(count(*) AS BIGINT) AS common_neighbors,
+             list_sort(list(dg)) AS degs
+      FROM nw GROUP BY a, b)
+SELECT id_a, id_b, common_neighbors,
+       round(list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+                        list_transform(degs, x -> 1.0 / ln(x))),
+           (acc, v) -> acc + v), 6) AS adamic_adar
+FROM g
+ORDER BY adamic_adar DESC, common_neighbors DESC, id_a, id_b
+LIMIT 25
+"""
+
+
+def _source_overlap_oracle(n: int = 3, num_perm: int = 64) -> str:
+    """Per-source union-MinHash overlap
+    (operators/dedup.py:source_minhash_overlap): same h60 base, same
+    affine params, all-integer mins — bit-exact by construction."""
+    params = _perm_params(num_perm)
+    mins = ",\n           ".join(
+        f"min(({a} * base + {b}) % {_MERSENNE}) AS p{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    eq = " + ".join(f"(l.p{i} = r.p{i})::INT" for i in range(num_perm))
+    return f"""
+WITH t AS (SELECT source, {_shingles(_tok(_nrm('text')), n)} AS sh
+           FROM documents WHERE source IS NOT NULL),
+x AS (SELECT source, {_h60('s')} % {_MERSENNE} AS base
+      FROM (SELECT source, unnest(sh) AS s FROM t)),
+sig AS (SELECT source,
+           {mins}
+        FROM x GROUP BY source),
+p AS (SELECT l.source AS source_a, r.source AS source_b,
+             CAST({eq} AS BIGINT) AS n_equal
+      FROM sig l JOIN sig r ON l.source < r.source)
+SELECT source_a, source_b, n_equal,
+       round(CAST(n_equal AS DOUBLE) / {float(num_perm)!r}, 6) AS est_jaccard
+FROM p ORDER BY source_a, source_b
+"""
+
+
+ORACLE_SOURCE_OVERLAP = _source_overlap_oracle()
+
 # RFM quartile segmentation (operators/analytics.py:rfm_segments):
 # per-customer recency/frequency/monetary, exact quartile edges
 # (DuckDB quantile_cont == Spark exact percentile, proven hash-green
@@ -3258,6 +3378,9 @@ FROM m ORDER BY doc_id
 """
 
 ORACLES: dict[str, str] = {
+    "hits_scores": ORACLE_HITS_SCORES,
+    "common_neighbors": ORACLE_COMMON_NEIGHBORS,
+    "source_overlap": ORACLE_SOURCE_OVERLAP,
     "rfm_segments": ORACLE_RFM_SEGMENTS,
     "churn_labels": ORACLE_CHURN_LABELS,
     "readability_scores": ORACLE_READABILITY_SCORES,

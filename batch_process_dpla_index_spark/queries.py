@@ -2652,6 +2652,65 @@ def q_skipgram_cooc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(25)
 
 
+def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities of the event-type transition graph (4
+    max-normalized iterations — the deterministic formulation whose
+    normalizer is an order-free MAX, so a SQL oracle replays every
+    iteration value-exactly). Same per-iteration cost shape as
+    pagerank: only the score frame moves
+    (operators/graph.py:hits_scores)."""
+    from batch_process_dpla_index_spark.operators.analytics import (
+        event_transitions,
+    )
+    from batch_process_dpla_index_spark.operators.dedup import carry_deps
+    from batch_process_dpla_index_spark.operators.graph import hits_scores
+
+    events = load_table(spark, sf_dir, "events")
+    edges = event_transitions(events).select("from_type", "to_type")
+    out = hits_scores(edges, "from_type", "to_type", iterations=4)
+    return carry_deps(
+        out.select(
+            "node",
+            F.round("authority", 6).alias("authority"),
+            F.round("hub", 6).alias("hub"),
+        ).orderBy("node"),
+        out,
+    )
+
+
+def q_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor / Adamic-Adar link prediction on the part
+    co-purchase graph (the same pair_supports edges as the triangle
+    census): top 25 non-adjacent pairs by shared-neighbor evidence.
+    Wedge join bounded by the degree cap; the Adamic-Adar sum folds a
+    sorted degree array for engine-exact FP association
+    (operators/graph.py:common_neighbors)."""
+    from batch_process_dpla_index_spark.operators.analytics import pair_supports
+    from batch_process_dpla_index_spark.operators.graph import common_neighbors
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = pair_supports(li, "l_orderkey", "l_partkey", min_support=2).select(
+        F.col("ia").alias("src"), F.col("ib").alias("dst")
+    )
+    return common_neighbors(edges, max_degree=10_000, k=25)
+
+
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source corpus overlap via per-source union-MinHash
+    sketches: one map + ONE hash aggregate (64 min columns, map-side
+    partials) + a tiny |sources|² self-join — the dataset-mixing
+    diagnostic, never a cross-source pair scan
+    (operators/dedup.py:source_minhash_overlap)."""
+    from batch_process_dpla_index_spark.operators.dedup import (
+        source_minhash_overlap,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return source_minhash_overlap(docs, n=3, num_perm=64).orderBy(
+        "source_a", "source_b"
+    )
+
+
 def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM quartile segmentation of the order fact: one per-customer
     aggregate, nine exact-percentile edges from ONE aggregate folded
@@ -2779,11 +2838,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rfm_segments": q_rfm_segments,
     "churn_labels": q_churn_labels,
     "readability_scores": q_readability_scores,
-    # -- oldest round-6-green entries (first 3; the rest lead r9) --
+    "hits_scores": q_hits_scores,
+    "common_neighbors": q_common_neighbors,
+    "source_overlap": q_source_overlap,
+    # ---- driver-window boundary (entry 50 above this line) ----
+    # -- r6-green entries displaced by this round's additions; they
+    #    lead the r9 rotation together with the tail below --
     "user_running_anomaly": q_user_running_anomaly,
     "quality_classifier": q_quality_classifier,
     "containment_pairs": q_containment_pairs,
-    # ---- driver-window boundary (entry 50 above this line) ----
     "event_transitions": q_event_transitions,
     "nearest_purchase": q_nearest_purchase,
     "bigram_pmi": q_bigram_pmi,

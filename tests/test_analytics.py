@@ -707,3 +707,96 @@ def test_readability_counts_on_known_text(spark):
     assert (got[0]["w"], got[0]["s"], got[0]["sy"]) == (7, 3, 8)
     # no terminator runs -> floored at 1 sentence
     assert (got[1]["w"], got[1]["s"]) == (3, 1)
+
+
+def test_hits_scores_star_graph(spark):
+    """In a star u1,u2,u3 -> c: the center is the unique authority
+    (score 1.0 after max-norm), the spokes are the hubs (1.0 each),
+    and cross scores are 0 (spokes have no in-edges, center no
+    out-edges)."""
+    from batch_process_dpla_index_spark.operators.dedup import unpersist_deps
+    from batch_process_dpla_index_spark.operators.graph import hits_scores
+
+    edges = spark.createDataFrame(
+        [("u1", "c"), ("u2", "c"), ("u3", "c")], "src string, dst string"
+    )
+    out = hits_scores(edges, iterations=4)
+    got = {r["node"]: (r["authority"], r["hub"]) for r in out.collect()}
+    unpersist_deps(out)
+    assert got["c"] == (1.0, 0.0)
+    for u in ("u1", "u2", "u3"):
+        assert got[u] == (0.0, 1.0)
+
+
+def test_hits_scores_empty_edges_raises(spark):
+    import pytest as _pytest
+
+    from batch_process_dpla_index_spark.operators.graph import hits_scores
+
+    empty = spark.createDataFrame([], "src string, dst string")
+    with _pytest.raises(ValueError, match="empty edge list"):
+        hits_scores(empty)
+
+
+def test_common_neighbors_path_graph(spark):
+    """Path 1-2-3-4: the open pairs are (1,3) and (2,4) with one
+    shared neighbor each (AA = 1/ln 2), and (1,4) shares none ->
+    absent. Adjacent pairs never appear."""
+    import math
+
+    from batch_process_dpla_index_spark.operators.dedup import unpersist_deps
+    from batch_process_dpla_index_spark.operators.graph import common_neighbors
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src bigint, dst bigint"
+    )
+    out = common_neighbors(edges, k=10)
+    rows = {(r["id_a"], r["id_b"]): r for r in out.collect()}
+    unpersist_deps(out)
+    assert set(rows) == {(1, 3), (2, 4)}
+    want = round(1.0 / math.log(2), 6)
+    for r in rows.values():
+        assert r["common_neighbors"] == 1
+        assert abs(r["adamic_adar"] - want) < 1e-9
+
+
+def test_common_neighbors_degree_cap_excludes_hub_centers(spark):
+    """With max_degree=1 every wedge center is excluded -> no pairs;
+    uncapped, the star hub generates all spoke pairs."""
+    from batch_process_dpla_index_spark.operators.dedup import unpersist_deps
+    from batch_process_dpla_index_spark.operators.graph import common_neighbors
+
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 5)], "src bigint, dst bigint"
+    )
+    uncapped = common_neighbors(star, k=100)
+    assert uncapped.count() == 6  # C(4,2) spoke pairs via the hub
+    unpersist_deps(uncapped)
+    capped = common_neighbors(star, max_degree=1, k=100)
+    assert capped.count() == 0
+    unpersist_deps(capped)
+
+
+def test_source_overlap_identical_vs_disjoint(spark):
+    from batch_process_dpla_index_spark.operators.dedup import (
+        source_minhash_overlap,
+    )
+
+    text_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    text_b = "one two three four five six seven eight nine ten"
+    docs = spark.createDataFrame(
+        [
+            (1, text_a, "s1"),
+            (2, text_a, "s2"),  # s2 duplicates s1 exactly
+            (3, text_b, "s3"),  # s3 shares nothing
+            (4, None, "s4"),    # NULL text -> no shingles -> s4 absent
+        ],
+        "doc_id bigint, text string, source string",
+    )
+    got = {
+        (r["source_a"], r["source_b"]): r["est_jaccard"]
+        for r in source_minhash_overlap(docs).collect()
+    }
+    assert got[("s1", "s2")] == 1.0  # identical shingle sets
+    assert got[("s1", "s3")] == 0.0 and got[("s2", "s3")] == 0.0
+    assert not any("s4" in k for k in got)
