@@ -891,10 +891,17 @@ def rfm_segments(
         F.col(date_col).alias("__d"),
         F.col(amount_col).alias("__amt"),
     )
-    per_cust = base.groupBy("custkey").agg(
-        F.max("__d").alias("__last"),
-        F.count("*").cast("bigint").alias("frequency"),
-        F.round(F.sum("__amt"), 2).alias("monetary"),
+    # the per-customer frame is consumed three times (anchor, edges,
+    # scoring) — persist IT (tiny vs the order fact) so the corpus
+    # scans exactly once; projected to live columns before caching
+    per_cust = (
+        base.groupBy("custkey")
+        .agg(
+            F.max("__d").alias("__last"),
+            F.count("*").cast("bigint").alias("frequency"),
+            F.round(F.sum("__amt"), 2).alias("monetary"),
+        )
+        .persist()
     )
     # global anchor date: 1-row broadcast, not driver-side collect
     anchor = per_cust.agg(F.max("__last").alias("__anchor"))
@@ -929,11 +936,16 @@ def rfm_segments(
         (F.lit(1) + _crossings("frequency", "f")).alias("f_score"),
         (F.lit(1) + _crossings("monetary", "m")).alias("m_score"),
     )
-    return scored.withColumn(
+    out = scored.withColumn(
         "rfm",
         (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score"))
         .cast("int"),
     )
+    from batch_process_dpla_index_spark.operators.dedup import (
+        _with_cached_deps,
+    )
+
+    return _with_cached_deps(out, [per_cust])
 
 
 def churn_labels(
@@ -961,13 +973,19 @@ def churn_labels(
         F.col(ts_col).alias("__ts"),
         F.to_date(ts_col).alias("__day"),
     )
-    per_user = base.groupBy("user_id").agg(
-        F.count("*").cast("bigint").alias("n_events"),
-        F.countDistinct("__day").cast("bigint").alias("active_days"),
-        F.max("__ts").alias("__last_ts"),
+    # per-user frame consumed twice (anchor + labeling): persist the
+    # small aggregate so the event corpus scans exactly once
+    per_user = (
+        base.groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.countDistinct("__day").cast("bigint").alias("active_days"),
+            F.max("__ts").alias("__last_ts"),
+        )
+        .persist()
     )
     anchor = per_user.agg(F.max("__last_ts").alias("__anchor_ts"))
-    return per_user.crossJoin(F.broadcast(anchor)).select(
+    out = per_user.crossJoin(F.broadcast(anchor)).select(
         "user_id",
         "n_events",
         "active_days",
@@ -981,3 +999,8 @@ def churn_labels(
         .cast("int")
         .alias("churned"),
     )
+    from batch_process_dpla_index_spark.operators.dedup import (
+        _with_cached_deps,
+    )
+
+    return _with_cached_deps(out, [per_user])

@@ -339,6 +339,11 @@ def common_neighbors(
     Returns top-``k`` (id_a, id_b, common_neighbors, adamic_adar)
     by score — a bounded frame, TakeOrdered not a global sort.
     """
+    # lazy localCheckpoint, not persist: canon feeds FOUR branches
+    # (two adjacency directions, the degree aggregate via them, the
+    # anti-join) — checkpointing truncates the printed/analyzed
+    # lineage under every branch (the market_basket shared-frame
+    # pattern), where a cache would re-plan the edge build 4×
     canon = (
         edges.select(
             F.least(F.col(src_col), F.col(dst_col)).alias("a"),
@@ -347,7 +352,7 @@ def common_neighbors(
         .where(F.col("a").isNotNull() & F.col("b").isNotNull())
         .where(F.col("a") != F.col("b"))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=False)
     )
     adj = canon.select(F.col("a").alias("z"), F.col("b").alias("n")).unionAll(
         canon.select(F.col("b").alias("z"), F.col("a").alias("n"))
@@ -356,6 +361,9 @@ def common_neighbors(
     centers = adj.join(deg, "z")
     if max_degree is not None:
         centers = centers.where(F.col("d") <= int(max_degree))
+    # both wedge sides read the adjacency⋈degree frame — checkpoint it
+    # so the degree aggregate and join compute once, not once per side
+    centers = centers.select("z", "n", "d").localCheckpoint(eager=False)
     left = centers.select("z", F.col("n").alias("n1"), "d")
     right = centers.select("z", F.col("n").alias("n2"))
     wedges = left.join(right, "z").where(F.col("n1") < F.col("n2"))
@@ -390,4 +398,6 @@ def common_neighbors(
         F.col("id_a").asc(),
         F.col("id_b").asc(),
     ).limit(int(k))
-    return _with_cached_deps(out, [canon])
+    return _with_cached_deps(
+        out, [_CheckpointHandle(canon), _CheckpointHandle(centers)]
+    )

@@ -2718,9 +2718,11 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     never a global ntile window), strict-crossing scores with ties
     scoring down (operators/analytics.py:rfm_segments)."""
     from batch_process_dpla_index_spark.operators.analytics import rfm_segments
+    from batch_process_dpla_index_spark.operators.dedup import carry_deps
 
     orders = load_table(spark, sf_dir, "orders")
-    return rfm_segments(orders).orderBy("custkey")
+    out = rfm_segments(orders)
+    return carry_deps(out.orderBy("custkey"), out)
 
 
 def q_churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2729,9 +2731,11 @@ def q_churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     one per-user aggregate + a 1-row broadcast anchor, all-integer
     outputs (operators/analytics.py:churn_labels)."""
     from batch_process_dpla_index_spark.operators.analytics import churn_labels
+    from batch_process_dpla_index_spark.operators.dedup import carry_deps
 
     events = load_table(spark, sf_dir, "events")
-    return churn_labels(events, horizon_days=14).orderBy("user_id")
+    out = churn_labels(events, horizon_days=14)
+    return carry_deps(out.orderBy("user_id"), out)
 
 
 def q_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -627,7 +627,11 @@ def test_rfm_segments_synthetic_quartiles(spark):
         rows, "o_orderkey bigint, o_custkey bigint, o_orderdate date, "
         "o_totalprice double"
     )
-    got = {r["custkey"]: r for r in rfm_segments(orders).collect()}
+    from batch_process_dpla_index_spark.operators.dedup import unpersist_deps
+
+    out = rfm_segments(orders)
+    got = {r["custkey"]: r for r in out.collect()}
+    unpersist_deps(out)
     assert len(got) == 8
     # customer 8 ordered last (recency 0 -> r=1? no: lower recency is
     # BETTER -> r_score 4) and spent the most (m_score 4)
@@ -662,7 +666,11 @@ def test_churn_labels_horizon_boundary(spark):
     ev = spark.createDataFrame(
         rows, "event_id bigint, user_id int, ts timestamp, event_type string"
     )
-    got = {r["user_id"]: r for r in churn_labels(ev, horizon_days=14).collect()}
+    from batch_process_dpla_index_spark.operators.dedup import unpersist_deps
+
+    out = churn_labels(ev, horizon_days=14)
+    got = {r["user_id"]: r for r in out.collect()}
+    unpersist_deps(out)
     assert set(got) == {1, 2, 3}
     assert got[1]["churned"] == 0 and got[1]["active_days"] == 2
     assert got[2]["churned"] == 0 and got[2]["days_since_last"] == 14

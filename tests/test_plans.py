@@ -464,3 +464,64 @@ def test_seasonal_baseline_cells_broadcast_back(spark):
     plan = _plan(spark, "seasonal_baseline")
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_rfm_segments_edges_broadcast_corpus_scans_once(spark):
+    """The nine quartile edges and the anchor date fold back as
+    broadcast 1-row frames (never a global ntile window), and the
+    per-customer aggregate is cached so the order fact scans once —
+    three consumers read InMemory, none sort-merge."""
+    plan = _plan(spark, "rfm_segments")
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "InMemoryTableScan" in plan, plan
+
+
+def test_churn_labels_anchor_broadcast_single_agg(spark):
+    """The global-max anchor is a broadcast 1-row frame and the
+    per-user aggregate caches — the event corpus scans exactly once,
+    labeling is a projection over the cached frame."""
+    plan = _plan(spark, "churn_labels")
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "InMemoryTableScan" in plan, plan
+
+
+def test_readability_is_pure_scan_stage(spark):
+    """Readability is scan-stage-only by design: no exchange of any
+    kind, no join — every count and both formulas evaluate inside the
+    document scan's codegen stage."""
+    plan = _plan(spark, "readability_scores")
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_hits_iterations_are_checkpointed(spark):
+    """Each HITS iteration localCheckpoints: the final plan reads two
+    materialized score RDDs, not an 8-deep join lineage (the pagerank
+    truncation contract)."""
+    plan = _plan(spark, "hits_scores")
+    assert "Scan ExistingRDD" in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 4, plan
+
+
+def test_common_neighbors_wedge_plan_is_truncated_topk(spark):
+    """The shared canonical-edge and center frames checkpoint (four
+    consumers — two adjacency directions, degree agg, anti-join), so
+    the wedge stage is two exchanges over materialized RDDs; the
+    final ranking is TakeOrdered, never a global sort."""
+    plan = _plan(spark, "common_neighbors")
+    assert "Scan ExistingRDD" in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 4, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_source_overlap_single_aggregate_broadcast_selfjoin(spark):
+    """The union-MinHash sketch is ONE hash aggregate over the shingle
+    stream (map-side partials; min is duplicate-idempotent so there is
+    NO distinct), and the |sources|² comparison broadcasts the tiny
+    signature frame."""
+    plan = _plan(spark, "source_overlap")
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
