@@ -12,28 +12,13 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def present_scalar(col: Column) -> Column:
-    """1 when non-null (MqReports.scala pattern: `when x is null then 0`)."""
-    return F.when(col.isNull(), 0).otherwise(1)
-
-
-def present_array(col: Column) -> Column:
-    """1 when non-null and non-empty (`when size(x) == 0 ... then 0`).
-
-    NOTE — deliberate divergence from the reference: MqReports.scala's
-    ``case when size(x) == 0 then 0 else 1`` scores a NULL array as 1
-    (legacy ``size(null) = -1`` falls through the CASE). We treat NULL
-    as absent, which is the semantically-correct completeness score.
-    Use :func:`present_array_ref` when byte-parity with the reference's
-    scores is required.
-    """
-    return F.when(col.isNull() | (F.size(col) == 0), 0).otherwise(1)
-
-
 def present_array_ref(col: Column) -> Column:
     """Reference-compatible presence flag: 0 only for an *empty* array —
     NULL arrays score 1, matching MqReports.scala's ``size(x) == 0``-only
-    test under legacy ``size(null) = -1`` semantics."""
+    test under legacy ``size(null) = -1`` semantics (the CASE has no
+    null branch, so a NULL array falls through to 1). The itemdata SQL
+    in quality/mq.py encodes the same rule; this combinator is the
+    Column-API form for callers composing flags outside that SQL."""
     return F.when(col.isNotNull() & (F.size(col) == 0), 0).otherwise(1)
 
 

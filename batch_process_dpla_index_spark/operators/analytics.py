@@ -25,6 +25,8 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from batch_process_dpla_index_spark.functions.windows import one_bucket
+
 
 def funnel_stages(
     events: DataFrame,
@@ -92,8 +94,14 @@ def funnel_stages(
         .join(exact, F.col("max_stage") == F.col("stage"), "left")
         .drop("max_stage")
     )
-    at_least = Window.orderBy(F.col("stage").desc()).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    # bounded contract: the frame is |stages| rows (a handful), so a
+    # single-partition window is fine at any data scale; one_bucket
+    # keeps it single-partition while silencing WindowExec's
+    # no-partition warning (functions/windows.py)
+    at_least = (
+        Window.partitionBy(one_bucket(F.col("stage")))
+        .orderBy(F.col("stage").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return ladder.select(
         F.col("stage").cast("bigint").alias("stage"),

@@ -1053,32 +1053,24 @@ def semdedup(
     return _with_cached_deps(result, [av])
 
 
-def source_minhash_overlap(
+def source_signatures(
     docs: DataFrame,
     text_col: str = "text",
     source_col: str = "source",
     n: int = 3,
     num_perm: int = 64,
 ) -> DataFrame:
-    """Estimated Jaccard overlap between SOURCES (datasets) via
-    per-source union-MinHash sketches — the dataset-level dedup
-    diagnostic run before mixing corpora: "how much of source B is
-    already in source A?" at sketch cost, never a cross-source pair
-    scan.
+    """Per-source union-MinHash signatures: sig(source)[p] = the
+    per-perm MIN over every shingle any of the source's documents
+    contains (min is idempotent over duplicates, so the shingle stream
+    needs NO distinct). ONE map (shingle → base hash) + ONE hash
+    aggregate keyed by source with ``num_perm`` min columns (map-side
+    partials). All-integer arithmetic (same h60 base and affine params
+    as :func:`minhash_lsh_pairs`) — bit-exact across engines.
 
-    The union sketch is the MinHash identity sig(A∪B)[p] =
-    min(sig(A)[p], sig(B)[p]): a source's signature is the per-perm
-    MIN over every shingle any of its documents contains. min is
-    idempotent over duplicates, so the shingle stream needs NO
-    distinct — the whole operator is one map (shingle → base hash)
-    plus ONE hash aggregate keyed by source with num_perm min
-    columns (map-side partials), then a |sources|² self-join of the
-    tiny signature frame. All-integer arithmetic (same h60 base and
-    affine params as :func:`minhash_lsh_pairs`) — bit-exact across
-    engines.
-
-    Returns (source_a, source_b, n_equal, est_jaccard) for every
-    unordered source pair, est_jaccard = matching perms / num_perm.
+    Returns (source, __p0..__p{num_perm-1}) — 64 ints/source by
+    default, small enough to persist in a snapshot log and merge
+    against ingest deltas (:func:`merge_source_signatures`).
     """
     sh = docs.where(F.col(source_col).isNotNull()).select(
         F.col(source_col).alias("source"),
@@ -1087,7 +1079,7 @@ def source_minhash_overlap(
     base = sh.select(
         "source", F.pmod(h60(F.col("__sh")), F.lit(_MERSENNE)).alias("__base")
     )
-    sig = base.groupBy("source").agg(
+    return base.groupBy("source").agg(
         *[
             F.min((F.lit(a) * F.col("__base") + F.lit(b)) % _MERSENNE).alias(
                 f"__p{i}"
@@ -1095,6 +1087,39 @@ def source_minhash_overlap(
             for i, (a, b) in enumerate(_perm_params(num_perm))
         ]
     )
+
+
+def merge_source_signatures(
+    a: DataFrame, b: DataFrame, num_perm: int = 64
+) -> DataFrame:
+    """Merge two per-source signature frames by the union-MinHash
+    identity sig(A∪B)[p] = min(sig(A)[p], sig(B)[p]) — a full outer
+    join on source + per-perm ``least`` (Spark's least SKIPS nulls, so
+    a source present on one side only keeps its own mins verbatim).
+    Both sides are |sources|-row frames; the join is trivially small
+    at any corpus scale. Exact, not approximate: merged signatures are
+    BIT-IDENTICAL to recomputing :func:`source_signatures` over the
+    concatenated corpora (pinned by test_operators' merge-identity
+    test)."""
+    left = a.select(
+        "source", *[F.col(f"__p{i}").alias(f"__al{i}") for i in range(num_perm)]
+    )
+    right = b.select(
+        "source", *[F.col(f"__p{i}").alias(f"__br{i}") for i in range(num_perm)]
+    )
+    return left.join(right, "source", "full_outer").select(
+        "source",
+        *[
+            F.least(F.col(f"__al{i}"), F.col(f"__br{i}")).alias(f"__p{i}")
+            for i in range(num_perm)
+        ],
+    )
+
+
+def overlap_from_signatures(sig: DataFrame, num_perm: int = 64) -> DataFrame:
+    """|sources|² broadcast self-join of a tiny signature frame →
+    (source_a, source_b, n_equal, est_jaccard) for every unordered
+    source pair, est_jaccard = matching perms / num_perm."""
     left = sig.select(
         F.col("source").alias("source_a"),
         *[F.col(f"__p{i}").alias(f"__l{i}") for i in range(num_perm)],
@@ -1117,3 +1142,60 @@ def source_minhash_overlap(
             n_eq.cast("double") / F.lit(float(num_perm)), 6
         ).alias("est_jaccard"),
     )
+
+def source_minhash_overlap(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    n: int = 3,
+    num_perm: int = 64,
+) -> DataFrame:
+    """Estimated Jaccard overlap between SOURCES (datasets) via
+    per-source union-MinHash sketches — the dataset-level dedup
+    diagnostic run before mixing corpora: "how much of source B is
+    already in source A?" at sketch cost, never a cross-source pair
+    scan. Composition of :func:`source_signatures` (one map + one
+    aggregate) and :func:`overlap_from_signatures` (tiny broadcast
+    self-join) — the factoring exists so the signature half can be
+    persisted and merged incrementally
+    (:func:`source_overlap_incremental`).
+
+    Returns (source_a, source_b, n_equal, est_jaccard) for every
+    unordered source pair, est_jaccard = matching perms / num_perm.
+    """
+    sig = source_signatures(docs, text_col, source_col, n, num_perm)
+    return overlap_from_signatures(sig, num_perm)
+
+
+def source_overlap_incremental(
+    delta_docs: DataFrame,
+    corpus_signatures: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    n: int = 3,
+    num_perm: int = 64,
+) -> DataFrame:
+    """The mixing diagnostic on INGEST DELTAS without re-scanning the
+    corpus: compute :func:`source_signatures` over the incoming batch
+    only, merge them onto the persisted corpus signatures by the
+    union-MinHash identity (min per perm), and run the |sources|²
+    overlap join on the merged frame. Exact — the output is
+    bit-identical to :func:`source_minhash_overlap` over
+    corpus ∪ delta (the merge-identity the incremental_dedup pattern
+    relies on for LSH signatures, here at source granularity).
+
+    ``corpus_signatures`` is the (source, __p0..__p{num_perm-1}) frame
+    a previous :func:`source_signatures` run persisted (64 ints per
+    source — snapshot-log-sized metadata, not data). The scan cost of
+    a refresh is therefore proportional to the DELTA, which is what
+    makes the diagnostic runnable on every ingest at 100 TB corpus
+    scale.
+
+    Returns (source_a, source_b, n_equal, est_jaccard) over the merged
+    source set.
+    """
+    delta_sig = source_signatures(
+        delta_docs, text_col, source_col, n, num_perm
+    )
+    merged = merge_source_signatures(corpus_signatures, delta_sig, num_perm)
+    return overlap_from_signatures(merged, num_perm)

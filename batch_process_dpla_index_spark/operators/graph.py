@@ -233,11 +233,17 @@ def hits_scores(
     :func:`pagerank` (hub = points at good authorities, authority =
     pointed at by good hubs).
 
-    The deterministic formulation: scores normalize by the iteration's
-    MAX (an order-free aggregate) instead of the L2 norm — same
-    fixed-point directionality, but the normalizer is exact in any
-    engine, which is what lets a SQL oracle replay the iterations
-    value-exactly. Fixed ``iterations``, never an epsilon stop.
+    Normalization by the iteration's MAX (an order-free aggregate)
+    instead of the L2 norm keeps the NORMALIZER exact in any engine;
+    the per-node ``F.sum`` of double scores is still
+    accumulation-order-dependent (FP addition is non-associative and
+    partial-aggregation order varies with partitioning), compounding
+    over iterations — the same determinism envelope as
+    :func:`pagerank`. On the bounded low-degree graphs the registry
+    runs (and at 6dp emit rounding) the drift is far below the
+    rounding grain; bit-exact parity on arbitrary high-degree graphs
+    would need sorted per-node contribution folds. Fixed
+    ``iterations``, never an epsilon stop.
 
     Per iteration: the score frame (O(|nodes|), the small side) joins
     the once-shuffled distinct edge frame twice (auth step on src, hub
@@ -401,3 +407,82 @@ def common_neighbors(
     return _with_cached_deps(
         out, [_CheckpointHandle(canon), _CheckpointHandle(centers)]
     )
+
+
+def kcore_decomposition(
+    edges: DataFrame,
+    k: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 12,
+) -> DataFrame:
+    """Fixed-round k-core peeling over an undirected edge list: each
+    round drops every node whose CURRENT degree is below ``k`` and
+    every edge touching a dropped node — the standard distributed
+    peeling algorithm (and the dense-subgraph extraction pass a
+    data-cleaning pipeline runs to separate structurally-embedded
+    entities from pendant noise).
+
+    Deterministic formulation: fixed ``iterations``, never a
+    convergence stop — two engines replay the identical round
+    sequence, and everything is integer arithmetic, so results are
+    bit-exact by construction. Peeling converges once no round drops a
+    node; pick ``iterations`` ≥ the fixture's convergence depth (the
+    pytest asserts fixed-round output == the true converged core at
+    test scale). On graphs where ``iterations`` rounds don't reach the
+    fixpoint the output is the documented monotone over-approximation
+    (every true k-core node is retained; some sub-core tendrils may
+    remain) — the trade every bounded-round distributed peeler makes.
+
+    Per round: ONE count aggregate over the live symmetric adjacency +
+    two semi-joins (endpoint membership). The adjacency frame shrinks
+    monotonically, so round cost is proportional to the LIVE edge
+    count, not the input; each round's frame localCheckpoints lazily
+    (the pagerank pattern) so the plan stays O(1)-deep.
+
+    Returns (node, degree_full, in_core, core_degree) for every node
+    of the input graph: its initial degree, whether it survived all
+    rounds, and its degree inside the retained subgraph (0 if
+    dropped).
+    """
+    if k < 1:
+        raise ValueError("kcore_decomposition: k must be >= 1")
+    adj = (
+        edges.select(F.col(src_col).alias("z"), F.col(dst_col).alias("n"))
+        .unionAll(
+            edges.select(F.col(dst_col).alias("z"), F.col(src_col).alias("n"))
+        )
+        .where(F.col("z").isNotNull() & F.col("n").isNotNull())
+        .where(F.col("z") != F.col("n"))
+        .distinct()
+        .repartition("z")
+        .persist()
+    )
+    deg_full = adj.groupBy("z").agg(F.count("*").alias("degree_full"))
+    handles: list = [adj]
+    live = adj
+    for _ in range(int(iterations)):
+        keep = (
+            live.groupBy("z")
+            .agg(F.count("*").alias("__c"))
+            .where(F.col("__c") >= int(k))
+            .select("z")
+        )
+        live = (
+            live.join(keep, "z", "left_semi")
+            .join(keep.withColumnRenamed("z", "n"), "n", "left_semi")
+        ).localCheckpoint(eager=False)
+        handles.append(_CheckpointHandle(live))
+    core_deg = live.groupBy("z").agg(F.count("*").alias("__cdg"))
+    out = (
+        deg_full.join(core_deg, "z", "left")
+        .select(
+            F.col("z").alias("node"),
+            F.col("degree_full").cast("bigint").alias("degree_full"),
+            F.col("__cdg").isNotNull().alias("in_core"),
+            F.coalesce(F.col("__cdg"), F.lit(0)).cast("bigint").alias(
+                "core_degree"
+            ),
+        )
+    )
+    return _with_cached_deps(out, handles)

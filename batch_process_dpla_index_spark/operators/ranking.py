@@ -182,7 +182,14 @@ def rank_candidates(df: DataFrame, score_col: str, id_col: str) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
-    w = Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+    # bounded contract: callers pass ≤k candidate rows (the retriever
+    # already cut off), so one partition is fine; one_bucket silences
+    # the WindowExec warning without changing that (functions/windows.py)
+    from batch_process_dpla_index_spark.functions.windows import one_bucket
+
+    w = Window.partitionBy(one_bucket(F.col(id_col))).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
     return df.withColumn("rank", F.row_number().over(w))
 
 

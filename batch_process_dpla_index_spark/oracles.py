@@ -1988,7 +1988,12 @@ ORDER BY l_returnflag
 # any intermediate.
 ORACLE_CUSUM_CHANGEPOINT = """
 WITH seq AS (
-    SELECT user_id, list(value ORDER BY ts, event_id) AS vals
+    -- NULLS FIRST pins the fold order to Spark's array_sort struct
+    -- ordering (NULL ts sorts first there); DuckDB's default is
+    -- NULLS LAST, which would fold NULL-ts rows in a different
+    -- position. The streaming twin also sorts na_position='first'.
+    SELECT user_id,
+           list(value ORDER BY ts NULLS FIRST, event_id NULLS FIRST) AS vals
     FROM events WHERE value IS NOT NULL GROUP BY user_id
 ), m AS (
     SELECT user_id, vals, len(vals) AS n,
@@ -2114,7 +2119,11 @@ WITH d AS (
     SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
                             AS VARCHAR), 1, 1) AS INTEGER) AS digit
     FROM orders
-    WHERE o_totalprice IS NOT NULL AND o_totalprice > 0
+    -- mirror the engine's cent-grid guard exactly (round(x*100) >= 1),
+    -- not a raw positivity test: a positive value below half a cent
+    -- snaps to digit 0, which the engine drops
+    WHERE o_totalprice IS NOT NULL
+      AND CAST(round(o_totalprice * 100) AS BIGINT) >= 1
 ), c AS (
     SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit
 ), t AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM c)
@@ -3377,7 +3386,99 @@ SELECT doc_id, n_words, n_sentences, n_syllables,
 FROM m ORDER BY doc_id
 """
 
+def _source_overlap_incremental_oracle(n: int = 3, num_perm: int = 64) -> str:
+    """Replays the incremental path exactly
+    (operators/dedup.py:source_overlap_incremental): signatures over
+    the corpus slice, signatures over the delta slice, min-per-perm
+    merge on a FULL OUTER source join (DuckDB least skips NULLs like
+    Spark's), then the pair join — all integers, bit-exact."""
+    params = _perm_params(num_perm)
+    mins = ",\n           ".join(
+        f"min(({a} * base + {b}) % {_MERSENNE}) AS p{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    merged = ",\n           ".join(
+        f"least(c.p{i}, d.p{i}) AS p{i}" for i in range(num_perm)
+    )
+    eq = " + ".join(f"(l.p{i} = r.p{i})::INT" for i in range(num_perm))
+    return f"""
+WITH t AS (SELECT doc_id, source,
+                  {_shingles(_tok(_nrm('text')), n)} AS sh
+           FROM documents WHERE source IS NOT NULL),
+x AS (SELECT doc_id, source, {_h60('s')} % {_MERSENNE} AS base
+      FROM (SELECT doc_id, source, unnest(sh) AS s FROM t)),
+sig_c AS (SELECT source, {mins}
+          FROM x WHERE doc_id % 10 != 7 GROUP BY source),
+sig_d AS (SELECT source, {mins}
+          FROM x WHERE doc_id % 10 = 7 GROUP BY source),
+sig AS (SELECT coalesce(c.source, d.source) AS source,
+           {merged}
+        FROM sig_c c FULL OUTER JOIN sig_d d ON c.source = d.source),
+p AS (SELECT l.source AS source_a, r.source AS source_b,
+             CAST({eq} AS BIGINT) AS n_equal
+      FROM sig l JOIN sig r ON l.source < r.source)
+SELECT source_a, source_b, n_equal,
+       round(CAST(n_equal AS DOUBLE) / {float(num_perm)!r}, 6) AS est_jaccard
+FROM p ORDER BY source_a, source_b
+"""
+
+
+ORACLE_SOURCE_OVERLAP_INCREMENTAL = _source_overlap_incremental_oracle()
+
+
+def _kcore_oracle(k: int = 3, iterations: int = 12) -> str:
+    """Unrolled fixed-round k-core peeling
+    (operators/graph.py:kcore_decomposition) on the co-purchase graph
+    (the common_neighbors edge CTEs). AS MATERIALIZED pins each round
+    so DuckDB doesn't inline the chain 2^k-wide; all-integer."""
+    ctes = [
+        """po AS (
+    SELECT l_orderkey, list_sort(list_distinct(list(l_partkey))) AS parts
+    FROM lineitem GROUP BY l_orderkey
+), pr AS (
+    SELECT unnest(flatten(list_transform(range(1, len(parts)), i ->
+        list_transform(range(i + 1, len(parts) + 1),
+                       j -> [parts[i], parts[j]])))) AS p
+    FROM po WHERE len(parts) >= 2
+), e AS (
+    SELECT p[1] AS u, p[2] AS v FROM pr
+    GROUP BY 1, 2 HAVING count(*) >= 2
+),
+adj0 AS MATERIALIZED (SELECT u AS z, v AS n FROM e
+                      UNION ALL SELECT v AS z, u AS n FROM e)"""
+    ]
+    for i in range(iterations):
+        ctes.append(
+            f"k{i} AS MATERIALIZED (SELECT z FROM "
+            f"(SELECT z, count(*) AS c FROM adj{i} GROUP BY z) "
+            f"WHERE c >= {k})"
+        )
+        ctes.append(
+            f"adj{i + 1} AS MATERIALIZED (SELECT a.z, a.n FROM adj{i} a "
+            f"JOIN k{i} x ON a.z = x.z JOIN k{i} y ON a.n = y.z)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+deg AS (SELECT z, CAST(count(*) AS BIGINT) AS degree_full
+        FROM adj0 GROUP BY z),
+core AS (SELECT z, CAST(count(*) AS BIGINT) AS cdg
+         FROM adj{iterations} GROUP BY z)
+SELECT deg.z AS node, deg.degree_full,
+       core.z IS NOT NULL AS in_core,
+       coalesce(core.cdg, 0) AS core_degree
+FROM deg LEFT JOIN core ON deg.z = core.z
+ORDER BY node
+"""
+    )
+
+
+ORACLE_KCORE_DECOMPOSITION = _kcore_oracle()
+
 ORACLES: dict[str, str] = {
+    "source_overlap_incremental": ORACLE_SOURCE_OVERLAP_INCREMENTAL,
+    "kcore_decomposition": ORACLE_KCORE_DECOMPOSITION,
     "hits_scores": ORACLE_HITS_SCORES,
     "common_neighbors": ORACLE_COMMON_NEIGHBORS,
     "source_overlap": ORACLE_SOURCE_OVERLAP,

@@ -33,6 +33,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from batch_process_dpla_index_spark.functions.windows import one_bucket
+
 
 def file_stats(spark: SparkSession, path: str | list[str]) -> DataFrame:
     """(file, size_bytes, n_rows) per parquet part file — computed
@@ -64,7 +66,14 @@ def compaction_plan(stats: DataFrame, target_bytes: int) -> DataFrame:
     e.g. sizes 10 then 200 with target 100 both land in bin 0. Large
     files are never rewritten *with each other*; the rewrite of a bin
     containing one large file is bounded by target + that file."""
-    w = Window.orderBy("file").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # one_bucket: still one populated partition (the documented
+    # |files|-row contract), but no WindowExec warning in the bench
+    # log (functions/windows.py)
+    w = (
+        Window.partitionBy(one_bucket(F.col("file")))
+        .orderBy("file")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     return (
         stats.withColumn("__cum", F.sum("size_bytes").over(w))
         .withColumn(

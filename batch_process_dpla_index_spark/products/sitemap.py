@@ -65,7 +65,11 @@ def assign_subfiles(
     if exact:
         from pyspark.sql.window import Window
 
-        w = Window.orderBy(F.col(id_col))
+        # opt-in exact mode only; one_bucket silences the WindowExec
+        # warning without changing the single-partition contract
+        from batch_process_dpla_index_spark.functions.windows import one_bucket
+
+        w = Window.partitionBy(one_bucket(F.col(id_col))).orderBy(F.col(id_col))
         assigned = ids.withColumn(
             "part", ((F.row_number().over(w) - 1) / max_rows).cast("int")
         )

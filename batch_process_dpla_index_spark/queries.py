@@ -2773,6 +2773,46 @@ def q_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_overlap_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-delta refresh of the cross-source mixing diagnostic:
+    per-source union-MinHash signatures computed over the DELTA slice
+    only (doc_id % 10 == 7), merged onto the corpus slice's persisted
+    signatures by the min-per-perm identity, then the tiny |sources|²
+    overlap join — bit-identical to re-running source_overlap on the
+    full corpus, at delta scan cost
+    (operators/dedup.py:source_overlap_incremental)."""
+    from batch_process_dpla_index_spark.operators.dedup import (
+        source_overlap_incremental,
+        source_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 10 != 7)
+    delta = docs.where(F.col("doc_id") % 10 == 7)
+    corpus_sigs = source_signatures(corpus, n=3, num_perm=64)
+    return source_overlap_incremental(
+        delta, corpus_sigs, n=3, num_perm=64
+    ).orderBy("source_a", "source_b")
+
+
+def q_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core peeling of the co-purchase graph (parts co-occurring in
+    ≥2 orders — the common_neighbors edge set): 12 fixed rounds of
+    drop-degree-below-k, one count aggregate + two semi-joins per
+    round over the monotonically-shrinking adjacency, all-integer →
+    bit-exact (operators/graph.py:kcore_decomposition). 12 rounds
+    converge at every test SF (pinned by pytest against a true-core
+    simulation)."""
+    from batch_process_dpla_index_spark.operators.analytics import pair_supports
+    from batch_process_dpla_index_spark.operators.graph import kcore_decomposition
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = pair_supports(li, "l_orderkey", "l_partkey", min_support=2).select(
+        F.col("ia").alias("src"), F.col("ib").alias("dst")
+    )
+    return kcore_decomposition(edges, k=3, iterations=12).orderBy("node")
+
+
 # Registry order is part of the driver contract: the correctness gate
 # records exactly the FIRST 50 entries. Round-5 rotation: the 41
 # queries last driver-verified in round 2 (the code under them churned
@@ -2788,66 +2828,13 @@ def q_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle-verify via tools/verify_local.py.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # The driver's correctness gate records the FIRST 50 entries only;
-    # the window rotates each round so every query gets re-proven.
-    # -- r8 window head: the 24 stalest entries (last driver-green in
-    #    round 5) — they re-prove first and absorb the session's
-    #    window-head codegen premium on KNOWN baselines --
-    "hash_sample_split": q_hash_sample_split,
-    "simhash_pairs": q_simhash_pairs,
-    "language_id": q_language_id,
-    "rolling_hash": q_rolling_hash,
-    "pivot_status": q_pivot_status,
-    "event_calendar": q_event_calendar,
-    "value_percentiles": q_value_percentiles,
-    "price_histogram": q_price_histogram,
-    "cosine_topk_pandas": q_cosine_topk_pandas,
-    "sitemap_urls": q_sitemap_urls,
-    "multimodal_decode": q_multimodal_decode,
-    "multimodal_frames": q_multimodal_frames,
-    "thumbnail_keys": q_thumbnail_keys,
-    "distinct_parts_per_flag": q_distinct_parts_per_flag,
-    "props_from_json": q_props_from_json,
-    "kmeans_cells": q_kmeans_cells,
-    "semdedup": q_semdedup,
-    "dsir_weights": q_dsir_weights,
-    "tfidf_terms": q_tfidf_terms,
-    "char_entropy": q_char_entropy,
-    "duplicate_spans": q_duplicate_spans,
-    "funnel_stages": q_funnel_stages,
-    "scd2_history": q_scd2_history,
-    "retention_cohorts": q_retention_cohorts,
-    # -- changed this round: n_members now rides the keep-first pick's
-    #    per-cluster window (the counts-frame broadcast hint is gone) --
-    "dedup_representatives": q_dedup_representatives,
-    # -- new this round (driver-proven in their debut round) --
-    "leakage_safe_split": q_leakage_safe_split,
-    "benford_profile": q_benford_profile,
-    "winsorized_stats": q_winsorized_stats,
-    "cusum_changepoint": q_cusum_changepoint,
-    "domain_quality_rank": q_domain_quality_rank,
-    "ngram_novelty": q_ngram_novelty,
-    "bloom_prune_join": q_bloom_prune_join,
-    "hard_negatives": q_hard_negatives,
-    "lsh_quality_report": q_lsh_quality_report,
-    "random_projection_profile": q_random_projection_profile,
-    "label_propagation": q_label_propagation,
-    "embedding_dim_profile": q_embedding_dim_profile,
-    "growth_rates": q_growth_rates,
-    "market_basket": q_market_basket,
-    "vocab_coverage": q_vocab_coverage,
-    "attribution_last_touch": q_attribution_last_touch,
-    "seasonal_baseline": q_seasonal_baseline,
-    "triangle_count": q_triangle_count,
-    "bpe_merges": q_bpe_merges,
-    "rfm_segments": q_rfm_segments,
-    "churn_labels": q_churn_labels,
-    "readability_scores": q_readability_scores,
-    "hits_scores": q_hits_scores,
-    "common_neighbors": q_common_neighbors,
-    "source_overlap": q_source_overlap,
-    # ---- driver-window boundary (entry 50 above this line) ----
-    # -- r6-green entries displaced by this round's additions; they
-    #    lead the r9 rotation together with the tail below --
+    # round-9 rotation: the full stale cohort moves into the window —
+    # keep_first (last green r5, the oldest row in the repo) plus the
+    # 47 entries last green in r6 — alongside this round's two new
+    # queries (source_overlap_incremental, kcore_decomposition).
+    # After CORRECTNESS_r09 nothing in the registry is older than r7.
+    "keep_first": q_keep_first,
+    # -- 14 r6-green displaced from the r7/r8 windows --
     "user_running_anomaly": q_user_running_anomaly,
     "quality_classifier": q_quality_classifier,
     "containment_pairs": q_containment_pairs,
@@ -2862,9 +2849,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "training_prep": q_training_prep,
     "column_profile": q_column_profile,
     "corr_matrix": q_corr_matrix,
-    # -- tail: r6-green remainder (these lead the r9 rotation), then
-    #    the displaced r7-green window, all still oracle-verified every
-    #    round via tools/verify_local.py --
+    # -- 33 r6-green remainder --
     "decayed_counts": q_decayed_counts,
     "pagerank": q_pagerank,
     "heavy_hitters": q_heavy_hitters,
@@ -2898,7 +2883,64 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "domain_cap": q_domain_cap,
     "lm_scores": q_lm_scores,
     "bm25_search": q_bm25_search,
-    # -- displaced r7-green window --
+    # -- round-9 additions (window positions 49-50) --
+    "source_overlap_incremental": q_source_overlap_incremental,
+    "kcore_decomposition": q_kcore_decomposition,
+    # ---- driver-window boundary (entry 50 above this line) ----
+    # -- the 50 r8-green entries displaced by this rotation; they
+    #    lead the r10 rotation, still oracle-verified every round
+    #    via tools/verify_local.py --
+    "hash_sample_split": q_hash_sample_split,
+    "simhash_pairs": q_simhash_pairs,
+    "language_id": q_language_id,
+    "rolling_hash": q_rolling_hash,
+    "pivot_status": q_pivot_status,
+    "event_calendar": q_event_calendar,
+    "value_percentiles": q_value_percentiles,
+    "price_histogram": q_price_histogram,
+    "cosine_topk_pandas": q_cosine_topk_pandas,
+    "sitemap_urls": q_sitemap_urls,
+    "multimodal_decode": q_multimodal_decode,
+    "multimodal_frames": q_multimodal_frames,
+    "thumbnail_keys": q_thumbnail_keys,
+    "distinct_parts_per_flag": q_distinct_parts_per_flag,
+    "props_from_json": q_props_from_json,
+    "kmeans_cells": q_kmeans_cells,
+    "semdedup": q_semdedup,
+    "dsir_weights": q_dsir_weights,
+    "tfidf_terms": q_tfidf_terms,
+    "char_entropy": q_char_entropy,
+    "duplicate_spans": q_duplicate_spans,
+    "funnel_stages": q_funnel_stages,
+    "scd2_history": q_scd2_history,
+    "retention_cohorts": q_retention_cohorts,
+    "dedup_representatives": q_dedup_representatives,
+    "leakage_safe_split": q_leakage_safe_split,
+    "benford_profile": q_benford_profile,
+    "winsorized_stats": q_winsorized_stats,
+    "cusum_changepoint": q_cusum_changepoint,
+    "domain_quality_rank": q_domain_quality_rank,
+    "ngram_novelty": q_ngram_novelty,
+    "bloom_prune_join": q_bloom_prune_join,
+    "hard_negatives": q_hard_negatives,
+    "lsh_quality_report": q_lsh_quality_report,
+    "random_projection_profile": q_random_projection_profile,
+    "label_propagation": q_label_propagation,
+    "embedding_dim_profile": q_embedding_dim_profile,
+    "growth_rates": q_growth_rates,
+    "market_basket": q_market_basket,
+    "vocab_coverage": q_vocab_coverage,
+    "attribution_last_touch": q_attribution_last_touch,
+    "seasonal_baseline": q_seasonal_baseline,
+    "triangle_count": q_triangle_count,
+    "bpe_merges": q_bpe_merges,
+    "rfm_segments": q_rfm_segments,
+    "churn_labels": q_churn_labels,
+    "readability_scores": q_readability_scores,
+    "hits_scores": q_hits_scores,
+    "common_neighbors": q_common_neighbors,
+    "source_overlap": q_source_overlap,
+    # -- tail: r7-green remainder (rotate after the r8 cohort) --
     "pq_topk": q_pq_topk,
     "tokenizer_fertility": q_tokenizer_fertility,
     "quality_gate": q_quality_gate,
@@ -2948,5 +2990,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "latest_events_per_user": q_latest_events_per_user,
     "rolling_user_value": q_rolling_user_value,
     "props_by_type": q_props_by_type,
-    "keep_first": q_keep_first,
 }
+

@@ -808,3 +808,187 @@ def test_source_overlap_identical_vs_disjoint(spark):
     assert got[("s1", "s2")] == 1.0  # identical shingle sets
     assert got[("s1", "s3")] == 0.0 and got[("s2", "s3")] == 0.0
     assert not any("s4" in k for k in got)
+
+
+def test_kcore_peels_pendant_chain_keeps_clique(spark):
+    from batch_process_dpla_index_spark.operators.graph import kcore_decomposition
+
+    # 4-clique {1,2,3,4} (degree 3 each) + pendant chain 4-5-6:
+    # 3-core peeling drops 6 (deg 1), then 5 — the clique survives.
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6)],
+        "src bigint, dst bigint",
+    )
+    rows = {
+        r["node"]: r
+        for r in kcore_decomposition(edges, k=3, iterations=4).collect()
+    }
+    assert {n for n, r in rows.items() if r["in_core"]} == {1, 2, 3, 4}
+    assert rows[4]["degree_full"] == 4  # clique + pendant edge
+    assert rows[4]["core_degree"] == 3  # pendant edge peeled
+    assert rows[6]["in_core"] is False and rows[6]["core_degree"] == 0
+    assert rows[5]["degree_full"] == 2
+
+
+def test_kcore_ignores_self_loops_and_nulls(spark):
+    from batch_process_dpla_index_spark.operators.graph import kcore_decomposition
+
+    edges = spark.createDataFrame(
+        [(1, 1), (1, 2), (2, None), (None, 3)],
+        "src bigint, dst bigint",
+    )
+    rows = {
+        r["node"]: r
+        for r in kcore_decomposition(edges, k=1, iterations=2).collect()
+    }
+    # self-loop and NULL endpoints contribute nothing: only edge 1-2
+    assert set(rows) == {1, 2}
+    assert rows[1]["degree_full"] == 1 and rows[1]["in_core"]
+
+
+def test_kcore_fixture_matches_exact_peeling_simulation(spark):
+    """The registry query's fixed 12 rounds must BE the converged
+    3-core at test scale (the docstring's convergence claim)."""
+    from collections import defaultdict
+
+    from batch_process_dpla_index_spark.operators.analytics import pair_supports
+    from batch_process_dpla_index_spark.operators.graph import kcore_decomposition
+    from batch_process_dpla_index_spark.sources.tables import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    edges_df = pair_supports(
+        li, "l_orderkey", "l_partkey", min_support=2
+    ).select(F.col("ia").alias("src"), F.col("ib").alias("dst"))
+    edges = {(r["src"], r["dst"]) for r in edges_df.collect()}
+
+    live = set(edges)
+    rounds = 0
+    while True:
+        deg = defaultdict(int)
+        for u, v in live:
+            deg[u] += 1
+            deg[v] += 1
+        keep = {n for n, d in deg.items() if d >= 3}
+        nxt = {(u, v) for u, v in live if u in keep and v in keep}
+        rounds += 1
+        if nxt == live:
+            break
+        live = nxt
+    assert rounds <= 12  # fixed-round output == converged core here
+    core_deg = defaultdict(int)
+    for u, v in live:
+        core_deg[u] += 1
+        core_deg[v] += 1
+    full_deg = defaultdict(int)
+    for u, v in edges:
+        full_deg[u] += 1
+        full_deg[v] += 1
+
+    got = kcore_decomposition(edges_df, k=3, iterations=12).collect()
+    assert {r["node"] for r in got} == set(full_deg)
+    for r in got:
+        assert r["degree_full"] == full_deg[r["node"]]
+        assert r["in_core"] == (r["node"] in core_deg)
+        assert r["core_degree"] == core_deg.get(r["node"], 0)
+
+
+def test_source_signature_merge_identity(spark, docs):
+    """merge(sig(A), sig(B)) must be BIT-identical to sig(A ∪ B) —
+    the union-MinHash identity source_overlap_incremental relies on,
+    including sources present on only one side of the split."""
+    from batch_process_dpla_index_spark.operators.dedup import (
+        merge_source_signatures,
+        source_signatures,
+    )
+
+    d = docs.limit(120).cache()
+    a = d.where(F.col("doc_id") % 3 == 0)
+    b = d.where(F.col("doc_id") % 3 != 0)
+    merged = merge_source_signatures(
+        source_signatures(a), source_signatures(b)
+    )
+    full = source_signatures(d)
+    cols = sorted(merged.columns)
+    assert cols == sorted(full.columns)
+    m = {r["source"]: r for r in merged.collect()}
+    f = {r["source"]: r for r in full.collect()}
+    assert set(m) == set(f)
+    for s in f:
+        for c in cols:
+            assert m[s][c] == f[s][c], (s, c)
+    d.unpersist()
+
+
+def test_source_overlap_incremental_equals_full_recompute(spark, docs):
+    from batch_process_dpla_index_spark.operators.dedup import (
+        source_minhash_overlap,
+        source_overlap_incremental,
+        source_signatures,
+    )
+
+    d = docs.limit(120).cache()
+    corpus = d.where(F.col("doc_id") % 10 != 7)
+    delta = d.where(F.col("doc_id") % 10 == 7)
+    inc = source_overlap_incremental(
+        delta, source_signatures(corpus)
+    ).collect()
+    full = source_minhash_overlap(d).collect()
+    key = lambda r: (r["source_a"], r["source_b"])
+    assert sorted(map(tuple, inc)) == sorted(map(tuple, full))
+    assert {key(r) for r in inc} == {key(r) for r in full}
+    d.unpersist()
+
+
+def test_rank_candidates_rounded_score_then_id_ties(spark):
+    from batch_process_dpla_index_spark.operators.ranking import rank_candidates
+
+    cands = spark.createDataFrame(
+        [(3, 0.5), (1, 0.5), (2, 0.9), (4, 0.1)],
+        "id bigint, score double",
+    )
+    got = {
+        r["id"]: r["rank"]
+        for r in rank_candidates(cands, "score", "id").collect()
+    }
+    # score desc, id asc on ties: 2 first, then ids 1 and 3 at 0.5
+    assert got == {2: 1, 1: 2, 3: 3, 4: 4}
+
+
+def test_rrf_fuse_single_list_membership_and_k_const(spark):
+    """A doc surfaced by only ONE retriever still scores (1/(k+rank));
+    agreement raises both the score and n_lists; k_const moves every
+    score by the closed form."""
+    from batch_process_dpla_index_spark.operators.ranking import rrf_fuse
+
+    l1 = spark.createDataFrame(
+        [(10, 1), (20, 2), (30, 3)], "id bigint, rank bigint"
+    )
+    l2 = spark.createDataFrame(
+        [(20, 1), (40, 2)], "id bigint, rank bigint"
+    )
+    for k_const in (60, 10):
+        got = {
+            r["id"]: r
+            for r in rrf_fuse([l1, l2], k_const=k_const, limit=10).collect()
+        }
+        assert set(got) == {10, 20, 30, 40}
+        assert got[20]["n_lists"] == 2 and got[10]["n_lists"] == 1
+        exp20 = round(1.0 / (k_const + 2) + 1.0 / (k_const + 1), 6)
+        assert got[20]["rrf_score"] == exp20
+        assert got[10]["rrf_score"] == round(1.0 / (k_const + 1), 6)
+        # both-list doc outranks any single-list doc at these depths
+        assert got[20]["rrf_score"] > got[10]["rrf_score"]
+
+
+def test_rrf_fuse_tie_breaks_by_id_and_limit(spark):
+    from batch_process_dpla_index_spark.operators.ranking import rrf_fuse
+
+    l1 = spark.createDataFrame(
+        [(7, 1), (5, 2)], "id bigint, rank bigint"
+    )
+    l2 = spark.createDataFrame(
+        [(5, 1), (7, 2)], "id bigint, rank bigint"
+    )
+    # symmetric ranks -> equal scores; limit=1 must keep the SMALLER id
+    got = rrf_fuse([l1, l2], limit=1).collect()
+    assert len(got) == 1 and got[0]["id"] == 5

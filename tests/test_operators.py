@@ -725,3 +725,34 @@ def test_random_projection_is_deterministic_and_linear(spark):
     assert out[1][0] == _h60_unit("rp:0:0")
     assert out[1][1] == _h60_unit("rp:1:0")
     assert out[2][0] == 2.0 * _h60_unit("rp:0:1")
+
+
+def test_presence_flags_reference_semantics(spark):
+    """present_array_ref scores a NULL array 1 (the reference's
+    size(x)==0-only CASE under legacy size(null)=-1); present_string
+    and like_any treat NULL/blank as absent."""
+    from pyspark.sql import functions as F
+
+    from batch_process_dpla_index_spark.functions.presence import (
+        like_any,
+        present_array_ref,
+        present_string,
+    )
+
+    df = spark.createDataFrame(
+        [(1, ["a"], "x"), (2, [], ""), (3, None, None), (4, ["b"], "  ")],
+        "id bigint, arr array<string>, s string",
+    )
+    got = {
+        r["id"]: (r["pa"], r["ps"], r["la"])
+        for r in df.select(
+            "id",
+            present_array_ref(F.col("arr")).alias("pa"),
+            present_string(F.col("s")).alias("ps"),
+            like_any(F.col("s"), ["%x%", "%y%"]).alias("la"),
+        ).collect()
+    }
+    assert got[1] == (1, 1, 1)
+    assert got[2] == (0, 0, 0)
+    assert got[3] == (1, 0, 0)  # NULL array scores 1 — reference parity
+    assert got[4] == (1, 0, 0)  # blank string absent, no LIKE match
