@@ -1059,19 +1059,53 @@ def source_signatures(
     source_col: str = "source",
     n: int = 3,
     num_perm: int = 64,
+    use_pandas: bool = False,
 ) -> DataFrame:
     """Per-source union-MinHash signatures: sig(source)[p] = the
     per-perm MIN over every shingle any of the source's documents
     contains (min is idempotent over duplicates, so the shingle stream
-    needs NO distinct). ONE map (shingle → base hash) + ONE hash
-    aggregate keyed by source with ``num_perm`` min columns (map-side
-    partials). All-integer arithmetic (same h60 base and affine params
-    as :func:`minhash_lsh_pairs`) — bit-exact across engines.
+    needs NO distinct). All-integer arithmetic (same h60 base and
+    affine params as :func:`minhash_lsh_pairs`) — bit-exact across
+    engines AND across both execution tiers here.
+
+    Two tiers, identical values (min over per-doc mins == min over the
+    flat shingle stream; the per-doc distinct shingle_sets applies is
+    absorbed by min's idempotence):
+
+    - default: ONE map (shingle explode → base hash) + ONE hash
+      aggregate keyed by source with ``num_perm`` min columns
+      (map-side partials) — the zero-Python reference tier.
+    - ``use_pandas=True``: per-DOC signatures through the Arrow
+      fast path (:func:`with_minhash_signature` — one hashlib pass +
+      one numpy broadcast per batch), then the same per-source min
+      aggregate over the signature elements. The interpreted
+      word_shingles HOF + explode dominated the default tier's cost
+      (~6 s of the 7.5 s warm figure at sf0.1; the registry query
+      measured 7.5 → ~1.5 s switching tiers), the same trade
+      minhash_lsh_pairs documents. Docs with an empty shingle set are
+      filtered before the aggregate, matching the explode tier where
+      they contribute no rows.
 
     Returns (source, __p0..__p{num_perm-1}) — 64 ints/source by
     default, small enough to persist in a snapshot log and merge
     against ingest deltas (:func:`merge_source_signatures`).
     """
+    if use_pandas:
+        base = docs.where(F.col(source_col).isNotNull()).select(
+            F.col(source_col).alias("source"), F.col(text_col).alias("__text")
+        )
+        sets = shingle_sets(base, "__text", "source", n, use_pandas=True)
+        sigs = with_minhash_signature(sets, num_perm, use_pandas=True)
+        return (
+            sigs.where(F.size("shingles") > 0)
+            .groupBy("source")
+            .agg(
+                *[
+                    F.min(F.element_at("sig", i + 1)).alias(f"__p{i}")
+                    for i in range(num_perm)
+                ]
+            )
+        )
     sh = docs.where(F.col(source_col).isNotNull()).select(
         F.col(source_col).alias("source"),
         F.explode(word_shingles(tokens(F.col(text_col)), n)).alias("__sh"),
@@ -1119,7 +1153,16 @@ def merge_source_signatures(
 def overlap_from_signatures(sig: DataFrame, num_perm: int = 64) -> DataFrame:
     """|sources|² broadcast self-join of a tiny signature frame →
     (source_a, source_b, n_equal, est_jaccard) for every unordered
-    source pair, est_jaccard = matching perms / num_perm."""
+    source pair, est_jaccard = matching perms / num_perm.
+
+    The self-join consumes ``sig`` twice and the legs sit behind
+    different exchange types (shuffle vs broadcast), so Spark's
+    exchange reuse never fires: the signature upstream (scan +
+    aggregate) runs once per leg. That recompute is the MEASURED
+    winner — persisting the 65-column frame costs more than the
+    second 0.8 s leg (sf0.1 4×-warm: recompute 1.8 s vs persist
+    2.4 s; the quantile_bins two-scans-beat-one-cache pattern), so
+    this stays persist-free on purpose."""
     left = sig.select(
         F.col("source").alias("source_a"),
         *[F.col(f"__p{i}").alias(f"__l{i}") for i in range(num_perm)],
@@ -1149,6 +1192,7 @@ def source_minhash_overlap(
     source_col: str = "source",
     n: int = 3,
     num_perm: int = 64,
+    use_pandas: bool = False,
 ) -> DataFrame:
     """Estimated Jaccard overlap between SOURCES (datasets) via
     per-source union-MinHash sketches — the dataset-level dedup
@@ -1163,7 +1207,9 @@ def source_minhash_overlap(
     Returns (source_a, source_b, n_equal, est_jaccard) for every
     unordered source pair, est_jaccard = matching perms / num_perm.
     """
-    sig = source_signatures(docs, text_col, source_col, n, num_perm)
+    sig = source_signatures(
+        docs, text_col, source_col, n, num_perm, use_pandas=use_pandas
+    )
     return overlap_from_signatures(sig, num_perm)
 
 
@@ -1174,6 +1220,7 @@ def source_overlap_incremental(
     source_col: str = "source",
     n: int = 3,
     num_perm: int = 64,
+    use_pandas: bool = False,
 ) -> DataFrame:
     """The mixing diagnostic on INGEST DELTAS without re-scanning the
     corpus: compute :func:`source_signatures` over the incoming batch
@@ -1195,7 +1242,7 @@ def source_overlap_incremental(
     source set.
     """
     delta_sig = source_signatures(
-        delta_docs, text_col, source_col, n, num_perm
+        delta_docs, text_col, source_col, n, num_perm, use_pandas=use_pandas
     )
     merged = merge_source_signatures(corpus_signatures, delta_sig, num_perm)
     return overlap_from_signatures(merged, num_perm)

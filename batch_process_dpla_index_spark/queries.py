@@ -2706,9 +2706,9 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    return source_minhash_overlap(docs, n=3, num_perm=64).orderBy(
-        "source_a", "source_b"
-    )
+    return source_minhash_overlap(
+        docs, n=3, num_perm=64, use_pandas=True
+    ).orderBy("source_a", "source_b")
 
 
 def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2789,9 +2789,9 @@ def q_source_overlap_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     corpus = docs.where(F.col("doc_id") % 10 != 7)
     delta = docs.where(F.col("doc_id") % 10 == 7)
-    corpus_sigs = source_signatures(corpus, n=3, num_perm=64)
+    corpus_sigs = source_signatures(corpus, n=3, num_perm=64, use_pandas=True)
     return source_overlap_incremental(
-        delta, corpus_sigs, n=3, num_perm=64
+        delta, corpus_sigs, n=3, num_perm=64, use_pandas=True
     ).orderBy("source_a", "source_b")
 
 

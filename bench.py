@@ -108,6 +108,39 @@ def main():
         print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(times.values()), 3)
+
+    # Mechanical noise normalization (round-8 verdict item 6): the
+    # run-level common-query ratio vs BASELINE.md's first-recorded
+    # per-query rows ("| name | sec |"). A uniform host slowdown shows
+    # up as baseline_ratio >> 1 with FLAT per-query ratios; a genuine
+    # regression shows up as one query's ratio spiking — the 2× gate
+    # math becomes arithmetic on this block instead of hand-written
+    # prose.
+    baseline: dict[str, float] = {}
+    baseline_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BASELINE.md"
+    )
+    try:
+        import re
+
+        with open(baseline_path, encoding="utf-8") as f:
+            for m in re.finditer(
+                r"^\| ([a-z0-9_]+) \| ([0-9.]+) \|$", f.read(), re.M
+            ):
+                # first occurrence wins: baselines are first-recorded
+                baseline.setdefault(m.group(1), float(m.group(2)))
+    except OSError as exc:
+        print(f"# BASELINE.md read failed: {exc}", file=sys.stderr)
+    common = sorted(set(times) & set(baseline))
+    ratios = {
+        q: round(times[q] / baseline[q], 3) if baseline[q] > 0 else None
+        for q in common
+    }
+    base_sum = sum(baseline[q] for q in common)
+    baseline_ratio = round(
+        sum(times[q] for q in common) / base_sum, 3
+    ) if base_sum > 0 else None
+
     out = {
         "metric": "total_query_wall_clock",
         "value": total,
@@ -118,6 +151,12 @@ def main():
         # check `complete`/`errors` before reading it as a speedup
         # (a newly-crashing query would otherwise look like a win).
         "complete": not errors,
+        # run-level common-query ratio vs BASELINE.md (first-recorded
+        # rows); per-query ratios land in BENCH_LOCAL.json, the stdout
+        # line carries the aggregate + any >2x offenders
+        "baseline_ratio": baseline_ratio,
+        "n_common": len(common),
+        "baseline_ratios": ratios,
     }
     if errors:
         out["errors"] = errors
@@ -143,7 +182,16 @@ def main():
     # an omission count; BENCH_LOCAL.json (committed) keeps every
     # timing.
     budget = 1800
-    line_out = {k: v for k, v in out.items() if k != "queries"}
+    line_out = {
+        k: v for k, v in out.items() if k not in ("queries", "baseline_ratios")
+    }
+    # the 2x-gate offenders, mechanically: every common query whose
+    # normalized ratio exceeds 2 rides the stdout line by name
+    over2 = {q: r for q, r in ratios.items() if r is not None and r > 2.0}
+    line_out["ratios_over_2"] = dict(
+        sorted(over2.items(), key=lambda kv: -kv[1])[:12]
+    )
+    line_out["n_over_2"] = len(over2)
     line_out["n_queries"] = len(times)
     line_out["full"] = "BENCH_LOCAL.json"
     by_cost = sorted(times.items(), key=lambda kv: (-kv[1], kv[0]))

@@ -992,3 +992,19 @@ def test_rrf_fuse_tie_breaks_by_id_and_limit(spark):
     # symmetric ranks -> equal scores; limit=1 must keep the SMALLER id
     got = rrf_fuse([l1, l2], limit=1).collect()
     assert len(got) == 1 and got[0]["id"] == 5
+
+
+def test_source_signatures_pandas_tier_bit_exact(spark, docs):
+    """The Arrow fast path (per-doc numpy signatures → per-source min)
+    must match the zero-Python explode tier bit-for-bit — the identity
+    min(per-doc mins) == min(flat shingle stream), plus the empty-set
+    filter matching the explode tier's no-rows behavior."""
+    from batch_process_dpla_index_spark.operators.dedup import source_signatures
+
+    d = docs.limit(150)
+    expr = {r["source"]: r.asDict() for r in source_signatures(d).collect()}
+    fast = {
+        r["source"]: r.asDict()
+        for r in source_signatures(d, use_pandas=True).collect()
+    }
+    assert expr == fast and len(expr) > 0
