@@ -1236,7 +1236,21 @@ def source_overlap_incremental(
     source — snapshot-log-sized metadata, not data). The scan cost of
     a refresh is therefore proportional to the DELTA, which is what
     makes the diagnostic runnable on every ingest at 100 TB corpus
-    scale.
+    scale: in the deployed form the corpus side is a TABLE READ of
+    |sources| rows, so the overlap join's two unpersisted legs re-read
+    that table, never the corpus.
+
+    Execution note (the registry form, where ``corpus_signatures`` is
+    live lineage over a fixture slice): the downstream self-join
+    evaluates the merged frame twice, so the whole signature pipeline
+    runs once per leg. Measured at sf0.1 that parallel recompute is
+    the WALL-CLOCK winner — 4×-warm 2.5 s vs 3.4 s persisting the
+    merged frame (cache materialization serializes the legs) and
+    4.9 s for coalesce(1)+persist (collapses the Arrow stage to one
+    task). CPU work is ~2× the single pass; callers whose upstream is
+    genuinely expensive (not a bounded fixture slice) should persist
+    ``corpus_signatures`` themselves or pass a table-backed frame —
+    which is the deployed contract above.
 
     Returns (source_a, source_b, n_equal, est_jaccard) over the merged
     source set.

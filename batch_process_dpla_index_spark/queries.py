@@ -2889,7 +2889,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- driver-window boundary (entry 50 above this line) ----
     # -- the 50 r8-green entries displaced by this rotation; they
     #    lead the r10 rotation, still oracle-verified every round
-    #    via tools/verify_local.py --
+    #    via tools/verify_local.py. Round-9 changed-query note:
+    #    source_overlap switched to the Arrow signature tier this
+    #    round while displaced below the boundary — the tier itself
+    #    IS driver-proven this round (source_overlap_incremental at
+    #    window position 49 runs the same source_signatures
+    #    use_pandas path), bit-exactness vs the explode tier is
+    #    pytest-pinned, and both SFs verify locally; it re-proves
+    #    under the driver first thing in r10. Same story for the
+    #    one_bucket window replans (funnel_stages, rrf_fusion,
+    #    sitemap_urls): value-identical by construction, locally
+    #    verified, r10-leading. --
     "hash_sample_split": q_hash_sample_split,
     "simhash_pairs": q_simhash_pairs,
     "language_id": q_language_id,

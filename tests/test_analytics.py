@@ -862,7 +862,7 @@ def test_kcore_fixture_matches_exact_peeling_simulation(spark):
     edges = {(r["src"], r["dst"]) for r in edges_df.collect()}
 
     live = set(edges)
-    rounds = 0
+    peels = 0  # rounds that actually changed the edge set
     while True:
         deg = defaultdict(int)
         for u, v in live:
@@ -870,11 +870,14 @@ def test_kcore_fixture_matches_exact_peeling_simulation(spark):
             deg[v] += 1
         keep = {n for n, d in deg.items() if d >= 3}
         nxt = {(u, v) for u, v in live if u in keep and v in keep}
-        rounds += 1
         if nxt == live:
             break
         live = nxt
-    assert rounds <= 12  # fixed-round output == converged core here
+        peels += 1
+    # the final verification pass is not a peel: the engine's fixed 12
+    # rounds equal the converged core iff convergence needs <= 12
+    # EFFECTIVE peels
+    assert peels <= 12
     core_deg = defaultdict(int)
     for u, v in live:
         core_deg[u] += 1
