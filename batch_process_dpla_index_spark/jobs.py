@@ -17,6 +17,7 @@ plus the monthly-batch sequencer (monthly_batch_emr.sh:41-111)::
     python -m batch_process_dpla_index_spark.jobs dedup-index build|query|append <docs_parquet> <index_dir> [--threshold T]
     python -m batch_process_dpla_index_spark.jobs ann-index build|query <vectors_parquet> <index_dir> [--cells N] [--k K] [--probe P]
     python -m batch_process_dpla_index_spark.jobs compact <src_parquet> <dst_parquet> [--target-mb N]
+    python -m batch_process_dpla_index_spark.jobs overlap-index build|refresh|report <index_dir> [--docs-parquet P]
 """
 
 from __future__ import annotations
@@ -87,6 +88,14 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("src")
     s.add_argument("dst")
     s.add_argument("--target-mb", type=int, default=128)
+    s = sub.add_parser("overlap-index")
+    s.add_argument("action", choices=["build", "refresh", "report"])
+    s.add_argument("index_dir")
+    s.add_argument("--docs-parquet", default=None,
+                   help="corpus (build) or ingest delta (refresh)")
+    s.add_argument("--text-col", default="text")
+    s.add_argument("--source-col", default="source")
+    s.add_argument("--shingle-n", type=int, default=3)
     s = sub.add_parser("thumbnail-purge")
     s.add_argument("in_path")
     s.add_argument("bucket_root")
@@ -261,6 +270,34 @@ def main(argv: list[str] | None = None) -> int:
                     k=args.k, n_probe=args.probe,
                 )
                 print(f"Neighbor rows: {out.count()}")
+        elif args.job == "overlap-index":
+            from batch_process_dpla_index_spark.products import overlap_index
+
+            if args.action == "report":
+                rep = overlap_index.overlap_report(spark, args.index_dir)
+                for r in rep.collect():
+                    print(
+                        f"{r['source_a']} ~ {r['source_b']}: "
+                        f"est_jaccard={r['est_jaccard']}"
+                    )
+            else:
+                if not args.docs_parquet:
+                    raise SystemExit(
+                        "overlap-index build/refresh needs --docs-parquet"
+                    )
+                docs = spark.read.parquet(args.docs_parquet)
+                if args.action == "build":
+                    m = overlap_index.build_overlap_index(
+                        docs, args.index_dir, args.text_col,
+                        args.source_col, n=args.shingle_n,
+                    )
+                    print(f"Overlap index built: {m}")
+                else:
+                    m = overlap_index.refresh_overlap_index(
+                        spark, docs, args.index_dir, args.text_col,
+                        args.source_col,
+                    )
+                    print(f"Overlap index refreshed: {m}")
         elif args.job == "compact":
             from batch_process_dpla_index_spark.products.compaction import compact
 

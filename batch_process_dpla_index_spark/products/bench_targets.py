@@ -191,6 +191,23 @@ def _bench_merge(spark: SparkSession, sf_dir: str, work_dir: str) -> int:
     return snapshots.read_snapshot(spark, root).count()
 
 
+def _bench_overlap_index(spark: SparkSession, sf_dir: str, work_dir: str) -> int:
+    """Overlap-index lifecycle: build on the corpus slice, fold the
+    ingest-delta slice in (delta-proportional scan + bounded-metadata
+    merge), emit the |sources|² report from the stored signatures."""
+    from batch_process_dpla_index_spark.products import overlap_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = os.path.join(work_dir, "ovidx")
+    overlap_index.build_overlap_index(
+        docs.where(F.col("doc_id") % 10 != 7), idx
+    )
+    overlap_index.refresh_overlap_index(
+        spark, docs.where(F.col("doc_id") % 10 == 7), idx
+    )
+    return overlap_index.overlap_report(spark, idx).count()
+
+
 PRODUCT_BENCHES: dict[str, Callable[[SparkSession, str, str], int]] = {
     "product_sitemap": _bench_sitemap,
     "product_training_export": _bench_training_export,
@@ -199,4 +216,5 @@ PRODUCT_BENCHES: dict[str, Callable[[SparkSession, str, str], int]] = {
     "product_compaction": _bench_compaction,
     "product_snapshots": _bench_snapshots,
     "product_merge": _bench_merge,
+    "product_overlap_index": _bench_overlap_index,
 }

@@ -1,0 +1,132 @@
+"""Persisted source-signature index: the cross-source mixing
+diagnostic as a MAINTAINED artifact, not a per-run corpus scan.
+
+`operators/dedup.py:source_minhash_overlap` answers "how much of
+source B is already in source A?" from one corpus pass. At 100 TB the
+corpus pass is the cost, and the union-MinHash identity
+sig(A∪B)[p] = min(sig(A)[p], sig(B)[p]) makes the pass UNNECESSARY
+after the first time: per-source signatures are ``num_perm`` ints per
+source — snapshot-log-sized metadata — and an ingest delta folds into
+them with one delta-proportional scan plus a |sources|-row merge.
+This product owns that lifecycle (the dedup_index/ann_index pattern —
+ManifestWriter.scala:7-14 manifest convention):
+
+- :func:`build_overlap_index`   — one corpus pass → ``signatures``
+  parquet + ``_MANIFEST`` pinning (shingle_n, num_perm). Parameters
+  are never caller-passed on later paths: they come from the
+  manifest, so an index built with different settings cannot be
+  silently mis-merged (the dedup_index contract).
+- :func:`refresh_overlap_index` — signatures over the DELTA only,
+  min-per-perm merge onto the stored frame, idempotent-overwrite of
+  the signature dataset. The merged frame is collected through the
+  driver on purpose: it is |sources| × (num_perm + 1) ints — the
+  bounded-metadata collect contract (same class as codebooks and
+  sketch candidates) — and a driver hop makes the
+  overwrite-while-reading-self hazard structurally impossible.
+- :func:`overlap_report`        — the |sources|² pair report from the
+  stored signatures alone; ZERO corpus access.
+
+The streaming twin (`streaming/stateful.py:signature_stream`)
+maintains the same per-source state online; its convergence test pins
+stream == :func:`operators.dedup.source_signatures` on a drained
+source.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from batch_process_dpla_index_spark.io.manifest import read_manifest, write_manifest
+from batch_process_dpla_index_spark.operators.dedup import (
+    merge_source_signatures,
+    overlap_from_signatures,
+    source_signatures,
+)
+
+
+def _sig_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "signatures")
+
+
+def build_overlap_index(
+    docs: DataFrame,
+    index_dir: str,
+    text_col: str = "text",
+    source_col: str = "source",
+    n: int = 3,
+    num_perm: int = 64,
+    use_pandas: bool = True,
+) -> dict[str, str]:
+    """One corpus pass → per-source signature parquet + manifest.
+
+    Returns the manifest dict (also written to ``index_dir/_MANIFEST``).
+    """
+    sig = source_signatures(
+        docs, text_col, source_col, n, num_perm, use_pandas=use_pandas
+    )
+    # |sources| rows × 65 ints: one part file keeps the artifact (and
+    # every later read of it) trivially cheap. repartition(1), NOT
+    # coalesce(1): coalesce folds the single-task constraint into the
+    # upstream signature stage (measured 2× the build), repartition
+    # keeps the Arrow/aggregate stage 32-way and single-tasks only the
+    # write.
+    sig.repartition(1).write.mode("overwrite").parquet(_sig_path(index_dir))
+    n_sources = docs.sparkSession.read.parquet(_sig_path(index_dir)).count()
+    manifest = {
+        "shingle_n": str(n),
+        "num_perm": str(num_perm),
+        "Record count": str(n_sources),
+        "refresh_count": "0",
+    }
+    write_manifest(manifest, index_dir)
+    return manifest
+
+
+def refresh_overlap_index(
+    spark: SparkSession,
+    delta_docs: DataFrame,
+    index_dir: str,
+    text_col: str = "text",
+    source_col: str = "source",
+    use_pandas: bool = True,
+) -> dict[str, str]:
+    """Fold an ingest delta into the stored signatures — the scan is
+    DELTA-proportional; the corpus is never re-read.
+
+    Idempotence note: refreshing with the SAME delta twice is a no-op
+    by the min identity (min(x, x) == x), so a replayed micro-batch
+    cannot corrupt the signatures — the same replay-safety the
+    streaming-ingest product gets from its commit ledger, here free
+    from the algebra. Returns the updated manifest.
+    """
+    manifest = read_manifest(index_dir)
+    n = int(manifest["shingle_n"])
+    num_perm = int(manifest["num_perm"])
+    stored = spark.read.parquet(_sig_path(index_dir))
+    delta_sig = source_signatures(
+        delta_docs, text_col, source_col, n, num_perm, use_pandas=use_pandas
+    )
+    merged = merge_source_signatures(stored, delta_sig, num_perm)
+    # bounded-metadata driver hop (|sources| × 65 ints): makes the
+    # self-overwrite safe and the new artifact a clean single write
+    rows = merged.collect()
+    out = spark.createDataFrame(rows, merged.schema)
+    out.repartition(1).write.mode("overwrite").parquet(_sig_path(index_dir))
+    manifest["Record count"] = str(len(rows))
+    manifest["refresh_count"] = str(int(manifest.get("refresh_count", "0")) + 1)
+    write_manifest(manifest, index_dir)
+    return manifest
+
+
+def overlap_report(spark: SparkSession, index_dir: str) -> DataFrame:
+    """(source_a, source_b, n_equal, est_jaccard) from the stored
+    signatures — no corpus access at all."""
+    manifest = read_manifest(index_dir)
+    num_perm = int(manifest["num_perm"])
+    sig = spark.read.parquet(_sig_path(index_dir))
+    return overlap_from_signatures(sig, num_perm).orderBy(
+        "source_a", "source_b"
+    )

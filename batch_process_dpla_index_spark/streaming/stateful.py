@@ -370,3 +370,111 @@ def cusum_stream(stream, slack_frac: float = 0.1):
     return stream.groupBy("user_id").applyInPandasWithState(
         update, CUSUM_OUTPUT, CUSUM_STATE, "update", GroupStateTimeout.NoTimeout
     )
+
+
+SIG_PERMS = 64
+SIG_STATE = "mins ARRAY<BIGINT>, n_docs BIGINT"
+SIG_OUTPUT = "source STRING, n_docs BIGINT, sig ARRAY<BIGINT>"
+
+
+def signature_stream(stream, text_col: str = "text", source_col: str = "source", n: int = 3):
+    """Per-source union-MinHash signatures maintained ONLINE — the
+    streaming twin of `operators/dedup.py:source_signatures` and the
+    live feed for the persisted overlap index
+    (`products/overlap_index.py`).
+
+    State per source is O(SIG_PERMS) ints (the per-perm running mins
+    plus a doc counter) — |sources| × 65 ints total, regardless of
+    stream length. Each micro-batch folds its documents' shingle
+    hashes into the mins with one numpy broadcast per doc; min is
+    idempotent and order-free, so replayed or reordered batches
+    CANNOT corrupt the state (the same algebra that makes the batch
+    product's refresh idempotent). Emits the current (source, n_docs,
+    sig) per source per batch in update mode — the drained snapshot
+    equals the batch operator exactly (pinned by
+    test_signature_stream_converges_to_batch).
+
+    Tokenization stays JVM-side on purpose: the input projects
+    through the SAME `functions.text.tokens` expression the batch
+    tiers use, so the Python side only shingles and hashes — zero
+    tokenizer-divergence risk between stream and batch (the
+    shingle/hash math is the `_minhash_sig_pandas` fold verbatim:
+    md5-h60 base, affine `_perm_params` rehashes, whole-text shingle
+    for sub-n docs, empty docs contribute nothing).
+
+    ``num_perm`` is pinned to ``SIG_PERMS`` (the state/output schemas
+    are static DDL strings); the batch twin defaults to the same 64.
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from batch_process_dpla_index_spark.operators.dedup import (
+        _MERSENNE,
+        _perm_params,
+    )
+
+    params = _perm_params(SIG_PERMS)
+    a_vec = np.array([p[0] for p in params], dtype=np.uint64)[:, None]
+    b_vec = np.array([p[1] for p in params], dtype=np.uint64)[:, None]
+
+    def update(key, pdfs, state):
+        if state.exists:
+            mins_list, n_docs = state.get
+            mins = np.array(mins_list, dtype=np.uint64)
+            n_docs = int(n_docs)
+        else:
+            mins, n_docs = None, 0
+        for pdf in pdfs:
+            for tok in pdf["__tok"]:
+                if tok is None or len(tok) == 0:
+                    continue  # empty doc: no shingles, exactly the batch tier
+                toks = list(tok)
+                if len(toks) <= n:
+                    sh = {" ".join(toks)}
+                else:
+                    sh = {
+                        " ".join(toks[i : i + n])
+                        for i in range(len(toks) - n + 1)
+                    }
+                base = np.fromiter(
+                    (
+                        int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+                        % _MERSENNE
+                        for s in sh
+                    ),
+                    dtype=np.uint64,
+                    count=len(sh),
+                )
+                doc_mins = ((a_vec * base + b_vec) % _MERSENNE).min(axis=1)
+                mins = doc_mins if mins is None else np.minimum(mins, doc_mins)
+                n_docs += 1
+        if mins is None:
+            # only reachable when state did NOT exist (an existing
+            # source loads its mins above) and every doc in the batch
+            # was empty: no state, no row — the batch twin has no row
+            # for such a source either
+            return
+        state.update((mins.astype("int64").tolist(), int(n_docs)))
+        yield pd.DataFrame(
+            {
+                "source": [key[0]],
+                "n_docs": [int(n_docs)],
+                "sig": [mins.astype("int64").tolist()],
+            }
+        )
+
+    from pyspark.sql import functions as F
+
+    from batch_process_dpla_index_spark.functions.text import tokens
+
+    projected = stream.where(F.col(source_col).isNotNull()).select(
+        F.col(source_col).alias("source"),
+        tokens(F.col(text_col)).alias("__tok"),
+    )
+    return projected.groupBy("source").applyInPandasWithState(
+        update, SIG_OUTPUT, SIG_STATE, "update", GroupStateTimeout.NoTimeout
+    )

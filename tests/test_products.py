@@ -558,3 +558,51 @@ def test_dataset_card_product(spark, tmp_path):
     for col in docs.columns:
         assert f"| {col} |" in text
     assert os.path.exists(os.path.join(out, "_MANIFEST"))
+
+
+def test_overlap_index_lifecycle_and_idempotent_refresh(spark, tmp_path):
+    """build → refresh(delta) must equal the full-corpus diagnostic
+    bit-for-bit (the union-MinHash merge identity), and refreshing
+    with the SAME delta twice must be a no-op (min idempotence) —
+    the replay-safety contract of the persisted artifact."""
+    from batch_process_dpla_index_spark import jobs
+    from batch_process_dpla_index_spark.operators.dedup import (
+        source_minhash_overlap,
+    )
+    from batch_process_dpla_index_spark.products.overlap_index import (
+        build_overlap_index,
+        overlap_report,
+        refresh_overlap_index,
+    )
+    from batch_process_dpla_index_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    corpus = docs.where(F.col("doc_id") % 10 != 7)
+    delta = docs.where(F.col("doc_id") % 10 == 7)
+    idx = str(tmp_path / "ovidx")
+
+    manifest = build_overlap_index(corpus, idx)
+    assert manifest["shingle_n"] == "3" and manifest["num_perm"] == "64"
+
+    m1 = refresh_overlap_index(spark, delta, idx)
+    assert m1["refresh_count"] == "1"
+    got = sorted(map(tuple, overlap_report(spark, idx).collect()))
+    want = sorted(
+        map(
+            tuple,
+            source_minhash_overlap(docs, use_pandas=True)
+            .orderBy("source_a", "source_b")
+            .collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+
+    # replayed delta: signatures unchanged by min idempotence
+    m2 = refresh_overlap_index(spark, delta, idx)
+    assert m2["refresh_count"] == "2"
+    again = sorted(map(tuple, overlap_report(spark, idx).collect()))
+    assert again == got
+
+    # CLI surface: report action runs end-to-end
+    assert jobs.main(["overlap-index", "report", idx]) == 0

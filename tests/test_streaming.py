@@ -620,3 +620,57 @@ def test_streaming_cusum_all_null_key_emits_no_row(spark, tmp_path):
         for r in cusum_changepoint(batch, target_col="target").collect()
     }
     assert got_keys == want_keys == {7}
+
+
+def test_signature_stream_converges_to_batch(spark, tmp_path):
+    """Drained signature_stream state == source_signatures over the
+    same corpus, bit-for-bit — the streaming twin contract that lets
+    the overlap index stay current from a live ingest feed."""
+    from batch_process_dpla_index_spark.operators.dedup import (
+        source_signatures,
+    )
+    from batch_process_dpla_index_spark.streaming.stateful import (
+        SIG_PERMS,
+        signature_stream,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    src = str(tmp_path / "sigdocs")
+    # several files so AvailableNow processes multiple splits and the
+    # per-source state folds across micro-batch boundaries
+    docs.repartition(5).write.parquet(src)
+
+    stream = spark.readStream.schema(docs.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    name = f"sig_{uuid.uuid4().hex[:8]}"
+    q = (
+        signature_stream(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    snap = spark.table(name)
+    # update mode emits one row per source per batch that touched it:
+    # the row with the max n_docs per source is the drained snapshot
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("source").orderBy(F.col("n_docs").desc())
+    latest = (
+        snap.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("source", "sig")
+    )
+    got = {r["source"]: list(r["sig"]) for r in latest.collect()}
+
+    want_rows = source_signatures(docs).collect()
+    want = {
+        r["source"]: [r[f"__p{i}"] for i in range(SIG_PERMS)]
+        for r in want_rows
+    }
+    assert set(got) == set(want) and len(want) > 0
+    for s in want:
+        assert got[s] == want[s], s
