@@ -95,7 +95,11 @@ def main(argv: list[str] | None = None) -> int:
                    help="corpus (build) or ingest delta (refresh)")
     s.add_argument("--text-col", default="text")
     s.add_argument("--source-col", default="source")
-    s.add_argument("--shingle-n", type=int, default=3)
+    s.add_argument(
+        "--shingle-n", type=int, default=None,
+        help="build only (default 3); refresh/report read the manifest "
+             "and REJECT a conflicting value",
+    )
     s = sub.add_parser("thumbnail-purge")
     s.add_argument("in_path")
     s.add_argument("bucket_root")
@@ -273,6 +277,21 @@ def main(argv: list[str] | None = None) -> int:
         elif args.job == "overlap-index":
             from batch_process_dpla_index_spark.products import overlap_index
 
+            if args.action != "build" and args.shingle_n is not None:
+                from batch_process_dpla_index_spark.io.manifest import (
+                    read_manifest,
+                )
+
+                pinned = int(read_manifest(args.index_dir)["shingle_n"])
+                if args.shingle_n != pinned:
+                    # silently shingling the delta with the manifest's n
+                    # while the user believes n changed is exactly the
+                    # mis-merge the manifest pin exists to prevent
+                    raise SystemExit(
+                        f"--shingle-n {args.shingle_n} conflicts with the "
+                        f"index manifest (shingle_n={pinned}); parameters "
+                        "are pinned at build time"
+                    )
             if args.action == "report":
                 rep = overlap_index.overlap_report(spark, args.index_dir)
                 for r in rep.collect():
@@ -289,7 +308,8 @@ def main(argv: list[str] | None = None) -> int:
                 if args.action == "build":
                     m = overlap_index.build_overlap_index(
                         docs, args.index_dir, args.text_col,
-                        args.source_col, n=args.shingle_n,
+                        args.source_col,
+                        n=3 if args.shingle_n is None else args.shingle_n,
                     )
                     print(f"Overlap index built: {m}")
                 else:

@@ -123,6 +123,44 @@ def keep_first(df: DataFrame, key_cols: list[str], order_col: str, tiebreak: str
     )
 
 
+def _py_word_shingles(toks, n: int) -> list[str]:
+    """Python twin of the ``word_shingles`` rules for a NON-EMPTY token
+    list, distinct with first-occurrence order (the array_distinct
+    contract): whole-text shingle for sub-n docs. ONE definition shared
+    by the Arrow batch tier and the streaming state fold — the
+    stream==batch bit-exactness contract rides on these rules never
+    forking."""
+    toks = list(toks)
+    if len(toks) <= n:
+        return [" ".join(toks)]
+    return list(
+        dict.fromkeys(" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1))
+    )
+
+
+def _doc_shingle_mins(shingles, a_vec, b_vec):
+    """Per-doc MinHash mins of a non-empty shingle iterable: md5-h60
+    base hash, affine rehash per perm, column-wise min — the single
+    shared implementation of the signature fold (a*h + b < 2^62, exact
+    in uint64). ``a_vec``/``b_vec`` are the (num_perm, 1) uint64 param
+    columns from :func:`_perm_params`."""
+    import hashlib
+
+    import numpy as np
+
+    sh = list(shingles)
+    base = np.fromiter(
+        (
+            int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+            % _MERSENNE
+            for s in sh
+        ),
+        dtype=np.uint64,
+        count=len(sh),
+    )
+    return ((a_vec * base + b_vec) % _MERSENNE).min(axis=1)
+
+
 def _word_shingles_pandas(n: int):
     """Arrow twin of ``array_distinct(word_shingles(tok, n))`` —
     identical values AND order (dict.fromkeys keeps first occurrence,
@@ -145,16 +183,8 @@ def _word_shingles_pandas(n: int):
                 out.append(None)
             elif len(t) == 0:
                 out.append([])
-            elif len(t) <= n:
-                out.append([" ".join(t)])
             else:
-                out.append(
-                    list(
-                        dict.fromkeys(
-                            " ".join(t[i : i + n]) for i in range(len(t) - n + 1)
-                        )
-                    )
-                )
+                out.append(_py_word_shingles(t, n))
         return pd.Series(out)
 
     return sh
@@ -365,8 +395,6 @@ def _minhash_sig_pandas(num_perm: int):
     the sf0.1 signature stage (0.3 s vs 1.6 s) and ~2× on the full LSH
     pair pipeline — the registered queries use it; the expression form
     remains the zero-Python reference tier."""
-    import hashlib
-
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
@@ -381,18 +409,9 @@ def _minhash_sig_pandas(num_perm: int):
             if sh is None or len(sh) == 0:
                 out.append([None] * num_perm)
                 continue
-            base = np.fromiter(
-                (
-                    int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
-                    % _MERSENNE
-                    for s in sh
-                ),
-                dtype=np.uint64,
-                count=len(sh),
+            out.append(
+                _doc_shingle_mins(sh, a_vec, b_vec).astype("int64").tolist()
             )
-            # a*h + b < 2^62 — exact in uint64, no overflow.
-            mins = ((a_vec * base + b_vec) % _MERSENNE).min(axis=1)
-            out.append(mins.astype("int64").tolist())
         return pd.Series(out)
 
     return sig

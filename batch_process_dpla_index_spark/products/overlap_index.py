@@ -114,7 +114,9 @@ def refresh_overlap_index(
     # self-overwrite safe and the new artifact a clean single write
     rows = merged.collect()
     out = spark.createDataFrame(rows, merged.schema)
-    out.repartition(1).write.mode("overwrite").parquet(_sig_path(index_dir))
+    # coalesce(1) here, unlike build: `out` is driver-created — there
+    # is no upstream stage whose parallelism a shuffle would protect
+    out.coalesce(1).write.mode("overwrite").parquet(_sig_path(index_dir))
     manifest["Record count"] = str(len(rows))
     manifest["refresh_count"] = str(int(manifest.get("refresh_count", "0")) + 1)
     write_manifest(manifest, index_dir)

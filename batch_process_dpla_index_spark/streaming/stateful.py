@@ -388,11 +388,20 @@ def signature_stream(stream, text_col: str = "text", source_col: str = "source",
     stream length. Each micro-batch folds its documents' shingle
     hashes into the mins with one numpy broadcast per doc; min is
     idempotent and order-free, so replayed or reordered batches
-    CANNOT corrupt the state (the same algebra that makes the batch
-    product's refresh idempotent). Emits the current (source, n_docs,
-    sig) per source per batch in update mode — the drained snapshot
-    equals the batch operator exactly (pinned by
+    CANNOT corrupt the SIGNATURE (the same algebra that makes the
+    batch product's refresh idempotent). The ``n_docs`` counter is
+    informational and NOT replay-idempotent — an at-least-once
+    upstream that redelivers a document overcounts it (the signature
+    stays exact); treat it as a progress gauge, not an exact count.
+    Emits the current (source, n_docs, sig) per source per batch in
+    update mode — the drained snapshot's signature equals the batch
+    operator exactly (pinned by
     test_signature_stream_converges_to_batch).
+
+    The ``source`` key is cast to STRING on input (the static
+    state/output DDL pins it, the topk_stream item precedent) — a
+    numeric source column works, emitted as its string form; compare
+    against a batch twin keyed on the same cast.
 
     Tokenization stays JVM-side on purpose: the input projects
     through the SAME `functions.text.tokens` expression the batch
@@ -405,16 +414,15 @@ def signature_stream(stream, text_col: str = "text", source_col: str = "source",
     ``num_perm`` is pinned to ``SIG_PERMS`` (the state/output schemas
     are static DDL strings); the batch twin defaults to the same 64.
     """
-    import hashlib
-
     import numpy as np
     import pandas as pd
 
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     from batch_process_dpla_index_spark.operators.dedup import (
-        _MERSENNE,
+        _doc_shingle_mins,
         _perm_params,
+        _py_word_shingles,
     )
 
     params = _perm_params(SIG_PERMS)
@@ -432,24 +440,13 @@ def signature_stream(stream, text_col: str = "text", source_col: str = "source",
             for tok in pdf["__tok"]:
                 if tok is None or len(tok) == 0:
                     continue  # empty doc: no shingles, exactly the batch tier
-                toks = list(tok)
-                if len(toks) <= n:
-                    sh = {" ".join(toks)}
-                else:
-                    sh = {
-                        " ".join(toks[i : i + n])
-                        for i in range(len(toks) - n + 1)
-                    }
-                base = np.fromiter(
-                    (
-                        int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
-                        % _MERSENNE
-                        for s in sh
-                    ),
-                    dtype=np.uint64,
-                    count=len(sh),
+                # shingle rules + hash fold are the SHARED helpers the
+                # Arrow batch tier uses — one definition, zero
+                # divergence risk (operators/dedup.py:_py_word_shingles
+                # / _doc_shingle_mins)
+                doc_mins = _doc_shingle_mins(
+                    _py_word_shingles(tok, n), a_vec, b_vec
                 )
-                doc_mins = ((a_vec * base + b_vec) % _MERSENNE).min(axis=1)
                 mins = doc_mins if mins is None else np.minimum(mins, doc_mins)
                 n_docs += 1
         if mins is None:
@@ -472,7 +469,7 @@ def signature_stream(stream, text_col: str = "text", source_col: str = "source",
     from batch_process_dpla_index_spark.functions.text import tokens
 
     projected = stream.where(F.col(source_col).isNotNull()).select(
-        F.col(source_col).alias("source"),
+        F.col(source_col).cast("string").alias("source"),
         tokens(F.col(text_col)).alias("__tok"),
     )
     return projected.groupBy("source").applyInPandasWithState(
