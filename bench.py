@@ -131,6 +131,10 @@ def main():
                 baseline.setdefault(m.group(1), float(m.group(2)))
     except OSError as exc:
         print(f"# BASELINE.md read failed: {exc}", file=sys.stderr)
+    if float(sf) != 0.1:
+        # BASELINE.md rows are sf0.1 figures; a cross-SF ratio would
+        # read as a huge win/regression that is really just data size
+        baseline = {}
     common = sorted(set(times) & set(baseline))
     ratios = {
         q: round(times[q] / baseline[q], 3) if baseline[q] > 0 else None
