@@ -340,3 +340,165 @@ def pq_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", F.round("dist2", 6).alias("dist2"), "rnk")
     )
+
+
+def ivf_pq_topk(
+    df: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 5,
+    n_queries: int | None = 25,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    centroids=None,
+) -> DataFrame:
+    """Two-level IVF-PQ serve path — the composition `pq_topk`'s
+    docstring points at: coarse inverted-file routing prunes the
+    candidate set, then ADC over PQ codes scores what survives. This
+    is the billion-scale ANN layout (IVF for sub-linear candidate
+    selection, PQ so the scan is code-bandwidth not float-bandwidth);
+    here codes quantize the RAW vectors, not cell residuals
+    (by_residual=False), so one set of per-query ADC tables serves
+    every probed cell and the pinned-codebook oracle replay stays
+    exact.
+
+    Physical shape — two Arrow passes and one shuffle-free reduce:
+
+    1. ONE `mapInPandas` pass over the corpus assigns the storage cell
+       (N×cells matmul + the `ivf_cells_pandas` lexsort tie-break:
+       dot desc, cell desc) AND the m PQ codes (the `pq_encode` math)
+       in the same batch — the corpus is scanned once.
+    2. Driver side (bounded, the `cosine_topk` broadcast contract):
+       the first ``n_queries`` vectors, their ADC tables
+       (`adc_tables`), their ``n_probe`` nearest cells, and the
+       cell → query-subset routing map — ≤ |Q|·n_probe entries.
+    3. A second Arrow pass over the (cell, codes) rows scores each
+       batch's rows grouped by cell against ONLY the queries probing
+       that cell (`adc_score_topk` per cell-group — same gather, same
+       lexsort (dist, id) local top-k), so the gather cost is
+       |probed pairs|, not |Q|×|corpus|. A global window
+       (dist2 asc, neighbor_id asc) merges per-batch lists; a stored
+       row lives in exactly one cell, so no pair ever duplicates.
+
+    Float/tie parity with the oracle replay: cell dots are BLAS rows
+    against `_h60_unit` centroid literals (the proven `ivf_topk`
+    contract), code argmins take the lowest code (numpy first-hit),
+    and both ADC reductions are numpy pairwise trees over length-8
+    axes — the `_pq_tree8` association `ORACLE_PQ_TOPK` pins.
+
+    At 100 TB: n_cells scales ~√N so each cell's candidate list stays
+    bounded; the per-executor state is the codebook tensor + the
+    |Q|·m·k_sub tables; only per-batch top-k rows cross from Python.
+    """
+    import numpy as np
+
+    from batch_process_dpla_index_spark.operators.similarity import (
+        _centroid_matrix,
+    )
+
+    books = np.asarray(codebooks, dtype="float64")
+    m, _, dsub = books.shape
+    cents = (
+        np.asarray(centroids, dtype="float64")
+        if centroids is not None
+        else _centroid_matrix(dim, n_cells)
+    ).T  # dim × cells
+    cell_ids = np.arange(cents.shape[1])
+
+    qdf = df.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"))
+    if n_queries is not None:
+        qdf = qdf.orderBy("qid").limit(n_queries)
+    qrows = qdf.collect()
+    qids = np.asarray([r["qid"] for r in qrows], dtype="int64")
+    Q = np.asarray([list(r["qvec"]) for r in qrows], dtype="float64")
+    T = adc_tables(Q, books)
+    qdots = Q @ cents
+    probe_order = np.lexsort(
+        (-np.tile(cell_ids, (len(qids), 1)), -qdots), axis=1
+    )[:, :n_probe]
+    cell2q: dict[int, list[int]] = {}
+    for qi, cells in enumerate(probe_order):
+        for c in cells:
+            cell2q.setdefault(int(c), []).append(qi)
+    routing = {c: np.asarray(v, dtype="int64") for c, v in cell2q.items()}
+
+    def encode_assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.asarray(list(pdf[vec_col]), dtype="float64")
+            if X.ndim != 2 or X.shape[1] != m * dsub:
+                got = X.shape[1] if X.ndim == 2 else "ragged"
+                raise ValueError(
+                    f"ivf_pq_topk: vector dim {got} != m*dsub = "
+                    f"{m}*{dsub} = {m * dsub} of the supplied codebooks"
+                )
+            dots = X @ cents
+            order = np.lexsort(
+                (-np.tile(cell_ids, (len(pdf), 1)), -dots), axis=1
+            )
+            codes = np.empty((len(pdf), m), dtype="int64")
+            for j in range(m):
+                sl = X[:, j * dsub : (j + 1) * dsub]
+                d = ((sl[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = d.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].to_numpy(),
+                    "cell": order[:, 0].astype("int32"),
+                    "codes": list(codes.tolist()),
+                }
+            )
+
+    encoded = df.select(id_col, vec_col).mapInPandas(
+        encode_assign, "id bigint, cell int, codes array<bigint>"
+    )
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cells = pdf["cell"].to_numpy()
+            ids_all = pdf["id"].to_numpy(dtype="int64")
+            C_all = np.asarray(list(pdf["codes"]), dtype="int64")
+            frames = []
+            for c in np.unique(cells):
+                qsel = routing.get(int(c))
+                if qsel is None:
+                    continue
+                mask = cells == c
+                out_q, out_id, out_d = adc_score_topk(
+                    T[qsel], qids[qsel], C_all[mask], ids_all[mask], k
+                )
+                if out_q:
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "query_id": out_q,
+                                "neighbor_id": out_id,
+                                "dist2": out_d,
+                            }
+                        )
+                    )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    scored = encoded.mapInPandas(
+        score, "query_id bigint, neighbor_id bigint, dist2 double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id", "neighbor_id", F.round("dist2", 6).alias("dist2"), "rnk"
+        )
+    )

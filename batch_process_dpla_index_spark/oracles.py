@@ -1477,6 +1477,104 @@ ORDER BY query_id, rnk
 ORACLE_PQ_TOPK = _pq_topk_oracle()
 
 
+def _ivf_pq_topk_oracle(
+    dim: int = 64,
+    m: int = 8,
+    k_sub: int = 16,
+    dsub: int = 8,
+    k: int = 5,
+    nq: int = 25,
+    n_cells: int = 16,
+    n_probe: int = 4,
+) -> str:
+    """Replays `quantization.ivf_pq_topk` by composing the two green
+    chains: the `_ivf_oracle` cell ranking (dot vs `_h60_unit`
+    centroid literals, dot desc / cell desc) picks each vector's
+    storage cell and each query's ``n_probe`` probes, the
+    `_pq_topk_oracle` encode-argmin + ADC gather (both reductions in
+    numpy's 8-leaf pairwise tree) scores exactly the
+    stored-cell ∩ probed-cell pairs. by_residual=False means the
+    per-query tables are cell-independent — the composition is one
+    extra equality join, nothing about the distance math changes."""
+    from batch_process_dpla_index_spark.operators.similarity import _h60_unit
+
+    def centroid_sql(c: int) -> str:
+        comps = ", ".join(
+            repr(_h60_unit(f"ivf:{c}:{d}")) for d in range(dim)
+        )
+        return f"[{comps}]"
+
+    cell_selects = "\n    UNION ALL\n    ".join(
+        f"SELECT vec_id, {c} AS cell, "
+        f"{_dot('embedding', centroid_sql(c))} AS d FROM embeddings"
+        for c in range(n_cells)
+    )
+    corpus_dists = "\n    UNION ALL\n    ".join(
+        f"SELECT vec_id, {j} AS j, {c} AS c, "
+        f"{_pq_dist_expr('embedding', j, c, dsub)} AS dist FROM embeddings"
+        for j in range(m)
+        for c in range(k_sub)
+    )
+    qt_dists = "\n    UNION ALL\n    ".join(
+        f"SELECT qid, {j} AS j, {c} AS c, "
+        f"{_pq_dist_expr('embedding', j, c, dsub)} AS tdist FROM q"
+        for j in range(m)
+        for c in range(k_sub)
+    )
+    lsum = _pq_tree8([f"l[{i + 1}]" for i in range(m)])
+    return f"""
+WITH dots AS (
+    {cell_selects}
+), celled AS (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell DESC) AS rnk
+    FROM dots
+), q AS (
+    SELECT vec_id AS qid, embedding FROM embeddings ORDER BY vec_id LIMIT {nq}
+), stored_cell AS (
+    SELECT vec_id, cell FROM celled WHERE rnk = 1
+), probe AS (
+    SELECT c.vec_id AS qid, c.cell
+    FROM celled c JOIN q ON c.vec_id = q.qid
+    WHERE c.rnk <= {n_probe}
+), dists AS (
+    {corpus_dists}
+), best AS (
+    SELECT vec_id, j, code FROM (
+        SELECT vec_id, j, c AS code,
+               row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, c) AS rn
+        FROM dists)
+    WHERE rn = 1
+), qt AS (
+    {qt_dists}
+), pair AS (
+    SELECT t.qid AS query_id, b.vec_id AS neighbor_id, t.j, t.tdist
+    FROM best b
+    JOIN stored_cell sc ON sc.vec_id = b.vec_id
+    JOIN probe p ON p.cell = sc.cell
+    JOIN qt t ON t.qid = p.qid AND t.j = b.j AND t.c = b.code
+    WHERE b.vec_id <> t.qid
+), agg AS (
+    SELECT query_id, neighbor_id, list(tdist ORDER BY j) AS l
+    FROM pair GROUP BY query_id, neighbor_id
+), scored AS (
+    SELECT query_id, neighbor_id, {lsum} AS raw FROM agg
+), ranked AS (
+    SELECT query_id, neighbor_id, raw,
+           CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY raw ASC, neighbor_id ASC
+           ) AS INTEGER) AS rnk
+    FROM scored
+)
+SELECT query_id, neighbor_id, round(raw, 6) AS dist2, rnk
+FROM ranked WHERE rnk <= {k}
+ORDER BY query_id, rnk
+"""
+
+
+ORACLE_IVF_PQ_TOPK = _ivf_pq_topk_oracle()
+
+
 def _semdedup_oracle(
     k: int = 8, n_iter: int = 3, grid: int = 10**6, threshold: float = 0.3
 ) -> str:
@@ -3518,6 +3616,7 @@ ORACLES: dict[str, str] = {
     "quantile_bins": ORACLE_QUANTILE_BINS,
     "er_clusters": ORACLE_ER_CLUSTERS,
     "pq_topk": ORACLE_PQ_TOPK,
+    "ivf_pq_topk": ORACLE_IVF_PQ_TOPK,
     "weighted_sample": ORACLE_WEIGHTED_SAMPLE,
     "session_paths": ORACLE_SESSION_PATHS,
     "nearest_purchase": ORACLE_NEAREST_PURCHASE,

@@ -1121,6 +1121,26 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(emb, pq_pinned_codebooks(), k=5, n_queries=25)
 
 
+def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level IVF-PQ ANN (the `pq_topk`-docstring composition made
+    real): 16-cell inverted-file routing with 4 probes per query, ADC
+    over the pinned 8×16 codebook for what survives — the
+    billion-scale serve layout, fully hash-verified because both
+    levels are deterministic replays (the `ivf_topk` centroid literals
+    + the `pq_topk` tree-sum association). Candidates are exactly the
+    stored-cell ∩ probed-cell pairs, so the oracle is the two green
+    CTE chains composed with one cell-equality join."""
+    from batch_process_dpla_index_spark.operators.quantization import (
+        ivf_pq_topk,
+        pq_pinned_codebooks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_pq_topk(
+        emb, pq_pinned_codebooks(), k=5, n_queries=25, n_cells=16, n_probe=4
+    )
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clustering: MinHash-LSH pairs → connected components →
     (doc_id, cluster representative). The iterative min-label
@@ -2950,6 +2970,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hits_scores": q_hits_scores,
     "common_neighbors": q_common_neighbors,
     "source_overlap": q_source_overlap,
+    # -- round-9 late addition (below the boundary: r10-leading, both
+    #    SFs verified via tools/verify_local.py this round) --
+    "ivf_pq_topk": q_ivf_pq_topk,
     # -- tail: r7-green remainder (rotate after the r8 cohort) --
     "pq_topk": q_pq_topk,
     "tokenizer_fertility": q_tokenizer_fertility,

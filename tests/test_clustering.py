@@ -212,3 +212,61 @@ def test_ivfpq_persisted_index_roundtrip(spark, tmp_path):
         fl_q.setdefault(r.query_id, set()).add(r.neighbor_id)
     overlap = [len(by_q[qd] & fl_q.get(qd, set())) / 5 for qd in by_q]
     assert sum(overlap) / len(overlap) >= 0.2
+
+
+def test_ivf_pq_topk_subset_of_full_adc_and_cell_routing(spark):
+    """The composite's contract: every emitted pair's neighbor is
+    stored in a cell the query probes; dist2 for a shared pair equals
+    the exhaustive ADC scan's value bit-for-bit (same tables, same
+    tree-sum — routing prunes candidates, never changes distances);
+    and reruns are identical."""
+    from batch_process_dpla_index_spark.operators.quantization import (
+        ivf_pq_topk,
+        pq_pinned_codebooks,
+        pq_topk,
+    )
+    from batch_process_dpla_index_spark.operators.similarity import (
+        ivf_cells_pandas,
+    )
+    from batch_process_dpla_index_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    books = pq_pinned_codebooks()
+    got = ivf_pq_topk(emb, books, k=5, n_queries=25).collect()
+    assert got, "composite returned no rows"
+    # k rows per query with contiguous ranks
+    by_q: dict = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r)
+    for rows in by_q.values():
+        assert sorted(r.rnk for r in rows) == list(range(1, len(rows) + 1))
+
+    # cell routing: neighbor's storage cell ∈ query's probed cells
+    cells = {
+        r.id: r.cells
+        for r in ivf_cells_pandas(
+            emb, "vec_id", "embedding", 64, 16, 4
+        ).collect()
+    }
+    for r in got:
+        assert cells[r.neighbor_id][0] in cells[r.query_id], (
+            r.query_id,
+            r.neighbor_id,
+        )
+
+    # shared pairs score identically to the exhaustive ADC scan
+    full = {
+        (r.query_id, r.neighbor_id): r.dist2
+        for r in pq_topk(emb, books, k=200, n_queries=25).collect()
+    }
+    shared = [
+        r for r in got if (r.query_id, r.neighbor_id) in full
+    ]
+    assert shared, "no overlap with the exhaustive scan"
+    for r in shared:
+        assert r.dist2 == full[(r.query_id, r.neighbor_id)]
+
+    # deterministic rerun
+    again = ivf_pq_topk(emb, books, k=5, n_queries=25).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))

@@ -525,3 +525,14 @@ def test_source_overlap_single_aggregate_broadcast_selfjoin(spark):
     assert plan.count("Exchange hashpartitioning") <= 2, plan
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_ivf_pq_topk_plan_two_arrow_passes_one_shuffle(spark):
+    """The IVF-PQ composite is two narrow Arrow passes (assign+encode,
+    routed ADC gather) and ONE exchange (the per-query merge window) —
+    no broadcast join, no |Q|x|corpus| expression materialization,
+    same physical family as pq_topk."""
+    plan = _plan(spark, "ivf_pq_topk")
+    assert plan.count("MapInPandas") == 2, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
