@@ -66,6 +66,47 @@ def streaming_tumbling_counts(
     )
 
 
+def streaming_session_agg(
+    spark,
+    source_path: str,
+    schema,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str | None = "2 hours",
+    group_cols: list[str] | None = None,
+    aggs: list | None = None,
+    max_files_per_trigger: int | None = None,
+):
+    """Structured Streaming session windows — the stream twin of
+    `session_agg` (the batch form behind the oracle-verified
+    `user_sessions` registry query): file source → optional watermark
+    → the SAME ``F.session_window`` aggregation builder, so the two
+    forms cannot drift.
+
+    Sessions MERGE in the state store across micro-batches: two
+    events ``gap``-close always land in one session no matter how the
+    trigger boundaries split them (``max_files_per_trigger=1`` in the
+    convergence test forces exactly that). In production append mode
+    the ``watermark`` bounds state — a session finalizes and evicts
+    once the watermark passes its close; the complete-mode convergence
+    test passes ``watermark=None`` because complete retains all
+    session state by definition and the drained memory-sink table
+    must equal the batch aggregation row-for-row."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_path)
+    if watermark is not None:
+        stream = stream.withWatermark(ts_col, watermark)
+    return session_agg(
+        stream,
+        ts_col,
+        gap,
+        group_cols or [],
+        aggs or [F.count("*").alias("n_events")],
+    )
+
+
 def run_stream_to_batch(sdf, query_name: str, output_mode: str = "complete"):
     """Run a streaming DataFrame to completion over the currently
     available data (Trigger.AvailableNow) into a memory sink and return

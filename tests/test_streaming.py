@@ -674,3 +674,111 @@ def test_signature_stream_converges_to_batch(spark, tmp_path):
     assert set(got) == set(want) and len(want) > 0
     for s in want:
         assert got[s] == want[s], s
+
+
+def test_streaming_sessions_converge_to_batch_twin(spark, events_dir):
+    """Session windows must merge across micro-batch boundaries: with
+    one file per trigger the 4-way-repartitioned source splits every
+    user's timeline across triggers, yet the drained complete-mode
+    table must equal the batch `session_agg` (the `user_sessions`
+    oracle-verified shape) row-for-row — counts exact, sums compared
+    at the batch twin's 6dp rounding."""
+    from batch_process_dpla_index_spark.streaming.windows import (
+        session_agg,
+        streaming_session_agg,
+    )
+
+    ev = spark.read.parquet(events_dir)
+    aggs = [
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    ]
+    stream = streaming_session_agg(
+        spark,
+        events_dir,
+        ev.schema,
+        "ts",
+        "30 minutes",
+        watermark=None,
+        group_cols=["user_id"],
+        aggs=aggs,
+        max_files_per_trigger=1,
+    )
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    got = run_stream_to_batch(stream, name).select(
+        F.col("win.start").alias("ws"),
+        F.col("win.end").alias("we"),
+        "user_id",
+        "n_events",
+        "sum_value",
+    )
+    want = session_agg(ev, "ts", "30 minutes", ["user_id"], aggs).select(
+        F.col("win.start").alias("ws"),
+        F.col("win.end").alias("we"),
+        "user_id",
+        "n_events",
+        "sum_value",
+    )
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_streaming_sessions_append_mode_emits_only_closed(spark, tmp_path):
+    """The production append form (watermarked) over an IN-ORDER
+    source: only sessions the watermark finalized emit, every emitted
+    row equals its batch-twin session exactly, and the unfinalized
+    tail stays in state (it never emits partial). In-order staging
+    matters — on an out-of-order replay the watermark legitimately
+    drops late events and finalized sessions diverge from the batch
+    result by design (the convergence test above covers unordered
+    input via complete mode instead)."""
+    import time as _time
+
+    from pyspark.sql.window import Window
+
+    from batch_process_dpla_index_spark.streaming.windows import (
+        session_agg,
+        streaming_session_agg,
+    )
+
+    ev = load_table(spark, SF_DIR, "events").where(F.col("ts").isNotNull())
+    path = str(tmp_path / "ordered_events")
+    # four time-contiguous slices written sequentially → the file
+    # source (mtime order) replays the timeline in order, so no event
+    # is ever late relative to the 1h watermark
+    sliced = ev.withColumn("bkt", F.ntile(4).over(Window.orderBy("ts", "event_id")))
+    for i in range(1, 5):
+        sliced.filter(F.col("bkt") == i).drop("bkt").coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+        _time.sleep(0.3)
+
+    aggs = [F.count("*").alias("n_events")]
+    stream = streaming_session_agg(
+        spark,
+        path,
+        ev.schema,
+        "ts",
+        "30 minutes",
+        watermark="1 hour",
+        group_cols=["user_id"],
+        aggs=aggs,
+        max_files_per_trigger=1,
+    )
+    name = f"sessa_{uuid.uuid4().hex[:8]}"
+    got = run_stream_to_batch(stream, name, output_mode="append").select(
+        F.col("win.start").alias("ws"),
+        F.col("win.end").alias("we"),
+        "user_id",
+        "n_events",
+    )
+    want = session_agg(ev, "ts", "30 minutes", ["user_id"], aggs).select(
+        F.col("win.start").alias("ws"),
+        F.col("win.end").alias("we"),
+        "user_id",
+        "n_events",
+    )
+    # emitted ⊆ batch, value-exact; the watermark tail is retained
+    assert got.exceptAll(want).count() == 0
+    n_got, n_want = got.count(), want.count()
+    assert 0 < n_got < n_want
