@@ -163,6 +163,27 @@ def _assign_codes_rows(sub: DataFrame, books) -> DataFrame:
     )
 
 
+def _encode_matrix(X, books, with_error: bool = False):
+    """codes (n×m int32, argmin first-hit = lowest-code tie-break) and
+    optional per-row reconstruction error for a row-major float matrix
+    — the single encode implementation behind `pq_encode` and
+    `ivf_pq_topk` (both distances reduce in numpy's pairwise tree, the
+    association `ORACLE_PQ_ENCODE` pins)."""
+    import numpy as np
+
+    m, _, dsub = books.shape
+    n = len(X)
+    codes = np.empty((n, m), dtype="int32")
+    errs = np.zeros(n, dtype="float64") if with_error else None
+    for j in range(m):
+        sl = X[:, j * dsub : (j + 1) * dsub]
+        d = ((sl[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+        codes[:, j] = d.argmin(axis=1)
+        if with_error:
+            errs += d[np.arange(n), codes[:, j]]
+    return codes, errs
+
+
 def pq_encode(
     df: DataFrame,
     codebooks,
@@ -201,15 +222,7 @@ def pq_encode(
                     f"pq_encode: vector dim {got} != m*dsub = "
                     f"{m}*{dsub} = {m * dsub} of the supplied codebooks"
                 )
-            n = len(pdf)
-            codes = np.empty((n, m), dtype="int32")
-            errs = np.zeros(n, dtype="float64")
-            for j in range(m):
-                sl = X[:, j * dsub : (j + 1) * dsub]
-                d = ((sl[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
-                codes[:, j] = d.argmin(axis=1)
-                if with_error:
-                    errs += d[np.arange(n), codes[:, j]]
+            codes, errs = _encode_matrix(X, books, with_error)
             out = {"id": pdf[id_col].to_numpy(), "codes": list(codes.tolist())}
             if with_error:
                 out["recon_err"] = errs
@@ -395,17 +408,28 @@ def ivf_pq_topk(
     import numpy as np
 
     from batch_process_dpla_index_spark.operators.similarity import (
+        _cell_order,
         _centroid_matrix,
     )
 
     books = np.asarray(codebooks, dtype="float64")
     m, _, dsub = books.shape
+    if dim != m * dsub:
+        raise ValueError(
+            f"ivf_pq_topk: dim={dim} != m*dsub = {m}*{dsub} = {m * dsub} — "
+            "by_residual=False quantizes the raw vectors, so the codebooks "
+            "must cover the full dimension"
+        )
     cents = (
         np.asarray(centroids, dtype="float64")
         if centroids is not None
         else _centroid_matrix(dim, n_cells)
     ).T  # dim × cells
-    cell_ids = np.arange(cents.shape[1])
+    if cents.shape[0] != dim:
+        raise ValueError(
+            f"ivf_pq_topk: centroids are {cents.shape[0]}-dim, vectors are "
+            f"{dim}-dim"
+        )
 
     qdf = df.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"))
     if n_queries is not None:
@@ -414,10 +438,7 @@ def ivf_pq_topk(
     qids = np.asarray([r["qid"] for r in qrows], dtype="int64")
     Q = np.asarray([list(r["qvec"]) for r in qrows], dtype="float64")
     T = adc_tables(Q, books)
-    qdots = Q @ cents
-    probe_order = np.lexsort(
-        (-np.tile(cell_ids, (len(qids), 1)), -qdots), axis=1
-    )[:, :n_probe]
+    probe_order = _cell_order(Q @ cents)[:, :n_probe]
     cell2q: dict[int, list[int]] = {}
     for qi, cells in enumerate(probe_order):
         for c in cells:
@@ -437,15 +458,8 @@ def ivf_pq_topk(
                     f"ivf_pq_topk: vector dim {got} != m*dsub = "
                     f"{m}*{dsub} = {m * dsub} of the supplied codebooks"
                 )
-            dots = X @ cents
-            order = np.lexsort(
-                (-np.tile(cell_ids, (len(pdf), 1)), -dots), axis=1
-            )
-            codes = np.empty((len(pdf), m), dtype="int64")
-            for j in range(m):
-                sl = X[:, j * dsub : (j + 1) * dsub]
-                d = ((sl[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
-                codes[:, j] = d.argmin(axis=1)
+            order = _cell_order(X @ cents)
+            codes, _ = _encode_matrix(X, books)
             yield pd.DataFrame(
                 {
                     "id": pdf[id_col].to_numpy(),
@@ -455,7 +469,7 @@ def ivf_pq_topk(
             )
 
     encoded = df.select(id_col, vec_col).mapInPandas(
-        encode_assign, "id bigint, cell int, codes array<bigint>"
+        encode_assign, "id bigint, cell int, codes array<int>"
     )
 
     def score(batches):

@@ -422,6 +422,18 @@ def _centroid_matrix(dim: int, n_cells: int):
     )
 
 
+def _cell_order(dots):
+    """Row-wise coarse-cell ranking by (dot desc, cell desc) — THE IVF
+    assignment tie-break. Every site that ranks cells (`ivf_cells_pandas`,
+    `quantization.ivf_pq_topk`'s storage and probe sides) must call this
+    one implementation, or a drifted copy silently desynchronizes the
+    engine from the `_ivf_oracle` replay's `ORDER BY d DESC, cell DESC`."""
+    import numpy as np
+
+    cell_ids = np.arange(dots.shape[1])
+    return np.lexsort((-np.tile(cell_ids, (dots.shape[0], 1)), -dots), axis=1)
+
+
 def ivf_cells_pandas(
     df: DataFrame, id_col: str, vec_col: str, dim: int, n_cells: int, n_probe: int,
     centroids=None,
@@ -449,11 +461,7 @@ def ivf_cells_pandas(
                 continue
             mat = np.array(list(pdf[vec_name]), dtype="float64")
             dots = mat @ cents  # N × cells
-            # sort by (dot desc, cell desc): lexsort on (-cell, -dot)
-            cell_ids = np.arange(dots.shape[1])
-            order = np.lexsort(
-                (-np.tile(cell_ids, (len(pdf), 1)), -dots), axis=1
-            )[:, :n_probe]
+            order = _cell_order(dots)[:, :n_probe]
             yield pd.DataFrame(
                 {
                     "id": pdf[id_name].to_numpy(),
