@@ -244,3 +244,59 @@ def kmeans_assign(
     return df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
         assign, "id bigint, cell int, dist2 double"
     )
+
+
+def cluster_silhouette(
+    df: DataFrame,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell, a2, b2, silhouette): squared-L2 SIMPLIFIED silhouette
+    — a2 = d²(x, own centroid), b2 = min d² over the other centroids,
+    s = (b2 − a2) / max(a2, b2) (defined 0 when both are 0). The
+    O(N·k) centroid-based form, not the O(N²) pairwise classic — the
+    only silhouette that exists at 100 TB, and the standard
+    clustering-quality diagnostic for curation pipelines (is k too
+    small? are cells degenerate?).
+
+    One Arrow pass, same expanded-form distance math and first-hit
+    argmin as `kmeans_assign`, so the cell column here equals the
+    inference pass bit-for-bit. Per-cell aggregation happens in the
+    caller (one map-side-combined shuffle of k rows)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    cents = np.asarray(centroids, dtype="float64")
+    sq = (cents * cents).sum(axis=1)
+    id_name, vec_name = id_col, vec_col
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.array(list(pdf[vec_name]), dtype="float64")
+            d2 = sq[None, :] - 2.0 * (mat @ cents.T) + (mat * mat).sum(axis=1)[:, None]
+            cell = d2.argmin(axis=1)
+            rows = np.arange(len(pdf))
+            a2 = d2[rows, cell].copy()
+            d2[rows, cell] = np.inf
+            b2 = d2.min(axis=1)
+            maxab = np.maximum(a2, b2)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                s = np.where(maxab > 0, (b2 - a2) / maxab, 0.0)
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_name].to_numpy(),
+                    "cell": cell.astype("int32"),
+                    "a2": a2,
+                    "b2": b2,
+                    "silhouette": s,
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        run, "id bigint, cell int, a2 double, b2 double, silhouette double"
+    )

@@ -1349,6 +1349,51 @@ FROM final GROUP BY cell""")
 ORACLE_KMEANS_CELLS = _kmeans_oracle()
 
 
+def _cluster_silhouette_oracle(
+    k: int = 8, n_iter: int = 3, grid: int = 10**6
+) -> str:
+    """Replays `clustering.cluster_silhouette` over the same unrolled
+    Lloyd's chain as ORACLE_KMEANS_CELLS (bit-identical centroids via
+    the integer-grid update): per (vector, cell) squared distance, the
+    argmin cell with the (d2, cell) tie-break, b2 as the min over the
+    OTHER cells, s = (b2−a2)/greatest(a2,b2) guarded to 0 on the
+    degenerate both-zero case — the engine's np.where mirror. Means at
+    6dp absorb the expanded-form-vs-fold ulp noise exactly as
+    avg_dist2 does."""
+    parts = [_kmeans_cte_chain(k, n_iter, grid)]
+    parts.append(f"""alld AS (
+    SELECT v.vec_id, c.cell, sum((v.x - c.c) * (v.x - c.c)) AS d2
+    FROM v JOIN c{n_iter} c USING (pos)
+    GROUP BY v.vec_id, c.cell
+), assigned AS (
+    SELECT vec_id, cell, d2 AS a2 FROM (
+        SELECT vec_id, cell, d2,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+        FROM alld)
+    WHERE rn = 1
+), nearest_other AS (
+    SELECT a.vec_id, min(d.d2) AS b2
+    FROM assigned a JOIN alld d
+      ON d.vec_id = a.vec_id AND d.cell <> a.cell
+    GROUP BY a.vec_id
+), s AS (
+    SELECT a.cell,
+           CASE WHEN greatest(a.a2, o.b2) > 0
+                THEN (o.b2 - a.a2) / greatest(a.a2, o.b2)
+                ELSE 0.0 END AS sil,
+           a.a2
+    FROM assigned a JOIN nearest_other o ON o.vec_id = a.vec_id
+)
+SELECT CAST(cell AS INTEGER) AS cell, count(*) AS n_vectors,
+       round(avg(sil), 6) AS mean_silhouette,
+       round(avg(a2), 6) AS mean_own_dist2
+FROM s GROUP BY cell""")
+    return "\n".join(parts)
+
+
+ORACLE_CLUSTER_SILHOUETTE = _cluster_silhouette_oracle()
+
+
 # --- shared PQ oracle helpers: the pinned codebook literals and the
 # distance expression with numpy's EXACT float association. numpy's
 # pairwise summation reduces a length-8 axis as the 8-leaf tree
@@ -3700,6 +3745,7 @@ ORACLES: dict[str, str] = {
     "melt_metrics": ORACLE_MELT_METRICS,
     "ivf_topk": ORACLE_IVF_TOPK,
     "kmeans_cells": ORACLE_KMEANS_CELLS,
+    "cluster_silhouette": ORACLE_CLUSTER_SILHOUETTE,
     "pq_encode": ORACLE_PQ_ENCODE,
     "semdedup": ORACLE_SEMDEDUP,
     "dsir_weights": ORACLE_DSIR_WEIGHTS,

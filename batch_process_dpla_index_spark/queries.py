@@ -1317,6 +1317,35 @@ def q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q_cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell clustering quality: squared-L2 simplified silhouette
+    over the same deterministic k-means the `kmeans_cells` oracle
+    replays (integer-grid updates → bit-identical centroids on both
+    engines). O(N·k) — the only silhouette shape that exists at scale;
+    mean ratio per cell at 6dp absorbs the expanded-form-vs-fold ulp
+    noise exactly like kmeans_cells' avg_dist2 (proven green since
+    r6)."""
+    from batch_process_dpla_index_spark.operators.clustering import (
+        cluster_silhouette,
+        kmeans_fit,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(
+        emb, "vec_id", "embedding", k=8, n_iter=3, init="hash",
+        update_grid=10**6, tol=0.0,
+    )
+    return (
+        cluster_silhouette(emb, cents, "vec_id", "embedding")
+        .groupBy("cell")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.round(F.avg("silhouette"), 6).alias("mean_silhouette"),
+            F.round(F.avg("a2"), 6).alias("mean_own_dist2"),
+        )
+    )
+
+
 def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ encode + ADC distance math, oracle-verified: assign each
     embedding its m=8 sub-codes against a PINNED deterministic codebook
@@ -2970,9 +2999,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hits_scores": q_hits_scores,
     "common_neighbors": q_common_neighbors,
     "source_overlap": q_source_overlap,
-    # -- round-9 late addition (below the boundary: r10-leading, both
+    # -- round-9 late additions (below the boundary: r10-leading, both
     #    SFs verified via tools/verify_local.py this round) --
     "ivf_pq_topk": q_ivf_pq_topk,
+    "cluster_silhouette": q_cluster_silhouette,
     # -- tail: r7-green remainder (rotate after the r8 cohort) --
     "pq_topk": q_pq_topk,
     "tokenizer_fertility": q_tokenizer_fertility,

@@ -270,3 +270,44 @@ def test_ivf_pq_topk_subset_of_full_adc_and_cell_routing(spark):
     # deterministic rerun
     again = ivf_pq_topk(emb, books, k=5, n_queries=25).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
+def test_cluster_silhouette_bounds_cells_and_separation(spark):
+    """Silhouette is in [-1, 1], the cell column equals kmeans_assign's
+    bit-for-bit, and a synthetic corpus of two far-separated blobs
+    scores near-perfect (+1) while every vector keeps a2 < b2."""
+    from batch_process_dpla_index_spark.operators.clustering import (
+        cluster_silhouette,
+        kmeans_assign,
+        kmeans_fit,
+    )
+    from batch_process_dpla_index_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cents = kmeans_fit(
+        emb, "vec_id", "embedding", k=8, n_iter=3, init="hash",
+        update_grid=10**6, tol=0.0,
+    )
+    sil = cluster_silhouette(emb, cents).collect()
+    assert len(sil) == emb.count()
+    assert all(-1.0 <= r.silhouette <= 1.0 for r in sil)
+    want_cells = {
+        r.id: r.cell for r in kmeans_assign(emb, cents).collect()
+    }
+    assert all(want_cells[r.id] == r.cell for r in sil)
+
+    # two blobs 100 apart in dim 0, jitter 0.01: simplified silhouette
+    # must read as near-perfect separation
+    rows = [
+        (i, [float(100 * (i % 2)) + 0.01 * (i % 7), 0.0, 0.0, 0.0])
+        for i in range(40)
+    ]
+    blobs = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    two = kmeans_fit(
+        blobs, "vec_id", "embedding", k=2, n_iter=3, init="hash",
+        update_grid=10**6, tol=0.0,
+    )
+    bs = cluster_silhouette(blobs, two).collect()
+    assert all(r.silhouette > 0.99 for r in bs)
+    assert all(r.a2 < r.b2 for r in bs)
