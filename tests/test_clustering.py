@@ -311,3 +311,38 @@ def test_cluster_silhouette_bounds_cells_and_separation(spark):
     bs = cluster_silhouette(blobs, two).collect()
     assert all(r.silhouette > 0.99 for r in bs)
     assert all(r.a2 < r.b2 for r in bs)
+
+
+def test_ivf_pq_topk_learned_centroids_and_dim_guards(spark):
+    """The learned-quantizer form (kmeans_fit coarse centroids — the
+    production IVF-PQ) returns the full k-per-query shape, and both
+    mis-configuration paths fail with the curated ValueError instead
+    of a raw numpy matmul error."""
+    import pytest as _pytest
+
+    from batch_process_dpla_index_spark.operators.clustering import kmeans_fit
+    from batch_process_dpla_index_spark.operators.quantization import (
+        ivf_pq_topk,
+        pq_pinned_codebooks,
+    )
+    from batch_process_dpla_index_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    books = pq_pinned_codebooks()
+    cents = kmeans_fit(
+        emb, "vec_id", "embedding", k=16, n_iter=2, init="hash",
+        update_grid=10**6, tol=0.0,
+    )
+    got = ivf_pq_topk(
+        emb, books, k=5, n_queries=10, n_cells=16, n_probe=4, centroids=cents
+    ).collect()
+    by_q: dict = {}
+    for r in got:
+        by_q.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert len(by_q) == 10 and all(len(v) == 5 for v in by_q.values())
+
+    with _pytest.raises(ValueError, match="dim=32 != m\\*dsub"):
+        ivf_pq_topk(emb, books, dim=32)
+    with _pytest.raises(ValueError, match="centroids are 4-dim"):
+        ivf_pq_topk(emb, books, centroids=[[0.0] * 4] * 16)
