@@ -21,7 +21,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        # non-sfN dir (e.g. a .scale/sf1x replica): still benchable,
+        # just unidentifiable as a scale factor — and never comparable
+        # to the sf0.1 BASELINE.md rows
+        sf = -1.0
 
     from batch_process_dpla_index_spark.operators.dedup import unpersist_deps
     from batch_process_dpla_index_spark.queries import QUERIES
@@ -131,7 +137,7 @@ def main():
                 baseline.setdefault(m.group(1), float(m.group(2)))
     except OSError as exc:
         print(f"# BASELINE.md read failed: {exc}", file=sys.stderr)
-    if float(sf) != 0.1:
+    if sf != 0.1:
         # BASELINE.md rows are sf0.1 figures; a cross-SF ratio would
         # read as a huge win/regression that is really just data size
         baseline = {}
@@ -150,7 +156,7 @@ def main():
         "value": total,
         "unit": "sec",
         "queries": times,
-        "sf": float(sf),
+        "sf": sf,
         # `value` sums only the SUCCEEDING queries — consumers must
         # check `complete`/`errors` before reading it as a speedup
         # (a newly-crashing query would otherwise look like a win).
