@@ -31,6 +31,20 @@ from pyspark.sql import functions as F
 from batch_process_dpla_index_spark.functions.text import h60
 
 
+def _full_d2(mat, cents, sq):
+    """N×k squared L2 via the expanded form ‖c‖² − 2·x·c + ‖x‖²,
+    clamped at 0: float cancellation can dip ~−1e-16 when x ≈ c, and
+    the fold form the SQL oracles replay (Σ(x−c)²) is nonnegative by
+    construction. Shared by `kmeans_assign` and `cluster_silhouette`
+    so their cell columns stay bit-identical (the diagnostic's parity
+    claim is structural, not copy-discipline). `_assign_cells` keeps
+    its reduced argmin-only form (no +‖x‖² term) — documented there."""
+    import numpy as np
+
+    d2 = sq[None, :] - 2.0 * (mat @ cents.T) + (mat * mat).sum(axis=1)[:, None]
+    return np.maximum(d2, 0.0, out=d2)
+
+
 def _assign_cells(df: DataFrame, id_col: str, vec_col: str, centroids) -> DataFrame:
     """(id, vec, cell): nearest centroid by squared L2, one Arrow pass."""
     from collections.abc import Iterator
@@ -231,7 +245,7 @@ def kmeans_assign(
             if not len(pdf):
                 continue
             mat = np.array(list(pdf[vec_name]), dtype="float64")
-            d2 = sq[None, :] - 2.0 * (mat @ cents.T) + (mat * mat).sum(axis=1)[:, None]
+            d2 = _full_d2(mat, cents, sq)
             cell = d2.argmin(axis=1)
             yield pd.DataFrame(
                 {
@@ -270,6 +284,11 @@ def cluster_silhouette(
     import pandas as pd
 
     cents = np.asarray(centroids, dtype="float64")
+    if cents.shape[0] < 2:
+        raise ValueError(
+            "cluster_silhouette: needs >= 2 centroids (b2 is the distance "
+            "to the nearest OTHER cell — undefined for k=1)"
+        )
     sq = (cents * cents).sum(axis=1)
     id_name, vec_name = id_col, vec_col
 
@@ -278,10 +297,10 @@ def cluster_silhouette(
             if not len(pdf):
                 continue
             mat = np.array(list(pdf[vec_name]), dtype="float64")
-            d2 = sq[None, :] - 2.0 * (mat @ cents.T) + (mat * mat).sum(axis=1)[:, None]
+            d2 = _full_d2(mat, cents, sq)
             cell = d2.argmin(axis=1)
             rows = np.arange(len(pdf))
-            a2 = d2[rows, cell].copy()
+            a2 = d2[rows, cell]  # fancy indexing copies — safe vs the inf write
             d2[rows, cell] = np.inf
             b2 = d2.min(axis=1)
             maxab = np.maximum(a2, b2)

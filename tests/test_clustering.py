@@ -346,3 +346,17 @@ def test_ivf_pq_topk_learned_centroids_and_dim_guards(spark):
         ivf_pq_topk(emb, books, dim=32)
     with _pytest.raises(ValueError, match="centroids are 4-dim"):
         ivf_pq_topk(emb, books, centroids=[[0.0] * 4] * 16)
+
+
+def test_cluster_silhouette_rejects_single_centroid(spark):
+    import pytest as _pytest
+
+    from batch_process_dpla_index_spark.operators.clustering import (
+        cluster_silhouette,
+    )
+    from batch_process_dpla_index_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    with _pytest.raises(ValueError, match="needs >= 2 centroids"):
+        cluster_silhouette(emb, [[0.0] * 64])
