@@ -1012,3 +1012,70 @@ def churn_labels(
     )
 
     return _with_cached_deps(out, [per_user])
+
+
+def attribution_time_decay(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    lookback_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Multi-touch attribution with time-decay credit — the fractional
+    complement of `attribution_last_touch` (winner-takes-all): every
+    touch inside the ``lookback_days`` window before a conversion gets
+    weight 0.5^d where d = whole days between touch and conversion,
+    credits normalized to sum to 1 per conversion, rolled up per
+    channel.
+
+    Cross-engine exactness by construction (the integer-grid trick's
+    float-free cousin): d is an integer in [0, lookback), so every
+    weight is the exact dyadic 2^-d, every per-conversion denominator
+    is an exact multiple of 2^-(lookback-1), and credit = w/denom is a
+    single deterministic IEEE divide — no pow/exp libm drift for the
+    oracle to disagree with. Only the final per-channel credit sum is
+    order-dependent, absorbed by round 6.
+
+    Plan: one shuffle joins touches to same-user conversions (range
+    predicate post-filters the equi-join; per-user event volume is
+    bounded by the session contract), one window keyed
+    (user, conversion) builds the denominator, one map-side-combined
+    aggregate rolls up channels. Conversions with zero in-window
+    touches simply contribute nothing (no 'none' row — last-touch
+    covers that diagnostic)."""
+    base = events.where(
+        F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+    )
+    conv = base.where(F.col(type_col) == conversion_type).select(
+        F.col(user_col).alias("u"),
+        F.col(ts_col).alias("cts"),
+        F.col(id_col).alias("conv_id"),
+    )
+    touches = base.where(F.col(type_col) != conversion_type).select(
+        F.col(user_col).alias("u"),
+        F.col(ts_col).alias("tts"),
+        F.col(type_col).alias("channel"),
+    )
+    j = touches.join(conv, "u").where(
+        (F.col("tts") < F.col("cts"))
+        & (
+            F.col("tts")
+            >= F.col("cts") - F.expr(f"INTERVAL {int(lookback_days)} DAYS")
+        )
+    )
+    d = F.floor(
+        (F.unix_micros("cts") - F.unix_micros("tts")) / F.lit(86400000000.0)
+    )
+    w = F.pow(F.lit(0.5), d.cast("double"))
+    denom = F.sum(w).over(Window.partitionBy("u", "conv_id"))
+    return (
+        j.select("channel", (w / denom).alias("credit"))
+        .groupBy("channel")
+        .agg(
+            F.count("*").alias("n_touches"),
+            F.round(F.sum("credit"), 6).alias("credit"),
+        )
+        .orderBy("channel")
+    )

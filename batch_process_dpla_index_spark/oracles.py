@@ -2003,6 +2003,37 @@ SELECT COALESCE(channel, 'none') AS channel,
 FROM att GROUP BY 1 ORDER BY 1
 """
 
+# Time-decay multi-touch attribution (operators/analytics.py:
+# attribution_time_decay): day-bucketed weights are EXACT dyadic
+# rationals 2^-d (d integer in [0,7)), the per-conversion denominator
+# is an exact multiple of 2^-6, and credit is one IEEE divide — the
+# only cross-engine float surface is the final per-channel sum,
+# absorbed by round 6.
+ORACLE_ATTRIBUTION_TIME_DECAY = """
+WITH base AS (
+    SELECT * FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+), c AS (
+    SELECT user_id AS u, ts AS cts, event_id AS conv_id FROM base
+    WHERE event_type = 'purchase'
+), t AS (
+    SELECT user_id AS u, ts AS tts, event_type AS channel FROM base
+    WHERE event_type <> 'purchase'
+), j AS (
+    SELECT t.channel, c.u, c.conv_id,
+           power(0.5, CAST(floor(
+               CAST(epoch_us(c.cts) - epoch_us(t.tts) AS DOUBLE)
+               / 86400000000.0) AS DOUBLE)) AS w
+    FROM t JOIN c ON t.u = c.u
+    WHERE t.tts < c.cts AND t.tts >= c.cts - INTERVAL 7 DAY
+), k AS (
+    SELECT channel, w / sum(w) OVER (PARTITION BY u, conv_id) AS credit
+    FROM j
+)
+SELECT channel, CAST(count(*) AS BIGINT) AS n_touches,
+       round(sum(credit), 6) AS credit
+FROM k GROUP BY channel ORDER BY channel
+"""
+
 # Hour-of-day seasonal anomaly cells (operators/analytics.py:
 # seasonal_baseline): stats snapped to 6dp BEFORE the 3σ compare on
 # both engines, so one-pass mean association drift can't flip a
@@ -3643,6 +3674,7 @@ ORACLES: dict[str, str] = {
     "market_basket": ORACLE_MARKET_BASKET,
     "vocab_coverage": ORACLE_VOCAB_COVERAGE,
     "attribution_last_touch": ORACLE_ATTRIBUTION_LAST_TOUCH,
+    "attribution_time_decay": ORACLE_ATTRIBUTION_TIME_DECAY,
     "seasonal_baseline": ORACLE_SEASONAL_BASELINE,
     "triangle_count": ORACLE_TRIANGLE_COUNT,
     "bpe_merges": ORACLE_BPE_MERGES,

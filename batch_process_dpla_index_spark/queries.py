@@ -2428,6 +2428,20 @@ def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay multi-touch attribution: every touch in the 7-day
+    window before a purchase earns 0.5^days weight, normalized per
+    conversion — engine-exact cross-engine because day-bucketed
+    weights are dyadic rationals (no libm pow drift; see
+    operators/analytics.py:attribution_time_decay)."""
+    from batch_process_dpla_index_spark.operators.analytics import (
+        attribution_time_decay,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return attribution_time_decay(ev)
+
+
 def q_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hour-of-day anomaly profile per event type: cell stats snap to
     6dp before the 3σ compare (engine-deterministic boundary), one
@@ -3003,6 +3017,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #    SFs verified via tools/verify_local.py this round) --
     "ivf_pq_topk": q_ivf_pq_topk,
     "cluster_silhouette": q_cluster_silhouette,
+    "attribution_time_decay": q_attribution_time_decay,
     # -- tail: r7-green remainder (rotate after the r8 cohort) --
     "pq_topk": q_pq_topk,
     "tokenizer_fertility": q_tokenizer_fertility,

@@ -1011,3 +1011,47 @@ def test_source_signatures_pandas_tier_bit_exact(spark, docs):
         for r in source_signatures(d, use_pandas=True).collect()
     }
     assert expr == fast and len(expr) > 0
+
+
+def test_attribution_time_decay_conserves_credit(spark):
+    """Per-conversion credits sum to exactly 1, so total channel credit
+    equals the number of conversions that had >=1 in-window touch —
+    checked on a hand-built timeline plus the fixture invariant."""
+    import datetime as dt
+
+    from batch_process_dpla_index_spark.operators.analytics import (
+        attribution_time_decay,
+    )
+    from batch_process_dpla_index_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    t0 = dt.datetime(2024, 1, 10, 12, 0, 0)
+
+    def row(eid, uid, typ, days_before):
+        return (eid, uid, typ, t0 - dt.timedelta(days=days_before), 1.0)
+
+    ev = spark.createDataFrame(
+        [
+            # user 1: purchase at t0; touches 0.5 and 2.5 days before
+            # -> weights 2^-0=1 and 2^-2=0.25 -> credits 0.8 / 0.2
+            row(1, 1, "purchase", 0),
+            row(2, 1, "click", 0.5),
+            row(3, 1, "view", 2.5),
+            # user 2: touch outside the 7-day window -> no credit
+            row(4, 2, "purchase", 0),
+            row(5, 2, "click", 8.0),
+        ],
+        "event_id bigint, user_id bigint, event_type string, ts timestamp, value double",
+    )
+    got = {r.channel: r for r in attribution_time_decay(ev).collect()}
+    assert set(got) == {"click", "view"}
+    assert got["click"].credit == 0.8 and got["view"].credit == 0.2
+    assert got["click"].n_touches == 1 and got["view"].n_touches == 1
+
+    # fixture invariant: channel credits sum to the attributed-
+    # conversion count (an integer, exactly — dyadic credits per
+    # conversion sum to 1 before the 6dp round)
+    fx = load_table(spark, SF_DIR, "events")
+    out = attribution_time_decay(fx).collect()
+    total = sum(r.credit for r in out)
+    assert abs(total - round(total)) < 1e-3 and total > 0
