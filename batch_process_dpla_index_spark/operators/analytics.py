@@ -577,31 +577,23 @@ def seasonal_baseline(
     )
 
 
-def triangle_count(edges: DataFrame, src_col: str = "src", dst_col: str = "dst") -> DataFrame:
-    """Global triangle census over an undirected edge list: node/edge
-    counts, wedge count, triangle count, and the global clustering
-    coefficient 3·triangles/wedges — the graph-shape datasheet number
-    next to pagerank and connected components.
+def _canon_deg_oriented(edges: DataFrame, src_col: str, dst_col: str):
+    """Shared edge preparation for the triangle family
+    (`triangle_count`, `clustering_coefficients`): canonical
+    undirected edges (u < v, nulls/self-loops dropped, distinct), the
+    degree frame, and the DEGREE-ORIENTED edge list — every edge
+    points from its lower-(degree, id) endpoint to the higher one, so
+    each wedge is generated exactly once at its lowest-degree apex and
+    wedge fan-out is bounded by the graph's degeneracy, not the max
+    degree.
 
-    Scale design is the standard DEGREE ORIENTATION: every canonical
-    edge points from its lower-(degree, id) endpoint to the higher
-    one, so each wedge is generated exactly once at its lowest-degree
-    apex and the wedge join's fan-out is bounded by the graph's
-    degeneracy, not by the max degree (a celebrity node with 10^6
-    neighbors generates zero wedges as apex unless its degree is
-    genuinely lowest). Wedges for the coefficient come free from the
-    degree frame (Σ d·(d−1)/2), never materialized.
-    """
-    from batch_process_dpla_index_spark.operators.dedup import (
-        _CheckpointHandle,
-    )
-
-    # localCheckpoint (not persist): canon and deg feed FOUR sibling
-    # branches crossJoined into the one-row census — with lazy caches
-    # the full edge-build lineage re-prints (and re-plans) under every
-    # branch, ~300 phantom exchanges in the plan fingerprint. The
-    # checkpoint truncates them to materialized-RDD scans; the handles
-    # ride _cached_deps so unpersist_deps releases the blocks.
+    localCheckpoint (not persist): the frames feed several sibling
+    branches — with lazy caches the full edge-build lineage re-prints
+    (and re-plans) under every branch, ~300 phantom exchanges in the
+    plan fingerprint. The checkpoint truncates them to
+    materialized-RDD scans; callers attach the returned frames via
+    `_CheckpointHandle` in `_cached_deps` so `unpersist_deps` releases
+    the blocks."""
     canon = (
         edges.select(
             F.least(F.col(src_col), F.col(dst_col)).alias("u"),
@@ -617,13 +609,6 @@ def triangle_count(edges: DataFrame, src_col: str = "src", dst_col: str = "dst")
         .groupBy("node")
         .agg(F.count("*").alias("deg"))
     ).localCheckpoint(eager=True)
-    node_stats = deg.agg(
-        F.count("*").alias("n_nodes"),
-        F.sum(F.col("deg") * (F.col("deg") - 1) / 2)
-        .cast("bigint")
-        .alias("n_wedges"),
-    )
-    n_edges = canon.agg(F.count("*").alias("n_edges"))
     du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
     oriented = (
@@ -640,6 +625,32 @@ def triangle_count(edges: DataFrame, src_col: str = "src", dst_col: str = "dst")
         )
         .select(F.col("e.s").alias("s"), F.col("e.d").alias("d"))
     ).localCheckpoint(eager=True)
+    return canon, deg, oriented
+
+
+def triangle_count(edges: DataFrame, src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """Global triangle census over an undirected edge list: node/edge
+    counts, wedge count, triangle count, and the global clustering
+    coefficient 3·triangles/wedges — the graph-shape datasheet number
+    next to pagerank and connected components.
+
+    Scale design is the standard DEGREE ORIENTATION: every canonical
+    edge points from its lower-(degree, id) endpoint to the higher
+    one, so each wedge is generated exactly once at its lowest-degree
+    apex and the wedge join's fan-out is bounded by the graph's
+    degeneracy, not by the max degree (a celebrity node with 10^6
+    neighbors generates zero wedges as apex unless its degree is
+    genuinely lowest). Wedges for the coefficient come free from the
+    degree frame (Σ d·(d−1)/2), never materialized.
+    """
+    canon, deg, oriented = _canon_deg_oriented(edges, src_col, dst_col)
+    node_stats = deg.agg(
+        F.count("*").alias("n_nodes"),
+        F.sum(F.col("deg") * (F.col("deg") - 1) / 2)
+        .cast("bigint")
+        .alias("n_wedges"),
+    )
+    n_edges = canon.agg(F.count("*").alias("n_edges"))
     e1 = oriented.select(F.col("s").alias("a"), F.col("d").alias("b"))
     e2 = oriented.select(F.col("s").alias("b2"), F.col("d").alias("c"))
     wedge = (
@@ -668,8 +679,73 @@ def triangle_count(edges: DataFrame, src_col: str = "src", dst_col: str = "dst")
             .alias("clustering"),
         )
     )
-    from batch_process_dpla_index_spark.operators.dedup import _with_cached_deps
+    from batch_process_dpla_index_spark.operators.dedup import (
+        _CheckpointHandle,
+        _with_cached_deps,
+    )
 
+    return _with_cached_deps(
+        out,
+        [_CheckpointHandle(canon), _CheckpointHandle(deg), _CheckpointHandle(oriented)],
+    )
+
+
+def clustering_coefficients(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """(node, degree, n_triangles, lcc): per-node LOCAL clustering
+    coefficient 2·t(v)/(d(v)·(d(v)−1)) — the per-node refinement of
+    `triangle_count`'s global census, sharing its `_canon_deg_oriented`
+    edge preparation (same degeneracy-bounded wedge join). Each
+    triangle closes exactly once at its degree-oriented apex wedge and
+    then credits ALL THREE vertices (one explode — triangles are rare
+    relative to edges, so the exploded frame is small by construction).
+    Degree-<2 nodes emit lcc 0.0 with n_triangles 0 (the denominator
+    is undefined; 0 is the standard convention). Counts are
+    all-integer → bit-exact cross-engine; lcc is one IEEE divide,
+    round 6."""
+    from batch_process_dpla_index_spark.operators.dedup import (
+        _CheckpointHandle,
+        _with_cached_deps,
+    )
+
+    canon, deg, oriented = _canon_deg_oriented(edges, src_col, dst_col)
+    e1 = oriented.select(F.col("s").alias("a"), F.col("d").alias("b"))
+    e2 = oriented.select(F.col("s").alias("b2"), F.col("d").alias("c"))
+    closed = (
+        e1.join(e2, e1["b"] == e2["b2"])
+        # keep the apex, but close on the canonical (min, max) keys so
+        # the join stays a two-key equi hash join (triangle_count's
+        # nested-loop note applies identically)
+        .select(
+            F.col("a"),
+            F.col("b").alias("apex"),
+            F.col("c"),
+            F.least(F.col("a"), F.col("c")).alias("u"),
+            F.greatest(F.col("a"), F.col("c")).alias("v"),
+        )
+        .join(canon, ["u", "v"])
+        .select(F.explode(F.array("a", "apex", "c")).alias("node"))
+    )
+    tri = closed.groupBy("node").agg(F.count("*").alias("n_triangles"))
+    out = (
+        deg.join(tri, "node", "left")
+        .select(
+            "node",
+            F.col("deg").alias("degree"),
+            F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles"),
+            F.when(
+                F.col("deg") >= 2,
+                F.round(
+                    2.0 * F.coalesce(F.col("n_triangles"), F.lit(0))
+                    / (F.col("deg") * (F.col("deg") - 1)),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("lcc"),
+        )
+    )
     return _with_cached_deps(
         out,
         [_CheckpointHandle(canon), _CheckpointHandle(deg), _CheckpointHandle(oriented)],

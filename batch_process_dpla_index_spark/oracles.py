@@ -2095,6 +2095,44 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
        END AS clustering
 """
 
+# Per-node local clustering coefficient over the same co-purchase
+# edges as ORACLE_TRIANGLE_COUNT, recounted by the INDEPENDENT u<v<w
+# three-way self-join (each triangle appears once with x<y<z, then
+# credits its three vertices). Integer counts are bit-exact; lcc is
+# one divide, round 6; deg<2 nodes pin lcc = 0.0 like the engine.
+ORACLE_CLUSTERING_COEFFICIENTS = """
+WITH po AS (
+    SELECT l_orderkey,
+           list_sort(list_distinct(list(l_partkey))) AS parts
+    FROM lineitem GROUP BY l_orderkey
+), pr AS (
+    SELECT unnest(flatten(list_transform(range(1, len(parts)), i ->
+        list_transform(range(i + 1, len(parts) + 1),
+                       j -> [parts[i], parts[j]])))) AS p
+    FROM po WHERE len(parts) >= 2
+), e AS (
+    SELECT p[1] AS u, p[2] AS v FROM pr
+    GROUP BY 1, 2 HAVING count(*) >= 2
+), nodes AS (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e),
+deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d FROM nodes GROUP BY node),
+tris AS (
+    SELECT e1.u AS x, e1.v AS y, e2.v AS z
+    FROM e e1
+    JOIN e e2 ON e2.u = e1.v
+    JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+), tnodes AS (
+    SELECT unnest([x, y, z]) AS node FROM tris
+), tcnt AS (
+    SELECT node, CAST(count(*) AS BIGINT) AS t FROM tnodes GROUP BY node
+)
+SELECT deg.node, deg.d AS degree,
+       COALESCE(tcnt.t, 0) AS n_triangles,
+       CASE WHEN deg.d >= 2
+            THEN round(2.0 * COALESCE(tcnt.t, 0) / (deg.d * (deg.d - 1)), 6)
+            ELSE 0.0 END AS lcc
+FROM deg LEFT JOIN tcnt USING (node)
+"""
+
 # One BPE iteration's merge-candidate table (operators/analytics.py:
 # bpe_merge_pairs): ordered adjacent char pairs within words.
 ORACLE_BPE_MERGES = f"""
@@ -3675,6 +3713,7 @@ ORACLES: dict[str, str] = {
     "vocab_coverage": ORACLE_VOCAB_COVERAGE,
     "attribution_last_touch": ORACLE_ATTRIBUTION_LAST_TOUCH,
     "attribution_time_decay": ORACLE_ATTRIBUTION_TIME_DECAY,
+    "clustering_coefficients": ORACLE_CLUSTERING_COEFFICIENTS,
     "seasonal_baseline": ORACLE_SEASONAL_BASELINE,
     "triangle_count": ORACLE_TRIANGLE_COUNT,
     "bpe_merges": ORACLE_BPE_MERGES,

@@ -2428,6 +2428,25 @@ def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_clustering_coefficients(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient of the part co-purchase
+    graph (the triangle_count edge set): degeneracy-bounded wedge
+    close, each triangle credits its three vertices, all-integer
+    counts → bit-exact; the oracle recounts via the independent
+    u<v<w three-way self-join
+    (operators/analytics.py:clustering_coefficients)."""
+    from batch_process_dpla_index_spark.operators.analytics import (
+        clustering_coefficients,
+        pair_supports,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = pair_supports(li, "l_orderkey", "l_partkey", min_support=2).select(
+        F.col("ia").alias("src"), F.col("ib").alias("dst")
+    )
+    return clustering_coefficients(edges)
+
+
 def q_attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-decay multi-touch attribution: every touch in the 7-day
     window before a purchase earns 0.5^days weight, normalized per
@@ -3018,6 +3037,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_pq_topk": q_ivf_pq_topk,
     "cluster_silhouette": q_cluster_silhouette,
     "attribution_time_decay": q_attribution_time_decay,
+    "clustering_coefficients": q_clustering_coefficients,
     # -- tail: r7-green remainder (rotate after the r8 cohort) --
     "pq_topk": q_pq_topk,
     "tokenizer_fertility": q_tokenizer_fertility,

@@ -1055,3 +1055,34 @@ def test_attribution_time_decay_conserves_credit(spark):
     out = attribution_time_decay(fx).collect()
     total = sum(r.credit for r in out)
     assert abs(total - round(total)) < 1e-3 and total > 0
+
+
+def test_clustering_coefficients_hand_graph_and_census_consistency(spark):
+    """K3 with a pendant: the two pure-triangle vertices score 1.0,
+    the junction 1/3, the pendant 0.0; and on the fixture graph the
+    per-node triangle credits sum to exactly 3x the global census."""
+    from batch_process_dpla_index_spark.operators.analytics import (
+        clustering_coefficients,
+        pair_supports,
+        triangle_count,
+    )
+    from batch_process_dpla_index_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (1, 4)], "src bigint, dst bigint"
+    )
+    got = {r.node: r for r in clustering_coefficients(edges).collect()}
+    assert got[2].lcc == 1.0 and got[3].lcc == 1.0
+    assert got[1].lcc == 0.333333 and got[1].degree == 3
+    assert got[4].lcc == 0.0 and got[4].n_triangles == 0
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    e = pair_supports(li, "l_orderkey", "l_partkey", min_support=2).select(
+        F.col("ia").alias("src"), F.col("ib").alias("dst")
+    )
+    per_node = clustering_coefficients(e).collect()
+    census = triangle_count(e).collect()[0]
+    assert sum(r.n_triangles for r in per_node) == 3 * census.n_triangles
+    assert all(0.0 <= r.lcc <= 1.0 for r in per_node)
+    assert len(per_node) == census.n_nodes
