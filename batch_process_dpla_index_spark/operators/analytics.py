@@ -628,6 +628,29 @@ def _canon_deg_oriented(edges: DataFrame, src_col: str, dst_col: str):
     return canon, deg, oriented
 
 
+def _closed_triangles(canon: DataFrame, oriented: DataFrame) -> DataFrame:
+    """(a, apex, c): one row per closed triangle, generated exactly
+    once at its degree-oriented apex wedge. The close keys on the
+    canonical (min, max) pair so it stays a two-key equi HASH join —
+    an either-orientation OR predicate would degrade to a nested
+    loop. Shared by `triangle_count` (row count) and
+    `clustering_coefficients` (3-vertex credit explode)."""
+    e1 = oriented.select(F.col("s").alias("a"), F.col("d").alias("b"))
+    e2 = oriented.select(F.col("s").alias("b2"), F.col("d").alias("c"))
+    return (
+        e1.join(e2, e1["b"] == e2["b2"])
+        .select(
+            F.col("a"),
+            F.col("b").alias("apex"),
+            F.col("c"),
+            F.least(F.col("a"), F.col("c")).alias("u"),
+            F.greatest(F.col("a"), F.col("c")).alias("v"),
+        )
+        .join(canon, ["u", "v"])
+        .select("a", "apex", "c")
+    )
+
+
 def triangle_count(edges: DataFrame, src_col: str = "src", dst_col: str = "dst") -> DataFrame:
     """Global triangle census over an undirected edge list: node/edge
     counts, wedge count, triangle count, and the global clustering
@@ -651,19 +674,7 @@ def triangle_count(edges: DataFrame, src_col: str = "src", dst_col: str = "dst")
         .alias("n_wedges"),
     )
     n_edges = canon.agg(F.count("*").alias("n_edges"))
-    e1 = oriented.select(F.col("s").alias("a"), F.col("d").alias("b"))
-    e2 = oriented.select(F.col("s").alias("b2"), F.col("d").alias("c"))
-    wedge = (
-        e1.join(e2, e1["b"] == e2["b2"])
-        # close against the CANONICAL edge set keyed (min, max) — an
-        # either-orientation OR predicate would degrade to a nested
-        # loop; this stays an equi hash join on two keys
-        .select(
-            F.least(F.col("a"), F.col("c")).alias("u"),
-            F.greatest(F.col("a"), F.col("c")).alias("v"),
-        )
-    )
-    n_tri = wedge.join(canon, ["u", "v"]).agg(
+    n_tri = _closed_triangles(canon, oriented).agg(
         F.count("*").alias("n_triangles")
     )
     out = (
@@ -710,22 +721,8 @@ def clustering_coefficients(
     )
 
     canon, deg, oriented = _canon_deg_oriented(edges, src_col, dst_col)
-    e1 = oriented.select(F.col("s").alias("a"), F.col("d").alias("b"))
-    e2 = oriented.select(F.col("s").alias("b2"), F.col("d").alias("c"))
-    closed = (
-        e1.join(e2, e1["b"] == e2["b2"])
-        # keep the apex, but close on the canonical (min, max) keys so
-        # the join stays a two-key equi hash join (triangle_count's
-        # nested-loop note applies identically)
-        .select(
-            F.col("a"),
-            F.col("b").alias("apex"),
-            F.col("c"),
-            F.least(F.col("a"), F.col("c")).alias("u"),
-            F.greatest(F.col("a"), F.col("c")).alias("v"),
-        )
-        .join(canon, ["u", "v"])
-        .select(F.explode(F.array("a", "apex", "c")).alias("node"))
+    closed = _closed_triangles(canon, oriented).select(
+        F.explode(F.array("a", "apex", "c")).alias("node")
     )
     tri = closed.groupBy("node").agg(F.count("*").alias("n_triangles"))
     out = (
@@ -1136,9 +1133,12 @@ def attribution_time_decay(
     )
     j = touches.join(conv, "u").where(
         (F.col("tts") < F.col("cts"))
+        # STRICT lower bound: a touch exactly lookback_days old would
+        # get d == lookback_days, breaking the documented d in
+        # [0, lookback) dyadic invariant the oracle relies on
         & (
             F.col("tts")
-            >= F.col("cts") - F.expr(f"INTERVAL {int(lookback_days)} DAYS")
+            > F.col("cts") - F.expr(f"INTERVAL {int(lookback_days)} DAYS")
         )
     )
     d = F.floor(
@@ -1151,7 +1151,10 @@ def attribution_time_decay(
         .groupBy("channel")
         .agg(
             F.count("*").alias("n_touches"),
-            F.round(F.sum("credit"), 6).alias("credit"),
+            # sums round 2, scalars round 6 (the repo-wide parity
+            # convention): a channel sums ~1e4+ credits at bench SF and
+            # a 6dp boundary would flake on accumulation order
+            F.round(F.sum("credit"), 2).alias("credit"),
         )
         .orderBy("channel")
     )

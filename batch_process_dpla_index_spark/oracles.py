@@ -2005,10 +2005,11 @@ FROM att GROUP BY 1 ORDER BY 1
 
 # Time-decay multi-touch attribution (operators/analytics.py:
 # attribution_time_decay): day-bucketed weights are EXACT dyadic
-# rationals 2^-d (d integer in [0,7)), the per-conversion denominator
-# is an exact multiple of 2^-6, and credit is one IEEE divide — the
-# only cross-engine float surface is the final per-channel sum,
-# absorbed by round 6.
+# rationals 2^-d (d integer in [0,7) — the lower window bound is
+# STRICT, so a touch exactly 7 days old is out and d=7 unreachable),
+# the per-conversion denominator is an exact multiple of 2^-6, and
+# credit is one IEEE divide — the only cross-engine float surface is
+# the final per-channel sum, rounded 2 (the repo's sum convention).
 ORACLE_ATTRIBUTION_TIME_DECAY = """
 WITH base AS (
     SELECT * FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
@@ -2024,13 +2025,13 @@ WITH base AS (
                CAST(epoch_us(c.cts) - epoch_us(t.tts) AS DOUBLE)
                / 86400000000.0) AS DOUBLE)) AS w
     FROM t JOIN c ON t.u = c.u
-    WHERE t.tts < c.cts AND t.tts >= c.cts - INTERVAL 7 DAY
+    WHERE t.tts < c.cts AND t.tts > c.cts - INTERVAL 7 DAY
 ), k AS (
     SELECT channel, w / sum(w) OVER (PARTITION BY u, conv_id) AS credit
     FROM j
 )
 SELECT channel, CAST(count(*) AS BIGINT) AS n_touches,
-       round(sum(credit), 6) AS credit
+       round(sum(credit), 2) AS credit
 FROM k GROUP BY channel ORDER BY channel
 """
 
