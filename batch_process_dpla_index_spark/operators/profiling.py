@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -374,4 +374,58 @@ def embedding_dim_profile(df: DataFrame, vec_col: str) -> DataFrame:
             F.round(F.max("__v"), 6).alias("max_v"),
         )
         .orderBy("pos")
+    )
+
+
+def gini_concentration(
+    df: DataFrame,
+    group_col: str = "source",
+    value_col: str = "n_chars",
+    tiebreak_col: str = "doc_id",
+) -> DataFrame:
+    """(group, n_rows, sum_value, gini): per-group Gini coefficient of
+    ``value_col`` via the sorted-rank identity
+    G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n — the concentration diagnostic a
+    mixing pipeline reads per source (is one domain's length budget
+    dominated by a few giant documents?).
+
+    Everything before the final expression is INTEGER-exact: ranks
+    come from one per-group window over the (value, tiebreak) total
+    order and both Σ are BIGINT sums, so the only float work is two
+    divides and one subtract on exact integers — deterministic
+    cross-engine with no association to pin. One shuffle (the group
+    window; the aggregate reuses its partitioning). All-zero or empty
+    groups pin gini to 0.0."""
+    w = (
+        Window.partitionBy("grp")
+        .orderBy(F.col("x").asc(), F.col(tiebreak_col).asc())
+    )
+    ranked = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(value_col).cast("bigint").alias("x"),
+        F.col(tiebreak_col),
+    ).withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.groupBy("grp")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("x").alias("sum_value"),
+            F.sum(F.col("rk") * F.col("x")).alias("__si"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n_rows",
+            "sum_value",
+            F.when(
+                F.col("sum_value") > 0,
+                F.round(
+                    2.0 * F.col("__si")
+                    / (F.col("n_rows") * F.col("sum_value"))
+                    - (F.col("n_rows") + 1.0) / F.col("n_rows"),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("gini"),
+        )
     )

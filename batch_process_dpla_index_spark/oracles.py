@@ -2096,6 +2096,30 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
        END AS clustering
 """
 
+# Per-source Gini concentration (operators/profiling.py:
+# gini_concentration): ranks from the same (value, tiebreak) total
+# order, BIGINT sums, and the sorted-rank identity with exactly two
+# divides on exact integers — no float association to pin.
+ORACLE_SOURCE_CONCENTRATION = """
+WITH ranked AS (
+    SELECT source AS grp, CAST(n_chars AS BIGINT) AS x,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY n_chars ASC, doc_id ASC) AS rk
+    FROM documents
+), agg AS (
+    SELECT grp, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(x) AS BIGINT) AS sum_value,
+           CAST(sum(rk * x) AS BIGINT) AS si
+    FROM ranked GROUP BY grp
+)
+SELECT grp AS source, n_rows, sum_value,
+       CASE WHEN sum_value > 0
+            THEN round(2.0 * si / (n_rows * sum_value)
+                       - (n_rows + 1.0) / n_rows, 6)
+            ELSE 0.0 END AS gini
+FROM agg
+"""
+
 # Per-node local clustering coefficient over the same co-purchase
 # edges as ORACLE_TRIANGLE_COUNT, recounted by the INDEPENDENT u<v<w
 # three-way self-join (each triangle appears once with x<y<z, then
@@ -3715,6 +3739,7 @@ ORACLES: dict[str, str] = {
     "attribution_last_touch": ORACLE_ATTRIBUTION_LAST_TOUCH,
     "attribution_time_decay": ORACLE_ATTRIBUTION_TIME_DECAY,
     "clustering_coefficients": ORACLE_CLUSTERING_COEFFICIENTS,
+    "source_concentration": ORACLE_SOURCE_CONCENTRATION,
     "seasonal_baseline": ORACLE_SEASONAL_BASELINE,
     "triangle_count": ORACLE_TRIANGLE_COUNT,
     "bpe_merges": ORACLE_BPE_MERGES,

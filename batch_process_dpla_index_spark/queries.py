@@ -2428,6 +2428,19 @@ def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Gini concentration of document length — the
+    data-mixing imbalance diagnostic. Integer-exact up to two final
+    divides (sorted-rank Gini identity over BIGINT sums; see
+    operators/profiling.py:gini_concentration)."""
+    from batch_process_dpla_index_spark.operators.profiling import (
+        gini_concentration,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return gini_concentration(docs, "source", "n_chars", "doc_id")
+
+
 def q_clustering_coefficients(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node local clustering coefficient of the part co-purchase
     graph (the triangle_count edge set): degeneracy-bounded wedge
@@ -3038,6 +3051,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cluster_silhouette": q_cluster_silhouette,
     "attribution_time_decay": q_attribution_time_decay,
     "clustering_coefficients": q_clustering_coefficients,
+    "source_concentration": q_source_concentration,
     # -- tail: r7-green remainder (rotate after the r8 cohort) --
     "pq_topk": q_pq_topk,
     "tokenizer_fertility": q_tokenizer_fertility,

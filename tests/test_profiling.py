@@ -557,3 +557,24 @@ def test_embedding_dim_profile_closed_form(spark):
     assert rows[0]["sd_v"] == 1.0        # population stddev of {1,3}
     assert (rows[0]["min_v"], rows[0]["max_v"]) == (1.0, 3.0)
     assert rows[1]["sd_v"] == 0.0        # dead dimension shows up as sd 0
+
+
+def test_gini_concentration_hand_values(spark):
+    """Perfect equality scores 0; one giant among zeros scores
+    2 - (n+1)/n (the sorted-rank identity, hand-checked); an all-zero
+    group pins to 0.0."""
+    from batch_process_dpla_index_spark.operators.profiling import (
+        gini_concentration,
+    )
+
+    rows = [
+        ("eq", 1, 5), ("eq", 2, 5), ("eq", 3, 5),
+        ("skew", 4, 0), ("skew", 5, 0), ("skew", 6, 10),
+        ("zero", 7, 0), ("zero", 8, 0),
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id bigint, n_chars bigint")
+    got = {r.source: r for r in gini_concentration(df).collect()}
+    assert got["eq"].gini == 0.0 and got["eq"].sum_value == 15
+    # si = 3*10 = 30; 2*30/(3*10) - 4/3 = 0.666667
+    assert got["skew"].gini == 0.666667
+    assert got["zero"].gini == 0.0 and got["zero"].sum_value == 0
