@@ -93,8 +93,16 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("index_dir")
     s.add_argument("--docs-parquet", default=None,
                    help="corpus (build) or ingest delta (refresh)")
-    s.add_argument("--text-col", default="text")
-    s.add_argument("--source-col", default="source")
+    s.add_argument(
+        "--text-col", default=None,
+        help="build only (default 'text'); refresh reads the manifest "
+             "pin and REJECTS a conflicting value",
+    )
+    s.add_argument(
+        "--source-col", default=None,
+        help="build only (default 'source'); refresh reads the "
+             "manifest pin and REJECTS a conflicting value",
+    )
     s.add_argument(
         "--shingle-n", type=int, default=None,
         help="build only (default 3); refresh/report read the manifest "
@@ -307,16 +315,21 @@ def main(argv: list[str] | None = None) -> int:
                 docs = spark.read.parquet(args.docs_parquet)
                 if args.action == "build":
                     m = overlap_index.build_overlap_index(
-                        docs, args.index_dir, args.text_col,
-                        args.source_col,
+                        docs, args.index_dir,
+                        args.text_col or "text",
+                        args.source_col or "source",
                         n=3 if args.shingle_n is None else args.shingle_n,
                     )
                     print(f"Overlap index built: {m}")
                 else:
-                    m = overlap_index.refresh_overlap_index(
-                        spark, docs, args.index_dir, args.text_col,
-                        args.source_col,
-                    )
+                    try:
+                        m = overlap_index.refresh_overlap_index(
+                            spark, docs, args.index_dir, args.text_col,
+                            args.source_col,
+                        )
+                    except ValueError as e:
+                        # column pin conflict — same UX as --shingle-n
+                        raise SystemExit(str(e)) from None
                     print(f"Overlap index refreshed: {m}")
         elif args.job == "compact":
             from batch_process_dpla_index_spark.products.compaction import compact

@@ -678,8 +678,8 @@ def triangle_count(edges: DataFrame, src_col: str = "src", dst_col: str = "dst")
         F.count("*").alias("n_triangles")
     )
     out = (
-        node_stats.crossJoin(n_edges)
-        .crossJoin(n_tri)
+        node_stats.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(n_tri))
         .select(
             "n_nodes",
             "n_edges",
@@ -1095,6 +1095,7 @@ def attribution_time_decay(
     ts_col: str = "ts",
     type_col: str = "event_type",
     id_col: str = "event_id",
+    round_credit: bool = True,
 ) -> DataFrame:
     """Multi-touch attribution with time-decay credit — the fractional
     complement of `attribution_last_touch` (winner-takes-all): every
@@ -1105,11 +1106,12 @@ def attribution_time_decay(
 
     Cross-engine exactness by construction (the integer-grid trick's
     float-free cousin): d is an integer in [0, lookback), so every
-    weight is the exact dyadic 2^-d, every per-conversion denominator
-    is an exact multiple of 2^-(lookback-1), and credit = w/denom is a
-    single deterministic IEEE divide — no pow/exp libm drift for the
-    oracle to disagree with. Only the final per-channel credit sum is
-    order-dependent, absorbed by round 6.
+    weight is the exact dyadic 2^-d — computed as 1.0 / shiftleft(1L,
+    d), an integer shift plus one exact power-of-two divide, never
+    libm pow — every per-conversion denominator is an exact multiple
+    of 2^-(lookback-1), and credit = w/denom is a single deterministic
+    IEEE divide. Only the final per-channel credit sum is
+    order-dependent, absorbed by the round.
 
     Plan: one shuffle joins touches to same-user conversions (range
     predicate post-filters the equi-join; per-user event volume is
@@ -1144,7 +1146,9 @@ def attribution_time_decay(
     d = F.floor(
         (F.unix_micros("cts") - F.unix_micros("tts")) / F.lit(86400000000.0)
     )
-    w = F.pow(F.lit(0.5), d.cast("double"))
+    # exact dyadic 2^-d: integer shift + power-of-two divide (no libm)
+    j = j.withColumn("__d", d.cast("int"))
+    w = F.lit(1.0) / F.expr("shiftleft(1L, __d)")
     denom = F.sum(w).over(Window.partitionBy("u", "conv_id"))
     return (
         j.select("channel", (w / denom).alias("credit"))
@@ -1153,8 +1157,16 @@ def attribution_time_decay(
             F.count("*").alias("n_touches"),
             # sums round 2, scalars round 6 (the repo-wide parity
             # convention): a channel sums ~1e4+ credits at bench SF and
-            # a 6dp boundary would flake on accumulation order
-            F.round(F.sum("credit"), 2).alias("credit"),
+            # a 6dp boundary would flake on accumulation order.
+            # round_credit=False keeps the raw sum so invariant tests
+            # can assert exact credit conservation (per-conversion
+            # credits sum to 1 BEFORE any rounding; the 2dp display
+            # round can carry up to 0.005 error per channel).
+            (
+                F.round(F.sum("credit"), 2)
+                if round_credit
+                else F.sum("credit")
+            ).alias("credit"),
         )
         .orderBy("channel")
     )

@@ -395,12 +395,19 @@ def gini_concentration(
     divides and one subtract on exact integers — deterministic
     cross-engine with no association to pin. One shuffle (the group
     window; the aggregate reuses its partitioning). All-zero or empty
-    groups pin gini to 0.0."""
+    groups pin gini to 0.0.
+
+    NULL ``value_col`` rows are dropped BEFORE ranking: a NULL length
+    carries no budget but would inflate n in the identity, and the two
+    engines default to opposite NULL sort ends (Spark NULLS FIRST,
+    DuckDB NULLS LAST) so real values would get different ranks. The
+    tiebreak order is pinned NULLS FIRST on both sides for the same
+    reason."""
     w = (
         Window.partitionBy("grp")
-        .orderBy(F.col("x").asc(), F.col(tiebreak_col).asc())
+        .orderBy(F.col("x").asc(), F.col(tiebreak_col).asc_nulls_first())
     )
-    ranked = df.select(
+    ranked = df.where(F.col(value_col).isNotNull()).select(
         F.col(group_col).alias("grp"),
         F.col(value_col).cast("bigint").alias("x"),
         F.col(tiebreak_col),

@@ -2020,10 +2020,12 @@ WITH base AS (
     SELECT user_id AS u, ts AS tts, event_type AS channel FROM base
     WHERE event_type <> 'purchase'
 ), j AS (
+    -- exact dyadic 2^-d via integer shift, mirroring the engine's
+    -- 1.0 / shiftleft(1L, d) (no libm power on either side)
     SELECT t.channel, c.u, c.conv_id,
-           power(0.5, CAST(floor(
+           1.0 / CAST(CAST(1 AS BIGINT) << CAST(floor(
                CAST(epoch_us(c.cts) - epoch_us(t.tts) AS DOUBLE)
-               / 86400000000.0) AS DOUBLE)) AS w
+               / 86400000000.0) AS INTEGER) AS DOUBLE) AS w
     FROM t JOIN c ON t.u = c.u
     WHERE t.tts < c.cts AND t.tts > c.cts - INTERVAL 7 DAY
 ), k AS (
@@ -2099,13 +2101,17 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
 # Per-source Gini concentration (operators/profiling.py:
 # gini_concentration): ranks from the same (value, tiebreak) total
 # order, BIGINT sums, and the sorted-rank identity with exactly two
-# divides on exact integers — no float association to pin.
+# divides on exact integers — no float association to pin. NULL
+# n_chars rows are dropped before ranking and the tiebreak pins
+# NULLS FIRST, mirroring the engine (the two engines default to
+# opposite NULL sort ends, so unfiltered NULLs would shift ranks).
 ORACLE_SOURCE_CONCENTRATION = """
 WITH ranked AS (
     SELECT source AS grp, CAST(n_chars AS BIGINT) AS x,
            row_number() OVER (PARTITION BY source
-                              ORDER BY n_chars ASC, doc_id ASC) AS rk
+                              ORDER BY n_chars ASC, doc_id ASC NULLS FIRST) AS rk
     FROM documents
+    WHERE n_chars IS NOT NULL
 ), agg AS (
     SELECT grp, CAST(count(*) AS BIGINT) AS n_rows,
            CAST(sum(x) AS BIGINT) AS sum_value,

@@ -12,9 +12,10 @@ This product owns that lifecycle (the dedup_index/ann_index pattern —
 ManifestWriter.scala:7-14 manifest convention):
 
 - :func:`build_overlap_index`   — one corpus pass → ``signatures``
-  parquet + ``_MANIFEST`` pinning (shingle_n, num_perm). Parameters
-  are never caller-passed on later paths: they come from the
-  manifest, so an index built with different settings cannot be
+  parquet + ``_MANIFEST`` pinning (shingle_n, num_perm, text_col,
+  source_col). Parameters are never caller-passed on later paths:
+  they come from the manifest (conflicting caller values are
+  rejected), so an index built with different settings cannot be
   silently mis-merged (the dedup_index contract).
 - :func:`refresh_overlap_index` — signatures over the DELTA only,
   min-per-perm merge onto the stored frame, idempotent-overwrite of
@@ -78,6 +79,12 @@ def build_overlap_index(
     manifest = {
         "shingle_n": str(n),
         "num_perm": str(num_perm),
+        # column pins: a refresh that shingles a different column (or
+        # groups by a different source key) would silently mis-merge
+        # signatures — the exact hazard the shingle_n pin prevents, so
+        # the columns are pinned the same way
+        "text_col": text_col,
+        "source_col": source_col,
         "Record count": str(n_sources),
         "refresh_count": "0",
     }
@@ -89,12 +96,19 @@ def refresh_overlap_index(
     spark: SparkSession,
     delta_docs: DataFrame,
     index_dir: str,
-    text_col: str = "text",
-    source_col: str = "source",
+    text_col: str | None = None,
+    source_col: str | None = None,
     use_pandas: bool = True,
 ) -> dict[str, str]:
     """Fold an ingest delta into the stored signatures — the scan is
     DELTA-proportional; the corpus is never re-read.
+
+    ``text_col``/``source_col`` default to the values pinned in the
+    manifest at build time; passing a CONFLICTING value raises rather
+    than silently shingling a different column into the stored
+    signatures (the shingle_n contract, extended to columns). Old
+    indexes built before the column pins fall back to the caller's
+    value (or the build defaults).
 
     Idempotence note: refreshing with the SAME delta twice is a no-op
     by the min identity (min(x, x) == x), so a replayed micro-batch
@@ -105,6 +119,18 @@ def refresh_overlap_index(
     manifest = read_manifest(index_dir)
     n = int(manifest["shingle_n"])
     num_perm = int(manifest["num_perm"])
+    for arg, key, default in (
+        (text_col, "text_col", "text"),
+        (source_col, "source_col", "source"),
+    ):
+        pinned = manifest.get(key)
+        if arg is not None and pinned is not None and arg != pinned:
+            raise ValueError(
+                f"{key}={arg!r} conflicts with the index manifest "
+                f"({key}={pinned!r}); columns are pinned at build time"
+            )
+    text_col = text_col or manifest.get("text_col", "text")
+    source_col = source_col or manifest.get("source_col", "source")
     stored = spark.read.parquet(_sig_path(index_dir))
     delta_sig = source_signatures(
         delta_docs, text_col, source_col, n, num_perm, use_pandas=use_pandas

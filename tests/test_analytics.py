@@ -1048,13 +1048,16 @@ def test_attribution_time_decay_conserves_credit(spark):
     assert got["click"].credit == 0.8 and got["view"].credit == 0.2
     assert got["click"].n_touches == 1 and got["view"].n_touches == 1
 
-    # fixture invariant: channel credits sum to the attributed-
-    # conversion count (an integer, exactly — dyadic credits per
-    # conversion sum to 1 before the 6dp round)
+    # fixture invariant: UNROUNDED channel credits sum to the
+    # attributed-conversion count (an integer, exactly — dyadic
+    # credits per conversion sum to 1). Asserted on round_credit=False
+    # output: each 2dp-rounded channel can carry up to 0.005 error, so
+    # the rounded sums only conserve by cancellation on a lucky
+    # fixture.
     fx = load_table(spark, SF_DIR, "events")
-    out = attribution_time_decay(fx).collect()
+    out = attribution_time_decay(fx, round_credit=False).collect()
     total = sum(r.credit for r in out)
-    assert abs(total - round(total)) < 1e-3 and total > 0
+    assert abs(total - round(total)) < 1e-6 and total > 0
 
 
 def test_clustering_coefficients_hand_graph_and_census_consistency(spark):

@@ -584,6 +584,14 @@ def test_overlap_index_lifecycle_and_idempotent_refresh(spark, tmp_path):
 
     manifest = build_overlap_index(corpus, idx)
     assert manifest["shingle_n"] == "3" and manifest["num_perm"] == "64"
+    # column pins recorded at build time, enforced at refresh time:
+    # a conflicting refresh must be rejected, not silently mis-merged
+    assert manifest["text_col"] == "text"
+    assert manifest["source_col"] == "source"
+    with pytest.raises(ValueError, match="text_col.*pinned at build"):
+        refresh_overlap_index(spark, delta, idx, text_col="title")
+    with pytest.raises(ValueError, match="source_col.*pinned at build"):
+        refresh_overlap_index(spark, delta, idx, source_col="lang")
 
     m1 = refresh_overlap_index(spark, delta, idx)
     assert m1["refresh_count"] == "1"
