@@ -1662,6 +1662,93 @@ FROM av LEFT JOIN close ON close.id = av.id
 
 ORACLE_SEMDEDUP = _semdedup_oracle()
 
+
+def _semantic_dedup_oracle(
+    k: int = 32, n_iter: int = 3, grid: int = 10**6, threshold: float = 0.3
+) -> str:
+    """Replays `dedup.semantic_dedup` end to end: the shared k-means
+    chain (bit-identical cells), the strict-fold Σ(x−c)² centroid
+    distance (list_reduce — the same left association as the engine's
+    F.aggregate fold, so the (d2, id) representative ranking can never
+    flip cross-engine), within-cell cosine pairs, and the
+    dedup_clusters transitive-closure pattern for the groups. The
+    chain's WITH is promoted to WITH RECURSIVE for the reach CTE."""
+    cos = (
+        f"({_dot('a.embedding', 'b.embedding')}) / "
+        f"(sqrt({_dot('a.embedding', 'a.embedding')}) * "
+        f"sqrt({_dot('b.embedding', 'b.embedding')}))"
+    )
+    d2 = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(list_zip(e.embedding, ct.cv), "
+        "p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2]))), "
+        "(acc, x) -> acc + x)"
+    )
+    chain = _kmeans_cte_chain(k, n_iter, grid).replace(
+        "WITH ", "WITH RECURSIVE ", 1
+    )
+    return f"""{chain}
+af AS (
+    SELECT vec_id, cell FROM (
+        SELECT v.vec_id, c.cell,
+               row_number() OVER (PARTITION BY v.vec_id
+                   ORDER BY sum((v.x - c.c) * (v.x - c.c)), c.cell) AS rn
+        FROM v JOIN c{n_iter} c USING (pos)
+        GROUP BY v.vec_id, c.cell)
+    WHERE rn = 1
+),
+cent AS (
+    SELECT cell, list(c ORDER BY pos) AS cv FROM c{n_iter} GROUP BY cell
+),
+av AS MATERIALIZED (
+    SELECT f.vec_id AS id, f.cell, e.embedding, {d2} AS d2
+    FROM af f
+    JOIN embeddings e ON e.vec_id = f.vec_id
+    JOIN cent ct ON ct.cell = f.cell
+),
+p2 AS (
+    SELECT a.id AS id_a, b.id AS id_b
+    FROM av a JOIN av b ON a.cell = b.cell AND a.id < b.id
+    WHERE {cos} >= {threshold}
+),
+-- MATERIALIZED is load-bearing: the recursive reach CTE references
+-- edges every round, and an inlined edges would re-run the whole
+-- k-means + pairwise-cosine chain per recursion step (measured 48 s
+-- vs 2 s on the sf0.01 fixture)
+edges AS MATERIALIZED (
+    SELECT id_a AS src, id_b AS dst FROM p2
+    UNION
+    SELECT id_b AS src, id_a AS dst FROM p2
+),
+reach(node, lab) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT e2.src, r.lab FROM edges e2 JOIN reach r ON r.node = e2.dst
+),
+cc AS (
+    SELECT node, min(lab) AS lab FROM reach GROUP BY node
+),
+g AS (
+    SELECT av.id, av.cell, av.d2,
+           COALESCE(cc.lab, av.id) AS group_id
+    FROM av LEFT JOIN cc ON cc.node = av.id
+),
+sized AS (
+    SELECT id, cell, d2, group_id,
+           CAST(count(*) OVER (PARTITION BY group_id) AS BIGINT)
+               AS group_size,
+           row_number() OVER (PARTITION BY group_id
+                              ORDER BY d2 ASC, id ASC) AS rn
+    FROM g
+)
+SELECT id AS vec_id, CAST(cell AS INTEGER) AS cell, group_id, group_size,
+       rn = 1 AS kept, round(d2, 6) AS d2_centroid
+FROM sized
+"""
+
+
+ORACLE_SEMANTIC_DEDUP = _semantic_dedup_oracle()
+
 # Target-vs-corpus unigram LMs, both add-1 smoothed; the log2
 # subtraction form mirrors curation.dsir_weights term by term.
 ORACLE_DSIR_WEIGHTS = """
@@ -3851,6 +3938,7 @@ ORACLES: dict[str, str] = {
     "cluster_silhouette": ORACLE_CLUSTER_SILHOUETTE,
     "pq_encode": ORACLE_PQ_ENCODE,
     "semdedup": ORACLE_SEMDEDUP,
+    "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
     "dsir_weights": ORACLE_DSIR_WEIGHTS,
     "tfidf_terms": ORACLE_TFIDF_TERMS,
     "char_entropy": ORACLE_CHAR_ENTROPY,

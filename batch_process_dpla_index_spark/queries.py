@@ -1435,6 +1435,45 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-level SemDeDup (r10): transitive within-cell near-dup
+    GROUPS with one closest-to-centroid representative each — the
+    composition `semdedup`'s local twin-flag stops short of. Every
+    piece is individually driver-proven (kmeans_cells' deterministic
+    fit, semdedup's within-cell cosine pairs, dedup_clusters'
+    connected components); the new surface is the group window and the
+    strict-fold Σ(x−c)² centroid distance, which is bit-identical to
+    the oracle's list_reduce replay so the (d2, id) representative
+    ranking cannot flip cross-engine."""
+    from batch_process_dpla_index_spark.operators.dedup import (
+        carry_deps,
+        semantic_dedup,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # Cell count scales with the corpus so per-cell population stays
+    # ~64: candidate pairs are N²/(2k), so constant cell size makes
+    # the pair stage LINEAR in N (k ≈ √N — the IVF search convention —
+    # would leave it N^1.5; measured 24.7× at the 10× probe with a
+    # fixed k). Every verification SF (sf0.001/0.01 driver gate,
+    # sf0.1 bench: N ≤ 2000) resolves to k = 32, which is exactly what
+    # the static SQL oracle replays; the adaptive rule only engages
+    # beyond bench scale.
+    k = max(32, emb.count() // 64)
+    sd = semantic_dedup(emb, "vec_id", "embedding", k=k, n_iter=3, threshold=0.3)
+    return carry_deps(
+        sd.select(
+            F.col("id").alias("vec_id"),
+            "cell",
+            "group_id",
+            "group_size",
+            "kept",
+            "d2_centroid",
+        ),
+        sd,
+    )
+
+
 def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-window chunking (64-token chunks, 16-token overlap) — the
     context-length prep stage of a training pipeline. Token array
@@ -2909,92 +2948,93 @@ def q_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Registry order is part of the driver contract: the correctness gate
-# records exactly the FIRST 50 entries. Round-5 rotation: the 41
-# queries last driver-verified in round 2 (the code under them churned
-# ~60 commits since) move INTO the window, together with this round's
-# changed/new queries (kmeans_cells — now integer-grid deterministic
-# with a real oracle; pq_encode / duplicate_spans / funnel_stages /
-# scd2_history — new). With CORRECTNESS_r04, every query that existed
-# before round 5 is driver-green in r4 ∪ r5; the ten round-5 queries
-# placed in the tail (retention_cohorts … session_paths) are
-# oracle-verified via tools/verify_local.py at sf0.001+sf0.01 this
-# round and rotate into the r6 driver window. Rotated-out entries were
-# hash-green in r4, remain pinned by pytest plan tests, and still
-# oracle-verify via tools/verify_local.py.
+# records exactly the FIRST 50 entries; every entry outside the window
+# stays oracle-verified each round via tools/verify_local.py at
+# sf0.001 + sf0.01 and rotates back in on the freshness schedule (the
+# window comment below documents the current rotation and the staged
+# next-round window).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # The driver's correctness gate records the FIRST 50 entries only;
-    # round-9 rotation: the full stale cohort moves into the window —
-    # keep_first (last green r5, the oldest row in the repo) plus the
-    # 47 entries last green in r6 — alongside this round's two new
-    # queries (source_overlap_incremental, kcore_decomposition).
-    # After CORRECTNESS_r09 nothing in the registry is older than r7.
-    "keep_first": q_keep_first,
-    # -- 14 r6-green displaced from the r7/r8 windows --
-    "user_running_anomaly": q_user_running_anomaly,
-    "quality_classifier": q_quality_classifier,
-    "containment_pairs": q_containment_pairs,
-    "event_transitions": q_event_transitions,
-    "nearest_purchase": q_nearest_purchase,
-    "bigram_pmi": q_bigram_pmi,
-    "weighted_sample": q_weighted_sample,
-    "session_paths": q_session_paths,
-    "pq_encode": q_pq_encode,
-    "approx_distinct_users": q_approx_distinct_users,
-    "price_tiers": q_price_tiers,
-    "training_prep": q_training_prep,
-    "column_profile": q_column_profile,
-    "corr_matrix": q_corr_matrix,
-    # -- 33 r6-green remainder --
-    "decayed_counts": q_decayed_counts,
-    "pagerank": q_pagerank,
-    "heavy_hitters": q_heavy_hitters,
-    "robust_outliers": q_robust_outliers,
-    "quantile_bins": q_quantile_bins,
-    "er_clusters": q_er_clusters,
-    "exact_dedup": q_exact_dedup,
-    "jaccard_pairs": q_jaccard_pairs,
-    "minhash_lsh_pairs": q_minhash_lsh_pairs,
-    "dedup_clusters": q_dedup_clusters,
-    "sentence_dedup": q_sentence_dedup,
-    "incremental_dedup": q_incremental_dedup,
-    "cosine_topk": q_cosine_topk,
-    "lsh_ann_topk": q_lsh_ann_topk,
-    "ivf_topk": q_ivf_topk,
-    "embedding_near_dup": q_embedding_near_dup,
-    "mq_provider_scores": q_mq_provider_scores,
-    "flatten_items": q_flatten_items,
-    "doc_presence_scores": q_doc_presence_scores,
-    "asof_purchases": q_asof_purchases,
-    "gap_fill": q_gap_fill,
-    "hourly_event_counts": q_hourly_event_counts,
-    "sliding_event_counts": q_sliding_event_counts,
-    "user_sessions": q_user_sessions,
-    "interval_join": q_interval_join,
-    "user_cumsum": q_user_cumsum,
-    "user_zscore": q_user_zscore,
-    "multimodal_meta": q_multimodal_meta,
-    "mixture_plan": q_mixture_plan,
-    "mixture_sample": q_mixture_sample,
-    "domain_cap": q_domain_cap,
-    "lm_scores": q_lm_scores,
-    "bm25_search": q_bm25_search,
-    # -- round-9 additions (window positions 49-50) --
-    "source_overlap_incremental": q_source_overlap_incremental,
-    "kcore_decomposition": q_kcore_decomposition,
+    # round-10 rotation (VERDICT r9 #1): positions 1-5 are the five
+    # late-r9 operators that have never had a driver row, position 6
+    # is this round's new operator (semantic_dedup, debut window —
+    # VERDICT #7), and positions 7-50 are 44 of the 49 entries last
+    # green in r7. Five r7-green entries are DEFERRED to r11 (one slot
+    # was given to semantic_dedup's debut): top_orders, region_revenue,
+    # pricing_summary, scalar_suite, props_by_type — all simple
+    # TPC-H-scan shapes whose plans are untouched since r7; each is
+    # re-verified against its oracle at both SFs via
+    # tools/verify_local.py this round (results in PROGRESS.jsonl).
+    # After CORRECTNESS_r10: cumulative coverage 155/155, nothing
+    # last-green older than r8 except those five named deferrals.
+    # -- never-green late-r9 operators (oracle'd + pinned since r9) --
+    "ivf_pq_topk": q_ivf_pq_topk,
+    "cluster_silhouette": q_cluster_silhouette,
+    "attribution_time_decay": q_attribution_time_decay,
+    "clustering_coefficients": q_clustering_coefficients,
+    "source_concentration": q_source_concentration,
+    # -- round-10 debut: cluster-level SemDeDup --
+    "semantic_dedup": q_semantic_dedup,
+    # -- 44 of the 49 r7-green entries (oldest cohort) --
+    "pq_topk": q_pq_topk,
+    "tokenizer_fertility": q_tokenizer_fertility,
+    "quality_gate": q_quality_gate,
+    "global_shuffle": q_global_shuffle,
+    "doc_chunks": q_doc_chunks,
+    "packed_bins": q_packed_bins,
+    "stratified_sample": q_stratified_sample,
+    "apply_changeset": q_apply_changeset,
+    "skew_report": q_skew_report,
+    "corpus_report": q_corpus_report,
+    "event_rank_suite": q_event_rank_suite,
+    "text_stats": q_text_stats,
+    "melt_metrics": q_melt_metrics,
+    "cube_flags": q_cube_flags,
+    "pii_redaction": q_pii_redaction,
+    "repetition_stats": q_repetition_stats,
+    "top_bigrams": q_top_bigrams,
+    "bpe_token_counts": q_bpe_token_counts,
+    "fingerprint_folded": q_fingerprint_folded,
+    "fuzzy_match": q_fuzzy_match,
+    "snm_multipass": q_snm_multipass,
+    "skipgram_cooc": q_skipgram_cooc,
+    "rrf_fusion": q_rrf_fusion,
+    "avro_flatten_items": q_avro_flatten_items,
+    "repair_flatten": q_repair_flatten,
+    "schema_align": q_schema_align,
+    "decontaminate": q_decontaminate,
+    "fingerprint_clusters": q_fingerprint_clusters,
+    "mq_contributor_scores": q_mq_contributor_scores,
+    "udtf_sentences": q_udtf_sentences,
+    "segment_with_f_orders": q_segment_with_f_orders,
+    "customers_without_orders": q_customers_without_orders,
+    "brand_revenue": q_brand_revenue,
+    "priority_by_month": q_priority_by_month,
+    "union_entities": q_union_entities,
+    "boilerplate_stats": q_boilerplate_stats,
+    "rollup_flags": q_rollup_flags,
+    "grouping_sets": q_grouping_sets,
+    "zorder_events": q_zorder_events,
+    "salted_brand_join": q_salted_brand_join,
+    "segment_overlap": q_segment_overlap,
+    "sql_supplier_share": q_sql_supplier_share,
+    "latest_events_per_user": q_latest_events_per_user,
+    "rolling_user_value": q_rolling_user_value,
     # ---- driver-window boundary (entry 50 above this line) ----
-    # -- the 50 r8-green entries displaced by this rotation; they
-    #    lead the r10 rotation, still oracle-verified every round
-    #    via tools/verify_local.py. Round-9 changed-query note:
-    #    source_overlap switched to the Arrow signature tier this
-    #    round while displaced below the boundary — the tier itself
-    #    IS driver-proven this round (source_overlap_incremental at
-    #    window position 49 runs the same source_signatures
-    #    use_pandas path), bit-exactness vs the explode tier is
-    #    pytest-pinned, and both SFs verify locally; it re-proves
-    #    under the driver first thing in r10. Same story for the
-    #    one_bucket window replans (funnel_stages, rrf_fusion,
-    #    sitemap_urls): value-identical by construction, locally
-    #    verified, r10-leading. --
+    # -- staged r11 window (VERDICT r9 #4 — staged same-round so late
+    #    additions can't repeat the never-green pattern): positions
+    #    1-5 = the five r7-green deferrals above, positions 6-50 = the
+    #    first 45 of the r8-green cohort below (displaced r9→r10;
+    #    common_neighbors + source_overlap then lead r12 with the
+    #    r9-green cohort). --
+    "top_orders": q_top_orders,
+    "region_revenue": q_region_revenue,
+    "pricing_summary": q_pricing_summary,
+    "scalar_suite": q_scalar_suite,
+    "props_by_type": q_props_by_type,
+    # -- the 50 r8-green entries; first 45 complete the staged r11
+    #    window, still oracle-verified every round via
+    #    tools/verify_local.py --
     "hash_sample_split": q_hash_sample_split,
     "simhash_pairs": q_simhash_pairs,
     "language_id": q_language_id,
@@ -3045,62 +3085,57 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hits_scores": q_hits_scores,
     "common_neighbors": q_common_neighbors,
     "source_overlap": q_source_overlap,
-    # -- round-9 late additions (below the boundary: r10-leading, both
-    #    SFs verified via tools/verify_local.py this round) --
-    "ivf_pq_topk": q_ivf_pq_topk,
-    "cluster_silhouette": q_cluster_silhouette,
-    "attribution_time_decay": q_attribution_time_decay,
-    "clustering_coefficients": q_clustering_coefficients,
-    "source_concentration": q_source_concentration,
-    # -- tail: r7-green remainder (rotate after the r8 cohort) --
-    "pq_topk": q_pq_topk,
-    "tokenizer_fertility": q_tokenizer_fertility,
-    "quality_gate": q_quality_gate,
-    "global_shuffle": q_global_shuffle,
-    "doc_chunks": q_doc_chunks,
-    "packed_bins": q_packed_bins,
-    "stratified_sample": q_stratified_sample,
-    "apply_changeset": q_apply_changeset,
-    "skew_report": q_skew_report,
-    "corpus_report": q_corpus_report,
-    "event_rank_suite": q_event_rank_suite,
-    "top_orders": q_top_orders,
-    "region_revenue": q_region_revenue,
-    "pricing_summary": q_pricing_summary,
-    "scalar_suite": q_scalar_suite,
-    "text_stats": q_text_stats,
-    "melt_metrics": q_melt_metrics,
-    "cube_flags": q_cube_flags,
-    "pii_redaction": q_pii_redaction,
-    "repetition_stats": q_repetition_stats,
-    "top_bigrams": q_top_bigrams,
-    "bpe_token_counts": q_bpe_token_counts,
-    "fingerprint_folded": q_fingerprint_folded,
-    "fuzzy_match": q_fuzzy_match,
-    "snm_multipass": q_snm_multipass,
-    "skipgram_cooc": q_skipgram_cooc,
-    "rrf_fusion": q_rrf_fusion,
-    "avro_flatten_items": q_avro_flatten_items,
-    "repair_flatten": q_repair_flatten,
-    "schema_align": q_schema_align,
-    "decontaminate": q_decontaminate,
-    "fingerprint_clusters": q_fingerprint_clusters,
-    "mq_contributor_scores": q_mq_contributor_scores,
-    "udtf_sentences": q_udtf_sentences,
-    "segment_with_f_orders": q_segment_with_f_orders,
-    "customers_without_orders": q_customers_without_orders,
-    "brand_revenue": q_brand_revenue,
-    "priority_by_month": q_priority_by_month,
-    "union_entities": q_union_entities,
-    "boilerplate_stats": q_boilerplate_stats,
-    "rollup_flags": q_rollup_flags,
-    "grouping_sets": q_grouping_sets,
-    "zorder_events": q_zorder_events,
-    "salted_brand_join": q_salted_brand_join,
-    "segment_overlap": q_segment_overlap,
-    "sql_supplier_share": q_sql_supplier_share,
-    "latest_events_per_user": q_latest_events_per_user,
-    "rolling_user_value": q_rolling_user_value,
-    "props_by_type": q_props_by_type,
+    # -- the 50 r9-green entries displaced by this rotation
+    #    (r12-leading) --
+    "keep_first": q_keep_first,
+    "user_running_anomaly": q_user_running_anomaly,
+    "quality_classifier": q_quality_classifier,
+    "containment_pairs": q_containment_pairs,
+    "event_transitions": q_event_transitions,
+    "nearest_purchase": q_nearest_purchase,
+    "bigram_pmi": q_bigram_pmi,
+    "weighted_sample": q_weighted_sample,
+    "session_paths": q_session_paths,
+    "pq_encode": q_pq_encode,
+    "approx_distinct_users": q_approx_distinct_users,
+    "price_tiers": q_price_tiers,
+    "training_prep": q_training_prep,
+    "column_profile": q_column_profile,
+    "corr_matrix": q_corr_matrix,
+    "decayed_counts": q_decayed_counts,
+    "pagerank": q_pagerank,
+    "heavy_hitters": q_heavy_hitters,
+    "robust_outliers": q_robust_outliers,
+    "quantile_bins": q_quantile_bins,
+    "er_clusters": q_er_clusters,
+    "exact_dedup": q_exact_dedup,
+    "jaccard_pairs": q_jaccard_pairs,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "dedup_clusters": q_dedup_clusters,
+    "sentence_dedup": q_sentence_dedup,
+    "incremental_dedup": q_incremental_dedup,
+    "cosine_topk": q_cosine_topk,
+    "lsh_ann_topk": q_lsh_ann_topk,
+    "ivf_topk": q_ivf_topk,
+    "embedding_near_dup": q_embedding_near_dup,
+    "mq_provider_scores": q_mq_provider_scores,
+    "flatten_items": q_flatten_items,
+    "doc_presence_scores": q_doc_presence_scores,
+    "asof_purchases": q_asof_purchases,
+    "gap_fill": q_gap_fill,
+    "hourly_event_counts": q_hourly_event_counts,
+    "sliding_event_counts": q_sliding_event_counts,
+    "user_sessions": q_user_sessions,
+    "interval_join": q_interval_join,
+    "user_cumsum": q_user_cumsum,
+    "user_zscore": q_user_zscore,
+    "multimodal_meta": q_multimodal_meta,
+    "mixture_plan": q_mixture_plan,
+    "mixture_sample": q_mixture_sample,
+    "domain_cap": q_domain_cap,
+    "lm_scores": q_lm_scores,
+    "bm25_search": q_bm25_search,
+    "source_overlap_incremental": q_source_overlap_incremental,
+    "kcore_decomposition": q_kcore_decomposition,
 }
 

@@ -505,6 +505,80 @@ def test_semdedup_marks_smaller_id_twins(spark):
     assert got[5][1] is True
 
 
+def test_semantic_dedup_transitive_groups_and_prototype(spark):
+    """The contract that separates semantic_dedup from semdedup: a
+    similarity CHAIN a~b~c collapses into ONE group even though a and
+    c are not directly similar, and the kept representative is the
+    member closest to the cell centroid (here the chain's middle
+    vector), not the min id."""
+    import math
+
+    from batch_process_dpla_index_spark.operators.dedup import (
+        semantic_dedup,
+        unpersist_deps,
+    )
+
+    c30, s30 = math.cos(math.pi / 6), math.sin(math.pi / 6)
+    c60, s60 = math.cos(math.pi / 3), math.sin(math.pi / 3)
+    rows = [
+        # chain: cos(1,2)=cos(2,3)=cos30°≈0.866 >= 0.85 but
+        # cos(1,3)=cos60°=0.5 < 0.85 — only transitivity groups them
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [c30, s30, 0.0, 0.0]),
+        (3, [c60, s60, 0.0, 0.0]),
+        # isolated: orthogonal to everything
+        (4, [0.0, 0.0, 0.0, 1.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # k=1: a single cell, so the grouping is pure pair-graph structure
+    # and the centroid is the global mean — representative expectation
+    # computable by hand (vector 2 sits mid-chain, nearest the mean)
+    out = semantic_dedup(emb, "vec_id", "embedding", k=1, n_iter=2, threshold=0.85)
+    got = {r["id"]: r for r in out.collect()}
+    unpersist_deps(out)
+    assert {got[i]["group_id"] for i in (1, 2, 3)} == {1}
+    assert all(got[i]["group_size"] == 3 for i in (1, 2, 3))
+    assert got[4]["group_id"] == 4 and got[4]["group_size"] == 1
+    assert got[4]["kept"] is True
+    # prototype selection: the chain's representative is 2 (closest to
+    # the centroid), NOT the min id 1 — semdedup would have kept 1
+    assert [got[i]["kept"] for i in (1, 2, 3)] == [False, True, False]
+    assert got[2]["d2_centroid"] == min(got[i]["d2_centroid"] for i in (1, 2, 3))
+
+
+def test_semantic_dedup_fixture_invariants(spark):
+    """On the real embeddings fixture: exactly one representative per
+    group, group_size consistent with membership, and the kept row
+    carries its group's minimum centroid distance."""
+    from batch_process_dpla_index_spark.operators.dedup import (
+        semantic_dedup,
+        unpersist_deps,
+    )
+    from batch_process_dpla_index_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    out = semantic_dedup(emb, "vec_id", "embedding", k=32, n_iter=3, threshold=0.3)
+    agg = (
+        out.groupBy("group_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("kept").cast("int")).alias("n_kept"),
+            F.max("group_size").alias("gs"),
+            F.min("group_size").alias("gs2"),
+            F.min("d2_centroid").alias("min_d2"),
+            F.min(F.when(F.col("kept"), F.col("d2_centroid"))).alias("kept_d2"),
+        )
+        .collect()
+    )
+    unpersist_deps(out)
+    assert len(agg) > 0 and any(r["n"] > 1 for r in agg)
+    for r in agg:
+        assert r["n_kept"] == 1
+        assert r["gs"] == r["gs2"] == r["n"]
+        assert r["kept_d2"] == r["min_d2"]
+
+
 def test_dedup_parameter_guards(spark):
     """Round-6 review guards: silently-degrading parameter combos now
     fail loudly; the pandas shingle twin agrees with the expression
