@@ -93,14 +93,25 @@ def build_ann_index(
     stored.repartition(cell_partitions, "cell").write.mode("overwrite").parquet(
         os.path.join(index_dir, "cells")
     )
+    # metadata artifacts go through the ARROW createDataFrame path
+    # (pandas → JVM LocalRelation): a list-of-tuples frame plans its
+    # write over a Python-pickled RDD and pays a Python-worker round
+    # trip per write (~3.5 s each, measured on the overlap-index
+    # refresh — the same class of cost, twice, hid inside this
+    # product's bench time)
+    import pandas as pd
+
     if codebooks is not None:
-        book_rows = [
-            (j, c, [float(x) for x in vec])
-            for j, book in enumerate(codebooks)
-            for c, vec in enumerate(book)
-        ]
+        book_pdf = pd.DataFrame(
+            [
+                (j, c, [float(x) for x in vec])
+                for j, book in enumerate(codebooks)
+                for c, vec in enumerate(book)
+            ],
+            columns=["j", "code", "centroid"],
+        )
         spark.createDataFrame(
-            book_rows, "j int, code int, centroid array<double>"
+            book_pdf, "j int, code int, centroid array<double>"
         ).coalesce(1).write.mode("overwrite").parquet(
             os.path.join(index_dir, "pq_codebooks")
         )
@@ -111,9 +122,12 @@ def build_ann_index(
         )
 
         centroids = _centroid_matrix(dim, n_cells).tolist()
-    cent_rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
+    cent_pdf = pd.DataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        columns=["cell", "centroid"],
+    )
     spark.createDataFrame(
-        cent_rows, "cell int, centroid array<double>"
+        cent_pdf, "cell int, centroid array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(os.path.join(index_dir, "centroids"))
 
     # count from the freshly written parquet footers — recounting the

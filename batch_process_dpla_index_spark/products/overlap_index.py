@@ -52,6 +52,21 @@ def _sig_path(index_dir: str) -> str:
     return os.path.join(index_dir, "signatures")
 
 
+def _artifact_frame(sig: DataFrame) -> DataFrame:
+    """The signature frame shaped for the single-part artifact write.
+
+    |sources| rows × 65 ints: one part file keeps the artifact (and
+    every later read of it) trivially cheap. ``repartition(1)``, NOT
+    ``coalesce(1)``: coalesce folds the single-task constraint into
+    the upstream Arrow/aggregate signature stage (measured 2× the
+    build — BASELINE.md round-9 notes), repartition keeps that stage
+    32-way and single-tasks only the write. This helper exists so the
+    plan shape is PINNED (tests/test_plans.py and the PLANS.md product
+    section assert RoundRobin exchange, zero Coalesce) — a regression
+    back to coalesce flips the pin."""
+    return sig.repartition(1)
+
+
 def build_overlap_index(
     docs: DataFrame,
     index_dir: str,
@@ -68,13 +83,7 @@ def build_overlap_index(
     sig = source_signatures(
         docs, text_col, source_col, n, num_perm, use_pandas=use_pandas
     )
-    # |sources| rows × 65 ints: one part file keeps the artifact (and
-    # every later read of it) trivially cheap. repartition(1), NOT
-    # coalesce(1): coalesce folds the single-task constraint into the
-    # upstream signature stage (measured 2× the build), repartition
-    # keeps the Arrow/aggregate stage 32-way and single-tasks only the
-    # write.
-    sig.repartition(1).write.mode("overwrite").parquet(_sig_path(index_dir))
+    _artifact_frame(sig).write.mode("overwrite").parquet(_sig_path(index_dir))
     n_sources = docs.sparkSession.read.parquet(_sig_path(index_dir)).count()
     manifest = {
         "shingle_n": str(n),
@@ -137,13 +146,19 @@ def refresh_overlap_index(
     )
     merged = merge_source_signatures(stored, delta_sig, num_perm)
     # bounded-metadata driver hop (|sources| × 65 ints): makes the
-    # self-overwrite safe and the new artifact a clean single write
-    rows = merged.collect()
-    out = spark.createDataFrame(rows, merged.schema)
+    # self-overwrite safe and the new artifact a clean single write.
+    # The hop goes through ARROW both ways (toPandas → createDataFrame
+    # from pandas → JVM LocalRelation): the list-of-Rows route plans
+    # the write over a Python-pickled RDD and pays a Python-worker
+    # round trip PER REFRESH — measured 3.4-4.0 s of the refresh
+    # phase for a 20-row frame vs 0.13 s via Arrow (the r9 bench's
+    # 'position variance' on this product was exactly this cost).
+    pdf = merged.toPandas()
+    out = spark.createDataFrame(pdf, merged.schema)
     # coalesce(1) here, unlike build: `out` is driver-created — there
     # is no upstream stage whose parallelism a shuffle would protect
     out.coalesce(1).write.mode("overwrite").parquet(_sig_path(index_dir))
-    manifest["Record count"] = str(len(rows))
+    manifest["Record count"] = str(len(pdf))
     manifest["refresh_count"] = str(int(manifest.get("refresh_count", "0")) + 1)
     write_manifest(manifest, index_dir)
     return manifest

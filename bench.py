@@ -151,12 +151,61 @@ def main():
         sum(times[q] for q in common) / base_sum, 3
     ) if base_sum > 0 else None
 
+    # Mechanical warm adjudication (round-9 verdict item 8): every
+    # query over the 2x gate is re-run 4x warm IN THIS PROCESS and
+    # judged on its best warm time. The window-head first-run premium
+    # (keep_first r9, hash_sample_split r8) re-benches clean under
+    # this protocol; a genuine plan regression stays >2x warm and
+    # fails the run — the adjudication that used to be BASELINE.md
+    # prose is now the exit code.
+    over2_names = [
+        q for q, r in ratios.items() if r is not None and r > 2.0
+    ]
+    warm_times: dict[str, list[float]] = {}
+    warm_ratios: dict[str, float] = {}
+    for name in over2_names:
+        runs: list[float] = []
+        for _ in range(4):
+            t0 = time.time()
+            df = None
+            work_dir = None
+            try:
+                if name in QUERIES:
+                    df = QUERIES[name](spark, sf_dir)
+                    df.count()
+                else:
+                    work_dir = tempfile.mkdtemp(prefix=f"bench_{name}_")
+                    PRODUCT_BENCHES[name](spark, sf_dir, work_dir)
+                runs.append(round(time.time() - t0, 3))
+            except Exception as exc:
+                errors.setdefault(
+                    f"warm:{name}", f"{type(exc).__name__}: {exc}"[:500]
+                )
+                break
+            finally:
+                if df is not None:
+                    unpersist_deps(df)
+                if work_dir is not None:
+                    shutil.rmtree(work_dir, ignore_errors=True)
+        if runs:
+            warm_times[name] = runs
+            warm_ratios[name] = round(min(runs) / baseline[name], 3)
+            print(
+                f"# warm {name}: {runs} -> ratio {warm_ratios[name]}",
+                file=sys.stderr,
+            )
+    warm_over_2 = {q: r for q, r in warm_ratios.items() if r > 2.0}
+
     out = {
         "metric": "total_query_wall_clock",
         "value": total,
         "unit": "sec",
         "queries": times,
         "sf": sf,
+        # warm adjudication record: 4 same-process re-run times and the
+        # min-based ratio for every query whose first-run ratio was >2x
+        "warm_times": warm_times,
+        "warm_ratios": warm_ratios,
         # `value` sums only the SUCCEEDING queries — consumers must
         # check `complete`/`errors` before reading it as a speedup
         # (a newly-crashing query would otherwise look like a win).
@@ -202,6 +251,8 @@ def main():
         sorted(over2.items(), key=lambda kv: -kv[1])[:12]
     )
     line_out["n_over_2"] = len(over2)
+    line_out["warm_ratios"] = warm_ratios
+    line_out["warm_over_2"] = warm_over_2
     line_out["n_queries"] = len(times)
     line_out["full"] = "BENCH_LOCAL.json"
     by_cost = sorted(times.items(), key=lambda kv: (-kv[1], kv[0]))
@@ -216,6 +267,14 @@ def main():
     line_out["queries"] = kept
     line_out["queries_omitted"] = len(times) - len(kept)
     print(json.dumps(line_out, separators=(",", ":")))
+    # the warm verdict IS the exit code: a query that exceeds 2x on
+    # its recorded run AND on its best of 4 warm re-runs is a real
+    # regression, not a position artifact
+    if warm_over_2:
+        print(
+            f"# FAIL warm-adjudicated >2x: {warm_over_2}", file=sys.stderr
+        )
+        sys.exit(1)
 
 
 if __name__ == "__main__":

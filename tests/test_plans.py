@@ -536,3 +536,27 @@ def test_ivf_pq_topk_plan_two_arrow_passes_one_shuffle(spark):
     assert plan.count("MapInPandas") == 2, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_overlap_index_artifact_write_repartition_not_coalesce(spark):
+    """The overlap-index artifact write must stay `repartition(1)`:
+    coalesce(1) folds the single-task constraint into the upstream
+    Arrow signature stage (measured 2x the build — BASELINE.md r9
+    notes). Pin = a RoundRobin exchange above the signature aggregate
+    and ZERO Coalesce nodes; a regression back to coalesce flips both
+    asserts (VERDICT r9 #2)."""
+    from batch_process_dpla_index_spark.operators.dedup import source_signatures
+    from batch_process_dpla_index_spark.products.overlap_index import (
+        _artifact_frame,
+    )
+    from batch_process_dpla_index_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    frame = _artifact_frame(source_signatures(docs, use_pandas=True))
+    plan = frame._jdf.queryExecution().executedPlan().toString()
+    # repartition(1) plans as a REPARTITION_BY_NUM single-partition
+    # exchange ABOVE the signature aggregate; coalesce(1) would plan
+    # as a Coalesce node that folds the aggregate itself to one task
+    assert "Exchange SinglePartition, REPARTITION_BY_NUM" in plan, plan
+    assert "Coalesce" not in plan, plan
