@@ -1103,8 +1103,9 @@ def semantic_dedup(
     join + checkpoint per round) would pay driver-round latency for
     structure that is already partitioned: instead each cell's pair
     list collapses in one Arrow ``applyInPandas`` union-find — a
-    single cell-keyed shuffle, zero iterations, and with the k ≈ √N
-    IVF sizing each task's work is bounded by its cell's pair count
+    single cell-keyed shuffle, zero iterations, and with the
+    constant-population sizing (k ≈ N/64, see the plan-shape note
+    below) each task's work is bounded by its cell's pair count
     (measured 5.6 s iterative → sub-second local on the sf0.01
     fixture). Output is exact integer min-id labels, so the closure
     is bit-identical to the oracle's recursive-CTE replay.
@@ -1143,8 +1144,17 @@ def semantic_dedup(
         emb, id_col, vec_col, k=k, n_iter=n_iter, init="hash",
         update_grid=10**6, tol=0.0,
     )
-    cent_rows = [(i, [float(x) for x in c]) for i, c in enumerate(cents)]
-    cent_df = spark.createDataFrame(cent_rows, "cell int, __cent array<double>")
+    # pandas-backed createDataFrame (Arrow → JVM LocalRelation): a
+    # list-of-tuples frame would plan as a Python-pickled RDD scan and
+    # pay a Python-worker round trip on every execution (the cost
+    # class measured at ~3.5 s on the overlap-index refresh)
+    import pandas as pd
+
+    cent_pdf = pd.DataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        columns=["cell", "__cent"],
+    )
+    cent_df = spark.createDataFrame(cent_pdf, "cell int, __cent array<double>")
     vecs = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     # strict-fold Σ(x−c)²: same association as the oracle's list_reduce
     d2_fold = F.aggregate(

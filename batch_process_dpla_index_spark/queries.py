@@ -2958,15 +2958,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-10 rotation (VERDICT r9 #1): positions 1-5 are the five
     # late-r9 operators that have never had a driver row, position 6
     # is this round's new operator (semantic_dedup, debut window —
-    # VERDICT #7), and positions 7-50 are 44 of the 49 entries last
-    # green in r7. Five r7-green entries are DEFERRED to r11 (one slot
-    # was given to semantic_dedup's debut): top_orders, region_revenue,
-    # pricing_summary, scalar_suite, props_by_type — all simple
-    # TPC-H-scan shapes whose plans are untouched since r7; each is
-    # re-verified against its oracle at both SFs via
-    # tools/verify_local.py this round (results in PROGRESS.jsonl).
-    # After CORRECTNESS_r10: cumulative coverage 155/155, nothing
-    # last-green older than r8 except those five named deferrals.
+    # VERDICT #7), position 7 is source_overlap (its r9 Arrow-tier
+    # replan has never been driver-proven on its own row — the r9
+    # staging note promised it "re-proves under the driver first thing
+    # in r10"), and positions 8-50 are 43 of the 49 entries last green
+    # in r7. SIX r7-green entries are DEFERRED to r11 (two slots went
+    # to semantic_dedup's debut and source_overlap's replan proof):
+    # top_orders, region_revenue, pricing_summary, scalar_suite,
+    # props_by_type, brand_revenue — all simple TPC-H-scan shapes whose
+    # plans are untouched since r7; each is re-verified against its
+    # oracle at both SFs via tools/verify_local.py this round
+    # (receipts in ROUNDNOTES.md). After CORRECTNESS_r10: cumulative
+    # coverage 155/155, nothing last-green older than r8 except those
+    # six named deferrals.
     # -- never-green late-r9 operators (oracle'd + pinned since r9) --
     "ivf_pq_topk": q_ivf_pq_topk,
     "cluster_silhouette": q_cluster_silhouette,
@@ -2975,7 +2979,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_concentration": q_source_concentration,
     # -- round-10 debut: cluster-level SemDeDup --
     "semantic_dedup": q_semantic_dedup,
-    # -- 44 of the 49 r7-green entries (oldest cohort) --
+    # -- r9's Arrow-tier replan, first driver proof on its own row --
+    "source_overlap": q_source_overlap,
+    # -- 43 of the 49 r7-green entries (oldest cohort) --
     "pq_topk": q_pq_topk,
     "tokenizer_fertility": q_tokenizer_fertility,
     "quality_gate": q_quality_gate,
@@ -3008,7 +3014,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "udtf_sentences": q_udtf_sentences,
     "segment_with_f_orders": q_segment_with_f_orders,
     "customers_without_orders": q_customers_without_orders,
-    "brand_revenue": q_brand_revenue,
     "priority_by_month": q_priority_by_month,
     "union_entities": q_union_entities,
     "boilerplate_stats": q_boilerplate_stats,
@@ -3023,18 +3028,20 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- driver-window boundary (entry 50 above this line) ----
     # -- staged r11 window (VERDICT r9 #4 — staged same-round so late
     #    additions can't repeat the never-green pattern): positions
-    #    1-5 = the five r7-green deferrals above, positions 6-50 = the
-    #    first 45 of the r8-green cohort below (displaced r9→r10;
-    #    common_neighbors + source_overlap then lead r12 with the
-    #    r9-green cohort). --
+    #    1-6 = the six r7-green deferrals above, positions 7-50 = the
+    #    first 44 of the r8-green cohort below (displaced r9→r10;
+    #    the cohort's last five — rfm_segments, churn_labels,
+    #    readability_scores, hits_scores, common_neighbors — then lead
+    #    r12 with the r9-green cohort). --
     "top_orders": q_top_orders,
     "region_revenue": q_region_revenue,
     "pricing_summary": q_pricing_summary,
     "scalar_suite": q_scalar_suite,
     "props_by_type": q_props_by_type,
-    # -- the 50 r8-green entries; first 45 complete the staged r11
-    #    window, still oracle-verified every round via
-    #    tools/verify_local.py --
+    "brand_revenue": q_brand_revenue,
+    # -- the 49 remaining r8-green entries (source_overlap moved into
+    #    the r10 window); first 44 complete the staged r11 window,
+    #    still oracle-verified every round via tools/verify_local.py --
     "hash_sample_split": q_hash_sample_split,
     "simhash_pairs": q_simhash_pairs,
     "language_id": q_language_id,
@@ -3084,7 +3091,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "readability_scores": q_readability_scores,
     "hits_scores": q_hits_scores,
     "common_neighbors": q_common_neighbors,
-    "source_overlap": q_source_overlap,
     # -- the 50 r9-green entries displaced by this rotation
     #    (r12-leading) --
     "keep_first": q_keep_first,

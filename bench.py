@@ -195,6 +195,12 @@ def main():
                 file=sys.stderr,
             )
     warm_over_2 = {q: r for q, r in warm_ratios.items() if r > 2.0}
+    # a >2x query whose warm re-run CRASHED must fail the gate, not
+    # slip past it with no warm_ratio — a crash is the worst class of
+    # regression, and an empty `runs` list would otherwise exit 0
+    for name in over2_names:
+        if name not in warm_ratios:
+            warm_over_2[name] = None
 
     out = {
         "metric": "total_query_wall_clock",
@@ -242,7 +248,12 @@ def main():
     # timing.
     budget = 1800
     line_out = {
-        k: v for k, v in out.items() if k not in ("queries", "baseline_ratios")
+        k: v
+        for k, v in out.items()
+        # warm_times stays in BENCH_LOCAL.json only: 4 floats per
+        # adjudicated query would eat the 1800-char stdout budget that
+        # exists to carry per-query timings; warm_ratios is the verdict
+        if k not in ("queries", "baseline_ratios", "warm_times")
     }
     # the 2x-gate offenders, mechanically: every common query whose
     # normalized ratio exceeds 2 rides the stdout line by name
