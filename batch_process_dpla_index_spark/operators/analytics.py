@@ -87,9 +87,17 @@ def funnel_stages(
     exact = per_user.groupBy("max_stage").agg(
         F.count("*").alias("__n")
     )
+    import pandas as pd
+
     ladder = (
         events.sparkSession.createDataFrame(
-            [(i + 1, s) for i, s in enumerate(steps)], ["stage", "step"]
+            # pandas-backed (Arrow → LocalRelation), not list-of-tuples:
+            # the latter evaluates through a Python-pickled RDD per job
+            pd.DataFrame(
+                [(i + 1, s) for i, s in enumerate(steps)],
+                columns=["stage", "step"],
+            ),
+            "stage bigint, step string",
         )
         .join(exact, F.col("max_stage") == F.col("stage"), "left")
         .drop("max_stage")

@@ -42,9 +42,13 @@ def bm25_topk(
     ln(1 + (N - df + 0.5)/(df + 0.5)); doc length is the token count
     under the engine tokenizer. Ties broken by id for determinism.
     """
+    import pandas as pd
+
     q_terms = [t for t in query.lower().split() if t]
+    # pandas-backed (Arrow → LocalRelation): a list-of-tuples frame
+    # would evaluate through a Python-pickled RDD scan per job
     q_df = docs.sparkSession.createDataFrame(
-        [(t,) for t in sorted(set(q_terms))], "term string"
+        pd.DataFrame({"term": sorted(set(q_terms))}), "term string"
     )
 
     # Doc length rides along through the explode so the scored frame

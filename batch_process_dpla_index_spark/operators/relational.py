@@ -12,6 +12,31 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _arrow_local_frame(spark, tuples, schema) -> DataFrame:
+    """Tiny driver-side frame via the ARROW createDataFrame path.
+
+    A list-of-tuples ``createDataFrame`` plans as a Python-pickled RDD
+    scan and pays a Python-worker round trip every time a consumer
+    evaluates it (~0.3-3.5 s depending on worker-pool state —
+    BASELINE.md r10 notes); the pandas path converts through Arrow to
+    a JVM LocalRelation, pure JVM thereafter. Columns are built as
+    OBJECT-dtype series so None survives exactly (a numeric column
+    with None would otherwise become float64 + NaN, and NaN→int under
+    the explicit schema is the dtype trap the object path sidesteps).
+    """
+    import pandas as pd
+
+    names = [f.name for f in schema.fields]
+    pdf = pd.DataFrame(
+        {
+            n: pd.Series([t[i] for t in tuples], dtype="object")
+            for i, n in enumerate(names)
+        },
+        columns=names,
+    )
+    return spark.createDataFrame(pdf, schema)
+
+
 def join_dim(fact: DataFrame, dim: DataFrame, on, how: str = "inner") -> DataFrame:
     """Equi-join a fact table against a dimension, broadcasting the dim.
 
@@ -106,8 +131,10 @@ def range_join(
             [StructField("__range_idx", IntegerType(), False)]
             + list(ranges.schema.fields)
         )
-        idx_ranges = ranges.sparkSession.createDataFrame(
-            [(i,) + tuple(r) for i, r in enumerate(rows)], idx_schema
+        idx_ranges = _arrow_local_frame(
+            ranges.sparkSession,
+            [(i,) + tuple(r) for i, r in enumerate(rows)],
+            idx_schema,
         )
         return (
             fact.withColumn("__range_idx", expr)
@@ -119,7 +146,9 @@ def range_join(
     # ranges computation executes exactly once either way — and a
     # nondeterministic ranges source can't disagree between the
     # overlap check and the executed join.
-    literal_ranges = fact.sparkSession.createDataFrame(rows, ranges.schema)
+    literal_ranges = _arrow_local_frame(
+        fact.sparkSession, [tuple(r) for r in rows], ranges.schema
+    )
     cond = (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
     return fact.join(F.broadcast(literal_ranges), cond)
 

@@ -150,10 +150,18 @@ def heavy_hitters(
     spark = items.sparkSession
     items.unpersist()
     summary.unpersist()
+    import pandas as pd
+
+    # pandas-backed result frame (Arrow → JVM LocalRelation): the
+    # list-of-tuples form plans as a Python-pickled RDD and pays a
+    # Python-worker round trip every time a consumer evaluates it
     return spark.createDataFrame(
-        [
-            (r["item"], r["n_exact"], i + 1, bool(bound_ok))
-            for i, r in enumerate(rows)
-        ],
+        pd.DataFrame(
+            [
+                (r["item"], r["n_exact"], i + 1, bool(bound_ok))
+                for i, r in enumerate(rows)
+            ],
+            columns=["item", "n_exact", "rank", "mg_bound_ok"],
+        ),
         schema="item string, n_exact long, rank int, mg_bound_ok boolean",
     )

@@ -1165,10 +1165,18 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_price_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range/theta join (§2.4 extension): orders matched into literal
     price tiers via BroadcastNestedLoopJoin over 4 range rows."""
+    import pandas as pd
+
     orders = load_table(spark, sf_dir, "orders")
+    # pandas-backed literal dim (Arrow → JVM LocalRelation): the
+    # list-of-tuples form plans as a Python-pickled RDD and pays a
+    # Python-worker round trip when evaluated (BASELINE.md r10 notes)
     tiers = spark.createDataFrame(
-        [("T0", 0.0, 50_000.0), ("T1", 50_000.0, 150_000.0),
-         ("T2", 150_000.0, 300_000.0), ("T3", 300_000.0, 1e18)],
+        pd.DataFrame(
+            [("T0", 0.0, 50_000.0), ("T1", 50_000.0, 150_000.0),
+             ("T2", 150_000.0, 300_000.0), ("T3", 300_000.0, 1e18)],
+            columns=["tier", "lo", "hi"],
+        ),
         "tier STRING, lo DOUBLE, hi DOUBLE",
     )
     return (
