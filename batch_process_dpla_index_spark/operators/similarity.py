@@ -861,3 +861,52 @@ def random_projection(
     return df.where(F.col(vec_col).isNotNull()).select(
         id_col, proj.alias("proj")
     )
+
+
+def ann_recall_report(
+    truth: DataFrame,
+    approx: DataFrame,
+    k: int,
+    query_col: str = "query_id",
+    neighbor_col: str = "neighbor_id",
+) -> DataFrame:
+    """Recall@k of an approximate ANN result against exact truth —
+    the tuning diagnostic every ANN deployment reads before trading
+    probes for latency (FAISS's convention: recall = |approx ∩ truth|
+    / k per query).
+
+    Both inputs are (query_col, neighbor_col, ...) top-k frames —
+    e.g. :func:`cosine_topk` as truth and :func:`ivf_topk` /
+    :func:`lsh_ann_topk` / `quantization.pq_topk` as the approximate
+    side. Returns one row per truth query: (query_id, n_hits,
+    recall_at_k), n_hits an exact BIGINT and recall one divide at
+    6dp — nothing float-fragile to pin.
+
+    Plan shape at any scale: recall is always evaluated over a
+    BOUNDED query sample (the truth side's brute-force cost enforces
+    that), so this is one broadcast equi-join between two ~|Q|·k-row
+    frames plus one group aggregate — the two ANN computations feeding
+    it dominate at every SF.
+    """
+    t = truth.select(
+        F.col(query_col).alias("query_id"),
+        F.col(neighbor_col).alias("neighbor_id"),
+    )
+    a = approx.select(
+        F.col(query_col).alias("query_id"),
+        F.col(neighbor_col).alias("neighbor_id"),
+        F.lit(1).alias("__hit"),
+    )
+    return (
+        t.join(F.broadcast(a), ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_hits"),
+            F.round(
+                F.sum(F.coalesce(F.col("__hit"), F.lit(0))) / F.lit(float(k)),
+                6,
+            ).alias("recall_at_k"),
+        )
+    )

@@ -1280,6 +1280,25 @@ FROM topk WHERE rnk <= {k}
 
 ORACLE_IVF_TOPK = _ivf_oracle()
 
+# Recall@5 of the IVF path vs brute-force truth: the two sides are the
+# EXACT oracle bodies of cosine_topk and ivf_topk (the
+# lsh_quality_report composition pattern), so the intersection count
+# is an exact integer and recall is one 6dp divide.
+ORACLE_IVF_RECALL_REPORT = f"""
+WITH truth AS ({ORACLE_COSINE_TOPK}),
+approx AS ({_ivf_oracle()}),
+hits AS (
+    SELECT t.query_id,
+           CAST(count(a.neighbor_id) AS BIGINT) AS n_hits
+    FROM truth t
+    LEFT JOIN (SELECT * FROM approx WHERE query_id < 25) a
+      ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+    GROUP BY t.query_id
+)
+SELECT query_id, n_hits, round(n_hits / 5.0, 6) AS recall_at_k
+FROM hits ORDER BY query_id
+"""
+
 
 def _kmeans_cte_chain(k: int, n_iter: int, grid: int) -> str:
     """Shared CTE prefix replaying `clustering.kmeans_fit(init='hash',
@@ -3939,6 +3958,7 @@ ORACLES: dict[str, str] = {
     "pq_encode": ORACLE_PQ_ENCODE,
     "semdedup": ORACLE_SEMDEDUP,
     "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
+    "ivf_recall_report": ORACLE_IVF_RECALL_REPORT,
     "dsir_weights": ORACLE_DSIR_WEIGHTS,
     "tfidf_terms": ORACLE_TFIDF_TERMS,
     "char_entropy": ORACLE_CHAR_ENTROPY,

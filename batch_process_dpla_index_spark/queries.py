@@ -1099,6 +1099,29 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, "vec_id", "embedding", dim=64, k=5, n_cells=16, n_probe=4)
 
 
+def q_ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the IVF ANN path against brute-force truth (r10,
+    staged for the r11 window): the probes-vs-recall diagnostic an ANN
+    deployment tunes on. Pure composition of two driver-proven sides —
+    `cosine_topk` truth and `ivf_topk` approx over the same 25-query
+    sample — joined on exact (query, neighbor) identity, so the oracle
+    is the same two green CTE bodies composed (the lsh_quality_report
+    pattern); nothing float-fragile crosses engines beyond what each
+    side already pins."""
+    from batch_process_dpla_index_spark.operators.similarity import (
+        ann_recall_report,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    truth = cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 25), "vec_id", "embedding", k=5
+    )
+    approx = ivf_topk(
+        emb, "vec_id", "embedding", dim=64, k=5, n_cells=16, n_probe=4
+    ).filter(F.col("query_id") < 25)
+    return ann_recall_report(truth, approx, k=5).orderBy("query_id")
+
+
 def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN serve path, now FULLY hash-verified:
     encode the corpus against the PINNED deterministic codebook (the
@@ -3035,12 +3058,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rolling_user_value": q_rolling_user_value,
     # ---- driver-window boundary (entry 50 above this line) ----
     # -- staged r11 window (VERDICT r9 #4 — staged same-round so late
-    #    additions can't repeat the never-green pattern): positions
-    #    1-6 = the six r7-green deferrals above, positions 7-50 = the
-    #    first 44 of the r8-green cohort below (displaced r9→r10;
-    #    the cohort's last five — rfm_segments, churn_labels,
+    #    additions can't repeat the never-green pattern): position 1 =
+    #    ivf_recall_report (late-r10 addition, locally verified both
+    #    SFs + pinned + probed this round — staged here so its debut
+    #    driver row is first thing in r11), positions 2-7 = the six
+    #    r7-green deferrals, positions 8-50 = the first 43 of the
+    #    r8-green cohort below (displaced r9→r10; the cohort's last
+    #    six — bpe_merges, rfm_segments, churn_labels,
     #    readability_scores, hits_scores, common_neighbors — then lead
     #    r12 with the r9-green cohort). --
+    "ivf_recall_report": q_ivf_recall_report,
     "top_orders": q_top_orders,
     "region_revenue": q_region_revenue,
     "pricing_summary": q_pricing_summary,
@@ -3048,7 +3075,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "props_by_type": q_props_by_type,
     "brand_revenue": q_brand_revenue,
     # -- the 49 remaining r8-green entries (source_overlap moved into
-    #    the r10 window); first 44 complete the staged r11 window,
+    #    the r10 window); first 43 complete the staged r11 window,
     #    still oracle-verified every round via tools/verify_local.py --
     "hash_sample_split": q_hash_sample_split,
     "simhash_pairs": q_simhash_pairs,

@@ -830,3 +830,40 @@ def test_presence_flags_reference_semantics(spark):
     assert got[2] == (0, 0, 0)
     assert got[3] == (1, 0, 0)  # NULL array scores 1 — reference parity
     assert got[4] == (1, 0, 0)  # blank string absent, no LIKE match
+
+
+def test_ann_recall_report_hand_case_and_ivf_composition(spark):
+    """Hand case: known overlap counts -> exact recall fractions; and
+    on the fixture, the ivf_topk(probe=all-cells) side must achieve
+    recall 1.0 against brute-force truth (probing every cell IS the
+    exact search), while the registry's 4-probe setting stays <= 1."""
+    from batch_process_dpla_index_spark.operators.similarity import (
+        ann_recall_report,
+        cosine_topk,
+        ivf_topk,
+    )
+    from batch_process_dpla_index_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    truth = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 10), (2, 12)],
+        "query_id long, neighbor_id long",
+    )
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 99), (2, 10), (2, 12)],
+        "query_id long, neighbor_id long",
+    )
+    got = {
+        r["query_id"]: (r["n_hits"], r["recall_at_k"])
+        for r in ann_recall_report(truth, approx, k=2).collect()
+    }
+    assert got[1] == (1, 0.5) and got[2] == (2, 1.0)
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    t = cosine_topk(emb, emb.filter(F.col("vec_id") < 25), "vec_id", "embedding", k=5)
+    full = ivf_topk(
+        emb, "vec_id", "embedding", dim=64, k=5, n_cells=16, n_probe=16
+    ).filter(F.col("query_id") < 25)
+    rep = ann_recall_report(t, full, k=5).collect()
+    assert len(rep) == 25
+    assert all(r["recall_at_k"] == 1.0 and r["n_hits"] == 5 for r in rep)
