@@ -1858,7 +1858,9 @@ FROM documents
 # The Spark side computes the same fixpoint by min-label propagation.
 ORACLE_DEDUP_CLUSTERS = f"""
 WITH RECURSIVE pairs AS ({_minhash_oracle()}),
-edges AS (
+edges AS MATERIALIZED (
+    -- MATERIALIZED: reach references edges per recursion round; an
+    -- inlined edges would re-run the whole pair chain each round
     SELECT id_a AS src, id_b AS dst FROM pairs
     UNION
     SELECT id_b AS src, id_a AS dst FROM pairs
@@ -1876,7 +1878,9 @@ FROM reach GROUP BY node
 # same transitive closure, then longest member (n_chars DESC, doc_id ASC).
 ORACLE_DEDUP_REPRESENTATIVES = f"""
 WITH RECURSIVE pairs AS ({_minhash_oracle()}),
-edges AS (
+edges AS MATERIALIZED (
+    -- MATERIALIZED: reach references edges per recursion round; an
+    -- inlined edges would re-run the whole pair chain each round
     SELECT id_a AS src, id_b AS dst FROM pairs
     UNION
     SELECT id_b AS src, id_a AS dst FROM pairs
@@ -2512,7 +2516,9 @@ FROM c GROUP BY k ORDER BY k
 # keyed on the CLUSTER id (every member draws the same side).
 ORACLE_LEAKAGE_SAFE_SPLIT = f"""
 WITH RECURSIVE pairs AS ({_minhash_oracle()}),
-edges AS (
+edges AS MATERIALIZED (
+    -- MATERIALIZED: reach references edges per recursion round; an
+    -- inlined edges would re-run the whole pair chain each round
     SELECT id_a AS src, id_b AS dst FROM pairs
     UNION
     SELECT id_b AS src, id_a AS dst FROM pairs
@@ -3468,7 +3474,9 @@ w AS (SELECT k, nm, b,
       FROM t2 WINDOW win AS (PARTITION BY b ORDER BY nm ASC, k ASC)),
 cand AS ({_SNM_SLOTS}),
 pairs AS (SELECT key_a, key_b FROM cand WHERE distance <= 8),
-edges AS (
+edges AS MATERIALIZED (
+    -- MATERIALIZED: see the dedup_clusters note — avoids re-running
+    -- the SNM chain per recursion round
     SELECT key_a AS src, key_b AS dst FROM pairs
     UNION
     SELECT key_b AS src, key_a AS dst FROM pairs
