@@ -1280,6 +1280,74 @@ FROM topk WHERE rnk <= {k}
 
 ORACLE_IVF_TOPK = _ivf_oracle()
 
+
+def _incremental_semantic_oracle(
+    dim: int = 64, n_cells: int = 16, n_probe: int = 2,
+    threshold: float = 0.3,
+) -> str:
+    """Replays `similarity.incremental_semantic_dedup`: the pinned
+    h60 centroid assignment (same cell_selects + d DESC, cell DESC
+    ranking as `_ivf_oracle` — hash-proven), corpus slice stored at
+    rank-1, batch slice probing ``n_probe`` cells, strict-fold cosine
+    inside probed∩stored cell pairs, best match by (cos DESC, id ASC)."""
+    def centroid_sql(c: int) -> str:
+        comps = ", ".join(
+            repr(_h60_unit(f"ivf:{c}:{d}")) for d in range(dim)
+        )
+        return f"[{comps}]"
+
+    cell_selects = "\n    UNION ALL\n    ".join(
+        f"SELECT vec_id, embedding, {c} AS cell, "
+        f"{_dot('embedding', centroid_sql(c))} AS d FROM embeddings"
+        for c in range(n_cells)
+    )
+    cos = (
+        f"CASE WHEN sqrt({_dot('q_vec', 'q_vec')}) * "
+        f"sqrt({_dot('c_vec', 'c_vec')}) = 0 THEN NULL "
+        f"ELSE {_dot('q_vec', 'c_vec')} / "
+        f"(sqrt({_dot('q_vec', 'q_vec')}) * sqrt({_dot('c_vec', 'c_vec')})) END"
+    )
+    return f"""
+WITH dots AS (
+    {cell_selects}
+), ranked AS (
+    SELECT vec_id, embedding, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell DESC) AS rnk
+    FROM dots
+), stored AS (
+    SELECT vec_id AS c_id, embedding AS c_vec, cell
+    FROM ranked WHERE rnk = 1 AND vec_id % 10 <> 7
+), assigned AS (
+    SELECT vec_id AS q_id, embedding AS q_vec, cell, rnk
+    FROM ranked WHERE vec_id % 10 = 7
+), probing AS (
+    SELECT q_id, q_vec, cell FROM assigned WHERE rnk <= {n_probe}
+), base AS (
+    SELECT q_id AS id, cell FROM assigned WHERE rnk = 1
+), scored AS (
+    SELECT q_id, c_id, {cos} AS cs
+    FROM probing JOIN stored USING (cell) WHERE q_id <> c_id
+), hits AS (
+    SELECT q_id, c_id, cs,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY cs DESC NULLS LAST, c_id ASC) AS rn
+    FROM scored WHERE cs >= {threshold}
+), agg AS (
+    SELECT q_id, CAST(count(*) AS BIGINT) AS n_matches,
+           max(CASE WHEN rn = 1 THEN c_id END) AS best_match_id,
+           round(max(CASE WHEN rn = 1 THEN cs END), 6) AS best_score
+    FROM hits GROUP BY q_id
+)
+SELECT b.id AS vec_id, CAST(b.cell AS INTEGER) AS cell,
+       CAST(COALESCE(a.n_matches, 0) AS BIGINT) AS n_matches,
+       COALESCE(a.n_matches, 0) = 0 AS is_new,
+       a.best_match_id, a.best_score
+FROM base b LEFT JOIN agg a ON a.q_id = b.id
+"""
+
+
+ORACLE_INCREMENTAL_SEMANTIC_DEDUP = _incremental_semantic_oracle()
+
 # Recall@5 of the IVF path vs brute-force truth: the two sides are the
 # EXACT oracle bodies of cosine_topk and ivf_topk (the
 # lsh_quality_report composition pattern), so the intersection count
@@ -3967,6 +4035,7 @@ ORACLES: dict[str, str] = {
     "semdedup": ORACLE_SEMDEDUP,
     "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
     "ivf_recall_report": ORACLE_IVF_RECALL_REPORT,
+    "incremental_semantic_dedup": ORACLE_INCREMENTAL_SEMANTIC_DEDUP,
     "dsir_weights": ORACLE_DSIR_WEIGHTS,
     "tfidf_terms": ORACLE_TFIDF_TERMS,
     "char_entropy": ORACLE_CHAR_ENTROPY,

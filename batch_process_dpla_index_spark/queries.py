@@ -1122,6 +1122,48 @@ def q_ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_recall_report(truth, approx, k=5).orderBy("query_id")
 
 
+def q_incremental_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time embedding dedup (r10, staged for the r11 window):
+    the batch slice (vec_id % 10 == 7) checked against the stored
+    corpus through the pinned IVF cells — the embedding-space twin of
+    `incremental_dedup`'s LSH-bucketed text path. Stored vectors sit
+    in their rank-1 cell; new vectors probe 2 cells; cosine only
+    inside probed∩stored cell pairs. Every piece is a hash-proven
+    pattern (pinned h60 centroids + d DESC/cell DESC assignment from
+    ivf_topk, strict-fold cosine, score-DESC/id-ASC best-match
+    ranking)."""
+    from batch_process_dpla_index_spark.operators.similarity import (
+        incremental_semantic_dedup,
+    )
+
+    from batch_process_dpla_index_spark.operators.dedup import carry_deps
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    new = emb.where(F.col("vec_id") % 10 == 7)
+    corpus = emb.where(F.col("vec_id") % 10 != 7)
+    # constant stored-cell population (n_cells ≈ corpus/64): pair work
+    # stays DELTA-proportional under corpus growth (a fixed cell count
+    # measured 25× at the 10× probe). Every verification SF (corpus
+    # = 450 vectors at sf0.001/0.01) resolves to n_cells = 16 — exactly
+    # what the static oracle replays.
+    n_cells = max(16, corpus.count() // 64)
+    out = incremental_semantic_dedup(
+        new, corpus, "vec_id", "embedding", dim=64, n_cells=n_cells,
+        n_probe=2, threshold=0.3,
+    )
+    return carry_deps(
+        out.select(
+            F.col("id").alias("vec_id"),
+            "cell",
+            "n_matches",
+            "is_new",
+            "best_match_id",
+            "best_score",
+        ),
+        out,
+    )
+
+
 def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN serve path, now FULLY hash-verified:
     encode the corpus against the PINNED deterministic codebook (the
@@ -3058,16 +3100,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rolling_user_value": q_rolling_user_value,
     # ---- driver-window boundary (entry 50 above this line) ----
     # -- staged r11 window (VERDICT r9 #4 — staged same-round so late
-    #    additions can't repeat the never-green pattern): position 1 =
-    #    ivf_recall_report (late-r10 addition, locally verified both
-    #    SFs + pinned + probed this round — staged here so its debut
-    #    driver row is first thing in r11), positions 2-7 = the six
-    #    r7-green deferrals, positions 8-50 = the first 43 of the
-    #    r8-green cohort below (displaced r9→r10; the cohort's last
-    #    six — bpe_merges, rfm_segments, churn_labels,
-    #    readability_scores, hits_scores, common_neighbors — then lead
-    #    r12 with the r9-green cohort). --
+    #    additions can't repeat the never-green pattern): positions
+    #    1-2 = ivf_recall_report and incremental_semantic_dedup
+    #    (late-r10 additions, locally verified both SFs + pinned +
+    #    probed this round — staged here so their debut driver rows
+    #    land first thing in r11), positions 3-8 = the six r7-green
+    #    deferrals, positions 9-50 = the first 42 of the r8-green
+    #    cohort below (displaced r9→r10; the cohort's last seven —
+    #    triangle_count, bpe_merges, rfm_segments, churn_labels,
+    #    readability_scores, hits_scores, common_neighbors — then
+    #    lead r12 with the r9-green cohort). --
     "ivf_recall_report": q_ivf_recall_report,
+    "incremental_semantic_dedup": q_incremental_semantic_dedup,
     "top_orders": q_top_orders,
     "region_revenue": q_region_revenue,
     "pricing_summary": q_pricing_summary,
@@ -3075,7 +3119,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "props_by_type": q_props_by_type,
     "brand_revenue": q_brand_revenue,
     # -- the 49 remaining r8-green entries (source_overlap moved into
-    #    the r10 window); first 43 complete the staged r11 window,
+    #    the r10 window); first 42 complete the staged r11 window,
     #    still oracle-verified every round via tools/verify_local.py --
     "hash_sample_split": q_hash_sample_split,
     "simhash_pairs": q_simhash_pairs,

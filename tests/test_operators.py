@@ -867,3 +867,54 @@ def test_ann_recall_report_hand_case_and_ivf_composition(spark):
     rep = ann_recall_report(t, full, k=5).collect()
     assert len(rep) == 25
     assert all(r["recall_at_k"] == 1.0 and r["n_hits"] == 5 for r in rep)
+
+
+def test_incremental_semantic_dedup_contract(spark):
+    """Hand case: a new vector nearly parallel to a stored one matches
+    it (best_match_id, not is_new); an orthogonal new vector is new.
+    Fixture invariant: every matched row carries a best_match_id from
+    the corpus slice and best_score >= the threshold."""
+    from batch_process_dpla_index_spark.operators.dedup import unpersist_deps
+    from batch_process_dpla_index_spark.operators.similarity import (
+        incremental_semantic_dedup,
+    )
+    from batch_process_dpla_index_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    new = spark.createDataFrame(
+        [(10, [0.999, 0.01, 0.0, 0.0]), (11, [0.0, 0.0, 0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = incremental_semantic_dedup(
+        new, corpus, "vec_id", "embedding", dim=4, n_cells=1, n_probe=1,
+        threshold=0.9,
+    )
+    got = {r["id"]: r for r in out.collect()}
+    unpersist_deps(out)
+    assert got[10]["is_new"] is False and got[10]["best_match_id"] == 1
+    assert got[10]["n_matches"] == 1 and got[10]["best_score"] > 0.99
+    assert got[11]["is_new"] is True and got[11]["best_match_id"] is None
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    new_fx = emb.where(F.col("vec_id") % 10 == 7)
+    corpus_fx = emb.where(F.col("vec_id") % 10 != 7)
+    out_fx = incremental_semantic_dedup(
+        new_fx, corpus_fx, "vec_id", "embedding", dim=64, n_cells=16,
+        n_probe=2, threshold=0.3,
+    )
+    rows = out_fx.collect()
+    unpersist_deps(out_fx)
+    corpus_ids = {r["vec_id"] for r in corpus_fx.select("vec_id").collect()}
+    assert len(rows) == new_fx.count()
+    matched = [r for r in rows if not r["is_new"]]
+    assert matched, "fixture should produce matches at threshold 0.3"
+    for r in matched:
+        assert r["best_match_id"] in corpus_ids
+        assert r["best_score"] >= 0.3 and r["n_matches"] >= 1
+    for r in rows:
+        if r["is_new"]:
+            assert r["best_match_id"] is None and r["n_matches"] == 0
