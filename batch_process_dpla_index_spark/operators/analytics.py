@@ -87,16 +87,14 @@ def funnel_stages(
     exact = per_user.groupBy("max_stage").agg(
         F.count("*").alias("__n")
     )
-    import pandas as pd
+    from batch_process_dpla_index_spark.operators.relational import (
+        _arrow_local_frame,
+    )
 
     ladder = (
-        events.sparkSession.createDataFrame(
-            # pandas-backed (Arrow → LocalRelation), not list-of-tuples:
-            # the latter evaluates through a Python-pickled RDD per job
-            pd.DataFrame(
-                [(i + 1, s) for i, s in enumerate(steps)],
-                columns=["stage", "step"],
-            ),
+        _arrow_local_frame(
+            events.sparkSession,
+            [(i + 1, s) for i, s in enumerate(steps)],
             "stage bigint, step string",
         )
         .join(exact, F.col("max_stage") == F.col("stage"), "left")

@@ -1144,17 +1144,20 @@ def semantic_dedup(
         emb, id_col, vec_col, k=k, n_iter=n_iter, init="hash",
         update_grid=10**6, tol=0.0,
     )
-    # pandas-backed createDataFrame (Arrow → JVM LocalRelation): a
-    # list-of-tuples frame would plan as a Python-pickled RDD scan and
-    # pay a Python-worker round trip on every execution (the cost
-    # class measured at ~3.5 s on the overlap-index refresh)
-    import pandas as pd
-
-    cent_pdf = pd.DataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
-        columns=["cell", "__cent"],
+    # Arrow-backed literal frame (relational._arrow_local_frame → JVM
+    # LocalRelation): a list-of-tuples frame would plan as a
+    # Python-pickled RDD scan and pay a Python-worker round trip on
+    # every execution (the cost class measured at ~3.5 s on the
+    # overlap-index refresh)
+    from batch_process_dpla_index_spark.operators.relational import (
+        _arrow_local_frame,
     )
-    cent_df = spark.createDataFrame(cent_pdf, "cell int, __cent array<double>")
+
+    cent_df = _arrow_local_frame(
+        spark,
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "cell int, __cent array<double>",
+    )
     vecs = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     # strict-fold Σ(x−c)²: same association as the oracle's list_reduce
     d2_fold = F.aggregate(

@@ -42,13 +42,15 @@ def bm25_topk(
     ln(1 + (N - df + 0.5)/(df + 0.5)); doc length is the token count
     under the engine tokenizer. Ties broken by id for determinism.
     """
-    import pandas as pd
+    from batch_process_dpla_index_spark.operators.relational import (
+        _arrow_local_frame,
+    )
 
     q_terms = [t for t in query.lower().split() if t]
-    # pandas-backed (Arrow → LocalRelation): a list-of-tuples frame
-    # would evaluate through a Python-pickled RDD scan per job
-    q_df = docs.sparkSession.createDataFrame(
-        pd.DataFrame({"term": sorted(set(q_terms))}), "term string"
+    q_df = _arrow_local_frame(
+        docs.sparkSession,
+        [(t,) for t in sorted(set(q_terms))],
+        "term string",
     )
 
     # Doc length rides along through the explode so the scored frame

@@ -13,7 +13,8 @@ from pyspark.sql import functions as F
 
 
 def _arrow_local_frame(spark, tuples, schema) -> DataFrame:
-    """Tiny driver-side frame via the ARROW createDataFrame path.
+    """Tiny driver-side frame via the ARROW createDataFrame path —
+    THE way to build a literal/metadata frame in this repo.
 
     A list-of-tuples ``createDataFrame`` plans as a Python-pickled RDD
     scan and pays a Python-worker round trip every time a consumer
@@ -22,10 +23,18 @@ def _arrow_local_frame(spark, tuples, schema) -> DataFrame:
     a JVM LocalRelation, pure JVM thereafter. Columns are built as
     OBJECT-dtype series so None survives exactly (a numeric column
     with None would otherwise become float64 + NaN, and NaN→int under
-    the explicit schema is the dtype trap the object path sidesteps).
+    the explicit schema is the dtype trap the object path sidesteps);
+    list values (array<...> columns) pass through as Python objects.
+
+    ``schema`` is a StructType or a DDL string (parsed via
+    ``StructType.fromDDL`` so the column names are known to build the
+    pandas frame).
     """
     import pandas as pd
+    from pyspark.sql.types import StructType
 
+    if isinstance(schema, str):
+        schema = StructType.fromDDL(schema)
     names = [f.name for f in schema.fields]
     pdf = pd.DataFrame(
         {

@@ -150,18 +150,15 @@ def heavy_hitters(
     spark = items.sparkSession
     items.unpersist()
     summary.unpersist()
-    import pandas as pd
+    from batch_process_dpla_index_spark.operators.relational import (
+        _arrow_local_frame,
+    )
 
-    # pandas-backed result frame (Arrow → JVM LocalRelation): the
-    # list-of-tuples form plans as a Python-pickled RDD and pays a
-    # Python-worker round trip every time a consumer evaluates it
-    return spark.createDataFrame(
-        pd.DataFrame(
-            [
-                (r["item"], r["n_exact"], i + 1, bool(bound_ok))
-                for i, r in enumerate(rows)
-            ],
-            columns=["item", "n_exact", "rank", "mg_bound_ok"],
-        ),
-        schema="item string, n_exact long, rank int, mg_bound_ok boolean",
+    return _arrow_local_frame(
+        spark,
+        [
+            (r["item"], r["n_exact"], i + 1, bool(bound_ok))
+            for i, r in enumerate(rows)
+        ],
+        "item string, n_exact long, rank int, mg_bound_ok boolean",
     )

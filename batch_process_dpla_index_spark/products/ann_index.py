@@ -94,24 +94,24 @@ def build_ann_index(
         os.path.join(index_dir, "cells")
     )
     # metadata artifacts go through the ARROW createDataFrame path
-    # (pandas → JVM LocalRelation): a list-of-tuples frame plans its
-    # write over a Python-pickled RDD and pays a Python-worker round
-    # trip per write (~3.5 s each, measured on the overlap-index
-    # refresh — the same class of cost, twice, hid inside this
-    # product's bench time)
-    import pandas as pd
+    # (relational._arrow_local_frame → JVM LocalRelation): a
+    # list-of-tuples frame plans its write over a Python-pickled RDD
+    # and pays a Python-worker round trip per write (~3.5 s each,
+    # measured on the overlap-index refresh — the same class of cost,
+    # twice, hid inside this product's bench time)
+    from batch_process_dpla_index_spark.operators.relational import (
+        _arrow_local_frame,
+    )
 
     if codebooks is not None:
-        book_pdf = pd.DataFrame(
+        _arrow_local_frame(
+            spark,
             [
                 (j, c, [float(x) for x in vec])
                 for j, book in enumerate(codebooks)
                 for c, vec in enumerate(book)
             ],
-            columns=["j", "code", "centroid"],
-        )
-        spark.createDataFrame(
-            book_pdf, "j int, code int, centroid array<double>"
+            "j int, code int, centroid array<double>",
         ).coalesce(1).write.mode("overwrite").parquet(
             os.path.join(index_dir, "pq_codebooks")
         )
@@ -122,12 +122,10 @@ def build_ann_index(
         )
 
         centroids = _centroid_matrix(dim, n_cells).tolist()
-    cent_pdf = pd.DataFrame(
+    _arrow_local_frame(
+        spark,
         [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
-        columns=["cell", "centroid"],
-    )
-    spark.createDataFrame(
-        cent_pdf, "cell int, centroid array<double>"
+        "cell int, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(os.path.join(index_dir, "centroids"))
 
     # count from the freshly written parquet footers — recounting the

@@ -1108,6 +1108,7 @@ def q_ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the same two green CTE bodies composed (the lsh_quality_report
     pattern); nothing float-fragile crosses engines beyond what each
     side already pins."""
+    from batch_process_dpla_index_spark.operators.dedup import carry_deps
     from batch_process_dpla_index_spark.operators.similarity import (
         ann_recall_report,
     )
@@ -1116,10 +1117,15 @@ def q_ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = cosine_topk(
         emb, emb.filter(F.col("vec_id") < 25), "vec_id", "embedding", k=5
     )
-    approx = ivf_topk(
+    ivf = ivf_topk(
         emb, "vec_id", "embedding", dim=64, k=5, n_cells=16, n_probe=4
-    ).filter(F.col("query_id") < 25)
-    return ann_recall_report(truth, approx, k=5).orderBy("query_id")
+    )
+    approx = ivf.filter(F.col("query_id") < 25)
+    # carry ivf_topk's persisted assignment frame through the compose
+    # so bench/verify's unpersist_deps genuinely releases it
+    return carry_deps(
+        ann_recall_report(truth, approx, k=5).orderBy("query_id"), ivf
+    )
 
 
 def q_incremental_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1230,18 +1236,15 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_price_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range/theta join (§2.4 extension): orders matched into literal
     price tiers via BroadcastNestedLoopJoin over 4 range rows."""
-    import pandas as pd
+    from batch_process_dpla_index_spark.operators.relational import (
+        _arrow_local_frame,
+    )
 
     orders = load_table(spark, sf_dir, "orders")
-    # pandas-backed literal dim (Arrow → JVM LocalRelation): the
-    # list-of-tuples form plans as a Python-pickled RDD and pays a
-    # Python-worker round trip when evaluated (BASELINE.md r10 notes)
-    tiers = spark.createDataFrame(
-        pd.DataFrame(
-            [("T0", 0.0, 50_000.0), ("T1", 50_000.0, 150_000.0),
-             ("T2", 150_000.0, 300_000.0), ("T3", 300_000.0, 1e18)],
-            columns=["tier", "lo", "hi"],
-        ),
+    tiers = _arrow_local_frame(
+        spark,
+        [("T0", 0.0, 50_000.0), ("T1", 50_000.0, 150_000.0),
+         ("T2", 150_000.0, 300_000.0), ("T3", 300_000.0, 1e18)],
         "tier STRING, lo DOUBLE, hi DOUBLE",
     )
     return (

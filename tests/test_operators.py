@@ -861,10 +861,13 @@ def test_ann_recall_report_hand_case_and_ivf_composition(spark):
 
     emb = load_table(spark, SF_DIR, "embeddings")
     t = cosine_topk(emb, emb.filter(F.col("vec_id") < 25), "vec_id", "embedding", k=5)
-    full = ivf_topk(
+    ivf = ivf_topk(
         emb, "vec_id", "embedding", dim=64, k=5, n_cells=16, n_probe=16
-    ).filter(F.col("query_id") < 25)
-    rep = ann_recall_report(t, full, k=5).collect()
+    )
+    rep = ann_recall_report(t, ivf.filter(F.col("query_id") < 25), k=5).collect()
+    # release ivf_topk's persisted assignment frame (session-scoped
+    # spark fixture — a leak here pins it for the rest of the run)
+    unpersist_deps(ivf)
     assert len(rep) == 25
     assert all(r["recall_at_k"] == 1.0 and r["n_hits"] == 5 for r in rep)
 
