@@ -1126,6 +1126,18 @@ def attribution_time_decay(
     aggregate rolls up channels. Conversions with zero in-window
     touches simply contribute nothing (no 'none' row — last-touch
     covers that diagnostic)."""
+    # JVM shifts are mod-64: shiftleft(1L, 63) is Long.MIN_VALUE (a
+    # NEGATIVE weight) and shiftleft(1L, 64) wraps back to 1L (weight
+    # 1.0) — silently corrupt credits once the window is wide enough
+    # to reach d >= 63. d < lookback_days by the strict range bound
+    # below, so lookback_days <= 63 keeps every shift in range; wider
+    # windows must fail loudly rather than wrap.
+    if lookback_days > 63:
+        raise ValueError(
+            "attribution_time_decay: lookback_days must be <= 63 (the "
+            "exact-dyadic 2^-d weight uses a 64-bit shift; d >= 63 "
+            f"would wrap mod 64), got {lookback_days}"
+        )
     base = events.where(
         F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
     )

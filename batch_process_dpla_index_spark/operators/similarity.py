@@ -892,10 +892,17 @@ def ann_recall_report(
         F.col(query_col).alias("query_id"),
         F.col(neighbor_col).alias("neighbor_id"),
     )
-    a = approx.select(
-        F.col(query_col).alias("query_id"),
-        F.col(neighbor_col).alias("neighbor_id"),
-        F.lit(1).alias("__hit"),
+    a = (
+        approx.select(
+            F.col(query_col).alias("query_id"),
+            F.col(neighbor_col).alias("neighbor_id"),
+        )
+        # a buggy ANN that emits a (query, neighbor) pair twice would
+        # otherwise double-count the hit and report recall_at_k > 1
+        # silently; the frame is already the small/broadcast side, so
+        # the dedup is free
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("__hit", F.lit(1))
     )
     return (
         t.join(F.broadcast(a), ["query_id", "neighbor_id"], "left")

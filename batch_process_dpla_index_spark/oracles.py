@@ -1715,10 +1715,19 @@ def _semdedup_oracle(
     assignment mirrors `kmeans_assign`'s argmin, and the within-cell
     pair stage uses the strict-fold cosine both engines evaluate
     identically."""
-    cos = (
-        f"({_dot('a.embedding', 'b.embedding')}) / "
+    # zero-norm guard (same CASE pattern as ORACLE_COSINE_TOPK): the
+    # engine's try_divide yields NULL for a zero/empty embedding, and a
+    # NULL never passes >= threshold. A raw divide relied on DuckDB
+    # 1.0's 0.0/0.0 -> NULL; under ieee_floating_point_ops=true (newer
+    # default) it is NaN, and NaN >= threshold is TRUE in DuckDB -- a
+    # zero-norm vector would pair in the oracle but not the engine.
+    norm_prod = (
         f"(sqrt({_dot('a.embedding', 'a.embedding')}) * "
         f"sqrt({_dot('b.embedding', 'b.embedding')}))"
+    )
+    cos = (
+        f"(CASE WHEN {norm_prod} = 0 THEN NULL "
+        f"ELSE ({_dot('a.embedding', 'b.embedding')}) / {norm_prod} END)"
     )
     return f"""{_kmeans_cte_chain(k, n_iter, grid)}
 af AS (
@@ -1760,10 +1769,19 @@ def _semantic_dedup_oracle(
     flip cross-engine), within-cell cosine pairs, and the
     dedup_clusters transitive-closure pattern for the groups. The
     chain's WITH is promoted to WITH RECURSIVE for the reach CTE."""
-    cos = (
-        f"({_dot('a.embedding', 'b.embedding')}) / "
+    # zero-norm guard (same CASE pattern as ORACLE_COSINE_TOPK): the
+    # engine's try_divide yields NULL for a zero/empty embedding, and a
+    # NULL never passes >= threshold. A raw divide relied on DuckDB
+    # 1.0's 0.0/0.0 -> NULL; under ieee_floating_point_ops=true (newer
+    # default) it is NaN, and NaN >= threshold is TRUE in DuckDB -- a
+    # zero-norm vector would pair in the oracle but not the engine.
+    norm_prod = (
         f"(sqrt({_dot('a.embedding', 'a.embedding')}) * "
         f"sqrt({_dot('b.embedding', 'b.embedding')}))"
+    )
+    cos = (
+        f"(CASE WHEN {norm_prod} = 0 THEN NULL "
+        f"ELSE ({_dot('a.embedding', 'b.embedding')}) / {norm_prod} END)"
     )
     d2 = (
         "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "

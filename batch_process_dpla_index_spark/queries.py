@@ -75,6 +75,36 @@ from batch_process_dpla_index_spark.streaming.windows import (
 # ---------------------------------------------------------------------------
 
 
+# Fixture dirs where the driver/fleet gates replay the static DuckDB
+# oracles (sf0.1 is bench-only — adaptive rules legitimately engage
+# there, e.g. incremental_semantic_dedup resolves n_cells=28).
+_VERIFICATION_SF_DIRS = ("sf0.001", "sf0.01")
+
+
+def _assert_oracle_constant(
+    query: str, sf_dir: str, param: str, resolved: int, pinned: int
+) -> None:
+    """Fail LOUDLY when an adaptively-sized parameter diverges from the
+    constant its static oracle is pinned at, on a verification fixture.
+
+    Queries like semantic_dedup size k = max(32, N // 64) so pair work
+    stays linear at scale, while their registered DuckDB oracles replay
+    a fixed k. Every verification SF resolves to the floor today; if a
+    fixture ever grows past the floor's range, the driver gate would
+    fail as an opaque value-hash mismatch. This guard turns that into a
+    named error at plan-build time instead."""
+    import os
+
+    if os.path.basename(os.path.normpath(sf_dir)) in _VERIFICATION_SF_DIRS:
+        if resolved != pinned:
+            raise AssertionError(
+                f"{query}: adaptive {param}={resolved} diverges from the "
+                f"oracle's pinned {param}={pinned} on verification fixture "
+                f"{sf_dir!r} — re-pin the oracle (or shrink the fixture) "
+                "before trusting the driver gate"
+            )
+
+
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q1-shaped scan→filter→hash-agg (reference A1 shape,
     MqReports.scala:94-111 analog). One shuffle (partial+final agg);
@@ -1153,6 +1183,10 @@ def q_incremental_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # = 450 vectors at sf0.001/0.01) resolves to n_cells = 16 — exactly
     # what the static oracle replays.
     n_cells = max(16, corpus.count() // 64)
+    # oracle pinned at n_cells=16 — diverge loudly, not as a hash miss
+    _assert_oracle_constant(
+        "incremental_semantic_dedup", sf_dir, "n_cells", n_cells, 16
+    )
     out = incremental_semantic_dedup(
         new, corpus, "vec_id", "embedding", dim=64, n_cells=n_cells,
         n_probe=2, threshold=0.3,
@@ -1536,6 +1570,11 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the static SQL oracle replays; the adaptive rule only engages
     # beyond bench scale.
     k = max(32, emb.count() // 64)
+    # The registered oracle is PINNED at k=32. If a verification
+    # fixture ever grows past 2048 embeddings the adaptive rule would
+    # silently diverge from the oracle and the driver gate would fail
+    # as an opaque value mismatch — fail loudly here instead.
+    _assert_oracle_constant("semantic_dedup", sf_dir, "k", k, 32)
     sd = semantic_dedup(emb, "vec_id", "embedding", k=k, n_iter=3, threshold=0.3)
     return carry_deps(
         sd.select(

@@ -1059,6 +1059,16 @@ def test_attribution_time_decay_conserves_credit(spark):
     total = sum(r.credit for r in out)
     assert abs(total - round(total)) < 1e-6 and total > 0
 
+    # lookback_days >= 64 would wrap the 64-bit dyadic shift (1L<<63
+    # is negative, 1L<<64 is 1L again) and silently corrupt credits —
+    # the guard must refuse, not wrap
+    import pytest
+
+    with pytest.raises(ValueError, match="lookback_days"):
+        attribution_time_decay(ev, lookback_days=64)
+    # 63 is the widest safe window (d <= 62 under the strict bound)
+    attribution_time_decay(ev, lookback_days=63).collect()
+
 
 def test_clustering_coefficients_hand_graph_and_census_consistency(spark):
     """K3 with a pendant: the two pure-triangle vertices score 1.0,

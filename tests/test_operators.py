@@ -859,6 +859,17 @@ def test_ann_recall_report_hand_case_and_ivf_composition(spark):
     }
     assert got[1] == (1, 0.5) and got[2] == (2, 1.0)
 
+    # a buggy ANN emitting a duplicated (query, neighbor) row must not
+    # double-count the hit (recall > 1 would pass silently otherwise)
+    dup = approx.union(
+        spark.createDataFrame([(2, 10)], "query_id long, neighbor_id long")
+    )
+    got_dup = {
+        r["query_id"]: (r["n_hits"], r["recall_at_k"])
+        for r in ann_recall_report(truth, dup, k=2).collect()
+    }
+    assert got_dup == got
+
     emb = load_table(spark, SF_DIR, "embeddings")
     t = cosine_topk(emb, emb.filter(F.col("vec_id") < 25), "vec_id", "embedding", k=5)
     ivf = ivf_topk(
