@@ -3070,88 +3070,16 @@ def q_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
 # next-round window).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # The driver's correctness gate records the FIRST 50 entries only;
-    # round-10 rotation (VERDICT r9 #1): positions 1-5 are the five
-    # late-r9 operators that have never had a driver row, position 6
-    # is this round's new operator (semantic_dedup, debut window —
-    # VERDICT #7), position 7 is source_overlap (its r9 Arrow-tier
-    # replan has never been driver-proven on its own row — the r9
-    # staging note promised it "re-proves under the driver first thing
-    # in r10"), and positions 8-50 are 43 of the 49 entries last green
-    # in r7. SIX r7-green entries are DEFERRED to r11 (two slots went
-    # to semantic_dedup's debut and source_overlap's replan proof):
-    # top_orders, region_revenue, pricing_summary, scalar_suite,
-    # props_by_type, brand_revenue — all simple TPC-H-scan shapes whose
-    # plans are untouched since r7; each is re-verified against its
-    # oracle at both SFs via tools/verify_local.py this round
-    # (receipts in ROUNDNOTES.md). After CORRECTNESS_r10: cumulative
-    # coverage 155/155, nothing last-green older than r8 except those
-    # six named deferrals.
-    # -- never-green late-r9 operators (oracle'd + pinned since r9) --
-    "ivf_pq_topk": q_ivf_pq_topk,
-    "cluster_silhouette": q_cluster_silhouette,
-    "attribution_time_decay": q_attribution_time_decay,
-    "clustering_coefficients": q_clustering_coefficients,
-    "source_concentration": q_source_concentration,
-    # -- round-10 debut: cluster-level SemDeDup --
-    "semantic_dedup": q_semantic_dedup,
-    # -- r9's Arrow-tier replan, first driver proof on its own row --
-    "source_overlap": q_source_overlap,
-    # -- 43 of the 49 r7-green entries (oldest cohort) --
-    "pq_topk": q_pq_topk,
-    "tokenizer_fertility": q_tokenizer_fertility,
-    "quality_gate": q_quality_gate,
-    "global_shuffle": q_global_shuffle,
-    "doc_chunks": q_doc_chunks,
-    "packed_bins": q_packed_bins,
-    "stratified_sample": q_stratified_sample,
-    "apply_changeset": q_apply_changeset,
-    "skew_report": q_skew_report,
-    "corpus_report": q_corpus_report,
-    "event_rank_suite": q_event_rank_suite,
-    "text_stats": q_text_stats,
-    "melt_metrics": q_melt_metrics,
-    "cube_flags": q_cube_flags,
-    "pii_redaction": q_pii_redaction,
-    "repetition_stats": q_repetition_stats,
-    "top_bigrams": q_top_bigrams,
-    "bpe_token_counts": q_bpe_token_counts,
-    "fingerprint_folded": q_fingerprint_folded,
-    "fuzzy_match": q_fuzzy_match,
-    "snm_multipass": q_snm_multipass,
-    "skipgram_cooc": q_skipgram_cooc,
-    "rrf_fusion": q_rrf_fusion,
-    "avro_flatten_items": q_avro_flatten_items,
-    "repair_flatten": q_repair_flatten,
-    "schema_align": q_schema_align,
-    "decontaminate": q_decontaminate,
-    "fingerprint_clusters": q_fingerprint_clusters,
-    "mq_contributor_scores": q_mq_contributor_scores,
-    "udtf_sentences": q_udtf_sentences,
-    "segment_with_f_orders": q_segment_with_f_orders,
-    "customers_without_orders": q_customers_without_orders,
-    "priority_by_month": q_priority_by_month,
-    "union_entities": q_union_entities,
-    "boilerplate_stats": q_boilerplate_stats,
-    "rollup_flags": q_rollup_flags,
-    "grouping_sets": q_grouping_sets,
-    "zorder_events": q_zorder_events,
-    "salted_brand_join": q_salted_brand_join,
-    "segment_overlap": q_segment_overlap,
-    "sql_supplier_share": q_sql_supplier_share,
-    "latest_events_per_user": q_latest_events_per_user,
-    "rolling_user_value": q_rolling_user_value,
-    # ---- driver-window boundary (entry 50 above this line) ----
-    # -- staged r11 window (VERDICT r9 #4 — staged same-round so late
-    #    additions can't repeat the never-green pattern): positions
-    #    1-2 = ivf_recall_report and incremental_semantic_dedup
-    #    (late-r10 additions, locally verified both SFs + pinned +
-    #    probed this round — staged here so their debut driver rows
-    #    land first thing in r11), positions 3-8 = the six r7-green
-    #    deferrals, positions 9-50 = the first 42 of the r8-green
-    #    cohort below (displaced r9→r10; the cohort's last seven —
-    #    triangle_count, bpe_merges, rfm_segments, churn_labels,
-    #    readability_scores, hits_scores, common_neighbors — then
-    #    lead r12 with the r9-green cohort). --
+    # round-11 rotation (VERDICT r10 #1 — "rotate exactly as staged"):
+    # positions 1-2 are the late-r10 debuts ivf_recall_report and
+    # incremental_semantic_dedup (the last two registry entries with no
+    # driver row — closes cumulative coverage to 157/157), positions
+    # 3-8 are the six r7-green deferrals carried since the r10
+    # rotation (top_orders, region_revenue, pricing_summary,
+    # scalar_suite, props_by_type, brand_revenue), and positions 9-50
+    # are the first 42 of the r8-green cohort (hash_sample_split ...
+    # seasonal_baseline). Rotation arithmetic + deferral receipts live
+    # in ROUNDNOTES.md.
     "ivf_recall_report": q_ivf_recall_report,
     "incremental_semantic_dedup": q_incremental_semantic_dedup,
     "top_orders": q_top_orders,
@@ -3205,6 +3133,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_coverage": q_vocab_coverage,
     "attribution_last_touch": q_attribution_last_touch,
     "seasonal_baseline": q_seasonal_baseline,
+    # ---- driver-window boundary (entry 50 above this line) ----
+    # -- staged r12 window: any round-11 additions debut here at the
+    #    head (per the staging discipline), then the r8-green cohort's
+    #    last seven (below), then the r9-green cohort (keep_first ...);
+    #    overflow defers to r13 with fleet-verify receipts. --
     "triangle_count": q_triangle_count,
     "bpe_merges": q_bpe_merges,
     "rfm_segments": q_rfm_segments,
@@ -3264,5 +3197,61 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_search": q_bm25_search,
     "source_overlap_incremental": q_source_overlap_incremental,
     "kcore_decomposition": q_kcore_decomposition,
+    # -- the 50-entry r10 window, displaced by the r11 rotation (all
+    #    driver-green in CORRECTNESS_r10; re-verified every round via
+    #    tools/verify_local.py) --
+    "ivf_pq_topk": q_ivf_pq_topk,
+    "cluster_silhouette": q_cluster_silhouette,
+    "attribution_time_decay": q_attribution_time_decay,
+    "clustering_coefficients": q_clustering_coefficients,
+    "source_concentration": q_source_concentration,
+    # -- round-10 debut: cluster-level SemDeDup --
+    "semantic_dedup": q_semantic_dedup,
+    # -- r9's Arrow-tier replan, first driver proof on its own row --
+    "source_overlap": q_source_overlap,
+    # -- 43 of the 49 r7-green entries (oldest cohort) --
+    "pq_topk": q_pq_topk,
+    "tokenizer_fertility": q_tokenizer_fertility,
+    "quality_gate": q_quality_gate,
+    "global_shuffle": q_global_shuffle,
+    "doc_chunks": q_doc_chunks,
+    "packed_bins": q_packed_bins,
+    "stratified_sample": q_stratified_sample,
+    "apply_changeset": q_apply_changeset,
+    "skew_report": q_skew_report,
+    "corpus_report": q_corpus_report,
+    "event_rank_suite": q_event_rank_suite,
+    "text_stats": q_text_stats,
+    "melt_metrics": q_melt_metrics,
+    "cube_flags": q_cube_flags,
+    "pii_redaction": q_pii_redaction,
+    "repetition_stats": q_repetition_stats,
+    "top_bigrams": q_top_bigrams,
+    "bpe_token_counts": q_bpe_token_counts,
+    "fingerprint_folded": q_fingerprint_folded,
+    "fuzzy_match": q_fuzzy_match,
+    "snm_multipass": q_snm_multipass,
+    "skipgram_cooc": q_skipgram_cooc,
+    "rrf_fusion": q_rrf_fusion,
+    "avro_flatten_items": q_avro_flatten_items,
+    "repair_flatten": q_repair_flatten,
+    "schema_align": q_schema_align,
+    "decontaminate": q_decontaminate,
+    "fingerprint_clusters": q_fingerprint_clusters,
+    "mq_contributor_scores": q_mq_contributor_scores,
+    "udtf_sentences": q_udtf_sentences,
+    "segment_with_f_orders": q_segment_with_f_orders,
+    "customers_without_orders": q_customers_without_orders,
+    "priority_by_month": q_priority_by_month,
+    "union_entities": q_union_entities,
+    "boilerplate_stats": q_boilerplate_stats,
+    "rollup_flags": q_rollup_flags,
+    "grouping_sets": q_grouping_sets,
+    "zorder_events": q_zorder_events,
+    "salted_brand_join": q_salted_brand_join,
+    "segment_overlap": q_segment_overlap,
+    "sql_supplier_share": q_sql_supplier_share,
+    "latest_events_per_user": q_latest_events_per_user,
+    "rolling_user_value": q_rolling_user_value,
 }
 
