@@ -58,6 +58,17 @@ def main():
     # type hints, which pandas_udf's hint inference rejects
     _warm = F.pandas_udf(lambda s: s + 1, "long")
     spark.range(1024).select(_warm("id")).count()
+    # ...and the OTHER two Arrow execution paths: scalar pandas_udf,
+    # applyInPandas (grouped-map) and mapInArrow each spin up their
+    # own worker/serializer machinery on first use, and whichever
+    # query sits at window position 1 otherwise absorbs it
+    # (ivf_pq_topk read 4.79x cold / 0.53x warm in r10 purely from
+    # landing at the head — VERDICT r10 #5)
+    warm_df = spark.range(1024).withColumn("g", F.col("id") % 4)
+    warm_df.groupBy("g").applyInPandas(
+        lambda pdf: pdf.head(1), "id long, g long"
+    ).count()
+    warm_df.mapInArrow(lambda it: it, "id long, g long").count()
 
     times: dict[str, float] = {}
     errors: dict[str, str] = {}
@@ -130,8 +141,12 @@ def main():
         import re
 
         with open(baseline_path, encoding="utf-8") as f:
+            # no $ anchor: the product table rows carry a third
+            # description column ("| product_sitemap | 0.63 | id scan
+            # ... |") and an end-anchored match silently dropped all 8
+            # product_* targets out of the 2x gate (VERDICT r10 #2)
             for m in re.finditer(
-                r"^\| ([a-z0-9_]+) \| ([0-9.]+) \|$", f.read(), re.M
+                r"^\| ([a-z0-9_]+) \| ([0-9.]+) \|", f.read(), re.M
             ):
                 # first occurrence wins: baselines are first-recorded
                 baseline.setdefault(m.group(1), float(m.group(2)))
