@@ -15,7 +15,7 @@ plus the monthly-batch sequencer (monthly_batch_emr.sh:41-111)::
     python -m batch_process_dpla_index_spark.jobs thumbnail-purge <in_path> <bucket_root> [--uri-col C] [--batch N]
     python -m batch_process_dpla_index_spark.jobs training-export <docs_parquet> <out_dir> [--seed S] [--shards N] [--no-gate] [--sentence-dedup] [--mixture lang:en=0.5,de=0.5:10000]
     python -m batch_process_dpla_index_spark.jobs dedup-index build|query|append <docs_parquet> <index_dir> [--threshold T]
-    python -m batch_process_dpla_index_spark.jobs ann-index build|query <vectors_parquet> <index_dir> [--cells N] [--k K] [--probe P]
+    python -m batch_process_dpla_index_spark.jobs ann-index build|query|recall <vectors_parquet> <index_dir> [--cells N] [--k K] [--probe P] [--sample N]
     python -m batch_process_dpla_index_spark.jobs compact <src_parquet> <dst_parquet> [--target-mb N]
     python -m batch_process_dpla_index_spark.jobs overlap-index build|refresh|report <index_dir> [--docs-parquet P]
 """
@@ -75,7 +75,7 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--threshold", type=float, default=0.5)
     s.add_argument("--batch", type=int, default=1)
     s = sub.add_parser("ann-index")
-    s.add_argument("action", choices=["build", "query"])
+    s.add_argument("action", choices=["build", "query", "recall"])
     s.add_argument("vectors_parquet")
     s.add_argument("index_dir")
     s.add_argument("--id-col", default="vec_id")
@@ -84,6 +84,8 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--cells", type=int, default=16)
     s.add_argument("--k", type=int, default=5)
     s.add_argument("--probe", type=int, default=4)
+    s.add_argument("--sample", type=int, default=25,
+                   help="recall: query-sample size (smallest ids first)")
     s = sub.add_parser("compact")
     s.add_argument("src")
     s.add_argument("dst")
@@ -276,6 +278,18 @@ def main(argv: list[str] | None = None) -> int:
                     dim=args.dim, n_cells=args.cells,
                 )
                 print(f"ANN index built: {manifest}")
+            elif args.action == "recall":
+                sample = vecs.orderBy(args.id_col).limit(args.sample)
+                rep = ann_index.ann_recall_indexed(
+                    spark, sample, args.id_col, args.vec_col,
+                    args.index_dir, k=args.k, n_probe=args.probe,
+                ).collect()
+                mean_r = sum(r.recall_at_k for r in rep) / max(len(rep), 1)
+                worst = min((r.recall_at_k for r in rep), default=0.0)
+                print(
+                    f"Recall@{args.k} over {len(rep)} queries at "
+                    f"n_probe={args.probe}: mean={mean_r:.6f} min={worst:.6f}"
+                )
             else:
                 out = ann_index.ann_query_indexed(
                     spark, vecs, args.id_col, args.vec_col, args.index_dir,

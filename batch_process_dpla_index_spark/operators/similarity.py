@@ -961,9 +961,7 @@ def incremental_semantic_dedup(
     |batch|·|corpus|/n_cells — quadratic under co-growth (measured
     25× at the 10× probe before the adaptive sizing).
     """
-    from batch_process_dpla_index_spark.functions.vectors import cosine
     from batch_process_dpla_index_spark.operators.dedup import _with_cached_deps
-    from pyspark.sql import Window
 
     stored = ivf_cells_pandas(
         corpus, id_col, vec_col, dim, n_cells, n_probe=1
@@ -977,6 +975,30 @@ def incremental_semantic_dedup(
     assigned = ivf_cells_pandas(
         new, id_col, vec_col, dim, n_cells, n_probe=n_probe
     ).persist()
+    return _with_cached_deps(
+        match_assigned_against_stored(assigned, stored, threshold), [assigned]
+    )
+
+
+def match_assigned_against_stored(
+    assigned: DataFrame, stored: DataFrame, threshold: float
+) -> DataFrame:
+    """Score an assigned batch against stored cell rows — the shared
+    core of :func:`incremental_semantic_dedup` (in-line, corpus given
+    as a DataFrame) and ``products.embedding_index``'s indexed read
+    path (stored cells come from parquet, no corpus recompute).
+
+    ``assigned`` is (id, vec, cells array<int>) — the batch through
+    :func:`ivf_cells_pandas` with its probe list, ideally persisted by
+    the caller (two consumers below). ``stored`` is (cell, c_id,
+    c_vec) — each corpus vector in its rank-1 storage cell. Cosine is
+    evaluated only inside probed-cell ∩ stored-cell pairs; ranking is
+    score DESC, id ASC (the `_ivf_oracle` convention). Returns one row
+    per batch vector: (id, cell, n_matches, is_new, best_match_id,
+    best_score)."""
+    from batch_process_dpla_index_spark.functions.vectors import cosine
+    from pyspark.sql import Window
+
     probing = assigned.select(
         F.col("id").alias("q_id"),
         F.col("vec").alias("q_vec"),
@@ -1007,7 +1029,7 @@ def incremental_semantic_dedup(
     base = assigned.select(
         F.col("id"), F.element_at("cells", 1).alias("cell")
     )
-    out = (
+    return (
         base.join(matches, base["id"] == matches["q_id"], "left")
         .select(
             "id",
@@ -1020,4 +1042,3 @@ def incremental_semantic_dedup(
             "best_score",
         )
     )
-    return _with_cached_deps(out, [assigned])

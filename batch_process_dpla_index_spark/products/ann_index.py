@@ -288,3 +288,43 @@ def ann_query_indexed(
         n_probe=n_probe,
         centroids=centroids,
     )
+
+
+def ann_recall_indexed(
+    spark: SparkSession,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    index_dir: str,
+    k: int = 5,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Recall@k of the index's probe-limited serve path against
+    brute-force truth over the STORED vectors — the probes-vs-recall
+    tuning diagnostic (`operators.similarity.ann_recall_report`)
+    surfaced at the product/CLI tier: build index → serve a query
+    sample → compare to exact search, without the caller re-supplying
+    the corpus (truth reads the index's own ``cells`` dataset, so the
+    report can never silently grade against a different corpus than
+    the index serves).
+
+    Returns one row per query: (query_id, n_hits, recall_at_k).
+    Probing every cell IS the exact search, so ``n_probe = n_cells``
+    must report recall 1.0 — the calibration check the CLI prints.
+
+    Scale contract: ``queries`` is a bounded sample (the brute-force
+    truth side enforces that); both sides are ~|Q|·k rows into one
+    broadcast equi-join."""
+    from batch_process_dpla_index_spark.operators.similarity import (
+        ann_recall_report,
+        cosine_topk,
+    )
+
+    approx = ann_query_indexed(
+        spark, queries, id_col, vec_col, index_dir, k=k, n_probe=n_probe
+    )
+    stored = spark.read.parquet(os.path.join(index_dir, "cells")).select(
+        F.col("id").alias(id_col), F.col("vec").alias(vec_col)
+    )
+    truth = cosine_topk(stored, queries, id_col, vec_col, k=k)
+    return ann_recall_report(truth, approx, k=k)

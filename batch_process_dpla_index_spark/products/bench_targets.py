@@ -208,6 +208,43 @@ def _bench_overlap_index(spark: SparkSession, sf_dir: str, work_dir: str) -> int
     return overlap_index.overlap_report(spark, idx).count()
 
 
+def _bench_embedding_ingest(spark: SparkSession, sf_dir: str, work_dir: str) -> int:
+    """Embedding-dedup ingest lifecycle: IVF-cell index build on the
+    corpus slice, then a two-micro-batch streaming ingest where batch
+    2 carries scaled near-dup copies of batch-1 vectors (cosine 1.0)
+    that must be dropped against the index."""
+    from batch_process_dpla_index_spark.products import (
+        embedding_index,
+        streaming_ingest,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = emb.filter(F.col("vec_id") % 10 < 6)
+    slice_a = emb.filter(F.col("vec_id") % 10 == 7)
+    copies = slice_a.limit(20).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x * F.lit(1.5)).cast("float")
+        ).alias("embedding"),
+    )
+    slice_b = emb.filter(F.col("vec_id") % 10 == 9).unionByName(copies)
+
+    idx = os.path.join(work_dir, "embidx")
+    src = os.path.join(work_dir, "embsrc")
+    out = os.path.join(work_dir, "emblanded")
+    ckpt = os.path.join(work_dir, "embckpt")
+    embedding_index.build_embedding_index(
+        corpus, "vec_id", "embedding", idx, dim=64, n_cells=16
+    )
+    slice_a.coalesce(1).write.parquet(src)
+    slice_b.coalesce(1).write.mode("append").parquet(src)
+    stats = streaming_ingest.ingest_embedding_dedup_available(
+        spark, src, slice_a.schema, out, ckpt, idx,
+        threshold=0.99, max_files_per_trigger=1,
+    )
+    return sum(k for _, k in stats.values())
+
+
 PRODUCT_BENCHES: dict[str, Callable[[SparkSession, str, str], int]] = {
     "product_sitemap": _bench_sitemap,
     "product_training_export": _bench_training_export,
@@ -217,4 +254,5 @@ PRODUCT_BENCHES: dict[str, Callable[[SparkSession, str, str], int]] = {
     "product_snapshots": _bench_snapshots,
     "product_merge": _bench_merge,
     "product_overlap_index": _bench_overlap_index,
+    "product_embedding_ingest": _bench_embedding_ingest,
 }

@@ -116,11 +116,20 @@ def incremental_dedup_indexed(
     index_dir: str,
     threshold: float = 0.5,
     use_pandas: bool = True,
+    max_ingest_batch: int | None = None,
 ) -> DataFrame:
     """Dedupe a batch against a stored index — no corpus re-shingle.
 
     Output contract matches ``incremental_dedup``: (new_id, dup_of,
     jaccard), best corpus match per new doc, ties to smallest corpus id.
+
+    ``max_ingest_batch`` bounds which stored partitions are queried
+    (``ingest_batch <= max_ingest_batch``) — the replay-safety lever: a
+    checkpoint-replayed micro-batch passes its own batch id so it never
+    matches the signatures its FIRST attempt appended (without the
+    bound, every replayed doc matches itself at J=1.0 and the replay
+    lands an empty partition over the original rows — data loss).
+    Partition pruning makes the bound free; ``None`` queries everything.
     """
     manifest = read_manifest(index_dir)
     n = int(manifest["shingle_n"])
@@ -136,6 +145,13 @@ def incremental_dedup_indexed(
     ).persist()
     corp_buckets = spark.read.parquet(os.path.join(index_dir, "buckets"))
     corp_sig = spark.read.parquet(os.path.join(index_dir, "signatures"))
+    if max_ingest_batch is not None:
+        corp_buckets = corp_buckets.where(
+            F.col("ingest_batch") <= int(max_ingest_batch)
+        )
+        corp_sig = corp_sig.where(
+            F.col("ingest_batch") <= int(max_ingest_batch)
+        )
 
     cand = (
         _band_buckets(new_sig, bands, rows)

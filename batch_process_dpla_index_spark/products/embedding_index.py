@@ -1,0 +1,178 @@
+"""Persisted embedding-dedup index: the vector-space twin of
+``products.dedup_index`` (which stores MinHash signatures/buckets for
+text). An ingest pipeline at 100 TB does not re-assign the stored
+corpus to IVF cells per batch — it keeps each accepted vector's cell
+row on disk and checks each incoming batch against the stored cells:
+
+- :func:`build_embedding_index` materializes one parquet dataset under
+  ``index_dir``: ``cells`` (cell, c_id, c_vec — each corpus vector in
+  its rank-1 coarse cell), Hive-partitioned by ``ingest_batch`` (0 at
+  build) so streaming appends land per-micro-batch partitions a
+  checkpoint replay can overwrite idempotently, plus a ``_MANIFEST``
+  pinning (dim, n_cells, id_col, vec_col) — the structural parameters
+  that define cell geometry (ManifestWriter.scala:7-14 convention).
+  Cost: one corpus Arrow assign pass (N×dim @ dim×cells matmul).
+- :func:`incremental_embedding_dedup_indexed` assigns ONLY the new
+  batch (|batch|×cells matmul), probes each new vector's ``n_probe``
+  nearest cells, and evaluates the strict-fold cosine only inside
+  probed-cell ∩ stored-cell pairs — identical output contract to
+  ``operators.similarity.incremental_semantic_dedup`` (they share
+  ``match_assigned_against_stored``), without recomputing a single
+  corpus assignment. Structural parameters come from the manifest, so
+  an index built with one cell geometry cannot be silently mis-probed
+  with another.
+- :func:`append_to_embedding_index` lands an accepted batch's cell
+  rows under its ``ingest_batch`` partition.
+
+``n_cells`` is pinned at build time — the standard IVF index
+tradeoff: cell geometry is frozen so stored assignments stay valid,
+and a corpus that outgrows its cells (population ≫ the ~64-vector
+design point) is REBUILT with more cells rather than resized in
+place. The coarse centroids are data-independent (the deterministic
+pseudo-random matrix of ``ivf_cells_pandas``), so a rebuild is one
+corpus re-assign pass, embarrassingly parallel.
+
+Scale notes: per-batch cost is one Arrow matmul over the batch + one
+shuffle join against the stored cells (AQE broadcasts the batch side
+when small); replay safety comes from ``max_ingest_batch`` — a
+replayed micro-batch probes only the partitions that existed before
+its first attempt, so it can never match its own earlier output (see
+``streaming_ingest.ingest_embedding_dedup_available``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from batch_process_dpla_index_spark.io.manifest import read_manifest, write_manifest
+from batch_process_dpla_index_spark.operators.similarity import (
+    ivf_cells_pandas,
+    match_assigned_against_stored,
+)
+
+
+def _cell_rows(
+    vecs: DataFrame, id_col: str, vec_col: str, dim: int, n_cells: int
+) -> DataFrame:
+    """(cell, c_id, c_vec): each vector in its rank-1 storage cell."""
+    return ivf_cells_pandas(vecs, id_col, vec_col, dim, n_cells, n_probe=1).select(
+        F.element_at("cells", 1).alias("cell"),
+        F.col("id").alias("c_id"),
+        F.col("vec").alias("c_vec"),
+    )
+
+
+def build_embedding_index(
+    vecs: DataFrame,
+    id_col: str,
+    vec_col: str,
+    index_dir: str,
+    dim: int,
+    n_cells: int = 16,
+) -> dict[str, str]:
+    """One corpus assign pass → stored cell rows + manifest.
+
+    Returns the manifest dict (also written to ``index_dir/_MANIFEST``).
+    """
+    cells = _cell_rows(vecs, id_col, vec_col, dim, n_cells)
+    (
+        cells.withColumn("ingest_batch", F.lit(0))
+        # co-locate probe joins: stored rows arrive pre-partitioned on
+        # the join key (cell), so a batch probe shuffles only itself
+        .repartition(min(n_cells, 32), "cell")
+        .write.mode("overwrite")
+        .partitionBy("ingest_batch")
+        .parquet(os.path.join(index_dir, "cells"))
+    )
+    n_vecs = vecs.count()
+    manifest = {
+        "dim": str(int(dim)),
+        "n_cells": str(int(n_cells)),
+        "id_col": id_col,
+        "vec_col": vec_col,
+        "Record count": str(n_vecs),
+    }
+    write_manifest(manifest, index_dir)
+    return manifest
+
+
+def _read_pinned(index_dir: str, id_col: str, vec_col: str) -> tuple[int, int]:
+    """Manifest structural params, with loud drift rejection."""
+    manifest = read_manifest(index_dir)
+    for key, got in (("id_col", id_col), ("vec_col", vec_col)):
+        if manifest[key] != got:
+            raise ValueError(
+                f"embedding index at {index_dir!r} was built with "
+                f"{key}={manifest[key]!r}; refusing to query it with "
+                f"{key}={got!r}"
+            )
+    return int(manifest["dim"]), int(manifest["n_cells"])
+
+
+def incremental_embedding_dedup_indexed(
+    spark: SparkSession,
+    new_vecs: DataFrame,
+    id_col: str,
+    vec_col: str,
+    index_dir: str,
+    threshold: float = 0.3,
+    n_probe: int = 2,
+    max_ingest_batch: int | None = None,
+) -> DataFrame:
+    """Dedupe a batch of vectors against the stored index — no corpus
+    re-assign. Output contract matches
+    ``similarity.incremental_semantic_dedup``: one row per new vector,
+    (id, cell, n_matches, is_new, best_match_id, best_score).
+
+    ``max_ingest_batch`` bounds which stored partitions are probed
+    (``ingest_batch <= max_ingest_batch``) — the replay-safety lever:
+    a checkpoint-replayed micro-batch passes its own batch id so it
+    never sees the partition its first attempt appended (partition
+    pruning makes the bound free). ``None`` probes everything.
+
+    The result carries a persisted dep (the batch's assign pass feeds
+    both the probe explode and the rank-1 base); release it with
+    ``operators.dedup.unpersist_deps`` after the consuming action.
+    """
+    from batch_process_dpla_index_spark.operators.dedup import _with_cached_deps
+
+    dim, n_cells = _read_pinned(index_dir, id_col, vec_col)
+    stored = spark.read.parquet(os.path.join(index_dir, "cells"))
+    if max_ingest_batch is not None:
+        stored = stored.where(F.col("ingest_batch") <= int(max_ingest_batch))
+    stored = stored.select("cell", "c_id", "c_vec")
+    assigned = ivf_cells_pandas(
+        new_vecs, id_col, vec_col, dim, n_cells, n_probe=n_probe
+    ).persist()
+    return _with_cached_deps(
+        match_assigned_against_stored(assigned, stored, threshold), [assigned]
+    )
+
+
+def append_to_embedding_index(
+    batch_vecs: DataFrame,
+    id_col: str,
+    vec_col: str,
+    index_dir: str,
+    ingest_batch: int = 1,
+    idempotent: bool = False,
+) -> None:
+    """Append an accepted batch's cell rows under its ``ingest_batch``
+    partition (cell geometry comes from the manifest so drift is
+    impossible). ``idempotent=True`` switches to dynamic partition
+    overwrite — a streaming checkpoint replay then REPLACES its own
+    partition instead of appending a second copy; leave it off for
+    ad-hoc batch appends."""
+    dim, n_cells = _read_pinned(index_dir, id_col, vec_col)
+    cells = _cell_rows(batch_vecs, id_col, vec_col, dim, n_cells)
+    writer = cells.withColumn("ingest_batch", F.lit(int(ingest_batch))).write
+    if idempotent:
+        writer = writer.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        )
+    else:
+        writer = writer.mode("append")
+    writer.partitionBy("ingest_batch").parquet(os.path.join(index_dir, "cells"))

@@ -190,7 +190,11 @@ def ingest_dedup_available(
         batch_df = batch_df.persist()
         n_seen = batch_df.count()
         matches = dedup_index.incremental_dedup_indexed(
-            spark, batch_df, text_col, id_col, index_dir, threshold=threshold
+            spark, batch_df, text_col, id_col, index_dir, threshold=threshold,
+            # replay safety: a checkpoint-replayed batch must not match
+            # the signatures its first attempt appended (ingest_batch =
+            # id+1) — it would match itself at J=1.0 and land empty
+            max_ingest_batch=int(batch_id),
         )
         dup_ids = matches.select(F.col("new_id").alias(id_col))
         survivors = batch_df.join(dup_ids, id_col, "left_anti").persist()
@@ -231,6 +235,118 @@ def ingest_dedup_available(
         {
             "Source": source_path,
             "Dedup index": index_dir,
+            "Batches": str(len(stats)),
+            "Total records seen": str(sum(s for s, _ in stats.values())),
+            "Total records kept": str(sum(k for _, k in stats.values())),
+            **{
+                f"Batch {b} seen/kept": f"{s}/{k}"
+                for b, (s, k) in sorted(stats.items())
+            },
+        },
+        out_path,
+        timestamp=iso_timestamp(now),
+    )
+    return stats
+
+
+def ingest_embedding_dedup_available(
+    spark: SparkSession,
+    source_path: str,
+    schema,
+    out_path: str,
+    checkpoint_path: str,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.3,
+    n_probe: int = 2,
+    max_files_per_trigger: int | None = None,
+    now=None,
+) -> dict[int, tuple[int, int]]:
+    """EMBEDDING dedup-on-ingest — the vector-space twin of
+    :func:`ingest_dedup_available` (SemDeDup's ingest-time curation
+    step): every micro-batch of vectors is checked against the
+    persisted IVF-cell index (``products.embedding_index``) before
+    landing; only novel vectors (no stored match at cosine >=
+    ``threshold``) are written, and THEIR cell rows are appended to
+    the index so later batches dedupe against them too.
+
+    End-to-end idempotent under checkpoint replay: the landed parquet
+    and the index append both overwrite their own per-batch partition,
+    and the probe passes ``max_ingest_batch=batch_id`` so a replayed
+    batch never matches its first attempt's own appended rows. Contract
+    mirrors the text path: corpus-level dedup only — intra-batch
+    near-dup vectors all survive (run ``semantic_dedup`` upstream if a
+    batch can self-duplicate).
+
+    Per-batch cost at any corpus size: one |batch|×cells Arrow matmul
+    + one join against stored cells pruned to ``ingest_batch <=
+    batch_id`` — the corpus is never re-assigned (delta-proportional,
+    the property the in-line operator's 10× probe measures at 4.3×).
+
+    Returns {batch_id: (rows_seen, rows_kept)}.
+    """
+    from pyspark.sql import functions as F
+
+    from batch_process_dpla_index_spark.operators.dedup import unpersist_deps
+    from batch_process_dpla_index_spark.products import embedding_index
+
+    stats: dict[int, tuple[int, int]] = {}
+
+    def land(batch_df, batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        n_seen = batch_df.count()
+        res = embedding_index.incremental_embedding_dedup_indexed(
+            spark,
+            batch_df,
+            id_col,
+            vec_col,
+            index_dir,
+            threshold=threshold,
+            n_probe=n_probe,
+            max_ingest_batch=int(batch_id),
+        )
+        dup_ids = res.where(~F.col("is_new")).select(
+            F.col("id").alias(id_col)
+        )
+        survivors = batch_df.join(dup_ids, id_col, "left_anti").persist()
+        (
+            survivors.withColumn("batch", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch")
+            .parquet(out_path)
+        )
+        n_kept = survivors.count()
+        embedding_index.append_to_embedding_index(
+            survivors,
+            id_col,
+            vec_col,
+            index_dir,
+            ingest_batch=int(batch_id) + 1,
+            idempotent=True,
+        )
+        unpersist_deps(res)
+        survivors.unpersist()
+        batch_df.unpersist()
+        stats[int(batch_id)] = (n_seen, n_kept)
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_path)
+    q = (
+        stream.writeStream.foreachBatch(land)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    write_manifest(
+        {
+            "Source": source_path,
+            "Embedding index": index_dir,
             "Batches": str(len(stats)),
             "Total records seen": str(sum(s for s, _ in stats.values())),
             "Total records kept": str(sum(k for _, k in stats.values())),

@@ -25,6 +25,7 @@ construction), per-shard external sort, parallel parquet writes.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from batch_process_dpla_index_spark.io.manifest import write_manifest
 from batch_process_dpla_index_spark.operators.curation import (
@@ -42,20 +43,48 @@ def export_training_shards(
     gate: bool = True,
     sentence_dedup_first: bool = False,
     mixture: tuple[str, dict[str, float], int] | None = None,
+    semantic_collapse: tuple[DataFrame, str, float] | None = None,
 ) -> dict[str, str]:
     """Run the curation chain and write ordered shard files.
 
     Full chain (each stage optional, composed in pipeline order):
-    corpus-wide sentence dedup → quality gate → domain-mixture
-    sampling (``mixture`` = (domain_col, weights, token_budget)) →
-    deterministic global shuffle → sharded ordered parquet. Every
-    stage is itself oracle-verified as a registry query; this product
-    is the write-side composition.
+    corpus-wide sentence dedup → semantic collapse → quality gate →
+    domain-mixture sampling (``mixture`` = (domain_col, weights,
+    token_budget)) → deterministic global shuffle → sharded ordered
+    parquet. Every stage is itself oracle-verified as a registry
+    query; this product is the write-side composition.
+
+    ``semantic_collapse`` = (embeddings, vec_col, threshold): the
+    SemDeDup curation step — ``operators.dedup.semantic_dedup`` groups
+    transitive near-dup vectors within coarse cells and each group
+    collapses to its closest-to-centroid representative; docs whose
+    embedding is a non-representative group member are dropped BEFORE
+    the quality gate. The embeddings frame must carry ``doc_id``; docs
+    with no embedding row pass through untouched (nothing to judge).
+    Cell count scales for constant cell population (k = max(32,
+    N//64)), keeping the pair stage linear in N at any corpus size.
 
     Returns the manifest dict (also written as ``_MANIFEST``).
     """
     kept = docs
     sd = None
+    sem = None
+    n_collapsed = 0
+    if semantic_collapse is not None:
+        from batch_process_dpla_index_spark.operators.dedup import semantic_dedup
+
+        emb, vec_col, sem_threshold = semantic_collapse
+        k = max(32, emb.count() // 64)
+        sem = semantic_dedup(
+            emb, "doc_id", vec_col, k=k, n_iter=3, threshold=sem_threshold
+        )
+        dropped = sem.where(~F.col("kept")).select(
+            F.col("id").alias("doc_id")
+        )
+        # one bounded action for the manifest stat (reads the persisted
+        # cell assignment, not the doc corpus twice)
+        n_collapsed = kept.join(dropped, "doc_id", "left_semi").count()
+        kept = kept.join(dropped, "doc_id", "left_anti")
     if sentence_dedup_first:
         from batch_process_dpla_index_spark.operators.dedup import sentence_dedup
 
@@ -91,18 +120,26 @@ def export_training_shards(
         "shard", "shuffle_key"
     )
     ordered.write.mode("overwrite").partitionBy("shard").parquet(out_dir)
-    if sd is not None:
-        # the write above materialized the dedup — release the
-        # persisted sentence explode before the read-back
+    if sd is not None or sem is not None:
+        # the write above materialized the dedups — release the
+        # persisted sentence explode / cell assignment before read-back
         from batch_process_dpla_index_spark.operators.dedup import unpersist_deps
 
-        unpersist_deps(sd)
+        if sd is not None:
+            unpersist_deps(sd)
+        if sem is not None:
+            unpersist_deps(sem)
     n_docs = spark.read.parquet(out_dir).count()
     opts = {
         "Seed": seed,
         "Shards": str(n_shards),
         "Gate": str(gate),
         "Sentence dedup": str(sentence_dedup_first),
+        "Semantic collapse": (
+            "none"
+            if semantic_collapse is None
+            else f"threshold={semantic_collapse[2]} dropped={n_collapsed}"
+        ),
         "Mixture": "none" if mixture is None else (
             f"{mixture[0]}:{sorted(mixture[1].items())}@{mixture[2]}"
         ),

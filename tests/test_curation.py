@@ -408,6 +408,49 @@ def test_training_export_full_curation_chain(spark, docs, tmp_path):
     assert a == b
 
 
+def test_training_export_semantic_collapse(spark, docs, tmp_path):
+    """The SemDeDup curation step: docs whose embedding is a
+    non-representative member of a semantic near-dup group are dropped
+    before the gate; representatives and embedding-less docs survive.
+    The exported id set must equal operators.dedup.semantic_dedup's
+    kept-set intersected with the gated corpus."""
+    from batch_process_dpla_index_spark.operators.dedup import (
+        semantic_dedup,
+        unpersist_deps,
+    )
+    from batch_process_dpla_index_spark.products.training_export import (
+        export_training_shards,
+    )
+    from batch_process_dpla_index_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    # embeddings keyed by doc_id; leave doc_ids >= 400 embedding-less
+    emb = (
+        load_table(spark, SF_DIR, "embeddings")
+        .select(F.col("vec_id").alias("doc_id"), "embedding")
+        .where(F.col("doc_id") < 400)
+    )
+    out = str(tmp_path / "sem_collapse")
+    opts = export_training_shards(
+        spark, docs, out,
+        seed="sem0", n_shards=4, gate=False,
+        semantic_collapse=(emb, "embedding", 0.3),
+    )
+    assert opts["Semantic collapse"].startswith("threshold=0.3 dropped=")
+    landed_ids = {r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()}
+
+    sd = semantic_dedup(emb, "doc_id", "embedding", k=32, n_iter=3, threshold=0.3)
+    not_kept = {r.id for r in sd.where(~F.col("kept")).select("id").collect()}
+    unpersist_deps(sd)
+    all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    assert not_kept  # the fixture actually has near-dup groups
+    assert landed_ids == all_ids - not_kept
+    # embedding-less docs passed through untouched
+    assert landed_ids & {i for i in all_ids if i >= 400} == {
+        i for i in all_ids if i >= 400
+    }
+
+
 def test_export_mixture_seed_decorrelated_from_shards():
     """Pure-Python replay of the export chain's two digests: with the
     OLD scheme (same seed for sampling and shuffle), every survivor of

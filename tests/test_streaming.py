@@ -324,6 +324,148 @@ def test_streaming_dedup_ingest(spark, tmp_path):
     assert spark.read.parquet(out).count() == kept
 
 
+def test_streaming_embedding_dedup_ingest(spark, tmp_path):
+    """Embedding dedup-on-ingest: batch 2's near-dup copies of batch-1
+    vectors (scaled 1.5x — cosine 1.0 without being byte-equal) are
+    dropped because batch 1's survivors' cell rows were appended to the
+    index; replay with the same checkpoint ingests nothing and
+    duplicates nothing."""
+    from batch_process_dpla_index_spark.products import (
+        embedding_index,
+        streaming_ingest,
+    )
+    from batch_process_dpla_index_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    corpus = emb.filter(F.col("vec_id") < 300)
+    slice_a = emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 400))
+    # batch B = new vectors + SCALED copies of batch-A vectors under
+    # new ids: cosine is scale-invariant, so each copy is a perfect
+    # near-dup of its batch-A twin without being byte-identical
+    copies = slice_a.limit(20).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x * F.lit(1.5)).cast("float")
+        ).alias("embedding"),
+    )
+    slice_b = emb.filter(F.col("vec_id") >= 400).unionByName(copies)
+
+    idx = str(tmp_path / "embidx")
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "landed")
+    ckpt = str(tmp_path / "ckpt")
+    embedding_index.build_embedding_index(
+        corpus, "vec_id", "embedding", idx, dim=64, n_cells=16
+    )
+    slice_a.coalesce(1).write.parquet(src)
+    slice_b.coalesce(1).write.mode("append").parquet(src)
+
+    stats = streaming_ingest.ingest_embedding_dedup_available(
+        spark, src, slice_a.schema, out, ckpt, idx,
+        threshold=0.99, max_files_per_trigger=1,
+    )
+    assert len(stats) == 2
+    seen = sum(s for s, _ in stats.values())
+    kept = sum(k for _, k in stats.values())
+    assert seen == slice_a.count() + slice_b.count()
+    landed = spark.read.parquet(out)
+    assert landed.count() == kept
+    # every cross-batch near-dup copy was caught: whichever slice came
+    # first, its scaled twin in the other batch is a cosine-1.0 corpus
+    # match — exactly one of each (original, copy) pair lands
+    landed_ids = {r.vec_id for r in landed.select("vec_id").collect()}
+    orig_ids = {r.vec_id for r in slice_a.limit(20).collect()}
+    for o in orig_ids:
+        assert len({o, o + 100000} & landed_ids) == 1
+    assert seen - kept >= 20
+
+    # replay: nothing new, nothing duplicated, index unchanged
+    stats2 = streaming_ingest.ingest_embedding_dedup_available(
+        spark, src, slice_a.schema, out, ckpt, idx,
+        threshold=0.99, max_files_per_trigger=1,
+    )
+    assert stats2 == {}
+    assert spark.read.parquet(out).count() == kept
+
+    # manifest pins the cell geometry: a mismatched column name is a
+    # loud refusal, not a silent mis-probe
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="vec_col"):
+        embedding_index.incremental_embedding_dedup_indexed(
+            spark, slice_a.withColumnRenamed("embedding", "v"),
+            "vec_id", "v", idx,
+        )
+
+
+def test_incremental_dedup_indexed_replay_guard(spark, tmp_path):
+    """max_ingest_batch replay safety (both index products): a batch
+    whose own rows were already appended under ingest_batch=1 matches
+    itself when probing everything, and matches NOTHING when the probe
+    is bounded to the partitions that predate it."""
+    from batch_process_dpla_index_spark.operators.dedup import unpersist_deps
+    from batch_process_dpla_index_spark.products import dedup_index, embedding_index
+    from batch_process_dpla_index_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") < 100)
+    batch = docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 140))
+    idx = str(tmp_path / "txtidx")
+    dedup_index.build_dedup_index(corpus, "text", "doc_id", idx)
+    dedup_index.append_to_dedup_index(batch, "text", "doc_id", idx, ingest_batch=1)
+    unbounded = dedup_index.incremental_dedup_indexed(
+        spark, batch, "text", "doc_id", idx
+    )
+    n_self = unbounded.where(F.col("new_id") == F.col("dup_of")).count()
+    unpersist_deps(unbounded)
+    assert n_self == batch.count()  # J=1.0 self-matches: the data-loss mode
+    bounded = dedup_index.incremental_dedup_indexed(
+        spark, batch, "text", "doc_id", idx, max_ingest_batch=0
+    )
+    n_bounded = bounded.where(F.col("new_id") == F.col("dup_of")).count()
+    unpersist_deps(bounded)
+    assert n_bounded == 0
+
+    # embedding path: same-id self-pairs are already excluded by the
+    # matcher's q_id != c_id filter, so the replay hazard is CROSS-id —
+    # an intra-batch near-dup pair (both kept on the first attempt, per
+    # the corpus-level contract) would match each other's stored rows
+    # on replay and one would be wrongly dropped
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    ecorpus = emb.filter(F.col("vec_id") < 100)
+    base = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 140))
+    twin = base.limit(1).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x * F.lit(1.5)).cast("float")
+        ).alias("embedding"),
+    )
+    ebatch = base.unionByName(twin)
+    eidx = str(tmp_path / "embidx")
+    embedding_index.build_embedding_index(
+        ecorpus, "vec_id", "embedding", eidx, dim=64, n_cells=16
+    )
+    # the first attempt appended the whole batch (intra-batch contract)
+    embedding_index.append_to_embedding_index(
+        ebatch, "vec_id", "embedding", eidx, ingest_batch=1
+    )
+    eub = embedding_index.incremental_embedding_dedup_indexed(
+        spark, ebatch, "vec_id", "embedding", eidx, threshold=0.999999
+    )
+    n_eub = eub.where(~F.col("is_new")).count()
+    unpersist_deps(eub)
+    assert n_eub >= 2  # the twin pair match each other's stored rows
+    ebd = embedding_index.incremental_embedding_dedup_indexed(
+        spark, ebatch, "vec_id", "embedding", eidx,
+        threshold=0.999999, max_ingest_batch=0,
+    )
+    n_ebounded = ebd.where(~F.col("is_new")).count()
+    unpersist_deps(ebd)
+    assert n_ebounded == 0
+
+
 def test_streaming_dedup_within_watermark_restamped_retries(spark, events_dir, tmp_path):
     """Retries with RE-STAMPED event times (ts shifted a few minutes)
     still dedup under dropDuplicatesWithinWatermark — the scenario
