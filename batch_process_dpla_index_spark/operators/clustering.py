@@ -319,3 +319,199 @@ def cluster_silhouette(
     return df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
         run, "id bigint, cell int, a2 double, b2 double, silhouette double"
     )
+
+
+def kmeans_fit_two_level(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+    coarse_k: int | None = None,
+    n_iter: int = 3,
+    coarse_iter: int | None = None,
+    tol: float = 1e-6,
+    init: str = "hash",
+    update_grid: int | None = None,
+) -> tuple[list[list[float]], dict[int, list[list[float]]]]:
+    """Two-level (coarse-quantized) k-means training — the billion-scale
+    path the IVF family's docstrings cite: the flat ASSIGN pass is
+    O(N·k·dim) per iteration, which at k beyond ~10⁵ dwarfs everything
+    else; training √k coarse cells first and then k/√k fine centroids
+    WITHIN each coarse cell drops every subsequent assign to
+    O(N·√k·dim) — per-row work √k, not k (the inverted-multi-index /
+    FAISS IMI recipe).
+
+    Returns ``(coarse, fine)``: coarse is k_c×dim, fine maps coarse
+    cell → its k_f×dim fine centroids (a coarse cell with fewer than
+    k_f rows trains fewer fine centroids). Global fine-cell ids follow
+    the fixed-stride convention ``cell = coarse_cell * k_f + fine_idx``
+    (see :func:`kmeans_assign_two_level`).
+
+    Semantics: rows are PINNED to their coarse cell after the coarse
+    fit (the standard two-level contract — a boundary row trains the
+    fine codebook of its coarse side only), so each fine iteration is
+    one O(N·k_f·dim) Arrow pass + one (k·dim)-row integer-grid shuffle,
+    and the whole fine level across all coarse cells trains
+    simultaneously in those two stages — no per-cell driver loop.
+    Seeding within a cell is the hash convention (k_f smallest
+    ``h60(id)``), one pass; ``update_grid`` gives the same exact-BIGINT
+    order-insensitive update as :func:`kmeans_fit`, which is what makes
+    the whole two-level chain SQL-replayable cross-engine.
+
+    Flat :func:`kmeans_fit` remains the verification-resolution path;
+    this is the documented-then-built large-k lever (VERDICT r10 #6).
+    """
+    import math
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    k_c = coarse_k if coarse_k is not None else max(2, math.isqrt(k - 1) + 1)
+    k_f = -(-k // k_c)  # ceil
+    coarse = kmeans_fit(
+        df, id_col, vec_col, k=k_c,
+        n_iter=coarse_iter if coarse_iter is not None else n_iter,
+        tol=tol, init=init, update_grid=update_grid,
+    )
+    # one coarse assign, persisted: every fine iteration re-reads it
+    assigned = _assign_cells(df, id_col, vec_col, coarse).persist()
+    try:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("cell").orderBy("__h", "id")
+        seed_rows = (
+            assigned.withColumn("__h", h60(F.col("id").cast("string")))
+            .withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= k_f)
+            .select("cell", (F.col("__rn") - 1).alias("fine"), "vec")
+            .collect()
+        )
+        fine: dict[int, list[list[float]]] = {}
+        for r in sorted(seed_rows, key=lambda r: (r["cell"], r["fine"])):
+            fine.setdefault(int(r["cell"]), []).append(
+                [float(x) for x in r["vec"]]
+            )
+
+        dim = len(coarse[0])
+        for _ in range(n_iter):
+            fmats = {c: np.asarray(m, dtype="float64") for c, m in fine.items()}
+            fsq = {c: (m * m).sum(axis=1) for c, m in fmats.items()}
+
+            def assign_fine(
+                batches: Iterator[pd.DataFrame],
+            ) -> Iterator[pd.DataFrame]:
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    mat = np.array(list(pdf["vec"]), dtype="float64")
+                    cells = pdf["cell"].to_numpy()
+                    out = np.zeros(len(pdf), dtype="int32")
+                    for c in np.unique(cells):
+                        mask = cells == c
+                        fm = fmats[int(c)]
+                        # argmin ‖x−f‖² = argmin ‖f‖² − 2·x·f per row
+                        out[mask] = (
+                            fsq[int(c)][None, :] - 2.0 * (mat[mask] @ fm.T)
+                        ).argmin(axis=1)
+                    yield pd.DataFrame(
+                        {"cell": cells, "fine": out, "vec": pdf["vec"]}
+                    )
+
+            vec_ddl = assigned.schema["vec"].dataType.simpleString()
+            fa = assigned.mapInPandas(
+                assign_fine, f"cell int, fine int, vec {vec_ddl}"
+            )
+            x = F.col("x").cast("double")
+            s_expr = (
+                F.sum(F.floor(x * F.lit(float(update_grid))).cast("bigint"))
+                if update_grid
+                else F.sum(x)
+            )
+            stats = (
+                fa.select("cell", "fine", F.posexplode("vec").alias("pos", "x"))
+                .groupBy("cell", "fine", "pos")
+                .agg(s_expr.alias("s"), F.count("*").alias("n"))
+                .collect()
+            )
+            sums: dict[tuple[int, int], list[float]] = {}
+            counts: dict[tuple[int, int], int] = {}
+            for r in stats:
+                key = (int(r["cell"]), int(r["fine"]))
+                sums.setdefault(key, [0.0] * dim)[r["pos"]] = r["s"]
+                counts[key] = r["n"]
+            for (c, j), vsum in sums.items():
+                if update_grid:
+                    fine[c][j] = [
+                        s / counts[(c, j)] / update_grid for s in vsum
+                    ]
+                else:
+                    fine[c][j] = [s / counts[(c, j)] for s in vsum]
+            # empty fine cells keep their previous coords (no key hit)
+    finally:
+        assigned.unpersist()
+    return coarse, fine
+
+
+def kmeans_assign_two_level(
+    df: DataFrame,
+    coarse,
+    fine: dict[int, list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, coarse_cell, cell, dist2): two-level inference — nearest
+    coarse centroid first (O(√k·dim)), then nearest fine centroid
+    WITHIN that coarse cell (O(k_f·dim)); ``cell`` is the global
+    fixed-stride id ``coarse_cell * k_f + fine_idx``. The standard
+    two-level approximation: a row near a coarse boundary may have a
+    closer fine centroid on the other side — the IVF probe-width
+    tradeoff, accepted for the ~√k-fold assign speedup. One Arrow
+    pass; both levels' centroid state is model-sized closure data."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    # restrict the coarse argmin to cells that actually trained a fine
+    # codebook: an empty coarse cell keeps its seed centroid in the
+    # coarse model (Lloyd's convention) but has nothing to serve — a
+    # new vector nearest to it must route to its nearest TRAINED cell
+    trained = sorted(fine)
+    cents = np.asarray([coarse[c] for c in trained], dtype="float64")
+    cell_of = np.asarray(trained, dtype="int64")
+    csq = (cents * cents).sum(axis=1)
+    k_f = max(len(m) for m in fine.values())
+    fmats = {c: np.asarray(m, dtype="float64") for c, m in fine.items()}
+    fsq = {c: (m * m).sum(axis=1) for c, m in fmats.items()}
+    id_name, vec_name = id_col, vec_col
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.array(list(pdf[vec_name]), dtype="float64")
+            ccell = cell_of[
+                (csq[None, :] - 2.0 * (mat @ cents.T)).argmin(axis=1)
+            ]
+            gcell = np.zeros(len(pdf), dtype="int32")
+            d2 = np.zeros(len(pdf), dtype="float64")
+            for c in np.unique(ccell):
+                mask = ccell == c
+                fm = fmats[int(c)]
+                fd2 = _full_d2(mat[mask], fm, fsq[int(c)])
+                j = fd2.argmin(axis=1)
+                gcell[mask] = int(c) * k_f + j
+                d2[mask] = fd2[np.arange(mask.sum()), j]
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_name].to_numpy(),
+                    "coarse_cell": ccell.astype("int32"),
+                    "cell": gcell,
+                    "dist2": d2,
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        run, "id bigint, coarse_cell int, cell int, dist2 double"
+    )

@@ -1436,6 +1436,86 @@ FROM final GROUP BY cell""")
 ORACLE_KMEANS_CELLS = _kmeans_oracle()
 
 
+def _two_level_kmeans_oracle(
+    k_c: int = 4, k_f: int = 4, n_iter: int = 2, coarse_iter: int = 2,
+    grid: int = 10**6,
+) -> str:
+    """Replays `clustering.kmeans_fit_two_level` +
+    `kmeans_assign_two_level` end to end: the flat hash-seeded
+    integer-grid coarse chain (shared `_kmeans_cte_chain`, bit-identical
+    coarse centroids), the coarse pinning argmin, per-coarse-cell hash
+    seeding of the fine level (k_f smallest h60(id) per cell), unrolled
+    fine Lloyd's with the same exact-BIGINT update, and the two-level
+    inference argmin with the global fixed-stride cell id. Tie-breaks
+    everywhere are (d2, cell) — the engine's numpy first-min, same
+    accepted ~1-ulp convention as the flat oracle."""
+    h = _h60("CAST(e.vec_id AS VARCHAR)")
+    parts = [_kmeans_cte_chain(k_c, coarse_iter, grid)]
+    parts.append(f"""ca AS MATERIALIZED (
+    SELECT vec_id, cell AS ccell FROM (
+        SELECT v.vec_id, c.cell,
+               row_number() OVER (PARTITION BY v.vec_id
+                   ORDER BY sum((v.x - c.c) * (v.x - c.c)), c.cell) AS rn
+        FROM v JOIN c{coarse_iter} c USING (pos)
+        GROUP BY v.vec_id, c.cell)
+    WHERE rn = 1
+),
+fseeds AS (
+    SELECT vec_id, ccell, rn - 1 AS fine FROM (
+        SELECT ca.vec_id, ca.ccell,
+               row_number() OVER (PARTITION BY ca.ccell
+                   ORDER BY {h}, ca.vec_id) AS rn
+        FROM ca JOIN embeddings e ON e.vec_id = ca.vec_id)
+    WHERE rn <= {k_f}
+),
+f0 AS (
+    SELECT s.ccell, s.fine, v.pos, v.x AS c
+    FROM fseeds s JOIN v ON v.vec_id = s.vec_id
+),""")
+    for i in range(1, n_iter + 1):
+        parts.append(f"""fa{i} AS (
+    SELECT vec_id, ccell, fine FROM (
+        SELECT v.vec_id, ca.ccell, f.fine,
+               row_number() OVER (PARTITION BY v.vec_id
+                   ORDER BY sum((v.x - f.c) * (v.x - f.c)), f.fine) AS rn
+        FROM v JOIN ca ON ca.vec_id = v.vec_id
+        JOIN f{i - 1} f ON f.ccell = ca.ccell AND f.pos = v.pos
+        GROUP BY v.vec_id, ca.ccell, f.fine)
+    WHERE rn = 1
+),
+fu{i} AS (
+    SELECT a.ccell, a.fine, v.pos,
+           sum(CAST(floor(v.x * {grid}.0) AS BIGINT)) AS s, count(*) AS n
+    FROM fa{i} a JOIN v ON v.vec_id = a.vec_id
+    GROUP BY a.ccell, a.fine, v.pos
+),
+f{i} AS (
+    SELECT p.ccell, p.fine, p.pos,
+           COALESCE(CAST(u.s AS DOUBLE) / CAST(u.n AS DOUBLE) / {grid}.0, p.c) AS c
+    FROM f{i - 1} p LEFT JOIN fu{i} u
+        ON u.ccell = p.ccell AND u.fine = p.fine AND u.pos = p.pos
+),""")
+    parts.append(f"""final AS (
+    SELECT vec_id, ccell, fine, d2 FROM (
+        SELECT v.vec_id, ca.ccell, f.fine,
+               sum((v.x - f.c) * (v.x - f.c)) AS d2,
+               row_number() OVER (PARTITION BY v.vec_id
+                   ORDER BY sum((v.x - f.c) * (v.x - f.c)), f.fine) AS rn
+        FROM v JOIN ca ON ca.vec_id = v.vec_id
+        JOIN f{n_iter} f ON f.ccell = ca.ccell AND f.pos = v.pos
+        GROUP BY v.vec_id, ca.ccell, f.fine)
+    WHERE rn = 1
+)
+SELECT CAST(ccell * {k_f} + fine AS INTEGER) AS cell,
+       CAST(ccell AS INTEGER) AS coarse_cell,
+       count(*) AS n_vectors, round(avg(d2), 6) AS avg_dist2
+FROM final GROUP BY 1, 2""")
+    return "\n".join(parts)
+
+
+ORACLE_TWO_LEVEL_KMEANS = _two_level_kmeans_oracle()
+
+
 def _cluster_silhouette_oracle(
     k: int = 8, n_iter: int = 3, grid: int = 10**6
 ) -> str:
@@ -4048,6 +4128,7 @@ ORACLES: dict[str, str] = {
     "melt_metrics": ORACLE_MELT_METRICS,
     "ivf_topk": ORACLE_IVF_TOPK,
     "kmeans_cells": ORACLE_KMEANS_CELLS,
+    "two_level_kmeans": ORACLE_TWO_LEVEL_KMEANS,
     "cluster_silhouette": ORACLE_CLUSTER_SILHOUETTE,
     "pq_encode": ORACLE_PQ_ENCODE,
     "semdedup": ORACLE_SEMDEDUP,

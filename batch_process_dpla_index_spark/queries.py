@@ -1426,6 +1426,42 @@ def q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_two_level_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level (coarse-quantized) k-means (r11, staged for the r12
+    window): the billion-scale training path the IVF/semantic-dedup
+    docstrings cite — √k coarse cells trained flat, then all fine
+    codebooks trained SIMULTANEOUSLY within their pinned coarse cells,
+    so every assign pass is O(N·√k·dim) instead of O(N·k·dim). Same
+    integer-grid update discipline as `kmeans_cells` at both levels,
+    so the full two-level chain (coarse Lloyd's → pinning argmin →
+    per-cell hash seeds → fine Lloyd's → two-level inference) replays
+    bit-identically as unrolled DuckDB CTEs. Per-cell population +
+    mean squared distance, keyed by the global fixed-stride cell id.
+    The k·N scaling receipt lives in SCALE.md (10× probe: flat assign
+    grows ∝ N·k, two-level ∝ N·√k)."""
+    from batch_process_dpla_index_spark.operators.clustering import (
+        kmeans_assign_two_level,
+        kmeans_fit_two_level,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # tol=0 pins EXACTLY coarse_iter coarse iterations (the oracle
+    # replays a fixed-depth chain); fine iterations are fixed-depth by
+    # construction. k_c=4/k_f=4 keeps the unrolled oracle tractable at
+    # the verification SFs while exercising both levels.
+    coarse, fine = kmeans_fit_two_level(
+        emb, "vec_id", "embedding", k=16, coarse_k=4, n_iter=2,
+        coarse_iter=2, init="hash", update_grid=10**6, tol=0.0,
+    )
+    return (
+        kmeans_assign_two_level(emb, coarse, fine, "vec_id", "embedding")
+        .groupBy("cell", "coarse_cell")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.round(F.avg("dist2"), 6).alias("avg_dist2"),
+        )
+    )
+
 
 def q_cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cell clustering quality: squared-L2 simplified silhouette
@@ -3138,6 +3174,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #    head (per the staging discipline), then the r8-green cohort's
     #    last seven (below), then the r9-green cohort (keep_first ...);
     #    overflow defers to r13 with fleet-verify receipts. --
+    # -- round-11 addition (two-level coarse-quantized k-means, the
+    #    VERDICT r10 #6 billion-scale training path): verified at both
+    #    SFs + pinned + probed this round, debuts at r12 position 1 --
+    "two_level_kmeans": q_two_level_kmeans,
     "triangle_count": q_triangle_count,
     "bpe_merges": q_bpe_merges,
     "rfm_segments": q_rfm_segments,

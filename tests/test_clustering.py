@@ -360,3 +360,68 @@ def test_cluster_silhouette_rejects_single_centroid(spark):
     emb = load_table(spark, SF_DIR, "embeddings")
     with _pytest.raises(ValueError, match="needs >= 2 centroids"):
         cluster_silhouette(emb, [[0.0] * 64])
+
+
+def test_two_level_kmeans_structure_and_refinement(spark):
+    """Two-level fit on the fixture embeddings: global cell ids follow
+    the fixed stride (cell = coarse_cell*k_f + fine, fine in [0, k_f)),
+    every row is assigned exactly once, and the fine level genuinely
+    refines — mean d² under the two-level model is below the
+    coarse-only model's (the reason to pay for the second level)."""
+    from batch_process_dpla_index_spark.operators.clustering import (
+        kmeans_assign_two_level,
+        kmeans_fit_two_level,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    coarse, fine = kmeans_fit_two_level(
+        emb, "vec_id", "embedding", k=16, coarse_k=4, n_iter=2,
+        coarse_iter=2, init="hash", update_grid=10**6, tol=0.0,
+    )
+    assert len(coarse) == 4 and set(fine) <= set(range(4))
+    k_f = max(len(m) for m in fine.values())
+    out = kmeans_assign_two_level(emb, coarse, fine, "vec_id", "embedding").persist()
+    try:
+        rows = out.collect()
+        assert len(rows) == emb.count()
+        for r in rows:
+            f = r["cell"] - r["coarse_cell"] * k_f
+            assert 0 <= f < len(fine[r["coarse_cell"]])
+        two_level_mean = out.agg(F.avg("dist2")).collect()[0][0]
+    finally:
+        out.unpersist()
+    coarse_mean = (
+        kmeans_assign(emb, coarse, "vec_id", "embedding")
+        .agg(F.avg("dist2"))
+        .collect()[0][0]
+    )
+    assert two_level_mean < coarse_mean
+
+
+def test_two_level_assign_routes_around_untrained_cell(spark):
+    """A coarse cell that trained no fine codebook (empty at fit time,
+    kept its seed centroid) must not be servable: vectors nearest to it
+    route to their nearest TRAINED coarse cell instead of KeyError-ing
+    the Arrow worker."""
+    from batch_process_dpla_index_spark.operators.clustering import (
+        kmeans_assign_two_level,
+    )
+
+    coarse = [[0.0, 0.0], [10.0, 10.0], [-10.0, -10.0]]
+    fine = {  # cell 1 has no fine codebook
+        0: [[0.0, 0.0], [1.0, 1.0]],
+        2: [[-10.0, -10.0]],
+    }
+    df = spark.createDataFrame(
+        [(1, [9.5, 9.5]), (2, [0.2, 0.2]), (3, [-9.0, -9.0])],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
+    got = {
+        r["id"]: (r["coarse_cell"], r["cell"])
+        for r in kmeans_assign_two_level(df, coarse, fine).collect()
+    }
+    # vec 1 is nearest the untrained cell 1 -> routed to trained cell 0
+    # (d2 to [0,0] = 180.5 < d2 to [-10,-10] = 760.5), fine argmin [1,1]
+    assert got[1] == (0, 1)
+    assert got[2] == (0, 0)
+    assert got[3] == (2, 2 * 2 + 0)  # stride k_f = 2
