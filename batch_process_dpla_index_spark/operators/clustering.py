@@ -332,7 +332,7 @@ def kmeans_fit_two_level(
     tol: float = 1e-6,
     init: str = "hash",
     update_grid: int | None = None,
-) -> tuple[list[list[float]], dict[int, list[list[float]]]]:
+) -> tuple[list[list[float]], dict[int, list[list[float]]], int]:
     """Two-level (coarse-quantized) k-means training — the billion-scale
     path the IVF family's docstrings cite: the flat ASSIGN pass is
     O(N·k·dim) per iteration, which at k beyond ~10⁵ dwarfs everything
@@ -341,11 +341,16 @@ def kmeans_fit_two_level(
     O(N·√k·dim) — per-row work √k, not k (the inverted-multi-index /
     FAISS IMI recipe).
 
-    Returns ``(coarse, fine)``: coarse is k_c×dim, fine maps coarse
-    cell → its k_f×dim fine centroids (a coarse cell with fewer than
-    k_f rows trains fewer fine centroids). Global fine-cell ids follow
-    the fixed-stride convention ``cell = coarse_cell * k_f + fine_idx``
-    (see :func:`kmeans_assign_two_level`).
+    Returns ``(coarse, fine, k_f)``: coarse is k_c×dim, fine maps
+    coarse cell → its ≤k_f×dim fine centroids (a coarse cell with
+    fewer than k_f rows trains fewer fine centroids). ``k_f`` is the
+    fit's global-cell STRIDE (``ceil(k / k_c)``) and is part of the
+    model — :func:`kmeans_assign_two_level` takes it explicitly,
+    because it is NOT derivable from ``fine`` when every coarse cell
+    trained fewer than k_f centroids (deriving it as
+    max(len(fine[c])) silently shifts every global id off the
+    ``cell = coarse_cell * k_f + fine_idx`` convention the oracle
+    replays).
 
     Semantics: rows are PINNED to their coarse cell after the coarse
     fit (the standard two-level contract — a boundary row trains the
@@ -450,20 +455,23 @@ def kmeans_fit_two_level(
             # empty fine cells keep their previous coords (no key hit)
     finally:
         assigned.unpersist()
-    return coarse, fine
+    return coarse, fine, k_f
 
 
 def kmeans_assign_two_level(
     df: DataFrame,
     coarse,
     fine: dict[int, list[list[float]]],
+    k_f: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(id, coarse_cell, cell, dist2): two-level inference — nearest
     coarse centroid first (O(√k·dim)), then nearest fine centroid
     WITHIN that coarse cell (O(k_f·dim)); ``cell`` is the global
-    fixed-stride id ``coarse_cell * k_f + fine_idx``. The standard
+    fixed-stride id ``coarse_cell * k_f + fine_idx``, with ``k_f``
+    the stride the FIT returns (it cannot be derived from ``fine``
+    when every cell trained under-full). The standard
     two-level approximation: a row near a coarse boundary may have a
     closer fine centroid on the other side — the IVF probe-width
     tradeoff, accepted for the ~√k-fold assign speedup. One Arrow
@@ -481,7 +489,11 @@ def kmeans_assign_two_level(
     cents = np.asarray([coarse[c] for c in trained], dtype="float64")
     cell_of = np.asarray(trained, dtype="int64")
     csq = (cents * cents).sum(axis=1)
-    k_f = max(len(m) for m in fine.values())
+    if k_f < max(len(m) for m in fine.values()):
+        raise ValueError(
+            f"kmeans_assign_two_level: stride k_f={k_f} is smaller than "
+            "the widest fine codebook — global cell ids would collide"
+        )
     fmats = {c: np.asarray(m, dtype="float64") for c, m in fine.items()}
     fsq = {c: (m * m).sum(axis=1) for c, m in fmats.items()}
     id_name, vec_name = id_col, vec_col

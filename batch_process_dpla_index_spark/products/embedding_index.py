@@ -80,14 +80,22 @@ def build_embedding_index(
     cells = _cell_rows(vecs, id_col, vec_col, dim, n_cells)
     (
         cells.withColumn("ingest_batch", F.lit(0))
-        # co-locate probe joins: stored rows arrive pre-partitioned on
-        # the join key (cell), so a batch probe shuffles only itself
+        # bound the artifact to <=32 files and cluster rows by cell
+        # (row-group min/max stats on `cell` then serve any future
+        # cell-pruned read). NOTE: this does NOT pre-co-locate the
+        # probe join — parquet read-back carries no hash-partitioning
+        # metadata, so the join plans its own shuffle/broadcast either
+        # way; the repartition is file-layout hygiene only
         .repartition(min(n_cells, 32), "cell")
         .write.mode("overwrite")
         .partitionBy("ingest_batch")
         .parquet(os.path.join(index_dir, "cells"))
     )
-    n_vecs = vecs.count()
+    # count from the freshly written parquet footers — recounting the
+    # caller's (possibly derived) frame would re-run its whole lineage
+    n_vecs = (
+        vecs.sparkSession.read.parquet(os.path.join(index_dir, "cells")).count()
+    )
     manifest = {
         "dim": str(int(dim)),
         "n_cells": str(int(n_cells)),
@@ -159,15 +167,36 @@ def append_to_embedding_index(
     index_dir: str,
     ingest_batch: int = 1,
     idempotent: bool = False,
+    assigned_cells: DataFrame | None = None,
 ) -> None:
     """Append an accepted batch's cell rows under its ``ingest_batch``
     partition (cell geometry comes from the manifest so drift is
     impossible). ``idempotent=True`` switches to dynamic partition
     overwrite — a streaming checkpoint replay then REPLACES its own
     partition instead of appending a second copy; leave it off for
-    ad-hoc batch appends."""
+    ad-hoc batch appends.
+
+    ``assigned_cells`` — optional (``id``, ``cell``) frame carrying
+    each batch vector's rank-1 storage cell, e.g. the output of
+    :func:`incremental_embedding_dedup_indexed` (whose ``cell`` column
+    IS that assignment): passing it skips the re-assign matmul the
+    probe pass already paid. Caller contract: the assignment must come
+    from THIS index's geometry (reading it through this module's query
+    path guarantees that via the manifest)."""
     dim, n_cells = _read_pinned(index_dir, id_col, vec_col)
-    cells = _cell_rows(batch_vecs, id_col, vec_col, dim, n_cells)
+    if assigned_cells is not None:
+        cells = batch_vecs.join(
+            assigned_cells.select(
+                F.col("id").alias(id_col), F.col("cell").alias("cell")
+            ),
+            id_col,
+        ).select(
+            "cell",
+            F.col(id_col).alias("c_id"),
+            F.col(vec_col).alias("c_vec"),
+        )
+    else:
+        cells = _cell_rows(batch_vecs, id_col, vec_col, dim, n_cells)
     writer = cells.withColumn("ingest_batch", F.lit(int(ingest_batch))).write
     if idempotent:
         writer = writer.mode("overwrite").option(

@@ -71,16 +71,20 @@ def ingest_available(
     )
     q.awaitTermination()
 
-    write_manifest(
-        {
-            "Source": source_path,
-            "Batches": str(len(counts)),
-            "Total record count": str(sum(counts.values())),
-            **{f"Batch {b} record count": str(n) for b, n in sorted(counts.items())},
-        },
-        out_path,
-        timestamp=iso_timestamp(now),
-    )
+    # a no-op re-run (checkpoint replay with no new source files) must
+    # not clobber the real manifest with a zero-batch one — the landed
+    # data is still there and its provenance record must survive
+    if counts:
+        write_manifest(
+            {
+                "Source": source_path,
+                "Batches": str(len(counts)),
+                "Total record count": str(sum(counts.values())),
+                **{f"Batch {b} record count": str(n) for b, n in sorted(counts.items())},
+            },
+            out_path,
+            timestamp=iso_timestamp(now),
+        )
     return counts
 
 
@@ -231,6 +235,8 @@ def ingest_dedup_available(
     )
     q.awaitTermination()
 
+    if not stats:  # no-op replay: keep the real manifest (see above)
+        return stats
     write_manifest(
         {
             "Source": source_path,
@@ -325,6 +331,9 @@ def ingest_embedding_dedup_available(
             index_dir,
             ingest_batch=int(batch_id) + 1,
             idempotent=True,
+            # the probe pass already assigned every batch vector its
+            # rank-1 cell — reuse it instead of a second Arrow matmul
+            assigned_cells=res.select("id", "cell"),
         )
         unpersist_deps(res)
         survivors.unpersist()
@@ -343,6 +352,8 @@ def ingest_embedding_dedup_available(
     )
     q.awaitTermination()
 
+    if not stats:  # no-op replay: keep the real manifest (see above)
+        return stats
     write_manifest(
         {
             "Source": source_path,

@@ -48,11 +48,14 @@ def export_training_shards(
     """Run the curation chain and write ordered shard files.
 
     Full chain (each stage optional, composed in pipeline order):
-    corpus-wide sentence dedup → semantic collapse → quality gate →
+    semantic collapse → corpus-wide sentence dedup → quality gate →
     domain-mixture sampling (``mixture`` = (domain_col, weights,
     token_budget)) → deterministic global shuffle → sharded ordered
     parquet. Every stage is itself oracle-verified as a registry
-    query; this product is the write-side composition.
+    query; this product is the write-side composition. Semantic
+    collapse runs FIRST because the embeddings describe the original
+    documents — collapsing after sentence dedup would judge rewritten
+    text against vectors computed on text that no longer exists.
 
     ``semantic_collapse`` = (embeddings, vec_col, threshold): the
     SemDeDup curation step — ``operators.dedup.semantic_dedup`` groups

@@ -1449,12 +1449,12 @@ def q_two_level_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # replays a fixed-depth chain); fine iterations are fixed-depth by
     # construction. k_c=4/k_f=4 keeps the unrolled oracle tractable at
     # the verification SFs while exercising both levels.
-    coarse, fine = kmeans_fit_two_level(
+    coarse, fine, k_f = kmeans_fit_two_level(
         emb, "vec_id", "embedding", k=16, coarse_k=4, n_iter=2,
         coarse_iter=2, init="hash", update_grid=10**6, tol=0.0,
     )
     return (
-        kmeans_assign_two_level(emb, coarse, fine, "vec_id", "embedding")
+        kmeans_assign_two_level(emb, coarse, fine, k_f, "vec_id", "embedding")
         .groupBy("cell", "coarse_cell")
         .agg(
             F.count("*").alias("n_vectors"),

@@ -374,13 +374,15 @@ def test_two_level_kmeans_structure_and_refinement(spark):
     )
 
     emb = load_table(spark, SF_DIR, "embeddings")
-    coarse, fine = kmeans_fit_two_level(
+    coarse, fine, k_f = kmeans_fit_two_level(
         emb, "vec_id", "embedding", k=16, coarse_k=4, n_iter=2,
         coarse_iter=2, init="hash", update_grid=10**6, tol=0.0,
     )
     assert len(coarse) == 4 and set(fine) <= set(range(4))
-    k_f = max(len(m) for m in fine.values())
-    out = kmeans_assign_two_level(emb, coarse, fine, "vec_id", "embedding").persist()
+    assert k_f == 4  # ceil(k / k_c) — the fit-owned stride
+    out = kmeans_assign_two_level(
+        emb, coarse, fine, k_f, "vec_id", "embedding"
+    ).persist()
     try:
         rows = out.collect()
         assert len(rows) == emb.count()
@@ -418,10 +420,24 @@ def test_two_level_assign_routes_around_untrained_cell(spark):
     )
     got = {
         r["id"]: (r["coarse_cell"], r["cell"])
-        for r in kmeans_assign_two_level(df, coarse, fine).collect()
+        for r in kmeans_assign_two_level(df, coarse, fine, 2).collect()
     }
     # vec 1 is nearest the untrained cell 1 -> routed to trained cell 0
     # (d2 to [0,0] = 180.5 < d2 to [-10,-10] = 760.5), fine argmin [1,1]
     assert got[1] == (0, 1)
     assert got[2] == (0, 0)
     assert got[3] == (2, 2 * 2 + 0)  # stride k_f = 2
+
+    # the stride is the FIT's, not derivable from the codebooks: with
+    # every cell under-full, a max-width guess would shift global ids
+    # off the documented convention (the review repro); and a stride
+    # narrower than the widest codebook must be refused, not collide
+    import pytest as _pytest
+
+    got3 = {
+        r["id"]: r["cell"]
+        for r in kmeans_assign_two_level(df, coarse, fine, 3).collect()
+    }
+    assert got3[3] == 2 * 3 + 0  # stride 3: cell ids follow k_f, not max
+    with _pytest.raises(ValueError, match="stride"):
+        kmeans_assign_two_level(df, coarse, fine, 1).collect()

@@ -380,13 +380,20 @@ def test_streaming_embedding_dedup_ingest(spark, tmp_path):
         assert len({o, o + 100000} & landed_ids) == 1
     assert seen - kept >= 20
 
-    # replay: nothing new, nothing duplicated, index unchanged
+    # replay: nothing new, nothing duplicated, index unchanged — and
+    # the REAL manifest survives (a no-op re-run must not clobber it
+    # with a zero-batch record over still-landed data)
+    from batch_process_dpla_index_spark.io.manifest import read_manifest
+
+    man_before = read_manifest(out)
+    assert man_before["Total records kept"] == str(kept)
     stats2 = streaming_ingest.ingest_embedding_dedup_available(
         spark, src, slice_a.schema, out, ckpt, idx,
         threshold=0.99, max_files_per_trigger=1,
     )
     assert stats2 == {}
     assert spark.read.parquet(out).count() == kept
+    assert read_manifest(out) == man_before
 
     # manifest pins the cell geometry: a mismatched column name is a
     # loud refusal, not a silent mis-probe
