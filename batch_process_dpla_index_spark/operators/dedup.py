@@ -1126,10 +1126,11 @@ def semantic_dedup(
     cell population (k ≈ N/64): pair work is then linear in N, where
     the IVF-search convention k ≈ √N would leave it N^1.5. The assign
     pass is O(N·k·dim) GEMM per iteration — at k beyond ~10⁵ route it
-    through a two-level coarse quantizer (assign to √k coarse cells,
-    then k-means within each), the standard billion-scale IVF
-    training layout; the within-cell dedup semantics are unchanged.
-    No |corpus|² stage anywhere.
+    through the two-level coarse quantizer
+    (`clustering.kmeans_fit_two_level`: √k coarse cells, then all fine
+    codebooks trained simultaneously within them — assign drops to
+    O(N·√k·dim), probe receipt in SCALE.md round-11); the within-cell
+    dedup semantics are unchanged. No |corpus|² stage anywhere.
     """
     from batch_process_dpla_index_spark.functions.vectors import cosine
     from batch_process_dpla_index_spark.operators.clustering import (

@@ -953,8 +953,9 @@ def incremental_semantic_dedup(
     to the oracle's list_reduce.
 
     Plan shape at 100 TB: one Arrow assign pass per side (N×cells
-    BLAS matmul — at very large n_cells route through a two-level
-    coarse quantizer like the PQ path), one shuffle on cell, per-task
+    BLAS matmul — at very large n_cells route through the two-level
+    coarse quantizer, `clustering.kmeans_fit_two_level` /
+    `kmeans_assign_two_level`: O(√cells) per row), one shuffle on cell, per-task
     work bounded by |stored cell| × |batch∩cell|. Size n_cells for
     CONSTANT stored-cell population (≈ corpus/64): pair work is then
     DELTA-proportional; a fixed cell count would leave it
