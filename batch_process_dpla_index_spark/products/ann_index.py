@@ -48,7 +48,7 @@ def build_ann_index(
     index_dir: str,
     dim: int = 64,
     n_cells: int = 16,
-    learned: bool = True,
+    learned: bool | str = True,
     kmeans_iters: int = 10,
     cell_partitions: int = 32,
     pq_m: int | None = None,
@@ -58,6 +58,14 @@ def build_ann_index(
     """One corpus pass (+ k-means when ``learned``) → centroids, cell
     assignments, manifest. Returns the manifest dict.
 
+    ``learned`` picks the coarse quantizer: ``True`` = flat
+    maximin-seeded Lloyd's; ``"two-level"`` = the billion-scale
+    training path (√k coarse cells, then all fine codebooks at once —
+    O(N·√k·dim) per training iteration), whose fine codebooks flatten
+    to a plain dense centroid list so storage layout and every serve
+    path stay identical; ``False`` = the deterministic pseudo-random
+    quantizer (no training pass at all).
+
     ``pq_m`` turns on the IVF-PQ layout: m sub-codebooks train on the
     corpus (``operators.quantization.pq_train``), every stored row
     additionally carries its m-code array, and the codebooks persist
@@ -65,7 +73,30 @@ def build_ann_index(
     queries from codes alone (32× less data motion at the defaults),
     with the float vectors still in place for exact re-ranking."""
     spark = corpus.sparkSession
-    if learned:
+    if learned == "two-level":
+        # billion-scale training path: √k coarse cells, then all fine
+        # codebooks trained simultaneously within them — each training
+        # iteration assigns at O(N·√k·dim) instead of O(N·k·dim)
+        # (clustering.kmeans_fit_two_level; probe receipt in SCALE.md
+        # round-11). The fine codebooks FLATTEN to a dense plain
+        # centroid list, so storage assignment, the manifest layout,
+        # and every serve path are IDENTICAL to the flat-trained index
+        # — two-level here accelerates training only; the single
+        # storage-assign pass below stays the flat one (one O(N·k·dim)
+        # pass total, vs kmeans_iters of them during flat training).
+        from batch_process_dpla_index_spark.operators.clustering import (
+            kmeans_fit_two_level,
+        )
+
+        coarse, fine, _k_f = kmeans_fit_two_level(
+            corpus, id_col, vec_col, k=n_cells, n_iter=kmeans_iters
+        )
+        centroids = [cent for c in sorted(fine) for cent in fine[c]]
+        # under-full coarse cells train fewer fine centroids; the
+        # index's true cell count is the flattened codebook's length
+        # and everything downstream (manifest, serve) reads THAT
+        n_cells = len(centroids)
+    elif learned:
         from batch_process_dpla_index_spark.operators.clustering import kmeans_fit
 
         centroids = kmeans_fit(
@@ -134,7 +165,11 @@ def build_ann_index(
     manifest = {
         "dim": str(dim),
         "n_cells": str(n_cells),
-        "quantizer": "kmeans-maximin" if learned else "pseudo-random",
+        "quantizer": (
+            "kmeans-two-level"
+            if learned == "two-level"
+            else "kmeans-maximin" if learned else "pseudo-random"
+        ),
         "metric": "cosine",
         "Record count": str(n_vecs),
     }

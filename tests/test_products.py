@@ -483,6 +483,44 @@ def test_ann_index_round_trip(spark, tmp_path):
     assert got_rows == want_rows and len(got_rows) > 0
 
 
+def test_ann_index_two_level_quantizer(spark, tmp_path):
+    """learned='two-level' trains the coarse codebook through the
+    two-level path and flattens it to a plain centroid list: the index
+    must serve through the UNCHANGED flat paths with exact recall at
+    full probe, and the manifest must record the quantizer + the true
+    (flattened) cell count."""
+    from batch_process_dpla_index_spark.io.manifest import read_manifest
+    from batch_process_dpla_index_spark.products.ann_index import (
+        ann_recall_indexed,
+        build_ann_index,
+        load_centroids,
+    )
+    from batch_process_dpla_index_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    idx = str(tmp_path / "ann2l")
+    manifest = build_ann_index(
+        emb, "vec_id", "embedding", idx,
+        dim=64, n_cells=16, learned="two-level", kmeans_iters=3,
+    )
+    assert manifest["quantizer"] == "kmeans-two-level"
+    n_cells = int(manifest["n_cells"])
+    cents = load_centroids(spark, idx)
+    assert len(cents) == n_cells and int(manifest["Record count"]) == emb.count()
+    # manifest n_cells is the FLATTENED count (under-full coarse cells
+    # may train fewer than requested) and serve paths read that
+    assert n_cells <= 16
+
+    # probing every cell is the exact search on the stored vectors
+    sample = emb.orderBy("vec_id").limit(25)
+    rep = ann_recall_indexed(
+        spark, sample, "vec_id", "embedding", idx, k=5, n_probe=n_cells
+    ).collect()
+    assert len(rep) == 25
+    assert all(r.recall_at_k == 1.0 for r in rep)
+
+
 def test_ann_index_recall_cli(spark, tmp_path, capsys):
     """`jobs ann-index recall`: probing EVERY cell is the exact search,
     so recall@k must be exactly 1.0 for every query; a bounded probe
