@@ -15,7 +15,7 @@ plus the monthly-batch sequencer (monthly_batch_emr.sh:41-111)::
     python -m batch_process_dpla_index_spark.jobs thumbnail-purge <in_path> <bucket_root> [--uri-col C] [--batch N]
     python -m batch_process_dpla_index_spark.jobs training-export <docs_parquet> <out_dir> [--seed S] [--shards N] [--no-gate] [--sentence-dedup] [--mixture lang:en=0.5,de=0.5:10000]
     python -m batch_process_dpla_index_spark.jobs dedup-index build|query|append <docs_parquet> <index_dir> [--threshold T]
-    python -m batch_process_dpla_index_spark.jobs ann-index build|query|recall <vectors_parquet> <index_dir> [--cells N] [--k K] [--probe P] [--sample N]
+    python -m batch_process_dpla_index_spark.jobs ann-index build|query|recall <vectors_parquet> <index_dir> [--cells N] [--k K] [--probe P] [--sample N] [--quantizer kmeans|two-level|none]
     python -m batch_process_dpla_index_spark.jobs compact <src_parquet> <dst_parquet> [--target-mb N]
     python -m batch_process_dpla_index_spark.jobs overlap-index build|refresh|report <index_dir> [--docs-parquet P]
 """
@@ -86,6 +86,10 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--probe", type=int, default=4)
     s.add_argument("--sample", type=int, default=25,
                    help="recall: query-sample size (smallest ids first)")
+    s.add_argument("--quantizer", choices=["kmeans", "two-level", "none"],
+                   default="kmeans",
+                   help="build: coarse quantizer (two-level = the "
+                        "large-k training path; none = pseudo-random)")
     s = sub.add_parser("compact")
     s.add_argument("src")
     s.add_argument("dst")
@@ -273,9 +277,11 @@ def main(argv: list[str] | None = None) -> int:
 
             vecs = spark.read.parquet(args.vectors_parquet)
             if args.action == "build":
+                learned = {"kmeans": True, "two-level": "two-level",
+                           "none": False}[args.quantizer]
                 manifest = ann_index.build_ann_index(
                     vecs, args.id_col, args.vec_col, args.index_dir,
-                    dim=args.dim, n_cells=args.cells,
+                    dim=args.dim, n_cells=args.cells, learned=learned,
                 )
                 print(f"ANN index built: {manifest}")
             elif args.action == "recall":
