@@ -465,8 +465,9 @@ def kmeans_assign_two_level(
     k_f: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_vec: bool = False,
 ) -> DataFrame:
-    """(id, coarse_cell, cell, dist2): two-level inference — nearest
+    """(id, coarse_cell, cell, dist2[, vec]): two-level inference — nearest
     coarse centroid first (O(√k·dim)), then nearest fine centroid
     WITHIN that coarse cell (O(k_f·dim)); ``cell`` is the global
     fixed-stride id ``coarse_cell * k_f + fine_idx``, with ``k_f``
@@ -515,15 +516,19 @@ def kmeans_assign_two_level(
                 j = fd2.argmin(axis=1)
                 gcell[mask] = int(c) * k_f + j
                 d2[mask] = fd2[np.arange(mask.sum()), j]
-            yield pd.DataFrame(
-                {
-                    "id": pdf[id_name].to_numpy(),
-                    "coarse_cell": ccell.astype("int32"),
-                    "cell": gcell,
-                    "dist2": d2,
-                }
-            )
+            out = {
+                "id": pdf[id_name].to_numpy(),
+                "coarse_cell": ccell.astype("int32"),
+                "cell": gcell,
+                "dist2": d2,
+            }
+            if keep_vec:
+                # carried through so index builders/serving joins don't
+                # pay a second id-keyed shuffle to reattach the vector
+                out["vec"] = pdf[vec_name]
+            yield pd.DataFrame(out)
 
-    return df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
-        run, "id bigint, coarse_cell int, cell int, dist2 double"
-    )
+    schema = "id bigint, coarse_cell int, cell int, dist2 double"
+    if keep_vec:
+        schema += f", vec {df.schema[vec_col].dataType.simpleString()}"
+    return df.select(F.col(id_col), F.col(vec_col)).mapInPandas(run, schema)

@@ -627,6 +627,127 @@ def ivf_query_topk(
     return _ivf_score_and_rank(stored_side, probing, k)
 
 
+def _imi_probe_cells(
+    df: DataFrame,
+    coarse,
+    fine: dict[int, list[list[float]]],
+    k_f: int,
+    n_probe_coarse: int,
+    n_probe_fine: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(cell, role=1, id, vec): each query's p_c·p_f probed GLOBAL
+    two-level cells — rank the coarse centroids (d2 asc, cell asc:
+    numpy stable argsort, the SQL (d2, ccell) row_number twin), keep
+    p_c, then rank the fine centroids within each probed coarse cell
+    and keep p_f. One Arrow pass; per-row work (k_c + p_c·k_f)·dim."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    trained = sorted(fine)
+    cents = np.asarray([coarse[c] for c in trained], dtype="float64")
+    cell_of = np.asarray(trained, dtype="int64")
+    csq = (cents * cents).sum(axis=1)
+    fmats = {c: np.asarray(m, dtype="float64") for c, m in fine.items()}
+    fsq = {c: (m * m).sum(axis=1) for c, m in fmats.items()}
+    p_c = min(n_probe_coarse, len(trained))
+    id_name, vec_name = id_col, vec_col
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.array(list(pdf[vec_name]), dtype="float64")
+            ids = pdf[id_name].to_numpy()
+            # reduced-form d2 ranking; stable sort → ties to lower cell
+            cd2 = csq[None, :] - 2.0 * (mat @ cents.T)
+            corder = np.argsort(cd2, axis=1, kind="stable")[:, :p_c]
+            out_id, out_vec, out_cell = [], [], []
+            for i in range(len(pdf)):
+                x = mat[i]
+                for ci in corder[i]:
+                    c = int(cell_of[ci])
+                    fm = fmats[c]
+                    fd2 = fsq[c] - 2.0 * (fm @ x)
+                    for j in np.argsort(fd2, kind="stable")[:n_probe_fine]:
+                        out_id.append(ids[i])
+                        out_vec.append(pdf[vec_name].iloc[i])
+                        out_cell.append(c * k_f + int(j))
+            yield pd.DataFrame(
+                {
+                    "cell": pd.Series(out_cell, dtype="int32"),
+                    "id": pd.Series(out_id, dtype="int64"),
+                    "vec": out_vec,
+                }
+            )
+
+    vec_ddl = df.schema[vec_col].dataType.simpleString()
+    return (
+        df.select(F.col(id_col), F.col(vec_col))
+        .mapInPandas(run, f"cell int, id bigint, vec {vec_ddl}")
+        .select("cell", F.lit(1).alias("role"), "id", "vec")
+    )
+
+
+def imi_topk(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    coarse_k: int = 4,
+    n_iter: int = 2,
+    coarse_iter: int = 2,
+    n_probe_coarse: int = 2,
+    n_probe_fine: int = 2,
+    update_grid: int = 10**6,
+) -> DataFrame:
+    """Inverted-multi-index (IMI) approximate all-pairs top-k: ANN
+    serving THROUGH the two-level coarse quantizer — the serve-side
+    completion of `clustering.kmeans_fit_two_level` (which fixed the
+    training assign pass) for k beyond ~10⁵ cells, where even RANKING
+    a flat centroid list per query is O(k·dim). Here a query ranks
+    k_c coarse centroids, keeps ``n_probe_coarse``, ranks only THOSE
+    cells' fine codebooks and keeps ``n_probe_fine`` each — per-query
+    probe cost (k_c + p_c·k_f)·dim ≈ O(√k·dim), probing p_c·p_f global
+    cells.
+
+    Storage side: every corpus vector lives in its two-level global
+    cell (`kmeans_assign_two_level`, fixed-stride ids). Scoring tail
+    is the hash-proven `_ivf_score_and_rank` (one applyInPandas BLAS
+    matmul per cell, per-cell top-k, global (score DESC, id ASC)
+    rank). The whole chain — integer-grid two-level fit, probe
+    rankings, strict-fold cosine — replays as unrolled DuckDB CTEs
+    (`_imi_topk_oracle` composes `_two_level_cte_chain` with the
+    `_ivf_oracle` serving conventions).
+
+    At 100 TB: two Arrow passes over the corpus (store-assign +
+    probe), one shuffle on the global cell id; cells stay bounded by
+    sizing k for constant cell population exactly as the flat IVF
+    path does."""
+    from batch_process_dpla_index_spark.operators.clustering import (
+        kmeans_assign_two_level,
+        kmeans_fit_two_level,
+    )
+
+    coarse, fine, k_f = kmeans_fit_two_level(
+        corpus, id_col, vec_col, k=n_cells, coarse_k=coarse_k,
+        n_iter=n_iter, coarse_iter=coarse_iter, init="hash",
+        update_grid=update_grid, tol=0.0,
+    )
+    stored = kmeans_assign_two_level(
+        corpus, coarse, fine, k_f, id_col, vec_col, keep_vec=True
+    ).select("cell", F.lit(0).alias("role"), "id", "vec")
+    probing = _imi_probe_cells(
+        corpus, coarse, fine, k_f, n_probe_coarse, n_probe_fine,
+        id_col, vec_col,
+    )
+    return _ivf_score_and_rank(stored, probing, k)
+
+
 def _hyperplane_matrix(dim: int, n_planes: int, n_tables: int):
     """numpy twin of :func:`_hyperplane` — identical float values.
     Shape: (n_tables, dim, n_planes)."""

@@ -1436,19 +1436,23 @@ FROM final GROUP BY cell""")
 ORACLE_KMEANS_CELLS = _kmeans_oracle()
 
 
-def _two_level_kmeans_oracle(
+def _two_level_cte_chain(
     k_c: int = 4, k_f: int = 4, n_iter: int = 2, coarse_iter: int = 2,
     grid: int = 10**6,
 ) -> str:
     """Replays `clustering.kmeans_fit_two_level` +
-    `kmeans_assign_two_level` end to end: the flat hash-seeded
-    integer-grid coarse chain (shared `_kmeans_cte_chain`, bit-identical
-    coarse centroids), the coarse pinning argmin, per-coarse-cell hash
-    seeding of the fine level (k_f smallest h60(id) per cell), unrolled
-    fine Lloyd's with the same exact-BIGINT update, and the two-level
-    inference argmin with the global fixed-stride cell id. Tie-breaks
-    everywhere are (d2, cell) — the engine's numpy first-min, same
-    accepted ~1-ulp convention as the flat oracle."""
+    `kmeans_assign_two_level` as a composable CTE chain ending at
+    ``final`` (vec_id, ccell, fine, d2 — each vector's global
+    two-level assignment): the flat hash-seeded integer-grid coarse
+    chain (shared `_kmeans_cte_chain`, bit-identical coarse
+    centroids), the coarse pinning argmin (``ca``), per-coarse-cell
+    hash seeding of the fine level (k_f smallest h60(id) per cell),
+    unrolled fine Lloyd's with the same exact-BIGINT update
+    (``f{n_iter}`` holds the fitted fine centroids), and the two-level
+    inference argmin. Tie-breaks everywhere are (d2, cell) — the
+    engine's numpy first-min, same accepted ~1-ulp convention as the
+    flat oracle. Consumers append their own CTEs/SELECT (the
+    two_level_kmeans and imi_topk oracles)."""
     h = _h60("CAST(e.vec_id AS VARCHAR)")
     parts = [_kmeans_cte_chain(k_c, coarse_iter, grid)]
     parts.append(f"""ca AS MATERIALIZED (
@@ -1505,15 +1509,88 @@ f{i} AS (
         JOIN f{n_iter} f ON f.ccell = ca.ccell AND f.pos = v.pos
         GROUP BY v.vec_id, ca.ccell, f.fine)
     WHERE rn = 1
-)
-SELECT CAST(ccell * {k_f} + fine AS INTEGER) AS cell,
-       CAST(ccell AS INTEGER) AS coarse_cell,
-       count(*) AS n_vectors, round(avg(d2), 6) AS avg_dist2
-FROM final GROUP BY 1, 2""")
+)""")
     return "\n".join(parts)
 
 
+def _two_level_kmeans_oracle(
+    k_c: int = 4, k_f: int = 4, n_iter: int = 2, coarse_iter: int = 2,
+    grid: int = 10**6,
+) -> str:
+    """Per-global-cell population + mean d² over the two-level chain
+    (see `_two_level_cte_chain` for the full parity argument)."""
+    return f"""{_two_level_cte_chain(k_c, k_f, n_iter, coarse_iter, grid)}
+SELECT CAST(ccell * {k_f} + fine AS INTEGER) AS cell,
+       CAST(ccell AS INTEGER) AS coarse_cell,
+       count(*) AS n_vectors, round(avg(d2), 6) AS avg_dist2
+FROM final GROUP BY 1, 2"""
+
+
 ORACLE_TWO_LEVEL_KMEANS = _two_level_kmeans_oracle()
+
+
+def _imi_topk_oracle(
+    k_c: int = 4, k_f: int = 4, n_iter: int = 2, coarse_iter: int = 2,
+    grid: int = 10**6, p_c: int = 2, p_f: int = 2, k: int = 5,
+) -> str:
+    """Replays `similarity.imi_topk`: the two-level chain stores each
+    corpus vector in its global fine cell (``final``); each query
+    ranks the COARSE centroids (d2 asc, ccell asc — the engine's
+    stable argsort) and keeps p_c, then ranks the fine centroids
+    WITHIN each probed coarse cell and keeps p_f, giving p_c·p_f
+    probed global cells; candidates are stored∩probed cell pairs,
+    scored with the strict-fold cosine and ranked score DESC /
+    neighbor_id ASC — the `_ivf_oracle` serving conventions on top of
+    the two-level quantizer."""
+    return f"""{_two_level_cte_chain(k_c, k_f, n_iter, coarse_iter, grid)},
+qpc AS (
+    SELECT vec_id, ccell FROM (
+        SELECT v.vec_id, c.cell AS ccell,
+               row_number() OVER (PARTITION BY v.vec_id
+                   ORDER BY sum((v.x - c.c) * (v.x - c.c)), c.cell) AS rn
+        FROM v JOIN c{coarse_iter} c USING (pos)
+        GROUP BY v.vec_id, c.cell)
+    WHERE rn <= {p_c}
+),
+qprobe AS (
+    SELECT vec_id, ccell * {k_f} + fine AS cell FROM (
+        SELECT v.vec_id, q.ccell, f.fine,
+               row_number() OVER (PARTITION BY v.vec_id, q.ccell
+                   ORDER BY sum((v.x - f.c) * (v.x - f.c)), f.fine) AS rn
+        FROM v JOIN qpc q ON q.vec_id = v.vec_id
+        JOIN f{n_iter} f ON f.ccell = q.ccell AND f.pos = v.pos
+        GROUP BY v.vec_id, q.ccell, f.fine)
+    WHERE rn <= {p_f}
+),
+stored AS (
+    SELECT vec_id AS neighbor_id, ccell * {k_f} + fine AS cell FROM final
+),
+cand AS (
+    SELECT q.vec_id AS query_id, s.neighbor_id
+    FROM qprobe q JOIN stored s USING (cell)
+    WHERE q.vec_id <> s.neighbor_id
+),
+scored AS (
+    SELECT query_id, neighbor_id,
+           CASE WHEN sqrt({_dot("eq.embedding", "eq.embedding")}) * sqrt({_dot("en.embedding", "en.embedding")}) = 0 THEN NULL
+                ELSE {_dot("eq.embedding", "en.embedding")}
+                     / (sqrt({_dot("eq.embedding", "eq.embedding")}) * sqrt({_dot("en.embedding", "en.embedding")})) END AS score
+    FROM cand
+    JOIN embeddings eq ON eq.vec_id = query_id
+    JOIN embeddings en ON en.vec_id = neighbor_id
+),
+topk AS (
+    SELECT query_id, neighbor_id, score,
+           row_number() OVER (PARTITION BY query_id
+               ORDER BY score DESC NULLS LAST, neighbor_id) AS rnk
+    FROM scored
+)
+SELECT query_id, neighbor_id, round(score, 6) AS score,
+       CAST(rnk AS INTEGER) AS rank
+FROM topk WHERE rnk <= {k}"""
+
+
+ORACLE_IMI_TOPK = _imi_topk_oracle()
 
 
 def _cluster_silhouette_oracle(
@@ -4129,6 +4206,7 @@ ORACLES: dict[str, str] = {
     "ivf_topk": ORACLE_IVF_TOPK,
     "kmeans_cells": ORACLE_KMEANS_CELLS,
     "two_level_kmeans": ORACLE_TWO_LEVEL_KMEANS,
+    "imi_topk": ORACLE_IMI_TOPK,
     "cluster_silhouette": ORACLE_CLUSTER_SILHOUETTE,
     "pq_encode": ORACLE_PQ_ENCODE,
     "semdedup": ORACLE_SEMDEDUP,

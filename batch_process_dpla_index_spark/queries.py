@@ -1463,6 +1463,24 @@ def q_two_level_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_imi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-multi-index ANN top-k (r11, staged for the r12
+    window): serving through the two-level quantizer — queries rank
+    coarse centroids, probe 2, rank only those cells' fine codebooks,
+    probe 2 each (per-query probe cost O(√k·dim) where the flat IVF
+    pays O(k·dim) just to rank cells). Storage, probe rankings, and
+    the strict-fold cosine serve tail all replay as unrolled DuckDB
+    CTEs — the `two_level_kmeans` chain composed with the `ivf_topk`
+    serving conventions, both individually driver-provable."""
+    from batch_process_dpla_index_spark.operators.similarity import imi_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return imi_topk(
+        emb, "vec_id", "embedding", k=5, n_cells=16, coarse_k=4,
+        n_iter=2, coarse_iter=2, n_probe_coarse=2, n_probe_fine=2,
+    )
+
+
 def q_cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cell clustering quality: squared-L2 simplified silhouette
     over the same deterministic k-means the `kmeans_cells` oracle
@@ -3174,10 +3192,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #    head (per the staging discipline), then the r8-green cohort's
     #    last seven (below), then the r9-green cohort (keep_first ...);
     #    overflow defers to r13 with fleet-verify receipts. --
-    # -- round-11 addition (two-level coarse-quantized k-means, the
-    #    VERDICT r10 #6 billion-scale training path): verified at both
-    #    SFs + pinned + probed this round, debuts at r12 position 1 --
+    # -- round-11 additions (the VERDICT r10 #6 billion-scale story:
+    #    two-level coarse-quantized k-means training, then IMI serving
+    #    through it): each verified at both SFs + pinned + probed this
+    #    round, debuting at r12 positions 1-2 --
     "two_level_kmeans": q_two_level_kmeans,
+    "imi_topk": q_imi_topk,
     "triangle_count": q_triangle_count,
     "bpe_merges": q_bpe_merges,
     "rfm_segments": q_rfm_segments,

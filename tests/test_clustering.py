@@ -441,3 +441,38 @@ def test_two_level_assign_routes_around_untrained_cell(spark):
     assert got3[3] == 2 * 3 + 0  # stride 3: cell ids follow k_f, not max
     with _pytest.raises(ValueError, match="stride"):
         kmeans_assign_two_level(df, coarse, fine, 1).collect()
+
+
+def test_imi_topk_full_probe_equals_exact(spark):
+    """IMI with every coarse and fine cell probed IS the exact search:
+    its (query, neighbor, score, rank) output must equal brute-force
+    cosine_topk row-for-row on the fixture; and the registry's bounded
+    2x2 probe must emit exactly top-k rows per query with legal ranks."""
+    from batch_process_dpla_index_spark.operators.similarity import (
+        cosine_topk,
+        imi_topk,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    full = imi_topk(
+        emb, "vec_id", "embedding", k=5, n_cells=16, coarse_k=4,
+        n_iter=2, coarse_iter=2, n_probe_coarse=4, n_probe_fine=4,
+    )
+    exact = cosine_topk(emb, emb, "vec_id", "embedding", k=5)
+    got = sorted(map(tuple, full.collect()))
+    want = sorted(map(tuple, exact.collect()))
+    assert got == want and len(got) == emb.count() * 5
+
+    bounded = imi_topk(
+        emb, "vec_id", "embedding", k=5, n_cells=16, coarse_k=4,
+        n_iter=2, coarse_iter=2, n_probe_coarse=2, n_probe_fine=2,
+    ).collect()
+    per_q = {}
+    for r in bounded:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(rs) == list(range(1, len(rs) + 1)) and len(rs) <= 5
+               for rs in per_q.values())
+    # bounded probing is a subset of the exact candidate space
+    want_set = {(r[0], r[1]) for r in want}
+    hits = sum((r["query_id"], r["neighbor_id"]) in want_set for r in bounded)
+    assert 0 < hits <= len(bounded)
