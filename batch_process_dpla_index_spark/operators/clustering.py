@@ -458,6 +458,37 @@ def kmeans_fit_two_level(
     return coarse, fine, k_f
 
 
+def _two_level_model_arrays(coarse, fine: dict[int, list[list[float]]], k_f: int):
+    """Closure-ready numpy views of a two-level model, shared by
+    :func:`kmeans_assign_two_level` and the IMI probe pass
+    (`similarity._imi_probe_cells`) so the stride guard and the
+    trained-cell restriction cannot drift between them.
+
+    Restricts the coarse side to cells that actually trained a fine
+    codebook: an empty coarse cell keeps its seed centroid in the
+    coarse model (Lloyd's convention) but has nothing to serve — a
+    vector/query nearest to it must route to its nearest TRAINED cell.
+
+    Returns (cell_of, cents, csq, fmats, fsq): trained-cell id lookup,
+    their coarse centroid matrix + squared norms, and per-cell fine
+    matrices + squared norms. Raises when ``k_f`` is narrower than the
+    widest fine codebook (global cell ids would collide)."""
+    import numpy as np
+
+    if k_f < max(len(m) for m in fine.values()):
+        raise ValueError(
+            f"two-level model: stride k_f={k_f} is smaller than "
+            "the widest fine codebook — global cell ids would collide"
+        )
+    trained = sorted(fine)
+    cents = np.asarray([coarse[c] for c in trained], dtype="float64")
+    cell_of = np.asarray(trained, dtype="int64")
+    csq = (cents * cents).sum(axis=1)
+    fmats = {c: np.asarray(m, dtype="float64") for c, m in fine.items()}
+    fsq = {c: (m * m).sum(axis=1) for c, m in fmats.items()}
+    return cell_of, cents, csq, fmats, fsq
+
+
 def kmeans_assign_two_level(
     df: DataFrame,
     coarse,
@@ -482,21 +513,9 @@ def kmeans_assign_two_level(
     import numpy as np
     import pandas as pd
 
-    # restrict the coarse argmin to cells that actually trained a fine
-    # codebook: an empty coarse cell keeps its seed centroid in the
-    # coarse model (Lloyd's convention) but has nothing to serve — a
-    # new vector nearest to it must route to its nearest TRAINED cell
-    trained = sorted(fine)
-    cents = np.asarray([coarse[c] for c in trained], dtype="float64")
-    cell_of = np.asarray(trained, dtype="int64")
-    csq = (cents * cents).sum(axis=1)
-    if k_f < max(len(m) for m in fine.values()):
-        raise ValueError(
-            f"kmeans_assign_two_level: stride k_f={k_f} is smaller than "
-            "the widest fine codebook — global cell ids would collide"
-        )
-    fmats = {c: np.asarray(m, dtype="float64") for c, m in fine.items()}
-    fsq = {c: (m * m).sum(axis=1) for c, m in fmats.items()}
+    cell_of, cents, csq, fmats, fsq = _two_level_model_arrays(
+        coarse, fine, k_f
+    )
     id_name, vec_name = id_col, vec_col
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

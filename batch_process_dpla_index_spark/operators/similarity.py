@@ -647,13 +647,16 @@ def _imi_probe_cells(
     import numpy as np
     import pandas as pd
 
-    trained = sorted(fine)
-    cents = np.asarray([coarse[c] for c in trained], dtype="float64")
-    cell_of = np.asarray(trained, dtype="int64")
-    csq = (cents * cents).sum(axis=1)
-    fmats = {c: np.asarray(m, dtype="float64") for c, m in fine.items()}
-    fsq = {c: (m * m).sum(axis=1) for c, m in fmats.items()}
-    p_c = min(n_probe_coarse, len(trained))
+    from batch_process_dpla_index_spark.operators.clustering import (
+        _two_level_model_arrays,
+    )
+
+    # shared with kmeans_assign_two_level: same trained-cell
+    # restriction and the same stride-collision guard
+    cell_of, cents, csq, fmats, fsq = _two_level_model_arrays(
+        coarse, fine, k_f
+    )
+    p_c = min(n_probe_coarse, len(cell_of))
     id_name, vec_name = id_col, vec_col
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -661,26 +664,39 @@ def _imi_probe_cells(
             if not len(pdf):
                 continue
             mat = np.array(list(pdf[vec_name]), dtype="float64")
-            ids = pdf[id_name].to_numpy()
+            ids = pdf[id_name].to_numpy(dtype="int64")
+            vals = pdf[vec_name].to_numpy()
             # reduced-form d2 ranking; stable sort → ties to lower cell
             cd2 = csq[None, :] - 2.0 * (mat @ cents.T)
             corder = np.argsort(cd2, axis=1, kind="stable")[:, :p_c]
-            out_id, out_vec, out_cell = [], [], []
-            for i in range(len(pdf)):
-                x = mat[i]
-                for ci in corder[i]:
-                    c = int(cell_of[ci])
-                    fm = fmats[c]
-                    fd2 = fsq[c] - 2.0 * (fm @ x)
-                    for j in np.argsort(fd2, kind="stable")[:n_probe_fine]:
-                        out_id.append(ids[i])
-                        out_vec.append(pdf[vec_name].iloc[i])
-                        out_cell.append(c * k_f + int(j))
+            # vectorize per probed coarse cell: one BLAS matmul + one
+            # row-wise argsort per (probe slot, unique cell) — the
+            # per-row/per-candidate Python loop is the interpreted
+            # cost class the module bans from serve paths
+            id_parts, vec_parts, cell_parts = [], [], []
+            for s in range(p_c):
+                slot = cell_of[corder[:, s]]
+                for c in np.unique(slot):
+                    rows = np.nonzero(slot == c)[0]
+                    fm = fmats[int(c)]
+                    fd2 = fsq[int(c)][None, :] - 2.0 * (mat[rows] @ fm.T)
+                    p_f = min(n_probe_fine, fm.shape[0])
+                    order = np.argsort(fd2, axis=1, kind="stable")[:, :p_f]
+                    rep = np.repeat(rows, p_f)
+                    id_parts.append(ids[rep])
+                    vec_parts.append(vals[rep])
+                    cell_parts.append(
+                        (int(c) * k_f + order).reshape(-1).astype("int32")
+                    )
+            if not id_parts:
+                continue
             yield pd.DataFrame(
                 {
-                    "cell": pd.Series(out_cell, dtype="int32"),
-                    "id": pd.Series(out_id, dtype="int64"),
-                    "vec": out_vec,
+                    "cell": pd.Series(
+                        np.concatenate(cell_parts), dtype="int32"
+                    ),
+                    "id": pd.Series(np.concatenate(id_parts), dtype="int64"),
+                    "vec": np.concatenate(vec_parts),
                 }
             )
 

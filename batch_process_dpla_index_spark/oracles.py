@@ -1499,15 +1499,29 @@ f{i} AS (
     FROM f{i - 1} p LEFT JOIN fu{i} u
         ON u.ccell = p.ccell AND u.fine = p.fine AND u.pos = p.pos
 ),""")
-    parts.append(f"""final AS (
+    parts.append(f"""sa AS (
+    -- SERVE-side coarse assignment: restricted to cells that trained
+    -- a fine codebook (engine's _two_level_model_arrays routing) —
+    -- training pinning (ca) stays unrestricted, matching the engine's
+    -- _assign_cells over the full coarse model
+    SELECT vec_id, ccell FROM (
+        SELECT v.vec_id, c.cell AS ccell,
+               row_number() OVER (PARTITION BY v.vec_id
+                   ORDER BY sum((v.x - c.c) * (v.x - c.c)), c.cell) AS rn
+        FROM v JOIN c{coarse_iter} c USING (pos)
+        WHERE c.cell IN (SELECT DISTINCT ccell FROM f0)
+        GROUP BY v.vec_id, c.cell)
+    WHERE rn = 1
+),
+final AS (
     SELECT vec_id, ccell, fine, d2 FROM (
-        SELECT v.vec_id, ca.ccell, f.fine,
+        SELECT v.vec_id, sa.ccell, f.fine,
                sum((v.x - f.c) * (v.x - f.c)) AS d2,
                row_number() OVER (PARTITION BY v.vec_id
                    ORDER BY sum((v.x - f.c) * (v.x - f.c)), f.fine) AS rn
-        FROM v JOIN ca ON ca.vec_id = v.vec_id
-        JOIN f{n_iter} f ON f.ccell = ca.ccell AND f.pos = v.pos
-        GROUP BY v.vec_id, ca.ccell, f.fine)
+        FROM v JOIN sa ON sa.vec_id = v.vec_id
+        JOIN f{n_iter} f ON f.ccell = sa.ccell AND f.pos = v.pos
+        GROUP BY v.vec_id, sa.ccell, f.fine)
     WHERE rn = 1
 )""")
     return "\n".join(parts)
@@ -1544,11 +1558,17 @@ def _imi_topk_oracle(
     the two-level quantizer."""
     return f"""{_two_level_cte_chain(k_c, k_f, n_iter, coarse_iter, grid)},
 qpc AS (
+    -- rank only coarse cells that TRAINED a fine codebook (the
+    -- engine's trained-cell restriction, _two_level_model_arrays):
+    -- an empty coarse cell keeps its seed centroid but has nothing
+    -- to probe, and spending a probe slot on it would diverge the
+    -- candidate sets cross-engine
     SELECT vec_id, ccell FROM (
         SELECT v.vec_id, c.cell AS ccell,
                row_number() OVER (PARTITION BY v.vec_id
                    ORDER BY sum((v.x - c.c) * (v.x - c.c)), c.cell) AS rn
         FROM v JOIN c{coarse_iter} c USING (pos)
+        WHERE c.cell IN (SELECT DISTINCT ccell FROM f0)
         GROUP BY v.vec_id, c.cell)
     WHERE rn <= {p_c}
 ),

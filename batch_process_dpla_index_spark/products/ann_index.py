@@ -63,8 +63,12 @@ def build_ann_index(
     training path (√k coarse cells, then all fine codebooks at once —
     O(N·√k·dim) per training iteration), whose fine codebooks flatten
     to a plain dense centroid list so storage layout and every serve
-    path stay identical; ``False`` = the deterministic pseudo-random
-    quantizer (no training pass at all).
+    path stay identical — NOTE the trained cell count is the k_c×k_f
+    grid, which rounds a non-divisible ``n_cells`` request UP (and
+    under-full cells round it down); the manifest records the true
+    count and all serving reads the manifest, never the request;
+    ``False`` = the deterministic pseudo-random quantizer (no
+    training pass at all).
 
     ``pq_m`` turns on the IVF-PQ layout: m sub-codebooks train on the
     corpus (``operators.quantization.pq_train``), every stored row
@@ -92,9 +96,13 @@ def build_ann_index(
             corpus, id_col, vec_col, k=n_cells, n_iter=kmeans_iters
         )
         centroids = [cent for c in sorted(fine) for cent in fine[c]]
-        # under-full coarse cells train fewer fine centroids; the
-        # index's true cell count is the flattened codebook's length
-        # and everything downstream (manifest, serve) reads THAT
+        # the index's true cell count is the flattened codebook's
+        # length, and everything downstream (manifest, serve) reads
+        # THAT — it can differ from the request in BOTH directions:
+        # under-full coarse cells train fewer fine centroids, and a
+        # k_c that doesn't divide n_cells rounds the grid UP to
+        # k_c · ceil(n_cells/k_c) (the IMI convention — FAISS's IMI is
+        # likewise a k_c×k_f grid, not an arbitrary k)
         n_cells = len(centroids)
     elif learned:
         from batch_process_dpla_index_spark.operators.clustering import kmeans_fit

@@ -31,6 +31,13 @@ from batch_process_dpla_index_spark.io.manifest import write_manifest
 from batch_process_dpla_index_spark.io.paths import iso_timestamp
 
 
+def _manifest_exists(out_path: str) -> bool:
+    """True when a _MANIFEST is already on disk — the no-op-replay
+    guard's tie-breaker between 'replay over landed data' (preserve)
+    and 'nothing has ever landed' (record the zero-batch run)."""
+    return os.path.exists(os.path.join(out_path, "_MANIFEST"))
+
+
 def ingest_available(
     spark: SparkSession,
     source_path: str,
@@ -72,9 +79,11 @@ def ingest_available(
     q.awaitTermination()
 
     # a no-op re-run (checkpoint replay with no new source files) must
-    # not clobber the real manifest with a zero-batch one — the landed
-    # data is still there and its provenance record must survive
-    if counts:
+    # not clobber the real manifest with a zero-batch one — but a
+    # FIRST run over an empty source still records its zero-batch
+    # provenance (downstream read_manifest must not 404 on a
+    # legitimately-empty ingest)
+    if counts or not _manifest_exists(out_path):
         write_manifest(
             {
                 "Source": source_path,
@@ -235,8 +244,8 @@ def ingest_dedup_available(
     )
     q.awaitTermination()
 
-    if not stats:  # no-op replay: keep the real manifest (see above)
-        return stats
+    if not stats and _manifest_exists(out_path):
+        return stats  # no-op replay: keep the real manifest (see above)
     write_manifest(
         {
             "Source": source_path,
@@ -352,8 +361,8 @@ def ingest_embedding_dedup_available(
     )
     q.awaitTermination()
 
-    if not stats:  # no-op replay: keep the real manifest (see above)
-        return stats
+    if not stats and _manifest_exists(out_path):
+        return stats  # no-op replay: keep the real manifest (see above)
     write_manifest(
         {
             "Source": source_path,

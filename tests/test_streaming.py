@@ -406,6 +406,34 @@ def test_streaming_embedding_dedup_ingest(spark, tmp_path):
         )
 
 
+def test_ingest_empty_first_run_still_writes_manifest(spark, tmp_path):
+    """The no-op-replay manifest guard must not swallow a legitimate
+    FIRST run over an empty source: downstream read_manifest gets a
+    zero-batch provenance record, and a later real run replaces it."""
+    from batch_process_dpla_index_spark.io.manifest import read_manifest
+    from batch_process_dpla_index_spark.products import streaming_ingest
+
+    schema = "event_id bigint, value double"
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "landed")
+    import os
+
+    os.makedirs(src)
+    counts = streaming_ingest.ingest_available(
+        spark, src, schema, out, str(tmp_path / "ckpt")
+    )
+    assert counts == {}
+    man = read_manifest(out)
+    assert man["Batches"] == "0" and man["Total record count"] == "0"
+
+    spark.createDataFrame([(1, 2.0)], schema).write.mode("append").parquet(src)
+    counts2 = streaming_ingest.ingest_available(
+        spark, src, schema, out, str(tmp_path / "ckpt")
+    )
+    assert sum(counts2.values()) == 1
+    assert read_manifest(out)["Total record count"] == "1"
+
+
 def test_incremental_dedup_indexed_replay_guard(spark, tmp_path):
     """max_ingest_batch replay safety (both index products): a batch
     whose own rows were already appended under ingest_batch=1 matches
