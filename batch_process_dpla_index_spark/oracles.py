@@ -1612,6 +1612,25 @@ FROM topk WHERE rnk <= {k}"""
 
 ORACLE_IMI_TOPK = _imi_topk_oracle()
 
+# Recall@5 of the IMI path vs brute-force truth — the same composition
+# as ORACLE_IVF_RECALL_REPORT with the two-level serve oracle as the
+# approx side: both CTE bodies are individually driver-provable, so
+# the intersection count is an exact integer and recall one 6dp divide.
+ORACLE_IMI_RECALL_REPORT = f"""
+WITH truth AS ({ORACLE_COSINE_TOPK}),
+approx AS ({ORACLE_IMI_TOPK}),
+hits AS (
+    SELECT t.query_id,
+           CAST(count(a.neighbor_id) AS BIGINT) AS n_hits
+    FROM truth t
+    LEFT JOIN (SELECT * FROM approx WHERE query_id < 25) a
+      ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+    GROUP BY t.query_id
+)
+SELECT query_id, n_hits, round(n_hits / 5.0, 6) AS recall_at_k
+FROM hits ORDER BY query_id
+"""
+
 
 def _cluster_silhouette_oracle(
     k: int = 8, n_iter: int = 3, grid: int = 10**6
@@ -4227,6 +4246,7 @@ ORACLES: dict[str, str] = {
     "kmeans_cells": ORACLE_KMEANS_CELLS,
     "two_level_kmeans": ORACLE_TWO_LEVEL_KMEANS,
     "imi_topk": ORACLE_IMI_TOPK,
+    "imi_recall_report": ORACLE_IMI_RECALL_REPORT,
     "cluster_silhouette": ORACLE_CLUSTER_SILHOUETTE,
     "pq_encode": ORACLE_PQ_ENCODE,
     "semdedup": ORACLE_SEMDEDUP,

@@ -1481,6 +1481,31 @@ def q_imi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_imi_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the IMI serve path against brute-force truth (r11,
+    staged for the r12 window) — the probes-vs-recall tuning loop for
+    the two-level index, mirroring `ivf_recall_report` for the flat
+    one: the same bounded 25-query sample, the same exact (query,
+    neighbor) identity join, with `imi_topk`'s oracle as the approx
+    CTE. The 2×2 probe's recall is what the IMI tradeoff buys at a
+    quarter of the flat probe cost; the full-probe==exact calibration
+    is pytest-pinned on the operator itself."""
+    from batch_process_dpla_index_spark.operators.similarity import (
+        ann_recall_report,
+        imi_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    truth = cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 25), "vec_id", "embedding", k=5
+    )
+    approx = imi_topk(
+        emb, "vec_id", "embedding", k=5, n_cells=16, coarse_k=4,
+        n_iter=2, coarse_iter=2, n_probe_coarse=2, n_probe_fine=2,
+    ).filter(F.col("query_id") < 25)
+    return ann_recall_report(truth, approx, k=5).orderBy("query_id")
+
+
 def q_cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cell clustering quality: squared-L2 simplified silhouette
     over the same deterministic k-means the `kmeans_cells` oracle
@@ -3193,11 +3218,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #    last seven (below), then the r9-green cohort (keep_first ...);
     #    overflow defers to r13 with fleet-verify receipts. --
     # -- round-11 additions (the VERDICT r10 #6 billion-scale story:
-    #    two-level coarse-quantized k-means training, then IMI serving
-    #    through it): each verified at both SFs + pinned + probed this
-    #    round, debuting at r12 positions 1-2 --
+    #    two-level coarse-quantized k-means training, IMI serving
+    #    through it, and the IMI probes-vs-recall tuning diagnostic):
+    #    each verified at both SFs + pinned + probed this round,
+    #    debuting at r12 positions 1-3 --
     "two_level_kmeans": q_two_level_kmeans,
     "imi_topk": q_imi_topk,
+    "imi_recall_report": q_imi_recall_report,
     "triangle_count": q_triangle_count,
     "bpe_merges": q_bpe_merges,
     "rfm_segments": q_rfm_segments,
