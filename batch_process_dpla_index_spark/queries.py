@@ -3149,79 +3149,15 @@ def q_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
 # next-round window).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # The driver's correctness gate records the FIRST 50 entries only;
-    # round-11 rotation (VERDICT r10 #1 — "rotate exactly as staged"):
-    # positions 1-2 are the late-r10 debuts ivf_recall_report and
-    # incremental_semantic_dedup (the last two registry entries with no
-    # driver row — closes cumulative coverage to 157/157), positions
-    # 3-8 are the six r7-green deferrals carried since the r10
-    # rotation (top_orders, region_revenue, pricing_summary,
-    # scalar_suite, props_by_type, brand_revenue), and positions 9-50
-    # are the first 42 of the r8-green cohort (hash_sample_split ...
-    # seasonal_baseline). Rotation arithmetic + deferral receipts live
-    # in ROUNDNOTES.md.
-    "ivf_recall_report": q_ivf_recall_report,
-    "incremental_semantic_dedup": q_incremental_semantic_dedup,
-    "top_orders": q_top_orders,
-    "region_revenue": q_region_revenue,
-    "pricing_summary": q_pricing_summary,
-    "scalar_suite": q_scalar_suite,
-    "props_by_type": q_props_by_type,
-    "brand_revenue": q_brand_revenue,
-    # -- the 49 remaining r8-green entries (source_overlap moved into
-    #    the r10 window); first 42 complete the staged r11 window,
-    #    still oracle-verified every round via tools/verify_local.py --
-    "hash_sample_split": q_hash_sample_split,
-    "simhash_pairs": q_simhash_pairs,
-    "language_id": q_language_id,
-    "rolling_hash": q_rolling_hash,
-    "pivot_status": q_pivot_status,
-    "event_calendar": q_event_calendar,
-    "value_percentiles": q_value_percentiles,
-    "price_histogram": q_price_histogram,
-    "cosine_topk_pandas": q_cosine_topk_pandas,
-    "sitemap_urls": q_sitemap_urls,
-    "multimodal_decode": q_multimodal_decode,
-    "multimodal_frames": q_multimodal_frames,
-    "thumbnail_keys": q_thumbnail_keys,
-    "distinct_parts_per_flag": q_distinct_parts_per_flag,
-    "props_from_json": q_props_from_json,
-    "kmeans_cells": q_kmeans_cells,
-    "semdedup": q_semdedup,
-    "dsir_weights": q_dsir_weights,
-    "tfidf_terms": q_tfidf_terms,
-    "char_entropy": q_char_entropy,
-    "duplicate_spans": q_duplicate_spans,
-    "funnel_stages": q_funnel_stages,
-    "scd2_history": q_scd2_history,
-    "retention_cohorts": q_retention_cohorts,
-    "dedup_representatives": q_dedup_representatives,
-    "leakage_safe_split": q_leakage_safe_split,
-    "benford_profile": q_benford_profile,
-    "winsorized_stats": q_winsorized_stats,
-    "cusum_changepoint": q_cusum_changepoint,
-    "domain_quality_rank": q_domain_quality_rank,
-    "ngram_novelty": q_ngram_novelty,
-    "bloom_prune_join": q_bloom_prune_join,
-    "hard_negatives": q_hard_negatives,
-    "lsh_quality_report": q_lsh_quality_report,
-    "random_projection_profile": q_random_projection_profile,
-    "label_propagation": q_label_propagation,
-    "embedding_dim_profile": q_embedding_dim_profile,
-    "growth_rates": q_growth_rates,
-    "market_basket": q_market_basket,
-    "vocab_coverage": q_vocab_coverage,
-    "attribution_last_touch": q_attribution_last_touch,
-    "seasonal_baseline": q_seasonal_baseline,
-    # ---- driver-window boundary (entry 50 above this line) ----
-    # -- staged r12 window: any round-11 additions debut here at the
-    #    head (per the staging discipline), then the r8-green cohort's
-    #    last seven (below), then the r9-green cohort (keep_first ...);
-    #    overflow defers to r13 with fleet-verify receipts. --
-    # -- round-11 additions (the VERDICT r10 #6 billion-scale story:
-    #    two-level coarse-quantized k-means training, IMI serving
-    #    through it, and the IMI probes-vs-recall tuning diagnostic):
-    #    each verified at both SFs + pinned + probed this round,
-    #    debuting at r12 positions 1-3 --
+    # round-12 rotation (VERDICT r11 #1 — "rotate exactly as staged"):
+    # positions 1-3 are the round-11 debuts two_level_kmeans, imi_topk
+    # and imi_recall_report (the last three registry entries with no
+    # driver row — closes cumulative coverage to 160/160), positions
+    # 4-10 are the r8-green cohort's last seven (triangle_count ...
+    # common_neighbors), and positions 11-50 are the first 40 of the
+    # r9-green cohort (keep_first ... interval_join). The r9 cohort's
+    # 10-entry overflow defers to r13 with fleet-verify receipts.
+    # Rotation arithmetic + deferral receipts live in ROUNDNOTES.md.
     "two_level_kmeans": q_two_level_kmeans,
     "imi_topk": q_imi_topk,
     "imi_recall_report": q_imi_recall_report,
@@ -3232,8 +3168,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "readability_scores": q_readability_scores,
     "hits_scores": q_hits_scores,
     "common_neighbors": q_common_neighbors,
-    # -- the 50 r9-green entries displaced by this rotation
-    #    (r12-leading) --
+    # -- first 40 of the r9-green cohort --
     "keep_first": q_keep_first,
     "user_running_anomaly": q_user_running_anomaly,
     "quality_classifier": q_quality_classifier,
@@ -3274,6 +3209,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sliding_event_counts": q_sliding_event_counts,
     "user_sessions": q_user_sessions,
     "interval_join": q_interval_join,
+    # ---- driver-window boundary (entry 50 above this line) ----
+    # -- staged r13 window: any round-12 additions debut here at the
+    #    head (per the staging discipline), then the r9-green cohort's
+    #    10-entry overflow (below), then the r10-green cohort
+    #    (ivf_pq_topk ...); overflow defers to r14 with fleet-verify
+    #    receipts. --
     "user_cumsum": q_user_cumsum,
     "user_zscore": q_user_zscore,
     "multimodal_meta": q_multimodal_meta,
@@ -3284,9 +3225,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_search": q_bm25_search,
     "source_overlap_incremental": q_source_overlap_incremental,
     "kcore_decomposition": q_kcore_decomposition,
-    # -- the 50-entry r10 window, displaced by the r11 rotation (all
-    #    driver-green in CORRECTNESS_r10; re-verified every round via
-    #    tools/verify_local.py) --
+    # -- the 50-entry r10 window (all driver-green in
+    #    CORRECTNESS_r10; re-verified every round via
+    #    tools/verify_local.py) — next-stalest cohort, feeds the r13
+    #    window after the r9 overflow above --
     "ivf_pq_topk": q_ivf_pq_topk,
     "cluster_silhouette": q_cluster_silhouette,
     "attribution_time_decay": q_attribution_time_decay,
@@ -3340,5 +3282,58 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sql_supplier_share": q_sql_supplier_share,
     "latest_events_per_user": q_latest_events_per_user,
     "rolling_user_value": q_rolling_user_value,
+    # -- the 50-entry r11 window, displaced by the r12 rotation (all
+    #    driver-green in CORRECTNESS_r11; re-verified every round via
+    #    tools/verify_local.py) --
+    "ivf_recall_report": q_ivf_recall_report,
+    "incremental_semantic_dedup": q_incremental_semantic_dedup,
+    "top_orders": q_top_orders,
+    "region_revenue": q_region_revenue,
+    "pricing_summary": q_pricing_summary,
+    "scalar_suite": q_scalar_suite,
+    "props_by_type": q_props_by_type,
+    "brand_revenue": q_brand_revenue,
+    "hash_sample_split": q_hash_sample_split,
+    "simhash_pairs": q_simhash_pairs,
+    "language_id": q_language_id,
+    "rolling_hash": q_rolling_hash,
+    "pivot_status": q_pivot_status,
+    "event_calendar": q_event_calendar,
+    "value_percentiles": q_value_percentiles,
+    "price_histogram": q_price_histogram,
+    "cosine_topk_pandas": q_cosine_topk_pandas,
+    "sitemap_urls": q_sitemap_urls,
+    "multimodal_decode": q_multimodal_decode,
+    "multimodal_frames": q_multimodal_frames,
+    "thumbnail_keys": q_thumbnail_keys,
+    "distinct_parts_per_flag": q_distinct_parts_per_flag,
+    "props_from_json": q_props_from_json,
+    "kmeans_cells": q_kmeans_cells,
+    "semdedup": q_semdedup,
+    "dsir_weights": q_dsir_weights,
+    "tfidf_terms": q_tfidf_terms,
+    "char_entropy": q_char_entropy,
+    "duplicate_spans": q_duplicate_spans,
+    "funnel_stages": q_funnel_stages,
+    "scd2_history": q_scd2_history,
+    "retention_cohorts": q_retention_cohorts,
+    "dedup_representatives": q_dedup_representatives,
+    "leakage_safe_split": q_leakage_safe_split,
+    "benford_profile": q_benford_profile,
+    "winsorized_stats": q_winsorized_stats,
+    "cusum_changepoint": q_cusum_changepoint,
+    "domain_quality_rank": q_domain_quality_rank,
+    "ngram_novelty": q_ngram_novelty,
+    "bloom_prune_join": q_bloom_prune_join,
+    "hard_negatives": q_hard_negatives,
+    "lsh_quality_report": q_lsh_quality_report,
+    "random_projection_profile": q_random_projection_profile,
+    "label_propagation": q_label_propagation,
+    "embedding_dim_profile": q_embedding_dim_profile,
+    "growth_rates": q_growth_rates,
+    "market_basket": q_market_basket,
+    "vocab_coverage": q_vocab_coverage,
+    "attribution_last_touch": q_attribution_last_touch,
+    "seasonal_baseline": q_seasonal_baseline,
 }
 
