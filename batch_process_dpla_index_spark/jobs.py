@@ -90,6 +90,13 @@ def main(argv: list[str] | None = None) -> int:
                    default="kmeans",
                    help="build: coarse quantizer (two-level = the "
                         "large-k training path; none = pseudo-random)")
+    s.add_argument("--probe-coarse", type=int, default=None,
+                   help="query/recall on a two-level index: coarse "
+                        "cells probed per query (default: derived "
+                        "from --probe)")
+    s.add_argument("--probe-fine", type=int, default=None,
+                   help="query/recall on a two-level index: fine "
+                        "cells probed per probed coarse cell")
     s = sub.add_parser("compact")
     s.add_argument("src")
     s.add_argument("dst")
@@ -123,6 +130,11 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("parquet_path")
     s.add_argument("out_dir")
     s.add_argument("--name", default="corpus")
+    s.add_argument("--embeddings-parquet", default=None,
+                   help="doc_id-keyed embedding frame: adds the "
+                        "SemDeDup semantic-dup rate to the card")
+    s.add_argument("--vec-col", dest="card_vec_col", default="embedding")
+    s.add_argument("--sem-threshold", type=float, default=0.3)
     s = sub.add_parser("profile")
     s.add_argument("parquet_path")
     s.add_argument("--out-csv", help="write the profile as a header CSV")
@@ -289,17 +301,30 @@ def main(argv: list[str] | None = None) -> int:
                 rep = ann_index.ann_recall_indexed(
                     spark, sample, args.id_col, args.vec_col,
                     args.index_dir, k=args.k, n_probe=args.probe,
+                    probe_coarse=args.probe_coarse,
+                    probe_fine=args.probe_fine,
                 ).collect()
-                mean_r = sum(r.recall_at_k for r in rep) / max(len(rep), 1)
-                worst = min((r.recall_at_k for r in rep), default=0.0)
-                print(
-                    f"Recall@{args.k} over {len(rep)} queries at "
-                    f"n_probe={args.probe}: mean={mean_r:.6f} min={worst:.6f}"
-                )
+                if not rep:
+                    # a 0.000000 mean over zero queries reads as a
+                    # zero-recall index, not an empty sample (ADVICE)
+                    print(
+                        "No queries sampled (empty vectors input or "
+                        "--sample 0); nothing to report"
+                    )
+                else:
+                    mean_r = sum(r.recall_at_k for r in rep) / len(rep)
+                    worst = min(r.recall_at_k for r in rep)
+                    print(
+                        f"Recall@{args.k} over {len(rep)} queries at "
+                        f"n_probe={args.probe}: mean={mean_r:.6f} "
+                        f"min={worst:.6f}"
+                    )
             else:
                 out = ann_index.ann_query_indexed(
                     spark, vecs, args.id_col, args.vec_col, args.index_dir,
                     k=args.k, n_probe=args.probe,
+                    probe_coarse=args.probe_coarse,
+                    probe_fine=args.probe_fine,
                 )
                 print(f"Neighbor rows: {out.count()}")
         elif args.job == "overlap-index":
@@ -385,9 +410,15 @@ def main(argv: list[str] | None = None) -> int:
                 build_dataset_card,
             )
 
+            emb = (
+                spark.read.parquet(args.embeddings_parquet)
+                if args.embeddings_parquet
+                else None
+            )
             path = build_dataset_card(
                 spark, spark.read.parquet(args.parquet_path), args.out_dir,
-                name=args.name,
+                name=args.name, embeddings=emb,
+                vec_col=args.card_vec_col, sem_threshold=args.sem_threshold,
             )
             print(f"Dataset card written to {path}")
         elif args.job == "profile":

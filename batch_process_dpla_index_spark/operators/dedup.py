@@ -1079,6 +1079,7 @@ def semantic_dedup(
     k: int = 8,
     n_iter: int = 3,
     threshold: float = 0.3,
+    two_level_threshold: int = 1024,
 ) -> DataFrame:
     """Cluster-level semantic dedup — the composition :func:`semdedup`
     stops one step short of: group near-identical embeddings into
@@ -1131,6 +1132,17 @@ def semantic_dedup(
     codebooks trained simultaneously within them — assign drops to
     O(N·√k·dim), probe receipt in SCALE.md round-11); the within-cell
     dedup semantics are unchanged. No |corpus|² stage anywhere.
+
+    That routing is automatic: ``k >= two_level_threshold`` switches
+    BOTH the training and the assign pass to the two-level path. With
+    the constant-population sizing (k = N/64) the switch engages
+    around N ≈ 65k·threshold rows; every verification SF resolves to
+    k = 32 ≪ threshold, so the oracle's static flat geometry replays
+    unchanged. Above the threshold the cell BOUNDARIES are the
+    two-level approximation's (a boundary row may land one cell over
+    vs flat Lloyd's — the IVF probe-width tradeoff), which is within
+    this operator's contract: cells exist only to bound the pair
+    stage, and representative ranking stays exact within each group.
     """
     from batch_process_dpla_index_spark.functions.vectors import cosine
     from batch_process_dpla_index_spark.operators.clustering import (
@@ -1139,45 +1151,72 @@ def semantic_dedup(
     )
 
     spark = emb.sparkSession
-    # tol=0: exactly n_iter iterations, mirroring the fixed-depth
-    # oracle replay (the semdedup/kmeans_cells convention)
-    cents = kmeans_fit(
-        emb, id_col, vec_col, k=k, n_iter=n_iter, init="hash",
-        update_grid=10**6, tol=0.0,
-    )
-    # Arrow-backed literal frame (relational._arrow_local_frame → JVM
-    # LocalRelation): a list-of-tuples frame would plan as a
-    # Python-pickled RDD scan and pay a Python-worker round trip on
-    # every execution (the cost class measured at ~3.5 s on the
-    # overlap-index refresh)
-    from batch_process_dpla_index_spark.operators.relational import (
-        _arrow_local_frame,
-    )
+    if k >= two_level_threshold:
+        # large-k routing: O(N·√k·dim) per training iteration and per
+        # assign pass (flat is O(N·k·dim) — the documented wall around
+        # k ~ 10⁵, already 40× slower at the k=3125 SCALE.md probe).
+        # dist2 comes from the assign pass's BLAS form; the strict-fold
+        # recompute below exists for oracle bit-parity, which only the
+        # flat path (every verification SF) needs.
+        from batch_process_dpla_index_spark.operators.clustering import (
+            kmeans_assign_two_level,
+            kmeans_fit_two_level,
+        )
 
-    cent_df = _arrow_local_frame(
-        spark,
-        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
-        "cell int, __cent array<double>",
-    )
-    vecs = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    # strict-fold Σ(x−c)²: same association as the oracle's list_reduce
-    d2_fold = F.aggregate(
-        F.zip_with(
-            F.col("vec"),
-            F.col("__cent"),
-            lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    av = (
-        kmeans_assign(emb, cents, id_col, vec_col)
-        .select("id", "cell")
-        .join(vecs, "id")
-        .join(F.broadcast(cent_df), "cell")
-        .select("id", "cell", "vec", d2_fold.alias("d2"))
-        .persist()
-    )
+        coarse, fine, k_f = kmeans_fit_two_level(
+            emb, id_col, vec_col, k=k, n_iter=n_iter, init="hash",
+            update_grid=10**6, tol=0.0,
+        )
+        av = (
+            kmeans_assign_two_level(
+                emb, coarse, fine, k_f, id_col, vec_col, keep_vec=True
+            )
+            .select("id", "cell", "vec", F.col("dist2").alias("d2"))
+            .persist()
+        )
+    else:
+        # tol=0: exactly n_iter iterations, mirroring the fixed-depth
+        # oracle replay (the semdedup/kmeans_cells convention)
+        cents = kmeans_fit(
+            emb, id_col, vec_col, k=k, n_iter=n_iter, init="hash",
+            update_grid=10**6, tol=0.0,
+        )
+        # Arrow-backed literal frame (relational._arrow_local_frame →
+        # JVM LocalRelation): a list-of-tuples frame would plan as a
+        # Python-pickled RDD scan and pay a Python-worker round trip on
+        # every execution (the cost class measured at ~3.5 s on the
+        # overlap-index refresh)
+        from batch_process_dpla_index_spark.operators.relational import (
+            _arrow_local_frame,
+        )
+
+        cent_df = _arrow_local_frame(
+            spark,
+            [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+            "cell int, __cent array<double>",
+        )
+        vecs = emb.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+        )
+        # strict-fold Σ(x−c)²: same association as the oracle's
+        # list_reduce
+        d2_fold = F.aggregate(
+            F.zip_with(
+                F.col("vec"),
+                F.col("__cent"),
+                lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        av = (
+            kmeans_assign(emb, cents, id_col, vec_col)
+            .select("id", "cell")
+            .join(vecs, "id")
+            .join(F.broadcast(cent_df), "cell")
+            .select("id", "cell", "vec", d2_fold.alias("d2"))
+            .persist()
+        )
     pairs = (
         av.alias("a")
         .join(

@@ -422,6 +422,151 @@ def _centroid_matrix(dim: int, n_cells: int):
     )
 
 
+def _pseudo_random_two_level(dim: int, n_cells: int):
+    """Group the flat pseudo-random centroid grid
+    (:func:`_centroid_matrix`) into a two-level model over the SAME
+    global cell-id space: fine cell ``c*k_f + j`` is flat row
+    ``c*k_f + j``, coarse centroid ``c`` is the mean of its group's
+    rows. Assignment through `clustering.kmeans_assign_two_level`
+    then costs O(√k·dim) per row while cell ids stay exactly the flat
+    quantizer's row indices — no training pass, and stored/probe
+    sides agree by construction (both run the same two-level
+    inference; a row near a group boundary may land one cell over vs
+    the flat argmin — the standard IVF probe-width tradeoff).
+
+    Returns ``(coarse, fine, k_f)`` in the `kmeans_fit_two_level`
+    model shape."""
+    import math
+
+    M = _centroid_matrix(dim, n_cells)
+    k_f = max(1, math.isqrt(n_cells))
+    k_c = -(-n_cells // k_f)  # ceil
+    coarse: list[list[float]] = []
+    fine: dict[int, list[list[float]]] = {}
+    for c in range(k_c):
+        rows = M[c * k_f : min((c + 1) * k_f, n_cells)]
+        fine[c] = rows.tolist()
+        coarse.append(rows.mean(axis=0).tolist())
+    return coarse, fine, k_f
+
+
+def _imi_probe_split(
+    n_probe: int,
+    n_cells: int,
+    k_f: int,
+    n_trained_coarse: int,
+    probe_coarse: int | None,
+    probe_fine: int | None,
+) -> tuple[int, int]:
+    """Resolve a flat ``n_probe`` cell budget into the IMI's
+    (coarse, fine) probe widths when the caller didn't pick them:
+    a BALANCED split (p_c ≈ √n_probe coarse regions, p_f fine probes
+    each, p_c·p_f ≥ n_probe) — probing one coarse region deeply loses
+    to the flat index whenever a query sits near a coarse boundary,
+    so budget goes to region diversity first (FAISS's IMI default
+    shape). Calibration contract: ``n_probe ≥ n_cells`` (the
+    full-probe request) probes every trained cell, so the serve is
+    the exact search — the same property the flat path has."""
+    import math
+
+    if probe_coarse is not None or probe_fine is not None:
+        p_f = probe_fine if probe_fine is not None else k_f
+        p_c = probe_coarse if probe_coarse is not None else n_trained_coarse
+        return max(1, int(p_c)), max(1, int(p_f))
+    if n_probe >= n_cells:
+        return n_trained_coarse, k_f
+    p_c = min(n_trained_coarse, max(1, math.isqrt(max(1, n_probe - 1)) + 1))
+    p_f = min(k_f, -(-n_probe // p_c))  # ceil, capped at the stride
+    while p_c * p_f < n_probe and p_c < n_trained_coarse:
+        p_c += 1  # k_f capped the fine width; widen coarse to cover
+    return p_c, p_f
+
+
+def two_level_cells_pandas(
+    df: DataFrame,
+    coarse,
+    fine: dict[int, list[list[float]]],
+    k_f: int,
+    n_probe_coarse: int,
+    n_probe_fine: int,
+    id_col: str,
+    vec_col: str,
+    metric: str = "l2",
+) -> DataFrame:
+    """(id, vec, cells): each row's probed GLOBAL two-level cells in
+    the `ivf_cells_pandas` output shape — ``cells[0]`` is the
+    two-level rank-1 cell (best fine within the best coarse); under
+    ``metric="l2"`` that is exactly
+    `clustering.kmeans_assign_two_level`'s storage cell, so
+    ``element_at(cells, 1)`` keeps working as the storage assignment.
+    ``metric="dot"`` ranks by dot product DESC with ties toward the
+    HIGHER cell id — the flat pseudo-random quantizer's `_cell_order`
+    convention, which is scale-invariant like the flat path (an L2
+    ranking over the untrained grid would change the metric the
+    incremental-dedup family's stored cells were defined under).
+    Remaining entries follow (coarse rank, fine rank) order. One Arrow
+    pass; per-row cost (k_c + p_c·k_f)·dim ≈ O(√k·dim) vs the flat
+    pass's O(k·dim)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from batch_process_dpla_index_spark.operators.clustering import (
+        _two_level_model_arrays,
+    )
+
+    if metric not in ("l2", "dot"):
+        raise ValueError(f"unknown metric {metric!r}; expected 'l2' or 'dot'")
+    cell_of, cents, csq, fmats, fsq = _two_level_model_arrays(
+        coarse, fine, k_f
+    )
+    p_c = min(n_probe_coarse, len(cell_of))
+    id_name, vec_name = id_col, vec_col
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.array(list(pdf[vec_name]), dtype="float64")
+            if metric == "dot":
+                corder = _cell_order(mat @ cents.T)[:, :p_c]
+            else:
+                cd2 = csq[None, :] - 2.0 * (mat @ cents.T)
+                corder = np.argsort(cd2, axis=1, kind="stable")[:, :p_c]
+            # per (slot, unique cell) BLAS matmul — the same
+            # vectorization contract as _imi_probe_cells; ragged p_f
+            # (under-full fine codebooks) makes the probe list a
+            # per-row python list, built from numpy blocks
+            probe_lists: list[list[int]] = [[] for _ in range(len(pdf))]
+            for s in range(p_c):
+                slot = cell_of[corder[:, s]]
+                for c in np.unique(slot):
+                    rows = np.nonzero(slot == c)[0]
+                    fm = fmats[int(c)]
+                    p_f = min(n_probe_fine, fm.shape[0])
+                    if metric == "dot":
+                        order = _cell_order(mat[rows] @ fm.T)[:, :p_f]
+                    else:
+                        fd2 = fsq[int(c)][None, :] - 2.0 * (mat[rows] @ fm.T)
+                        order = np.argsort(fd2, axis=1, kind="stable")[:, :p_f]
+                    gids = int(c) * k_f + order
+                    for r, row_gids in zip(rows, gids):
+                        probe_lists[int(r)].extend(int(g) for g in row_gids)
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_name].to_numpy(dtype="int64"),
+                    "vec": pdf[vec_name],
+                    "cells": probe_lists,
+                }
+            )
+
+    vec_ddl = df.schema[vec_col].dataType.simpleString()
+    return df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        run, f"id bigint, vec {vec_ddl}, cells array<int>"
+    )
+
+
 def _cell_order(dots):
     """Row-wise coarse-cell ranking by (dot desc, cell desc) — THE IVF
     assignment tie-break. Every site that ranks cells (`ivf_cells_pandas`,
@@ -1065,6 +1210,7 @@ def incremental_semantic_dedup(
     n_cells: int = 16,
     n_probe: int = 2,
     threshold: float = 0.3,
+    two_level_threshold: int = 1024,
 ) -> DataFrame:
     """Ingest-time EMBEDDING dedup: check a new batch of vectors
     against the stored corpus through the pinned IVF coarse cells —
@@ -1098,8 +1244,42 @@ def incremental_semantic_dedup(
     DELTA-proportional; a fixed cell count would leave it
     |batch|·|corpus|/n_cells — quadratic under co-growth (measured
     25× at the 10× probe before the adaptive sizing).
+
+    That two-level routing is automatic: ``n_cells >=
+    two_level_threshold`` groups the SAME pseudo-random centroid grid
+    into a two-level model (`_pseudo_random_two_level` — global cell
+    ids unchanged, no training pass) and both sides assign through it
+    at O(√cells·dim) per row. With the constant-population sizing the
+    switch engages around a 65k·threshold-row corpus; every
+    verification SF resolves to n_cells = 32 ≪ threshold, so the
+    oracle's flat-argmin geometry replays unchanged. Above it, cell
+    boundaries are the two-level approximation's — consistent across
+    stored/probe sides by construction, the usual IVF recall-vs-probe
+    tradeoff otherwise.
     """
     from batch_process_dpla_index_spark.operators.dedup import _with_cached_deps
+
+    if n_cells >= two_level_threshold:
+        coarse, fine, k_f = _pseudo_random_two_level(dim, n_cells)
+        # metric="dot" on BOTH sides: the flat quantizer ranks cells by
+        # dot product (scale-invariant, `_cell_order`), so the
+        # two-level inference must too — an L2 ranking would break the
+        # scale-invariance the near-dup matching relies on
+        stored = two_level_cells_pandas(
+            corpus, coarse, fine, k_f, 1, 1, id_col, vec_col, metric="dot"
+        ).select(
+            F.element_at("cells", 1).alias("cell"),
+            F.col("id").alias("c_id"),
+            F.col("vec").alias("c_vec"),
+        )
+        p_c, p_f = _imi_probe_split(n_probe, n_cells, k_f, len(fine), None, None)
+        assigned = two_level_cells_pandas(
+            new, coarse, fine, k_f, p_c, p_f, id_col, vec_col, metric="dot"
+        ).persist()
+        return _with_cached_deps(
+            match_assigned_against_stored(assigned, stored, threshold),
+            [assigned],
+        )
 
     stored = ivf_cells_pandas(
         corpus, id_col, vec_col, dim, n_cells, n_probe=1

@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 
 from batch_process_dpla_index_spark.io.manifest import read_manifest, write_manifest
 from batch_process_dpla_index_spark.operators.similarity import (
+    _imi_probe_split,
     ivf_cells_pandas,
     ivf_query_topk,
 )
@@ -59,16 +60,23 @@ def build_ann_index(
     assignments, manifest. Returns the manifest dict.
 
     ``learned`` picks the coarse quantizer: ``True`` = flat
-    maximin-seeded Lloyd's; ``"two-level"`` = the billion-scale
-    training path (√k coarse cells, then all fine codebooks at once —
-    O(N·√k·dim) per training iteration), whose fine codebooks flatten
-    to a plain dense centroid list so storage layout and every serve
-    path stay identical — NOTE the trained cell count is the k_c×k_f
-    grid, which rounds a non-divisible ``n_cells`` request UP (and
-    under-full cells round it down); the manifest records the true
-    count and all serving reads the manifest, never the request;
+    maximin-seeded Lloyd's; ``"two-level"`` = the billion-scale path
+    (√k coarse cells, then all fine codebooks at once — O(N·√k·dim)
+    per training iteration). A two-level index PERSISTS the model —
+    ``coarse_centroids`` + ``fine_centroids`` datasets and the
+    fit-owned stride ``k_f`` in the manifest — and stores every
+    vector under its global two-level cell id
+    (``coarse_cell * k_f + fine_idx``), so serving routes through the
+    IMI probe (`similarity._imi_probe_cells`): a query ranks k_c
+    coarse centroids then only the probed cells' fine codebooks —
+    O(√k·dim) per query where the flat layout pays O(k·dim) just to
+    rank cells. NOTE the trained cell count can differ from the
+    request in both directions (grid rounds up, under-full coarse
+    cells train fewer fine centroids); the manifest records the true
+    count and all serving reads the manifest, never the request.
     ``False`` = the deterministic pseudo-random quantizer (no
-    training pass at all).
+    training pass at all). Any other string raises — a typo like
+    ``"two_level"`` must not silently train the flat path.
 
     ``pq_m`` turns on the IVF-PQ layout: m sub-codebooks train on the
     corpus (``operators.quantization.pq_train``), every stored row
@@ -77,33 +85,42 @@ def build_ann_index(
     queries from codes alone (32× less data motion at the defaults),
     with the float vectors still in place for exact re-ranking."""
     spark = corpus.sparkSession
+    if isinstance(learned, str) and learned != "two-level":
+        # a typo ("two_level", "kmeans", ...) must fail loudly, not
+        # silently train the flat-maximin branch (ADVICE round-11)
+        raise ValueError(
+            f"unrecognized quantizer string learned={learned!r}; "
+            "expected True, False, or 'two-level'"
+        )
+    two_level_model = None
     if learned == "two-level":
         # billion-scale training path: √k coarse cells, then all fine
         # codebooks trained simultaneously within them — each training
         # iteration assigns at O(N·√k·dim) instead of O(N·k·dim)
         # (clustering.kmeans_fit_two_level; probe receipt in SCALE.md
-        # round-11). The fine codebooks FLATTEN to a dense plain
-        # centroid list, so storage assignment, the manifest layout,
-        # and every serve path are IDENTICAL to the flat-trained index
-        # — two-level here accelerates training only; the single
-        # storage-assign pass below stays the flat one (one O(N·k·dim)
-        # pass total, vs kmeans_iters of them during flat training).
+        # round-11). The model PERSISTS in the index artifact and the
+        # storage assign runs through the same two-level inference the
+        # IMI serve path probes (one O(N·√k·dim) pass — the flat
+        # flattening this branch used to do paid O(N·k·dim) to store
+        # and left serving stuck at O(k·dim) per query).
         from batch_process_dpla_index_spark.operators.clustering import (
             kmeans_fit_two_level,
         )
 
-        coarse, fine, _k_f = kmeans_fit_two_level(
+        coarse, fine, k_f = kmeans_fit_two_level(
             corpus, id_col, vec_col, k=n_cells, n_iter=kmeans_iters
         )
-        centroids = [cent for c in sorted(fine) for cent in fine[c]]
-        # the index's true cell count is the flattened codebook's
-        # length, and everything downstream (manifest, serve) reads
-        # THAT — it can differ from the request in BOTH directions:
-        # under-full coarse cells train fewer fine centroids, and a
-        # k_c that doesn't divide n_cells rounds the grid UP to
+        two_level_model = (coarse, fine, k_f)
+        centroids = None
+        # the index's true cell count is the number of TRAINED fine
+        # centroids (global ids are strided coarse_cell*k_f+fine_idx,
+        # with gaps where a coarse cell trained under-full) — it can
+        # differ from the request in BOTH directions: under-full
+        # coarse cells train fewer fine centroids, and a k_c that
+        # doesn't divide n_cells rounds the grid UP to
         # k_c · ceil(n_cells/k_c) (the IMI convention — FAISS's IMI is
         # likewise a k_c×k_f grid, not an arbitrary k)
-        n_cells = len(centroids)
+        n_cells = sum(len(m) for m in fine.values())
     elif learned:
         from batch_process_dpla_index_spark.operators.clustering import kmeans_fit
 
@@ -113,10 +130,22 @@ def build_ann_index(
     else:
         centroids = None
 
-    assigned = ivf_cells_pandas(corpus, id_col, vec_col, dim, n_cells, 1, centroids)
-    stored = assigned.select(
-        F.element_at("cells", 1).cast("int").alias("cell"), "id", "vec"
-    )
+    if two_level_model is not None:
+        from batch_process_dpla_index_spark.operators.clustering import (
+            kmeans_assign_two_level,
+        )
+
+        coarse, fine, k_f = two_level_model
+        stored = kmeans_assign_two_level(
+            corpus, coarse, fine, k_f, id_col, vec_col, keep_vec=True
+        ).select(F.col("cell").cast("int").alias("cell"), "id", "vec")
+    else:
+        assigned = ivf_cells_pandas(
+            corpus, id_col, vec_col, dim, n_cells, 1, centroids
+        )
+        stored = assigned.select(
+            F.element_at("cells", 1).cast("int").alias("cell"), "id", "vec"
+        )
     codebooks = None
     if pq_m is not None:
         from batch_process_dpla_index_spark.operators.quantization import (
@@ -155,17 +184,44 @@ def build_ann_index(
             os.path.join(index_dir, "pq_codebooks")
         )
 
-    if centroids is None:
-        from batch_process_dpla_index_spark.operators.similarity import (
-            _centroid_matrix,
+    if two_level_model is not None:
+        # persist the MODEL, not a flattened list: global cell ids are
+        # strided with gaps, so a positional flat centroid list cannot
+        # represent them — serving loads (coarse, fine, k_f) and probes
+        # through the IMI path
+        coarse, fine, k_f = two_level_model
+        _arrow_local_frame(
+            spark,
+            [(c, [float(x) for x in v]) for c, v in enumerate(coarse)],
+            "ccell int, centroid array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(index_dir, "coarse_centroids")
         )
+        _arrow_local_frame(
+            spark,
+            [
+                (c, j, [float(x) for x in v])
+                for c in sorted(fine)
+                for j, v in enumerate(fine[c])
+            ],
+            "ccell int, fine int, centroid array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(index_dir, "fine_centroids")
+        )
+    else:
+        if centroids is None:
+            from batch_process_dpla_index_spark.operators.similarity import (
+                _centroid_matrix,
+            )
 
-        centroids = _centroid_matrix(dim, n_cells).tolist()
-    _arrow_local_frame(
-        spark,
-        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
-        "cell int, centroid array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(index_dir, "centroids"))
+            centroids = _centroid_matrix(dim, n_cells).tolist()
+        _arrow_local_frame(
+            spark,
+            [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+            "cell int, centroid array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(index_dir, "centroids")
+        )
 
     # count from the freshly written parquet footers — recounting the
     # unpersisted `stored` frame would re-run the whole encode DAG
@@ -181,6 +237,13 @@ def build_ann_index(
         "metric": "cosine",
         "Record count": str(n_vecs),
     }
+    if two_level_model is not None:
+        # the stride is FIT-OWNED model state (not derivable from the
+        # fine codebook widths when every cell trained under-full) —
+        # pin it like the cell geometry so serving can never reconstruct
+        # a different global-id convention than storage used
+        manifest["k_f"] = str(two_level_model[2])
+        manifest["coarse_k"] = str(len(two_level_model[0]))
     if pq_m is not None:
         manifest["pq_m"] = str(pq_m)
         manifest["pq_k"] = str(pq_k)
@@ -195,6 +258,32 @@ def load_centroids(spark: SparkSession, index_dir: str) -> list[list[float]]:
         .collect()
     )
     return [list(r["centroid"]) for r in rows]
+
+
+def load_two_level_model(
+    spark: SparkSession, index_dir: str
+) -> tuple[list[list[float]], dict[int, list[list[float]]], int]:
+    """(coarse, fine, k_f) of a two-level-built index — the exact shape
+    `clustering.kmeans_fit_two_level` returned at build time. k·dim
+    floats total: the whole model fits on the driver, like the flat
+    centroid list."""
+    manifest = read_manifest(index_dir)
+    k_f = int(manifest["k_f"])
+    coarse_rows = (
+        spark.read.parquet(os.path.join(index_dir, "coarse_centroids"))
+        .orderBy("ccell")
+        .collect()
+    )
+    coarse = [list(r["centroid"]) for r in coarse_rows]
+    fine_rows = (
+        spark.read.parquet(os.path.join(index_dir, "fine_centroids"))
+        .orderBy("ccell", "fine")
+        .collect()
+    )
+    fine: dict[int, list[list[float]]] = {}
+    for r in fine_rows:
+        fine.setdefault(int(r["ccell"]), []).append(list(r["centroid"]))
+    return coarse, fine, k_f
 
 
 def load_pq_codebooks(spark: SparkSession, index_dir: str) -> list[list[list[float]]]:
@@ -243,19 +332,40 @@ def pq_query_indexed(
     manifest = read_manifest(index_dir)
     dim = int(manifest["dim"])
     n_cells = int(manifest["n_cells"])
-    centroids = load_centroids(spark, index_dir)
     books = np.asarray(load_pq_codebooks(spark, index_dir), dtype="float64")
 
-    q_assigned = ivf_cells_pandas(
-        queries, id_col, vec_col, dim, n_cells, n_probe, centroids
-    )
-    probe_side = q_assigned.select(
-        F.explode("cells").alias("cell"),
-        F.lit(1).alias("role"),
-        F.col("id"),
-        F.lit(None).cast("array<int>").alias("codes"),
-        F.col("vec").alias("qvec"),
-    ).withColumn("cell", F.col("cell").cast("int"))
+    if manifest["quantizer"] == "kmeans-two-level":
+        # IMI probe routing — same O(√k·dim) cell ranking as
+        # ann_query_indexed; the ADC scoring tail below is unchanged
+        from batch_process_dpla_index_spark.operators.similarity import (
+            _imi_probe_cells,
+        )
+
+        coarse, fine, k_f = load_two_level_model(spark, index_dir)
+        p_c, p_f = _imi_probe_split(
+            n_probe, n_cells, k_f, len(fine), None, None
+        )
+        probe_side = _imi_probe_cells(
+            queries, coarse, fine, k_f, p_c, p_f, id_col, vec_col
+        ).select(
+            "cell",
+            "role",
+            "id",
+            F.lit(None).cast("array<int>").alias("codes"),
+            F.col("vec").alias("qvec"),
+        )
+    else:
+        centroids = load_centroids(spark, index_dir)
+        q_assigned = ivf_cells_pandas(
+            queries, id_col, vec_col, dim, n_cells, n_probe, centroids
+        )
+        probe_side = q_assigned.select(
+            F.explode("cells").alias("cell"),
+            F.lit(1).alias("role"),
+            F.col("id"),
+            F.lit(None).cast("array<int>").alias("codes"),
+            F.col("vec").alias("qvec"),
+        ).withColumn("cell", F.col("cell").cast("int"))
     stored_side = (
         spark.read.parquet(os.path.join(index_dir, "cells"))
         .select(
@@ -311,15 +421,48 @@ def ann_query_indexed(
     index_dir: str,
     k: int = 5,
     n_probe: int = 4,
+    probe_coarse: int | None = None,
+    probe_fine: int | None = None,
 ) -> DataFrame:
     """(query_id, neighbor_id, score, rank) for each query vector
     against the stored index — quantizer parameters come from the
-    manifest, never the caller."""
+    manifest, never the caller.
+
+    A two-level-built index serves through the IMI probe
+    (`similarity._imi_probe_cells`): rank k_c coarse centroids, keep
+    ``probe_coarse``, rank only those cells' fine codebooks, keep
+    ``probe_fine`` each — per-query probe cost (k_c + p_c·k_f)·dim ≈
+    O(√k·dim), vs the flat layout's O(k·dim) cell ranking. When the
+    caller passes only the flat ``n_probe`` budget,
+    :func:`_imi_probe_split` factors it (full budget ⇒ exact search,
+    same calibration contract as the flat path). Scoring tail is the
+    shared `_ivf_score_and_rank` either way."""
     manifest = read_manifest(index_dir)
+    stored = spark.read.parquet(os.path.join(index_dir, "cells"))
+    if manifest["quantizer"] == "kmeans-two-level":
+        from batch_process_dpla_index_spark.operators.similarity import (
+            _imi_probe_cells,
+            _ivf_score_and_rank,
+        )
+
+        coarse, fine, k_f = load_two_level_model(spark, index_dir)
+        p_c, p_f = _imi_probe_split(
+            n_probe, int(manifest["n_cells"]), k_f, len(fine),
+            probe_coarse, probe_fine,
+        )
+        probing = _imi_probe_cells(
+            queries, coarse, fine, k_f, p_c, p_f, id_col, vec_col
+        )
+        stored_side = stored.select(
+            F.col("cell").cast("int").alias("cell"),
+            F.lit(0).alias("role"),
+            "id",
+            "vec",
+        )
+        return _ivf_score_and_rank(stored_side, probing, k)
     dim = int(manifest["dim"])
     n_cells = int(manifest["n_cells"])
     centroids = load_centroids(spark, index_dir)
-    stored = spark.read.parquet(os.path.join(index_dir, "cells"))
     return ivf_query_topk(
         stored,
         queries,
@@ -341,6 +484,8 @@ def ann_recall_indexed(
     index_dir: str,
     k: int = 5,
     n_probe: int = 4,
+    probe_coarse: int | None = None,
+    probe_fine: int | None = None,
 ) -> DataFrame:
     """Recall@k of the index's probe-limited serve path against
     brute-force truth over the STORED vectors — the probes-vs-recall
@@ -364,7 +509,8 @@ def ann_recall_indexed(
     )
 
     approx = ann_query_indexed(
-        spark, queries, id_col, vec_col, index_dir, k=k, n_probe=n_probe
+        spark, queries, id_col, vec_col, index_dir, k=k, n_probe=n_probe,
+        probe_coarse=probe_coarse, probe_fine=probe_fine,
     )
     stored = spark.read.parquet(os.path.join(index_dir, "cells")).select(
         F.col("id").alias(id_col), F.col("vec").alias(vec_col)

@@ -106,6 +106,35 @@ def _bench_ann_index(spark: SparkSession, sf_dir: str, work_dir: str) -> int:
     ).count()
 
 
+def _bench_ann_index_imi(spark: SparkSession, sf_dir: str, work_dir: str) -> int:
+    """Two-level ANN index lifecycle: train + persist the (coarse,
+    fine, k_f) model, store the corpus under global two-level cells,
+    serve a 25-query batch through the IMI probe at a bounded budget,
+    and run the probes-vs-recall diagnostic at the same budget — the
+    large-k serving path a stored index pays O(√k·dim) per query on,
+    instead of the flat layout's O(k·dim) cell ranking."""
+    from batch_process_dpla_index_spark.products.ann_index import (
+        ann_query_indexed,
+        ann_recall_indexed,
+        build_ann_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = os.path.join(work_dir, "ann_imi")
+    build_ann_index(
+        emb, "vec_id", "embedding", idx,
+        dim=64, n_cells=16, learned="two-level", kmeans_iters=3,
+    )
+    queries = emb.orderBy("vec_id").limit(25)
+    n = ann_query_indexed(
+        spark, queries, "vec_id", "embedding", idx, k=5, n_probe=4
+    ).count()
+    n += ann_recall_indexed(
+        spark, queries, "vec_id", "embedding", idx, k=5, n_probe=4
+    ).count()
+    return n
+
+
 def _bench_compaction(spark: SparkSession, sf_dir: str, work_dir: str) -> int:
     """Small-file maintenance: fragment the events table into 64 files,
     then compact to 8 MiB bins (plan + one-shuffle rewrite)."""
@@ -221,7 +250,9 @@ def _bench_embedding_ingest(spark: SparkSession, sf_dir: str, work_dir: str) -> 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     corpus = emb.filter(F.col("vec_id") % 10 < 6)
     slice_a = emb.filter(F.col("vec_id") % 10 == 7)
-    copies = slice_a.limit(20).select(
+    # orderBy before limit: an unordered limit can pick different rows
+    # across actions, making the dedup-drop count nondeterministic
+    copies = slice_a.orderBy("vec_id").limit(20).select(
         (F.col("vec_id") + 1_000_000).alias("vec_id"),
         F.transform(
             "embedding", lambda x: (x * F.lit(1.5)).cast("float")
@@ -250,6 +281,7 @@ PRODUCT_BENCHES: dict[str, Callable[[SparkSession, str, str], int]] = {
     "product_training_export": _bench_training_export,
     "product_dedup_index": _bench_dedup_index,
     "product_ann_index": _bench_ann_index,
+    "product_ann_index_imi": _bench_ann_index_imi,
     "product_compaction": _bench_compaction,
     "product_snapshots": _bench_snapshots,
     "product_merge": _bench_merge,

@@ -36,10 +36,27 @@ def _md_table(rows: list[dict], cols: list[str]) -> str:
 
 
 def build_dataset_card(
-    spark: SparkSession, docs: DataFrame, out_dir: str, name: str = "corpus"
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    name: str = "corpus",
+    embeddings: DataFrame | None = None,
+    vec_col: str = "embedding",
+    sem_threshold: float = 0.3,
 ) -> str:
     """Render the datasheet to ``<out_dir>/DATASET_CARD.md`` (plus the
-    standard `_MANIFEST`) and return the card path."""
+    standard `_MANIFEST`) and return the card path.
+
+    ``embeddings`` (a frame carrying ``doc_id`` + ``vec_col``) turns on
+    the SEMANTIC duplication row: the share of documents that are
+    non-representative members of a transitive near-dup group under
+    the oracle-verified ``operators.dedup.semantic_dedup`` (SemDeDup) —
+    the datasheet claim a curator needs NEXT TO the exact-dup rate,
+    because paraphrase/boilerplate duplication is invisible to text
+    hashing. Cell count scales for constant cell population
+    (k = max(32, N//64)), so the stage stays linear at any corpus
+    size; cost is one semantic_dedup pass + one bounded semi-join
+    count."""
     from batch_process_dpla_index_spark.functions.classifier import classifier_score
 
     # tokens materialized ONCE: language_id_tok references its token
@@ -81,6 +98,34 @@ def build_dataset_card(
         ).first()
         n_unique = exact_dedup(docs, "text", "doc_id").count()
         dup_rate = round(1.0 - n_unique / totals["docs"], 4) if totals["docs"] else 0.0
+
+        sem_dup_rate: float | str = "n/a"
+        if embeddings is not None:
+            from batch_process_dpla_index_spark.operators.dedup import (
+                semantic_dedup,
+            )
+
+            n_emb = embeddings.count()
+            sem = semantic_dedup(
+                embeddings,
+                "doc_id",
+                vec_col,
+                k=max(32, n_emb // 64),
+                n_iter=3,
+                threshold=sem_threshold,
+            )
+            dropped = sem.where(~F.col("kept")).select(
+                F.col("id").alias("doc_id")
+            )
+            n_sem_dup = docs.join(dropped, "doc_id", "left_semi").count()
+            sem_dup_rate = (
+                round(n_sem_dup / totals["docs"], 4) if totals["docs"] else 0.0
+            )
+            from batch_process_dpla_index_spark.operators.dedup import (
+                unpersist_deps,
+            )
+
+            unpersist_deps(sem)
 
         by_source = [
             r.asDict()
@@ -128,9 +173,15 @@ against an independent DuckDB oracle (see `tools/verify_local.py`).
 
 ## Volume
 
-| docs | tokens | chars | exact-dup rate | mean quality |
-|---|---|---|---|---|
-| {totals['docs']} | {totals['tokens']} | {totals['chars']} | {dup_rate} | {totals['mean_quality']} |
+`semantic-dup rate` is the share of documents that a SemDeDup pass
+(`operators/dedup.py:semantic_dedup`, transitive near-dup groups,
+threshold {sem_threshold}) would collapse as non-representative group
+members — duplication invisible to exact text hashing; `n/a` when no
+embedding frame was supplied.
+
+| docs | tokens | chars | exact-dup rate | semantic-dup rate | mean quality |
+|---|---|---|---|---|---|
+| {totals['docs']} | {totals['tokens']} | {totals['chars']} | {dup_rate} | {sem_dup_rate} | {totals['mean_quality']} |
 
 ## Composition by source
 

@@ -43,7 +43,7 @@ def export_training_shards(
     gate: bool = True,
     sentence_dedup_first: bool = False,
     mixture: tuple[str, dict[str, float], int] | None = None,
-    semantic_collapse: tuple[DataFrame, str, float] | None = None,
+    semantic_collapse: tuple | None = None,
 ) -> dict[str, str]:
     """Run the curation chain and write ordered shard files.
 
@@ -57,7 +57,8 @@ def export_training_shards(
     documents — collapsing after sentence dedup would judge rewritten
     text against vectors computed on text that no longer exists.
 
-    ``semantic_collapse`` = (embeddings, vec_col, threshold): the
+    ``semantic_collapse`` = (embeddings, vec_col, threshold[, n_emb]):
+    the
     SemDeDup curation step — ``operators.dedup.semantic_dedup`` groups
     transitive near-dup vectors within coarse cells and each group
     collapses to its closest-to-centroid representative; docs whose
@@ -76,8 +77,18 @@ def export_training_shards(
     if semantic_collapse is not None:
         from batch_process_dpla_index_spark.operators.dedup import semantic_dedup
 
-        emb, vec_col, sem_threshold = semantic_collapse
-        k = max(32, emb.count() // 64)
+        # optional 4th element: a pre-computed embedding count, so a
+        # caller that already knows |emb| (ingest stats, manifest)
+        # skips the extra sizing action over unpersisted lineage —
+        # without it this stage pays two bounded extra actions (the
+        # k-sizing count here + the n_collapsed semi-join below)
+        emb, vec_col, sem_threshold = semantic_collapse[:3]
+        n_emb = (
+            int(semantic_collapse[3])
+            if len(semantic_collapse) > 3 and semantic_collapse[3] is not None
+            else emb.count()
+        )
+        k = max(32, n_emb // 64)
         sem = semantic_dedup(
             emb, "doc_id", vec_col, k=k, n_iter=3, threshold=sem_threshold
         )

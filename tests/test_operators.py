@@ -932,3 +932,123 @@ def test_incremental_semantic_dedup_contract(spark):
     for r in rows:
         if r["is_new"]:
             assert r["best_match_id"] is None and r["n_matches"] == 0
+
+
+def test_two_level_cells_rank1_matches_assign(spark):
+    """`two_level_cells_pandas` contract: cells[0] IS the two-level
+    storage cell (`kmeans_assign_two_level`'s global id), the probe
+    list has p_c·p_f entries on a full grid, and every id is a valid
+    global cell of the pseudo-random grid."""
+    from batch_process_dpla_index_spark.operators.clustering import (
+        kmeans_assign_two_level,
+    )
+    from batch_process_dpla_index_spark.operators.similarity import (
+        _pseudo_random_two_level,
+        two_level_cells_pandas,
+    )
+    from batch_process_dpla_index_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    coarse, fine, k_f = _pseudo_random_two_level(64, 16)
+    assert k_f == 4 and len(coarse) == 4
+    assigned = {
+        r["id"]: r["cell"]
+        for r in kmeans_assign_two_level(
+            emb, coarse, fine, k_f, "vec_id", "embedding"
+        ).collect()
+    }
+    probed = two_level_cells_pandas(
+        emb, coarse, fine, k_f, 2, 2, "vec_id", "embedding"
+    ).collect()
+    valid = {c * k_f + j for c in fine for j in range(len(fine[c]))}
+    assert len(probed) == emb.count()
+    for r in probed:
+        assert len(r["cells"]) == 4  # p_c * p_f on a full grid
+        assert r["cells"][0] == assigned[r["id"]]
+        assert set(r["cells"]) <= valid
+
+
+def test_semantic_dedup_two_level_routing(spark):
+    """k >= two_level_threshold routes training + assign through the
+    two-level path; the dedup contract holds unchanged (exactly one
+    representative per group, min-id labels, the representative
+    carries its group's minimum centroid distance)."""
+    from batch_process_dpla_index_spark.operators.dedup import (
+        semantic_dedup,
+        unpersist_deps,
+    )
+    from batch_process_dpla_index_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    out = semantic_dedup(
+        emb, "vec_id", "embedding", k=32, n_iter=2, threshold=0.2,
+        two_level_threshold=32,  # force the large-k path at fixture size
+    )
+    rows = out.collect()
+    unpersist_deps(out)
+    assert len(rows) == emb.count()
+    by_group: dict = {}
+    for r in rows:
+        by_group.setdefault(r["group_id"], []).append(r)
+    assert sum(len(v) > 1 for v in by_group.values()) > 0
+    for gid, members in by_group.items():
+        assert gid == min(m["id"] for m in members)
+        kept = [m for m in members if m["kept"]]
+        assert len(kept) == 1
+        assert all(m["group_size"] == len(members) for m in members)
+        assert kept[0]["d2_centroid"] == min(m["d2_centroid"] for m in members)
+        # groups are cell-local by construction
+        assert len({m["cell"] for m in members}) == 1
+
+
+def test_incremental_semantic_dedup_two_level_routing(spark):
+    """n_cells >= two_level_threshold routes both sides through the
+    pseudo-random two-level grid: the hand case resolves identically
+    to the flat path, and on the fixture an exact scaled copy of a
+    corpus vector is ALWAYS matched (same rank-1 cell by construction
+    — both sides run the same two-level inference)."""
+    from batch_process_dpla_index_spark.operators.dedup import unpersist_deps
+    from batch_process_dpla_index_spark.operators.similarity import (
+        incremental_semantic_dedup,
+    )
+    from batch_process_dpla_index_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    new = spark.createDataFrame(
+        [(10, [0.999, 0.01, 0.0, 0.0]), (11, [0.0, 0.0, 0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = incremental_semantic_dedup(
+        new, corpus, "vec_id", "embedding", dim=4, n_cells=4, n_probe=4,
+        threshold=0.9, two_level_threshold=4,
+    )
+    got = {r["id"]: r for r in out.collect()}
+    unpersist_deps(out)
+    assert got[10]["is_new"] is False and got[10]["best_match_id"] == 1
+    assert got[11]["is_new"] is True and got[11]["best_match_id"] is None
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    corpus_fx = emb.where(F.col("vec_id") % 10 != 7)
+    copies = corpus_fx.orderBy("vec_id").limit(20).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x * F.lit(2.0)).cast("double")
+        ).alias("embedding"),
+    )
+    out_fx = incremental_semantic_dedup(
+        copies, corpus_fx, "vec_id", "embedding", dim=64, n_cells=16,
+        n_probe=2, threshold=0.99, two_level_threshold=16,
+    )
+    rows = out_fx.collect()
+    unpersist_deps(out_fx)
+    assert len(rows) == 20
+    for r in rows:
+        assert r["is_new"] is False, "scale-invariant copy must match"
+        assert r["best_match_id"] == r["id"] - 100000
+        assert r["best_score"] >= 0.99

@@ -484,16 +484,19 @@ def test_ann_index_round_trip(spark, tmp_path):
 
 
 def test_ann_index_two_level_quantizer(spark, tmp_path):
-    """learned='two-level' trains the coarse codebook through the
-    two-level path and flattens it to a plain centroid list: the index
-    must serve through the UNCHANGED flat paths with exact recall at
-    full probe, and the manifest must record the quantizer + the true
-    (flattened) cell count."""
+    """learned='two-level' PERSISTS the two-level model (coarse +
+    fine codebooks + the fit-owned stride k_f) and serves through the
+    IMI probe: full probe must be the exact search (recall 1.0 on
+    every query — the same calibration contract as the flat path),
+    the manifest must pin the quantizer + k_f + the true trained-cell
+    count, and at an equal probed-cell budget the IMI serve must not
+    trail the flat index's recall on this fixture."""
     from batch_process_dpla_index_spark.io.manifest import read_manifest
     from batch_process_dpla_index_spark.products.ann_index import (
+        ann_query_indexed,
         ann_recall_indexed,
         build_ann_index,
-        load_centroids,
+        load_two_level_model,
     )
     from batch_process_dpla_index_spark.sources.tables import load_table
     from tests.conftest import SF_DIR
@@ -506,19 +509,63 @@ def test_ann_index_two_level_quantizer(spark, tmp_path):
     )
     assert manifest["quantizer"] == "kmeans-two-level"
     n_cells = int(manifest["n_cells"])
-    cents = load_centroids(spark, idx)
-    assert len(cents) == n_cells and int(manifest["Record count"]) == emb.count()
-    # manifest n_cells is the FLATTENED count (under-full coarse cells
-    # may train fewer than requested) and serve paths read that
-    assert n_cells <= 16
+    assert n_cells <= 16 and int(manifest["Record count"]) == emb.count()
+    coarse, fine, k_f = load_two_level_model(spark, idx)
+    assert int(manifest["k_f"]) == k_f
+    assert int(manifest["coarse_k"]) == len(coarse)
+    assert sum(len(m) for m in fine.values()) == n_cells
+    # stored global cells follow the fit's strided convention
+    stored = spark.read.parquet(idx + "/cells")
+    valid = {c * k_f + j for c in fine for j in range(len(fine[c]))}
+    got_cells = {r["cell"] for r in stored.select("cell").distinct().collect()}
+    assert got_cells <= valid
 
-    # probing every cell is the exact search on the stored vectors
+    # full probe through the IMI path IS the exact search
     sample = emb.orderBy("vec_id").limit(25)
     rep = ann_recall_indexed(
         spark, sample, "vec_id", "embedding", idx, k=5, n_probe=n_cells
     ).collect()
     assert len(rep) == 25
     assert all(r.recall_at_k == 1.0 for r in rep)
+
+    # equal probed-cell budget: IMI-served recall does not trail the
+    # flat-built index on this fixture (deterministic: fixed seeds)
+    flat_idx = str(tmp_path / "annflat")
+    build_ann_index(emb, "vec_id", "embedding", flat_idx,
+                    dim=64, n_cells=16, kmeans_iters=3)
+    budget = 4
+    imi_mean = _mean_recall(
+        ann_recall_indexed(spark, sample, "vec_id", "embedding", idx,
+                           k=5, n_probe=budget))
+    flat_mean = _mean_recall(
+        ann_recall_indexed(spark, sample, "vec_id", "embedding", flat_idx,
+                           k=5, n_probe=budget))
+    assert imi_mean >= flat_mean
+
+    # full-probe IMI serve == full-probe flat serve (both exact):
+    # identical (query, neighbor, rank) sets over the same corpus
+    imi_rows = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ann_query_indexed(spark, sample, "vec_id", "embedding",
+                                   idx, k=5, n_probe=n_cells).collect()
+    )
+    flat_rows = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ann_query_indexed(spark, sample, "vec_id", "embedding",
+                                   flat_idx, k=5, n_probe=16).collect()
+    )
+    assert imi_rows == flat_rows and len(imi_rows) == 125
+
+    # the sentinel is validated: a typo must not silently train flat
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="two-level"):
+        build_ann_index(emb, "vec_id", "embedding", str(tmp_path / "x"),
+                        dim=64, n_cells=16, learned="two_level")
+
+
+def _mean_recall(report) -> float:
+    rows = report.collect()
+    return sum(r.recall_at_k for r in rows) / len(rows)
 
 
 def test_ann_index_recall_cli(spark, tmp_path, capsys):
@@ -641,6 +688,43 @@ def test_dataset_card_product(spark, tmp_path):
     for col in docs.columns:
         assert f"| {col} |" in text
     assert os.path.exists(os.path.join(out, "_MANIFEST"))
+    # no embedding frame supplied → the semantic column reads n/a
+    assert "semantic-dup rate" in text and "| n/a |" in text
+
+    # with an embedding frame carrying EXACT duplicate vectors the
+    # SemDeDup rate must be positive and equal dropped/total: pair
+    # each even doc with its successor's vector copied verbatim
+    emb = load_table(spark, SF_DIR, "embeddings")
+    ids = docs.select("doc_id")
+    paired = ids.join(
+        emb.select(
+            (F.col("vec_id")).alias("doc_id"),
+            F.col("embedding"),
+        ),
+        "doc_id",
+        "inner",
+    )
+    twin = paired.select(
+        (F.col("doc_id") - 1).alias("doc_id"), "embedding"
+    ).where(F.col("doc_id") % 2 == 0).join(ids, "doc_id", "left_semi")
+    emb_frame = (
+        paired.where(F.col("doc_id") % 2 == 1)
+        .unionByName(twin)
+        .dropDuplicates(["doc_id"])
+    )
+    out2 = str(tmp_path / "card2")
+    path2 = build_dataset_card(
+        spark, docs, out2, name="sem", embeddings=emb_frame,
+        sem_threshold=0.05,
+    )
+    text2 = open(path2, encoding="utf-8").read()
+    assert "| n/a |" not in text2
+    vol_row = [
+        ln for ln in text2.splitlines()
+        if ln.startswith(f"| {n_docs} |")
+    ][0]
+    sem_rate = float(vol_row.split("|")[5].strip())
+    assert sem_rate > 0.0
 
 
 def test_overlap_index_lifecycle_and_idempotent_refresh(spark, tmp_path):

@@ -288,7 +288,7 @@ def test_streaming_dedup_ingest(spark, tmp_path):
     corpus = docs.filter(F.col("doc_id") < 300)
     slice_a = docs.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 400))
     # batch B = new docs + exact copies of batch A docs under new ids
-    copies = slice_a.limit(20).select(
+    copies = slice_a.orderBy("doc_id").limit(20).select(
         (F.col("doc_id") + 100000).alias("doc_id"), "text"
     )
     slice_b = docs.filter(F.col("doc_id") >= 400).unionByName(copies)
@@ -313,7 +313,10 @@ def test_streaming_dedup_ingest(spark, tmp_path):
     # every cross-batch exact copy was caught (whichever slice came
     # first, its twin in the other batch is a J=1.0 corpus match)
     landed_ids = {r.doc_id for r in landed.select("doc_id").collect()}
-    assert not {r.doc_id + 100000 for r in slice_a.limit(20).collect()} <= landed_ids
+    assert not {
+        r.doc_id + 100000
+        for r in slice_a.orderBy("doc_id").limit(20).collect()
+    } <= landed_ids
     assert seen - kept >= 20
 
     # replay: nothing new, nothing duplicated, index unchanged
@@ -343,7 +346,7 @@ def test_streaming_embedding_dedup_ingest(spark, tmp_path):
     # batch B = new vectors + SCALED copies of batch-A vectors under
     # new ids: cosine is scale-invariant, so each copy is a perfect
     # near-dup of its batch-A twin without being byte-identical
-    copies = slice_a.limit(20).select(
+    copies = slice_a.orderBy("vec_id").limit(20).select(
         (F.col("vec_id") + 100000).alias("vec_id"),
         F.transform(
             "embedding", lambda x: (x * F.lit(1.5)).cast("float")
@@ -375,7 +378,7 @@ def test_streaming_embedding_dedup_ingest(spark, tmp_path):
     # first, its scaled twin in the other batch is a cosine-1.0 corpus
     # match — exactly one of each (original, copy) pair lands
     landed_ids = {r.vec_id for r in landed.select("vec_id").collect()}
-    orig_ids = {r.vec_id for r in slice_a.limit(20).collect()}
+    orig_ids = {r.vec_id for r in slice_a.orderBy("vec_id").limit(20).collect()}
     for o in orig_ids:
         assert len({o, o + 100000} & landed_ids) == 1
     assert seen - kept >= 20
