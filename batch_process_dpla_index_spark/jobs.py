@@ -16,6 +16,7 @@ plus the monthly-batch sequencer (monthly_batch_emr.sh:41-111)::
     python -m batch_process_dpla_index_spark.jobs training-export <docs_parquet> <out_dir> [--seed S] [--shards N] [--no-gate] [--sentence-dedup] [--mixture lang:en=0.5,de=0.5:10000]
     python -m batch_process_dpla_index_spark.jobs dedup-index build|query|append <docs_parquet> <index_dir> [--threshold T]
     python -m batch_process_dpla_index_spark.jobs ann-index build|query|recall <vectors_parquet> <index_dir> [--cells N] [--k K] [--probe P] [--sample N] [--quantizer kmeans|two-level|none]
+    python -m batch_process_dpla_index_spark.jobs embedding-index build|report|rebuild <index_dir> [--vectors-parquet P] [--cells N] [--design-point N]
     python -m batch_process_dpla_index_spark.jobs compact <src_parquet> <dst_parquet> [--target-mb N]
     python -m batch_process_dpla_index_spark.jobs overlap-index build|refresh|report <index_dir> [--docs-parquet P]
 """
@@ -97,6 +98,20 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--probe-fine", type=int, default=None,
                    help="query/recall on a two-level index: fine "
                         "cells probed per probed coarse cell")
+    s = sub.add_parser("embedding-index")
+    s.add_argument("action", choices=["build", "report", "rebuild"])
+    s.add_argument("index_dir")
+    s.add_argument("--vectors-parquet", default=None,
+                   help="build: the corpus vectors")
+    s.add_argument("--id-col", default="vec_id")
+    s.add_argument("--vec-col", default="embedding")
+    s.add_argument("--dim", type=int, default=64)
+    s.add_argument("--cells", type=int, default=None,
+                   help="build: cell count (default 16); rebuild: "
+                        "new cell count (default: resize to the "
+                        "design point)")
+    s.add_argument("--design-point", type=int, default=64,
+                   help="target rows per cell for report/rebuild")
     s = sub.add_parser("compact")
     s.add_argument("src")
     s.add_argument("dst")
@@ -327,6 +342,40 @@ def main(argv: list[str] | None = None) -> int:
                     probe_fine=args.probe_fine,
                 )
                 print(f"Neighbor rows: {out.count()}")
+        elif args.job == "embedding-index":
+            from batch_process_dpla_index_spark.products import embedding_index
+
+            if args.action == "build":
+                if not args.vectors_parquet:
+                    raise SystemExit("build requires --vectors-parquet")
+                manifest = embedding_index.build_embedding_index(
+                    spark.read.parquet(args.vectors_parquet),
+                    args.id_col, args.vec_col, args.index_dir,
+                    dim=args.dim, n_cells=args.cells or 16,
+                )
+                print(f"Embedding index built: {manifest}")
+            elif args.action == "report":
+                rep = embedding_index.embedding_index_occupancy(
+                    spark, args.index_dir, design_point=args.design_point
+                )
+                print(
+                    f"Occupancy: {rep['n_vecs']} vectors in "
+                    f"{rep['n_cells']} cells "
+                    f"(mean {rep['mean_per_cell']}/cell, max "
+                    f"{rep['max_per_cell']}, design point "
+                    f"{rep['design_point']}); needs_rebuild="
+                    f"{rep['needs_rebuild']}"
+                )
+            else:
+                manifest = embedding_index.rebuild_embedding_index(
+                    spark, args.index_dir, n_cells=args.cells,
+                    design_point=args.design_point,
+                )
+                print(
+                    f"Rebuilt {manifest['rebuilt_from']} -> "
+                    f"{manifest['n_cells']} cells over "
+                    f"{manifest['Record count']} vectors"
+                )
         elif args.job == "overlap-index":
             from batch_process_dpla_index_spark.products import overlap_index
 

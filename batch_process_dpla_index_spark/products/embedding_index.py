@@ -30,7 +30,20 @@ and a corpus that outgrows its cells (population ≫ the ~64-vector
 design point) is REBUILT with more cells rather than resized in
 place. The coarse centroids are data-independent (the deterministic
 pseudo-random matrix of ``ivf_cells_pandas``), so a rebuild is one
-corpus re-assign pass, embarrassingly parallel.
+corpus re-assign pass, embarrassingly parallel — exactly what
+:func:`rebuild_embedding_index` runs (``jobs.py embedding-index
+rebuild``), preserving every ``ingest_batch`` partition so replay
+pruning stays valid across the rebuild.
+:func:`embedding_index_occupancy` is the trigger's observable: rows
+per cell vs the design point.
+
+Above ``_TWO_LEVEL_THRESHOLD`` cells, assignment and probing route
+through the dot-metric two-level grouping of the SAME pseudo-random
+grid (``similarity._pseudo_random_two_level`` — global cell ids
+unchanged, O(√cells·dim) per row instead of O(cells·dim)). The
+routing is pinned in the manifest (``assign``), never re-derived
+from the constant, so an index built under one convention can never
+be silently probed under another.
 
 Scale notes: per-batch cost is one Arrow matmul over the batch + one
 shuffle join against the stored cells (AQE broadcasts the batch side
@@ -54,11 +67,61 @@ from batch_process_dpla_index_spark.operators.similarity import (
 )
 
 
+# cell count above which assignment/probing route through the
+# dot-metric two-level grouping of the pseudo-random grid; the chosen
+# convention is PINNED in the manifest at build/rebuild time (the
+# constant only picks it for NEW geometry, it is never consulted when
+# serving an existing index)
+_TWO_LEVEL_THRESHOLD = 1024
+
+
+def _assign_mode(n_cells: int) -> str:
+    return "two-level-dot" if n_cells >= _TWO_LEVEL_THRESHOLD else "flat"
+
+
+def _probe_frame(
+    vecs: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_cells: int,
+    n_probe: int,
+    assign: str,
+) -> DataFrame:
+    """(id, vec, cells): probe list under the index's pinned
+    assignment convention — flat O(cells·dim) dot ranking, or the
+    dot-metric two-level grouping at O(√cells·dim) per row. Both
+    sides of every join in this module go through here, so stored
+    and probe geometry cannot diverge."""
+    if assign == "two-level-dot":
+        from batch_process_dpla_index_spark.operators.similarity import (
+            _imi_probe_split,
+            _pseudo_random_two_level,
+            two_level_cells_pandas,
+        )
+
+        coarse, fine, k_f = _pseudo_random_two_level(dim, n_cells)
+        p_c, p_f = _imi_probe_split(
+            n_probe, n_cells, k_f, len(fine), None, None
+        )
+        return two_level_cells_pandas(
+            vecs, coarse, fine, k_f, p_c, p_f, id_col, vec_col, metric="dot"
+        )
+    if assign != "flat":
+        raise ValueError(f"unknown assign convention {assign!r}")
+    return ivf_cells_pandas(vecs, id_col, vec_col, dim, n_cells, n_probe)
+
+
 def _cell_rows(
-    vecs: DataFrame, id_col: str, vec_col: str, dim: int, n_cells: int
+    vecs: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_cells: int,
+    assign: str = "flat",
 ) -> DataFrame:
     """(cell, c_id, c_vec): each vector in its rank-1 storage cell."""
-    return ivf_cells_pandas(vecs, id_col, vec_col, dim, n_cells, n_probe=1).select(
+    return _probe_frame(vecs, id_col, vec_col, dim, n_cells, 1, assign).select(
         F.element_at("cells", 1).alias("cell"),
         F.col("id").alias("c_id"),
         F.col("vec").alias("c_vec"),
@@ -77,7 +140,8 @@ def build_embedding_index(
 
     Returns the manifest dict (also written to ``index_dir/_MANIFEST``).
     """
-    cells = _cell_rows(vecs, id_col, vec_col, dim, n_cells)
+    assign = _assign_mode(n_cells)
+    cells = _cell_rows(vecs, id_col, vec_col, dim, n_cells, assign)
     (
         cells.withColumn("ingest_batch", F.lit(0))
         # bound the artifact to <=32 files and cluster rows by cell
@@ -99,6 +163,7 @@ def build_embedding_index(
     manifest = {
         "dim": str(int(dim)),
         "n_cells": str(int(n_cells)),
+        "assign": assign,
         "id_col": id_col,
         "vec_col": vec_col,
         "Record count": str(n_vecs),
@@ -107,8 +172,12 @@ def build_embedding_index(
     return manifest
 
 
-def _read_pinned(index_dir: str, id_col: str, vec_col: str) -> tuple[int, int]:
-    """Manifest structural params, with loud drift rejection."""
+def _read_pinned(
+    index_dir: str, id_col: str, vec_col: str
+) -> tuple[int, int, str]:
+    """Manifest structural params, with loud drift rejection.
+    ``assign`` defaults to "flat" for indexes built before the
+    convention was pinned (all of which used the flat quantizer)."""
     manifest = read_manifest(index_dir)
     for key, got in (("id_col", id_col), ("vec_col", vec_col)):
         if manifest[key] != got:
@@ -117,7 +186,11 @@ def _read_pinned(index_dir: str, id_col: str, vec_col: str) -> tuple[int, int]:
                 f"{key}={manifest[key]!r}; refusing to query it with "
                 f"{key}={got!r}"
             )
-    return int(manifest["dim"]), int(manifest["n_cells"])
+    return (
+        int(manifest["dim"]),
+        int(manifest["n_cells"]),
+        manifest.get("assign", "flat"),
+    )
 
 
 def incremental_embedding_dedup_indexed(
@@ -147,17 +220,129 @@ def incremental_embedding_dedup_indexed(
     """
     from batch_process_dpla_index_spark.operators.dedup import _with_cached_deps
 
-    dim, n_cells = _read_pinned(index_dir, id_col, vec_col)
+    dim, n_cells, assign = _read_pinned(index_dir, id_col, vec_col)
     stored = spark.read.parquet(os.path.join(index_dir, "cells"))
     if max_ingest_batch is not None:
         stored = stored.where(F.col("ingest_batch") <= int(max_ingest_batch))
     stored = stored.select("cell", "c_id", "c_vec")
-    assigned = ivf_cells_pandas(
-        new_vecs, id_col, vec_col, dim, n_cells, n_probe=n_probe
+    assigned = _probe_frame(
+        new_vecs, id_col, vec_col, dim, n_cells, n_probe, assign
     ).persist()
     return _with_cached_deps(
         match_assigned_against_stored(assigned, stored, threshold), [assigned]
     )
+
+
+def embedding_index_occupancy(
+    spark: SparkSession, index_dir: str, design_point: int = 64
+) -> dict[str, str]:
+    """Rows-per-cell occupancy vs the design point — the observable
+    behind the rebuild trigger the module docstring promises. One
+    count aggregate over the stored cells (|cells| output rows →
+    bounded driver reduce); ``needs_rebuild`` flags when the MEAN
+    occupancy over the manifest's cell count exceeds twice the design
+    point (the corpus has outgrown its geometry; per-batch probe work
+    is now ≥2× the intended per-cell scan)."""
+    manifest = read_manifest(index_dir)
+    n_cells = int(manifest["n_cells"])
+    per_cell = (
+        spark.read.parquet(os.path.join(index_dir, "cells"))
+        .groupBy("cell")
+        .count()
+        .agg(
+            F.sum("count").alias("n_vecs"),
+            F.max("count").alias("max_cell"),
+            F.count("*").alias("occupied"),
+        )
+        .first()
+    )
+    n_vecs = int(per_cell["n_vecs"] or 0)
+    mean_occ = n_vecs / n_cells if n_cells else 0.0
+    return {
+        "n_vecs": str(n_vecs),
+        "n_cells": str(n_cells),
+        "occupied_cells": str(int(per_cell["occupied"] or 0)),
+        "max_per_cell": str(int(per_cell["max_cell"] or 0)),
+        "mean_per_cell": f"{mean_occ:.2f}",
+        "design_point": str(design_point),
+        "needs_rebuild": str(mean_occ > 2 * design_point),
+    }
+
+
+def rebuild_embedding_index(
+    spark: SparkSession,
+    index_dir: str,
+    n_cells: int | None = None,
+    design_point: int = 64,
+) -> dict[str, str]:
+    """Re-assign every stored vector under a new cell count (default:
+    sized back to the design point, ``max(16, n_vecs // design_point)``)
+    — the rebuild the build-time ``n_cells`` pin defers to. The
+    ``ingest_batch`` partition values are PRESERVED row-for-row, so
+    replay pruning (``ingest_batch <= batch_id``) stays valid across
+    the rebuild; only the cell geometry changes, and the manifest is
+    bumped (``n_cells``, ``assign``, ``rebuilt_from``) in the same
+    step so a post-rebuild probe can never use the old geometry.
+
+    Cost: one Arrow re-assign pass over the stored rows, one unique-key
+    join to re-attach each row's ingest_batch (the Arrow pass carries
+    only id+vec), one partitioned write — all distributed, no
+    driver-side data.
+    The new dataset lands in a sibling directory and is swapped in
+    (rename-rename-delete), because Spark cannot overwrite a dataset
+    it is reading; on an object store the same step is a
+    copy-then-pointer-swap."""
+    import shutil
+
+    manifest = read_manifest(index_dir)
+    dim = int(manifest["dim"])
+    id_col, vec_col = manifest["id_col"], manifest["vec_col"]
+    cells_dir = os.path.join(index_dir, "cells")
+    stored = spark.read.parquet(cells_dir)
+    n_vecs = stored.count()
+    new_cells = (
+        int(n_cells) if n_cells is not None
+        else max(16, n_vecs // design_point)
+    )
+    assign = _assign_mode(new_cells)
+    vecs = stored.select(
+        F.col("c_id").alias(id_col),
+        F.col("c_vec").alias(vec_col),
+        "ingest_batch",
+    )
+    reassigned = (
+        _probe_frame(
+            vecs.select(id_col, vec_col), id_col, vec_col,
+            dim, new_cells, 1, assign,
+        )
+        .select(
+            F.element_at("cells", 1).alias("cell"),
+            F.col("id").alias("c_id"),
+            F.col("vec").alias("c_vec"),
+        )
+        .join(
+            vecs.select(F.col(id_col).alias("c_id"), "ingest_batch"), "c_id"
+        )
+    )
+    tmp_dir = os.path.join(index_dir, "cells__rebuild")
+    old_dir = os.path.join(index_dir, "cells__old")
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    (
+        reassigned.repartition(min(new_cells, 32), "cell")
+        .write.mode("overwrite")
+        .partitionBy("ingest_batch")
+        .parquet(tmp_dir)
+    )
+    shutil.rmtree(old_dir, ignore_errors=True)
+    os.rename(cells_dir, old_dir)
+    os.rename(tmp_dir, cells_dir)
+    shutil.rmtree(old_dir)
+    manifest["rebuilt_from"] = manifest["n_cells"]
+    manifest["n_cells"] = str(new_cells)
+    manifest["assign"] = assign
+    manifest["Record count"] = str(n_vecs)
+    write_manifest(manifest, index_dir)
+    return manifest
 
 
 def append_to_embedding_index(
@@ -183,7 +368,7 @@ def append_to_embedding_index(
     probe pass already paid. Caller contract: the assignment must come
     from THIS index's geometry (reading it through this module's query
     path guarantees that via the manifest)."""
-    dim, n_cells = _read_pinned(index_dir, id_col, vec_col)
+    dim, n_cells, assign = _read_pinned(index_dir, id_col, vec_col)
     if assigned_cells is not None:
         cells = batch_vecs.join(
             assigned_cells.select(
@@ -196,7 +381,7 @@ def append_to_embedding_index(
             F.col(vec_col).alias("c_vec"),
         )
     else:
-        cells = _cell_rows(batch_vecs, id_col, vec_col, dim, n_cells)
+        cells = _cell_rows(batch_vecs, id_col, vec_col, dim, n_cells, assign)
     writer = cells.withColumn("ingest_batch", F.lit(int(ingest_batch))).write
     if idempotent:
         writer = writer.mode("overwrite").option(

@@ -568,6 +568,89 @@ def _mean_recall(report) -> float:
     return sum(r.recall_at_k for r in rows) / len(rows)
 
 
+def test_embedding_index_rebuild_lifecycle(spark, tmp_path, capsys):
+    """The rebuild path the build-time n_cells pin defers to
+    (embedding_index.py module docstring): build undersized → ingest
+    past the design point → the occupancy report FLAGS it → rebuild
+    resizes the geometry with every ingest_batch partition preserved →
+    the full-probe dedup verdicts are IDENTICAL before and after
+    (full probe is exact under any cell geometry). Driven through the
+    CLI surface for report/rebuild."""
+    from batch_process_dpla_index_spark import jobs
+    from batch_process_dpla_index_spark.io.manifest import read_manifest
+    from batch_process_dpla_index_spark.operators.dedup import unpersist_deps
+    from batch_process_dpla_index_spark.products.embedding_index import (
+        append_to_embedding_index,
+        build_embedding_index,
+        embedding_index_occupancy,
+        incremental_embedding_dedup_indexed,
+        rebuild_embedding_index,
+    )
+    from batch_process_dpla_index_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    corpus = emb.filter(F.col("vec_id") % 10 < 6)
+    batch1 = emb.filter(F.col("vec_id") % 10 == 7)
+    probe = emb.filter(F.col("vec_id") % 10 == 9).unionByName(
+        corpus.orderBy("vec_id").limit(10).select(
+            (F.col("vec_id") + 500000).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x: (x * F.lit(1.5)).cast("float")
+            ).alias("embedding"),
+        )
+    )
+
+    idx = str(tmp_path / "embidx")
+    # deliberately undersized: 2 cells for a few hundred vectors
+    build_embedding_index(corpus, "vec_id", "embedding", idx, dim=64, n_cells=2)
+    append_to_embedding_index(batch1, "vec_id", "embedding", idx, ingest_batch=1)
+    rep = embedding_index_occupancy(spark, idx, design_point=64)
+    assert rep["needs_rebuild"] == "True"
+    assert int(rep["n_vecs"]) == corpus.count() + batch1.count()
+
+    def full_probe_verdicts(n_cells: int):
+        out = incremental_embedding_dedup_indexed(
+            spark, probe, "vec_id", "embedding", idx,
+            threshold=0.99, n_probe=n_cells,
+        )
+        rows = sorted(
+            (r["id"], r["n_matches"], r["is_new"], r["best_match_id"],
+             r["best_score"])
+            for r in out.collect()
+        )
+        unpersist_deps(out)
+        return rows
+
+    before = full_probe_verdicts(2)
+    assert any(not r[2] for r in before), "scaled copies must match"
+
+    # CLI report then rebuild back to the design point
+    assert jobs.main(["embedding-index", "report", idx]) == 0
+    assert "needs_rebuild=True" in capsys.readouterr().out
+    assert jobs.main(["embedding-index", "rebuild", idx]) == 0
+    manifest = read_manifest(idx)
+    assert manifest["rebuilt_from"] == "2"
+    n_cells_new = int(manifest["n_cells"])
+    assert n_cells_new >= 4  # resized toward the design point
+    rep2 = embedding_index_occupancy(spark, idx, design_point=64)
+    assert rep2["needs_rebuild"] == "False"
+    assert rep2["n_vecs"] == rep["n_vecs"]
+    # ingest_batch partitions preserved row-for-row (replay pruning
+    # stays valid)
+    stored = spark.read.parquet(idx + "/cells")
+    per_batch = {
+        r["ingest_batch"]: r["n"]
+        for r in stored.groupBy("ingest_batch").agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+    assert per_batch == {0: corpus.count(), 1: batch1.count()}
+
+    after = full_probe_verdicts(n_cells_new)
+    assert after == before
+
+
 def test_ann_index_recall_cli(spark, tmp_path, capsys):
     """`jobs ann-index recall`: probing EVERY cell is the exact search,
     so recall@k must be exactly 1.0 for every query; a bounded probe
