@@ -3210,11 +3210,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_sessions": q_user_sessions,
     "interval_join": q_interval_join,
     # ---- driver-window boundary (entry 50 above this line) ----
-    # -- staged r13 window: any round-12 additions debut here at the
-    #    head (per the staging discipline), then the r9-green cohort's
-    #    10-entry overflow (below), then the r10-green cohort
-    #    (ivf_pq_topk ...); overflow defers to r14 with fleet-verify
-    #    receipts. --
+    # -- staged r13 window: round-12 CHANGED queries first (the
+    #    two-level assign routing touched semantic_dedup and
+    #    incremental_semantic_dedup's operators — behavior-neutral at
+    #    every verification k, re-verified both SFs this round, but
+    #    the staging discipline wants their driver rows re-proven
+    #    first thing next round), then the r9-green cohort's 10-entry
+    #    overflow, then the r10-green cohort (ivf_pq_topk ...);
+    #    overflow defers to r14 with fleet-verify receipts. --
+    "semantic_dedup": q_semantic_dedup,
+    "incremental_semantic_dedup": q_incremental_semantic_dedup,
     "user_cumsum": q_user_cumsum,
     "user_zscore": q_user_zscore,
     "multimodal_meta": q_multimodal_meta,
@@ -3234,8 +3239,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "attribution_time_decay": q_attribution_time_decay,
     "clustering_coefficients": q_clustering_coefficients,
     "source_concentration": q_source_concentration,
-    # -- round-10 debut: cluster-level SemDeDup --
-    "semantic_dedup": q_semantic_dedup,
+    # (semantic_dedup moved to the staged-r13 head — r12 routing change)
     # -- r9's Arrow-tier replan, first driver proof on its own row --
     "source_overlap": q_source_overlap,
     # -- 43 of the 49 r7-green entries (oldest cohort) --
@@ -3286,7 +3290,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #    driver-green in CORRECTNESS_r11; re-verified every round via
     #    tools/verify_local.py) --
     "ivf_recall_report": q_ivf_recall_report,
-    "incremental_semantic_dedup": q_incremental_semantic_dedup,
+    # (incremental_semantic_dedup moved to the staged-r13 head)
     "top_orders": q_top_orders,
     "region_revenue": q_region_revenue,
     "pricing_summary": q_pricing_summary,
