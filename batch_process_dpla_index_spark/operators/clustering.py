@@ -30,6 +30,15 @@ from pyspark.sql import functions as F
 
 from batch_process_dpla_index_spark.functions.text import h60
 
+# Cell count at which assign passes route through the two-level path
+# (O(N·√k·dim) instead of O(N·k·dim)) — the ONE routing point shared
+# by semantic_dedup, incremental_semantic_dedup, and the embedding
+# index (SCALE.md round-12 probe: incremental 45.0→10.4 s at k=3125,
+# semantic_dedup 122.6→29.3 s at k=6250; cost-neutral at the
+# crossover, flat well below it). Every verification SF resolves to
+# k=32, far under it, so oracles replay the flat geometry unchanged.
+TWO_LEVEL_ROUTING_THRESHOLD = 1024
+
 
 def _full_d2(mat, cents, sq):
     """N×k squared L2 via the expanded form ‖c‖² − 2·x·c + ‖x‖²,

@@ -1079,7 +1079,7 @@ def semantic_dedup(
     k: int = 8,
     n_iter: int = 3,
     threshold: float = 0.3,
-    two_level_threshold: int = 1024,
+    two_level_threshold: int | None = None,
 ) -> DataFrame:
     """Cluster-level semantic dedup — the composition :func:`semdedup`
     stops one step short of: group near-identical embeddings into
@@ -1151,6 +1151,10 @@ def semantic_dedup(
     )
 
     spark = emb.sparkSession
+    if two_level_threshold is None:
+        from batch_process_dpla_index_spark.operators.clustering import (
+            TWO_LEVEL_ROUTING_THRESHOLD as two_level_threshold,
+        )
     if k >= two_level_threshold:
         # large-k routing: O(N·√k·dim) per training iteration and per
         # assign pass (flat is O(N·k·dim) — the documented wall around

@@ -469,10 +469,17 @@ def _imi_probe_split(
     the exact search — the same property the flat path has."""
     import math
 
-    if probe_coarse is not None or probe_fine is not None:
-        p_f = probe_fine if probe_fine is not None else k_f
-        p_c = probe_coarse if probe_coarse is not None else n_trained_coarse
-        return max(1, int(p_c)), max(1, int(p_f))
+    if probe_coarse is not None and probe_fine is not None:
+        return max(1, int(probe_coarse)), max(1, int(probe_fine))
+    if probe_fine is not None:
+        # one width given: the other derives from the n_probe budget —
+        # defaulting it to FULL would silently pay the O(k·dim) scan
+        # the IMI layout exists to avoid
+        p_f = max(1, int(probe_fine))
+        return min(n_trained_coarse, max(1, -(-n_probe // p_f))), p_f
+    if probe_coarse is not None:
+        p_c = max(1, int(probe_coarse))
+        return p_c, min(k_f, max(1, -(-n_probe // p_c)))
     if n_probe >= n_cells:
         return n_trained_coarse, k_f
     p_c = min(n_trained_coarse, max(1, math.isqrt(max(1, n_probe - 1)) + 1))
@@ -480,6 +487,45 @@ def _imi_probe_split(
     while p_c * p_f < n_probe and p_c < n_trained_coarse:
         p_c += 1  # k_f capped the fine width; widen coarse to cover
     return p_c, p_f
+
+
+def _two_level_probe_blocks(
+    mat, model, k_f: int, p_c: int, n_probe_fine: int, metric: str
+):
+    """Shared probe kernel of :func:`_imi_probe_cells` and
+    :func:`two_level_cells_pandas`: rank the trained coarse centroids
+    per row (keep ``p_c``), then rank only those cells' fine codebooks
+    (keep ``n_probe_fine`` each, capped by ragged codebook width), and
+    yield one ``(rows, gcells)`` block per (probe slot, unique coarse
+    cell) — ``rows`` the batch row indices in the block, ``gcells``
+    their (len(rows) × p_f) probed global cell ids. One BLAS matmul +
+    one row-wise argsort per block; the per-row/per-candidate Python
+    loop is the interpreted cost class this module bans from serve
+    paths. ``metric``: "l2" = reduced-form d² asc, ties to the lower
+    cell (trained k-means convention, numpy stable argsort — the SQL
+    (d2, ccell) row_number twin); "dot" = dot DESC, ties to the
+    HIGHER cell (`_cell_order`, the flat pseudo-random quantizer's
+    scale-invariant convention)."""
+    import numpy as np
+
+    cell_of, cents, csq, fmats, fsq = model
+    if metric == "dot":
+        corder = _cell_order(mat @ cents.T)[:, :p_c]
+    else:
+        cd2 = csq[None, :] - 2.0 * (mat @ cents.T)
+        corder = np.argsort(cd2, axis=1, kind="stable")[:, :p_c]
+    for s in range(p_c):
+        slot = cell_of[corder[:, s]]
+        for c in np.unique(slot):
+            rows = np.nonzero(slot == c)[0]
+            fm = fmats[int(c)]
+            p_f = min(n_probe_fine, fm.shape[0])
+            if metric == "dot":
+                order = _cell_order(mat[rows] @ fm.T)[:, :p_f]
+            else:
+                fd2 = fsq[int(c)][None, :] - 2.0 * (mat[rows] @ fm.T)
+                order = np.argsort(fd2, axis=1, kind="stable")[:, :p_f]
+            yield rows, int(c) * k_f + order
 
 
 def two_level_cells_pandas(
@@ -518,10 +564,8 @@ def two_level_cells_pandas(
 
     if metric not in ("l2", "dot"):
         raise ValueError(f"unknown metric {metric!r}; expected 'l2' or 'dot'")
-    cell_of, cents, csq, fmats, fsq = _two_level_model_arrays(
-        coarse, fine, k_f
-    )
-    p_c = min(n_probe_coarse, len(cell_of))
+    model = _two_level_model_arrays(coarse, fine, k_f)
+    p_c = min(n_probe_coarse, len(model[0]))
     id_name, vec_name = id_col, vec_col
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -529,30 +573,15 @@ def two_level_cells_pandas(
             if not len(pdf):
                 continue
             mat = np.array(list(pdf[vec_name]), dtype="float64")
-            if metric == "dot":
-                corder = _cell_order(mat @ cents.T)[:, :p_c]
-            else:
-                cd2 = csq[None, :] - 2.0 * (mat @ cents.T)
-                corder = np.argsort(cd2, axis=1, kind="stable")[:, :p_c]
-            # per (slot, unique cell) BLAS matmul — the same
-            # vectorization contract as _imi_probe_cells; ragged p_f
-            # (under-full fine codebooks) makes the probe list a
-            # per-row python list, built from numpy blocks
+            # ragged p_f (under-full fine codebooks) makes the probe
+            # list a per-row python list, assembled from the shared
+            # kernel's numpy blocks
             probe_lists: list[list[int]] = [[] for _ in range(len(pdf))]
-            for s in range(p_c):
-                slot = cell_of[corder[:, s]]
-                for c in np.unique(slot):
-                    rows = np.nonzero(slot == c)[0]
-                    fm = fmats[int(c)]
-                    p_f = min(n_probe_fine, fm.shape[0])
-                    if metric == "dot":
-                        order = _cell_order(mat[rows] @ fm.T)[:, :p_f]
-                    else:
-                        fd2 = fsq[int(c)][None, :] - 2.0 * (mat[rows] @ fm.T)
-                        order = np.argsort(fd2, axis=1, kind="stable")[:, :p_f]
-                    gids = int(c) * k_f + order
-                    for r, row_gids in zip(rows, gids):
-                        probe_lists[int(r)].extend(int(g) for g in row_gids)
+            for rows, gids in _two_level_probe_blocks(
+                mat, model, k_f, p_c, n_probe_fine, metric
+            ):
+                for r, row_gids in zip(rows, gids):
+                    probe_lists[int(r)].extend(int(g) for g in row_gids)
             yield pd.DataFrame(
                 {
                     "id": pdf[id_name].to_numpy(dtype="int64"),
@@ -798,10 +827,8 @@ def _imi_probe_cells(
 
     # shared with kmeans_assign_two_level: same trained-cell
     # restriction and the same stride-collision guard
-    cell_of, cents, csq, fmats, fsq = _two_level_model_arrays(
-        coarse, fine, k_f
-    )
-    p_c = min(n_probe_coarse, len(cell_of))
+    model = _two_level_model_arrays(coarse, fine, k_f)
+    p_c = min(n_probe_coarse, len(model[0]))
     id_name, vec_name = id_col, vec_col
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -811,28 +838,17 @@ def _imi_probe_cells(
             mat = np.array(list(pdf[vec_name]), dtype="float64")
             ids = pdf[id_name].to_numpy(dtype="int64")
             vals = pdf[vec_name].to_numpy()
-            # reduced-form d2 ranking; stable sort → ties to lower cell
-            cd2 = csq[None, :] - 2.0 * (mat @ cents.T)
-            corder = np.argsort(cd2, axis=1, kind="stable")[:, :p_c]
-            # vectorize per probed coarse cell: one BLAS matmul + one
-            # row-wise argsort per (probe slot, unique cell) — the
-            # per-row/per-candidate Python loop is the interpreted
-            # cost class the module bans from serve paths
+            # exploded (cell, id, vec) rows assembled from the shared
+            # probe kernel's numpy blocks (l2: trained-model ranking,
+            # ties to the lower cell — the SQL (d2, ccell) twin)
             id_parts, vec_parts, cell_parts = [], [], []
-            for s in range(p_c):
-                slot = cell_of[corder[:, s]]
-                for c in np.unique(slot):
-                    rows = np.nonzero(slot == c)[0]
-                    fm = fmats[int(c)]
-                    fd2 = fsq[int(c)][None, :] - 2.0 * (mat[rows] @ fm.T)
-                    p_f = min(n_probe_fine, fm.shape[0])
-                    order = np.argsort(fd2, axis=1, kind="stable")[:, :p_f]
-                    rep = np.repeat(rows, p_f)
-                    id_parts.append(ids[rep])
-                    vec_parts.append(vals[rep])
-                    cell_parts.append(
-                        (int(c) * k_f + order).reshape(-1).astype("int32")
-                    )
+            for rows, gids in _two_level_probe_blocks(
+                mat, model, k_f, p_c, n_probe_fine, "l2"
+            ):
+                rep = np.repeat(rows, gids.shape[1])
+                id_parts.append(ids[rep])
+                vec_parts.append(vals[rep])
+                cell_parts.append(gids.reshape(-1).astype("int32"))
             if not id_parts:
                 continue
             yield pd.DataFrame(
@@ -1210,7 +1226,7 @@ def incremental_semantic_dedup(
     n_cells: int = 16,
     n_probe: int = 2,
     threshold: float = 0.3,
-    two_level_threshold: int = 1024,
+    two_level_threshold: int | None = None,
 ) -> DataFrame:
     """Ingest-time EMBEDDING dedup: check a new batch of vectors
     against the stored corpus through the pinned IVF coarse cells —
@@ -1259,6 +1275,10 @@ def incremental_semantic_dedup(
     """
     from batch_process_dpla_index_spark.operators.dedup import _with_cached_deps
 
+    if two_level_threshold is None:
+        from batch_process_dpla_index_spark.operators.clustering import (
+            TWO_LEVEL_ROUTING_THRESHOLD as two_level_threshold,
+        )
     if n_cells >= two_level_threshold:
         coarse, fine, k_f = _pseudo_random_two_level(dim, n_cells)
         # metric="dot" on BOTH sides: the flat quantizer ranks cells by

@@ -334,9 +334,11 @@ def pq_query_indexed(
     n_cells = int(manifest["n_cells"])
     books = np.asarray(load_pq_codebooks(spark, index_dir), dtype="float64")
 
-    if manifest["quantizer"] == "kmeans-two-level":
+    if manifest["quantizer"] == "kmeans-two-level" and "k_f" in manifest:
         # IMI probe routing — same O(√k·dim) cell ranking as
-        # ann_query_indexed; the ADC scoring tail below is unchanged
+        # ann_query_indexed (and the same "k_f" gate: pre-round-12
+        # two-level builds stored the flat layout and serve flat); the
+        # ADC scoring tail below is unchanged
         from batch_process_dpla_index_spark.operators.similarity import (
             _imi_probe_cells,
         )
@@ -439,7 +441,13 @@ def ann_query_indexed(
     shared `_ivf_score_and_rank` either way."""
     manifest = read_manifest(index_dir)
     stored = spark.read.parquet(os.path.join(index_dir, "cells"))
-    if manifest["quantizer"] == "kmeans-two-level":
+    # "k_f" gates the IMI route: indexes built by the pre-round-12
+    # two-level format flattened the model to the FLAT layout (flat
+    # centroids dataset + flat cell assignments, no persisted stride),
+    # so they must keep serving flat — branching on the quantizer name
+    # alone would send them into load_two_level_model and crash on
+    # artifacts they never wrote
+    if manifest["quantizer"] == "kmeans-two-level" and "k_f" in manifest:
         from batch_process_dpla_index_spark.operators.similarity import (
             _imi_probe_cells,
             _ivf_score_and_rank,
@@ -460,6 +468,14 @@ def ann_query_indexed(
             "vec",
         )
         return _ivf_score_and_rank(stored_side, probing, k)
+    if probe_coarse is not None or probe_fine is not None:
+        # silently ignoring the IMI widths on a flat-served index would
+        # hand back n_probe behavior under an IMI-budget label
+        raise ValueError(
+            "probe_coarse/probe_fine only apply to a two-level index "
+            f"(this one serves flat: quantizer={manifest['quantizer']!r}"
+            f"{', pre-round-12 flattened layout' if manifest['quantizer'] == 'kmeans-two-level' else ''})"
+        )
     dim = int(manifest["dim"])
     n_cells = int(manifest["n_cells"])
     centroids = load_centroids(spark, index_dir)

@@ -43,6 +43,7 @@ def build_dataset_card(
     embeddings: DataFrame | None = None,
     vec_col: str = "embedding",
     sem_threshold: float = 0.3,
+    n_embeddings: int | None = None,
 ) -> str:
     """Render the datasheet to ``<out_dir>/DATASET_CARD.md`` (plus the
     standard `_MANIFEST`) and return the card path.
@@ -105,7 +106,11 @@ def build_dataset_card(
                 semantic_dedup,
             )
 
-            n_emb = embeddings.count()
+            # optional pre-computed count: a caller with a derived
+            # embedding frame skips the k-sizing action over its
+            # unpersisted lineage (same contract as training_export's
+            # semantic_collapse 4th element)
+            n_emb = n_embeddings if n_embeddings is not None else embeddings.count()
             sem = semantic_dedup(
                 embeddings,
                 "doc_id",

@@ -67,16 +67,17 @@ from batch_process_dpla_index_spark.operators.similarity import (
 )
 
 
-# cell count above which assignment/probing route through the
-# dot-metric two-level grouping of the pseudo-random grid; the chosen
-# convention is PINNED in the manifest at build/rebuild time (the
-# constant only picks it for NEW geometry, it is never consulted when
-# serving an existing index)
-_TWO_LEVEL_THRESHOLD = 1024
-
-
 def _assign_mode(n_cells: int) -> str:
-    return "two-level-dot" if n_cells >= _TWO_LEVEL_THRESHOLD else "flat"
+    """Assignment convention for NEW geometry (build/rebuild): above
+    the family-wide routing threshold, the dot-metric two-level
+    grouping of the pseudo-random grid. The choice is PINNED in the
+    manifest — the constant is never consulted when serving an
+    existing index, so retuning it cannot mis-probe stored data."""
+    from batch_process_dpla_index_spark.operators.clustering import (
+        TWO_LEVEL_ROUTING_THRESHOLD,
+    )
+
+    return "two-level-dot" if n_cells >= TWO_LEVEL_ROUTING_THRESHOLD else "flat"
 
 
 def _probe_frame(
@@ -333,15 +334,22 @@ def rebuild_embedding_index(
         .partitionBy("ingest_batch")
         .parquet(tmp_dir)
     )
+    # Failure-safe ordering: every crash window is LOUD, never silent
+    # geometry drift. After cells→old the index has no cells dataset
+    # (reads fail, old data recoverable under cells__old); the manifest
+    # flips to the new geometry while cells is still absent (reads
+    # still fail loudly); only then does the new data take the live
+    # name — at no point can a probe read cell data under a manifest
+    # describing a different geometry. The old copy is deleted LAST.
     shutil.rmtree(old_dir, ignore_errors=True)
     os.rename(cells_dir, old_dir)
-    os.rename(tmp_dir, cells_dir)
-    shutil.rmtree(old_dir)
     manifest["rebuilt_from"] = manifest["n_cells"]
     manifest["n_cells"] = str(new_cells)
     manifest["assign"] = assign
     manifest["Record count"] = str(n_vecs)
     write_manifest(manifest, index_dir)
+    os.rename(tmp_dir, cells_dir)
+    shutil.rmtree(old_dir)
     return manifest
 
 

@@ -934,6 +934,30 @@ def test_incremental_semantic_dedup_contract(spark):
             assert r["best_match_id"] is None and r["n_matches"] == 0
 
 
+def test_imi_probe_split_budget_semantics():
+    """The flat n_probe budget factors into (coarse, fine) widths:
+    balanced by default, full-probe ⇒ exact, and a single explicit
+    width derives the OTHER from the budget instead of defaulting it
+    to full (which would silently pay the O(k·dim) scan the IMI
+    layout exists to avoid)."""
+    from batch_process_dpla_index_spark.operators.similarity import (
+        _imi_probe_split,
+    )
+
+    # balanced default: p_c ≈ √budget, p_c*p_f >= budget
+    assert _imi_probe_split(4, 4096, 64, 64, None, None) == (2, 2)
+    p_c, p_f = _imi_probe_split(9, 4096, 64, 64, None, None)
+    assert p_c * p_f >= 9 and p_c == 3
+    # full budget probes every trained cell (exact-search calibration)
+    assert _imi_probe_split(4096, 4096, 64, 64, None, None) == (64, 64)
+    # both explicit: taken verbatim
+    assert _imi_probe_split(4, 4096, 64, 64, 8, 3) == (8, 3)
+    # one explicit: the other derives from the budget, NOT full width
+    assert _imi_probe_split(4, 4096, 64, 64, None, 2) == (2, 2)
+    assert _imi_probe_split(4, 4096, 64, 64, 2, None) == (2, 2)
+    assert _imi_probe_split(8, 4096, 64, 64, 2, None) == (2, 4)
+
+
 def test_two_level_cells_rank1_matches_assign(spark):
     """`two_level_cells_pandas` contract: cells[0] IS the two-level
     storage cell (`kmeans_assign_two_level`'s global id), the probe

@@ -562,6 +562,12 @@ def test_ann_index_two_level_quantizer(spark, tmp_path):
         build_ann_index(emb, "vec_id", "embedding", str(tmp_path / "x"),
                         dim=64, n_cells=16, learned="two_level")
 
+    # IMI probe widths on a flat-served index are rejected loudly, not
+    # silently ignored under an IMI-budget label
+    with _pytest.raises(ValueError, match="two-level index"):
+        ann_query_indexed(spark, sample, "vec_id", "embedding",
+                          flat_idx, k=5, probe_coarse=2, probe_fine=2)
+
 
 def _mean_recall(report) -> float:
     rows = report.collect()

@@ -19,9 +19,13 @@ honesty note; incremental_semantic_dedup measured 0.4x count-path vs
 
 Usage::
 
-    python tools/probe_two_level_routing.py
+    python tools/probe_two_level_routing.py [N ...]
 
-Prints the markdown rows recorded in SCALE.md round-12.
+Defaults to N in {20000, 200000}; pass explicit sizes to reproduce
+other SCALE.md rows (the round-12 400k semantic_dedup row came from
+``python tools/probe_two_level_routing.py 400000``, which runs the
+arms in auto/flat/auto order — the receipt's clean rep is the final
+auto arm). Prints the markdown rows recorded in SCALE.md round-12.
 """
 
 from __future__ import annotations
@@ -101,10 +105,15 @@ def main() -> int:
     )
     from batch_process_dpla_index_spark.session import get_spark
 
+    from batch_process_dpla_index_spark.operators.clustering import (
+        TWO_LEVEL_ROUTING_THRESHOLD,
+    )
+
     spark = get_spark()
     os.makedirs(WORK, exist_ok=True)
+    sizes = [int(a) for a in sys.argv[1:]] or [20_000, 200_000]
     rows = []
-    for n in (20_000, 200_000):
+    for n in sizes:
         k = max(32, n // 64)
         path = os.path.join(WORK, f"vecs_{n}")
         _gen_vectors(spark, n, path)
@@ -113,14 +122,18 @@ def main() -> int:
         vecs.count()
 
         times = {}
-        for arm, threshold in (("flat", 10**9), ("auto", 1024)):
+        for arm, threshold in (
+            ("auto", None), ("flat", 10**9), ("auto", None),
+        ):
             out = semantic_dedup(
                 vecs, "vec_id", "embedding", k=k, n_iter=3, threshold=0.9,
                 two_level_threshold=threshold,
             )
-            times[arm] = _force_semantic(out)
+            times[arm] = _force_semantic(out)  # last auto rep wins
             unpersist_deps(out)
-        routed = "two-level" if k >= 1024 else "flat"
+        routed = (
+            "two-level" if k >= TWO_LEVEL_ROUTING_THRESHOLD else "flat"
+        )
         rows.append(
             f"| semantic_dedup | {n:,} | {k} | {times['flat']:.2f} s "
             f"| {times['auto']:.2f} s ({routed}) |"
@@ -131,7 +144,9 @@ def main() -> int:
         batch = spark.read.parquet(batch_path)
         batch.count()
         times = {}
-        for arm, threshold in (("flat", 10**9), ("auto", 1024)):
+        for arm, threshold in (
+            ("auto", None), ("flat", 10**9), ("auto", None),
+        ):
             out = incremental_semantic_dedup(
                 batch, vecs, "vec_id", "embedding", dim=DIM,
                 n_cells=k, n_probe=2, threshold=0.9,
