@@ -649,6 +649,43 @@ def ivf_cells_pandas(
     )
 
 
+def cell_occupancy(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_cells: int = 16,
+) -> DataFrame:
+    """(cell, n_vecs, share, crowded): rows-per-cell occupancy of the
+    IVF coarse quantizer — the observable behind the embedding-index
+    rebuild trigger (`products.embedding_index.embedding_index_occupancy`
+    surfaces the same numbers for a PERSISTED index; this is the
+    in-line twin over a corpus frame, with per-cell resolution for
+    skew diagnosis). ``crowded`` flags cells holding more than twice
+    the mean occupancy — the skew that converts into probe-time hot
+    cells and over-long per-cell scoring tasks.
+
+    Plan shape: one Arrow assign pass (the hash-proven
+    `ivf_cells_pandas` rank-1 path), one |cells|-row count aggregate
+    (map-side partials), and a global window that runs over |cells|
+    rows, never data — valid at any corpus size."""
+    from pyspark.sql.window import Window
+
+    assigned = ivf_cells_pandas(corpus, id_col, vec_col, dim, n_cells, 1)
+    per = (
+        assigned.select(F.element_at("cells", 1).cast("int").alias("cell"))
+        .groupBy("cell")
+        .agg(F.count("*").cast("bigint").alias("n_vecs"))
+    )
+    w = Window.partitionBy()
+    return per.select(
+        "cell",
+        "n_vecs",
+        F.round(F.col("n_vecs") / F.sum("n_vecs").over(w), 6).alias("share"),
+        (F.col("n_vecs") > 2 * F.avg("n_vecs").over(w)).alias("crowded"),
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     id_col: str = "vec_id",

@@ -1281,6 +1281,44 @@ FROM topk WHERE rnk <= {k}
 ORACLE_IVF_TOPK = _ivf_oracle()
 
 
+def _cell_occupancy_oracle(dim: int = 64, n_cells: int = 16) -> str:
+    """Rows-per-cell occupancy of the pseudo-random IVF quantizer —
+    the same unrolled rank-1 assignment as `_ivf_oracle` (dot DESC,
+    cell DESC tie-break), then one GROUP BY and two |cells|-row
+    window aggregates. All-integer counts; only `share` crosses
+    engines as a float (round 6, the scalar convention)."""
+
+    def centroid_sql(c: int) -> str:
+        comps = ", ".join(
+            repr(_h60_unit(f"ivf:{c}:{d}")) for d in range(dim)
+        )
+        return f"[{comps}]"
+
+    cell_selects = "\n    UNION ALL\n    ".join(
+        f"SELECT vec_id, {c} AS cell, "
+        f"{_dot('embedding', centroid_sql(c))} AS d FROM embeddings"
+        for c in range(n_cells)
+    )
+    return f"""
+WITH dots AS (
+    {cell_selects}
+), ranked AS (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell DESC) AS rnk
+    FROM dots
+), per AS (
+    SELECT cell, COUNT(*) AS n_vecs FROM ranked WHERE rnk = 1 GROUP BY cell
+)
+SELECT CAST(cell AS INTEGER) AS cell, n_vecs,
+       round(n_vecs * 1.0 / SUM(n_vecs) OVER (), 6) AS share,
+       n_vecs > 2 * AVG(n_vecs) OVER () AS crowded
+FROM per
+"""
+
+
+ORACLE_CELL_OCCUPANCY = _cell_occupancy_oracle()
+
+
 def _incremental_semantic_oracle(
     dim: int = 64, n_cells: int = 16, n_probe: int = 2,
     threshold: float = 0.3,
@@ -4243,6 +4281,7 @@ ORACLES: dict[str, str] = {
     "gap_fill": ORACLE_GAP_FILL,
     "melt_metrics": ORACLE_MELT_METRICS,
     "ivf_topk": ORACLE_IVF_TOPK,
+    "cell_occupancy": ORACLE_CELL_OCCUPANCY,
     "kmeans_cells": ORACLE_KMEANS_CELLS,
     "two_level_kmeans": ORACLE_TWO_LEVEL_KMEANS,
     "imi_topk": ORACLE_IMI_TOPK,

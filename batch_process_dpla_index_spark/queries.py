@@ -57,6 +57,7 @@ from batch_process_dpla_index_spark.operators.relational import (
     top_k,
 )
 from batch_process_dpla_index_spark.operators.similarity import (
+    cell_occupancy,
     cosine_topk,
     cosine_topk_pandas,
     embedding_near_dup,
@@ -1119,6 +1120,18 @@ def q_user_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_per_group(ev).select(
         "event_id", "user_id", F.round("zscore", 6).alias("zscore")
     )
+
+
+def q_cell_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-per-cell occupancy of the IVF coarse quantizer (r12): the
+    registry-level observable behind the embedding-index rebuild
+    trigger (`jobs embedding-index report` surfaces the same numbers
+    for a persisted index). Per-cell counts + share + a crowded flag
+    (>2× mean) — the skew diagnostic that decides when cell geometry
+    must be re-sized. One Arrow assign pass, one |cells|-row
+    aggregate, |cells|-row windows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cell_occupancy(emb, "vec_id", "embedding", dim=64, n_cells=16)
 
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3220,6 +3233,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #    overflow defers to r14 with fleet-verify receipts. --
     "semantic_dedup": q_semantic_dedup,
     "incremental_semantic_dedup": q_incremental_semantic_dedup,
+    # -- round-12 addition (debuts at r13 position 3 per the staging
+    #    discipline: verified both SFs + pinned + probed same-round) --
+    "cell_occupancy": q_cell_occupancy,
     "user_cumsum": q_user_cumsum,
     "user_zscore": q_user_zscore,
     "multimodal_meta": q_multimodal_meta,

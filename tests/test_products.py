@@ -574,6 +574,48 @@ def _mean_recall(report) -> float:
     return sum(r.recall_at_k for r in rows) / len(rows)
 
 
+def test_ann_index_pre_stride_two_level_format_serves_flat(spark, tmp_path):
+    """Backward compat: an index whose manifest says
+    quantizer='kmeans-two-level' but carries NO k_f (the pre-round-12
+    builder flattened the model to the flat layout — flat centroids
+    dataset, flat cell assignments, no persisted stride) must keep
+    serving through the FLAT path, not crash in load_two_level_model.
+    Simulated by building a flat index and relabeling its quantizer —
+    byte-for-byte the artifact set the old builder produced."""
+    from batch_process_dpla_index_spark.io.manifest import (
+        read_manifest,
+        write_manifest,
+    )
+    from batch_process_dpla_index_spark.products.ann_index import (
+        ann_query_indexed,
+        build_ann_index,
+    )
+    from batch_process_dpla_index_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    idx = str(tmp_path / "oldfmt")
+    build_ann_index(emb, "vec_id", "embedding", idx, dim=64, n_cells=8,
+                    kmeans_iters=2)
+    manifest = read_manifest(idx)
+    assert "k_f" not in manifest
+    baseline_rows = sorted(
+        map(tuple, ann_query_indexed(
+            spark, emb.orderBy("vec_id").limit(10), "vec_id", "embedding",
+            idx, k=3, n_probe=8,
+        ).collect())
+    )
+    manifest["quantizer"] = "kmeans-two-level"
+    write_manifest(manifest, idx)
+    got_rows = sorted(
+        map(tuple, ann_query_indexed(
+            spark, emb.orderBy("vec_id").limit(10), "vec_id", "embedding",
+            idx, k=3, n_probe=8,
+        ).collect())
+    )
+    assert got_rows == baseline_rows and len(got_rows) == 30
+
+
 def test_embedding_index_rebuild_lifecycle(spark, tmp_path, capsys):
     """The rebuild path the build-time n_cells pin defers to
     (embedding_index.py module docstring): build undersized → ingest
