@@ -15,7 +15,7 @@ plus the monthly-batch sequencer (monthly_batch_emr.sh:41-111)::
     python -m batch_process_dpla_index_spark.jobs thumbnail-purge <in_path> <bucket_root> [--uri-col C] [--batch N]
     python -m batch_process_dpla_index_spark.jobs training-export <docs_parquet> <out_dir> [--seed S] [--shards N] [--no-gate] [--sentence-dedup] [--mixture lang:en=0.5,de=0.5:10000]
     python -m batch_process_dpla_index_spark.jobs dedup-index build|query|append <docs_parquet> <index_dir> [--threshold T]
-    python -m batch_process_dpla_index_spark.jobs ann-index build|query|recall <vectors_parquet> <index_dir> [--cells N] [--k K] [--probe P] [--sample N] [--quantizer kmeans|two-level|none]
+    python -m batch_process_dpla_index_spark.jobs ann-index build|query|recall|append <vectors_parquet> <index_dir> [--cells N] [--k K] [--probe P] [--probe-coarse C --probe-fine F] [--sample N] [--batch N] [--quantizer kmeans|two-level|none]
     python -m batch_process_dpla_index_spark.jobs embedding-index build|report|rebuild <index_dir> [--vectors-parquet P] [--cells N] [--design-point N]
     python -m batch_process_dpla_index_spark.jobs compact <src_parquet> <dst_parquet> [--target-mb N]
     python -m batch_process_dpla_index_spark.jobs overlap-index build|refresh|report <index_dir> [--docs-parquet P]
@@ -76,7 +76,7 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--threshold", type=float, default=0.5)
     s.add_argument("--batch", type=int, default=1)
     s = sub.add_parser("ann-index")
-    s.add_argument("action", choices=["build", "query", "recall"])
+    s.add_argument("action", choices=["build", "query", "recall", "append"])
     s.add_argument("vectors_parquet")
     s.add_argument("index_dir")
     s.add_argument("--id-col", default="vec_id")
@@ -87,6 +87,8 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--probe", type=int, default=4)
     s.add_argument("--sample", type=int, default=25,
                    help="recall: query-sample size (smallest ids first)")
+    s.add_argument("--batch", type=int, default=1,
+                   help="append: the batch's ingest_batch partition id")
     s.add_argument("--quantizer", choices=["kmeans", "two-level", "none"],
                    default="kmeans",
                    help="build: coarse quantizer (two-level = the "
@@ -311,6 +313,15 @@ def main(argv: list[str] | None = None) -> int:
                     dim=args.dim, n_cells=args.cells, learned=learned,
                 )
                 print(f"ANN index built: {manifest}")
+            elif args.action == "append":
+                manifest = ann_index.append_to_ann_index(
+                    spark, vecs, args.id_col, args.vec_col,
+                    args.index_dir, ingest_batch=args.batch,
+                )
+                print(
+                    f"Appended batch {args.batch}; index now holds "
+                    f"{manifest['Record count']} vectors"
+                )
             elif args.action == "recall":
                 sample = vecs.orderBy(args.id_col).limit(args.sample)
                 rep = ann_index.ann_recall_indexed(

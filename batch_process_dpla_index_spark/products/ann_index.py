@@ -23,8 +23,10 @@ index once per corpus version and amortizes it over every query batch:
 Scale: index build is one corpus pass + k-means (bounded driver state:
 k×dim). Query cost is |Q|×n_probe explode + one shuffle join into the
 cell layout — independent of corpus re-processing. n_cells ~ √N keeps
-cells bounded; growing the corpus = append new assignments under the
-same manifest-pinned codebook, re-learn on drift.
+cells bounded; growing the corpus = :func:`append_to_ann_index` (new
+assignments under the same manifest-pinned codebook, one batch-sized
+Arrow pass, per-batch ``ingest_batch`` partitions with idempotent
+replay overwrite), re-learn on drift = rebuild.
 """
 
 from __future__ import annotations
@@ -158,8 +160,17 @@ def build_ann_index(
         )
         codes = pq_encode(corpus, codebooks, id_col, vec_col)
         stored = stored.join(codes, "id")
-    stored.repartition(cell_partitions, "cell").write.mode("overwrite").parquet(
-        os.path.join(index_dir, "cells")
+    # Hive-partitioned by ingest_batch (0 at build), mirroring the
+    # dedup/embedding index products: appends land per-batch
+    # partitions a checkpoint replay can overwrite idempotently, and
+    # serving reads are unchanged (every read path selects its
+    # columns explicitly)
+    (
+        stored.withColumn("ingest_batch", F.lit(0))
+        .repartition(cell_partitions, "cell")
+        .write.mode("overwrite")
+        .partitionBy("ingest_batch")
+        .parquet(os.path.join(index_dir, "cells"))
     )
     # metadata artifacts go through the ARROW createDataFrame path
     # (relational._arrow_local_frame → JVM LocalRelation): a
@@ -413,6 +424,88 @@ def pq_query_indexed(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", F.round("dist2", 6).alias("dist2"), "rnk")
     )
+
+
+def append_to_ann_index(
+    spark: SparkSession,
+    new_vecs: DataFrame,
+    id_col: str,
+    vec_col: str,
+    index_dir: str,
+    ingest_batch: int = 1,
+    idempotent: bool = False,
+    cell_partitions: int = 32,
+) -> dict[str, str]:
+    """Grow the corpus under the SAME manifest-pinned quantizer — the
+    append path the module docstring promises: one Arrow assign pass
+    over the new batch (two-level inference when the manifest carries
+    ``k_f``, the stored flat centroid list otherwise — never a
+    re-train, never a corpus re-assign), PQ codes from the stored
+    codebooks when the index is IVF-PQ, landed under the batch's
+    ``ingest_batch`` partition. ``idempotent=True`` switches to
+    dynamic partition overwrite so a replayed batch REPLACES its own
+    partition instead of appending a second copy (the streaming-ingest
+    replay convention shared with the dedup/embedding indexes).
+
+    Refuses an index written before the batch-partitioned layout
+    (mixed partitioned/unpartitioned parquet is unreadable) — rebuild
+    those once to append. Re-learn on drift remains a rebuild.
+
+    Returns the updated manifest (Record count recounted from the
+    written footers)."""
+    manifest = read_manifest(index_dir)
+    cells_path = os.path.join(index_dir, "cells")
+    stored_schema = spark.read.parquet(cells_path).schema
+    if "ingest_batch" not in stored_schema.names:
+        raise ValueError(
+            f"ANN index at {index_dir!r} predates the batch-partitioned "
+            "cells layout; rebuild it once before appending"
+        )
+    dim = int(manifest["dim"])
+    n_cells = int(manifest["n_cells"])
+    if manifest["quantizer"] == "kmeans-two-level" and "k_f" in manifest:
+        from batch_process_dpla_index_spark.operators.clustering import (
+            kmeans_assign_two_level,
+        )
+
+        coarse, fine, k_f = load_two_level_model(spark, index_dir)
+        batch = kmeans_assign_two_level(
+            new_vecs, coarse, fine, k_f, id_col, vec_col, keep_vec=True
+        ).select(F.col("cell").cast("int").alias("cell"), "id", "vec")
+    else:
+        centroids = (
+            load_centroids(spark, index_dir)
+            if manifest["quantizer"] != "pseudo-random"
+            else None
+        )
+        batch = ivf_cells_pandas(
+            new_vecs, id_col, vec_col, dim, n_cells, 1, centroids
+        ).select(
+            F.element_at("cells", 1).cast("int").alias("cell"), "id", "vec"
+        )
+    if "pq_m" in manifest:
+        from batch_process_dpla_index_spark.operators.quantization import (
+            pq_encode,
+        )
+
+        books = load_pq_codebooks(spark, index_dir)
+        codes = pq_encode(new_vecs, books, id_col, vec_col)
+        batch = batch.join(codes, "id")
+    writer = (
+        batch.withColumn("ingest_batch", F.lit(int(ingest_batch)))
+        .repartition(min(n_cells, cell_partitions), "cell")
+        .write
+    )
+    if idempotent:
+        writer = writer.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        )
+    else:
+        writer = writer.mode("append")
+    writer.partitionBy("ingest_batch").parquet(cells_path)
+    manifest["Record count"] = str(spark.read.parquet(cells_path).count())
+    write_manifest(manifest, index_dir)
+    return manifest
 
 
 def ann_query_indexed(

@@ -574,6 +574,95 @@ def _mean_recall(report) -> float:
     return sum(r.recall_at_k for r in rows) / len(rows)
 
 
+def test_ann_index_append_lifecycle(spark, tmp_path, capsys):
+    """The append path the module docstring promises: new vectors
+    assign under the manifest-pinned quantizer (never a re-train),
+    land in their ingest_batch partition, and are immediately served —
+    a full-probe query from an appended vector must find its stored
+    exact twin at rank 1. Idempotent replay replaces the partition
+    instead of double-appending; a two-level index appends through the
+    persisted (coarse, fine, k_f) model (exact copies co-assign with
+    their stored twins by construction). Driven through the CLI for
+    the flat path."""
+    from batch_process_dpla_index_spark import jobs
+    from batch_process_dpla_index_spark.io.manifest import read_manifest
+    from batch_process_dpla_index_spark.products.ann_index import (
+        ann_query_indexed,
+        append_to_ann_index,
+        build_ann_index,
+    )
+    from batch_process_dpla_index_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 10 != 7)
+    batch = emb.filter(F.col("vec_id") % 10 == 7).limit(20).select(
+        (F.col("vec_id") + 700000).alias("vec_id"), "embedding"
+    ).unionByName(
+        # exact copies of stored vectors under new ids: their stored
+        # twin must come back at rank 1 with score 1.0
+        corpus.orderBy("vec_id").limit(5).select(
+            (F.col("vec_id") + 900000).alias("vec_id"), "embedding"
+        )
+    )
+
+    idx = str(tmp_path / "annappend")
+    build_ann_index(corpus, "vec_id", "embedding", idx, dim=64, n_cells=8,
+                    kmeans_iters=2)
+    n0 = int(read_manifest(idx)["Record count"])
+    manifest = append_to_ann_index(
+        spark, batch, "vec_id", "embedding", idx, ingest_batch=1,
+        idempotent=True,
+    )
+    assert int(manifest["Record count"]) == n0 + 25
+    stored = spark.read.parquet(idx + "/cells")
+    assert {r["ingest_batch"] for r in
+            stored.select("ingest_batch").distinct().collect()} == {0, 1}
+
+    # appended copies find their stored twins at rank 1, score 1.0
+    copies = batch.filter(F.col("vec_id") >= 900000)
+    hits = {
+        r.query_id: r for r in ann_query_indexed(
+            spark, copies, "vec_id", "embedding", idx, k=1, n_probe=8
+        ).collect()
+    }
+    assert len(hits) == 5
+    for qid, r in hits.items():
+        assert r.neighbor_id == qid - 900000 and r.score == 1.0
+
+    # replay: same batch id with idempotent=True replaces, not doubles
+    manifest2 = append_to_ann_index(
+        spark, batch, "vec_id", "embedding", idx, ingest_batch=1,
+        idempotent=True,
+    )
+    assert manifest2["Record count"] == manifest["Record count"]
+
+    # CLI surface
+    vecs_path = str(tmp_path / "batch2")
+    batch.select((F.col("vec_id") + 50).alias("vec_id"), "embedding")\
+        .write.parquet(vecs_path)
+    assert jobs.main(["ann-index", "append", vecs_path, idx,
+                      "--batch", "2"]) == 0
+    assert "Appended batch 2" in capsys.readouterr().out
+    assert int(read_manifest(idx)["Record count"]) == n0 + 50
+
+    # two-level index: append assigns through the persisted model
+    idx2 = str(tmp_path / "ann2lappend")
+    build_ann_index(corpus, "vec_id", "embedding", idx2, dim=64,
+                    n_cells=16, learned="two-level", kmeans_iters=2)
+    twins = corpus.orderBy("vec_id").limit(10)
+    copies2 = twins.select(
+        (F.col("vec_id") + 900000).alias("vec_id"), "embedding"
+    )
+    append_to_ann_index(spark, copies2, "vec_id", "embedding", idx2)
+    cells2 = {
+        r["id"]: r["cell"]
+        for r in spark.read.parquet(idx2 + "/cells").collect()
+    }
+    for t in twins.collect():
+        assert cells2[t["vec_id"] + 900000] == cells2[t["vec_id"]]
+
+
 def test_ann_index_pre_stride_two_level_format_serves_flat(spark, tmp_path):
     """Backward compat: an index whose manifest says
     quantizer='kmeans-two-level' but carries NO k_f (the pre-round-12
