@@ -117,3 +117,72 @@ def test_avro_container_roundtrip_property(rows, codec):
     schema, recs = read_container(buf.getvalue())
     assert schema == _AVRO_SCHEMA
     assert list(recs) == rows
+
+
+# ---- two-level probe kernel (the shared serve-path core) ----
+
+_vec = st.lists(
+    st.floats(min_value=-10, max_value=10, allow_nan=False, width=32),
+    min_size=4, max_size=4,
+)
+
+
+@given(
+    st.lists(_vec, min_size=1, max_size=12),   # query rows
+    st.lists(st.lists(_vec, min_size=1, max_size=3),  # fine codebooks
+             min_size=1, max_size=4),
+    st.sampled_from(["l2", "dot"]),
+)
+@settings(max_examples=120, deadline=None)
+def test_two_level_probe_kernel_properties(rows, books, metric):
+    """For ANY model shape (ragged fine codebooks included) and both
+    metrics: (a) the rank-1 probed cell equals the model's single-best
+    assignment computed directly; (b) a full-width probe covers every
+    trained global cell for every row; (c) every emitted id is a valid
+    trained cell; (d) each (row, slot) pair emits each cell at most
+    once per slot's block."""
+    import numpy as np
+
+    from batch_process_dpla_index_spark.operators.clustering import (
+        _two_level_model_arrays,
+    )
+    from batch_process_dpla_index_spark.operators.similarity import (
+        _two_level_probe_blocks,
+    )
+
+    k_f = max(len(b) for b in books)
+    coarse = [list(np.mean(b, axis=0)) for b in books]
+    fine = {c: b for c, b in enumerate(books)}
+    model = _two_level_model_arrays(coarse, fine, k_f)
+    mat = np.asarray(rows, dtype="float64")
+    valid = {c * k_f + j for c, b in fine.items() for j in range(len(b))}
+
+    # (a) rank-1 == direct best assignment
+    first_cell = {}
+    for rws, gids in _two_level_probe_blocks(mat, model, k_f, 1, 1, metric):
+        for r, g in zip(rws, gids[:, 0]):
+            first_cell[int(r)] = int(g)
+    cell_of, cents, csq, fmats, fsq = model
+    for i, x in enumerate(mat):
+        if metric == "dot":
+            cd = cents @ x
+            c = int(cell_of[max(range(len(cd)), key=lambda j: (cd[j], j))])
+            fd = fmats[c] @ x
+            jbest = max(range(len(fd)), key=lambda j: (fd[j], j))
+        else:
+            cd = ((cents - x) ** 2).sum(axis=1)
+            c = int(cell_of[min(range(len(cd)), key=lambda j: (cd[j], j))])
+            fd = ((fmats[c] - x) ** 2).sum(axis=1)
+            jbest = min(range(len(fd)), key=lambda j: (fd[j], j))
+        assert first_cell[i] == c * k_f + jbest
+
+    # (b)+(c)+(d) full probe covers exactly the trained cells
+    seen: dict = {i: [] for i in range(len(mat))}
+    for rws, gids in _two_level_probe_blocks(
+        mat, model, k_f, len(fine), k_f, metric
+    ):
+        for r, row_gids in zip(rws, gids):
+            seen[int(r)].extend(int(g) for g in row_gids)
+    for i, cells in seen.items():
+        assert set(cells) == valid          # coverage + validity
+        assert len(cells) == len(set(cells))  # no duplicates
