@@ -89,6 +89,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="recall: query-sample size (smallest ids first)")
     s.add_argument("--batch", type=int, default=1,
                    help="append: the batch's ingest_batch partition id")
+    s.add_argument("--idempotent", action="store_true",
+                   help="append: dynamic-overwrite the batch's own "
+                        "partition so a checkpoint replay replaces "
+                        "instead of double-appending")
     s.add_argument("--quantizer", choices=["kmeans", "two-level", "none"],
                    default="kmeans",
                    help="build: coarse quantizer (two-level = the "
@@ -317,6 +321,7 @@ def main(argv: list[str] | None = None) -> int:
                 manifest = ann_index.append_to_ann_index(
                     spark, vecs, args.id_col, args.vec_col,
                     args.index_dir, ingest_batch=args.batch,
+                    idempotent=args.idempotent,
                 )
                 print(
                     f"Appended batch {args.batch}; index now holds "

@@ -611,13 +611,20 @@ def _cell_order(dots):
 def ivf_cells_pandas(
     df: DataFrame, id_col: str, vec_col: str, dim: int, n_cells: int, n_probe: int,
     centroids=None,
+    include_vec: bool = True,
 ) -> DataFrame:
     """(id, vec, cells array<int>) via one Arrow pass: N×dim @ dim×cells
     matmul + per-row argsort — the vectorized twin of
     :func:`ivf_assign` (ties break toward the higher cell id, same as
     the expression form's struct-max). Pass ``centroids`` (k×dim, e.g.
     from ``operators.clustering.kmeans_fit``) to use a LEARNED coarse
-    quantizer instead of the deterministic pseudo-random one."""
+    quantizer instead of the deterministic pseudo-random one.
+
+    ``include_vec=False`` drops the vector from the OUTPUT (the
+    assignment still reads it): Catalyst cannot prune mapInPandas
+    output columns, so a consumer that only wants cell ids (e.g. the
+    occupancy diagnostic) would otherwise pay N×dim floats of Arrow
+    transfer back to the JVM for nothing."""
     from collections.abc import Iterator
 
     import numpy as np
@@ -636,17 +643,19 @@ def ivf_cells_pandas(
             mat = np.array(list(pdf[vec_name]), dtype="float64")
             dots = mat @ cents  # N × cells
             order = _cell_order(dots)[:, :n_probe]
-            yield pd.DataFrame(
-                {
-                    "id": pdf[id_name].to_numpy(),
-                    "vec": pdf[vec_name],
-                    "cells": [row.astype("int32").tolist() for row in order],
-                }
-            )
+            out = {"id": pdf[id_name].to_numpy()}
+            if include_vec:
+                out["vec"] = pdf[vec_name]
+            out["cells"] = [row.astype("int32").tolist() for row in order]
+            yield pd.DataFrame(out)
 
-    return df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
-        assign, f"id bigint, vec {df.schema[vec_col].dataType.simpleString()}, cells array<int>"
+    vec_ddl = df.schema[vec_col].dataType.simpleString()
+    schema = (
+        f"id bigint, vec {vec_ddl}, cells array<int>"
+        if include_vec
+        else "id bigint, cells array<int>"
     )
+    return df.select(F.col(id_col), F.col(vec_col)).mapInPandas(assign, schema)
 
 
 def cell_occupancy(
@@ -671,7 +680,13 @@ def cell_occupancy(
     rows, never data — valid at any corpus size."""
     from pyspark.sql.window import Window
 
-    assigned = ivf_cells_pandas(corpus, id_col, vec_col, dim, n_cells, 1)
+    # include_vec=False: only the rank-1 cell id crosses Arrow back to
+    # the JVM (mapInPandas output can't be column-pruned by Catalyst —
+    # the default shape would ship all N×dim floats for a 16-row
+    # diagnostic)
+    assigned = ivf_cells_pandas(
+        corpus, id_col, vec_col, dim, n_cells, 1, include_vec=False
+    )
     per = (
         assigned.select(F.element_at("cells", 1).cast("int").alias("cell"))
         .groupBy("cell")

@@ -44,6 +44,37 @@ from batch_process_dpla_index_spark.operators.similarity import (
 )
 
 
+def _assign_storage_cells(
+    vecs: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_cells: int,
+    two_level_model=None,
+    centroids=None,
+) -> DataFrame:
+    """(cell, id, vec): rank-1 storage assignment under the index's
+    quantizer — THE one code path both :func:`build_ann_index` and
+    :func:`append_to_ann_index` run, so build-time and append-time
+    assignment cannot drift (a drifted copy would assign appended
+    vectors to different cells than a rebuild would, silently
+    desynchronizing serve-time probes from storage)."""
+    if two_level_model is not None:
+        from batch_process_dpla_index_spark.operators.clustering import (
+            kmeans_assign_two_level,
+        )
+
+        coarse, fine, k_f = two_level_model
+        return kmeans_assign_two_level(
+            vecs, coarse, fine, k_f, id_col, vec_col, keep_vec=True
+        ).select(F.col("cell").cast("int").alias("cell"), "id", "vec")
+    return ivf_cells_pandas(
+        vecs, id_col, vec_col, dim, n_cells, 1, centroids
+    ).select(
+        F.element_at("cells", 1).cast("int").alias("cell"), "id", "vec"
+    )
+
+
 def build_ann_index(
     corpus: DataFrame,
     id_col: str,
@@ -132,22 +163,9 @@ def build_ann_index(
     else:
         centroids = None
 
-    if two_level_model is not None:
-        from batch_process_dpla_index_spark.operators.clustering import (
-            kmeans_assign_two_level,
-        )
-
-        coarse, fine, k_f = two_level_model
-        stored = kmeans_assign_two_level(
-            corpus, coarse, fine, k_f, id_col, vec_col, keep_vec=True
-        ).select(F.col("cell").cast("int").alias("cell"), "id", "vec")
-    else:
-        assigned = ivf_cells_pandas(
-            corpus, id_col, vec_col, dim, n_cells, 1, centroids
-        )
-        stored = assigned.select(
-            F.element_at("cells", 1).cast("int").alias("cell"), "id", "vec"
-        )
+    stored = _assign_storage_cells(
+        corpus, id_col, vec_col, dim, n_cells, two_level_model, centroids
+    )
     codebooks = None
     if pq_m is not None:
         from batch_process_dpla_index_spark.operators.quantization import (
@@ -453,6 +471,13 @@ def append_to_ann_index(
 
     Returns the updated manifest (Record count recounted from the
     written footers)."""
+    if int(ingest_batch) == 0:
+        # 0 is the BUILD partition: an idempotent "append" there would
+        # dynamic-overwrite the original corpus with the batch — the
+        # silent data loss the loud-refusal convention exists to stop
+        raise ValueError(
+            "ingest_batch=0 is the build partition; appends start at 1"
+        )
     manifest = read_manifest(index_dir)
     cells_path = os.path.join(index_dir, "cells")
     stored_schema = spark.read.parquet(cells_path).schema
@@ -464,25 +489,18 @@ def append_to_ann_index(
     dim = int(manifest["dim"])
     n_cells = int(manifest["n_cells"])
     if manifest["quantizer"] == "kmeans-two-level" and "k_f" in manifest:
-        from batch_process_dpla_index_spark.operators.clustering import (
-            kmeans_assign_two_level,
-        )
-
-        coarse, fine, k_f = load_two_level_model(spark, index_dir)
-        batch = kmeans_assign_two_level(
-            new_vecs, coarse, fine, k_f, id_col, vec_col, keep_vec=True
-        ).select(F.col("cell").cast("int").alias("cell"), "id", "vec")
+        two_level_model = load_two_level_model(spark, index_dir)
+        centroids = None
     else:
+        two_level_model = None
         centroids = (
             load_centroids(spark, index_dir)
             if manifest["quantizer"] != "pseudo-random"
             else None
         )
-        batch = ivf_cells_pandas(
-            new_vecs, id_col, vec_col, dim, n_cells, 1, centroids
-        ).select(
-            F.element_at("cells", 1).cast("int").alias("cell"), "id", "vec"
-        )
+    batch = _assign_storage_cells(
+        new_vecs, id_col, vec_col, dim, n_cells, two_level_model, centroids
+    )
     if "pq_m" in manifest:
         from batch_process_dpla_index_spark.operators.quantization import (
             pq_encode,

@@ -637,13 +637,24 @@ def test_ann_index_append_lifecycle(spark, tmp_path, capsys):
     )
     assert manifest2["Record count"] == manifest["Record count"]
 
+    # batch 0 is the BUILD partition: an idempotent append there would
+    # dynamic-overwrite the original corpus — refused loudly
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="build partition"):
+        append_to_ann_index(spark, batch, "vec_id", "embedding", idx,
+                            ingest_batch=0, idempotent=True)
+
     # CLI surface
     vecs_path = str(tmp_path / "batch2")
     batch.select((F.col("vec_id") + 50).alias("vec_id"), "embedding")\
         .write.parquet(vecs_path)
     assert jobs.main(["ann-index", "append", vecs_path, idx,
-                      "--batch", "2"]) == 0
+                      "--batch", "2", "--idempotent"]) == 0
     assert "Appended batch 2" in capsys.readouterr().out
+    assert int(read_manifest(idx)["Record count"]) == n0 + 50
+    # CLI replay with --idempotent: partition replaced, count unchanged
+    assert jobs.main(["ann-index", "append", vecs_path, idx,
+                      "--batch", "2", "--idempotent"]) == 0
     assert int(read_manifest(idx)["Record count"]) == n0 + 50
 
     # two-level index: append assigns through the persisted model
