@@ -2088,6 +2088,33 @@ FROM sized
 
 ORACLE_SEMANTIC_DEDUP = _semantic_dedup_oracle()
 
+# Per-source duplication datasheet: exact text dups (a doc whose text
+# already appeared under a smaller doc_id, ANY source) + semantic
+# near-dups (non-representative members of the SemDeDup groups —
+# the full semantic chain composed as a CTE body, the established
+# recall-composition pattern). Counts are all-integer; the two rates
+# are round-6 scalars. SUMs are cast to BIGINT (DuckDB sums integers
+# into HUGEINT, which the pandas hop would turn into objects).
+ORACLE_DATASET_DUP_PROFILE = f"""
+WITH RECURSIVE sem AS ({ORACLE_SEMANTIC_DEDUP}),
+exact AS (
+    SELECT doc_id, source,
+           CASE WHEN doc_id > MIN(doc_id) OVER (PARTITION BY text)
+                THEN 1 ELSE 0 END AS is_exact
+    FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(is_exact) AS BIGINT) AS n_exact_dup,
+       round(AVG(CAST(is_exact AS DOUBLE)), 6) AS exact_dup_rate,
+       CAST(SUM(CASE WHEN s.vec_id IS NOT NULL AND NOT s.kept
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_sem_dup,
+       round(AVG(CASE WHEN s.vec_id IS NOT NULL AND NOT s.kept
+                      THEN 1.0 ELSE 0.0 END), 6) AS sem_dup_rate
+FROM exact LEFT JOIN sem s ON exact.doc_id = s.vec_id
+GROUP BY source
+"""
+
 # Target-vs-corpus unigram LMs, both add-1 smoothed; the log2
 # subtraction form mirrors curation.dsir_weights term by term.
 ORACLE_DSIR_WEIGHTS = """
@@ -4290,6 +4317,7 @@ ORACLES: dict[str, str] = {
     "pq_encode": ORACLE_PQ_ENCODE,
     "semdedup": ORACLE_SEMDEDUP,
     "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
+    "dataset_dup_profile": ORACLE_DATASET_DUP_PROFILE,
     "ivf_recall_report": ORACLE_IVF_RECALL_REPORT,
     "incremental_semantic_dedup": ORACLE_INCREMENTAL_SEMANTIC_DEDUP,
     "dsir_weights": ORACLE_DSIR_WEIGHTS,

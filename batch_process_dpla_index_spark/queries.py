@@ -1122,6 +1122,67 @@ def q_user_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dataset_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication datasheet (r12): exact text-dup and
+    SemDeDup near-dup counts/rates per source — the oracle-verified
+    registry twin of the dataset card's new Volume row, at the
+    per-source resolution a curator triages by. Exact side is one
+    text-partitioned window (a doc is a dup if a smaller doc_id
+    already carries its text, across ALL sources); semantic side is
+    the driver-proven `semantic_dedup` chain, non-representative group
+    members joined back by doc id (docs without an embedding row count
+    as not semantically duplicated). One groupBy(source) tail —
+    |sources| output rows at any corpus size."""
+    from batch_process_dpla_index_spark.operators.dedup import (
+        carry_deps,
+        semantic_dedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = max(32, emb.count() // 64)
+    # same pinned-geometry guard as q_semantic_dedup: the composed
+    # oracle replays the k=32 chain
+    _assert_oracle_constant("dataset_dup_profile", sf_dir, "k", k, 32)
+    sd = semantic_dedup(
+        emb, "vec_id", "embedding", k=k, n_iter=3, threshold=0.3
+    )
+    sem_dups = sd.where(~F.col("kept")).select(
+        F.col("id").alias("doc_id"), F.lit(True).alias("is_sem")
+    )
+    w = Window.partitionBy("text")
+    exact = docs.select(
+        "doc_id",
+        "source",
+        (F.col("doc_id") > F.min("doc_id").over(w)).cast("int").alias(
+            "is_exact"
+        ),
+    )
+    out = (
+        exact.join(sem_dups, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("is_exact").cast("bigint").alias("n_exact_dup"),
+            F.round(F.avg(F.col("is_exact").cast("double")), 6).alias(
+                "exact_dup_rate"
+            ),
+            F.sum(
+                F.coalesce(F.col("is_sem"), F.lit(False)).cast("long")
+            ).cast("bigint").alias("n_sem_dup"),
+            F.round(
+                F.avg(
+                    F.coalesce(F.col("is_sem"), F.lit(False)).cast("double")
+                ),
+                6,
+            ).alias("sem_dup_rate"),
+        )
+    )
+    return carry_deps(out, sd)
+
+
 def q_cell_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-per-cell occupancy of the IVF coarse quantizer (r12): the
     registry-level observable behind the embedding-index rebuild
@@ -3233,9 +3294,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #    overflow defers to r14 with fleet-verify receipts. --
     "semantic_dedup": q_semantic_dedup,
     "incremental_semantic_dedup": q_incremental_semantic_dedup,
-    # -- round-12 addition (debuts at r13 position 3 per the staging
-    #    discipline: verified both SFs + pinned + probed same-round) --
+    # -- round-12 additions (debut at r13 positions 3-4 per the
+    #    staging discipline: verified both SFs + pinned + probed
+    #    same-round) --
     "cell_occupancy": q_cell_occupancy,
+    "dataset_dup_profile": q_dataset_dup_profile,
     "user_cumsum": q_user_cumsum,
     "user_zscore": q_user_zscore,
     "multimodal_meta": q_multimodal_meta,
