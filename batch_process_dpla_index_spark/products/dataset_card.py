@@ -101,6 +101,7 @@ def build_dataset_card(
         dup_rate = round(1.0 - n_unique / totals["docs"], 4) if totals["docs"] else 0.0
 
         sem_dup_rate: float | str = "n/a"
+        dup_by_source: list[dict] = []
         if embeddings is not None:
             from batch_process_dpla_index_spark.operators.dedup import (
                 semantic_dedup,
@@ -126,6 +127,44 @@ def build_dataset_card(
             sem_dup_rate = (
                 round(n_sem_dup / totals["docs"], 4) if totals["docs"] else 0.0
             )
+            # per-source resolution of the same two rates — the
+            # oracle-verified queries.q_dataset_dup_profile shape,
+            # rendered here (|sources| rows; one window + one
+            # aggregate over the already-computed semantic groups)
+            from pyspark.sql.window import Window
+
+            wtext = Window.partitionBy("text")
+            exact_flag = docs.select(
+                "doc_id",
+                "source",
+                (F.col("doc_id") > F.min("doc_id").over(wtext))
+                .cast("int")
+                .alias("is_exact"),
+            )
+            dup_by_source = [
+                r.asDict()
+                for r in exact_flag.join(
+                    dropped.withColumn("is_sem", F.lit(True)),
+                    "doc_id",
+                    "left",
+                )
+                .groupBy("source")
+                .agg(
+                    F.round(F.avg(F.col("is_exact").cast("double")), 4).alias(
+                        "exact_dup_rate"
+                    ),
+                    F.round(
+                        F.avg(
+                            F.coalesce(F.col("is_sem"), F.lit(False)).cast(
+                                "double"
+                            )
+                        ),
+                        4,
+                    ).alias("semantic_dup_rate"),
+                )
+                .orderBy("source")
+                .collect()
+            ]
             from batch_process_dpla_index_spark.operators.dedup import (
                 unpersist_deps,
             )
@@ -205,6 +244,16 @@ Null counts and exact cardinalities per column
 (`operators/profiling.py:column_profile`).
 
 {_md_table(profile, ['column', 'nulls', 'distinct'])}
+"""
+    if dup_by_source:
+        card += f"""
+## Duplication by source
+
+Per-source exact and SemDeDup-semantic duplication rates — the
+oracle-verified `dataset_dup_profile` shape
+(`queries.py:q_dataset_dup_profile`).
+
+{_md_table(dup_by_source, ['source', 'exact_dup_rate', 'semantic_dup_rate'])}
 """
     os.makedirs(out_dir, exist_ok=True)
     path = os.path.join(out_dir, "DATASET_CARD.md")

@@ -956,6 +956,11 @@ def test_dataset_card_product(spark, tmp_path):
     ][0]
     sem_rate = float(vol_row.split("|")[5].strip())
     assert sem_rate > 0.0
+    # per-source duplication section appears iff embeddings supplied
+    assert "## Duplication by source" in text2
+    assert "## Duplication by source" not in text
+    for src in [r.source for r in docs.select("source").distinct().collect()]:
+        assert f"| {src} |" in text2
 
 
 def test_overlap_index_lifecycle_and_idempotent_refresh(spark, tmp_path):
