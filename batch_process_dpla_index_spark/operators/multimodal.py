@@ -129,6 +129,89 @@ def decode_images(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:
     return df.select(F.col(id_col), F.col(bin_col)).mapInPandas(_decode, DECODE_SCHEMA)
 
 
+RESIZE_SCHEMA = (
+    "id bigint, src_width int, src_height int, width int, height int, "
+    "scale double, resizer string"
+)
+
+
+def resize_images(
+    df: DataFrame,
+    bin_col: str,
+    id_col: str,
+    target_w: int = 224,
+    target_h: int = 224,
+) -> DataFrame:
+    """Aspect-preserving resize-to-fit (the PIL ``thumbnail`` /
+    training-pipeline letterbox shape): each image scales by
+    ``min(target_w/src_w, target_h/src_h)`` so it fits the target box
+    without distortion — (id, src_width, src_height, width, height,
+    scale, resizer). Same Arrow-batched partition-preserving
+    mapInPandas plumbing as :func:`decode_images`; with PIL present
+    the decoder slot reads true dimensions (and a real deployment
+    resizes the pixels in the same pass), absent it runs on the
+    deterministic fake dims, keeping the geometry arithmetic — and
+    the DuckDB oracle replay — exact. IEEE double division + floor
+    are bit-deterministic cross-engine for integer operands, the same
+    determinism class as the strict-fold conventions."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    bin_name, id_name = bin_col, id_col
+    tw, th = float(target_w), float(target_h)
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_name].to_numpy()
+            sw_l, sh_l, w_l, h_l, sc_l, rz = [], [], [], [], [], []
+            for raw in pdf[bin_name]:
+                data = bytes(raw) if raw is not None else b""
+                if _HAVE_PIL:  # pragma: no cover - codec not in container
+                    import io
+
+                    try:
+                        with Image.open(io.BytesIO(data)) as im:
+                            sw, sh = im.size
+                        resizer = "pil"
+                    except Exception:
+                        sw = sh = 0
+                        resizer = "pil-error"
+                else:
+                    sw = 64 + len(data) % 512
+                    sh = 64 + (7 * len(data)) % 512
+                    resizer = "fake"
+                if sw and sh:
+                    scale = min(tw / sw, th / sh)
+                    w, h = int(math.floor(sw * scale)), int(
+                        math.floor(sh * scale)
+                    )
+                else:
+                    scale, w, h = 0.0, 0, 0
+                sw_l.append(sw)
+                sh_l.append(sh)
+                w_l.append(w)
+                h_l.append(h)
+                sc_l.append(scale)
+                rz.append(resizer)
+            yield pd.DataFrame(
+                {
+                    "id": ids,
+                    "src_width": np.array(sw_l, dtype="int32"),
+                    "src_height": np.array(sh_l, dtype="int32"),
+                    "width": np.array(w_l, dtype="int32"),
+                    "height": np.array(h_l, dtype="int32"),
+                    "scale": np.array(sc_l, dtype="float64"),
+                    "resizer": rz,
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(bin_col)).mapInPandas(
+        _resize, RESIZE_SCHEMA
+    )
+
+
 FRAME_SCHEMA = "id bigint, frame_no int, offset bigint, frame_digest string"
 
 

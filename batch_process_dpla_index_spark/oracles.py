@@ -954,6 +954,30 @@ SELECT doc_id,
 FROM b
 """
 
+# Aspect-preserving resize replay: fake dims are closed-form in the
+# byte length, then IEEE double division + floor — bit-deterministic
+# cross-engine for integer operands; the emitted scale is round-6 per
+# the scalar convention
+ORACLE_MULTIMODAL_RESIZE = f"""
+WITH {_BLOB_CTE}, dims AS (
+    SELECT doc_id,
+           64 + octet_length(blob) % 512 AS sw,
+           64 + (7 * octet_length(blob)) % 512 AS sh
+    FROM b
+), scaled AS (
+    SELECT doc_id, sw, sh,
+           least(224.0 / sw, 224.0 / sh) AS scale
+    FROM dims
+)
+SELECT doc_id,
+       CAST(sw AS INTEGER) AS src_width,
+       CAST(sh AS INTEGER) AS src_height,
+       CAST(floor(sw * scale) AS INTEGER) AS width,
+       CAST(floor(sh * scale) AS INTEGER) AS height,
+       round(scale, 6) AS scale
+FROM scaled
+"""
+
 ORACLE_MULTIMODAL_FRAMES = f"""
 WITH {_BLOB_CTE}
 SELECT doc_id,
@@ -4279,6 +4303,7 @@ ORACLES: dict[str, str] = {
     "sitemap_urls": ORACLE_SITEMAP_URLS,
     "multimodal_meta": ORACLE_MULTIMODAL_META,
     "multimodal_decode": ORACLE_MULTIMODAL_DECODE,
+    "multimodal_resize": ORACLE_MULTIMODAL_RESIZE,
     "multimodal_frames": ORACLE_MULTIMODAL_FRAMES,
     "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
     "props_from_json": ORACLE_PROPS_FROM_JSON,

@@ -825,6 +825,26 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize-to-fit geometry (r12): the
+    training-pipeline letterbox pass through the same Arrow decode
+    plumbing — scale = min(224/w, 224/h), floor'd output dims. IEEE
+    double division/floor over integer operands is bit-deterministic
+    cross-engine, so the whole row (not just the rounded scale) is
+    hash-verifiable."""
+    from batch_process_dpla_index_spark.operators.multimodal import resize_images
+
+    resized = resize_images(_docs_with_blob(spark, sf_dir), "blob", "doc_id")
+    return resized.select(
+        F.col("id").alias("doc_id"),
+        "src_width",
+        "src_height",
+        "width",
+        "height",
+        F.round("scale", 6).alias("scale"),
+    )
+
+
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video-style frame sampling (1 row → N frame rows inside
     mapInPandas): every 4th 256-byte window."""
@@ -3299,6 +3319,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #    same-round) --
     "cell_occupancy": q_cell_occupancy,
     "dataset_dup_profile": q_dataset_dup_profile,
+    "multimodal_resize": q_multimodal_resize,
     "user_cumsum": q_user_cumsum,
     "user_zscore": q_user_zscore,
     "multimodal_meta": q_multimodal_meta,
