@@ -17,6 +17,7 @@ from batch_process_dpla_index_spark.operators.dedup import (
 )
 from batch_process_dpla_index_spark.functions.text import tokens, word_shingles
 from batch_process_dpla_index_spark.operators.multimodal import (
+    resize_images,
     binary_metadata,
     decode_images,
     sample_frames,
@@ -104,6 +105,32 @@ def test_decode_fake_contract(spark):
     assert row["n_pixels"] == row["width"] * row["height"]
     assert abs(row["mean_byte"] - (sum(payload) / n)) < 1e-9
     assert row["decoder"] == "fake"
+
+
+def test_resize_fake_contract(spark):
+    """Letterbox geometry on the deterministic fake dims: scale is
+    min(224/w, 224/h), output dims floor'd, aspect preserved (the
+    scaled longer side lands exactly on 224 up to floor)."""
+    import math
+
+    payload = b"\x89PNG" + bytes(range(200))
+    df = spark.createDataFrame([(9, payload)], "id BIGINT, blob BINARY")
+    row = resize_images(df, "blob", "id").collect()[0]
+    n = len(payload)
+    sw, sh = 64 + n % 512, 64 + (7 * n) % 512
+    scale = min(224.0 / sw, 224.0 / sh)
+    assert row["src_width"] == sw and row["src_height"] == sh
+    assert row["width"] == math.floor(sw * scale)
+    assert row["height"] == math.floor(sh * scale)
+    assert abs(row["scale"] - scale) < 1e-12
+    assert max(row["width"], row["height"]) <= 224
+    assert row["resizer"] == "fake"
+    # NULL blob → empty bytes → the fake's 64×64 floor dims, upscaled
+    # to fill the box exactly (no div-by-zero anywhere)
+    empty = spark.createDataFrame([(1, None)], "id BIGINT, blob BINARY")
+    r0 = resize_images(empty, "blob", "id").collect()[0]
+    assert (r0["src_width"], r0["src_height"]) == (64, 64)
+    assert (r0["width"], r0["height"], r0["scale"]) == (224, 224, 3.5)
 
 
 def test_sample_frames_fanout(spark):
