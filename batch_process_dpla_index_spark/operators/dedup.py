@@ -1293,6 +1293,58 @@ def semantic_dedup(
     return _with_cached_deps(result, [av])
 
 
+def source_dup_profile(
+    docs: DataFrame,
+    sem_dropped: DataFrame | None,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """(source, n_docs, n_exact_dup, exact_dup_rate, n_sem_dup,
+    sem_dup_rate): the per-source duplication datasheet — THE one
+    implementation behind both the `dataset_dup_profile` registry
+    query and the dataset card's Duplication-by-source section, so
+    the card can never drift from its oracle-verified twin.
+
+    Exact side: a doc is a dup if a smaller id already carries its
+    text (any source). The window is keyed by md5(text), NOT the raw
+    text — value-identical absent collisions (the same equivalence
+    :func:`exact_dedup`'s verified digest grouping relies on), but
+    the shuffle carries 32-char digests instead of full document
+    bodies. ``sem_dropped`` is an (id_col,)-keyed frame of
+    semantically-duplicated doc ids (e.g. `semantic_dedup`'s non-kept
+    members); ``None`` reports zero semantic dups. Rates are emitted
+    FULL-PRECISION — consumers round to their own convention."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5(F.col(text_col)))
+    exact = docs.select(
+        id_col,
+        source_col,
+        (F.col(id_col) > F.min(id_col).over(w)).cast("int").alias(
+            "is_exact"
+        ),
+    )
+    if sem_dropped is not None:
+        exact = exact.join(
+            sem_dropped.select(
+                F.col(id_col), F.lit(True).alias("__is_sem")
+            ),
+            id_col,
+            "left",
+        )
+    else:
+        exact = exact.withColumn("__is_sem", F.lit(False))
+    sem_flag = F.coalesce(F.col("__is_sem"), F.lit(False))
+    return exact.groupBy(F.col(source_col).alias("source")).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("is_exact").cast("bigint").alias("n_exact_dup"),
+        F.avg(F.col("is_exact").cast("double")).alias("exact_dup_rate"),
+        F.sum(sem_flag.cast("long")).cast("bigint").alias("n_sem_dup"),
+        F.avg(sem_flag.cast("double")).alias("sem_dup_rate"),
+    )
+
+
 def source_signatures(
     docs: DataFrame,
     text_col: str = "text",

@@ -72,6 +72,24 @@ def binary_metadata(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:
     )
 
 
+def _source_dims(data: bytes) -> tuple[int, int, str]:
+    """(width, height, decoder): THE one dimension-reading slot shared
+    by :func:`decode_images` and :func:`resize_images` — PIL when
+    importable, else the module-docstring deterministic fake. One code
+    path so the fake-decode contract (and both oracles replaying it)
+    cannot drift between the two operators."""
+    if _HAVE_PIL:  # pragma: no cover - codec not in container
+        import io
+
+        try:
+            with Image.open(io.BytesIO(data)) as im:
+                w, h = im.size
+            return w, h, "pil"
+        except Exception:
+            return 0, 0, "pil-error"
+    return 64 + len(data) % 512, 64 + (7 * len(data)) % 512, "fake"
+
+
 DECODE_SCHEMA = (
     "id bigint, width int, height int, n_pixels bigint, mean_byte double, decoder string"
 )
@@ -94,21 +112,7 @@ def decode_images(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:
             widths, heights, means, decoders = [], [], [], []
             for raw in pdf[bin_name]:
                 data = bytes(raw) if raw is not None else b""
-                if _HAVE_PIL:  # pragma: no cover - codec not in container
-                    import io
-
-                    try:
-                        with Image.open(io.BytesIO(data)) as im:
-                            w, h = im.size
-                        decoder = "pil"
-                    except Exception:
-                        w = h = 0
-                        decoder = "pil-error"
-                else:
-                    # DETERMINISTIC FAKE (no codec in container):
-                    w = 64 + len(data) % 512
-                    h = 64 + (7 * len(data)) % 512
-                    decoder = "fake"
+                w, h, decoder = _source_dims(data)
                 arr = np.frombuffer(data, dtype=np.uint8)
                 means.append(float(arr.mean()) if arr.size else 0.0)
                 widths.append(w)
@@ -168,20 +172,7 @@ def resize_images(
             sw_l, sh_l, w_l, h_l, sc_l, rz = [], [], [], [], [], []
             for raw in pdf[bin_name]:
                 data = bytes(raw) if raw is not None else b""
-                if _HAVE_PIL:  # pragma: no cover - codec not in container
-                    import io
-
-                    try:
-                        with Image.open(io.BytesIO(data)) as im:
-                            sw, sh = im.size
-                        resizer = "pil"
-                    except Exception:
-                        sw = sh = 0
-                        resizer = "pil-error"
-                else:
-                    sw = 64 + len(data) % 512
-                    sh = 64 + (7 * len(data)) % 512
-                    resizer = "fake"
+                sw, sh, resizer = _source_dims(data)
                 if sw and sh:
                     scale = min(tw / sw, th / sh)
                     w, h = int(math.floor(sw * scale)), int(

@@ -930,7 +930,7 @@ _BLOB_CTE = r"""b AS (
                WHEN 1 THEN '\xFF\xD8\xFF\xE0'::BLOB
                WHEN 2 THEN 'GIF8'::BLOB
                ELSE ''::BLOB
-           END || encode(text) AS blob
+           END || encode(coalesce(text, '')) AS blob
     FROM documents
 )"""
 

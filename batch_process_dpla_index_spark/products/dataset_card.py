@@ -127,40 +127,22 @@ def build_dataset_card(
             sem_dup_rate = (
                 round(n_sem_dup / totals["docs"], 4) if totals["docs"] else 0.0
             )
-            # per-source resolution of the same two rates — the
-            # oracle-verified queries.q_dataset_dup_profile shape,
-            # rendered here (|sources| rows; one window + one
-            # aggregate over the already-computed semantic groups)
-            from pyspark.sql.window import Window
-
-            wtext = Window.partitionBy("text")
-            exact_flag = docs.select(
-                "doc_id",
-                "source",
-                (F.col("doc_id") > F.min("doc_id").over(wtext))
-                .cast("int")
-                .alias("is_exact"),
+            # per-source resolution of the same two rates — the SAME
+            # operator the oracle-verified dataset_dup_profile registry
+            # query runs (operators/dedup.py:source_dup_profile), only
+            # re-rounded to the card's 4-decimal convention, so this
+            # section cannot drift from its verified twin
+            from batch_process_dpla_index_spark.operators.dedup import (
+                source_dup_profile,
             )
+
             dup_by_source = [
                 r.asDict()
-                for r in exact_flag.join(
-                    dropped.withColumn("is_sem", F.lit(True)),
-                    "doc_id",
-                    "left",
-                )
-                .groupBy("source")
-                .agg(
-                    F.round(F.avg(F.col("is_exact").cast("double")), 4).alias(
-                        "exact_dup_rate"
-                    ),
-                    F.round(
-                        F.avg(
-                            F.coalesce(F.col("is_sem"), F.lit(False)).cast(
-                                "double"
-                            )
-                        ),
-                        4,
-                    ).alias("semantic_dup_rate"),
+                for r in source_dup_profile(docs, dropped)
+                .select(
+                    "source",
+                    F.round("exact_dup_rate", 4).alias("exact_dup_rate"),
+                    F.round("sem_dup_rate", 4).alias("semantic_dup_rate"),
                 )
                 .orderBy("source")
                 .collect()

@@ -798,8 +798,16 @@ def _docs_with_blob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(m == 2, F.lit(b"GIF8"))
         .otherwise(F.lit(b""))
     )
+    # coalesce BEFORE concat: Spark's concat is NULL if any arg is
+    # NULL, so a NULL text would erase the magic prefix too and the
+    # engine's None→b"" decode fallback would diverge from the
+    # oracle's per-branch arithmetic (_BLOB_CTE coalesces the same
+    # way) — NULL text behaves as empty text on BOTH sides
     return docs.select(
-        "doc_id", F.concat(magic, F.encode("text", "UTF-8")).alias("blob")
+        "doc_id",
+        F.concat(
+            magic, F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8")
+        ).alias("blob"),
     )
 
 
@@ -1156,6 +1164,7 @@ def q_dataset_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from batch_process_dpla_index_spark.operators.dedup import (
         carry_deps,
         semantic_dedup,
+        source_dup_profile,
     )
 
     docs = load_table(spark, sf_dir, "documents").select(
@@ -1169,36 +1178,15 @@ def q_dataset_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     sd = semantic_dedup(
         emb, "vec_id", "embedding", k=k, n_iter=3, threshold=0.3
     )
-    sem_dups = sd.where(~F.col("kept")).select(
-        F.col("id").alias("doc_id"), F.lit(True).alias("is_sem")
-    )
-    w = Window.partitionBy("text")
-    exact = docs.select(
-        "doc_id",
+    sem_dups = sd.where(~F.col("kept")).select(F.col("id").alias("doc_id"))
+    prof = source_dup_profile(docs, sem_dups)
+    out = prof.select(
         "source",
-        (F.col("doc_id") > F.min("doc_id").over(w)).cast("int").alias(
-            "is_exact"
-        ),
-    )
-    out = (
-        exact.join(sem_dups, "doc_id", "left")
-        .groupBy("source")
-        .agg(
-            F.count("*").cast("bigint").alias("n_docs"),
-            F.sum("is_exact").cast("bigint").alias("n_exact_dup"),
-            F.round(F.avg(F.col("is_exact").cast("double")), 6).alias(
-                "exact_dup_rate"
-            ),
-            F.sum(
-                F.coalesce(F.col("is_sem"), F.lit(False)).cast("long")
-            ).cast("bigint").alias("n_sem_dup"),
-            F.round(
-                F.avg(
-                    F.coalesce(F.col("is_sem"), F.lit(False)).cast("double")
-                ),
-                6,
-            ).alias("sem_dup_rate"),
-        )
+        "n_docs",
+        "n_exact_dup",
+        F.round("exact_dup_rate", 6).alias("exact_dup_rate"),
+        "n_sem_dup",
+        F.round("sem_dup_rate", 6).alias("sem_dup_rate"),
     )
     return carry_deps(out, sd)
 
@@ -3314,7 +3302,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #    overflow defers to r14 with fleet-verify receipts. --
     "semantic_dedup": q_semantic_dedup,
     "incremental_semantic_dedup": q_incremental_semantic_dedup,
-    # -- round-12 additions (debut at r13 positions 3-4 per the
+    # -- round-12 additions (debut at r13 positions 3-5 per the
     #    staging discipline: verified both SFs + pinned + probed
     #    same-round) --
     "cell_occupancy": q_cell_occupancy,
