@@ -3231,83 +3231,25 @@ def q_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
 # next-round window).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # The driver's correctness gate records the FIRST 50 entries only;
-    # round-12 rotation (VERDICT r11 #1 — "rotate exactly as staged"):
-    # positions 1-3 are the round-11 debuts two_level_kmeans, imi_topk
-    # and imi_recall_report (the last three registry entries with no
-    # driver row — closes cumulative coverage to 160/160), positions
-    # 4-10 are the r8-green cohort's last seven (triangle_count ...
-    # common_neighbors), and positions 11-50 are the first 40 of the
-    # r9-green cohort (keep_first ... interval_join). The r9 cohort's
-    # 10-entry overflow defers to r13 with fleet-verify receipts.
-    # Rotation arithmetic + deferral receipts live in ROUNDNOTES.md.
-    "two_level_kmeans": q_two_level_kmeans,
-    "imi_topk": q_imi_topk,
-    "imi_recall_report": q_imi_recall_report,
-    "triangle_count": q_triangle_count,
-    "bpe_merges": q_bpe_merges,
-    "rfm_segments": q_rfm_segments,
-    "churn_labels": q_churn_labels,
-    "readability_scores": q_readability_scores,
-    "hits_scores": q_hits_scores,
-    "common_neighbors": q_common_neighbors,
-    # -- first 40 of the r9-green cohort --
-    "keep_first": q_keep_first,
-    "user_running_anomaly": q_user_running_anomaly,
-    "quality_classifier": q_quality_classifier,
-    "containment_pairs": q_containment_pairs,
-    "event_transitions": q_event_transitions,
-    "nearest_purchase": q_nearest_purchase,
-    "bigram_pmi": q_bigram_pmi,
-    "weighted_sample": q_weighted_sample,
-    "session_paths": q_session_paths,
-    "pq_encode": q_pq_encode,
-    "approx_distinct_users": q_approx_distinct_users,
-    "price_tiers": q_price_tiers,
-    "training_prep": q_training_prep,
-    "column_profile": q_column_profile,
-    "corr_matrix": q_corr_matrix,
-    "decayed_counts": q_decayed_counts,
-    "pagerank": q_pagerank,
-    "heavy_hitters": q_heavy_hitters,
-    "robust_outliers": q_robust_outliers,
-    "quantile_bins": q_quantile_bins,
-    "er_clusters": q_er_clusters,
-    "exact_dedup": q_exact_dedup,
-    "jaccard_pairs": q_jaccard_pairs,
-    "minhash_lsh_pairs": q_minhash_lsh_pairs,
-    "dedup_clusters": q_dedup_clusters,
-    "sentence_dedup": q_sentence_dedup,
-    "incremental_dedup": q_incremental_dedup,
-    "cosine_topk": q_cosine_topk,
-    "lsh_ann_topk": q_lsh_ann_topk,
-    "ivf_topk": q_ivf_topk,
-    "embedding_near_dup": q_embedding_near_dup,
-    "mq_provider_scores": q_mq_provider_scores,
-    "flatten_items": q_flatten_items,
-    "doc_presence_scores": q_doc_presence_scores,
-    "asof_purchases": q_asof_purchases,
-    "gap_fill": q_gap_fill,
-    "hourly_event_counts": q_hourly_event_counts,
-    "sliding_event_counts": q_sliding_event_counts,
-    "user_sessions": q_user_sessions,
-    "interval_join": q_interval_join,
-    # ---- driver-window boundary (entry 50 above this line) ----
-    # -- staged r13 window: round-12 CHANGED queries first (the
-    #    two-level assign routing touched semantic_dedup and
-    #    incremental_semantic_dedup's operators — behavior-neutral at
-    #    every verification k, re-verified both SFs this round, but
-    #    the staging discipline wants their driver rows re-proven
-    #    first thing next round), then the r9-green cohort's 10-entry
-    #    overflow, then the r10-green cohort (ivf_pq_topk ...);
-    #    overflow defers to r14 with fleet-verify receipts. --
+    # round-13 rotation (VERDICT r12 #1 — "rotate exactly as staged"):
+    # positions 1-2 are the round-12 ROUTING-CHANGED queries
+    # semantic_dedup and incremental_semantic_dedup (the two-level
+    # assign routing touched their operators in r12 — behavior-neutral
+    # at every verification k, but the staging discipline wants their
+    # post-change driver rows proven first), positions 3-5 are the
+    # round-12 debuts cell_occupancy, dataset_dup_profile and
+    # multimodal_resize (the only registry entries with no driver row —
+    # closes cumulative driver coverage to 163/163), positions 6-15 are
+    # the r9-green cohort's 10-entry overflow, and positions 16-50 are
+    # the first 35 of the r10-green cohort. The r10 cohort's remaining
+    # 14 entries defer to r14 with fleet-verify receipts. Rotation
+    # arithmetic + deferral receipts live in ROUNDNOTES.md.
     "semantic_dedup": q_semantic_dedup,
     "incremental_semantic_dedup": q_incremental_semantic_dedup,
-    # -- round-12 additions (debut at r13 positions 3-5 per the
-    #    staging discipline: verified both SFs + pinned + probed
-    #    same-round) --
     "cell_occupancy": q_cell_occupancy,
     "dataset_dup_profile": q_dataset_dup_profile,
     "multimodal_resize": q_multimodal_resize,
+    # -- the r9-green cohort's 10-entry overflow --
     "user_cumsum": q_user_cumsum,
     "user_zscore": q_user_zscore,
     "multimodal_meta": q_multimodal_meta,
@@ -3318,19 +3260,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_search": q_bm25_search,
     "source_overlap_incremental": q_source_overlap_incremental,
     "kcore_decomposition": q_kcore_decomposition,
-    # -- the 50-entry r10 window (all driver-green in
-    #    CORRECTNESS_r10; re-verified every round via
-    #    tools/verify_local.py) — next-stalest cohort, feeds the r13
-    #    window after the r9 overflow above --
+    # -- first 35 of the r10-green cohort --
     "ivf_pq_topk": q_ivf_pq_topk,
     "cluster_silhouette": q_cluster_silhouette,
     "attribution_time_decay": q_attribution_time_decay,
     "clustering_coefficients": q_clustering_coefficients,
     "source_concentration": q_source_concentration,
-    # (semantic_dedup moved to the staged-r13 head — r12 routing change)
-    # -- r9's Arrow-tier replan, first driver proof on its own row --
     "source_overlap": q_source_overlap,
-    # -- 43 of the 49 r7-green entries (oldest cohort) --
     "pq_topk": q_pq_topk,
     "tokenizer_fertility": q_tokenizer_fertility,
     "quality_gate": q_quality_gate,
@@ -3360,6 +3296,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate": q_decontaminate,
     "fingerprint_clusters": q_fingerprint_clusters,
     "mq_contributor_scores": q_mq_contributor_scores,
+    # ---- driver-window boundary (entry 50 above this line) ----
+    # -- staged r14 window: any r13 debuts first (staging discipline:
+    #    verify both SFs + pin + probe same-round), then the r10-green
+    #    cohort's 14-entry overflow below, then the r11-green cohort
+    #    (next-stalest; last driver-green in CORRECTNESS_r11). --
     "udtf_sentences": q_udtf_sentences,
     "segment_with_f_orders": q_segment_with_f_orders,
     "customers_without_orders": q_customers_without_orders,
@@ -3374,11 +3315,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sql_supplier_share": q_sql_supplier_share,
     "latest_events_per_user": q_latest_events_per_user,
     "rolling_user_value": q_rolling_user_value,
-    # -- the 50-entry r11 window, displaced by the r12 rotation (all
-    #    driver-green in CORRECTNESS_r11; re-verified every round via
-    #    tools/verify_local.py) --
+    # -- the 50-entry r11 window (all driver-green in CORRECTNESS_r11;
+    #    re-verified every round via tools/verify_local.py) --
     "ivf_recall_report": q_ivf_recall_report,
-    # (incremental_semantic_dedup moved to the staged-r13 head)
     "top_orders": q_top_orders,
     "region_revenue": q_region_revenue,
     "pricing_summary": q_pricing_summary,
@@ -3427,5 +3366,57 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_coverage": q_vocab_coverage,
     "attribution_last_touch": q_attribution_last_touch,
     "seasonal_baseline": q_seasonal_baseline,
+    # -- the 50-entry r12 window, displaced by the r13 rotation (all
+    #    driver-green in CORRECTNESS_r12; freshest cohort) --
+    "two_level_kmeans": q_two_level_kmeans,
+    "imi_topk": q_imi_topk,
+    "imi_recall_report": q_imi_recall_report,
+    "triangle_count": q_triangle_count,
+    "bpe_merges": q_bpe_merges,
+    "rfm_segments": q_rfm_segments,
+    "churn_labels": q_churn_labels,
+    "readability_scores": q_readability_scores,
+    "hits_scores": q_hits_scores,
+    "common_neighbors": q_common_neighbors,
+    "keep_first": q_keep_first,
+    "user_running_anomaly": q_user_running_anomaly,
+    "quality_classifier": q_quality_classifier,
+    "containment_pairs": q_containment_pairs,
+    "event_transitions": q_event_transitions,
+    "nearest_purchase": q_nearest_purchase,
+    "bigram_pmi": q_bigram_pmi,
+    "weighted_sample": q_weighted_sample,
+    "session_paths": q_session_paths,
+    "pq_encode": q_pq_encode,
+    "approx_distinct_users": q_approx_distinct_users,
+    "price_tiers": q_price_tiers,
+    "training_prep": q_training_prep,
+    "column_profile": q_column_profile,
+    "corr_matrix": q_corr_matrix,
+    "decayed_counts": q_decayed_counts,
+    "pagerank": q_pagerank,
+    "heavy_hitters": q_heavy_hitters,
+    "robust_outliers": q_robust_outliers,
+    "quantile_bins": q_quantile_bins,
+    "er_clusters": q_er_clusters,
+    "exact_dedup": q_exact_dedup,
+    "jaccard_pairs": q_jaccard_pairs,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "dedup_clusters": q_dedup_clusters,
+    "sentence_dedup": q_sentence_dedup,
+    "incremental_dedup": q_incremental_dedup,
+    "cosine_topk": q_cosine_topk,
+    "lsh_ann_topk": q_lsh_ann_topk,
+    "ivf_topk": q_ivf_topk,
+    "embedding_near_dup": q_embedding_near_dup,
+    "mq_provider_scores": q_mq_provider_scores,
+    "flatten_items": q_flatten_items,
+    "doc_presence_scores": q_doc_presence_scores,
+    "asof_purchases": q_asof_purchases,
+    "gap_fill": q_gap_fill,
+    "hourly_event_counts": q_hourly_event_counts,
+    "sliding_event_counts": q_sliding_event_counts,
+    "user_sessions": q_user_sessions,
+    "interval_join": q_interval_join,
 }
 
