@@ -496,9 +496,12 @@ def _two_level_probe_blocks(
     :func:`two_level_cells_pandas`: rank the trained coarse centroids
     per row (keep ``p_c``), then rank only those cells' fine codebooks
     (keep ``n_probe_fine`` each, capped by ragged codebook width), and
-    yield one ``(rows, gcells)`` block per (probe slot, unique coarse
-    cell) — ``rows`` the batch row indices in the block, ``gcells``
-    their (len(rows) × p_f) probed global cell ids. One BLAS matmul +
+    yield one ``(slot, rows, gcells)`` block per (probe slot, unique
+    coarse cell) — ``slot`` the 0-based coarse probe rank (lets a
+    uniform-width consumer scatter the block straight into column
+    band ``slot*p_f:(slot+1)*p_f`` of a preallocated matrix), ``rows``
+    the batch row indices in the block, ``gcells`` their
+    (len(rows) × p_f) probed global cell ids. One BLAS matmul +
     one row-wise argsort per block; the per-row/per-candidate Python
     loop is the interpreted cost class this module bans from serve
     paths. ``metric``: "l2" = reduced-form d² asc, ties to the lower
@@ -525,7 +528,7 @@ def _two_level_probe_blocks(
             else:
                 fd2 = fsq[int(c)][None, :] - 2.0 * (mat[rows] @ fm.T)
                 order = np.argsort(fd2, axis=1, kind="stable")[:, :p_f]
-            yield rows, int(c) * k_f + order
+            yield s, rows, int(c) * k_f + order
 
 
 def two_level_cells_pandas(
@@ -566,6 +569,14 @@ def two_level_cells_pandas(
         raise ValueError(f"unknown metric {metric!r}; expected 'l2' or 'dot'")
     model = _two_level_model_arrays(coarse, fine, k_f)
     p_c = min(n_probe_coarse, len(model[0]))
+    # Uniform fine-probe width (the common full-grid case — every
+    # trained cell's codebook at least n_probe_fine wide, or all the
+    # same narrower width): every block then lands in a fixed column
+    # band of a preallocated matrix, so the probe lists assemble as
+    # numpy scatters + ONE C-level tolist, not the per-row/per-cell
+    # interpreted extend this module bans from serve paths.
+    widths = {min(n_probe_fine, m.shape[0]) for m in model[3].values()}
+    p_f_u = widths.pop() if len(widths) == 1 else None
     id_name, vec_name = id_col, vec_col
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -573,15 +584,25 @@ def two_level_cells_pandas(
             if not len(pdf):
                 continue
             mat = np.array(list(pdf[vec_name]), dtype="float64")
-            # ragged p_f (under-full fine codebooks) makes the probe
-            # list a per-row python list, assembled from the shared
-            # kernel's numpy blocks
-            probe_lists: list[list[int]] = [[] for _ in range(len(pdf))]
-            for rows, gids in _two_level_probe_blocks(
-                mat, model, k_f, p_c, n_probe_fine, metric
-            ):
-                for r, row_gids in zip(rows, gids):
-                    probe_lists[int(r)].extend(int(g) for g in row_gids)
+            if p_f_u is not None:
+                # full-grid fast path: blocks partition the rows within
+                # each slot, so the matrix is completely filled
+                out = np.empty((len(pdf), p_c * p_f_u), dtype="int64")
+                for s, rows, gids in _two_level_probe_blocks(
+                    mat, model, k_f, p_c, n_probe_fine, metric
+                ):
+                    out[rows, s * p_f_u:(s + 1) * p_f_u] = gids
+                probe_lists = out.tolist()
+            else:
+                # ragged p_f (under-full fine codebooks) keeps the
+                # per-row python assembly, still from the shared
+                # kernel's numpy blocks
+                probe_lists = [[] for _ in range(len(pdf))]
+                for _s, rows, gids in _two_level_probe_blocks(
+                    mat, model, k_f, p_c, n_probe_fine, metric
+                ):
+                    for r, row_gids in zip(rows, gids):
+                        probe_lists[int(r)].extend(int(g) for g in row_gids)
             yield pd.DataFrame(
                 {
                     "id": pdf[id_name].to_numpy(dtype="int64"),
@@ -676,10 +697,10 @@ def cell_occupancy(
 
     Plan shape: one Arrow assign pass (the hash-proven
     `ivf_cells_pandas` rank-1 path), one |cells|-row count aggregate
-    (map-side partials), and a global window that runs over |cells|
-    rows, never data — valid at any corpus size."""
-    from pyspark.sql.window import Window
-
+    (map-side partials), and a 1-row broadcast corpus-stats aggregate
+    joined back (the bm25 corpus_stats shape, ranking.py) — zero
+    single-partition window stages at ANY cell count, so the
+    diagnostic itself can't become the skewed task it reports on."""
     # include_vec=False: only the rank-1 cell id crosses Arrow back to
     # the JVM (mapInPandas output can't be column-pruned by Catalyst —
     # the default shape would ship all N×dim floats for a 16-row
@@ -692,12 +713,18 @@ def cell_occupancy(
         .groupBy("cell")
         .agg(F.count("*").cast("bigint").alias("n_vecs"))
     )
-    w = Window.partitionBy()
-    return per.select(
+    # totals over |cells| rows collapse to ONE row — broadcast and join
+    # instead of a partition-less window (which would drag every cell
+    # row onto a single task; harmless at 16 cells, a straggler at the
+    # N/64 adaptive cell counts a 100 TB corpus produces)
+    totals = per.agg(
+        F.sum("n_vecs").alias("__tot"), F.avg("n_vecs").alias("__avg")
+    )
+    return per.crossJoin(F.broadcast(totals)).select(
         "cell",
         "n_vecs",
-        F.round(F.col("n_vecs") / F.sum("n_vecs").over(w), 6).alias("share"),
-        (F.col("n_vecs") > 2 * F.avg("n_vecs").over(w)).alias("crowded"),
+        F.round(F.col("n_vecs") / F.col("__tot"), 6).alias("share"),
+        (F.col("n_vecs") > 2 * F.col("__avg")).alias("crowded"),
     )
 
 
@@ -894,7 +921,7 @@ def _imi_probe_cells(
             # probe kernel's numpy blocks (l2: trained-model ranking,
             # ties to the lower cell — the SQL (d2, ccell) twin)
             id_parts, vec_parts, cell_parts = [], [], []
-            for rows, gids in _two_level_probe_blocks(
+            for _s, rows, gids in _two_level_probe_blocks(
                 mat, model, k_f, p_c, n_probe_fine, "l2"
             ):
                 rep = np.repeat(rows, gids.shape[1])

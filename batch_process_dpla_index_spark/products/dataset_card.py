@@ -120,38 +120,45 @@ def build_dataset_card(
                 n_iter=3,
                 threshold=sem_threshold,
             )
-            dropped = sem.where(~F.col("kept")).select(
-                F.col("id").alias("doc_id")
-            )
-            n_sem_dup = docs.join(dropped, "doc_id", "left_semi").count()
-            sem_dup_rate = (
-                round(n_sem_dup / totals["docs"], 4) if totals["docs"] else 0.0
-            )
-            # per-source resolution of the same two rates — the SAME
-            # operator the oracle-verified dataset_dup_profile registry
-            # query runs (operators/dedup.py:source_dup_profile), only
-            # re-rounded to the card's 4-decimal convention, so this
-            # section cannot drift from its verified twin
-            from batch_process_dpla_index_spark.operators.dedup import (
-                source_dup_profile,
-            )
-
-            dup_by_source = [
-                r.asDict()
-                for r in source_dup_profile(docs, dropped)
-                .select(
-                    "source",
-                    F.round("exact_dup_rate", 4).alias("exact_dup_rate"),
-                    F.round("sem_dup_rate", 4).alias("semantic_dup_rate"),
+            # finally, not the success path: semantic_dedup persists its
+            # deps, and a raise in either count/collect below would
+            # otherwise leak them for the life of the session
+            try:
+                dropped = sem.where(~F.col("kept")).select(
+                    F.col("id").alias("doc_id")
                 )
-                .orderBy("source")
-                .collect()
-            ]
-            from batch_process_dpla_index_spark.operators.dedup import (
-                unpersist_deps,
-            )
+                n_sem_dup = docs.join(dropped, "doc_id", "left_semi").count()
+                sem_dup_rate = (
+                    round(n_sem_dup / totals["docs"], 4)
+                    if totals["docs"] else 0.0
+                )
+                # per-source resolution of the same two rates — the SAME
+                # operator the oracle-verified dataset_dup_profile
+                # registry query runs (operators/dedup.py:
+                # source_dup_profile), only re-rounded to the card's
+                # 4-decimal convention, so this section cannot drift
+                # from its verified twin
+                from batch_process_dpla_index_spark.operators.dedup import (
+                    source_dup_profile,
+                )
 
-            unpersist_deps(sem)
+                dup_by_source = [
+                    r.asDict()
+                    for r in source_dup_profile(docs, dropped)
+                    .select(
+                        "source",
+                        F.round("exact_dup_rate", 4).alias("exact_dup_rate"),
+                        F.round("sem_dup_rate", 4).alias("semantic_dup_rate"),
+                    )
+                    .orderBy("source")
+                    .collect()
+                ]
+            finally:
+                from batch_process_dpla_index_spark.operators.dedup import (
+                    unpersist_deps,
+                )
+
+                unpersist_deps(sem)
 
         by_source = [
             r.asDict()

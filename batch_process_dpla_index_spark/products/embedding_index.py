@@ -285,10 +285,15 @@ def rebuild_embedding_index(
     bumped (``n_cells``, ``assign``, ``rebuilt_from``) in the same
     step so a post-rebuild probe can never use the old geometry.
 
-    Cost: one Arrow re-assign pass over the stored rows, one unique-key
-    join to re-attach each row's ingest_batch (the Arrow pass carries
-    only id+vec), one partitioned write — all distributed, no
-    driver-side data.
+    Cost: one Arrow re-assign pass over the stored rows, one join on a
+    ROW-UNIQUE surrogate key to re-attach each row's ingest_batch and
+    original id (the Arrow pass carries only key+vec). The surrogate —
+    not c_id — is the join key because append never enforces c_id
+    uniqueness ACROSS batches (re-ingesting an id in a later batch is
+    the natural update flow); a c_id join would fan out n copies →
+    n² rows while the manifest count was stamped from the pre-join
+    n_vecs, silently inflating AND miscounting the rebuilt dataset.
+    One partitioned write — all distributed, no driver-side data.
     The new dataset lands in a sibling directory and is swapped in
     (rename-rename-delete), because Spark cannot overwrite a dataset
     it is reading; on an object store the same step is a
@@ -299,31 +304,35 @@ def rebuild_embedding_index(
     dim = int(manifest["dim"])
     id_col, vec_col = manifest["id_col"], manifest["vec_col"]
     cells_dir = os.path.join(index_dir, "cells")
-    stored = spark.read.parquet(cells_dir)
-    n_vecs = stored.count()
+    # __rk is minted ONCE on a persisted frame: monotonically_increasing_id
+    # is only stable for a fixed partition layout, and keyed is consumed
+    # twice (through the Arrow re-assign and as the join-back side) — an
+    # unpersisted frame could re-plan between the two and mis-key rows.
+    keyed = (
+        spark.read.parquet(cells_dir)
+        .select("c_id", "c_vec", "ingest_batch")
+        .withColumn("__rk", F.monotonically_increasing_id())
+        .persist()
+    )
+    n_vecs = keyed.count()
     new_cells = (
         int(n_cells) if n_cells is not None
         else max(16, n_vecs // design_point)
     )
     assign = _assign_mode(new_cells)
-    vecs = stored.select(
-        F.col("c_id").alias(id_col),
-        F.col("c_vec").alias(vec_col),
-        "ingest_batch",
-    )
     reassigned = (
         _probe_frame(
-            vecs.select(id_col, vec_col), id_col, vec_col,
-            dim, new_cells, 1, assign,
+            keyed.select(
+                F.col("__rk").alias(id_col), F.col("c_vec").alias(vec_col)
+            ),
+            id_col, vec_col, dim, new_cells, 1, assign,
         )
         .select(
             F.element_at("cells", 1).alias("cell"),
-            F.col("id").alias("c_id"),
-            F.col("vec").alias("c_vec"),
+            F.col("id").alias("__rk"),
         )
-        .join(
-            vecs.select(F.col(id_col).alias("c_id"), "ingest_batch"), "c_id"
-        )
+        .join(keyed, "__rk")
+        .select("cell", "c_id", "c_vec", "ingest_batch")
     )
     tmp_dir = os.path.join(index_dir, "cells__rebuild")
     old_dir = os.path.join(index_dir, "cells__old")
@@ -334,6 +343,7 @@ def rebuild_embedding_index(
         .partitionBy("ingest_batch")
         .parquet(tmp_dir)
     )
+    keyed.unpersist()
     # Failure-safe ordering: every crash window is LOUD, never silent
     # geometry drift. After cells→old the index has no cells dataset
     # (reads fail, old data recoverable under cells__old); the manifest

@@ -799,6 +799,53 @@ def test_embedding_index_rebuild_lifecycle(spark, tmp_path, capsys):
     assert after == before
 
 
+def test_embedding_index_rebuild_duplicate_ids_across_batches(spark, tmp_path):
+    """Rebuild must not fan out when the same vector id exists in more
+    than one ingest_batch partition (append never enforces id
+    uniqueness across batches — re-ingesting an id in a later batch is
+    the natural update flow). The ingest_batch re-attach joins on a
+    row-unique surrogate key, NOT c_id; a c_id join would square the
+    duplicated rows (n copies → n² rows) while the manifest count was
+    stamped pre-join, silently inflating AND miscounting the dataset."""
+    from batch_process_dpla_index_spark.products.embedding_index import (
+        append_to_embedding_index,
+        build_embedding_index,
+        rebuild_embedding_index,
+    )
+    from batch_process_dpla_index_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    corpus = emb.orderBy("vec_id").limit(40)
+    idx = str(tmp_path / "dupidx")
+    build_embedding_index(corpus, "vec_id", "embedding", idx, dim=64, n_cells=2)
+    # re-ingest 10 of the SAME ids (the update flow) plus 10 fresh ones
+    update = corpus.limit(10).unionByName(
+        corpus.select((F.col("vec_id") + 777000).alias("vec_id"), "embedding")
+        .limit(10)
+    )
+    append_to_embedding_index(update, "vec_id", "embedding", idx, ingest_batch=1)
+    stored = spark.read.parquet(idx + "/cells")
+    n_before = stored.count()
+    assert n_before == 60  # 40 build + 20 appended (10 duplicate ids)
+
+    manifest = rebuild_embedding_index(spark, idx, n_cells=4)
+    rebuilt = spark.read.parquet(idx + "/cells")
+    # row-for-row: no fan-out, per-batch counts preserved, manifest true
+    assert rebuilt.count() == n_before
+    assert int(manifest["Record count"]) == n_before
+    per_batch = {
+        r["ingest_batch"]: r["n"]
+        for r in rebuilt.groupBy("ingest_batch").agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+    assert per_batch == {0: 40, 1: 20}
+    # the duplicated ids kept BOTH copies, one per batch
+    dup_rows = rebuilt.groupBy("c_id").count().filter("count > 1")
+    assert dup_rows.count() == 10
+
+
 def test_ann_index_recall_cli(spark, tmp_path, capsys):
     """`jobs ann-index recall`: probing EVERY cell is the exact search,
     so recall@k must be exactly 1.0 for every query; a bounded probe

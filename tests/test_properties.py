@@ -159,7 +159,7 @@ def test_two_level_probe_kernel_properties(rows, books, metric):
 
     # (a) rank-1 == direct best assignment
     first_cell = {}
-    for rws, gids in _two_level_probe_blocks(mat, model, k_f, 1, 1, metric):
+    for _s, rws, gids in _two_level_probe_blocks(mat, model, k_f, 1, 1, metric):
         for r, g in zip(rws, gids[:, 0]):
             first_cell[int(r)] = int(g)
     cell_of, cents, csq, fmats, fsq = model
@@ -178,7 +178,7 @@ def test_two_level_probe_kernel_properties(rows, books, metric):
 
     # (b)+(c)+(d) full probe covers exactly the trained cells
     seen: dict = {i: [] for i in range(len(mat))}
-    for rws, gids in _two_level_probe_blocks(
+    for _s, rws, gids in _two_level_probe_blocks(
         mat, model, k_f, len(fine), k_f, metric
     ):
         for r, row_gids in zip(rws, gids):
