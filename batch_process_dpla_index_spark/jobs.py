@@ -15,8 +15,8 @@ plus the monthly-batch sequencer (monthly_batch_emr.sh:41-111)::
     python -m batch_process_dpla_index_spark.jobs thumbnail-purge <in_path> <bucket_root> [--uri-col C] [--batch N]
     python -m batch_process_dpla_index_spark.jobs training-export <docs_parquet> <out_dir> [--seed S] [--shards N] [--no-gate] [--sentence-dedup] [--mixture lang:en=0.5,de=0.5:10000]
     python -m batch_process_dpla_index_spark.jobs dedup-index build|query|append <docs_parquet> <index_dir> [--threshold T]
-    python -m batch_process_dpla_index_spark.jobs ann-index build|query|recall|append <vectors_parquet> <index_dir> [--cells N] [--k K] [--probe P] [--probe-coarse C --probe-fine F] [--sample N] [--batch N] [--quantizer kmeans|two-level|none]
-    python -m batch_process_dpla_index_spark.jobs embedding-index build|report|rebuild <index_dir> [--vectors-parquet P] [--cells N] [--design-point N]
+    python -m batch_process_dpla_index_spark.jobs ann-index build|query|recall|append|delete|compact [vectors_parquet] <index_dir> [--cells N] [--k K] [--probe P] [--probe-coarse C --probe-fine F] [--sample N] [--batch N] [--quantizer kmeans|two-level|none] [--compact-threshold T]
+    python -m batch_process_dpla_index_spark.jobs embedding-index build|report|rebuild|delete|compact <index_dir> [--vectors-parquet P] [--ids-parquet P] [--cells N] [--design-point N] [--compact-threshold T]
     python -m batch_process_dpla_index_spark.jobs compact <src_parquet> <dst_parquet> [--target-mb N]
     python -m batch_process_dpla_index_spark.jobs overlap-index build|refresh|report <index_dir> [--docs-parquet P]
 """
@@ -76,8 +76,12 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--threshold", type=float, default=0.5)
     s.add_argument("--batch", type=int, default=1)
     s = sub.add_parser("ann-index")
-    s.add_argument("action", choices=["build", "query", "recall", "append"])
-    s.add_argument("vectors_parquet")
+    s.add_argument("action", choices=["build", "query", "recall", "append",
+                                      "delete", "compact"])
+    s.add_argument("vectors_parquet", nargs="?", default=None,
+                   help="corpus/query/append vectors; for delete: the "
+                        "ids to tombstone (parquet, --id-col column); "
+                        "unused for compact")
     s.add_argument("index_dir")
     s.add_argument("--id-col", default="vec_id")
     s.add_argument("--vec-col", default="embedding")
@@ -104,11 +108,21 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--probe-fine", type=int, default=None,
                    help="query/recall on a two-level index: fine "
                         "cells probed per probed coarse cell")
+    s.add_argument("--compact-threshold", type=float, default=0.2,
+                   help="delete: auto-compact once this fraction of "
+                        "stored rows is tombstoned (>1 defers "
+                        "indefinitely, 0 forces)")
     s = sub.add_parser("embedding-index")
-    s.add_argument("action", choices=["build", "report", "rebuild"])
+    s.add_argument("action", choices=["build", "report", "rebuild",
+                                      "delete", "compact"])
     s.add_argument("index_dir")
     s.add_argument("--vectors-parquet", default=None,
                    help="build: the corpus vectors")
+    s.add_argument("--ids-parquet", default=None,
+                   help="delete: the ids to tombstone (--id-col column)")
+    s.add_argument("--compact-threshold", type=float, default=0.2,
+                   help="delete: auto-compact once this fraction of "
+                        "stored rows is tombstoned")
     s.add_argument("--id-col", default="vec_id")
     s.add_argument("--vec-col", default="embedding")
     s.add_argument("--dim", type=int, default=64)
@@ -308,8 +322,29 @@ def main(argv: list[str] | None = None) -> int:
         elif args.job == "ann-index":
             from batch_process_dpla_index_spark.products import ann_index
 
+            if args.action == "compact":
+                manifest = ann_index.compact_ann_index(spark, args.index_dir)
+                print(
+                    f"Compacted tombstones; index now holds "
+                    f"{manifest['Record count']} vectors"
+                )
+                return 0
+            if args.vectors_parquet is None:
+                raise SystemExit(
+                    f"ann-index {args.action} requires a vectors/ids parquet"
+                )
             vecs = spark.read.parquet(args.vectors_parquet)
-            if args.action == "build":
+            if args.action == "delete":
+                manifest = ann_index.delete_from_ann_index(
+                    spark, args.index_dir, vecs, id_col=args.id_col,
+                    compact_threshold=args.compact_threshold,
+                )
+                print(
+                    f"Tombstoned {vecs.count()} ids; live records: "
+                    f"{manifest['Record count']} "
+                    f"(tombstones: {manifest.get('Tombstone count', '0')})"
+                )
+            elif args.action == "build":
                 learned = {"kmeans": True, "two-level": "two-level",
                            "none": False}[args.quantizer]
                 manifest = ann_index.build_ann_index(
@@ -370,6 +405,27 @@ def main(argv: list[str] | None = None) -> int:
                     dim=args.dim, n_cells=args.cells or 16,
                 )
                 print(f"Embedding index built: {manifest}")
+            elif args.action == "delete":
+                if not args.ids_parquet:
+                    raise SystemExit("delete requires --ids-parquet")
+                ids = spark.read.parquet(args.ids_parquet)
+                manifest = embedding_index.delete_from_embedding_index(
+                    spark, args.index_dir, ids, id_col=args.id_col,
+                    compact_threshold=args.compact_threshold,
+                )
+                print(
+                    f"Tombstoned {ids.count()} ids; live records: "
+                    f"{manifest['Record count']} "
+                    f"(tombstones: {manifest.get('Tombstone count', '0')})"
+                )
+            elif args.action == "compact":
+                manifest = embedding_index.compact_embedding_index(
+                    spark, args.index_dir
+                )
+                print(
+                    f"Compacted tombstones; index now holds "
+                    f"{manifest['Record count']} vectors"
+                )
             elif args.action == "report":
                 rep = embedding_index.embedding_index_occupancy(
                     spark, args.index_dir, design_point=args.design_point

@@ -44,6 +44,61 @@ from batch_process_dpla_index_spark.operators.similarity import (
 )
 
 
+def _live_cells(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Stored cell rows minus the tombstone set — THE read every serve
+    path (query/recall/PQ/occupancy) and every recount goes through,
+    so a takedown (`delete_from_ann_index`) is invisible to no
+    consumer. An index that never saw a delete passes through with
+    zero plan overhead (no tombstones dir → plain scan)."""
+    from batch_process_dpla_index_spark.products.index_tombstones import (
+        apply_tombstones,
+    )
+
+    stored = spark.read.parquet(os.path.join(index_dir, "cells"))
+    return apply_tombstones(spark, index_dir, stored, "id")
+
+
+def delete_from_ann_index(
+    spark: SparkSession,
+    index_dir: str,
+    ids,
+    id_col: str | None = None,
+    compact_threshold: float = 0.2,
+    cell_partitions: int = 32,
+) -> dict[str, str]:
+    """Tombstone ids out of the index (takedown/opt-out) — O(|ids|)
+    work, no cell rewrite until the tombstoned fraction reaches
+    ``compact_threshold`` (then the cells compact in the same call:
+    physical rewrite of survivors, ingest_batch partitions preserved,
+    failure-safe swap). A delete removes every copy of the id PRESENT
+    at delete time; a later re-append of the same id is new data and
+    serves normally. See `products.index_tombstones` for the shared
+    mechanics. Returns the updated manifest."""
+    from batch_process_dpla_index_spark.products.index_tombstones import (
+        delete_from_index,
+    )
+
+    return delete_from_index(
+        spark, index_dir, ids, "id", id_col=id_col,
+        compact_threshold=compact_threshold,
+        cell_partitions=cell_partitions,
+    )
+
+
+def compact_ann_index(
+    spark: SparkSession, index_dir: str, cell_partitions: int = 32
+) -> dict[str, str]:
+    """Force the tombstone compaction regardless of fraction — the
+    explicit vacuum step."""
+    from batch_process_dpla_index_spark.products.index_tombstones import (
+        compact_index_tombstones,
+    )
+
+    return compact_index_tombstones(
+        spark, index_dir, "id", cell_partitions=cell_partitions
+    )
+
+
 def _assign_storage_cells(
     vecs: DataFrame,
     id_col: str,
@@ -190,6 +245,11 @@ def build_ann_index(
         .partitionBy("ingest_batch")
         .parquet(os.path.join(index_dir, "cells"))
     )
+    # a rebuild into a dir that carried tombstones must not inherit
+    # them — build overwrites the corpus, so the delete set is spent
+    import shutil
+
+    shutil.rmtree(os.path.join(index_dir, "tombstones"), ignore_errors=True)
     # metadata artifacts go through the ARROW createDataFrame path
     # (relational._arrow_local_frame → JVM LocalRelation): a
     # list-of-tuples frame plans its write over a Python-pickled RDD
@@ -398,7 +458,7 @@ def pq_query_indexed(
             F.col("vec").alias("qvec"),
         ).withColumn("cell", F.col("cell").cast("int"))
     stored_side = (
-        spark.read.parquet(os.path.join(index_dir, "cells"))
+        _live_cells(spark, index_dir)
         .select(
             "cell",
             F.lit(0).alias("role"),
@@ -521,7 +581,10 @@ def append_to_ann_index(
     else:
         writer = writer.mode("append")
     writer.partitionBy("ingest_batch").parquet(cells_path)
-    manifest["Record count"] = str(spark.read.parquet(cells_path).count())
+    # live count: tombstoned rows don't serve, so they don't count —
+    # and an appended id that was deleted under an EARLIER watermark
+    # counts again (append-after-delete resurrects by design)
+    manifest["Record count"] = str(_live_cells(spark, index_dir).count())
     write_manifest(manifest, index_dir)
     return manifest
 
@@ -551,7 +614,7 @@ def ann_query_indexed(
     same calibration contract as the flat path). Scoring tail is the
     shared `_ivf_score_and_rank` either way."""
     manifest = read_manifest(index_dir)
-    stored = spark.read.parquet(os.path.join(index_dir, "cells"))
+    stored = _live_cells(spark, index_dir)
     # "k_f" gates the IMI route: indexes built by the pre-round-12
     # two-level format flattened the model to the FLAT layout (flat
     # centroids dataset + flat cell assignments, no persisted stride),
@@ -639,7 +702,7 @@ def ann_recall_indexed(
         spark, queries, id_col, vec_col, index_dir, k=k, n_probe=n_probe,
         probe_coarse=probe_coarse, probe_fine=probe_fine,
     )
-    stored = spark.read.parquet(os.path.join(index_dir, "cells")).select(
+    stored = _live_cells(spark, index_dir).select(
         F.col("id").alias(id_col), F.col("vec").alias(vec_col)
     )
     truth = cosine_topk(stored, queries, id_col, vec_col, k=k)

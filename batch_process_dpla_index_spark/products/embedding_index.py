@@ -67,6 +67,54 @@ from batch_process_dpla_index_spark.operators.similarity import (
 )
 
 
+def _live_stored(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Stored cell rows minus the tombstone set — THE read every
+    consumer (dedup probe, occupancy, rebuild, recounts) goes through,
+    so a takedown (`delete_from_embedding_index`) is invisible to no
+    consumer. No tombstones dir → plain scan, zero plan overhead."""
+    from batch_process_dpla_index_spark.products.index_tombstones import (
+        apply_tombstones,
+    )
+
+    stored = spark.read.parquet(os.path.join(index_dir, "cells"))
+    return apply_tombstones(spark, index_dir, stored, "c_id")
+
+
+def delete_from_embedding_index(
+    spark: SparkSession,
+    index_dir: str,
+    ids,
+    id_col: str | None = None,
+    compact_threshold: float = 0.2,
+) -> dict[str, str]:
+    """Tombstone ids out of the index (takedown/opt-out) — O(|ids|)
+    work, no cell rewrite until the tombstoned fraction reaches
+    ``compact_threshold``. A delete removes every copy of the id
+    PRESENT at delete time (watermarked on the max ingest_batch); a
+    later re-append of the same id is new data and probes normally.
+    Shared mechanics in `products.index_tombstones`."""
+    from batch_process_dpla_index_spark.products.index_tombstones import (
+        delete_from_index,
+    )
+
+    return delete_from_index(
+        spark, index_dir, ids, "c_id", id_col=id_col,
+        compact_threshold=compact_threshold,
+    )
+
+
+def compact_embedding_index(
+    spark: SparkSession, index_dir: str
+) -> dict[str, str]:
+    """Force the tombstone compaction regardless of fraction — the
+    explicit vacuum step."""
+    from batch_process_dpla_index_spark.products.index_tombstones import (
+        compact_index_tombstones,
+    )
+
+    return compact_index_tombstones(spark, index_dir, "c_id")
+
+
 def _assign_mode(n_cells: int) -> str:
     """Assignment convention for NEW geometry (build/rebuild): above
     the family-wide routing threshold, the dot-metric two-level
@@ -156,6 +204,11 @@ def build_embedding_index(
         .partitionBy("ingest_batch")
         .parquet(os.path.join(index_dir, "cells"))
     )
+    # a rebuild into a dir that carried tombstones must not inherit
+    # them — build overwrites the corpus, so the delete set is spent
+    import shutil
+
+    shutil.rmtree(os.path.join(index_dir, "tombstones"), ignore_errors=True)
     # count from the freshly written parquet footers — recounting the
     # caller's (possibly derived) frame would re-run its whole lineage
     n_vecs = (
@@ -222,7 +275,7 @@ def incremental_embedding_dedup_indexed(
     from batch_process_dpla_index_spark.operators.dedup import _with_cached_deps
 
     dim, n_cells, assign = _read_pinned(index_dir, id_col, vec_col)
-    stored = spark.read.parquet(os.path.join(index_dir, "cells"))
+    stored = _live_stored(spark, index_dir)
     if max_ingest_batch is not None:
         stored = stored.where(F.col("ingest_batch") <= int(max_ingest_batch))
     stored = stored.select("cell", "c_id", "c_vec")
@@ -247,7 +300,7 @@ def embedding_index_occupancy(
     manifest = read_manifest(index_dir)
     n_cells = int(manifest["n_cells"])
     per_cell = (
-        spark.read.parquet(os.path.join(index_dir, "cells"))
+        _live_stored(spark, index_dir)
         .groupBy("cell")
         .count()
         .agg(
@@ -308,8 +361,10 @@ def rebuild_embedding_index(
     # is only stable for a fixed partition layout, and keyed is consumed
     # twice (through the Arrow re-assign and as the join-back side) — an
     # unpersisted frame could re-plan between the two and mis-key rows.
+    # _live_stored: a rebuild physically drops tombstoned rows (the
+    # takedown set is spent once the survivors are rewritten)
     keyed = (
-        spark.read.parquet(cells_dir)
+        _live_stored(spark, index_dir)
         .select("c_id", "c_vec", "ingest_batch")
         .withColumn("__rk", F.monotonically_increasing_id())
         .persist()
@@ -357,9 +412,14 @@ def rebuild_embedding_index(
     manifest["n_cells"] = str(new_cells)
     manifest["assign"] = assign
     manifest["Record count"] = str(n_vecs)
+    manifest["Tombstone count"] = "0"
     write_manifest(manifest, index_dir)
     os.rename(tmp_dir, cells_dir)
     shutil.rmtree(old_dir)
+    # the rebuilt dataset holds only survivors — the delete set is
+    # spent (cleared LAST: a crash before this line leaves a redundant
+    # anti-join against already-removed ids, a no-op)
+    shutil.rmtree(os.path.join(index_dir, "tombstones"), ignore_errors=True)
     return manifest
 
 

@@ -1,0 +1,212 @@
+"""Shared tombstone (delete) machinery for the persisted vector
+indexes (`products.ann_index`, `products.embedding_index`).
+
+A 100 TB corpus under compliance (takedown / opt-out) must be able to
+remove single documents without rebuilding the whole index. This is
+the snapshot log's merge/vacuum split (`products.snapshots`) applied
+to an index artifact:
+
+- **delete** = APPEND the ids to a small ``tombstones`` parquet
+  dataset under ``index_dir``, each id stamped with the index's max
+  ``ingest_batch`` at delete time (the WATERMARK). O(|ids|) work —
+  no corpus pass, no cell rewrite.
+- **serve** = every stored-cells read anti-joins the tombstone set:
+  ``stored.id == t_id AND stored.ingest_batch <= t_max_batch``.
+  The watermark makes append-after-delete well defined: a delete
+  removes every copy of the id PRESENT at delete time; a later
+  re-ingest of the same id is new data and serves normally (the
+  takedown-then-re-opt-in flow), with no append-path bookkeeping.
+- **compact** = physically rewrite the cells minus tombstoned rows
+  once the tombstone fraction crosses a threshold, then clear the
+  set — the vacuum step, using the rebuild products' failure-safe
+  swap ordering (every crash window is loud, never silent drift;
+  worst case after a crash between swap and tombstone-clear is a
+  redundant anti-join against already-removed ids — a no-op).
+
+Replay idempotence: re-running the same delete appends duplicate
+tombstone rows; the serve-time anti-join is set-semantics (the set is
+collapsed to one max-watermark row per id first), so duplicates are
+harmless, and compaction clears them.
+
+Scale: the tombstone set is delete-proportional, not
+corpus-proportional. The serve-time anti-join equi-matches on the id,
+so AQE broadcasts the (collapsed) tombstone side while it is small
+and falls back to a shuffle join if a mass takedown ever grows it —
+either way no plan rewrite is needed, and the compaction threshold
+bounds how long a large set is carried.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from batch_process_dpla_index_spark.io.manifest import read_manifest, write_manifest
+
+
+def _tombstones_dir(index_dir: str) -> str:
+    return os.path.join(index_dir, "tombstones")
+
+
+def has_tombstones(index_dir: str) -> bool:
+    return os.path.isdir(_tombstones_dir(index_dir))
+
+
+def read_tombstones(spark: SparkSession, index_dir: str) -> DataFrame | None:
+    """(t_id, t_max_batch) — one row per deleted id, collapsed to the
+    MAX watermark (each delete event covers batches <= its own
+    watermark, so the union of events per id is exactly the max)."""
+    if not has_tombstones(index_dir):
+        return None
+    return (
+        spark.read.parquet(_tombstones_dir(index_dir))
+        .groupBy("t_id")
+        .agg(F.max("t_max_batch").alias("t_max_batch"))
+    )
+
+
+def apply_tombstones(
+    spark: SparkSession, index_dir: str, stored: DataFrame, id_field: str
+) -> DataFrame:
+    """Anti-join the tombstone set out of a stored-cells frame.
+    No tombstones dir → the frame passes through untouched (zero plan
+    overhead for an index that never saw a delete). ``stored`` must
+    still carry ``ingest_batch`` (pre-batch-layout indexes are treated
+    as all batch 0)."""
+    tombs = read_tombstones(spark, index_dir)
+    if tombs is None:
+        return stored
+    batch = (
+        F.col("ingest_batch")
+        if "ingest_batch" in stored.columns
+        else F.lit(0)
+    )
+    cond = (stored[id_field] == tombs["t_id"]) & (
+        batch <= tombs["t_max_batch"]
+    )
+    return stored.join(tombs, cond, "left_anti")
+
+
+def _ids_frame(spark: SparkSession, ids, id_col: str | None) -> DataFrame:
+    """Normalize the caller's delete set to a one-column (t_id) frame.
+    A DataFrame passes through (``id_col`` or its first column); a
+    plain iterable of ints goes through the Arrow local-frame path
+    (JVM LocalRelation — never a Python-pickled RDD)."""
+    if isinstance(ids, DataFrame):
+        col = id_col if id_col is not None else ids.columns[0]
+        return ids.select(F.col(col).cast("bigint").alias("t_id"))
+    from batch_process_dpla_index_spark.operators.relational import (
+        _arrow_local_frame,
+    )
+
+    return _arrow_local_frame(
+        spark, [(int(i),) for i in ids], "t_id bigint"
+    )
+
+
+def delete_from_index(
+    spark: SparkSession,
+    index_dir: str,
+    ids,
+    id_field: str,
+    id_col: str | None = None,
+    compact_threshold: float = 0.2,
+    cell_partitions: int = 32,
+) -> dict[str, str]:
+    """Tombstone a set of ids out of a persisted index and update the
+    manifest (live ``Record count`` + ``Tombstone count``). When the
+    tombstoned fraction of stored rows reaches ``compact_threshold``,
+    the cells are physically compacted in the same call (pass a
+    threshold > 1 to defer compaction indefinitely; 0 forces it).
+
+    ``ids``: a DataFrame (``id_col`` names the column; default its
+    first) or an iterable of ints. ``id_field`` is the stored cells'
+    id column ("id" for ann_index, "c_id" for embedding_index).
+
+    Returns the updated manifest."""
+    cells_dir = os.path.join(index_dir, "cells")
+    stored = spark.read.parquet(cells_dir)
+    wm = 0
+    if "ingest_batch" in stored.columns:
+        wm_row = stored.agg(F.max("ingest_batch").alias("m")).first()
+        wm = int(wm_row["m"] or 0)
+    # repartition(1), never coalesce(1): coalesce would collapse any
+    # upstream computation of a derived ids frame onto one task
+    (
+        _ids_frame(spark, ids, id_col)
+        .select("t_id", F.lit(wm).cast("int").alias("t_max_batch"))
+        .repartition(1)
+        .write.mode("append")
+        .parquet(_tombstones_dir(index_dir))
+    )
+
+    manifest = read_manifest(index_dir)
+    total = stored.count()
+    live = apply_tombstones(spark, index_dir, stored, id_field).count()
+    dead = total - live
+    if total and dead and dead / total >= compact_threshold:
+        return compact_index_tombstones(
+            spark, index_dir, id_field, cell_partitions=cell_partitions
+        )
+    manifest["Record count"] = str(live)
+    manifest["Tombstone count"] = str(dead)
+    write_manifest(manifest, index_dir)
+    return manifest
+
+
+def compact_index_tombstones(
+    spark: SparkSession,
+    index_dir: str,
+    id_field: str,
+    cell_partitions: int = 32,
+) -> dict[str, str]:
+    """Physically rewrite the cells minus the tombstone set, then clear
+    the set — the vacuum step. ``ingest_batch`` partitions are
+    preserved row-for-row on the survivors, so replay pruning stays
+    valid across the compaction.
+
+    Failure-safe swap ordering (the rebuild products' convention):
+    write the survivors to a sibling dir → move live cells aside →
+    flip the manifest → move the new data to the live name → delete
+    the old copy and the tombstone set LAST. A crash between the swap
+    and the tombstone clear leaves a redundant anti-join against
+    already-removed ids — a no-op, never data loss or resurrection."""
+    import shutil
+
+    cells_dir = os.path.join(index_dir, "cells")
+    tmp_dir = os.path.join(index_dir, "cells__compact")
+    old_dir = os.path.join(index_dir, "cells__old")
+    stored = spark.read.parquet(cells_dir)
+    live = apply_tombstones(spark, index_dir, stored, id_field).persist()
+    n_live = live.count()
+    if n_live == 0:
+        # an empty cells dataset is unreadable (no part files, no
+        # schema) — every later serve would crash obscurely; refuse
+        # loudly instead
+        live.unpersist()
+        raise ValueError(
+            "compaction would remove every stored row; an empty index "
+            "is unreadable — rebuild it instead"
+        )
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    writer = live
+    if "cell" in stored.columns:
+        writer = live.repartition(cell_partitions, "cell")
+    w = writer.write.mode("overwrite")
+    if "ingest_batch" in stored.columns:
+        w = w.partitionBy("ingest_batch")
+    w.parquet(tmp_dir)
+    live.unpersist()
+
+    shutil.rmtree(old_dir, ignore_errors=True)
+    os.rename(cells_dir, old_dir)
+    manifest = read_manifest(index_dir)
+    manifest["Record count"] = str(n_live)
+    manifest["Tombstone count"] = "0"
+    write_manifest(manifest, index_dir)
+    os.rename(tmp_dir, cells_dir)
+    shutil.rmtree(old_dir)
+    shutil.rmtree(_tombstones_dir(index_dir), ignore_errors=True)
+    return manifest

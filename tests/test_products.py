@@ -846,6 +846,251 @@ def test_embedding_index_rebuild_duplicate_ids_across_batches(spark, tmp_path):
     assert dup_rows.count() == 10
 
 
+def test_ann_index_delete_tombstone_lifecycle(spark, tmp_path, capsys):
+    """Takedown path (VERDICT r12 #2): delete tombstones ids without a
+    cell rewrite; every serve route (IVF query, PQ/ADC query, recall
+    truth) excludes them; at FULL probe the served results equal a
+    from-scratch index built without the deleted ids (full probe is
+    exact search, so geometry differences don't matter); compaction
+    physically removes the rows and clears the set with serve results
+    unchanged; append-after-delete resurrects (the watermark makes a
+    later re-ingest new data)."""
+    from batch_process_dpla_index_spark import jobs
+    from batch_process_dpla_index_spark.io.manifest import read_manifest
+    from batch_process_dpla_index_spark.products.ann_index import (
+        ann_query_indexed,
+        append_to_ann_index,
+        build_ann_index,
+        delete_from_ann_index,
+        pq_query_indexed,
+    )
+    from batch_process_dpla_index_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    corpus = emb.orderBy("vec_id").limit(120)
+    queries = emb.orderBy("vec_id").limit(10)
+
+    idx = str(tmp_path / "annd")
+    build_ann_index(corpus, "vec_id", "embedding", idx, dim=64, n_cells=8,
+                    kmeans_iters=2, pq_m=8)
+    n0 = int(read_manifest(idx)["Record count"])
+
+    def serve(index_dir):
+        return sorted(map(tuple, ann_query_indexed(
+            spark, queries, "vec_id", "embedding", index_dir, k=3, n_probe=8
+        ).collect()))
+
+    before = serve(idx)
+    # tombstone 5 ids the pre-delete serve actually RETURNED, so their
+    # disappearance below is a real served-result change (the top-k
+    # excludes self-matches, so small ids need not be neighbors)
+    doomed = sorted({t[1] for t in before})[:5]
+    assert len(doomed) == 5
+
+    # delete via CLI, threshold deferred so this stays tombstone-only
+    ids_path = str(tmp_path / "doomed")
+    corpus.filter(F.col("vec_id").isin(doomed)).select("vec_id")\
+        .write.parquet(ids_path)
+    assert jobs.main(["ann-index", "delete", ids_path, idx,
+                      "--compact-threshold", "2.0"]) == 0
+    assert "Tombstoned 5 ids" in capsys.readouterr().out
+    m = read_manifest(idx)
+    assert int(m["Record count"]) == n0 - 5 and m["Tombstone count"] == "5"
+    assert (tmp_path / "annd" / "tombstones").is_dir()
+
+    # full-probe serve now equals a from-scratch index WITHOUT the ids
+    idx_truth = str(tmp_path / "ann_truth")
+    build_ann_index(corpus.filter(~F.col("vec_id").isin(doomed)),
+                    "vec_id", "embedding", idx_truth, dim=64, n_cells=8,
+                    kmeans_iters=2)
+    after = serve(idx)
+    assert after == serve(idx_truth)
+    assert not any(t[1] in doomed for t in after)
+    # the PQ/ADC route excludes them too
+    pq_neighbors = {
+        r["neighbor_id"] for r in pq_query_indexed(
+            spark, queries, "vec_id", "embedding", idx, k=3, n_probe=8
+        ).collect()
+    }
+    assert not pq_neighbors & set(doomed)
+    # recall on SURVIVOR queries at full probe: truth reads live cells,
+    # so the report grades against the post-delete corpus — exactly 1.0
+    from batch_process_dpla_index_spark.products.ann_index import (
+        ann_recall_indexed,
+    )
+
+    surv = queries.filter(~F.col("vec_id").isin(doomed))
+    rep = ann_recall_indexed(
+        spark, surv, "vec_id", "embedding", idx, k=3, n_probe=8
+    ).collect()
+    assert rep and all(r.recall_at_k == 1.0 for r in rep)
+
+    # append-after-delete resurrects: a later batch re-ingests one id
+    # (its ingest_batch is ABOVE the delete watermark, so the anti-join
+    # passes it through) — an exact-twin probe (shifted id, the top-k
+    # excludes only SELF-id matches) must now find it at rank 1
+    resurrect = corpus.filter(F.col("vec_id") == doomed[0])
+    append_to_ann_index(spark, resurrect, "vec_id", "embedding", idx,
+                        ingest_batch=1)
+    m = read_manifest(idx)
+    assert int(m["Record count"]) == n0 - 4  # 5 deleted, 1 re-ingested
+    twin = resurrect.select(
+        (F.col("vec_id") + 900000).alias("vec_id"), "embedding"
+    )
+    self_hit = ann_query_indexed(
+        spark, twin, "vec_id", "embedding", idx, k=1, n_probe=8
+    ).collect()
+    assert [r["neighbor_id"] for r in self_hit] == [doomed[0]]
+
+    # forced compaction: physical removal, set cleared, serve unchanged
+    pre_compact = serve(idx)
+    assert jobs.main(["ann-index", "compact", idx]) == 0
+    assert "Compacted tombstones" in capsys.readouterr().out
+    assert not (tmp_path / "annd" / "tombstones").exists()
+    m = read_manifest(idx)
+    assert int(m["Record count"]) == n0 - 4 and m["Tombstone count"] == "0"
+    stored_ids = [
+        r["id"] for r in spark.read.parquet(idx + "/cells")
+        .filter(F.col("id").isin(doomed)).collect()
+    ]
+    assert stored_ids == [doomed[0]]  # only the resurrected copy remains
+    assert serve(idx) == pre_compact
+
+
+def test_ann_index_delete_auto_compacts_past_threshold(spark, tmp_path):
+    """delete_from_ann_index compacts in the same call once the
+    tombstoned fraction reaches the threshold — no separate vacuum
+    step needed for a mass takedown."""
+    from batch_process_dpla_index_spark.io.manifest import read_manifest
+    from batch_process_dpla_index_spark.products.ann_index import (
+        build_ann_index,
+        delete_from_ann_index,
+    )
+    from batch_process_dpla_index_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    corpus = emb.orderBy("vec_id").limit(50)
+    idx = str(tmp_path / "annac")
+    build_ann_index(corpus, "vec_id", "embedding", idx, dim=64, n_cells=4,
+                    kmeans_iters=1)
+    doomed = [int(r["vec_id"]) for r in corpus.limit(20).collect()]
+    m = delete_from_ann_index(spark, idx, doomed, compact_threshold=0.2)
+    # 40% tombstoned >= 20% threshold: compacted in the same call
+    assert m["Tombstone count"] == "0"
+    assert int(m["Record count"]) == 30
+    assert not (tmp_path / "annac" / "tombstones").exists()
+    assert spark.read.parquet(idx + "/cells").count() == 30
+    assert int(read_manifest(idx)["Record count"]) == 30
+
+
+def test_embedding_index_delete_tombstone_lifecycle(spark, tmp_path, capsys):
+    """The embedding (dedup) index's takedown path: deleted vectors
+    stop matching incoming probes (an exact twin of a deleted vector
+    reports is_new), occupancy counts live rows only, rebuild
+    physically drops tombstoned rows and clears the set, and the
+    verdicts equal a from-scratch index built without the deleted
+    ids."""
+    from batch_process_dpla_index_spark import jobs
+    from batch_process_dpla_index_spark.io.manifest import read_manifest
+    from batch_process_dpla_index_spark.operators.dedup import unpersist_deps
+    from batch_process_dpla_index_spark.products.embedding_index import (
+        append_to_embedding_index,
+        build_embedding_index,
+        embedding_index_occupancy,
+        incremental_embedding_dedup_indexed,
+    )
+    from batch_process_dpla_index_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    corpus = emb.orderBy("vec_id").limit(80)
+    batch1 = emb.orderBy(F.col("vec_id").desc()).limit(20)
+    idx = str(tmp_path / "embd")
+    build_embedding_index(corpus, "vec_id", "embedding", idx, dim=64, n_cells=4)
+    append_to_embedding_index(batch1, "vec_id", "embedding", idx, ingest_batch=1)
+
+    # probes = exact twins (shifted ids) of 3 build rows + 2 appended rows
+    doomed_build = [int(r["vec_id"]) for r in corpus.limit(3).collect()]
+    doomed_app = [int(r["vec_id"]) for r in batch1.limit(2).collect()]
+    doomed = doomed_build + doomed_app
+    probes = emb.filter(F.col("vec_id").isin(doomed)).select(
+        (F.col("vec_id") + 600000).alias("vec_id"), "embedding"
+    )
+
+    def verdicts(index_dir):
+        out = incremental_embedding_dedup_indexed(
+            spark, probes, "vec_id", "embedding", index_dir,
+            threshold=0.99, n_probe=4,
+        )
+        rows = sorted((r["id"], r["is_new"]) for r in out.collect())
+        unpersist_deps(out)
+        return rows
+
+    assert all(not isnew for _, isnew in verdicts(idx))  # twins match
+
+    ids_path = str(tmp_path / "embdel")
+    emb.filter(F.col("vec_id").isin(doomed)).select("vec_id")\
+        .write.parquet(ids_path)
+    assert jobs.main(["embedding-index", "delete", idx,
+                      "--ids-parquet", ids_path,
+                      "--compact-threshold", "2.0"]) == 0
+    assert "Tombstoned 5 ids" in capsys.readouterr().out
+
+    # deleted vectors no longer match; equal to a from-scratch index
+    # built without them
+    after = verdicts(idx)
+    assert all(isnew for _, isnew in after)
+    idx_truth = str(tmp_path / "embd_truth")
+    build_embedding_index(
+        corpus.unionByName(batch1).filter(~F.col("vec_id").isin(doomed)),
+        "vec_id", "embedding", idx_truth, dim=64, n_cells=4,
+    )
+    assert after == verdicts(idx_truth)
+    # occupancy counts live rows only
+    rep = embedding_index_occupancy(spark, idx)
+    assert int(rep["n_vecs"]) == 95
+
+    # rebuild physically removes tombstoned rows and clears the set
+    assert jobs.main(["embedding-index", "rebuild", idx, "--cells", "4"]) == 0
+    assert not (tmp_path / "embd" / "tombstones").exists()
+    m = read_manifest(idx)
+    assert int(m["Record count"]) == 95 and m["Tombstone count"] == "0"
+    stored = spark.read.parquet(idx + "/cells")
+    assert stored.filter(F.col("c_id").isin(doomed)).count() == 0
+    per_batch = {
+        r["ingest_batch"]: r["n"]
+        for r in stored.groupBy("ingest_batch")
+        .agg(F.count("*").alias("n")).collect()
+    }
+    assert per_batch == {0: 77, 1: 18}
+    assert verdicts(idx) == after
+
+
+def test_index_compact_refuses_emptying(spark, tmp_path):
+    """Compacting away EVERY stored row would leave an unreadable
+    empty dataset — refused loudly (rebuild is the escape hatch)."""
+    import pytest as _pytest
+
+    from batch_process_dpla_index_spark.products.embedding_index import (
+        build_embedding_index,
+        compact_embedding_index,
+        delete_from_embedding_index,
+    )
+    from batch_process_dpla_index_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    corpus = emb.orderBy("vec_id").limit(10)
+    idx = str(tmp_path / "embe")
+    build_embedding_index(corpus, "vec_id", "embedding", idx, dim=64, n_cells=2)
+    all_ids = [int(r["vec_id"]) for r in corpus.collect()]
+    delete_from_embedding_index(spark, idx, all_ids, compact_threshold=2.0)
+    with _pytest.raises(ValueError, match="empty"):
+        compact_embedding_index(spark, idx)
+
+
 def test_ann_index_recall_cli(spark, tmp_path, capsys):
     """`jobs ann-index recall`: probing EVERY cell is the exact search,
     so recall@k must be exactly 1.0 for every query; a bounded probe
