@@ -15,7 +15,7 @@ plus the monthly-batch sequencer (monthly_batch_emr.sh:41-111)::
     python -m batch_process_dpla_index_spark.jobs thumbnail-purge <in_path> <bucket_root> [--uri-col C] [--batch N]
     python -m batch_process_dpla_index_spark.jobs training-export <docs_parquet> <out_dir> [--seed S] [--shards N] [--no-gate] [--sentence-dedup] [--mixture lang:en=0.5,de=0.5:10000]
     python -m batch_process_dpla_index_spark.jobs dedup-index build|query|append <docs_parquet> <index_dir> [--threshold T]
-    python -m batch_process_dpla_index_spark.jobs ann-index build|query|recall|append|delete|compact [vectors_parquet] <index_dir> [--cells N] [--k K] [--probe P] [--probe-coarse C --probe-fine F] [--sample N] [--batch N] [--quantizer kmeans|two-level|none] [--compact-threshold T]
+    python -m batch_process_dpla_index_spark.jobs ann-index build|query|recall|append|delete|compact|report|rebuild [vectors_parquet] <index_dir> [--cells N] [--k K] [--probe P] [--probe-coarse C --probe-fine F] [--sample N] [--batch N] [--quantizer kmeans|two-level|none] [--compact-threshold T] [--rebuild-cells N] [--design-point N]
     python -m batch_process_dpla_index_spark.jobs embedding-index build|report|rebuild|delete|compact <index_dir> [--vectors-parquet P] [--ids-parquet P] [--cells N] [--design-point N] [--compact-threshold T]
     python -m batch_process_dpla_index_spark.jobs compact <src_parquet> <dst_parquet> [--target-mb N]
     python -m batch_process_dpla_index_spark.jobs overlap-index build|refresh|report <index_dir> [--docs-parquet P]
@@ -77,7 +77,8 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--batch", type=int, default=1)
     s = sub.add_parser("ann-index")
     s.add_argument("action", choices=["build", "query", "recall", "append",
-                                      "delete", "compact"])
+                                      "delete", "compact", "report",
+                                      "occupancy", "rebuild"])
     s.add_argument("vectors_parquet", nargs="?", default=None,
                    help="corpus/query/append vectors; for delete: the "
                         "ids to tombstone (parquet, --id-col column); "
@@ -112,6 +113,11 @@ def main(argv: list[str] | None = None) -> int:
                    help="delete: auto-compact once this fraction of "
                         "stored rows is tombstoned (>1 defers "
                         "indefinitely, 0 forces)")
+    s.add_argument("--rebuild-cells", type=int, default=None,
+                   help="rebuild: new cell count (default: resize to "
+                        "the design point)")
+    s.add_argument("--design-point", type=int, default=64,
+                   help="target rows per cell for report/rebuild")
     s = sub.add_parser("embedding-index")
     s.add_argument("action", choices=["build", "report", "rebuild",
                                       "delete", "compact"])
@@ -326,6 +332,31 @@ def main(argv: list[str] | None = None) -> int:
                 manifest = ann_index.compact_ann_index(spark, args.index_dir)
                 print(
                     f"Compacted tombstones; index now holds "
+                    f"{manifest['Record count']} vectors"
+                )
+                return 0
+            if args.action in ("report", "occupancy"):
+                rep = ann_index.ann_index_occupancy(
+                    spark, args.index_dir, design_point=args.design_point
+                )
+                print(
+                    f"Occupancy: {rep['n_vecs']} vectors in "
+                    f"{rep['n_cells']} cells "
+                    f"(mean {rep['mean_per_cell']}/cell, max "
+                    f"{rep['max_per_cell']}, design point "
+                    f"{rep['design_point']}); needs_rebuild="
+                    f"{rep['needs_rebuild']}"
+                )
+                return 0
+            if args.action == "rebuild":
+                manifest = ann_index.rebuild_ann_index(
+                    spark, args.index_dir,
+                    n_cells=args.rebuild_cells,
+                    design_point=args.design_point,
+                )
+                print(
+                    f"Rebuilt {manifest['rebuilt_from']} -> "
+                    f"{manifest['n_cells']} cells over "
                     f"{manifest['Record count']} vectors"
                 )
                 return 0

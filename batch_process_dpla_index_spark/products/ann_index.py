@@ -26,7 +26,12 @@ cell layout — independent of corpus re-processing. n_cells ~ √N keeps
 cells bounded; growing the corpus = :func:`append_to_ann_index` (new
 assignments under the same manifest-pinned codebook, one batch-sized
 Arrow pass, per-batch ``ingest_batch`` partitions with idempotent
-replay overwrite), re-learn on drift = rebuild.
+replay overwrite); re-learn on drift = :func:`rebuild_ann_index`
+(re-fit the pinned quantizer on the live rows, surrogate-key
+re-attach, failure-safe swap — :func:`ann_index_occupancy` is the
+trigger's observable); takedown = :func:`delete_from_ann_index`
+(manifest-logged tombstones anti-joined at serve time, compacted past
+a threshold — `products.index_tombstones`).
 """
 
 from __future__ import annotations
@@ -586,6 +591,230 @@ def append_to_ann_index(
     # counts again (append-after-delete resurrects by design)
     manifest["Record count"] = str(_live_cells(spark, index_dir).count())
     write_manifest(manifest, index_dir)
+    return manifest
+
+
+def ann_index_occupancy(
+    spark: SparkSession, index_dir: str, design_point: int = 64
+) -> dict[str, str]:
+    """Rows-per-cell occupancy vs the design point — the observable
+    behind the "re-learn on drift = rebuild" trigger (module
+    docstring), mirroring `embedding_index.embedding_index_occupancy`
+    so the product MOST likely to drift (it also pins PQ codebooks) is
+    not the one without the trigger. Counts LIVE rows (tombstones
+    excluded). One count aggregate over the stored cells (|cells|
+    output rows → bounded driver reduce); ``needs_rebuild`` flags when
+    mean occupancy over the manifest's cell count exceeds twice the
+    design point."""
+    manifest = read_manifest(index_dir)
+    n_cells = int(manifest["n_cells"])
+    per_cell = (
+        _live_cells(spark, index_dir)
+        .groupBy("cell")
+        .count()
+        .agg(
+            F.sum("count").alias("n_vecs"),
+            F.max("count").alias("max_cell"),
+            F.count("*").alias("occupied"),
+        )
+        .first()
+    )
+    n_vecs = int(per_cell["n_vecs"] or 0)
+    mean_occ = n_vecs / n_cells if n_cells else 0.0
+    return {
+        "n_vecs": str(n_vecs),
+        "n_cells": str(n_cells),
+        "occupied_cells": str(int(per_cell["occupied"] or 0)),
+        "max_per_cell": str(int(per_cell["max_cell"] or 0)),
+        "mean_per_cell": f"{mean_occ:.2f}",
+        "design_point": str(design_point),
+        "needs_rebuild": str(mean_occ > 2 * design_point),
+    }
+
+
+def rebuild_ann_index(
+    spark: SparkSession,
+    index_dir: str,
+    n_cells: int | None = None,
+    design_point: int = 64,
+    kmeans_iters: int = 10,
+    cell_partitions: int = 32,
+) -> dict[str, str]:
+    """Re-fit the manifest-pinned quantizer on the stored LIVE vectors
+    and re-assign every row under the new geometry (default cell
+    count: resized back to the design point, ``max(16, n_vecs //
+    design_point)``) — the rebuild the build-time ``n_cells`` pin and
+    "re-learn on drift" defer to. Mirrors
+    `embedding_index.rebuild_embedding_index`:
+
+    - ``ingest_batch`` partitions preserved row-for-row (replay
+      pruning stays valid); a pre-batch-layout index gains
+      ``ingest_batch=0``, which is the one-time rebuild
+      `append_to_ann_index`'s refusal message points at.
+    - the re-attach joins on a ROW-UNIQUE surrogate key, never the
+      stored id (append doesn't enforce id uniqueness across batches).
+    - tombstoned rows are physically dropped and the delete set
+      cleared (the takedown is spent in the rewrite).
+    - PQ codes/codebooks carry through untouched — they encode the
+      VECTORS, not the cell geometry, so re-assignment can't
+      invalidate them.
+    - quantizer type is manifest-pinned: a two-level index re-fits the
+      two-level model (and re-persists coarse/fine + the new fit's
+      ``k_f``); a flat-kmeans index re-fits flat; pseudo-random just
+      re-derives the deterministic grid at the new cell count. A
+      PRE-round-12 two-level index (flat-flattened layout, no ``k_f``)
+      re-fits the true two-level model — rebuilding upgrades it to the
+      IMI-served layout.
+
+    Failure-safe swap (the family convention): new cells + new model
+    artifacts land in sibling dirs, the live cells move aside FIRST
+    (every read in the crash window fails loudly — never a probe under
+    mismatched geometry), the manifest flips while cells is absent,
+    then the new data takes the live names; old copies and the
+    tombstone set are deleted LAST."""
+    import shutil
+
+    manifest = read_manifest(index_dir)
+    dim = int(manifest["dim"])
+    quantizer = manifest["quantizer"]
+    cells_dir = os.path.join(index_dir, "cells")
+    live = _live_cells(spark, index_dir)
+    if "ingest_batch" not in live.columns:
+        live = live.withColumn("ingest_batch", F.lit(0))
+    # __rk minted once on a persisted frame (monotonically_increasing_id
+    # is only stable for a fixed partition layout; keyed is consumed by
+    # the re-assign AND the join-back)
+    keyed = live.withColumn(
+        "__rk", F.monotonically_increasing_id()
+    ).persist()
+    n_vecs = keyed.count()
+    new_cells = (
+        int(n_cells) if n_cells is not None
+        else max(16, n_vecs // design_point)
+    )
+
+    two_level_model = None
+    centroids = None
+    fit_input = keyed.select("__rk", F.col("vec").alias("__v"))
+    if quantizer == "kmeans-two-level":
+        from batch_process_dpla_index_spark.operators.clustering import (
+            kmeans_fit_two_level,
+        )
+
+        coarse, fine, k_f = kmeans_fit_two_level(
+            fit_input, "__rk", "__v", k=new_cells, n_iter=kmeans_iters
+        )
+        two_level_model = (coarse, fine, k_f)
+        new_cells = sum(len(m) for m in fine.values())
+    elif quantizer == "kmeans-maximin":
+        from batch_process_dpla_index_spark.operators.clustering import (
+            kmeans_fit,
+        )
+
+        centroids = kmeans_fit(
+            fit_input, "__rk", "__v", k=new_cells, n_iter=kmeans_iters
+        )
+    elif quantizer != "pseudo-random":
+        raise ValueError(f"unknown quantizer {quantizer!r} in manifest")
+
+    reassigned = (
+        _assign_storage_cells(
+            fit_input, "__rk", "__v", dim, new_cells, two_level_model,
+            centroids,
+        )
+        .select(F.col("cell"), F.col("id").alias("__rk"))
+        .join(keyed.drop("cell"), "__rk")
+        .drop("__rk")
+    )
+    tmp_cells = os.path.join(index_dir, "cells__rebuild")
+    shutil.rmtree(tmp_cells, ignore_errors=True)
+    (
+        reassigned.repartition(min(new_cells, cell_partitions), "cell")
+        .write.mode("overwrite")
+        .partitionBy("ingest_batch")
+        .parquet(tmp_cells)
+    )
+    keyed.unpersist()
+
+    # new quantizer artifacts into sibling dirs
+    from batch_process_dpla_index_spark.operators.relational import (
+        _arrow_local_frame,
+    )
+
+    swaps: list[tuple[str, str]] = [(tmp_cells, cells_dir)]
+    if two_level_model is not None:
+        coarse, fine, k_f = two_level_model
+        for name, rows, schema in (
+            (
+                "coarse_centroids",
+                [(c, [float(x) for x in v]) for c, v in enumerate(coarse)],
+                "ccell int, centroid array<double>",
+            ),
+            (
+                "fine_centroids",
+                [
+                    (c, j, [float(x) for x in v])
+                    for c in sorted(fine)
+                    for j, v in enumerate(fine[c])
+                ],
+                "ccell int, fine int, centroid array<double>",
+            ),
+        ):
+            tmp = os.path.join(index_dir, name + "__rebuild")
+            _arrow_local_frame(spark, rows, schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            swaps.append((tmp, os.path.join(index_dir, name)))
+    else:
+        if centroids is None:
+            from batch_process_dpla_index_spark.operators.similarity import (
+                _centroid_matrix,
+            )
+
+            centroids = _centroid_matrix(dim, new_cells).tolist()
+        tmp = os.path.join(index_dir, "centroids__rebuild")
+        _arrow_local_frame(
+            spark,
+            [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+            "cell int, centroid array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(tmp)
+        swaps.append((tmp, os.path.join(index_dir, "centroids")))
+
+    # swap: live cells aside first (index loudly unreadable from here),
+    # manifest flips while cells is absent, new data takes the live
+    # names, old copies + tombstones deleted LAST
+    olds: list[str] = []
+    for _tmp, dst in swaps:
+        if os.path.isdir(dst):
+            old = dst + "__old"
+            shutil.rmtree(old, ignore_errors=True)
+            os.rename(dst, old)
+            olds.append(old)
+    manifest["rebuilt_from"] = manifest["n_cells"]
+    manifest["n_cells"] = str(new_cells)
+    manifest["Record count"] = str(n_vecs)
+    manifest["Tombstone count"] = "0"
+    if two_level_model is not None:
+        manifest["k_f"] = str(two_level_model[2])
+        manifest["coarse_k"] = str(len(two_level_model[0]))
+    else:
+        # a pre-r12 two-level index rebuilt as... never happens: the
+        # quantizer pin routes two-level through the branch above; flat
+        # pins never carry k_f
+        manifest.pop("k_f", None)
+        manifest.pop("coarse_k", None)
+    write_manifest(manifest, index_dir)
+    for tmp, dst in swaps:
+        os.rename(tmp, dst)
+    for old in olds:
+        shutil.rmtree(old)
+    if two_level_model is not None:
+        # a pre-r12 two-level index carried a FLAT centroids dataset
+        # (the flattened layout); the rebuilt index serves through
+        # coarse/fine via the k_f gate, so the stale flat artifact is
+        # dead weight — drop it
+        shutil.rmtree(os.path.join(index_dir, "centroids"), ignore_errors=True)
+    shutil.rmtree(os.path.join(index_dir, "tombstones"), ignore_errors=True)
     return manifest
 
 

@@ -1068,6 +1068,99 @@ def test_embedding_index_delete_tombstone_lifecycle(spark, tmp_path, capsys):
     assert verdicts(idx) == after
 
 
+def test_ann_index_rebuild_lifecycle(spark, tmp_path, capsys):
+    """VERDICT r12 #3: the rebuild + occupancy lifecycle the embedding
+    index got in r12, now on the ANN index — build a two-level index
+    undersized, append past the design point, the occupancy report
+    FLAGS it, rebuild re-fits the two-level model (new k_f persisted,
+    coarse/fine re-written, ingest_batch partitions preserved), and
+    the IMI serve at FULL probe is identical before and after (full
+    probe is exact search under any geometry). PQ codes survive the
+    rebuild untouched (they encode vectors, not cells)."""
+    from batch_process_dpla_index_spark import jobs
+    from batch_process_dpla_index_spark.io.manifest import read_manifest
+    from batch_process_dpla_index_spark.products.ann_index import (
+        ann_index_occupancy,
+        ann_query_indexed,
+        append_to_ann_index,
+        build_ann_index,
+        rebuild_ann_index,
+    )
+    from batch_process_dpla_index_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    corpus = emb.filter(F.col("vec_id") % 10 < 6)
+    batch1 = emb.filter(F.col("vec_id") % 10 == 7)
+    queries = emb.orderBy("vec_id").limit(10)
+
+    idx = str(tmp_path / "annrb")
+    # deliberately undersized: 4 cells for a few hundred vectors
+    build_ann_index(corpus, "vec_id", "embedding", idx, dim=64, n_cells=4,
+                    learned="two-level", kmeans_iters=2)
+    append_to_ann_index(spark, batch1, "vec_id", "embedding", idx,
+                        ingest_batch=1)
+    n_total = corpus.count() + batch1.count()
+
+    assert jobs.main(["ann-index", "report", idx,
+                      "--design-point", "32"]) == 0
+    assert "needs_rebuild=True" in capsys.readouterr().out
+    rep = ann_index_occupancy(spark, idx, design_point=32)
+    assert int(rep["n_vecs"]) == n_total
+
+    def serve(n_probe):
+        return sorted(map(tuple, ann_query_indexed(
+            spark, queries, "vec_id", "embedding", idx,
+            k=3, n_probe=n_probe,
+        ).collect()))
+
+    n_cells_old = int(read_manifest(idx)["n_cells"])
+    before = serve(n_cells_old)
+
+    assert jobs.main(["ann-index", "rebuild", idx]) == 0
+    assert "Rebuilt" in capsys.readouterr().out
+    m = read_manifest(idx)
+    assert m["rebuilt_from"] == str(n_cells_old)
+    n_cells_new = int(m["n_cells"])
+    assert n_cells_new > n_cells_old  # resized toward the design point
+    assert m["quantizer"] == "kmeans-two-level" and "k_f" in m
+    assert int(m["Record count"]) == n_total
+    rep2 = ann_index_occupancy(spark, idx, design_point=32)
+    assert rep2["needs_rebuild"] == "False"
+    # ingest_batch partitions preserved row-for-row
+    per_batch = {
+        r["ingest_batch"]: r["n"]
+        for r in spark.read.parquet(idx + "/cells")
+        .groupBy("ingest_batch").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_batch == {0: corpus.count(), 1: batch1.count()}
+    # full-probe IMI serve identical across the geometry change
+    assert serve(n_cells_new) == before
+
+    # flat-kmeans rebuild re-fits flat (and the PQ codes carry through)
+    idx2 = str(tmp_path / "annrb_flat")
+    build_ann_index(corpus, "vec_id", "embedding", idx2, dim=64, n_cells=2,
+                    kmeans_iters=2, pq_m=8)
+    codes_before = {
+        (r["id"], tuple(r["codes"]))
+        for r in spark.read.parquet(idx2 + "/cells").collect()
+    }
+    before2 = sorted(map(tuple, ann_query_indexed(
+        spark, queries, "vec_id", "embedding", idx2, k=3, n_probe=2
+    ).collect()))
+    m2 = rebuild_ann_index(spark, idx2, n_cells=6, kmeans_iters=2)
+    assert m2["n_cells"] == "6" and "k_f" not in m2
+    codes_after = {
+        (r["id"], tuple(r["codes"]))
+        for r in spark.read.parquet(idx2 + "/cells").collect()
+    }
+    assert codes_after == codes_before
+    after2 = sorted(map(tuple, ann_query_indexed(
+        spark, queries, "vec_id", "embedding", idx2, k=3, n_probe=6
+    ).collect()))
+    assert after2 == before2
+
+
 def test_index_compact_refuses_emptying(spark, tmp_path):
     """Compacting away EVERY stored row would leave an unreadable
     empty dataset — refused loudly (rebuild is the escape hatch)."""
