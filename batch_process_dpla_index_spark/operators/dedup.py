@@ -660,44 +660,69 @@ def simhash_table(df: DataFrame, text_col: str, id_col: str, bits: int = 60) -> 
     return df.select(F.col(id_col), simhash(tokens(F.col(text_col)), bits).alias("simhash"))
 
 
-def simhash_pairs(
-    df: DataFrame, text_col: str, id_col: str, bits: int = 60, max_hamming: int = 3
+def banded_hamming_pairs(
+    sig: DataFrame, id_col: str, sig_col: str, bits: int, max_hamming: int
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance, with a banded prefilter.
+    """(id_a, id_b, hamming): near-dup pairs by Hamming distance over an
+    integer fingerprint column, with a banded prefilter — THE shared
+    kernel behind :func:`simhash_pairs` (text) and
+    ``operators.multimodal.image_near_dup`` (perceptual blob hash), so
+    the two modalities cannot drift in banding semantics.
 
-    Split the fingerprint into (max_hamming + 1) bands; by pigeonhole, any
-    pair within the distance budget agrees exactly on >= 1 band → equi-join
-    per band, then exact popcount verification. Same plan scales to 100 TB
-    (shuffle on band value, no cross join).
+    Split the fingerprint into (max_hamming + 1) contiguous bands of
+    ``bits // (max_hamming + 1)`` bits; by pigeonhole, any pair within
+    the distance budget agrees exactly on >= 1 band → equi-join per
+    band, then exact popcount verification. The prefilter is LOSSLESS
+    when the bands tile all ``bits`` (e.g. 60 bits / 4 bands); with a
+    remainder, the top ``bits % nbands`` bits are verified but never
+    banded (documented recall contract, mirrored by the oracle). Same
+    plan scales to 100 TB: shuffle on (band, val), no cross join.
+
+    ``sig`` is read twice (both join sides) — callers persist it and
+    ride the handle via ``_with_cached_deps``.
     """
     nbands = max_hamming + 1
     width = bits // nbands
-    sh = simhash_table(df, text_col, id_col, bits).persist()
     bands = []
     for i in range(nbands):
-        band_val = F.shiftright(F.col("simhash"), i * width).bitwiseAND(
+        band_val = F.shiftright(F.col(sig_col), i * width).bitwiseAND(
             F.lit((1 << width) - 1)
         )
         bands.append(F.struct(F.lit(i).alias("band"), band_val.alias("val")))
-    exploded = sh.select(
-        F.col(id_col).alias("id"), F.col("simhash"), F.explode(F.array(*bands)).alias("bk")
-    ).select("id", "simhash", F.col("bk.band").alias("band"), F.col("bk.val").alias("val"))
+    exploded = sig.select(
+        F.col(id_col).alias("id"),
+        F.col(sig_col).alias("sig"),
+        F.explode(F.array(*bands)).alias("bk"),
+    ).select(
+        "id", "sig", F.col("bk.band").alias("band"), F.col("bk.val").alias("val")
+    )
     cand = (
         exploded.alias("x")
         .join(exploded.alias("y"), ["band", "val"])
         .filter(F.col("x.id") < F.col("y.id"))
         .select(
             F.col("x.id").alias("id_a"),
-            F.col("x.simhash").alias("sh_a"),
+            F.col("x.sig").alias("sh_a"),
             F.col("y.id").alias("id_b"),
-            F.col("y.simhash").alias("sh_b"),
+            F.col("y.sig").alias("sh_b"),
         )
         .distinct()
     )
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    out = cand.withColumn("hamming", ham).filter(F.col("hamming") <= max_hamming).select(
-        "id_a", "id_b", "hamming"
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
     )
+
+
+def simhash_pairs(
+    df: DataFrame, text_col: str, id_col: str, bits: int = 60, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, with a banded prefilter
+    (see :func:`banded_hamming_pairs` for the banding contract)."""
+    sh = simhash_table(df, text_col, id_col, bits).persist()
+    out = banded_hamming_pairs(sh, id_col, "simhash", bits, max_hamming)
     return _with_cached_deps(out, [sh])
 
 

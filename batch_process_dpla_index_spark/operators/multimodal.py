@@ -203,6 +203,123 @@ def resize_images(
     )
 
 
+PHASH_SCHEMA = "id bigint, phash bigint"
+
+
+def _fake_phash(data: bytes, bits: int) -> int:
+    """Deterministic blockhash over the raw byte stream — the codec-free
+    stand-in for a pixel aHash, replayable in ANSI SQL.
+
+    Contract (mirrored bit-for-bit by the DuckDB oracle):
+      byte i belongs to block floor(i * bits / n);
+      bit k = 1 iff block_sum_k * n > total_sum * block_count_k
+    — all-INTEGER arithmetic (no float thresholds), so the signature is
+    bit-exact cross-engine. Empty blob → 0. Like a real blockhash, a
+    brighter-than-average region sets its bit, so near-identical byte
+    streams land within a small Hamming distance. int64-safe for blobs
+    up to ~600 MB (255 * n * n < 2^63)."""
+    import numpy as np
+
+    n = len(data)
+    if n == 0:
+        return 0
+    arr = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
+    blk = (np.arange(n, dtype=np.int64) * bits) // n
+    # bincount weights are float64 — exact for sums < 2^53 (255·n needs
+    # n < 3.5e13, far past the int64 product bound documented above)
+    sums = np.bincount(blk, weights=arr, minlength=bits).astype(np.int64)
+    cnts = np.bincount(blk, minlength=bits).astype(np.int64)
+    total = int(arr.sum())
+    on = np.nonzero(sums * n > total * cnts)[0]
+    return int(sum(1 << int(k) for k in on))
+
+
+def _pil_phash(data: bytes, bits: int) -> int:  # pragma: no cover - codec absent
+    """Real aHash when a codec is present: grayscale-resize to a
+    rows×cols grid of exactly ``bits`` pixels (6×10 at the default 60),
+    bit k = pixel k (row-major) brighter than the grid mean — the same
+    strictly-greater tie rule as the fake contract."""
+    import io
+    import math
+
+    rows = int(math.floor(math.sqrt(bits)))
+    while bits % rows:
+        rows -= 1
+    cols = bits // rows
+    try:
+        with Image.open(io.BytesIO(data)) as im:
+            px = list(im.convert("L").resize((cols, rows)).getdata())
+    except Exception:
+        return 0
+    mean = sum(px) / len(px)
+    return sum(1 << k for k, p in enumerate(px) if p > mean)
+
+
+def phash_images(
+    df: DataFrame, bin_col: str, id_col: str, bits: int = 60
+) -> DataFrame:
+    """(id, phash): 60-bit perceptual signature per blob (aHash /
+    blockhash family) through the same Arrow-batched mapInPandas
+    plumbing as :func:`decode_images` — partition-preserving, no
+    shuffle, the decoder slot swaps PIL in when importable and the
+    deterministic byte-block fake otherwise (:func:`_fake_phash`).
+
+    60 bits, not 64: the signature must band and XOR as a POSITIVE
+    bigint on both engines (the same width rationale as
+    ``operators.dedup.simhash``, dedup.py)."""
+    import pandas as pd
+
+    if not 1 <= bits <= 60:
+        raise ValueError(
+            f"bits={bits}: phash supports 1..60 bits (the signature must "
+            "stay a positive int64 for banding/XOR on both engines)"
+        )
+    bin_name, id_name = bin_col, id_col
+    hasher = _pil_phash if _HAVE_PIL else _fake_phash
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sigs = [
+                hasher(bytes(raw) if raw is not None else b"", bits)
+                for raw in pdf[bin_name]
+            ]
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_name].to_numpy(),
+                    "phash": pd.Series(sigs, dtype="int64"),
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(bin_col)).mapInPandas(
+        _hash, PHASH_SCHEMA
+    )
+
+
+def image_near_dup(
+    df: DataFrame,
+    bin_col: str,
+    id_col: str,
+    bits: int = 60,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """(id_a, id_b, hamming): perceptual near-duplicate pairs over the
+    blob column — the image-dedup step every multimodal training
+    pipeline runs before training. One Arrow signature pass
+    (:func:`phash_images`), then the SAME banded-Hamming kernel the
+    text SimHash path uses (``operators.dedup.banded_hamming_pairs``):
+    pigeonhole band equi-join + exact popcount verify, shuffle bounded
+    by (bands × blobs), never all-pairs — so the 100 TB plan is the
+    proven simhash_pairs shape with the signature source swapped."""
+    from batch_process_dpla_index_spark.operators.dedup import (
+        _with_cached_deps,
+        banded_hamming_pairs,
+    )
+
+    sig = phash_images(df, bin_col, id_col, bits).persist()
+    out = banded_hamming_pairs(sig, "id", "phash", bits, max_hamming)
+    return _with_cached_deps(out, [sig])
+
+
 FRAME_SCHEMA = "id bigint, frame_no int, offset bigint, frame_digest string"
 
 

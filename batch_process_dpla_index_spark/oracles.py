@@ -978,6 +978,67 @@ SELECT doc_id,
 FROM scaled
 """
 
+def _image_near_dup_oracle(bits: int = 60, max_hamming: int = 3) -> str:
+    """Perceptual near-dup replay: the codec-free blockhash contract
+    (multimodal._fake_phash — byte i → block floor(i*bits/n), bit k set
+    iff block_sum*n > total*block_count, ALL integer arithmetic) then
+    the same pigeonhole banding as the simhash oracle. Byte values come
+    off hex(blob) via nibble lookups — ANSI-portable, no blob
+    subscripting."""
+    nbands = max_hamming + 1
+    width = bits // nbands
+    band_rows = ",\n        ".join(
+        f"({i}, (ph >> {i * width}) & {(1 << width) - 1})" for i in range(nbands)
+    )
+    nib = "strpos('0123456789ABCDEF', substr(h, CAST(2 * i + {off} AS INTEGER), 1)) - 1"
+    return rf"""
+WITH {_BLOB_CTE}, v AS (
+    SELECT doc_id + 1000000000 AS doc_id,
+           '\xFF\xD8\xFF\xE0'::BLOB || encode(coalesce(text, '')) AS blob
+    FROM documents WHERE doc_id % 5 = 0
+), corpus AS (
+    SELECT doc_id, blob FROM b UNION ALL SELECT doc_id, blob FROM v
+), hx AS (
+    SELECT doc_id, octet_length(blob) AS n, upper(hex(blob)) AS h FROM corpus
+), per AS (
+    SELECT doc_id, n,
+           (i * {bits}) // n AS blk,
+           CAST(16 * ({nib.format(off=1)})
+              + ({nib.format(off=2)}) AS BIGINT) AS v
+    FROM hx, UNNEST(range(n)) AS t(i)
+), blocks AS (
+    SELECT doc_id, n, blk, sum(v) AS bsum, count(*) AS bcnt
+    FROM per GROUP BY doc_id, n, blk
+), tot AS (
+    SELECT doc_id, sum(bsum) AS total FROM blocks GROUP BY doc_id
+), sig0 AS (
+    SELECT bl.doc_id,
+           CAST(sum(CASE WHEN bl.bsum * bl.n > t.total * bl.bcnt
+                         THEN CAST(1 AS BIGINT) << CAST(bl.blk AS INTEGER)
+                         ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS ph
+    FROM blocks bl JOIN tot t USING (doc_id)
+    GROUP BY bl.doc_id
+), sims AS (
+    SELECT corpus.doc_id AS id, CAST(coalesce(s.ph, 0) AS BIGINT) AS ph
+    FROM corpus LEFT JOIN sig0 s USING (doc_id)
+), exploded AS (
+    SELECT id, ph, band, val
+    FROM sims, LATERAL (VALUES
+        {band_rows}
+    ) AS bb(band, val)
+), cand AS (
+    SELECT DISTINCT x.id AS id_a, x.ph AS ph_a, y.id AS id_b, y.ph AS ph_b
+    FROM exploded x JOIN exploded y USING (band, val)
+    WHERE x.id < y.id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(ph_a, ph_b)) AS INTEGER) AS hamming
+FROM cand
+WHERE bit_count(xor(ph_a, ph_b)) <= {max_hamming}
+"""
+
+
+ORACLE_IMAGE_NEAR_DUP = _image_near_dup_oracle()
+
 ORACLE_MULTIMODAL_FRAMES = f"""
 WITH {_BLOB_CTE}
 SELECT doc_id,
@@ -4305,6 +4366,7 @@ ORACLES: dict[str, str] = {
     "multimodal_decode": ORACLE_MULTIMODAL_DECODE,
     "multimodal_resize": ORACLE_MULTIMODAL_RESIZE,
     "multimodal_frames": ORACLE_MULTIMODAL_FRAMES,
+    "image_near_dup": ORACLE_IMAGE_NEAR_DUP,
     "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
     "props_from_json": ORACLE_PROPS_FROM_JSON,
     "thumbnail_keys": ORACLE_THUMBNAIL_KEYS,

@@ -862,6 +862,32 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select(F.col("id").alias("doc_id"), "frame_no", "offset")
 
 
+def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate pairs over the blob column (r13): the
+    image-dedup step every multimodal training pipeline runs. The
+    corpus is the document blobs plus a RE-CONTAINERED variant of every
+    5th doc (same payload behind a JPEG magic, id offset 10^9) — the
+    canonical scenario perceptual dedup exists for: byte-level digests
+    see two distinct files, the content hash sees one image. One Arrow
+    signature pass (60-bit blockhash, all-integer threshold arithmetic
+    so the DuckDB oracle replays it bit-exactly; PIL slots into the
+    hasher when present) into the SAME banded-Hamming kernel as
+    simhash_pairs — pigeonhole band equi-join + popcount verify, never
+    all-pairs."""
+    from batch_process_dpla_index_spark.operators.multimodal import image_near_dup
+
+    docs = load_table(spark, sf_dir, "documents")
+    variants = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + F.lit(1_000_000_000)).alias("doc_id"),
+        F.concat(
+            F.lit(bytes.fromhex("FFD8FFE0")),
+            F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8"),
+        ).alias("blob"),
+    )
+    corpus = _docs_with_blob(spark, sf_dir).unionByName(variants)
+    return image_near_dup(corpus, "blob", "doc_id", bits=60, max_hamming=3)
+
+
 def q_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow/BLAS exact top-k (same results as cosine_topk, the
     100 TB-safe physical plan: per-batch matmul + local top-k)."""
@@ -3301,6 +3327,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #    verify both SFs + pin + probe same-round), then the r10-green
     #    cohort's 14-entry overflow below, then the r11-green cohort
     #    (next-stalest; last driver-green in CORRECTNESS_r11). --
+    "image_near_dup": q_image_near_dup,
     "udtf_sentences": q_udtf_sentences,
     "segment_with_f_orders": q_segment_with_f_orders,
     "customers_without_orders": q_customers_without_orders,

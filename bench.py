@@ -20,6 +20,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main():
+    # host-contention receipt (VERDICT r12 #5): two rounds running the
+    # committed bench carried flat ~1.25-1.4x inflation across untouched
+    # queries while the clean-host evidence lived only in BASELINE.md
+    # prose — record 1-min loadavg at start AND end IN the JSON so the
+    # canonical artifact self-documents whether the host was idle
+    try:
+        load_start = round(os.getloadavg()[0], 2)
+    except OSError:
+        load_start = None
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
         sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
@@ -217,12 +226,21 @@ def main():
         if name not in warm_ratios:
             warm_over_2[name] = None
 
+    try:
+        load_end = round(os.getloadavg()[0], 2)
+    except OSError:
+        load_end = None
     out = {
         "metric": "total_query_wall_clock",
         "value": total,
         "unit": "sec",
         "queries": times,
         "sf": sf,
+        # contention receipt: 1-min loadavg before warmup / after the
+        # last timed run. Note load_end on a HEALTHY bench reads ~the
+        # core count (this process IS the load); the signal is
+        # load_start >> 0 or load_end >> n_cpus — competing work
+        "loadavg": {"start": load_start, "end": load_end},
         # warm adjudication record: 4 same-process re-run times and the
         # min-based ratio for every query whose first-run ratio was >2x
         "warm_times": warm_times,

@@ -143,6 +143,65 @@ def test_sample_frames_fanout(spark):
     assert rows[0]["frame_digest"] == expected
 
 
+def test_phash_fake_contract(spark):
+    """The codec-free blockhash contract: byte i → block floor(i*60/n),
+    bit k set iff block_sum*n > total*block_count — verified against a
+    direct Python replay, plus the degenerate edges (empty/NULL blob →
+    0, constant bytes → 0: strictly-greater never fires on ties)."""
+    import pytest
+
+    from batch_process_dpla_index_spark.operators.multimodal import (
+        _fake_phash,
+        phash_images,
+    )
+
+    payload = b"\x89PNG" + bytes((i * 37) % 251 for i in range(300))
+    df = spark.createDataFrame(
+        [(1, payload), (2, None), (3, b""), (4, b"\x55" * 100)],
+        "id BIGINT, blob BINARY",
+    )
+    got = {r["id"]: r["phash"] for r in phash_images(df, "blob", "id").collect()}
+    n = len(payload)
+    total = sum(payload)
+    expected = 0
+    for k in range(60):
+        byts = [payload[i] for i in range(n) if (i * 60) // n == k]
+        if byts and sum(byts) * n > total * len(byts):
+            expected |= 1 << k
+    assert got[1] == expected == _fake_phash(payload, 60)
+    assert got[2] == 0 and got[3] == 0 and got[4] == 0
+    assert 0 < got[1] < (1 << 60)
+    with pytest.raises(ValueError, match="1..60"):
+        phash_images(df, "blob", "id", bits=64)
+
+
+def test_image_near_dup_recontainered_twin(spark):
+    """A re-containered copy (same payload, different magic) must land
+    within the hamming budget and pair with its original; unrelated
+    blobs must not pair. Also proves the banded prefilter is lossless
+    at 60 bits / 4 bands: the pair's exact hamming ≤ 3 implies band
+    agreement by pigeonhole."""
+    from batch_process_dpla_index_spark.operators.multimodal import image_near_dup
+
+    payload = bytes((i * 91) % 256 for i in range(400))
+    other = bytes((i * 53 + 17) % 256 for i in range(350))
+    df = spark.createDataFrame(
+        [
+            (1, b"\x89PNG" + payload),
+            (1_000_000_001, b"\xff\xd8\xff\xe0" + payload),  # re-containered
+            (2, b"GIF8" + other),
+        ],
+        "id BIGINT, blob BINARY",
+    )
+    out = image_near_dup(df, "blob", "id", bits=60, max_hamming=8)
+    rows = out.collect()
+    unpersist_deps(out)
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in rows}
+    assert (1, 1_000_000_001) in pairs
+    assert all(2 not in p for p in pairs)
+    assert all(h <= 8 for h in pairs.values())
+
+
 def test_connected_components_fixpoint(spark):
     """Chain + triangle + isolated pair → exact clusters."""
     from batch_process_dpla_index_spark.operators.dedup import (
