@@ -862,20 +862,14 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select(F.col("id").alias("doc_id"), "frame_no", "offset")
 
 
-def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Perceptual near-duplicate pairs over the blob column (r13): the
-    image-dedup step every multimodal training pipeline runs. The
-    corpus is the document blobs plus a RE-CONTAINERED variant of every
-    5th doc (same payload behind a JPEG magic, id offset 10^9) — the
-    canonical scenario perceptual dedup exists for: byte-level digests
-    see two distinct files, the content hash sees one image. One Arrow
-    signature pass (60-bit blockhash, all-integer threshold arithmetic
-    so the DuckDB oracle replays it bit-exactly; PIL slots into the
-    hasher when present) into the SAME banded-Hamming kernel as
-    simhash_pairs — pigeonhole band equi-join + popcount verify, never
-    all-pairs."""
-    from batch_process_dpla_index_spark.operators.multimodal import image_near_dup
-
+def _blob_corpus_with_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document blobs plus a RE-CONTAINERED variant of every 5th doc
+    (same payload behind a JPEG magic, id offset 10^9) — the canonical
+    scenario perceptual dedup exists for: byte-level digests see two
+    distinct files, the content hash sees one image. ONE constructor
+    shared by q_image_near_dup and q_image_dedup_survivors so the two
+    stages of the pipeline can't drift from each other (or from the
+    oracle twin's variant CTE)."""
     docs = load_table(spark, sf_dir, "documents")
     variants = docs.filter(F.col("doc_id") % 5 == 0).select(
         (F.col("doc_id") + F.lit(1_000_000_000)).alias("doc_id"),
@@ -884,8 +878,47 @@ def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8"),
         ).alias("blob"),
     )
-    corpus = _docs_with_blob(spark, sf_dir).unionByName(variants)
+    return _docs_with_blob(spark, sf_dir).unionByName(variants)
+
+
+def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate pairs over the blob column (r13): the
+    image-dedup step every multimodal training pipeline runs, over the
+    re-containered-variant corpus (_blob_corpus_with_variants). One
+    Arrow signature pass (60-bit blockhash, all-integer threshold
+    arithmetic so the DuckDB oracle replays it bit-exactly; PIL slots
+    into the hasher when present) into the SAME banded-Hamming kernel
+    as simhash_pairs — pigeonhole band equi-join + popcount verify,
+    never all-pairs."""
+    from batch_process_dpla_index_spark.operators.multimodal import image_near_dup
+
+    corpus = _blob_corpus_with_variants(spark, sf_dir)
     return image_near_dup(corpus, "blob", "doc_id", bits=60, max_hamming=3)
+
+
+def q_image_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full image-dedup pipeline a multimodal training run
+    materializes (r13): perceptual pairs → connected components →
+    keep the min-id representative per cluster plus all unpaired
+    blobs. Completes the chain image_near_dup starts, through the
+    same checkpointed min-label-propagation fixpoint the text dedup
+    family uses; the oracle replays it with a recursive
+    transitive-closure CTE."""
+    from batch_process_dpla_index_spark.operators.dedup import (
+        carry_deps,
+        dedup_survivors,
+        unpersist_deps,
+    )
+    from batch_process_dpla_index_spark.operators.multimodal import image_near_dup
+
+    corpus = _blob_corpus_with_variants(spark, sf_dir)
+    pairs = image_near_dup(corpus, "blob", "doc_id", bits=60, max_hamming=3)
+    kept = dedup_survivors(corpus.select("doc_id"), pairs, "doc_id")
+    # the survivors frame carries both the pair signatures and the CC
+    # checkpoint handle; release the signature cache eagerly and ride
+    # the rest through the select
+    unpersist_deps(pairs)
+    return carry_deps(kept.select("doc_id"), kept)
 
 
 def q_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3323,11 +3356,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fingerprint_clusters": q_fingerprint_clusters,
     "mq_contributor_scores": q_mq_contributor_scores,
     # ---- driver-window boundary (entry 50 above this line) ----
-    # -- staged r14 window: any r13 debuts first (staging discipline:
-    #    verify both SFs + pin + probe same-round), then the r10-green
+    # -- staged r14 window: the r13 debuts first (image_near_dup +
+    #    image_dedup_survivors — verified both SFs, pinned, probed
+    #    same-round per the staging discipline), then the r10-green
     #    cohort's 14-entry overflow below, then the r11-green cohort
     #    (next-stalest; last driver-green in CORRECTNESS_r11). --
     "image_near_dup": q_image_near_dup,
+    "image_dedup_survivors": q_image_dedup_survivors,
     "udtf_sentences": q_udtf_sentences,
     "segment_with_f_orders": q_segment_with_f_orders,
     "customers_without_orders": q_customers_without_orders,
