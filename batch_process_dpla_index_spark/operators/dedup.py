@@ -673,10 +673,12 @@ def banded_hamming_pairs(
     ``bits // (max_hamming + 1)`` bits; by pigeonhole, any pair within
     the distance budget agrees exactly on >= 1 band → equi-join per
     band, then exact popcount verification. The prefilter is LOSSLESS
-    when the bands tile all ``bits`` (e.g. 60 bits / 4 bands); with a
-    remainder, the top ``bits % nbands`` bits are verified but never
-    banded (documented recall contract, mirrored by the oracle). Same
-    plan scales to 100 TB: shuffle on (band, val), no cross join.
+    for ANY ``bits``: with a remainder, the top ``bits % nbands`` bits
+    are never banded, but differences there still consume the distance
+    budget, so a within-budget pair has at most max_hamming differing
+    BANDED bits — fewer than the nbands bands, hence >= 1 exact band
+    agreement regardless. Same plan scales to 100 TB: shuffle on
+    (band, val), no cross join.
 
     ``sig`` is read twice (both join sides) — callers persist it and
     ride the handle via ``_with_cached_deps``.

@@ -217,12 +217,21 @@ def _fake_phash(data: bytes, bits: int) -> int:
     bit-exact cross-engine. Empty blob → 0. Like a real blockhash, a
     brighter-than-average region sets its bit, so near-identical byte
     streams land within a small Hamming distance. int64-safe for blobs
-    up to ~600 MB (255 * n * n < 2^63)."""
+    under ~190 MB: the threshold products are bounded by 255·n·n
+    (worst case ONE block holds all n bytes), which crosses 2^63 at
+    n = √(2^63/255) ≈ 1.9e8 — guarded loudly, because a silent numpy
+    wraparound would flip signature bits with no cross-engine error."""
     import numpy as np
 
     n = len(data)
     if n == 0:
         return 0
+    if n > 190_000_000:
+        raise ValueError(
+            f"blob of {n} bytes exceeds the phash int64-safe bound "
+            "(~190 MB: 255*n*n must stay under 2^63); chunk or "
+            "downsample the blob first"
+        )
     arr = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
     blk = (np.arange(n, dtype=np.int64) * bits) // n
     # bincount weights are float64 — exact for sums < 2^53 (255·n needs

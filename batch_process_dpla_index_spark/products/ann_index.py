@@ -42,6 +42,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from batch_process_dpla_index_spark.io.manifest import read_manifest, write_manifest
+from batch_process_dpla_index_spark.products.index_tombstones import (
+    clear_tombstones,
+)
 from batch_process_dpla_index_spark.operators.similarity import (
     _imi_probe_split,
     ivf_cells_pandas,
@@ -252,9 +255,7 @@ def build_ann_index(
     )
     # a rebuild into a dir that carried tombstones must not inherit
     # them — build overwrites the corpus, so the delete set is spent
-    import shutil
-
-    shutil.rmtree(os.path.join(index_dir, "tombstones"), ignore_errors=True)
+    clear_tombstones(index_dir)
     # metadata artifacts go through the ARROW createDataFrame path
     # (relational._arrow_local_frame → JVM LocalRelation): a
     # list-of-tuples frame plans its write over a Python-pickled RDD
@@ -688,6 +689,17 @@ def rebuild_ann_index(
         "__rk", F.monotonically_increasing_id()
     ).persist()
     n_vecs = keyed.count()
+    if n_vecs == 0:
+        # a rebuild of a fully-tombstoned index would swap in an
+        # UNREADABLE empty cells dataset and then delete the only
+        # remaining copy — the same refusal compact_index_tombstones
+        # makes, on the exact path its error message recommends
+        keyed.unpersist()
+        raise ValueError(
+            "rebuild would produce an empty index (every stored row is "
+            "tombstoned); an empty cells dataset is unreadable — delete "
+            "the index directory instead"
+        )
     new_cells = (
         int(n_cells) if n_cells is not None
         else max(16, n_vecs // design_point)
@@ -814,7 +826,7 @@ def rebuild_ann_index(
         # coarse/fine via the k_f gate, so the stale flat artifact is
         # dead weight — drop it
         shutil.rmtree(os.path.join(index_dir, "centroids"), ignore_errors=True)
-    shutil.rmtree(os.path.join(index_dir, "tombstones"), ignore_errors=True)
+    clear_tombstones(index_dir)
     return manifest
 
 

@@ -135,6 +135,50 @@ def _bench_ann_index_imi(spark: SparkSession, sf_dir: str, work_dir: str) -> int
     return n
 
 
+def _bench_index_lifecycle(spark: SparkSession, sf_dir: str, work_dir: str) -> int:
+    """Full index-maintenance lifecycle under the 2× gate (r13): build
+    → append a second ingest batch under the pinned quantizer →
+    takedown-delete (tombstoned serve through the anti-join) → forced
+    compaction → serve on the survivors. These are the paths a 100 TB
+    index pays for continuously between rebuilds; timing them composed
+    catches regressions no single-stage bench sees (e.g. a compaction
+    that stops preserving the cell layout would surface here as a
+    slower post-compaction serve)."""
+    from batch_process_dpla_index_spark.products.ann_index import (
+        ann_query_indexed,
+        append_to_ann_index,
+        build_ann_index,
+        compact_ann_index,
+        delete_from_ann_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = os.path.join(work_dir, "ann_lifecycle")
+    base = emb.filter(F.col("vec_id") % 10 < 8)
+    extra = emb.filter(F.col("vec_id") % 10 >= 8)
+    build_ann_index(
+        base, "vec_id", "embedding", idx, dim=64, n_cells=16, kmeans_iters=3
+    )
+    append_to_ann_index(
+        spark, extra, "vec_id", "embedding", idx, ingest_batch=1
+    )
+    # takedown every 7th id; threshold > 1 defers compaction so the
+    # tombstoned-serve path is what gets timed next
+    doomed = emb.filter(F.col("vec_id") % 7 == 0).select("vec_id")
+    delete_from_ann_index(
+        spark, idx, doomed, id_col="vec_id", compact_threshold=2.0
+    )
+    queries = emb.orderBy("vec_id").limit(25)
+    n = ann_query_indexed(
+        spark, queries, "vec_id", "embedding", idx, k=5, n_probe=4
+    ).count()
+    compact_ann_index(spark, idx)
+    n += ann_query_indexed(
+        spark, queries, "vec_id", "embedding", idx, k=5, n_probe=4
+    ).count()
+    return n
+
+
 def _bench_compaction(spark: SparkSession, sf_dir: str, work_dir: str) -> int:
     """Small-file maintenance: fragment the events table into 64 files,
     then compact to 8 MiB bins (plan + one-shuffle rewrite)."""
@@ -282,6 +326,7 @@ PRODUCT_BENCHES: dict[str, Callable[[SparkSession, str, str], int]] = {
     "product_dedup_index": _bench_dedup_index,
     "product_ann_index": _bench_ann_index,
     "product_ann_index_imi": _bench_ann_index_imi,
+    "product_index_lifecycle": _bench_index_lifecycle,
     "product_compaction": _bench_compaction,
     "product_snapshots": _bench_snapshots,
     "product_merge": _bench_merge,

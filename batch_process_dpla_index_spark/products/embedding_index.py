@@ -61,6 +61,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from batch_process_dpla_index_spark.io.manifest import read_manifest, write_manifest
+from batch_process_dpla_index_spark.products.index_tombstones import (
+    clear_tombstones,
+)
 from batch_process_dpla_index_spark.operators.similarity import (
     ivf_cells_pandas,
     match_assigned_against_stored,
@@ -206,9 +209,7 @@ def build_embedding_index(
     )
     # a rebuild into a dir that carried tombstones must not inherit
     # them — build overwrites the corpus, so the delete set is spent
-    import shutil
-
-    shutil.rmtree(os.path.join(index_dir, "tombstones"), ignore_errors=True)
+    clear_tombstones(index_dir)
     # count from the freshly written parquet footers — recounting the
     # caller's (possibly derived) frame would re-run its whole lineage
     n_vecs = (
@@ -370,6 +371,17 @@ def rebuild_embedding_index(
         .persist()
     )
     n_vecs = keyed.count()
+    if n_vecs == 0:
+        # a rebuild of a fully-tombstoned index would swap in an
+        # UNREADABLE empty cells dataset and then delete the only
+        # remaining copy — the same refusal compact_index_tombstones
+        # makes, on the exact path its error message recommends
+        keyed.unpersist()
+        raise ValueError(
+            "rebuild would produce an empty index (every stored row is "
+            "tombstoned); an empty cells dataset is unreadable — delete "
+            "the index directory instead"
+        )
     new_cells = (
         int(n_cells) if n_cells is not None
         else max(16, n_vecs // design_point)
@@ -419,7 +431,7 @@ def rebuild_embedding_index(
     # the rebuilt dataset holds only survivors — the delete set is
     # spent (cleared LAST: a crash before this line leaves a redundant
     # anti-join against already-removed ids, a no-op)
-    shutil.rmtree(os.path.join(index_dir, "tombstones"), ignore_errors=True)
+    clear_tombstones(index_dir)
     return manifest
 
 

@@ -8,8 +8,11 @@ to an index artifact:
 
 - **delete** = APPEND the ids to a small ``tombstones`` parquet
   dataset under ``index_dir``, each id stamped with the index's max
-  ``ingest_batch`` at delete time (the WATERMARK). O(|ids|) work —
-  no corpus pass, no cell rewrite.
+  ``ingest_batch`` at delete time (the WATERMARK). The append is
+  O(|ids|) — no cell rewrite; the default manifest recount +
+  threshold check is ONE column-pruned (id, ingest_batch) aggregate,
+  skippable entirely with ``recount=False`` for the pure-O(|ids|)
+  hot path.
 - **serve** = every stored-cells read anti-joins the tombstone set:
   ``stored.id == t_id AND stored.ingest_batch <= t_max_batch``.
   The watermark makes append-after-delete well defined: a delete
@@ -52,6 +55,17 @@ def _tombstones_dir(index_dir: str) -> str:
 
 def has_tombstones(index_dir: str) -> bool:
     return os.path.isdir(_tombstones_dir(index_dir))
+
+
+def clear_tombstones(index_dir: str) -> None:
+    """Remove the tombstone set (idempotent) — called by build/rebuild
+    in both index products so a fresh or rewritten cells dataset never
+    inherits a stale delete set. THE one place that knows the layout:
+    the products must not hand-roll the path (a layout change would
+    silently miss their copies)."""
+    import shutil
+
+    shutil.rmtree(_tombstones_dir(index_dir), ignore_errors=True)
 
 
 def read_tombstones(spark: SparkSession, index_dir: str) -> DataFrame | None:
@@ -114,6 +128,7 @@ def delete_from_index(
     id_col: str | None = None,
     compact_threshold: float = 0.2,
     cell_partitions: int = 32,
+    recount: bool = True,
 ) -> dict[str, str]:
     """Tombstone a set of ids out of a persisted index and update the
     manifest (live ``Record count`` + ``Tombstone count``). When the
@@ -124,6 +139,17 @@ def delete_from_index(
     ``ids``: a DataFrame (``id_col`` names the column; default its
     first) or an iterable of ints. ``id_field`` is the stored cells'
     id column ("id" for ann_index, "c_id" for embedding_index).
+
+    Cost: the tombstone APPEND is O(|ids|) — no corpus pass. The
+    manifest recount + threshold check is ONE column-pruned aggregate
+    over the stored (id, ingest_batch) columns (a single job: total
+    and live counted in the same pass via a left join against the
+    delete-proportional tombstone set). For the 100 TB hot path where
+    even that scan per takedown is unwanted, ``recount=False`` skips
+    the count AND the threshold check entirely (pure O(|ids|)); the
+    manifest then records ``Tombstone count = stale`` and compaction
+    is driven explicitly (the occupancy/report job, or a forced
+    ``compact``).
 
     Returns the updated manifest."""
     cells_dir = os.path.join(index_dir, "cells")
@@ -143,8 +169,28 @@ def delete_from_index(
     )
 
     manifest = read_manifest(index_dir)
-    total = stored.count()
-    live = apply_tombstones(spark, index_dir, stored, id_field).count()
+    if not recount:
+        manifest["Tombstone count"] = "stale"
+        write_manifest(manifest, index_dir)
+        return manifest
+    tombs = read_tombstones(spark, index_dir)
+    batch = (
+        F.col("ingest_batch")
+        if "ingest_batch" in stored.columns
+        else F.lit(0)
+    )
+    cond = (stored[id_field] == tombs["t_id"]) & (
+        batch <= tombs["t_max_batch"]
+    )
+    counts = (
+        stored.join(tombs, cond, "left")
+        .agg(
+            F.count(F.lit(1)).alias("total"),
+            F.count(F.when(tombs["t_id"].isNull(), 1)).alias("live"),
+        )
+        .first()
+    )
+    total, live = int(counts["total"]), int(counts["live"])
     dead = total - live
     if total and dead and dead / total >= compact_threshold:
         return compact_index_tombstones(
@@ -188,7 +234,8 @@ def compact_index_tombstones(
         live.unpersist()
         raise ValueError(
             "compaction would remove every stored row; an empty index "
-            "is unreadable — rebuild it instead"
+            "is unreadable (rebuild refuses the same way) — delete the "
+            "index directory instead"
         )
     shutil.rmtree(tmp_dir, ignore_errors=True)
     writer = live

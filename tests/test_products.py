@@ -846,6 +846,91 @@ def test_embedding_index_rebuild_duplicate_ids_across_batches(spark, tmp_path):
     assert dup_rows.count() == 10
 
 
+def test_rebuild_refuses_fully_tombstoned_index(spark, tmp_path):
+    """Rebuilding an index whose every row is tombstoned must refuse
+    BEFORE the destructive swap (review r13): the swap would install an
+    unreadable empty cells dataset and then delete the only remaining
+    copy — permanent data loss on exactly the path compact's own
+    refusal used to point at. Both index products share the guard."""
+    import pytest
+
+    from batch_process_dpla_index_spark.products.ann_index import (
+        build_ann_index,
+        delete_from_ann_index,
+        rebuild_ann_index,
+    )
+    from batch_process_dpla_index_spark.products.embedding_index import (
+        build_embedding_index,
+        delete_from_embedding_index,
+        rebuild_embedding_index,
+    )
+    from batch_process_dpla_index_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    corpus = emb.orderBy("vec_id").limit(40)
+    all_ids = [r["vec_id"] for r in corpus.select("vec_id").collect()]
+
+    idx_a = str(tmp_path / "ann_all_dead")
+    build_ann_index(corpus, "vec_id", "embedding", idx_a, dim=64,
+                    n_cells=4, learned=False)
+    delete_from_ann_index(spark, idx_a, all_ids, compact_threshold=2.0)
+    with pytest.raises(ValueError, match="empty index"):
+        rebuild_ann_index(spark, idx_a)
+    # the cells dataset survived the refusal (nothing was swapped)
+    assert spark.read.parquet(f"{idx_a}/cells").count() == 40
+
+    idx_e = str(tmp_path / "emb_all_dead")
+    build_embedding_index(corpus, "vec_id", "embedding", idx_e, dim=64,
+                          n_cells=4)
+    delete_from_embedding_index(spark, idx_e, all_ids, compact_threshold=2.0)
+    with pytest.raises(ValueError, match="empty index"):
+        rebuild_embedding_index(spark, idx_e)
+    assert spark.read.parquet(f"{idx_e}/cells").count() == 40
+
+
+def test_delete_recount_false_is_id_proportional(spark, tmp_path):
+    """recount=False (review r13): the delete appends tombstones and
+    returns without any corpus-proportional count job; the manifest
+    marks the count stale, the serve path still excludes the ids, and
+    a later counted delete or compaction restores exact counts."""
+    from batch_process_dpla_index_spark.io.manifest import read_manifest
+    from batch_process_dpla_index_spark.products.ann_index import (
+        ann_query_indexed,
+        build_ann_index,
+        compact_ann_index,
+    )
+    from batch_process_dpla_index_spark.products.index_tombstones import (
+        delete_from_index,
+    )
+    from batch_process_dpla_index_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    corpus = emb.orderBy("vec_id").limit(60)
+    queries = emb.orderBy("vec_id").limit(5)
+    idx = str(tmp_path / "ann_nocount")
+    build_ann_index(corpus, "vec_id", "embedding", idx, dim=64,
+                    n_cells=4, learned=False)
+    n0 = int(read_manifest(idx)["Record count"])
+
+    served = ann_query_indexed(
+        spark, queries, "vec_id", "embedding", idx, k=3, n_probe=4
+    )
+    doomed = sorted({r["neighbor_id"] for r in served.collect()})[:3]
+    m = delete_from_index(spark, idx, doomed, "id", recount=False)
+    assert m["Tombstone count"] == "stale"
+    assert m["Record count"] == str(n0)  # untouched, documented stale
+    after = {r["neighbor_id"] for r in ann_query_indexed(
+        spark, queries, "vec_id", "embedding", idx, k=3, n_probe=4
+    ).collect()}
+    assert after.isdisjoint(doomed)
+    # compaction restores exact bookkeeping
+    m2 = compact_ann_index(spark, idx)
+    assert int(m2["Record count"]) == n0 - len(doomed)
+    assert m2["Tombstone count"] == "0"
+
+
 def test_ann_index_delete_tombstone_lifecycle(spark, tmp_path, capsys):
     """Takedown path (VERDICT r12 #2): delete tombstones ids without a
     cell rewrite; every serve route (IVF query, PQ/ADC query, recall
