@@ -113,6 +113,11 @@ def main(argv: list[str] | None = None) -> int:
                    help="delete: auto-compact once this fraction of "
                         "stored rows is tombstoned (>1 defers "
                         "indefinitely, 0 forces)")
+    s.add_argument("--no-recount", action="store_true",
+                   help="delete: skip the manifest recount + threshold "
+                        "check (pure O(|ids|) — the 100 TB hot path; "
+                        "Tombstone count reads 'stale' until the next "
+                        "counted delete or compaction)")
     s.add_argument("--rebuild-cells", type=int, default=None,
                    help="rebuild: new cell count (default: resize to "
                         "the design point)")
@@ -129,6 +134,9 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--compact-threshold", type=float, default=0.2,
                    help="delete: auto-compact once this fraction of "
                         "stored rows is tombstoned")
+    s.add_argument("--no-recount", action="store_true",
+                   help="delete: skip the manifest recount + threshold "
+                        "check (pure O(|ids|))")
     s.add_argument("--id-col", default="vec_id")
     s.add_argument("--vec-col", default="embedding")
     s.add_argument("--dim", type=int, default=64)
@@ -369,6 +377,7 @@ def main(argv: list[str] | None = None) -> int:
                 manifest = ann_index.delete_from_ann_index(
                     spark, args.index_dir, vecs, id_col=args.id_col,
                     compact_threshold=args.compact_threshold,
+                    recount=not args.no_recount,
                 )
                 print(
                     f"Tombstoned {vecs.count()} ids; live records: "
@@ -443,6 +452,7 @@ def main(argv: list[str] | None = None) -> int:
                 manifest = embedding_index.delete_from_embedding_index(
                     spark, args.index_dir, ids, id_col=args.id_col,
                     compact_threshold=args.compact_threshold,
+                    recount=not args.no_recount,
                 )
                 print(
                     f"Tombstoned {ids.count()} ids; live records: "

@@ -73,6 +73,7 @@ def delete_from_ann_index(
     id_col: str | None = None,
     compact_threshold: float = 0.2,
     cell_partitions: int = 32,
+    recount: bool = True,
 ) -> dict[str, str]:
     """Tombstone ids out of the index (takedown/opt-out) — O(|ids|)
     work, no cell rewrite until the tombstoned fraction reaches
@@ -90,6 +91,7 @@ def delete_from_ann_index(
         spark, index_dir, ids, "id", id_col=id_col,
         compact_threshold=compact_threshold,
         cell_partitions=cell_partitions,
+        recount=recount,
     )
 
 

@@ -89,6 +89,7 @@ def delete_from_embedding_index(
     ids,
     id_col: str | None = None,
     compact_threshold: float = 0.2,
+    recount: bool = True,
 ) -> dict[str, str]:
     """Tombstone ids out of the index (takedown/opt-out) — O(|ids|)
     work, no cell rewrite until the tombstoned fraction reaches
@@ -103,6 +104,7 @@ def delete_from_embedding_index(
     return delete_from_index(
         spark, index_dir, ids, "c_id", id_col=id_col,
         compact_threshold=compact_threshold,
+        recount=recount,
     )
 
 
