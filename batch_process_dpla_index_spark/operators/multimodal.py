@@ -329,6 +329,110 @@ def image_near_dup(
     return _with_cached_deps(out, [sig])
 
 
+FRAME_PHASH_SCHEMA = "id bigint, frame_no int, phash bigint"
+
+
+def frame_phash(
+    df: DataFrame,
+    bin_col: str,
+    id_col: str,
+    frame_size: int = 64,
+    stride: int = 1,
+    bits: int = 60,
+) -> DataFrame:
+    """(id, frame_no, phash): per-frame perceptual fingerprint — the
+    video-dedup building block (shot fingerprinting): every
+    ``stride``-th full ``frame_size``-byte window gets the SAME
+    blockhash signature contract as :func:`phash_images`, applied to
+    the window bytes (a real video path decodes the frame and aHashes
+    the pixels in the same slot). 1 → N fan-out inside mapInPandas,
+    partition-preserving, no shuffle; trailing partial windows are
+    never hashed (the :func:`sample_frames` full-frame convention), so
+    the per-window length is constant and the oracle replay needs no
+    ragged-tail arithmetic."""
+    import pandas as pd
+
+    if not 1 <= bits <= 60:
+        raise ValueError(
+            f"bits={bits}: phash supports 1..60 bits (the signature must "
+            "stay a positive int64 for joining/XOR on both engines)"
+        )
+    bin_name, id_name = bin_col, id_col
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_id, out_no, out_ph = [], [], []
+            for rid, raw in zip(pdf[id_name], pdf[bin_name]):
+                data = bytes(raw) if raw is not None else b""
+                for frame_no in range(0, len(data) // frame_size, stride):
+                    off = frame_no * frame_size
+                    out_id.append(rid)
+                    out_no.append(frame_no)
+                    out_ph.append(
+                        _fake_phash(data[off : off + frame_size], bits)
+                    )
+            yield pd.DataFrame(
+                {
+                    "id": pd.Series(out_id, dtype="int64"),
+                    "frame_no": pd.Series(out_no, dtype="int32"),
+                    "phash": pd.Series(out_ph, dtype="int64"),
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(bin_col)).mapInPandas(
+        _hash, FRAME_PHASH_SCHEMA
+    )
+
+
+def video_near_dup(
+    df: DataFrame,
+    bin_col: str,
+    id_col: str,
+    frame_size: int = 64,
+    stride: int = 1,
+    bits: int = 60,
+    min_shared: int = 2,
+    max_postings: int = 64,
+) -> DataFrame:
+    """(id_a, id_b, n_shared): video-style near-duplicate pairs — two
+    blobs pair when they share at least ``min_shared`` distinct frame
+    fingerprints (the standard shot-fingerprint dedup: a re-containered
+    or trimmed copy keeps most frame windows byte-identical even when
+    whole-file digests differ). One fan-out signature pass
+    (:func:`frame_phash`), distinct (id, phash), then an exact
+    equi-join on the signature with a posting cap: fingerprints shared
+    by more than ``max_postings`` blobs are dropped BEFORE the join
+    (the minhash_lsh_pairs convention — a degenerate constant frame,
+    e.g. zero-padding, would otherwise make one bucket quadratic).
+    Shuffles on the signature value; never all-pairs."""
+    sigs = (
+        frame_phash(df, bin_col, id_col, frame_size, stride, bits)
+        .select("id", "phash")
+        .distinct()
+        .persist()
+    )
+    keep = (
+        sigs.groupBy("phash")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") <= max_postings)
+        .select("phash")
+    )
+    s = sigs.join(keep, "phash")
+    pairs = (
+        s.alias("x")
+        .join(s.alias("y"), "phash")
+        .filter(F.col("x.id") < F.col("y.id"))
+        .groupBy(
+            F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    from batch_process_dpla_index_spark.operators.dedup import _with_cached_deps
+
+    return _with_cached_deps(pairs, [sigs])
+
+
 FRAME_SCHEMA = "id bigint, frame_no int, offset bigint, frame_digest string"
 
 

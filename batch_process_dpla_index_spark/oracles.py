@@ -1039,6 +1039,64 @@ WHERE bit_count(xor(ph_a, ph_b)) <= {max_hamming}
 
 ORACLE_IMAGE_NEAR_DUP = _image_near_dup_oracle()
 
+def _video_near_dup_oracle(
+    frame_size: int = 64,
+    bits: int = 60,
+    min_shared: int = 2,
+    max_postings: int = 64,
+) -> str:
+    """Frame-fingerprint near-dup replay (multimodal.video_near_dup,
+    stride=1): per full frame_size-byte window, the blockhash contract
+    with constant window length (blk = (j*bits)//frame_size over the
+    within-frame offset j) — then distinct (id, ph), the posting cap,
+    and the shared-frame pair count. Same nibble-lookup byte decode as
+    the image oracle."""
+    nib = "strpos('0123456789ABCDEF', substr(h, CAST(2 * i + {off} AS INTEGER), 1)) - 1"
+    return rf"""
+WITH {_BLOB_CTE}, v AS (
+    SELECT doc_id + 1000000000 AS doc_id,
+           '\xFF\xD8\xFF\xE0'::BLOB || encode(coalesce(text, '')) AS blob
+    FROM documents WHERE doc_id % 5 = 0
+), corpus AS (
+    SELECT doc_id, blob FROM b UNION ALL SELECT doc_id, blob FROM v
+), hx AS (
+    SELECT doc_id, octet_length(blob) AS n, upper(hex(blob)) AS h FROM corpus
+), per AS (
+    SELECT doc_id,
+           i // {frame_size} AS frame,
+           ((i % {frame_size}) * {bits}) // {frame_size} AS blk,
+           CAST(16 * ({nib.format(off=1)})
+              + ({nib.format(off=2)}) AS BIGINT) AS v
+    FROM hx, UNNEST(range((n // {frame_size}) * {frame_size})) AS t(i)
+), blocks AS (
+    SELECT doc_id, frame, blk, sum(v) AS bsum, count(*) AS bcnt
+    FROM per GROUP BY doc_id, frame, blk
+), tot AS (
+    SELECT doc_id, frame, sum(bsum) AS total FROM blocks GROUP BY doc_id, frame
+), sig AS (
+    SELECT bl.doc_id, bl.frame,
+           CAST(sum(CASE WHEN bl.bsum * {frame_size} > t.total * bl.bcnt
+                         THEN CAST(1 AS BIGINT) << CAST(bl.blk AS INTEGER)
+                         ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS ph
+    FROM blocks bl JOIN tot t USING (doc_id, frame)
+    GROUP BY bl.doc_id, bl.frame
+), uniq AS (
+    SELECT DISTINCT doc_id AS id, ph FROM sig
+), keep AS (
+    SELECT ph FROM uniq GROUP BY ph HAVING count(*) <= {max_postings}
+), s AS (
+    SELECT id, ph FROM uniq JOIN keep USING (ph)
+)
+SELECT x.id AS id_a, y.id AS id_b, CAST(count(*) AS BIGINT) AS n_shared
+FROM s x JOIN s y USING (ph)
+WHERE x.id < y.id
+GROUP BY x.id, y.id
+HAVING count(*) >= {min_shared}
+"""
+
+
+ORACLE_VIDEO_NEAR_DUP = _video_near_dup_oracle()
+
 # Full image-dedup pipeline (queries.q_image_dedup_survivors): the
 # perceptual pair chain above, then the dedup_clusters transitive-
 # closure pattern, then keep min-id representatives + unpaired blobs.
@@ -4398,6 +4456,7 @@ ORACLES: dict[str, str] = {
     "multimodal_frames": ORACLE_MULTIMODAL_FRAMES,
     "image_near_dup": ORACLE_IMAGE_NEAR_DUP,
     "image_dedup_survivors": ORACLE_IMAGE_DEDUP_SURVIVORS,
+    "video_near_dup": ORACLE_VIDEO_NEAR_DUP,
     "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
     "props_from_json": ORACLE_PROPS_FROM_JSON,
     "thumbnail_keys": ORACLE_THUMBNAIL_KEYS,

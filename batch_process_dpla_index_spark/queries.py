@@ -921,6 +921,23 @@ def q_image_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return carry_deps(kept.select("doc_id"), kept)
 
 
+def q_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style near-dup pairs (r13): blobs pairing on >= 2 shared
+    distinct frame fingerprints over the re-containered-variant corpus
+    — shot-fingerprint dedup, where a re-containered copy keeps every
+    frame window past the magic byte-identical while the whole-file
+    digest differs. Fan-out frame blockhash (all-integer, oracle
+    replays it bit-exactly) → posting-capped exact signature join →
+    per-pair shared-frame count."""
+    from batch_process_dpla_index_spark.operators.multimodal import video_near_dup
+
+    corpus = _blob_corpus_with_variants(spark, sf_dir)
+    return video_near_dup(
+        corpus, "blob", "doc_id",
+        frame_size=64, stride=1, bits=60, min_shared=2, max_postings=64,
+    )
+
+
 def q_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow/BLAS exact top-k (same results as cosine_topk, the
     100 TB-safe physical plan: per-batch matmul + local top-k)."""
@@ -3356,13 +3373,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fingerprint_clusters": q_fingerprint_clusters,
     "mq_contributor_scores": q_mq_contributor_scores,
     # ---- driver-window boundary (entry 50 above this line) ----
-    # -- staged r14 window: the r13 debuts first (image_near_dup +
-    #    image_dedup_survivors — verified both SFs, pinned, probed
-    #    same-round per the staging discipline), then the r10-green
-    #    cohort's 14-entry overflow below, then the r11-green cohort
-    #    (next-stalest; last driver-green in CORRECTNESS_r11). --
+    # -- staged r14 window: the r13 debuts first (image_near_dup,
+    #    image_dedup_survivors, video_near_dup — verified both SFs,
+    #    pinned, probed same-round per the staging discipline), then
+    #    the r10-green cohort's 14-entry overflow below, then the
+    #    r11-green cohort (next-stalest; last driver-green in
+    #    CORRECTNESS_r11). --
     "image_near_dup": q_image_near_dup,
     "image_dedup_survivors": q_image_dedup_survivors,
+    "video_near_dup": q_video_near_dup,
     "udtf_sentences": q_udtf_sentences,
     "segment_with_f_orders": q_segment_with_f_orders,
     "customers_without_orders": q_customers_without_orders,

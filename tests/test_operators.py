@@ -202,6 +202,47 @@ def test_image_near_dup_recontainered_twin(spark):
     assert all(h <= 8 for h in pairs.values())
 
 
+def test_video_near_dup_shared_frames(spark):
+    """Shot-fingerprint dedup contract: a copy sharing most frame
+    windows (same payload behind a different 4-byte magic → every
+    window past frame 0 byte-identical) pairs with its original at the
+    shared-frame count the windows imply; an unrelated blob doesn't;
+    and a trimmed copy (suffix dropped) still pairs on the surviving
+    shared prefix frames. frame_phash itself is pinned against the
+    per-window _fake_phash replay."""
+    from batch_process_dpla_index_spark.operators.multimodal import (
+        _fake_phash,
+        frame_phash,
+        video_near_dup,
+    )
+
+    payload = bytes((i * 131 + 7) % 256 for i in range(64 * 5))  # 5 frames
+    orig = b"\x89PNG" + payload
+    recont = b"\xff\xd8\xff\xe0" + payload          # magic swapped
+    trimmed = b"\x89PNG" + payload[: 64 * 3]        # last 2 frames gone
+    other = bytes((i * 61 + 3) % 256 for i in range(64 * 5 + 4))
+    df = spark.createDataFrame(
+        [(1, orig), (2, recont), (3, trimmed), (4, other)],
+        "id BIGINT, blob BINARY",
+    )
+    sigs = frame_phash(df, "blob", "id").collect()
+    got = {(r["id"], r["frame_no"]): r["phash"] for r in sigs}
+    # fan-out: 5 full frames for ids 1/2/4, 3 for the trimmed copy
+    assert sum(1 for k in got if k[0] == 1) == 5
+    assert sum(1 for k in got if k[0] == 3) == 3
+    assert got[(1, 0)] == _fake_phash(orig[0:64], 60)
+    assert got[(1, 2)] == _fake_phash(orig[128:192], 60)
+    # frames 1+ of the re-containered copy are byte-identical to orig's
+    assert got[(1, 1)] == got[(2, 1)] and got[(1, 4)] == got[(2, 4)]
+
+    out = video_near_dup(df, "blob", "id", min_shared=2)
+    pairs = {(r["id_a"], r["id_b"]): r["n_shared"] for r in out.collect()}
+    unpersist_deps(out)
+    assert pairs[(1, 2)] == 4          # frames 1-4 shared, frame 0 differs
+    assert pairs[(1, 3)] >= 2          # shared prefix survives trimming
+    assert all(4 not in p for p in pairs)
+
+
 def test_connected_components_fixpoint(spark):
     """Chain + triangle + isolated pair → exact clusters."""
     from batch_process_dpla_index_spark.operators.dedup import (
