@@ -433,6 +433,69 @@ def video_near_dup(
     return _with_cached_deps(pairs, [sigs])
 
 
+AUDIO_SCHEMA = (
+    "id bigint, n_samples bigint, peak int, zero_crossings bigint, rms double"
+)
+
+
+def audio_pcm_stats(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:
+    """(id, n_samples, peak, zero_crossings, rms): waveform statistics
+    treating the blob as 16-bit little-endian signed PCM — the audio
+    leg of the multimodal family (image decode / video frames /
+    audio waveform all share the Arrow mapInPandas plumbing; a real
+    deployment puts a codec in front and feeds the decoded PCM through
+    the same arithmetic). Vectorized: one ``np.frombuffer('<i2')``
+    view per blob, no per-sample Python.
+
+    Contract (integer-exact, mirrored by the DuckDB oracle):
+      sample_j = signed LE int16 at bytes [2j, 2j+2); a trailing odd
+      byte is ignored; peak = max(|s|) (0 when no samples);
+      zero_crossings = count of j >= 1 where (s_j >= 0) differs from
+      (s_{j-1} >= 0); rms = round(sqrt(sum(s²)/n), 6), 0.0 when empty
+      — the sum of squares is exact in int64 up to ~8.5e9 samples
+      (~17 GB per blob), far past any single-row blob."""
+    import numpy as np
+    import pandas as pd
+
+    bin_name, id_name = bin_col, id_col
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        for pdf in batches:
+            n_l, pk_l, zc_l, rms_l = [], [], [], []
+            for raw in pdf[bin_name]:
+                data = bytes(raw) if raw is not None else b""
+                s = np.frombuffer(
+                    data[: 2 * (len(data) // 2)], dtype="<i2"
+                ).astype(np.int64)
+                n = int(s.size)
+                if n:
+                    peak = int(np.abs(s).max())
+                    nonneg = s >= 0
+                    zc = int(np.count_nonzero(nonneg[1:] != nonneg[:-1]))
+                    rms = round(math.sqrt(int((s * s).sum()) / n), 6)
+                else:
+                    peak, zc, rms = 0, 0, 0.0
+                n_l.append(n)
+                pk_l.append(peak)
+                zc_l.append(zc)
+                rms_l.append(rms)
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_name].to_numpy(),
+                    "n_samples": pd.Series(n_l, dtype="int64"),
+                    "peak": pd.Series(pk_l, dtype="int32"),
+                    "zero_crossings": pd.Series(zc_l, dtype="int64"),
+                    "rms": pd.Series(rms_l, dtype="float64"),
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(bin_col)).mapInPandas(
+        _stats, AUDIO_SCHEMA
+    )
+
+
 FRAME_SCHEMA = "id bigint, frame_no int, offset bigint, frame_digest string"
 
 

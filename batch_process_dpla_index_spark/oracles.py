@@ -1097,6 +1097,55 @@ HAVING count(*) >= {min_shared}
 
 ORACLE_VIDEO_NEAR_DUP = _video_near_dup_oracle()
 
+
+def _audio_pcm_oracle() -> str:
+    """Waveform-stats replay (multimodal.audio_pcm_stats): signed LE
+    int16 samples reconstructed from nibble pairs (u = lo + 256*hi,
+    sign-extend at 32768), trailing odd byte ignored; peak /
+    zero-crossings integer-exact, RMS = round(sqrt(exact-int64
+    sum-of-squares as DOUBLE / n), 6) — one IEEE division + sqrt on
+    both engines."""
+    nib = "strpos('0123456789ABCDEF', substr(h, CAST(2 * i + {off} AS INTEGER), 1)) - 1"
+    return f"""
+WITH {_BLOB_CTE}, hx AS (
+    SELECT doc_id, octet_length(blob) AS n, upper(hex(blob)) AS h FROM b
+), bytes AS (
+    SELECT doc_id, i,
+           CAST(16 * ({nib.format(off=1)})
+              + ({nib.format(off=2)}) AS BIGINT) AS v
+    FROM hx, UNNEST(range(2 * (n // 2))) AS t(i)
+), samp0 AS (
+    SELECT doc_id, i // 2 AS j,
+           sum(CASE WHEN i % 2 = 0 THEN v ELSE 256 * v END) AS u
+    FROM bytes GROUP BY doc_id, i // 2
+), samp AS (
+    SELECT doc_id, j, CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS s
+    FROM samp0
+), lagged AS (
+    SELECT doc_id, s,
+           lag(s) OVER (PARTITION BY doc_id ORDER BY j) AS prev
+    FROM samp
+), agg AS (
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(max(abs(s)) AS INTEGER) AS peak,
+           CAST(count(CASE WHEN prev IS NOT NULL
+                           AND ((s >= 0) <> (prev >= 0)) THEN 1 END)
+                AS BIGINT) AS zero_crossings,
+           round(sqrt(CAST(sum(s * s) AS DOUBLE) / count(*)), 6) AS rms
+    FROM lagged GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(coalesce(a.n_samples, 0) AS BIGINT) AS n_samples,
+       CAST(coalesce(a.peak, 0) AS INTEGER) AS peak,
+       CAST(coalesce(a.zero_crossings, 0) AS BIGINT) AS zero_crossings,
+       coalesce(a.rms, 0.0) AS rms
+FROM b LEFT JOIN agg a USING (doc_id)
+"""
+
+
+ORACLE_AUDIO_PCM_STATS = _audio_pcm_oracle()
+
 # Full image-dedup pipeline (queries.q_image_dedup_survivors): the
 # perceptual pair chain above, then the dedup_clusters transitive-
 # closure pattern, then keep min-id representatives + unpaired blobs.
@@ -4457,6 +4506,7 @@ ORACLES: dict[str, str] = {
     "image_near_dup": ORACLE_IMAGE_NEAR_DUP,
     "image_dedup_survivors": ORACLE_IMAGE_DEDUP_SURVIVORS,
     "video_near_dup": ORACLE_VIDEO_NEAR_DUP,
+    "audio_pcm_stats": ORACLE_AUDIO_PCM_STATS,
     "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
     "props_from_json": ORACLE_PROPS_FROM_JSON,
     "thumbnail_keys": ORACLE_THUMBNAIL_KEYS,

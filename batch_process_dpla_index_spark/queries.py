@@ -938,6 +938,23 @@ def q_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio waveform statistics (r13): blob-as-16-bit-LE-PCM peak /
+    zero-crossing / RMS — the audio leg of the multimodal family,
+    integer-exact except the round-6 RMS (one exact int64
+    sum-of-squares, one IEEE division + sqrt on both engines)."""
+    from batch_process_dpla_index_spark.operators.multimodal import audio_pcm_stats
+
+    stats = audio_pcm_stats(_docs_with_blob(spark, sf_dir), "blob", "doc_id")
+    return stats.select(
+        F.col("id").alias("doc_id"),
+        "n_samples",
+        "peak",
+        "zero_crossings",
+        "rms",
+    )
+
+
 def q_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow/BLAS exact top-k (same results as cosine_topk, the
     100 TB-safe physical plan: per-batch matmul + local top-k)."""
@@ -3374,14 +3391,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mq_contributor_scores": q_mq_contributor_scores,
     # ---- driver-window boundary (entry 50 above this line) ----
     # -- staged r14 window: the r13 debuts first (image_near_dup,
-    #    image_dedup_survivors, video_near_dup — verified both SFs,
-    #    pinned, probed same-round per the staging discipline), then
-    #    the r10-green cohort's 14-entry overflow below, then the
-    #    r11-green cohort (next-stalest; last driver-green in
-    #    CORRECTNESS_r11). --
+    #    image_dedup_survivors, video_near_dup, audio_pcm_stats —
+    #    verified both SFs, pinned, probed same-round per the staging
+    #    discipline), then the r10-green cohort's 14-entry overflow
+    #    below, then the r11-green cohort (next-stalest; last
+    #    driver-green in CORRECTNESS_r11). --
     "image_near_dup": q_image_near_dup,
     "image_dedup_survivors": q_image_dedup_survivors,
     "video_near_dup": q_video_near_dup,
+    "audio_pcm_stats": q_audio_pcm_stats,
     "udtf_sentences": q_udtf_sentences,
     "segment_with_f_orders": q_segment_with_f_orders,
     "customers_without_orders": q_customers_without_orders,

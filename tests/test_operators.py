@@ -243,6 +243,37 @@ def test_video_near_dup_shared_frames(spark):
     assert all(4 not in p for p in pairs)
 
 
+def test_audio_pcm_stats_contract(spark):
+    """Signed-LE-int16 waveform arithmetic on a hand-built PCM blob:
+    exact peak / zero-crossing / RMS, trailing odd byte ignored,
+    empty/NULL blob → the zero row."""
+    import math
+    import struct
+
+    from batch_process_dpla_index_spark.operators.multimodal import (
+        audio_pcm_stats,
+    )
+
+    samples = [0, 1000, -2000, 30000, -30001, 5, -5, 0]
+    blob = struct.pack("<8h", *samples) + b"\x7f"  # trailing odd byte
+    df = spark.createDataFrame(
+        [(1, blob), (2, None), (3, b"\x01")],  # 3: single byte → 0 samples
+        "id BIGINT, blob BINARY",
+    )
+    rows = {r["id"]: r for r in audio_pcm_stats(df, "blob", "id").collect()}
+    r = rows[1]
+    assert r["n_samples"] == 8 and r["peak"] == 30001
+    # sign flips (>=0 boundary): 1000→-2000, -2000→30000, 30000→-30001,
+    # -30001→5, 5→-5, -5→0  → 6 crossings ([0,1000] stays non-negative)
+    assert r["zero_crossings"] == 6
+    assert abs(r["rms"] - round(
+        math.sqrt(sum(s * s for s in samples) / 8), 6)) < 1e-12
+    for empty_id in (2, 3):
+        z = rows[empty_id]
+        assert (z["n_samples"], z["peak"], z["zero_crossings"], z["rms"]) == (
+            0, 0, 0, 0.0)
+
+
 def test_connected_components_fixpoint(spark):
     """Chain + triangle + isolated pair → exact clusters."""
     from batch_process_dpla_index_spark.operators.dedup import (
