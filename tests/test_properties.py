@@ -186,3 +186,51 @@ def test_two_level_probe_kernel_properties(rows, books, metric):
     for i, cells in seen.items():
         assert set(cells) == valid          # coverage + validity
         assert len(cells) == len(set(cells))  # no duplicates
+
+
+def test_banded_hamming_pairs_lossless(spark):
+    """Pigeonhole losslessness of the shared banding kernel
+    (dedup.banded_hamming_pairs, review r13): for ANY bits — including
+    non-tiling widths where the top bits are never banded — the banded
+    plan returns EXACTLY the brute-force pair set with exact hamming.
+    Seeded-random signatures with planted near-dup clusters (flip
+    ≤ max_hamming bits of a base) so within-budget pairs actually
+    exist at every tested width."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from batch_process_dpla_index_spark.operators.dedup import (
+        banded_hamming_pairs,
+        unpersist_deps,
+    )
+
+    rng = random.Random(13)
+    for bits, max_hamming in ((60, 3), (58, 3), (60, 6), (17, 2)):
+        sigs = {}
+        nid = 0
+        for _ in range(40):
+            base = rng.getrandbits(bits)
+            sigs[nid] = base
+            nid += 1
+            for _ in range(rng.randrange(3)):  # planted near-dups
+                flipped = base
+                for _ in range(rng.randrange(max_hamming + 2)):  # may exceed budget
+                    flipped ^= 1 << rng.randrange(bits)
+                sigs[nid] = flipped
+                nid += 1
+        expected = {}
+        ids = sorted(sigs)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                h = bin(sigs[a] ^ sigs[b]).count("1")
+                if h <= max_hamming:
+                    expected[(a, b)] = h
+        df = spark.createDataFrame(
+            [(k, v) for k, v in sigs.items()], "id BIGINT, sig BIGINT"
+        ).persist()
+        out = banded_hamming_pairs(df, "id", "sig", bits, max_hamming)
+        got = {(r["id_a"], r["id_b"]): r["hamming"] for r in out.collect()}
+        df.unpersist()
+        assert got == expected, (bits, max_hamming)
+        assert expected, (bits, max_hamming)  # the case actually tested pairs
