@@ -379,11 +379,21 @@ def main(argv: list[str] | None = None) -> int:
                     compact_threshold=args.compact_threshold,
                     recount=not args.no_recount,
                 )
-                print(
-                    f"Tombstoned {vecs.count()} ids; live records: "
-                    f"{manifest['Record count']} "
-                    f"(tombstones: {manifest.get('Tombstone count', '0')})"
-                )
+                if args.no_recount:
+                    # Record count was deliberately NOT recounted — do
+                    # not print it as "live records", it is the
+                    # as-of-last-recount value
+                    print(
+                        f"Tombstoned {vecs.count()} ids (recount "
+                        f"skipped; records as of last recount: "
+                        f"{manifest['Record count']}, tombstones: stale)"
+                    )
+                else:
+                    print(
+                        f"Tombstoned {vecs.count()} ids; live records: "
+                        f"{manifest['Record count']} "
+                        f"(tombstones: {manifest.get('Tombstone count', '0')})"
+                    )
             elif args.action == "build":
                 learned = {"kmeans": True, "two-level": "two-level",
                            "none": False}[args.quantizer]
@@ -454,11 +464,18 @@ def main(argv: list[str] | None = None) -> int:
                     compact_threshold=args.compact_threshold,
                     recount=not args.no_recount,
                 )
-                print(
-                    f"Tombstoned {ids.count()} ids; live records: "
-                    f"{manifest['Record count']} "
-                    f"(tombstones: {manifest.get('Tombstone count', '0')})"
-                )
+                if args.no_recount:
+                    print(
+                        f"Tombstoned {ids.count()} ids (recount "
+                        f"skipped; records as of last recount: "
+                        f"{manifest['Record count']}, tombstones: stale)"
+                    )
+                else:
+                    print(
+                        f"Tombstoned {ids.count()} ids; live records: "
+                        f"{manifest['Record count']} "
+                        f"(tombstones: {manifest.get('Tombstone count', '0')})"
+                    )
             elif args.action == "compact":
                 manifest = embedding_index.compact_embedding_index(
                     spark, args.index_dir

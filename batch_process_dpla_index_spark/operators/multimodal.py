@@ -278,11 +278,7 @@ def phash_images(
     ``operators.dedup.simhash``, dedup.py)."""
     import pandas as pd
 
-    if not 1 <= bits <= 60:
-        raise ValueError(
-            f"bits={bits}: phash supports 1..60 bits (the signature must "
-            "stay a positive int64 for banding/XOR on both engines)"
-        )
+    _validate_bits(bits, "banding/XOR")
     bin_name, id_name = bin_col, id_col
     hasher = _pil_phash if _HAVE_PIL else _fake_phash
 
@@ -332,6 +328,28 @@ def image_near_dup(
 FRAME_PHASH_SCHEMA = "id bigint, frame_no int, phash bigint"
 
 
+def _validate_bits(bits: int, use: str) -> None:
+    """Shared driver-side width check for every blockhash entry point
+    (phash_images, frame_phash) — ONE message, ONE bound, so the two
+    fingerprint surfaces can't drift validation semantics."""
+    if not 1 <= bits <= 60:
+        raise ValueError(
+            f"bits={bits}: phash supports 1..60 bits (the signature must "
+            f"stay a positive int64 for {use} on both engines)"
+        )
+
+
+def _validate_window(frame_size: int, stride: int) -> None:
+    """Driver-side window-parameter check: a zero/negative frame_size
+    or stride would otherwise fail deep inside executors as an obscure
+    PythonException from range()/reshape instead of an immediate,
+    self-explanatory error."""
+    if frame_size < 1:
+        raise ValueError(f"frame_size={frame_size}: must be >= 1")
+    if stride < 1:
+        raise ValueError(f"stride={stride}: must be >= 1")
+
+
 def frame_phash(
     df: DataFrame,
     bin_col: str,
@@ -349,28 +367,49 @@ def frame_phash(
     partition-preserving, no shuffle; trailing partial windows are
     never hashed (the :func:`sample_frames` full-frame convention), so
     the per-window length is constant and the oracle replay needs no
-    ragged-tail arithmetic."""
+    ragged-tail arithmetic.
+
+    Vectorized per BLOB, not per window: one reshape to
+    (n_frames, frame_size), block sums as one indicator matmul, the
+    strict-greater threshold and the bit-weight matmul batched over
+    every sampled frame at once — no per-window Python (the
+    audio_pcm_stats convention; the scalar :func:`_fake_phash` is the
+    pinned reference the unit test replays per window)."""
+    import numpy as np
     import pandas as pd
 
-    if not 1 <= bits <= 60:
-        raise ValueError(
-            f"bits={bits}: phash supports 1..60 bits (the signature must "
-            "stay a positive int64 for joining/XOR on both engines)"
-        )
+    _validate_bits(bits, "banding/XOR")
+    _validate_window(frame_size, stride)
     bin_name, id_name = bin_col, id_col
+    # per-window constants: block index per within-frame offset, the
+    # (frame_size × bits) block-membership indicator, bit weights
+    blk = (np.arange(frame_size, dtype=np.int64) * bits) // frame_size
+    ind = np.zeros((frame_size, bits), dtype=np.int64)
+    ind[np.arange(frame_size), blk] = 1
+    cnts = ind.sum(axis=0)
+    weights = (np.int64(1) << np.arange(bits, dtype=np.int64))
 
     def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_id, out_no, out_ph = [], [], []
             for rid, raw in zip(pdf[id_name], pdf[bin_name]):
                 data = bytes(raw) if raw is not None else b""
-                for frame_no in range(0, len(data) // frame_size, stride):
-                    off = frame_no * frame_size
-                    out_id.append(rid)
-                    out_no.append(frame_no)
-                    out_ph.append(
-                        _fake_phash(data[off : off + frame_size], bits)
-                    )
+                usable = (len(data) // frame_size) * frame_size
+                if not usable:
+                    continue
+                mat = (
+                    np.frombuffer(data[:usable], dtype=np.uint8)
+                    .astype(np.int64)
+                    .reshape(-1, frame_size)
+                )[::stride]
+                sums = mat @ ind  # n_sampled × bits
+                tot = mat.sum(axis=1, keepdims=True)
+                on = sums * frame_size > tot * cnts
+                phs = on.astype(np.int64) @ weights
+                frame_nos = np.arange(0, usable // frame_size, stride)
+                out_id.extend([rid] * len(phs))
+                out_no.extend(frame_nos.tolist())
+                out_ph.extend(phs.tolist())
             yield pd.DataFrame(
                 {
                     "id": pd.Series(out_id, dtype="int64"),
@@ -411,13 +450,17 @@ def video_near_dup(
         .distinct()
         .persist()
     )
-    keep = (
+    # the HOT set (signatures over the cap) is tiny by construction —
+    # broadcast anti-join it out (the minhash_lsh_pairs shape,
+    # dedup.py), never an inner join against the corpus-proportional
+    # keep side, which would add a full corpus-sized shuffle
+    hot = (
         sigs.groupBy("phash")
         .agg(F.count(F.lit(1)).alias("__n"))
-        .filter(F.col("__n") <= max_postings)
+        .filter(F.col("__n") > max_postings)
         .select("phash")
     )
-    s = sigs.join(keep, "phash")
+    s = sigs.join(F.broadcast(hot), "phash", "left_anti")
     pairs = (
         s.alias("x")
         .join(s.alias("y"), "phash")
@@ -453,7 +496,11 @@ def audio_pcm_stats(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:
       zero_crossings = count of j >= 1 where (s_j >= 0) differs from
       (s_{j-1} >= 0); rms = round(sqrt(sum(s²)/n), 6), 0.0 when empty
       — the sum of squares is exact in int64 up to ~8.5e9 samples
-      (~17 GB per blob), far past any single-row blob."""
+      (~17 GB per blob), far past any single-row blob. The round-6 is
+      applied JVM-side (F.round, the repo's scalar convention that the
+      DuckDB oracles' round() is already proven against) — a Python
+      round() in the worker would be half-to-even and could diverge
+      from the oracle by one ulp at a .5e-6 boundary."""
     import numpy as np
     import pandas as pd
 
@@ -474,7 +521,7 @@ def audio_pcm_stats(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:
                     peak = int(np.abs(s).max())
                     nonneg = s >= 0
                     zc = int(np.count_nonzero(nonneg[1:] != nonneg[:-1]))
-                    rms = round(math.sqrt(int((s * s).sum()) / n), 6)
+                    rms = math.sqrt(int((s * s).sum()) / n)
                 else:
                     peak, zc, rms = 0, 0, 0.0
                 n_l.append(n)
@@ -493,7 +540,7 @@ def audio_pcm_stats(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:
 
     return df.select(F.col(id_col), F.col(bin_col)).mapInPandas(
         _stats, AUDIO_SCHEMA
-    )
+    ).withColumn("rms", F.round("rms", 6))
 
 
 FRAME_SCHEMA = "id bigint, frame_no int, offset bigint, frame_digest string"
@@ -508,6 +555,8 @@ def sample_frames(
     import hashlib
 
     import pandas as pd
+
+    _validate_window(frame_size, stride)
 
     bin_name, id_name = bin_col, id_col
 
