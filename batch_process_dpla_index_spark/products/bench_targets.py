@@ -179,6 +179,44 @@ def _bench_index_lifecycle(spark: SparkSession, sf_dir: str, work_dir: str) -> i
     return n
 
 
+def _bench_phash_index(spark: SparkSession, sf_dir: str, work_dir: str) -> int:
+    """Perceptual-dedup index lifecycle (r13): build the phash index
+    over the document blobs, check an incoming batch (novel blobs +
+    re-containered copies) against it, append the survivors — the
+    image dedup-on-ingest hot path, composed."""
+    from batch_process_dpla_index_spark.operators.dedup import unpersist_deps
+    from batch_process_dpla_index_spark.products import phash_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    png = F.lit(b"\x89PNG")
+    jpg = F.lit(bytes.fromhex("FFD8FFE0"))
+    body = F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0).select(
+        "doc_id", F.concat(png, body).alias("blob")
+    )
+    batch = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1_000_000_000).alias("doc_id"),
+        F.concat(jpg, body).alias("blob"),
+    )
+    idx = os.path.join(work_dir, "phash_index")
+    phash_index.build_phash_index(
+        corpus, "blob", "doc_id", idx, bits=60, max_hamming=12
+    )
+    matches = phash_index.incremental_phash_dedup_indexed(
+        spark, batch, "blob", "doc_id", idx
+    )
+    n = matches.count()
+    dup_ids = matches.select(F.col("new_id").alias("doc_id"))
+    survivors = batch.join(dup_ids, "doc_id", "left_anti")
+    phash_index.append_to_phash_index(
+        survivors, "blob", "doc_id", idx, ingest_batch=1
+    )
+    # release the batch-signature cache only after the append consumed
+    # the matches frame — the streaming product's ordering
+    unpersist_deps(matches)
+    return n
+
+
 def _bench_compaction(spark: SparkSession, sf_dir: str, work_dir: str) -> int:
     """Small-file maintenance: fragment the events table into 64 files,
     then compact to 8 MiB bins (plan + one-shuffle rewrite)."""
@@ -327,6 +365,7 @@ PRODUCT_BENCHES: dict[str, Callable[[SparkSession, str, str], int]] = {
     "product_ann_index": _bench_ann_index,
     "product_ann_index_imi": _bench_ann_index_imi,
     "product_index_lifecycle": _bench_index_lifecycle,
+    "product_phash_index": _bench_phash_index,
     "product_compaction": _bench_compaction,
     "product_snapshots": _bench_snapshots,
     "product_merge": _bench_merge,

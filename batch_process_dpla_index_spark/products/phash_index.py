@@ -1,0 +1,214 @@
+"""Persisted perceptual-dedup index: the image twin of
+``products.dedup_index`` (which stores MinHash signatures/buckets for
+text). A multimodal ingest pipeline at 100 TB does not re-hash the
+stored corpus per batch — it keeps each accepted blob's 60-bit
+perceptual signature on disk and checks each incoming batch against
+the stored banding:
+
+- :func:`build_phash_index` materializes two parquet datasets under
+  ``index_dir``: ``signatures`` (id, phash — the exact popcount-verify
+  side) and ``buckets`` (band, val, id — the pigeonhole candidate
+  side, repartitioned on the join key so batch lookups co-locate),
+  plus a ``_MANIFEST`` pinning (bits, max_hamming, max_bucket) — the
+  structural parameters that define banding geometry, so an index
+  built under one Hamming budget can never be silently queried under
+  another. Cost: one corpus Arrow pass (``multimodal.phash_images``).
+- :func:`incremental_phash_dedup_indexed` hashes ONLY the new batch,
+  explodes it to band keys, equi-joins the stored buckets, and
+  popcount-verifies against the stored signatures — the banded
+  prefilter is LOSSLESS by pigeonhole (``dedup.banded_hamming_pairs``
+  contract, property-tested), so the output is exactly "best stored
+  match per new blob within the Hamming budget".
+- :func:`append_to_phash_index` lands an accepted batch's
+  signatures/buckets under its ``ingest_batch`` partition (idempotent
+  replay overwrite for the streaming path).
+
+Both datasets carry the ``ingest_batch`` Hive partition (0 at build)
+— the same replay-safety lever as dedup_index: a checkpoint-replayed
+micro-batch queries only partitions ``<= max_ingest_batch`` so it can
+never match the signatures its own first attempt appended.
+
+Scale: per-batch cost is nbands × |batch| explode + one shuffle join
+into the bucket layout (AQE broadcasts the batch side when small);
+the ``max_bucket`` cap drops degenerate hot buckets (constant-content
+blobs) at build time, once, with the count logged in the manifest.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from batch_process_dpla_index_spark.io.manifest import read_manifest, write_manifest
+from batch_process_dpla_index_spark.operators.multimodal import phash_images
+
+
+def _phash_bands(sig: DataFrame, bits: int, max_hamming: int) -> DataFrame:
+    """(band, val, id): pigeonhole band keys for a (id, phash) frame —
+    the SAME shift/mask banding as ``dedup.banded_hamming_pairs`` (one
+    band per unit of Hamming budget + 1), so the stored buckets and
+    the in-line pair operator can never disagree on candidate
+    generation."""
+    nbands = max_hamming + 1
+    width = bits // nbands
+    bands = []
+    for i in range(nbands):
+        val = F.shiftright(F.col("phash"), i * width).bitwiseAND(
+            F.lit((1 << width) - 1)
+        )
+        bands.append(F.struct(F.lit(i).alias("band"), val.alias("val")))
+    return sig.select(
+        "id", "phash", F.explode(F.array(*bands)).alias("bk")
+    ).select(
+        F.col("bk.band").alias("band"), F.col("bk.val").alias("val"), "id"
+    )
+
+
+def build_phash_index(
+    blobs: DataFrame,
+    bin_col: str,
+    id_col: str,
+    index_dir: str,
+    bits: int = 60,
+    max_hamming: int = 3,
+    max_bucket: int = 1000,
+    bucket_partitions: int = 32,
+) -> dict[str, str]:
+    """One corpus Arrow pass → signatures + capped band buckets +
+    manifest. Returns the manifest dict (also written to
+    ``index_dir/_MANIFEST``)."""
+    sig = phash_images(blobs, bin_col, id_col, bits).persist()
+    (
+        sig.withColumn("ingest_batch", F.lit(0))
+        .write.mode("overwrite")
+        .partitionBy("ingest_batch")
+        .parquet(os.path.join(index_dir, "signatures"))
+    )
+    buckets = _phash_bands(sig, bits, max_hamming)
+    oversized = (
+        buckets.groupBy("band", "val")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .filter(F.col("sz") > max_bucket)
+        .select("band", "val")
+    )
+    n_dropped = oversized.count()
+    (
+        buckets.join(F.broadcast(oversized), ["band", "val"], "left_anti")
+        .repartition(bucket_partitions, "band", "val")
+        .withColumn("ingest_batch", F.lit(0))
+        .write.mode("overwrite")
+        .partitionBy("ingest_batch")
+        .parquet(os.path.join(index_dir, "buckets"))
+    )
+    n_blobs = sig.count()
+    sig.unpersist()
+    manifest = {
+        "bits": str(bits),
+        "max_hamming": str(max_hamming),
+        "max_bucket": str(max_bucket),
+        "Record count": str(n_blobs),
+        "Oversized buckets dropped": str(n_dropped),
+    }
+    write_manifest(manifest, index_dir)
+    return manifest
+
+
+def incremental_phash_dedup_indexed(
+    spark: SparkSession,
+    new_blobs: DataFrame,
+    bin_col: str,
+    id_col: str,
+    index_dir: str,
+    max_ingest_batch: int | None = None,
+) -> DataFrame:
+    """Dedupe a blob batch against the stored index — no corpus
+    re-hash. Output: (new_id, dup_of, hamming), the best stored match
+    per new blob (smallest Hamming, ties to smallest stored id) within
+    the manifest-pinned budget. Banding parameters come from the
+    manifest, never the caller, so a mis-parameterized query is
+    impossible. ``max_ingest_batch`` prunes stored partitions for
+    checkpoint-replay safety (see module docstring); ``None`` queries
+    everything.
+
+    The returned frame carries the batch-signature persist handle in
+    ``_cached_deps`` — release with ``dedup.unpersist_deps`` after the
+    action."""
+    manifest = read_manifest(index_dir)
+    bits = int(manifest["bits"])
+    max_hamming = int(manifest["max_hamming"])
+
+    new_sig = phash_images(new_blobs, bin_col, id_col, bits).persist()
+    corp_buckets = spark.read.parquet(os.path.join(index_dir, "buckets"))
+    corp_sig = spark.read.parquet(os.path.join(index_dir, "signatures"))
+    if max_ingest_batch is not None:
+        corp_buckets = corp_buckets.where(
+            F.col("ingest_batch") <= int(max_ingest_batch)
+        )
+        corp_sig = corp_sig.where(
+            F.col("ingest_batch") <= int(max_ingest_batch)
+        )
+
+    cand = (
+        _phash_bands(new_sig, bits, max_hamming)
+        .alias("x")
+        .join(corp_buckets.alias("y"), ["band", "val"])
+        .select(F.col("x.id").alias("new_id"), F.col("y.id").alias("dup_of"))
+        .distinct()
+    )
+    sa = new_sig.select(F.col("id").alias("new_id"), F.col("phash").alias("ph_a"))
+    sb = corp_sig.select(F.col("id").alias("dup_of"), F.col("phash").alias("ph_b"))
+    verified = (
+        cand.join(sa, "new_id")
+        .join(sb, "dup_of")
+        .withColumn(
+            "hamming", F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("new_id").orderBy(
+        F.col("hamming").asc(), F.col("dup_of").asc()
+    )
+    out = (
+        verified.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("new_id", "dup_of", "hamming")
+    )
+    out._cached_deps = [new_sig]  # type: ignore[attr-defined]
+    return out
+
+
+def append_to_phash_index(
+    batch_blobs: DataFrame,
+    bin_col: str,
+    id_col: str,
+    index_dir: str,
+    ingest_batch: int = 1,
+    idempotent: bool = False,
+) -> None:
+    """Append an accepted batch's signatures/buckets under the
+    ``ingest_batch`` partition (parameters from the manifest, so
+    banding drift is impossible). ``idempotent=True`` = dynamic
+    partition overwrite for streaming checkpoint replays; leave off
+    for ad-hoc appends."""
+    manifest = read_manifest(index_dir)
+    bits = int(manifest["bits"])
+    max_hamming = int(manifest["max_hamming"])
+    sig = phash_images(batch_blobs, bin_col, id_col, bits).persist()
+
+    def _write(df: DataFrame, name: str) -> None:
+        writer = df.withColumn("ingest_batch", F.lit(int(ingest_batch))).write
+        if idempotent:
+            writer = writer.mode("overwrite").option(
+                "partitionOverwriteMode", "dynamic"
+            )
+        else:
+            writer = writer.mode("append")
+        writer.partitionBy("ingest_batch").parquet(os.path.join(index_dir, name))
+
+    _write(sig, "signatures")
+    _write(_phash_bands(sig, bits, max_hamming), "buckets")
+    sig.unpersist()

@@ -379,3 +379,105 @@ def ingest_embedding_dedup_available(
         timestamp=iso_timestamp(now),
     )
     return stats
+
+
+def ingest_image_dedup_available(
+    spark: SparkSession,
+    source_path: str,
+    schema,
+    out_path: str,
+    checkpoint_path: str,
+    index_dir: str,
+    bin_col: str = "blob",
+    id_col: str = "doc_id",
+    max_files_per_trigger: int | None = None,
+    now=None,
+) -> dict[int, tuple[int, int]]:
+    """IMAGE dedup-on-ingest — the perceptual twin of
+    :func:`ingest_dedup_available` (the dedup step a multimodal crawl
+    runs as data lands): every micro-batch of blobs is checked against
+    the persisted phash index (``products.phash_index``) before
+    landing; only novel blobs (no stored match within the index's
+    manifest-pinned Hamming budget) are written, and THEIR signatures
+    are appended so later batches dedupe against them too — a
+    re-containered or re-encoded copy of an already-landed image never
+    lands twice.
+
+    End-to-end idempotent under checkpoint replay, exactly the
+    ingest_dedup_available contract: the landed parquet and the index
+    append both overwrite their own per-batch partition
+    (``batch=<id>`` / ``ingest_batch=<id+1>``), and the dedup check
+    passes ``max_ingest_batch=<id>`` so a replayed batch can never
+    match the signatures its first attempt appended. Contract:
+    corpus-level dedup only — intra-batch near-dups both survive (run
+    ``multimodal.image_near_dup`` upstream if a batch can
+    self-duplicate).
+
+    Returns {batch_id: (rows_seen, rows_kept)}."""
+    from pyspark.sql import functions as F
+
+    from batch_process_dpla_index_spark.operators.dedup import unpersist_deps
+    from batch_process_dpla_index_spark.products import phash_index
+
+    stats: dict[int, tuple[int, int]] = {}
+
+    def land(batch_df, batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        n_seen = batch_df.count()
+        matches = phash_index.incremental_phash_dedup_indexed(
+            spark, batch_df, bin_col, id_col, index_dir,
+            max_ingest_batch=int(batch_id),
+        )
+        dup_ids = matches.select(F.col("new_id").alias(id_col))
+        survivors = batch_df.join(dup_ids, id_col, "left_anti").persist()
+        (
+            survivors.withColumn("batch", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch")
+            .parquet(out_path)
+        )
+        n_kept = survivors.count()
+        phash_index.append_to_phash_index(
+            survivors,
+            bin_col,
+            id_col,
+            index_dir,
+            ingest_batch=int(batch_id) + 1,
+            idempotent=True,
+        )
+        unpersist_deps(matches)
+        survivors.unpersist()
+        batch_df.unpersist()
+        stats[int(batch_id)] = (n_seen, n_kept)
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_path)
+    q = (
+        stream.writeStream.foreachBatch(land)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    if not stats and _manifest_exists(out_path):
+        return stats  # no-op replay: keep the real manifest (see above)
+    write_manifest(
+        {
+            "Source": source_path,
+            "Phash index": index_dir,
+            "Batches": str(len(stats)),
+            "Total records seen": str(sum(s for s, _ in stats.values())),
+            "Total records kept": str(sum(k for _, k in stats.values())),
+            **{
+                f"Batch {b} seen/kept": f"{s}/{k}"
+                for b, (s, k) in sorted(stats.items())
+            },
+        },
+        out_path,
+        timestamp=iso_timestamp(now),
+    )
+    return stats

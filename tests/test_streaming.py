@@ -962,3 +962,141 @@ def test_streaming_sessions_append_mode_emits_only_closed(spark, tmp_path):
     assert got.exceptAll(want).count() == 0
     n_got, n_want = got.count(), want.count()
     assert 0 < n_got < n_want
+
+
+def test_streaming_image_dedup_ingest(spark, tmp_path):
+    """Image dedup-on-ingest: batch 2's RE-CONTAINERED copies of
+    batch-1 blobs (same payload behind a different 4-byte magic →
+    small Hamming, different md5) are dropped because batch 1's
+    survivors' signatures were appended to the phash index;
+    re-containered copies of the BUILD corpus are dropped too; replay
+    with the same checkpoint ingests nothing and duplicates nothing."""
+    from batch_process_dpla_index_spark.products import (
+        phash_index,
+        streaming_ingest,
+    )
+    from batch_process_dpla_index_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    png = F.lit(b"\x89PNG")
+    jpg = F.lit(bytes.fromhex("FFD8FFE0"))
+    body = F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8")
+
+    corpus = docs.filter(F.col("doc_id") < 300).select(
+        "doc_id", F.concat(png, body).alias("blob")
+    )
+    slice_a = docs.filter(
+        (F.col("doc_id") >= 300) & (F.col("doc_id") < 400)
+    ).select("doc_id", F.concat(png, body).alias("blob"))
+    # batch B = novel blobs + re-containered copies of 20 batch-A blobs
+    # and 20 build-corpus blobs, under new ids
+    a_copies = docs.filter(
+        (F.col("doc_id") >= 300) & (F.col("doc_id") < 320)
+    ).select((F.col("doc_id") + 100000).alias("doc_id"),
+             F.concat(jpg, body).alias("blob"))
+    c_copies = docs.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(jpg, body).alias("blob"),
+    )
+    slice_b = (
+        docs.filter(F.col("doc_id") >= 400)
+        .select("doc_id", F.concat(png, body).alias("blob"))
+        .unionByName(a_copies)
+        .unionByName(c_copies)
+    )
+
+    idx = str(tmp_path / "idx")
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "landed")
+    ckpt = str(tmp_path / "ckpt")
+    # wide budget so every magic-swap copy lands within it: the 4-byte
+    # swap perturbs block sums slightly (docs here are ~100-250 bytes)
+    phash_index.build_phash_index(
+        corpus, "blob", "doc_id", idx, bits=60, max_hamming=12
+    )
+    slice_a.coalesce(1).write.parquet(src)
+    slice_b.coalesce(1).write.mode("append").parquet(src)
+
+    stats = streaming_ingest.ingest_image_dedup_available(
+        spark, src, slice_a.schema, out, ckpt, idx, max_files_per_trigger=1
+    )
+    assert len(stats) == 2
+    seen = sum(s for s, _ in stats.values())
+    kept = sum(k for _, k in stats.values())
+    assert seen == slice_a.count() + slice_b.count()
+    landed = spark.read.parquet(out)
+    assert landed.count() == kept
+    landed_ids = {r.doc_id for r in landed.select("doc_id").collect()}
+    # whichever batch ran first, its re-containered twins in the other
+    # were corpus matches by then; build-corpus twins always match
+    dropped = seen - kept
+    assert dropped >= 20  # at minimum every build-corpus twin
+    assert not {i + 200000 for i in range(20)} <= landed_ids
+
+    # replay: nothing new, nothing duplicated, index unchanged
+    stats2 = streaming_ingest.ingest_image_dedup_available(
+        spark, src, slice_a.schema, out, ckpt, idx, max_files_per_trigger=1
+    )
+    assert stats2 == {}
+    assert spark.read.parquet(out).count() == kept
+
+
+def test_phash_index_incremental_contract(spark, tmp_path):
+    """The persisted phash index mirrors dedup_index's contract: best
+    stored match per new blob (min hamming, ties to smallest stored
+    id), manifest-pinned banding, max_ingest_batch pruning hides
+    later-appended partitions, and an exact byte copy matches at
+    hamming 0."""
+    from batch_process_dpla_index_spark.operators.dedup import unpersist_deps
+    from batch_process_dpla_index_spark.products import phash_index
+
+    payload = bytes((i * 97 + 11) % 256 for i in range(400))
+    other = bytes((i * 43 + 5) % 256 for i in range(350))
+    corpus = spark.createDataFrame(
+        [(1, b"\x89PNG" + payload), (2, b"GIF8" + other)],
+        "id BIGINT, blob BINARY",
+    )
+    idx = str(tmp_path / "pidx")
+    man = phash_index.build_phash_index(
+        corpus, "blob", "id", idx, bits=60, max_hamming=8
+    )
+    assert man["Record count"] == "2"
+
+    batch = spark.createDataFrame(
+        [
+            (10, b"\x89PNG" + payload),                     # exact copy of 1
+            (11, b"\xff\xd8\xff\xe0" + payload),            # re-containered 1
+            (12, bytes((i * 7 + 3) % 256 for i in range(500))),  # novel
+        ],
+        "id BIGINT, blob BINARY",
+    )
+    out = phash_index.incremental_phash_dedup_indexed(
+        spark, batch, "blob", "id", idx
+    )
+    got = {r["new_id"]: (r["dup_of"], r["hamming"]) for r in out.collect()}
+    unpersist_deps(out)
+    assert got[10] == (1, 0)
+    assert got[11][0] == 1 and got[11][1] <= 8
+    assert 12 not in got
+
+    # append the novel blob under batch 1; a copy of it now matches —
+    # but NOT when the query prunes to max_ingest_batch=0
+    phash_index.append_to_phash_index(
+        batch.filter(F.col("id") == 12), "blob", "id", idx, ingest_batch=1
+    )
+    probe = spark.createDataFrame(
+        [(20, bytes((i * 7 + 3) % 256 for i in range(500)))],
+        "id BIGINT, blob BINARY",
+    )
+    hit = phash_index.incremental_phash_dedup_indexed(
+        spark, probe, "blob", "id", idx
+    )
+    rows = hit.collect()
+    unpersist_deps(hit)
+    assert rows and rows[0]["dup_of"] == 12 and rows[0]["hamming"] == 0
+    miss = phash_index.incremental_phash_dedup_indexed(
+        spark, probe, "blob", "id", idx, max_ingest_batch=0
+    )
+    assert miss.count() == 0
+    unpersist_deps(miss)
