@@ -660,6 +660,26 @@ def simhash_table(df: DataFrame, text_col: str, id_col: str, bits: int = 60) -> 
     return df.select(F.col(id_col), simhash(tokens(F.col(text_col)), bits).alias("simhash"))
 
 
+def hamming_band_structs(
+    sig_col: str, bits: int, max_hamming: int
+) -> list[Column]:
+    """(band, val) struct columns for the pigeonhole split of an
+    integer fingerprint — THE one definition of the banding geometry,
+    shared by :func:`banded_hamming_pairs` (in-line pairs) and
+    ``products.phash_index`` (the stored bucket layout), so the stored
+    index and the in-line operator can never disagree on candidate
+    generation."""
+    nbands = max_hamming + 1
+    width = bits // nbands
+    bands = []
+    for i in range(nbands):
+        band_val = F.shiftright(F.col(sig_col), i * width).bitwiseAND(
+            F.lit((1 << width) - 1)
+        )
+        bands.append(F.struct(F.lit(i).alias("band"), band_val.alias("val")))
+    return bands
+
+
 def banded_hamming_pairs(
     sig: DataFrame, id_col: str, sig_col: str, bits: int, max_hamming: int
 ) -> DataFrame:
@@ -683,14 +703,7 @@ def banded_hamming_pairs(
     ``sig`` is read twice (both join sides) — callers persist it and
     ride the handle via ``_with_cached_deps``.
     """
-    nbands = max_hamming + 1
-    width = bits // nbands
-    bands = []
-    for i in range(nbands):
-        band_val = F.shiftright(F.col(sig_col), i * width).bitwiseAND(
-            F.lit((1 << width) - 1)
-        )
-        bands.append(F.struct(F.lit(i).alias("band"), band_val.alias("val")))
+    bands = hamming_band_structs(sig_col, bits, max_hamming)
     exploded = sig.select(
         F.col(id_col).alias("id"),
         F.col(sig_col).alias("sig"),

@@ -47,18 +47,15 @@ from batch_process_dpla_index_spark.operators.multimodal import phash_images
 
 def _phash_bands(sig: DataFrame, bits: int, max_hamming: int) -> DataFrame:
     """(band, val, id): pigeonhole band keys for a (id, phash) frame —
-    the SAME shift/mask banding as ``dedup.banded_hamming_pairs`` (one
-    band per unit of Hamming budget + 1), so the stored buckets and
-    the in-line pair operator can never disagree on candidate
-    generation."""
-    nbands = max_hamming + 1
-    width = bits // nbands
-    bands = []
-    for i in range(nbands):
-        val = F.shiftright(F.col("phash"), i * width).bitwiseAND(
-            F.lit((1 << width) - 1)
-        )
-        bands.append(F.struct(F.lit(i).alias("band"), val.alias("val")))
+    built from ``dedup.hamming_band_structs``, the ONE definition of
+    the banding geometry, so the stored buckets and the in-line pair
+    operator (``banded_hamming_pairs``) can never disagree on
+    candidate generation."""
+    from batch_process_dpla_index_spark.operators.dedup import (
+        hamming_band_structs,
+    )
+
+    bands = hamming_band_structs("phash", bits, max_hamming)
     return sig.select(
         "id", "phash", F.explode(F.array(*bands)).alias("bk")
     ).select(
