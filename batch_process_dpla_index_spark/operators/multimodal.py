@@ -243,11 +243,18 @@ def _fake_phash(data: bytes, bits: int) -> int:
     return int(sum(1 << int(k) for k in on))
 
 
-def _pil_phash(data: bytes, bits: int) -> int:  # pragma: no cover - codec absent
+def _pil_phash(data: bytes, bits: int) -> int | None:  # pragma: no cover - codec absent
     """Real aHash when a codec is present: grayscale-resize to a
     rows×cols grid of exactly ``bits`` pixels (6×10 at the default 60),
     bit k = pixel k (row-major) brighter than the grid mean — the same
-    strictly-greater tie rule as the fake contract."""
+    strictly-greater tie rule as the fake contract.
+
+    Decode failure returns ``None`` (→ NULL phash), NEVER a sentinel
+    value: a constant sentinel (the old 0) made every distinct
+    undecodable blob a hamming-0 "duplicate" of the first one, and the
+    phash-index ingest path would then silently DELETE truncated
+    images. A NULL signature joins with nothing on either engine, so
+    undecodable blobs are conservatively kept everywhere."""
     import io
     import math
 
@@ -259,7 +266,7 @@ def _pil_phash(data: bytes, bits: int) -> int:  # pragma: no cover - codec absen
         with Image.open(io.BytesIO(data)) as im:
             px = list(im.convert("L").resize((cols, rows)).getdata())
     except Exception:
-        return 0
+        return None
     mean = sum(px) / len(px)
     return sum(1 << k for k, p in enumerate(px) if p > mean)
 
@@ -291,7 +298,11 @@ def phash_images(
             yield pd.DataFrame(
                 {
                     "id": pdf[id_name].to_numpy(),
-                    "phash": pd.Series(sigs, dtype="int64"),
+                    # nullable Int64: a PIL decode failure yields None →
+                    # NULL phash, which equi-joins with nothing (the
+                    # conservative keep-at-ingest contract); the fake
+                    # hasher never returns None
+                    "phash": pd.array(sigs, dtype="Int64"),
                 }
             )
 

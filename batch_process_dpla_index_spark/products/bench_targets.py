@@ -191,9 +191,11 @@ def _bench_phash_index(spark: SparkSession, sf_dir: str, work_dir: str) -> int:
     png = F.lit(b"\x89PNG")
     jpg = F.lit(bytes.fromhex("FFD8FFE0"))
     body = F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8")
-    corpus = docs.filter(F.col("doc_id") % 5 != 0).select(
-        "doc_id", F.concat(png, body).alias("blob")
-    )
+    # batch bodies ARE in the build corpus (the _bench_dedup_index
+    # shape): a held-out batch would make every probe a miss and the
+    # timed match/verify/window path would run over zero rows —
+    # review r13 found exactly that in the first cut of this target
+    corpus = docs.select("doc_id", F.concat(png, body).alias("blob"))
     batch = docs.filter(F.col("doc_id") % 5 == 0).select(
         (F.col("doc_id") + 1_000_000_000).alias("doc_id"),
         F.concat(jpg, body).alias("blob"),

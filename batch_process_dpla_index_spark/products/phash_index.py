@@ -185,16 +185,28 @@ def append_to_phash_index(
     index_dir: str,
     ingest_batch: int = 1,
     idempotent: bool = False,
+    signatures: DataFrame | None = None,
 ) -> None:
     """Append an accepted batch's signatures/buckets under the
     ``ingest_batch`` partition (parameters from the manifest, so
     banding drift is impossible). ``idempotent=True`` = dynamic
     partition overwrite for streaming checkpoint replays; leave off
-    for ad-hoc appends."""
+    for ad-hoc appends.
+
+    ``signatures``: an already-computed (id, phash) frame for exactly
+    these blobs (the embedding twin's ``assigned_cells`` pattern) —
+    the ingest path passes the check step's persisted batch signatures
+    so survivors are never perceptually hashed twice per micro-batch
+    (the Arrow pass over the binary column is the pipeline's most
+    expensive stage)."""
     manifest = read_manifest(index_dir)
     bits = int(manifest["bits"])
     max_hamming = int(manifest["max_hamming"])
-    sig = phash_images(batch_blobs, bin_col, id_col, bits).persist()
+    sig = (
+        signatures.select("id", "phash")
+        if signatures is not None
+        else phash_images(batch_blobs, bin_col, id_col, bits)
+    ).persist()
 
     def _write(df: DataFrame, name: str) -> None:
         writer = df.withColumn("ingest_batch", F.lit(int(ingest_batch))).write

@@ -38,6 +38,97 @@ def _manifest_exists(out_path: str) -> bool:
     return os.path.exists(os.path.join(out_path, "_MANIFEST"))
 
 
+def _dedup_ingest_available(
+    spark: SparkSession,
+    source_path: str,
+    schema,
+    out_path: str,
+    checkpoint_path: str,
+    id_col: str,
+    check_fn,
+    dup_ids_fn,
+    append_fn,
+    manifest_key: str,
+    index_dir: str,
+    max_files_per_trigger: int | None,
+    now,
+) -> dict[int, tuple[int, int]]:
+    """THE dedup-on-ingest skeleton all three modality twins run
+    (text/LSH, embedding/IVF-cell, image/phash — review r13: the
+    persist → check → anti-join → dynamic-overwrite land → append →
+    unpersist sequence, the reader setup, and the no-op-replay
+    manifest guard existed in three hand-copies that could drift).
+
+    - ``check_fn(batch_df, batch_id)`` probes the index with
+      ``max_ingest_batch=batch_id`` (replay safety) and returns the
+      match frame (its ``_cached_deps`` are released here after the
+      append consumed it);
+    - ``dup_ids_fn(matches)`` projects the matched batch ids as ONE
+      column aliased ``id_col``;
+    - ``append_fn(survivors, batch_id, matches)`` lands the survivors'
+      index rows under ``ingest_batch = batch_id + 1`` with
+      ``idempotent=True`` (and reuses the check step's computed
+      signatures/cells — never a second Arrow pass over the batch).
+
+    Returns {batch_id: (rows_seen, rows_kept)}."""
+    from pyspark.sql import functions as F
+
+    from batch_process_dpla_index_spark.operators.dedup import unpersist_deps
+
+    stats: dict[int, tuple[int, int]] = {}
+
+    def land(batch_df, batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        n_seen = batch_df.count()
+        matches = check_fn(batch_df, int(batch_id))
+        dup_ids = dup_ids_fn(matches)
+        survivors = batch_df.join(dup_ids, id_col, "left_anti").persist()
+        (
+            survivors.withColumn("batch", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch")
+            .parquet(out_path)
+        )
+        n_kept = survivors.count()
+        append_fn(survivors, int(batch_id), matches)
+        unpersist_deps(matches)
+        survivors.unpersist()
+        batch_df.unpersist()
+        stats[int(batch_id)] = (n_seen, n_kept)
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_path)
+    q = (
+        stream.writeStream.foreachBatch(land)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    if not stats and _manifest_exists(out_path):
+        return stats  # no-op replay: keep the real manifest (see above)
+    write_manifest(
+        {
+            "Source": source_path,
+            manifest_key: index_dir,
+            "Batches": str(len(stats)),
+            "Total records seen": str(sum(s for s, _ in stats.values())),
+            "Total records kept": str(sum(k for _, k in stats.values())),
+            **{
+                f"Batch {b} seen/kept": f"{s}/{k}"
+                for b, (s, k) in sorted(stats.items())
+            },
+        },
+        out_path,
+        timestamp=iso_timestamp(now),
+    )
+    return stats
+
+
 def ingest_available(
     spark: SparkSession,
     source_path: str,
@@ -194,74 +285,28 @@ def ingest_dedup_available(
     """
     from pyspark.sql import functions as F
 
-    from batch_process_dpla_index_spark.operators.dedup import unpersist_deps
     from batch_process_dpla_index_spark.products import dedup_index
 
-    stats: dict[int, tuple[int, int]] = {}
+    def check(batch_df, batch_id: int):
+        # replay safety: a checkpoint-replayed batch must not match
+        # the signatures its first attempt appended (ingest_batch =
+        # id+1) — it would match itself at J=1.0 and land empty
+        return dedup_index.incremental_dedup_indexed(
+            spark, batch_df, text_col, id_col, index_dir,
+            threshold=threshold, max_ingest_batch=batch_id,
+        )
 
-    def land(batch_df, batch_id: int) -> None:
-        batch_df = batch_df.persist()
-        n_seen = batch_df.count()
-        matches = dedup_index.incremental_dedup_indexed(
-            spark, batch_df, text_col, id_col, index_dir, threshold=threshold,
-            # replay safety: a checkpoint-replayed batch must not match
-            # the signatures its first attempt appended (ingest_batch =
-            # id+1) — it would match itself at J=1.0 and land empty
-            max_ingest_batch=int(batch_id),
-        )
-        dup_ids = matches.select(F.col("new_id").alias(id_col))
-        survivors = batch_df.join(dup_ids, id_col, "left_anti").persist()
-        (
-            survivors.withColumn("batch", F.lit(int(batch_id)))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch")
-            .parquet(out_path)
-        )
-        n_kept = survivors.count()
+    def append(survivors, batch_id: int, matches) -> None:
         dedup_index.append_to_dedup_index(
-            survivors,
-            text_col,
-            id_col,
-            index_dir,
-            ingest_batch=int(batch_id) + 1,
-            idempotent=True,
+            survivors, text_col, id_col, index_dir,
+            ingest_batch=batch_id + 1, idempotent=True,
         )
-        unpersist_deps(matches)
-        survivors.unpersist()
-        batch_df.unpersist()
-        stats[int(batch_id)] = (n_seen, n_kept)
 
-    reader = spark.readStream.schema(schema)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = reader.parquet(source_path)
-    q = (
-        stream.writeStream.foreachBatch(land)
-        .option("checkpointLocation", checkpoint_path)
-        .trigger(availableNow=True)
-        .start()
+    return _dedup_ingest_available(
+        spark, source_path, schema, out_path, checkpoint_path, id_col,
+        check, lambda m: m.select(F.col("new_id").alias(id_col)), append,
+        "Dedup index", index_dir, max_files_per_trigger, now,
     )
-    q.awaitTermination()
-
-    if not stats and _manifest_exists(out_path):
-        return stats  # no-op replay: keep the real manifest (see above)
-    write_manifest(
-        {
-            "Source": source_path,
-            "Dedup index": index_dir,
-            "Batches": str(len(stats)),
-            "Total records seen": str(sum(s for s, _ in stats.values())),
-            "Total records kept": str(sum(k for _, k in stats.values())),
-            **{
-                f"Batch {b} seen/kept": f"{s}/{k}"
-                for b, (s, k) in sorted(stats.items())
-            },
-        },
-        out_path,
-        timestamp=iso_timestamp(now),
-    )
-    return stats
 
 
 def ingest_embedding_dedup_available(
@@ -303,82 +348,33 @@ def ingest_embedding_dedup_available(
     """
     from pyspark.sql import functions as F
 
-    from batch_process_dpla_index_spark.operators.dedup import unpersist_deps
     from batch_process_dpla_index_spark.products import embedding_index
 
-    stats: dict[int, tuple[int, int]] = {}
+    def check(batch_df, batch_id: int):
+        return embedding_index.incremental_embedding_dedup_indexed(
+            spark, batch_df, id_col, vec_col, index_dir,
+            threshold=threshold, n_probe=n_probe,
+            max_ingest_batch=batch_id,
+        )
 
-    def land(batch_df, batch_id: int) -> None:
-        batch_df = batch_df.persist()
-        n_seen = batch_df.count()
-        res = embedding_index.incremental_embedding_dedup_indexed(
-            spark,
-            batch_df,
-            id_col,
-            vec_col,
-            index_dir,
-            threshold=threshold,
-            n_probe=n_probe,
-            max_ingest_batch=int(batch_id),
-        )
-        dup_ids = res.where(~F.col("is_new")).select(
-            F.col("id").alias(id_col)
-        )
-        survivors = batch_df.join(dup_ids, id_col, "left_anti").persist()
-        (
-            survivors.withColumn("batch", F.lit(int(batch_id)))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch")
-            .parquet(out_path)
-        )
-        n_kept = survivors.count()
+    def append(survivors, batch_id: int, res) -> None:
         embedding_index.append_to_embedding_index(
-            survivors,
-            id_col,
-            vec_col,
-            index_dir,
-            ingest_batch=int(batch_id) + 1,
-            idempotent=True,
+            survivors, id_col, vec_col, index_dir,
+            ingest_batch=batch_id + 1, idempotent=True,
             # the probe pass already assigned every batch vector its
             # rank-1 cell — reuse it instead of a second Arrow matmul
             assigned_cells=res.select("id", "cell"),
         )
-        unpersist_deps(res)
-        survivors.unpersist()
-        batch_df.unpersist()
-        stats[int(batch_id)] = (n_seen, n_kept)
 
-    reader = spark.readStream.schema(schema)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = reader.parquet(source_path)
-    q = (
-        stream.writeStream.foreachBatch(land)
-        .option("checkpointLocation", checkpoint_path)
-        .trigger(availableNow=True)
-        .start()
+    return _dedup_ingest_available(
+        spark, source_path, schema, out_path, checkpoint_path, id_col,
+        check,
+        lambda res: res.where(~F.col("is_new")).select(
+            F.col("id").alias(id_col)
+        ),
+        append,
+        "Embedding index", index_dir, max_files_per_trigger, now,
     )
-    q.awaitTermination()
-
-    if not stats and _manifest_exists(out_path):
-        return stats  # no-op replay: keep the real manifest (see above)
-    write_manifest(
-        {
-            "Source": source_path,
-            "Embedding index": index_dir,
-            "Batches": str(len(stats)),
-            "Total records seen": str(sum(s for s, _ in stats.values())),
-            "Total records kept": str(sum(k for _, k in stats.values())),
-            **{
-                f"Batch {b} seen/kept": f"{s}/{k}"
-                for b, (s, k) in sorted(stats.items())
-            },
-        },
-        out_path,
-        timestamp=iso_timestamp(now),
-    )
-    return stats
 
 
 def ingest_image_dedup_available(
@@ -416,68 +412,30 @@ def ingest_image_dedup_available(
     Returns {batch_id: (rows_seen, rows_kept)}."""
     from pyspark.sql import functions as F
 
-    from batch_process_dpla_index_spark.operators.dedup import unpersist_deps
     from batch_process_dpla_index_spark.products import phash_index
 
-    stats: dict[int, tuple[int, int]] = {}
-
-    def land(batch_df, batch_id: int) -> None:
-        batch_df = batch_df.persist()
-        n_seen = batch_df.count()
-        matches = phash_index.incremental_phash_dedup_indexed(
+    def check(batch_df, batch_id: int):
+        return phash_index.incremental_phash_dedup_indexed(
             spark, batch_df, bin_col, id_col, index_dir,
-            max_ingest_batch=int(batch_id),
+            max_ingest_batch=batch_id,
         )
-        dup_ids = matches.select(F.col("new_id").alias(id_col))
-        survivors = batch_df.join(dup_ids, id_col, "left_anti").persist()
-        (
-            survivors.withColumn("batch", F.lit(int(batch_id)))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch")
-            .parquet(out_path)
+
+    def append(survivors, batch_id: int, matches) -> None:
+        # reuse the check step's persisted batch signatures (its cached
+        # dep) — survivors must not be perceptually hashed a second
+        # time per micro-batch
+        batch_sigs = matches._cached_deps[0]
+        surv_sigs = batch_sigs.join(
+            matches.select(F.col("new_id").alias("id")), "id", "left_anti"
         )
-        n_kept = survivors.count()
         phash_index.append_to_phash_index(
-            survivors,
-            bin_col,
-            id_col,
-            index_dir,
-            ingest_batch=int(batch_id) + 1,
-            idempotent=True,
+            survivors, bin_col, id_col, index_dir,
+            ingest_batch=batch_id + 1, idempotent=True,
+            signatures=surv_sigs,
         )
-        unpersist_deps(matches)
-        survivors.unpersist()
-        batch_df.unpersist()
-        stats[int(batch_id)] = (n_seen, n_kept)
 
-    reader = spark.readStream.schema(schema)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = reader.parquet(source_path)
-    q = (
-        stream.writeStream.foreachBatch(land)
-        .option("checkpointLocation", checkpoint_path)
-        .trigger(availableNow=True)
-        .start()
+    return _dedup_ingest_available(
+        spark, source_path, schema, out_path, checkpoint_path, id_col,
+        check, lambda m: m.select(F.col("new_id").alias(id_col)), append,
+        "Phash index", index_dir, max_files_per_trigger, now,
     )
-    q.awaitTermination()
-
-    if not stats and _manifest_exists(out_path):
-        return stats  # no-op replay: keep the real manifest (see above)
-    write_manifest(
-        {
-            "Source": source_path,
-            "Phash index": index_dir,
-            "Batches": str(len(stats)),
-            "Total records seen": str(sum(s for s, _ in stats.values())),
-            "Total records kept": str(sum(k for _, k in stats.values())),
-            **{
-                f"Batch {b} seen/kept": f"{s}/{k}"
-                for b, (s, k) in sorted(stats.items())
-            },
-        },
-        out_path,
-        timestamp=iso_timestamp(now),
-    )
-    return stats

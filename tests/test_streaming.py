@@ -1028,11 +1028,28 @@ def test_streaming_image_dedup_ingest(spark, tmp_path):
     landed = spark.read.parquet(out)
     assert landed.count() == kept
     landed_ids = {r.doc_id for r in landed.select("doc_id").collect()}
-    # whichever batch ran first, its re-containered twins in the other
-    # were corpus matches by then; build-corpus twins always match
-    dropped = seen - kept
-    assert dropped >= 20  # at minimum every build-corpus twin
-    assert not {i + 200000 for i in range(20)} <= landed_ids
+    # the mechanism, asserted exactly (review r13: a 4-byte magic swap
+    # does NOT guarantee hamming <= 12 on short blobs — compute which
+    # build-corpus twins genuinely fall within the budget and assert
+    # THOSE were dropped; twins past the budget assert nothing)
+    from batch_process_dpla_index_spark.operators.multimodal import _fake_phash
+
+    texts = {
+        r["doc_id"]: (r["text"] or "").encode()
+        for r in docs.filter(F.col("doc_id") < 20).collect()
+    }
+    within = {
+        did + 200000
+        for did, body_b in texts.items()
+        if bin(
+            _fake_phash(b"\x89PNG" + body_b, 60)
+            ^ _fake_phash(bytes.fromhex("FFD8FFE0") + body_b, 60)
+        ).count("1")
+        <= 12
+    }
+    assert within, "fixture regression: no build-corpus twin within budget"
+    assert within.isdisjoint(landed_ids)
+    assert seen - kept >= len(within)
 
     # replay: nothing new, nothing duplicated, index unchanged
     stats2 = streaming_ingest.ingest_image_dedup_available(
