@@ -1234,3 +1234,66 @@ def test_incremental_semantic_dedup_two_level_routing(spark):
         assert r["is_new"] is False, "scale-invariant copy must match"
         assert r["best_match_id"] == r["id"] - 100000
         assert r["best_score"] >= 0.99
+
+
+def test_null_signature_never_matches(spark):
+    """The PIL decode-failure contract (review r13): a NULL phash must
+    match NOTHING — not another NULL, not any real signature — in both
+    the in-line banded kernel and the stored-index probe path.
+    (The old constant-0 sentinel made every distinct undecodable blob
+    a hamming-0 'duplicate' of the first; dedup-on-ingest would then
+    silently DELETE truncated images.)"""
+    from batch_process_dpla_index_spark.operators.dedup import (
+        banded_hamming_pairs,
+    )
+
+    sig = spark.createDataFrame(
+        [(1, 12345), (2, 12345), (3, None), (4, None)],
+        "id BIGINT, sig BIGINT",
+    ).persist()
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in banded_hamming_pairs(sig, "id", "sig", 60, 3).collect()
+    }
+    sig.unpersist()
+    # the real twin pairs; the two NULLs pair with nothing, incl. each other
+    assert pairs == {(1, 2)}
+
+
+def test_phash_index_null_signature_kept(spark, tmp_path):
+    """A NULL-phash blob row in the stored index (or the probe batch)
+    never produces a match — the conservative keep-at-ingest contract
+    the decode-failure fix relies on, end-to-end through the bucket
+    join and popcount verify."""
+    from batch_process_dpla_index_spark.operators.dedup import unpersist_deps
+    from batch_process_dpla_index_spark.products import phash_index
+
+    blob = bytes((i * 71 + 9) % 256 for i in range(300))
+    corpus = spark.createDataFrame(
+        [(1, b"\x89PNG" + blob)], "id BIGINT, blob BINARY"
+    )
+    idx = str(tmp_path / "nidx")
+    phash_index.build_phash_index(corpus, "blob", "id", idx, max_hamming=8)
+    # inject a NULL-signature row into the stored datasets, as a PIL
+    # decode failure would have written it
+    import pyspark.sql.functions as F
+
+    null_sig = spark.createDataFrame([(99,)], "id BIGINT").select(
+        "id", F.lit(None).cast("bigint").alias("phash")
+    )
+    phash_index.append_to_phash_index(
+        None, "blob", "id", idx, ingest_batch=1, signatures=null_sig
+    )
+    probe = spark.createDataFrame(
+        [(10, b"\x89PNG" + blob), (11, None)], "id BIGINT, blob BINARY"
+    )
+    out = phash_index.incremental_phash_dedup_indexed(
+        spark, probe, "blob", "id", idx
+    )
+    got = {r["new_id"]: r["dup_of"] for r in out.collect()}
+    unpersist_deps(out)
+    # the real twin matches its stored original; the NULL-blob probe
+    # (empty bytes → phash 0 under the fake, a REAL signature) must
+    # not match the stored NULL row either way
+    assert got.get(10) == 1
+    assert got.get(11) != 99
