@@ -15,6 +15,7 @@ plus the monthly-batch sequencer (monthly_batch_emr.sh:41-111)::
     python -m batch_process_dpla_index_spark.jobs thumbnail-purge <in_path> <bucket_root> [--uri-col C] [--batch N]
     python -m batch_process_dpla_index_spark.jobs training-export <docs_parquet> <out_dir> [--seed S] [--shards N] [--no-gate] [--sentence-dedup] [--mixture lang:en=0.5,de=0.5:10000]
     python -m batch_process_dpla_index_spark.jobs dedup-index build|query|append <docs_parquet> <index_dir> [--threshold T]
+    python -m batch_process_dpla_index_spark.jobs phash-index build|query|append <blobs_parquet> <index_dir> [--bits B] [--max-hamming H] [--batch N]
     python -m batch_process_dpla_index_spark.jobs ann-index build|query|recall|append|delete|compact|report|rebuild [vectors_parquet] <index_dir> [--cells N] [--k K] [--probe P] [--probe-coarse C --probe-fine F] [--sample N] [--batch N] [--quantizer kmeans|two-level|none] [--compact-threshold T] [--rebuild-cells N] [--design-point N]
     python -m batch_process_dpla_index_spark.jobs embedding-index build|report|rebuild|delete|compact <index_dir> [--vectors-parquet P] [--ids-parquet P] [--cells N] [--design-point N] [--compact-threshold T]
     python -m batch_process_dpla_index_spark.jobs compact <src_parquet> <dst_parquet> [--target-mb N]
@@ -74,6 +75,15 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--id-col", default="doc_id")
     s.add_argument("--text-col", default="text")
     s.add_argument("--threshold", type=float, default=0.5)
+    s.add_argument("--batch", type=int, default=1)
+    s = sub.add_parser("phash-index")
+    s.add_argument("action", choices=["build", "query", "append"])
+    s.add_argument("blobs_parquet")
+    s.add_argument("index_dir")
+    s.add_argument("--id-col", default="doc_id")
+    s.add_argument("--bin-col", default="blob")
+    s.add_argument("--bits", type=int, default=60)
+    s.add_argument("--max-hamming", type=int, default=3)
     s.add_argument("--batch", type=int, default=1)
     s = sub.add_parser("ann-index")
     s.add_argument("action", choices=["build", "query", "recall", "append",
@@ -333,6 +343,30 @@ def main(argv: list[str] | None = None) -> int:
                 n = matches.count()
                 unpersist_deps(matches)
                 print(f"Batch docs with a corpus match: {n}")
+        elif args.job == "phash-index":
+            from batch_process_dpla_index_spark.operators.dedup import unpersist_deps
+            from batch_process_dpla_index_spark.products import phash_index
+
+            blobs = spark.read.parquet(args.blobs_parquet)
+            if args.action == "build":
+                manifest = phash_index.build_phash_index(
+                    blobs, args.bin_col, args.id_col, args.index_dir,
+                    bits=args.bits, max_hamming=args.max_hamming,
+                )
+                print(f"Phash index built: {manifest}")
+            elif args.action == "append":
+                phash_index.append_to_phash_index(
+                    blobs, args.bin_col, args.id_col, args.index_dir,
+                    ingest_batch=args.batch,
+                )
+                print(f"Appended {blobs.count()} blobs to {args.index_dir}")
+            else:
+                matches = phash_index.incremental_phash_dedup_indexed(
+                    spark, blobs, args.bin_col, args.id_col, args.index_dir
+                )
+                n = matches.count()
+                unpersist_deps(matches)
+                print(f"Batch blobs with a corpus match: {n}")
         elif args.job == "ann-index":
             from batch_process_dpla_index_spark.products import ann_index
 

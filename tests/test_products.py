@@ -1494,3 +1494,37 @@ def test_overlap_index_lifecycle_and_idempotent_refresh(spark, tmp_path):
 
     # CLI surface: report action runs end-to-end
     assert jobs.main(["overlap-index", "report", idx]) == 0
+
+
+def test_phash_index_cli_roundtrip(spark, tmp_path, capsys):
+    """phash-index CLI parity with dedup-index: build over blobs,
+    query a batch containing an exact copy (must match), append the
+    batch, then a re-query of the same batch matches everything
+    (its own rows are now stored)."""
+    from batch_process_dpla_index_spark import jobs
+
+    payload = bytes((i * 83 + 19) % 256 for i in range(350))
+    other = bytes((i * 29 + 7) % 256 for i in range(420))
+    corpus = spark.createDataFrame(
+        [(1, b"\x89PNG" + payload), (2, b"GIF8" + other)],
+        "doc_id BIGINT, blob BINARY",
+    )
+    batch = spark.createDataFrame(
+        [(10, b"\x89PNG" + payload),  # exact copy → hamming 0
+         (11, bytes((i * 151 + 31) % 256 for i in range(500)))],  # novel
+        "doc_id BIGINT, blob BINARY",
+    )
+    corpus_path = str(tmp_path / "corpus")
+    batch_path = str(tmp_path / "batch")
+    idx = str(tmp_path / "pidx_cli")
+    corpus.coalesce(1).write.parquet(corpus_path)
+    batch.coalesce(1).write.parquet(batch_path)
+
+    assert jobs.main(["phash-index", "build", corpus_path, idx]) == 0
+    assert "Record count': '2'" in capsys.readouterr().out
+    assert jobs.main(["phash-index", "query", batch_path, idx]) == 0
+    assert "corpus match: 1" in capsys.readouterr().out
+    assert jobs.main(["phash-index", "append", batch_path, idx]) == 0
+    assert "Appended 2 blobs" in capsys.readouterr().out
+    assert jobs.main(["phash-index", "query", batch_path, idx]) == 0
+    assert "corpus match: 2" in capsys.readouterr().out
