@@ -3324,25 +3324,94 @@ def q_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
 # next-round window).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # The driver's correctness gate records the FIRST 50 entries only;
-    # round-13 rotation (VERDICT r12 #1 — "rotate exactly as staged"):
-    # positions 1-2 are the round-12 ROUTING-CHANGED queries
-    # semantic_dedup and incremental_semantic_dedup (the two-level
-    # assign routing touched their operators in r12 — behavior-neutral
-    # at every verification k, but the staging discipline wants their
-    # post-change driver rows proven first), positions 3-5 are the
-    # round-12 debuts cell_occupancy, dataset_dup_profile and
-    # multimodal_resize (the only registry entries with no driver row —
-    # closes cumulative driver coverage to 163/163), positions 6-15 are
-    # the r9-green cohort's 10-entry overflow, and positions 16-50 are
-    # the first 35 of the r10-green cohort. The r10 cohort's remaining
-    # 14 entries defer to r14 with fleet-verify receipts. Rotation
-    # arithmetic + deferral receipts live in ROUNDNOTES.md.
+    # round-14 rotation (VERDICT r13 #1 — executed exactly as staged in
+    # ROUNDNOTES r13): positions 1-4 are the r13 debuts (the only four
+    # registry entries with no driver row — closes cumulative driver
+    # coverage to 167/167), positions 5-18 are the r10-green cohort's
+    # 14-entry overflow, positions 19-50 are the first 32 of the
+    # r11-green cohort. The r11 cohort's remaining 17 entries defer to
+    # r15 with fleet-verify receipts. Rotation arithmetic + deferral
+    # receipts live in ROUNDNOTES.md.
+    "image_near_dup": q_image_near_dup,
+    "image_dedup_survivors": q_image_dedup_survivors,
+    "video_near_dup": q_video_near_dup,
+    "audio_pcm_stats": q_audio_pcm_stats,
+    # -- the r10-green cohort's 14-entry overflow --
+    "udtf_sentences": q_udtf_sentences,
+    "segment_with_f_orders": q_segment_with_f_orders,
+    "customers_without_orders": q_customers_without_orders,
+    "priority_by_month": q_priority_by_month,
+    "union_entities": q_union_entities,
+    "boilerplate_stats": q_boilerplate_stats,
+    "rollup_flags": q_rollup_flags,
+    "grouping_sets": q_grouping_sets,
+    "zorder_events": q_zorder_events,
+    "salted_brand_join": q_salted_brand_join,
+    "segment_overlap": q_segment_overlap,
+    "sql_supplier_share": q_sql_supplier_share,
+    "latest_events_per_user": q_latest_events_per_user,
+    "rolling_user_value": q_rolling_user_value,
+    # -- first 32 of the r11-green cohort --
+    "ivf_recall_report": q_ivf_recall_report,
+    "top_orders": q_top_orders,
+    "region_revenue": q_region_revenue,
+    "pricing_summary": q_pricing_summary,
+    "scalar_suite": q_scalar_suite,
+    "props_by_type": q_props_by_type,
+    "brand_revenue": q_brand_revenue,
+    "hash_sample_split": q_hash_sample_split,
+    "simhash_pairs": q_simhash_pairs,
+    "language_id": q_language_id,
+    "rolling_hash": q_rolling_hash,
+    "pivot_status": q_pivot_status,
+    "event_calendar": q_event_calendar,
+    "value_percentiles": q_value_percentiles,
+    "price_histogram": q_price_histogram,
+    "cosine_topk_pandas": q_cosine_topk_pandas,
+    "sitemap_urls": q_sitemap_urls,
+    "multimodal_decode": q_multimodal_decode,
+    "multimodal_frames": q_multimodal_frames,
+    "thumbnail_keys": q_thumbnail_keys,
+    "distinct_parts_per_flag": q_distinct_parts_per_flag,
+    "props_from_json": q_props_from_json,
+    "kmeans_cells": q_kmeans_cells,
+    "semdedup": q_semdedup,
+    "dsir_weights": q_dsir_weights,
+    "tfidf_terms": q_tfidf_terms,
+    "char_entropy": q_char_entropy,
+    "duplicate_spans": q_duplicate_spans,
+    "funnel_stages": q_funnel_stages,
+    "scd2_history": q_scd2_history,
+    "retention_cohorts": q_retention_cohorts,
+    "dedup_representatives": q_dedup_representatives,
+    # ---- driver-window boundary (entry 50 above this line) ----
+    # -- the r11-green cohort's 17-entry remainder (defers to r15; all
+    #    driver-green in CORRECTNESS_r11, re-verified every round via
+    #    tools/verify_local.py fleet runs) --
+    "leakage_safe_split": q_leakage_safe_split,
+    "benford_profile": q_benford_profile,
+    "winsorized_stats": q_winsorized_stats,
+    "cusum_changepoint": q_cusum_changepoint,
+    "domain_quality_rank": q_domain_quality_rank,
+    "ngram_novelty": q_ngram_novelty,
+    "bloom_prune_join": q_bloom_prune_join,
+    "hard_negatives": q_hard_negatives,
+    "lsh_quality_report": q_lsh_quality_report,
+    "random_projection_profile": q_random_projection_profile,
+    "label_propagation": q_label_propagation,
+    "embedding_dim_profile": q_embedding_dim_profile,
+    "growth_rates": q_growth_rates,
+    "market_basket": q_market_basket,
+    "vocab_coverage": q_vocab_coverage,
+    "attribution_last_touch": q_attribution_last_touch,
+    "seasonal_baseline": q_seasonal_baseline,
+    # -- the 50-entry r13 window (all driver-green in CORRECTNESS_r13;
+    #    freshest cohort) --
     "semantic_dedup": q_semantic_dedup,
     "incremental_semantic_dedup": q_incremental_semantic_dedup,
     "cell_occupancy": q_cell_occupancy,
     "dataset_dup_profile": q_dataset_dup_profile,
     "multimodal_resize": q_multimodal_resize,
-    # -- the r9-green cohort's 10-entry overflow --
     "user_cumsum": q_user_cumsum,
     "user_zscore": q_user_zscore,
     "multimodal_meta": q_multimodal_meta,
@@ -3353,7 +3422,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_search": q_bm25_search,
     "source_overlap_incremental": q_source_overlap_incremental,
     "kcore_decomposition": q_kcore_decomposition,
-    # -- first 35 of the r10-green cohort --
     "ivf_pq_topk": q_ivf_pq_topk,
     "cluster_silhouette": q_cluster_silhouette,
     "attribution_time_decay": q_attribution_time_decay,
@@ -3389,84 +3457,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate": q_decontaminate,
     "fingerprint_clusters": q_fingerprint_clusters,
     "mq_contributor_scores": q_mq_contributor_scores,
-    # ---- driver-window boundary (entry 50 above this line) ----
-    # -- staged r14 window: the r13 debuts first (image_near_dup,
-    #    image_dedup_survivors, video_near_dup, audio_pcm_stats —
-    #    verified both SFs, pinned, probed same-round per the staging
-    #    discipline), then the r10-green cohort's 14-entry overflow
-    #    below, then the r11-green cohort (next-stalest; last
-    #    driver-green in CORRECTNESS_r11). --
-    "image_near_dup": q_image_near_dup,
-    "image_dedup_survivors": q_image_dedup_survivors,
-    "video_near_dup": q_video_near_dup,
-    "audio_pcm_stats": q_audio_pcm_stats,
-    "udtf_sentences": q_udtf_sentences,
-    "segment_with_f_orders": q_segment_with_f_orders,
-    "customers_without_orders": q_customers_without_orders,
-    "priority_by_month": q_priority_by_month,
-    "union_entities": q_union_entities,
-    "boilerplate_stats": q_boilerplate_stats,
-    "rollup_flags": q_rollup_flags,
-    "grouping_sets": q_grouping_sets,
-    "zorder_events": q_zorder_events,
-    "salted_brand_join": q_salted_brand_join,
-    "segment_overlap": q_segment_overlap,
-    "sql_supplier_share": q_sql_supplier_share,
-    "latest_events_per_user": q_latest_events_per_user,
-    "rolling_user_value": q_rolling_user_value,
-    # -- the 50-entry r11 window (all driver-green in CORRECTNESS_r11;
-    #    re-verified every round via tools/verify_local.py) --
-    "ivf_recall_report": q_ivf_recall_report,
-    "top_orders": q_top_orders,
-    "region_revenue": q_region_revenue,
-    "pricing_summary": q_pricing_summary,
-    "scalar_suite": q_scalar_suite,
-    "props_by_type": q_props_by_type,
-    "brand_revenue": q_brand_revenue,
-    "hash_sample_split": q_hash_sample_split,
-    "simhash_pairs": q_simhash_pairs,
-    "language_id": q_language_id,
-    "rolling_hash": q_rolling_hash,
-    "pivot_status": q_pivot_status,
-    "event_calendar": q_event_calendar,
-    "value_percentiles": q_value_percentiles,
-    "price_histogram": q_price_histogram,
-    "cosine_topk_pandas": q_cosine_topk_pandas,
-    "sitemap_urls": q_sitemap_urls,
-    "multimodal_decode": q_multimodal_decode,
-    "multimodal_frames": q_multimodal_frames,
-    "thumbnail_keys": q_thumbnail_keys,
-    "distinct_parts_per_flag": q_distinct_parts_per_flag,
-    "props_from_json": q_props_from_json,
-    "kmeans_cells": q_kmeans_cells,
-    "semdedup": q_semdedup,
-    "dsir_weights": q_dsir_weights,
-    "tfidf_terms": q_tfidf_terms,
-    "char_entropy": q_char_entropy,
-    "duplicate_spans": q_duplicate_spans,
-    "funnel_stages": q_funnel_stages,
-    "scd2_history": q_scd2_history,
-    "retention_cohorts": q_retention_cohorts,
-    "dedup_representatives": q_dedup_representatives,
-    "leakage_safe_split": q_leakage_safe_split,
-    "benford_profile": q_benford_profile,
-    "winsorized_stats": q_winsorized_stats,
-    "cusum_changepoint": q_cusum_changepoint,
-    "domain_quality_rank": q_domain_quality_rank,
-    "ngram_novelty": q_ngram_novelty,
-    "bloom_prune_join": q_bloom_prune_join,
-    "hard_negatives": q_hard_negatives,
-    "lsh_quality_report": q_lsh_quality_report,
-    "random_projection_profile": q_random_projection_profile,
-    "label_propagation": q_label_propagation,
-    "embedding_dim_profile": q_embedding_dim_profile,
-    "growth_rates": q_growth_rates,
-    "market_basket": q_market_basket,
-    "vocab_coverage": q_vocab_coverage,
-    "attribution_last_touch": q_attribution_last_touch,
-    "seasonal_baseline": q_seasonal_baseline,
-    # -- the 50-entry r12 window, displaced by the r13 rotation (all
-    #    driver-green in CORRECTNESS_r12; freshest cohort) --
+    # -- the 50-entry r12-green cohort --
     "two_level_kmeans": q_two_level_kmeans,
     "imi_topk": q_imi_topk,
     "imi_recall_report": q_imi_recall_report,
@@ -3518,4 +3509,3 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_sessions": q_user_sessions,
     "interval_join": q_interval_join,
 }
-
