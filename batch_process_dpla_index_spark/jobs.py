@@ -14,8 +14,8 @@ plus the monthly-batch sequencer (monthly_batch_emr.sh:41-111)::
     python -m batch_process_dpla_index_spark.jobs monthly-batch <in_root> <out_root> [url_prefix]
     python -m batch_process_dpla_index_spark.jobs thumbnail-purge <in_path> <bucket_root> [--uri-col C] [--batch N]
     python -m batch_process_dpla_index_spark.jobs training-export <docs_parquet> <out_dir> [--seed S] [--shards N] [--no-gate] [--sentence-dedup] [--mixture lang:en=0.5,de=0.5:10000]
-    python -m batch_process_dpla_index_spark.jobs dedup-index build|query|append <docs_parquet> <index_dir> [--threshold T]
-    python -m batch_process_dpla_index_spark.jobs phash-index build|query|append <blobs_parquet> <index_dir> [--bits B] [--max-hamming H] [--batch N]
+    python -m batch_process_dpla_index_spark.jobs dedup-index build|query|append|delete|compact [docs_parquet] <index_dir> [--threshold T] [--compact-threshold T] [--no-recount]
+    python -m batch_process_dpla_index_spark.jobs phash-index build|query|append|delete|compact [blobs_parquet] <index_dir> [--bits B] [--max-hamming H] [--batch N] [--compact-threshold T] [--no-recount]
     python -m batch_process_dpla_index_spark.jobs ann-index build|query|recall|append|delete|compact|report|rebuild [vectors_parquet] <index_dir> [--cells N] [--k K] [--probe P] [--probe-coarse C --probe-fine F] [--sample N] [--batch N] [--quantizer kmeans|two-level|none] [--compact-threshold T] [--rebuild-cells N] [--design-point N]
     python -m batch_process_dpla_index_spark.jobs embedding-index build|report|rebuild|delete|compact <index_dir> [--vectors-parquet P] [--ids-parquet P] [--cells N] [--design-point N] [--compact-threshold T]
     python -m batch_process_dpla_index_spark.jobs compact <src_parquet> <dst_parquet> [--target-mb N]
@@ -69,21 +69,51 @@ def main(argv: list[str] | None = None) -> int:
         help="domain_col:d1=w1,d2=w2:token_budget (e.g. lang:en=0.5,de=0.5:10000)",
     )
     s = sub.add_parser("dedup-index")
-    s.add_argument("action", choices=["build", "query", "append"])
-    s.add_argument("docs_parquet")
+    s.add_argument("action", choices=["build", "query", "append",
+                                      "delete", "compact"])
+    s.add_argument("docs_parquet", nargs="?", default=None,
+                   help="corpus/query/append docs; for delete: the ids "
+                        "to tombstone (parquet, --id-col column); "
+                        "unused for compact")
     s.add_argument("index_dir")
     s.add_argument("--id-col", default="doc_id")
     s.add_argument("--text-col", default="text")
     s.add_argument("--threshold", type=float, default=0.5)
     s.add_argument("--batch", type=int, default=1)
+    s.add_argument("--compact-threshold", type=float, default=0.2,
+                   help="delete: auto-compact once this fraction of "
+                        "stored docs is tombstoned (>1 defers "
+                        "indefinitely, 0 forces)")
+    s.add_argument("--no-recount", action="store_true",
+                   help="delete: skip the manifest recount + threshold "
+                        "check (pure O(|ids|) takedown hot path; "
+                        "counts read stale until the next counted "
+                        "delete or compaction)")
     s = sub.add_parser("phash-index")
-    s.add_argument("action", choices=["build", "query", "append"])
-    s.add_argument("blobs_parquet")
+    s.add_argument("action", choices=["build", "query", "append",
+                                      "delete", "compact"])
+    s.add_argument("blobs_parquet", nargs="?", default=None,
+                   help="corpus/query/append blobs; for delete: the "
+                        "ids to tombstone (parquet, --id-col column); "
+                        "unused for compact")
     s.add_argument("index_dir")
     s.add_argument("--id-col", default="doc_id")
     s.add_argument("--bin-col", default="blob")
-    s.add_argument("--bits", type=int, default=60)
-    s.add_argument("--max-hamming", type=int, default=3)
+    s.add_argument("--compact-threshold", type=float, default=0.2,
+                   help="delete: auto-compact once this fraction of "
+                        "stored blobs is tombstoned (>1 defers "
+                        "indefinitely, 0 forces)")
+    s.add_argument("--no-recount", action="store_true",
+                   help="delete: skip the manifest recount + threshold "
+                        "check (pure O(|ids|) takedown hot path; "
+                        "counts read stale until the next counted "
+                        "delete or compaction)")
+    # default None, not 60/3: query/append take banding parameters
+    # from the index manifest, and silently ignoring an explicit
+    # --bits/--max-hamming would let an operator believe they
+    # re-parameterized a probe — error instead (defaults fill at build)
+    s.add_argument("--bits", type=int, default=None)
+    s.add_argument("--max-hamming", type=int, default=None)
     s.add_argument("--batch", type=int, default=1)
     s = sub.add_parser("ann-index")
     s.add_argument("action", choices=["build", "query", "recall", "append",
@@ -323,8 +353,40 @@ def main(argv: list[str] | None = None) -> int:
             from batch_process_dpla_index_spark.operators.dedup import unpersist_deps
             from batch_process_dpla_index_spark.products import dedup_index
 
+            if args.action == "compact":
+                manifest = dedup_index.compact_dedup_index(
+                    spark, args.index_dir
+                )
+                print(
+                    f"Compacted; live records: {manifest['Record count']}"
+                )
+                return 0
+            if args.docs_parquet is None:
+                raise SystemExit(
+                    f"dedup-index {args.action} requires a docs/ids parquet"
+                )
             docs = spark.read.parquet(args.docs_parquet)
-            if args.action == "build":
+            if args.action == "delete":
+                manifest = dedup_index.delete_from_dedup_index(
+                    spark, args.index_dir, docs, id_col=args.id_col,
+                    compact_threshold=args.compact_threshold,
+                    recount=not args.no_recount,
+                )
+                if args.no_recount:
+                    # counts were deliberately NOT refreshed — print the
+                    # as-of-last-recount value, never label it "live"
+                    print(
+                        f"Tombstoned {docs.count()} ids (recount "
+                        f"skipped; records as of last recount: "
+                        f"{manifest['Record count']}, tombstones: stale)"
+                    )
+                else:
+                    print(
+                        f"Tombstoned {docs.count()} ids; live records: "
+                        f"{manifest['Record count']} "
+                        f"(tombstones: {manifest.get('Tombstone count', '0')})"
+                    )
+            elif args.action == "build":
                 manifest = dedup_index.build_dedup_index(
                     docs, args.text_col, args.id_col, args.index_dir
                 )
@@ -347,11 +409,56 @@ def main(argv: list[str] | None = None) -> int:
             from batch_process_dpla_index_spark.operators.dedup import unpersist_deps
             from batch_process_dpla_index_spark.products import phash_index
 
+            if args.action != "build" and (
+                args.bits is not None or args.max_hamming is not None
+            ):
+                raise SystemExit(
+                    "phash-index: --bits/--max-hamming apply only to "
+                    "build; every other action reads the banding "
+                    "parameters from the index manifest (a "
+                    "mis-parameterized probe is impossible) — drop "
+                    "the flags"
+                )
+            if args.action == "compact":
+                manifest = phash_index.compact_phash_index(
+                    spark, args.index_dir
+                )
+                print(
+                    f"Compacted; live records: {manifest['Record count']}"
+                )
+                return 0
+            if args.blobs_parquet is None:
+                raise SystemExit(
+                    f"phash-index {args.action} requires a blobs/ids parquet"
+                )
             blobs = spark.read.parquet(args.blobs_parquet)
-            if args.action == "build":
+            if args.action == "delete":
+                manifest = phash_index.delete_from_phash_index(
+                    spark, args.index_dir, blobs, id_col=args.id_col,
+                    compact_threshold=args.compact_threshold,
+                    recount=not args.no_recount,
+                )
+                if args.no_recount:
+                    # counts were deliberately NOT refreshed — print the
+                    # as-of-last-recount value, never label it "live"
+                    print(
+                        f"Tombstoned {blobs.count()} ids (recount "
+                        f"skipped; records as of last recount: "
+                        f"{manifest['Record count']}, tombstones: stale)"
+                    )
+                else:
+                    print(
+                        f"Tombstoned {blobs.count()} ids; live records: "
+                        f"{manifest['Record count']} "
+                        f"(tombstones: {manifest.get('Tombstone count', '0')})"
+                    )
+            elif args.action == "build":
                 manifest = phash_index.build_phash_index(
                     blobs, args.bin_col, args.id_col, args.index_dir,
-                    bits=args.bits, max_hamming=args.max_hamming,
+                    bits=args.bits if args.bits is not None else 60,
+                    max_hamming=(
+                        args.max_hamming if args.max_hamming is not None else 3
+                    ),
                 )
                 print(f"Phash index built: {manifest}")
             elif args.action == "append":

@@ -254,10 +254,19 @@ def _pil_phash(data: bytes, bits: int) -> int | None:  # pragma: no cover - code
     undecodable blob a hamming-0 "duplicate" of the first one, and the
     phash-index ingest path would then silently DELETE truncated
     images. A NULL signature joins with nothing on either engine, so
-    undecodable blobs are conservatively kept everywhere."""
+    undecodable blobs are conservatively kept everywhere.
+
+    EXCEPTION: the EMPTY blob returns 0, matching ``_fake_phash`` —
+    the empty-bytes case is part of the oracle-replayed contract
+    (DuckDB twins hash empty blobs to 0), and without this branch the
+    dedup semantics would silently depend on whether PIL is importable
+    in the container (empty → None kept forever under PIL, → 0 paired
+    at hamming 0 under the fake)."""
     import io
     import math
 
+    if len(data) == 0:
+        return 0
     rows = int(math.floor(math.sqrt(bits)))
     while bits % rows:
         rows -= 1

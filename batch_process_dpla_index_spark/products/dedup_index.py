@@ -42,6 +42,15 @@ from batch_process_dpla_index_spark.operators.dedup import (
     with_minhash_signature,
 )
 
+#: tombstone dataset layout (products.index_tombstones spec): the
+#: per-id signatures dataset is authoritative (watermark/recount);
+#: buckets are compacted on the same anti-join, rewritten co-located
+#: on the (band, key) join columns
+_TOMBSTONE_DATASETS = [
+    ("signatures", "id", []),
+    ("buckets", "id", ["band", "key"]),
+]
+
 
 def build_dedup_index(
     docs: DataFrame,
@@ -66,6 +75,24 @@ def build_dedup_index(
         num_perm,
         use_pandas,
     ).persist()
+    n_docs = sig.count()
+    if n_docs == 0:
+        # zero-row parquet datasets are unreadable on the next query —
+        # refuse loudly (the phash/ann/embedding index builds refuse
+        # the same way) instead of writing a landmine
+        sig.unpersist()
+        raise ValueError(
+            "build_dedup_index: input docs frame is empty; an empty "
+            "index is unreadable — refuse to build it"
+        )
+    # a fresh build must not inherit a previous index's delete set: a
+    # stale watermark-0 tombstone would silently delete the new batch-0
+    # rows (the ann/embedding rebuild convention)
+    from batch_process_dpla_index_spark.products.index_tombstones import (
+        clear_tombstones,
+    )
+
+    clear_tombstones(index_dir)
     # Both datasets carry an ``ingest_batch`` Hive partition (0 at
     # build) so streaming appends land per-micro-batch partitions that
     # a checkpoint replay can overwrite idempotently.
@@ -94,7 +121,6 @@ def build_dedup_index(
         .partitionBy("ingest_batch")
         .parquet(os.path.join(index_dir, "buckets"))
     )
-    n_docs = sig.count()
     sig.unpersist()
     manifest = {
         "shingle_n": str(n),
@@ -152,6 +178,15 @@ def incremental_dedup_indexed(
         corp_sig = corp_sig.where(
             F.col("ingest_batch") <= int(max_ingest_batch)
         )
+    # serve-time takedown exclusion: anti-joining the SIGNATURES side
+    # is sufficient — candidates from still-bucketed tombstoned ids die
+    # at the inner verify join below (bucket rows are physically
+    # removed at compaction); zero plan overhead with no tombstones dir
+    from batch_process_dpla_index_spark.products.index_tombstones import (
+        apply_tombstones,
+    )
+
+    corp_sig = apply_tombstones(spark, index_dir, corp_sig, "id")
 
     cand = (
         _band_buckets(new_sig, bands, rows)
@@ -201,11 +236,19 @@ def append_to_dedup_index(
     partition overwrite — a streaming checkpoint replay then REPLACES
     its own partition instead of appending a second copy; leave it off
     for ad-hoc batch appends (two appends under one ingest_batch value
-    would otherwise clobber each other)."""
+    would otherwise clobber each other).
+
+    The manifest's ``max_bucket`` cap is enforced on the append path
+    (combined stored+new size per band key, stored side read under a
+    broadcast semi-prune of the new batch's keys) — same rationale as
+    ``append_to_phash_index``: hot buckets dropped at build must not
+    creep back in through appends. Dropped-key counts accumulate under
+    ``Oversized buckets dropped (append)``."""
     manifest = read_manifest(index_dir)
     n = int(manifest["shingle_n"])
     num_perm = int(manifest["num_perm"])
     bands = int(manifest["bands"])
+    max_bucket = int(manifest["max_bucket"])
     rows = num_perm // bands
     sig = with_minhash_signature(
         shingle_sets(batch_docs, text_col, id_col, n, use_pandas=use_pandas)
@@ -225,5 +268,85 @@ def append_to_dedup_index(
         writer.partitionBy("ingest_batch").parquet(os.path.join(index_dir, name))
 
     _write(sig, "signatures")
-    _write(_band_buckets(sig, bands, rows), "buckets")
+    new_buckets = _band_buckets(sig, bands, rows).persist()
+    new_sz = new_buckets.groupBy("band", "key").agg(
+        F.count(F.lit(1)).alias("new_sz")
+    )
+    spark = sig.sparkSession
+    stored_sz = (
+        spark.read.parquet(os.path.join(index_dir, "buckets"))
+        .join(F.broadcast(new_sz.select("band", "key")), ["band", "key"])
+        .groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("old_sz"))
+    )
+    oversized = (
+        new_sz.join(stored_sz, ["band", "key"], "left")
+        .filter(
+            F.col("new_sz") + F.coalesce(F.col("old_sz"), F.lit(0))
+            > F.lit(max_bucket)
+        )
+        .select("band", "key")
+    )
+    n_dropped = oversized.count()
+    _write(
+        new_buckets.join(F.broadcast(oversized), ["band", "key"], "left_anti"),
+        "buckets",
+    )
+    new_buckets.unpersist()
     sig.unpersist()
+    if n_dropped:
+        prev = int(manifest.get("Oversized buckets dropped (append)", "0"))
+        manifest["Oversized buckets dropped (append)"] = str(prev + n_dropped)
+        write_manifest(manifest, index_dir)
+
+
+def delete_from_dedup_index(
+    spark: SparkSession,
+    index_dir: str,
+    ids,
+    id_col: str | None = None,
+    compact_threshold: float = 0.2,
+    bucket_partitions: int = 32,
+    recount: bool = True,
+) -> dict[str, str]:
+    """Tombstone doc ids out of the index (takedown/opt-out) —
+    O(|ids|) work, no signature/bucket rewrite until the tombstoned
+    fraction reaches ``compact_threshold``. A delete removes every
+    copy of the id PRESENT at delete time (watermarked on
+    ``ingest_batch``); a later re-append of the same id is new data
+    and serves normally. The serve path
+    (:func:`incremental_dedup_indexed`) anti-joins the set out of the
+    stored signatures, so a tombstoned doc can never be reported as a
+    ``dup_of`` match again. Returns the updated manifest.
+
+    Shared mechanics: ``products.index_tombstones`` (the ann/embedding
+    index takedown path), parameterized with the signatures+buckets
+    dataset layout."""
+    from batch_process_dpla_index_spark.products.index_tombstones import (
+        delete_from_index,
+    )
+
+    return delete_from_index(
+        spark, index_dir, ids, "id", id_col=id_col,
+        compact_threshold=compact_threshold,
+        cell_partitions=bucket_partitions,
+        recount=recount,
+        datasets=_TOMBSTONE_DATASETS,
+    )
+
+
+def compact_dedup_index(
+    spark: SparkSession, index_dir: str, bucket_partitions: int = 32
+) -> dict[str, str]:
+    """Force the tombstone compaction regardless of fraction — the
+    explicit vacuum step: signatures AND bucket postings of tombstoned
+    ids are physically rewritten out under the failure-safe swap."""
+    from batch_process_dpla_index_spark.products.index_tombstones import (
+        compact_index_tombstones,
+    )
+
+    return compact_index_tombstones(
+        spark, index_dir, "id",
+        cell_partitions=bucket_partitions,
+        datasets=_TOMBSTONE_DATASETS,
+    )

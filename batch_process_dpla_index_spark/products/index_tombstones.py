@@ -1,5 +1,7 @@
-"""Shared tombstone (delete) machinery for the persisted vector
-indexes (`products.ann_index`, `products.embedding_index`).
+"""Shared tombstone (delete) machinery for the persisted indexes
+(`products.ann_index`, `products.embedding_index`, and — via the
+``datasets`` spec — the signature/bucket pairs of
+`products.dedup_index` and `products.phash_index`).
 
 A 100 TB corpus under compliance (takedown / opt-out) must be able to
 remove single documents without rebuilding the whole index. This is
@@ -120,6 +122,22 @@ def _ids_frame(spark: SparkSession, ids, id_col: str | None) -> DataFrame:
     )
 
 
+#: dataset spec: (subdir, id_field, repartition_cols). ``None``
+#: repartition_cols = auto (repartition on "cell" when the column is
+#: present, else write as-is). The FIRST spec is authoritative: it is
+#: one-row-per-id (cells for the vector indexes, signatures for the
+#: dedup/phash indexes) and drives the watermark, the recount, and the
+#: empty-survivors refusal; later specs (e.g. band buckets) are
+#: compacted with the same anti-join but never counted.
+_DatasetSpec = tuple[str, str, "list[str] | None"]
+
+
+def _dataset_specs(
+    id_field: str, datasets: "list[_DatasetSpec] | None"
+) -> "list[_DatasetSpec]":
+    return datasets if datasets is not None else [("cells", id_field, None)]
+
+
 def delete_from_index(
     spark: SparkSession,
     index_dir: str,
@@ -129,6 +147,7 @@ def delete_from_index(
     compact_threshold: float = 0.2,
     cell_partitions: int = 32,
     recount: bool = True,
+    datasets: "list[_DatasetSpec] | None" = None,
 ) -> dict[str, str]:
     """Tombstone a set of ids out of a persisted index and update the
     manifest (live ``Record count`` + ``Tombstone count``). When the
@@ -151,9 +170,17 @@ def delete_from_index(
     is driven explicitly (the occupancy/report job, or a forced
     ``compact``).
 
+    ``datasets`` generalizes the layout for indexes that store MORE
+    than one per-id dataset (dedup_index/phash_index keep signatures +
+    band buckets): the first spec's dataset drives the watermark and
+    the recount; compaction rewrites all of them. Default: the single
+    ``cells`` dataset of the vector indexes.
+
     Returns the updated manifest."""
-    cells_dir = os.path.join(index_dir, "cells")
-    stored = spark.read.parquet(cells_dir)
+    specs = _dataset_specs(id_field, datasets)
+    primary_dir, primary_id, _ = specs[0]
+    id_field = primary_id
+    stored = spark.read.parquet(os.path.join(index_dir, primary_dir))
     wm = 0
     if "ingest_batch" in stored.columns:
         wm_row = stored.agg(F.max("ingest_batch").alias("m")).first()
@@ -171,6 +198,11 @@ def delete_from_index(
     manifest = read_manifest(index_dir)
     if not recount:
         manifest["Tombstone count"] = "stale"
+        # 'Record count' keeps its pre-delete value (we skipped the
+        # scan that would refresh it) — mark it explicitly so a
+        # manifest consumer (occupancy/report tooling) can detect the
+        # unrecounted state instead of acting on an outdated live count
+        manifest["Record count stale"] = "true"
         write_manifest(manifest, index_dir)
         return manifest
     tombs = read_tombstones(spark, index_dir)
@@ -194,10 +226,12 @@ def delete_from_index(
     dead = total - live
     if total and dead and dead / total >= compact_threshold:
         return compact_index_tombstones(
-            spark, index_dir, id_field, cell_partitions=cell_partitions
+            spark, index_dir, id_field,
+            cell_partitions=cell_partitions, datasets=datasets,
         )
     manifest["Record count"] = str(live)
     manifest["Tombstone count"] = str(dead)
+    manifest.pop("Record count stale", None)
     write_manifest(manifest, index_dir)
     return manifest
 
@@ -207,53 +241,74 @@ def compact_index_tombstones(
     index_dir: str,
     id_field: str,
     cell_partitions: int = 32,
+    datasets: "list[_DatasetSpec] | None" = None,
 ) -> dict[str, str]:
-    """Physically rewrite the cells minus the tombstone set, then clear
-    the set — the vacuum step. ``ingest_batch`` partitions are
-    preserved row-for-row on the survivors, so replay pruning stays
-    valid across the compaction.
+    """Physically rewrite each stored dataset minus the tombstone set,
+    then clear the set — the vacuum step. ``ingest_batch`` partitions
+    are preserved row-for-row on the survivors, so replay pruning
+    stays valid across the compaction.
 
     Failure-safe swap ordering (the rebuild products' convention):
-    write the survivors to a sibling dir → move live cells aside →
-    flip the manifest → move the new data to the live name → delete
-    the old copy and the tombstone set LAST. A crash between the swap
-    and the tombstone clear leaves a redundant anti-join against
-    already-removed ids — a no-op, never data loss or resurrection."""
+    write ALL survivor datasets to sibling dirs first → move each live
+    dataset aside → flip the manifest → move the new data to the live
+    names → delete the old copies and the tombstone set LAST. A crash
+    between the swap and the tombstone clear leaves a redundant
+    anti-join against already-removed ids — a no-op, never data loss
+    or resurrection; a crash mid-swap leaves a missing live dir, which
+    is LOUD (unreadable) and recoverable from the ``__old`` copy.
+
+    The record count comes from the FIRST dataset spec (one row per
+    id); later datasets (band buckets) are rewritten with the same
+    anti-join but never counted."""
     import shutil
 
-    cells_dir = os.path.join(index_dir, "cells")
-    tmp_dir = os.path.join(index_dir, "cells__compact")
-    old_dir = os.path.join(index_dir, "cells__old")
-    stored = spark.read.parquet(cells_dir)
-    live = apply_tombstones(spark, index_dir, stored, id_field).persist()
-    n_live = live.count()
-    if n_live == 0:
-        # an empty cells dataset is unreadable (no part files, no
-        # schema) — every later serve would crash obscurely; refuse
-        # loudly instead
-        live.unpersist()
-        raise ValueError(
-            "compaction would remove every stored row; an empty index "
-            "is unreadable (rebuild refuses the same way) — delete the "
-            "index directory instead"
+    specs = _dataset_specs(id_field, datasets)
+    n_live = 0
+    staged: list[tuple[str, str, str]] = []  # (live, tmp, old)
+    for i, (subdir, ds_id, part_cols) in enumerate(specs):
+        live_dir = os.path.join(index_dir, subdir)
+        tmp_dir = os.path.join(index_dir, subdir + "__compact")
+        old_dir = os.path.join(index_dir, subdir + "__old")
+        stored = spark.read.parquet(live_dir)
+        live = apply_tombstones(spark, index_dir, stored, ds_id).persist()
+        if i == 0:
+            n_live = live.count()
+            if n_live == 0:
+                # an empty dataset is unreadable (no part files, no
+                # schema) — every later serve would crash obscurely;
+                # refuse loudly instead
+                live.unpersist()
+                raise ValueError(
+                    "compaction would remove every stored row; an "
+                    "empty index is unreadable (rebuild refuses the "
+                    "same way) — delete the index directory instead"
+                )
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        if part_cols is None:
+            part_cols = ["cell"] if "cell" in stored.columns else []
+        writer = (
+            live.repartition(cell_partitions, *part_cols)
+            if part_cols
+            else live
         )
-    shutil.rmtree(tmp_dir, ignore_errors=True)
-    writer = live
-    if "cell" in stored.columns:
-        writer = live.repartition(cell_partitions, "cell")
-    w = writer.write.mode("overwrite")
-    if "ingest_batch" in stored.columns:
-        w = w.partitionBy("ingest_batch")
-    w.parquet(tmp_dir)
-    live.unpersist()
+        w = writer.write.mode("overwrite")
+        if "ingest_batch" in stored.columns:
+            w = w.partitionBy("ingest_batch")
+        w.parquet(tmp_dir)
+        live.unpersist()
+        staged.append((live_dir, tmp_dir, old_dir))
 
-    shutil.rmtree(old_dir, ignore_errors=True)
-    os.rename(cells_dir, old_dir)
+    for live_dir, _tmp, old_dir in staged:
+        shutil.rmtree(old_dir, ignore_errors=True)
+        os.rename(live_dir, old_dir)
     manifest = read_manifest(index_dir)
     manifest["Record count"] = str(n_live)
     manifest["Tombstone count"] = "0"
+    manifest.pop("Record count stale", None)
     write_manifest(manifest, index_dir)
-    os.rename(tmp_dir, cells_dir)
-    shutil.rmtree(old_dir)
+    for live_dir, tmp_dir, _old in staged:
+        os.rename(tmp_dir, live_dir)
+    for _live, _tmp, old_dir in staged:
+        shutil.rmtree(old_dir)
     shutil.rmtree(_tombstones_dir(index_dir), ignore_errors=True)
     return manifest

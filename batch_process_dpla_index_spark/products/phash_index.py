@@ -44,6 +44,15 @@ from pyspark.sql import functions as F
 from batch_process_dpla_index_spark.io.manifest import read_manifest, write_manifest
 from batch_process_dpla_index_spark.operators.multimodal import phash_images
 
+#: tombstone dataset layout (products.index_tombstones spec): the
+#: per-id signatures dataset is authoritative (watermark/recount);
+#: buckets are compacted on the same anti-join, rewritten co-located
+#: on the (band, val) join columns
+_TOMBSTONE_DATASETS = [
+    ("signatures", "id", []),
+    ("buckets", "id", ["band", "val"]),
+]
+
 
 def _phash_bands(sig: DataFrame, bits: int, max_hamming: int) -> DataFrame:
     """(band, val, id): pigeonhole band keys for a (id, phash) frame —
@@ -77,6 +86,25 @@ def build_phash_index(
     manifest. Returns the manifest dict (also written to
     ``index_dir/_MANIFEST``)."""
     sig = phash_images(blobs, bin_col, id_col, bits).persist()
+    n_blobs = sig.count()
+    if n_blobs == 0:
+        # a zero-row signatures/buckets dataset is unreadable on the
+        # next query (no part files, no schema) — the same failure mode
+        # the rebuild/compact guards in ann_index/embedding_index
+        # refuse loudly; refuse here too instead of writing a landmine
+        sig.unpersist()
+        raise ValueError(
+            "build_phash_index: input blobs frame is empty; an empty "
+            "index is unreadable — refuse to build it"
+        )
+    # a fresh build must not inherit a previous index's delete set: a
+    # stale watermark-0 tombstone would silently delete the new batch-0
+    # rows (the ann/embedding rebuild convention)
+    from batch_process_dpla_index_spark.products.index_tombstones import (
+        clear_tombstones,
+    )
+
+    clear_tombstones(index_dir)
     (
         sig.withColumn("ingest_batch", F.lit(0))
         .write.mode("overwrite")
@@ -99,7 +127,6 @@ def build_phash_index(
         .partitionBy("ingest_batch")
         .parquet(os.path.join(index_dir, "buckets"))
     )
-    n_blobs = sig.count()
     sig.unpersist()
     manifest = {
         "bits": str(bits),
@@ -146,6 +173,15 @@ def incremental_phash_dedup_indexed(
         corp_sig = corp_sig.where(
             F.col("ingest_batch") <= int(max_ingest_batch)
         )
+    # serve-time takedown exclusion: anti-joining the SIGNATURES side
+    # is sufficient — candidates from still-bucketed tombstoned ids die
+    # at the inner verify join below (bucket rows are physically
+    # removed at compaction); zero plan overhead with no tombstones dir
+    from batch_process_dpla_index_spark.products.index_tombstones import (
+        apply_tombstones,
+    )
+
+    corp_sig = apply_tombstones(spark, index_dir, corp_sig, "id")
 
     cand = (
         _phash_bands(new_sig, bits, max_hamming)
@@ -198,10 +234,22 @@ def append_to_phash_index(
     the ingest path passes the check step's persisted batch signatures
     so survivors are never perceptually hashed twice per micro-batch
     (the Arrow pass over the binary column is the pipeline's most
-    expensive stage)."""
+    expensive stage).
+
+    The manifest's ``max_bucket`` cap is enforced on the APPEND path
+    too (combined stored+new size per band key): without it, hot
+    buckets dropped at build time creep back in — or grow unboundedly
+    — through appends, eroding the documented bound on per-batch
+    probe-join cost. The stored-side size count reads only bucket rows
+    whose keys appear in the new batch (broadcast semi-prune), so the
+    check stays batch-proportional. Dropped-key counts accumulate
+    under ``Oversized buckets dropped (append)`` in the manifest (a
+    stat, not data: a checkpoint replay may recount it, but the bucket
+    rows themselves stay idempotent under the partition overwrite)."""
     manifest = read_manifest(index_dir)
     bits = int(manifest["bits"])
     max_hamming = int(manifest["max_hamming"])
+    max_bucket = int(manifest["max_bucket"])
     sig = (
         signatures.select("id", "phash")
         if signatures is not None
@@ -219,5 +267,87 @@ def append_to_phash_index(
         writer.partitionBy("ingest_batch").parquet(os.path.join(index_dir, name))
 
     _write(sig, "signatures")
-    _write(_phash_bands(sig, bits, max_hamming), "buckets")
+    new_buckets = _phash_bands(sig, bits, max_hamming).persist()
+    new_sz = new_buckets.groupBy("band", "val").agg(
+        F.count(F.lit(1)).alias("new_sz")
+    )
+    spark = sig.sparkSession
+    stored_sz = (
+        spark.read.parquet(os.path.join(index_dir, "buckets"))
+        .join(F.broadcast(new_sz.select("band", "val")), ["band", "val"])
+        .groupBy("band", "val")
+        .agg(F.count(F.lit(1)).alias("old_sz"))
+    )
+    oversized = (
+        new_sz.join(stored_sz, ["band", "val"], "left")
+        .filter(
+            F.col("new_sz") + F.coalesce(F.col("old_sz"), F.lit(0))
+            > F.lit(max_bucket)
+        )
+        .select("band", "val")
+    )
+    n_dropped = oversized.count()
+    _write(
+        new_buckets.join(F.broadcast(oversized), ["band", "val"], "left_anti"),
+        "buckets",
+    )
+    new_buckets.unpersist()
     sig.unpersist()
+    if n_dropped:
+        prev = int(manifest.get("Oversized buckets dropped (append)", "0"))
+        manifest["Oversized buckets dropped (append)"] = str(prev + n_dropped)
+        write_manifest(manifest, index_dir)
+
+
+def delete_from_phash_index(
+    spark: SparkSession,
+    index_dir: str,
+    ids,
+    id_col: str | None = None,
+    compact_threshold: float = 0.2,
+    bucket_partitions: int = 32,
+    recount: bool = True,
+) -> dict[str, str]:
+    """Tombstone image ids out of the index (takedown/opt-out — the
+    compliance path that hits the IMAGE index first on a multimodal
+    corpus) — O(|ids|) work, no signature/bucket rewrite until the
+    tombstoned fraction reaches ``compact_threshold``. A delete
+    removes every copy of the id PRESENT at delete time (watermarked
+    on ``ingest_batch``); a later re-append of the same id is new data
+    and serves normally. The serve path
+    (:func:`incremental_phash_dedup_indexed`) anti-joins the set out
+    of the stored signatures, so a tombstoned image can never be
+    reported as a ``dup_of`` match again — and the dedup-on-ingest
+    twin therefore never drops a NEW copy because of a taken-down
+    stored one. Returns the updated manifest.
+
+    Shared mechanics: ``products.index_tombstones``, parameterized
+    with the signatures+buckets dataset layout."""
+    from batch_process_dpla_index_spark.products.index_tombstones import (
+        delete_from_index,
+    )
+
+    return delete_from_index(
+        spark, index_dir, ids, "id", id_col=id_col,
+        compact_threshold=compact_threshold,
+        cell_partitions=bucket_partitions,
+        recount=recount,
+        datasets=_TOMBSTONE_DATASETS,
+    )
+
+
+def compact_phash_index(
+    spark: SparkSession, index_dir: str, bucket_partitions: int = 32
+) -> dict[str, str]:
+    """Force the tombstone compaction regardless of fraction — the
+    explicit vacuum step: signatures AND bucket postings of tombstoned
+    ids are physically rewritten out under the failure-safe swap."""
+    from batch_process_dpla_index_spark.products.index_tombstones import (
+        compact_index_tombstones,
+    )
+
+    return compact_index_tombstones(
+        spark, index_dir, "id",
+        cell_partitions=bucket_partitions,
+        datasets=_TOMBSTONE_DATASETS,
+    )

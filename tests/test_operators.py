@@ -1297,3 +1297,23 @@ def test_phash_index_null_signature_kept(spark, tmp_path):
     # not match the stored NULL row either way
     assert got.get(10) == 1
     assert got.get(11) != 99
+
+
+def test_pil_phash_empty_blob_matches_fake_contract():
+    """The EMPTY blob is part of the oracle-replayed contract (phash
+    0), so the PIL decoder must agree with the codec-free fake — the
+    empty branch runs BEFORE any decode attempt, so this holds whether
+    or not PIL is importable (ADVICE r13: without it, dedup semantics
+    silently depended on PIL's absence from the container). None stays
+    reserved for genuine decode failures."""
+    from batch_process_dpla_index_spark.operators.multimodal import (
+        _HAVE_PIL,
+        _fake_phash,
+        _pil_phash,
+    )
+
+    assert _fake_phash(b"", 60) == 0
+    assert _pil_phash(b"", 60) == 0
+    if _HAVE_PIL:  # pragma: no cover - codec absent in this container
+        # genuine decode failure (truncated stream) still → None
+        assert _pil_phash(b"\x89PNG\r\n\x1a\n junk", 60) is None

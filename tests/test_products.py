@@ -1528,3 +1528,250 @@ def test_phash_index_cli_roundtrip(spark, tmp_path, capsys):
     assert "Appended 2 blobs" in capsys.readouterr().out
     assert jobs.main(["phash-index", "query", batch_path, idx]) == 0
     assert "corpus match: 2" in capsys.readouterr().out
+
+
+def test_dedup_index_delete_tombstone_lifecycle(spark, tmp_path, capsys):
+    """Takedown path for the text-LSH index (VERDICT r13 #2): delete
+    tombstones doc ids with no signature/bucket rewrite; the serve
+    path (incremental query) stops reporting them as dup_of matches;
+    delete replay is idempotent; compaction physically removes both
+    the signature rows AND the bucket postings with serve results
+    unchanged; append-after-delete resurrects (watermark semantics)."""
+    from batch_process_dpla_index_spark import jobs
+    from batch_process_dpla_index_spark.operators.dedup import unpersist_deps
+    from batch_process_dpla_index_spark.products.dedup_index import (
+        build_dedup_index,
+        incremental_dedup_indexed,
+    )
+    from batch_process_dpla_index_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    new = docs.filter(F.col("doc_id") % 10 == 7)
+    corpus = docs.filter(F.col("doc_id") % 10 != 7)
+    idx = str(tmp_path / "didx")
+    build_dedup_index(corpus, "text", "doc_id", idx)
+    n0 = int(read_manifest(idx)["Record count"])
+
+    def serve():
+        got = incremental_dedup_indexed(spark, new, "text", "doc_id", idx)
+        rows = sorted(map(tuple, got.collect()))
+        unpersist_deps(got)
+        return rows
+
+    before = serve()
+    assert before, "fixture must produce at least one corpus match"
+    doomed = sorted({r[1] for r in before})[:3]
+
+    ids_path = str(tmp_path / "doomed_docs")
+    corpus.filter(F.col("doc_id").isin(doomed)).select("doc_id")\
+        .coalesce(1).write.parquet(ids_path)
+    assert jobs.main(["dedup-index", "delete", ids_path, idx,
+                      "--compact-threshold", "2.0"]) == 0
+    out = capsys.readouterr().out
+    assert f"Tombstoned {len(doomed)} ids" in out
+    m = read_manifest(idx)
+    assert int(m["Record count"]) == n0 - len(doomed)
+    assert m["Tombstone count"] == str(len(doomed))
+    assert (tmp_path / "didx" / "tombstones").is_dir()
+
+    after = serve()
+    assert not any(r[1] in doomed for r in after)
+    # replay the same delete — serve-time set semantics keep it a no-op
+    assert jobs.main(["dedup-index", "delete", ids_path, idx,
+                      "--compact-threshold", "2.0"]) == 0
+    capsys.readouterr()
+    assert serve() == after
+    assert int(read_manifest(idx)["Record count"]) == n0 - len(doomed)
+
+    # compact: physical rewrite of BOTH datasets, set cleared, serve
+    # unchanged
+    assert jobs.main(["dedup-index", "compact", idx]) == 0
+    assert "live records" in capsys.readouterr().out
+    assert not (tmp_path / "didx" / "tombstones").is_dir()
+    sig_ids = {
+        r["id"] for r in
+        spark.read.parquet(str(tmp_path / "didx" / "signatures"))
+        .select("id").distinct().collect()
+    }
+    bucket_ids = {
+        r["id"] for r in
+        spark.read.parquet(str(tmp_path / "didx" / "buckets"))
+        .select("id").distinct().collect()
+    }
+    assert not (set(doomed) & sig_ids)
+    assert not (set(doomed) & bucket_ids)
+    assert serve() == after
+    m = read_manifest(idx)
+    assert int(m["Record count"]) == n0 - len(doomed)
+    assert m["Tombstone count"] == "0"
+
+    # append-after-delete: a re-ingest of a taken-down doc is NEW data
+    # (watermark covers only copies present at delete time)
+    resurrect = corpus.filter(F.col("doc_id") == doomed[0])
+    docs_path = str(tmp_path / "resurrect_docs")
+    resurrect.coalesce(1).write.parquet(docs_path)
+    assert jobs.main(["dedup-index", "append", docs_path, idx,
+                      "--batch", "2"]) == 0
+    capsys.readouterr()
+    again = serve()
+    assert any(r[1] == doomed[0] for r in again)
+
+
+def test_phash_index_delete_tombstone_lifecycle(spark, tmp_path, capsys):
+    """Takedown path for the IMAGE index — where takedown/opt-out
+    pressure actually lands on a multimodal corpus. Exercises the
+    --no-recount hot path (stale markers set, serve still excludes),
+    the counted delete (markers cleared), compaction, and that the
+    dedup-on-ingest twin can never match a taken-down stored image."""
+    from batch_process_dpla_index_spark import jobs
+    from batch_process_dpla_index_spark.operators.dedup import unpersist_deps
+    from batch_process_dpla_index_spark.products.phash_index import (
+        build_phash_index,
+        incremental_phash_dedup_indexed,
+    )
+
+    blobs = [(i, bytes(((i * 97 + j * 13 + 5) % 256)
+                       for j in range(300 + i % 7))) for i in range(20)]
+    corpus = spark.createDataFrame(blobs, "doc_id BIGINT, blob BINARY")
+    # the batch contains EXACT copies of stored blobs 3 and 8 → they
+    # match at hamming 0 through the index
+    batch = spark.createDataFrame(
+        [(103, blobs[3][1]), (108, blobs[8][1])],
+        "doc_id BIGINT, blob BINARY",
+    )
+    idx = str(tmp_path / "pidx")
+    build_phash_index(corpus, "blob", "doc_id", idx)
+    n0 = int(read_manifest(idx)["Record count"])
+    assert n0 == 20
+
+    def serve():
+        got = incremental_phash_dedup_indexed(
+            spark, batch, "blob", "doc_id", idx
+        )
+        rows = sorted(map(tuple, got.collect()))
+        unpersist_deps(got)
+        return rows
+
+    before = serve()
+    assert {r[1] for r in before} >= {3, 8}
+
+    # --no-recount: pure O(|ids|) takedown; counts go stale LOUDLY
+    ids_path = str(tmp_path / "doomed_blobs")
+    corpus.filter(F.col("doc_id") == 3).select("doc_id")\
+        .coalesce(1).write.parquet(ids_path)
+    assert jobs.main(["phash-index", "delete", ids_path, idx,
+                      "--no-recount"]) == 0
+    out = capsys.readouterr().out
+    assert "recount skipped" in out and "tombstones: stale" in out
+    m = read_manifest(idx)
+    assert m["Tombstone count"] == "stale"
+    assert m["Record count stale"] == "true"
+    assert m["Record count"] == str(n0)  # as-of-last-recount value
+    after = serve()
+    assert not any(r[1] == 3 for r in after)  # serve excludes anyway
+
+    # counted delete refreshes the counts and clears the stale marker
+    ids_path2 = str(tmp_path / "doomed_blobs2")
+    corpus.filter(F.col("doc_id") == 8).select("doc_id")\
+        .coalesce(1).write.parquet(ids_path2)
+    assert jobs.main(["phash-index", "delete", ids_path2, idx,
+                      "--compact-threshold", "2.0"]) == 0
+    assert "live records" in capsys.readouterr().out
+    m = read_manifest(idx)
+    assert int(m["Record count"]) == n0 - 2
+    assert m["Tombstone count"] == "2"
+    assert "Record count stale" not in m
+    served = serve()
+    assert not any(r[1] in (3, 8) for r in served)
+
+    # compact: both datasets physically exclude the ids, serve unchanged
+    assert jobs.main(["phash-index", "compact", idx]) == 0
+    capsys.readouterr()
+    assert not (tmp_path / "pidx" / "tombstones").is_dir()
+    for ds in ("signatures", "buckets"):
+        ids = {
+            r["id"] for r in
+            spark.read.parquet(str(tmp_path / "pidx" / ds))
+            .select("id").distinct().collect()
+        }
+        assert not ({3, 8} & ids)
+    assert serve() == served
+    m = read_manifest(idx)
+    assert int(m["Record count"]) == n0 - 2 and m["Tombstone count"] == "0"
+
+    # the ingest twin's check step goes through the same serve path, so
+    # a new copy of a taken-down image finds NO stored match — takedown
+    # can never cause the pipeline to silently drop fresh data
+    assert not any(r[1] in (3, 8) for r in serve())
+
+
+def test_phash_index_append_respects_max_bucket(spark, tmp_path):
+    """The manifest's max_bucket cap binds on the APPEND path too
+    (ADVICE r13): a hot bucket dropped (or near-full) at build cannot
+    be reintroduced or grown past the cap by appends — combined
+    stored+new size is enforced and drops are logged in the manifest."""
+    from batch_process_dpla_index_spark.io.manifest import read_manifest
+    from batch_process_dpla_index_spark.products.phash_index import (
+        append_to_phash_index,
+        build_phash_index,
+    )
+
+    blob = bytes((i * 7 + 3) % 256 for i in range(400))
+    corpus = spark.createDataFrame(
+        [(1, blob), (2, blob)], "doc_id BIGINT, blob BINARY"
+    )
+    idx = str(tmp_path / "pidx_cap")
+    build_phash_index(corpus, "blob", "doc_id", idx, max_bucket=2)
+    stored0 = spark.read.parquet(os.path.join(idx, "buckets")).count()
+    assert stored0 > 0  # bucket size 2 == cap → kept at build
+
+    # two MORE copies of the same blob: every band key would reach
+    # combined size 4 > 2 → all appended bucket rows must be dropped
+    batch = spark.createDataFrame(
+        [(11, blob), (12, blob)], "doc_id BIGINT, blob BINARY"
+    )
+    append_to_phash_index(batch, "blob", "doc_id", idx, ingest_batch=1)
+    buckets = spark.read.parquet(os.path.join(idx, "buckets"))
+    assert buckets.count() == stored0  # nothing crept in
+    assert buckets.filter(F.col("ingest_batch") == 1).count() == 0
+    # signatures still landed (exact-verify side is uncapped)
+    sigs = spark.read.parquet(os.path.join(idx, "signatures"))
+    assert sigs.filter(F.col("ingest_batch") == 1).count() == 2
+    m = read_manifest(idx)
+    assert int(m["Oversized buckets dropped (append)"]) > 0
+
+
+def test_index_builds_refuse_empty_input(spark, tmp_path):
+    """An empty build would write zero-row parquet datasets that are
+    unreadable on the next query — both signature indexes refuse
+    loudly instead (ADVICE r13), matching the rebuild/compact guards
+    in the vector indexes."""
+    from batch_process_dpla_index_spark.products.dedup_index import (
+        build_dedup_index,
+    )
+    from batch_process_dpla_index_spark.products.phash_index import (
+        build_phash_index,
+    )
+
+    no_docs = spark.createDataFrame([], "doc_id BIGINT, text STRING")
+    with pytest.raises(ValueError, match="empty"):
+        build_dedup_index(no_docs, "text", "doc_id", str(tmp_path / "d"))
+    no_blobs = spark.createDataFrame([], "doc_id BIGINT, blob BINARY")
+    with pytest.raises(ValueError, match="empty"):
+        build_phash_index(no_blobs, "blob", "doc_id", str(tmp_path / "p"))
+
+
+def test_phash_index_cli_rejects_banding_flags_off_build(spark, tmp_path):
+    """--bits/--max-hamming configure the build-time banding geometry;
+    query/append read it from the manifest. Passing them elsewhere
+    must ERROR, not be silently ignored (ADVICE r13) — an operator
+    must not believe they re-parameterized a probe."""
+    from batch_process_dpla_index_spark import jobs
+
+    with pytest.raises(SystemExit, match="apply only to"):
+        jobs.main(["phash-index", "query", str(tmp_path / "x"),
+                   str(tmp_path / "idx"), "--bits", "40"])
+    with pytest.raises(SystemExit, match="apply only to"):
+        jobs.main(["phash-index", "append", str(tmp_path / "x"),
+                   str(tmp_path / "idx"), "--max-hamming", "5"])
