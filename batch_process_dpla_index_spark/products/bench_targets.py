@@ -360,6 +360,88 @@ def _bench_embedding_ingest(spark: SparkSession, sf_dir: str, work_dir: str) -> 
     return sum(k for _, k in stats.values())
 
 
+
+
+def _bench_takedown_lifecycle(
+    spark: SparkSession, sf_dir: str, work_dir: str
+) -> int:
+    """Takedown lifecycle for the two SIGNATURE indexes (r14 — the
+    VERDICT r13 #2 surface): dedup_index and phash_index each run
+    build → watermarked delete → tombstoned serve (anti-join) →
+    forced compaction (signatures AND bucket postings rewritten) →
+    post-compaction serve. These are the compliance paths a 100 TB
+    corpus pays between rebuilds; composing them under the 2× gate
+    catches regressions like a compaction that stops co-locating the
+    bucket layout (would surface as a slower post-compaction serve).
+    Reduced corpus (doc_id % 3 == 0) — the target times the NEW
+    lifecycle paths, not a third full index build (product_dedup_index
+    / product_phash_index already gate those)."""
+    from batch_process_dpla_index_spark.operators.dedup import unpersist_deps
+    from batch_process_dpla_index_spark.products import dedup_index, phash_index
+
+    # % 3 == 0 keeps every residue mod 10 populated (corpus AND the
+    # %10==7 batch side); wall-clock is dominated by the fixed job
+    # count of the composed lifecycle, not corpus size, so the subset
+    # buys real work rather than time
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 3 == 0
+    )
+    corpus = docs.filter(F.col("doc_id") % 10 != 7)
+    batch = docs.filter(F.col("doc_id") % 10 == 7)
+
+    # -- text leg (MinHash-LSH index) --
+    didx = os.path.join(work_dir, "takedown_dedup")
+    dedup_index.build_dedup_index(corpus, "text", "doc_id", didx)
+    # a fifth of the corpus: enough tombstones to make the anti-join
+    # and the compaction rewrite real work, while the empty-compaction
+    # refusal stays far away
+    doomed = corpus.filter(F.col("doc_id") % 5 == 0).select("doc_id")
+    dedup_index.delete_from_dedup_index(
+        spark, didx, doomed, id_col="doc_id", compact_threshold=2.0
+    )
+    out = dedup_index.incremental_dedup_indexed(
+        spark, batch, "text", "doc_id", didx
+    )
+    n = out.count()
+    unpersist_deps(out)
+    dedup_index.compact_dedup_index(spark, didx)
+    out = dedup_index.incremental_dedup_indexed(
+        spark, batch, "text", "doc_id", didx
+    )
+    n += out.count()
+    unpersist_deps(out)
+
+    # -- image leg (perceptual index), the _bench_phash_index blob
+    # synthesis so batch bodies ARE in the build corpus --
+    png = F.lit(b"\x89PNG")
+    jpg = F.lit(bytes.fromhex("FFD8FFE0"))
+    body = F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8")
+    blob_corpus = corpus.select("doc_id", F.concat(png, body).alias("blob"))
+    blob_batch = batch.select(
+        (F.col("doc_id") + 1_000_000_000).alias("doc_id"),
+        F.concat(jpg, body).alias("blob"),
+    )
+    pidx = os.path.join(work_dir, "takedown_phash")
+    phash_index.build_phash_index(
+        blob_corpus, "blob", "doc_id", pidx, bits=60, max_hamming=12
+    )
+    phash_index.delete_from_phash_index(
+        spark, pidx, doomed, id_col="doc_id", compact_threshold=2.0
+    )
+    out = phash_index.incremental_phash_dedup_indexed(
+        spark, blob_batch, "blob", "doc_id", pidx
+    )
+    n += out.count()
+    unpersist_deps(out)
+    phash_index.compact_phash_index(spark, pidx)
+    out = phash_index.incremental_phash_dedup_indexed(
+        spark, blob_batch, "blob", "doc_id", pidx
+    )
+    n += out.count()
+    unpersist_deps(out)
+    return n
+
+
 PRODUCT_BENCHES: dict[str, Callable[[SparkSession, str, str], int]] = {
     "product_sitemap": _bench_sitemap,
     "product_training_export": _bench_training_export,
@@ -368,6 +450,7 @@ PRODUCT_BENCHES: dict[str, Callable[[SparkSession, str, str], int]] = {
     "product_ann_index_imi": _bench_ann_index_imi,
     "product_index_lifecycle": _bench_index_lifecycle,
     "product_phash_index": _bench_phash_index,
+    "product_takedown_lifecycle": _bench_takedown_lifecycle,
     "product_compaction": _bench_compaction,
     "product_snapshots": _bench_snapshots,
     "product_merge": _bench_merge,
