@@ -603,3 +603,99 @@ def sample_frames(
             )
 
     return df.select(F.col(id_col), F.col(bin_col)).mapInPandas(_frames, FRAME_SCHEMA)
+
+
+AUDIO_PHASH_SCHEMA = "id bigint, phash bigint"
+
+
+def audio_phash(
+    df: DataFrame, bin_col: str, id_col: str, bits: int = 60
+) -> DataFrame:
+    """(id, phash): whole-clip energy-envelope fingerprint — the audio
+    member of the blockhash family (image :func:`phash_images`, video
+    :func:`frame_phash`). The blob decodes as 16-bit LE signed PCM
+    under the EXACT :func:`audio_pcm_stats` contract (trailing odd
+    byte ignored, NULL → empty), then the pinned blockhash arithmetic
+    runs over the ABSOLUTE amplitudes:
+
+      sample j belongs to block floor(j * bits / n);
+      bit k = 1 iff block_sum_k(|s|) * n > total(|s|) * block_count_k
+
+    — all-INTEGER (bit-exact cross-engine, DuckDB-replayable). Using
+    |s| makes the fingerprint invariant under polarity inversion (a
+    re-mastered clip with flipped waveform sign hashes identically —
+    a real audio-dedup case byte-exact dedup misses) and under the
+    trailing-pad-byte re-containering the decode contract already
+    ignores. No samples → phash 0 (the empty contract shared with
+    :func:`_fake_phash`; all-silence also → 0, ties never fire).
+
+    int64-safe for clips under ~5e8 samples (~1 GB): the threshold
+    products are bounded by 32768·n·n < 2^63 — guarded loudly, a
+    silent wraparound would flip bits with no cross-engine error.
+    One partition-preserving Arrow pass, no shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    _validate_bits(bits, "banding/XOR")
+    bin_name, id_name = bin_col, id_col
+
+    def _one(data: bytes) -> int:
+        s = np.frombuffer(data[: 2 * (len(data) // 2)], dtype="<i2")
+        n = int(s.size)
+        if n == 0:
+            return 0
+        if n > 500_000_000:
+            raise ValueError(
+                f"clip of {n} samples exceeds the audio-phash "
+                "int64-safe bound (~5e8: 32768*n*n must stay under "
+                "2^63); chunk or downsample the clip first"
+            )
+        a = np.abs(s.astype(np.int64))
+        blk = (np.arange(n, dtype=np.int64) * bits) // n
+        sums = np.bincount(blk, weights=a, minlength=bits).astype(np.int64)
+        cnts = np.bincount(blk, minlength=bits).astype(np.int64)
+        total = int(a.sum())
+        on = np.nonzero(sums * n > total * cnts)[0]
+        return int(sum(1 << int(k) for k in on))
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sigs = [
+                _one(bytes(raw) if raw is not None else b"")
+                for raw in pdf[bin_name]
+            ]
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_name].to_numpy(),
+                    "phash": pd.Series(sigs, dtype="int64"),
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(bin_col)).mapInPandas(
+        _hash, AUDIO_PHASH_SCHEMA
+    )
+
+
+def audio_near_dup(
+    df: DataFrame,
+    bin_col: str,
+    id_col: str,
+    bits: int = 60,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """(id_a, id_b, hamming): audio near-duplicate pairs over the blob
+    column — completes the modality triangle (text SimHash / image
+    phash / video frame-phash / audio envelope) through the SAME
+    banded-Hamming kernel (``operators.dedup.banded_hamming_pairs``):
+    pigeonhole band equi-join + exact popcount verify, shuffle bounded
+    by (bands × clips), never all-pairs. The 100 TB plan is the proven
+    simhash_pairs/image_near_dup shape with the signature source
+    swapped for :func:`audio_phash`."""
+    from batch_process_dpla_index_spark.operators.dedup import (
+        _with_cached_deps,
+        banded_hamming_pairs,
+    )
+
+    sig = audio_phash(df, bin_col, id_col, bits).persist()
+    out = banded_hamming_pairs(sig, "id", "phash", bits, max_hamming)
+    return _with_cached_deps(out, [sig])

@@ -1146,6 +1146,72 @@ FROM b LEFT JOIN agg a USING (doc_id)
 
 ORACLE_AUDIO_PCM_STATS = _audio_pcm_oracle()
 
+
+def _audio_near_dup_oracle(bits: int = 60, max_hamming: int = 3) -> str:
+    """Audio energy-envelope near-dup replay (multimodal.audio_phash →
+    audio_near_dup): signed LE int16 decode (the audio_pcm_stats nibble
+    arithmetic, trailing odd byte ignored), blockhash over ABSOLUTE
+    amplitudes with blk = (j*bits)//n_samples, then BRUTE-FORCE
+    all-pairs Hamming — deliberately NOT the banded prefilter, so a
+    hash-match against the engine's banded plan directly proves the
+    pigeonhole banding lossless on this corpus. Twins: even-length
+    clips with doc_id%5==0 reappear under id+1e9 with one trailing pad
+    byte (identical samples → hamming 0)."""
+    nib = "strpos('0123456789ABCDEF', substr(h, CAST(2 * i + {off} AS INTEGER), 1)) - 1"
+    return rf"""
+WITH base AS (
+    SELECT doc_id, encode(coalesce(text, '')) AS blob FROM documents
+), twins AS (
+    SELECT doc_id + 1000000000 AS doc_id, blob || '\x00'::BLOB AS blob
+    FROM base WHERE doc_id % 5 = 0 AND octet_length(blob) % 2 = 0
+), corpus AS (
+    SELECT doc_id, blob FROM base UNION ALL SELECT doc_id, blob FROM twins
+), hx AS (
+    SELECT doc_id, octet_length(blob) AS nb, upper(hex(blob)) AS h FROM corpus
+), bytes AS (
+    SELECT doc_id, i,
+           CAST(16 * ({nib.format(off=1)})
+              + ({nib.format(off=2)}) AS BIGINT) AS v
+    FROM hx, UNNEST(range(2 * (nb // 2))) AS t(i)
+), samp0 AS (
+    SELECT doc_id, i // 2 AS j,
+           sum(CASE WHEN i % 2 = 0 THEN v ELSE 256 * v END) AS u
+    FROM bytes GROUP BY doc_id, i // 2
+), samp AS (
+    SELECT doc_id, j,
+           abs(CASE WHEN u >= 32768 THEN u - 65536 ELSE u END) AS a
+    FROM samp0
+), nn AS (
+    SELECT doc_id, count(*) AS n FROM samp GROUP BY doc_id
+), per AS (
+    SELECT s.doc_id, nn.n, (s.j * {bits}) // nn.n AS blk, s.a
+    FROM samp s JOIN nn USING (doc_id)
+), blocks AS (
+    SELECT doc_id, n, blk, sum(a) AS bsum, count(*) AS bcnt
+    FROM per GROUP BY doc_id, n, blk
+), tot AS (
+    SELECT doc_id, sum(bsum) AS total FROM blocks GROUP BY doc_id
+), sig0 AS (
+    SELECT bl.doc_id,
+           CAST(sum(CASE WHEN bl.bsum * bl.n > t.total * bl.bcnt
+                         THEN CAST(1 AS BIGINT) << CAST(bl.blk AS INTEGER)
+                         ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS ph
+    FROM blocks bl JOIN tot t USING (doc_id)
+    GROUP BY bl.doc_id
+), sig AS (
+    SELECT corpus.doc_id AS id, CAST(coalesce(s.ph, 0) AS BIGINT) AS ph
+    FROM corpus LEFT JOIN sig0 s USING (doc_id)
+)
+SELECT x.id AS id_a, y.id AS id_b,
+       CAST(bit_count(xor(x.ph, y.ph)) AS INTEGER) AS hamming
+FROM sig x JOIN sig y ON x.id < y.id
+WHERE bit_count(xor(x.ph, y.ph)) <= {max_hamming}
+"""
+
+
+ORACLE_AUDIO_NEAR_DUP = _audio_near_dup_oracle()
+
+
 # Full image-dedup pipeline (queries.q_image_dedup_survivors): the
 # perceptual pair chain above, then the dedup_clusters transitive-
 # closure pattern, then keep min-id representatives + unpaired blobs.
@@ -4507,6 +4573,7 @@ ORACLES: dict[str, str] = {
     "image_dedup_survivors": ORACLE_IMAGE_DEDUP_SURVIVORS,
     "video_near_dup": ORACLE_VIDEO_NEAR_DUP,
     "audio_pcm_stats": ORACLE_AUDIO_PCM_STATS,
+    "audio_near_dup": ORACLE_AUDIO_NEAR_DUP,
     "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
     "props_from_json": ORACLE_PROPS_FROM_JSON,
     "thumbnail_keys": ORACLE_THUMBNAIL_KEYS,

@@ -955,6 +955,40 @@ def q_audio_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _audio_corpus_with_twins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (doc_id, blob) PCM clips (raw UTF-8 text bytes as
+    16-bit LE samples) plus pad-byte re-containered twins: every
+    even-length clip with doc_id%5==0 reappears under id+1e9 with ONE
+    trailing zero byte appended — the audio decode contract ignores
+    the trailing odd byte, so each twin carries the IDENTICAL sample
+    sequence (the audio analog of image_near_dup's re-containered
+    variants; pairs at hamming 0)."""
+    docs = load_table(spark, sf_dir, "documents")
+    blob = F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8")
+    base = docs.select("doc_id", blob.alias("blob"))
+    twins = base.filter(
+        (F.col("doc_id") % 5 == 0) & (F.length("blob") % 2 == 0)
+    ).select(
+        (F.col("doc_id") + 1_000_000_000).alias("doc_id"),
+        F.concat(F.col("blob"), F.lit(b"\x00")).alias("blob"),
+    )
+    return base.unionByName(twins)
+
+
+def q_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-duplicate pairs (r14): whole-clip energy-envelope
+    blockhash over |int16| PCM (polarity-inversion invariant,
+    all-integer → oracle bit-exact) through the SAME banded-Hamming
+    kernel as text SimHash / image phash — completes the modality
+    triangle. The oracle is a brute-force all-pairs Hamming replay, so
+    the hash-match directly proves the pigeonhole banding lossless on
+    this corpus too."""
+    from batch_process_dpla_index_spark.operators.multimodal import audio_near_dup
+
+    corpus = _audio_corpus_with_twins(spark, sf_dir)
+    return audio_near_dup(corpus, "blob", "doc_id", bits=60, max_hamming=3)
+
+
 def q_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow/BLAS exact top-k (same results as cosine_topk, the
     100 TB-safe physical plan: per-batch matmul + local top-k)."""
@@ -3385,6 +3419,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "retention_cohorts": q_retention_cohorts,
     "dedup_representatives": q_dedup_representatives,
     # ---- driver-window boundary (entry 50 above this line) ----
+    # -- staged r15 debuts (verified both SFs, pinned, probed
+    #    same-round per the staging discipline) --
+    "audio_near_dup": q_audio_near_dup,
     # -- the r11-green cohort's 17-entry remainder (defers to r15; all
     #    driver-green in CORRECTNESS_r11, re-verified every round via
     #    tools/verify_local.py fleet runs) --

@@ -1317,3 +1317,45 @@ def test_pil_phash_empty_blob_matches_fake_contract():
     if _HAVE_PIL:  # pragma: no cover - codec absent in this container
         # genuine decode failure (truncated stream) still → None
         assert _pil_phash(b"\x89PNG\r\n\x1a\n junk", 60) is None
+
+
+def test_audio_phash_polarity_inversion_invariant(spark):
+    """The audio fingerprint hashes the ABSOLUTE amplitude envelope,
+    so a polarity-inverted clip (every sample negated — a real
+    re-mastering case byte-exact dedup misses) hashes IDENTICALLY and
+    pairs at hamming 0; the trailing-pad-byte twin (decode ignores the
+    odd byte) does too. A genuinely different clip does not pair."""
+    import struct
+
+    from batch_process_dpla_index_spark.operators.multimodal import (
+        audio_near_dup,
+        audio_phash,
+    )
+
+    samples = [((i * 131 + 17) % 4001) - 2000 for i in range(500)]
+    clip = struct.pack(f"<{len(samples)}h", *samples)
+    inverted = struct.pack(f"<{len(samples)}h", *[-s for s in samples])
+    padded = clip + b"\x00"  # odd tail byte → identical samples
+    other = struct.pack(
+        f"<{len(samples)}h",
+        *[((i * i * 37 + 5) % 3001) - 1500 for i in range(500)],
+    )
+    df = spark.createDataFrame(
+        [(1, clip), (2, inverted), (3, padded), (4, other),
+         (5, None), (6, b"")],
+        "doc_id BIGINT, blob BINARY",
+    )
+    sig = {r["id"]: r["phash"]
+           for r in audio_phash(df, "blob", "doc_id").collect()}
+    assert sig[1] == sig[2] == sig[3]  # inversion + pad invariant
+    assert sig[4] != sig[1]
+    assert sig[5] == sig[6] == 0  # NULL/empty → 0 (the empty contract)
+
+    from batch_process_dpla_index_spark.operators.dedup import unpersist_deps
+
+    pairs = audio_near_dup(df, "blob", "doc_id", max_hamming=3)
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
+    unpersist_deps(pairs)
+    assert got[(1, 2)] == 0 and got[(1, 3)] == 0 and got[(2, 3)] == 0
+    assert (5, 6) in got  # two no-sample clips share phash 0
+    assert not any(4 in p for p in got)
