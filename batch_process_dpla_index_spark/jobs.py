@@ -224,6 +224,10 @@ def main(argv: list[str] | None = None) -> int:
                         "SemDeDup semantic-dup rate to the card")
     s.add_argument("--vec-col", dest="card_vec_col", default="embedding")
     s.add_argument("--sem-threshold", type=float, default=0.3)
+    s.add_argument("--blobs-parquet", default=None,
+                   help="doc_id-keyed binary frame: adds the "
+                        "perceptual (image) dup rate to the card")
+    s.add_argument("--bin-col", dest="card_bin_col", default="blob")
     s = sub.add_parser("profile")
     s.add_argument("parquet_path")
     s.add_argument("--out-csv", help="write the profile as a header CSV")
@@ -735,10 +739,16 @@ def main(argv: list[str] | None = None) -> int:
                 if args.embeddings_parquet
                 else None
             )
+            blobs = (
+                spark.read.parquet(args.blobs_parquet)
+                if args.blobs_parquet
+                else None
+            )
             path = build_dataset_card(
                 spark, spark.read.parquet(args.parquet_path), args.out_dir,
                 name=args.name, embeddings=emb,
                 vec_col=args.card_vec_col, sem_threshold=args.sem_threshold,
+                blobs=blobs, bin_col=args.card_bin_col,
             )
             print(f"Dataset card written to {path}")
         elif args.job == "profile":

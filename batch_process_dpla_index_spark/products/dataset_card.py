@@ -44,6 +44,8 @@ def build_dataset_card(
     vec_col: str = "embedding",
     sem_threshold: float = 0.3,
     n_embeddings: int | None = None,
+    blobs: DataFrame | None = None,
+    bin_col: str = "blob",
 ) -> str:
     """Render the datasheet to ``<out_dir>/DATASET_CARD.md`` (plus the
     standard `_MANIFEST`) and return the card path.
@@ -57,7 +59,16 @@ def build_dataset_card(
     hashing. Cell count scales for constant cell population
     (k = max(32, N//64)), so the stage stays linear at any corpus
     size; cost is one semantic_dedup pass + one bounded semi-join
-    count."""
+    count.
+
+    ``blobs`` (a frame carrying ``doc_id`` + ``bin_col``) turns on the
+    MULTIMODAL duplication section: the share of blobs the perceptual
+    dedup pipeline would collapse — computed by the EXACT operator
+    chain the oracle-verified ``image_dedup_survivors`` registry query
+    runs (``multimodal.image_near_dup`` → ``dedup.dedup_survivors``),
+    so the card's blob-dup rate cannot drift from its hash-verified
+    twin. A multimodal corpus card without this rate under-reports the
+    dataset's redundancy (VERDICT r13 #4)."""
     from batch_process_dpla_index_spark.functions.classifier import classifier_score
 
     # tokens materialized ONCE: language_id_tok references its token
@@ -160,6 +171,37 @@ def build_dataset_card(
 
                 unpersist_deps(sem)
 
+        image_dup_rate: float | str = "n/a"
+        n_blobs = 0
+        if blobs is not None:
+            from batch_process_dpla_index_spark.operators.dedup import (
+                dedup_survivors,
+                unpersist_deps,
+            )
+            from batch_process_dpla_index_spark.operators.multimodal import (
+                image_near_dup,
+            )
+
+            pairs = image_near_dup(blobs, bin_col, "doc_id",
+                                   bits=60, max_hamming=3)
+            kept = dedup_survivors(blobs.select("doc_id"), pairs, "doc_id")
+            # finally, not the success path (the semantic block's
+            # convention): the pair signatures and the CC checkpoint
+            # persist under the survivors frame, and a raise in either
+            # count would otherwise leak them for the session
+            try:
+                n_blobs = blobs.count()
+                n_kept = kept.count()
+                image_dup_rate = (
+                    round(1.0 - n_kept / n_blobs, 4) if n_blobs else 0.0
+                )
+            finally:
+                # kept carries BOTH dep sets (dedup_survivors merges
+                # them); double-unpersist of the shared handles is a
+                # no-op
+                unpersist_deps(pairs)
+                unpersist_deps(kept)
+
         by_source = [
             r.asDict()
             for r in base.groupBy("source")
@@ -233,6 +275,21 @@ Null counts and exact cardinalities per column
 (`operators/profiling.py:column_profile`).
 
 {_md_table(profile, ['column', 'nulls', 'distinct'])}
+"""
+    if blobs is not None:
+        card += f"""
+## Multimodal duplication
+
+`perceptual-dup rate` is the share of blobs the image-dedup pipeline
+(`multimodal.image_near_dup` → connected components → min-id
+survivors; the oracle-verified `image_dedup_survivors` shape,
+60-bit blockhash, Hamming ≤ 3) would collapse as non-representative
+near-duplicate group members — re-encoded/re-containered copies
+invisible to byte-exact hashing.
+
+| blobs | perceptual-dup rate |
+|---|---|
+| {n_blobs} | {image_dup_rate} |
 """
     if dup_by_source:
         card += f"""

@@ -1775,3 +1775,73 @@ def test_phash_index_cli_rejects_banding_flags_off_build(spark, tmp_path):
     with pytest.raises(SystemExit, match="apply only to"):
         jobs.main(["phash-index", "append", str(tmp_path / "x"),
                    str(tmp_path / "idx"), "--max-hamming", "5"])
+
+
+def test_dataset_card_multimodal_dup_section(spark, tmp_path):
+    """The card's perceptual-dup rate must EQUAL 1 - survivors/blobs
+    from the oracle-verified image_dedup_survivors operator chain run
+    independently — the card is a presentation of the verified stat,
+    not a second implementation (VERDICT r13 #4). Also pins the CLI
+    threading (--blobs-parquet) and that the section is absent without
+    a blob frame."""
+    from batch_process_dpla_index_spark import jobs
+    from batch_process_dpla_index_spark.operators.dedup import (
+        dedup_survivors,
+        unpersist_deps,
+    )
+    from batch_process_dpla_index_spark.operators.multimodal import (
+        image_near_dup,
+    )
+    from batch_process_dpla_index_spark.products.dataset_card import (
+        build_dataset_card,
+    )
+    from batch_process_dpla_index_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    body = F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8")
+    base = docs.select("doc_id", F.concat(F.lit(b"\x89PNG"), body).alias("blob"))
+    # re-containered copies → guaranteed perceptual dups
+    twins = docs.where(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 1_000_000_000).alias("doc_id"),
+        F.concat(F.lit(bytes.fromhex("FFD8FFE0")), body).alias("blob"),
+    )
+    blobs = base.unionByName(twins)
+
+    out = str(tmp_path / "mm_card")
+    path = build_dataset_card(spark, docs, out, name="mm", blobs=blobs)
+    text = open(path, encoding="utf-8").read()
+    assert "## Multimodal duplication" in text
+    section = text.split("## Multimodal duplication", 1)[1]
+    row = [ln for ln in section.splitlines()
+           if ln.startswith("|") and "blobs" not in ln and "---" not in ln][0]
+    cells = [c.strip() for c in row.split("|")[1:-1]]
+    n_blobs_card, rate_card = int(cells[0]), float(cells[1])
+
+    # independent replay through the same verified operators
+    pairs = image_near_dup(blobs, "blob", "doc_id", bits=60, max_hamming=3)
+    kept = dedup_survivors(blobs.select("doc_id"), pairs, "doc_id")
+    n_blobs, n_kept = blobs.count(), kept.count()
+    unpersist_deps(pairs)
+    unpersist_deps(kept)
+    assert n_blobs_card == n_blobs
+    assert rate_card == round(1.0 - n_kept / n_blobs, 4)
+    assert rate_card > 0.0  # the twins make it strictly positive
+
+    # no blob frame → no section
+    out2 = str(tmp_path / "mm_card2")
+    text2 = open(build_dataset_card(spark, docs, out2), encoding="utf-8").read()
+    assert "## Multimodal duplication" not in text2
+
+    # CLI threading
+    blobs_path = str(tmp_path / "blobs_parquet")
+    blobs.write.parquet(blobs_path)
+    docs_path = str(tmp_path / "docs_parquet")
+    docs.write.parquet(docs_path)
+    out3 = str(tmp_path / "mm_card3")
+    assert jobs.main(["dataset-card", docs_path, out3,
+                      "--blobs-parquet", blobs_path]) == 0
+    text3 = open(os.path.join(out3, "DATASET_CARD.md"),
+                 encoding="utf-8").read()
+    assert "## Multimodal duplication" in text3
+    assert f"| {n_blobs} | {rate_card} |" in text3
