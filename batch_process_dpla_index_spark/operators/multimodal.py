@@ -629,10 +629,12 @@ def audio_phash(
     ignores. No samples → phash 0 (the empty contract shared with
     :func:`_fake_phash`; all-silence also → 0, ties never fire).
 
-    int64-safe for clips under ~5e8 samples (~1 GB): the threshold
-    products are bounded by 32768·n·n < 2^63 — guarded loudly, a
-    silent wraparound would flip bits with no cross-engine error.
-    One partition-preserving Arrow pass, no shuffle."""
+    int64-safe for clips under ~1.3e8 samples at 60 bits (~260 MB; the
+    exact per-clip guard is 32768·n·(n//bits+1) < 2^63 — block sums
+    are uniform under the blk formula, so the bound is bits-aware).
+    Guarded loudly: a silent wraparound would flip bits with no
+    cross-engine error. One partition-preserving Arrow pass, no
+    shuffle."""
     import numpy as np
     import pandas as pd
 
@@ -644,11 +646,20 @@ def audio_phash(
         n = int(s.size)
         if n == 0:
             return 0
-        if n > 500_000_000:
+        # exact arbitrary-precision bound, not an approximate constant
+        # (the round-14 review caught the first cut's 5e8 guard ~30x
+        # too loose): blk spreads samples uniformly, so block sums and
+        # counts are bounded by 32768*(n//bits+1) and n//bits+1 — both
+        # threshold products stay under 32768*n*(n//bits+1). A silent
+        # numpy int64 wraparound would flip signature bits with no
+        # cross-engine error (the DuckDB oracle's sums never overflow).
+        if 32768 * n * (n // bits + 1) >= 2**63:
             raise ValueError(
                 f"clip of {n} samples exceeds the audio-phash "
-                "int64-safe bound (~5e8: 32768*n*n must stay under "
-                "2^63); chunk or downsample the clip first"
+                f"int64-safe bound for bits={bits} "
+                "(32768*n*(n//bits+1) must stay under 2^63; ~1.3e8 "
+                "samples at 60 bits); chunk or downsample the clip "
+                "first"
             )
         a = np.abs(s.astype(np.int64))
         blk = (np.arange(n, dtype=np.int64) * bits) // n

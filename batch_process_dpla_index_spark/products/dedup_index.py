@@ -111,15 +111,21 @@ def build_dedup_index(
         .select("band", "key")
     )
     n_dropped = oversized.count()
-    (
+    from batch_process_dpla_index_spark.products.index_tombstones import (
+        overwrite_dataset_readable,
+    )
+
+    # co-locate bucket lookups: batch-side band keys hash-join into a
+    # layout already partitioned on the join key. Empty-safe write: a
+    # degenerate corpus (every band key oversized) caps away EVERY
+    # bucket row, and a zero-row partitionBy write would land an
+    # unreadable dataset that crashes the next query
+    overwrite_dataset_readable(
         buckets.join(F.broadcast(oversized), ["band", "key"], "left_anti")
-        # co-locate bucket lookups: batch-side band keys hash-join into
-        # a layout already partitioned on the join key
         .repartition(bucket_partitions, "band", "key")
-        .withColumn("ingest_batch", F.lit(0))
-        .write.mode("overwrite")
-        .partitionBy("ingest_batch")
-        .parquet(os.path.join(index_dir, "buckets"))
+        .withColumn("ingest_batch", F.lit(0)),
+        os.path.join(index_dir, "buckets"),
+        "ingest_batch",
     )
     sig.unpersist()
     manifest = {
@@ -239,10 +245,12 @@ def append_to_dedup_index(
     would otherwise clobber each other).
 
     The manifest's ``max_bucket`` cap is enforced on the append path
-    (combined stored+new size per band key, stored side read under a
-    broadcast semi-prune of the new batch's keys) — same rationale as
-    ``append_to_phash_index``: hot buckets dropped at build must not
-    creep back in through appends. Dropped-key counts accumulate under
+    (``index_tombstones.capped_append_buckets``, the ONE cap
+    implementation shared with phash_index: combined new + stored-LIVE
+    size per band key — own-partition excluded for replay stability,
+    tombstones anti-joined out, stored side broadcast-semi-pruned to
+    the batch's keys) — hot buckets dropped at build must not creep
+    back in through appends. Dropped-key counts accumulate under
     ``Oversized buckets dropped (append)``."""
     manifest = read_manifest(index_dir)
     n = int(manifest["shingle_n"])
@@ -268,30 +276,16 @@ def append_to_dedup_index(
         writer.partitionBy("ingest_batch").parquet(os.path.join(index_dir, name))
 
     _write(sig, "signatures")
+    from batch_process_dpla_index_spark.products.index_tombstones import (
+        capped_append_buckets,
+    )
+
     new_buckets = _band_buckets(sig, bands, rows).persist()
-    new_sz = new_buckets.groupBy("band", "key").agg(
-        F.count(F.lit(1)).alias("new_sz")
+    capped, n_dropped = capped_append_buckets(
+        sig.sparkSession, index_dir, new_buckets, ["band", "key"],
+        max_bucket, ingest_batch,
     )
-    spark = sig.sparkSession
-    stored_sz = (
-        spark.read.parquet(os.path.join(index_dir, "buckets"))
-        .join(F.broadcast(new_sz.select("band", "key")), ["band", "key"])
-        .groupBy("band", "key")
-        .agg(F.count(F.lit(1)).alias("old_sz"))
-    )
-    oversized = (
-        new_sz.join(stored_sz, ["band", "key"], "left")
-        .filter(
-            F.col("new_sz") + F.coalesce(F.col("old_sz"), F.lit(0))
-            > F.lit(max_bucket)
-        )
-        .select("band", "key")
-    )
-    n_dropped = oversized.count()
-    _write(
-        new_buckets.join(F.broadcast(oversized), ["band", "key"], "left_anti"),
-        "buckets",
-    )
+    _write(capped, "buckets")
     new_buckets.unpersist()
     sig.unpersist()
     if n_dropped:

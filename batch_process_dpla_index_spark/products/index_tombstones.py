@@ -291,10 +291,17 @@ def compact_index_tombstones(
             if part_cols
             else live
         )
-        w = writer.write.mode("overwrite")
-        if "ingest_batch" in stored.columns:
-            w = w.partitionBy("ingest_batch")
-        w.parquet(tmp_dir)
+        # empty-safe: a LATER dataset can legitimately compact to zero
+        # rows (every bucket posting belonged to tombstoned ids while
+        # their signatures survive via other batches' keys being
+        # capped) — the i==0 refusal above covers only the per-id
+        # dataset, and a zero-row partitionBy write would install an
+        # unreadable live dir at the swap
+        overwrite_dataset_readable(
+            writer,
+            tmp_dir,
+            "ingest_batch" if "ingest_batch" in stored.columns else None,
+        )
         live.unpersist()
         staged.append((live_dir, tmp_dir, old_dir))
 
@@ -312,3 +319,80 @@ def compact_index_tombstones(
         shutil.rmtree(old_dir)
     shutil.rmtree(_tombstones_dir(index_dir), ignore_errors=True)
     return manifest
+
+
+def overwrite_dataset_readable(
+    df: DataFrame, out_dir: str, partition_col: str | None = None
+) -> None:
+    """Overwrite-write a dataset that MAY be empty. A zero-row
+    ``partitionBy`` write lands no part files (only ``_SUCCESS``) and
+    the dataset is unreadable on the next scan ("Unable to infer
+    schema") — the crash class the build/compact empty guards refuse.
+    Some empty datasets are VALID states though (a bucket dataset
+    whose every posting was max_bucket-dropped or tombstone-compacted
+    away): for those, rewrite as ONE empty schema-carrying part file
+    with no partition dirs — the partition column stays a normal
+    column, which reads identically (and an empty dataset needs no
+    pruning)."""
+    import glob as _glob
+
+    w = df.write.mode("overwrite")
+    if partition_col is not None:
+        w = w.partitionBy(partition_col)
+    w.parquet(out_dir)
+    if not _glob.glob(
+        os.path.join(out_dir, "**", "*.parquet"), recursive=True
+    ):
+        df.repartition(1).write.mode("overwrite").parquet(out_dir)
+
+
+def capped_append_buckets(
+    spark: SparkSession,
+    index_dir: str,
+    new_buckets: DataFrame,
+    key_cols: "list[str]",
+    max_bucket: int,
+    current_batch: int,
+) -> "tuple[DataFrame, int]":
+    """Enforce the manifest ``max_bucket`` cap on an APPEND (the ONE
+    implementation behind dedup_index and phash_index, differing only
+    in the bucket key columns): returns (capped new bucket rows,
+    dropped-key count). Combined size per key = new rows + stored
+    LIVE rows, where stored live means
+
+    - the current batch's own partition is EXCLUDED — a checkpoint
+      replay otherwise counts its first attempt's rows, pushes keys
+      over the cap, and the dynamic partition overwrite then REPLACES
+      the partition without them (silent permanent loss of candidates
+      the first attempt legitimately kept);
+    - tombstoned ids are anti-joined out (the serve-path read) — a
+      takedown awaiting compaction otherwise inflates old_sz and
+      spuriously drops legitimate new rows for the key.
+
+    Cost stays batch-proportional: the stored side is semi-pruned by a
+    broadcast of the new batch's keys before counting."""
+    new_sz = new_buckets.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("new_sz")
+    )
+    stored = spark.read.parquet(os.path.join(index_dir, "buckets")).where(
+        F.col("ingest_batch") != int(current_batch)
+    )
+    stored = apply_tombstones(spark, index_dir, stored, "id")
+    stored_sz = (
+        stored.join(F.broadcast(new_sz.select(*key_cols)), list(key_cols))
+        .groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("old_sz"))
+    )
+    oversized = (
+        new_sz.join(stored_sz, list(key_cols), "left")
+        .filter(
+            F.col("new_sz") + F.coalesce(F.col("old_sz"), F.lit(0))
+            > F.lit(int(max_bucket))
+        )
+        .select(*key_cols)
+    )
+    n_dropped = oversized.count()
+    return (
+        new_buckets.join(F.broadcast(oversized), list(key_cols), "left_anti"),
+        n_dropped,
+    )

@@ -119,13 +119,20 @@ def build_phash_index(
         .select("band", "val")
     )
     n_dropped = oversized.count()
-    (
+    from batch_process_dpla_index_spark.products.index_tombstones import (
+        overwrite_dataset_readable,
+    )
+
+    # empty-safe write: a degenerate corpus (every band key oversized,
+    # e.g. all-identical blobs under a small cap) caps away EVERY
+    # bucket row, and a zero-row partitionBy write would land an
+    # unreadable dataset that crashes the next query
+    overwrite_dataset_readable(
         buckets.join(F.broadcast(oversized), ["band", "val"], "left_anti")
         .repartition(bucket_partitions, "band", "val")
-        .withColumn("ingest_batch", F.lit(0))
-        .write.mode("overwrite")
-        .partitionBy("ingest_batch")
-        .parquet(os.path.join(index_dir, "buckets"))
+        .withColumn("ingest_batch", F.lit(0)),
+        os.path.join(index_dir, "buckets"),
+        "ingest_batch",
     )
     sig.unpersist()
     manifest = {
@@ -237,12 +244,15 @@ def append_to_phash_index(
     expensive stage).
 
     The manifest's ``max_bucket`` cap is enforced on the APPEND path
-    too (combined stored+new size per band key): without it, hot
-    buckets dropped at build time creep back in — or grow unboundedly
-    — through appends, eroding the documented bound on per-batch
-    probe-join cost. The stored-side size count reads only bucket rows
-    whose keys appear in the new batch (broadcast semi-prune), so the
-    check stays batch-proportional. Dropped-key counts accumulate
+    too (``index_tombstones.capped_append_buckets``, the ONE cap
+    implementation shared with dedup_index): without it, hot buckets
+    dropped at build time creep back in — or grow unboundedly —
+    through appends, eroding the documented bound on per-batch
+    probe-join cost. The stored side counts only LIVE rows for keys in
+    the new batch (broadcast semi-prune; own-partition excluded so a
+    checkpoint replay reaches the same drop decisions as its first
+    attempt; tombstoned ids anti-joined out so a pending takedown
+    can't spuriously drop new rows). Dropped-key counts accumulate
     under ``Oversized buckets dropped (append)`` in the manifest (a
     stat, not data: a checkpoint replay may recount it, but the bucket
     rows themselves stay idempotent under the partition overwrite)."""
@@ -267,30 +277,16 @@ def append_to_phash_index(
         writer.partitionBy("ingest_batch").parquet(os.path.join(index_dir, name))
 
     _write(sig, "signatures")
+    from batch_process_dpla_index_spark.products.index_tombstones import (
+        capped_append_buckets,
+    )
+
     new_buckets = _phash_bands(sig, bits, max_hamming).persist()
-    new_sz = new_buckets.groupBy("band", "val").agg(
-        F.count(F.lit(1)).alias("new_sz")
+    capped, n_dropped = capped_append_buckets(
+        sig.sparkSession, index_dir, new_buckets, ["band", "val"],
+        max_bucket, ingest_batch,
     )
-    spark = sig.sparkSession
-    stored_sz = (
-        spark.read.parquet(os.path.join(index_dir, "buckets"))
-        .join(F.broadcast(new_sz.select("band", "val")), ["band", "val"])
-        .groupBy("band", "val")
-        .agg(F.count(F.lit(1)).alias("old_sz"))
-    )
-    oversized = (
-        new_sz.join(stored_sz, ["band", "val"], "left")
-        .filter(
-            F.col("new_sz") + F.coalesce(F.col("old_sz"), F.lit(0))
-            > F.lit(max_bucket)
-        )
-        .select("band", "val")
-    )
-    n_dropped = oversized.count()
-    _write(
-        new_buckets.join(F.broadcast(oversized), ["band", "val"], "left_anti"),
-        "buckets",
-    )
+    _write(capped, "buckets")
     new_buckets.unpersist()
     sig.unpersist()
     if n_dropped:

@@ -1359,3 +1359,30 @@ def test_audio_phash_polarity_inversion_invariant(spark):
     assert got[(1, 2)] == 0 and got[(1, 3)] == 0 and got[(2, 3)] == 0
     assert (5, 6) in got  # two no-sample clips share phash 0
     assert not any(4 in p for p in got)
+
+
+def test_audio_phash_overflow_guard_is_exact(spark):
+    """The int64-safety guard must fire BEFORE numpy can wrap (the
+    round-14 review caught the first cut's flat 5e8 constant ~30x past
+    the real bound): the bound is bits-aware — 32768*n*(n//bits+1)
+    < 2^63. At bits=1 every sample lands in one block, so a ~1.7e7-
+    sample clip crosses the bound while staying small enough to test."""
+    import pytest as _pytest
+
+    from batch_process_dpla_index_spark.operators.multimodal import audio_phash
+
+    n_bad = 17_000_000  # 32768 * n * (n+1) > 2^63 at bits=1
+    assert 32768 * n_bad * (n_bad + 1) >= 2**63
+    df = spark.createDataFrame(
+        [(1, b"\x01\x00" * n_bad)], "doc_id BIGINT, blob BINARY"
+    )
+    with _pytest.raises(Exception, match="int64-safe"):
+        audio_phash(df, "blob", "doc_id", bits=1).collect()
+    # just under the bound at bits=1 must succeed
+    n_ok = 16_000_000
+    assert 32768 * n_ok * (n_ok + 1) < 2**63
+    df_ok = spark.createDataFrame(
+        [(1, b"\x01\x00" * n_ok)], "doc_id BIGINT, blob BINARY"
+    )
+    rows = audio_phash(df_ok, "blob", "doc_id", bits=1).collect()
+    assert len(rows) == 1 and rows[0]["phash"] in (0, 1)

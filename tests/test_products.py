@@ -1845,3 +1845,115 @@ def test_dataset_card_multimodal_dup_section(spark, tmp_path):
                  encoding="utf-8").read()
     assert "## Multimodal duplication" in text3
     assert f"| {n_blobs} | {rate_card} |" in text3
+
+
+def test_phash_append_cap_stable_under_replay_and_tombstones(spark, tmp_path):
+    """Round-14 review regressions on the append-path bucket cap:
+    (1) a checkpoint REPLAY must reach the same drop decisions as its
+    first attempt — the naive stored-size count included the replay's
+    own first-attempt partition, pushed keys over the cap, and the
+    dynamic overwrite then silently deleted candidates the first
+    attempt kept; (2) tombstoned (awaiting-compaction) rows must not
+    inflate the stored size — a takedown would otherwise spuriously
+    drop legitimate new rows."""
+    from batch_process_dpla_index_spark.io.manifest import read_manifest
+    from batch_process_dpla_index_spark.products.phash_index import (
+        append_to_phash_index,
+        build_phash_index,
+        delete_from_phash_index,
+    )
+
+    blob = bytes((i * 11 + 7) % 256 for i in range(400))
+
+    # (1) replay stability: build sz=2, cap=4; batch of 2 → 2+2=4 kept;
+    # a naive replay would see old=4 (own partition) + new=2 > 4 → drop
+    idx = str(tmp_path / "replay_idx")
+    build_phash_index(
+        spark.createDataFrame([(1, blob), (2, blob)],
+                              "doc_id BIGINT, blob BINARY"),
+        "blob", "doc_id", idx, max_bucket=4,
+    )
+    batch = spark.createDataFrame([(11, blob), (12, blob)],
+                                  "doc_id BIGINT, blob BINARY")
+    append_to_phash_index(batch, "blob", "doc_id", idx,
+                          ingest_batch=1, idempotent=True)
+    buckets = spark.read.parquet(os.path.join(idx, "buckets"))
+    first = buckets.filter(F.col("ingest_batch") == 1).count()
+    assert first > 0  # within cap → kept
+    append_to_phash_index(batch, "blob", "doc_id", idx,
+                          ingest_batch=1, idempotent=True)  # replay
+    buckets = spark.read.parquet(os.path.join(idx, "buckets"))
+    assert buckets.filter(F.col("ingest_batch") == 1).count() == first
+    assert "Oversized buckets dropped (append)" not in read_manifest(idx)
+
+    # (2) tombstones excluded: build sz=3 of which 2 tombstoned
+    # (live=1), cap=3; batch of 2 → 2+1=3 kept (naive 2+3=5 → drop)
+    idx2 = str(tmp_path / "tomb_idx")
+    build_phash_index(
+        spark.createDataFrame([(1, blob), (2, blob), (3, blob)],
+                              "doc_id BIGINT, blob BINARY"),
+        "blob", "doc_id", idx2, max_bucket=3,
+    )
+    delete_from_phash_index(spark, idx2, [1, 2], compact_threshold=2.0)
+    append_to_phash_index(batch, "blob", "doc_id", idx2, ingest_batch=1)
+    b2 = spark.read.parquet(os.path.join(idx2, "buckets"))
+    assert b2.filter(F.col("ingest_batch") == 1).count() > 0
+
+
+def test_phash_index_survives_fully_capped_buckets(spark, tmp_path):
+    """A degenerate corpus can cap away EVERY bucket row (build) or
+    compact the buckets dataset to zero rows (every posting belonged
+    to tombstoned ids) — both must stay READABLE (one empty
+    schema-carrying part file), not crash the next query with 'Unable
+    to infer schema' (round-14 review)."""
+    from batch_process_dpla_index_spark.operators.dedup import unpersist_deps
+    from batch_process_dpla_index_spark.products.phash_index import (
+        append_to_phash_index,
+        build_phash_index,
+        compact_phash_index,
+        delete_from_phash_index,
+        incremental_phash_dedup_indexed,
+    )
+
+    blob = bytes((i * 13 + 5) % 256 for i in range(300))
+    batch = spark.createDataFrame([(50, blob)], "doc_id BIGINT, blob BINARY")
+
+    # build-time: cap=1 < bucket size 2 → every key dropped → buckets
+    # dataset is EMPTY at build; queries must run (and find nothing —
+    # no candidate side)
+    idx = str(tmp_path / "empty_buckets")
+    build_phash_index(
+        spark.createDataFrame([(1, blob), (2, blob)],
+                              "doc_id BIGINT, blob BINARY"),
+        "blob", "doc_id", idx, max_bucket=1,
+    )
+    got = incremental_phash_dedup_indexed(spark, batch, "blob", "doc_id", idx)
+    assert got.count() == 0
+    unpersist_deps(got)
+
+    # compact-time: A,B hold every bucket row (cap=2); C,D append gets
+    # capped (signatures land, buckets don't); tombstone A,B → compact
+    # leaves signature survivors (C,D — the i==0 refusal passes) but
+    # ZERO bucket survivors → the empty-safe swap must keep it readable
+    idx2 = str(tmp_path / "empty_after_compact")
+    build_phash_index(
+        spark.createDataFrame([(1, blob), (2, blob)],
+                              "doc_id BIGINT, blob BINARY"),
+        "blob", "doc_id", idx2, max_bucket=2,
+    )
+    append_to_phash_index(
+        spark.createDataFrame([(3, blob), (4, blob)],
+                              "doc_id BIGINT, blob BINARY"),
+        "blob", "doc_id", idx2, ingest_batch=1,
+    )
+    delete_from_phash_index(spark, idx2, [1, 2], compact_threshold=2.0)
+    compact_phash_index(spark, idx2)
+    sig_ids = {
+        r["id"] for r in
+        spark.read.parquet(os.path.join(idx2, "signatures")).collect()
+    }
+    assert sig_ids == {3, 4}
+    assert spark.read.parquet(os.path.join(idx2, "buckets")).count() == 0
+    got2 = incremental_phash_dedup_indexed(spark, batch, "blob", "doc_id", idx2)
+    assert got2.count() == 0
+    unpersist_deps(got2)
