@@ -114,6 +114,11 @@ def main(argv: list[str] | None = None) -> int:
     # re-parameterized a probe — error instead (defaults fill at build)
     s.add_argument("--bits", type=int, default=None)
     s.add_argument("--max-hamming", type=int, default=None)
+    s.add_argument("--modality", choices=["image", "audio"], default=None,
+                   help="build: the fingerprint family (image = "
+                        "byte/pixel blockhash, audio = PCM "
+                        "energy-envelope blockhash); other actions "
+                        "read it from the manifest")
     s.add_argument("--batch", type=int, default=1)
     s = sub.add_parser("ann-index")
     s.add_argument("action", choices=["build", "query", "recall", "append",
@@ -414,12 +419,15 @@ def main(argv: list[str] | None = None) -> int:
             from batch_process_dpla_index_spark.products import phash_index
 
             if args.action != "build" and (
-                args.bits is not None or args.max_hamming is not None
+                args.bits is not None
+                or args.max_hamming is not None
+                or args.modality is not None
             ):
                 raise SystemExit(
-                    "phash-index: --bits/--max-hamming apply only to "
-                    "build; every other action reads the banding "
-                    "parameters from the index manifest (a "
+                    "phash-index: --bits/--max-hamming/--modality "
+                    "apply only to build; every other action reads "
+                    "the banding parameters and the fingerprint "
+                    "family from the index manifest (a "
                     "mis-parameterized probe is impossible) — drop "
                     "the flags"
                 )
@@ -462,6 +470,9 @@ def main(argv: list[str] | None = None) -> int:
                     bits=args.bits if args.bits is not None else 60,
                     max_hamming=(
                         args.max_hamming if args.max_hamming is not None else 3
+                    ),
+                    modality=(
+                        args.modality if args.modality is not None else "image"
                     ),
                 )
                 print(f"Phash index built: {manifest}")

@@ -1,9 +1,14 @@
-"""Persisted perceptual-dedup index: the image twin of
+"""Persisted perceptual-dedup index: the blob twin of
 ``products.dedup_index`` (which stores MinHash signatures/buckets for
 text). A multimodal ingest pipeline at 100 TB does not re-hash the
 stored corpus per batch — it keeps each accepted blob's 60-bit
 perceptual signature on disk and checks each incoming batch against
-the stored banding:
+the stored banding. The fingerprint is modality-dispatched (r14):
+``modality="image"`` uses the byte/pixel blockhash
+(``multimodal.phash_images``), ``modality="audio"`` the PCM
+energy-envelope blockhash (``multimodal.audio_phash``,
+polarity-inversion invariant) — pinned in the manifest so an index
+can never be probed under the wrong hasher:
 
 - :func:`build_phash_index` materializes two parquet datasets under
   ``index_dir``: ``signatures`` (id, phash — the exact popcount-verify
@@ -54,6 +59,27 @@ _TOMBSTONE_DATASETS = [
 ]
 
 
+def _signature_fn(modality: str):
+    """The modality → fingerprint dispatch (r14): every signature is a
+    (id, phash bigint) frame through the same banding geometry, so ONE
+    index implementation serves both perceptual modalities — the
+    manifest pins ``modality`` exactly like (bits, max_hamming), so an
+    audio index can never be silently probed with image hashes."""
+    if modality == "image":
+        return phash_images
+    if modality == "audio":
+        from batch_process_dpla_index_spark.operators.multimodal import (
+            audio_phash,
+        )
+
+        return audio_phash
+    raise ValueError(
+        f"modality={modality!r}: the perceptual index supports "
+        "'image' (byte/pixel blockhash) and 'audio' (PCM "
+        "energy-envelope blockhash)"
+    )
+
+
 def _phash_bands(sig: DataFrame, bits: int, max_hamming: int) -> DataFrame:
     """(band, val, id): pigeonhole band keys for a (id, phash) frame —
     built from ``dedup.hamming_band_structs``, the ONE definition of
@@ -81,11 +107,16 @@ def build_phash_index(
     max_hamming: int = 3,
     max_bucket: int = 1000,
     bucket_partitions: int = 32,
+    modality: str = "image",
 ) -> dict[str, str]:
     """One corpus Arrow pass → signatures + capped band buckets +
     manifest. Returns the manifest dict (also written to
-    ``index_dir/_MANIFEST``)."""
-    sig = phash_images(blobs, bin_col, id_col, bits).persist()
+    ``index_dir/_MANIFEST``). ``modality`` picks the fingerprint
+    (``image`` = byte/pixel blockhash, ``audio`` = PCM energy-envelope
+    blockhash — polarity-inversion-invariant, so a flipped-waveform
+    re-master of a stored clip dedupes at hamming 0) and is pinned in
+    the manifest alongside the banding geometry."""
+    sig = _signature_fn(modality)(blobs, bin_col, id_col, bits).persist()
     n_blobs = sig.count()
     if n_blobs == 0:
         # a zero-row signatures/buckets dataset is unreadable on the
@@ -139,6 +170,7 @@ def build_phash_index(
         "bits": str(bits),
         "max_hamming": str(max_hamming),
         "max_bucket": str(max_bucket),
+        "modality": modality,
         "Record count": str(n_blobs),
         "Oversized buckets dropped": str(n_dropped),
     }
@@ -169,8 +201,10 @@ def incremental_phash_dedup_indexed(
     manifest = read_manifest(index_dir)
     bits = int(manifest["bits"])
     max_hamming = int(manifest["max_hamming"])
+    # pre-r14 manifests carry no modality key → image (their builder)
+    hasher = _signature_fn(manifest.get("modality", "image"))
 
-    new_sig = phash_images(new_blobs, bin_col, id_col, bits).persist()
+    new_sig = hasher(new_blobs, bin_col, id_col, bits).persist()
     corp_buckets = spark.read.parquet(os.path.join(index_dir, "buckets"))
     corp_sig = spark.read.parquet(os.path.join(index_dir, "signatures"))
     if max_ingest_batch is not None:
@@ -263,7 +297,9 @@ def append_to_phash_index(
     sig = (
         signatures.select("id", "phash")
         if signatures is not None
-        else phash_images(batch_blobs, bin_col, id_col, bits)
+        else _signature_fn(manifest.get("modality", "image"))(
+            batch_blobs, bin_col, id_col, bits
+        )
     ).persist()
 
     def _write(df: DataFrame, name: str) -> None:

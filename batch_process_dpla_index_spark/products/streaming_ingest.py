@@ -439,3 +439,33 @@ def ingest_image_dedup_available(
         check, lambda m: m.select(F.col("new_id").alias(id_col)), append,
         "Phash index", index_dir, max_files_per_trigger, now,
     )
+
+
+def ingest_audio_dedup_available(
+    spark: SparkSession,
+    source_path: str,
+    schema,
+    out_path: str,
+    checkpoint_path: str,
+    index_dir: str,
+    bin_col: str = "blob",
+    id_col: str = "doc_id",
+    max_files_per_trigger: int | None = None,
+    now=None,
+) -> dict[int, tuple[int, int]]:
+    """AUDIO dedup-on-ingest (r14, completes the ingest-twin quartet:
+    text/LSH, embedding/IVF, image/phash, audio/envelope): identical
+    machinery to :func:`ingest_image_dedup_available` against an index
+    built with ``build_phash_index(..., modality="audio")`` — the
+    index functions dispatch the fingerprint from the manifest, so the
+    check/append closures are modality-blind. What the audio
+    fingerprint buys at ingest: a polarity-inverted or pad-byte
+    re-containered copy of an already-landed clip hashes identically
+    (|PCM| envelope) and never lands twice — duplication byte-exact
+    ingest dedup cannot see. Same checkpoint-replay idempotence and
+    corpus-level-only contract as the image twin."""
+    return ingest_image_dedup_available(
+        spark, source_path, schema, out_path, checkpoint_path, index_dir,
+        bin_col=bin_col, id_col=id_col,
+        max_files_per_trigger=max_files_per_trigger, now=now,
+    )

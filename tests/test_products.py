@@ -1957,3 +1957,81 @@ def test_phash_index_survives_fully_capped_buckets(spark, tmp_path):
     got2 = incremental_phash_dedup_indexed(spark, batch, "blob", "doc_id", idx2)
     assert got2.count() == 0
     unpersist_deps(got2)
+
+
+def test_phash_index_audio_modality_lifecycle(spark, tmp_path, capsys):
+    """The perceptual index's modality slot (r14): an index built with
+    modality='audio' fingerprints through the PCM energy envelope, so
+    a polarity-inverted re-master and a pad-byte re-container of a
+    stored clip BOTH match at hamming 0 (byte-exact dedup sees
+    neither), a novel clip matches nothing, the takedown lifecycle
+    works unchanged, and the CLI pins the modality at build while
+    rejecting it elsewhere."""
+    import struct
+
+    from batch_process_dpla_index_spark import jobs
+    from batch_process_dpla_index_spark.io.manifest import read_manifest
+    from batch_process_dpla_index_spark.operators.dedup import unpersist_deps
+    from batch_process_dpla_index_spark.products.phash_index import (
+        _signature_fn,
+        build_phash_index,
+        delete_from_phash_index,
+        incremental_phash_dedup_indexed,
+    )
+
+    def clip(seed: int, n: int = 400) -> bytes:
+        vals = [((i * 131 + seed * 977 + 17) % 4001) - 2000 for i in range(n)]
+        return struct.pack(f"<{n}h", *vals)
+
+    def invert(c: bytes) -> bytes:
+        n = len(c) // 2
+        vals = struct.unpack(f"<{n}h", c)
+        return struct.pack(f"<{n}h", *[-v if v > -32768 else v for v in vals])
+
+    corpus = spark.createDataFrame(
+        [(i, clip(i)) for i in range(1, 6)], "doc_id BIGINT, blob BINARY"
+    )
+    idx = str(tmp_path / "audio_idx")
+    manifest = build_phash_index(
+        corpus, "blob", "doc_id", idx, modality="audio"
+    )
+    assert manifest["modality"] == "audio"
+
+    batch = spark.createDataFrame(
+        [(102, invert(clip(2))),      # polarity-inverted re-master of 2
+         (103, clip(3) + b"\x00"),    # pad-byte re-container of 3
+         (104, clip(99))],            # novel
+        "doc_id BIGINT, blob BINARY",
+    )
+
+    def serve():
+        got = incremental_phash_dedup_indexed(
+            spark, batch, "blob", "doc_id", idx
+        )
+        rows = {(r.new_id, r.dup_of): r.hamming for r in got.collect()}
+        unpersist_deps(got)
+        return rows
+
+    got = serve()
+    assert got[(102, 2)] == 0 and got[(103, 3)] == 0
+    assert not any(nid == 104 for nid, _ in got)
+
+    # takedown: the shared tombstone lifecycle is modality-blind
+    delete_from_phash_index(spark, idx, [2], compact_threshold=2.0)
+    got2 = serve()
+    assert not any(d == 2 for _, d in got2)
+    assert got2[(103, 3)] == 0
+
+    # CLI: --modality pins at build, errors elsewhere
+    clips_path = str(tmp_path / "clips")
+    corpus.coalesce(1).write.parquet(clips_path)
+    idx2 = str(tmp_path / "audio_idx_cli")
+    assert jobs.main(["phash-index", "build", clips_path, idx2,
+                      "--modality", "audio"]) == 0
+    capsys.readouterr()
+    assert read_manifest(idx2)["modality"] == "audio"
+    with pytest.raises(SystemExit, match="apply only to"):
+        jobs.main(["phash-index", "query", clips_path, idx2,
+                   "--modality", "audio"])
+    with pytest.raises(ValueError, match="modality"):
+        _signature_fn("video")

@@ -1117,3 +1117,75 @@ def test_phash_index_incremental_contract(spark, tmp_path):
     )
     assert miss.count() == 0
     unpersist_deps(miss)
+
+
+def test_streaming_audio_dedup_ingest(spark, tmp_path):
+    """Audio dedup-on-ingest (r14, the ingest-twin quartet's fourth
+    leg): batch 1's survivors append their envelope signatures, so
+    batch 2's polarity-inverted and pad-byte re-masters of batch-1
+    AND build-corpus clips are dropped (hamming 0 — exact copies in
+    envelope space); checkpoint replay ingests nothing twice."""
+    import struct
+
+    from batch_process_dpla_index_spark.products import (
+        phash_index,
+        streaming_ingest,
+    )
+
+    def clip(seed: int, n: int = 300) -> bytes:
+        # seed-masked block amplitudes: block k is LOUD iff bit
+        # (k % 13) of the seed is set, so the energy envelope IS the
+        # seed's bit pattern and clips with different low-13 bits sit
+        # many Hamming bits apart (a flat LCG ramp hashes every clip
+        # near 0 and everything collides within the budget — the
+        # first cut of this test failed exactly that way)
+        vals = [
+            (1500 if (seed >> ((i * 60 // n) % 13)) & 1 else 10)
+            * (-1 if i % 2 else 1)
+            for i in range(n)
+        ]
+        return struct.pack(f"<{n}h", *vals)
+
+    def invert(c: bytes) -> bytes:
+        n = len(c) // 2
+        vals = struct.unpack(f"<{n}h", c)
+        return struct.pack(f"<{n}h", *[-v if v > -32768 else v for v in vals])
+
+    corpus = spark.createDataFrame(
+        [(i, clip(i)) for i in range(1, 11)], "doc_id BIGINT, blob BINARY"
+    )
+    idx = str(tmp_path / "aidx")
+    phash_index.build_phash_index(corpus, "blob", "doc_id", idx,
+                                  modality="audio")
+
+    # batch A: novel clips 20-24; batch B: novel 30-31 + inverted copy
+    # of batch-A clip 20 + padded copy of build-corpus clip 5
+    slice_a = spark.createDataFrame(
+        [(i, clip(i)) for i in range(20, 25)], "doc_id BIGINT, blob BINARY"
+    )
+    slice_b = spark.createDataFrame(
+        [(30, clip(30)), (31, clip(31)),
+         (120, invert(clip(20))), (105, clip(5) + b"\x00")],
+        "doc_id BIGINT, blob BINARY",
+    )
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "landed")
+    ckpt = str(tmp_path / "ckpt")
+    slice_a.coalesce(1).write.parquet(src)
+    slice_b.coalesce(1).write.mode("append").parquet(src)
+
+    stats = streaming_ingest.ingest_audio_dedup_available(
+        spark, src, slice_a.schema, out, ckpt, idx, max_files_per_trigger=1
+    )
+    assert len(stats) == 2
+    landed_ids = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert {20, 21, 22, 23, 24, 30, 31} <= landed_ids
+    assert 120 not in landed_ids  # inverted batch-A re-master dropped
+    assert 105 not in landed_ids  # padded build-corpus copy dropped
+
+    # replay: nothing new, nothing duplicated
+    stats2 = streaming_ingest.ingest_audio_dedup_available(
+        spark, src, slice_a.schema, out, ckpt, idx, max_files_per_trigger=1
+    )
+    assert stats2 == {}
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == landed_ids
