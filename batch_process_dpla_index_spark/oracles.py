@@ -1212,6 +1212,41 @@ WHERE bit_count(xor(x.ph, y.ph)) <= {max_hamming}
 ORACLE_AUDIO_NEAR_DUP = _audio_near_dup_oracle()
 
 
+# Full audio-dedup pipeline (queries.q_audio_dedup_survivors): the
+# envelope pair chain above, then the transitive-closure + min-id
+# survivors pattern (the image_dedup_survivors oracle shape; corpus =
+# base docs + the even-length pad-byte twins).
+ORACLE_AUDIO_DEDUP_SURVIVORS = f"""
+WITH RECURSIVE pairs AS ({_audio_near_dup_oracle()}),
+edges AS MATERIALIZED (
+    -- MATERIALIZED: reach references edges per recursion round; an
+    -- inlined edges would re-run the whole signature chain each round
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION
+    SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(node, lab) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT e.src, r.lab FROM edges e JOIN reach r ON r.node = e.dst
+),
+clusters AS (
+    SELECT node, min(lab) AS cluster FROM reach GROUP BY node
+),
+corpus_ids AS (
+    SELECT doc_id FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000000 AS doc_id FROM documents
+    WHERE doc_id % 5 = 0
+      AND octet_length(encode(coalesce(text, ''))) % 2 = 0
+)
+SELECT c.doc_id
+FROM corpus_ids c LEFT JOIN clusters cl ON cl.node = c.doc_id
+WHERE cl.node IS NULL OR cl.node = cl.cluster
+"""
+
+
+
 # Full image-dedup pipeline (queries.q_image_dedup_survivors): the
 # perceptual pair chain above, then the dedup_clusters transitive-
 # closure pattern, then keep min-id representatives + unpaired blobs.
@@ -4574,6 +4609,7 @@ ORACLES: dict[str, str] = {
     "video_near_dup": ORACLE_VIDEO_NEAR_DUP,
     "audio_pcm_stats": ORACLE_AUDIO_PCM_STATS,
     "audio_near_dup": ORACLE_AUDIO_NEAR_DUP,
+    "audio_dedup_survivors": ORACLE_AUDIO_DEDUP_SURVIVORS,
     "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
     "props_from_json": ORACLE_PROPS_FROM_JSON,
     "thumbnail_keys": ORACLE_THUMBNAIL_KEYS,

@@ -989,6 +989,28 @@ def q_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_near_dup(corpus, "blob", "doc_id", bits=60, max_hamming=3)
 
 
+def q_audio_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full audio-dedup pipeline (r14): envelope near-dup pairs →
+    connected components → keep the min-id representative per cluster
+    plus all unpaired clips — the audio twin of
+    q_image_dedup_survivors, through the same checkpointed
+    min-label-propagation fixpoint; the oracle replays it with a
+    recursive transitive-closure CTE over the brute-force pair
+    replay."""
+    from batch_process_dpla_index_spark.operators.dedup import (
+        carry_deps,
+        dedup_survivors,
+        unpersist_deps,
+    )
+    from batch_process_dpla_index_spark.operators.multimodal import audio_near_dup
+
+    corpus = _audio_corpus_with_twins(spark, sf_dir)
+    pairs = audio_near_dup(corpus, "blob", "doc_id", bits=60, max_hamming=3)
+    kept = dedup_survivors(corpus.select("doc_id"), pairs, "doc_id")
+    unpersist_deps(pairs)
+    return carry_deps(kept.select("doc_id"), kept)
+
+
 def q_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow/BLAS exact top-k (same results as cosine_topk, the
     100 TB-safe physical plan: per-batch matmul + local top-k)."""
@@ -3422,6 +3444,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- staged r15 debuts (verified both SFs, pinned, probed
     #    same-round per the staging discipline) --
     "audio_near_dup": q_audio_near_dup,
+    "audio_dedup_survivors": q_audio_dedup_survivors,
     # -- the r11-green cohort's 17-entry remainder (defers to r15; all
     #    driver-green in CORRECTNESS_r11, re-verified every round via
     #    tools/verify_local.py fleet runs) --
