@@ -1098,6 +1098,39 @@ HAVING count(*) >= {min_shared}
 ORACLE_VIDEO_NEAR_DUP = _video_near_dup_oracle()
 
 
+# Full video-dedup pipeline (queries.q_video_dedup_survivors): the
+# shot-fingerprint pair chain, then the transitive-closure + min-id
+# survivors pattern (the image/audio survivors oracle shape; corpus =
+# base docs + the re-containered jpg variants).
+ORACLE_VIDEO_DEDUP_SURVIVORS = f"""
+WITH RECURSIVE pairs AS ({_video_near_dup_oracle()}),
+edges AS MATERIALIZED (
+    -- MATERIALIZED: reach references edges per recursion round; an
+    -- inlined edges would re-run the whole signature chain each round
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION
+    SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(node, lab) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT e.src, r.lab FROM edges e JOIN reach r ON r.node = e.dst
+),
+clusters AS (
+    SELECT node, min(lab) AS cluster FROM reach GROUP BY node
+),
+corpus_ids AS (
+    SELECT doc_id FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000000 AS doc_id FROM documents WHERE doc_id % 5 = 0
+)
+SELECT c.doc_id
+FROM corpus_ids c LEFT JOIN clusters cl ON cl.node = c.doc_id
+WHERE cl.node IS NULL OR cl.node = cl.cluster
+"""
+
+
+
 def _audio_pcm_oracle() -> str:
     """Waveform-stats replay (multimodal.audio_pcm_stats): signed LE
     int16 samples reconstructed from nibble pairs (u = lo + 256*hi,
@@ -4608,6 +4641,7 @@ ORACLES: dict[str, str] = {
     "image_dedup_survivors": ORACLE_IMAGE_DEDUP_SURVIVORS,
     "video_near_dup": ORACLE_VIDEO_NEAR_DUP,
     "audio_pcm_stats": ORACLE_AUDIO_PCM_STATS,
+    "video_dedup_survivors": ORACLE_VIDEO_DEDUP_SURVIVORS,
     "audio_near_dup": ORACLE_AUDIO_NEAR_DUP,
     "audio_dedup_survivors": ORACLE_AUDIO_DEDUP_SURVIVORS,
     "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,

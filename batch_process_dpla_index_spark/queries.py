@@ -989,6 +989,32 @@ def q_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_near_dup(corpus, "blob", "doc_id", bits=60, max_hamming=3)
 
 
+def q_video_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full video-dedup pipeline (r14): shot-fingerprint pairs
+    (>= 2 shared distinct frame phashes, posting-capped) → connected
+    components → keep the min-id representative per cluster plus all
+    unpaired blobs — completes the survivors triangle (image r13,
+    audio r14, video here), through the same checkpointed
+    min-label-propagation fixpoint; the oracle replays it with a
+    recursive transitive-closure CTE over the frame-fingerprint pair
+    replay."""
+    from batch_process_dpla_index_spark.operators.dedup import (
+        carry_deps,
+        dedup_survivors,
+        unpersist_deps,
+    )
+    from batch_process_dpla_index_spark.operators.multimodal import video_near_dup
+
+    corpus = _blob_corpus_with_variants(spark, sf_dir)
+    pairs = video_near_dup(
+        corpus, "blob", "doc_id",
+        frame_size=64, stride=1, bits=60, min_shared=2, max_postings=64,
+    )
+    kept = dedup_survivors(corpus.select("doc_id"), pairs, "doc_id")
+    unpersist_deps(pairs)
+    return carry_deps(kept.select("doc_id"), kept)
+
+
 def q_audio_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full audio-dedup pipeline (r14): envelope near-dup pairs →
     connected components → keep the min-id representative per cluster
@@ -3445,6 +3471,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #    same-round per the staging discipline) --
     "audio_near_dup": q_audio_near_dup,
     "audio_dedup_survivors": q_audio_dedup_survivors,
+    "video_dedup_survivors": q_video_dedup_survivors,
     # -- the r11-green cohort's 17-entry remainder (defers to r15; all
     #    driver-green in CORRECTNESS_r11, re-verified every round via
     #    tools/verify_local.py fleet runs) --
