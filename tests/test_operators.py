@@ -1386,3 +1386,55 @@ def test_audio_phash_overflow_guard_is_exact(spark):
     )
     rows = audio_phash(df_ok, "blob", "doc_id", bits=1).collect()
     assert len(rows) == 1 and rows[0]["phash"] in (0, 1)
+
+
+def test_audio_phash_matches_scalar_replay_on_edges(spark):
+    """The vectorized numpy envelope hash must equal a naive pure-
+    Python per-sample replay on the tricky shapes: empty, single
+    sample, trailing odd byte, all-zero (silence), constant amplitude
+    (strict-greater never fires), int16 extremes (−32768 must abs via
+    the int64 cast, not wrap), fewer samples than bits, and non-tiling
+    block boundaries — across three bit widths."""
+    import struct
+
+    from batch_process_dpla_index_spark.operators.multimodal import audio_phash
+
+    def ref(data: bytes, bits: int) -> int:
+        data = data[: 2 * (len(data) // 2)]
+        n = len(data) // 2
+        if n == 0:
+            return 0
+        s = [abs(x) for x in struct.unpack(f"<{n}h", data)]
+        total = sum(s)
+        sums, cnts = [0] * bits, [0] * bits
+        for j, v in enumerate(s):
+            k = (j * bits) // n
+            sums[k] += v
+            cnts[k] += 1
+        return sum(1 << k for k in range(bits) if sums[k] * n > total * cnts[k])
+
+    def pcm(vals):
+        return struct.pack(f"<{len(vals)}h", *vals)
+
+    cases = [
+        b"",
+        b"\x07",                      # odd single byte → 0 samples
+        pcm([5]),
+        pcm([5]) + b"\xff",           # trailing odd byte ignored
+        pcm([0] * 97),                # silence
+        pcm([123] * 64),              # constant amplitude → ties → 0
+        pcm([-32768, 32767, -32768, 1]),  # int16 extremes
+        pcm([((j * 37) % 200) - 100 for j in range(7)]),    # n < bits
+        pcm([((j * 91) % 999) - 499 for j in range(113)]),  # prime n
+        pcm([((j * 13) % 65536) - 32768 for j in range(300)]),
+    ]
+    for bits in (1, 7, 60):
+        df = spark.createDataFrame(
+            list(enumerate(cases)), "doc_id BIGINT, blob BINARY"
+        )
+        got = {
+            r["id"]: r["phash"]
+            for r in audio_phash(df, "blob", "doc_id", bits=bits).collect()
+        }
+        want = {i: ref(c, bits) for i, c in enumerate(cases)}
+        assert got == want, f"bits={bits}"
