@@ -4536,6 +4536,55 @@ ORDER BY node
 
 ORACLE_KCORE_DECOMPOSITION = _kcore_oracle()
 
+
+
+def _modality_row(modality: str, items_sql: str, survivors_sql: str) -> str:
+    """One modality row of the dup report: counts + round-6 rate, each
+    composed from an already-verified survivors oracle as a subquery."""
+    return f"""
+SELECT '{modality}' AS modality,
+       CAST(({items_sql}) AS BIGINT) AS n_items,
+       CAST((SELECT count(*) FROM ({survivors_sql})) AS BIGINT)
+           AS n_survivors,
+       round(1.0 - CAST((SELECT count(*) FROM ({survivors_sql})) AS DOUBLE)
+                   / ({items_sql}), 6) AS dup_rate
+"""
+
+
+# Per-modality duplication report (queries.q_modality_dup_report):
+# text exact digest + the three perceptual survivors pipelines, each
+# replayed by its own already-verified oracle chain as a subquery.
+ORACLE_MODALITY_DUP_REPORT = (
+    _modality_row(
+        "text",
+        "SELECT count(*) FROM documents",
+        "SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)",
+    )
+    + " UNION ALL "
+    + _modality_row(
+        "image",
+        "SELECT count(*) + count(*) FILTER (doc_id % 5 = 0) FROM documents",
+        ORACLE_IMAGE_DEDUP_SURVIVORS,
+    )
+    + " UNION ALL "
+    + _modality_row(
+        "audio",
+        """SELECT count(*)
+             + count(*) FILTER (doc_id % 5 = 0
+                 AND octet_length(encode(coalesce(text, ''))) % 2 = 0)
+           FROM documents""",
+        ORACLE_AUDIO_DEDUP_SURVIVORS,
+    )
+    + " UNION ALL "
+    + _modality_row(
+        "video",
+        "SELECT count(*) + count(*) FILTER (doc_id % 5 = 0) FROM documents",
+        ORACLE_VIDEO_DEDUP_SURVIVORS,
+    )
+    + " ORDER BY modality"
+)
+
+
 ORACLES: dict[str, str] = {
     "source_overlap_incremental": ORACLE_SOURCE_OVERLAP_INCREMENTAL,
     "kcore_decomposition": ORACLE_KCORE_DECOMPOSITION,
@@ -4644,6 +4693,7 @@ ORACLES: dict[str, str] = {
     "video_dedup_survivors": ORACLE_VIDEO_DEDUP_SURVIVORS,
     "audio_near_dup": ORACLE_AUDIO_NEAR_DUP,
     "audio_dedup_survivors": ORACLE_AUDIO_DEDUP_SURVIVORS,
+    "modality_dup_report": ORACLE_MODALITY_DUP_REPORT,
     "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
     "props_from_json": ORACLE_PROPS_FROM_JSON,
     "thumbnail_keys": ORACLE_THUMBNAIL_KEYS,
