@@ -1098,12 +1098,17 @@ HAVING count(*) >= {min_shared}
 ORACLE_VIDEO_NEAR_DUP = _video_near_dup_oracle()
 
 
-# Full video-dedup pipeline (queries.q_video_dedup_survivors): the
-# shot-fingerprint pair chain, then the transitive-closure + min-id
-# survivors pattern (the image/audio survivors oracle shape; corpus =
-# base docs + the re-containered jpg variants).
-ORACLE_VIDEO_DEDUP_SURVIVORS = f"""
-WITH RECURSIVE pairs AS ({_video_near_dup_oracle()}),
+def _survivors_oracle(pairs_sql: str, corpus_ids_sql: str) -> str:
+    """Survivors replay shared by the three perceptual modalities
+    (image/audio/video): pair chain → undirected edges → recursive
+    transitive closure → min-label clusters → keep representatives +
+    unpaired ids. ONE definition of the scaffolding (round-14 review:
+    three hand-copies could drift). ``corpus_ids_sql`` must enumerate
+    exactly the ids the pairs CTE's corpus holds — the pair oracles
+    build their corpora internally, so the id rule is stated twice by
+    construction; keep the two in sync when a twin condition changes."""
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_sql}),
 edges AS MATERIALIZED (
     -- MATERIALIZED: reach references edges per recursion round; an
     -- inlined edges would re-run the whole signature chain each round
@@ -1119,15 +1124,34 @@ reach(node, lab) AS (
 clusters AS (
     SELECT node, min(lab) AS cluster FROM reach GROUP BY node
 ),
-corpus_ids AS (
-    SELECT doc_id FROM documents
-    UNION ALL
-    SELECT doc_id + 1000000000 AS doc_id FROM documents WHERE doc_id % 5 = 0
-)
+corpus_ids AS ({corpus_ids_sql})
 SELECT c.doc_id
 FROM corpus_ids c LEFT JOIN clusters cl ON cl.node = c.doc_id
 WHERE cl.node IS NULL OR cl.node = cl.cluster
 """
+
+
+_IMAGE_CORPUS_IDS = """
+    SELECT doc_id FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000000 AS doc_id FROM documents WHERE doc_id % 5 = 0
+"""
+
+_AUDIO_CORPUS_IDS = """
+    SELECT doc_id FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000000 AS doc_id FROM documents
+    WHERE doc_id % 5 = 0
+      AND octet_length(encode(coalesce(text, ''))) % 2 = 0
+"""
+
+
+# Full video-dedup pipeline (queries.q_video_dedup_survivors):
+# shot-fingerprint pairs through the shared survivors scaffolding
+# (corpus = base docs + the re-containered jpg variants).
+ORACLE_VIDEO_DEDUP_SURVIVORS = _survivors_oracle(
+    _video_near_dup_oracle(), _IMAGE_CORPUS_IDS
+)
 
 
 
@@ -1245,70 +1269,23 @@ WHERE bit_count(xor(x.ph, y.ph)) <= {max_hamming}
 ORACLE_AUDIO_NEAR_DUP = _audio_near_dup_oracle()
 
 
-# Full audio-dedup pipeline (queries.q_audio_dedup_survivors): the
-# envelope pair chain above, then the transitive-closure + min-id
-# survivors pattern (the image_dedup_survivors oracle shape; corpus =
+# Full audio-dedup pipeline (queries.q_audio_dedup_survivors):
+# envelope pairs through the shared survivors scaffolding (corpus =
 # base docs + the even-length pad-byte twins).
-ORACLE_AUDIO_DEDUP_SURVIVORS = f"""
-WITH RECURSIVE pairs AS ({_audio_near_dup_oracle()}),
-edges AS MATERIALIZED (
-    -- MATERIALIZED: reach references edges per recursion round; an
-    -- inlined edges would re-run the whole signature chain each round
-    SELECT id_a AS src, id_b AS dst FROM pairs
-    UNION
-    SELECT id_b AS src, id_a AS dst FROM pairs
-),
-reach(node, lab) AS (
-    SELECT src, src FROM edges
-    UNION
-    SELECT e.src, r.lab FROM edges e JOIN reach r ON r.node = e.dst
-),
-clusters AS (
-    SELECT node, min(lab) AS cluster FROM reach GROUP BY node
-),
-corpus_ids AS (
-    SELECT doc_id FROM documents
-    UNION ALL
-    SELECT doc_id + 1000000000 AS doc_id FROM documents
-    WHERE doc_id % 5 = 0
-      AND octet_length(encode(coalesce(text, ''))) % 2 = 0
+ORACLE_AUDIO_DEDUP_SURVIVORS = _survivors_oracle(
+    _audio_near_dup_oracle(), _AUDIO_CORPUS_IDS
 )
-SELECT c.doc_id
-FROM corpus_ids c LEFT JOIN clusters cl ON cl.node = c.doc_id
-WHERE cl.node IS NULL OR cl.node = cl.cluster
-"""
+
+
 
 
 
 # Full image-dedup pipeline (queries.q_image_dedup_survivors): the
-# perceptual pair chain above, then the dedup_clusters transitive-
-# closure pattern, then keep min-id representatives + unpaired blobs.
-ORACLE_IMAGE_DEDUP_SURVIVORS = f"""
-WITH RECURSIVE pairs AS ({_image_near_dup_oracle()}),
-edges AS MATERIALIZED (
-    -- MATERIALIZED: reach references edges per recursion round; an
-    -- inlined edges would re-run the whole signature chain each round
-    SELECT id_a AS src, id_b AS dst FROM pairs
-    UNION
-    SELECT id_b AS src, id_a AS dst FROM pairs
-),
-reach(node, lab) AS (
-    SELECT src, src FROM edges
-    UNION
-    SELECT e.src, r.lab FROM edges e JOIN reach r ON r.node = e.dst
-),
-clusters AS (
-    SELECT node, min(lab) AS cluster FROM reach GROUP BY node
-),
-corpus_ids AS (
-    SELECT doc_id FROM documents
-    UNION ALL
-    SELECT doc_id + 1000000000 AS doc_id FROM documents WHERE doc_id % 5 = 0
+# perceptual pair chain, then the shared transitive-closure survivors
+# scaffolding.
+ORACLE_IMAGE_DEDUP_SURVIVORS = _survivors_oracle(
+    _image_near_dup_oracle(), _IMAGE_CORPUS_IDS
 )
-SELECT c.doc_id
-FROM corpus_ids c LEFT JOIN clusters cl ON cl.node = c.doc_id
-WHERE cl.node IS NULL OR cl.node = cl.cluster
-"""
 
 ORACLE_MULTIMODAL_FRAMES = f"""
 WITH {_BLOB_CTE}
@@ -4540,14 +4517,17 @@ ORACLE_KCORE_DECOMPOSITION = _kcore_oracle()
 
 def _modality_row(modality: str, items_sql: str, survivors_sql: str) -> str:
     """One modality row of the dup report: counts + round-6 rate, each
-    composed from an already-verified survivors oracle as a subquery."""
+    composed from an already-verified survivors oracle. The survivors
+    subquery is evaluated ONCE (derived-table join of two one-row
+    counts — round-14 review: two independent scalar subqueries ran
+    the whole recursive survivors replay twice per row)."""
     return f"""
-SELECT '{modality}' AS modality,
-       CAST(({items_sql}) AS BIGINT) AS n_items,
-       CAST((SELECT count(*) FROM ({survivors_sql})) AS BIGINT)
-           AS n_survivors,
-       round(1.0 - CAST((SELECT count(*) FROM ({survivors_sql})) AS DOUBLE)
-                   / ({items_sql}), 6) AS dup_rate
+SELECT '{modality}' AS modality, i.n_items, s.n_survivors,
+       round(1.0 - CAST(s.n_survivors AS DOUBLE) / i.n_items, 6)
+           AS dup_rate
+FROM (SELECT CAST(({items_sql}) AS BIGINT) AS n_items) i,
+     (SELECT CAST(count(*) AS BIGINT) AS n_survivors
+      FROM ({survivors_sql})) s
 """
 
 

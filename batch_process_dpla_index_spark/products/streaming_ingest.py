@@ -377,7 +377,26 @@ def ingest_embedding_dedup_available(
     )
 
 
-def ingest_image_dedup_available(
+def _assert_index_modality(index_dir: str, expected: str) -> None:
+    """The named ingest wrappers promise a fingerprint family; a
+    mismatch (audio ingest against an image-built index) would not
+    error — it would silently dedupe with the wrong hasher, so
+    polarity-inverted re-masters land as "novel" and the manifest-
+    pinning guarantee is defeated (round-14 review). Fail loudly at
+    wiring time instead."""
+    from batch_process_dpla_index_spark.io.manifest import read_manifest
+
+    actual = read_manifest(index_dir).get("modality", "image")
+    if actual != expected:
+        raise ValueError(
+            f"ingest_{expected}_dedup_available wired to a "
+            f"modality={actual!r} index at {index_dir}; build the index "
+            f"with build_phash_index(..., modality={expected!r}) or use "
+            f"the matching ingest wrapper"
+        )
+
+
+def _ingest_phash_dedup_available(
     spark: SparkSession,
     source_path: str,
     schema,
@@ -389,7 +408,8 @@ def ingest_image_dedup_available(
     max_files_per_trigger: int | None = None,
     now=None,
 ) -> dict[int, tuple[int, int]]:
-    """IMAGE dedup-on-ingest — the perceptual twin of
+    """Perceptual dedup-on-ingest CORE (image and audio go through the
+    named modality-asserting wrappers below) — the blob twin of
     :func:`ingest_dedup_available` (the dedup step a multimodal crawl
     runs as data lands): every micro-batch of blobs is checked against
     the persisted phash index (``products.phash_index``) before
@@ -441,6 +461,29 @@ def ingest_image_dedup_available(
     )
 
 
+def ingest_image_dedup_available(
+    spark: SparkSession,
+    source_path: str,
+    schema,
+    out_path: str,
+    checkpoint_path: str,
+    index_dir: str,
+    bin_col: str = "blob",
+    id_col: str = "doc_id",
+    max_files_per_trigger: int | None = None,
+    now=None,
+) -> dict[int, tuple[int, int]]:
+    """IMAGE dedup-on-ingest: the modality-asserting public name for
+    the perceptual ingest core (see :func:`_ingest_phash_dedup_available`
+    for the mechanics and the replay contract)."""
+    _assert_index_modality(index_dir, "image")
+    return _ingest_phash_dedup_available(
+        spark, source_path, schema, out_path, checkpoint_path, index_dir,
+        bin_col=bin_col, id_col=id_col,
+        max_files_per_trigger=max_files_per_trigger, now=now,
+    )
+
+
 def ingest_audio_dedup_available(
     spark: SparkSession,
     source_path: str,
@@ -464,7 +507,8 @@ def ingest_audio_dedup_available(
     (|PCM| envelope) and never lands twice — duplication byte-exact
     ingest dedup cannot see. Same checkpoint-replay idempotence and
     corpus-level-only contract as the image twin."""
-    return ingest_image_dedup_available(
+    _assert_index_modality(index_dir, "audio")
+    return _ingest_phash_dedup_available(
         spark, source_path, schema, out_path, checkpoint_path, index_dir,
         bin_col=bin_col, id_col=id_col,
         max_files_per_trigger=max_files_per_trigger, now=now,

@@ -896,6 +896,25 @@ def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_near_dup(corpus, "blob", "doc_id", bits=60, max_hamming=3)
 
 
+def _blob_survivors(corpus: DataFrame, pairs: DataFrame) -> DataFrame:
+    """pairs → connected components → min-id representative + unpaired
+    ids: THE survivors plumbing shared by the three perceptual dedup
+    queries and the modality report (round-14 review: four hand-copies
+    of the chain, including the subtle release ordering — the pair
+    signatures unpersist eagerly, which is safe ONLY because
+    connected_components checkpoints before returning; keeping that
+    contract in one place is the point)."""
+    from batch_process_dpla_index_spark.operators.dedup import (
+        carry_deps,
+        dedup_survivors,
+        unpersist_deps,
+    )
+
+    kept = dedup_survivors(corpus.select("doc_id"), pairs, "doc_id")
+    unpersist_deps(pairs)
+    return carry_deps(kept.select("doc_id"), kept)
+
+
 def q_image_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full image-dedup pipeline a multimodal training run
     materializes (r13): perceptual pairs → connected components →
@@ -904,22 +923,13 @@ def q_image_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     same checkpointed min-label-propagation fixpoint the text dedup
     family uses; the oracle replays it with a recursive
     transitive-closure CTE."""
-    from batch_process_dpla_index_spark.operators.dedup import (
-        carry_deps,
-        dedup_survivors,
-        unpersist_deps,
-    )
     from batch_process_dpla_index_spark.operators.multimodal import image_near_dup
 
     corpus = _blob_corpus_with_variants(spark, sf_dir)
-    pairs = image_near_dup(corpus, "blob", "doc_id", bits=60, max_hamming=3)
-    kept = dedup_survivors(corpus.select("doc_id"), pairs, "doc_id")
-    # the survivors frame carries both the pair signatures and the CC
-    # checkpoint handle; release the signature cache eagerly and ride
-    # the rest through the select
-    unpersist_deps(pairs)
-    return carry_deps(kept.select("doc_id"), kept)
-
+    return _blob_survivors(
+        corpus,
+        image_near_dup(corpus, "blob", "doc_id", bits=60, max_hamming=3),
+    )
 
 def q_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video-style near-dup pairs (r13): blobs pairing on >= 2 shared
@@ -1001,16 +1011,7 @@ def q_modality_dup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     Every per-modality count is a one-row aggregate; the modality rows
     union into a 4-row frame (broadcast one-row scalar joins, the
     repo's cross-join convention)."""
-    from batch_process_dpla_index_spark.operators.dedup import (
-        dedup_survivors,
-        exact_dedup,
-        unpersist_deps,
-    )
-    from batch_process_dpla_index_spark.operators.multimodal import (
-        audio_near_dup,
-        image_near_dup,
-        video_near_dup,
-    )
+    from batch_process_dpla_index_spark.operators.dedup import exact_dedup
 
     docs = load_table(spark, sf_dir, "documents")
 
@@ -1035,32 +1036,17 @@ def q_modality_dup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = row("text", docs, exact_dedup(docs, "text", "doc_id"))
     deps: list = []
-    blob_corpus = _blob_corpus_with_variants(spark, sf_dir)
-    audio_corpus = _audio_corpus_with_twins(spark, sf_dir)
-    for modality, corpus, pairs in (
-        (
-            "image",
-            blob_corpus,
-            image_near_dup(blob_corpus, "blob", "doc_id",
-                           bits=60, max_hamming=3),
-        ),
-        (
-            "audio",
-            audio_corpus,
-            audio_near_dup(audio_corpus, "blob", "doc_id",
-                           bits=60, max_hamming=3),
-        ),
-        (
-            "video",
-            blob_corpus,
-            video_near_dup(blob_corpus, "blob", "doc_id", frame_size=64,
-                           stride=1, bits=60, min_shared=2,
-                           max_postings=64),
-        ),
+    # the three perceptual rows are LITERALLY the survivors registry
+    # queries (round-14 review: an inlined fourth copy of the chain
+    # could drift from the verified ones — composing them makes drift
+    # impossible by construction)
+    for modality, corpus_fn, surv_fn in (
+        ("image", _blob_corpus_with_variants, q_image_dedup_survivors),
+        ("audio", _audio_corpus_with_twins, q_audio_dedup_survivors),
+        ("video", _blob_corpus_with_variants, q_video_dedup_survivors),
     ):
-        kept = dedup_survivors(corpus.select("doc_id"), pairs, "doc_id")
-        out = out.unionByName(row(modality, corpus, kept))
-        unpersist_deps(pairs)
+        kept = surv_fn(spark, sf_dir)
+        out = out.unionByName(row(modality, corpus_fn(spark, sf_dir), kept))
         deps += getattr(kept, "_cached_deps", [])
     result = out.orderBy("modality")
     result._cached_deps = deps  # type: ignore[attr-defined]
@@ -1076,22 +1062,16 @@ def q_video_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-label-propagation fixpoint; the oracle replays it with a
     recursive transitive-closure CTE over the frame-fingerprint pair
     replay."""
-    from batch_process_dpla_index_spark.operators.dedup import (
-        carry_deps,
-        dedup_survivors,
-        unpersist_deps,
-    )
     from batch_process_dpla_index_spark.operators.multimodal import video_near_dup
 
     corpus = _blob_corpus_with_variants(spark, sf_dir)
-    pairs = video_near_dup(
-        corpus, "blob", "doc_id",
-        frame_size=64, stride=1, bits=60, min_shared=2, max_postings=64,
+    return _blob_survivors(
+        corpus,
+        video_near_dup(
+            corpus, "blob", "doc_id",
+            frame_size=64, stride=1, bits=60, min_shared=2, max_postings=64,
+        ),
     )
-    kept = dedup_survivors(corpus.select("doc_id"), pairs, "doc_id")
-    unpersist_deps(pairs)
-    return carry_deps(kept.select("doc_id"), kept)
-
 
 def q_audio_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full audio-dedup pipeline (r14): envelope near-dup pairs →
@@ -1101,19 +1081,13 @@ def q_audio_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-label-propagation fixpoint; the oracle replays it with a
     recursive transitive-closure CTE over the brute-force pair
     replay."""
-    from batch_process_dpla_index_spark.operators.dedup import (
-        carry_deps,
-        dedup_survivors,
-        unpersist_deps,
-    )
     from batch_process_dpla_index_spark.operators.multimodal import audio_near_dup
 
     corpus = _audio_corpus_with_twins(spark, sf_dir)
-    pairs = audio_near_dup(corpus, "blob", "doc_id", bits=60, max_hamming=3)
-    kept = dedup_survivors(corpus.select("doc_id"), pairs, "doc_id")
-    unpersist_deps(pairs)
-    return carry_deps(kept.select("doc_id"), kept)
-
+    return _blob_survivors(
+        corpus,
+        audio_near_dup(corpus, "blob", "doc_id", bits=60, max_hamming=3),
+    )
 
 def q_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow/BLAS exact top-k (same results as cosine_topk, the

@@ -1189,3 +1189,37 @@ def test_streaming_audio_dedup_ingest(spark, tmp_path):
     )
     assert stats2 == {}
     assert {r.doc_id for r in spark.read.parquet(out).collect()} == landed_ids
+
+
+def test_ingest_wrappers_assert_index_modality(spark, tmp_path):
+    """Wiring an ingest twin to the wrong-modality index must fail
+    LOUDLY at setup (round-14 review): silently deduping PCM clips
+    with the image hasher would let polarity-inverted re-masters land
+    as novel with no error anywhere."""
+    import pytest
+
+    from batch_process_dpla_index_spark.products import (
+        phash_index,
+        streaming_ingest,
+    )
+
+    blob = bytes((i * 31 + 3) % 256 for i in range(200))
+    corpus = spark.createDataFrame(
+        [(1, blob), (2, blob[::-1])], "doc_id BIGINT, blob BINARY"
+    )
+    img_idx = str(tmp_path / "img_idx")
+    aud_idx = str(tmp_path / "aud_idx")
+    phash_index.build_phash_index(corpus, "blob", "doc_id", img_idx)
+    phash_index.build_phash_index(corpus, "blob", "doc_id", aud_idx,
+                                  modality="audio")
+    schema = corpus.schema
+    with pytest.raises(ValueError, match="modality='image'"):
+        streaming_ingest.ingest_audio_dedup_available(
+            spark, str(tmp_path / "s1"), schema, str(tmp_path / "o1"),
+            str(tmp_path / "c1"), img_idx,
+        )
+    with pytest.raises(ValueError, match="modality='audio'"):
+        streaming_ingest.ingest_image_dedup_available(
+            spark, str(tmp_path / "s2"), schema, str(tmp_path / "o2"),
+            str(tmp_path / "c2"), aud_idx,
+        )
