@@ -1008,49 +1008,75 @@ def q_modality_dup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     this corpus", composed ENTIRELY from the individually
     oracle-verified dedup chains, so the report is a presentation of
     verified stats (the dataset-card principle as a registry query).
-    Every per-modality count is a one-row aggregate; the modality rows
-    union into a 4-row frame (broadcast one-row scalar joins, the
-    repo's cross-join convention)."""
-    from batch_process_dpla_index_spark.operators.dedup import exact_dedup
+    All four item counts come from ONE aggregate pass over documents
+    (the corpora are arithmetic over doc_id/text, so their sizes are
+    derivable without rebuilding them — round-14 review pass 3: the
+    first cut rebuilt each corpus a second time just to count it);
+    each survivors count is a one-row aggregate over the composed
+    registry query."""
+    from batch_process_dpla_index_spark.operators.dedup import (
+        _with_cached_deps,
+        exact_dedup,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
-
-    def row(modality: str, items: DataFrame, survivors: DataFrame) -> DataFrame:
-        i = items.agg(F.count(F.lit(1)).cast("bigint").alias("n_items"))
-        s = survivors.agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_survivors")
-        )
-        return (
-            i.crossJoin(F.broadcast(s))
-            .select(
-                F.lit(modality).alias("modality"),
-                "n_items",
-                "n_survivors",
-                F.round(
-                    F.lit(1.0)
-                    - F.col("n_survivors").cast("double") / F.col("n_items"),
-                    6,
-                ).alias("dup_rate"),
+    # item counts per modality, one documents pass: text = all docs;
+    # image/video corpus = docs + the %5 re-containered variants;
+    # audio corpus = docs + the even-byte-length %5 pad twins
+    variant = F.when(F.col("doc_id") % 5 == 0, 1)
+    even_twin = F.when(
+        (F.col("doc_id") % 5 == 0)
+        & (
+            F.length(
+                F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8")
             )
+            % 2
+            == 0
+        ),
+        1,
+    )
+    c = docs.agg(
+        F.count(F.lit(1)).alias("text_n"),
+        (F.count(F.lit(1)) + F.count(variant)).alias("blob_n"),
+        (F.count(F.lit(1)) + F.count(even_twin)).alias("audio_n"),
+    ).first()
+    n_items = {
+        "text": int(c["text_n"]),
+        "image": int(c["blob_n"]),
+        "audio": int(c["audio_n"]),
+        "video": int(c["blob_n"]),
+    }
+
+    def row(modality: str, survivors: DataFrame) -> DataFrame:
+        n = n_items[modality]
+        return survivors.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_survivors")
+        ).select(
+            F.lit(modality).alias("modality"),
+            F.lit(n).cast("bigint").alias("n_items"),
+            "n_survivors",
+            F.round(
+                F.lit(1.0)
+                - F.col("n_survivors").cast("double") / F.lit(float(n)),
+                6,
+            ).alias("dup_rate"),
         )
 
-    out = row("text", docs, exact_dedup(docs, "text", "doc_id"))
+    out = row("text", exact_dedup(docs, "text", "doc_id"))
     deps: list = []
     # the three perceptual rows are LITERALLY the survivors registry
     # queries (round-14 review: an inlined fourth copy of the chain
     # could drift from the verified ones — composing them makes drift
     # impossible by construction)
-    for modality, corpus_fn, surv_fn in (
-        ("image", _blob_corpus_with_variants, q_image_dedup_survivors),
-        ("audio", _audio_corpus_with_twins, q_audio_dedup_survivors),
-        ("video", _blob_corpus_with_variants, q_video_dedup_survivors),
+    for modality, surv_fn in (
+        ("image", q_image_dedup_survivors),
+        ("audio", q_audio_dedup_survivors),
+        ("video", q_video_dedup_survivors),
     ):
         kept = surv_fn(spark, sf_dir)
-        out = out.unionByName(row(modality, corpus_fn(spark, sf_dir), kept))
+        out = out.unionByName(row(modality, kept))
         deps += getattr(kept, "_cached_deps", [])
-    result = out.orderBy("modality")
-    result._cached_deps = deps  # type: ignore[attr-defined]
-    return result
+    return _with_cached_deps(out.orderBy("modality"), deps)
 
 
 def q_video_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
