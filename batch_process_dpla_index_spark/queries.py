@@ -3484,19 +3484,97 @@ def q_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
 # next-round window).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # The driver's correctness gate records the FIRST 50 entries only;
-    # round-14 rotation (VERDICT r13 #1 — executed exactly as staged in
-    # ROUNDNOTES r13): positions 1-4 are the r13 debuts (the only four
-    # registry entries with no driver row — closes cumulative driver
-    # coverage to 167/167), positions 5-18 are the r10-green cohort's
-    # 14-entry overflow, positions 19-50 are the first 32 of the
-    # r11-green cohort. The r11 cohort's remaining 17 entries defer to
-    # r15 with fleet-verify receipts. Rotation arithmetic + deferral
+    # round-15 rotation (VERDICT r14 #2 — executed exactly as staged in
+    # ROUNDNOTES r14 FINAL): positions 1-4 are the r14 debuts (the only
+    # four registry entries with no driver row — closes cumulative
+    # driver coverage to 171/171), positions 5-21 are the r11-green
+    # cohort's 17-entry remainder, positions 22-50 are the first 29 of
+    # the r12-green cohort. The r12 cohort's remaining 21 entries defer
+    # to r16 with fleet-verify receipts. Rotation arithmetic + deferral
     # receipts live in ROUNDNOTES.md.
+    "audio_near_dup": q_audio_near_dup,
+    "audio_dedup_survivors": q_audio_dedup_survivors,
+    "video_dedup_survivors": q_video_dedup_survivors,
+    "modality_dup_report": q_modality_dup_report,
+    # -- the r11-green cohort's 17-entry remainder --
+    "leakage_safe_split": q_leakage_safe_split,
+    "benford_profile": q_benford_profile,
+    "winsorized_stats": q_winsorized_stats,
+    "cusum_changepoint": q_cusum_changepoint,
+    "domain_quality_rank": q_domain_quality_rank,
+    "ngram_novelty": q_ngram_novelty,
+    "bloom_prune_join": q_bloom_prune_join,
+    "hard_negatives": q_hard_negatives,
+    "lsh_quality_report": q_lsh_quality_report,
+    "random_projection_profile": q_random_projection_profile,
+    "label_propagation": q_label_propagation,
+    "embedding_dim_profile": q_embedding_dim_profile,
+    "growth_rates": q_growth_rates,
+    "market_basket": q_market_basket,
+    "vocab_coverage": q_vocab_coverage,
+    "attribution_last_touch": q_attribution_last_touch,
+    "seasonal_baseline": q_seasonal_baseline,
+    # -- first 29 of the r12-green cohort --
+    "two_level_kmeans": q_two_level_kmeans,
+    "imi_topk": q_imi_topk,
+    "imi_recall_report": q_imi_recall_report,
+    "triangle_count": q_triangle_count,
+    "bpe_merges": q_bpe_merges,
+    "rfm_segments": q_rfm_segments,
+    "churn_labels": q_churn_labels,
+    "readability_scores": q_readability_scores,
+    "hits_scores": q_hits_scores,
+    "common_neighbors": q_common_neighbors,
+    "keep_first": q_keep_first,
+    "user_running_anomaly": q_user_running_anomaly,
+    "quality_classifier": q_quality_classifier,
+    "containment_pairs": q_containment_pairs,
+    "event_transitions": q_event_transitions,
+    "nearest_purchase": q_nearest_purchase,
+    "bigram_pmi": q_bigram_pmi,
+    "weighted_sample": q_weighted_sample,
+    "session_paths": q_session_paths,
+    "pq_encode": q_pq_encode,
+    "approx_distinct_users": q_approx_distinct_users,
+    "price_tiers": q_price_tiers,
+    "training_prep": q_training_prep,
+    "column_profile": q_column_profile,
+    "corr_matrix": q_corr_matrix,
+    "decayed_counts": q_decayed_counts,
+    "pagerank": q_pagerank,
+    "heavy_hitters": q_heavy_hitters,
+    "robust_outliers": q_robust_outliers,
+    # ---- driver-window boundary (entry 50 above this line) ----
+    # -- the r12-green cohort's 21-entry remainder (staged for r16;
+    #    all driver-green in CORRECTNESS_r12, re-verified every round
+    #    via tools/verify_local.py fleet runs) --
+    "quantile_bins": q_quantile_bins,
+    "er_clusters": q_er_clusters,
+    "exact_dedup": q_exact_dedup,
+    "jaccard_pairs": q_jaccard_pairs,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "dedup_clusters": q_dedup_clusters,
+    "sentence_dedup": q_sentence_dedup,
+    "incremental_dedup": q_incremental_dedup,
+    "cosine_topk": q_cosine_topk,
+    "lsh_ann_topk": q_lsh_ann_topk,
+    "ivf_topk": q_ivf_topk,
+    "embedding_near_dup": q_embedding_near_dup,
+    "mq_provider_scores": q_mq_provider_scores,
+    "flatten_items": q_flatten_items,
+    "doc_presence_scores": q_doc_presence_scores,
+    "asof_purchases": q_asof_purchases,
+    "gap_fill": q_gap_fill,
+    "hourly_event_counts": q_hourly_event_counts,
+    "sliding_event_counts": q_sliding_event_counts,
+    "user_sessions": q_user_sessions,
+    "interval_join": q_interval_join,
+    # -- earlier-green cohorts (r13 + r14 windows; every entry has a
+    #    green driver row, re-verified via fleet runs each round) --
     "image_near_dup": q_image_near_dup,
     "image_dedup_survivors": q_image_dedup_survivors,
     "video_near_dup": q_video_near_dup,
     "audio_pcm_stats": q_audio_pcm_stats,
-    # -- the r10-green cohort's 14-entry overflow --
     "udtf_sentences": q_udtf_sentences,
     "segment_with_f_orders": q_segment_with_f_orders,
     "customers_without_orders": q_customers_without_orders,
@@ -3511,7 +3589,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sql_supplier_share": q_sql_supplier_share,
     "latest_events_per_user": q_latest_events_per_user,
     "rolling_user_value": q_rolling_user_value,
-    # -- first 32 of the r11-green cohort --
     "ivf_recall_report": q_ivf_recall_report,
     "top_orders": q_top_orders,
     "region_revenue": q_region_revenue,
@@ -3544,35 +3621,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scd2_history": q_scd2_history,
     "retention_cohorts": q_retention_cohorts,
     "dedup_representatives": q_dedup_representatives,
-    # ---- driver-window boundary (entry 50 above this line) ----
-    # -- staged r15 debuts (verified both SFs, pinned, probed
-    #    same-round per the staging discipline) --
-    "audio_near_dup": q_audio_near_dup,
-    "audio_dedup_survivors": q_audio_dedup_survivors,
-    "video_dedup_survivors": q_video_dedup_survivors,
-    "modality_dup_report": q_modality_dup_report,
-    # -- the r11-green cohort's 17-entry remainder (defers to r15; all
-    #    driver-green in CORRECTNESS_r11, re-verified every round via
-    #    tools/verify_local.py fleet runs) --
-    "leakage_safe_split": q_leakage_safe_split,
-    "benford_profile": q_benford_profile,
-    "winsorized_stats": q_winsorized_stats,
-    "cusum_changepoint": q_cusum_changepoint,
-    "domain_quality_rank": q_domain_quality_rank,
-    "ngram_novelty": q_ngram_novelty,
-    "bloom_prune_join": q_bloom_prune_join,
-    "hard_negatives": q_hard_negatives,
-    "lsh_quality_report": q_lsh_quality_report,
-    "random_projection_profile": q_random_projection_profile,
-    "label_propagation": q_label_propagation,
-    "embedding_dim_profile": q_embedding_dim_profile,
-    "growth_rates": q_growth_rates,
-    "market_basket": q_market_basket,
-    "vocab_coverage": q_vocab_coverage,
-    "attribution_last_touch": q_attribution_last_touch,
-    "seasonal_baseline": q_seasonal_baseline,
-    # -- the 50-entry r13 window (all driver-green in CORRECTNESS_r13;
-    #    freshest cohort) --
     "semantic_dedup": q_semantic_dedup,
     "incremental_semantic_dedup": q_incremental_semantic_dedup,
     "cell_occupancy": q_cell_occupancy,
@@ -3623,55 +3671,4 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate": q_decontaminate,
     "fingerprint_clusters": q_fingerprint_clusters,
     "mq_contributor_scores": q_mq_contributor_scores,
-    # -- the 50-entry r12-green cohort --
-    "two_level_kmeans": q_two_level_kmeans,
-    "imi_topk": q_imi_topk,
-    "imi_recall_report": q_imi_recall_report,
-    "triangle_count": q_triangle_count,
-    "bpe_merges": q_bpe_merges,
-    "rfm_segments": q_rfm_segments,
-    "churn_labels": q_churn_labels,
-    "readability_scores": q_readability_scores,
-    "hits_scores": q_hits_scores,
-    "common_neighbors": q_common_neighbors,
-    "keep_first": q_keep_first,
-    "user_running_anomaly": q_user_running_anomaly,
-    "quality_classifier": q_quality_classifier,
-    "containment_pairs": q_containment_pairs,
-    "event_transitions": q_event_transitions,
-    "nearest_purchase": q_nearest_purchase,
-    "bigram_pmi": q_bigram_pmi,
-    "weighted_sample": q_weighted_sample,
-    "session_paths": q_session_paths,
-    "pq_encode": q_pq_encode,
-    "approx_distinct_users": q_approx_distinct_users,
-    "price_tiers": q_price_tiers,
-    "training_prep": q_training_prep,
-    "column_profile": q_column_profile,
-    "corr_matrix": q_corr_matrix,
-    "decayed_counts": q_decayed_counts,
-    "pagerank": q_pagerank,
-    "heavy_hitters": q_heavy_hitters,
-    "robust_outliers": q_robust_outliers,
-    "quantile_bins": q_quantile_bins,
-    "er_clusters": q_er_clusters,
-    "exact_dedup": q_exact_dedup,
-    "jaccard_pairs": q_jaccard_pairs,
-    "minhash_lsh_pairs": q_minhash_lsh_pairs,
-    "dedup_clusters": q_dedup_clusters,
-    "sentence_dedup": q_sentence_dedup,
-    "incremental_dedup": q_incremental_dedup,
-    "cosine_topk": q_cosine_topk,
-    "lsh_ann_topk": q_lsh_ann_topk,
-    "ivf_topk": q_ivf_topk,
-    "embedding_near_dup": q_embedding_near_dup,
-    "mq_provider_scores": q_mq_provider_scores,
-    "flatten_items": q_flatten_items,
-    "doc_presence_scores": q_doc_presence_scores,
-    "asof_purchases": q_asof_purchases,
-    "gap_fill": q_gap_fill,
-    "hourly_event_counts": q_hourly_event_counts,
-    "sliding_event_counts": q_sliding_event_counts,
-    "user_sessions": q_user_sessions,
-    "interval_join": q_interval_join,
 }

@@ -6,7 +6,7 @@ from __future__ import annotations
 
 import hashlib
 
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from batch_process_dpla_index_spark.io.manifest import build_manifest, parse_manifest
@@ -133,6 +133,12 @@ _vec = st.lists(
              min_size=1, max_size=4),
     st.sampled_from(["l2", "dot"]),
 )
+@example(  # r14 verdict: subnormal tie where expanded Σ(c−x)² rounds the
+    # 2.35e-38 difference into an exact tie but the reduced form keeps it
+    rows=[[0.0, 0.0, 0.0, 1.0]],
+    books=[[[0.0, 0.0, 0.0, -1.1754943508222875e-38], [0.0, 0.0, 0.0, 0.0]]],
+    metric="l2",
+)
 @settings(max_examples=120, deadline=None)
 def test_two_level_probe_kernel_properties(rows, books, metric):
     """For ANY model shape (ragged fine codebooks included) and both
@@ -140,7 +146,15 @@ def test_two_level_probe_kernel_properties(rows, books, metric):
     assignment computed directly; (b) a full-width probe covers every
     trained global cell for every row; (c) every emitted id is a valid
     trained cell; (d) each (row, slot) pair emits each cell at most
-    once per slot's block."""
+    once per slot's block.
+
+    The reference model replays the kernel's REDUCED L2 form
+    (``‖c‖² − 2c·x`` in float64, stable argsort — similarity.py
+    `_two_level_probe_blocks`), NOT the expanded ``Σ(c−x)²``: the two
+    forms disagree on epsilon-scale ties (the pinned @example above,
+    found by hypothesis in r14), so the tie contract is only
+    well-defined within one arithmetic form — the same
+    numpy-matching-float-association discipline the ADC oracle uses."""
     import numpy as np
 
     from batch_process_dpla_index_spark.operators.clustering import (
@@ -170,9 +184,10 @@ def test_two_level_probe_kernel_properties(rows, books, metric):
             fd = fmats[c] @ x
             jbest = max(range(len(fd)), key=lambda j: (fd[j], j))
         else:
-            cd = ((cents - x) ** 2).sum(axis=1)
+            # kernel's reduced form, exact float64 arithmetic replay
+            cd = csq - 2.0 * (cents @ x)
             c = int(cell_of[min(range(len(cd)), key=lambda j: (cd[j], j))])
-            fd = ((fmats[c] - x) ** 2).sum(axis=1)
+            fd = fsq[c] - 2.0 * (fmats[c] @ x)
             jbest = min(range(len(fd)), key=lambda j: (fd[j], j))
         assert first_cell[i] == c * k_f + jbest
 
