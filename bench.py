@@ -218,7 +218,20 @@ def main():
                 f"# warm {name}: {runs} -> ratio {warm_ratios[name]}",
                 file=sys.stderr,
             )
-    warm_over_2 = {q: r for q, r in warm_ratios.items() if r > 2.0}
+    # Absolute-delta floor (round-14 verdict item 4): a warm ratio is a
+    # FAIL only when it is both >2x AND more than 0.5 s over its pin in
+    # absolute terms. Sub-second pins (rolling_hash 0.18 s,
+    # scd2_history 0.54 s in r14) can read >2x from ~0.3 s of host
+    # noise — page-cache reclaim + py4j jitter on this VM — which is
+    # below the run-to-run variance of ANY query here; a genuine plan
+    # regression on a query worth gating costs whole seconds. The
+    # ratios still land in warm_ratios for the record — only the gate
+    # applies the floor.
+    warm_over_2 = {
+        q: r
+        for q, r in warm_ratios.items()
+        if r > 2.0 and (min(warm_times[q]) - baseline[q]) > 0.5
+    }
     # a >2x query whose warm re-run CRASHED must fail the gate, not
     # slip past it with no warm_ratio — a crash is the worst class of
     # regression, and an empty `runs` list would otherwise exit 0
