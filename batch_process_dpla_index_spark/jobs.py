@@ -83,7 +83,11 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--compact-threshold", type=float, default=0.2,
                    help="delete: auto-compact once this fraction of "
                         "stored docs is tombstoned (>1 defers "
-                        "indefinitely, 0 forces)")
+                        "indefinitely; 0 compacts on the "
+                        "first EFFECTIVE delete — a delete "
+                        "matching nothing never compacts; "
+                        "use the compact action for "
+                        "unconditional vacuuming)")
     s.add_argument("--no-recount", action="store_true",
                    help="delete: skip the manifest recount + threshold "
                         "check (pure O(|ids|) takedown hot path; "
@@ -102,7 +106,11 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--compact-threshold", type=float, default=0.2,
                    help="delete: auto-compact once this fraction of "
                         "stored blobs is tombstoned (>1 defers "
-                        "indefinitely, 0 forces)")
+                        "indefinitely; 0 compacts on the "
+                        "first EFFECTIVE delete — a delete "
+                        "matching nothing never compacts; "
+                        "use the compact action for "
+                        "unconditional vacuuming)")
     s.add_argument("--no-recount", action="store_true",
                    help="delete: skip the manifest recount + threshold "
                         "check (pure O(|ids|) takedown hot path; "
@@ -157,7 +165,11 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--compact-threshold", type=float, default=0.2,
                    help="delete: auto-compact once this fraction of "
                         "stored rows is tombstoned (>1 defers "
-                        "indefinitely, 0 forces)")
+                        "indefinitely; 0 compacts on the "
+                        "first EFFECTIVE delete — a delete "
+                        "matching nothing never compacts; "
+                        "use the compact action for "
+                        "unconditional vacuuming)")
     s.add_argument("--no-recount", action="store_true",
                    help="delete: skip the manifest recount + threshold "
                         "check (pure O(|ids|) — the 100 TB hot path; "

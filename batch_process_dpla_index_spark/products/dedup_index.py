@@ -85,14 +85,6 @@ def build_dedup_index(
             "build_dedup_index: input docs frame is empty; an empty "
             "index is unreadable — refuse to build it"
         )
-    # a fresh build must not inherit a previous index's delete set: a
-    # stale watermark-0 tombstone would silently delete the new batch-0
-    # rows (the ann/embedding rebuild convention)
-    from batch_process_dpla_index_spark.products.index_tombstones import (
-        clear_tombstones,
-    )
-
-    clear_tombstones(index_dir)
     # Both datasets carry an ``ingest_batch`` Hive partition (0 at
     # build) so streaming appends land per-micro-batch partitions that
     # a checkpoint replay can overwrite idempotently.
@@ -128,6 +120,19 @@ def build_dedup_index(
         "ingest_batch",
     )
     sig.unpersist()
+    # a fresh build must not inherit a previous index's delete set (a
+    # stale watermark-0 tombstone would silently delete the new batch-0
+    # rows) — but clear it only AFTER the last dataset write, the
+    # ann/embedding ordering (r14 advice): a crash BEFORE this point
+    # leaves the old index intact WITH its tombstones (no resurrection
+    # of taken-down ids); a crash after at worst over-deletes new
+    # batch-0 rows until the build is re-run, which is fail-safe for a
+    # compliance path.
+    from batch_process_dpla_index_spark.products.index_tombstones import (
+        clear_tombstones,
+    )
+
+    clear_tombstones(index_dir)
     manifest = {
         "shingle_n": str(n),
         "num_perm": str(num_perm),
@@ -283,7 +288,7 @@ def append_to_dedup_index(
     new_buckets = _band_buckets(sig, bands, rows).persist()
     capped, n_dropped = capped_append_buckets(
         sig.sparkSession, index_dir, new_buckets, ["band", "key"],
-        max_bucket, ingest_batch,
+        max_bucket, ingest_batch, id_field="id",
     )
     _write(capped, "buckets")
     new_buckets.unpersist()

@@ -330,10 +330,13 @@ def overwrite_dataset_readable(
     schema") — the crash class the build/compact empty guards refuse.
     Some empty datasets are VALID states though (a bucket dataset
     whose every posting was max_bucket-dropped or tombstone-compacted
-    away): for those, rewrite as ONE empty schema-carrying part file
-    with no partition dirs — the partition column stays a normal
-    column, which reads identically (and an empty dataset needs no
-    pruning)."""
+    away): for those, rewrite ONE empty schema-carrying part file
+    INSIDE a ``<partition_col>=0/`` directory (the column moves to the
+    dir name, as Hive layout requires) so the dataset stays uniformly
+    partitioned — a later ``partitionBy`` append then lands sibling
+    ``<col>=N/`` dirs instead of mixing root-level part files with
+    partition dirs, a layout that only reads by unspecified
+    partition-discovery behavior (r14 advice)."""
     import glob as _glob
 
     w = df.write.mode("overwrite")
@@ -343,7 +346,12 @@ def overwrite_dataset_readable(
     if not _glob.glob(
         os.path.join(out_dir, "**", "*.parquet"), recursive=True
     ):
-        df.repartition(1).write.mode("overwrite").parquet(out_dir)
+        if partition_col is None:
+            df.repartition(1).write.mode("overwrite").parquet(out_dir)
+        else:
+            df.drop(partition_col).repartition(1).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(out_dir, f"{partition_col}=0"))
 
 
 def capped_append_buckets(
@@ -353,6 +361,7 @@ def capped_append_buckets(
     key_cols: "list[str]",
     max_bucket: int,
     current_batch: int,
+    id_field: str = "id",
 ) -> "tuple[DataFrame, int]":
     """Enforce the manifest ``max_bucket`` cap on an APPEND (the ONE
     implementation behind dedup_index and phash_index, differing only
@@ -377,7 +386,11 @@ def capped_append_buckets(
     stored = spark.read.parquet(os.path.join(index_dir, "buckets")).where(
         F.col("ingest_batch") != int(current_batch)
     )
-    stored = apply_tombstones(spark, index_dir, stored, "id")
+    # ``id_field`` names the stored buckets' id column for the
+    # tombstone anti-join (r14 advice: hardcoding "id" would make a
+    # future layout with a different bucket id column silently skip
+    # takedown exclusion and spuriously drop new rows)
+    stored = apply_tombstones(spark, index_dir, stored, id_field)
     stored_sz = (
         stored.join(F.broadcast(new_sz.select(*key_cols)), list(key_cols))
         .groupBy(*key_cols)

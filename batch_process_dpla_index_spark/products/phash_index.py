@@ -128,14 +128,6 @@ def build_phash_index(
             "build_phash_index: input blobs frame is empty; an empty "
             "index is unreadable — refuse to build it"
         )
-    # a fresh build must not inherit a previous index's delete set: a
-    # stale watermark-0 tombstone would silently delete the new batch-0
-    # rows (the ann/embedding rebuild convention)
-    from batch_process_dpla_index_spark.products.index_tombstones import (
-        clear_tombstones,
-    )
-
-    clear_tombstones(index_dir)
     (
         sig.withColumn("ingest_batch", F.lit(0))
         .write.mode("overwrite")
@@ -166,6 +158,19 @@ def build_phash_index(
         "ingest_batch",
     )
     sig.unpersist()
+    # a fresh build must not inherit a previous index's delete set (a
+    # stale watermark-0 tombstone would silently delete the new batch-0
+    # rows) — but clear it only AFTER the last dataset write, the
+    # ann/embedding ordering (r14 advice): a crash BEFORE this point
+    # leaves the old index intact WITH its tombstones (no resurrection
+    # of taken-down ids); a crash after at worst over-deletes new
+    # batch-0 rows until the build is re-run — fail-safe for a
+    # compliance path.
+    from batch_process_dpla_index_spark.products.index_tombstones import (
+        clear_tombstones,
+    )
+
+    clear_tombstones(index_dir)
     manifest = {
         "bits": str(bits),
         "max_hamming": str(max_hamming),
@@ -320,7 +325,7 @@ def append_to_phash_index(
     new_buckets = _phash_bands(sig, bits, max_hamming).persist()
     capped, n_dropped = capped_append_buckets(
         sig.sparkSession, index_dir, new_buckets, ["band", "val"],
-        max_bucket, ingest_batch,
+        max_bucket, ingest_batch, id_field="id",
     )
     _write(capped, "buckets")
     new_buckets.unpersist()

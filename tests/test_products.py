@@ -2035,3 +2035,102 @@ def test_phash_index_audio_modality_lifecycle(spark, tmp_path, capsys):
                    "--modality", "audio"])
     with pytest.raises(ValueError, match="modality"):
         _signature_fn("video")
+
+
+def test_index_rebuild_clears_tombstones_after_writes(spark, tmp_path, monkeypatch):
+    """Crash-ordering contract for rebuilds (r14 advice, medium): the
+    dedup and phash builds must clear the previous delete set only
+    AFTER the last dataset write — the ann/embedding ordering
+    (ann_index.py:260). With clear-first, a crash between the clear
+    and the overwrite leaves the OLD index fully intact but with its
+    tombstones gone, so taken-down ids silently serve again
+    (resurrection); with clear-last the worst crash window only
+    over-deletes new batch-0 rows until the build is re-run, which is
+    fail-safe for a compliance path. Pinned by spying on
+    clear_tombstones: both datasets must already exist on disk when it
+    fires."""
+    from batch_process_dpla_index_spark.products import index_tombstones as it
+    from batch_process_dpla_index_spark.products.dedup_index import build_dedup_index
+    from batch_process_dpla_index_spark.products.phash_index import build_phash_index
+    from batch_process_dpla_index_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    orig = it.clear_tombstones
+    calls: list[tuple[str, bool, bool]] = []
+
+    def spy(index_dir):
+        calls.append(
+            (
+                index_dir,
+                os.path.isdir(os.path.join(index_dir, "signatures")),
+                os.path.isdir(os.path.join(index_dir, "buckets")),
+            )
+        )
+        return orig(index_dir)
+
+    monkeypatch.setattr(it, "clear_tombstones", spy)
+
+    didx = str(tmp_path / "didx")
+    docs = load_table(spark, SF_DIR, "documents").limit(30)
+    build_dedup_index(docs, "text", "doc_id", didx)
+
+    pidx = str(tmp_path / "pidx")
+    blobs = spark.createDataFrame(
+        [(i, bytes(((i * 97 + j * 13 + 5) % 256) for j in range(300)))
+         for i in range(12)],
+        "doc_id BIGINT, blob BINARY",
+    )
+    build_phash_index(blobs, "blob", "doc_id", pidx)
+
+    assert calls == [(didx, True, True), (pidx, True, True)]
+
+
+def test_empty_fallback_layout_stays_partitioned(spark, tmp_path):
+    """The empty-dataset fallback write must keep the Hive layout
+    UNIFORM (r14 advice): the schema-carrying empty marker lands
+    inside an ``ingest_batch=0/`` partition dir, so a later append's
+    partition dirs are siblings — never a root-level part file mixed
+    with partition dirs, a layout that only reads by unspecified
+    partition-discovery behavior and that a Spark upgrade could
+    reject as conflicting directory structures."""
+    from batch_process_dpla_index_spark.operators.dedup import unpersist_deps
+    from batch_process_dpla_index_spark.products.phash_index import (
+        append_to_phash_index,
+        build_phash_index,
+        incremental_phash_dedup_indexed,
+    )
+
+    blob = bytes((i * 13 + 5) % 256 for i in range(300))
+    other = bytes((i * 29 + 11) % 256 for i in range(300))
+    idx = str(tmp_path / "uniform_layout")
+    # cap=1 < bucket size 2 -> EVERY bucket key dropped -> empty dataset
+    build_phash_index(
+        spark.createDataFrame([(1, blob), (2, blob)],
+                              "doc_id BIGINT, blob BINARY"),
+        "blob", "doc_id", idx, max_bucket=1,
+    )
+    buckets_dir = os.path.join(idx, "buckets")
+    root_parts = glob.glob(os.path.join(buckets_dir, "*.parquet"))
+    marker_parts = glob.glob(
+        os.path.join(buckets_dir, "ingest_batch=0", "*.parquet")
+    )
+    assert root_parts == [] and len(marker_parts) >= 1
+
+    # a singleton append passes the cap -> Hive sibling partition dirs
+    append_to_phash_index(
+        spark.createDataFrame([(3, other)], "doc_id BIGINT, blob BINARY"),
+        "blob", "doc_id", idx, ingest_batch=1,
+    )
+    assert glob.glob(os.path.join(buckets_dir, "*.parquet")) == []
+    assert glob.glob(os.path.join(buckets_dir, "ingest_batch=1", "*.parquet"))
+    stored = spark.read.parquet(buckets_dir)
+    assert stored.filter(F.col("ingest_batch") == 1).count() > 0
+    assert stored.filter(F.col("ingest_batch") == 0).count() == 0
+    # serve path still works over the mixed empty-marker + append state
+    got = incremental_phash_dedup_indexed(
+        spark,
+        spark.createDataFrame([(50, other)], "doc_id BIGINT, blob BINARY"),
+        "blob", "doc_id", idx,
+    )
+    assert got.count() == 1
+    unpersist_deps(got)
