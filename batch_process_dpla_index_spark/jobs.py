@@ -19,7 +19,7 @@ plus the monthly-batch sequencer (monthly_batch_emr.sh:41-111)::
     python -m batch_process_dpla_index_spark.jobs ann-index build|query|recall|append|delete|compact|report|rebuild [vectors_parquet] <index_dir> [--cells N] [--k K] [--probe P] [--probe-coarse C --probe-fine F] [--sample N] [--batch N] [--quantizer kmeans|two-level|none] [--compact-threshold T] [--rebuild-cells N] [--design-point N]
     python -m batch_process_dpla_index_spark.jobs embedding-index build|report|rebuild|delete|compact <index_dir> [--vectors-parquet P] [--ids-parquet P] [--cells N] [--design-point N] [--compact-threshold T]
     python -m batch_process_dpla_index_spark.jobs compact <src_parquet> <dst_parquet> [--target-mb N]
-    python -m batch_process_dpla_index_spark.jobs overlap-index build|refresh|report <index_dir> [--docs-parquet P]
+    python -m batch_process_dpla_index_spark.jobs overlap-index build|refresh|report|delete|compact <index_dir> [--docs-parquet P] [--sources a,b] [--compact-threshold T]
 """
 
 from __future__ import annotations
@@ -208,8 +208,20 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("dst")
     s.add_argument("--target-mb", type=int, default=128)
     s = sub.add_parser("overlap-index")
-    s.add_argument("action", choices=["build", "refresh", "report"])
+    s.add_argument("action",
+                   choices=["build", "refresh", "report", "delete",
+                            "compact"])
     s.add_argument("index_dir")
+    s.add_argument("--sources", default=None,
+                   help="delete: comma-separated source names to "
+                        "tombstone out of the index")
+    s.add_argument("--compact-threshold", type=float, default=0.2,
+                   help="delete: auto-compact once this fraction of "
+                        "stored sources is tombstoned (>1 defers "
+                        "indefinitely; 0 compacts on the first "
+                        "EFFECTIVE delete — a delete matching nothing "
+                        "never compacts; use the compact action for "
+                        "unconditional vacuuming)")
     s.add_argument("--docs-parquet", default=None,
                    help="corpus (build) or ingest delta (refresh)")
     s.add_argument(
@@ -699,6 +711,28 @@ def main(argv: list[str] | None = None) -> int:
                         f"{r['source_a']} ~ {r['source_b']}: "
                         f"est_jaccard={r['est_jaccard']}"
                     )
+            elif args.action == "delete":
+                if not args.sources:
+                    raise SystemExit(
+                        "overlap-index delete needs --sources a,b,c"
+                    )
+                m = overlap_index.delete_from_overlap_index(
+                    spark, args.index_dir,
+                    [s for s in args.sources.split(",") if s],
+                    compact_threshold=args.compact_threshold,
+                )
+                print(
+                    f"Deleted: {m['Record count']} live sources, "
+                    f"{m.get('Tombstone count', '0')} tombstoned"
+                )
+            elif args.action == "compact":
+                try:
+                    m = overlap_index.compact_overlap_index(
+                        spark, args.index_dir
+                    )
+                except ValueError as e:
+                    raise SystemExit(str(e)) from None
+                print(f"Compacted: {m['Record count']} live sources")
             else:
                 if not args.docs_parquet:
                     raise SystemExit(

@@ -84,6 +84,15 @@ def build_overlap_index(
         docs, text_col, source_col, n, num_perm, use_pandas=use_pandas
     )
     _artifact_frame(sig).write.mode("overwrite").parquet(_sig_path(index_dir))
+    # rebuild convention (clear-last, like the other index products):
+    # a rebuild overwrites the corpus so the old delete set is spent —
+    # but only once the new artifact is on disk; a crash before this
+    # point leaves the old index intact WITH its tombstones
+    from batch_process_dpla_index_spark.products.index_tombstones import (
+        clear_tombstones,
+    )
+
+    clear_tombstones(index_dir)
     n_sources = docs.sparkSession.read.parquet(_sig_path(index_dir)).count()
     manifest = {
         "shingle_n": str(n),
@@ -140,7 +149,13 @@ def refresh_overlap_index(
             )
     text_col = text_col or manifest.get("text_col", "text")
     source_col = source_col or manifest.get("source_col", "source")
-    stored = spark.read.parquet(_sig_path(index_dir))
+    # tombstoned sources are EXCLUDED from the merge: their stored
+    # pre-delete rows must not fold into anything. A delta that
+    # re-introduces a tombstoned source re-opts it in — its signature
+    # rebuilds from the delta alone (new data serves normally, the
+    # other index products' watermark flow) and its tombstone clears
+    # below.
+    stored = _live_signatures(spark, index_dir)
     delta_sig = source_signatures(
         delta_docs, text_col, source_col, n, num_perm, use_pandas=use_pandas
     )
@@ -158,6 +173,46 @@ def refresh_overlap_index(
     # coalesce(1) here, unlike build: `out` is driver-created — there
     # is no upstream stage whose parallelism a shuffle would protect
     out.coalesce(1).write.mode("overwrite").parquet(_sig_path(index_dir))
+    # re-opt-in: sources the delta re-introduced now have a live
+    # delta-built row — their tombstones must clear or the serve path
+    # would keep hiding the new data. Clear-last (after the artifact
+    # write): a crash before this point leaves them tombstoned —
+    # over-hiding, never resurrection. The tombstone set is
+    # delete-proportional metadata, so the rewrite is a driver hop.
+    tombs = read_source_tombstones(spark, index_dir)
+    if tombs is not None:
+        # distinct on the raw delta, not delta_sig — the signature
+        # frame would re-run the shingle aggregate just to list sources
+        delta_sources = {
+            str(r[source_col]) for r in
+            delta_docs.select(source_col).distinct().collect()
+        }
+        remaining = [
+            (str(r["t_source"]),) for r in tombs.collect()
+            if str(r["t_source"]) not in delta_sources
+        ]
+        if remaining:
+            # shrink-by-overwrite, never clear-then-rewrite: a crash
+            # between a clear and the rewrite would resurrect EVERY
+            # still-deleted source; the overwrite's own crash window
+            # is the write commit, same as every artifact swap here
+            from batch_process_dpla_index_spark.operators.relational import (
+                _arrow_local_frame,
+            )
+
+            (
+                _arrow_local_frame(spark, remaining, "t_source string")
+                .repartition(1)
+                .write.mode("overwrite")
+                .parquet(_source_tombstones_dir(index_dir))
+            )
+        else:
+            from batch_process_dpla_index_spark.products.index_tombstones import (
+                clear_tombstones,
+            )
+
+            clear_tombstones(index_dir)
+        manifest["Tombstone count"] = str(len(remaining))
     manifest["Record count"] = str(len(pdf))
     manifest["refresh_count"] = str(int(manifest.get("refresh_count", "0")) + 1)
     write_manifest(manifest, index_dir)
@@ -166,10 +221,127 @@ def refresh_overlap_index(
 
 def overlap_report(spark: SparkSession, index_dir: str) -> DataFrame:
     """(source_a, source_b, n_equal, est_jaccard) from the stored
-    signatures — no corpus access at all."""
+    signatures — no corpus access at all. Tombstoned (taken-down)
+    sources are anti-joined out of the serve path immediately, before
+    any compaction runs."""
     manifest = read_manifest(index_dir)
     num_perm = int(manifest["num_perm"])
-    sig = spark.read.parquet(_sig_path(index_dir))
+    sig = _live_signatures(spark, index_dir)
     return overlap_from_signatures(sig, num_perm).orderBy(
         "source_a", "source_b"
     )
+
+
+# ---- takedown lifecycle (r14 verdict #5) -------------------------------
+#
+# The other three index products tombstone DOCUMENT ids; here the unit
+# of takedown is a whole SOURCE (one signature row — a source that
+# opts out of the mixing diagnostic). The delete path mirrors
+# `index_tombstones`: O(|sources|) tombstone append, serve-time
+# anti-join, explicit compact as the vacuum. Re-opt-in mirrors the
+# watermark flow: a REFRESH whose delta contains a tombstoned source
+# rebuilds that source's signature from the delta alone (the stored
+# pre-delete row is excluded from the merge) and clears its tombstone
+# — a later re-ingest is new data and serves normally.
+
+
+def _source_tombstones_dir(index_dir: str) -> str:
+    from batch_process_dpla_index_spark.products.index_tombstones import (
+        _tombstones_dir,
+    )
+
+    return _tombstones_dir(index_dir)
+
+
+def read_source_tombstones(
+    spark: SparkSession, index_dir: str
+) -> "DataFrame | None":
+    """One-column (t_source) distinct frame, or None when the index
+    never saw a delete (zero serve-plan overhead in that case)."""
+    path = _source_tombstones_dir(index_dir)
+    if not os.path.isdir(path):
+        return None
+    return spark.read.parquet(path).select("t_source").distinct()
+
+
+def _live_signatures(spark: SparkSession, index_dir: str) -> DataFrame:
+    sig = spark.read.parquet(_sig_path(index_dir))
+    tombs = read_source_tombstones(spark, index_dir)
+    if tombs is None:
+        return sig
+    source_col = read_manifest(index_dir).get("source_col", "source")
+    return sig.join(
+        tombs, sig[source_col] == tombs["t_source"], "left_anti"
+    )
+
+
+def delete_from_overlap_index(
+    spark: SparkSession,
+    index_dir: str,
+    sources,
+    compact_threshold: float = 0.2,
+) -> dict[str, str]:
+    """Tombstone whole sources out of the stored overlap index.
+
+    The append is O(|sources|); the recount is a scan of the
+    |sources|-row artifact (bounded metadata — there is no recount=False
+    hot path because the count IS the takedown set's scale). When the
+    tombstoned fraction reaches ``compact_threshold`` the signatures
+    are physically compacted in the same call (>1 defers; like the
+    other index products, a delete matching nothing never compacts).
+    Returns the updated manifest."""
+    from batch_process_dpla_index_spark.operators.relational import (
+        _arrow_local_frame,
+    )
+
+    rows = [(str(s),) for s in sources]
+    if rows:
+        (
+            _arrow_local_frame(spark, rows, "t_source string")
+            .repartition(1)
+            .write.mode("append")
+            .parquet(_source_tombstones_dir(index_dir))
+        )
+    manifest = read_manifest(index_dir)
+    sig = spark.read.parquet(_sig_path(index_dir))
+    total = sig.count()
+    live = _live_signatures(spark, index_dir).count()
+    dead = total - live
+    if total and dead and dead / total >= compact_threshold:
+        return compact_overlap_index(spark, index_dir)
+    manifest["Record count"] = str(live)
+    manifest["Tombstone count"] = str(dead)
+    write_manifest(manifest, index_dir)
+    return manifest
+
+
+def compact_overlap_index(
+    spark: SparkSession, index_dir: str
+) -> dict[str, str]:
+    """Physically rewrite the signature artifact minus the tombstoned
+    sources, then clear the tombstone set — the vacuum step, through
+    the same bounded-metadata driver hop as refresh (|sources| × 65
+    ints, Arrow both ways), which also makes the self-overwrite safe.
+    Clear-last ordering: a crash before the clear leaves a redundant
+    anti-join (a no-op), never resurrection. Refuses to compact away
+    every source (an empty index is unreadable — the rebuild/compact
+    convention of the other index products)."""
+    from batch_process_dpla_index_spark.products.index_tombstones import (
+        clear_tombstones,
+    )
+
+    live = _live_signatures(spark, index_dir)
+    pdf = live.toPandas()
+    if len(pdf) == 0:
+        raise ValueError(
+            "compaction would remove every stored source; an empty "
+            "index is unreadable — delete the index directory instead"
+        )
+    out = spark.createDataFrame(pdf, live.schema)
+    out.coalesce(1).write.mode("overwrite").parquet(_sig_path(index_dir))
+    clear_tombstones(index_dir)
+    manifest = read_manifest(index_dir)
+    manifest["Record count"] = str(len(pdf))
+    manifest["Tombstone count"] = "0"
+    write_manifest(manifest, index_dir)
+    return manifest

@@ -2134,3 +2134,89 @@ def test_empty_fallback_layout_stays_partitioned(spark, tmp_path):
     )
     assert got.count() == 1
     unpersist_deps(got)
+
+
+def test_overlap_index_delete_tombstone_lifecycle(spark, tmp_path, capsys):
+    """Takedown path for the overlap index (r15, VERDICT r14 #5): a
+    source opting out of the mixing diagnostic is tombstoned with no
+    corpus access; the report stops showing its pairs immediately;
+    delete replay is idempotent; compaction physically removes the
+    row; a refresh whose delta re-introduces the source re-opts it in
+    (delta-built signature, tombstone cleared); compacting away every
+    source refuses loudly; and the CLI drives delete/compact."""
+    from batch_process_dpla_index_spark import jobs
+    from batch_process_dpla_index_spark.products.overlap_index import (
+        build_overlap_index,
+        compact_overlap_index,
+        delete_from_overlap_index,
+        overlap_report,
+        refresh_overlap_index,
+    )
+    from batch_process_dpla_index_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    sources = sorted(
+        r["source"] for r in docs.select("source").distinct().collect()
+    )
+    assert len(sources) >= 3
+    victim = sources[0]
+    idx = str(tmp_path / "ovidx_del")
+    build_overlap_index(docs, idx)
+    full = sorted(map(tuple, overlap_report(spark, idx).collect()))
+    assert any(victim in (a, b) for (a, b, *_rest) in full)
+
+    # delete below threshold: tombstoned, physically still stored,
+    # served report excludes every pair touching the victim
+    m = delete_from_overlap_index(spark, idx, [victim],
+                                  compact_threshold=2.0)
+    assert m["Tombstone count"] == "1"
+    assert int(m["Record count"]) == len(sources) - 1
+    served = sorted(map(tuple, overlap_report(spark, idx).collect()))
+    assert served == [t for t in full if victim not in (t[0], t[1])]
+    n_raw = spark.read.parquet(os.path.join(idx, "signatures")).count()
+    assert n_raw == len(sources)  # no rewrite yet
+
+    # replayed delete: idempotent (set semantics)
+    m2 = delete_from_overlap_index(spark, idx, [victim],
+                                   compact_threshold=2.0)
+    assert m2["Tombstone count"] == "1"
+    assert sorted(map(tuple, overlap_report(spark, idx).collect())) == served
+
+    # compact: physical removal, serve unchanged, tombstones cleared
+    m3 = compact_overlap_index(spark, idx)
+    assert m3["Tombstone count"] == "0"
+    assert spark.read.parquet(
+        os.path.join(idx, "signatures")
+    ).count() == len(sources) - 1
+    assert sorted(map(tuple, overlap_report(spark, idx).collect())) == served
+
+    # re-opt-in: tombstone again, then refresh with a delta containing
+    # the victim — the report shows the victim again (delta-built row)
+    # and the tombstone is gone
+    delete_from_overlap_index(spark, idx, [victim], compact_threshold=2.0)
+    delta = docs.where(F.col("source") == victim)
+    m4 = refresh_overlap_index(spark, delta, idx)
+    assert m4["Tombstone count"] == "0"
+    back = sorted(map(tuple, overlap_report(spark, idx).collect()))
+    assert any(victim in (a, b) for (a, b, *_rest) in back)
+
+    # refusal: compacting away EVERY source is an unreadable index
+    delete_from_overlap_index(spark, idx, sources, compact_threshold=2.0)
+    with pytest.raises(ValueError, match="every stored source"):
+        compact_overlap_index(spark, idx)
+
+    # rebuild clears the spent delete set (clear-last)
+    build_overlap_index(docs, idx)
+    assert sorted(map(tuple, overlap_report(spark, idx).collect())) == full
+
+    # CLI surface
+    assert jobs.main([
+        "overlap-index", "delete", idx, "--sources", victim,
+        "--compact-threshold", "2.0",
+    ]) == 0
+    assert "1 tombstoned" in capsys.readouterr().out
+    assert jobs.main(["overlap-index", "compact", idx]) == 0
+    assert f"{len(sources) - 1} live sources" in capsys.readouterr().out
+    with pytest.raises(SystemExit, match="needs --sources"):
+        jobs.main(["overlap-index", "delete", idx])
