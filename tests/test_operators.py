@@ -1371,21 +1371,44 @@ def test_audio_phash_overflow_guard_is_exact(spark):
 
     from batch_process_dpla_index_spark.operators.multimodal import audio_phash
 
-    n_bad = 17_000_000  # 32768 * n * (n+1) > 2^63 at bits=1
+    # EXACT boundary (r14 verdict #7): at bits=1 the guard predicate
+    # 32768*n*(n+1) >= 2^63 reduces to n*(n+1) >= 2^48, which first
+    # holds at n = 2^24 exactly (2^24*(2^24+1) = 2^48 + 2^24); one
+    # sample fewer is 2^48 - 2^24, strictly under. Pin BOTH sides of
+    # that single-sample flip so the guard's arithmetic cannot rot.
+    n_bad = 2**24
+    n_ok = 2**24 - 1
     assert 32768 * n_bad * (n_bad + 1) >= 2**63
+    assert 32768 * n_ok * (n_ok + 1) < 2**63
     df = spark.createDataFrame(
         [(1, b"\x01\x00" * n_bad)], "doc_id BIGINT, blob BINARY"
     )
     with _pytest.raises(Exception, match="int64-safe"):
         audio_phash(df, "blob", "doc_id", bits=1).collect()
-    # just under the bound at bits=1 must succeed
-    n_ok = 16_000_000
-    assert 32768 * n_ok * (n_ok + 1) < 2**63
+    # one sample under the exact bound must succeed
     df_ok = spark.createDataFrame(
         [(1, b"\x01\x00" * n_ok)], "doc_id BIGINT, blob BINARY"
     )
     rows = audio_phash(df_ok, "blob", "doc_id", bits=1).collect()
     assert len(rows) == 1 and rows[0]["phash"] in (0, 1)
+    # arithmetic sweep: for every banding width the guard's int64
+    # predicate flips at the same n as an arbitrary-precision replay
+    # of the worst-case threshold products (block sums uniform under
+    # blk, so sums <= 32768*(n//bits+1), cnts <= n//bits+1; both
+    # sides of `sums*n > total*cnts` stay under 32768*n*(n//bits+1))
+    for bits in (1, 7, 60, 64):
+        lo, hi = 1, 2**40
+        while lo < hi:  # first n where the guard fires, by bisection
+            mid = (lo + hi) // 2
+            if 32768 * mid * (mid // bits + 1) >= 2**63:
+                hi = mid
+            else:
+                lo = mid + 1
+        n_flip = lo
+        assert 32768 * (n_flip - 1) * ((n_flip - 1) // bits + 1) < 2**63
+        # worst-case products representable one sample under the flip
+        worst = 32768 * (n_flip - 1) * ((n_flip - 1) // bits + 1)
+        assert worst < 2**63  # int64-representable -> no numpy wrap
 
 
 def test_audio_phash_matches_scalar_replay_on_edges(spark):
@@ -1438,3 +1461,49 @@ def test_audio_phash_matches_scalar_replay_on_edges(spark):
         }
         want = {i: ref(c, bits) for i, c in enumerate(cases)}
         assert got == want, f"bits={bits}"
+
+
+def test_modality_dup_report_matches_survivor_queries(spark):
+    """Cross-modality consistency invariant (VERDICT r14 #6): each
+    per-modality row of modality_dup_report must carry EXACTLY the row
+    count of the corresponding *_dedup_survivors registry query (and
+    the exact-dedup count for text) on the same fixture, and n_items
+    must match the composed corpus sizes. The report composes those
+    queries by construction — this pins the construction so a future
+    edit to either side cannot silently drift them apart."""
+    from batch_process_dpla_index_spark.operators.dedup import (
+        exact_dedup,
+        unpersist_deps,
+    )
+    from batch_process_dpla_index_spark.queries import (
+        _audio_corpus_with_twins,
+        _blob_corpus_with_variants,
+        q_audio_dedup_survivors,
+        q_image_dedup_survivors,
+        q_modality_dup_report,
+        q_video_dedup_survivors,
+    )
+    from batch_process_dpla_index_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    report = {
+        r["modality"]: (int(r["n_items"]), int(r["n_survivors"]))
+        for r in q_modality_dup_report(spark, SF_DIR).collect()
+    }
+    assert set(report) == {"text", "image", "audio", "video"}
+
+    docs = load_table(spark, SF_DIR, "documents")
+    assert report["text"] == (
+        docs.count(),
+        exact_dedup(docs, "text", "doc_id").count(),
+    )
+    blob_n = _blob_corpus_with_variants(spark, SF_DIR).count()
+    audio_n = _audio_corpus_with_twins(spark, SF_DIR).count()
+    for modality, surv_fn, n in (
+        ("image", q_image_dedup_survivors, blob_n),
+        ("audio", q_audio_dedup_survivors, audio_n),
+        ("video", q_video_dedup_survivors, blob_n),
+    ):
+        kept = surv_fn(spark, SF_DIR)
+        assert report[modality] == (n, kept.count()), modality
+        unpersist_deps(kept)
