@@ -771,3 +771,76 @@ def vocab_coverage(
         .orderBy("cutoff")
     )
     return _with_cached_deps(out, [_CheckpointHandle(counts)])
+
+
+def k_anonymity_audit(
+    df: DataFrame, quasi_cols: "list[str]", k: int = 5
+) -> DataFrame:
+    """Quasi-identifier combinations whose group size is under ``k`` —
+    the k-anonymity audit a training-data release runs before
+    publishing per-slice statistics (a (source, lang, length-bucket)
+    combo matching fewer than k documents can single out a
+    contributor; those are the slices a dataset card must suppress).
+
+    Output: the RISKY combos only — (quasi cols…, n_rows), group size
+    strictly under k — because at 100 TB the risky set is the small,
+    actionable one while the full combo table is itself
+    corpus-proportional. ONE map-combined hash aggregate; no second
+    pass (the audit is a filter on the aggregate, not a join back)."""
+    if k < 1:
+        raise ValueError(f"k_anonymity_audit: k must be >= 1, got {k}")
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        .where(F.col("n_rows") < int(k))
+        .orderBy(*quasi_cols)
+    )
+
+
+def source_lang_entropy(
+    df: DataFrame,
+    source_col: str = "source",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """(source, n_docs, n_langs, lang_entropy, top_lang_share): the
+    language-mix datasheet per ingest source — a monolingual source
+    suddenly showing entropy > 0 means language-ID drift or a crawl
+    gone off-domain, and top_lang_share is the headline number a
+    mixture plan reads per source.
+
+    Entropy uses the H = log2(n) − Σ c·log2(c)/n identity over exact
+    BIGINT counts (the char_entropy discipline): the only float work
+    is log2 on integers and one divide, deterministic cross-engine.
+    Two map-combined aggregates — (source, lang) then (source); both
+    outputs are |sources|·|langs|-bounded metadata."""
+    c = df.groupBy(
+        F.col(source_col).alias("src"), F.col(lang_col).alias("lng")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    return (
+        c.groupBy("src")
+        .agg(
+            F.sum("c").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_langs"),
+            F.sum(
+                F.col("c").cast("double")
+                * F.log2(F.col("c").cast("double"))
+            ).alias("__clogc"),
+            F.max("c").alias("__top"),
+        )
+        .select(
+            F.col("src").alias(source_col),
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            "n_langs",
+            F.round(
+                F.log2(F.col("n_docs").cast("double"))
+                - F.col("__clogc") / F.col("n_docs").cast("double"),
+                6,
+            ).alias("lang_entropy"),
+            F.round(
+                F.col("__top").cast("double")
+                / F.col("n_docs").cast("double"),
+                6,
+            ).alias("top_lang_share"),
+        )
+        .orderBy(source_col)
+    )

@@ -436,3 +436,159 @@ def gini_concentration(
             .alias("gini"),
         )
     )
+
+
+def source_drift_ks(
+    df: DataFrame,
+    group_col: str = "source",
+    value_col: str = "n_chars",
+) -> DataFrame:
+    """(group, n_rows, ks_stat): two-sample Kolmogorov–Smirnov distance
+    between each group's ``value_col`` distribution and the REST of the
+    corpus — the distribution-drift monitor a training-data pipeline
+    runs per ingest source (a crawler that silently started returning
+    truncated pages moves its length ECDF long before quality scores
+    notice).
+
+    Everything up to the final divide is INTEGER-exact: the per-group
+    and global ECDFs are cumulative BIGINT counts over the dense
+    (group × distinct value) grid, and the KS sup-difference is taken
+    over the common-denominator integer numerator
+    |cum_g·(N−n_g) − (cum_all−cum_g)·n_g| — one double division per
+    group at the very end, deterministic cross-engine with no float
+    association to pin. Requires N < ~3e9 so the cross products stay
+    in int64 (at a larger corpus, bucket ``value_col`` first — the
+    statistic only needs the grid, not the rows).
+
+    Scale: ONE corpus-proportional shuffle — the (group, value) count,
+    which is PERSISTED so the four consumers (group totals, value
+    grid, global cumulative, grand total) read the grid-sized
+    aggregate instead of re-scanning the corpus four times (the first
+    cut's plan had four parquet scans). The persist handle rides in
+    ``_cached_deps`` — release with ``dedup.unpersist_deps`` after the
+    action. Groups covering the whole corpus (n_g = N) emit NULL KS —
+    there is no "rest" to drift from."""
+    from batch_process_dpla_index_spark.operators.dedup import (
+        _with_cached_deps,
+    )
+
+    c = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(
+            F.col(group_col).alias("grp"),
+            F.col(value_col).cast("bigint").alias("x"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .persist()
+    )
+    g = c.groupBy("grp").agg(F.sum("c").alias("n_g"))
+    xs = c.select("x").distinct()
+    tot = c.groupBy("x").agg(F.sum("c").alias("cx"))
+    w_all = Window.orderBy("x").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tc = tot.select("x", F.sum("cx").over(w_all).alias("cum_all"))
+    n_total = F.broadcast(c.agg(F.sum("c").alias("n_total")))
+    grid = xs.crossJoin(F.broadcast(g))
+    w_grp = (
+        Window.partitionBy("grp")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        grid.join(c, ["grp", "x"], "left")
+        .select(
+            "grp",
+            "n_g",
+            "x",
+            F.sum(F.coalesce(F.col("c"), F.lit(0)))
+            .over(w_grp)
+            .alias("cum_g"),
+        )
+        .join(F.broadcast(tc), "x")
+        .crossJoin(n_total)
+    )
+    num = F.abs(
+        F.col("cum_g") * (F.col("n_total") - F.col("n_g"))
+        - (F.col("cum_all") - F.col("cum_g")) * F.col("n_g")
+    )
+    out = (
+        cum.groupBy("grp", "n_g", "n_total")
+        .agg(F.max(num).alias("__num"))
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("n_g").cast("bigint").alias("n_rows"),
+            F.when(
+                F.col("n_g") < F.col("n_total"),
+                F.round(
+                    F.col("__num").cast("double")
+                    / (
+                        F.col("n_g") * (F.col("n_total") - F.col("n_g"))
+                    ).cast("double"),
+                    6,
+                ),
+            ).alias("ks_stat"),
+        )
+        .orderBy(group_col)
+    )
+    return _with_cached_deps(out, [c])
+
+
+def embedding_centroid_drift(
+    df: DataFrame, vec_col: str, label_col: str
+) -> DataFrame:
+    """(label, n_vecs, cos_to_global, drift): per-label embedding
+    centroid and its cosine against the GLOBAL centroid — the vector
+    twin of `source_drift_ks` (an encoder change or a poisoned batch
+    shifts a label's centroid away from the corpus before ANN recall
+    visibly degrades; 1 − cos is the drift score).
+
+    ONE corpus pass: the (label, pos) sums/counts aggregate is the
+    only corpus-proportional work, PERSISTED at |labels|·dim rows; the
+    global centroid derives from those sums (sum-of-label-sums), never
+    a second scan. Portability: per-cell and global means are ROUNDED
+    to 6 dp before the cosine on BOTH engines, with the oracle
+    replaying the same label-first summation shape — the remaining
+    within-group order sensitivity is last-ulp and absorbed by the
+    rounds (the embedding_dim_profile precedent). Release the persist
+    handle with ``dedup.unpersist_deps`` after the action."""
+    from batch_process_dpla_index_spark.operators.dedup import (
+        _with_cached_deps,
+    )
+
+    ex = df.where(F.col(vec_col).isNotNull()).select(
+        F.col(label_col).alias("lbl"),
+        F.posexplode(vec_col).alias("pos", "__v"),
+    ).select("lbl", "pos", F.col("__v").cast("double").alias("v"))
+    sums = ex.groupBy("lbl", "pos").agg(
+        F.sum("v").alias("s_lp"),
+        F.count(F.lit(1)).cast("bigint").alias("n_lp"),
+    ).persist()
+    per_label = sums.select(
+        "lbl",
+        "pos",
+        "n_lp",
+        F.round(F.col("s_lp") / F.col("n_lp"), 6).alias("m_lp"),
+    )
+    global_mean = sums.groupBy("pos").agg(
+        F.round(F.sum("s_lp") / F.sum("n_lp"), 6).alias("m_gp")
+    )
+    j = per_label.join(F.broadcast(global_mean), "pos")
+    cos = F.col("__dot") / F.sqrt(F.col("__nl") * F.col("__ng"))
+    out = (
+        j.groupBy("lbl")
+        .agg(
+            F.max("n_lp").alias("n_vecs"),
+            F.sum(F.col("m_lp") * F.col("m_gp")).alias("__dot"),
+            F.sum(F.col("m_lp") * F.col("m_lp")).alias("__nl"),
+            F.sum(F.col("m_gp") * F.col("m_gp")).alias("__ng"),
+        )
+        .select(
+            F.col("lbl").alias(label_col),
+            F.col("n_vecs"),
+            F.round(cos, 6).alias("cos_to_global"),
+            F.round(F.lit(1.0) - cos, 6).alias("drift"),
+        )
+        .orderBy(label_col)
+    )
+    return _with_cached_deps(out, [sums])

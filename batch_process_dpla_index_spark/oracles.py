@@ -4565,7 +4565,99 @@ ORACLE_MODALITY_DUP_REPORT = (
 )
 
 
+# Per-source two-sample KS over doc length: integer-exact cumulative
+# counts on the dense (source × distinct length) grid; the
+# sup-difference is maximized over the common-denominator BIGINT
+# numerator, ONE double divide per source at the end (the Spark
+# operator's arithmetic, profiling.py:source_drift_ks).
+ORACLE_SOURCE_DRIFT_KS = """
+WITH c AS (
+    SELECT source AS grp, CAST(n_chars AS BIGINT) AS x,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2
+), g AS (SELECT grp, CAST(sum(cnt) AS BIGINT) AS n_g FROM c GROUP BY 1),
+xs AS (SELECT DISTINCT x FROM c),
+tc AS (
+    SELECT x, CAST(sum(cx) OVER (ORDER BY x) AS BIGINT) AS cum_all
+    FROM (SELECT x, sum(cnt) AS cx FROM c GROUP BY 1)
+), n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM c),
+cum AS (
+    SELECT g.grp, g.n_g, xs.x,
+           CAST(sum(coalesce(c.cnt, 0))
+                OVER (PARTITION BY g.grp ORDER BY xs.x) AS BIGINT) AS cum_g
+    FROM g CROSS JOIN xs
+    LEFT JOIN c ON c.grp = g.grp AND c.x = xs.x
+)
+SELECT cum.grp AS source, cum.n_g AS n_rows,
+       CASE WHEN cum.n_g < n.n_total THEN
+           round(CAST(max(abs(cum_g * (n.n_total - cum.n_g)
+                              - (tc.cum_all - cum_g) * cum.n_g)) AS DOUBLE)
+                 / CAST(cum.n_g * (n.n_total - cum.n_g) AS DOUBLE), 6)
+       END AS ks_stat
+FROM cum JOIN tc USING (x) CROSS JOIN n
+GROUP BY cum.grp, cum.n_g, n.n_total
+ORDER BY source
+"""
+
+# Per-label centroid cosine vs the global centroid: means rounded 6 dp
+# BEFORE the cosine on both engines (the growth_rates discipline), so
+# the dot/norm arithmetic runs on identical doubles.
+ORACLE_EMBEDDING_CENTROID_DRIFT = """
+WITH ex AS (
+    SELECT label AS lbl,
+           unnest(generate_series(1, len(embedding))) - 1 AS pos,
+           CAST(unnest(embedding) AS DOUBLE) AS v
+    FROM embeddings WHERE embedding IS NOT NULL
+), s AS (
+    SELECT lbl, pos, sum(v) AS s_lp, CAST(count(*) AS BIGINT) AS n_lp
+    FROM ex GROUP BY 1, 2
+), p AS (
+    SELECT lbl, pos, n_lp, round(s_lp / n_lp, 6) AS m_lp FROM s
+), gm AS (
+    SELECT pos, round(sum(s_lp) / sum(n_lp), 6) AS m_gp FROM s GROUP BY 1
+)
+SELECT lbl AS label, max(n_lp) AS n_vecs,
+       round(sum(m_lp * m_gp)
+             / sqrt(sum(m_lp * m_lp) * sum(m_gp * m_gp)), 6)
+           AS cos_to_global,
+       round(1.0 - sum(m_lp * m_gp)
+             / sqrt(sum(m_lp * m_lp) * sum(m_gp * m_gp)), 6) AS drift
+FROM p JOIN gm USING (pos)
+GROUP BY lbl ORDER BY label
+"""
+
+ORACLE_K_ANONYMITY = """
+SELECT source, lang, CAST(n_chars // 200 AS BIGINT) AS len_bucket,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM documents
+GROUP BY 1, 2, 3
+HAVING count(*) < 5
+ORDER BY source, lang, len_bucket
+"""
+
+# Language-mix entropy per source: the H = log2(n) − Σ c·log2(c)/n
+# identity over exact BIGINT counts (the char_entropy discipline).
+ORACLE_SOURCE_LANG_ENTROPY = """
+WITH c AS (
+    SELECT source AS src, lang AS lng, CAST(count(*) AS BIGINT) AS cnt
+    FROM documents GROUP BY 1, 2
+)
+SELECT src AS source, CAST(sum(cnt) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_langs,
+       round(log2(CAST(sum(cnt) AS DOUBLE))
+             - sum(CAST(cnt AS DOUBLE) * log2(CAST(cnt AS DOUBLE)))
+               / CAST(sum(cnt) AS DOUBLE), 6) AS lang_entropy,
+       round(CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE), 6)
+           AS top_lang_share
+FROM c GROUP BY src ORDER BY source
+"""
+
+
 ORACLES: dict[str, str] = {
+    "source_drift_ks": ORACLE_SOURCE_DRIFT_KS,
+    "embedding_centroid_drift": ORACLE_EMBEDDING_CENTROID_DRIFT,
+    "k_anonymity": ORACLE_K_ANONYMITY,
+    "source_lang_entropy": ORACLE_SOURCE_LANG_ENTROPY,
     "source_overlap_incremental": ORACLE_SOURCE_OVERLAP_INCREMENTAL,
     "kcore_decomposition": ORACLE_KCORE_DECOMPOSITION,
     "hits_scores": ORACLE_HITS_SCORES,

@@ -3476,6 +3476,63 @@ def q_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore_decomposition(edges, k=3, iterations=12).orderBy("node")
 
 
+def q_source_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source two-sample KS distance of the doc-length
+    distribution vs the rest of the corpus (r15 debut) — the
+    distribution-drift monitor of the ingest pipeline. Integer-exact
+    up to one final divide (operators/profiling.py:source_drift_ks);
+    one corpus shuffle, then grid-sized metadata."""
+    from batch_process_dpla_index_spark.operators.profiling import (
+        source_drift_ks,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return source_drift_ks(docs, "source", "n_chars")
+
+
+def q_embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid cosine vs the global embedding centroid
+    (r15 debut) — the vector-corpus drift monitor
+    (operators/profiling.py:embedding_centroid_drift). Means rounded
+    6 dp before the cosine so both engines run identical doubles."""
+    from batch_process_dpla_index_spark.operators.profiling import (
+        embedding_centroid_drift,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_centroid_drift(emb, "embedding", "label")
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quasi-identifier combos (source, lang, 200-char length bucket)
+    matching fewer than k=5 documents (r15 debut) — the k-anonymity
+    suppression list a dataset release audits
+    (operators/curation.py:k_anonymity_audit). One hash aggregate."""
+    from batch_process_dpla_index_spark.operators.curation import (
+        k_anonymity_audit,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source",
+        "lang",
+        F.expr("n_chars div 200").cast("bigint").alias("len_bucket"),
+    )
+    return k_anonymity_audit(docs, ["source", "lang", "len_bucket"], k=5)
+
+
+def q_source_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mix entropy + top-language share per source (r15
+    debut) — the per-source language datasheet
+    (operators/curation.py:source_lang_entropy). Exact-count entropy
+    identity; two map-combined aggregates."""
+    from batch_process_dpla_index_spark.operators.curation import (
+        source_lang_entropy,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return source_lang_entropy(docs, "source", "lang")
+
+
 # Registry order is part of the driver contract: the correctness gate
 # records exactly the FIRST 50 entries; every entry outside the window
 # stays oracle-verified each round via tools/verify_local.py at
@@ -3545,6 +3602,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "heavy_hitters": q_heavy_hitters,
     "robust_outliers": q_robust_outliers,
     # ---- driver-window boundary (entry 50 above this line) ----
+    # -- staged r16 debuts (r15 additions; verified both SFs, pinned,
+    #    probed same-round per the staging discipline) --
+    "source_drift_ks": q_source_drift_ks,
+    "embedding_centroid_drift": q_embedding_centroid_drift,
+    "k_anonymity": q_k_anonymity,
+    "source_lang_entropy": q_source_lang_entropy,
     # -- the r12-green cohort's 21-entry remainder (staged for r16;
     #    all driver-green in CORRECTNESS_r12, re-verified every round
     #    via tools/verify_local.py fleet runs) --
