@@ -294,6 +294,10 @@ def delete_from_overlap_index(
         _arrow_local_frame,
     )
 
+    if isinstance(sources, str):
+        # a bare string would iterate CHARACTERS and tombstone each
+        # one-char "source" — a silent mass-delete footgun
+        sources = [sources]
     rows = [(str(s),) for s in sources]
     if rows:
         (

@@ -560,3 +560,27 @@ def test_overlap_index_artifact_write_repartition_not_coalesce(spark):
     # as a Coalesce node that folds the aggregate itself to one task
     assert "Exchange SinglePartition, REPARTITION_BY_NUM" in plan, plan
     assert "Coalesce" not in plan, plan
+
+
+def test_drift_monitors_scan_corpus_once(spark):
+    """The r15 drift monitors reuse their persisted first aggregate:
+    source_drift_ks feeds FOUR consumers (group totals, value grid,
+    global cumulative, grand total) and embedding_centroid_drift two
+    (per-label means, global centroid) from ONE corpus-proportional
+    aggregate each — the first cut planned four/two parquet scans.
+    Pinned: exactly one FileScan of the fixture per plan, everything
+    else reads the InMemoryRelation."""
+    from batch_process_dpla_index_spark.operators.dedup import unpersist_deps
+
+    for name, n_inmem in (("source_drift_ks", 4), ("embedding_centroid_drift", 2)):
+        df = QUERIES[name](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        n_scans = plan.count("FileScan parquet")
+        n_cached = plan.count("InMemoryTableScan")
+        assert n_cached >= n_inmem, (name, plan[:2000])
+        # every FileScan line must sit under an InMemoryRelation
+        # reprint — the plan has no independent second corpus scan:
+        # each InMemoryTableScan reprints the SAME cached child, so
+        # FileScan occurrences never exceed InMemoryTableScan count
+        assert n_scans <= n_cached, (name, n_scans, n_cached)
+        unpersist_deps(df)
