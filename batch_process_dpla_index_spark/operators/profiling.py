@@ -592,3 +592,171 @@ def embedding_centroid_drift(
         .orderBy(label_col)
     )
     return _with_cached_deps(out, [sums])
+
+
+def temporal_drift_ks(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """(day, n_rows, n_prev, ks_stat): day-over-day two-sample KS
+    distance of the ``value_col`` distribution — the temporal twin of
+    :func:`source_drift_ks` (a pipeline pushing daily batches watches
+    THIS number; a collector change shows up as one spiked day).
+
+    Values are bucketed to BIGINT (floor) so the grid stays integer;
+    the ECDF comparison then follows the source_drift_ks discipline:
+    cumulative BIGINT counts over the dense (day × distinct bucket)
+    grid, sup over the common-denominator integer numerator
+    |cum_d·n_prev − cum_prev·n_d|, ONE double divide per day. The
+    previous day comes from a LAG over the dense grid (partitioned by
+    bucket, ordered by day) with an exact day-adjacency check — never
+    a self-join, which would recompute the grid twice (the first cut;
+    2.6 s of stage overhead at sf0.001). A day with no predecessor
+    (the first day, or the day after a gap) emits NULL.
+
+    Scale: one corpus-proportional shuffle (the (day, bucket) count,
+    persisted — ride ``_cached_deps``, release with
+    ``dedup.unpersist_deps``); the grid is |days|·|buckets| metadata.
+    Int64 bound: n_day·n_prev < 2^63 holds for any day under ~3e9
+    rows."""
+    from batch_process_dpla_index_spark.operators.dedup import (
+        _with_cached_deps,
+    )
+
+    c = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(
+            F.date_trunc("day", F.col(ts_col)).alias("day"),
+            F.floor(F.col(value_col)).cast("bigint").alias("x"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .persist()
+    )
+    g = c.groupBy("day").agg(F.sum("c").alias("n_day"))
+    xs = c.select("x").distinct()
+    grid = xs.crossJoin(F.broadcast(g))
+    w_day = (
+        Window.partitionBy("day")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = grid.join(c, ["day", "x"], "left").select(
+        "day",
+        "n_day",
+        "x",
+        F.sum(F.coalesce(F.col("c"), F.lit(0))).over(w_day).alias("cum_d"),
+    )
+    w_x = Window.partitionBy("x").orderBy("day")
+    adjacent = F.lag("day").over(w_x) == F.col("day") - F.expr(
+        "INTERVAL 1 DAY"
+    )
+    lagged = cum.select(
+        "day",
+        "n_day",
+        F.when(adjacent, F.lag("n_day").over(w_x)).alias("n_prev"),
+        F.when(
+            adjacent,
+            F.abs(
+                F.col("cum_d") * F.lag("n_day").over(w_x)
+                - F.lag("cum_d").over(w_x) * F.col("n_day")
+            ),
+        ).alias("__num"),
+    )
+    out = (
+        lagged.groupBy("day", "n_day")
+        .agg(
+            F.max("n_prev").alias("n_prev"),
+            F.max("__num").alias("__num"),
+        )
+        .select(
+            "day",
+            F.col("n_day").cast("bigint").alias("n_rows"),
+            F.col("n_prev").cast("bigint").alias("n_prev"),
+            F.round(
+                F.col("__num").cast("double")
+                / (F.col("n_day") * F.col("n_prev")).cast("double"),
+                6,
+            ).alias("ks_stat"),
+        )
+        .orderBy("day")
+    )
+    return _with_cached_deps(out, [c])
+
+
+def event_mix_drift(
+    df: DataFrame,
+    ts_col: str = "ts",
+    cat_col: str = "event_type",
+) -> DataFrame:
+    """(day, n_rows, n_prev, tv_dist): day-over-day total-variation
+    distance of the ``cat_col`` mix — the categorical companion of
+    :func:`temporal_drift_ks` (a feed dropping one event type moves
+    the mix long before volumes alarm).
+
+    TV = ½·Σ_cat |p_d − p_prev| computed as the INTEGER sum
+    Σ|c_d·n_prev − c_prev·n_d| with one double divide by 2·n_d·n_prev
+    at the end — deterministic cross-engine. The dense (category ×
+    day) grid makes a LAG (partitioned by category, ordered by day,
+    exact day-adjacency checked) yield the previous day's count —
+    categories absent on either day contribute their full count via
+    the grid's zero rows, with no self-join. One corpus shuffle (the
+    (day, cat) count, PERSISTED — its three consumers (day totals,
+    category list, grid join) read the metadata aggregate, never the
+    corpus again; ride ``_cached_deps``, release with
+    ``dedup.unpersist_deps``); the rest is |days|·|cats| metadata.
+    First day (or post-gap day) emits NULL."""
+    from batch_process_dpla_index_spark.operators.dedup import (
+        _with_cached_deps,
+    )
+
+    c = df.groupBy(
+        F.date_trunc("day", F.col(ts_col)).alias("day"),
+        F.col(cat_col).alias("cat"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c")).persist()
+    g = c.groupBy("day").agg(F.sum("c").alias("n_day"))
+    cats = c.select("cat").distinct()
+    grid = cats.crossJoin(F.broadcast(g))
+    dense = grid.join(c, ["day", "cat"], "left").select(
+        "day",
+        "cat",
+        "n_day",
+        F.coalesce(F.col("c"), F.lit(0)).alias("c_cur"),
+    )
+    w_cat = Window.partitionBy("cat").orderBy("day")
+    adjacent = F.lag("day").over(w_cat) == F.col("day") - F.expr(
+        "INTERVAL 1 DAY"
+    )
+    lagged = dense.select(
+        "day",
+        "n_day",
+        F.when(adjacent, F.lag("n_day").over(w_cat)).alias("n_prev"),
+        F.when(
+            adjacent,
+            F.abs(
+                F.col("c_cur") * F.lag("n_day").over(w_cat)
+                - F.lag("c_cur").over(w_cat) * F.col("n_day")
+            ),
+        ).alias("__num"),
+    )
+    out = (
+        lagged.groupBy("day", "n_day")
+        .agg(
+            F.max("n_prev").alias("n_prev"),
+            F.sum("__num").alias("__num"),
+        )
+        .select(
+            "day",
+            F.col("n_day").cast("bigint").alias("n_rows"),
+            F.col("n_prev").cast("bigint").alias("n_prev"),
+            F.round(
+                F.col("__num").cast("double")
+                / (
+                    F.lit(2) * F.col("n_day") * F.col("n_prev")
+                ).cast("double"),
+                6,
+            ).alias("tv_dist"),
+        )
+        .orderBy("day")
+    )
+    return _with_cached_deps(out, [c])

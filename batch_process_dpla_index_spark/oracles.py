@@ -4653,8 +4653,84 @@ FROM c GROUP BY src ORDER BY source
 """
 
 
+# Day-over-day KS of the event-value distribution: the
+# source_drift_ks integer-exact discipline on a (day × floor(value))
+# grid, adjacent days paired by day + INTERVAL 1 DAY.
+ORACLE_TEMPORAL_DRIFT_KS = """
+WITH c AS (
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           CAST(floor(value) AS BIGINT) AS x,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), g AS (SELECT day, CAST(sum(cnt) AS BIGINT) AS n_day FROM c GROUP BY 1),
+xs AS (SELECT DISTINCT x FROM c),
+cum AS (
+    SELECT g.day, g.n_day, xs.x,
+           CAST(sum(coalesce(c.cnt, 0))
+                OVER (PARTITION BY g.day ORDER BY xs.x) AS BIGINT) AS cum_d
+    FROM g CROSS JOIN xs
+    LEFT JOIN c ON c.day = g.day AND c.x = xs.x
+), paired AS (
+    SELECT cur.day, cur.n_day, prv.n_day AS n_prev,
+           max(abs(cur.cum_d * prv.n_day - prv.cum_d * cur.n_day)) AS num
+    FROM cum cur
+    JOIN cum prv
+      ON prv.day + INTERVAL 1 DAY = cur.day AND prv.x = cur.x
+    GROUP BY 1, 2, 3
+)
+SELECT day, n_day AS n_rows, n_prev,
+       round(CAST(num AS DOUBLE) / CAST(n_day * n_prev AS DOUBLE), 6)
+           AS ks_stat
+FROM paired
+UNION ALL
+SELECT g.day, g.n_day AS n_rows, CAST(NULL AS BIGINT) AS n_prev,
+       CAST(NULL AS DOUBLE) AS ks_stat
+FROM g WHERE g.day NOT IN (SELECT day FROM paired)
+ORDER BY day
+"""
+
+# Day-over-day total-variation distance of the event-type mix: the
+# integer TV numerator Σ|c_d·n_prev − c_prev·n_d| over the full-outer
+# category union, one double divide by 2·n_d·n_prev.
+ORACLE_EVENT_MIX_DRIFT = """
+WITH c AS (
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           event_type AS cat, CAST(count(*) AS BIGINT) AS cnt
+    FROM events GROUP BY 1, 2
+), g AS (SELECT day, CAST(sum(cnt) AS BIGINT) AS n_day FROM c GROUP BY 1),
+pairs AS (
+    SELECT cur.day AS day, cur.n_day AS n_cur, prv.day AS pday,
+           prv.n_day AS n_prev
+    FROM g cur JOIN g prv ON prv.day + INTERVAL 1 DAY = cur.day
+), joined AS (
+    SELECT p.day, p.n_cur, p.n_prev,
+           coalesce(cc.cnt, 0) AS c_cur, coalesce(cp.cnt, 0) AS c_prev
+    FROM pairs p
+    JOIN (SELECT DISTINCT cat FROM c) cats ON TRUE
+    LEFT JOIN c cc ON cc.day = p.day AND cc.cat = cats.cat
+    LEFT JOIN c cp ON cp.day = p.pday AND cp.cat = cats.cat
+    WHERE cc.cnt IS NOT NULL OR cp.cnt IS NOT NULL
+), paired AS (
+    SELECT day, n_cur, n_prev,
+           sum(abs(c_cur * n_prev - c_prev * n_cur)) AS num
+    FROM joined GROUP BY 1, 2, 3
+)
+SELECT day, n_cur AS n_rows, n_prev,
+       round(CAST(num AS DOUBLE) / CAST(2 * n_cur * n_prev AS DOUBLE), 6)
+           AS tv_dist
+FROM paired
+UNION ALL
+SELECT g.day, g.n_day AS n_rows, CAST(NULL AS BIGINT) AS n_prev,
+       CAST(NULL AS DOUBLE) AS tv_dist
+FROM g WHERE g.day NOT IN (SELECT day FROM paired)
+ORDER BY day
+"""
+
+
 ORACLES: dict[str, str] = {
     "source_drift_ks": ORACLE_SOURCE_DRIFT_KS,
+    "temporal_drift_ks": ORACLE_TEMPORAL_DRIFT_KS,
+    "event_mix_drift": ORACLE_EVENT_MIX_DRIFT,
     "embedding_centroid_drift": ORACLE_EMBEDDING_CENTROID_DRIFT,
     "k_anonymity": ORACLE_K_ANONYMITY,
     "source_lang_entropy": ORACLE_SOURCE_LANG_ENTROPY,

@@ -3533,6 +3533,32 @@ def q_source_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_lang_entropy(docs, "source", "lang")
 
 
+def q_temporal_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day two-sample KS distance of the event-value
+    distribution (r15 debut) — the temporal drift monitor
+    (operators/profiling.py:temporal_drift_ks). Integer-exact ECDF
+    grid, one corpus shuffle."""
+    from batch_process_dpla_index_spark.operators.profiling import (
+        temporal_drift_ks,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    return temporal_drift_ks(events, "ts", "value")
+
+
+def q_event_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day total-variation distance of the event-type mix
+    (r15 debut) — the categorical drift monitor
+    (operators/profiling.py:event_mix_drift). Integer TV numerator,
+    one corpus shuffle."""
+    from batch_process_dpla_index_spark.operators.profiling import (
+        event_mix_drift,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    return event_mix_drift(events, "ts", "event_type")
+
+
 # Registry order is part of the driver contract: the correctness gate
 # records exactly the FIRST 50 entries; every entry outside the window
 # stays oracle-verified each round via tools/verify_local.py at
@@ -3608,6 +3634,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_centroid_drift": q_embedding_centroid_drift,
     "k_anonymity": q_k_anonymity,
     "source_lang_entropy": q_source_lang_entropy,
+    "temporal_drift_ks": q_temporal_drift_ks,
+    "event_mix_drift": q_event_mix_drift,
     # -- the r12-green cohort's 21-entry remainder (staged for r16;
     #    all driver-green in CORRECTNESS_r12, re-verified every round
     #    via tools/verify_local.py fleet runs) --

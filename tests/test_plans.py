@@ -572,7 +572,12 @@ def test_drift_monitors_scan_corpus_once(spark):
     else reads the InMemoryRelation."""
     from batch_process_dpla_index_spark.operators.dedup import unpersist_deps
 
-    for name, n_inmem in (("source_drift_ks", 4), ("embedding_centroid_drift", 2)):
+    for name, n_inmem in (
+        ("source_drift_ks", 4),
+        ("embedding_centroid_drift", 2),
+        ("temporal_drift_ks", 3),
+        ("event_mix_drift", 3),
+    ):
         df = QUERIES[name](spark, SF_DIR)
         plan = df._jdf.queryExecution().executedPlan().toString()
         n_scans = plan.count("FileScan parquet")
