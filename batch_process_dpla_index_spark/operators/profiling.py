@@ -705,15 +705,31 @@ def event_mix_drift(
     category list, grid join) read the metadata aggregate, never the
     corpus again; ride ``_cached_deps``, release with
     ``dedup.unpersist_deps``); the rest is |days|·|cats| metadata.
-    First day (or post-gap day) emits NULL."""
+    First day (or post-gap day) emits NULL.
+
+    The TV arithmetic lives in :func:`mix_drift_from_counts` so the
+    STREAMING twin (``streaming/windows.py:streaming_mix_counts`` —
+    tumbling day-window counts maintained online) feeds its drained
+    counts through the IDENTICAL code path — zero drift-math
+    divergence risk between batch and stream."""
+    c = df.groupBy(
+        F.date_trunc("day", F.col(ts_col)).alias("day"),
+        F.col(cat_col).alias("cat"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    return mix_drift_from_counts(c)
+
+
+def mix_drift_from_counts(counts: DataFrame) -> DataFrame:
+    """The day-over-day total-variation core over a prepared
+    (day, cat, c) counts frame — shared verbatim by the batch operator
+    (:func:`event_mix_drift`) and the streaming twin's drained window
+    counts. The counts frame is persisted here (three consumers);
+    release via ``_cached_deps``/``unpersist_deps``."""
     from batch_process_dpla_index_spark.operators.dedup import (
         _with_cached_deps,
     )
 
-    c = df.groupBy(
-        F.date_trunc("day", F.col(ts_col)).alias("day"),
-        F.col(cat_col).alias("cat"),
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("c")).persist()
+    c = counts.persist()
     g = c.groupBy("day").agg(F.sum("c").alias("n_day"))
     cats = c.select("cat").distinct()
     grid = cats.crossJoin(F.broadcast(g))

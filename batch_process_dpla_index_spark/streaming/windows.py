@@ -277,3 +277,31 @@ def running_user_totals(stream):
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_mix_counts(
+    stream,
+    ts_col: str = "ts",
+    cat_col: str = "event_type",
+    watermark: str = "1 day",
+):
+    """Per-day category counts maintained ONLINE — the streaming feed
+    of the mix-drift monitor (`operators/profiling.py:
+    event_mix_drift`). Tumbling 1-day event-time windows keyed by
+    category; state per (day, cat) is one counter, bounded by
+    |days in watermark|·|cats| regardless of stream length. The
+    drained complete-mode table is EXACTLY the batch operator's
+    (day, cat, c) aggregate (same date_trunc boundary: a tumbling
+    1-day window's start IS the truncated day), so feeding it through
+    `profiling.mix_drift_from_counts` yields the batch answer
+    bit-for-bit — pinned by test_mix_drift_stream_converges_to_batch."""
+    from pyspark.sql import functions as F
+
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(ts_col, "1 day").start.alias("day"),
+            F.col(cat_col).alias("cat"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )

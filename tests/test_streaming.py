@@ -1223,3 +1223,58 @@ def test_ingest_wrappers_assert_index_modality(spark, tmp_path):
             spark, str(tmp_path / "s2"), schema, str(tmp_path / "o2"),
             str(tmp_path / "c2"), aud_idx,
         )
+
+
+def test_mix_drift_stream_converges_to_batch(spark, tmp_path):
+    """Drained streaming_mix_counts fed through mix_drift_from_counts
+    == event_mix_drift over the same events, bit-for-bit — the
+    streaming twin contract of the categorical drift monitor (r15):
+    the tumbling 1-day window start equals the batch date_trunc
+    boundary, and both sides share the SAME TV arithmetic code path
+    (mix_drift_from_counts), so the only thing this can catch is a
+    window/boundary divergence — exactly what it pins."""
+    import uuid as _uuid
+
+    from batch_process_dpla_index_spark.operators.dedup import unpersist_deps
+    from batch_process_dpla_index_spark.operators.profiling import (
+        event_mix_drift,
+        mix_drift_from_counts,
+    )
+    from batch_process_dpla_index_spark.streaming.windows import (
+        streaming_mix_counts,
+    )
+
+    events = load_table(spark, SF_DIR, "events")
+    src = str(tmp_path / "mixevents")
+    # several files so AvailableNow crosses micro-batch boundaries and
+    # per-window counts fold across batches
+    events.repartition(5).write.parquet(src)
+
+    stream = spark.readStream.schema(events.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    name = f"mix_{_uuid.uuid4().hex[:8]}"
+    q = (
+        streaming_mix_counts(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # memory-sink views cannot SELF-JOIN (Spark's DeduplicateRelations
+    # does not cover MemoryPlan: "Failure when resolving conflicting
+    # references in Join") — round-trip the drained counts through a
+    # local frame, exactly what a real pipeline does when it lands the
+    # window counts in a file/table sink. Bounded: |days|·|cats| rows.
+    drained = spark.table(name)
+    counts = spark.createDataFrame(drained.collect(), drained.schema)
+
+    via_stream = mix_drift_from_counts(counts)
+    got = sorted(map(tuple, via_stream.collect()))
+    unpersist_deps(via_stream)
+    want_df = event_mix_drift(events, "ts", "event_type")
+    want = sorted(map(tuple, want_df.collect()))
+    unpersist_deps(want_df)
+    assert got == want and len(got) > 0
