@@ -620,10 +620,6 @@ def temporal_drift_ks(
     ``dedup.unpersist_deps``); the grid is |days|·|buckets| metadata.
     Int64 bound: n_day·n_prev < 2^63 holds for any day under ~3e9
     rows."""
-    from batch_process_dpla_index_spark.operators.dedup import (
-        _with_cached_deps,
-    )
-
     c = (
         df.where(F.col(value_col).isNotNull())
         .groupBy(
@@ -631,8 +627,23 @@ def temporal_drift_ks(
             F.floor(F.col(value_col)).cast("bigint").alias("x"),
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-        .persist()
     )
+    return ks_drift_from_counts(c)
+
+
+def ks_drift_from_counts(counts: DataFrame) -> DataFrame:
+    """The day-over-day KS core over a prepared (day, x, c) bucket-
+    counts frame — shared verbatim by the batch operator
+    (:func:`temporal_drift_ks`) and the streaming twin's drained
+    window counts (``streaming/windows.py:streaming_value_counts``),
+    the :func:`mix_drift_from_counts` pattern. The counts frame is
+    persisted here (three consumers); release via
+    ``_cached_deps``/``unpersist_deps``."""
+    from batch_process_dpla_index_spark.operators.dedup import (
+        _with_cached_deps,
+    )
+
+    c = counts.persist()
     g = c.groupBy("day").agg(F.sum("c").alias("n_day"))
     xs = c.select("x").distinct()
     grid = xs.crossJoin(F.broadcast(g))

@@ -305,3 +305,31 @@ def streaming_mix_counts(
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     )
+
+
+def streaming_value_counts(
+    stream,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    watermark: str = "1 day",
+):
+    """Per-day floor-bucketed value counts maintained ONLINE — the
+    streaming feed of the KS drift monitor (`operators/profiling.py:
+    temporal_drift_ks`), the `streaming_mix_counts` pattern. Tumbling
+    1-day event-time windows keyed by the integer bucket; state per
+    (day, bucket) is one counter, bounded by the watermark horizon ×
+    |buckets|. The drained complete-mode table is exactly the batch
+    (day, x, c) aggregate, so `profiling.ks_drift_from_counts` yields
+    the batch answer bit-for-bit — pinned by
+    test_ks_drift_stream_converges_to_batch."""
+    from pyspark.sql import functions as F
+
+    return (
+        stream.where(F.col(value_col).isNotNull())
+        .withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(ts_col, "1 day").start.alias("day"),
+            F.floor(F.col(value_col)).cast("bigint").alias("x"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )

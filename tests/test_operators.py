@@ -1507,3 +1507,55 @@ def test_modality_dup_report_matches_survivor_queries(spark):
         kept = surv_fn(spark, SF_DIR)
         assert report[modality] == (n, kept.count()), modality
         unpersist_deps(kept)
+
+
+def test_temporal_drift_day_gap_emits_null(spark):
+    """The day-adjacency contract of both temporal monitors (r15):
+    the fixture's days are contiguous, so the oracle gate never
+    exercises the GAP branch — a day whose predecessor is missing
+    entirely must emit NULL (no pairing against the last PRESENT
+    day), and the days around the gap must match an exact integer
+    replay. Hand-built 4-day stream with day 3 absent."""
+    import datetime as dt
+
+    from batch_process_dpla_index_spark.operators.dedup import unpersist_deps
+    from batch_process_dpla_index_spark.operators.profiling import (
+        event_mix_drift,
+        temporal_drift_ks,
+    )
+
+    def day(d, h=0):
+        return dt.datetime(2024, 1, d, h)
+
+    rows = (
+        # day 1: a×2, b×1; values 1,1,2
+        [(day(1, i), "a", 1.0) for i in range(2)]
+        + [(day(1, 3), "b", 2.0)]
+        # day 2: a×1, b×3; values 1,2,3,4
+        + [(day(2, 0), "a", 1.0)]
+        + [(day(2, i), "b", float(1 + i)) for i in range(1, 4)]
+        # day 4 (gap at day 3): c×2; values 5,5
+        + [(day(4, i), "c", 5.0) for i in range(2)]
+    )
+    df = spark.createDataFrame(rows, "ts TIMESTAMP, event_type STRING, value DOUBLE")
+
+    mix = event_mix_drift(df, "ts", "event_type")
+    got_mix = {r["day"].day: (r["n_rows"], r["n_prev"], r["tv_dist"])
+               for r in mix.collect()}
+    unpersist_deps(mix)
+    # day2 vs day1: counts a:1,b:3 (n=4) vs a:2,b:1 (n=3)
+    # TV = (|1·3−2·4| + |3·3−1·4|) / (2·4·3) = (5 + 5) / 24
+    assert got_mix[1] == (3, None, None)
+    assert got_mix[2] == (4, 3, round(10 / 24, 6))
+    assert got_mix[4] == (2, None, None)  # gap: no pairing with day 2
+
+    ks = temporal_drift_ks(df, "ts", "value")
+    got_ks = {r["day"].day: (r["n_rows"], r["n_prev"], r["ks_stat"])
+              for r in ks.collect()}
+    unpersist_deps(ks)
+    # ECDFs on buckets {1,2,3,4,5}: day1 cum (2,3,3,3,3)/3; day2 cum
+    # (1,2,3,4,4)/4 -> integer numerators |cum2·3 − cum1·4| per x:
+    # |3−8|=5, |6−12|=6, |9−12|=3, |12−12|=0, 0 -> max 6 / (4·3)
+    assert got_ks[1] == (3, None, None)
+    assert got_ks[2] == (4, 3, round(6 / 12, 6))
+    assert got_ks[4] == (2, None, None)

@@ -1278,3 +1278,49 @@ def test_mix_drift_stream_converges_to_batch(spark, tmp_path):
     want = sorted(map(tuple, want_df.collect()))
     unpersist_deps(want_df)
     assert got == want and len(got) > 0
+
+
+def test_ks_drift_stream_converges_to_batch(spark, tmp_path):
+    """Drained streaming_value_counts fed through ks_drift_from_counts
+    == temporal_drift_ks over the same events, bit-for-bit — the
+    streaming twin contract of the KS drift monitor (r15), the
+    mix-drift convergence pattern applied to the continuous metric."""
+    import uuid as _uuid
+
+    from batch_process_dpla_index_spark.operators.dedup import unpersist_deps
+    from batch_process_dpla_index_spark.operators.profiling import (
+        ks_drift_from_counts,
+        temporal_drift_ks,
+    )
+    from batch_process_dpla_index_spark.streaming.windows import (
+        streaming_value_counts,
+    )
+
+    events = load_table(spark, SF_DIR, "events")
+    src = str(tmp_path / "ksevents")
+    events.repartition(5).write.parquet(src)
+
+    stream = spark.readStream.schema(events.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    name = f"ks_{_uuid.uuid4().hex[:8]}"
+    q = (
+        streaming_value_counts(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    drained = spark.table(name)
+    # memory-sink views cannot self-join (see the mix-drift twin test)
+    counts = spark.createDataFrame(drained.collect(), drained.schema)
+
+    via_stream = ks_drift_from_counts(counts)
+    got = sorted(map(tuple, via_stream.collect()))
+    unpersist_deps(via_stream)
+    want_df = temporal_drift_ks(events, "ts", "value")
+    want = sorted(map(tuple, want_df.collect()))
+    unpersist_deps(want_df)
+    assert got == want and len(got) > 0
