@@ -844,3 +844,105 @@ def source_lang_entropy(
         )
         .orderBy(source_col)
     )
+
+
+def l_diversity_audit(
+    df: DataFrame,
+    quasi_cols: "list[str]",
+    sensitive_col: str,
+    l: int = 2,
+) -> DataFrame:
+    """Quasi-identifier combinations whose SENSITIVE attribute takes
+    fewer than ``l`` distinct values — the l-diversity companion of
+    :func:`k_anonymity_audit` (a combo can be large enough to pass
+    k-anonymity while every row in it shares one sensitive value, so
+    membership alone discloses the attribute; those combos are the
+    disclosure list).
+
+    Output: the risky combos only — (quasi cols…, n_rows,
+    n_sensitive) with n_sensitive < l. ONE hash aggregate with an
+    exact distinct count (the audit is the verifiable artifact; at
+    100 TB the distinct expand is per-combo-bounded by the sensitive
+    domain, which for release audits is small by construction)."""
+    if l < 1:
+        raise ValueError(f"l_diversity_audit: l must be >= 1, got {l}")
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.countDistinct(F.col(sensitive_col))
+            .cast("bigint")
+            .alias("n_sensitive"),
+        )
+        .where(F.col("n_sensitive") < int(l))
+        .orderBy(*quasi_cols)
+    )
+
+
+def contamination_matrix(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    n: int = 3,
+) -> DataFrame:
+    """(source_a, source_b, n_shared, containment): pairwise
+    cross-source shingle containment — "how much of source B's
+    distinct n-gram vocabulary already appears in source A"
+    (containment = |S_a ∩ S_b| / |S_b| over DISTINCT word n-gram
+    shingles per source). The matrix a curation pipeline reads to
+    find mirrored/syndicated feeds BEFORE doc-level dedup spends its
+    budget on them; asymmetric by design (a small feed fully copied
+    by a large one reads 1.0 in one direction, small in the other).
+
+    One corpus pass (the same :func:`dedup.shingle_sets` tier every
+    dedup operator uses — short-doc and empty-doc conventions match
+    the jaccard oracle's shingle macro), ONE distinct shuffle to
+    per-source posting lists, then a self-equi-join on the shingle.
+    Per-shingle fan-out is bounded by |sources|² — sources are ingest
+    feeds, a bounded entity, unlike docs; the posting frame is
+    persisted for its three consumers (sizes, both join sides).
+    Integer counts; ONE double divide per pair. Release the persist
+    via ``_cached_deps``/``unpersist_deps``."""
+    from batch_process_dpla_index_spark.operators.dedup import (
+        _with_cached_deps,
+        shingle_sets,
+    )
+
+    posts = (
+        shingle_sets(df, text_col, source_col, n, use_pandas=True)
+        .select(
+            F.col(source_col).alias("src"),
+            F.explode("shingles").alias("shingle"),
+        )
+        .distinct()
+        .persist()
+    )
+    sizes = posts.groupBy("src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sh")
+    )
+    a = posts.select(F.col("src").alias("source_a"), "shingle")
+    b = posts.select(F.col("src").alias("source_b"), "shingle")
+    pairs = (
+        a.join(b, "shingle")
+        .where(F.col("source_a") != F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    out = (
+        pairs.join(
+            F.broadcast(sizes.withColumnRenamed("src", "source_b")),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared").cast("double")
+                / F.col("n_sh").cast("double"),
+                6,
+            ).alias("containment"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+    return _with_cached_deps(out, [posts])

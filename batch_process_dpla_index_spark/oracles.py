@@ -4727,8 +4727,46 @@ ORDER BY day
 """
 
 
+ORACLE_L_DIVERSITY = """
+SELECT source, CAST(n_chars // 100 AS BIGINT) AS len_bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_sensitive
+FROM documents
+GROUP BY 1, 2
+HAVING count(DISTINCT lang) < 3
+ORDER BY source, len_bucket
+"""
+
+# Pairwise cross-source shingle containment over the SAME word-n-gram
+# shingle macro the jaccard/minhash oracles replay (short-doc and
+# empty-doc conventions included); integer intersection counts, one
+# double divide per pair.
+ORACLE_CONTAMINATION_MATRIX = f"""
+WITH {_DOC_TOK_CTE}, sets AS (
+    SELECT source, list_distinct({_shingles("tok", 3)}) AS sh FROM doc_tok
+), posts AS (
+    SELECT DISTINCT source AS src, unnest(sh) AS shingle FROM sets
+), sizes AS (
+    SELECT src, CAST(count(*) AS BIGINT) AS n_sh FROM posts GROUP BY 1
+), pairs AS (
+    SELECT a.src AS source_a, b.src AS source_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM posts a JOIN posts b USING (shingle)
+    WHERE a.src <> b.src
+    GROUP BY 1, 2
+)
+SELECT source_a, source_b, n_shared,
+       round(CAST(n_shared AS DOUBLE) / CAST(s.n_sh AS DOUBLE), 6)
+           AS containment
+FROM pairs JOIN sizes s ON s.src = source_b
+ORDER BY source_a, source_b
+"""
+
+
 ORACLES: dict[str, str] = {
     "source_drift_ks": ORACLE_SOURCE_DRIFT_KS,
+    "l_diversity": ORACLE_L_DIVERSITY,
+    "contamination_matrix": ORACLE_CONTAMINATION_MATRIX,
     "temporal_drift_ks": ORACLE_TEMPORAL_DRIFT_KS,
     "event_mix_drift": ORACLE_EVENT_MIX_DRIFT,
     "embedding_centroid_drift": ORACLE_EMBEDDING_CENTROID_DRIFT,

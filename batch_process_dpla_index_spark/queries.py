@@ -3559,6 +3559,36 @@ def q_event_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_mix_drift(events, "ts", "event_type")
 
 
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, 100-char bucket) combos where the lang attribute takes
+    fewer than l=3 distinct values (r15 late debut, staged r17) — the
+    l-diversity disclosure list next to k_anonymity
+    (operators/curation.py:l_diversity_audit)."""
+    from batch_process_dpla_index_spark.operators.curation import (
+        l_diversity_audit,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source",
+        F.expr("n_chars div 100").cast("bigint").alias("len_bucket"),
+        "lang",
+    )
+    return l_diversity_audit(docs, ["source", "len_bucket"], "lang", l=3)
+
+
+def q_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cross-source shingle containment (r15 late debut,
+    staged r17) — the mirrored-feed detector
+    (operators/curation.py:contamination_matrix); shingle conventions
+    shared with the jaccard dedup tier."""
+    from batch_process_dpla_index_spark.operators.curation import (
+        contamination_matrix,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return contamination_matrix(docs, "text", "source", n=3)
+
+
 # Registry order is part of the driver contract: the correctness gate
 # records exactly the FIRST 50 entries; every entry outside the window
 # stays oracle-verified each round via tools/verify_local.py at
@@ -3636,6 +3666,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_lang_entropy": q_source_lang_entropy,
     "temporal_drift_ks": q_temporal_drift_ks,
     "event_mix_drift": q_event_mix_drift,
+    # -- r15 late additions (staged r17: the r16 window was already
+    #    staged/frozen in ROUNDNOTES when these landed) --
+    "l_diversity": q_l_diversity,
+    "contamination_matrix": q_contamination_matrix,
     # -- the r12-green cohort's 21-entry remainder (staged for r16;
     #    all driver-green in CORRECTNESS_r12, re-verified every round
     #    via tools/verify_local.py fleet runs) --
