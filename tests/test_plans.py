@@ -577,6 +577,7 @@ def test_drift_monitors_scan_corpus_once(spark):
         ("embedding_centroid_drift", 2),
         ("temporal_drift_ks", 3),
         ("event_mix_drift", 3),
+        ("contamination_matrix", 3),
     ):
         df = QUERIES[name](spark, SF_DIR)
         plan = df._jdf.queryExecution().executedPlan().toString()
