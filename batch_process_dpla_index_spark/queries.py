@@ -3597,82 +3597,22 @@ def q_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # next-round window).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # The driver's correctness gate records the FIRST 50 entries only;
-    # round-15 rotation (VERDICT r14 #2 — executed exactly as staged in
-    # ROUNDNOTES r14 FINAL): positions 1-4 are the r14 debuts (the only
-    # four registry entries with no driver row — closes cumulative
-    # driver coverage to 171/171), positions 5-21 are the r11-green
-    # cohort's 17-entry remainder, positions 22-50 are the first 29 of
-    # the r12-green cohort. The r12 cohort's remaining 21 entries defer
-    # to r16 with fleet-verify receipts. Rotation arithmetic + deferral
+    # round-16 rotation (VERDICT r15 #1/#7 — executed exactly as staged
+    # in ROUNDNOTES r15): positions 1-6 are the six r15 drift/privacy
+    # debuts (the only window entries with no driver row — lands their
+    # first CORRECTNESS rows), positions 7-27 are the r12-green
+    # cohort's 21-entry remainder, positions 28-50 are the first 23 of
+    # the r13-green cohort. The r13 cohort's remaining 27 defer to r17
+    # with fleet-verify receipts; rotation arithmetic + deferral
     # receipts live in ROUNDNOTES.md.
-    "audio_near_dup": q_audio_near_dup,
-    "audio_dedup_survivors": q_audio_dedup_survivors,
-    "video_dedup_survivors": q_video_dedup_survivors,
-    "modality_dup_report": q_modality_dup_report,
-    # -- the r11-green cohort's 17-entry remainder --
-    "leakage_safe_split": q_leakage_safe_split,
-    "benford_profile": q_benford_profile,
-    "winsorized_stats": q_winsorized_stats,
-    "cusum_changepoint": q_cusum_changepoint,
-    "domain_quality_rank": q_domain_quality_rank,
-    "ngram_novelty": q_ngram_novelty,
-    "bloom_prune_join": q_bloom_prune_join,
-    "hard_negatives": q_hard_negatives,
-    "lsh_quality_report": q_lsh_quality_report,
-    "random_projection_profile": q_random_projection_profile,
-    "label_propagation": q_label_propagation,
-    "embedding_dim_profile": q_embedding_dim_profile,
-    "growth_rates": q_growth_rates,
-    "market_basket": q_market_basket,
-    "vocab_coverage": q_vocab_coverage,
-    "attribution_last_touch": q_attribution_last_touch,
-    "seasonal_baseline": q_seasonal_baseline,
-    # -- first 29 of the r12-green cohort --
-    "two_level_kmeans": q_two_level_kmeans,
-    "imi_topk": q_imi_topk,
-    "imi_recall_report": q_imi_recall_report,
-    "triangle_count": q_triangle_count,
-    "bpe_merges": q_bpe_merges,
-    "rfm_segments": q_rfm_segments,
-    "churn_labels": q_churn_labels,
-    "readability_scores": q_readability_scores,
-    "hits_scores": q_hits_scores,
-    "common_neighbors": q_common_neighbors,
-    "keep_first": q_keep_first,
-    "user_running_anomaly": q_user_running_anomaly,
-    "quality_classifier": q_quality_classifier,
-    "containment_pairs": q_containment_pairs,
-    "event_transitions": q_event_transitions,
-    "nearest_purchase": q_nearest_purchase,
-    "bigram_pmi": q_bigram_pmi,
-    "weighted_sample": q_weighted_sample,
-    "session_paths": q_session_paths,
-    "pq_encode": q_pq_encode,
-    "approx_distinct_users": q_approx_distinct_users,
-    "price_tiers": q_price_tiers,
-    "training_prep": q_training_prep,
-    "column_profile": q_column_profile,
-    "corr_matrix": q_corr_matrix,
-    "decayed_counts": q_decayed_counts,
-    "pagerank": q_pagerank,
-    "heavy_hitters": q_heavy_hitters,
-    "robust_outliers": q_robust_outliers,
-    # ---- driver-window boundary (entry 50 above this line) ----
-    # -- staged r16 debuts (r15 additions; verified both SFs, pinned,
-    #    probed same-round per the staging discipline) --
+    # -- the six r15 drift/privacy debuts --
     "source_drift_ks": q_source_drift_ks,
     "embedding_centroid_drift": q_embedding_centroid_drift,
     "k_anonymity": q_k_anonymity,
     "source_lang_entropy": q_source_lang_entropy,
     "temporal_drift_ks": q_temporal_drift_ks,
     "event_mix_drift": q_event_mix_drift,
-    # -- r15 late additions (staged r17: the r16 window was already
-    #    staged/frozen in ROUNDNOTES when these landed) --
-    "l_diversity": q_l_diversity,
-    "contamination_matrix": q_contamination_matrix,
-    # -- the r12-green cohort's 21-entry remainder (staged for r16;
-    #    all driver-green in CORRECTNESS_r12, re-verified every round
-    #    via tools/verify_local.py fleet runs) --
+    # -- the r12-green cohort's 21-entry remainder --
     "quantile_bins": q_quantile_bins,
     "er_clusters": q_er_clusters,
     "exact_dedup": q_exact_dedup,
@@ -3694,6 +3634,65 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sliding_event_counts": q_sliding_event_counts,
     "user_sessions": q_user_sessions,
     "interval_join": q_interval_join,
+    # -- first 23 of the r13-green cohort --
+    "semantic_dedup": q_semantic_dedup,
+    "incremental_semantic_dedup": q_incremental_semantic_dedup,
+    "cell_occupancy": q_cell_occupancy,
+    "dataset_dup_profile": q_dataset_dup_profile,
+    "multimodal_resize": q_multimodal_resize,
+    "user_cumsum": q_user_cumsum,
+    "user_zscore": q_user_zscore,
+    "multimodal_meta": q_multimodal_meta,
+    "mixture_plan": q_mixture_plan,
+    "mixture_sample": q_mixture_sample,
+    "domain_cap": q_domain_cap,
+    "lm_scores": q_lm_scores,
+    "bm25_search": q_bm25_search,
+    "source_overlap_incremental": q_source_overlap_incremental,
+    "kcore_decomposition": q_kcore_decomposition,
+    "ivf_pq_topk": q_ivf_pq_topk,
+    "cluster_silhouette": q_cluster_silhouette,
+    "attribution_time_decay": q_attribution_time_decay,
+    "clustering_coefficients": q_clustering_coefficients,
+    "source_concentration": q_source_concentration,
+    "source_overlap": q_source_overlap,
+    "pq_topk": q_pq_topk,
+    "tokenizer_fertility": q_tokenizer_fertility,
+    # ---- driver-window boundary (entry 50 above this line) ----
+    # -- r15 late additions (staged r17 positions 1-2; verified both
+    #    SFs, pinned, probed per the staging discipline) --
+    "l_diversity": q_l_diversity,
+    "contamination_matrix": q_contamination_matrix,
+    # -- the r13-green cohort's 27-entry remainder (staged for r17;
+    #    all driver-green in CORRECTNESS_r13, re-verified every round
+    #    via tools/verify_local.py fleet runs) --
+    "quality_gate": q_quality_gate,
+    "global_shuffle": q_global_shuffle,
+    "doc_chunks": q_doc_chunks,
+    "packed_bins": q_packed_bins,
+    "stratified_sample": q_stratified_sample,
+    "apply_changeset": q_apply_changeset,
+    "skew_report": q_skew_report,
+    "corpus_report": q_corpus_report,
+    "event_rank_suite": q_event_rank_suite,
+    "text_stats": q_text_stats,
+    "melt_metrics": q_melt_metrics,
+    "cube_flags": q_cube_flags,
+    "pii_redaction": q_pii_redaction,
+    "repetition_stats": q_repetition_stats,
+    "top_bigrams": q_top_bigrams,
+    "bpe_token_counts": q_bpe_token_counts,
+    "fingerprint_folded": q_fingerprint_folded,
+    "fuzzy_match": q_fuzzy_match,
+    "snm_multipass": q_snm_multipass,
+    "skipgram_cooc": q_skipgram_cooc,
+    "rrf_fusion": q_rrf_fusion,
+    "avro_flatten_items": q_avro_flatten_items,
+    "repair_flatten": q_repair_flatten,
+    "schema_align": q_schema_align,
+    "decontaminate": q_decontaminate,
+    "fingerprint_clusters": q_fingerprint_clusters,
+    "mq_contributor_scores": q_mq_contributor_scores,
     # -- earlier-green cohorts (r13 + r14 windows; every entry has a
     #    green driver row, re-verified via fleet runs each round) --
     "image_near_dup": q_image_near_dup,
@@ -3746,54 +3745,56 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scd2_history": q_scd2_history,
     "retention_cohorts": q_retention_cohorts,
     "dedup_representatives": q_dedup_representatives,
-    "semantic_dedup": q_semantic_dedup,
-    "incremental_semantic_dedup": q_incremental_semantic_dedup,
-    "cell_occupancy": q_cell_occupancy,
-    "dataset_dup_profile": q_dataset_dup_profile,
-    "multimodal_resize": q_multimodal_resize,
-    "user_cumsum": q_user_cumsum,
-    "user_zscore": q_user_zscore,
-    "multimodal_meta": q_multimodal_meta,
-    "mixture_plan": q_mixture_plan,
-    "mixture_sample": q_mixture_sample,
-    "domain_cap": q_domain_cap,
-    "lm_scores": q_lm_scores,
-    "bm25_search": q_bm25_search,
-    "source_overlap_incremental": q_source_overlap_incremental,
-    "kcore_decomposition": q_kcore_decomposition,
-    "ivf_pq_topk": q_ivf_pq_topk,
-    "cluster_silhouette": q_cluster_silhouette,
-    "attribution_time_decay": q_attribution_time_decay,
-    "clustering_coefficients": q_clustering_coefficients,
-    "source_concentration": q_source_concentration,
-    "source_overlap": q_source_overlap,
-    "pq_topk": q_pq_topk,
-    "tokenizer_fertility": q_tokenizer_fertility,
-    "quality_gate": q_quality_gate,
-    "global_shuffle": q_global_shuffle,
-    "doc_chunks": q_doc_chunks,
-    "packed_bins": q_packed_bins,
-    "stratified_sample": q_stratified_sample,
-    "apply_changeset": q_apply_changeset,
-    "skew_report": q_skew_report,
-    "corpus_report": q_corpus_report,
-    "event_rank_suite": q_event_rank_suite,
-    "text_stats": q_text_stats,
-    "melt_metrics": q_melt_metrics,
-    "cube_flags": q_cube_flags,
-    "pii_redaction": q_pii_redaction,
-    "repetition_stats": q_repetition_stats,
-    "top_bigrams": q_top_bigrams,
-    "bpe_token_counts": q_bpe_token_counts,
-    "fingerprint_folded": q_fingerprint_folded,
-    "fuzzy_match": q_fuzzy_match,
-    "snm_multipass": q_snm_multipass,
-    "skipgram_cooc": q_skipgram_cooc,
-    "rrf_fusion": q_rrf_fusion,
-    "avro_flatten_items": q_avro_flatten_items,
-    "repair_flatten": q_repair_flatten,
-    "schema_align": q_schema_align,
-    "decontaminate": q_decontaminate,
-    "fingerprint_clusters": q_fingerprint_clusters,
-    "mq_contributor_scores": q_mq_contributor_scores,
+    # -- the displaced r15 window (all driver-green in
+    #    CORRECTNESS_r15; re-verified via fleet runs each round) --
+    "audio_near_dup": q_audio_near_dup,
+    "audio_dedup_survivors": q_audio_dedup_survivors,
+    "video_dedup_survivors": q_video_dedup_survivors,
+    "modality_dup_report": q_modality_dup_report,
+    "leakage_safe_split": q_leakage_safe_split,
+    "benford_profile": q_benford_profile,
+    "winsorized_stats": q_winsorized_stats,
+    "cusum_changepoint": q_cusum_changepoint,
+    "domain_quality_rank": q_domain_quality_rank,
+    "ngram_novelty": q_ngram_novelty,
+    "bloom_prune_join": q_bloom_prune_join,
+    "hard_negatives": q_hard_negatives,
+    "lsh_quality_report": q_lsh_quality_report,
+    "random_projection_profile": q_random_projection_profile,
+    "label_propagation": q_label_propagation,
+    "embedding_dim_profile": q_embedding_dim_profile,
+    "growth_rates": q_growth_rates,
+    "market_basket": q_market_basket,
+    "vocab_coverage": q_vocab_coverage,
+    "attribution_last_touch": q_attribution_last_touch,
+    "seasonal_baseline": q_seasonal_baseline,
+    "two_level_kmeans": q_two_level_kmeans,
+    "imi_topk": q_imi_topk,
+    "imi_recall_report": q_imi_recall_report,
+    "triangle_count": q_triangle_count,
+    "bpe_merges": q_bpe_merges,
+    "rfm_segments": q_rfm_segments,
+    "churn_labels": q_churn_labels,
+    "readability_scores": q_readability_scores,
+    "hits_scores": q_hits_scores,
+    "common_neighbors": q_common_neighbors,
+    "keep_first": q_keep_first,
+    "user_running_anomaly": q_user_running_anomaly,
+    "quality_classifier": q_quality_classifier,
+    "containment_pairs": q_containment_pairs,
+    "event_transitions": q_event_transitions,
+    "nearest_purchase": q_nearest_purchase,
+    "bigram_pmi": q_bigram_pmi,
+    "weighted_sample": q_weighted_sample,
+    "session_paths": q_session_paths,
+    "pq_encode": q_pq_encode,
+    "approx_distinct_users": q_approx_distinct_users,
+    "price_tiers": q_price_tiers,
+    "training_prep": q_training_prep,
+    "column_profile": q_column_profile,
+    "corr_matrix": q_corr_matrix,
+    "decayed_counts": q_decayed_counts,
+    "pagerank": q_pagerank,
+    "heavy_hitters": q_heavy_hitters,
+    "robust_outliers": q_robust_outliers,
 }
