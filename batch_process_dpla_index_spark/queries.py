@@ -3507,7 +3507,11 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quasi-identifier combos (source, lang, 200-char length bucket)
     matching fewer than k=5 documents (r15 debut) — the k-anonymity
     suppression list a dataset release audits
-    (operators/curation.py:k_anonymity_audit). One hash aggregate."""
+    (operators/curation.py:k_anonymity_audit). One hash aggregate.
+    Bucketing is FLOOR division on both engines (Spark `div` truncates
+    toward zero while DuckDB `//` floors — they diverge on negative
+    n_chars, r16 ADVICE), so the contract is explicit, not fixture-
+    dependent."""
     from batch_process_dpla_index_spark.operators.curation import (
         k_anonymity_audit,
     )
@@ -3515,7 +3519,7 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "source",
         "lang",
-        F.expr("n_chars div 200").cast("bigint").alias("len_bucket"),
+        F.floor(F.col("n_chars") / 200).cast("bigint").alias("len_bucket"),
     )
     return k_anonymity_audit(docs, ["source", "lang", "len_bucket"], k=5)
 
@@ -3570,7 +3574,9 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select(
         "source",
-        F.expr("n_chars div 100").cast("bigint").alias("len_bucket"),
+        # FLOOR division to match DuckDB's `//` (Spark `div` truncates
+        # toward zero — diverges on negative n_chars, r16 ADVICE)
+        F.floor(F.col("n_chars") / 100).cast("bigint").alias("len_bucket"),
         "lang",
     )
     return l_diversity_audit(docs, ["source", "len_bucket"], "lang", l=3)

@@ -290,20 +290,29 @@ def streaming_mix_counts(
     event_mix_drift`). Tumbling 1-day event-time windows keyed by
     category; state per (day, cat) is one counter, bounded by
     |days in watermark|·|cats| regardless of stream length. The
-    drained complete-mode table is EXACTLY the batch operator's
-    (day, cat, c) aggregate (same date_trunc boundary: a tumbling
-    1-day window's start IS the truncated day), so feeding it through
+    drained table is EXACTLY the batch operator's (day, cat, c)
+    aggregate (same date_trunc boundary: a tumbling 1-day window's
+    start IS the truncated day), so feeding it through
     `profiling.mix_drift_from_counts` yields the batch answer
-    bit-for-bit — pinned by test_mix_drift_stream_converges_to_batch."""
+    bit-for-bit — pinned by test_mix_drift_stream_converges_to_batch.
+
+    The aggregation key is the FULL window column — extracting
+    ``.start`` before the groupBy would strip the event-time watermark
+    metadata from the key, so the watermark could never evict state
+    and append mode would be rejected (unbounded state on a
+    long-running stream); ``win.start`` is projected AFTER the agg.
+    Watermark-evictability is pinned by
+    test_streaming_count_helpers_support_append."""
     from pyspark.sql import functions as F
 
     return (
         stream.withWatermark(ts_col, watermark)
         .groupBy(
-            F.window(ts_col, "1 day").start.alias("day"),
+            F.window(ts_col, "1 day").alias("win"),
             F.col(cat_col).alias("cat"),
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .select(F.col("win.start").alias("day"), "cat", "c")
     )
 
 
@@ -318,18 +327,22 @@ def streaming_value_counts(
     temporal_drift_ks`), the `streaming_mix_counts` pattern. Tumbling
     1-day event-time windows keyed by the integer bucket; state per
     (day, bucket) is one counter, bounded by the watermark horizon ×
-    |buckets|. The drained complete-mode table is exactly the batch
-    (day, x, c) aggregate, so `profiling.ks_drift_from_counts` yields
-    the batch answer bit-for-bit — pinned by
-    test_ks_drift_stream_converges_to_batch."""
+    |buckets|. The drained table is exactly the batch (day, x, c)
+    aggregate, so `profiling.ks_drift_from_counts` yields the batch
+    answer bit-for-bit — pinned by
+    test_ks_drift_stream_converges_to_batch. As in
+    :func:`streaming_mix_counts`, the agg key is the FULL window
+    column (watermark metadata survives; append mode accepted) and
+    ``win.start`` is projected after."""
     from pyspark.sql import functions as F
 
     return (
         stream.where(F.col(value_col).isNotNull())
         .withWatermark(ts_col, watermark)
         .groupBy(
-            F.window(ts_col, "1 day").start.alias("day"),
+            F.window(ts_col, "1 day").alias("win"),
             F.floor(F.col(value_col)).cast("bigint").alias("x"),
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .select(F.col("win.start").alias("day"), "x", "c")
     )

@@ -1324,3 +1324,40 @@ def test_ks_drift_stream_converges_to_batch(spark, tmp_path):
     want = sorted(map(tuple, want_df.collect()))
     unpersist_deps(want_df)
     assert got == want and len(got) > 0
+
+
+def test_streaming_count_helpers_support_append(spark, tmp_path):
+    """Both drift-count helpers must be APPEND-mode legal — the proof
+    that the watermark metadata survives onto the aggregation key
+    (r16 ADVICE fix: grouping by window.start instead of the full
+    window column silently stripped it, so state could never be
+    evicted and append mode was rejected; complete-mode tests alone
+    could not catch that). Spark rejects append at .start() when the
+    aggregation key carries no watermark, so a clean awaitTermination
+    IS the assertion."""
+    import uuid as _uuid
+
+    from batch_process_dpla_index_spark.streaming.windows import (
+        streaming_mix_counts,
+        streaming_value_counts,
+    )
+
+    events = load_table(spark, SF_DIR, "events")
+    src = str(tmp_path / "appendevents")
+    events.repartition(3).write.parquet(src)
+
+    for helper in (streaming_mix_counts, streaming_value_counts):
+        stream = spark.readStream.schema(events.schema).parquet(src)
+        name = f"app_{_uuid.uuid4().hex[:8]}"
+        q = (
+            helper(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # append emits only watermark-finalized windows; the fixture
+        # spans many days, so all but the horizon's tail must land
+        assert spark.table(name).count() > 0

@@ -104,3 +104,28 @@ def test_events_query_families_analyze(spark, tmp_path, enc):
         .agg(F.count("*").alias("n"))
     )
     assert agg.isStreaming
+
+
+def test_schema_memo_invalidates_on_rewrite(spark, tmp_path):
+    """Rewriting a parquet at a previously-loaded path must re-infer
+    the schema, not serve the memoized one (r16 ADVICE: the memo was
+    keyed by path alone, so a same-process rewrite with a different
+    schema read stale — missing/null columns instead of failing loudly
+    or reading fresh). Keyed on (path, mtime) now; this pins it."""
+    import time
+
+    from batch_process_dpla_index_spark.sources.tables import load_table
+
+    sf_dir = str(tmp_path)
+    path = f"{sf_dir}/part.parquet"
+    spark.range(3).selectExpr("id AS p_partkey").write.parquet(path)
+    first = load_table(spark, sf_dir, "part")
+    assert first.columns == ["p_partkey"]
+
+    time.sleep(0.05)  # directory mtime granularity guard
+    spark.range(3).selectExpr(
+        "id AS p_partkey", "'x' AS p_brand"
+    ).write.mode("overwrite").parquet(path)
+    second = load_table(spark, sf_dir, "part")
+    assert sorted(second.columns) == ["p_brand", "p_partkey"]
+    assert second.count() == 3
