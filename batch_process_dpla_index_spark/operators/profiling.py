@@ -442,6 +442,7 @@ def source_drift_ks(
     df: DataFrame,
     group_col: str = "source",
     value_col: str = "n_chars",
+    n_buckets: int = 8192,
 ) -> DataFrame:
     """(group, n_rows, ks_stat): two-sample Kolmogorov–Smirnov distance
     between each group's ``value_col`` distribution and the REST of the
@@ -452,60 +453,86 @@ def source_drift_ks(
 
     Everything up to the final divide is INTEGER-exact: the per-group
     and global ECDFs are cumulative BIGINT counts over the dense
-    (group × distinct value) grid, and the KS sup-difference is taken
-    over the common-denominator integer numerator
+    (group × bucket) grid, and the KS sup-difference is taken over the
+    common-denominator integer numerator
     |cum_g·(N−n_g) − (cum_all−cum_g)·n_g| — one double division per
     group at the very end, deterministic cross-engine with no float
     association to pin. Requires N < ~3e9 so the cross products stay
-    in int64 (at a larger corpus, bucket ``value_col`` first — the
-    statistic only needs the grid, not the rows).
+    in int64.
 
-    Scale: ONE corpus-proportional shuffle — the (group, value) count,
-    which is PERSISTED so the four consumers (group totals, value
-    grid, global cumulative, grand total) read the grid-sized
-    aggregate instead of re-scanning the corpus four times (the first
-    cut's plan had four parquet scans). The persist handle rides in
-    ``_cached_deps`` — release with ``dedup.unpersist_deps`` after the
-    action. Groups covering the whole corpus (n_g = N) emit NULL KS —
-    there is no "rest" to drift from."""
+    The grid is CAPPED at ``n_buckets`` equal-width integer buckets
+    (r16, VERDICT r15 #2): bucket = (x − xmin) div width with
+    width = ceil(span / n_buckets) computed integer-exactly as
+    (xmax − xmin + n_buckets) div n_buckets — so the grid never grows
+    with distinct raw values, and every window frame is bounded by
+    construction (per-group cumulative ≤ n_buckets rows; per-bucket
+    global sum = |groups| rows). When span ≤ n_buckets the width is 1
+    and the statistic equals the exact distinct-value KS; wider spans
+    evaluate the same sup at bucket right-edges (grid resolution, not
+    approximation — the ECDF counts stay exact). The global cumulative
+    needs NO unpartitioned window: over the dense grid,
+    cum_all(b) = Σ_groups cum_g(grp, b), a bucket-partitioned window —
+    zero single-partition WindowExec in the plan (pinned by
+    tests/test_plans.py).
+
+    Scale: ONE corpus-proportional shuffle — the (group, value) count;
+    the bucketed re-aggregate ``cb`` (≤ |groups|·n_buckets rows) is
+    PERSISTED so its four consumers (group totals, bucket list, grid
+    join, grand total) read the grid-sized aggregate instead of
+    re-scanning the corpus (the first cut's plan had four parquet
+    scans). The persist handle rides in ``_cached_deps`` — release
+    with ``dedup.unpersist_deps`` after the action. Groups covering
+    the whole corpus (n_g = N) emit NULL KS — there is no "rest" to
+    drift from."""
     from batch_process_dpla_index_spark.operators.dedup import (
         _with_cached_deps,
     )
 
-    c = (
-        df.where(F.col(value_col).isNotNull())
-        .groupBy(
-            F.col(group_col).alias("grp"),
-            F.col(value_col).cast("bigint").alias("x"),
-        )
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    c = df.where(F.col(value_col).isNotNull()).groupBy(
+        F.col(group_col).alias("grp"),
+        F.col(value_col).cast("bigint").alias("x"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    # two consumers (min/max + the bucketed re-aggregate) — persist so
+    # the corpus-proportional shuffle happens exactly once
+    c = c.persist()
+    mm = F.broadcast(
+        c.agg(F.min("x").alias("xmin"), F.max("x").alias("xmax"))
+    )
+    nb = int(n_buckets)
+    # pure int64 arithmetic end-to-end; x ≥ xmin so div == floor
+    bucket = F.expr(f"(x - xmin) div ((xmax - xmin + {nb}) div {nb})")
+    cb = (
+        c.crossJoin(mm)
+        .select("grp", bucket.cast("bigint").alias("b"), "c")
+        .groupBy("grp", "b")
+        .agg(F.sum("c").alias("c"))
         .persist()
     )
-    g = c.groupBy("grp").agg(F.sum("c").alias("n_g"))
-    xs = c.select("x").distinct()
-    tot = c.groupBy("x").agg(F.sum("c").alias("cx"))
-    w_all = Window.orderBy("x").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    tc = tot.select("x", F.sum("cx").over(w_all).alias("cum_all"))
-    n_total = F.broadcast(c.agg(F.sum("c").alias("n_total")))
-    grid = xs.crossJoin(F.broadcast(g))
+    g = cb.groupBy("grp").agg(F.sum("c").alias("n_g"))
+    bs = cb.select("b").distinct()
+    n_total = F.broadcast(cb.agg(F.sum("c").alias("n_total")))
+    grid = bs.crossJoin(F.broadcast(g))
     w_grp = (
         Window.partitionBy("grp")
-        .orderBy("x")
+        .orderBy("b")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = (
-        grid.join(c, ["grp", "x"], "left")
+        grid.join(cb, ["grp", "b"], "left")
         .select(
             "grp",
             "n_g",
-            "x",
+            "b",
             F.sum(F.coalesce(F.col("c"), F.lit(0)))
             .over(w_grp)
             .alias("cum_g"),
         )
-        .join(F.broadcast(tc), "x")
+        .withColumn(
+            # dense grid ⇒ the global ECDF is the column sum of the
+            # per-group ECDFs at each bucket — no global-order window
+            "cum_all",
+            F.sum("cum_g").over(Window.partitionBy("b")),
+        )
         .crossJoin(n_total)
     )
     num = F.abs(
@@ -531,7 +558,7 @@ def source_drift_ks(
         )
         .orderBy(group_col)
     )
-    return _with_cached_deps(out, [c])
+    return _with_cached_deps(out, [c, cb])
 
 
 def embedding_centroid_drift(
@@ -598,16 +625,22 @@ def temporal_drift_ks(
     df: DataFrame,
     ts_col: str = "ts",
     value_col: str = "value",
+    n_buckets: int = 8192,
 ) -> DataFrame:
     """(day, n_rows, n_prev, ks_stat): day-over-day two-sample KS
     distance of the ``value_col`` distribution — the temporal twin of
     :func:`source_drift_ks` (a pipeline pushing daily batches watches
     THIS number; a collector change shows up as one spiked day).
 
-    Values are bucketed to BIGINT (floor) so the grid stays integer;
-    the ECDF comparison then follows the source_drift_ks discipline:
-    cumulative BIGINT counts over the dense (day × distinct bucket)
-    grid, sup over the common-denominator integer numerator
+    Values are floored to BIGINT and the grid is CAPPED at
+    ``n_buckets`` equal-width integer buckets exactly as in
+    :func:`source_drift_ks` (r16: (x − xmin) div ceil(span/n_buckets),
+    pure int64 — width 1, i.e. the exact distinct-floor grid, whenever
+    the span fits), so per-day window frames are bounded by
+    construction and never grow with distinct raw values. The ECDF
+    comparison then follows the source_drift_ks discipline:
+    cumulative BIGINT counts over the dense (day × bucket) grid, sup
+    over the common-denominator integer numerator
     |cum_d·n_prev − cum_prev·n_d|, ONE double divide per day. The
     previous day comes from a LAG over the dense grid (partitioned by
     bucket, ordered by day) with an exact day-adjacency check — never
@@ -620,15 +653,31 @@ def temporal_drift_ks(
     ``dedup.unpersist_deps``); the grid is |days|·|buckets| metadata.
     Int64 bound: n_day·n_prev < 2^63 holds for any day under ~3e9
     rows."""
-    c = (
+    c0 = (
         df.where(F.col(value_col).isNotNull())
         .groupBy(
             F.date_trunc("day", F.col(ts_col)).alias("day"),
             F.floor(F.col(value_col)).cast("bigint").alias("x"),
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        # two consumers (min/max + rebucket) — persist the metadata-
+        # sized aggregate so the corpus is scanned exactly once
+        .persist()
     )
-    return ks_drift_from_counts(c)
+    mm = F.broadcast(
+        c0.agg(F.min("x").alias("xmin"), F.max("x").alias("xmax"))
+    )
+    nb = int(n_buckets)
+    bucket = F.expr(f"(x - xmin) div ((xmax - xmin + {nb}) div {nb})")
+    c = (
+        c0.crossJoin(mm)
+        .select("day", bucket.cast("bigint").alias("x"), "c")
+        .groupBy("day", "x")
+        .agg(F.sum("c").alias("c"))
+    )
+    out = ks_drift_from_counts(c)
+    out._cached_deps = [c0] + list(out._cached_deps)
+    return out
 
 
 def ks_drift_from_counts(counts: DataFrame) -> DataFrame:

@@ -4571,30 +4571,38 @@ ORACLE_MODALITY_DUP_REPORT = (
 # numerator, ONE double divide per source at the end (the Spark
 # operator's arithmetic, profiling.py:source_drift_ks).
 ORACLE_SOURCE_DRIFT_KS = """
-WITH c AS (
+WITH c0 AS (
     SELECT source AS grp, CAST(n_chars AS BIGINT) AS x,
            CAST(count(*) AS BIGINT) AS cnt
     FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2
+), mm AS (SELECT min(x) AS xmin, max(x) AS xmax FROM c0),
+c AS (
+    SELECT grp,
+           CAST((x - xmin) // ((xmax - xmin + 8192) // 8192) AS BIGINT)
+               AS b,
+           CAST(sum(cnt) AS BIGINT) AS cnt
+    FROM c0 CROSS JOIN mm GROUP BY 1, 2
 ), g AS (SELECT grp, CAST(sum(cnt) AS BIGINT) AS n_g FROM c GROUP BY 1),
-xs AS (SELECT DISTINCT x FROM c),
-tc AS (
-    SELECT x, CAST(sum(cx) OVER (ORDER BY x) AS BIGINT) AS cum_all
-    FROM (SELECT x, sum(cnt) AS cx FROM c GROUP BY 1)
-), n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM c),
-cum AS (
-    SELECT g.grp, g.n_g, xs.x,
+bs AS (SELECT DISTINCT b FROM c),
+n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM c),
+cum0 AS (
+    SELECT g.grp, g.n_g, bs.b,
            CAST(sum(coalesce(c.cnt, 0))
-                OVER (PARTITION BY g.grp ORDER BY xs.x) AS BIGINT) AS cum_g
-    FROM g CROSS JOIN xs
-    LEFT JOIN c ON c.grp = g.grp AND c.x = xs.x
+                OVER (PARTITION BY g.grp ORDER BY bs.b) AS BIGINT) AS cum_g
+    FROM g CROSS JOIN bs
+    LEFT JOIN c ON c.grp = g.grp AND c.b = bs.b
+), cum AS (
+    SELECT grp, n_g, b, cum_g,
+           CAST(sum(cum_g) OVER (PARTITION BY b) AS BIGINT) AS cum_all
+    FROM cum0
 )
 SELECT cum.grp AS source, cum.n_g AS n_rows,
        CASE WHEN cum.n_g < n.n_total THEN
            round(CAST(max(abs(cum_g * (n.n_total - cum.n_g)
-                              - (tc.cum_all - cum_g) * cum.n_g)) AS DOUBLE)
+                              - (cum_all - cum_g) * cum.n_g)) AS DOUBLE)
                  / CAST(cum.n_g * (n.n_total - cum.n_g) AS DOUBLE), 6)
        END AS ks_stat
-FROM cum JOIN tc USING (x) CROSS JOIN n
+FROM cum CROSS JOIN n
 GROUP BY cum.grp, cum.n_g, n.n_total
 ORDER BY source
 """
@@ -4657,11 +4665,18 @@ FROM c GROUP BY src ORDER BY source
 # source_drift_ks integer-exact discipline on a (day × floor(value))
 # grid, adjacent days paired by day + INTERVAL 1 DAY.
 ORACLE_TEMPORAL_DRIFT_KS = """
-WITH c AS (
+WITH c0 AS (
     SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
            CAST(floor(value) AS BIGINT) AS x,
            CAST(count(*) AS BIGINT) AS cnt
     FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), mm AS (SELECT min(x) AS xmin, max(x) AS xmax FROM c0),
+c AS (
+    SELECT day,
+           CAST((x - xmin) // ((xmax - xmin + 8192) // 8192) AS BIGINT)
+               AS x,
+           CAST(sum(cnt) AS BIGINT) AS cnt
+    FROM c0 CROSS JOIN mm GROUP BY 1, 2
 ), g AS (SELECT day, CAST(sum(cnt) AS BIGINT) AS n_day FROM c GROUP BY 1),
 xs AS (SELECT DISTINCT x FROM c),
 cum AS (

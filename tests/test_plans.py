@@ -572,6 +572,16 @@ def test_drift_monitors_scan_corpus_once(spark):
     else reads the InMemoryRelation."""
     from batch_process_dpla_index_spark.operators.dedup import unpersist_deps
 
+    import importlib.util as _ilu
+    import os as _os
+
+    spec = _ilu.spec_from_file_location(
+        "plan_audit",
+        _os.path.join(_os.path.dirname(__file__), "..", "tools", "plan_audit.py"),
+    )
+    plan_audit = _ilu.module_from_spec(spec)
+    spec.loader.exec_module(plan_audit)
+
     for name, n_inmem in (
         ("source_drift_ks", 4),
         ("embedding_centroid_drift", 2),
@@ -589,4 +599,13 @@ def test_drift_monitors_scan_corpus_once(spark):
         # each InMemoryTableScan reprints the SAME cached child, so
         # FileScan occurrences never exceed InMemoryTableScan count
         assert n_scans <= n_cached, (name, n_scans, n_cached)
+        # VERDICT r15 #2: zero single-partition WindowExec anywhere in
+        # the monitors' plans — the r15 source_drift_ks global ECDF
+        # (Window.orderBy with no partition) is the shape this forbids;
+        # the bucketed rewrite derives cum_all as a bucket-partitioned
+        # column sum of the per-group ECDFs instead
+        assert plan_audit.unpartitioned_windows(plan) == 0, (
+            name,
+            [ln for ln in plan.splitlines() if "Window [" in ln][:5],
+        )
         unpersist_deps(df)
