@@ -98,6 +98,104 @@ def decontaminate(
     )
 
 
+def fuzzy_decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    num_perm: int = 64,
+    bands: int = 16,
+    max_bucket: int = 1000,
+    use_pandas: bool = False,
+) -> DataFrame:
+    """(doc id, bench_id, jaccard): corpus documents whose TRUE n-gram
+    Jaccard against some benchmark item is ``>= threshold`` — the FUZZY
+    companion of :func:`decontaminate` (r16, VERDICT r15 #3).
+    Paraphrased eval leakage survives an exact n-gram screen (one
+    changed word breaks every shingle that covers it); a 0.5-Jaccard
+    match does not. This is the screen real training pipelines run
+    against held-out benchmarks before export.
+
+    Candidates come from the SAME banded-MinHash kernel as the dedup
+    tier (``operators/dedup.py``: shingle_sets → with_minhash_signature
+    → _band_buckets, identical hash/band geometry), so the S-curve
+    recall guarantees proven there carry over verbatim; every candidate
+    is then verified against the exact shingle sets — zero false
+    positives, recall probabilistic exactly as in minhash_lsh_pairs.
+
+    Scale design: ``benchmark`` is an eval suite (thousands of rows) —
+    its buckets and shingle sets are BROADCAST; the corpus is never
+    self-joined and never re-shuffled beyond the bands×docs bucket
+    explode. ``max_bucket`` caps CORPUS bucket sizes (a hot template
+    bucket otherwise fans out |bucket|·|bench bucket| candidates);
+    benchmark buckets are bounded by the eval-suite contract. Returns
+    ALL qualifying (doc, bench item) pairs — per-doc rollups are a
+    trivial groupBy for callers; the pair grain is what a leakage
+    audit reviews. Persist handles ride ``_cached_deps``."""
+    from batch_process_dpla_index_spark.operators.dedup import (
+        _band_buckets,
+        _band_rows,
+        _with_cached_deps,
+        shingle_sets,
+        with_minhash_signature,
+    )
+
+    rows = _band_rows(num_perm, bands)
+    # empty shingle sets can't be contaminated and would band to the
+    # shared all-NULL-signature key (0/0 Jaccard under ANSI) — drop
+    # them on BOTH sides, the dedup tier's NULL-signature contract
+    doc_sets = (
+        shingle_sets(docs, text_col, id_col, n, use_pandas=use_pandas)
+        .where(F.size("shingles") > 0)
+        .withColumnRenamed(id_col, "id")
+    )
+    bench_sets = (
+        shingle_sets(benchmark, text_col, id_col, n, use_pandas=use_pandas)
+        .where(F.size("shingles") > 0)
+        .withColumnRenamed(id_col, "id")
+    )
+    doc_sig = with_minhash_signature(doc_sets, num_perm, use_pandas).persist()
+    bench_sig = with_minhash_signature(
+        bench_sets, num_perm, use_pandas
+    ).persist()
+    db = _band_buckets(doc_sig, bands, rows)
+    bb = _band_buckets(bench_sig, bands, rows).withColumnRenamed("id", "bid")
+    oversized = (
+        db.groupBy("band", "key")
+        .agg(F.count("*").alias("sz"))
+        .filter(F.col("sz") > max_bucket)
+        .select("band", "key")
+    )
+    db = db.join(F.broadcast(oversized), ["band", "key"], "left_anti")
+    cand = (
+        db.join(F.broadcast(bb), ["band", "key"])
+        .select("id", "bid")
+        .distinct()
+    )
+    sa = doc_sig.select("id", F.col("shingles").alias("sh_a"))
+    sb = bench_sig.select(
+        F.col("id").alias("bid"), F.col("shingles").alias("sh_b")
+    )
+    out = (
+        cand.join(sa, "id")
+        .join(F.broadcast(sb), "bid")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.col("id").alias(id_col),
+            F.col("bid").alias("bench_id"),
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+    )
+    return _with_cached_deps(out, [doc_sig, bench_sig])
+
+
 #: default gate thresholds (C4/Gopher-flavored, tuned for the synthetic corpus)
 DEFAULT_GATES: Mapping[str, float] = {
     "min_tokens": 5,

@@ -479,6 +479,69 @@ WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
 ORACLE_MINHASH_LSH_PAIRS = _minhash_oracle()
 
 
+def _fuzzy_decontaminate_oracle(
+    n: int = 3,
+    threshold: float = 0.5,
+    num_perm: int = 64,
+    bands: int = 16,
+    max_bucket: int = 1000,
+) -> str:
+    """Banding replay of fuzzy_decontaminate: same shingle/h60/affine/
+    band geometry as _minhash_oracle, corpus (doc_id % 10 != 0) banded
+    against benchmark (doc_id % 10 = 0), max_bucket pruning on CORPUS
+    buckets only, exact-Jaccard verification."""
+    rows = num_perm // bands
+    perms = _perm_params(num_perm)
+    sig_terms = ", ".join(
+        f"list_min(list_transform(base, h -> ({a} * h + {b}) % {_MERSENNE}))"
+        for a, b in perms
+    )
+    band_rows = ",\n        ".join(
+        f"({i}, md5(array_to_string(sig[{i * rows + 1}:{i * rows + rows}], ',')))"
+        for i in range(bands)
+    )
+    return f"""
+WITH {_DOC_TOK_CTE}, sets AS (
+    SELECT * FROM (
+        SELECT doc_id AS id, doc_id % 10 = 0 AS is_bench,
+               list_distinct({_shingles("tok", n)}) AS sh
+        FROM doc_tok
+    ) WHERE len(sh) > 0
+), sigs AS (
+    SELECT id, is_bench, sh, [{sig_terms}] AS sig
+    FROM (SELECT id, is_bench, sh, list_transform(sh, s -> {_h60("s")} % {_MERSENNE}) AS base FROM sets)
+), buckets AS (
+    SELECT id, is_bench, band, key
+    FROM sigs, LATERAL (VALUES
+        {band_rows}
+    ) AS b(band, key)
+), ok_buckets AS (
+    SELECT band, key FROM buckets WHERE NOT is_bench
+    GROUP BY band, key HAVING count(*) <= {max_bucket}
+), cpr AS (
+    SELECT b.id, b.band, b.key FROM buckets b
+    JOIN ok_buckets USING (band, key) WHERE NOT b.is_bench
+), cand AS (
+    SELECT DISTINCT c.id AS id, b.id AS bid
+    FROM cpr c
+    JOIN (SELECT id, band, key FROM buckets WHERE is_bench) b
+      USING (band, key)
+)
+SELECT cand.id AS doc_id, cand.bid AS bench_id,
+       round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE), 6) AS jaccard
+FROM cand
+JOIN sets sa ON sa.id = cand.id
+JOIN sets sb ON sb.id = cand.bid
+WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+      / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) >= {threshold}
+ORDER BY doc_id, bench_id
+"""
+
+
+ORACLE_FUZZY_DECONTAMINATE = _fuzzy_decontaminate_oracle()
+
+
 def _incremental_dedup_oracle(
     n: int = 3,
     threshold: float = 0.5,
@@ -4947,6 +5010,7 @@ ORACLES: dict[str, str] = {
     "doc_chunks": ORACLE_DOC_CHUNKS,
     "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
     "decontaminate": ORACLE_DECONTAMINATE,
+    "fuzzy_decontaminate": ORACLE_FUZZY_DECONTAMINATE,
     "quality_gate": ORACLE_QUALITY_GATE,
     "global_shuffle": ORACLE_GLOBAL_SHUFFLE,
     "corpus_report": ORACLE_CORPUS_REPORT,

@@ -2312,6 +2312,26 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy benchmark decontamination (r16 debut, VERDICT r15 #3):
+    corpus docs (doc_id % 10 != 0) whose TRUE 3-gram Jaccard against a
+    benchmark item (doc_id % 10 == 0 stands in for an eval suite) is
+    >= 0.5, candidates via the dedup tier's banded-MinHash kernel,
+    benchmark side broadcast — the paraphrase-leakage screen an exact
+    n-gram check (q_decontaminate) misses
+    (operators/curation.py:fuzzy_decontaminate)."""
+    from batch_process_dpla_index_spark.operators.curation import (
+        fuzzy_decontaminate,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 10 == 0)
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    return fuzzy_decontaminate(
+        corpus, bench, threshold=0.5, use_pandas=True
+    ).orderBy("doc_id", "bench_id")
+
+
 def q_boilerplate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boilerplate exposure per document: non-overlapping 8-token
     segments recurring in ≥2 distinct docs are boilerplate (CCNet/
@@ -3669,6 +3689,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #    SFs, pinned, probed per the staging discipline) --
     "l_diversity": q_l_diversity,
     "contamination_matrix": q_contamination_matrix,
+    # -- r16 addition (staged r17 position 3; verified both SFs,
+    #    pinned, probed same-round per the staging discipline) --
+    "fuzzy_decontaminate": q_fuzzy_decontaminate,
     # -- the r13-green cohort's 27-entry remainder (staged for r17;
     #    all driver-green in CORRECTNESS_r13, re-verified every round
     #    via tools/verify_local.py fleet runs) --

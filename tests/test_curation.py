@@ -613,3 +613,77 @@ def test_ngram_novelty_detects_regurgitation(spark):
     assert rows[2]["novelty"] == 1.0
     assert rows[3]["n_shingles"] == 0 and rows[3]["novelty"] is None
     assert rows[1]["n_seen"] == rows[1]["n_shingles"] == 2
+
+
+def test_fuzzy_decontaminate_catches_near_copy(spark):
+    """A verbatim copy and a light paraphrase of a benchmark item are
+    flagged with their EXACT shingle Jaccard; an unrelated doc is not —
+    the normalized-similarity screen, vs decontaminate's absolute
+    hit-count (which a couple of common trigrams can trip)."""
+    from batch_process_dpla_index_spark.operators.curation import (
+        fuzzy_decontaminate,
+    )
+    from batch_process_dpla_index_spark.operators.dedup import unpersist_deps
+
+    bench_text = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the fence and the birds sing in the garden"
+    )
+    near_copy = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the fence and the birds sing in the yard"
+    )
+    corpus = _mk_docs(
+        spark,
+        [
+            (1, bench_text),  # verbatim copy -> jaccard 1.0
+            (2, near_copy),  # one word changed -> high jaccard
+            (3, "completely unrelated content about spark physical plans"),
+        ],
+    )
+    bench = _mk_docs(spark, [(100, bench_text)])
+    df = fuzzy_decontaminate(corpus, bench, threshold=0.5)
+    rows = {r["doc_id"]: r for r in df.collect()}
+    unpersist_deps(df)
+    assert set(rows) == {1, 2}
+    assert rows[1]["bench_id"] == 100 and rows[1]["jaccard"] == 1.0
+    # 23 tokens -> 21 distinct trigrams each; the last-word swap breaks
+    # only the final trigram: |∩| = 20, |∪| = 22
+    assert rows[2]["jaccard"] == pytest.approx(round(20 / 22, 6), abs=1e-6)
+
+
+def test_fuzzy_decontaminate_empty_text_never_matches(spark):
+    """Empty/degenerate texts produce all-NULL signatures and empty
+    shingle sets; they must never pair (the dedup tier's NULL-signature
+    contract carries over through the shared kernel)."""
+    from batch_process_dpla_index_spark.operators.curation import (
+        fuzzy_decontaminate,
+    )
+    from batch_process_dpla_index_spark.operators.dedup import unpersist_deps
+
+    corpus = _mk_docs(spark, [(1, ""), (2, "a b")])
+    bench = _mk_docs(spark, [(100, ""), (101, "x y")])
+    df = fuzzy_decontaminate(corpus, bench, threshold=0.0)
+    rows = df.collect()
+    unpersist_deps(df)
+    assert rows == []
+
+
+def test_fuzzy_decontaminate_benchmark_side_broadcast(spark):
+    """Plan audit: the benchmark's buckets and shingle sets reach the
+    corpus through BroadcastExchange/BroadcastHashJoin — the corpus is
+    never shuffled against the eval suite (the decontaminate scale
+    contract, kept by the fuzzy variant)."""
+    from batch_process_dpla_index_spark.operators.curation import (
+        fuzzy_decontaminate,
+    )
+    from batch_process_dpla_index_spark.operators.dedup import unpersist_deps
+
+    corpus = _mk_docs(
+        spark, [(i, f"token{i} alpha beta gamma delta") for i in range(1, 40)]
+    )
+    bench = _mk_docs(spark, [(100, "alpha beta gamma delta epsilon")])
+    df = fuzzy_decontaminate(corpus, bench, threshold=0.1)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    unpersist_deps(df)
