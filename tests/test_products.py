@@ -2220,3 +2220,69 @@ def test_overlap_index_delete_tombstone_lifecycle(spark, tmp_path, capsys):
     assert f"{len(sources) - 1} live sources" in capsys.readouterr().out
     with pytest.raises(SystemExit, match="needs --sources"):
         jobs.main(["overlap-index", "delete", idx])
+
+
+def test_dataset_card_privacy_drift_section(spark, tmp_path):
+    """The card's privacy/drift figures must EQUAL the oracle-verified
+    audit operators run independently with the registry queries'
+    quasi-identifier configuration (r16, VERDICT r15 #4): k-anonymity
+    suppression count, l-diversity disclosure count, and per-source
+    ks_vs_rest / lang_entropy / top_lang_share — a presentation of
+    verified stats, never a second implementation."""
+    from pyspark.sql import functions as F
+
+    from batch_process_dpla_index_spark.operators.curation import (
+        k_anonymity_audit,
+        l_diversity_audit,
+        source_lang_entropy,
+    )
+    from batch_process_dpla_index_spark.operators.dedup import unpersist_deps
+    from batch_process_dpla_index_spark.operators.profiling import (
+        source_drift_ks,
+    )
+    from batch_process_dpla_index_spark.products.dataset_card import (
+        build_dataset_card,
+    )
+    from batch_process_dpla_index_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    out = str(tmp_path / "card")
+    text = open(
+        build_dataset_card(spark, docs, out, name="audit"), encoding="utf-8"
+    ).read()
+    assert "## Privacy & drift audit" in text
+
+    n_k = k_anonymity_audit(
+        docs.select(
+            "source",
+            "lang",
+            F.floor(F.col("n_chars") / 200).cast("bigint").alias("len_bucket"),
+        ),
+        ["source", "lang", "len_bucket"],
+        k=5,
+    ).count()
+    n_l = l_diversity_audit(
+        docs.select(
+            "source",
+            F.floor(F.col("n_chars") / 100).cast("bigint").alias("len_bucket"),
+            "lang",
+        ),
+        ["source", "len_bucket"],
+        "lang",
+        l=3,
+    ).count()
+    assert f"**{n_k}** combos below k" in text
+    assert f"**{n_l}** combos whose membership" in text
+
+    drift = source_drift_ks(docs, "source", "n_chars")
+    ks = {r["source"]: r["ks_stat"] for r in drift.collect()}
+    unpersist_deps(drift)
+    ent = {
+        r["source"]: (r["n_docs"], r["lang_entropy"], r["top_lang_share"])
+        for r in source_lang_entropy(docs, "source", "lang").collect()
+    }
+    for src, (n_docs, h, share) in ent.items():
+        assert (
+            f"| {src} | {n_docs} | {ks[src]} | {h} | {share} |" in text
+        ), (src, n_docs, ks[src], h, share)
