@@ -4841,8 +4841,68 @@ ORDER BY source_a, source_b
 """
 
 
+def _contamination_screened_oracle(
+    n: int = 3, est_threshold: float = 0.0625, num_perm: int = 64
+) -> str:
+    """Two-tier replay of curation.contamination_screened: the
+    source_overlap signature estimate (same h60/affine integer mins)
+    flags pairs in both orientations, exact containment recomputed for
+    flagged pairs only with contamination_matrix's shingle
+    conventions."""
+    params = _perm_params(num_perm)
+    mins = ",\n           ".join(
+        f"min(({a} * base + {b}) % {_MERSENNE}) AS p{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    eq = " + ".join(f"(l.p{i} = r.p{i})::INT" for i in range(num_perm))
+    return f"""
+WITH {_DOC_TOK_CTE}, x AS (
+    SELECT source, {_h60('s')} % {_MERSENNE} AS base
+    FROM (SELECT source, unnest({_shingles("tok", n)}) AS s
+          FROM doc_tok WHERE source IS NOT NULL)
+), sig AS (SELECT source,
+           {mins}
+        FROM x GROUP BY source),
+est AS (
+    SELECT l.source AS source_a, r.source AS source_b,
+           round(CAST({eq} AS DOUBLE) / {float(num_perm)!r}, 6)
+               AS est_jaccard
+    FROM sig l JOIN sig r ON l.source < r.source
+), flagged AS (
+    SELECT source_a, source_b, est_jaccard FROM est
+    WHERE est_jaccard >= {est_threshold!r}
+    UNION ALL
+    SELECT source_b AS source_a, source_a AS source_b, est_jaccard
+    FROM est WHERE est_jaccard >= {est_threshold!r}
+), sets AS (
+    SELECT source, list_distinct({_shingles("tok", n)}) AS sh FROM doc_tok
+), posts AS (
+    SELECT DISTINCT source AS src, unnest(sh) AS shingle FROM sets
+), sizes AS (
+    SELECT src, CAST(count(*) AS BIGINT) AS n_sh FROM posts GROUP BY 1
+), pairs AS (
+    SELECT f.source_a, f.source_b, f.est_jaccard,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM flagged f
+    JOIN posts a ON a.src = f.source_a
+    JOIN posts b ON b.src = f.source_b AND b.shingle = a.shingle
+    GROUP BY 1, 2, 3
+)
+SELECT source_a, source_b, n_shared,
+       round(CAST(n_shared AS DOUBLE) / CAST(s.n_sh AS DOUBLE), 6)
+           AS containment,
+       est_jaccard
+FROM pairs JOIN sizes s ON s.src = source_b
+ORDER BY source_a, source_b
+"""
+
+
+ORACLE_CONTAMINATION_SCREENED = _contamination_screened_oracle()
+
+
 ORACLES: dict[str, str] = {
     "source_drift_ks": ORACLE_SOURCE_DRIFT_KS,
+    "contamination_screened": ORACLE_CONTAMINATION_SCREENED,
     "l_diversity": ORACLE_L_DIVERSITY,
     "contamination_matrix": ORACLE_CONTAMINATION_MATRIX,
     "temporal_drift_ks": ORACLE_TEMPORAL_DRIFT_KS,

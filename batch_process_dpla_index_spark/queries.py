@@ -2332,6 +2332,22 @@ def q_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "bench_id")
 
 
+def q_contamination_screened(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-tier cross-source contamination (r16 addition): union-
+    MinHash estimate screens all |sources|² pairs, exact shingle
+    containment computed only for pairs with est_jaccard >= 4/64 —
+    the scale answer to contamination_matrix's hot-shingle fan-out
+    (operators/curation.py:contamination_screened)."""
+    from batch_process_dpla_index_spark.operators.curation import (
+        contamination_screened,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return contamination_screened(
+        docs, "text", "source", n=3, est_threshold=0.0625, use_pandas=True
+    )
+
+
 def q_boilerplate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boilerplate exposure per document: non-overlapping 8-token
     segments recurring in ≥2 distinct docs are boilerplate (CCNet/
@@ -3689,9 +3705,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #    SFs, pinned, probed per the staging discipline) --
     "l_diversity": q_l_diversity,
     "contamination_matrix": q_contamination_matrix,
-    # -- r16 addition (staged r17 position 3; verified both SFs,
+    # -- r16 additions (staged r17 positions 3-4; verified both SFs,
     #    pinned, probed same-round per the staging discipline) --
     "fuzzy_decontaminate": q_fuzzy_decontaminate,
+    "contamination_screened": q_contamination_screened,
     # -- the r13-green cohort's 27-entry remainder (staged for r17;
     #    all driver-green in CORRECTNESS_r13, re-verified every round
     #    via tools/verify_local.py fleet runs) --

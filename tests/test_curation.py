@@ -687,3 +687,58 @@ def test_fuzzy_decontaminate_benchmark_side_broadcast(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     unpersist_deps(df)
+
+
+def test_contamination_screened_matches_full_matrix_on_flagged(spark):
+    """The two-tier screen must agree EXACTLY with the full
+    contamination_matrix on every pair it flags (same n_shared and
+    containment; est_jaccard = the source_overlap estimate) — tier 2
+    is a restriction of the verified matrix, never a reimplementation
+    that could drift."""
+    from batch_process_dpla_index_spark.operators.curation import (
+        contamination_matrix,
+        contamination_screened,
+    )
+    from batch_process_dpla_index_spark.operators.dedup import unpersist_deps
+    from batch_process_dpla_index_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    screened = contamination_screened(docs, est_threshold=0.0625)
+    got = {
+        (r["source_a"], r["source_b"]): (r["n_shared"], r["containment"])
+        for r in screened.collect()
+    }
+    unpersist_deps(screened)
+    assert got, "fixture must flag at least one pair"
+    full = contamination_matrix(docs)
+    want = {
+        (r["source_a"], r["source_b"]): (r["n_shared"], r["containment"])
+        for r in full.collect()
+    }
+    unpersist_deps(full)
+    for pair, vals in got.items():
+        assert want[pair] == vals, (pair, vals, want[pair])
+
+
+def test_contamination_screened_disjoint_sources_empty(spark):
+    """Sources with disjoint vocabularies are cleared by the sketch
+    tier: zero flagged pairs, zero output — the whole point of the
+    screen (tier 2's posting join never runs over cleared sources)."""
+    from batch_process_dpla_index_spark.operators.curation import (
+        contamination_screened,
+    )
+    from batch_process_dpla_index_spark.operators.dedup import unpersist_deps
+
+    rows = [
+        (i, f"s{s}", " ".join(f"w{s}_{i}_{j}" for j in range(12)))
+        for s in range(4)
+        for i in range(5)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, source string, text string"
+    )
+    df = contamination_screened(docs, est_threshold=0.0625)
+    out = df.collect()
+    unpersist_deps(df)
+    assert out == []
