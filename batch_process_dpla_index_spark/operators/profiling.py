@@ -462,11 +462,14 @@ def source_drift_ks(
 
     The grid is CAPPED at ``n_buckets`` equal-width integer buckets
     (r16, VERDICT r15 #2): bucket = (x − xmin) div width with
-    width = ceil(span / n_buckets) computed integer-exactly as
-    (xmax − xmin + n_buckets) div n_buckets — so the grid never grows
-    with distinct raw values, and every window frame is bounded by
-    construction (per-group cumulative ≤ n_buckets rows; per-bucket
-    global sum = |groups| rows). When span ≤ n_buckets the width is 1
+    width = ceil(span / n_buckets), span = xmax − xmin + 1, computed
+    integer-exactly as (xmax − xmin + n_buckets) div n_buckets — so
+    the grid never grows with distinct raw values, and every window
+    frame is bounded by construction (per-group cumulative ≤ n_buckets
+    rows; per-bucket global sum = |groups| rows). Range precondition:
+    xmax − xmin < 2^63 − n_buckets (sentinel-extreme values spanning
+    most of int64 would wrap the width expression; real value domains
+    are nowhere near). When span ≤ n_buckets the width is 1
     and the statistic equals the exact distinct-value KS; wider spans
     evaluate the same sup at bucket right-edges (grid resolution, not
     approximation — the ECDF counts stay exact). The global cumulative
@@ -653,17 +656,35 @@ def temporal_drift_ks(
     ``dedup.unpersist_deps``); the grid is |days|·|buckets| metadata.
     Int64 bound: n_day·n_prev < 2^63 holds for any day under ~3e9
     rows."""
-    c0 = (
-        df.where(F.col(value_col).isNotNull())
-        .groupBy(
-            F.date_trunc("day", F.col(ts_col)).alias("day"),
-            F.floor(F.col(value_col)).cast("bigint").alias("x"),
-        )
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-        # two consumers (min/max + rebucket) — persist the metadata-
-        # sized aggregate so the corpus is scanned exactly once
-        .persist()
-    )
+    c0 = df.where(F.col(value_col).isNotNull()).groupBy(
+        F.date_trunc("day", F.col(ts_col)).alias("day"),
+        F.floor(F.col(value_col)).cast("bigint").alias("x"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    return temporal_drift_ks_from_counts(c0, n_buckets)
+
+
+def temporal_drift_ks_from_counts(
+    counts: DataFrame, n_buckets: int = 8192
+) -> DataFrame:
+    """Bucket cap + KS core over a prepared (day, x, c) RAW-floor
+    counts frame — THE one path shared by :func:`temporal_drift_ks`
+    and the streaming twin's drained window counts
+    (``streaming/windows.py:streaming_value_counts``), so stream and
+    batch agree bit-for-bit at ANY value span. Feeding
+    :func:`ks_drift_from_counts` directly would diverge from the batch
+    operator once the floor span exceeds ``n_buckets`` (r16 review
+    finding) — the re-bucket must be replayed over drained counts too.
+
+    The bucket rule is :func:`source_drift_ks`'s: width =
+    ceil(span / n_buckets) with span = xmax − xmin + 1, computed
+    int64-exactly as (xmax − xmin + n_buckets) div n_buckets; width
+    is 1 (identity grid, up to a constant shift that the KS statistic
+    is invariant to) whenever span ≤ n_buckets. Requires
+    xmax − xmin < 2^63 − n_buckets (sentinel-extreme values would wrap
+    the span; real metric domains are nowhere near). The raw counts
+    frame is persisted (min/max + rebucket consumers); handles ride
+    ``_cached_deps``."""
+    c0 = counts.persist()
     mm = F.broadcast(
         c0.agg(F.min("x").alias("xmin"), F.max("x").alias("xmax"))
     )
@@ -681,12 +702,12 @@ def temporal_drift_ks(
 
 
 def ks_drift_from_counts(counts: DataFrame) -> DataFrame:
-    """The day-over-day KS core over a prepared (day, x, c) bucket-
-    counts frame — shared verbatim by the batch operator
-    (:func:`temporal_drift_ks`) and the streaming twin's drained
-    window counts (``streaming/windows.py:streaming_value_counts``),
-    the :func:`mix_drift_from_counts` pattern. The counts frame is
-    persisted here (three consumers); release via
+    """The day-over-day KS core over a prepared (day, x, c)
+    BUCKETED-counts frame. Callers holding raw floor counts (the batch
+    operator, the streaming twin's drained windows) must go through
+    :func:`temporal_drift_ks_from_counts`, which replays the shared
+    bucket cap first — this core assumes its grid is already bounded.
+    The counts frame is persisted here (three consumers); release via
     ``_cached_deps``/``unpersist_deps``."""
     from batch_process_dpla_index_spark.operators.dedup import (
         _with_cached_deps,

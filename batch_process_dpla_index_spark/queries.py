@@ -2323,13 +2323,15 @@ def q_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from batch_process_dpla_index_spark.operators.curation import (
         fuzzy_decontaminate,
     )
+    from batch_process_dpla_index_spark.operators.dedup import carry_deps
 
     docs = load_table(spark, sf_dir, "documents")
     bench = docs.where(F.col("doc_id") % 10 == 0)
     corpus = docs.where(F.col("doc_id") % 10 != 0)
-    return fuzzy_decontaminate(
-        corpus, bench, threshold=0.5, use_pandas=True
-    ).orderBy("doc_id", "bench_id")
+    out = fuzzy_decontaminate(corpus, bench, threshold=0.5, use_pandas=True)
+    # carry_deps: .orderBy() returns a NEW frame and would drop the two
+    # persisted signature frames, leaking them past unpersist_deps
+    return carry_deps(out.orderBy("doc_id", "bench_id"), out)
 
 
 def q_contamination_screened(spark: SparkSession, sf_dir: str) -> DataFrame:

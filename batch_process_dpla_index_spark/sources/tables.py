@@ -39,13 +39,15 @@ BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"
 #: every sub-second query (r14 verdict: rolling_hash/scd2_history warm
 #: pins) — only needs to run once per path. On a real cluster this is
 #: the same contract as a metastore-backed table: the schema is known,
-#: the scan doesn't re-infer it per query. The memo key includes the
+#: the scan doesn't re-infer it per query. The memo value carries the
 #: path's mtime (one os.stat vs ~0.2 s of inference — free), so a
 #: caller that rewrites a parquet at a previously-loaded path gets a
 #: fresh inference instead of a silent stale-schema read (r16 ADVICE);
 #: a Spark overwrite rewrites the directory entries, which bumps the
-#: directory mtime.
-_SCHEMA_CACHE: dict[tuple[str, float], object] = {}
+#: directory mtime. One entry per path (superseded generations are
+#: replaced, not accumulated), so the memo is bounded by the distinct
+#: paths a process touches.
+_SCHEMA_CACHE: dict[str, tuple[float, object]] = {}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -54,15 +56,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     tune(spark)
     path = f"{sf_dir}/{name}.parquet"
     try:
-        key = (path, os.stat(path).st_mtime)
+        mtime = os.stat(path).st_mtime
     except OSError:
-        key = (path, -1.0)
-    schema = _SCHEMA_CACHE.get(key)
-    if schema is None:
+        mtime = -1.0
+    hit = _SCHEMA_CACHE.get(path)
+    if hit is None or hit[0] != mtime:
         df = spark.read.parquet(path)
-        _SCHEMA_CACHE[key] = df.schema
+        _SCHEMA_CACHE[path] = (mtime, df.schema)
     else:
-        df = spark.read.schema(schema).parquet(path)
+        df = spark.read.schema(hit[1]).parquet(path)
     if name == "events":
         ts_type = dict(df.dtypes).get("ts")
         if ts_type == "bigint":

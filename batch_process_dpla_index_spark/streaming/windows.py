@@ -325,12 +325,18 @@ def streaming_value_counts(
     """Per-day floor-bucketed value counts maintained ONLINE — the
     streaming feed of the KS drift monitor (`operators/profiling.py:
     temporal_drift_ks`), the `streaming_mix_counts` pattern. Tumbling
-    1-day event-time windows keyed by the integer bucket; state per
-    (day, bucket) is one counter, bounded by the watermark horizon ×
-    |buckets|. The drained table is exactly the batch (day, x, c)
-    aggregate, so `profiling.ks_drift_from_counts` yields the batch
-    answer bit-for-bit — pinned by
-    test_ks_drift_stream_converges_to_batch. As in
+    1-day event-time windows keyed by the integer floor; state per
+    (day, floor) is one counter, bounded by the watermark horizon ×
+    |distinct floors in horizon| (a stream cannot know the global
+    min/max, so the r16 bucket cap cannot be applied online — clip the
+    value domain upstream if its floor cardinality is unbounded). The
+    drained table is exactly the batch RAW (day, x, c) aggregate; feed
+    it through `profiling.temporal_drift_ks_from_counts`, which
+    replays the batch operator's bucket cap over the drained counts
+    and yields the batch answer bit-for-bit at ANY value span — pinned
+    by test_ks_drift_stream_converges_to_batch. (Feeding
+    ks_drift_from_counts directly diverges once the floor span exceeds
+    n_buckets — r16 review finding.) As in
     :func:`streaming_mix_counts`, the agg key is the FULL window
     column (watermark metadata survives; append mode accepted) and
     ``win.start`` is projected after."""

@@ -1559,3 +1559,49 @@ def test_temporal_drift_day_gap_emits_null(spark):
     assert got_ks[1] == (3, None, None)
     assert got_ks[2] == (4, 3, round(6 / 12, 6))
     assert got_ks[4] == (2, None, None)
+
+
+def test_temporal_drift_wide_span_counts_path_matches_batch(spark):
+    """At a floor span WIDER than n_buckets the bucket cap changes the
+    grid, so drained raw counts must replay the same cap
+    (temporal_drift_ks_from_counts) to match the batch operator —
+    feeding ks_drift_from_counts directly diverges here (r16 review
+    finding; the fixture span is only ~560, so the convergence test
+    alone could never catch it)."""
+    from pyspark.sql import functions as F
+
+    from batch_process_dpla_index_spark.operators.dedup import unpersist_deps
+    from batch_process_dpla_index_spark.operators.profiling import (
+        temporal_drift_ks,
+        temporal_drift_ks_from_counts,
+    )
+
+    # 3 days x 2000 rows; values spread over ~40000 so the floor span
+    # far exceeds the 16-bucket cap used below
+    df = (
+        spark.range(6000)
+        .select(
+            F.expr(
+                "timestamp '2026-01-01 00:00:00' + make_interval(0,0,0, CAST(id % 3 AS INT))"
+            ).alias("ts"),
+            # day-dependent spread: day k's values drift upward so
+            # adjacent-day KS is non-trivial
+            (
+                (F.col("id") % 2000) * 20.0
+                + (F.col("id") % 3) * 300.0
+            ).alias("value"),
+        )
+    )
+    want_df = temporal_drift_ks(df, "ts", "value", n_buckets=16)
+    want = sorted(map(tuple, want_df.collect()))
+    unpersist_deps(want_df)
+
+    raw = df.groupBy(
+        F.date_trunc("day", "ts").alias("day"),
+        F.floor("value").cast("bigint").alias("x"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    got_df = temporal_drift_ks_from_counts(raw, n_buckets=16)
+    got = sorted(map(tuple, got_df.collect()))
+    unpersist_deps(got_df)
+    assert got == want and len(got) == 3
+    assert any(r[3] is not None and r[3] > 0 for r in got)

@@ -1289,8 +1289,8 @@ def test_ks_drift_stream_converges_to_batch(spark, tmp_path):
 
     from batch_process_dpla_index_spark.operators.dedup import unpersist_deps
     from batch_process_dpla_index_spark.operators.profiling import (
-        ks_drift_from_counts,
         temporal_drift_ks,
+        temporal_drift_ks_from_counts,
     )
     from batch_process_dpla_index_spark.streaming.windows import (
         streaming_value_counts,
@@ -1317,7 +1317,10 @@ def test_ks_drift_stream_converges_to_batch(spark, tmp_path):
     # memory-sink views cannot self-join (see the mix-drift twin test)
     counts = spark.createDataFrame(drained.collect(), drained.schema)
 
-    via_stream = ks_drift_from_counts(counts)
+    # the drained RAW floor counts go through the SAME bucket-cap +
+    # KS path as the batch operator (r16: ks_drift_from_counts alone
+    # diverges once the floor span exceeds n_buckets)
+    via_stream = temporal_drift_ks_from_counts(counts)
     got = sorted(map(tuple, via_stream.collect()))
     unpersist_deps(via_stream)
     want_df = temporal_drift_ks(events, "ts", "value")
