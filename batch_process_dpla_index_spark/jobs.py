@@ -257,6 +257,11 @@ def main(argv: list[str] | None = None) -> int:
                    help="doc_id-keyed binary frame: adds the "
                         "perceptual (image) dup rate to the card")
     s.add_argument("--bin-col", dest="card_bin_col", default="blob")
+    s.add_argument("--benchmark-parquet", default=None,
+                   help="doc_id+text eval-suite frame: adds the "
+                        "benchmark-contamination section (exact n-gram "
+                        "+ fuzzy MinHash screens) to the card")
+    s.add_argument("--fuzzy-threshold", type=float, default=0.5)
     s = sub.add_parser("profile")
     s.add_argument("parquet_path")
     s.add_argument("--out-csv", help="write the profile as a header CSV")
@@ -801,11 +806,17 @@ def main(argv: list[str] | None = None) -> int:
                 if args.blobs_parquet
                 else None
             )
+            bench = (
+                spark.read.parquet(args.benchmark_parquet)
+                if args.benchmark_parquet
+                else None
+            )
             path = build_dataset_card(
                 spark, spark.read.parquet(args.parquet_path), args.out_dir,
                 name=args.name, embeddings=emb,
                 vec_col=args.card_vec_col, sem_threshold=args.sem_threshold,
                 blobs=blobs, bin_col=args.card_bin_col,
+                benchmark=bench, fuzzy_threshold=args.fuzzy_threshold,
             )
             print(f"Dataset card written to {path}")
         elif args.job == "profile":

@@ -46,6 +46,8 @@ def build_dataset_card(
     n_embeddings: int | None = None,
     blobs: DataFrame | None = None,
     bin_col: str = "blob",
+    benchmark: DataFrame | None = None,
+    fuzzy_threshold: float = 0.5,
 ) -> str:
     """Render the datasheet to ``<out_dir>/DATASET_CARD.md`` (plus the
     standard `_MANIFEST`) and return the card path.
@@ -68,7 +70,14 @@ def build_dataset_card(
     runs (``multimodal.image_near_dup`` → ``dedup.dedup_survivors``),
     so the card's blob-dup rate cannot drift from its hash-verified
     twin. A multimodal corpus card without this rate under-reports the
-    dataset's redundancy (VERDICT r13 #4)."""
+    dataset's redundancy (VERDICT r13 #4).
+
+    ``benchmark`` (a frame carrying ``doc_id`` + ``text``) turns on
+    the BENCHMARK CONTAMINATION section (r16): the exact n-gram hit
+    count (``curation.decontaminate``) and the fuzzy MinHash-banded
+    overlap (``curation.fuzzy_decontaminate`` at ``fuzzy_threshold``)
+    against the supplied eval suite — the two screens a release runs
+    before training, on the card where a reviewer looks for them."""
     from batch_process_dpla_index_spark.functions.classifier import classifier_score
 
     # tokens materialized ONCE: language_id_tok references its token
@@ -302,6 +311,29 @@ def build_dataset_card(
         .collect()
     ]
 
+    # benchmark contamination (r16): both screens from the verified
+    # operators — exact n-gram hits + fuzzy banded-MinHash overlap
+    n_exact_contaminated: int | str = "n/a"
+    n_fuzzy_docs: int | str = "n/a"
+    n_fuzzy_pairs: int | str = "n/a"
+    if benchmark is not None:
+        from batch_process_dpla_index_spark.operators.curation import (
+            decontaminate,
+            fuzzy_decontaminate,
+        )
+
+        n_exact_contaminated = (
+            decontaminate(docs, benchmark).where("contaminated").count()
+        )
+        fz = fuzzy_decontaminate(docs, benchmark, threshold=fuzzy_threshold)
+        # finally, not the success path: fuzzy persists two signature
+        # frames; a raise in either count would leak them
+        try:
+            n_fuzzy_pairs = fz.count()
+            n_fuzzy_docs = fz.select("doc_id").distinct().count()
+        finally:
+            _unpersist(fz)
+
     card = f"""# Dataset card: {name}
 
 Every figure below is produced by an operator that is hash-verified
@@ -355,6 +387,20 @@ length against the rest of the corpus
 KS spike is the drift signal a curator investigates before export.
 
 {_md_table(audit_rows, ['source', 'docs', 'ks_vs_rest', 'lang_entropy', 'top_lang_share'])}
+"""
+    if benchmark is not None:
+        card += f"""
+## Benchmark contamination
+
+Both decontamination screens against the supplied benchmark corpus:
+exact word-3-gram hits (`operators/curation.py:decontaminate`,
+min_hits=1) and the fuzzy MinHash-banded overlap
+(`fuzzy_decontaminate`, exact-verified Jaccard ≥ {fuzzy_threshold})
+that catches the paraphrased leakage the exact screen misses.
+
+| exact-contaminated docs | fuzzy-matched docs | fuzzy (doc, bench) pairs |
+|---|---|---|
+| {n_exact_contaminated} | {n_fuzzy_docs} | {n_fuzzy_pairs} |
 """
     if blobs is not None:
         card += f"""

@@ -2286,3 +2286,60 @@ def test_dataset_card_privacy_drift_section(spark, tmp_path):
         assert (
             f"| {src} | {n_docs} | {ks[src]} | {h} | {share} |" in text
         ), (src, n_docs, ks[src], h, share)
+
+
+def test_dataset_card_benchmark_contamination_section(spark, tmp_path):
+    """The card's contamination figures must EQUAL the verified
+    decontaminate / fuzzy_decontaminate operators run independently,
+    and the section must be absent without a benchmark frame; also
+    pins the CLI threading (--benchmark-parquet)."""
+    from pyspark.sql import functions as F
+
+    from batch_process_dpla_index_spark import jobs
+    from batch_process_dpla_index_spark.operators.curation import (
+        decontaminate,
+        fuzzy_decontaminate,
+    )
+    from batch_process_dpla_index_spark.operators.dedup import unpersist_deps
+    from batch_process_dpla_index_spark.products.dataset_card import (
+        build_dataset_card,
+    )
+    from batch_process_dpla_index_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    bench = docs.where(F.col("doc_id") % 10 == 0).select("doc_id", "text")
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+
+    n_exact = decontaminate(corpus, bench).where("contaminated").count()
+    fz = fuzzy_decontaminate(corpus, bench, threshold=0.5)
+    n_pairs = fz.count()
+    n_docs_fz = fz.select("doc_id").distinct().count()
+    unpersist_deps(fz)
+
+    out = str(tmp_path / "card")
+    bench_path = str(tmp_path / "bench.parquet")
+    bench.write.parquet(bench_path)
+    corpus_path = str(tmp_path / "corpus.parquet")
+    corpus.write.parquet(corpus_path)
+    jobs.main(
+        [
+            "dataset-card",
+            corpus_path,
+            out,
+            "--name",
+            "contam",
+            "--benchmark-parquet",
+            bench_path,
+        ]
+    )
+    text = open(out + "/DATASET_CARD.md", encoding="utf-8").read()
+    assert "## Benchmark contamination" in text
+    assert f"| {n_exact} | {n_docs_fz} | {n_pairs} |" in text
+
+    # without a benchmark frame the section must be absent
+    out2 = str(tmp_path / "card2")
+    text2 = open(
+        build_dataset_card(spark, corpus, out2), encoding="utf-8"
+    ).read()
+    assert "Benchmark contamination" not in text2
