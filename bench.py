@@ -304,6 +304,10 @@ def main():
         if r > GATE_RATIO and q not in warm_over_2
     )
     repeat_offenders = sorted(set(floor_exempt) & prev_floor_exempt)
+    # the recorded state: generated fresh at sf0.1, carried through
+    # verbatim by probes at other SFs (no baselines there — floor_
+    # exempt is vacuously empty and must not reset the clock)
+    exempt_record = floor_exempt if sf == 0.1 else sorted(prev_floor_exempt)
     for q in repeat_offenders:
         warm_over_2[q] = warm_ratios[q]
     # a >2x query whose warm re-run CRASHED must fail the gate, not
@@ -333,13 +337,8 @@ def main():
         "warm_times": warm_times,
         "warm_ratios": warm_ratios,
         # over-ratio-but-under-floor record: fed into the NEXT run's
-        # consecutive-run escalation (frozen-constants header). A
-        # non-sf0.1 probe has no baselines (floor_exempt is vacuously
-        # empty) — carry the previous state through so a probe between
-        # two gate runs can't reset the escalation clock
-        "warm_over_ratio_floor_exempt": (
-            floor_exempt if sf == 0.1 else sorted(prev_floor_exempt)
-        ),
+        # consecutive-run escalation (frozen-constants header)
+        "warm_over_ratio_floor_exempt": exempt_record,
         "warm_repeat_offenders": repeat_offenders,
         # `value` sums only the SUCCEEDING queries — consumers must
         # check `complete`/`errors` before reading it as a speedup
@@ -392,7 +391,7 @@ def main():
     line_out["n_over_2"] = len(over2)
     line_out["warm_ratios"] = warm_ratios
     line_out["warm_over_2"] = warm_over_2
-    line_out["warm_over_ratio_floor_exempt"] = floor_exempt
+    line_out["warm_over_ratio_floor_exempt"] = exempt_record
     line_out["n_queries"] = len(times)
     line_out["full"] = "BENCH_LOCAL.json"
     by_cost = sorted(times.items(), key=lambda kv: (-kv[1], kv[0]))
