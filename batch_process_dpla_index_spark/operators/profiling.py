@@ -857,3 +857,140 @@ def mix_drift_from_counts(counts: DataFrame) -> DataFrame:
         .orderBy("day")
     )
     return _with_cached_deps(out, [c])
+
+
+def temporal_psi(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    n_buckets: int = 32,
+) -> DataFrame:
+    """(day, n_rows, n_prev, psi): day-over-day Population Stability
+    Index of the ``value_col`` distribution — the mass-weighted
+    companion of :func:`temporal_drift_ks` (r16). KS is a sup metric
+    (one bad bucket dominates); TV (:func:`event_mix_drift`) is
+    categorical; PSI = Σ_b (p_b − q_b)·ln(p_b/q_b) is the industry
+    drift score that weights every bucket by how much mass moved —
+    the triad a monitoring datasheet publishes together. Rule of
+    thumb: psi < 0.1 stable, 0.1-0.25 moderate, > 0.25 action.
+
+    Grid: values floor to BIGINT then bucket by the shared min/max
+    equal-width rule (``n_buckets`` defaults to the conventional ~30,
+    NOT the KS monitors' 8192 — PSI is a coarse-bucket score by
+    definition). Laplace smoothing (+0.5 per bucket, +B/2 per day
+    total, B = the observed bucket count) keeps every term defined on
+    zero-count buckets. Determinism discipline: the per-bucket shares
+    are ROUNDED to 6 dp BEFORE the log term on both engines (the
+    centroid-drift convention), and the per-day sum is a SORTED fold
+    over the bucket-ordered term list (the adamic_adar convention) —
+    no float-association drift between engines. The previous day
+    comes from a LAG over the dense (bucket × day) grid with an exact
+    day-adjacency check, the :func:`ks_drift_from_counts` shape; the
+    first day (or a post-gap day) emits NULL.
+
+    Scale: ONE corpus-proportional shuffle (the (day, floor) count,
+    persisted); everything downstream is |days|·n_buckets metadata.
+    Release the persist via ``_cached_deps``/``unpersist_deps``."""
+    c0 = df.where(F.col(value_col).isNotNull()).groupBy(
+        F.date_trunc("day", F.col(ts_col)).alias("day"),
+        F.floor(F.col(value_col)).cast("bigint").alias("x"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    return temporal_psi_from_counts(c0, n_buckets)
+
+
+def temporal_psi_from_counts(
+    counts: DataFrame, n_buckets: int = 32
+) -> DataFrame:
+    """Bucket cap + PSI core over a prepared (day, x, c) RAW-floor
+    counts frame — shared by :func:`temporal_psi` and the streaming
+    twin's drained window counts
+    (``streaming/windows.py:streaming_value_counts``), the
+    :func:`temporal_drift_ks_from_counts` pattern: the drained raw
+    counts replay the SAME bucketing, so stream and batch agree
+    bit-for-bit at any value span."""
+    from batch_process_dpla_index_spark.operators.dedup import (
+        _with_cached_deps,
+    )
+
+    c0 = counts.persist()
+    mm = F.broadcast(
+        c0.agg(F.min("x").alias("xmin"), F.max("x").alias("xmax"))
+    )
+    nb = int(n_buckets)
+    bucket = F.expr(f"(x - xmin) div ((xmax - xmin + {nb}) div {nb})")
+    cb = (
+        c0.crossJoin(mm)
+        .select("day", bucket.cast("bigint").alias("b"), "c")
+        .groupBy("day", "b")
+        .agg(F.sum("c").alias("c"))
+        .persist()
+    )
+    g = cb.groupBy("day").agg(F.sum("c").alias("n_day"))
+    bs = cb.select("b").distinct()
+    grid = bs.crossJoin(F.broadcast(g))
+    dense = (
+        grid.join(cb, ["day", "b"], "left")
+        .select(
+            "day",
+            "b",
+            "n_day",
+            F.coalesce(F.col("c"), F.lit(0)).alias("c_cur"),
+        )
+        # the grid is DENSE (every day carries every observed bucket),
+        # so the global bucket count is the per-day row count — a
+        # day-partitioned window, no join back onto the cb lineage.
+        # Named nbk, NOT "B": both engines resolve case-insensitively
+        # and "B" collides with the bucket column "b"
+        .withColumn(
+            "nbk",
+            F.count(F.lit(1)).over(Window.partitionBy("day")).cast("bigint"),
+        )
+    )
+    w_b = Window.partitionBy("b").orderBy("day")
+    adjacent = F.lag("day").over(w_b) == F.col("day") - F.expr(
+        "INTERVAL 1 DAY"
+    )
+    p6 = F.round(
+        (F.col("c_cur") + F.lit(0.5))
+        / (F.col("n_day") + F.col("nbk") / F.lit(2.0)),
+        6,
+    )
+    q6 = F.round(
+        (F.lag("c_cur").over(w_b) + F.lit(0.5))
+        / (F.lag("n_day").over(w_b) + F.col("nbk") / F.lit(2.0)),
+        6,
+    )
+    lagged = dense.select(
+        "day",
+        "b",
+        "n_day",
+        F.when(adjacent, F.lag("n_day").over(w_b)).alias("n_prev"),
+        F.when(adjacent, (p6 - q6) * F.log(p6 / q6)).alias("__term"),
+    )
+    out = (
+        lagged.groupBy("day", "n_day")
+        .agg(
+            F.max("n_prev").alias("n_prev"),
+            F.sort_array(
+                F.collect_list(F.struct("b", F.col("__term").alias("t")))
+            ).alias("__terms"),
+        )
+        .select(
+            "day",
+            F.col("n_day").cast("bigint").alias("n_rows"),
+            F.col("n_prev").cast("bigint").alias("n_prev"),
+            F.when(
+                F.col("n_prev").isNotNull(),
+                F.round(
+                    F.aggregate(
+                        F.col("__terms"),
+                        F.lit(0.0),
+                        lambda acc, s: acc + s["t"],
+                    ),
+                    6,
+                ),
+            ).alias("psi"),
+        )
+        .orderBy("day")
+    )
+    return _with_cached_deps(out, [c0, cb])

@@ -4899,10 +4899,64 @@ ORDER BY source_a, source_b
 
 ORACLE_CONTAMINATION_SCREENED = _contamination_screened_oracle()
 
+# Day-over-day PSI of the event-value distribution: 32-bucket
+# min/max grid, +0.5 Laplace smoothing, shares rounded 6 dp BEFORE
+# the log term (centroid-drift convention), per-day sum as a
+# bucket-ordered fold (adamic_adar convention).
+ORACLE_TEMPORAL_PSI = """
+WITH c0 AS (
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           CAST(floor(value) AS BIGINT) AS x,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), mm AS (SELECT min(x) AS xmin, max(x) AS xmax FROM c0),
+cb AS (
+    SELECT day,
+           CAST((x - xmin) // ((xmax - xmin + 32) // 32) AS BIGINT) AS b,
+           CAST(sum(cnt) AS BIGINT) AS cnt
+    FROM c0 CROSS JOIN mm GROUP BY 1, 2
+), g AS (SELECT day, CAST(sum(cnt) AS BIGINT) AS n_day FROM cb GROUP BY 1),
+bs AS (SELECT DISTINCT b FROM cb),
+nb AS (SELECT CAST(count(*) AS BIGINT) AS nbk FROM bs),
+dense AS (
+    SELECT g.day, bs.b, g.n_day, coalesce(cb.cnt, 0) AS c_cur
+    FROM g CROSS JOIN bs
+    LEFT JOIN cb ON cb.day = g.day AND cb.b = bs.b
+), lagged AS (
+    SELECT day, b, n_day,
+           CASE WHEN lag(day) OVER w + INTERVAL 1 DAY = day
+                THEN lag(n_day) OVER w END AS n_prev,
+           CASE WHEN lag(day) OVER w + INTERVAL 1 DAY = day THEN
+               (round((c_cur + 0.5) / (n_day + nbk / 2.0), 6)
+                - round((lag(c_cur) OVER w + 0.5)
+                        / (lag(n_day) OVER w + nbk / 2.0), 6))
+               * ln(round((c_cur + 0.5) / (n_day + nbk / 2.0), 6)
+                    / round((lag(c_cur) OVER w + 0.5)
+                            / (lag(n_day) OVER w + nbk / 2.0), 6))
+           END AS term
+    FROM dense CROSS JOIN nb
+    WINDOW w AS (PARTITION BY b ORDER BY day)
+), pairs AS (
+    SELECT day, n_day, max(n_prev) AS n_prev,
+           round(list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE), list(term ORDER BY b)),
+               (acc, v) -> acc + v), 6) AS psi
+    FROM lagged WHERE n_prev IS NOT NULL
+    GROUP BY day, n_day
+)
+SELECT day, n_day AS n_rows, n_prev, psi FROM pairs
+UNION ALL
+SELECT g.day, g.n_day AS n_rows, CAST(NULL AS BIGINT) AS n_prev,
+       CAST(NULL AS DOUBLE) AS psi
+FROM g WHERE g.day NOT IN (SELECT day FROM pairs)
+ORDER BY day
+"""
+
 
 ORACLES: dict[str, str] = {
     "source_drift_ks": ORACLE_SOURCE_DRIFT_KS,
     "contamination_screened": ORACLE_CONTAMINATION_SCREENED,
+    "temporal_psi": ORACLE_TEMPORAL_PSI,
     "l_diversity": ORACLE_L_DIVERSITY,
     "contamination_matrix": ORACLE_CONTAMINATION_MATRIX,
     "temporal_drift_ks": ORACLE_TEMPORAL_DRIFT_KS,

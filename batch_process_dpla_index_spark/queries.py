@@ -2334,6 +2334,20 @@ def q_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return carry_deps(out.orderBy("doc_id", "bench_id"), out)
 
 
+def q_temporal_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day Population Stability Index of event values (r16
+    addition): 32-bucket min/max grid, Laplace-smoothed shares rounded
+    before the log term, bucket-ordered fold — the mass-weighted drift
+    score next to the KS (sup) and TV (mix) monitors
+    (operators/profiling.py:temporal_psi)."""
+    from batch_process_dpla_index_spark.operators.profiling import (
+        temporal_psi,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    return temporal_psi(events, "ts", "value", n_buckets=32)
+
+
 def q_contamination_screened(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-tier cross-source contamination (r16 addition): union-
     MinHash estimate screens all |sources|² pairs, exact shingle
@@ -3707,10 +3721,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #    SFs, pinned, probed per the staging discipline) --
     "l_diversity": q_l_diversity,
     "contamination_matrix": q_contamination_matrix,
-    # -- r16 additions (staged r17 positions 3-4; verified both SFs,
+    # -- r16 additions (staged r17 positions 3-5; verified both SFs,
     #    pinned, probed same-round per the staging discipline) --
     "fuzzy_decontaminate": q_fuzzy_decontaminate,
     "contamination_screened": q_contamination_screened,
+    "temporal_psi": q_temporal_psi,
     # -- the r13-green cohort's 27-entry remainder (staged for r17;
     #    all driver-green in CORRECTNESS_r13, re-verified every round
     #    via tools/verify_local.py fleet runs) --

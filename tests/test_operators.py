@@ -1605,3 +1605,45 @@ def test_temporal_drift_wide_span_counts_path_matches_batch(spark):
     unpersist_deps(got_df)
     assert got == want and len(got) == 3
     assert any(r[3] is not None and r[3] > 0 for r in got)
+
+
+def test_temporal_psi_hand_computed(spark):
+    """PSI on a 3-day hand fixture: day 2 is a pure shift of day 1's
+    mass (non-trivial PSI, hand-replayed below), day 3 follows a gap
+    and must emit NULL, day 1 has no predecessor and must emit NULL."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from batch_process_dpla_index_spark.operators.dedup import unpersist_deps
+    from batch_process_dpla_index_spark.operators.profiling import temporal_psi
+
+    rows = []
+    # day 1: 6 values in bucket 0 (value 0), 2 in bucket 1 (value 1)
+    rows += [("2026-01-01 10:00:00", 0.0)] * 6
+    rows += [("2026-01-01 11:00:00", 1.0)] * 2
+    # day 2 (adjacent): 2 in bucket 0, 6 in bucket 1 — mass shifted
+    rows += [("2026-01-02 10:00:00", 0.0)] * 2
+    rows += [("2026-01-02 11:00:00", 1.0)] * 6
+    # day 4 (after a gap): anything
+    rows += [("2026-01-04 10:00:00", 0.0)] * 5
+    df = spark.createDataFrame(rows, "ts_s string, value double").select(
+        F.col("ts_s").cast("timestamp").alias("ts"), "value"
+    )
+    out = temporal_psi(df, "ts", "value", n_buckets=32)
+    got = {str(r["day"])[:10]: r for r in out.collect()}
+    unpersist_deps(out)
+
+    assert got["2026-01-01"]["psi"] is None  # no predecessor
+    assert got["2026-01-04"]["psi"] is None  # gap day
+    assert got["2026-01-04"]["n_prev"] is None
+    # hand replay for day 2 vs day 1: B=2 observed buckets, n=8 each,
+    # +0.5 smoothing, shares rounded 6 before the log term
+    def share(c, n, B=2):
+        return round((c + 0.5) / (n + B / 2.0), 6)
+
+    p0, q0 = share(2, 8), share(6, 8)
+    p1, q1 = share(6, 8), share(2, 8)
+    want = round((p0 - q0) * math.log(p0 / q0) + (p1 - q1) * math.log(p1 / q1), 6)
+    assert got["2026-01-02"]["psi"] == want
+    assert got["2026-01-02"]["n_prev"] == 8

@@ -1364,3 +1364,49 @@ def test_streaming_count_helpers_support_append(spark, tmp_path):
         # append emits only watermark-finalized windows; the fixture
         # spans many days, so all but the horizon's tail must land
         assert spark.table(name).count() > 0
+
+
+def test_psi_stream_converges_to_batch(spark, tmp_path):
+    """Drained streaming_value_counts fed through
+    temporal_psi_from_counts == temporal_psi over the same events,
+    bit-for-bit — the PSI monitor joins the KS and mix monitors in
+    having a streaming twin through one shared counts core (r16)."""
+    import uuid as _uuid
+
+    from batch_process_dpla_index_spark.operators.dedup import unpersist_deps
+    from batch_process_dpla_index_spark.operators.profiling import (
+        temporal_psi,
+        temporal_psi_from_counts,
+    )
+    from batch_process_dpla_index_spark.streaming.windows import (
+        streaming_value_counts,
+    )
+
+    events = load_table(spark, SF_DIR, "events")
+    src = str(tmp_path / "psievents")
+    events.repartition(5).write.parquet(src)
+
+    stream = spark.readStream.schema(events.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    name = f"psi_{_uuid.uuid4().hex[:8]}"
+    q = (
+        streaming_value_counts(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    drained = spark.table(name)
+    # memory-sink views cannot self-join (see the mix-drift twin test)
+    counts = spark.createDataFrame(drained.collect(), drained.schema)
+
+    via_stream = temporal_psi_from_counts(counts)
+    got = sorted(map(tuple, via_stream.collect()))
+    unpersist_deps(via_stream)
+    want_df = temporal_psi(events, "ts", "value")
+    want = sorted(map(tuple, want_df.collect()))
+    unpersist_deps(want_df)
+    assert got == want and len(got) > 0
