@@ -438,6 +438,34 @@ def gini_concentration(
     )
 
 
+def _bucket_capped_counts(
+    counts: DataFrame, key_col: str, n_buckets: int, out_col: str
+):
+    """THE one min/max equal-width bucket cap shared by every drift
+    monitor (r16 review: three hand-synchronized copies is how the
+    "shared bucket rule" guarantee silently breaks). Input: a
+    (key_col, x, c) counts frame with BIGINT x. width =
+    ceil(span/n_buckets), span = xmax − xmin + 1, computed
+    int64-exactly as (xmax − xmin + n_buckets) div n_buckets; x ≥ xmin
+    so div == floor. Returns (bucketed, raw) where ``bucketed`` is the
+    (key_col, out_col, c) re-aggregate and ``raw`` is the PERSISTED
+    input (two consumers: min/max + rebucket) whose handle the caller
+    must ride in ``_cached_deps``."""
+    c0 = counts.persist()
+    mm = F.broadcast(
+        c0.agg(F.min("x").alias("xmin"), F.max("x").alias("xmax"))
+    )
+    nb = int(n_buckets)
+    bucket = F.expr(f"(x - xmin) div ((xmax - xmin + {nb}) div {nb})")
+    cb = (
+        c0.crossJoin(mm)
+        .select(key_col, bucket.cast("bigint").alias(out_col), "c")
+        .groupBy(key_col, out_col)
+        .agg(F.sum("c").alias("c"))
+    )
+    return cb, c0
+
+
 def source_drift_ks(
     df: DataFrame,
     group_col: str = "source",
@@ -495,22 +523,8 @@ def source_drift_ks(
         F.col(group_col).alias("grp"),
         F.col(value_col).cast("bigint").alias("x"),
     ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    # two consumers (min/max + the bucketed re-aggregate) — persist so
-    # the corpus-proportional shuffle happens exactly once
-    c = c.persist()
-    mm = F.broadcast(
-        c.agg(F.min("x").alias("xmin"), F.max("x").alias("xmax"))
-    )
-    nb = int(n_buckets)
-    # pure int64 arithmetic end-to-end; x ≥ xmin so div == floor
-    bucket = F.expr(f"(x - xmin) div ((xmax - xmin + {nb}) div {nb})")
-    cb = (
-        c.crossJoin(mm)
-        .select("grp", bucket.cast("bigint").alias("b"), "c")
-        .groupBy("grp", "b")
-        .agg(F.sum("c").alias("c"))
-        .persist()
-    )
+    cb, c = _bucket_capped_counts(c, "grp", n_buckets, "b")
+    cb = cb.persist()
     g = cb.groupBy("grp").agg(F.sum("c").alias("n_g"))
     bs = cb.select("b").distinct()
     n_total = F.broadcast(cb.agg(F.sum("c").alias("n_total")))
@@ -684,18 +698,7 @@ def temporal_drift_ks_from_counts(
     the span; real metric domains are nowhere near). The raw counts
     frame is persisted (min/max + rebucket consumers); handles ride
     ``_cached_deps``."""
-    c0 = counts.persist()
-    mm = F.broadcast(
-        c0.agg(F.min("x").alias("xmin"), F.max("x").alias("xmax"))
-    )
-    nb = int(n_buckets)
-    bucket = F.expr(f"(x - xmin) div ((xmax - xmin + {nb}) div {nb})")
-    c = (
-        c0.crossJoin(mm)
-        .select("day", bucket.cast("bigint").alias("x"), "c")
-        .groupBy("day", "x")
-        .agg(F.sum("c").alias("c"))
-    )
+    c, c0 = _bucket_capped_counts(counts, "day", n_buckets, "x")
     out = ks_drift_from_counts(c)
     out._cached_deps = [c0] + list(out._cached_deps)
     return out
@@ -879,11 +882,13 @@ def temporal_psi(
     NOT the KS monitors' 8192 — PSI is a coarse-bucket score by
     definition). Laplace smoothing (+0.5 per bucket, +B/2 per day
     total, B = the observed bucket count) keeps every term defined on
-    zero-count buckets. Determinism discipline: the per-bucket shares
-    are ROUNDED to 6 dp BEFORE the log term on both engines (the
-    centroid-drift convention), and the per-day sum is a SORTED fold
-    over the bucket-ordered term list (the adamic_adar convention) —
-    no float-association drift between engines. The previous day
+    zero-count buckets. Determinism discipline: the smoothed shares
+    are exact IEEE divisions of exactly-representable operands (c+0.5
+    and n+B/2 for n < 2^52), so both engines feed ln() bit-identical
+    doubles with NO rounding step (a pre-log 6 dp round would zero an
+    empty bucket's share once a day holds ~1M rows — ln(0)); the
+    per-day sum is a SORTED fold over the bucket-ordered term list
+    (the adamic_adar convention) — no float-association drift. The previous day
     comes from a LAG over the dense (bucket × day) grid with an exact
     day-adjacency check, the :func:`ks_drift_from_counts` shape; the
     first day (or a post-gap day) emits NULL.
@@ -912,19 +917,8 @@ def temporal_psi_from_counts(
         _with_cached_deps,
     )
 
-    c0 = counts.persist()
-    mm = F.broadcast(
-        c0.agg(F.min("x").alias("xmin"), F.max("x").alias("xmax"))
-    )
-    nb = int(n_buckets)
-    bucket = F.expr(f"(x - xmin) div ((xmax - xmin + {nb}) div {nb})")
-    cb = (
-        c0.crossJoin(mm)
-        .select("day", bucket.cast("bigint").alias("b"), "c")
-        .groupBy("day", "b")
-        .agg(F.sum("c").alias("c"))
-        .persist()
-    )
+    cb, c0 = _bucket_capped_counts(counts, "day", n_buckets, "b")
+    cb = cb.persist()
     g = cb.groupBy("day").agg(F.sum("c").alias("n_day"))
     bs = cb.select("b").distinct()
     grid = bs.crossJoin(F.broadcast(g))
@@ -950,15 +944,16 @@ def temporal_psi_from_counts(
     adjacent = F.lag("day").over(w_b) == F.col("day") - F.expr(
         "INTERVAL 1 DAY"
     )
-    p6 = F.round(
-        (F.col("c_cur") + F.lit(0.5))
-        / (F.col("n_day") + F.col("nbk") / F.lit(2.0)),
-        6,
+    # shares stay RAW doubles: (c+0.5) and (n+nbk/2.0) are exactly
+    # representable and IEEE division is correctly rounded, so both
+    # engines compute bit-identical shares with no rounding step —
+    # and a 6 dp round would zero the smoothed share of an empty
+    # bucket once a day holds ~1M rows, feeding ln(0) (r16 review)
+    p6 = (F.col("c_cur") + F.lit(0.5)) / (
+        F.col("n_day") + F.col("nbk") / F.lit(2.0)
     )
-    q6 = F.round(
-        (F.lag("c_cur").over(w_b) + F.lit(0.5))
-        / (F.lag("n_day").over(w_b) + F.col("nbk") / F.lit(2.0)),
-        6,
+    q6 = (F.lag("c_cur").over(w_b) + F.lit(0.5)) / (
+        F.lag("n_day").over(w_b) + F.col("nbk") / F.lit(2.0)
     )
     lagged = dense.select(
         "day",

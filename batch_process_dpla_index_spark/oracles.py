@@ -4900,9 +4900,10 @@ ORDER BY source_a, source_b
 ORACLE_CONTAMINATION_SCREENED = _contamination_screened_oracle()
 
 # Day-over-day PSI of the event-value distribution: 32-bucket
-# min/max grid, +0.5 Laplace smoothing, shares rounded 6 dp BEFORE
-# the log term (centroid-drift convention), per-day sum as a
-# bucket-ordered fold (adamic_adar convention).
+# min/max grid, +0.5 Laplace smoothing, RAW IEEE shares (exactly
+# representable operands — a pre-log round would zero an empty
+# bucket's share at ~1M rows/day), per-day sum as a bucket-ordered
+# fold (adamic_adar convention).
 ORACLE_TEMPORAL_PSI = """
 WITH c0 AS (
     SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
@@ -4927,12 +4928,12 @@ dense AS (
            CASE WHEN lag(day) OVER w + INTERVAL 1 DAY = day
                 THEN lag(n_day) OVER w END AS n_prev,
            CASE WHEN lag(day) OVER w + INTERVAL 1 DAY = day THEN
-               (round((c_cur + 0.5) / (n_day + nbk / 2.0), 6)
-                - round((lag(c_cur) OVER w + 0.5)
-                        / (lag(n_day) OVER w + nbk / 2.0), 6))
-               * ln(round((c_cur + 0.5) / (n_day + nbk / 2.0), 6)
-                    / round((lag(c_cur) OVER w + 0.5)
-                            / (lag(n_day) OVER w + nbk / 2.0), 6))
+               ((c_cur + 0.5) / (n_day + nbk / 2.0)
+                - (lag(c_cur) OVER w + 0.5)
+                  / (lag(n_day) OVER w + nbk / 2.0))
+               * ln(((c_cur + 0.5) / (n_day + nbk / 2.0))
+                    / ((lag(c_cur) OVER w + 0.5)
+                       / (lag(n_day) OVER w + nbk / 2.0)))
            END AS term
     FROM dense CROSS JOIN nb
     WINDOW w AS (PARTITION BY b ORDER BY day)

@@ -327,10 +327,17 @@ def build_dataset_card(
         )
         fz = fuzzy_decontaminate(docs, benchmark, threshold=fuzzy_threshold)
         # finally, not the success path: fuzzy persists two signature
-        # frames; a raise in either count would leak them
+        # frames; a raise in the action would leak them. ONE action:
+        # two separate counts would re-run the candidate join + exact
+        # Jaccard verify over the full corpus twice (only the
+        # signature frames are persisted)
         try:
-            n_fuzzy_pairs = fz.count()
-            n_fuzzy_docs = fz.select("doc_id").distinct().count()
+            row = fz.agg(
+                F.count(F.lit(1)).alias("n_pairs"),
+                F.countDistinct("doc_id").alias("n_docs"),
+            ).first()
+            n_fuzzy_pairs = row["n_pairs"]
+            n_fuzzy_docs = row["n_docs"]
         finally:
             _unpersist(fz)
 

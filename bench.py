@@ -391,7 +391,8 @@ def main():
     line_out["n_over_2"] = len(over2)
     line_out["warm_ratios"] = warm_ratios
     line_out["warm_over_2"] = warm_over_2
-    line_out["warm_over_ratio_floor_exempt"] = exempt_record
+    # exempt_record already rides line_out via `out` (not excluded
+    # above) — no separate assignment, ONE source of truth
     line_out["n_queries"] = len(times)
     line_out["full"] = "BENCH_LOCAL.json"
     by_cost = sorted(times.items(), key=lambda kv: (-kv[1], kv[0]))

@@ -1640,7 +1640,7 @@ def test_temporal_psi_hand_computed(spark):
     # hand replay for day 2 vs day 1: B=2 observed buckets, n=8 each,
     # +0.5 smoothing, shares rounded 6 before the log term
     def share(c, n, B=2):
-        return round((c + 0.5) / (n + B / 2.0), 6)
+        return (c + 0.5) / (n + B / 2.0)
 
     p0, q0 = share(2, 8), share(6, 8)
     p1, q1 = share(6, 8), share(2, 8)
