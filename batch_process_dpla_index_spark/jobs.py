@@ -207,6 +207,20 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("src")
     s.add_argument("dst")
     s.add_argument("--target-mb", type=int, default=128)
+    s = sub.add_parser("decon-index")
+    s.add_argument("action", choices=["build", "append", "screen"])
+    s.add_argument("index_dir")
+    s.add_argument("--benchmark-parquet", default=None,
+                   help="eval-suite frame (build: full suite; append: "
+                        "the new suite's items only)")
+    s.add_argument("--docs-parquet", dest="decon_docs", default=None,
+                   help="screen: the ingest batch to screen against "
+                        "the stored benchmark signatures")
+    s.add_argument("--threshold", dest="decon_threshold", type=float,
+                   default=0.5)
+    s.add_argument("--out-parquet", dest="decon_out", default=None,
+                   help="screen: write matches here instead of "
+                        "printing them")
     s = sub.add_parser("overlap-index")
     s.add_argument("action",
                    choices=["build", "refresh", "report", "delete",
@@ -691,6 +705,62 @@ def main(argv: list[str] | None = None) -> int:
                     f"{manifest['n_cells']} cells over "
                     f"{manifest['Record count']} vectors"
                 )
+        elif args.job == "decon-index":
+            from batch_process_dpla_index_spark.products import decon_index
+
+            if args.action == "build":
+                if not args.benchmark_parquet:
+                    raise SystemExit(
+                        "decon-index build needs --benchmark-parquet"
+                    )
+                m = decon_index.build_decon_index(
+                    spark.read.parquet(args.benchmark_parquet),
+                    args.index_dir,
+                )
+                print(
+                    f"Decon index built: {m['Benchmark items']} items"
+                )
+            elif args.action == "append":
+                if not args.benchmark_parquet:
+                    raise SystemExit(
+                        "decon-index append needs --benchmark-parquet"
+                    )
+                m = decon_index.append_to_decon_index(
+                    spark.read.parquet(args.benchmark_parquet),
+                    args.index_dir,
+                )
+                print(
+                    f"Decon index appended: {m['Benchmark items']} items"
+                )
+            else:  # screen
+                if not args.decon_docs:
+                    raise SystemExit(
+                        "decon-index screen needs --docs-parquet"
+                    )
+                from batch_process_dpla_index_spark.operators.dedup import (
+                    unpersist_deps,
+                )
+
+                hits = decon_index.screen_batch(
+                    spark,
+                    spark.read.parquet(args.decon_docs),
+                    args.index_dir,
+                    threshold=args.decon_threshold,
+                )
+                try:
+                    if args.decon_out:
+                        hits.write.mode("overwrite").parquet(
+                            args.decon_out
+                        )
+                        print(f"Screen matches written to {args.decon_out}")
+                    else:
+                        for r in hits.collect():
+                            print(
+                                f"{r[0]} ~ {r['bench_id']}: "
+                                f"jaccard={r['jaccard']}"
+                            )
+                finally:
+                    unpersist_deps(hits)
         elif args.job == "overlap-index":
             from batch_process_dpla_index_spark.products import overlap_index
 

@@ -135,6 +135,58 @@ def fuzzy_decontaminate(
     trivial groupBy for callers; the pair grain is what a leakage
     audit reviews. Persist handles ride ``_cached_deps``."""
     from batch_process_dpla_index_spark.operators.dedup import (
+        shingle_sets,
+        with_minhash_signature,
+    )
+
+    # empty shingle sets can't be contaminated and would band to the
+    # shared all-NULL-signature key (0/0 Jaccard under ANSI) — drop
+    # them on BOTH sides, the dedup tier's NULL-signature contract
+    bench_sets = (
+        shingle_sets(benchmark, text_col, id_col, n, use_pandas=use_pandas)
+        .where(F.size("shingles") > 0)
+        .withColumnRenamed(id_col, "id")
+    )
+    bench_sig = with_minhash_signature(
+        bench_sets, num_perm, use_pandas
+    ).persist()
+    out = _fuzzy_screen(
+        docs,
+        bench_sig,
+        id_col=id_col,
+        text_col=text_col,
+        n=n,
+        threshold=threshold,
+        num_perm=num_perm,
+        bands=bands,
+        max_bucket=max_bucket,
+        use_pandas=use_pandas,
+    )
+    out._cached_deps = list(out._cached_deps) + [bench_sig]
+    return out
+
+
+def _fuzzy_screen(
+    docs: DataFrame,
+    bench_sig: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    threshold: float,
+    num_perm: int,
+    bands: int,
+    max_bucket: int,
+    use_pandas: bool,
+) -> DataFrame:
+    """The corpus-vs-PRECOMPUTED-benchmark banded screen — the ONE
+    code path shared by :func:`fuzzy_decontaminate` (benchmark
+    signatures built in-line) and
+    ``products.decon_index.screen_batch`` (benchmark signatures read
+    from the stored artifact), so the stored-index screen can never
+    drift from the oracle-verified in-line operator. ``bench_sig``
+    carries (id, shingles, sig) rows with empty shingle sets already
+    dropped; broadcast-sized by the eval-suite contract."""
+    from batch_process_dpla_index_spark.operators.dedup import (
         _band_buckets,
         _band_rows,
         _with_cached_deps,
@@ -143,23 +195,12 @@ def fuzzy_decontaminate(
     )
 
     rows = _band_rows(num_perm, bands)
-    # empty shingle sets can't be contaminated and would band to the
-    # shared all-NULL-signature key (0/0 Jaccard under ANSI) — drop
-    # them on BOTH sides, the dedup tier's NULL-signature contract
     doc_sets = (
         shingle_sets(docs, text_col, id_col, n, use_pandas=use_pandas)
         .where(F.size("shingles") > 0)
         .withColumnRenamed(id_col, "id")
     )
-    bench_sets = (
-        shingle_sets(benchmark, text_col, id_col, n, use_pandas=use_pandas)
-        .where(F.size("shingles") > 0)
-        .withColumnRenamed(id_col, "id")
-    )
     doc_sig = with_minhash_signature(doc_sets, num_perm, use_pandas).persist()
-    bench_sig = with_minhash_signature(
-        bench_sets, num_perm, use_pandas
-    ).persist()
     db = _band_buckets(doc_sig, bands, rows)
     bb = _band_buckets(bench_sig, bands, rows).withColumnRenamed("id", "bid")
     oversized = (
@@ -193,7 +234,7 @@ def fuzzy_decontaminate(
             F.round("jaccard", 6).alias("jaccard"),
         )
     )
-    return _with_cached_deps(out, [doc_sig, bench_sig])
+    return _with_cached_deps(out, [doc_sig])
 
 
 #: default gate thresholds (C4/Gopher-flavored, tuned for the synthetic corpus)

@@ -2343,3 +2343,86 @@ def test_dataset_card_benchmark_contamination_section(spark, tmp_path):
         build_dataset_card(spark, corpus, out2), encoding="utf-8"
     ).read()
     assert "Benchmark contamination" not in text2
+
+
+def test_decon_index_lifecycle(spark, tmp_path):
+    """build -> screen == direct fuzzy_decontaminate (the stored-index
+    screen runs the SAME _fuzzy_screen path, so equality is exact);
+    append folds a new suite in at delta cost and refuses duplicate
+    ids; empty build refuses; CLI threads build+screen end-to-end."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from batch_process_dpla_index_spark import jobs
+    from batch_process_dpla_index_spark.io.manifest import read_manifest
+    from batch_process_dpla_index_spark.operators.curation import (
+        fuzzy_decontaminate,
+    )
+    from batch_process_dpla_index_spark.operators.dedup import unpersist_deps
+    from batch_process_dpla_index_spark.products.decon_index import (
+        append_to_decon_index,
+        build_decon_index,
+        screen_batch,
+    )
+    from batch_process_dpla_index_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    bench = docs.where(F.col("doc_id") % 10 == 0).select("doc_id", "text")
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    idx = str(tmp_path / "decon_idx")
+
+    m = build_decon_index(bench, idx)
+    assert int(m["Benchmark items"]) > 0
+    assert read_manifest(idx)["Bands"] == "16"
+
+    got_df = screen_batch(spark, corpus, idx, threshold=0.5)
+    got = sorted(map(tuple, got_df.collect()))
+    unpersist_deps(got_df)
+    want_df = fuzzy_decontaminate(corpus, bench, threshold=0.5,
+                                  use_pandas=True)
+    want = sorted(map(tuple, want_df.collect()))
+    unpersist_deps(want_df)
+    assert got == want and len(got) > 0
+
+    # append a synthetic new suite whose item verbatim-copies a corpus
+    # doc -> it must become screenable at jaccard 1.0
+    victim = corpus.limit(1).collect()[0]
+    new_suite = spark.createDataFrame(
+        [(990_001, victim["text"])], "doc_id bigint, text string"
+    )
+    m2 = append_to_decon_index(new_suite, idx)
+    assert int(m2["Benchmark items"]) == int(m["Benchmark items"]) + 1
+    got2_df = screen_batch(spark, corpus, idx, threshold=0.5)
+    got2 = {(r[0], r["bench_id"]): r["jaccard"] for r in got2_df.collect()}
+    unpersist_deps(got2_df)
+    assert got2[(victim["doc_id"], 990_001)] == 1.0
+    # all pre-append matches unchanged
+    for (d, b, j) in got:
+        assert got2[(d, b)] == j
+
+    # duplicate id refused loudly
+    with _pytest.raises(ValueError, match="already indexed"):
+        append_to_decon_index(new_suite, idx)
+
+    # empty benchmark refused
+    with _pytest.raises(ValueError, match="refuse to build"):
+        build_decon_index(
+            spark.createDataFrame([], "doc_id bigint, text string"),
+            str(tmp_path / "empty_idx"),
+        )
+
+    # CLI: build + screen to parquet
+    bench_path = str(tmp_path / "bench.parquet")
+    corpus_path = str(tmp_path / "corpus.parquet")
+    bench.write.parquet(bench_path)
+    corpus.write.parquet(corpus_path)
+    idx2 = str(tmp_path / "decon_idx_cli")
+    out_path = str(tmp_path / "hits.parquet")
+    jobs.main(["decon-index", "build", idx2,
+               "--benchmark-parquet", bench_path])
+    jobs.main(["decon-index", "screen", idx2,
+               "--docs-parquet", corpus_path,
+               "--out-parquet", out_path])
+    cli_hits = sorted(map(tuple, spark.read.parquet(out_path).collect()))
+    assert cli_hits == got

@@ -249,3 +249,73 @@ def test_banded_hamming_pairs_lossless(spark):
         df.unpersist()
         assert got == expected, (bits, max_hamming)
         assert expected, (bits, max_hamming)  # the case actually tested pairs
+
+
+@given(
+    st.integers(min_value=-(2**40), max_value=2**40),
+    st.integers(min_value=0, max_value=2**41),
+    st.integers(min_value=1, max_value=2**16),
+    st.data(),
+)
+@settings(max_examples=200)
+def test_bucket_cap_rule_properties(xmin, span_minus_1, nb, data):
+    """The shared min/max equal-width bucket rule
+    (profiling._bucket_capped_counts): width = (xmax−xmin+nb) div nb
+    == ceil(span/nb) for span = xmax−xmin+1; buckets are in
+    [0, nb−1], monotone non-decreasing in x, bucket(xmin) = 0, and
+    width degenerates to 1 exactly when span <= nb (the
+    pins-unchanged-at-fixture-scale guarantee). Pure-int replay of the
+    int64 expression both engines run."""
+    xmax = xmin + span_minus_1
+    span = span_minus_1 + 1
+    width = (xmax - xmin + nb) // nb
+    assert width == -(-span // nb)  # ceil identity
+    assert (width == 1) == (span <= nb)
+    x1 = data.draw(st.integers(min_value=xmin, max_value=xmax))
+    x2 = data.draw(st.integers(min_value=xmin, max_value=xmax))
+    b1 = (x1 - xmin) // width
+    b2 = (x2 - xmin) // width
+    for x, b in ((x1, b1), (x2, b2)):
+        assert 0 <= b <= nb - 1, (x, b, nb, width)
+    if x1 <= x2:
+        assert b1 <= b2
+    assert (xmin - xmin) // width == 0
+
+
+@given(
+    st.integers(min_value=1, max_value=50),
+    st.data(),
+)
+@settings(max_examples=200)
+def test_psi_term_nonnegative_pure(n_buckets, data):
+    """Every PSI term (p−q)·ln(p/q) is non-negative for positive
+    smoothed shares (sign(p−q) == sign(ln(p/q))), and the day sum is 0
+    exactly when the two count vectors are identical — the invariant
+    the Spark operator inherits (smoothing keeps every share
+    positive). Pure-float replay of the per-term expression."""
+    import math
+
+    c_cur = data.draw(
+        st.lists(
+            st.integers(min_value=0, max_value=10**9),
+            min_size=n_buckets,
+            max_size=n_buckets,
+        )
+    )
+    c_prev = data.draw(
+        st.lists(
+            st.integers(min_value=0, max_value=10**9),
+            min_size=n_buckets,
+            max_size=n_buckets,
+        )
+    )
+    n_cur, n_prev = sum(c_cur), sum(c_prev)
+    total = 0.0
+    for cc, cp in zip(c_cur, c_prev):
+        p = (cc + 0.5) / (n_cur + n_buckets / 2.0)
+        q = (cp + 0.5) / (n_prev + n_buckets / 2.0)
+        term = (p - q) * math.log(p / q)
+        assert term >= 0.0, (cc, cp, p, q, term)
+        total += term
+    if c_cur == c_prev:
+        assert total == 0.0
