@@ -989,3 +989,107 @@ def temporal_psi_from_counts(
         .orderBy("day")
     )
     return _with_cached_deps(out, [c0, cb])
+
+
+def source_psi(
+    df: DataFrame,
+    group_col: str = "source",
+    value_col: str = "n_chars",
+    n_buckets: int = 32,
+) -> DataFrame:
+    """(group, n_rows, psi): Population Stability Index of each
+    group's ``value_col`` distribution against the REST of the corpus
+    — the mass-weighted companion of :func:`source_drift_ks`, closing
+    the drift matrix ({source, temporal} × {KS sup, PSI}; r16). A
+    source whose length mix quietly diverges moves PSI before the KS
+    sup spikes on any single bucket; the 0.1/0.25 rule-of-thumb
+    thresholds make it the datasheet number.
+
+    Same grid discipline as :func:`temporal_psi`: values floor to
+    BIGINT, the shared min/max bucket cap (:func:`_bucket_capped_
+    counts`, n_buckets defaults to the conventional ~30), +0.5
+    Laplace smoothing keeps every share positive, shares stay RAW
+    IEEE doubles (exactly-representable operands — a pre-log round
+    would zero an empty bucket's share at scale), per-group sum is a
+    bucket-ordered SORTED fold. The rest-of-corpus counts derive from
+    the dense grid as C_b − c_g (total per bucket minus own), never a
+    second scan; groups covering the whole corpus emit NULL (no rest
+    to compare against).
+
+    Scale: ONE corpus-proportional shuffle (the (group, value) count,
+    persisted); downstream is |groups|·n_buckets metadata. Release
+    via ``_cached_deps``/``unpersist_deps``."""
+    from batch_process_dpla_index_spark.operators.dedup import (
+        _with_cached_deps,
+    )
+
+    c = df.where(F.col(value_col).isNotNull()).groupBy(
+        F.col(group_col).alias("grp"),
+        F.floor(F.col(value_col)).cast("bigint").alias("x"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    cb, c0 = _bucket_capped_counts(c, "grp", n_buckets, "b")
+    cb = cb.persist()
+    g = cb.groupBy("grp").agg(F.sum("c").alias("n_g"))
+    bs = cb.select("b").distinct()
+    n_tot = F.broadcast(cb.agg(F.sum("c").cast("bigint").alias("n_total")))
+    grid = bs.crossJoin(F.broadcast(g))
+    dense = (
+        grid.join(cb, ["grp", "b"], "left")
+        .select(
+            "grp",
+            "b",
+            "n_g",
+            F.coalesce(F.col("c"), F.lit(0)).alias("c_g"),
+        )
+        .crossJoin(n_tot)
+        # dense grid: per-bucket corpus totals and the observed bucket
+        # count come from bucket-/group-partitioned windows (a
+        # lit-keyed global window would fold unpartitioned — the
+        # one_bucket lesson; and "nbk", not "B": case-insensitive
+        # resolution collides with "b")
+        .withColumn("c_all", F.sum("c_g").over(Window.partitionBy("b")))
+        .withColumn(
+            "nbk",
+            F.count(F.lit(1)).over(Window.partitionBy("grp")).cast("bigint"),
+        )
+    )
+    p = (F.col("c_g") + F.lit(0.5)) / (
+        F.col("n_g") + F.col("nbk") / F.lit(2.0)
+    )
+    q = (F.col("c_all") - F.col("c_g") + F.lit(0.5)) / (
+        F.col("n_total") - F.col("n_g") + F.col("nbk") / F.lit(2.0)
+    )
+    terms = dense.select(
+        "grp",
+        "n_g",
+        "b",
+        "n_total",
+        F.when(
+            F.col("n_g") < F.col("n_total"), (p - q) * F.log(p / q)
+        ).alias("__term"),
+    )
+    out = (
+        terms.groupBy("grp", "n_g", "n_total")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("b", F.col("__term").alias("t")))
+            ).alias("__terms")
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("n_g").cast("bigint").alias("n_rows"),
+            F.when(
+                F.col("n_g") < F.col("n_total"),
+                F.round(
+                    F.aggregate(
+                        F.col("__terms"),
+                        F.lit(0.0),
+                        lambda acc, s: acc + s["t"],
+                    ),
+                    6,
+                ),
+            ).alias("psi"),
+        )
+        .orderBy(group_col)
+    )
+    return _with_cached_deps(out, [c0, cb])

@@ -4899,6 +4899,56 @@ ORDER BY source_a, source_b
 
 ORACLE_CONTAMINATION_SCREENED = _contamination_screened_oracle()
 
+# Source-vs-rest PSI over document lengths: the temporal_psi grid and
+# float discipline (raw IEEE shares, bucket-ordered fold), rest-of-
+# corpus counts derived from the dense grid (C_b - c_g), never a
+# second scan.
+ORACLE_SOURCE_PSI = """
+WITH c0 AS (
+    SELECT source AS grp, CAST(floor(n_chars) AS BIGINT) AS x,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2
+), mm AS (SELECT min(x) AS xmin, max(x) AS xmax FROM c0),
+cb AS (
+    SELECT grp,
+           CAST((x - xmin) // ((xmax - xmin + 32) // 32) AS BIGINT) AS b,
+           CAST(sum(cnt) AS BIGINT) AS cnt
+    FROM c0 CROSS JOIN mm GROUP BY 1, 2
+), g AS (SELECT grp, CAST(sum(cnt) AS BIGINT) AS n_g FROM cb GROUP BY 1),
+bs AS (SELECT DISTINCT b FROM cb),
+n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM cb),
+dense AS (
+    SELECT g.grp, bs.b, g.n_g, coalesce(cb.cnt, 0) AS c_g
+    FROM g CROSS JOIN bs
+    LEFT JOIN cb ON cb.grp = g.grp AND cb.b = bs.b
+), aug AS (
+    SELECT grp, b, n_g, c_g,
+           CAST(sum(c_g) OVER (PARTITION BY b) AS BIGINT) AS c_all,
+           CAST(count(*) OVER (PARTITION BY grp) AS BIGINT) AS nbk
+    FROM dense
+), terms AS (
+    SELECT grp, n_g, b, n.n_total,
+           CASE WHEN n_g < n.n_total THEN
+               ((c_g + 0.5) / (n_g + nbk / 2.0)
+                - (c_all - c_g + 0.5)
+                  / (n.n_total - n_g + nbk / 2.0))
+               * ln(((c_g + 0.5) / (n_g + nbk / 2.0))
+                    / ((c_all - c_g + 0.5)
+                       / (n.n_total - n_g + nbk / 2.0)))
+           END AS term
+    FROM aug CROSS JOIN n
+)
+SELECT grp AS source, n_g AS n_rows,
+       CASE WHEN n_g < n_total THEN
+           round(list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE), list(term ORDER BY b)),
+               (acc, v) -> acc + v), 6)
+       END AS psi
+FROM terms
+GROUP BY grp, n_g, n_total
+ORDER BY source
+"""
+
 # Day-over-day PSI of the event-value distribution: 32-bucket
 # min/max grid, +0.5 Laplace smoothing, RAW IEEE shares (exactly
 # representable operands — a pre-log round would zero an empty
@@ -4958,6 +5008,7 @@ ORACLES: dict[str, str] = {
     "source_drift_ks": ORACLE_SOURCE_DRIFT_KS,
     "contamination_screened": ORACLE_CONTAMINATION_SCREENED,
     "temporal_psi": ORACLE_TEMPORAL_PSI,
+    "source_psi": ORACLE_SOURCE_PSI,
     "l_diversity": ORACLE_L_DIVERSITY,
     "contamination_matrix": ORACLE_CONTAMINATION_MATRIX,
     "temporal_drift_ks": ORACLE_TEMPORAL_DRIFT_KS,

@@ -2348,6 +2348,20 @@ def q_temporal_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temporal_psi(events, "ts", "value", n_buckets=32)
 
 
+def q_source_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-vs-rest Population Stability Index of document lengths
+    (r16 addition) — closes the drift matrix ({source, temporal} x
+    {KS, PSI}): mass-weighted divergence of each source's length mix
+    against the rest of the corpus
+    (operators/profiling.py:source_psi)."""
+    from batch_process_dpla_index_spark.operators.profiling import (
+        source_psi,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return source_psi(docs, "source", "n_chars", n_buckets=32)
+
+
 def q_contamination_screened(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-tier cross-source contamination (r16 addition): union-
     MinHash estimate screens all |sources|² pairs, exact shingle
@@ -3721,11 +3735,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #    SFs, pinned, probed per the staging discipline) --
     "l_diversity": q_l_diversity,
     "contamination_matrix": q_contamination_matrix,
-    # -- r16 additions (staged r17 positions 3-5; verified both SFs,
+    # -- r16 additions (staged r17 positions 3-6; verified both SFs,
     #    pinned, probed same-round per the staging discipline) --
     "fuzzy_decontaminate": q_fuzzy_decontaminate,
     "contamination_screened": q_contamination_screened,
     "temporal_psi": q_temporal_psi,
+    "source_psi": q_source_psi,
     # -- the r13-green cohort's 27-entry remainder (staged for r17;
     #    all driver-green in CORRECTNESS_r13, re-verified every round
     #    via tools/verify_local.py fleet runs) --

@@ -1647,3 +1647,51 @@ def test_temporal_psi_hand_computed(spark):
     want = round((p0 - q0) * math.log(p0 / q0) + (p1 - q1) * math.log(p1 / q1), 6)
     assert got["2026-01-02"]["psi"] == want
     assert got["2026-01-02"]["n_prev"] == 8
+
+
+def test_source_psi_hand_computed(spark):
+    """source_psi on a 3-source hand fixture: a source identical to
+    the rest reads psi 0.0 exactly; a shifted source reads the
+    hand-replayed positive value; a single-source corpus emits NULL
+    (no rest to compare against)."""
+    import math
+
+    from batch_process_dpla_index_spark.operators.dedup import unpersist_deps
+    from batch_process_dpla_index_spark.operators.profiling import source_psi
+
+    # s1 and s2 identical (4x len0, 4x len1); s3 shifted (1x/7x) —
+    # lengths 0 and 1 land in buckets 0 and 1 at width 1
+    rows = (
+        [("s1", 0)] * 4 + [("s1", 1)] * 4
+        + [("s2", 0)] * 4 + [("s2", 1)] * 4
+        + [("s3", 0)] * 1 + [("s3", 1)] * 7
+    )
+    docs = spark.createDataFrame(rows, "source string, n_chars bigint")
+    out = source_psi(docs, "source", "n_chars", n_buckets=32)
+    got = {r["source"]: r for r in out.collect()}
+    unpersist_deps(out)
+
+    def psi(own, rest, B=2):
+        n_own, n_rest = sum(own), sum(rest)
+        tot = 0.0
+        for c, d in zip(own, rest):
+            p = (c + 0.5) / (n_own + B / 2.0)
+            q = (d + 0.5) / (n_rest + B / 2.0)
+            tot += (p - q) * math.log(p / q)
+        return round(tot, 6)
+
+    # s1's rest = s2+s3 = (5, 11); s3's rest = s1+s2 = (8, 8)
+    assert got["s1"]["psi"] == psi([4, 4], [5, 11])
+    assert got["s2"]["psi"] == psi([4, 4], [5, 11])
+    assert got["s3"]["psi"] == psi([1, 7], [8, 8])
+    assert got["s3"]["psi"] > got["s1"]["psi"] >= 0.0
+    assert all(r["n_rows"] == 8 for r in got.values())
+
+    # single-source corpus: no rest -> NULL
+    solo = spark.createDataFrame(
+        [("only", 5)] * 6, "source string, n_chars bigint"
+    )
+    out2 = source_psi(solo, "source", "n_chars")
+    rows2 = out2.collect()
+    unpersist_deps(out2)
+    assert len(rows2) == 1 and rows2[0]["psi"] is None
