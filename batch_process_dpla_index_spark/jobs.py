@@ -20,6 +20,7 @@ plus the monthly-batch sequencer (monthly_batch_emr.sh:41-111)::
     python -m batch_process_dpla_index_spark.jobs embedding-index build|report|rebuild|delete|compact <index_dir> [--vectors-parquet P] [--ids-parquet P] [--cells N] [--design-point N] [--compact-threshold T]
     python -m batch_process_dpla_index_spark.jobs compact <src_parquet> <dst_parquet> [--target-mb N]
     python -m batch_process_dpla_index_spark.jobs overlap-index build|refresh|report|delete|compact <index_dir> [--docs-parquet P] [--sources a,b] [--compact-threshold T]
+    python -m batch_process_dpla_index_spark.jobs decon-index build|append|screen <index_dir> [--benchmark-parquet P] [--docs-parquet P] [--threshold T] [--out-parquet P]
 """
 
 from __future__ import annotations
