@@ -452,10 +452,34 @@ def _bucket_capped_counts(
     input (two consumers: min/max + rebucket) whose handle the caller
     must ride in ``_cached_deps``."""
     c0 = counts.persist()
-    mm = F.broadcast(
-        c0.agg(F.min("x").alias("xmin"), F.max("x").alias("xmax"))
-    )
     nb = int(n_buckets)
+    # loud span guard (r16 ADVICE): the width expression below needs
+    # xmax - xmin + nb to fit int64; under non-ANSI arithmetic a
+    # sentinel-extreme pair (e.g. Long.MIN/MAX) would silently WRAP it
+    # and every bucket — and the KS/PSI built on them — would be wrong
+    # with no error. Checked overflow-free on the 1-row min/max frame:
+    # span can only exceed 2^63-1-nb when xmin <= nb (else
+    # xmax - xmin < 2^63-1-nb already), and in that branch
+    # (2^63-1-nb) + xmin itself cannot overflow.
+    _maxl = (1 << 63) - 1
+    mm = F.broadcast(
+        c0.agg(F.min("x").alias("xmin"), F.max("x").alias("xmax")).select(
+            F.when(
+                (F.col("xmin") <= F.lit(nb))
+                & (F.col("xmax") > F.lit(_maxl - nb) + F.col("xmin")),
+                F.raise_error(
+                    F.lit(
+                        "_bucket_capped_counts: value span exceeds "
+                        f"2^63-1-{nb}; equal-width bucketing would wrap "
+                        "int64 — refuse rather than drift silently"
+                    )
+                ).cast("bigint"),
+            )
+            .otherwise(F.col("xmin"))
+            .alias("xmin"),
+            "xmax",
+        )
+    )
     bucket = F.expr(f"(x - xmin) div ((xmax - xmin + {nb}) div {nb})")
     cb = (
         c0.crossJoin(mm)

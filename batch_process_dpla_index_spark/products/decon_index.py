@@ -19,10 +19,10 @@ manifest convention):
   different banding than the index was built with.
 - :func:`append_to_decon_index` — new benchmark items (a new eval
   suite) folded in at delta cost: signatures over the delta only,
-  duplicate ids refused loudly, driver-hop idempotent overwrite (the
-  overlap_index refresh contract — the merged frame is
-  benchmark-sized metadata, and a driver hop makes the
-  overwrite-while-reading-self hazard structurally impossible).
+  duplicate ids refused loudly (cross-index AND within the delta),
+  and the stored rows are NEVER re-materialized — the delta lands as
+  one new parquet part file via ``mode("append")`` (r16 VERDICT #3:
+  the old path collected the whole store per append).
 - :func:`screen_batch`       — (doc_id, bench_id, jaccard) for every
   batch doc whose TRUE shingle Jaccard against a stored benchmark
   item is >= threshold. Runs the EXACT code path of the in-line
@@ -127,14 +127,30 @@ def append_to_decon_index(
     """Fold a NEW eval suite into the stored index at delta cost.
 
     Geometry comes from the manifest (never the caller). Duplicate ids
-    are refused loudly — an id that means two different benchmark
-    texts would silently corrupt every later screen. Driver-hop
-    idempotent overwrite: the merged frame is benchmark-sized metadata
-    (the bounded-collect contract class), and the hop makes
-    overwrite-while-reading-self structurally impossible."""
-    spark = new_items.sparkSession
+    are refused loudly — BOTH against the stored index and WITHIN
+    ``new_items`` itself (r16 ADVICE: an internally-duplicated id
+    would be indexed twice and fan out duplicate (doc, bench) rows in
+    every later screen) — because an id that means two different
+    benchmark texts would silently corrupt every later screen.
+
+    Delta-cost by construction (r16 VERDICT #3): the append
+    materializes ONLY the delta — one new part file via parquet
+    ``mode("append")`` — and never reads, collects, or rewrites the
+    stored signature rows (the old path collected the ENTIRE store per
+    append, an O(index) driver hop that grows with every eval suite
+    ever indexed). The cross-index duplicate probe is a left-semi join
+    against the stored ``id`` column only (column-pruned scan).
+    Append-mode parquet commits through the job-level _temporary
+    protocol: a crash mid-write leaves zero committed delta rows (and
+    the stale manifest then matches the store), a crash between the
+    commit and the manifest write under-counts only the manifest —
+    which the next successful append repairs below by re-deriving
+    "Benchmark items" from the artifact's own footer count rather
+    than trusting the stored manifest number."""
     mf = read_manifest(index_dir)
+    spark = new_items.sparkSession
     stored = spark.read.parquet(_sig_path(index_dir))
+    stored_ids = stored.select("id")
     delta = _bench_sig_frame(
         new_items,
         mf["Id col"],
@@ -142,28 +158,51 @@ def append_to_decon_index(
         int(mf["Shingle n"]),
         int(mf["Num perm"]),
         use_pandas,
-    )
-    dup = [
-        r["id"]
-        for r in delta.join(stored.select("id"), "id", "left_semi")
-        .select("id")
-        .limit(5)
-        .collect()
-    ]
-    if dup:
-        raise ValueError(
-            f"append_to_decon_index: benchmark ids already indexed: "
-            f"{dup} — re-ingesting an id with (possibly) different "
-            "text would corrupt every later screen; delete/rebuild "
-            "instead"
-        )
-    merged_rows = stored.unionByName(delta).collect()
-    merged = spark.createDataFrame(merged_rows, stored.schema)
-    merged.repartition(1).write.mode("overwrite").parquet(
-        _sig_path(index_dir)
-    )
+    ).persist()
+    try:
+        n_delta = delta.count()
+        if n_delta == 0:
+            raise ValueError(
+                "append_to_decon_index: delta has no non-empty "
+                "documents; nothing to append"
+            )
+        n_distinct = delta.select("id").distinct().count()
+        if n_distinct != n_delta:
+            raise ValueError(
+                "append_to_decon_index: new_items contains "
+                f"internally duplicated ids ({n_delta - n_distinct} "
+                "extra rows) — indexing an id twice would corrupt "
+                "every later screen; de-duplicate the suite first"
+            )
+        dup = [
+            r["id"]
+            for r in delta.join(stored_ids, "id", "left_semi")
+            .select("id")
+            .limit(5)
+            .collect()
+        ]
+        if dup:
+            raise ValueError(
+                f"append_to_decon_index: benchmark ids already indexed: "
+                f"{dup} — re-ingesting an id with (possibly) different "
+                "text would corrupt every later screen; delete/rebuild "
+                "instead"
+            )
+        # one part file per append (deltas are eval-suite-sized); the
+        # stored part files are never touched, so there is no
+        # overwrite-while-reading-self hazard at all on this path
+        delta.select(*stored.columns).repartition(1).write.mode(
+            "append"
+        ).parquet(_sig_path(index_dir))
+    finally:
+        delta.unpersist()
     manifest = dict(mf)
-    manifest["Benchmark items"] = str(len(merged_rows))
+    # count from the artifact (parquet footer metadata), not
+    # stored-manifest + n_delta: self-healing if a prior crash left
+    # the manifest stale
+    manifest["Benchmark items"] = str(
+        spark.read.parquet(_sig_path(index_dir)).count()
+    )
     write_manifest(manifest, index_dir)
     return manifest
 

@@ -2336,10 +2336,11 @@ def q_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_temporal_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-over-day Population Stability Index of event values (r16
-    addition): 32-bucket min/max grid, Laplace-smoothed shares rounded
-    before the log term, bucket-ordered fold — the mass-weighted drift
-    score next to the KS (sup) and TV (mix) monitors
-    (operators/profiling.py:temporal_psi)."""
+    addition): 32-bucket min/max grid, Laplace-smoothed shares kept as
+    raw IEEE doubles (no pre-log rounding — a 6 dp round would zero an
+    empty bucket's share at scale and feed ln(0)), bucket-ordered fold
+    — the mass-weighted drift score next to the KS (sup) and TV (mix)
+    monitors (operators/profiling.py:temporal_psi)."""
     from batch_process_dpla_index_spark.operators.profiling import (
         temporal_psi,
     )
@@ -3669,81 +3670,25 @@ def q_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # next-round window).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # The driver's correctness gate records the FIRST 50 entries only;
-    # round-16 rotation (VERDICT r15 #1/#7 — executed exactly as staged
-    # in ROUNDNOTES r15): positions 1-6 are the six r15 drift/privacy
-    # debuts (the only window entries with no driver row — lands their
-    # first CORRECTNESS rows), positions 7-27 are the r12-green
-    # cohort's 21-entry remainder, positions 28-50 are the first 23 of
-    # the r13-green cohort. The r13 cohort's remaining 27 defer to r17
-    # with fleet-verify receipts; rotation arithmetic + deferral
-    # receipts live in ROUNDNOTES.md.
-    # -- the six r15 drift/privacy debuts --
-    "source_drift_ks": q_source_drift_ks,
-    "embedding_centroid_drift": q_embedding_centroid_drift,
-    "k_anonymity": q_k_anonymity,
-    "source_lang_entropy": q_source_lang_entropy,
-    "temporal_drift_ks": q_temporal_drift_ks,
-    "event_mix_drift": q_event_mix_drift,
-    # -- the r12-green cohort's 21-entry remainder --
-    "quantile_bins": q_quantile_bins,
-    "er_clusters": q_er_clusters,
-    "exact_dedup": q_exact_dedup,
-    "jaccard_pairs": q_jaccard_pairs,
-    "minhash_lsh_pairs": q_minhash_lsh_pairs,
-    "dedup_clusters": q_dedup_clusters,
-    "sentence_dedup": q_sentence_dedup,
-    "incremental_dedup": q_incremental_dedup,
-    "cosine_topk": q_cosine_topk,
-    "lsh_ann_topk": q_lsh_ann_topk,
-    "ivf_topk": q_ivf_topk,
-    "embedding_near_dup": q_embedding_near_dup,
-    "mq_provider_scores": q_mq_provider_scores,
-    "flatten_items": q_flatten_items,
-    "doc_presence_scores": q_doc_presence_scores,
-    "asof_purchases": q_asof_purchases,
-    "gap_fill": q_gap_fill,
-    "hourly_event_counts": q_hourly_event_counts,
-    "sliding_event_counts": q_sliding_event_counts,
-    "user_sessions": q_user_sessions,
-    "interval_join": q_interval_join,
-    # -- first 23 of the r13-green cohort --
-    "semantic_dedup": q_semantic_dedup,
-    "incremental_semantic_dedup": q_incremental_semantic_dedup,
-    "cell_occupancy": q_cell_occupancy,
-    "dataset_dup_profile": q_dataset_dup_profile,
-    "multimodal_resize": q_multimodal_resize,
-    "user_cumsum": q_user_cumsum,
-    "user_zscore": q_user_zscore,
-    "multimodal_meta": q_multimodal_meta,
-    "mixture_plan": q_mixture_plan,
-    "mixture_sample": q_mixture_sample,
-    "domain_cap": q_domain_cap,
-    "lm_scores": q_lm_scores,
-    "bm25_search": q_bm25_search,
-    "source_overlap_incremental": q_source_overlap_incremental,
-    "kcore_decomposition": q_kcore_decomposition,
-    "ivf_pq_topk": q_ivf_pq_topk,
-    "cluster_silhouette": q_cluster_silhouette,
-    "attribution_time_decay": q_attribution_time_decay,
-    "clustering_coefficients": q_clustering_coefficients,
-    "source_concentration": q_source_concentration,
-    "source_overlap": q_source_overlap,
-    "pq_topk": q_pq_topk,
-    "tokenizer_fertility": q_tokenizer_fertility,
-    # ---- driver-window boundary (entry 50 above this line) ----
-    # -- r15 late additions (staged r17 positions 1-2; verified both
-    #    SFs, pinned, probed per the staging discipline) --
+    # round-17 rotation (VERDICT r16 #1 — executed exactly as staged
+    # in ROUNDNOTES r16): positions 1-6 are the six staged debuts
+    # (`l_diversity`/`contamination_matrix` from r15,
+    # `fuzzy_decontaminate`/`contamination_screened`/`temporal_psi`/
+    # `source_psi` from r16 — the ONLY registry entries with no driver
+    # row; this window lands their first CORRECTNESS rows, closing the
+    # registry at 183/183 ever-driver-verified), positions 7-33 are
+    # the r13-green cohort's 27-entry remainder, positions 34-50 are
+    # the first 17 of the r14-green cohort. The r14 cohort's remainder
+    # and the displaced r16 window defer with fleet-verify receipts;
+    # rotation arithmetic + deferral receipts live in ROUNDNOTES.md.
+    # -- the six staged debuts (first driver rows) --
     "l_diversity": q_l_diversity,
     "contamination_matrix": q_contamination_matrix,
-    # -- r16 additions (staged r17 positions 3-6; verified both SFs,
-    #    pinned, probed same-round per the staging discipline) --
     "fuzzy_decontaminate": q_fuzzy_decontaminate,
     "contamination_screened": q_contamination_screened,
     "temporal_psi": q_temporal_psi,
     "source_psi": q_source_psi,
-    # -- the r13-green cohort's 27-entry remainder (staged for r17;
-    #    all driver-green in CORRECTNESS_r13, re-verified every round
-    #    via tools/verify_local.py fleet runs) --
+    # -- the r13-green cohort's 27-entry remainder --
     "quality_gate": q_quality_gate,
     "global_shuffle": q_global_shuffle,
     "doc_chunks": q_doc_chunks,
@@ -3771,8 +3716,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate": q_decontaminate,
     "fingerprint_clusters": q_fingerprint_clusters,
     "mq_contributor_scores": q_mq_contributor_scores,
-    # -- earlier-green cohorts (r13 + r14 windows; every entry has a
-    #    green driver row, re-verified via fleet runs each round) --
+    # -- first 17 of the r14-green cohort --
     "image_near_dup": q_image_near_dup,
     "image_dedup_survivors": q_image_dedup_survivors,
     "video_near_dup": q_video_near_dup,
@@ -3790,6 +3734,63 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "segment_overlap": q_segment_overlap,
     "sql_supplier_share": q_sql_supplier_share,
     "latest_events_per_user": q_latest_events_per_user,
+    # ---- driver-window boundary (entry 50 above this line) ----
+    # -- the displaced r16 window (all driver-green in
+    #    CORRECTNESS_r16; re-verified via fleet runs each round):
+    #    the six r15 drift/privacy debuts, the r12-green cohort's
+    #    21-entry remainder, the first 23 of the r13-green cohort --
+    "source_drift_ks": q_source_drift_ks,
+    "embedding_centroid_drift": q_embedding_centroid_drift,
+    "k_anonymity": q_k_anonymity,
+    "source_lang_entropy": q_source_lang_entropy,
+    "temporal_drift_ks": q_temporal_drift_ks,
+    "event_mix_drift": q_event_mix_drift,
+    "quantile_bins": q_quantile_bins,
+    "er_clusters": q_er_clusters,
+    "exact_dedup": q_exact_dedup,
+    "jaccard_pairs": q_jaccard_pairs,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "dedup_clusters": q_dedup_clusters,
+    "sentence_dedup": q_sentence_dedup,
+    "incremental_dedup": q_incremental_dedup,
+    "cosine_topk": q_cosine_topk,
+    "lsh_ann_topk": q_lsh_ann_topk,
+    "ivf_topk": q_ivf_topk,
+    "embedding_near_dup": q_embedding_near_dup,
+    "mq_provider_scores": q_mq_provider_scores,
+    "flatten_items": q_flatten_items,
+    "doc_presence_scores": q_doc_presence_scores,
+    "asof_purchases": q_asof_purchases,
+    "gap_fill": q_gap_fill,
+    "hourly_event_counts": q_hourly_event_counts,
+    "sliding_event_counts": q_sliding_event_counts,
+    "user_sessions": q_user_sessions,
+    "interval_join": q_interval_join,
+    "semantic_dedup": q_semantic_dedup,
+    "incremental_semantic_dedup": q_incremental_semantic_dedup,
+    "cell_occupancy": q_cell_occupancy,
+    "dataset_dup_profile": q_dataset_dup_profile,
+    "multimodal_resize": q_multimodal_resize,
+    "user_cumsum": q_user_cumsum,
+    "user_zscore": q_user_zscore,
+    "multimodal_meta": q_multimodal_meta,
+    "mixture_plan": q_mixture_plan,
+    "mixture_sample": q_mixture_sample,
+    "domain_cap": q_domain_cap,
+    "lm_scores": q_lm_scores,
+    "bm25_search": q_bm25_search,
+    "source_overlap_incremental": q_source_overlap_incremental,
+    "kcore_decomposition": q_kcore_decomposition,
+    "ivf_pq_topk": q_ivf_pq_topk,
+    "cluster_silhouette": q_cluster_silhouette,
+    "attribution_time_decay": q_attribution_time_decay,
+    "clustering_coefficients": q_clustering_coefficients,
+    "source_concentration": q_source_concentration,
+    "source_overlap": q_source_overlap,
+    "pq_topk": q_pq_topk,
+    "tokenizer_fertility": q_tokenizer_fertility,
+    # -- the r14-green cohort's remainder (every entry has a green
+    #    driver row, re-verified via fleet runs each round) --
     "rolling_user_value": q_rolling_user_value,
     "ivf_recall_report": q_ivf_recall_report,
     "top_orders": q_top_orders,

@@ -79,7 +79,13 @@ def main():
                 json.load(f).get("warm_over_ratio_floor_exempt", [])
             )
     except (OSError, ValueError):
-        pass
+        # visible reset (r16 ADVICE): a missing/corrupt BENCH_LOCAL.json
+        # silently re-arms the one-run shield the escalation exists to
+        # remove — say so in the run receipt instead of hiding it
+        print(
+            "# floor-exempt history unavailable, escalation clock reset",
+            file=sys.stderr,
+        )
 
     from batch_process_dpla_index_spark.operators.dedup import unpersist_deps
     from batch_process_dpla_index_spark.queries import QUERIES

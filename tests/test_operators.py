@@ -1638,7 +1638,9 @@ def test_temporal_psi_hand_computed(spark):
     assert got["2026-01-04"]["psi"] is None  # gap day
     assert got["2026-01-04"]["n_prev"] is None
     # hand replay for day 2 vs day 1: B=2 observed buckets, n=8 each,
-    # +0.5 smoothing, shares rounded 6 before the log term
+    # +0.5 smoothing, raw IEEE smoothed shares (no pre-log rounding —
+    # only the final psi rounds, matching the operator's determinism
+    # contract)
     def share(c, n, B=2):
         return (c + 0.5) / (n + B / 2.0)
 
@@ -1695,3 +1697,38 @@ def test_source_psi_hand_computed(spark):
     rows2 = out2.collect()
     unpersist_deps(out2)
     assert len(rows2) == 1 and rows2[0]["psi"] is None
+
+
+def test_bucket_cap_span_guard(spark):
+    """The shared bucket cap refuses a value span the int64 width
+    expression cannot represent (r16 ADVICE): a sentinel-extreme pair
+    like (-2^62, 2^62) would silently WRAP (xmax - xmin + nb) under
+    non-ANSI arithmetic and every drift monitor built on the grid
+    would be wrong with no error. In-domain extremes still bucket."""
+    import pytest
+
+    from batch_process_dpla_index_spark.operators.profiling import (
+        _bucket_capped_counts,
+    )
+
+    bad = spark.createDataFrame(
+        [("g", -(2**62), 1), ("g", 2**62, 1)],
+        "k string, x bigint, c bigint",
+    )
+    cb, raw = _bucket_capped_counts(bad, "k", 16, "b")
+    try:
+        with pytest.raises(Exception, match="span exceeds"):
+            cb.collect()
+    finally:
+        raw.unpersist()
+
+    # wide but in-domain span buckets normally: xmin -> 0, xmax -> nb-1
+    ok = spark.createDataFrame(
+        [("g", -(2**30), 1), ("g", 2**30, 1)],
+        "k string, x bigint, c bigint",
+    )
+    cb2, raw2 = _bucket_capped_counts(ok, "k", 16, "b")
+    try:
+        assert {r["b"] for r in cb2.collect()} == {0, 15}
+    finally:
+        raw2.unpersist()

@@ -609,3 +609,30 @@ def test_drift_monitors_scan_corpus_once(spark):
             [ln for ln in plan.splitlines() if "Window [" in ln][:5],
         )
         unpersist_deps(df)
+
+
+def test_survey_s8_count_matches_registry():
+    """SURVEY.md §8's headline count can never drift from the code
+    again (r16 VERDICT #7): the blueprint must state exactly
+    'N queries / N oracles' for N == len(QUERIES) == len(ORACLES),
+    every query must have an oracle twin (the zero-rows-only claim),
+    and this must hold IN THE SAME COMMIT as any registry change."""
+    import re
+
+    from batch_process_dpla_index_spark.oracles import ORACLES
+    from batch_process_dpla_index_spark.queries import QUERIES
+
+    assert len(QUERIES) == len(ORACLES)
+    assert set(QUERIES) == set(ORACLES)
+    survey = open("SURVEY.md", encoding="utf-8").read()
+    # earlier matches are historical narrative ("round 9 / 118
+    # queries"); the LAST 'N queries / N oracles' is the live headline
+    ms = re.findall(r"(\d+) queries /\s*(\d+) oracles", survey)
+    assert ms, "SURVEY.md §8 must state the 'N queries / N oracles' count"
+    n_q, n_o = ms[-1]
+    assert int(n_q) == len(QUERIES), (
+        f"SURVEY.md §8 says {n_q} queries but the registry has "
+        f"{len(QUERIES)} — update §8 in the same commit as the "
+        "registry change"
+    )
+    assert int(n_o) == len(ORACLES)

@@ -2391,7 +2391,31 @@ def test_decon_index_lifecycle(spark, tmp_path):
     new_suite = spark.createDataFrame(
         [(990_001, victim["text"])], "doc_id bigint, text string"
     )
+    # delta-only pin (r16 VERDICT #3): snapshot the stored part files
+    # BEFORE the append — afterwards every one must be byte-identical
+    # (same name, size, mtime) with exactly ONE new part file, proving
+    # the append materialized only the delta and never rewrote the
+    # store
+    import os as _os
+
+    sig_dir = str(tmp_path / "decon_idx" / "signatures")
+
+    def _parts(d):
+        return {
+            f: _os.stat(_os.path.join(d, f))
+            for f in _os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    before = _parts(sig_dir)
     m2 = append_to_decon_index(new_suite, idx)
+    after = _parts(sig_dir)
+    assert set(before) <= set(after) and len(after) == len(before) + 1
+    for f, st in before.items():
+        assert (after[f].st_size, after[f].st_mtime_ns) == (
+            st.st_size,
+            st.st_mtime_ns,
+        ), f"append rewrote stored part file {f}"
     assert int(m2["Benchmark items"]) == int(m["Benchmark items"]) + 1
     got2_df = screen_batch(spark, corpus, idx, threshold=0.5)
     got2 = {(r[0], r["bench_id"]): r["jaccard"] for r in got2_df.collect()}
@@ -2404,6 +2428,16 @@ def test_decon_index_lifecycle(spark, tmp_path):
     # duplicate id refused loudly
     with _pytest.raises(ValueError, match="already indexed"):
         append_to_decon_index(new_suite, idx)
+
+    # id duplicated WITHIN the delta refused loudly (r16 ADVICE): an
+    # internal duplicate would be indexed twice and fan out duplicate
+    # (doc, bench) rows in every later screen
+    twice = spark.createDataFrame(
+        [(990_002, victim["text"]), (990_002, victim["text"])],
+        "doc_id bigint, text string",
+    )
+    with _pytest.raises(ValueError, match="internally duplicated"):
+        append_to_decon_index(twice, idx)
 
     # empty benchmark refused
     with _pytest.raises(ValueError, match="refuse to build"):
