@@ -277,6 +277,9 @@ def main(argv: list[str] | None = None) -> int:
                         "benchmark-contamination section (exact n-gram "
                         "+ fuzzy MinHash screens) to the card")
     s.add_argument("--fuzzy-threshold", type=float, default=0.5)
+    s.add_argument("--events-parquet", default=None,
+                   help="ts+value event frame: adds the temporal "
+                        "stability (day-over-day PSI) section")
     s = sub.add_parser("profile")
     s.add_argument("parquet_path")
     s.add_argument("--out-csv", help="write the profile as a header CSV")
@@ -882,12 +885,24 @@ def main(argv: list[str] | None = None) -> int:
                 if args.benchmark_parquet
                 else None
             )
+            from batch_process_dpla_index_spark.sources.tables import (
+                normalize_event_ts,
+            )
+
+            ev = (
+                # events-ts encodings vary across parquet writers —
+                # normalize to plain TIMESTAMP, never a bare read
+                normalize_event_ts(spark.read.parquet(args.events_parquet))
+                if args.events_parquet
+                else None
+            )
             path = build_dataset_card(
                 spark, spark.read.parquet(args.parquet_path), args.out_dir,
                 name=args.name, embeddings=emb,
                 vec_col=args.card_vec_col, sem_threshold=args.sem_threshold,
                 blobs=blobs, bin_col=args.card_bin_col,
                 benchmark=bench, fuzzy_threshold=args.fuzzy_threshold,
+                events=ev,
             )
             print(f"Dataset card written to {path}")
         elif args.job == "profile":

@@ -1023,6 +1023,10 @@ def contamination_matrix(
     text_col: str = "text",
     source_col: str = "source",
     n: int = 3,
+    est_threshold: float = 0.0625,
+    num_perm: int = 64,
+    use_pandas: bool = True,
+    exact_all_pairs: bool = False,
 ) -> DataFrame:
     """(source_a, source_b, n_shared, containment): pairwise
     cross-source shingle containment — "how much of source B's
@@ -1033,15 +1037,62 @@ def contamination_matrix(
     budget on them; asymmetric by design (a small feed fully copied
     by a large one reads 1.0 in one direction, small in the other).
 
+    DEFAULT PATH (r16 VERDICT #2): delegates to
+    :func:`contamination_screened`'s two-tier plan — the union-MinHash
+    sketch clears source pairs first, exact containment is computed
+    only for pairs whose estimated Jaccard is >= ``est_threshold``
+    (4/64 default), and the est column is dropped so the output shape
+    is unchanged. Pairs below the sketch threshold are omitted — for
+    a contamination AUDIT that is the semantics you want (the sketch's
+    ±1/sqrt(num_perm) noise bounds the miss band; size ``num_perm`` to
+    the audit's tolerance), and it removes the repo's last
+    quadratic-fan-out plan from the default path: a stop-shingle in
+    the all-pairs posting self-join costs |sources-in-shingle|² rows
+    PER SHINGLE, unbounded at 100 TB ingest breadth.
+
+    ``exact_all_pairs=True`` is the explicit opt-in for the old
+    behavior — every pair, no sketch tier — for small |sources| or
+    when sub-threshold pairs must be exact-audited. Release persists
+    via ``_cached_deps``/``unpersist_deps`` on either path."""
+    from batch_process_dpla_index_spark.operators.dedup import carry_deps
+
+    if not exact_all_pairs:
+        scr = contamination_screened(
+            df,
+            text_col,
+            source_col,
+            n,
+            est_threshold=est_threshold,
+            num_perm=num_perm,
+            use_pandas=use_pandas,
+        )
+        out = scr.select(
+            "source_a", "source_b", "n_shared", "containment"
+        )
+        return carry_deps(out, scr)
+    return contamination_matrix_exact(df, text_col, source_col, n)
+
+
+def contamination_matrix_exact(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    n: int = 3,
+) -> DataFrame:
+    """The all-pairs exact containment matrix — the explicit-opt-in
+    tier behind :func:`contamination_matrix` (reachable there via
+    ``exact_all_pairs=True``).
+
     One corpus pass (the same :func:`dedup.shingle_sets` tier every
     dedup operator uses — short-doc and empty-doc conventions match
     the jaccard oracle's shingle macro), ONE distinct shuffle to
     per-source posting lists, then a self-equi-join on the shingle.
-    Per-shingle fan-out is bounded by |sources|² — sources are ingest
-    feeds, a bounded entity, unlike docs; the posting frame is
-    persisted for its three consumers (sizes, both join sides).
-    Integer counts; ONE double divide per pair. Release the persist
-    via ``_cached_deps``/``unpersist_deps``."""
+    Per-shingle fan-out is bounded by |sources-in-shingle|² — fine
+    when sources are few, quadratic on hot shingles at ingest
+    breadth, which is why the screened path is the default. The
+    posting frame is persisted for its three consumers (sizes, both
+    join sides). Integer counts; ONE double divide per pair. Release
+    the persist via ``_cached_deps``/``unpersist_deps``."""
     from batch_process_dpla_index_spark.operators.dedup import (
         _with_cached_deps,
         shingle_sets,

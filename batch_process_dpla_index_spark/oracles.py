@@ -4818,8 +4818,10 @@ ORDER BY source, len_bucket
 # Pairwise cross-source shingle containment over the SAME word-n-gram
 # shingle macro the jaccard/minhash oracles replay (short-doc and
 # empty-doc conventions included); integer intersection counts, one
-# double divide per pair.
-ORACLE_CONTAMINATION_MATRIX = f"""
+# double divide per pair. This is the EXACT all-pairs tier — the
+# registry's contamination_matrix oracle is the two-tier screened
+# replay below (r16 VERDICT #2: the screened plan is the default).
+ORACLE_CONTAMINATION_MATRIX_EXACT = f"""
 WITH {_DOC_TOK_CTE}, sets AS (
     SELECT source, list_distinct({_shingles("tok", 3)}) AS sh FROM doc_tok
 ), posts AS (
@@ -4842,13 +4844,17 @@ ORDER BY source_a, source_b
 
 
 def _contamination_screened_oracle(
-    n: int = 3, est_threshold: float = 0.0625, num_perm: int = 64
+    n: int = 3,
+    est_threshold: float = 0.0625,
+    num_perm: int = 64,
+    include_est: bool = True,
 ) -> str:
     """Two-tier replay of curation.contamination_screened: the
     source_overlap signature estimate (same h60/affine integer mins)
     flags pairs in both orientations, exact containment recomputed for
-    flagged pairs only with contamination_matrix's shingle
-    conventions."""
+    flagged pairs only with the exact matrix's shingle conventions.
+    ``include_est=False`` drops the est_jaccard output column — the
+    shape contamination_matrix's default (delegating) path returns."""
     params = _perm_params(num_perm)
     mins = ",\n           ".join(
         f"min(({a} * base + {b}) % {_MERSENNE}) AS p{i}"
@@ -4890,14 +4896,18 @@ est AS (
 )
 SELECT source_a, source_b, n_shared,
        round(CAST(n_shared AS DOUBLE) / CAST(s.n_sh AS DOUBLE), 6)
-           AS containment,
-       est_jaccard
+           AS containment{", est_jaccard" if include_est else ""}
 FROM pairs JOIN sizes s ON s.src = source_b
 ORDER BY source_a, source_b
 """
 
 
 ORACLE_CONTAMINATION_SCREENED = _contamination_screened_oracle()
+# the registry twin of contamination_matrix's DEFAULT (screened) path:
+# identical two-tier replay, est_jaccard dropped from the output
+ORACLE_CONTAMINATION_MATRIX = _contamination_screened_oracle(
+    include_est=False
+)
 
 # Source-vs-rest PSI over document lengths: the temporal_psi grid and
 # float discipline (raw IEEE shares, bucket-ordered fold), rest-of-

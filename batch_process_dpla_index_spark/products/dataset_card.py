@@ -48,6 +48,9 @@ def build_dataset_card(
     bin_col: str = "blob",
     benchmark: DataFrame | None = None,
     fuzzy_threshold: float = 0.5,
+    events: DataFrame | None = None,
+    events_ts_col: str = "ts",
+    events_value_col: str = "value",
 ) -> str:
     """Render the datasheet to ``<out_dir>/DATASET_CARD.md`` (plus the
     standard `_MANIFEST`) and return the card path.
@@ -77,7 +80,16 @@ def build_dataset_card(
     count (``curation.decontaminate``) and the fuzzy MinHash-banded
     overlap (``curation.fuzzy_decontaminate`` at ``fuzzy_threshold``)
     against the supplied eval suite — the two screens a release runs
-    before training, on the card where a reviewer looks for them."""
+    before training, on the card where a reviewer looks for them.
+
+    ``events`` (a frame carrying ``events_ts_col`` +
+    ``events_value_col``) turns on the TEMPORAL STABILITY section
+    (r17, VERDICT r16 #5): the per-day PSI table from the
+    oracle-verified ``profiling.temporal_psi`` — the mass-weighted
+    member of the drift triad (KS sup / TV mix / PSI) rendered where
+    the datasheet reader expects it. The per-source ``psi_vs_rest``
+    column in the audit table (``profiling.source_psi``) is always
+    on, next to ``ks_vs_rest``."""
     from batch_process_dpla_index_spark.functions.classifier import classifier_score
 
     # tokens materialized ONCE: language_id_tok references its token
@@ -298,11 +310,26 @@ def build_dataset_card(
         drift_by_source = {r["source"]: r["ks_stat"] for r in drift_df.collect()}
     finally:
         _unpersist(drift_df)
+    # mass-weighted companion (r17, VERDICT r16 #5): the SAME verified
+    # source_psi operator behind the registry query, same value column
+    from batch_process_dpla_index_spark.operators.profiling import (
+        source_psi,
+        temporal_psi,
+    )
+
+    psi_df = source_psi(
+        docs.select("source", nc.alias("n_chars")), "source", "n_chars"
+    )
+    try:
+        psi_by_source = {r["source"]: r["psi"] for r in psi_df.collect()}
+    finally:
+        _unpersist(psi_df)
     audit_rows = [
         {
             "source": r["source"],
             "docs": r["n_docs"],
             "ks_vs_rest": drift_by_source.get(r["source"]),
+            "psi_vs_rest": psi_by_source.get(r["source"]),
             "lang_entropy": r["lang_entropy"],
             "top_lang_share": r["top_lang_share"],
         }
@@ -310,6 +337,23 @@ def build_dataset_card(
         .orderBy("source")
         .collect()
     ]
+
+    # temporal stability (r17): per-day PSI table from the verified
+    # temporal_psi operator; |days|-bounded driver render
+    temporal_rows: list[dict] = []
+    if events is not None:
+        tpsi = temporal_psi(events, events_ts_col, events_value_col)
+        try:
+            temporal_rows = [
+                {
+                    "day": str(r["day"])[:10],
+                    "events": r["n_rows"],
+                    "psi_vs_prev_day": r["psi"],
+                }
+                for r in tpsi.collect()
+            ]
+        finally:
+            _unpersist(tpsi)
 
     # benchmark contamination (r16): both screens from the verified
     # operators — exact n-gram hits + fuzzy banded-MinHash overlap
@@ -388,12 +432,27 @@ discloses the attribute.
 
 `ks_vs_rest` is each source's two-sample KS distance of document
 length against the rest of the corpus
-(`operators/profiling.py:source_drift_ks`); `lang_entropy` /
-`top_lang_share` are the exact-count language-mix figures
-(`source_lang_entropy`). A monolingual source with entropy > 0 or a
-KS spike is the drift signal a curator investigates before export.
+(`operators/profiling.py:source_drift_ks`); `psi_vs_rest` is the
+mass-weighted Population Stability Index of the same comparison
+(`source_psi` — PSI < 0.1 stable, 0.1-0.25 moderate, > 0.25 action);
+`lang_entropy` / `top_lang_share` are the exact-count language-mix
+figures (`source_lang_entropy`). A monolingual source with
+entropy > 0, a KS spike, or a PSI past 0.25 is the drift signal a
+curator investigates before export.
 
-{_md_table(audit_rows, ['source', 'docs', 'ks_vs_rest', 'lang_entropy', 'top_lang_share'])}
+{_md_table(audit_rows, ['source', 'docs', 'ks_vs_rest', 'psi_vs_rest', 'lang_entropy', 'top_lang_share'])}
+"""
+    if temporal_rows:
+        card += f"""
+## Temporal stability
+
+Day-over-day Population Stability Index of the event value
+distribution (`operators/profiling.py:temporal_psi`; 32-bucket
+min/max grid, +0.5 Laplace smoothing) — the mass-weighted member of
+the drift triad next to the KS (sup) and TV (mix) monitors. `null`
+marks the first day or a post-gap day (no adjacent predecessor).
+
+{_md_table(temporal_rows, ['day', 'events', 'psi_vs_prev_day'])}
 """
     if benchmark is not None:
         card += f"""

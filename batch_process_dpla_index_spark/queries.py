@@ -3652,8 +3652,11 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise cross-source shingle containment (r15 late debut,
     staged r17) — the mirrored-feed detector
-    (operators/curation.py:contamination_matrix); shingle conventions
-    shared with the jaccard dedup tier."""
+    (operators/curation.py:contamination_matrix). Since r17 the
+    DEFAULT path is the two-tier screened plan (sketch clears pairs,
+    exact containment only for flagged ones — r16 VERDICT #2); the
+    all-pairs posting self-join is explicit-opt-in only. Shingle
+    conventions shared with the jaccard dedup tier."""
     from batch_process_dpla_index_spark.operators.curation import (
         contamination_matrix,
     )

@@ -66,18 +66,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     else:
         df = spark.read.schema(hit[1]).parquet(path)
     if name == "events":
-        ts_type = dict(df.dtypes).get("ts")
-        if ts_type == "bigint":
-            # nanos-as-long → µs truncation (integer div: the values ~1.7e18
-            # do not survive a double round-trip).
-            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        elif ts_type == "timestamp_ntz":
-            # Un-annotated parquet µs timestamps infer as TIMESTAMP_NTZ on
-            # PySpark 4.1 when the session was built before tune() could set
-            # inferTimestampNTZ=false. The session TZ is pinned UTC, so the
-            # cast is value-exact and restores unix_micros/withWatermark
-            # compatibility.
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        df = normalize_event_ts(df)
+    return df
+
+
+def normalize_event_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Normalize every events-timestamp parquet encoding seen across
+    driver rounds to plain TIMESTAMP (the verify-skill gotcha): shared
+    by :func:`load_table` and any CLI path that reads a user-supplied
+    events parquet directly."""
+    ts_type = dict(df.dtypes).get(ts_col)
+    if ts_type == "bigint":
+        # nanos-as-long → µs truncation (integer div: the values ~1.7e18
+        # do not survive a double round-trip).
+        df = df.withColumn(
+            ts_col, F.expr(f"timestamp_micros({ts_col} div 1000)")
+        )
+    elif ts_type == "timestamp_ntz":
+        # Un-annotated parquet µs timestamps infer as TIMESTAMP_NTZ on
+        # PySpark 4.1 when the session was built before tune() could set
+        # inferTimestampNTZ=false. The session TZ is pinned UTC, so the
+        # cast is value-exact and restores unix_micros/withWatermark
+        # compatibility.
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return df
 
 

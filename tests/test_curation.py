@@ -711,7 +711,9 @@ def test_contamination_screened_matches_full_matrix_on_flagged(spark):
     }
     unpersist_deps(screened)
     assert got, "fixture must flag at least one pair"
-    full = contamination_matrix(docs)
+    # exact_all_pairs=True: the all-pairs tier is explicit-opt-in
+    # since r17 (the default delegates to the screened plan)
+    full = contamination_matrix(docs, exact_all_pairs=True)
     want = {
         (r["source_a"], r["source_b"]): (r["n_shared"], r["containment"])
         for r in full.collect()
@@ -719,6 +721,18 @@ def test_contamination_screened_matches_full_matrix_on_flagged(spark):
     unpersist_deps(full)
     for pair, vals in got.items():
         assert want[pair] == vals, (pair, vals, want[pair])
+
+    # the DEFAULT path == screened minus the est column, exactly
+    dflt = contamination_matrix(docs)
+    got_dflt = {
+        (r["source_a"], r["source_b"]): (r["n_shared"], r["containment"])
+        for r in dflt.collect()
+    }
+    assert set(dflt.columns) == {
+        "source_a", "source_b", "n_shared", "containment"
+    }
+    unpersist_deps(dflt)
+    assert got_dflt == got
 
 
 def test_contamination_screened_disjoint_sources_empty(spark):

@@ -2278,14 +2278,49 @@ def test_dataset_card_privacy_drift_section(spark, tmp_path):
     drift = source_drift_ks(docs, "source", "n_chars")
     ks = {r["source"]: r["ks_stat"] for r in drift.collect()}
     unpersist_deps(drift)
+    from batch_process_dpla_index_spark.operators.profiling import source_psi
+
+    psi_df = source_psi(docs, "source", "n_chars")
+    psi = {r["source"]: r["psi"] for r in psi_df.collect()}
+    unpersist_deps(psi_df)
     ent = {
         r["source"]: (r["n_docs"], r["lang_entropy"], r["top_lang_share"])
         for r in source_lang_entropy(docs, "source", "lang").collect()
     }
     for src, (n_docs, h, share) in ent.items():
         assert (
-            f"| {src} | {n_docs} | {ks[src]} | {h} | {share} |" in text
-        ), (src, n_docs, ks[src], h, share)
+            f"| {src} | {n_docs} | {ks[src]} | {psi[src]} | {h} | {share} |"
+            in text
+        ), (src, n_docs, ks[src], psi[src], h, share)
+
+    # temporal stability section: absent without events, and with an
+    # events frame every per-day PSI row equals the verified
+    # temporal_psi operator run independently (r17, VERDICT r16 #5)
+    assert "## Temporal stability" not in text
+    from batch_process_dpla_index_spark.operators.profiling import temporal_psi
+    from batch_process_dpla_index_spark.products.dataset_card import (
+        build_dataset_card as _bdc,
+    )
+
+    events = load_table(spark, SF_DIR, "events")
+    out_t = str(tmp_path / "card_t")
+    text_t = open(
+        _bdc(spark, docs, out_t, name="audit-t", events=events),
+        encoding="utf-8",
+    ).read()
+    assert "## Temporal stability" in text_t
+    tp = temporal_psi(events, "ts", "value")
+    rows_t = tp.collect()
+    unpersist_deps(tp)
+    assert rows_t
+    for r in rows_t:
+        day = str(r["day"])[:10]
+        psi_cell = "None" if r["psi"] is None else str(r["psi"])
+        assert f"| {day} | {r['n_rows']} | {psi_cell} |" in text_t, (
+            day,
+            r["n_rows"],
+            psi_cell,
+        )
 
 
 def test_dataset_card_benchmark_contamination_section(spark, tmp_path):

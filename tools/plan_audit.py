@@ -55,6 +55,43 @@ def unpartitioned_windows(plan: str) -> int:
     return n
 
 
+def _indent(line: str) -> int:
+    """Tree depth of a plan line = length of its drawing prefix
+    (spaces and the `:  + - |` tree characters before the node name;
+    codegen stars like ``*(7)`` are part of the name)."""
+    return len(line) - len(line.lstrip(" :+-|"))
+
+
+def filescans_outside_cache(plan: str) -> int:
+    """Count FileScan nodes with NO InMemoryRelation ancestor — the
+    independent-corpus-re-scan shape (r17: replaces the old textual
+    ``FileScan count <= InMemoryTableScan count`` heuristic, which
+    breaks when a cached frame's reprinted plan itself contains
+    several FileScans, e.g. the screened contamination matrix's
+    sketch self-join). Ancestors are recovered from the plan string's
+    tree indentation: the parent chain of a line is the nearest
+    preceding line at each strictly-smaller indent."""
+    lines = plan.splitlines()
+    indents = [_indent(ln) for ln in lines]
+    n_out = 0
+    for i, ln in enumerate(lines):
+        if "FileScan" not in ln:
+            continue
+        cur = indents[i]
+        covered = False
+        for j in range(i - 1, -1, -1):
+            if indents[j] < cur:
+                if "InMemoryRelation" in lines[j]:
+                    covered = True
+                    break
+                cur = indents[j]
+                if cur == 0:
+                    break
+        if not covered:
+            n_out += 1
+    return n_out
+
+
 def fingerprint(plan: str) -> dict[str, int]:
     out = {}
     for name, pat in MARKERS.items():
