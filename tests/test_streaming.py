@@ -1410,3 +1410,109 @@ def test_psi_stream_converges_to_batch(spark, tmp_path):
     want = sorted(map(tuple, want_df.collect()))
     unpersist_deps(want_df)
     assert got == want and len(got) > 0
+
+
+def test_streaming_counts_evict_state_and_drop_late_data(spark, tmp_path):
+    """End-to-end append-mode run across >=2 triggers with late data
+    beyond the watermark (r16 VERDICT #6) — the load-bearing claim of
+    the r16 watermark-key fix, asserted on the engine's own metrics,
+    not just on append-mode acceptance:
+
+    trigger 1 delivers days 1-3; trigger 2 delivers day 5, advancing
+    the 1-day watermark past days 1-3 and EVICTING day 1's window at
+    batch end; trigger 3 delivers a late day-1 row. (The three-batch
+    shape matters: a late row landing in the same batch that advances
+    the watermark still merges, because eviction runs at batch END —
+    the row must arrive after its window's state is gone.) If state
+    eviction really happens, (a) the late row is DROPPED
+    (numRowsDroppedByWatermark > 0 and the emitted day-1 count
+    excludes it), (b) closed windows are emitted exactly once with
+    their on-time counts, (c) the final state holds only the open
+    tail (numRowsTotal < distinct windows seen), and (d) the
+    still-open day-5 window is absent from the append output."""
+    import os as _os
+    import time as _time
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from batch_process_dpla_index_spark.streaming.windows import (
+        streaming_mix_counts,
+        streaming_value_counts,
+    )
+
+    def _write_batches(root):
+        on_time = [
+            ("2026-01-01 12:00:00", 10.2, "view"),
+            ("2026-01-01 13:00:00", 10.7, "view"),
+            ("2026-01-02 12:00:00", 20.1, "click"),
+            ("2026-01-03 12:00:00", 30.5, "view"),
+        ]
+        batch2 = [
+            # advances the watermark to Jan 4; day 1-3 windows close
+            # and day 1's state row is evicted at this batch's end
+            ("2026-01-05 12:00:00", 50.9, "buy"),
+        ]
+        batch3 = [
+            # late: day-1 event arriving AFTER its window's state was
+            # evicted — must be dropped, not merged
+            ("2026-01-01 14:00:00", 10.9, "view"),
+        ]
+        for i, rows in enumerate((on_time, batch2, batch3)):
+            df = spark.createDataFrame(
+                rows, "ts_s string, value double, event_type string"
+            ).select(
+                F.col("ts_s").cast("timestamp").alias("ts"),
+                "value",
+                "event_type",
+            )
+            path = _os.path.join(root, f"b{i}")
+            df.coalesce(1).write.parquet(path)
+            # FileStreamSource orders batches by file modification
+            # time: pin a strictly increasing mtime per batch dir
+            base = _time.time() + i * 10
+            for dirpath, _dirs, files in _os.walk(path):
+                for fn in files:
+                    _os.utime(_os.path.join(dirpath, fn), (base, base))
+        return spark.read.parquet(_os.path.join(root, "b0")).schema
+
+    for helper, key_col, day1_key, day1_count in (
+        (streaming_value_counts, "x", 10, 2),
+        (streaming_mix_counts, "cat", "view", 2),
+    ):
+        root = str(tmp_path / f"late_{helper.__name__}")
+        schema = _write_batches(root)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(_os.path.join(root, "*"))
+        )
+        name = f"evict_{_uuid.uuid4().hex[:8]}"
+        q = (
+            helper(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        progresses = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        assert len(progresses) >= 3, "need >=3 data triggers"
+        dropped = sum(
+            int(p["stateOperators"][0].get("numRowsDroppedByWatermark", 0))
+            for p in progresses
+        )
+        assert dropped >= 1, "late row must be dropped by the watermark"
+        # final state holds only the open day-5 window's rows: fewer
+        # than the 4 distinct (day, key) groups delivered on time
+        final_state = int(progresses[-1]["stateOperators"][0]["numRowsTotal"])
+        assert 1 <= final_state < 4, final_state
+        out = {
+            (str(r["day"])[:10], r[key_col]): r["c"]
+            for r in spark.table(name).collect()
+        }
+        # closed windows emitted once with on-time counts; late row
+        # NOT merged into day 1; open day-5 window not emitted
+        assert out[("2026-01-01", day1_key)] == day1_count
+        assert all(d != "2026-01-05" for d, _ in out)
