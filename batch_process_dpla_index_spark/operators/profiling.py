@@ -439,7 +439,11 @@ def gini_concentration(
 
 
 def _bucket_capped_counts(
-    counts: DataFrame, key_col: str, n_buckets: int, out_col: str
+    counts: DataFrame,
+    key_col: str,
+    n_buckets: int,
+    out_col: str,
+    with_width: bool = False,
 ):
     """THE one min/max equal-width bucket cap shared by every drift
     monitor (r16 review: three hand-synchronized copies is how the
@@ -453,6 +457,9 @@ def _bucket_capped_counts(
     must ride in ``_cached_deps``."""
     c0 = counts.persist()
     nb = int(n_buckets)
+    # (with_width=True additionally carries the shared grid width as a
+    # constant ``w`` column — the transport metrics need it to convert
+    # bucket distance back to value units; the KS/PSI monitors don't)
     # loud span guard (r16 ADVICE): the width expression below needs
     # xmax - xmin + nb to fit int64; under non-ANSI arithmetic a
     # sentinel-extreme pair (e.g. Long.MIN/MAX) would silently WRAP it
@@ -481,11 +488,18 @@ def _bucket_capped_counts(
         )
     )
     bucket = F.expr(f"(x - xmin) div ((xmax - xmin + {nb}) div {nb})")
+    width = F.expr(f"(xmax - xmin + {nb}) div {nb}")
+    cols = [key_col, bucket.cast("bigint").alias(out_col), "c"]
+    if with_width:
+        cols.append(width.cast("bigint").alias("w"))
+    aggs = [F.sum("c").alias("c")]
+    if with_width:
+        aggs.append(F.max("w").alias("w"))
     cb = (
         c0.crossJoin(mm)
-        .select(key_col, bucket.cast("bigint").alias(out_col), "c")
+        .select(*cols)
         .groupBy(key_col, out_col)
-        .agg(F.sum("c").alias("c"))
+        .agg(*aggs)
     )
     return cb, c0
 
@@ -1011,6 +1025,242 @@ def temporal_psi_from_counts(
             ).alias("psi"),
         )
         .orderBy("day")
+    )
+    return _with_cached_deps(out, [c0, cb])
+
+
+def temporal_wasserstein(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    n_buckets: int = 32,
+) -> DataFrame:
+    """(day, n_rows, n_prev, w1_dist): day-over-day Wasserstein-1
+    (earth-mover) distance of the ``value_col`` distribution — the
+    TRANSPORT member of the drift family (r17), next to KS (sup of
+    CDF gaps), TV (mix distance) and PSI (mass × log-ratio). W1
+    weights drift by how FAR mass moved, in value units: a
+    distribution that shifts by 1000 chars reads 1000× the W1 of the
+    same mass shifting by one bucket, where KS and PSI read the two
+    identically. Both CDFs are step functions that change only at
+    OBSERVED buckets, so on the shared equal-width grid the exact
+    closed form is W1 = width · Σ_b |CDF_cur(b) − CDF_prev(b)| ·
+    (next_b − b): each |CDF gap| persists across the run of empty
+    buckets up to the next observed one, and skipping that run-length
+    weight would silently under-report the distance whenever the
+    observed buckets are sparse (the whole point of a transport
+    metric).
+
+    Float determinism is STRONGER than PSI's here: per-day CDFs are
+    exact integer cumulative counts divided once by n_day (no float
+    accumulation at all — IEEE division of exact operands is
+    correctly rounded on both engines), term differences are single
+    IEEE ops, and the per-day sum is a bucket-ordered sorted fold;
+    only the final figure rounds (6 dp). First/gap days emit NULL
+    (no adjacent predecessor), the PSI convention.
+
+    Scale: ONE corpus-proportional shuffle (the (day, floor) count,
+    persisted); the grid is |days|·n_buckets metadata with
+    day-partitioned and bucket-partitioned windows only — zero
+    unpartitioned windows. Release via ``_cached_deps``/
+    ``unpersist_deps``."""
+    c0 = df.where(F.col(value_col).isNotNull()).groupBy(
+        F.date_trunc("day", F.col(ts_col)).alias("day"),
+        F.floor(F.col(value_col)).cast("bigint").alias("x"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    return temporal_wasserstein_from_counts(c0, n_buckets)
+
+
+def temporal_wasserstein_from_counts(
+    counts: DataFrame, n_buckets: int = 32
+) -> DataFrame:
+    """Bucket cap + W1 core over a prepared (day, x, c) RAW-floor
+    counts frame — shared by :func:`temporal_wasserstein` and the
+    streaming twin's drained window counts
+    (``streaming/windows.py:streaming_value_counts``), the
+    :func:`temporal_psi_from_counts` pattern: drained raw counts
+    replay the SAME bucketing, so stream and batch agree bit-for-bit
+    at any value span."""
+    from batch_process_dpla_index_spark.operators.dedup import (
+        _with_cached_deps,
+    )
+
+    cb, c0 = _bucket_capped_counts(counts, "day", n_buckets, "b",
+                                   with_width=True)
+    cb = cb.persist()
+    g = cb.groupBy("day").agg(F.sum("c").alias("n_day"))
+    ww = F.broadcast(cb.agg(F.max("w").alias("w")))
+    bs = cb.select("b").distinct()
+    grid = bs.crossJoin(F.broadcast(g))
+    wd = (
+        Window.partitionBy("day")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dense = (
+        grid.join(cb.select("day", "b", "c"), ["day", "b"], "left")
+        .select(
+            "day",
+            "b",
+            "n_day",
+            F.coalesce(F.col("c"), F.lit(0)).alias("c_cur"),
+        )
+        # exact integer cumulative count per day — the CDF numerator
+        .withColumn("cum_c", F.sum("c_cur").over(wd).cast("bigint"))
+    )
+    w_b = Window.partitionBy("b").orderBy("day")
+    adjacent = F.lag("day").over(w_b) == F.col("day") - F.expr(
+        "INTERVAL 1 DAY"
+    )
+    # run-length weight: the CDF gap at b persists over the empty
+    # buckets up to the next OBSERVED bucket (day-partitioned window;
+    # the grid is dense per day, so the gap is the same every day;
+    # top bucket -> 0, where both CDFs are 1 anyway)
+    wd2 = Window.partitionBy("day").orderBy("b")
+    gap = F.coalesce(F.lead("b").over(wd2) - F.col("b"), F.lit(0))
+    # ONE division per CDF point: exact int / exact int, correctly
+    # rounded identically on both engines; no float accumulation
+    p = F.col("cum_c") / F.col("n_day")
+    q = F.lag("cum_c").over(w_b) / F.lag("n_day").over(w_b)
+    lagged = dense.select(
+        "day",
+        "b",
+        "n_day",
+        F.when(adjacent, F.lag("n_day").over(w_b)).alias("n_prev"),
+        F.when(adjacent, F.abs(p - q) * gap).alias("__term"),
+    )
+    out = (
+        lagged.groupBy("day", "n_day")
+        .agg(
+            F.max("n_prev").alias("n_prev"),
+            F.sort_array(
+                F.collect_list(F.struct("b", F.col("__term").alias("t")))
+            ).alias("__terms"),
+        )
+        .crossJoin(ww)
+        .select(
+            "day",
+            F.col("n_day").cast("bigint").alias("n_rows"),
+            F.col("n_prev").cast("bigint").alias("n_prev"),
+            F.when(
+                F.col("n_prev").isNotNull(),
+                F.round(
+                    F.col("w")
+                    * F.aggregate(
+                        F.col("__terms"),
+                        F.lit(0.0),
+                        lambda acc, s: acc + s["t"],
+                    ),
+                    6,
+                ),
+            ).alias("w1_dist"),
+        )
+        .orderBy("day")
+    )
+    return _with_cached_deps(out, [c0, cb])
+
+
+def source_wasserstein(
+    df: DataFrame,
+    group_col: str = "source",
+    value_col: str = "n_chars",
+    n_buckets: int = 32,
+) -> DataFrame:
+    """(group, n_rows, w1_dist): Wasserstein-1 (earth-mover) distance
+    of each group's ``value_col`` distribution against the REST of the
+    corpus — the source-axis twin of :func:`temporal_wasserstein`,
+    completing the drift matrix ({source, temporal} × {KS sup, PSI,
+    W1 transport}; r17). A source whose lengths shifted FAR (a crawler
+    suddenly returning truncated pages) reads W1 proportional to the
+    shift size in value units, where KS and PSI only see that mass
+    moved, not how far.
+
+    Same grid and float discipline as :func:`temporal_wasserstein`:
+    shared min/max bucket cap, exact integer cumulative counts (own
+    and rest = corpus − own, both exact), ONE division per CDF point,
+    |p − q| weighted by the run length to the next observed bucket,
+    bucket-ordered sorted fold, final figure = width × sum rounded 6.
+    Groups covering the whole corpus emit NULL (no rest). Scale: ONE
+    corpus-proportional shuffle; |groups|·n_buckets grid metadata;
+    group-/bucket-partitioned windows only. Release via
+    ``_cached_deps``/``unpersist_deps``."""
+    from batch_process_dpla_index_spark.operators.dedup import (
+        _with_cached_deps,
+    )
+
+    c = df.where(F.col(value_col).isNotNull()).groupBy(
+        F.col(group_col).alias("grp"),
+        F.floor(F.col(value_col)).cast("bigint").alias("x"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    cb, c0 = _bucket_capped_counts(c, "grp", n_buckets, "b",
+                                   with_width=True)
+    cb = cb.persist()
+    g = cb.groupBy("grp").agg(F.sum("c").alias("n_g"))
+    ww = F.broadcast(cb.agg(F.max("w").alias("w")))
+    bs = cb.select("b").distinct()
+    n_tot = F.broadcast(cb.agg(F.sum("c").cast("bigint").alias("n_total")))
+    grid = bs.crossJoin(F.broadcast(g))
+    wg = (
+        Window.partitionBy("grp")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dense = (
+        grid.join(cb.select("grp", "b", "c"), ["grp", "b"], "left")
+        .select(
+            "grp",
+            "b",
+            "n_g",
+            F.coalesce(F.col("c"), F.lit(0)).alias("c_g"),
+        )
+        .crossJoin(n_tot)
+        # per-bucket corpus totals from a bucket-partitioned window
+        # (the source_psi shape — never an unpartitioned fold), then
+        # exact integer cumulatives per group for own AND corpus
+        .withColumn("c_all", F.sum("c_g").over(Window.partitionBy("b")))
+        .withColumn("cum_g", F.sum("c_g").over(wg).cast("bigint"))
+        .withColumn("cum_all", F.sum("c_all").over(wg).cast("bigint"))
+    )
+    wl = Window.partitionBy("grp").orderBy("b")
+    gap = F.coalesce(F.lead("b").over(wl) - F.col("b"), F.lit(0))
+    p = F.col("cum_g") / F.col("n_g")
+    q = (F.col("cum_all") - F.col("cum_g")) / (
+        F.col("n_total") - F.col("n_g")
+    )
+    terms = dense.select(
+        "grp",
+        "n_g",
+        "b",
+        "n_total",
+        F.when(
+            F.col("n_g") < F.col("n_total"), F.abs(p - q) * gap
+        ).alias("__term"),
+    )
+    out = (
+        terms.groupBy("grp", "n_g", "n_total")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("b", F.col("__term").alias("t")))
+            ).alias("__terms")
+        )
+        .crossJoin(ww)
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("n_g").cast("bigint").alias("n_rows"),
+            F.when(
+                F.col("n_g") < F.col("n_total"),
+                F.round(
+                    F.col("w")
+                    * F.aggregate(
+                        F.col("__terms"),
+                        F.lit(0.0),
+                        lambda acc, s: acc + s["t"],
+                    ),
+                    6,
+                ),
+            ).alias("w1_dist"),
+        )
+        .orderBy(group_col)
     )
     return _with_cached_deps(out, [c0, cb])
 

@@ -4959,6 +4959,62 @@ GROUP BY grp, n_g, n_total
 ORDER BY source
 """
 
+# Source-vs-rest Wasserstein-1 over document lengths (r17): the
+# temporal_wasserstein grid/float discipline on the source axis —
+# exact integer cumulatives for own AND corpus (rest = cum_all -
+# cum_g), one division per CDF point, |p - q| weighted by the run
+# length to the next observed bucket, bucket-ordered fold, width x
+# sum rounded 6; whole-corpus groups emit NULL.
+ORACLE_SOURCE_WASSERSTEIN = """
+WITH c0 AS (
+    SELECT source AS grp, CAST(floor(n_chars) AS BIGINT) AS x,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2
+), mm AS (SELECT min(x) AS xmin, max(x) AS xmax FROM c0),
+wz AS (SELECT CAST((xmax - xmin + 32) // 32 AS BIGINT) AS w FROM mm),
+cb AS (
+    SELECT grp,
+           CAST((x - xmin) // ((xmax - xmin + 32) // 32) AS BIGINT) AS b,
+           CAST(sum(cnt) AS BIGINT) AS cnt
+    FROM c0 CROSS JOIN mm GROUP BY 1, 2
+), g AS (SELECT grp, CAST(sum(cnt) AS BIGINT) AS n_g FROM cb GROUP BY 1),
+bs AS (SELECT DISTINCT b FROM cb),
+n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM cb),
+dense AS (
+    SELECT g.grp, bs.b, g.n_g, coalesce(cb.cnt, 0) AS c_g
+    FROM g CROSS JOIN bs
+    LEFT JOIN cb ON cb.grp = g.grp AND cb.b = bs.b
+), aug AS (
+    SELECT grp, b, n_g, c_g,
+           CAST(sum(c_g) OVER (PARTITION BY b) AS BIGINT) AS c_all
+    FROM dense
+), cum AS (
+    SELECT grp, b, n_g,
+           CAST(sum(c_g) OVER wg AS BIGINT) AS cum_g,
+           CAST(sum(c_all) OVER wg AS BIGINT) AS cum_all
+    FROM aug
+    WINDOW wg AS (PARTITION BY grp ORDER BY b ROWS UNBOUNDED PRECEDING)
+), terms AS (
+    SELECT grp, n_g, b, n.n_total,
+           CASE WHEN n_g < n.n_total THEN
+               abs(CAST(cum_g AS DOUBLE) / n_g
+                   - CAST(cum_all - cum_g AS DOUBLE) / (n.n_total - n_g))
+               * coalesce(lead(b) OVER wl - b, 0)
+           END AS term
+    FROM cum CROSS JOIN n
+    WINDOW wl AS (PARTITION BY grp ORDER BY b)
+)
+SELECT grp AS source, n_g AS n_rows,
+       CASE WHEN n_g < n_total THEN
+           round((SELECT w FROM wz) * list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE), list(term ORDER BY b)),
+               (acc, v) -> acc + v), 6)
+       END AS w1_dist
+FROM terms
+GROUP BY grp, n_g, n_total
+ORDER BY source
+"""
+
 # Day-over-day PSI of the event-value distribution: 32-bucket
 # min/max grid, +0.5 Laplace smoothing, RAW IEEE shares (exactly
 # representable operands — a pre-log round would zero an empty
@@ -5014,8 +5070,69 @@ ORDER BY day
 """
 
 
+# Day-over-day Wasserstein-1 on the shared bucket grid (r17): exact
+# integer cumulative counts, ONE division per CDF point (no float
+# accumulation), |p - q| terms summed in a bucket-ordered fold, final
+# figure = width x sum rounded 6 — the transport member of the drift
+# family next to KS/TV/PSI.
+ORACLE_TEMPORAL_WASSERSTEIN = """
+WITH c0 AS (
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           CAST(floor(value) AS BIGINT) AS x,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), mm AS (SELECT min(x) AS xmin, max(x) AS xmax FROM c0),
+wz AS (SELECT CAST((xmax - xmin + 32) // 32 AS BIGINT) AS w FROM mm),
+cb AS (
+    SELECT day,
+           CAST((x - xmin) // ((xmax - xmin + 32) // 32) AS BIGINT) AS b,
+           CAST(sum(cnt) AS BIGINT) AS cnt
+    FROM c0 CROSS JOIN mm GROUP BY 1, 2
+), g AS (SELECT day, CAST(sum(cnt) AS BIGINT) AS n_day FROM cb GROUP BY 1),
+bs AS (SELECT DISTINCT b FROM cb),
+dense AS (
+    SELECT g.day, bs.b, g.n_day, coalesce(cb.cnt, 0) AS c_cur
+    FROM g CROSS JOIN bs
+    LEFT JOIN cb ON cb.day = g.day AND cb.b = bs.b
+), cum AS (
+    SELECT day, b, n_day,
+           CAST(sum(c_cur) OVER (PARTITION BY day ORDER BY b
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_c
+    FROM dense
+), lagged AS (
+    SELECT day, b, n_day,
+           CASE WHEN lag(day) OVER w + INTERVAL 1 DAY = day
+                THEN lag(n_day) OVER w END AS n_prev,
+           CASE WHEN lag(day) OVER w + INTERVAL 1 DAY = day THEN
+               abs(CAST(cum_c AS DOUBLE) / n_day
+                   - CAST(lag(cum_c) OVER w AS DOUBLE)
+                     / (lag(n_day) OVER w))
+               * coalesce(lead(b) OVER wd - b, 0)
+           END AS term
+    FROM cum
+    WINDOW w AS (PARTITION BY b ORDER BY day),
+           wd AS (PARTITION BY day ORDER BY b)
+), pairs AS (
+    SELECT day, n_day, max(n_prev) AS n_prev,
+           round((SELECT w FROM wz) * list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE), list(term ORDER BY b)),
+               (acc, v) -> acc + v), 6) AS w1_dist
+    FROM lagged WHERE n_prev IS NOT NULL
+    GROUP BY day, n_day
+)
+SELECT day, n_day AS n_rows, n_prev, w1_dist FROM pairs
+UNION ALL
+SELECT g.day, g.n_day AS n_rows, CAST(NULL AS BIGINT) AS n_prev,
+       CAST(NULL AS DOUBLE) AS w1_dist
+FROM g WHERE g.day NOT IN (SELECT day FROM pairs)
+ORDER BY day
+"""
+
+
 ORACLES: dict[str, str] = {
     "source_drift_ks": ORACLE_SOURCE_DRIFT_KS,
+    "temporal_wasserstein": ORACLE_TEMPORAL_WASSERSTEIN,
+    "source_wasserstein": ORACLE_SOURCE_WASSERSTEIN,
     "contamination_screened": ORACLE_CONTAMINATION_SCREENED,
     "temporal_psi": ORACLE_TEMPORAL_PSI,
     "source_psi": ORACLE_SOURCE_PSI,

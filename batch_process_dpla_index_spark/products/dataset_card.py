@@ -314,7 +314,9 @@ def build_dataset_card(
     # source_psi operator behind the registry query, same value column
     from batch_process_dpla_index_spark.operators.profiling import (
         source_psi,
+        source_wasserstein,
         temporal_psi,
+        temporal_wasserstein,
     )
 
     psi_df = source_psi(
@@ -324,12 +326,20 @@ def build_dataset_card(
         psi_by_source = {r["source"]: r["psi"] for r in psi_df.collect()}
     finally:
         _unpersist(psi_df)
+    w1_df = source_wasserstein(
+        docs.select("source", nc.alias("n_chars")), "source", "n_chars"
+    )
+    try:
+        w1_by_source = {r["source"]: r["w1_dist"] for r in w1_df.collect()}
+    finally:
+        _unpersist(w1_df)
     audit_rows = [
         {
             "source": r["source"],
             "docs": r["n_docs"],
             "ks_vs_rest": drift_by_source.get(r["source"]),
             "psi_vs_rest": psi_by_source.get(r["source"]),
+            "w1_vs_rest": w1_by_source.get(r["source"]),
             "lang_entropy": r["lang_entropy"],
             "top_lang_share": r["top_lang_share"],
         }
@@ -338,22 +348,34 @@ def build_dataset_card(
         .collect()
     ]
 
-    # temporal stability (r17): per-day PSI table from the verified
-    # temporal_psi operator; |days|-bounded driver render
+    # temporal stability (r17): per-day PSI + W1 table from the
+    # verified temporal operators; |days|-bounded driver render (both
+    # derive the same day set from the same (day, floor) count)
     temporal_rows: list[dict] = []
     if events is not None:
         tpsi = temporal_psi(events, events_ts_col, events_value_col)
         try:
-            temporal_rows = [
-                {
-                    "day": str(r["day"])[:10],
-                    "events": r["n_rows"],
-                    "psi_vs_prev_day": r["psi"],
-                }
-                for r in tpsi.collect()
-            ]
+            psi_by_day = {
+                str(r["day"])[:10]: r for r in tpsi.collect()
+            }
         finally:
             _unpersist(tpsi)
+        tw1 = temporal_wasserstein(events, events_ts_col, events_value_col)
+        try:
+            w1_by_day = {
+                str(r["day"])[:10]: r["w1_dist"] for r in tw1.collect()
+            }
+        finally:
+            _unpersist(tw1)
+        temporal_rows = [
+            {
+                "day": day,
+                "events": r["n_rows"],
+                "psi_vs_prev_day": r["psi"],
+                "w1_vs_prev_day": w1_by_day.get(day),
+            }
+            for day, r in sorted(psi_by_day.items())
+        ]
 
     # benchmark contamination (r16): both screens from the verified
     # operators — exact n-gram hits + fuzzy banded-MinHash overlap
@@ -435,24 +457,28 @@ length against the rest of the corpus
 (`operators/profiling.py:source_drift_ks`); `psi_vs_rest` is the
 mass-weighted Population Stability Index of the same comparison
 (`source_psi` — PSI < 0.1 stable, 0.1-0.25 moderate, > 0.25 action);
-`lang_entropy` / `top_lang_share` are the exact-count language-mix
-figures (`source_lang_entropy`). A monolingual source with
-entropy > 0, a KS spike, or a PSI past 0.25 is the drift signal a
-curator investigates before export.
+`w1_vs_rest` is the Wasserstein-1 transport distance in characters
+(`source_wasserstein` — how FAR the length mass sits from the rest,
+not just how much moved); `lang_entropy` / `top_lang_share` are the
+exact-count language-mix figures (`source_lang_entropy`). A
+monolingual source with entropy > 0, a KS spike, a PSI past 0.25, or
+an outsized W1 is the drift signal a curator investigates before
+export.
 
-{_md_table(audit_rows, ['source', 'docs', 'ks_vs_rest', 'psi_vs_rest', 'lang_entropy', 'top_lang_share'])}
+{_md_table(audit_rows, ['source', 'docs', 'ks_vs_rest', 'psi_vs_rest', 'w1_vs_rest', 'lang_entropy', 'top_lang_share'])}
 """
     if temporal_rows:
         card += f"""
 ## Temporal stability
 
-Day-over-day Population Stability Index of the event value
-distribution (`operators/profiling.py:temporal_psi`; 32-bucket
-min/max grid, +0.5 Laplace smoothing) — the mass-weighted member of
-the drift triad next to the KS (sup) and TV (mix) monitors. `null`
-marks the first day or a post-gap day (no adjacent predecessor).
+Day-over-day drift of the event value distribution: Population
+Stability Index (`operators/profiling.py:temporal_psi`; 32-bucket
+min/max grid, +0.5 Laplace smoothing — mass × log-ratio) and
+Wasserstein-1 (`temporal_wasserstein` — mass × distance, in value
+units), next to the KS (sup) and TV (mix) monitors. `null` marks the
+first day or a post-gap day (no adjacent predecessor).
 
-{_md_table(temporal_rows, ['day', 'events', 'psi_vs_prev_day'])}
+{_md_table(temporal_rows, ['day', 'events', 'psi_vs_prev_day', 'w1_vs_prev_day'])}
 """
     if benchmark is not None:
         card += f"""

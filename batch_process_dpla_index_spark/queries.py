@@ -2349,6 +2349,36 @@ def q_temporal_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temporal_psi(events, "ts", "value", n_buckets=32)
 
 
+def q_temporal_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day Wasserstein-1 (earth-mover) distance of event
+    values (r17 addition, staged r18): the TRANSPORT member of the
+    drift family — weights drift by how FAR mass moved in value
+    units, where KS (sup) and PSI (mass x log-ratio) are
+    distance-blind. Exact integer CDF numerators, one division per
+    CDF point, bucket-ordered fold
+    (operators/profiling.py:temporal_wasserstein)."""
+    from batch_process_dpla_index_spark.operators.profiling import (
+        temporal_wasserstein,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    return temporal_wasserstein(events, "ts", "value", n_buckets=32)
+
+
+def q_source_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-vs-rest Wasserstein-1 of document lengths (r17
+    addition, staged r18) — completes the drift matrix
+    ({source, temporal} x {KS sup, PSI, W1 transport}): how FAR each
+    source's length mass sits from the rest of the corpus, in
+    characters (operators/profiling.py:source_wasserstein)."""
+    from batch_process_dpla_index_spark.operators.profiling import (
+        source_wasserstein,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return source_wasserstein(docs, "source", "n_chars", n_buckets=32)
+
+
 def q_source_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source-vs-rest Population Stability Index of document lengths
     (r16 addition) — closes the drift matrix ({source, temporal} x
@@ -3879,4 +3909,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pagerank": q_pagerank,
     "heavy_hitters": q_heavy_hitters,
     "robust_outliers": q_robust_outliers,
+    # -- r17 additions (staged r18; verified both SFs, pinned, probed
+    #    same-round per the staging discipline) --
+    "temporal_wasserstein": q_temporal_wasserstein,
+    "source_wasserstein": q_source_wasserstein,
 }

@@ -1732,3 +1732,93 @@ def test_bucket_cap_span_guard(spark):
         assert {r["b"] for r in cb2.collect()} == {0, 15}
     finally:
         raw2.unpersist()
+
+
+def test_temporal_wasserstein_hand_computed(spark):
+    """W1 on a hand fixture with SPARSE observed buckets: day 1 holds
+    (0 x2, 10 x6), day 2 holds (0 x6, 10 x2) — mass 0.5 moved
+    distance 10, so W1 must read 5.0, NOT 0.5: the |CDF gap| at
+    bucket 0 persists over the ten empty buckets up to the next
+    observed one (the run-length weight; dropping it silently
+    under-reports transport distance on any sparse grid). First day
+    and post-gap day emit NULL."""
+    from batch_process_dpla_index_spark.operators.dedup import unpersist_deps
+    from batch_process_dpla_index_spark.operators.profiling import (
+        temporal_wasserstein,
+    )
+
+    rows = (
+        [("2026-01-01 10:00:00", 0.0)] * 2
+        + [("2026-01-01 11:00:00", 10.0)] * 6
+        + [("2026-01-02 10:00:00", 0.0)] * 6
+        + [("2026-01-02 11:00:00", 10.0)] * 2
+        + [("2026-01-04 10:00:00", 5.0)] * 3  # post-gap day
+    )
+    df = spark.createDataFrame(rows, "ts_s string, value double").select(
+        F.col("ts_s").cast("timestamp").alias("ts"), "value"
+    )
+    out = temporal_wasserstein(df, "ts", "value", n_buckets=32)
+    got = {str(r["day"])[:10]: r for r in out.collect()}
+    unpersist_deps(out)
+
+    assert got["2026-01-01"]["w1_dist"] is None  # no predecessor
+    assert got["2026-01-04"]["w1_dist"] is None  # gap day
+    # span 11 < 32 buckets -> width 1, buckets observed at {0, 5, 10};
+    # CDFs: day1 (2/8 at 0, 2/8 at 5, 1 at 10), day2 (6/8, 6/8, 1);
+    # gaps to next observed bucket: 5, 5, 0
+    want = round(abs(2 / 8 - 6 / 8) * 5 + abs(2 / 8 - 6 / 8) * 5, 6)
+    assert got["2026-01-02"]["w1_dist"] == want == 5.0
+    assert got["2026-01-02"]["n_prev"] == 8
+    assert got["2026-01-02"]["n_rows"] == 8
+
+    # identical day-over-day distribution -> exactly 0.0
+    rows2 = (
+        [("2026-01-01 10:00:00", 3.0)] * 4
+        + [("2026-01-01 10:00:00", 7.0)] * 2
+        + [("2026-01-02 10:00:00", 3.0)] * 4
+        + [("2026-01-02 10:00:00", 7.0)] * 2
+    )
+    df2 = spark.createDataFrame(rows2, "ts_s string, value double").select(
+        F.col("ts_s").cast("timestamp").alias("ts"), "value"
+    )
+    out2 = temporal_wasserstein(df2)
+    got2 = {str(r["day"])[:10]: r["w1_dist"] for r in out2.collect()}
+    unpersist_deps(out2)
+    assert got2["2026-01-02"] == 0.0
+
+
+def test_source_wasserstein_hand_computed(spark):
+    """source_wasserstein on a 3-source hand fixture with sparse
+    observed buckets {0, 10}: mass distance is weighted by the
+    10-bucket run length (the temporal twin's sparse-grid pin), the
+    shifted source reads the larger distance, and a single-source
+    corpus emits NULL (no rest)."""
+    from batch_process_dpla_index_spark.operators.dedup import unpersist_deps
+    from batch_process_dpla_index_spark.operators.profiling import (
+        source_wasserstein,
+    )
+
+    rows = (
+        [("s1", 0)] * 4 + [("s1", 10)] * 4
+        + [("s2", 0)] * 4 + [("s2", 10)] * 4
+        + [("s3", 0)] * 1 + [("s3", 10)] * 7
+    )
+    docs = spark.createDataFrame(rows, "source string, n_chars bigint")
+    out = source_wasserstein(docs, "source", "n_chars", n_buckets=32)
+    got = {r["source"]: r for r in out.collect()}
+    unpersist_deps(out)
+
+    # width 1, buckets {0, 10}, gap(0) = 10: W1 = |p0 - q0| * 10
+    assert got["s1"]["w1_dist"] == round(abs(4 / 8 - 5 / 16) * 10, 6)
+    assert got["s2"]["w1_dist"] == round(abs(4 / 8 - 5 / 16) * 10, 6)
+    assert got["s3"]["w1_dist"] == round(abs(1 / 8 - 8 / 16) * 10, 6)
+    assert got["s3"]["w1_dist"] > got["s1"]["w1_dist"] > 0.0
+    assert all(r["n_rows"] == 8 for r in got.values())
+
+    solo = spark.createDataFrame(
+        [("only", 5)] * 6, "source string, n_chars bigint"
+    )
+    out2 = source_wasserstein(solo)
+    rows2 = out2.collect()
+    unpersist_deps(out2)
+    assert len(rows2) == 1 and rows2[0]["w1_dist"] is None

@@ -2278,26 +2278,35 @@ def test_dataset_card_privacy_drift_section(spark, tmp_path):
     drift = source_drift_ks(docs, "source", "n_chars")
     ks = {r["source"]: r["ks_stat"] for r in drift.collect()}
     unpersist_deps(drift)
-    from batch_process_dpla_index_spark.operators.profiling import source_psi
+    from batch_process_dpla_index_spark.operators.profiling import (
+        source_psi,
+        source_wasserstein,
+    )
 
     psi_df = source_psi(docs, "source", "n_chars")
     psi = {r["source"]: r["psi"] for r in psi_df.collect()}
     unpersist_deps(psi_df)
+    w1_df = source_wasserstein(docs, "source", "n_chars")
+    w1 = {r["source"]: r["w1_dist"] for r in w1_df.collect()}
+    unpersist_deps(w1_df)
     ent = {
         r["source"]: (r["n_docs"], r["lang_entropy"], r["top_lang_share"])
         for r in source_lang_entropy(docs, "source", "lang").collect()
     }
     for src, (n_docs, h, share) in ent.items():
         assert (
-            f"| {src} | {n_docs} | {ks[src]} | {psi[src]} | {h} | {share} |"
-            in text
-        ), (src, n_docs, ks[src], psi[src], h, share)
+            f"| {src} | {n_docs} | {ks[src]} | {psi[src]} | {w1[src]} | "
+            f"{h} | {share} |" in text
+        ), (src, n_docs, ks[src], psi[src], w1[src], h, share)
 
     # temporal stability section: absent without events, and with an
     # events frame every per-day PSI row equals the verified
     # temporal_psi operator run independently (r17, VERDICT r16 #5)
     assert "## Temporal stability" not in text
-    from batch_process_dpla_index_spark.operators.profiling import temporal_psi
+    from batch_process_dpla_index_spark.operators.profiling import (
+        temporal_psi,
+        temporal_wasserstein,
+    )
     from batch_process_dpla_index_spark.products.dataset_card import (
         build_dataset_card as _bdc,
     )
@@ -2312,15 +2321,19 @@ def test_dataset_card_privacy_drift_section(spark, tmp_path):
     tp = temporal_psi(events, "ts", "value")
     rows_t = tp.collect()
     unpersist_deps(tp)
+    tw = temporal_wasserstein(events, "ts", "value")
+    w1_day = {str(r["day"])[:10]: r["w1_dist"] for r in tw.collect()}
+    unpersist_deps(tw)
     assert rows_t
     for r in rows_t:
         day = str(r["day"])[:10]
         psi_cell = "None" if r["psi"] is None else str(r["psi"])
-        assert f"| {day} | {r['n_rows']} | {psi_cell} |" in text_t, (
-            day,
-            r["n_rows"],
-            psi_cell,
+        w1_cell = (
+            "None" if w1_day[day] is None else str(w1_day[day])
         )
+        assert (
+            f"| {day} | {r['n_rows']} | {psi_cell} | {w1_cell} |" in text_t
+        ), (day, r["n_rows"], psi_cell, w1_cell)
 
 
 def test_dataset_card_benchmark_contamination_section(spark, tmp_path):

@@ -1412,6 +1412,53 @@ def test_psi_stream_converges_to_batch(spark, tmp_path):
     assert got == want and len(got) > 0
 
 
+def test_w1_stream_converges_to_batch(spark, tmp_path):
+    """Drained streaming_value_counts fed through
+    temporal_wasserstein_from_counts == temporal_wasserstein over the
+    same events, bit-for-bit — the W1 monitor joins KS/TV/PSI in
+    having a streaming twin through the one shared counts core
+    (r17)."""
+    import uuid as _uuid
+
+    from batch_process_dpla_index_spark.operators.dedup import unpersist_deps
+    from batch_process_dpla_index_spark.operators.profiling import (
+        temporal_wasserstein,
+        temporal_wasserstein_from_counts,
+    )
+    from batch_process_dpla_index_spark.streaming.windows import (
+        streaming_value_counts,
+    )
+
+    events = load_table(spark, SF_DIR, "events")
+    src = str(tmp_path / "w1events")
+    events.repartition(5).write.parquet(src)
+
+    stream = spark.readStream.schema(events.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    name = f"w1_{_uuid.uuid4().hex[:8]}"
+    q = (
+        streaming_value_counts(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    drained = spark.table(name)
+    # memory-sink views cannot self-join (see the mix-drift twin test)
+    counts = spark.createDataFrame(drained.collect(), drained.schema)
+
+    via_stream = temporal_wasserstein_from_counts(counts)
+    got = sorted(map(tuple, via_stream.collect()))
+    unpersist_deps(via_stream)
+    want_df = temporal_wasserstein(events, "ts", "value")
+    want = sorted(map(tuple, want_df.collect()))
+    unpersist_deps(want_df)
+    assert got == want and len(got) > 0
+
+
 def test_streaming_counts_evict_state_and_drop_late_data(spark, tmp_path):
     """End-to-end append-mode run across >=2 triggers with late data
     beyond the watermark (r16 VERDICT #6) — the load-bearing claim of
