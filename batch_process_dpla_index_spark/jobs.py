@@ -279,7 +279,8 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--fuzzy-threshold", type=float, default=0.5)
     s.add_argument("--events-parquet", default=None,
                    help="ts+value event frame: adds the temporal "
-                        "stability (day-over-day PSI) section")
+                        "stability section (day-over-day PSI and "
+                        "Wasserstein-1)")
     s = sub.add_parser("profile")
     s.add_argument("parquet_path")
     s.add_argument("--out-csv", help="write the profile as a header CSV")

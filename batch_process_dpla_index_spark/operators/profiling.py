@@ -504,6 +504,69 @@ def _bucket_capped_counts(
     return cb, c0
 
 
+def day_floor_counts(
+    df: DataFrame, ts_col: str = "ts", value_col: str = "value"
+) -> DataFrame:
+    """The ONE corpus-proportional (day, x, c) RAW-floor count every
+    temporal drift monitor starts from — build it once and feed
+    several ``*_from_counts`` cores (the dataset card's shape) instead
+    of paying the scan+shuffle per monitor."""
+    return df.where(F.col(value_col).isNotNull()).groupBy(
+        F.date_trunc("day", F.col(ts_col)).alias("day"),
+        F.floor(F.col(value_col)).cast("bigint").alias("x"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+
+
+def group_floor_counts(
+    df: DataFrame, group_col: str = "source", value_col: str = "n_chars"
+) -> DataFrame:
+    """The source-axis twin of :func:`day_floor_counts`: one
+    (group, x, c) RAW-floor count feeding the ``source_*_from_counts``
+    cores."""
+    return df.where(F.col(value_col).isNotNull()).groupBy(
+        F.col(group_col).alias(group_col),
+        F.floor(F.col(value_col)).cast("bigint").alias("x"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+
+
+def _dense_key_grid(cb, key_col: str, n_col: str):
+    """THE dense (key × observed-bucket) grid every bucketed drift
+    monitor builds off a `_bucket_capped_counts` re-aggregate (r17
+    review: the PSI/W1 twins had grown five hand-synchronized copies
+    of this scaffolding — the same silent-drift hazard the r16 bucket
+    cap refactor removed). Per-key totals (broadcast), global observed
+    bucket set, left-join + zero-fill: returns (key_col, b, n_col,
+    c_cur) with every key carrying every observed bucket."""
+    g = cb.groupBy(key_col).agg(F.sum("c").alias(n_col))
+    bs = cb.select("b").distinct()
+    return (
+        bs.crossJoin(F.broadcast(g))
+        .join(cb.select(key_col, "b", "c"), [key_col, "b"], "left")
+        .select(
+            key_col,
+            "b",
+            n_col,
+            F.coalesce(F.col("c"), F.lit(0)).alias("c_cur"),
+        )
+    )
+
+
+#: bucket-ordered sorted-fold pair shared by the PSI/W1 monitors: the
+#: per-key term list is collected WITH its bucket id, sorted, and
+#: left-folded so both engines add identical doubles in identical
+#: order (the adamic_adar float-association discipline)
+def _terms_agg():
+    return F.sort_array(
+        F.collect_list(F.struct("b", F.col("__term").alias("t")))
+    ).alias("__terms")
+
+
+def _fold_terms():
+    return F.aggregate(
+        F.col("__terms"), F.lit(0.0), lambda acc, s: acc + s["t"]
+    )
+
+
 def source_drift_ks(
     df: DataFrame,
     group_col: str = "source",
@@ -934,11 +997,9 @@ def temporal_psi(
     Scale: ONE corpus-proportional shuffle (the (day, floor) count,
     persisted); everything downstream is |days|·n_buckets metadata.
     Release the persist via ``_cached_deps``/``unpersist_deps``."""
-    c0 = df.where(F.col(value_col).isNotNull()).groupBy(
-        F.date_trunc("day", F.col(ts_col)).alias("day"),
-        F.floor(F.col(value_col)).cast("bigint").alias("x"),
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    return temporal_psi_from_counts(c0, n_buckets)
+    return temporal_psi_from_counts(
+        day_floor_counts(df, ts_col, value_col), n_buckets
+    )
 
 
 def temporal_psi_from_counts(
@@ -957,17 +1018,8 @@ def temporal_psi_from_counts(
 
     cb, c0 = _bucket_capped_counts(counts, "day", n_buckets, "b")
     cb = cb.persist()
-    g = cb.groupBy("day").agg(F.sum("c").alias("n_day"))
-    bs = cb.select("b").distinct()
-    grid = bs.crossJoin(F.broadcast(g))
     dense = (
-        grid.join(cb, ["day", "b"], "left")
-        .select(
-            "day",
-            "b",
-            "n_day",
-            F.coalesce(F.col("c"), F.lit(0)).alias("c_cur"),
-        )
+        _dense_key_grid(cb, "day", "n_day")
         # the grid is DENSE (every day carries every observed bucket),
         # so the global bucket count is the per-day row count — a
         # day-partitioned window, no join back onto the cb lineage.
@@ -1002,26 +1054,14 @@ def temporal_psi_from_counts(
     )
     out = (
         lagged.groupBy("day", "n_day")
-        .agg(
-            F.max("n_prev").alias("n_prev"),
-            F.sort_array(
-                F.collect_list(F.struct("b", F.col("__term").alias("t")))
-            ).alias("__terms"),
-        )
+        .agg(F.max("n_prev").alias("n_prev"), _terms_agg())
         .select(
             "day",
             F.col("n_day").cast("bigint").alias("n_rows"),
             F.col("n_prev").cast("bigint").alias("n_prev"),
             F.when(
                 F.col("n_prev").isNotNull(),
-                F.round(
-                    F.aggregate(
-                        F.col("__terms"),
-                        F.lit(0.0),
-                        lambda acc, s: acc + s["t"],
-                    ),
-                    6,
-                ),
+                F.round(_fold_terms(), 6),
             ).alias("psi"),
         )
         .orderBy("day")
@@ -1064,11 +1104,9 @@ def temporal_wasserstein(
     day-partitioned and bucket-partitioned windows only — zero
     unpartitioned windows. Release via ``_cached_deps``/
     ``unpersist_deps``."""
-    c0 = df.where(F.col(value_col).isNotNull()).groupBy(
-        F.date_trunc("day", F.col(ts_col)).alias("day"),
-        F.floor(F.col(value_col)).cast("bigint").alias("x"),
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    return temporal_wasserstein_from_counts(c0, n_buckets)
+    return temporal_wasserstein_from_counts(
+        day_floor_counts(df, ts_col, value_col), n_buckets
+    )
 
 
 def temporal_wasserstein_from_counts(
@@ -1088,25 +1126,17 @@ def temporal_wasserstein_from_counts(
     cb, c0 = _bucket_capped_counts(counts, "day", n_buckets, "b",
                                    with_width=True)
     cb = cb.persist()
-    g = cb.groupBy("day").agg(F.sum("c").alias("n_day"))
     ww = F.broadcast(cb.agg(F.max("w").alias("w")))
-    bs = cb.select("b").distinct()
-    grid = bs.crossJoin(F.broadcast(g))
     wd = (
         Window.partitionBy("day")
         .orderBy("b")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    dense = (
-        grid.join(cb.select("day", "b", "c"), ["day", "b"], "left")
-        .select(
-            "day",
-            "b",
-            "n_day",
-            F.coalesce(F.col("c"), F.lit(0)).alias("c_cur"),
-        )
+    dense = _dense_key_grid(
+        cb.select("day", "b", "c"), "day", "n_day"
+    ).withColumn(
         # exact integer cumulative count per day — the CDF numerator
-        .withColumn("cum_c", F.sum("c_cur").over(wd).cast("bigint"))
+        "cum_c", F.sum("c_cur").over(wd).cast("bigint")
     )
     w_b = Window.partitionBy("b").orderBy("day")
     adjacent = F.lag("day").over(w_b) == F.col("day") - F.expr(
@@ -1131,12 +1161,7 @@ def temporal_wasserstein_from_counts(
     )
     out = (
         lagged.groupBy("day", "n_day")
-        .agg(
-            F.max("n_prev").alias("n_prev"),
-            F.sort_array(
-                F.collect_list(F.struct("b", F.col("__term").alias("t")))
-            ).alias("__terms"),
-        )
+        .agg(F.max("n_prev").alias("n_prev"), _terms_agg())
         .crossJoin(ww)
         .select(
             "day",
@@ -1144,15 +1169,7 @@ def temporal_wasserstein_from_counts(
             F.col("n_prev").cast("bigint").alias("n_prev"),
             F.when(
                 F.col("n_prev").isNotNull(),
-                F.round(
-                    F.col("w")
-                    * F.aggregate(
-                        F.col("__terms"),
-                        F.lit(0.0),
-                        lambda acc, s: acc + s["t"],
-                    ),
-                    6,
-                ),
+                F.round(F.col("w") * _fold_terms(), 6),
             ).alias("w1_dist"),
         )
         .orderBy("day")
@@ -1184,41 +1201,41 @@ def source_wasserstein(
     corpus-proportional shuffle; |groups|·n_buckets grid metadata;
     group-/bucket-partitioned windows only. Release via
     ``_cached_deps``/``unpersist_deps``."""
+    return source_wasserstein_from_counts(
+        group_floor_counts(df, group_col, value_col), group_col, n_buckets
+    )
+
+
+def source_wasserstein_from_counts(
+    counts: DataFrame, group_col: str = "source", n_buckets: int = 32
+) -> DataFrame:
+    """Bucket cap + W1 core over a prepared (group_col, x, c)
+    RAW-floor counts frame — factored so one counts pass can feed
+    both source-axis monitors (the dataset card's shape, r17
+    review)."""
     from batch_process_dpla_index_spark.operators.dedup import (
         _with_cached_deps,
     )
 
-    c = df.where(F.col(value_col).isNotNull()).groupBy(
-        F.col(group_col).alias("grp"),
-        F.floor(F.col(value_col)).cast("bigint").alias("x"),
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    c = counts.withColumnRenamed(group_col, "grp")
     cb, c0 = _bucket_capped_counts(c, "grp", n_buckets, "b",
                                    with_width=True)
     cb = cb.persist()
-    g = cb.groupBy("grp").agg(F.sum("c").alias("n_g"))
     ww = F.broadcast(cb.agg(F.max("w").alias("w")))
-    bs = cb.select("b").distinct()
     n_tot = F.broadcast(cb.agg(F.sum("c").cast("bigint").alias("n_total")))
-    grid = bs.crossJoin(F.broadcast(g))
     wg = (
         Window.partitionBy("grp")
         .orderBy("b")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     dense = (
-        grid.join(cb.select("grp", "b", "c"), ["grp", "b"], "left")
-        .select(
-            "grp",
-            "b",
-            "n_g",
-            F.coalesce(F.col("c"), F.lit(0)).alias("c_g"),
-        )
+        _dense_key_grid(cb.select("grp", "b", "c"), "grp", "n_g")
         .crossJoin(n_tot)
         # per-bucket corpus totals from a bucket-partitioned window
         # (the source_psi shape — never an unpartitioned fold), then
         # exact integer cumulatives per group for own AND corpus
-        .withColumn("c_all", F.sum("c_g").over(Window.partitionBy("b")))
-        .withColumn("cum_g", F.sum("c_g").over(wg).cast("bigint"))
+        .withColumn("c_all", F.sum("c_cur").over(Window.partitionBy("b")))
+        .withColumn("cum_g", F.sum("c_cur").over(wg).cast("bigint"))
         .withColumn("cum_all", F.sum("c_all").over(wg).cast("bigint"))
     )
     wl = Window.partitionBy("grp").orderBy("b")
@@ -1238,26 +1255,14 @@ def source_wasserstein(
     )
     out = (
         terms.groupBy("grp", "n_g", "n_total")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct("b", F.col("__term").alias("t")))
-            ).alias("__terms")
-        )
+        .agg(_terms_agg())
         .crossJoin(ww)
         .select(
             F.col("grp").alias(group_col),
             F.col("n_g").cast("bigint").alias("n_rows"),
             F.when(
                 F.col("n_g") < F.col("n_total"),
-                F.round(
-                    F.col("w")
-                    * F.aggregate(
-                        F.col("__terms"),
-                        F.lit(0.0),
-                        lambda acc, s: acc + s["t"],
-                    ),
-                    6,
-                ),
+                F.round(F.col("w") * _fold_terms(), 6),
             ).alias("w1_dist"),
         )
         .orderBy(group_col)
@@ -1293,44 +1298,44 @@ def source_psi(
     Scale: ONE corpus-proportional shuffle (the (group, value) count,
     persisted); downstream is |groups|·n_buckets metadata. Release
     via ``_cached_deps``/``unpersist_deps``."""
+    return source_psi_from_counts(
+        group_floor_counts(df, group_col, value_col), group_col, n_buckets
+    )
+
+
+def source_psi_from_counts(
+    counts: DataFrame, group_col: str = "source", n_buckets: int = 32
+) -> DataFrame:
+    """Bucket cap + PSI core over a prepared (group_col, x, c)
+    RAW-floor counts frame — factored so one counts pass can feed
+    both source-axis monitors (the dataset card's shape, r17
+    review)."""
     from batch_process_dpla_index_spark.operators.dedup import (
         _with_cached_deps,
     )
 
-    c = df.where(F.col(value_col).isNotNull()).groupBy(
-        F.col(group_col).alias("grp"),
-        F.floor(F.col(value_col)).cast("bigint").alias("x"),
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    c = counts.withColumnRenamed(group_col, "grp")
     cb, c0 = _bucket_capped_counts(c, "grp", n_buckets, "b")
     cb = cb.persist()
-    g = cb.groupBy("grp").agg(F.sum("c").alias("n_g"))
-    bs = cb.select("b").distinct()
     n_tot = F.broadcast(cb.agg(F.sum("c").cast("bigint").alias("n_total")))
-    grid = bs.crossJoin(F.broadcast(g))
     dense = (
-        grid.join(cb, ["grp", "b"], "left")
-        .select(
-            "grp",
-            "b",
-            "n_g",
-            F.coalesce(F.col("c"), F.lit(0)).alias("c_g"),
-        )
+        _dense_key_grid(cb, "grp", "n_g")
         .crossJoin(n_tot)
         # dense grid: per-bucket corpus totals and the observed bucket
         # count come from bucket-/group-partitioned windows (a
         # lit-keyed global window would fold unpartitioned — the
         # one_bucket lesson; and "nbk", not "B": case-insensitive
         # resolution collides with "b")
-        .withColumn("c_all", F.sum("c_g").over(Window.partitionBy("b")))
+        .withColumn("c_all", F.sum("c_cur").over(Window.partitionBy("b")))
         .withColumn(
             "nbk",
             F.count(F.lit(1)).over(Window.partitionBy("grp")).cast("bigint"),
         )
     )
-    p = (F.col("c_g") + F.lit(0.5)) / (
+    p = (F.col("c_cur") + F.lit(0.5)) / (
         F.col("n_g") + F.col("nbk") / F.lit(2.0)
     )
-    q = (F.col("c_all") - F.col("c_g") + F.lit(0.5)) / (
+    q = (F.col("c_all") - F.col("c_cur") + F.lit(0.5)) / (
         F.col("n_total") - F.col("n_g") + F.col("nbk") / F.lit(2.0)
     )
     terms = dense.select(
@@ -1344,24 +1349,13 @@ def source_psi(
     )
     out = (
         terms.groupBy("grp", "n_g", "n_total")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct("b", F.col("__term").alias("t")))
-            ).alias("__terms")
-        )
+        .agg(_terms_agg())
         .select(
             F.col("grp").alias(group_col),
             F.col("n_g").cast("bigint").alias("n_rows"),
             F.when(
                 F.col("n_g") < F.col("n_total"),
-                F.round(
-                    F.aggregate(
-                        F.col("__terms"),
-                        F.lit(0.0),
-                        lambda acc, s: acc + s["t"],
-                    ),
-                    6,
-                ),
+                F.round(_fold_terms(), 6),
             ).alias("psi"),
         )
         .orderBy(group_col)

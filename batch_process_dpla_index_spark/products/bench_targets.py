@@ -211,18 +211,13 @@ def _bench_phash_index(spark: SparkSession, sf_dir: str, work_dir: str) -> int:
     dup_ids = matches.select(F.col("new_id").alias("doc_id"))
     survivors = batch.join(dup_ids, "doc_id", "left_anti")
     # reuse the check step's persisted batch signatures for the
-    # append, exactly as the deployed streaming ingest does
-    # (streaming_ingest.py append closure) — the r16 bench re-hashed
-    # survivors through the Arrow pass a second time, which is NOT the
-    # product's hot path and accounted for most of the r16 1.74× warm
-    # drift (VERDICT r16 #4 attribution)
-    batch_sigs = matches._cached_deps[0]
-    surv_sigs = batch_sigs.join(
-        matches.select(F.col("new_id").alias("id")), "id", "left_anti"
-    )
+    # append, exactly as the deployed streaming ingest does — the r16
+    # bench re-hashed survivors through the Arrow pass a second time,
+    # which is NOT the product's hot path and accounted for most of
+    # the r16 1.74× warm drift (VERDICT r16 #4 attribution)
     phash_index.append_to_phash_index(
         survivors, "blob", "doc_id", idx, ingest_batch=1,
-        signatures=surv_sigs,
+        signatures=phash_index.survivor_signatures(matches),
     )
     # release the batch-signature cache only after the append consumed
     # the matches frame — the streaming product's ordering

@@ -84,12 +84,15 @@ def build_dataset_card(
 
     ``events`` (a frame carrying ``events_ts_col`` +
     ``events_value_col``) turns on the TEMPORAL STABILITY section
-    (r17, VERDICT r16 #5): the per-day PSI table from the
-    oracle-verified ``profiling.temporal_psi`` — the mass-weighted
-    member of the drift triad (KS sup / TV mix / PSI) rendered where
-    the datasheet reader expects it. The per-source ``psi_vs_rest``
-    column in the audit table (``profiling.source_psi``) is always
-    on, next to ``ks_vs_rest``."""
+    (r17, VERDICT r16 #5): the per-day PSI and Wasserstein-1 table
+    from the oracle-verified ``profiling.temporal_psi`` /
+    ``temporal_wasserstein`` — the mass-weighted and transport
+    members of the drift family (KS sup / TV mix / PSI / W1) rendered
+    where the datasheet reader expects them, off ONE shared
+    (day, floor) counts pass. The per-source ``psi_vs_rest`` and
+    ``w1_vs_rest`` columns in the audit table (``profiling.
+    source_psi`` / ``source_wasserstein``) are always on, next to
+    ``ks_vs_rest``."""
     from batch_process_dpla_index_spark.functions.classifier import classifier_score
 
     # tokens materialized ONCE: language_id_tok references its token
@@ -313,25 +316,29 @@ def build_dataset_card(
     # mass-weighted companion (r17, VERDICT r16 #5): the SAME verified
     # source_psi operator behind the registry query, same value column
     from batch_process_dpla_index_spark.operators.profiling import (
-        source_psi,
-        source_wasserstein,
-        temporal_psi,
-        temporal_wasserstein,
+        day_floor_counts,
+        group_floor_counts,
+        source_psi_from_counts,
+        source_wasserstein_from_counts,
+        temporal_psi_from_counts,
+        temporal_wasserstein_from_counts,
     )
 
-    psi_df = source_psi(
+    # ONE (source, floor) counts pass feeds BOTH source-axis monitors
+    # (r17 review: the first cut paid the corpus scan+shuffle per
+    # monitor). Collect both BEFORE unpersisting either: the cores
+    # persist the SAME counts frame, and unpersist_deps is not
+    # refcounted.
+    src_counts = group_floor_counts(
         docs.select("source", nc.alias("n_chars")), "source", "n_chars"
     )
+    psi_df = source_psi_from_counts(src_counts, "source")
+    w1_df = source_wasserstein_from_counts(src_counts, "source")
     try:
         psi_by_source = {r["source"]: r["psi"] for r in psi_df.collect()}
-    finally:
-        _unpersist(psi_df)
-    w1_df = source_wasserstein(
-        docs.select("source", nc.alias("n_chars")), "source", "n_chars"
-    )
-    try:
         w1_by_source = {r["source"]: r["w1_dist"] for r in w1_df.collect()}
     finally:
+        _unpersist(psi_df)
         _unpersist(w1_df)
     audit_rows = [
         {
@@ -353,19 +360,22 @@ def build_dataset_card(
     # derive the same day set from the same (day, floor) count)
     temporal_rows: list[dict] = []
     if events is not None:
-        tpsi = temporal_psi(events, events_ts_col, events_value_col)
+        # same sharing shape: one (day, floor) counts pass, both
+        # temporal cores, collect-then-unpersist
+        day_counts = day_floor_counts(
+            events, events_ts_col, events_value_col
+        )
+        tpsi = temporal_psi_from_counts(day_counts)
+        tw1 = temporal_wasserstein_from_counts(day_counts)
         try:
             psi_by_day = {
                 str(r["day"])[:10]: r for r in tpsi.collect()
             }
-        finally:
-            _unpersist(tpsi)
-        tw1 = temporal_wasserstein(events, events_ts_col, events_value_col)
-        try:
             w1_by_day = {
                 str(r["day"])[:10]: r["w1_dist"] for r in tw1.collect()
             }
         finally:
+            _unpersist(tpsi)
             _unpersist(tw1)
         temporal_rows = [
             {

@@ -162,10 +162,13 @@ def append_to_decon_index(
     try:
         n_delta = delta.count()
         if n_delta == 0:
-            raise ValueError(
-                "append_to_decon_index: delta has no non-empty "
-                "documents; nothing to append"
-            )
+            # empty delta = successful NO-OP, never an error (a suite
+            # whose items all shingle to empty — e.g. label-only
+            # benchmark rows shorter than the manifest's n — carried
+            # nothing to index; the stored artifact and manifest are
+            # untouched, matching the pre-r17 overwrite path's
+            # behavior of rewriting the store unchanged)
+            return dict(mf)
         n_distinct = delta.select("id").distinct().count()
         if n_distinct != n_delta:
             raise ValueError(

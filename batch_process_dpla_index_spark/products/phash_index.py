@@ -260,6 +260,22 @@ def incremental_phash_dedup_indexed(
     return out
 
 
+def survivor_signatures(matches: DataFrame) -> DataFrame:
+    """The (id, phash) frame for the blobs that SURVIVED a
+    :func:`incremental_phash_dedup_indexed` check — the check step's
+    persisted batch signatures minus the matched ids, ready to pass
+    as ``signatures=`` to :func:`append_to_phash_index` so survivors
+    are never perceptually hashed twice per batch. This is THE ONE
+    place that reaches into the matches frame's ``_cached_deps``
+    contract (r17 review: the streaming ingest and the bench target
+    each hand-copied this 4-liner; two drifting copies would make the
+    bench silently stop measuring the deployed hot path)."""
+    batch_sigs = matches._cached_deps[0]  # type: ignore[attr-defined]
+    return batch_sigs.join(
+        matches.select(F.col("new_id").alias("id")), "id", "left_anti"
+    )
+
+
 def append_to_phash_index(
     batch_blobs: DataFrame,
     bin_col: str,

@@ -444,14 +444,10 @@ def _ingest_phash_dedup_available(
         # reuse the check step's persisted batch signatures (its cached
         # dep) — survivors must not be perceptually hashed a second
         # time per micro-batch
-        batch_sigs = matches._cached_deps[0]
-        surv_sigs = batch_sigs.join(
-            matches.select(F.col("new_id").alias("id")), "id", "left_anti"
-        )
         phash_index.append_to_phash_index(
             survivors, bin_col, id_col, index_dir,
             ingest_batch=batch_id + 1, idempotent=True,
-            signatures=surv_sigs,
+            signatures=phash_index.survivor_signatures(matches),
         )
 
     return _dedup_ingest_available(

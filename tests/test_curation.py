@@ -756,3 +756,39 @@ def test_contamination_screened_disjoint_sources_empty(spark):
     out = df.collect()
     unpersist_deps(df)
     assert out == []
+
+
+def test_contamination_matrix_exact_matches_duckdb_oracle(spark):
+    """The explicit-opt-in ALL-PAIRS tier keeps independent oracle
+    coverage after the r17 delegation (review finding: the registry's
+    contamination_matrix oracle now replays the screened plan, so a
+    regression in the exact posting self-join — still the truth side
+    of the restriction-agreement test — would otherwise be guarded
+    only by hand fixtures). Replays ORACLE_CONTAMINATION_MATRIX_EXACT
+    in DuckDB over the same parquet and pins exact tuple equality."""
+    import duckdb
+
+    from batch_process_dpla_index_spark.operators.curation import (
+        contamination_matrix,
+    )
+    from batch_process_dpla_index_spark.operators.dedup import unpersist_deps
+    from batch_process_dpla_index_spark.oracles import (
+        ORACLE_CONTAMINATION_MATRIX_EXACT,
+    )
+    from batch_process_dpla_index_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    got_df = contamination_matrix(docs, exact_all_pairs=True)
+    got = sorted(map(tuple, got_df.collect()))
+    unpersist_deps(got_df)
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    want = sorted(map(tuple, con.execute(
+        ORACLE_CONTAMINATION_MATRIX_EXACT
+    ).fetchall()))
+    assert got == want and len(got) > 0

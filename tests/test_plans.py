@@ -630,7 +630,12 @@ def test_survey_s8_count_matches_registry():
 
     assert len(QUERIES) == len(ORACLES)
     assert set(QUERIES) == set(ORACLES)
-    survey = open("SURVEY.md", encoding="utf-8").read()
+    import os as _os
+
+    survey = open(
+        _os.path.join(_os.path.dirname(__file__), "..", "SURVEY.md"),
+        encoding="utf-8",
+    ).read()
     # earlier matches are historical narrative ("round 9 / 118
     # queries"); the LAST 'N queries / N oracles' is the live headline
     ms = re.findall(r"(\d+) queries /\s*(\d+) oracles", survey)

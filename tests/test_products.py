@@ -2487,6 +2487,22 @@ def test_decon_index_lifecycle(spark, tmp_path):
     with _pytest.raises(ValueError, match="internally duplicated"):
         append_to_decon_index(twice, idx)
 
+    # a suite whose items all shingle to empty (empty/whitespace text
+    # normalizes to zero shingles; note a short-but-nonempty text
+    # becomes ONE whole-text shingle per the jaccard macro's short-doc
+    # convention, so it is NOT empty) is a successful NO-OP: store +
+    # manifest untouched
+    before_noop = _parts(sig_dir)
+    m_noop = append_to_decon_index(
+        spark.createDataFrame(
+            [(990_004, "")], "doc_id bigint, text string"
+        ),
+        idx,
+    )
+    assert m_noop["Benchmark items"] == m2["Benchmark items"]
+    assert _parts(sig_dir).keys() == before_noop.keys()
+    assert read_manifest(idx)["Benchmark items"] == m2["Benchmark items"]
+
     # empty benchmark refused
     with _pytest.raises(ValueError, match="refuse to build"):
         build_decon_index(
