@@ -440,7 +440,7 @@ def gini_concentration(
 
 def _bucket_capped_counts(
     counts: DataFrame,
-    key_col: str,
+    key_col: str | list[str],
     n_buckets: int,
     out_col: str,
     with_width: bool = False,
@@ -487,9 +487,10 @@ def _bucket_capped_counts(
             "xmax",
         )
     )
+    keys = [key_col] if isinstance(key_col, str) else list(key_col)
     bucket = F.expr(f"(x - xmin) div ((xmax - xmin + {nb}) div {nb})")
     width = F.expr(f"(xmax - xmin + {nb}) div {nb}")
-    cols = [key_col, bucket.cast("bigint").alias(out_col), "c"]
+    cols = [*keys, bucket.cast("bigint").alias(out_col), "c"]
     if with_width:
         cols.append(width.cast("bigint").alias("w"))
     aggs = [F.sum("c").alias("c")]
@@ -498,7 +499,7 @@ def _bucket_capped_counts(
     cb = (
         c0.crossJoin(mm)
         .select(*cols)
-        .groupBy(key_col, out_col)
+        .groupBy(*keys, out_col)
         .agg(*aggs)
     )
     return cb, c0
@@ -529,21 +530,24 @@ def group_floor_counts(
     ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
 
 
-def _dense_key_grid(cb, key_col: str, n_col: str):
+def _dense_key_grid(cb, key_col: str | list[str], n_col: str):
     """THE dense (key × observed-bucket) grid every bucketed drift
     monitor builds off a `_bucket_capped_counts` re-aggregate (r17
     review: the PSI/W1 twins had grown five hand-synchronized copies
     of this scaffolding — the same silent-drift hazard the r16 bucket
     cap refactor removed). Per-key totals (broadcast), global observed
-    bucket set, left-join + zero-fill: returns (key_col, b, n_col,
-    c_cur) with every key carrying every observed bucket."""
-    g = cb.groupBy(key_col).agg(F.sum("c").alias(n_col))
+    bucket set, left-join + zero-fill: returns (key_col..., b, n_col,
+    c_cur) with every observed key carrying every observed bucket.
+    ``key_col`` may be a composite (list) key — the drift-attribution
+    monitors key on (segment, day)."""
+    keys = [key_col] if isinstance(key_col, str) else list(key_col)
+    g = cb.groupBy(*keys).agg(F.sum("c").alias(n_col))
     bs = cb.select("b").distinct()
     return (
         bs.crossJoin(F.broadcast(g))
-        .join(cb.select(key_col, "b", "c"), [key_col, "b"], "left")
+        .join(cb.select(*keys, "b", "c"), [*keys, "b"], "left")
         .select(
-            key_col,
+            *keys,
             "b",
             n_col,
             F.coalesce(F.col("c"), F.lit(0)).alias("c_cur"),
@@ -1065,6 +1069,94 @@ def temporal_psi_from_counts(
             ).alias("psi"),
         )
         .orderBy("day")
+    )
+    return _with_cached_deps(out, [c0, cb])
+
+
+def drift_attribution(
+    df: DataFrame,
+    ts_col: str = "ts",
+    seg_col: str = "event_type",
+    value_col: str = "value",
+    n_buckets: int = 32,
+) -> DataFrame:
+    """(segment, day, n_rows, n_prev, psi): day-over-day PSI of the
+    ``value_col`` distribution computed PER SEGMENT — the attribution
+    step after a corpus-level monitor fires (r17). `temporal_psi`
+    tells the operator THAT yesterday's value mix shifted;
+    drift_attribution tells them WHICH segment (ingest feed, event
+    type, pipeline) drove it — the segment whose per-segment PSI
+    spiked on the same day. Segments are compared on the ONE shared
+    global min/max grid (`_bucket_capped_counts` over the whole
+    counts frame), so per-segment scores are comparable to each other
+    and to the corpus-level monitor's shape.
+
+    Float discipline is exactly :func:`temporal_psi`'s (+0.5 Laplace
+    smoothing over each (segment, day)'s observed-bucket count, raw
+    IEEE shares, bucket-ordered sorted fold); the previous day is a
+    LAG over the dense (segment × day × bucket) grid with an exact
+    day-adjacency check — a segment's first day, or a day following a
+    gap IN THAT SEGMENT, emits NULL.
+
+    Scale: ONE corpus-proportional shuffle (the (segment, day, floor)
+    count, persisted); the grid is |segments|·|days|·n_buckets
+    metadata with (segment, day)- and (segment, bucket)-partitioned
+    windows only. Release via ``_cached_deps``/``unpersist_deps``."""
+    from batch_process_dpla_index_spark.operators.dedup import (
+        _with_cached_deps,
+    )
+
+    counts = (
+        df.where(
+            F.col(value_col).isNotNull() & F.col(seg_col).isNotNull()
+        )
+        .groupBy(
+            F.col(seg_col).alias("seg"),
+            F.date_trunc("day", F.col(ts_col)).alias("day"),
+            F.floor(F.col(value_col)).cast("bigint").alias("x"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    cb, c0 = _bucket_capped_counts(counts, ["seg", "day"], n_buckets, "b")
+    cb = cb.persist()
+    dense = _dense_key_grid(cb, ["seg", "day"], "n_sd").withColumn(
+        "nbk",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("seg", "day"))
+        .cast("bigint"),
+    )
+    w_sb = Window.partitionBy("seg", "b").orderBy("day")
+    adjacent = F.lag("day").over(w_sb) == F.col("day") - F.expr(
+        "INTERVAL 1 DAY"
+    )
+    p = (F.col("c_cur") + F.lit(0.5)) / (
+        F.col("n_sd") + F.col("nbk") / F.lit(2.0)
+    )
+    q = (F.lag("c_cur").over(w_sb) + F.lit(0.5)) / (
+        F.lag("n_sd").over(w_sb) + F.col("nbk") / F.lit(2.0)
+    )
+    lagged = dense.select(
+        "seg",
+        "day",
+        "b",
+        "n_sd",
+        F.when(adjacent, F.lag("n_sd").over(w_sb)).alias("n_prev"),
+        F.when(adjacent, (p - q) * F.log(p / q)).alias("__term"),
+    )
+    out = (
+        lagged.groupBy("seg", "day", "n_sd")
+        .agg(F.max("n_prev").alias("n_prev"), _terms_agg())
+        .select(
+            F.col("seg").alias(seg_col),
+            "day",
+            F.col("n_sd").cast("bigint").alias("n_rows"),
+            F.col("n_prev").cast("bigint").alias("n_prev"),
+            F.when(
+                F.col("n_prev").isNotNull(),
+                F.round(_fold_terms(), 6),
+            ).alias("psi"),
+        )
+        .orderBy(seg_col, "day")
     )
     return _with_cached_deps(out, [c0, cb])
 

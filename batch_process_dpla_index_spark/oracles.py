@@ -5070,6 +5070,67 @@ ORDER BY day
 """
 
 
+# Per-segment day-over-day PSI (r17): the attribution step after a
+# corpus-level monitor fires — temporal_psi's grid/smoothing/fold
+# discipline with (seg, day) keys on ONE shared global grid, window
+# partitioned by (seg, b), per-(seg, day) bucket-ordered fold.
+ORACLE_DRIFT_ATTRIBUTION = """
+WITH c0 AS (
+    SELECT event_type AS seg,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           CAST(floor(value) AS BIGINT) AS x,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM events
+    WHERE value IS NOT NULL AND event_type IS NOT NULL
+    GROUP BY 1, 2, 3
+), mm AS (SELECT min(x) AS xmin, max(x) AS xmax FROM c0),
+cb AS (
+    SELECT seg, day,
+           CAST((x - xmin) // ((xmax - xmin + 32) // 32) AS BIGINT) AS b,
+           CAST(sum(cnt) AS BIGINT) AS cnt
+    FROM c0 CROSS JOIN mm GROUP BY 1, 2, 3
+), g AS (
+    SELECT seg, day, CAST(sum(cnt) AS BIGINT) AS n_sd
+    FROM cb GROUP BY 1, 2
+),
+bs AS (SELECT DISTINCT b FROM cb),
+nb AS (SELECT CAST(count(*) AS BIGINT) AS nbk FROM bs),
+dense AS (
+    SELECT g.seg, g.day, bs.b, g.n_sd, coalesce(cb.cnt, 0) AS c_cur
+    FROM g CROSS JOIN bs
+    LEFT JOIN cb ON cb.seg = g.seg AND cb.day = g.day AND cb.b = bs.b
+), lagged AS (
+    SELECT seg, day, b, n_sd,
+           CASE WHEN lag(day) OVER w + INTERVAL 1 DAY = day
+                THEN lag(n_sd) OVER w END AS n_prev,
+           CASE WHEN lag(day) OVER w + INTERVAL 1 DAY = day THEN
+               ((c_cur + 0.5) / (n_sd + nbk / 2.0)
+                - (lag(c_cur) OVER w + 0.5)
+                  / (lag(n_sd) OVER w + nbk / 2.0))
+               * ln(((c_cur + 0.5) / (n_sd + nbk / 2.0))
+                    / ((lag(c_cur) OVER w + 0.5)
+                       / (lag(n_sd) OVER w + nbk / 2.0)))
+           END AS term
+    FROM dense CROSS JOIN nb
+    WINDOW w AS (PARTITION BY seg, b ORDER BY day)
+), pairs AS (
+    SELECT seg, day, n_sd, max(n_prev) AS n_prev,
+           round(list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE), list(term ORDER BY b)),
+               (acc, v) -> acc + v), 6) AS psi
+    FROM lagged WHERE n_prev IS NOT NULL
+    GROUP BY seg, day, n_sd
+)
+SELECT seg AS event_type, day, n_sd AS n_rows, n_prev, psi FROM pairs
+UNION ALL
+SELECT g.seg AS event_type, g.day, g.n_sd AS n_rows,
+       CAST(NULL AS BIGINT) AS n_prev, CAST(NULL AS DOUBLE) AS psi
+FROM g LEFT JOIN pairs pr ON pr.seg = g.seg AND pr.day = g.day
+WHERE pr.seg IS NULL
+ORDER BY event_type, day
+"""
+
+
 # Day-over-day Wasserstein-1 on the shared bucket grid (r17): exact
 # integer cumulative counts, ONE division per CDF point (no float
 # accumulation), |p - q| terms summed in a bucket-ordered fold, final
@@ -5133,6 +5194,7 @@ ORACLES: dict[str, str] = {
     "source_drift_ks": ORACLE_SOURCE_DRIFT_KS,
     "temporal_wasserstein": ORACLE_TEMPORAL_WASSERSTEIN,
     "source_wasserstein": ORACLE_SOURCE_WASSERSTEIN,
+    "drift_attribution": ORACLE_DRIFT_ATTRIBUTION,
     "contamination_screened": ORACLE_CONTAMINATION_SCREENED,
     "temporal_psi": ORACLE_TEMPORAL_PSI,
     "source_psi": ORACLE_SOURCE_PSI,

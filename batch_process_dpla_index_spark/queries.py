@@ -2365,6 +2365,21 @@ def q_temporal_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temporal_wasserstein(events, "ts", "value", n_buckets=32)
 
 
+def q_drift_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment day-over-day PSI of event values (r17 addition,
+    staged r18) — the attribution step after temporal_psi fires:
+    which event type drove the shift, scored on the ONE shared global
+    grid so per-segment figures are comparable
+    (operators/profiling.py:drift_attribution)."""
+    from batch_process_dpla_index_spark.operators.profiling import (
+        drift_attribution,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    return drift_attribution(events, "ts", "event_type", "value",
+                             n_buckets=32)
+
+
 def q_source_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source-vs-rest Wasserstein-1 of document lengths (r17
     addition, staged r18) — completes the drift matrix
@@ -3913,4 +3928,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #    same-round per the staging discipline) --
     "temporal_wasserstein": q_temporal_wasserstein,
     "source_wasserstein": q_source_wasserstein,
+    "drift_attribution": q_drift_attribution,
 }

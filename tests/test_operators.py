@@ -1822,3 +1822,60 @@ def test_source_wasserstein_hand_computed(spark):
     rows2 = out2.collect()
     unpersist_deps(out2)
     assert len(rows2) == 1 and rows2[0]["w1_dist"] is None
+
+
+def test_drift_attribution_hand_computed(spark):
+    """Per-segment PSI on a hand fixture: segment A holds its mix
+    day-over-day (psi == 0 exactly under identical counts), segment B
+    flips its mix (the hand-replayed positive value — B is the
+    attribution answer); a segment's first day and a post-gap day in
+    THAT segment emit NULL even when other segments have the day."""
+    import math
+
+    from batch_process_dpla_index_spark.operators.dedup import unpersist_deps
+    from batch_process_dpla_index_spark.operators.profiling import (
+        drift_attribution,
+    )
+
+    rows = (
+        # seg A: stable (2 x0, 6 x10) both days
+        [("A", "2026-01-01 10:00:00", 0.0)] * 2
+        + [("A", "2026-01-01 11:00:00", 10.0)] * 6
+        + [("A", "2026-01-02 10:00:00", 0.0)] * 2
+        + [("A", "2026-01-02 11:00:00", 10.0)] * 6
+        # seg B: flips (6 x0, 2 x10) -> (2 x0, 6 x10)
+        + [("B", "2026-01-01 10:00:00", 0.0)] * 6
+        + [("B", "2026-01-01 11:00:00", 10.0)] * 2
+        + [("B", "2026-01-02 10:00:00", 0.0)] * 2
+        + [("B", "2026-01-02 11:00:00", 10.0)] * 6
+        # seg B only: day 4 after a B-gap on day 3
+        + [("B", "2026-01-04 10:00:00", 5.0)] * 3
+    )
+    df = spark.createDataFrame(
+        rows, "seg string, ts_s string, value double"
+    ).select(
+        "seg", F.col("ts_s").cast("timestamp").alias("ts"), "value"
+    )
+    out = drift_attribution(df, "ts", "seg", "value", n_buckets=32)
+    got = {(r["seg"], str(r["day"])[:10]): r for r in out.collect()}
+    unpersist_deps(out)
+
+    # first days NULL per segment; B's post-gap day NULL
+    assert got[("A", "2026-01-01")]["psi"] is None
+    assert got[("B", "2026-01-01")]["psi"] is None
+    assert got[("B", "2026-01-04")]["psi"] is None
+    # stable segment reads EXACTLY 0 (identical counts -> p == q)
+    assert got[("A", "2026-01-02")]["psi"] == 0.0
+    # flipped segment reads the hand value: global observed buckets
+    # {0, 5, 10} -> nbk = 3; day-2 vs day-1 shares over n=8
+    def share(c, n, B=3):
+        return (c + 0.5) / (n + B / 2.0)
+
+    terms = 0.0
+    for c_cur, c_prev in ((2, 6), (0, 0), (6, 2)):  # buckets 0, 5, 10
+        p, q = share(c_cur, 8), share(c_prev, 8)
+        terms += (p - q) * math.log(p / q)
+    assert got[("B", "2026-01-02")]["psi"] == round(terms, 6)
+    assert got[("B", "2026-01-02")]["n_prev"] == 8
+    # the attribution answer: B's day-2 psi dominates A's
+    assert got[("B", "2026-01-02")]["psi"] > got[("A", "2026-01-02")]["psi"]
