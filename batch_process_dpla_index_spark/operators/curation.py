@@ -1169,16 +1169,48 @@ def contamination_screened(
     engines. Recall caveat, by design: a pair under the estimate
     threshold is never exact-checked (the sketch's ±1/sqrt(num_perm)
     noise bounds the miss band); size ``num_perm`` to the audit's
-    tolerance. Persist handles ride ``_cached_deps``."""
+    tolerance. Persist handles ride ``_cached_deps``.
+
+    r17 optimization (guide §1.2 "remove unnecessary passes"): the
+    sketch tier and the posting tier both start from the per-doc
+    shingle sets, and each used to run the tokenize+shingle pass over
+    the full corpus independently (two Arrow passes over every text
+    byte). The shingle frame is now computed ONCE, persisted, and fed
+    to both tiers — values are unchanged on both tiers
+    (`source_signatures`' pandas tier is exactly shingle_sets →
+    with_minhash_signature → per-source min, inlined here over the
+    shared frame; min over per-doc DISTINCT shingles equals min over
+    the raw stream by idempotence). The null-source filter moves in
+    front of the shared pass: a NULL source can never appear in
+    ``flagged_sources``, so its posting rows could never survive the
+    semi-join anyway."""
     from batch_process_dpla_index_spark.operators.dedup import (
         _with_cached_deps,
+        overlap_from_signatures,
         shingle_sets,
-        source_minhash_overlap,
+        with_minhash_signature,
     )
 
-    est = source_minhash_overlap(
-        df, text_col, source_col, n, num_perm, use_pandas=use_pandas
-    ).where(F.col("est_jaccard") >= est_threshold)
+    base = df.where(F.col(source_col).isNotNull()).select(
+        F.col(source_col).alias("source"), F.col(text_col).alias("__text")
+    )
+    sets = shingle_sets(
+        base, "__text", "source", n, use_pandas=use_pandas
+    ).persist()
+    sigs = with_minhash_signature(sets, num_perm, use_pandas=use_pandas)
+    sig = (
+        sigs.where(F.size("shingles") > 0)
+        .groupBy("source")
+        .agg(
+            *[
+                F.min(F.element_at("sig", i + 1)).alias(f"__p{i}")
+                for i in range(num_perm)
+            ]
+        )
+    )
+    est = overlap_from_signatures(sig, num_perm).where(
+        F.col("est_jaccard") >= est_threshold
+    )
     # both orientations: the estimate is symmetric (a < b), the exact
     # containment is not
     flagged = (
@@ -1198,9 +1230,8 @@ def contamination_screened(
         .distinct()
     )
     posts = (
-        shingle_sets(df, text_col, source_col, n, use_pandas=use_pandas)
-        .select(
-            F.col(source_col).alias("src"),
+        sets.select(
+            F.col("source").alias("src"),
             F.explode("shingles").alias("shingle"),
         )
         .distinct()
@@ -1246,4 +1277,4 @@ def contamination_screened(
         )
         .orderBy("source_a", "source_b")
     )
-    return _with_cached_deps(out, [flagged, posts])
+    return _with_cached_deps(out, [sets, flagged, posts])

@@ -138,25 +138,30 @@ def _py_word_shingles(toks, n: int) -> list[str]:
     )
 
 
+def _h60_base_py(s: str) -> int:
+    """Python twin of the JVM h60 base hash mod the Mersenne prime:
+    top 60 bits of md5 (``digest()[:8] >> 4`` == ``hexdigest()[:15]``
+    parsed as hex — same bits, no hex-string round trip), reduced mod
+    2^31-1. ONE definition for every Python-side hasher (batch Arrow
+    kernel, streaming state fold) so the hash can never fork."""
+    import hashlib
+
+    return (
+        int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "big") >> 4
+    ) % _MERSENNE
+
+
 def _doc_shingle_mins(shingles, a_vec, b_vec):
     """Per-doc MinHash mins of a non-empty shingle iterable: md5-h60
     base hash, affine rehash per perm, column-wise min — the single
     shared implementation of the signature fold (a*h + b < 2^62, exact
     in uint64). ``a_vec``/``b_vec`` are the (num_perm, 1) uint64 param
     columns from :func:`_perm_params`."""
-    import hashlib
-
     import numpy as np
 
     sh = list(shingles)
     base = np.fromiter(
-        (
-            int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
-            % _MERSENNE
-            for s in sh
-        ),
-        dtype=np.uint64,
-        count=len(sh),
+        (_h60_base_py(s) for s in sh), dtype=np.uint64, count=len(sh)
     )
     return ((a_vec * base + b_vec) % _MERSENNE).min(axis=1)
 
@@ -399,19 +404,59 @@ def _minhash_sig_pandas(num_perm: int):
     from pyspark.sql.functions import pandas_udf
 
     params = _perm_params(num_perm)
-    a_vec = np.array([p[0] for p in params], dtype=np.uint64)[:, None]
-    b_vec = np.array([p[1] for p in params], dtype=np.uint64)[:, None]
+    a_col = np.array([p[0] for p in params], dtype=np.uint64)
+    b_col = np.array([p[1] for p in params], dtype=np.uint64)
 
     @pandas_udf("array<bigint>")
     def sig(shingles: pd.Series) -> pd.Series:
-        out = []
-        for sh in shingles:
+        # r17 batch-level vectorization (guide §4.2): the per-DOC
+        # kernel paid one md5 per shingle OCCURRENCE plus per-doc
+        # numpy dispatch. Here the whole Arrow batch is flattened
+        # once, each UNIQUE shingle is hashed exactly once (dedup
+        # corpora repeat shingles across docs by construction — the
+        # sf0.1 fixture repeats each ~5×), and the per-doc mins come
+        # from ONE segmented reduce per permutation
+        # (np.minimum.reduceat over the flat hash vector). Bit-exact
+        # with _doc_shingle_mins: same _h60_base_py base hash, same
+        # uint64 affine arithmetic (a*h+b < 2^62 — no overflow), same
+        # all-NULL signature for empty/NULL sets.
+        lengths = np.zeros(len(shingles), dtype=np.int64)
+        index: dict[str, int] = {}
+        inv: list[int] = []
+        setdefault = index.setdefault
+        for i, sh in enumerate(shingles):
             if sh is None or len(sh) == 0:
-                out.append([None] * num_perm)
                 continue
-            out.append(
-                _doc_shingle_mins(sh, a_vec, b_vec).astype("int64").tolist()
-            )
+            lengths[i] = len(sh)
+            inv.extend(setdefault(s, len(index)) for s in sh)
+        null_sig = [None] * num_perm
+        if not index:
+            return pd.Series([null_sig] * len(shingles))
+        ubase = np.fromiter(
+            (_h60_base_py(s) for s in index),
+            dtype=np.uint64,
+            count=len(index),
+        )
+        base = ubase[np.asarray(inv, dtype=np.int64)]
+        nonempty = lengths > 0
+        starts = np.zeros(int(nonempty.sum()), dtype=np.int64)
+        np.cumsum(lengths[nonempty][:-1], out=starts[1:])
+        # (num_perm, n_nonempty_docs): one affine pass + segmented min
+        # per permutation keeps peak memory at O(|flat|), not
+        # O(num_perm × |flat|)
+        mins = np.empty((num_perm, len(starts)), dtype=np.uint64)
+        for p in range(num_perm):
+            vals = (a_col[p] * base + b_col[p]) % _MERSENNE
+            mins[p] = np.minimum.reduceat(vals, starts)
+        sigs_by_doc = mins.T.astype("int64")
+        out = []
+        j = 0
+        for i in range(len(shingles)):
+            if nonempty[i]:
+                out.append(sigs_by_doc[j].tolist())
+                j += 1
+            else:
+                out.append(null_sig)
         return pd.Series(out)
 
     return sig
