@@ -44,6 +44,7 @@ from pyspark.sql import functions as F
 from batch_process_dpla_index_spark.io.manifest import read_manifest, write_manifest
 from batch_process_dpla_index_spark.products.index_tombstones import (
     clear_tombstones,
+    keyed_repartition,
 )
 from batch_process_dpla_index_spark.operators.similarity import (
     _imi_probe_split,
@@ -72,7 +73,7 @@ def delete_from_ann_index(
     ids,
     id_col: str | None = None,
     compact_threshold: float = 0.2,
-    cell_partitions: int = 32,
+    cell_partitions: int | None = None,
     recount: bool = True,
 ) -> dict[str, str]:
     """Tombstone ids out of the index (takedown/opt-out) — O(|ids|)
@@ -96,7 +97,7 @@ def delete_from_ann_index(
 
 
 def compact_ann_index(
-    spark: SparkSession, index_dir: str, cell_partitions: int = 32
+    spark: SparkSession, index_dir: str, cell_partitions: int | None = None
 ) -> dict[str, str]:
     """Force the tombstone compaction regardless of fraction — the
     explicit vacuum step."""
@@ -149,7 +150,7 @@ def build_ann_index(
     n_cells: int = 16,
     learned: bool | str = True,
     kmeans_iters: int = 10,
-    cell_partitions: int = 32,
+    cell_partitions: int | None = None,
     pq_m: int | None = None,
     pq_k: int = 16,
     pq_iters: int = 3,
@@ -249,8 +250,9 @@ def build_ann_index(
     # serving reads are unchanged (every read path selects its
     # columns explicitly)
     (
-        stored.withColumn("ingest_batch", F.lit(0))
-        .repartition(cell_partitions, "cell")
+        keyed_repartition(
+            stored.withColumn("ingest_batch", F.lit(0)), cell_partitions, "cell"
+        )
         .write.mode("overwrite")
         .partitionBy("ingest_batch")
         .parquet(os.path.join(index_dir, "cells"))
@@ -520,7 +522,7 @@ def append_to_ann_index(
     index_dir: str,
     ingest_batch: int = 1,
     idempotent: bool = False,
-    cell_partitions: int = 32,
+    cell_partitions: int | None = None,
 ) -> dict[str, str]:
     """Grow the corpus under the SAME manifest-pinned quantizer — the
     append path the module docstring promises: one Arrow assign pass
@@ -577,11 +579,11 @@ def append_to_ann_index(
         books = load_pq_codebooks(spark, index_dir)
         codes = pq_encode(new_vecs, books, id_col, vec_col)
         batch = batch.join(codes, "id")
-    writer = (
-        batch.withColumn("ingest_batch", F.lit(int(ingest_batch)))
-        .repartition(min(n_cells, cell_partitions), "cell")
-        .write
-    )
+    writer = keyed_repartition(
+        batch.withColumn("ingest_batch", F.lit(int(ingest_batch))),
+        cell_partitions if cell_partitions is None else min(n_cells, cell_partitions),
+        "cell",
+    ).write
     if idempotent:
         writer = writer.mode("overwrite").option(
             "partitionOverwriteMode", "dynamic"
@@ -641,7 +643,7 @@ def rebuild_ann_index(
     n_cells: int | None = None,
     design_point: int = 64,
     kmeans_iters: int = 10,
-    cell_partitions: int = 32,
+    cell_partitions: int | None = None,
 ) -> dict[str, str]:
     """Re-fit the manifest-pinned quantizer on the stored LIVE vectors
     and re-assign every row under the new geometry (default cell
@@ -743,7 +745,11 @@ def rebuild_ann_index(
     tmp_cells = os.path.join(index_dir, "cells__rebuild")
     shutil.rmtree(tmp_cells, ignore_errors=True)
     (
-        reassigned.repartition(min(new_cells, cell_partitions), "cell")
+        keyed_repartition(
+            reassigned,
+            cell_partitions if cell_partitions is None else min(new_cells, cell_partitions),
+            "cell",
+        )
         .write.mode("overwrite")
         .partitionBy("ingest_batch")
         .parquet(tmp_cells)

@@ -51,6 +51,21 @@ from pyspark.sql import functions as F
 from batch_process_dpla_index_spark.io.manifest import read_manifest, write_manifest
 
 
+def keyed_repartition(df: DataFrame, n: "int | None", *cols: str) -> DataFrame:
+    """Cluster ``df`` by ``cols`` for an artifact write. ``n=None``
+    (the r17 default fleet-wide) keys the exchange WITHOUT pinning a
+    partition count, so AQE's partition coalescing sizes the write by
+    BYTES (``spark.sql.adaptive.advisoryPartitionSizeInBytes``) — one
+    file at bench scale, advisory-sized files at 100 TB — instead of a
+    constant 32 that is simultaneously too many files locally (32
+    KB-sized files + a 32-task write stage per artifact) and too few
+    at cluster scale (guide §2.2/§6: partition by size, not by a
+    constant). An explicit int keeps the pinned legacy layout."""
+    if n is None:
+        return df.repartition(*[F.col(c) for c in cols])
+    return df.repartition(n, *[F.col(c) for c in cols])
+
+
 def _tombstones_dir(index_dir: str) -> str:
     return os.path.join(index_dir, "tombstones")
 
@@ -145,7 +160,7 @@ def delete_from_index(
     id_field: str,
     id_col: str | None = None,
     compact_threshold: float = 0.2,
-    cell_partitions: int = 32,
+    cell_partitions: int | None = None,
     recount: bool = True,
     datasets: "list[_DatasetSpec] | None" = None,
 ) -> dict[str, str]:
@@ -240,7 +255,7 @@ def compact_index_tombstones(
     spark: SparkSession,
     index_dir: str,
     id_field: str,
-    cell_partitions: int = 32,
+    cell_partitions: int | None = None,
     datasets: "list[_DatasetSpec] | None" = None,
 ) -> dict[str, str]:
     """Physically rewrite each stored dataset minus the tombstone set,
@@ -270,31 +285,19 @@ def compact_index_tombstones(
         tmp_dir = os.path.join(index_dir, subdir + "__compact")
         old_dir = os.path.join(index_dir, subdir + "__old")
         stored = spark.read.parquet(live_dir)
-        live = apply_tombstones(spark, index_dir, stored, ds_id).persist()
-        if i == 0:
-            n_live = live.count()
-            if n_live == 0:
-                # an empty dataset is unreadable (no part files, no
-                # schema) — every later serve would crash obscurely;
-                # refuse loudly instead
-                live.unpersist()
-                raise ValueError(
-                    "compaction would remove every stored row; an "
-                    "empty index is unreadable (rebuild refuses the "
-                    "same way) — delete the index directory instead"
-                )
+        live = apply_tombstones(spark, index_dir, stored, ds_id)
         shutil.rmtree(tmp_dir, ignore_errors=True)
         if part_cols is None:
             part_cols = ["cell"] if "cell" in stored.columns else []
         writer = (
-            live.repartition(cell_partitions, *part_cols)
+            keyed_repartition(live, cell_partitions, *part_cols)
             if part_cols
             else live
         )
         # empty-safe: a LATER dataset can legitimately compact to zero
         # rows (every bucket posting belonged to tombstoned ids while
         # their signatures survive via other batches' keys being
-        # capped) — the i==0 refusal above covers only the per-id
+        # capped) — the i==0 refusal below covers only the per-id
         # dataset, and a zero-row partitionBy write would install an
         # unreadable live dir at the swap
         overwrite_dataset_readable(
@@ -302,7 +305,25 @@ def compact_index_tombstones(
             tmp_dir,
             "ingest_batch" if "ingest_batch" in stored.columns else None,
         )
-        live.unpersist()
+        if i == 0:
+            # survivor count from the freshly WRITTEN footers (a
+            # metadata-weight scan) — the anti-join now runs ONCE, in
+            # the write; the old persist+count+write shape paid a
+            # second materialization of the survivor frame per dataset
+            # (guide §1.2: don't compute things twice). The empty
+            # refusal happens before any swap, so state is unchanged:
+            # only the staging dir is written, and it is removed here.
+            n_live = spark.read.parquet(tmp_dir).count()
+            if n_live == 0:
+                # an empty dataset is unreadable (no part files, no
+                # schema) — every later serve would crash obscurely;
+                # refuse loudly instead
+                shutil.rmtree(tmp_dir, ignore_errors=True)
+                raise ValueError(
+                    "compaction would remove every stored row; an "
+                    "empty index is unreadable (rebuild refuses the "
+                    "same way) — delete the index directory instead"
+                )
         staged.append((live_dir, tmp_dir, old_dir))
 
     for live_dir, _tmp, old_dir in staged:
