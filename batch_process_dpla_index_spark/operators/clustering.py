@@ -120,6 +120,16 @@ def _maximin_seeds(df: DataFrame, id_col: str, vec_col: str, k: int) -> list[lis
         sq = (cents * cents).sum(axis=1)
 
         def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            # r17 (guide §2.3 "shuffle fewer bytes"): emit ONE winner
+            # row per TASK instead of every (id, dist2, vec) row — the
+            # old shape returned the whole corpus (vectors included)
+            # through the Arrow channel each pass just so TakeOrdered
+            # could pick one row. Per-row d2 values are computed by
+            # the identical expression, and argmax with the
+            # (dist2 desc, id asc) tie-break is associative over any
+            # partition of the rows, so the selected seed is
+            # bit-identical to the global-sort formulation.
+            best_d2 = best_id = best_vec = None
             for pdf in batches:
                 if not len(pdf):
                     continue
@@ -129,11 +139,23 @@ def _maximin_seeds(df: DataFrame, id_col: str, vec_col: str, k: int) -> list[lis
                     - 2.0 * (mat @ cents.T)
                     + (mat * mat).sum(axis=1)[:, None]
                 ).min(axis=1)
+                ids = pdf[id_name].to_numpy()
+                # batch winner under the same total order the global
+                # sort used: dist2 desc, id asc
+                i = int(np.lexsort((ids, -d2))[0])
+                if best_d2 is None or (
+                    d2[i] > best_d2
+                    or (d2[i] == best_d2 and ids[i] < best_id)
+                ):
+                    best_d2 = float(d2[i])
+                    best_id = int(ids[i])
+                    best_vec = pdf[vec_name].iloc[i]
+            if best_d2 is not None:
                 yield pd.DataFrame(
                     {
-                        "id": pdf[id_name].to_numpy(),
-                        "dist2": d2,
-                        "vec": pdf[vec_name],
+                        "id": [best_id],
+                        "dist2": [best_d2],
+                        "vec": [best_vec],
                     }
                 )
 

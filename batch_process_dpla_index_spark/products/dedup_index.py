@@ -62,7 +62,7 @@ def build_dedup_index(
     bands: int = 16,
     max_bucket: int = 1000,
     use_pandas: bool = True,
-    bucket_partitions: int = 32,
+    bucket_partitions: int | None = None,
 ) -> dict[str, str]:
     """One corpus pass → signatures + capped band buckets + manifest.
 
@@ -102,19 +102,44 @@ def build_dedup_index(
         .filter(F.col("sz") > max_bucket)
         .select("band", "key")
     )
-    n_dropped = oversized.count()
+    # r17 (guide §1.2): collect the oversized keys ONCE — the old
+    # count()-then-broadcast shape ran the bands×docs explode +
+    # groupBy twice per build (manifest count, then again as the
+    # anti-join's broadcast build). The key set is broadcast-bounded
+    # by construction; with zero hot keys (the common case) the
+    # anti-join drops out of the bucket-write plan entirely.
+    dropped_keys = oversized.collect()
+    n_dropped = len(dropped_keys)
+    capped = buckets
+    if n_dropped:
+        from batch_process_dpla_index_spark.operators.relational import (
+            _arrow_local_frame,
+        )
+
+        capped = buckets.join(
+            F.broadcast(
+                _arrow_local_frame(
+                    sig.sparkSession,
+                    [tuple(r) for r in dropped_keys],
+                    oversized.schema,
+                )
+            ),
+            ["band", "key"],
+            "left_anti",
+        )
     from batch_process_dpla_index_spark.products.index_tombstones import (
+        keyed_repartition,
         overwrite_dataset_readable,
     )
 
     # co-locate bucket lookups: batch-side band keys hash-join into a
-    # layout already partitioned on the join key. Empty-safe write: a
-    # degenerate corpus (every band key oversized) caps away EVERY
-    # bucket row, and a zero-row partitionBy write would land an
-    # unreadable dataset that crashes the next query
+    # layout already partitioned on the join key (partition count AQE-
+    # sized by bytes unless pinned). Empty-safe write: a degenerate
+    # corpus (every band key oversized) caps away EVERY bucket row,
+    # and a zero-row partitionBy write would land an unreadable
+    # dataset that crashes the next query
     overwrite_dataset_readable(
-        buckets.join(F.broadcast(oversized), ["band", "key"], "left_anti")
-        .repartition(bucket_partitions, "band", "key")
+        keyed_repartition(capped, bucket_partitions, "band", "key")
         .withColumn("ingest_batch", F.lit(0)),
         os.path.join(index_dir, "buckets"),
         "ingest_batch",
@@ -305,7 +330,7 @@ def delete_from_dedup_index(
     ids,
     id_col: str | None = None,
     compact_threshold: float = 0.2,
-    bucket_partitions: int = 32,
+    bucket_partitions: int | None = None,
     recount: bool = True,
 ) -> dict[str, str]:
     """Tombstone doc ids out of the index (takedown/opt-out) —
@@ -335,7 +360,7 @@ def delete_from_dedup_index(
 
 
 def compact_dedup_index(
-    spark: SparkSession, index_dir: str, bucket_partitions: int = 32
+    spark: SparkSession, index_dir: str, bucket_partitions: int | None = None
 ) -> dict[str, str]:
     """Force the tombstone compaction regardless of fraction — the
     explicit vacuum step: signatures AND bucket postings of tombstoned

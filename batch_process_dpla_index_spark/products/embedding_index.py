@@ -196,15 +196,21 @@ def build_embedding_index(
     """
     assign = _assign_mode(n_cells)
     cells = _cell_rows(vecs, id_col, vec_col, dim, n_cells, assign)
+    from batch_process_dpla_index_spark.products.index_tombstones import (
+        keyed_repartition,
+    )
+
     (
-        cells.withColumn("ingest_batch", F.lit(0))
-        # bound the artifact to <=32 files and cluster rows by cell
-        # (row-group min/max stats on `cell` then serve any future
-        # cell-pruned read). NOTE: this does NOT pre-co-locate the
-        # probe join — parquet read-back carries no hash-partitioning
-        # metadata, so the join plans its own shuffle/broadcast either
-        # way; the repartition is file-layout hygiene only
-        .repartition(min(n_cells, 32), "cell")
+        # cluster rows by cell (row-group min/max stats on `cell` then
+        # serve any future cell-pruned read), file count AQE-sized by
+        # bytes (r17, guide §6) instead of the old min(n_cells, 32)
+        # pin. NOTE: this does NOT pre-co-locate the probe join —
+        # parquet read-back carries no hash-partitioning metadata, so
+        # the join plans its own shuffle/broadcast either way; the
+        # repartition is file-layout hygiene only
+        keyed_repartition(
+            cells.withColumn("ingest_batch", F.lit(0)), None, "cell"
+        )
         .write.mode("overwrite")
         .partitionBy("ingest_batch")
         .parquet(os.path.join(index_dir, "cells"))
@@ -406,8 +412,12 @@ def rebuild_embedding_index(
     tmp_dir = os.path.join(index_dir, "cells__rebuild")
     old_dir = os.path.join(index_dir, "cells__old")
     shutil.rmtree(tmp_dir, ignore_errors=True)
+    from batch_process_dpla_index_spark.products.index_tombstones import (
+        keyed_repartition,
+    )
+
     (
-        reassigned.repartition(min(new_cells, 32), "cell")
+        keyed_repartition(reassigned, None, "cell")
         .write.mode("overwrite")
         .partitionBy("ingest_batch")
         .parquet(tmp_dir)

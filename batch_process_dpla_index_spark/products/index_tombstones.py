@@ -425,8 +425,27 @@ def capped_append_buckets(
         )
         .select(*key_cols)
     )
-    n_dropped = oversized.count()
+    # r17 (guide §1.2): collect the dropped keys ONCE — the old
+    # count()-then-broadcast shape computed the whole size join twice
+    # (once for the manifest count, once as the anti-join's broadcast
+    # build). The key set is broadcast-bounded by construction (it was
+    # already shipped to every executor), so the driver copy is the
+    # same memory it always cost; with zero dropped keys (the common
+    # case) the anti-join disappears from the write plan entirely.
+    dropped_keys = oversized.collect()
+    n_dropped = len(dropped_keys)
+    if not n_dropped:
+        return new_buckets, 0
+    from batch_process_dpla_index_spark.operators.relational import (
+        _arrow_local_frame,
+    )
+
+    dropped_df = _arrow_local_frame(
+        spark, [tuple(r) for r in dropped_keys], oversized.schema
+    )
     return (
-        new_buckets.join(F.broadcast(oversized), list(key_cols), "left_anti"),
+        new_buckets.join(
+            F.broadcast(dropped_df), list(key_cols), "left_anti"
+        ),
         n_dropped,
     )

@@ -106,7 +106,7 @@ def build_phash_index(
     bits: int = 60,
     max_hamming: int = 3,
     max_bucket: int = 1000,
-    bucket_partitions: int = 32,
+    bucket_partitions: int | None = None,
     modality: str = "image",
 ) -> dict[str, str]:
     """One corpus Arrow pass → signatures + capped band buckets +
@@ -141,8 +141,32 @@ def build_phash_index(
         .filter(F.col("sz") > max_bucket)
         .select("band", "val")
     )
-    n_dropped = oversized.count()
+    # r17 (guide §1.2): collect the oversized keys ONCE — the old
+    # count()-then-broadcast shape ran the bands explode + groupBy
+    # twice per build (manifest count, then the anti-join's broadcast
+    # build). The key set is broadcast-bounded by construction; with
+    # zero hot keys the anti-join drops out of the write plan.
+    dropped_keys = oversized.collect()
+    n_dropped = len(dropped_keys)
+    capped = buckets
+    if n_dropped:
+        from batch_process_dpla_index_spark.operators.relational import (
+            _arrow_local_frame,
+        )
+
+        capped = buckets.join(
+            F.broadcast(
+                _arrow_local_frame(
+                    sig.sparkSession,
+                    [tuple(r) for r in dropped_keys],
+                    oversized.schema,
+                )
+            ),
+            ["band", "val"],
+            "left_anti",
+        )
     from batch_process_dpla_index_spark.products.index_tombstones import (
+        keyed_repartition,
         overwrite_dataset_readable,
     )
 
@@ -151,8 +175,7 @@ def build_phash_index(
     # bucket row, and a zero-row partitionBy write would land an
     # unreadable dataset that crashes the next query
     overwrite_dataset_readable(
-        buckets.join(F.broadcast(oversized), ["band", "val"], "left_anti")
-        .repartition(bucket_partitions, "band", "val")
+        keyed_repartition(capped, bucket_partitions, "band", "val")
         .withColumn("ingest_batch", F.lit(0)),
         os.path.join(index_dir, "buckets"),
         "ingest_batch",
@@ -358,7 +381,7 @@ def delete_from_phash_index(
     ids,
     id_col: str | None = None,
     compact_threshold: float = 0.2,
-    bucket_partitions: int = 32,
+    bucket_partitions: int | None = None,
     recount: bool = True,
 ) -> dict[str, str]:
     """Tombstone image ids out of the index (takedown/opt-out — the
@@ -390,7 +413,7 @@ def delete_from_phash_index(
 
 
 def compact_phash_index(
-    spark: SparkSession, index_dir: str, bucket_partitions: int = 32
+    spark: SparkSession, index_dir: str, bucket_partitions: int | None = None
 ) -> dict[str, str]:
     """Force the tombstone compaction regardless of fraction — the
     explicit vacuum step: signatures AND bucket postings of tombstoned
