@@ -252,8 +252,16 @@ def incremental_dedup_indexed(
         verified.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .select("new_id", "dup_of", F.round("jaccard", 6).alias("jaccard"))
+        # r17 (guide §5 caching): callers that act on the matches and
+        # then anti-join them (novel-set selection, survivor appends)
+        # used to re-run the whole candidate+verify pipeline on the
+        # second read; the frame is match-sized, so cache it.
+        .persist()
     )
-    out._cached_deps = [new_sig]  # type: ignore[attr-defined]
+    # index 0 stays the batch-signature frame (the survivor-signatures
+    # convention shared with phash_index); the self-handle rides
+    # behind it so the caller's unpersist_deps releases both.
+    out._cached_deps = [new_sig, out]  # type: ignore[attr-defined]
     return out
 
 
@@ -288,12 +296,19 @@ def append_to_dedup_index(
     bands = int(manifest["bands"])
     max_bucket = int(manifest["max_bucket"])
     rows = num_perm // bands
+    # localCheckpoint, not persist (r17, guide §5): a batch frame
+    # whose lineage reads the index paths (e.g. survivors derived from
+    # an indexed check) would have its cache invalidated by the first
+    # dataset write below (Spark recaches-by-path on write), making
+    # the second write re-run the whole upstream pipeline; the
+    # checkpoint rebases the frame on materialized partitions. See
+    # phash_index.append_to_phash_index for the full rationale.
     sig = with_minhash_signature(
         shingle_sets(batch_docs, text_col, id_col, n, use_pandas=use_pandas)
         .withColumnRenamed(id_col, "id"),
         num_perm,
         use_pandas,
-    ).persist()
+    ).localCheckpoint(eager=True)
 
     def _write(df: DataFrame, name: str) -> None:
         writer = df.withColumn("ingest_batch", F.lit(int(ingest_batch))).write

@@ -401,8 +401,32 @@ def capped_append_buckets(
 
     Cost stays batch-proportional: the stored side is semi-pruned by a
     broadcast of the new batch's keys before counting."""
-    new_sz = new_buckets.groupBy(*key_cols).agg(
-        F.count(F.lit(1)).alias("new_sz")
+    # r17 (guide §1.2/§2.4): two SMALL jobs + a driver merge instead of
+    # one deep query tree. The old shape (new-size agg ⟕ stored-size
+    # agg → filter → count, then the SAME tree again as the anti-join's
+    # broadcast build) paid ~7 sequential AQE stage materializations
+    # per append and computed the size join twice. Both aggregates are
+    # batch-key-bounded — the per-key count frame was ALREADY broadcast
+    # to every executor in the old plan, so the driver copy is the same
+    # memory it always cost; the combine (new + stored-live > cap) is
+    # exact integer arithmetic either side of the boundary.
+    from pyspark.sql.types import StructType
+
+    key_schema = StructType(
+        [new_buckets.schema[c] for c in key_cols]
+    )
+    new_sz_rows = (
+        new_buckets.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("new_sz"))
+        .collect()
+    )
+    from batch_process_dpla_index_spark.operators.relational import (
+        _arrow_local_frame,
+    )
+
+    batch_keys = _arrow_local_frame(
+        spark, [tuple(r[c] for c in key_cols) for r in new_sz_rows],
+        key_schema,
     )
     stored = spark.read.parquet(os.path.join(index_dir, "buckets")).where(
         F.col("ingest_batch") != int(current_batch)
@@ -412,37 +436,25 @@ def capped_append_buckets(
     # future layout with a different bucket id column silently skip
     # takedown exclusion and spuriously drop new rows)
     stored = apply_tombstones(spark, index_dir, stored, id_field)
-    stored_sz = (
-        stored.join(F.broadcast(new_sz.select(*key_cols)), list(key_cols))
-        .groupBy(*key_cols)
-        .agg(F.count(F.lit(1)).alias("old_sz"))
-    )
-    oversized = (
-        new_sz.join(stored_sz, list(key_cols), "left")
-        .filter(
-            F.col("new_sz") + F.coalesce(F.col("old_sz"), F.lit(0))
-            > F.lit(int(max_bucket))
+    stored_sz = {
+        tuple(r[c] for c in key_cols): r["old_sz"]
+        for r in (
+            stored.join(F.broadcast(batch_keys), list(key_cols))
+            .groupBy(*key_cols)
+            .agg(F.count(F.lit(1)).alias("old_sz"))
+            .collect()
         )
-        .select(*key_cols)
-    )
-    # r17 (guide §1.2): collect the dropped keys ONCE — the old
-    # count()-then-broadcast shape computed the whole size join twice
-    # (once for the manifest count, once as the anti-join's broadcast
-    # build). The key set is broadcast-bounded by construction (it was
-    # already shipped to every executor), so the driver copy is the
-    # same memory it always cost; with zero dropped keys (the common
-    # case) the anti-join disappears from the write plan entirely.
-    dropped_keys = oversized.collect()
+    }
+    dropped_keys = [
+        tuple(r[c] for c in key_cols)
+        for r in new_sz_rows
+        if r["new_sz"] + stored_sz.get(tuple(r[c] for c in key_cols), 0)
+        > int(max_bucket)
+    ]
     n_dropped = len(dropped_keys)
     if not n_dropped:
         return new_buckets, 0
-    from batch_process_dpla_index_spark.operators.relational import (
-        _arrow_local_frame,
-    )
-
-    dropped_df = _arrow_local_frame(
-        spark, [tuple(r) for r in dropped_keys], oversized.schema
-    )
+    dropped_df = _arrow_local_frame(spark, dropped_keys, key_schema)
     return (
         new_buckets.join(
             F.broadcast(dropped_df), list(key_cols), "left_anti"

@@ -278,8 +278,18 @@ def incremental_phash_dedup_indexed(
         verified.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .select("new_id", "dup_of", "hamming")
+        # r17 (guide §5 caching): the ingest hot path reads this frame
+        # TWICE — the caller's action, then `survivor_signatures`'s
+        # anti-join inside the append — and the second read used to
+        # re-run the whole candidate+verify pipeline. The frame is
+        # match-sized (bounded by the batch), so caching it is cheap
+        # and the append becomes a cache scan.
+        .persist()
     )
-    out._cached_deps = [new_sig]  # type: ignore[attr-defined]
+    # index 0 must stay the batch-signature frame (survivor_signatures
+    # contract); the self-handle rides behind it so the caller's
+    # unpersist_deps releases both.
+    out._cached_deps = [new_sig, out]  # type: ignore[attr-defined]
     return out
 
 
@@ -338,13 +348,23 @@ def append_to_phash_index(
     bits = int(manifest["bits"])
     max_hamming = int(manifest["max_hamming"])
     max_bucket = int(manifest["max_bucket"])
+    # localCheckpoint, not persist (r17, guide §5): the batch frame's
+    # lineage reads the INDEX PATHS (survivor signatures derive from
+    # the serve path's stored-parquet joins), and Spark invalidates
+    # every cached plan referencing a path on write to it — so under a
+    # plain persist the FIRST dataset write below evicted the cache and
+    # the second write re-ran the whole candidate+verify pipeline.
+    # Checkpointing rebases the frame on materialized partitions (no
+    # path in the plan), making both writes cache-stable. Lineage is
+    # truncated — a lost executor means re-running the append, which is
+    # idempotent under the partition-overwrite replay contract.
     sig = (
         signatures.select("id", "phash")
         if signatures is not None
         else _signature_fn(manifest.get("modality", "image"))(
             batch_blobs, bin_col, id_col, bits
         )
-    ).persist()
+    ).localCheckpoint(eager=True)
 
     def _write(df: DataFrame, name: str) -> None:
         writer = df.withColumn("ingest_batch", F.lit(int(ingest_batch))).write
