@@ -1171,44 +1171,47 @@ def contamination_screened(
     noise bounds the miss band); size ``num_perm`` to the audit's
     tolerance. Persist handles ride ``_cached_deps``.
 
-    r17 optimization (guide §1.2 "remove unnecessary passes"): the
-    sketch tier and the posting tier both start from the per-doc
-    shingle sets, and each used to run the tokenize+shingle pass over
-    the full corpus independently (two Arrow passes over every text
-    byte). The shingle frame is now computed ONCE, persisted, and fed
-    to both tiers — values are unchanged on both tiers
-    (`source_signatures`' pandas tier is exactly shingle_sets →
-    with_minhash_signature → per-source min, inlined here over the
-    shared frame; min over per-doc DISTINCT shingles equals min over
-    the raw stream by idempotence). The null-source filter moves in
-    front of the shared pass: a NULL source can never appear in
-    ``flagged_sources``, so its posting rows could never survive the
-    semi-join anyway."""
+    r17 optimization, two steps (guide §1.2 "remove unnecessary
+    passes", §4 plan-size): first the tokenize+shingle pass was shared
+    between the tiers (it used to run twice); now the SKETCH is derived
+    from the tier-2 posting frame itself. The distinct (src, shingle)
+    explode — which tier 2 always paid — IS the per-source shingle
+    union, and min over per-doc signature mins equals min over that
+    union (min is associative + idempotent), so
+    :func:`dedup.source_sig_from_postings` computes bit-identical
+    signatures from it with ONE partial fold instead of a second
+    MinHash pass over every per-doc shingle array. That also deletes
+    the ``num_perm``-min-column aggregate and the ``num_perm``-term
+    comparison chain from the plan (replaced by
+    :func:`dedup.overlap_from_sig_arrays`'s array zip_with): the old
+    sketch tier codegen'd into 4.1 MiB task binaries whose first-run
+    JIT dominated the bench cold time (23.6 s cold vs 4.7 s warm,
+    sf0.1). Values are unchanged on both tiers; the pair tier reuses
+    the SAME cached posting frame behind a flagged-sources semi-join.
+    The null-source filter sits in front of the shared pass: a NULL
+    source can never appear in ``flagged_sources``, so its posting
+    rows could never survive the semi-join anyway."""
     from batch_process_dpla_index_spark.operators.dedup import (
         _with_cached_deps,
-        overlap_from_signatures,
+        overlap_from_sig_arrays,
         shingle_sets,
-        with_minhash_signature,
+        source_sig_from_postings,
     )
 
     base = df.where(F.col(source_col).isNotNull()).select(
         F.col(source_col).alias("source"), F.col(text_col).alias("__text")
     )
-    sets = shingle_sets(
-        base, "__text", "source", n, use_pandas=use_pandas
-    ).persist()
-    sigs = with_minhash_signature(sets, num_perm, use_pandas=use_pandas)
-    sig = (
-        sigs.where(F.size("shingles") > 0)
-        .groupBy("source")
-        .agg(
-            *[
-                F.min(F.element_at("sig", i + 1)).alias(f"__p{i}")
-                for i in range(num_perm)
-            ]
+    sets = shingle_sets(base, "__text", "source", n, use_pandas=use_pandas)
+    ex = (
+        sets.select(
+            F.col("source").alias("src"),
+            F.explode("shingles").alias("shingle"),
         )
+        .distinct()
+        .persist()
     )
-    est = overlap_from_signatures(sig, num_perm).where(
+    sig_arr = source_sig_from_postings(ex, num_perm).persist()
+    est = overlap_from_sig_arrays(sig_arr, num_perm).where(
         F.col("est_jaccard") >= est_threshold
     )
     # both orientations: the estimate is symmetric (a < b), the exact
@@ -1230,15 +1233,10 @@ def contamination_screened(
         .distinct()
     )
     posts = (
-        sets.select(
-            F.col("source").alias("src"),
-            F.explode("shingles").alias("shingle"),
-        )
-        .distinct()
         # flagged sources only — the posting frame never carries a
-        # source the screen cleared
-        .join(F.broadcast(flagged_sources), "src", "left_semi")
-        .persist()
+        # source the screen cleared; ``ex`` is cached, so this is a
+        # filter over the already-materialized distinct postings
+        ex.join(F.broadcast(flagged_sources), "src", "left_semi").persist()
     )
     sizes = posts.groupBy("src").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_sh")
@@ -1277,4 +1275,4 @@ def contamination_screened(
         )
         .orderBy("source_a", "source_b")
     )
-    return _with_cached_deps(out, [sets, flagged, posts])
+    return _with_cached_deps(out, [ex, sig_arr, flagged, posts])

@@ -483,6 +483,121 @@ def with_minhash_signature(
     return base.withColumn("sig", F.array(*mins)).drop("__base")
 
 
+def source_sig_from_postings(ex: DataFrame, num_perm: int = 64) -> DataFrame:
+    """(src, shingle) distinct posting rows → per-source union-MinHash
+    signature (source, sig: array<bigint>) — BIT-IDENTICAL to
+    :func:`source_signatures`'s per-doc tier: min over per-doc
+    signature mins equals min over the source's distinct shingle
+    union (min is associative and idempotent, and the union IS the
+    distinct posting set). Exists so a pipeline that already pays the
+    posting-explode distinct (contamination tier 2) derives the
+    sketch from the SAME frame instead of running a second MinHash
+    pass over every per-doc shingle array — and so the plan carries
+    no ``num_perm``-column aggregate: the 64 min-columns of the
+    classic sketch aggregate codegen into multi-MiB task binaries
+    (measured 4.1 MiB broadcasts and a 12 s first-run JIT stall on
+    the sf0.1 bench), while this path is one mapInPandas partial fold
+    (per-partition, per-source numpy mins — guide §4.3 heavyweight
+    work per task, not per row) plus a |partitions × sources|-row
+    grouped merge.
+
+    Scale note: the partial fold emits at most |sources| rows per
+    partition regardless of posting volume, so the final groupBy
+    shuffles kilobytes at any corpus size; per-source skew never
+    concentrates posting rows on one task because the fold runs on
+    whatever partitioning ``ex`` already has."""
+    import numpy as np
+
+    params = _perm_params(num_perm)
+    a_col = np.array([p[0] for p in params], dtype=np.uint64)[:, None]
+    b_col = np.array([p[1] for p in params], dtype=np.uint64)[:, None]
+
+    def fold(batches):
+        acc: dict[str, "np.ndarray"] = {}
+        hcache: dict[str, int] = {}
+
+        def hb(s):
+            v = hcache.get(s)
+            if v is None:
+                v = _h60_base_py(s)
+                hcache[s] = v
+            return v
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            base = np.fromiter(
+                (hb(s) for s in pdf["shingle"]),
+                dtype=np.uint64,
+                count=len(pdf),
+            )
+            codes, uniques = pd.factorize(pdf["src"], sort=False)
+            order = np.argsort(codes, kind="stable")
+            counts = np.bincount(codes)
+            starts = np.zeros(len(uniques), dtype=np.int64)
+            np.cumsum(counts[:-1], out=starts[1:])
+            # (num_perm, n): affine rehash exact in uint64 (a*h+b < 2^62)
+            vals = (a_col * base[order][None, :] + b_col) % _MERSENNE
+            mins = np.minimum.reduceat(vals, starts, axis=1)
+            for j, s in enumerate(uniques):
+                cur = acc.get(s)
+                m = mins[:, j]
+                acc[s] = m if cur is None else np.minimum(cur, m)
+        if acc:
+            yield pd.DataFrame(
+                {
+                    "src": list(acc.keys()),
+                    "sig": [v.astype("int64").tolist() for v in acc.values()],
+                }
+            )
+
+    partials = ex.mapInPandas(fold, "src string, sig array<bigint>")
+
+    def merge(key, pdf):
+        import numpy as np
+
+        m = np.minimum.reduce(
+            [np.asarray(x, dtype=np.int64) for x in pdf["sig"]]
+        )
+        return pd.DataFrame({"source": [key[0]], "sig": [m.tolist()]})
+
+    return partials.groupBy("src").applyInPandas(
+        merge, "source string, sig array<bigint>"
+    )
+
+
+def overlap_from_sig_arrays(sig_arr: DataFrame, num_perm: int = 64) -> DataFrame:
+    """Array-signature twin of :func:`overlap_from_signatures` — same
+    |sources|² broadcast self-join, same (source_a, source_b, n_equal,
+    est_jaccard) values, but the per-pair match count is one
+    interpreted zip_with/aggregate over the sig arrays instead of a
+    ``num_perm``-term codegen'd comparison chain. HOF interpretation
+    costs nothing here (the frame is |sources| rows); what it buys is
+    a plan whose generated code size is independent of num_perm.
+    Callers persist ``sig_arr`` first — the two legs sit behind
+    different exchange types, so exchange reuse never fires."""
+    left = sig_arr.select(
+        F.col("source").alias("source_a"), F.col("sig").alias("__sa")
+    )
+    right = sig_arr.select(
+        F.col("source").alias("source_b"), F.col("sig").alias("__sb")
+    )
+    pairs = left.join(F.broadcast(right), F.col("source_a") < F.col("source_b"))
+    n_eq = F.aggregate(
+        F.zip_with("__sa", "__sb", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return pairs.select(
+        "source_a",
+        "source_b",
+        n_eq.cast("bigint").alias("n_equal"),
+        F.round(n_eq.cast("double") / F.lit(float(num_perm)), 6).alias(
+            "est_jaccard"
+        ),
+    )
+
+
 def _band_rows(num_perm: int, bands: int) -> int:
     """Validated rows-per-band. Integer division would otherwise fail
     SILENTLY: bands > num_perm gives rows=0, so every band key hashes

@@ -922,6 +922,56 @@ def test_source_signature_merge_identity(spark, docs):
     d.unpersist()
 
 
+def test_source_sig_from_postings_matches_per_doc_tier(spark, docs):
+    """The posting-derived signature fold (contamination's r17 sketch
+    tier) must be BIT-identical to the per-doc signature tier: min
+    over per-doc signature mins == min over the source's distinct
+    shingle union. Pins both the signature arrays and the pair
+    estimates produced through overlap_from_sig_arrays."""
+    from batch_process_dpla_index_spark.operators.dedup import (
+        overlap_from_sig_arrays,
+        overlap_from_signatures,
+        shingle_sets,
+        source_sig_from_postings,
+        source_signatures,
+    )
+
+    d = docs.limit(120).where(F.col("source").isNotNull()).cache()
+    base = d.select(
+        F.col("source").alias("source"), F.col("text").alias("__text")
+    )
+    ex = (
+        shingle_sets(base, "__text", "source", 3, use_pandas=True)
+        .select(
+            F.col("source").alias("src"),
+            F.explode("shingles").alias("shingle"),
+        )
+        .distinct()
+    )
+    got = {
+        r["source"]: r["sig"]
+        for r in source_sig_from_postings(ex, 64).collect()
+    }
+    ref = source_signatures(d, use_pandas=True)
+    want = {
+        r["source"]: [r[f"__p{i}"] for i in range(64)]
+        for r in ref.collect()
+    }
+    assert got == want
+    est_got = {
+        (r["source_a"], r["source_b"]): (r["n_equal"], r["est_jaccard"])
+        for r in overlap_from_sig_arrays(
+            source_sig_from_postings(ex, 64), 64
+        ).collect()
+    }
+    est_want = {
+        (r["source_a"], r["source_b"]): (r["n_equal"], r["est_jaccard"])
+        for r in overlap_from_signatures(ref, 64).collect()
+    }
+    assert est_got == est_want
+    d.unpersist()
+
+
 def test_source_overlap_incremental_equals_full_recompute(spark, docs):
     from batch_process_dpla_index_spark.operators.dedup import (
         source_minhash_overlap,
