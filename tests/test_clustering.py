@@ -64,6 +64,20 @@ def test_kmeans_deterministic(spark):
     assert a == b
 
 
+def test_maximin_driver_tier_matches_distributed(spark, monkeypatch):
+    """The r17 driver-side seeding tier must pick BIT-IDENTICAL seeds
+    to the distributed per-pass scan — same expanded-form d2, same
+    (dist2 desc, id asc) total order — or kmeans results would depend
+    on corpus size crossing ``_SEED_DRIVER_MAX_ROWS``."""
+    import batch_process_dpla_index_spark.operators.clustering as cl
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    a = cl._maximin_seeds(emb, "vec_id", "embedding", k=5)
+    monkeypatch.setattr(cl, "_SEED_DRIVER_MAX_ROWS", 0)
+    b = cl._maximin_seeds(emb, "vec_id", "embedding", k=5)
+    assert a == b
+
+
 def test_learned_ivf_on_fixture_embeddings(spark):
     """End-to-end on the real fixture table: train k=8 centroids, every
     vector gets a cell, cells are populated (no degenerate solution),
