@@ -1067,15 +1067,28 @@ def q_modality_dup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the three perceptual rows are LITERALLY the survivors registry
     # queries (round-14 review: an inlined fourth copy of the chain
     # could drift from the verified ones — composing them makes drift
-    # impossible by construction)
-    for modality, surv_fn in (
+    # impossible by construction). Each chain runs its checkpointed
+    # CC fixpoint EAGERLY at call time, and none of the three fills
+    # the cluster on its own — so build them on concurrent threads
+    # (guide §2.6: 2-3 independent jobs in flight to fill idle
+    # capacity). The pipelines share no state and the union below
+    # consumes them in the same fixed order, so results are identical.
+    from concurrent.futures import ThreadPoolExecutor
+
+    chains = (
         ("image", q_image_dedup_survivors),
         ("audio", q_audio_dedup_survivors),
         ("video", q_video_dedup_survivors),
-    ):
-        kept = surv_fn(spark, sf_dir)
-        out = out.unionByName(row(modality, kept))
-        deps += getattr(kept, "_cached_deps", [])
+    )
+    with ThreadPoolExecutor(max_workers=len(chains)) as pool:
+        futures = [
+            (modality, pool.submit(surv_fn, spark, sf_dir))
+            for modality, surv_fn in chains
+        ]
+        for modality, fut in futures:
+            kept = fut.result()
+            out = out.unionByName(row(modality, kept))
+            deps += getattr(kept, "_cached_deps", [])
     return _with_cached_deps(out.orderBy("modality"), deps)
 
 
