@@ -27,6 +27,7 @@ parameter (same plan, cheaper hash).
 
 from __future__ import annotations
 
+import os
 from typing import Callable
 
 import pandas as pd  # noqa: F401 — needed at module scope so pandas_udf type hints resolve
@@ -901,6 +902,54 @@ def simhash_pairs(
     return _with_cached_deps(out, [sh])
 
 
+#: Driver-tier bound for :func:`connected_components` (r17, the
+#: maximin-seeding pattern): when the pair frame fits this many rows,
+#: the min-label fixpoint runs as ONE bounded collect + a driver-side
+#: union-find instead of k sequential join+agg+checkpoint Spark jobs
+#: (each ~0.5-0.8 s of flat scheduling/AQE overhead at ANY data size,
+#: worse on a real cluster). 262144 edges ≈ a few MB collected — size
+#: to driver memory via $SPARK_GRAFT_CC_DRIVER_EDGES (0 disables the
+#: tier). Above the bound the distributed loop is untouched; the
+#: 100 TB path pays one bounded LIMIT-probe job extra.
+_CC_DRIVER_MAX_EDGES = int(
+    os.environ.get("SPARK_GRAFT_CC_DRIVER_EDGES", "262144")
+)
+
+
+def _cc_driver_labels(edge_rows: list) -> list:
+    """Driver-side twin of the distributed min-label fixpoint over a
+    fully collected (src, dst) edge list: union-find with a min-member
+    resolve, so each node's label is exactly the MIN id reachable from
+    it — the same unique fixpoint min-label propagation converges to
+    (label choice is a total order over the component's members, so no
+    batching/ordering of the edges can change it). Returns (node,
+    cluster) rows sorted by node."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    nodes = set()
+    for a, b in edge_rows:
+        nodes.add(a)
+        nodes.add(b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    best: dict = {}
+    for n in nodes:
+        r = find(n)
+        m = best.get(r)
+        if m is None or n < m:
+            best[r] = n
+    return [(n, best[find(n)]) for n in sorted(nodes)]
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -935,6 +984,44 @@ def connected_components(
     trades that fault-tolerance for zero-config speed.
     """
     import warnings
+
+    # Driver tier (r17, the _maximin_seeds pattern — guide §1.2 "fix
+    # the algorithm", §5 driver discipline deliberately inverted with
+    # a bounded collect): a LIMIT-bounded probe fetches the projected
+    # pair list once; when it fits, the label fixpoint is a driver
+    # union-find — identical labels (min reachable id is a unique
+    # fixpoint; the driver tier computes the EXACT closure, which is
+    # what the fixture-converged distributed loop returns too), zero
+    # iterative Spark jobs. NULL endpoints (no pair operator emits
+    # them) fall through to the distributed loop, whose join/aggregate
+    # NULL semantics stay authoritative.
+    if _CC_DRIVER_MAX_EDGES > 0:
+        probe = (
+            pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+            .limit(_CC_DRIVER_MAX_EDGES + 1)
+            .collect()
+        )
+        if len(probe) <= _CC_DRIVER_MAX_EDGES and all(
+            r[0] is not None and r[1] is not None for r in probe
+        ):
+            from pyspark.sql.types import StructField, StructType
+
+            from batch_process_dpla_index_spark.operators.relational import (
+                _arrow_local_frame,
+            )
+
+            dtype = pairs.schema[id_a].dataType
+            labels = _arrow_local_frame(
+                pairs.sparkSession,
+                _cc_driver_labels([(r[0], r[1]) for r in probe]),
+                StructType(
+                    [
+                        StructField("node", dtype, True),
+                        StructField("cluster", dtype, True),
+                    ]
+                ),
+            )
+            return _with_cached_deps(labels, [])
 
     def _ckpt(df: DataFrame) -> DataFrame:
         return df.checkpoint() if reliable_checkpoint else df.localCheckpoint()

@@ -412,18 +412,47 @@ def test_dedup_survivors_majority_dups(spark):
     assert ids == {c * 10 for c in range(8)} | set(range(80, 100))
 
 
-def test_connected_components_warns_at_max_iter(spark):
+def test_connected_components_warns_at_max_iter(spark, monkeypatch):
     import warnings
 
-    from batch_process_dpla_index_spark.operators.dedup import connected_components
+    import batch_process_dpla_index_spark.operators.dedup as dd
 
+    # the max_iter warning belongs to the DISTRIBUTED loop (the driver
+    # union-find computes the exact closure and never under-iterates)
+    # — pin the tier off so the loop contract stays covered
+    monkeypatch.setattr(dd, "_CC_DRIVER_MAX_EDGES", 0)
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(12)], "id_a BIGINT, id_b BIGINT"
     )
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
-        connected_components(chain, max_iter=2).collect()
+        dd.connected_components(chain, max_iter=2).collect()
     assert any("max_iter" in str(x.message) for x in w)
+
+
+def test_connected_components_driver_tier_matches_distributed(spark, monkeypatch):
+    """The r17 driver-side union-find tier must label every node with
+    the IDENTICAL cluster id the distributed min-label fixpoint
+    converges to (min reachable id is a unique fixpoint — no edge
+    ordering or batching can change it), or clustering results would
+    depend on the pair count crossing ``_CC_DRIVER_MAX_EDGES``."""
+    import batch_process_dpla_index_spark.operators.dedup as dd
+
+    pairs = spark.createDataFrame(
+        # chain + triangle + isolated pair + duplicate/self edges
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12),
+         (20, 21), (21, 20), (7, 7)],
+        "id_a BIGINT, id_b BIGINT",
+    )
+    a = dd.connected_components(pairs)
+    got_a = sorted((r["node"], r["cluster"]) for r in a.collect())
+    assert "LocalTableScan" in a._jdf.queryExecution().executedPlan().toString()
+    monkeypatch.setattr(dd, "_CC_DRIVER_MAX_EDGES", 0)
+    b = dd.connected_components(pairs)
+    got_b = sorted((r["node"], r["cluster"]) for r in b.collect())
+    dd.unpersist_deps(b)
+    assert got_a == got_b
+    assert got_a[:4] == [(1, 1), (2, 1), (3, 1), (4, 1)]
 
 
 def test_cosine_topk_default_plan_is_map_in_pandas(spark):

@@ -341,15 +341,18 @@ def test_pagerank_releases_checkpoint_storage(spark):
     assert set(dict(sc._jsc.getPersistentRDDs())) - before == set()
 
 
-def test_connected_components_releases_checkpoint_storage(spark):
+def test_connected_components_releases_checkpoint_storage(spark, monkeypatch):
     """Same contract as pagerank: intermediate fixpoint checkpoints
     are released inside the operator, and the survivors' deps carry a
-    WORKING handle for the final one."""
+    WORKING handle for the final one. Pins the DISTRIBUTED loop (the
+    driver union-find tier persists nothing to release)."""
+    import batch_process_dpla_index_spark.operators.dedup as dd
     from batch_process_dpla_index_spark.operators.dedup import (
         connected_components,
         unpersist_deps,
     )
 
+    monkeypatch.setattr(dd, "_CC_DRIVER_MAX_EDGES", 0)
     sc = spark.sparkContext
     before = set(dict(sc._jsc.getPersistentRDDs()))
     pairs = spark.createDataFrame(
