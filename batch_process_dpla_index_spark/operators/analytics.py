@@ -999,11 +999,20 @@ def rfm_segments(
         "monetary",
     )
     qs = (0.25, 0.5, 0.75)
+    # one array-argument percentile per column, not |qs| scalar
+    # aggregates each buffering the column again — identical edges
+    # (the quantile_bins rationale), a third of the aggregation state
+    qarr = ", ".join(repr(q) for q in qs)
     edges = rfm.agg(
         *[
-            F.expr(f"percentile({c}, {q!r})").alias(f"__{c[0]}e{i}")
+            F.expr(f"percentile({c}, array({qarr}))").alias(f"__{c[0]}es")
             for c in ("recency_days", "frequency", "monetary")
-            for i, q in enumerate(qs)
+        ]
+    ).select(
+        *[
+            F.col(f"__{c[0]}es")[i].alias(f"__{c[0]}e{i}")
+            for c in ("recency_days", "frequency", "monetary")
+            for i in range(len(qs))
         ]
     )
 

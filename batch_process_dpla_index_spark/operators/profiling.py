@@ -236,11 +236,21 @@ def quantile_bins(
     if n_bins < 2:
         raise ValueError(f"quantile_bins: n_bins must be >= 2, got {n_bins}")
     ps = [i / n_bins for i in range(1, n_bins)]
+    # ONE array-argument percentile, not n_bins-1 scalar aggregates:
+    # each exact-percentile expression buffers the whole column in its
+    # own counts map, so the scalar form paid (n_bins-1)× the
+    # aggregation state and merge work for identical results — every
+    # element interpolates from the same sorted buffer with the same
+    # arithmetic as its scalar twin (r17, guide §1.2; measured 3.6 s →
+    # sub-second warm at sf0.1). The post-agg select keeps the 1-row
+    # (__e0..__eN) shape the broadcast fold below expects.
     edges = df.agg(
-        *[
-            F.expr(f"percentile({value_col}, {p!r})").alias(f"__e{i}")
-            for i, p in enumerate(ps)
-        ]
+        F.expr(
+            f"percentile({value_col}, "
+            f"array({', '.join(repr(p) for p in ps)}))"
+        ).alias("__es")
+    ).select(
+        *[F.col("__es")[i].alias(f"__e{i}") for i in range(len(ps))]
     )
     bin_expr = F.lit(1)
     for i in range(len(ps)):
@@ -326,9 +336,17 @@ def winsorized_stats(
     is proven (value_percentiles); price-scale outputs round 2.
     """
     base = df.select(key_col, value_col).where(F.col(value_col).isNotNull())
+    # one array-argument percentile per group, not two scalar
+    # aggregates — halves the per-group value buffers for identical
+    # bounds (the quantile_bins rationale)
     bounds = base.groupBy(key_col).agg(
-        F.expr(f"percentile({value_col}, {lo!r})").alias("__lo"),
-        F.expr(f"percentile({value_col}, {hi!r})").alias("__hi"),
+        F.expr(f"percentile({value_col}, array({lo!r}, {hi!r}))").alias(
+            "__b"
+        )
+    ).select(
+        key_col,
+        F.col("__b")[0].alias("__lo"),
+        F.col("__b")[1].alias("__hi"),
     )
     clamped = base.join(F.broadcast(bounds), key_col).withColumn(
         "__w",
