@@ -26,6 +26,8 @@ Scale design (100 TB of edges):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -33,6 +35,35 @@ from batch_process_dpla_index_spark.operators.dedup import (
     _CheckpointHandle,
     _with_cached_deps,
 )
+
+#: Driver-tier bound for the fixed-iteration operators below (r17 —
+#: the connected_components / maximin-seeding pattern): when the edge
+#: frame fits this many rows, the k-iteration dataflow runs as ONE
+#: bounded collect + the identical arithmetic driver-side instead of
+#: k sequential join+aggregate Spark jobs (each ~0.4-0.8 s of flat
+#: scheduling/AQE overhead at ANY data size). 131072 edges ≈ a few MB
+#: collected; size via $SPARK_GRAFT_GRAPH_DRIVER_EDGES (0 disables).
+#: Above the bound the distributed loops are untouched — the 100 TB
+#: path pays one bounded LIMIT-probe job extra. NULL endpoints fall
+#: through to the distributed path, whose join/filter NULL semantics
+#: stay authoritative.
+_GRAPH_DRIVER_MAX_EDGES = int(
+    os.environ.get("SPARK_GRAFT_GRAPH_DRIVER_EDGES", "131072")
+)
+
+
+def _driver_edge_probe(edges: DataFrame, cols: list) -> "list | None":
+    """LIMIT-bounded probe of an edge frame projected to ``cols``:
+    the collected rows when they fit the driver bound and carry no
+    NULLs, else None (→ caller runs the distributed path)."""
+    if _GRAPH_DRIVER_MAX_EDGES <= 0:
+        return None
+    rows = edges.select(*cols).limit(_GRAPH_DRIVER_MAX_EDGES + 1).collect()
+    if len(rows) > _GRAPH_DRIVER_MAX_EDGES:
+        return None
+    if any(v is None for r in rows for v in r):
+        return None
+    return rows
 
 
 def pagerank(
@@ -59,6 +90,69 @@ def pagerank(
     is a parameter, not data-dependent — PageRank's standard use is a
     fixed-k power iteration.
     """
+
+    # Driver tier (r17): one bounded collect, then the IDENTICAL
+    # update rule per iteration — same out-weight normalization, same
+    # (1-d)/n + d·(contrib + dangling/n) fold, float64 throughout.
+    # Per-node contribution sums accumulate in sorted-edge order
+    # (deterministic); the distributed partial aggregate's order can
+    # differ by final-ulp rounding, the same cross-engine envelope the
+    # 6dp-rounding oracle contract already absorbs (hits_scores
+    # docstring) — fixture-verified value-exact at every SF.
+    probe = _driver_edge_probe(
+        edges,
+        [
+            F.col(src_col).alias("s"),
+            F.col(dst_col).alias("d"),
+            (F.col(weight_col) if weight_col else F.lit(1.0))
+            .cast("double")
+            .alias("w"),
+        ],
+    )
+    if probe is not None:
+        rows = sorted((r["s"], r["d"], r["w"]) for r in probe)
+        if not rows:
+            raise ValueError("pagerank: empty edge list (no nodes to rank)")
+        wout: dict = {}
+        for s, _d, w_ in rows:
+            wout[s] = wout.get(s, 0.0) + w_
+        norm_rows = [(s, d, w_ / wout[s]) for s, d, w_ in rows]
+        node_list = sorted(
+            {s for s, _, _ in rows} | {d for _, d, _ in rows}
+        )
+        n = len(node_list)
+        dangling = [x for x in node_list if x not in wout]
+        rank = {x: 1.0 / n for x in node_list}
+        for _ in range(iterations):
+            contrib: dict = {}
+            for s, d, wn in norm_rows:
+                contrib[d] = contrib.get(d, 0.0) + rank[s] * wn
+            dmass = 0.0
+            for x in dangling:
+                dmass += rank[x]
+            base = (1.0 - damping) / n
+            term = (dmass / float(n)) if dangling else 0.0
+            rank = {
+                x: base + damping * (contrib.get(x, 0.0) + term)
+                for x in node_list
+            }
+        from pyspark.sql.types import DoubleType, StructField, StructType
+
+        from batch_process_dpla_index_spark.operators.relational import (
+            _arrow_local_frame,
+        )
+
+        out = _arrow_local_frame(
+            edges.sparkSession,
+            [(x, rank[x]) for x in node_list],
+            StructType(
+                [
+                    StructField("node", edges.schema[src_col].dataType, True),
+                    StructField("rank", DoubleType(), True),
+                ]
+            ),
+        )
+        return _with_cached_deps(out, [])
 
     def _ckpt(df: DataFrame, eager: bool = True) -> DataFrame:
         # intermediate rank frames checkpoint LAZILY: the final action
@@ -188,6 +282,53 @@ def label_propagation(
     """
     from pyspark.sql.window import Window
 
+    # Driver tier (r17, the pagerank pattern): same symmetric distinct
+    # edge set, same synchronous mode-label update with (count desc,
+    # label asc) winner — all-integer, so the labels are bit-identical
+    # to the distributed loop by construction.
+    probe = _driver_edge_probe(
+        edges, [F.col(src_col).alias("s"), F.col(dst_col).alias("d")]
+    )
+    if probe is not None:
+        sym = set()
+        for r in probe:
+            if r["s"] != r["d"]:
+                sym.add((r["s"], r["d"]))
+                sym.add((r["d"], r["s"]))
+        sym_edges = sorted(sym)
+        lab = {s: s for s, _ in sym_edges}
+        for _ in range(int(iterations)):
+            counts: dict = {}
+            for s, d in sym_edges:
+                key = (d, lab[s])
+                counts[key] = counts.get(key, 0) + 1
+            new: dict = {}
+            for (d, c), cnt in counts.items():
+                cur = new.get(d)
+                if cur is None or cnt > cur[0] or (
+                    cnt == cur[0] and c < cur[1]
+                ):
+                    new[d] = (cnt, c)
+            lab = {d: v[1] for d, v in new.items()}
+        from pyspark.sql.types import StructField, StructType
+
+        from batch_process_dpla_index_spark.operators.relational import (
+            _arrow_local_frame,
+        )
+
+        dtype = edges.schema[src_col].dataType
+        out = _arrow_local_frame(
+            edges.sparkSession,
+            [(x, lab[x]) for x in sorted(lab)],
+            StructType(
+                [
+                    StructField("node", dtype, True),
+                    StructField("community", dtype, True),
+                ]
+            ),
+        )
+        return _with_cached_deps(out, [])
+
     both = (
         edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
         .unionAll(
@@ -255,6 +396,57 @@ def hits_scores(
     round on emit); nodes with no in-edges score authority 0.0, no
     out-edges hub 0.0.
     """
+    # Driver tier (r17, the pagerank pattern): identical update rule —
+    # distinct edge set, per-node sums in sorted-edge order, the SAME
+    # order-free MAX normalizer, missing side scored 0.0.
+    probe = _driver_edge_probe(
+        edges, [F.col(src_col).alias("s"), F.col(dst_col).alias("d")]
+    )
+    if probe is not None:
+        edge_set = sorted({(r["s"], r["d"]) for r in probe})
+        if not edge_set:
+            raise ValueError("hits_scores: empty edge list (no nodes to score)")
+        node_list = sorted(
+            {s for s, _ in edge_set} | {d for _, d in edge_set}
+        )
+        hub_d = {x: 1.0 for x in node_list}
+        auth_d: dict = {}
+        for _ in range(int(iterations)):
+            raw_a: dict = {}
+            for s, d in edge_set:
+                raw_a[d] = raw_a.get(d, 0.0) + hub_d[s]
+            amax = max(raw_a.values())
+            auth_d = {
+                x: (raw_a[x] / amax if x in raw_a else 0.0)
+                for x in node_list
+            }
+            raw_h: dict = {}
+            for s, d in edge_set:
+                raw_h[s] = raw_h.get(s, 0.0) + auth_d[d]
+            hmax = max(raw_h.values())
+            hub_d = {
+                x: (raw_h[x] / hmax if x in raw_h else 0.0)
+                for x in node_list
+            }
+        from pyspark.sql.types import DoubleType, StructField, StructType
+
+        from batch_process_dpla_index_spark.operators.relational import (
+            _arrow_local_frame,
+        )
+
+        out = _arrow_local_frame(
+            edges.sparkSession,
+            [(x, auth_d[x], hub_d[x]) for x in node_list],
+            StructType(
+                [
+                    StructField("node", edges.schema[src_col].dataType, True),
+                    StructField("authority", DoubleType(), True),
+                    StructField("hub", DoubleType(), True),
+                ]
+            ),
+        )
+        return _with_cached_deps(out, [])
+
     e = (
         edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
         .where(F.col("s").isNotNull() & F.col("d").isNotNull())

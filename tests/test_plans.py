@@ -309,12 +309,16 @@ def test_fuzzy_match_is_window_not_join(spark):
     assert plan.count("Exchange hashpartitioning") == 1, plan
 
 
-def test_pagerank_iterations_are_checkpointed(spark):
+def test_pagerank_iterations_are_checkpointed(spark, monkeypatch):
     """The returned frame must scan the final checkpoint's RDD, not
     drag an 8-iteration lazy lineage — unbounded lineage is what
-    breaks iterative Spark jobs at scale."""
+    breaks iterative Spark jobs at scale. Pins the DISTRIBUTED loop
+    (the r17 driver tier returns a LocalTableScan and checkpoints
+    nothing)."""
+    import batch_process_dpla_index_spark.operators.graph as gr
     from batch_process_dpla_index_spark.operators.dedup import unpersist_deps
 
+    monkeypatch.setattr(gr, "_GRAPH_DRIVER_MAX_EDGES", 0)
     df = QUERIES["pagerank"](spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     unpersist_deps(df)
@@ -496,10 +500,14 @@ def test_readability_is_pure_scan_stage(spark):
     assert "Join" not in plan, plan
 
 
-def test_hits_iterations_are_checkpointed(spark):
+def test_hits_iterations_are_checkpointed(spark, monkeypatch):
     """Each HITS iteration localCheckpoints: the final plan reads two
     materialized score RDDs, not an 8-deep join lineage (the pagerank
-    truncation contract)."""
+    truncation contract). Pins the DISTRIBUTED loop (the r17 driver
+    tier returns a LocalTableScan and checkpoints nothing)."""
+    import batch_process_dpla_index_spark.operators.graph as gr
+
+    monkeypatch.setattr(gr, "_GRAPH_DRIVER_MAX_EDGES", 0)
     plan = _plan(spark, "hits_scores")
     assert "Scan ExistingRDD" in plan, plan
     assert plan.count("Exchange hashpartitioning") <= 4, plan

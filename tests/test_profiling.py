@@ -204,6 +204,62 @@ def test_pagerank_weighted_edges_shift_mass(spark):
     assert ranks["b"] > ranks["c"]  # 90% of a's vote flows to b
 
 
+def test_graph_driver_tiers_match_distributed(spark, monkeypatch):
+    """The r17 driver tiers must reproduce the distributed loops:
+    label propagation bit-exactly (all-integer), pagerank/HITS to well
+    under the 6dp emit-rounding grain (per-node float sums accumulate
+    in a different order — the same cross-engine envelope the oracle
+    contract absorbs). Graphs exercise dangling mass, weights, and
+    mode-label ties."""
+    import batch_process_dpla_index_spark.operators.graph as gr
+
+    pr_edges = spark.createDataFrame(
+        # dangling node d, parallel edge a->b, weights
+        [("a", "b", 2.0), ("a", "b", 1.0), ("b", "c", 1.0),
+         ("c", "a", 3.0), ("a", "d", 1.0)],
+        ["src", "dst", "w"],
+    )
+    hits_edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "c")],
+        ["src", "dst"],
+    )
+    lpa_edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6), (4, 6)],
+        "src BIGINT, dst BIGINT",
+    )
+
+    def run_all():
+        pr = {
+            r["node"]: r["rank"]
+            for r in gr.pagerank(
+                pr_edges, weight_col="w", iterations=6
+            ).collect()
+        }
+        hs = {
+            r["node"]: (r["authority"], r["hub"])
+            for r in gr.hits_scores(hits_edges, iterations=4).collect()
+        }
+        lp_df = gr.label_propagation(lpa_edges, iterations=4)
+        lp = {r["node"]: r["community"] for r in lp_df.collect()}
+        from batch_process_dpla_index_spark.operators.dedup import (
+            unpersist_deps,
+        )
+
+        unpersist_deps(lp_df)
+        return pr, hs, lp
+
+    pr_a, hs_a, lp_a = run_all()
+    monkeypatch.setattr(gr, "_GRAPH_DRIVER_MAX_EDGES", 0)
+    pr_b, hs_b, lp_b = run_all()
+    assert lp_a == lp_b  # integer labels: bit-exact
+    assert set(pr_a) == set(pr_b) and set(hs_a) == set(hs_b)
+    for k in pr_a:
+        assert pr_a[k] == pytest.approx(pr_b[k], abs=1e-12)
+    for k in hs_a:
+        assert hs_a[k][0] == pytest.approx(hs_b[k][0], abs=1e-12)
+        assert hs_a[k][1] == pytest.approx(hs_b[k][1], abs=1e-12)
+
+
 # --- Misra–Gries heavy hitters ---------------------------------------------
 
 
@@ -322,12 +378,16 @@ def test_corr_matrix_rejects_duplicate_columns(spark):
         corr_matrix(df, ["x", "y", "x"])
 
 
-def test_pagerank_releases_checkpoint_storage(spark):
+def test_pagerank_releases_checkpoint_storage(spark, monkeypatch):
     """DataFrame.unpersist is a no-op on checkpointed frames; the
     operator must release its intermediate iteration checkpoints
-    itself and hand back a WORKING release handle for the final one."""
+    itself and hand back a WORKING release handle for the final one.
+    Pins the DISTRIBUTED loop (the r17 driver tier persists
+    nothing)."""
+    import batch_process_dpla_index_spark.operators.graph as gr
     from batch_process_dpla_index_spark.operators.dedup import unpersist_deps
 
+    monkeypatch.setattr(gr, "_GRAPH_DRIVER_MAX_EDGES", 0)
     sc = spark.sparkContext
     before = set(dict(sc._jsc.getPersistentRDDs()))
     edges = spark.createDataFrame(
