@@ -129,7 +129,89 @@ def _maximin_seeds_driver(rows, k: int) -> list[list[float]]:
     return seeds
 
 
-def _maximin_seeds(df: DataFrame, id_col: str, vec_col: str, k: int) -> list[list[float]]:
+def _corpus_probe(df: DataFrame, id_col: str, vec_col: str):
+    """LIMIT-bounded (id, vec, __h) probe under ``_SEED_DRIVER_MAX_ROWS``
+    — the collected rows when the corpus fits, else None. Raises on an
+    empty corpus (every consumer refuses one). Shared by the seeding,
+    flat-fit, and two-level-fit driver tiers so they collect at most
+    once."""
+    if _SEED_DRIVER_MAX_ROWS <= 0:
+        return None
+    probe = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("vec"),
+            h60(F.col(id_col).cast("string")).alias("__h"),
+        )
+        .limit(_SEED_DRIVER_MAX_ROWS + 1)
+        .collect()
+    )
+    if not probe:
+        raise ValueError("empty corpus")
+    if len(probe) > _SEED_DRIVER_MAX_ROWS:
+        return None
+    return probe
+
+
+def _kmeans_fit_driver(rows, k, n_iter, tol, init, update_grid):
+    """Driver-side twin of the distributed Lloyd's loop over a fully
+    collected corpus — the SAME per-row assign expression
+    (argmin ‖c‖² − 2·x·c) and the SAME update arithmetic. With
+    ``update_grid`` the per-(cell, dim) sums are exact BIGINTs
+    (integer addition commutes), so the fitted centroids are
+    bit-identical to the distributed fit by construction — the same
+    order-insensitivity that gives the registry's kmeans queries their
+    cross-engine SQL oracles. Without a grid the double sums
+    accumulate in numpy reduction order instead of Spark's partial-
+    aggregate order — final-ulp drift on a path that has no hash
+    oracle (the ann-index products; their tests pin recall bounds and
+    self-consistency, not centroid bits)."""
+    import numpy as np
+
+    mat = np.array([list(r["vec"]) for r in rows], dtype="float64")
+    if init == "maximin":
+        centroids = _maximin_seeds_driver(rows, k)
+    else:
+        ids = np.array([r["id"] for r in rows], dtype="int64")
+        hs = np.array([r["__h"] for r in rows], dtype="int64")
+        order = np.lexsort((ids, hs))[:k]
+        centroids = [mat[i].tolist() for i in order]
+        if len(centroids) < k:
+            raise ValueError(f"corpus has fewer than k={k} rows")
+    for _ in range(n_iter):
+        cents = np.asarray(centroids, dtype="float64")
+        sq = (cents * cents).sum(axis=1)
+        cell = (sq[None, :] - 2.0 * (mat @ cents.T)).argmin(axis=1)
+        new_centroids = list(centroids)
+        shift = 0.0
+        for c in np.unique(cell):
+            members = mat[cell == c]
+            n = members.shape[0]
+            if update_grid:
+                s = (
+                    np.floor(members * float(update_grid))
+                    .astype("int64")
+                    .sum(axis=0)
+                )
+                cvec = [int(x) / n / update_grid for x in s]
+            else:
+                cvec = [float(x) / n for x in members.sum(axis=0)]
+            old = centroids[int(c)]
+            shift = max(shift, sum((a - b) ** 2 for a, b in zip(cvec, old)))
+            new_centroids[int(c)] = cvec
+        centroids = new_centroids
+        if shift <= tol:
+            break
+    return centroids
+
+
+def _maximin_seeds(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    skip_probe: bool = False,
+) -> list[list[float]]:
     """Deterministic farthest-point (maximin) seeding: first seed is
     the row with the smallest ``h60(id)`` digest; each next seed is the
     point with the LARGEST distance to its nearest chosen seed (ties →
@@ -155,20 +237,9 @@ def _maximin_seeds(df: DataFrame, id_col: str, vec_col: str, k: int) -> list[lis
     import numpy as np
     import pandas as pd
 
-    probe_cap = _SEED_DRIVER_MAX_ROWS
-    if probe_cap > 0:
-        probe = (
-            df.select(
-                F.col(id_col).alias("id"),
-                F.col(vec_col).alias("vec"),
-                h60(F.col(id_col).cast("string")).alias("__h"),
-            )
-            .limit(probe_cap + 1)
-            .collect()
-        )
-        if not probe:
-            raise ValueError("empty corpus")
-        if len(probe) <= probe_cap:
+    if not skip_probe:
+        probe = _corpus_probe(df, id_col, vec_col)
+        if probe is not None:
             return _maximin_seeds_driver(probe, k)
 
     first = (
@@ -270,8 +341,18 @@ def kmeans_fit(
     quantization is far below k-means' own noise floor; this is how
     the registry's `kmeans_cells` gets a cross-engine SQL oracle for
     an iterative float algorithm."""
+    # Driver tier (r17, extends the seeding tier to the WHOLE fit):
+    # when the corpus fits the seeding bound, every Lloyd iteration is
+    # pure driver arithmetic — no per-iteration Arrow pass + k×dim
+    # shuffle + collect round trip (each ~0.6 s flat at small N).
+    # Grid updates are exact-BIGINT hence bit-identical
+    # (_kmeans_fit_driver); above the bound the distributed loop below
+    # is untouched.
+    probe = _corpus_probe(df, id_col, vec_col)
+    if probe is not None:
+        return _kmeans_fit_driver(probe, k, n_iter, tol, init, update_grid)
     if init == "maximin":
-        centroids = _maximin_seeds(df, id_col, vec_col, k)
+        centroids = _maximin_seeds(df, id_col, vec_col, k, skip_probe=True)
     else:
         rows = (
             df.select(F.col(vec_col).alias("vec"), h60(F.col(id_col).cast("string")).alias("__h"))
@@ -420,6 +501,61 @@ def cluster_silhouette(
     )
 
 
+def _kmeans_two_level_driver(
+    rows, k_c, k_f, coarse_iters, fine_iters, tol, init, update_grid
+):
+    """Driver-side twin of the two-level fit over a collected corpus:
+    coarse fit via :func:`_kmeans_fit_driver`, the same argmin coarse
+    assign, fine seeding as each cell's first k_f rows under the
+    (h60, id) total order (what the distributed window picks), then
+    fine Lloyd iterations with the same grid-exact update. Returns
+    (coarse, fine, k_f) like the distributed fit."""
+    import numpy as np
+
+    coarse = _kmeans_fit_driver(
+        rows, k_c, coarse_iters, tol, init, update_grid
+    )
+    ids = np.array([r["id"] for r in rows], dtype="int64")
+    hs = np.array([r["__h"] for r in rows], dtype="int64")
+    mat = np.array([list(r["vec"]) for r in rows], dtype="float64")
+    cents = np.asarray(coarse, dtype="float64")
+    csq = (cents * cents).sum(axis=1)
+    ccell = (csq[None, :] - 2.0 * (mat @ cents.T)).argmin(axis=1)
+
+    fine: dict[int, list[list[float]]] = {}
+    for c in np.unique(ccell):
+        idx = np.where(ccell == c)[0]
+        order = idx[np.lexsort((ids[idx], hs[idx]))][:k_f]
+        fine[int(c)] = [mat[i].tolist() for i in order]
+
+    for _ in range(fine_iters):
+        fmats = {c: np.asarray(m, dtype="float64") for c, m in fine.items()}
+        fsq = {c: (m * m).sum(axis=1) for c, m in fmats.items()}
+        for c in fine:
+            idx = np.where(ccell == c)[0]
+            members = mat[idx]
+            fidx = (
+                fsq[c][None, :] - 2.0 * (members @ fmats[c].T)
+            ).argmin(axis=1)
+            for j in np.unique(fidx):
+                sub = members[fidx == j]
+                n = sub.shape[0]
+                if update_grid:
+                    s = (
+                        np.floor(sub * float(update_grid))
+                        .astype("int64")
+                        .sum(axis=0)
+                    )
+                    fine[c][int(j)] = [
+                        int(x) / n / update_grid for x in s
+                    ]
+                else:
+                    fine[c][int(j)] = [
+                        float(x) / n for x in sub.sum(axis=0)
+                    ]
+    return coarse, fine, k_f
+
+
 def kmeans_fit_two_level(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -473,6 +609,18 @@ def kmeans_fit_two_level(
 
     k_c = coarse_k if coarse_k is not None else max(2, math.isqrt(k - 1) + 1)
     k_f = -(-k // k_c)  # ceil
+    # Driver tier (r17, the kmeans_fit pattern): coarse fit, coarse
+    # assign, per-cell fine seeding and every fine Lloyd iteration are
+    # the identical arithmetic on one collected corpus — grid updates
+    # exact-BIGINT hence bit-identical, seeding the same
+    # (h60, id)-ordered first-k_f per cell the window picks.
+    probe = _corpus_probe(df, id_col, vec_col)
+    if probe is not None:
+        return _kmeans_two_level_driver(
+            probe, k_c, k_f,
+            coarse_iter if coarse_iter is not None else n_iter,
+            n_iter, tol, init, update_grid,
+        )
     coarse = kmeans_fit(
         df, id_col, vec_col, k=k_c,
         n_iter=coarse_iter if coarse_iter is not None else n_iter,

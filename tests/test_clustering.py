@@ -64,6 +64,36 @@ def test_kmeans_deterministic(spark):
     assert a == b
 
 
+def test_kmeans_fit_driver_tier_matches_distributed(spark, monkeypatch):
+    """The r17 full-fit driver tier must produce BIT-IDENTICAL
+    centroids to the distributed Lloyd loop on the grid path (exact
+    integer sums commute; assign/seeding expressions are shared), for
+    both the flat and the two-level fit — otherwise clustering results
+    would depend on corpus size crossing the seeding bound."""
+    import batch_process_dpla_index_spark.operators.clustering as cl
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+
+    def fit_both():
+        flat = cl.kmeans_fit(
+            emb, "vec_id", "embedding", k=8, n_iter=3,
+            update_grid=10**6, tol=0.0,
+        )
+        two = cl.kmeans_fit_two_level(
+            emb, "vec_id", "embedding", k=9, n_iter=2, coarse_iter=2,
+            init="hash", update_grid=10**6, tol=0.0,
+        )
+        return flat, two
+
+    a_flat, a_two = fit_both()
+    monkeypatch.setattr(cl, "_SEED_DRIVER_MAX_ROWS", 0)
+    b_flat, b_two = fit_both()
+    assert a_flat == b_flat
+    assert a_two[0] == b_two[0]  # coarse centroids
+    assert a_two[1] == b_two[1]  # fine codebooks per cell
+    assert a_two[2] == b_two[2]  # stride
+
+
 def test_maximin_driver_tier_matches_distributed(spark, monkeypatch):
     """The r17 driver-side seeding tier must pick BIT-IDENTICAL seeds
     to the distributed per-pass scan — same expanded-form d2, same
