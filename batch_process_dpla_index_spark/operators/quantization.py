@@ -82,6 +82,26 @@ def pq_train(
     dsub = dim // m
     import numpy as np
 
+    # Driver tier (r17, the kmeans_fit pattern): when the corpus fits
+    # the seeding bound, the whole train loop is driver arithmetic —
+    # no two-window seeding pipeline and no per-iteration Arrow pass +
+    # aggregate + collect round trip. Same seeding total order
+    # (h60(id|j), id), same per-row assign expression; the double mean
+    # sums accumulate in numpy order instead of partial-aggregate
+    # order — the documented final-ulp envelope of a path with no hash
+    # oracle (pq_train feeds only the ann-index product; the
+    # oracle-backed PQ queries use pinned codebooks).
+    from batch_process_dpla_index_spark.operators import clustering as _cl
+
+    if _cl._SEED_DRIVER_MAX_ROWS > 0:
+        probe = (
+            df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+            .limit(_cl._SEED_DRIVER_MAX_ROWS + 1)
+            .collect()
+        )
+        if len(probe) <= _cl._SEED_DRIVER_MAX_ROWS:
+            return _pq_train_driver(probe, dim, m, k, n_iter)
+
     sub = _subvector_rows(df, id_col, vec_col, dim, m)
 
     # deterministic seeding: per subspace, the k subvectors with the
@@ -129,6 +149,44 @@ def pq_train(
         new_books = books.copy()
         for r in stats:
             new_books[r["j"], r["code"], r["pos"]] = r["s"] / r["n"]
+        if float(((new_books - books) ** 2).max()) <= 1e-12:
+            books = new_books
+            break
+        books = new_books
+    return [[list(map(float, c)) for c in book] for book in books]
+
+
+def _pq_train_driver(rows, dim, m, k, n_iter):
+    """Driver-side twin of the distributed PQ train loop over a fully
+    collected (id, vec) list: per-subspace seeding under the same
+    (h60(id|j), id) total order the two-phase window picks, the same
+    ((x − c)²).sum assign expression, means per (subspace, code), and
+    the same 1e-12 max-shift early stop."""
+    import numpy as np
+
+    from batch_process_dpla_index_spark.operators.similarity import _h60_py
+
+    dsub = dim // m
+    if len(rows) < k:
+        raise ValueError(f"corpus has fewer than k={k} rows")
+    ids = [r["id"] for r in rows]
+    mat = np.array([list(r["vec"]) for r in rows], dtype="float64")
+    books = np.zeros((m, k, dsub), dtype="float64")
+    for j in range(m):
+        order = sorted(
+            range(len(ids)), key=lambda i: (_h60_py(f"{ids[i]}|{j}"), ids[i])
+        )
+        for rank, i in enumerate(order[:k]):
+            books[j, rank] = mat[i, j * dsub : (j + 1) * dsub]
+    for _ in range(n_iter):
+        new_books = books.copy()
+        for j in range(m):
+            sl = mat[:, j * dsub : (j + 1) * dsub]
+            d = ((sl[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+            codes = d.argmin(axis=1)
+            for c in np.unique(codes):
+                sub_rows = sl[codes == c]
+                new_books[j, c] = sub_rows.sum(axis=0) / sub_rows.shape[0]
         if float(((new_books - books) ** 2).max()) <= 1e-12:
             books = new_books
             break

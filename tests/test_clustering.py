@@ -176,6 +176,34 @@ def test_pq_codes_shape_range_and_determinism(spark):
     assert codes == codes2
 
 
+def test_pq_train_driver_tier_matches_distributed(spark, monkeypatch):
+    """The r17 pq_train driver tier must agree with the distributed
+    loop: identical seeding/assign total orders; the per-(subspace,
+    code) mean sums accumulate in a different order, so centroids are
+    compared at 1e-9 (far above the final-ulp envelope, far below any
+    code-assignment boundary on this fixture) and the resulting CODES
+    must match exactly."""
+    import batch_process_dpla_index_spark.operators.clustering as cl
+    from batch_process_dpla_index_spark.operators.quantization import (
+        pq_encode,
+        pq_train,
+    )
+    from batch_process_dpla_index_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    a = pq_train(emb, dim=64, m=8, k=16, n_iter=3)
+    monkeypatch.setattr(cl, "_SEED_DRIVER_MAX_ROWS", 0)
+    b = pq_train(emb, dim=64, m=8, k=16, n_iter=3)
+    for j in range(8):
+        for c in range(16):
+            for x, y in zip(a[j][c], b[j][c]):
+                assert abs(x - y) < 1e-9
+    ca = {r.id: r.codes for r in pq_encode(emb, a).collect()}
+    cb = {r.id: r.codes for r in pq_encode(emb, b).collect()}
+    assert ca == cb
+
+
 def test_pq_topk_recall_beats_chance(spark):
     """ADC over PQ codes must recover a meaningful share of the exact
     L2 top-5 (measured 0.22 mean on the synthetic fixture — ~9x the
