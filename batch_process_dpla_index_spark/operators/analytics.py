@@ -657,6 +657,40 @@ def _closed_triangles(canon: DataFrame, oriented: DataFrame) -> DataFrame:
     )
 
 
+def _triangle_core_driver(rows):
+    """Driver-side twin of `_canon_deg_oriented` + `_closed_triangles`
+    over a collected (src, dst) list — all-integer, so every quantity
+    is exact: canonical edge set, per-node degrees, and per-node
+    triangle counts via the SAME degree orientation (each triangle
+    enumerated exactly once at its lowest-(deg, id) apex, then credits
+    all three vertices). Returns (canon, deg, tri_per_node,
+    n_triangles)."""
+    canon = set()
+    for s, d in rows:
+        if s == d:
+            continue
+        canon.add((s, d) if s < d else (d, s))
+    deg: dict = {}
+    for u, v in canon:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    out: dict = {}
+    for u, v in canon:
+        s, d = (u, v) if (deg[u], u) < (deg[v], v) else (v, u)
+        out.setdefault(s, set()).add(d)
+    tri_per_node: dict = {}
+    n_tri = 0
+    for apex, nbrs in out.items():
+        ns = sorted(nbrs)
+        for i, a in enumerate(ns):
+            for c in ns[i + 1:]:
+                if ((a, c) if a < c else (c, a)) in canon:
+                    n_tri += 1
+                    for x in (a, apex, c):
+                        tri_per_node[x] = tri_per_node.get(x, 0) + 1
+    return canon, deg, tri_per_node, n_tri
+
+
 def triangle_count(edges: DataFrame, src_col: str = "src", dst_col: str = "dst") -> DataFrame:
     """Global triangle census over an undirected edge list: node/edge
     counts, wedge count, triangle count, and the global clustering
@@ -672,6 +706,50 @@ def triangle_count(edges: DataFrame, src_col: str = "src", dst_col: str = "dst")
     genuinely lowest). Wedges for the coefficient come free from the
     degree frame (Σ d·(d−1)/2), never materialized.
     """
+    # Driver tier (r17, the graph-op pattern): the census core is
+    # all-integer (exact in any order); the clustering ratio is
+    # computed by the SAME when/round expression over the local frame,
+    # so the emitted double is bit-identical to the distributed plan's.
+    from batch_process_dpla_index_spark.operators.graph import (
+        _driver_edge_probe,
+    )
+
+    probe = _driver_edge_probe(
+        edges, [F.col(src_col).alias("s"), F.col(dst_col).alias("d")]
+    )
+    if probe is not None:
+        canon_s, deg_s, _tri_node, n_tri = _triangle_core_driver(
+            [(r["s"], r["d"]) for r in probe]
+        )
+        from batch_process_dpla_index_spark.operators.dedup import (
+            _with_cached_deps,
+        )
+        from batch_process_dpla_index_spark.operators.relational import (
+            _arrow_local_frame,
+        )
+
+        stats = _arrow_local_frame(
+            edges.sparkSession,
+            [(
+                len(deg_s),
+                len(canon_s),
+                sum(d * (d - 1) // 2 for d in deg_s.values()),
+                n_tri,
+            )],
+            "n_nodes bigint, n_edges bigint, n_wedges bigint, "
+            "n_triangles bigint",
+        )
+        out = stats.select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.when(F.col("n_wedges") > 0,
+                   F.round(3.0 * F.col("n_triangles") / F.col("n_wedges"), 6))
+            .alias("clustering"),
+        )
+        return _with_cached_deps(out, [])
+
     canon, deg, oriented = _canon_deg_oriented(edges, src_col, dst_col)
     node_stats = deg.agg(
         F.count("*").alias("n_nodes"),
@@ -725,6 +803,57 @@ def clustering_coefficients(
         _CheckpointHandle,
         _with_cached_deps,
     )
+
+    # Driver tier (r17, the triangle_count pattern): integer core
+    # driver-side, the lcc divide/round through the same Spark
+    # expression over the local frame.
+    from batch_process_dpla_index_spark.operators.graph import (
+        _driver_edge_probe,
+    )
+
+    probe = _driver_edge_probe(
+        edges, [F.col(src_col).alias("s"), F.col(dst_col).alias("d")]
+    )
+    if probe is not None:
+        _canon_s, deg_s, tri_node, _n_tri = _triangle_core_driver(
+            [(r["s"], r["d"]) for r in probe]
+        )
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        from batch_process_dpla_index_spark.operators.relational import (
+            _arrow_local_frame,
+        )
+
+        base = _arrow_local_frame(
+            edges.sparkSession,
+            [
+                (n, deg_s[n], tri_node.get(n, 0))
+                for n in sorted(deg_s)
+            ],
+            StructType(
+                [
+                    StructField("node", edges.schema[src_col].dataType, True),
+                    StructField("deg", LongType(), True),
+                    StructField("n_triangles", LongType(), True),
+                ]
+            ),
+        )
+        out = base.select(
+            "node",
+            F.col("deg").alias("degree"),
+            F.col("n_triangles"),
+            F.when(
+                F.col("deg") >= 2,
+                F.round(
+                    2.0 * F.col("n_triangles")
+                    / (F.col("deg") * (F.col("deg") - 1)),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("lcc"),
+        )
+        return _with_cached_deps(out, [])
 
     canon, deg, oriented = _canon_deg_oriented(edges, src_col, dst_col)
     closed = _closed_triangles(canon, oriented).select(

@@ -416,6 +416,38 @@ def test_triangle_count_closed_form(spark):
     assert row["clustering"] == 1.0     # 3*4/12: every K4 wedge closes
 
 
+def test_triangle_driver_tier_matches_distributed(spark, monkeypatch):
+    """The r17 driver tier for the triangle census must equal the
+    distributed degree-oriented plan EXACTLY — integer core, and the
+    float columns go through the identical Spark when/round expression
+    over the local frame, so even the divides are bit-equal."""
+    import batch_process_dpla_index_spark.operators.graph as gr
+    from batch_process_dpla_index_spark.operators.analytics import (
+        clustering_coefficients,
+        triangle_count,
+    )
+    from batch_process_dpla_index_spark.operators.dedup import unpersist_deps
+
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+             (5, 6), (6, 5), (2, 1), (7, 7), (4, 5)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+
+    def run_both():
+        t = triangle_count(df)
+        tri = t.collect()
+        unpersist_deps(t)
+        c = clustering_coefficients(df)
+        lcc = sorted(map(tuple, c.collect()))
+        unpersist_deps(c)
+        return tri, lcc
+
+    tri_a, lcc_a = run_both()
+    monkeypatch.setattr(gr, "_GRAPH_DRIVER_MAX_EDGES", 0)
+    tri_b, lcc_b = run_both()
+    assert tri_a == tri_b
+    assert lcc_a == lcc_b
+
+
 def test_bpe_merge_pairs_counts_and_order_sensitivity(spark):
     from pyspark.sql import functions as F
 
