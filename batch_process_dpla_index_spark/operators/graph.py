@@ -546,6 +546,91 @@ def common_neighbors(
     Returns top-``k`` (id_a, id_b, common_neighbors, adamic_adar)
     by score — a bounded frame, TakeOrdered not a global sort.
     """
+    # Driver tier (r17, the triangle-census pattern): integer wedge
+    # core driver-side; the Adamic-Adar fold, rounding, and top-k all
+    # run through the IDENTICAL Spark expressions over the local frame
+    # (sorted degree arrays ride along), so every emitted double and
+    # the ranking are bit-equal to the distributed plan's. Guarded by
+    # the edge bound AND a wedge-work bound (Σ deg² over capped
+    # centers) so a hub-heavy capped graph can't stall the driver.
+    probe = _driver_edge_probe(
+        edges, [F.col(src_col).alias("s"), F.col(dst_col).alias("d")]
+    )
+    if probe is not None:
+        canon_s = set()
+        for r in probe:
+            if r["s"] != r["d"]:
+                canon_s.add(
+                    (r["s"], r["d"]) if r["s"] < r["d"] else (r["d"], r["s"])
+                )
+        adj: dict = {}
+        for u, v in canon_s:
+            adj.setdefault(u, []).append(v)
+            adj.setdefault(v, []).append(u)
+        deg = {z: len(ns) for z, ns in adj.items()}
+        centers = [
+            z for z in adj
+            if max_degree is None or deg[z] <= int(max_degree)
+        ]
+        if sum(deg[z] * deg[z] for z in centers) <= 4_000_000:
+            counts: dict = {}
+            degs: dict = {}
+            for z in centers:
+                ns = sorted(adj[z])
+                dz = deg[z]
+                for i, n1 in enumerate(ns):
+                    for n2 in ns[i + 1:]:
+                        if (n1, n2) in canon_s:
+                            continue
+                        counts[(n1, n2)] = counts.get((n1, n2), 0) + 1
+                        degs.setdefault((n1, n2), []).append(dz)
+            from pyspark.sql.types import (
+                ArrayType,
+                LongType,
+                StructField,
+                StructType,
+            )
+
+            from batch_process_dpla_index_spark.operators.relational import (
+                _arrow_local_frame,
+            )
+
+            dtype = edges.schema[src_col].dataType
+            base = _arrow_local_frame(
+                edges.sparkSession,
+                [
+                    (a, b, counts[(a, b)], sorted(degs[(a, b)]))
+                    for a, b in sorted(counts)
+                ],
+                StructType(
+                    [
+                        StructField("id_a", dtype, True),
+                        StructField("id_b", dtype, True),
+                        StructField("common_neighbors", LongType(), True),
+                        StructField("__degs", ArrayType(LongType()), True),
+                    ]
+                ),
+            )
+            out = base.select(
+                "id_a",
+                "id_b",
+                "common_neighbors",
+                F.round(
+                    F.aggregate(
+                        F.col("__degs"),
+                        F.lit(0.0),
+                        lambda acc, d: acc + F.lit(1.0) / F.log(d),
+                    ),
+                    6,
+                ).alias("adamic_adar"),
+            ).orderBy(
+                F.col("adamic_adar").desc(),
+                F.col("common_neighbors").desc(),
+                F.col("id_a").asc(),
+                F.col("id_b").asc(),
+            ).limit(int(k))
+            return _with_cached_deps(out, [])
+
     # lazy localCheckpoint, not persist: canon feeds FOUR branches
     # (two adjacency directions, the degree aggregate via them, the
     # anti-join) — checkpointing truncates the printed/analyzed

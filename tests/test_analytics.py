@@ -448,6 +448,34 @@ def test_triangle_driver_tier_matches_distributed(spark, monkeypatch):
     assert lcc_a == lcc_b
 
 
+def test_common_neighbors_driver_tier_matches_distributed(spark, monkeypatch):
+    """The r17 driver tier must equal the distributed wedge plan row
+    for row: the integer core is exact, and the Adamic-Adar fold,
+    rounding, and top-k ordering run through the identical Spark
+    expressions over the local frame (sorted degree arrays), so even
+    the doubles are bit-equal. Exercises the degree cap and the
+    existing-edge anti-join."""
+    import batch_process_dpla_index_spark.operators.graph as gr
+    from batch_process_dpla_index_spark.operators.dedup import unpersist_deps
+
+    edges = [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4), (4, 5), (5, 1),
+             (6, 1), (6, 2), (6, 3), (6, 4), (6, 5), (7, 7), (2, 1)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+
+    def run(max_degree):
+        out = gr.common_neighbors(df, max_degree=max_degree, k=10)
+        rows = [tuple(r) for r in out.collect()]
+        unpersist_deps(out)
+        return rows
+
+    for cap in (None, 4):
+        a = run(cap)
+        monkeypatch.setattr(gr, "_GRAPH_DRIVER_MAX_EDGES", 0)
+        b = run(cap)
+        monkeypatch.setattr(gr, "_GRAPH_DRIVER_MAX_EDGES", 131072)
+        assert a == b, (cap, a, b)
+
+
 def test_bpe_merge_pairs_counts_and_order_sensitivity(spark):
     from pyspark.sql import functions as F
 

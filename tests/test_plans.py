@@ -513,11 +513,15 @@ def test_hits_iterations_are_checkpointed(spark, monkeypatch):
     assert plan.count("Exchange hashpartitioning") <= 4, plan
 
 
-def test_common_neighbors_wedge_plan_is_truncated_topk(spark):
+def test_common_neighbors_wedge_plan_is_truncated_topk(spark, monkeypatch):
     """The shared canonical-edge and center frames checkpoint (four
     consumers — two adjacency directions, degree agg, anti-join), so
     the wedge stage is two exchanges over materialized RDDs; the
-    final ranking is TakeOrdered, never a global sort."""
+    final ranking is TakeOrdered, never a global sort. Pins the
+    DISTRIBUTED plan (the r17 driver tier returns a LocalTableScan)."""
+    import batch_process_dpla_index_spark.operators.graph as gr
+
+    monkeypatch.setattr(gr, "_GRAPH_DRIVER_MAX_EDGES", 0)
     plan = _plan(spark, "common_neighbors")
     assert "Scan ExistingRDD" in plan, plan
     assert plan.count("Exchange hashpartitioning") <= 4, plan
