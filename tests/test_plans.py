@@ -451,11 +451,16 @@ def test_bpe_merges_no_join_no_window(spark):
     assert "TakeOrderedAndProject" in plan, plan
 
 
-def test_triangle_count_plan_is_checkpoint_truncated(spark):
+def test_triangle_count_plan_is_checkpoint_truncated(spark, monkeypatch):
     """The census crossJoins aggregates of the SAME checkpointed
     frames — lineage must be truncated (materialized-RDD scans), not
     re-planned per branch: a lazy cache here re-printed ~300 phantom
-    exchanges and re-planned the edge build under every branch."""
+    exchanges and re-planned the edge build under every branch. Pins
+    the DISTRIBUTED plan (the r17 driver tier returns a
+    LocalTableScan)."""
+    import batch_process_dpla_index_spark.operators.graph as gr
+
+    monkeypatch.setattr(gr, "_GRAPH_DRIVER_MAX_EDGES", 0)
     plan = _plan(spark, "triangle_count")
     assert plan.count("Exchange hashpartitioning") <= 4, plan
     assert "Scan ExistingRDD" in plan, plan
