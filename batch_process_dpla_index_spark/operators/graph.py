@@ -733,6 +733,66 @@ def kcore_decomposition(
     """
     if k < 1:
         raise ValueError("kcore_decomposition: k must be >= 1")
+    # Driver tier (r17, the graph-op pattern): the peel is all-integer
+    # (the same symmetric distinct adjacency, the same
+    # drop-degree-below-k rounds), so the driver result is bit-exact;
+    # the only liberty is stopping early once a round drops nothing —
+    # the remaining rounds are no-ops by monotonicity.
+    probe = _driver_edge_probe(
+        edges, [F.col(src_col).alias("s"), F.col(dst_col).alias("d")]
+    )
+    if probe is not None:
+        sym = set()
+        for r in probe:
+            if r["s"] != r["d"]:
+                sym.add((r["s"], r["d"]))
+                sym.add((r["d"], r["s"]))
+        deg_full_d: dict = {}
+        for z, _n in sym:
+            deg_full_d[z] = deg_full_d.get(z, 0) + 1
+        live_set = sym
+        for _ in range(int(iterations)):
+            cnt: dict = {}
+            for z, _n in live_set:
+                cnt[z] = cnt.get(z, 0) + 1
+            keep = {z for z, c in cnt.items() if c >= int(k)}
+            nxt = {
+                (z, n) for z, n in live_set if z in keep and n in keep
+            }
+            if len(nxt) == len(live_set):
+                break
+            live_set = nxt
+        core_d: dict = {}
+        for z, _n in live_set:
+            core_d[z] = core_d.get(z, 0) + 1
+        from pyspark.sql.types import (
+            BooleanType,
+            LongType,
+            StructField,
+            StructType,
+        )
+
+        from batch_process_dpla_index_spark.operators.relational import (
+            _arrow_local_frame,
+        )
+
+        out = _arrow_local_frame(
+            edges.sparkSession,
+            [
+                (z, deg_full_d[z], z in core_d, core_d.get(z, 0))
+                for z in sorted(deg_full_d)
+            ],
+            StructType(
+                [
+                    StructField("node", edges.schema[src_col].dataType, True),
+                    StructField("degree_full", LongType(), True),
+                    StructField("in_core", BooleanType(), True),
+                    StructField("core_degree", LongType(), True),
+                ]
+            ),
+        )
+        return _with_cached_deps(out, [])
+
     adj = (
         edges.select(F.col(src_col).alias("z"), F.col(dst_col).alias("n"))
         .unionAll(

@@ -890,6 +890,30 @@ def test_kcore_peels_pendant_chain_keeps_clique(spark):
     assert rows[5]["degree_full"] == 2
 
 
+def test_kcore_driver_tier_matches_distributed(spark, monkeypatch):
+    """The r17 kcore driver tier is all-integer and must equal the
+    distributed peel row-for-row (early-stop on a no-drop round is a
+    no-op by monotonicity)."""
+    import batch_process_dpla_index_spark.operators.graph as gr
+    from batch_process_dpla_index_spark.operators.dedup import unpersist_deps
+
+    # K4 core + a pendant chain that peels over several rounds
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+             (4, 5), (5, 6), (6, 7), (2, 1)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+
+    def run():
+        out = gr.kcore_decomposition(df, k=3, iterations=12)
+        rows = sorted(tuple(r) for r in out.collect())
+        unpersist_deps(out)
+        return rows
+
+    a = run()
+    monkeypatch.setattr(gr, "_GRAPH_DRIVER_MAX_EDGES", 0)
+    b = run()
+    assert a == b
+
+
 def test_kcore_ignores_self_loops_and_nulls(spark):
     from batch_process_dpla_index_spark.operators.graph import kcore_decomposition
 
