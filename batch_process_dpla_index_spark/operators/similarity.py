@@ -1414,7 +1414,6 @@ def match_assigned_against_stored(
     per batch vector: (id, cell, n_matches, is_new, best_match_id,
     best_score)."""
     from batch_process_dpla_index_spark.functions.vectors import cosine
-    from pyspark.sql import Window
 
     probing = assigned.select(
         F.col("id").alias("q_id"),
@@ -1427,21 +1426,19 @@ def match_assigned_against_stored(
         .withColumn("__cos", cosine(F.col("q_vec"), F.col("c_vec")))
         .where(F.col("__cos") >= F.lit(float(threshold)))
     )
-    w = Window.partitionBy("q_id").orderBy(
-        F.col("__cos").desc_nulls_last(), F.col("c_id").asc()
+    # winner pick as ONE aggregate instead of row_number-over-window +
+    # groupBy (r18, guide §2.4): max over struct(__cos, -c_id) is the
+    # lexicographic (score DESC, id ASC) winner — the exact row the old
+    # window's rn==1 selected (Spark orders NaN greatest on both paths,
+    # and __cos is never NULL past the threshold filter) — and it drops
+    # one Exchange+Sort from every plan that reads the best_* columns.
+    best = F.max(
+        F.struct(F.col("__cos").alias("s"), (-F.col("c_id")).alias("nid"))
     )
-    matches = (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .groupBy("q_id")
-        .agg(
-            F.count("*").cast("bigint").alias("n_matches"),
-            F.max(F.when(F.col("__rn") == 1, F.col("c_id"))).alias(
-                "best_match_id"
-            ),
-            F.round(
-                F.max(F.when(F.col("__rn") == 1, F.col("__cos"))), 6
-            ).alias("best_score"),
-        )
+    matches = scored.groupBy("q_id").agg(
+        F.count("*").cast("bigint").alias("n_matches"),
+        (-best.getField("nid")).alias("best_match_id"),
+        F.round(best.getField("s"), 6).alias("best_score"),
     )
     base = assigned.select(
         F.col("id"), F.element_at("cells", 1).alias("cell")

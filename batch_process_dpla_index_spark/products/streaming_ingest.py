@@ -82,7 +82,15 @@ def _dedup_ingest_available(
         n_seen = batch_df.count()
         matches = check_fn(batch_df, int(batch_id))
         dup_ids = dup_ids_fn(matches)
-        survivors = batch_df.join(dup_ids, id_col, "left_anti").persist()
+        # broadcast the dup-id set: it is bounded by the micro-batch
+        # size (one row per matched batch id), and without the hint the
+        # planner can only see an unknown-size aggregate and falls back
+        # to a sort-merge anti join — an Exchange+Sort on BOTH sides of
+        # a ≤|batch|-row join, two extra stage waves per micro-batch
+        # (r18, guide §3.1)
+        survivors = batch_df.join(
+            F.broadcast(dup_ids), id_col, "left_anti"
+        ).persist()
         (
             survivors.withColumn("batch", F.lit(int(batch_id)))
             .write.mode("overwrite")
