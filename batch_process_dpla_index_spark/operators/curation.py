@@ -1193,7 +1193,6 @@ def contamination_screened(
     rows could never survive the semi-join anyway."""
     from batch_process_dpla_index_spark.operators.dedup import (
         _with_cached_deps,
-        overlap_from_sig_arrays,
         shingle_sets,
         source_sig_from_postings,
     )
@@ -1210,69 +1209,129 @@ def contamination_screened(
         .distinct()
         .persist()
     )
-    sig_arr = source_sig_from_postings(ex, num_perm).persist()
-    est = overlap_from_sig_arrays(sig_arr, num_perm).where(
-        F.col("est_jaccard") >= est_threshold
+    # ---- tier 1, driver-side (r18, guide §1.2/§5): the signature
+    # frame is |sources| × (num_perm+1) ints — the SAME bounded-
+    # metadata contract products/overlap_index.py already collects
+    # through the driver on every refresh — so the pairwise screen is
+    # integer equality counts over collected rows, not a broadcast
+    # self-join + zip_with + union + two persists' worth of codegen
+    # stages (this query sits at the bench head and paid first-run JIT
+    # for every one of them). Values are bit-identical: n_eq is an
+    # integer, est = round(n_eq/num_perm, 6) replayed with the exact
+    # HALF_UP-over-shortest-repr arithmetic Spark's round(double)
+    # performs (identity anyway for power-of-two num_perm).
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from batch_process_dpla_index_spark.operators.relational import (
+        _arrow_local_frame,
     )
-    # both orientations: the estimate is symmetric (a < b), the exact
-    # containment is not
-    flagged = (
-        est.select("source_a", "source_b", "est_jaccard")
-        .unionByName(
-            est.select(
-                F.col("source_b").alias("source_a"),
-                F.col("source_a").alias("source_b"),
-                "est_jaccard",
+
+    sig_rows = sorted(
+        (r["source"], r["sig"])
+        for r in source_sig_from_postings(ex, num_perm).collect()
+    )
+    flagged_ab: list[tuple[str, str, float]] = []
+    for i in range(len(sig_rows)):
+        sa, va = sig_rows[i]
+        for j in range(i + 1, len(sig_rows)):
+            sb, vb = sig_rows[j]
+            n_eq = sum(1 for x, y in zip(va, vb) if x == y)
+            est = float(
+                Decimal(repr(n_eq / float(num_perm))).quantize(
+                    Decimal("0.000001"), ROUND_HALF_UP
+                )
             )
-        )
-        .persist()
+            if est >= est_threshold:
+                flagged_ab.append((sa, sb, est))
+    flagged_sources = sorted(
+        {s for a, b, _ in flagged_ab for s in (a, b)}
     )
-    flagged_sources = (
-        flagged.select(F.col("source_a").alias("src"))
-        .unionByName(flagged.select(F.col("source_b").alias("src")))
-        .distinct()
+    flagged = _arrow_local_frame(
+        df.sparkSession,
+        flagged_ab,
+        "source_a string, source_b string, est_jaccard double",
     )
     posts = (
         # flagged sources only — the posting frame never carries a
         # source the screen cleared; ``ex`` is cached, so this is a
         # filter over the already-materialized distinct postings
-        ex.join(F.broadcast(flagged_sources), "src", "left_semi").persist()
+        ex.join(
+            F.broadcast(
+                _arrow_local_frame(
+                    df.sparkSession,
+                    [(s,) for s in flagged_sources],
+                    "src string",
+                )
+            ),
+            "src",
+            "left_semi",
+        ).persist()
     )
-    sizes = posts.groupBy("src").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_sh")
+    # per-source distinct-shingle counts, collected once (the same
+    # bounded |sources| metadata as the signatures): the containment
+    # denominators and the pair estimate then ride ONE post-aggregate
+    # broadcast join below instead of an est column through the
+    # fan-out shuffle plus two size-aggregate broadcast joins
+    size_map = {
+        r["src"]: r["n_sh"]
+        for r in posts.groupBy("src")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sh"))
+        .collect()
+    }
+    pair_meta = _arrow_local_frame(
+        df.sparkSession,
+        [
+            (a, b, est, size_map[a], size_map[b])
+            for a, b, est in flagged_ab
+        ],
+        "source_a string, source_b string, est_jaccard double, "
+        "__na bigint, __nb bigint",
     )
     # pair restriction BEFORE the posting join: fan each of a's
     # posting rows out by a's flagged partners (broadcast — bounded by
     # the flag degree), then one (source_b, shingle) equi-join where
     # every row matches at most once (posting lists are distinct). A
     # stop-shingle costs |posts| × flag-degree rows, never
-    # |sources-containing-shingle|² per shingle.
+    # |sources-containing-shingle|² per shingle. r18: the fan-out uses
+    # only the a < b orientation — n_shared is symmetric, so each
+    # unordered pair is aggregated ONCE (half the old fan-out/shuffle)
+    # and both output orientations are emitted from that row below.
     pairs = (
         posts.select(F.col("src").alias("source_a"), "shingle")
-        .join(F.broadcast(flagged), "source_a")
+        .join(F.broadcast(flagged.select("source_a", "source_b")), "source_a")
         .join(
             posts.select(F.col("src").alias("source_b"), "shingle"),
             ["source_b", "shingle"],
         )
-        .groupBy("source_a", "source_b", "est_jaccard")
+        .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
     )
+    sized = pairs.join(F.broadcast(pair_meta), ["source_a", "source_b"])
+    _cont = lambda d: F.round(  # noqa: E731
+        F.col("n_shared").cast("double") / d.cast("double"), 6
+    )
     out = (
-        pairs.join(
-            F.broadcast(sizes.withColumnRenamed("src", "source_b")),
-            "source_b",
+        sized.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("source_a"),
+                        F.col("source_b"),
+                        F.col("n_shared"),
+                        _cont(F.col("__nb")).alias("containment"),
+                        F.col("est_jaccard"),
+                    ),
+                    F.struct(
+                        F.col("source_b").alias("source_a"),
+                        F.col("source_a").alias("source_b"),
+                        F.col("n_shared"),
+                        _cont(F.col("__na")).alias("containment"),
+                        F.col("est_jaccard"),
+                    ),
+                )
+            ).alias("__r")
         )
-        .select(
-            "source_a",
-            "source_b",
-            "n_shared",
-            F.round(
-                F.col("n_shared").cast("double")
-                / F.col("n_sh").cast("double"),
-                6,
-            ).alias("containment"),
-            "est_jaccard",
-        )
+        .select("__r.*")
         .orderBy("source_a", "source_b")
     )
-    return _with_cached_deps(out, [ex, sig_arr, flagged, posts])
+    return _with_cached_deps(out, [ex, posts])
