@@ -1729,19 +1729,83 @@ def merge_source_signatures(
     )
 
 
+def spark_round6(x: float) -> float:
+    """Driver-side replay of Spark's ``round(double, 6)``: HALF_UP over
+    the shortest round-trip decimal representation (BigDecimal.valueOf
+    semantics; Python ``repr`` produces the same shortest string).
+    Identity whenever x already has <= 6 decimal digits — e.g. every
+    k/num_perm with num_perm a power of two — but exact for any
+    num_perm, so the driver overlap tier never drifts from the
+    distributed expression."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+    )
+
+
+_SIG_DRIVER_SOURCES_ENV = "SPARK_GRAFT_SIG_DRIVER_SOURCES"
+
+
+def _sig_driver_cap() -> int:
+    import os
+
+    try:
+        return int(os.environ.get(_SIG_DRIVER_SOURCES_ENV, "65536"))
+    except ValueError:
+        return 65536
+
+
 def overlap_from_signatures(sig: DataFrame, num_perm: int = 64) -> DataFrame:
-    """|sources|² broadcast self-join of a tiny signature frame →
+    """|sources|² pair table from a signature frame →
     (source_a, source_b, n_equal, est_jaccard) for every unordered
     source pair, est_jaccard = matching perms / num_perm.
 
-    The self-join consumes ``sig`` twice and the legs sit behind
-    different exchange types (shuffle vs broadcast), so Spark's
-    exchange reuse never fires: the signature upstream (scan +
-    aggregate) runs once per leg. That recompute is the MEASURED
-    winner — persisting the 65-column frame costs more than the
-    second 0.8 s leg (sf0.1 4×-warm: recompute 1.8 s vs persist
-    2.4 s; the quantile_bins two-scans-beat-one-cache pattern), so
-    this stays persist-free on purpose."""
+    Driver tier (r18, the bounded-collect pattern of the r17 CC/graph
+    tiers): the signature frame is |sources| × (num_perm+1) ints —
+    snapshot-log-sized metadata, the SAME contract under which
+    products/overlap_index.py collects it on every refresh — so when
+    it fits ``$SPARK_GRAFT_SIG_DRIVER_SOURCES`` (default 65536, 0
+    disables) it is collected ONCE and the pair counts are integer
+    equality sums on the driver (bit-exact; the estimate replays
+    Spark's round via :func:`spark_round6`). This also halves the
+    upstream work: the distributed self-join's two legs each re-ran
+    the whole signature pipeline (the legs sit behind different
+    exchange types, so exchange reuse never fires — and persisting the
+    65-column frame measured SLOWER than the recompute in r17).
+    A NULL source or NULL perm value, or an over-cap frame, falls back
+    to the distributed join unchanged."""
+    cap = _sig_driver_cap()
+    if cap:
+        probe = sig.limit(cap + 1).collect()
+        if len(probe) <= cap and all(
+            r["source"] is not None
+            and all(r[f"__p{i}"] is not None for i in range(num_perm))
+            for r in probe
+        ):
+            from batch_process_dpla_index_spark.operators.relational import (
+                _arrow_local_frame,
+            )
+
+            rows = sorted(
+                (r["source"], tuple(r[f"__p{i}"] for i in range(num_perm)))
+                for r in probe
+            )
+            out = []
+            for i in range(len(rows)):
+                sa, va = rows[i]
+                for j in range(i + 1, len(rows)):
+                    sb, vb = rows[j]
+                    n_eq = sum(1 for x, y in zip(va, vb) if x == y)
+                    out.append(
+                        (sa, sb, n_eq, spark_round6(n_eq / float(num_perm)))
+                    )
+            return _arrow_local_frame(
+                sig.sparkSession,
+                out,
+                "source_a string, source_b string, n_equal bigint, "
+                "est_jaccard double",
+            )
     left = sig.select(
         F.col("source").alias("source_a"),
         *[F.col(f"__p{i}").alias(f"__l{i}") for i in range(num_perm)],

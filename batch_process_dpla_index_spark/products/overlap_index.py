@@ -42,7 +42,6 @@ from pyspark.sql import functions as F
 
 from batch_process_dpla_index_spark.io.manifest import read_manifest, write_manifest
 from batch_process_dpla_index_spark.operators.dedup import (
-    merge_source_signatures,
     overlap_from_signatures,
     source_signatures,
 )
@@ -155,21 +154,45 @@ def refresh_overlap_index(
     # rebuilds from the delta alone (new data serves normally, the
     # other index products' watermark flow) and its tombstone clears
     # below.
-    stored = _live_signatures(spark, index_dir)
-    delta_sig = source_signatures(
-        delta_docs, text_col, source_col, n, num_perm, use_pandas=use_pandas
-    )
-    merged = merge_source_signatures(stored, delta_sig, num_perm)
     # bounded-metadata driver hop (|sources| × 65 ints): makes the
     # self-overwrite safe and the new artifact a clean single write.
-    # The hop goes through ARROW both ways (toPandas → createDataFrame
-    # from pandas → JVM LocalRelation): the list-of-Rows route plans
-    # the write over a Python-pickled RDD and pays a Python-worker
-    # round trip PER REFRESH — measured 3.4-4.0 s of the refresh
-    # phase for a 20-row frame vs 0.13 s via Arrow (the r9 bench's
-    # 'position variance' on this product was exactly this cost).
-    pdf = merged.toPandas()
-    out = spark.createDataFrame(pdf, merged.schema)
+    # r18: the merge itself happens ON the driver — both sides were
+    # already collected through it (the hop predates this round), and
+    # the union-MinHash identity is an elementwise integer min, so the
+    # old full-outer sort-merge join (two Exchanges + Sorts for two
+    # |sources|-row frames, per refresh) bought nothing. Semantics
+    # identical to merge_source_signatures: least() skips NULLs, a
+    # one-sided source keeps its own mins verbatim.
+    stored_rows = _live_signatures(spark, index_dir).collect()
+    delta_rows = source_signatures(
+        delta_docs, text_col, source_col, n, num_perm, use_pandas=use_pandas
+    ).collect()
+    acc: dict[str, list] = {
+        r["source"]: [r[f"__p{i}"] for i in range(num_perm)]
+        for r in stored_rows
+    }
+    for r in delta_rows:
+        vals = [r[f"__p{i}"] for i in range(num_perm)]
+        cur = acc.get(r["source"])
+        acc[r["source"]] = (
+            vals
+            if cur is None
+            else [
+                y if x is None else (x if y is None else min(x, y))
+                for x, y in zip(cur, vals)
+            ]
+        )
+    merged_rows = [(s, *acc[s]) for s in sorted(acc)]
+    from batch_process_dpla_index_spark.operators.relational import (
+        _arrow_local_frame,
+    )
+
+    out = _arrow_local_frame(
+        spark,
+        merged_rows,
+        "source string, "
+        + ", ".join(f"__p{i} bigint" for i in range(num_perm)),
+    )
     # coalesce(1) here, unlike build: `out` is driver-created — there
     # is no upstream stage whose parallelism a shuffle would protect
     out.coalesce(1).write.mode("overwrite").parquet(_sig_path(index_dir))
@@ -213,7 +236,7 @@ def refresh_overlap_index(
 
             clear_tombstones(index_dir)
         manifest["Tombstone count"] = str(len(remaining))
-    manifest["Record count"] = str(len(pdf))
+    manifest["Record count"] = str(len(merged_rows))
     manifest["refresh_count"] = str(int(manifest.get("refresh_count", "0")) + 1)
     write_manifest(manifest, index_dir)
     return manifest
