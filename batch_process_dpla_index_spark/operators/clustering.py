@@ -158,10 +158,15 @@ def _kmeans_fit_driver(rows, k, n_iter, tol, init, update_grid):
     collected corpus — the SAME per-row assign expression
     (argmin ‖c‖² − 2·x·c) and the SAME update arithmetic. With
     ``update_grid`` the per-(cell, dim) sums are exact BIGINTs
-    (integer addition commutes), so the fitted centroids are
-    bit-identical to the distributed fit by construction — the same
+    (integer addition commutes), so each UPDATE is bit-identical to
+    the distributed fit given the same assignment — the same
     order-insensitivity that gives the registry's kmeans queries their
-    cross-engine SQL oracles. Without a grid the double sums
+    cross-engine SQL oracles. (The assign matmul itself is the one
+    residual envelope: a whole-corpus ``mat @ cents.T`` may round a
+    near-TIED distance differently than the per-Arrow-batch matmuls —
+    BLAS blocking differs by shape — which could flip a tied cell;
+    the r17 ADVICE note. Same near-tie class as the no-grid path
+    below, observed never on the fixtures.) Without a grid the double sums
     accumulate in numpy reduction order instead of Spark's partial-
     aggregate order — final-ulp drift on a path that has no hash
     oracle (the ann-index products; their tests pin recall bounds and
@@ -243,8 +248,10 @@ def _maximin_seeds(
             return _maximin_seeds_driver(probe, k)
 
     first = (
-        df.select(F.col(vec_col).alias("vec"), h60(F.col(id_col).cast("string")).alias("__h"))
-        .orderBy("__h")
+        # id tie-break (r17 ADVICE): match the driver twin's (__h, id)
+        # total order under h60 collisions
+        df.select(F.col(vec_col).alias("vec"), h60(F.col(id_col).cast("string")).alias("__h"), F.col(id_col).alias("__id"))
+        .orderBy("__h", "__id")
         .limit(1)
         .collect()
     )
@@ -355,8 +362,11 @@ def kmeans_fit(
         centroids = _maximin_seeds(df, id_col, vec_col, k, skip_probe=True)
     else:
         rows = (
-            df.select(F.col(vec_col).alias("vec"), h60(F.col(id_col).cast("string")).alias("__h"))
-            .orderBy("__h")
+            # id tie-break (r17 ADVICE): the driver twin orders by
+            # (__h, id); without it an h60 collision makes this pick
+            # nondeterministic and the two tiers could diverge
+            df.select(F.col(vec_col).alias("vec"), h60(F.col(id_col).cast("string")).alias("__h"), F.col(id_col).alias("__id"))
+            .orderBy("__h", "__id")
             .limit(k)
             .collect()
         )

@@ -693,15 +693,16 @@ def incremental_dedup(
         )
         .filter(F.col("jaccard") >= threshold)
     )
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("new_id").orderBy(
-        F.col("jaccard").desc(), F.col("dup_of").asc()
+    # best match as ONE aggregate instead of row_number-over-window
+    # (r18, guide §2.4): max over struct(jaccard, -dup_of) is the
+    # lexicographic (jaccard DESC, dup_of ASC) winner — the exact row
+    # the old rn==1 filter kept — and drops one Exchange+Sort.
+    __b = F.max(
+        F.struct(F.col("jaccard").alias("j"), (-F.col("dup_of")).alias("nid"))
     )
-    best = (
-        verified.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("new_id", "dup_of", F.round("jaccard", 6).alias("jaccard"))
+    best = verified.groupBy("new_id").agg(
+        (-__b.getField("nid")).alias("dup_of"),
+        F.round(__b.getField("j"), 6).alias("jaccard"),
     )
     return _with_cached_deps(best, [new_sig, corp_sig])
 

@@ -99,7 +99,13 @@ def pq_train(
             .limit(_cl._SEED_DRIVER_MAX_ROWS + 1)
             .collect()
         )
-        if len(probe) <= _cl._SEED_DRIVER_MAX_ROWS:
+        # NULL guard (r17 ADVICE): a NULL id would seed via
+        # _h60_py('None|j') while the distributed concat_ws SKIPS
+        # NULLs, and a NULL vec would raise — mirror _driver_edge_probe
+        # and fall through to the distributed loop instead.
+        if len(probe) <= _cl._SEED_DRIVER_MAX_ROWS and all(
+            r["id"] is not None and r["vec"] is not None for r in probe
+        ):
             return _pq_train_driver(probe, dim, m, k, n_iter)
 
     sub = _subvector_rows(df, id_col, vec_col, dim, m)

@@ -323,8 +323,13 @@ def build_ann_index(
         )
 
     # count from the freshly written parquet footers — recounting the
-    # unpersisted `stored` frame would re-run the whole encode DAG
-    n_vecs = spark.read.parquet(os.path.join(index_dir, "cells")).count()
+    # unpersisted `stored` frame would re-run the whole encode DAG;
+    # r18: read the footers on the driver (no Spark job)
+    from batch_process_dpla_index_spark.products.index_tombstones import (
+        parquet_rowcount,
+    )
+
+    n_vecs = parquet_rowcount(os.path.join(index_dir, "cells"))
     manifest = {
         "dim": str(dim),
         "n_cells": str(n_cells),

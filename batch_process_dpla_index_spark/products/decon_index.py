@@ -203,9 +203,11 @@ def append_to_decon_index(
     # count from the artifact (parquet footer metadata), not
     # stored-manifest + n_delta: self-healing if a prior crash left
     # the manifest stale
-    manifest["Benchmark items"] = str(
-        spark.read.parquet(_sig_path(index_dir)).count()
+    from batch_process_dpla_index_spark.products.index_tombstones import (
+        parquet_rowcount,
     )
+
+    manifest["Benchmark items"] = str(parquet_rowcount(_sig_path(index_dir)))
     write_manifest(manifest, index_dir)
     return manifest
 

@@ -243,15 +243,20 @@ def incremental_dedup_indexed(
         )
         .filter(F.col("jaccard") >= threshold)
     )
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("new_id").orderBy(
-        F.col("jaccard").desc(), F.col("dup_of").asc()
+    # best match as ONE aggregate instead of row_number-over-window
+    # (r18, guide §2.4): max over struct(jaccard, -dup_of) is the
+    # lexicographic (jaccard DESC, dup_of ASC) winner — the exact row
+    # the old rn==1 filter kept — and drops one Exchange+Sort from
+    # every serve action.
+    __b = F.max(
+        F.struct(F.col("jaccard").alias("j"), (-F.col("dup_of")).alias("nid"))
     )
     out = (
-        verified.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("new_id", "dup_of", F.round("jaccard", 6).alias("jaccard"))
+        verified.groupBy("new_id")
+        .agg(
+            (-__b.getField("nid")).alias("dup_of"),
+            F.round(__b.getField("j"), 6).alias("jaccard"),
+        )
         # r17 (guide §5 caching): callers that act on the matches and
         # then anti-join them (novel-set selection, survivor appends)
         # used to re-run the whole candidate+verify pipeline on the

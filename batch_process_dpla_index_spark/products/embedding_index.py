@@ -219,10 +219,13 @@ def build_embedding_index(
     # them — build overwrites the corpus, so the delete set is spent
     clear_tombstones(index_dir)
     # count from the freshly written parquet footers — recounting the
-    # caller's (possibly derived) frame would re-run its whole lineage
-    n_vecs = (
-        vecs.sparkSession.read.parquet(os.path.join(index_dir, "cells")).count()
+    # caller's (possibly derived) frame would re-run its whole lineage;
+    # r18: read the footers on the driver (no Spark job)
+    from batch_process_dpla_index_spark.products.index_tombstones import (
+        parquet_rowcount,
     )
+
+    n_vecs = parquet_rowcount(os.path.join(index_dir, "cells"))
     manifest = {
         "dim": str(int(dim)),
         "n_cells": str(int(n_cells)),

@@ -66,6 +66,25 @@ def keyed_repartition(df: DataFrame, n: "int | None", *cols: str) -> DataFrame:
     return df.repartition(n, *[F.col(c) for c in cols])
 
 
+def parquet_rowcount(path: str) -> int:
+    """Row count from the parquet FOOTERS, driver-side — no Spark job,
+    no listing/scan stage (r18, guide §1.2: the count is metadata the
+    writer already produced). Sums ``num_rows`` over every part file
+    under ``path`` (Hive partition dirs included); at any scale this
+    reads one footer per file, the same metadata volume the old
+    ``spark.read.parquet(path).count()`` job fetched through tasks."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    return sum(
+        pq.ParquetFile(f).metadata.num_rows
+        for f in _glob.glob(
+            os.path.join(path, "**", "*.parquet"), recursive=True
+        )
+    )
+
+
 def _tombstones_dir(index_dir: str) -> str:
     return os.path.join(index_dir, "tombstones")
 
@@ -198,8 +217,22 @@ def delete_from_index(
     stored = spark.read.parquet(os.path.join(index_dir, primary_dir))
     wm = 0
     if "ingest_batch" in stored.columns:
-        wm_row = stored.agg(F.max("ingest_batch").alias("m")).first()
-        wm = int(wm_row["m"] or 0)
+        # ingest_batch is a Hive PARTITION column on every write path,
+        # so its max is the max over the partition directory names — a
+        # driver-side listing, not an aggregate job (r18, guide §1.2).
+        # Any surprise in the layout falls back to the old aggregate.
+        try:
+            wm = max(
+                (
+                    int(d.split("=", 1)[1])
+                    for d in os.listdir(os.path.join(index_dir, primary_dir))
+                    if d.startswith("ingest_batch=")
+                ),
+                default=0,
+            )
+        except (OSError, ValueError):
+            wm_row = stored.agg(F.max("ingest_batch").alias("m")).first()
+            wm = int(wm_row["m"] or 0)
     # repartition(1), never coalesce(1): coalesce would collapse any
     # upstream computation of a derived ids frame onto one task
     (
@@ -306,14 +339,15 @@ def compact_index_tombstones(
             "ingest_batch" if "ingest_batch" in stored.columns else None,
         )
         if i == 0:
-            # survivor count from the freshly WRITTEN footers (a
-            # metadata-weight scan) — the anti-join now runs ONCE, in
-            # the write; the old persist+count+write shape paid a
-            # second materialization of the survivor frame per dataset
-            # (guide §1.2: don't compute things twice). The empty
-            # refusal happens before any swap, so state is unchanged:
-            # only the staging dir is written, and it is removed here.
-            n_live = spark.read.parquet(tmp_dir).count()
+            # survivor count from the freshly WRITTEN footers — the
+            # anti-join now runs ONCE, in the write; the old
+            # persist+count+write shape paid a second materialization
+            # of the survivor frame per dataset (guide §1.2: don't
+            # compute things twice). r18: the footer read happens on
+            # the driver (parquet_rowcount), not as a Spark job. The
+            # empty refusal happens before any swap, so state is
+            # unchanged: only the staging dir is written/removed here.
+            n_live = parquet_rowcount(tmp_dir)
             if n_live == 0:
                 # an empty dataset is unreadable (no part files, no
                 # schema) — every later serve would crash obscurely;

@@ -92,7 +92,11 @@ def build_overlap_index(
     )
 
     clear_tombstones(index_dir)
-    n_sources = docs.sparkSession.read.parquet(_sig_path(index_dir)).count()
+    from batch_process_dpla_index_spark.products.index_tombstones import (
+        parquet_rowcount,
+    )
+
+    n_sources = parquet_rowcount(_sig_path(index_dir))
     manifest = {
         "shingle_n": str(n),
         "num_perm": str(num_perm),

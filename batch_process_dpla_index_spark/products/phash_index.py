@@ -269,15 +269,20 @@ def incremental_phash_dedup_indexed(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("new_id").orderBy(
-        F.col("hamming").asc(), F.col("dup_of").asc()
+    # best match as ONE aggregate instead of row_number-over-window
+    # (r18, guide §2.4): min over struct(hamming, dup_of) is the
+    # lexicographic (hamming ASC, dup_of ASC) winner — the exact row
+    # the old rn==1 filter kept (all-integer, bit-exact) — and drops
+    # one Exchange+Sort from every serve action.
+    __b = F.min(
+        F.struct(F.col("hamming").alias("h"), F.col("dup_of").alias("d"))
     )
     out = (
-        verified.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("new_id", "dup_of", "hamming")
+        verified.groupBy("new_id")
+        .agg(
+            __b.getField("d").alias("dup_of"),
+            __b.getField("h").alias("hamming"),
+        )
         # r17 (guide §5 caching): the ingest hot path reads this frame
         # TWICE — the caller's action, then `survivor_signatures`'s
         # anti-join inside the append — and the second read used to

@@ -143,7 +143,14 @@ def export_training_shards(
             unpersist_deps(sd)
         if sem is not None:
             unpersist_deps(sem)
-    n_docs = spark.read.parquet(out_dir).count()
+    # manifest doc count from the freshly written parquet footers,
+    # driver-side (r18) — the old read-back count job re-listed and
+    # re-scanned the shard dataset it had just produced
+    from batch_process_dpla_index_spark.products.index_tombstones import (
+        parquet_rowcount,
+    )
+
+    n_docs = parquet_rowcount(out_dir)
     opts = {
         "Seed": seed,
         "Shards": str(n_shards),
