@@ -923,9 +923,16 @@ def q_image_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     same checkpointed min-label-propagation fixpoint the text dedup
     family uses; the oracle replays it with a recursive
     transitive-closure CTE."""
+    return _image_survivors_from(_blob_corpus_with_variants(spark, sf_dir))
+
+
+def _image_survivors_from(corpus: DataFrame) -> DataFrame:
+    """The image chain over a caller-supplied blob corpus — ONE body
+    shared by the registry query and modality_dup_report (which passes
+    a persisted corpus so the three report chains share one
+    materialized blob frame instead of re-deriving it per chain)."""
     from batch_process_dpla_index_spark.operators.multimodal import image_near_dup
 
-    corpus = _blob_corpus_with_variants(spark, sf_dir)
     return _blob_survivors(
         corpus,
         image_near_dup(corpus, "blob", "doc_id", bits=60, max_hamming=3),
@@ -1065,25 +1072,32 @@ def q_modality_dup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = row("text", exact_dedup(docs, "text", "doc_id"))
     deps: list = []
     # the three perceptual rows are LITERALLY the survivors registry
-    # queries (round-14 review: an inlined fourth copy of the chain
-    # could drift from the verified ones — composing them makes drift
-    # impossible by construction). Each chain runs its checkpointed
-    # CC fixpoint EAGERLY at call time, and none of the three fills
-    # the cluster on its own — so build them on concurrent threads
-    # (guide §2.6: 2-3 independent jobs in flight to fill idle
-    # capacity). The pipelines share no state and the union below
-    # consumes them in the same fixed order, so results are identical.
+    # query bodies (round-14 review: an inlined fourth copy of the
+    # chain could drift from the verified ones — the `_from` helpers
+    # ARE the registry queries' bodies, so drift stays impossible by
+    # construction). Each chain runs its checkpointed CC fixpoint
+    # EAGERLY at call time, and none of the three fills the cluster on
+    # its own — so build them on concurrent threads (guide §2.6). r18
+    # (VERDICT #3): the image and video chains consume ONE persisted
+    # blob corpus (they derive the identical frame) instead of each
+    # re-deriving and re-scanning it per chain — and within each chain
+    # the corpus feeds both the signature pass and the survivor id
+    # scan off the same cache. The audio corpus (pad-twin variant) is
+    # persisted the same way for its two in-chain consumers.
     from concurrent.futures import ThreadPoolExecutor
 
+    blob_corpus = _blob_corpus_with_variants(spark, sf_dir).persist()
+    audio_corpus = _audio_corpus_with_twins(spark, sf_dir).persist()
+    deps += [blob_corpus, audio_corpus]
     chains = (
-        ("image", q_image_dedup_survivors),
-        ("audio", q_audio_dedup_survivors),
-        ("video", q_video_dedup_survivors),
+        ("image", _image_survivors_from, blob_corpus),
+        ("audio", _audio_survivors_from, audio_corpus),
+        ("video", _video_survivors_from, blob_corpus),
     )
     with ThreadPoolExecutor(max_workers=len(chains)) as pool:
         futures = [
-            (modality, pool.submit(surv_fn, spark, sf_dir))
-            for modality, surv_fn in chains
+            (modality, pool.submit(surv_fn, corpus))
+            for modality, surv_fn, corpus in chains
         ]
         for modality, fut in futures:
             kept = fut.result()
@@ -1101,9 +1115,14 @@ def q_video_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-label-propagation fixpoint; the oracle replays it with a
     recursive transitive-closure CTE over the frame-fingerprint pair
     replay."""
+    return _video_survivors_from(_blob_corpus_with_variants(spark, sf_dir))
+
+
+def _video_survivors_from(corpus: DataFrame) -> DataFrame:
+    """The video chain over a caller-supplied blob corpus (see
+    :func:`_image_survivors_from`)."""
     from batch_process_dpla_index_spark.operators.multimodal import video_near_dup
 
-    corpus = _blob_corpus_with_variants(spark, sf_dir)
     return _blob_survivors(
         corpus,
         video_near_dup(
@@ -1120,9 +1139,14 @@ def q_audio_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-label-propagation fixpoint; the oracle replays it with a
     recursive transitive-closure CTE over the brute-force pair
     replay."""
+    return _audio_survivors_from(_audio_corpus_with_twins(spark, sf_dir))
+
+
+def _audio_survivors_from(corpus: DataFrame) -> DataFrame:
+    """The audio chain over a caller-supplied PCM-clip corpus (see
+    :func:`_image_survivors_from`)."""
     from batch_process_dpla_index_spark.operators.multimodal import audio_near_dup
 
-    corpus = _audio_corpus_with_twins(spark, sf_dir)
     return _blob_survivors(
         corpus,
         audio_near_dup(corpus, "blob", "doc_id", bits=60, max_hamming=3),
