@@ -227,6 +227,7 @@ def _pair_intersections(
     n: int,
     max_posting: int,
     pair_filter=None,
+    sets: "DataFrame | None" = None,
 ):
     """Shared inverted-index pair core for the exact set-similarity
     joins: shingle sets (persisted — returned for the caller's
@@ -236,12 +237,22 @@ def _pair_intersections(
     jaccard length filter plugs in there; containment passes None
     because it admits no such prune.
 
+    ``sets`` (r18): an optional caller-persisted (id_col, shingles)
+    frame — a consumer that already shingled the same corpus (the LSH
+    quality report runs truth and candidates over one corpus) passes
+    it so the tokenize+shingle pass runs once per QUERY, not once per
+    operator; the tiers are bit-identical so values are unchanged.
+    When provided, this function does not persist (the caller owns the
+    cache; the returned handle's unpersist is then a no-op).
+
     Returns (inter, sets): inter has columns
     (id_a, id_b, size_a, size_b, n_common)."""
-    sets = shingle_sets(df, text_col, id_col, n).withColumn(
-        "set_size", F.size("shingles")
-    )
-    sets = sets.persist()
+    if sets is None:
+        sets = shingle_sets(df, text_col, id_col, n).withColumn(
+            "set_size", F.size("shingles")
+        ).persist()
+    else:
+        sets = sets.withColumn("set_size", F.size("shingles"))
     posts = sets.select(
         F.col(id_col).alias("id"), "set_size", F.explode("shingles").alias("shingle")
     )
@@ -279,6 +290,7 @@ def jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_posting: int = 1000,
+    precomputed_sets: "DataFrame | None" = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity join: pairs (a < b) with J >= t.
 
@@ -305,7 +317,8 @@ def jaccard_pairs(
         <= F.least(F.col("size_a"), F.col("size_b"))
     )
     inter, sets = _pair_intersections(
-        df, text_col, id_col, n, max_posting, pair_filter=size_ok
+        df, text_col, id_col, n, max_posting, pair_filter=size_ok,
+        sets=precomputed_sets,
     )
     jac = F.col("n_common").cast("double") / (
         F.col("size_a") + F.col("size_b") - F.col("n_common")
@@ -718,6 +731,7 @@ def minhash_lsh_pairs(
     max_bucket: int = 1000,
     hash_fn: Callable[[Column], Column] = h60,
     use_pandas: bool = False,
+    precomputed_sets: "DataFrame | None" = None,
 ) -> DataFrame:
     """MinHash + banded-LSH near-dup pairs, verified with exact Jaccard.
 
@@ -732,8 +746,13 @@ def minhash_lsh_pairs(
     has zero false positives (recall remains probabilistic).
     """
     rows = _band_rows(num_perm, bands)
-    sets = shingle_sets(
-        df, text_col, id_col, n, use_pandas=use_pandas
+    sets = (
+        # r18: a caller that already shingled this corpus (the LSH
+        # quality report's truth side) passes its persisted frame —
+        # one tokenize+shingle pass per query instead of per operator
+        precomputed_sets
+        if precomputed_sets is not None
+        else shingle_sets(df, text_col, id_col, n, use_pandas=use_pandas)
     ).withColumnRenamed(id_col, "id")
     sig = with_minhash_signature(sets, num_perm, use_pandas, hash_fn).persist()
 

@@ -224,7 +224,9 @@ def _bench_phash_index(spark: SparkSession, sf_dir: str, work_dir: str) -> int:
     )
     n = matches.count()
     dup_ids = matches.select(F.col("new_id").alias("doc_id"))
-    survivors = batch.join(dup_ids, "doc_id", "left_anti")
+    # broadcast: bounded by the batch row count (one row per matched
+    # id) — mirrors the deployed ingest skeleton's r18 anti-join hint
+    survivors = batch.join(F.broadcast(dup_ids), "doc_id", "left_anti")
     # reuse the check step's persisted batch signatures for the
     # append, exactly as the deployed streaming ingest does — the r16
     # bench re-hashed survivors through the Arrow pass a second time,

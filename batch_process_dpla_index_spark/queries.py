@@ -2969,13 +2969,23 @@ def q_lsh_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         _with_cached_deps,
     )
 
+    from batch_process_dpla_index_spark.operators.dedup import shingle_sets
+
     docs = load_table(spark, sf_dir, "documents")
+    # r18 (guide §2.4): truth and candidates score the SAME corpus, so
+    # tokenize+shingle runs ONCE through a shared persisted frame (the
+    # shingle tiers are bit-identical, pinned by test) instead of once
+    # inside each operator.
+    sets = shingle_sets(docs, "text", "doc_id", 3, use_pandas=True).persist()
     # Capture the RAW operator results before any .select()/.withColumn()
     # — DataFrame methods return new objects without _cached_deps, so
     # deps must be collected from these frames (the carry_deps trap).
-    truth_raw = jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+    truth_raw = jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.5, precomputed_sets=sets
+    )
     cand_raw = minhash_lsh_pairs(
-        docs, "text", "doc_id", n=3, threshold=0.5, use_pandas=True
+        docs, "text", "doc_id", n=3, threshold=0.5, use_pandas=True,
+        precomputed_sets=sets,
     )
     truth = truth_raw.select("id_a", "id_b").withColumn("__t", F.lit(1))
     cand = cand_raw.select("id_a", "id_b").withColumn("__c", F.lit(1))
@@ -3006,8 +3016,10 @@ def q_lsh_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_truth") > 0, F.round(F.col("tp") / F.col("n_truth"), 6)
         ).alias("recall"),
     )
-    deps = list(getattr(truth_raw, "_cached_deps", [])) + list(
-        getattr(cand_raw, "_cached_deps", [])
+    deps = (
+        [sets]
+        + list(getattr(truth_raw, "_cached_deps", []))
+        + list(getattr(cand_raw, "_cached_deps", []))
     )
     return _with_cached_deps(out, deps)
 

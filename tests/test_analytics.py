@@ -1076,6 +1076,30 @@ def test_source_overlap_incremental_equals_full_recompute(spark, docs):
     d.unpersist()
 
 
+def test_overlap_driver_tier_matches_distributed(spark, docs, monkeypatch):
+    """r18 tier-equivalence pin: overlap_from_signatures' driver tier
+    (bounded signature collect + integer perm-match counts +
+    spark_round6) must return EXACTLY the distributed |sources|²
+    broadcast join's rows — same n_equal ints, same est_jaccard bits."""
+    import batch_process_dpla_index_spark.operators.dedup as dd
+
+    d = docs.limit(150).cache()
+    sig = dd.source_signatures(d, use_pandas=True)
+    key = lambda r: (r["source_a"], r["source_b"])  # noqa: E731
+    tier = {
+        key(r): (r["n_equal"], r["est_jaccard"])
+        for r in dd.overlap_from_signatures(sig, 64).collect()
+    }
+    monkeypatch.setenv(dd._SIG_DRIVER_SOURCES_ENV, "0")
+    dist = {
+        key(r): (r["n_equal"], r["est_jaccard"])
+        for r in dd.overlap_from_signatures(sig, 64).collect()
+    }
+    assert tier == dist
+    assert tier, "fixture must produce at least one source pair"
+    d.unpersist()
+
+
 def test_rank_candidates_rounded_score_then_id_ties(spark):
     from batch_process_dpla_index_spark.operators.ranking import rank_candidates
 

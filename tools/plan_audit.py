@@ -73,22 +73,60 @@ def filescans_outside_cache(plan: str) -> int:
     preceding line at each strictly-smaller indent."""
     lines = plan.splitlines()
     indents = [_indent(ln) for ln in lines]
+
+    def _covered_by_ancestor(i: int) -> bool:
+        cur = indents[i]
+        for j in range(i - 1, -1, -1):
+            if indents[j] < cur:
+                if "InMemoryRelation" in lines[j]:
+                    return True
+                cur = indents[j]
+                if cur == 0:
+                    break
+        return False
+
+    _MARKERS = (
+        "== Final Plan ==",
+        "== Initial Plan ==",
+        "ResultQueryStage",
+        "ShuffleQueryStage",
+        "BroadcastQueryStage",
+        "TableCacheQueryStage",
+    )
+
+    def _covered_by_materialized_reprint(i: int) -> bool:
+        # An InMemoryRelation that was MATERIALIZED before the print
+        # (r18: eager driver-tier collects inside query construction)
+        # reprints its cached plan as a flat AQE dump — section
+        # headers and query stages at SHALLOWER indent than the
+        # relation line itself, which defeats the ancestor walk. Such
+        # a FileScan is covered when the nearest preceding
+        # InMemoryRelation sits DEEPER than it, nothing between
+        # returns above that relation's depth, and the block carries
+        # the AQE reprint markers.
+        saw_marker = False
+        for j in range(i - 1, -1, -1):
+            if indents[j] > indents[i] and any(
+                m in lines[j] for m in _MARKERS
+            ):
+                # markers may themselves sit deeper than the scan line
+                saw_marker = True
+            elif any(m in lines[j] for m in _MARKERS):
+                saw_marker = True
+            if "InMemoryRelation" in lines[j]:
+                return indents[j] > indents[i] and saw_marker
+            if indents[j] > indents[i] + 60:
+                # far outside any plausible reprint block
+                return False
+        return False
+
     n_out = 0
     for i, ln in enumerate(lines):
         if "FileScan" not in ln:
             continue
-        cur = indents[i]
-        covered = False
-        for j in range(i - 1, -1, -1):
-            if indents[j] < cur:
-                if "InMemoryRelation" in lines[j]:
-                    covered = True
-                    break
-                cur = indents[j]
-                if cur == 0:
-                    break
-        if not covered:
-            n_out += 1
+        if _covered_by_ancestor(i) or _covered_by_materialized_reprint(i):
+            continue
+        n_out += 1
     return n_out
 
 
