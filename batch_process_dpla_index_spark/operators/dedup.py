@@ -706,16 +706,22 @@ def incremental_dedup(
         )
         .filter(F.col("jaccard") >= threshold)
     )
-    # best match as ONE aggregate instead of row_number-over-window
-    # (r18, guide §2.4): max over struct(jaccard, -dup_of) is the
-    # lexicographic (jaccard DESC, dup_of ASC) winner — the exact row
-    # the old rn==1 filter kept — and drops one Exchange+Sort.
-    __b = F.max(
-        F.struct(F.col("jaccard").alias("j"), (-F.col("dup_of")).alias("nid"))
-    )
+    # best match as ONE hash aggregate instead of row_number-over-
+    # window (r18, guide §2.4/§2.3): max_by over struct(jaccard,
+    # -dup_of) is the lexicographic (jaccard DESC, dup_of ASC) winner
+    # — the exact row the old rn==1 filter kept (the ordering key is
+    # unique per row, so no max_by tie exists) — and the winner's
+    # jaccard IS max(jaccard). max_by (TypedImperative) plans as
+    # ObjectHashAggregate with map-side partials: no Sort at all,
+    # and the exchange carries one row per (task, key) instead of
+    # every verified pair. (A max(struct(...)) form was measured
+    # SLOWER: struct buffers fall back to SortAggregate — a local
+    # sort + exchange + sort, strictly worse than the window.)
     best = verified.groupBy("new_id").agg(
-        (-__b.getField("nid")).alias("dup_of"),
-        F.round(__b.getField("j"), 6).alias("jaccard"),
+        F.max_by(
+            "dup_of", F.struct(F.col("jaccard"), (-F.col("dup_of")))
+        ).alias("dup_of"),
+        F.round(F.max("jaccard"), 6).alias("jaccard"),
     )
     return _with_cached_deps(best, [new_sig, corp_sig])
 

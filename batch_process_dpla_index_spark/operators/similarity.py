@@ -1426,19 +1426,21 @@ def match_assigned_against_stored(
         .withColumn("__cos", cosine(F.col("q_vec"), F.col("c_vec")))
         .where(F.col("__cos") >= F.lit(float(threshold)))
     )
-    # winner pick as ONE aggregate instead of row_number-over-window +
-    # groupBy (r18, guide §2.4): max over struct(__cos, -c_id) is the
-    # lexicographic (score DESC, id ASC) winner — the exact row the old
-    # window's rn==1 selected (Spark orders NaN greatest on both paths,
-    # and __cos is never NULL past the threshold filter) — and it drops
-    # one Exchange+Sort from every plan that reads the best_* columns.
-    best = F.max(
-        F.struct(F.col("__cos").alias("s"), (-F.col("c_id")).alias("nid"))
-    )
+    # winner pick as ONE hash aggregate instead of row_number-over-
+    # window + groupBy (r18, guide §2.4/§2.3): max_by over
+    # struct(__cos, -c_id) is the lexicographic (score DESC, id ASC)
+    # winner — the exact row the old window's rn==1 selected (Spark
+    # orders NaN greatest on both paths, the ordering key is unique
+    # per row, and __cos is never NULL past the threshold filter) —
+    # and the winner's score IS max(__cos). ObjectHashAggregate, no
+    # Sort, map-side partials. (A max(struct) form was measured
+    # slower: struct buffers fall back to SortAggregate.)
     matches = scored.groupBy("q_id").agg(
         F.count("*").cast("bigint").alias("n_matches"),
-        (-best.getField("nid")).alias("best_match_id"),
-        F.round(best.getField("s"), 6).alias("best_score"),
+        F.max_by("c_id", F.struct(F.col("__cos"), (-F.col("c_id")))).alias(
+            "best_match_id"
+        ),
+        F.round(F.max("__cos"), 6).alias("best_score"),
     )
     base = assigned.select(
         F.col("id"), F.element_at("cells", 1).alias("cell")

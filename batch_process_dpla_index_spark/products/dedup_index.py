@@ -243,19 +243,19 @@ def incremental_dedup_indexed(
         )
         .filter(F.col("jaccard") >= threshold)
     )
-    # best match as ONE aggregate instead of row_number-over-window
-    # (r18, guide §2.4): max over struct(jaccard, -dup_of) is the
-    # lexicographic (jaccard DESC, dup_of ASC) winner — the exact row
-    # the old rn==1 filter kept — and drops one Exchange+Sort from
-    # every serve action.
-    __b = F.max(
-        F.struct(F.col("jaccard").alias("j"), (-F.col("dup_of")).alias("nid"))
-    )
+    # best match as ONE hash aggregate instead of row_number-over-
+    # window (r18, guide §2.4/§2.3): max_by over struct(jaccard,
+    # -dup_of) picks the exact (jaccard DESC, dup_of ASC) winner the
+    # old rn==1 filter kept (unique ordering key — no tie), and the
+    # winner's jaccard IS max(jaccard). ObjectHashAggregate, no Sort;
+    # map-side partials shrink the exchange to one row per (task, key).
     out = (
         verified.groupBy("new_id")
         .agg(
-            (-__b.getField("nid")).alias("dup_of"),
-            F.round(__b.getField("j"), 6).alias("jaccard"),
+            F.max_by(
+                "dup_of", F.struct(F.col("jaccard"), (-F.col("dup_of")))
+            ).alias("dup_of"),
+            F.round(F.max("jaccard"), 6).alias("jaccard"),
         )
         # r17 (guide §5 caching): callers that act on the matches and
         # then anti-join them (novel-set selection, survivor appends)

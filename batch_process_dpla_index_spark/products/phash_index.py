@@ -269,19 +269,19 @@ def incremental_phash_dedup_indexed(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
-    # best match as ONE aggregate instead of row_number-over-window
-    # (r18, guide §2.4): min over struct(hamming, dup_of) is the
-    # lexicographic (hamming ASC, dup_of ASC) winner — the exact row
-    # the old rn==1 filter kept (all-integer, bit-exact) — and drops
-    # one Exchange+Sort from every serve action.
-    __b = F.min(
-        F.struct(F.col("hamming").alias("h"), F.col("dup_of").alias("d"))
-    )
+    # best match as ONE hash aggregate instead of row_number-over-
+    # window (r18, guide §2.4/§2.3): min_by over struct(hamming,
+    # dup_of) picks the exact (hamming ASC, dup_of ASC) winner the old
+    # rn==1 filter kept (all-integer, unique ordering key), and the
+    # winner's hamming IS min(hamming). ObjectHashAggregate, no Sort;
+    # map-side partials shrink the exchange to one row per (task, key).
     out = (
         verified.groupBy("new_id")
         .agg(
-            __b.getField("d").alias("dup_of"),
-            __b.getField("h").alias("hamming"),
+            F.min_by(
+                "dup_of", F.struct(F.col("hamming"), F.col("dup_of"))
+            ).alias("dup_of"),
+            F.min("hamming").alias("hamming"),
         )
         # r17 (guide §5 caching): the ingest hot path reads this frame
         # TWICE — the caller's action, then `survivor_signatures`'s
