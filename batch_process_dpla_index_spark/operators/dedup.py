@@ -898,23 +898,26 @@ def banded_hamming_pairs(
     ).select(
         "id", "sig", F.col("bk.band").alias("band"), F.col("bk.val").alias("val")
     )
-    cand = (
+    # popcount-verify BEFORE the dedup exchange (r18, guide §2.3
+    # "shuffle fewer bytes"): the verify is one bit_count over columns
+    # already co-located by the band join, so over-budget candidates
+    # die map-side and only true matches reach the distinct — the old
+    # shape shuffled every (multi-band-duplicated) candidate pair plus
+    # both 8-byte sigs just to drop most of them after the exchange.
+    # distinct over (id_a, id_b, hamming) equals distinct over the
+    # pair: hamming is a pure function of the pair.
+    ham = F.bit_count(F.col("x.sig").bitwiseXOR(F.col("y.sig")))
+    return (
         exploded.alias("x")
         .join(exploded.alias("y"), ["band", "val"])
         .filter(F.col("x.id") < F.col("y.id"))
         .select(
             F.col("x.id").alias("id_a"),
-            F.col("x.sig").alias("sh_a"),
             F.col("y.id").alias("id_b"),
-            F.col("y.sig").alias("sh_b"),
+            ham.alias("hamming"),
         )
-        .distinct()
-    )
-    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (
-        cand.withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .distinct()
     )
 
 

@@ -257,7 +257,14 @@ def incremental_phash_dedup_indexed(
         .alias("x")
         .join(corp_buckets.alias("y"), ["band", "val"])
         .select(F.col("x.id").alias("new_id"), F.col("y.id").alias("dup_of"))
-        .distinct()
+        # NO distinct (r18, guide §2.4): a pair surfaced by k bands is
+        # verified k times — the verify is one bit_count over already-
+        # joined longs, far cheaper than the exchange+aggregate a
+        # distinct costs per serve action, and duplicate rows cannot
+        # change the min_by winner below (the per-pair hamming is a
+        # pure function of the pair). The TEXT serve keeps its
+        # distinct: its verify is an array-intersection per row, where
+        # k-fold duplication is real work.
     )
     sa = new_sig.select(F.col("id").alias("new_id"), F.col("phash").alias("ph_a"))
     sb = corp_sig.select(F.col("id").alias("dup_of"), F.col("phash").alias("ph_b"))

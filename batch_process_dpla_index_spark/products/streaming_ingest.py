@@ -98,7 +98,17 @@ def _dedup_ingest_available(
             .partitionBy("batch")
             .parquet(out_path)
         )
-        n_kept = survivors.count()
+        # kept-count from the partition this batch just wrote (footer
+        # metadata, driver-side — r18): the write IS the survivor
+        # materialization, so a count job over the persisted frame
+        # only re-reads what the footers already record
+        from batch_process_dpla_index_spark.products.index_tombstones import (
+            parquet_rowcount,
+        )
+
+        n_kept = parquet_rowcount(
+            os.path.join(out_path, f"batch={int(batch_id)}")
+        )
         append_fn(survivors, int(batch_id), matches)
         unpersist_deps(matches)
         survivors.unpersist()
