@@ -417,10 +417,15 @@ def kmeans_assign(
     centroids,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_vec: bool = False,
 ) -> DataFrame:
-    """(id, cell, dist2): final assignment + squared distance — the
-    inference pass, also the storage assignment for a learned-centroid
-    IVF index."""
+    """(id, cell, dist2[, vec]): final assignment + squared distance —
+    the inference pass, also the storage assignment for a
+    learned-centroid IVF index. ``keep_vec=True`` carries the vector
+    through the Arrow pass (r18, mirroring
+    :func:`kmeans_assign_two_level`) so consumers that need (cell,
+    vec) — the semantic-dedup pair stage — skip a corpus-wide join
+    back on id."""
     from collections.abc import Iterator
 
     import numpy as np
@@ -437,16 +442,20 @@ def kmeans_assign(
             mat = np.array(list(pdf[vec_name]), dtype="float64")
             d2 = _full_d2(mat, cents, sq)
             cell = d2.argmin(axis=1)
-            yield pd.DataFrame(
-                {
-                    "id": pdf[id_name].to_numpy(),
-                    "cell": cell.astype("int32"),
-                    "dist2": d2[np.arange(len(cell)), cell],
-                }
-            )
+            out = {
+                "id": pdf[id_name].to_numpy(),
+                "cell": cell.astype("int32"),
+                "dist2": d2[np.arange(len(cell)), cell],
+            }
+            if keep_vec:
+                out["vec"] = pdf[vec_name]
+            yield pd.DataFrame(out)
 
+    schema = "id bigint, cell int, dist2 double"
+    if keep_vec:
+        schema += f", vec {df.schema[vec_col].dataType.simpleString()}"
     return df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
-        assign, "id bigint, cell int, dist2 double"
+        assign, schema
     )
 
 

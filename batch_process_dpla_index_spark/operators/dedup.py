@@ -1357,11 +1357,11 @@ def semdedup(
         emb, id_col, vec_col, k=k, n_iter=n_iter, init="hash",
         update_grid=10**6, tol=0.0,
     )
-    vecs = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     av = (
-        kmeans_assign(emb, cents, id_col, vec_col)
-        .select("id", "cell")
-        .join(vecs, "id")
+        # keep_vec (r18): no corpus-wide join back on id to re-attach
+        # the vector the assign pass already had in hand
+        kmeans_assign(emb, cents, id_col, vec_col, keep_vec=True)
+        .select("id", "cell", "vec")
         .persist()
     )
     close = (
@@ -1515,9 +1515,6 @@ def semantic_dedup(
             [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
             "cell int, __cent array<double>",
         )
-        vecs = emb.select(
-            F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
-        )
         # strict-fold Σ(x−c)²: same association as the oracle's
         # list_reduce
         d2_fold = F.aggregate(
@@ -1530,9 +1527,9 @@ def semantic_dedup(
             lambda acc, x: acc + x,
         )
         av = (
-            kmeans_assign(emb, cents, id_col, vec_col)
-            .select("id", "cell")
-            .join(vecs, "id")
+            # keep_vec (r18): the assign pass carries the vector, so
+            # no corpus-wide join back on id just to re-attach it
+            kmeans_assign(emb, cents, id_col, vec_col, keep_vec=True)
             .join(F.broadcast(cent_df), "cell")
             .select("id", "cell", "vec", d2_fold.alias("d2"))
             .persist()
