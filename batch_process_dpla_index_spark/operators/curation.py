@@ -1251,22 +1251,29 @@ def contamination_screened(
         flagged_ab,
         "source_a string, source_b string, est_jaccard double",
     )
-    posts = (
-        # flagged sources only — the posting frame never carries a
-        # source the screen cleared; ``ex`` is cached, so this is a
-        # filter over the already-materialized distinct postings
-        ex.join(
-            F.broadcast(
-                _arrow_local_frame(
-                    df.sparkSession,
-                    [(s,) for s in flagged_sources],
-                    "src string",
-                )
-            ),
-            "src",
-            "left_semi",
-        ).persist()
-    )
+    if len(flagged_sources) == len(sig_rows):
+        # every source flagged (knowable driver-side from the collected
+        # signatures): the semi-join is the identity — reuse the cached
+        # posting frame instead of materializing a second full copy of
+        # it (r18; one less cache pass both cold and warm)
+        posts = ex
+    else:
+        posts = (
+            # flagged sources only — the posting frame never carries a
+            # source the screen cleared; ``ex`` is cached, so this is a
+            # filter over the already-materialized distinct postings
+            ex.join(
+                F.broadcast(
+                    _arrow_local_frame(
+                        df.sparkSession,
+                        [(s,) for s in flagged_sources],
+                        "src string",
+                    )
+                ),
+                "src",
+                "left_semi",
+            ).persist()
+        )
     # per-source distinct-shingle counts, collected once (the same
     # bounded |sources| metadata as the signatures): the containment
     # denominators and the pair estimate then ride ONE post-aggregate

@@ -624,10 +624,12 @@ def test_drift_monitors_scan_corpus_once(spark):
         ("embedding_centroid_drift", 2),
         ("temporal_drift_ks", 3),
         ("event_mix_drift", 3),
-        # since r17 the default contamination_matrix is the screened
-        # two-tier plan: persisted `flagged` (sketch tier) + persisted
-        # `posts` (flagged-only posting lists), >= 6 cached consumers
-        ("contamination_matrix", 6),
+        # r18: the sketch tier and the size/pair metadata are computed
+        # driver-side from bounded collects, so the FINAL plan holds
+        # only the cached posting frame read by the two pair-join
+        # sides (when the screen clears sources, a second persisted
+        # semi-joined frame appears — not the fixture case)
+        ("contamination_matrix", 2),
     ):
         df = QUERIES[name](spark, SF_DIR)
         plan = df._jdf.queryExecution().executedPlan().toString()
