@@ -706,17 +706,18 @@ def incremental_dedup(
         )
         .filter(F.col("jaccard") >= threshold)
     )
-    # best match as ONE hash aggregate instead of row_number-over-
-    # window (r18, guide §2.4/§2.3): max_by over struct(jaccard,
-    # -dup_of) is the lexicographic (jaccard DESC, dup_of ASC) winner
-    # — the exact row the old rn==1 filter kept (the ordering key is
-    # unique per row, so no max_by tie exists) — and the winner's
-    # jaccard IS max(jaccard). max_by (TypedImperative) plans as
-    # ObjectHashAggregate with map-side partials: no Sort at all,
-    # and the exchange carries one row per (task, key) instead of
-    # every verified pair. (A max(struct(...)) form was measured
-    # SLOWER: struct buffers fall back to SortAggregate — a local
-    # sort + exchange + sort, strictly worse than the window.)
+    # best match as ONE aggregate instead of row_number-over-window
+    # (r18, guide §2.4/§2.3): max_by over struct(jaccard, -dup_of) is
+    # the lexicographic (jaccard DESC, dup_of ASC) winner — the exact
+    # row the old rn==1 filter kept (the ordering key is unique per
+    # row, so no max_by tie exists) — and the winner's jaccard IS
+    # max(jaccard). The struct ordering key still plans as
+    # SortAggregate (struct buffers are hash-incompatible), but the
+    # MAP-SIDE PARTIAL shrinks the exchange to one row per (task,
+    # key) where the window shuffled every verified pair; alternating
+    # A/B at matched load read 3.0/3.8 s vs the window's 3.2/4.7 s.
+    # (A max(struct(...)) form measured slower still: its two
+    # references to the aggregate defeat partial-pushdown reuse.)
     best = verified.groupBy("new_id").agg(
         F.max_by(
             "dup_of", F.struct(F.col("jaccard"), (-F.col("dup_of")))

@@ -1426,15 +1426,15 @@ def match_assigned_against_stored(
         .withColumn("__cos", cosine(F.col("q_vec"), F.col("c_vec")))
         .where(F.col("__cos") >= F.lit(float(threshold)))
     )
-    # winner pick as ONE hash aggregate instead of row_number-over-
-    # window + groupBy (r18, guide §2.4/§2.3): max_by over
-    # struct(__cos, -c_id) is the lexicographic (score DESC, id ASC)
-    # winner — the exact row the old window's rn==1 selected (Spark
-    # orders NaN greatest on both paths, the ordering key is unique
-    # per row, and __cos is never NULL past the threshold filter) —
-    # and the winner's score IS max(__cos). ObjectHashAggregate, no
-    # Sort, map-side partials. (A max(struct) form was measured
-    # slower: struct buffers fall back to SortAggregate.)
+    # winner pick as ONE aggregate instead of row_number-over-window
+    # + groupBy (r18, guide §2.4/§2.3): max_by over struct(__cos,
+    # -c_id) is the lexicographic (score DESC, id ASC) winner — the
+    # exact row the old window's rn==1 selected (Spark orders NaN
+    # greatest on both paths, the ordering key is unique per row, and
+    # __cos is never NULL past the threshold filter) — and the
+    # winner's score IS max(__cos). Plans as SortAggregate (struct
+    # buffer), but the map-side partial shrinks the exchange and the
+    # separate Window+groupBy pair collapses to one aggregate.
     matches = scored.groupBy("q_id").agg(
         F.count("*").cast("bigint").alias("n_matches"),
         F.max_by("c_id", F.struct(F.col("__cos"), (-F.col("c_id")))).alias(

@@ -243,12 +243,13 @@ def incremental_dedup_indexed(
         )
         .filter(F.col("jaccard") >= threshold)
     )
-    # best match as ONE hash aggregate instead of row_number-over-
-    # window (r18, guide §2.4/§2.3): max_by over struct(jaccard,
-    # -dup_of) picks the exact (jaccard DESC, dup_of ASC) winner the
-    # old rn==1 filter kept (unique ordering key — no tie), and the
-    # winner's jaccard IS max(jaccard). ObjectHashAggregate, no Sort;
-    # map-side partials shrink the exchange to one row per (task, key).
+    # best match as ONE aggregate instead of row_number-over-window
+    # (r18, guide §2.4/§2.3): max_by over struct(jaccard, -dup_of)
+    # picks the exact (jaccard DESC, dup_of ASC) winner the old rn==1
+    # filter kept (unique ordering key — no tie), and the winner's
+    # jaccard IS max(jaccard). Plans as SortAggregate (struct buffer),
+    # but the map-side partial shrinks the exchange to one row per
+    # (task, key) where the window shuffled every verified pair.
     out = (
         verified.groupBy("new_id")
         .agg(

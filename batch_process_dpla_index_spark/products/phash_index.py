@@ -276,12 +276,13 @@ def incremental_phash_dedup_indexed(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
-    # best match as ONE hash aggregate instead of row_number-over-
-    # window (r18, guide §2.4/§2.3): min_by over struct(hamming,
-    # dup_of) picks the exact (hamming ASC, dup_of ASC) winner the old
-    # rn==1 filter kept (all-integer, unique ordering key), and the
-    # winner's hamming IS min(hamming). ObjectHashAggregate, no Sort;
-    # map-side partials shrink the exchange to one row per (task, key).
+    # best match as ONE aggregate instead of row_number-over-window
+    # (r18, guide §2.4/§2.3): min_by over struct(hamming, dup_of)
+    # picks the exact (hamming ASC, dup_of ASC) winner the old rn==1
+    # filter kept (all-integer, unique ordering key), and the winner's
+    # hamming IS min(hamming). Plans as SortAggregate (struct buffer),
+    # but the map-side partial shrinks the exchange to one row per
+    # (task, key) where the window shuffled every candidate row.
     out = (
         verified.groupBy("new_id")
         .agg(
