@@ -101,7 +101,13 @@ def _dedup_ingest_available(
         # kept-count from the partition this batch just wrote (footer
         # metadata, driver-side — r18): the write IS the survivor
         # materialization, so a count job over the persisted frame
-        # only re-reads what the footers already record
+        # only re-reads what the footers already record. Zero
+        # survivors → no partition dir → 0, same as the old count().
+        # (A dynamic overwrite with zero rows would leave a previous
+        # attempt's partition in place, but a replay recomputes the
+        # SAME survivor set by construction — max_ingest_batch pins
+        # the probe to pre-attempt state — so the footer count always
+        # equals the frame count.)
         from batch_process_dpla_index_spark.products.index_tombstones import (
             parquet_rowcount,
         )
